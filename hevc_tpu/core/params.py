@@ -1,0 +1,189 @@
+"""Parameter set and slice-level state dataclasses.
+
+Parity: reference TComSlice.h (TComVPS:431, TComSPS:720, TComPPS:981,
+TComSlice:1202) — reduced to the fields this framework actually encodes.
+Field names follow the HEVC spec syntax element names so the header writers
+(hevc_tpu/entropy/headers.py) read as a transliteration of spec 7.3.2.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+from .types import ChromaFormat, SliceType
+
+
+@dataclasses.dataclass
+class ProfileTierLevel:
+    general_profile_idc: int = 1          # Main
+    general_level_idc: int = 120          # level 4.0 (30 * 4)
+    general_tier_flag: int = 0
+    general_progressive_source_flag: int = 1
+    general_interlaced_source_flag: int = 0
+    general_non_packed_constraint_flag: int = 0
+    general_frame_only_constraint_flag: int = 1
+
+
+@dataclasses.dataclass
+class VPS:
+    vps_video_parameter_set_id: int = 0
+    vps_max_layers_minus1: int = 0
+    vps_max_sub_layers_minus1: int = 0
+    vps_temporal_id_nesting_flag: int = 1
+    ptl: ProfileTierLevel = dataclasses.field(default_factory=ProfileTierLevel)
+    vps_max_dec_pic_buffering_minus1: int = 4
+    vps_max_num_reorder_pics: int = 0
+    vps_max_latency_increase_plus1: int = 0
+
+
+@dataclasses.dataclass
+class ShortTermRPS:
+    """One short-term reference picture set (spec 7.3.7)."""
+    delta_pocs: List[int] = dataclasses.field(default_factory=list)  # negative first
+    used_flags: List[int] = dataclasses.field(default_factory=list)
+
+    @property
+    def num_negative(self) -> int:
+        return sum(1 for d in self.delta_pocs if d < 0)
+
+    @property
+    def num_positive(self) -> int:
+        return sum(1 for d in self.delta_pocs if d > 0)
+
+
+@dataclasses.dataclass
+class SPS:
+    sps_video_parameter_set_id: int = 0
+    sps_max_sub_layers_minus1: int = 0
+    sps_temporal_id_nesting_flag: int = 1
+    ptl: ProfileTierLevel = dataclasses.field(default_factory=ProfileTierLevel)
+    sps_seq_parameter_set_id: int = 0
+    chroma_format_idc: int = int(ChromaFormat.C420)
+    pic_width_in_luma_samples: int = 0
+    pic_height_in_luma_samples: int = 0
+    conformance_window_flag: int = 0
+    conf_win_left_offset: int = 0
+    conf_win_right_offset: int = 0
+    conf_win_top_offset: int = 0
+    conf_win_bottom_offset: int = 0
+    bit_depth_luma_minus8: int = 0
+    bit_depth_chroma_minus8: int = 0
+    log2_max_pic_order_cnt_lsb_minus4: int = 4
+    sps_max_dec_pic_buffering_minus1: int = 4
+    sps_max_num_reorder_pics: int = 0
+    sps_max_latency_increase_plus1: int = 0
+    log2_min_luma_coding_block_size_minus3: int = 0   # min CU 8
+    log2_diff_max_min_luma_coding_block_size: int = 3  # CTU 64
+    log2_min_luma_transform_block_size_minus2: int = 0  # min TU 4
+    log2_diff_max_min_luma_transform_block_size: int = 3  # max TU 32
+    max_transform_hierarchy_depth_inter: int = 3
+    max_transform_hierarchy_depth_intra: int = 3
+    scaling_list_enabled_flag: int = 0
+    amp_enabled_flag: int = 0
+    sample_adaptive_offset_enabled_flag: int = 0
+    pcm_enabled_flag: int = 0
+    short_term_rps: List[ShortTermRPS] = dataclasses.field(default_factory=list)
+    long_term_ref_pics_present_flag: int = 0
+    sps_temporal_mvp_enabled_flag: int = 0
+    strong_intra_smoothing_enabled_flag: int = 1
+    vui_parameters_present_flag: int = 0
+
+    # Derived geometry helpers -------------------------------------------------
+    @property
+    def bit_depth_luma(self) -> int:
+        return 8 + self.bit_depth_luma_minus8
+
+    @property
+    def bit_depth_chroma(self) -> int:
+        return 8 + self.bit_depth_chroma_minus8
+
+    @property
+    def ctu_size(self) -> int:
+        return 1 << (self.log2_min_luma_coding_block_size_minus3 + 3
+                     + self.log2_diff_max_min_luma_coding_block_size)
+
+    @property
+    def min_cu_size(self) -> int:
+        return 1 << (self.log2_min_luma_coding_block_size_minus3 + 3)
+
+    @property
+    def pic_width_in_ctus(self) -> int:
+        return -(-self.pic_width_in_luma_samples // self.ctu_size)
+
+    @property
+    def pic_height_in_ctus(self) -> int:
+        return -(-self.pic_height_in_luma_samples // self.ctu_size)
+
+    @property
+    def num_ctus(self) -> int:
+        return self.pic_width_in_ctus * self.pic_height_in_ctus
+
+
+@dataclasses.dataclass
+class PPS:
+    pps_pic_parameter_set_id: int = 0
+    pps_seq_parameter_set_id: int = 0
+    dependent_slice_segments_enabled_flag: int = 0
+    output_flag_present_flag: int = 0
+    num_extra_slice_header_bits: int = 0
+    sign_data_hiding_enabled_flag: int = 0
+    cabac_init_present_flag: int = 0
+    num_ref_idx_l0_default_active_minus1: int = 0
+    num_ref_idx_l1_default_active_minus1: int = 0
+    init_qp_minus26: int = 0
+    constrained_intra_pred_flag: int = 0
+    transform_skip_enabled_flag: int = 0
+    cu_qp_delta_enabled_flag: int = 0
+    diff_cu_qp_delta_depth: int = 0
+    pps_cb_qp_offset: int = 0
+    pps_cr_qp_offset: int = 0
+    pps_slice_chroma_qp_offsets_present_flag: int = 0
+    weighted_pred_flag: int = 0
+    weighted_bipred_flag: int = 0
+    transquant_bypass_enabled_flag: int = 0
+    tiles_enabled_flag: int = 0
+    entropy_coding_sync_enabled_flag: int = 0
+    pps_loop_filter_across_slices_enabled_flag: int = 1
+    deblocking_filter_control_present_flag: int = 0
+    deblocking_filter_override_enabled_flag: int = 0
+    pps_deblocking_filter_disabled_flag: int = 0
+    pps_beta_offset_div2: int = 0
+    pps_tc_offset_div2: int = 0
+    pps_scaling_list_data_present_flag: int = 0
+    lists_modification_present_flag: int = 0
+    log2_parallel_merge_level_minus2: int = 0
+    slice_segment_header_extension_present_flag: int = 0
+
+
+@dataclasses.dataclass
+class SliceHeader:
+    """Per-slice state (parity: TComSlice). One slice per picture for now."""
+    slice_type: SliceType = SliceType.I
+    nal_unit_type: int = 19  # IDR_W_RADL
+    poc: int = 0
+    slice_qp: int = 32
+    temporal_id: int = 0
+    first_slice_segment_in_pic_flag: int = 1
+    no_output_of_prior_pics_flag: int = 0
+    slice_pic_parameter_set_id: int = 0
+    short_term_ref_pic_set_sps_flag: int = 0
+    rps: Optional[ShortTermRPS] = None
+    rps_sps_idx: int = 0
+    num_ref_idx_active: List[int] = dataclasses.field(default_factory=lambda: [0, 0])
+    slice_sao_luma_flag: int = 0
+    slice_sao_chroma_flag: int = 0
+    mvd_l1_zero_flag: int = 0
+    cabac_init_flag: int = 0
+    collocated_from_l0_flag: int = 1
+    collocated_ref_idx: int = 0
+    five_minus_max_num_merge_cand: int = 0
+    slice_temporal_mvp_enabled_flag: int = 0
+    slice_cb_qp_offset: int = 0
+    slice_cr_qp_offset: int = 0
+    slice_deblocking_filter_disabled_flag: int = 0
+    slice_beta_offset_div2: int = 0
+    slice_tc_offset_div2: int = 0
+    slice_loop_filter_across_slices_enabled_flag: int = 1
+    # Reference POC lists, resolved by the GOP scheduler.
+    ref_poc_list0: List[int] = dataclasses.field(default_factory=list)
+    ref_poc_list1: List[int] = dataclasses.field(default_factory=list)

@@ -1,0 +1,257 @@
+"""HM-compatible configuration system.
+
+Parity: reference TAppCommon/program_options_lite.{h,cpp} (typed Option<T>
+registry, `Key : value` config files with '#' comments, layered `-c a.cfg -c
+b.cfg --Override=v` CLI) and TAppEncoder/TAppEncCfg.cpp's option table +
+per-GOP-entry `FrameN: Type POC QPoffset ...` rows. The reference's standard
+cfg files under cfg/ parse unmodified; the `OpenCL`/`OpenCLDevice`/
+`KernelOpenCL` keys map to this framework's `UseTPU` switch.
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+import shlex
+from typing import Dict, List, Optional
+
+
+@dataclasses.dataclass
+class GOPEntry:
+    """One row of the GOP structure table (parity: TEncCfg.h GOPEntry)."""
+    slice_type: str = "P"
+    poc: int = 0
+    qp_offset: int = 0
+    qp_factor: float = 1.0
+    tc_offset_div2: int = 0
+    beta_offset_div2: int = 0
+    temporal_id: int = 0
+    num_ref_pics_active: int = 1
+    num_ref_pics: int = 0
+    reference_pics: List[int] = dataclasses.field(default_factory=list)
+    inter_rps_prediction: int = 0
+    delta_rps: int = 0
+    num_ref_idcs: int = 0
+    ref_idcs: List[int] = dataclasses.field(default_factory=list)
+
+
+def parse_gop_entry(tokens: List[str]) -> GOPEntry:
+    e = GOPEntry()
+    e.slice_type = tokens[0]
+    e.poc = int(tokens[1])
+    e.qp_offset = int(tokens[2])
+    e.qp_factor = float(tokens[3])
+    e.tc_offset_div2 = int(tokens[4])
+    e.beta_offset_div2 = int(tokens[5])
+    e.temporal_id = int(tokens[6])
+    e.num_ref_pics_active = int(tokens[7])
+    e.num_ref_pics = int(tokens[8])
+    idx = 9
+    e.reference_pics = [int(t) for t in tokens[idx:idx + e.num_ref_pics]]
+    idx += e.num_ref_pics
+    if idx < len(tokens):
+        e.inter_rps_prediction = int(tokens[idx]); idx += 1
+        if e.inter_rps_prediction:
+            e.delta_rps = int(tokens[idx]); idx += 1
+            e.num_ref_idcs = int(tokens[idx]); idx += 1
+            e.ref_idcs = [int(t) for t in tokens[idx:idx + e.num_ref_idcs]]
+    return e
+
+
+# Maps every cfg key we honour to (attribute, type). Keys present in HM cfgs
+# but not yet meaningful here are listed in _IGNORED so parsing never fails
+# on a standard file.
+_OPTION_TABLE = {
+    "InputFile": ("input_file", str),
+    "BitstreamFile": ("bitstream_file", str),
+    "ReconFile": ("recon_file", str),
+    "SourceWidth": ("width", int),
+    "SourceHeight": ("height", int),
+    "InputBitDepth": ("input_bit_depth", int),
+    "OutputBitDepth": ("output_bit_depth", int),
+    "InternalBitDepth": ("internal_bit_depth", int),
+    "InputChromaFormat": ("chroma_format", int),
+    "FrameRate": ("frame_rate", int),
+    "FrameSkip": ("frame_skip", int),
+    "FramesToBeEncoded": ("frames_to_encode", int),
+    "Profile": ("profile", str),
+    "Level": ("level", float),
+    "MaxCUWidth": ("ctu_size", int),
+    "MaxCUHeight": ("ctu_size", int),
+    "MaxPartitionDepth": ("max_part_depth", int),
+    "QuadtreeTULog2MaxSize": ("tu_log2_max", int),
+    "QuadtreeTULog2MinSize": ("tu_log2_min", int),
+    "QuadtreeTUMaxDepthInter": ("tu_depth_inter", int),
+    "QuadtreeTUMaxDepthIntra": ("tu_depth_intra", int),
+    "IntraPeriod": ("intra_period", int),
+    "DecodingRefreshType": ("decoding_refresh_type", int),
+    "GOPSize": ("gop_size", int),
+    "QP": ("qp", int),
+    "SearchRange": ("search_range", int),
+    "BipredSearchRange": ("bipred_search_range", int),
+    "FastSearch": ("fast_search", int),
+    "HadamardME": ("hadamard_me", int),
+    "SAO": ("sao", int),
+    "AMP": ("amp", int),
+    "TransformSkip": ("transform_skip", int),
+    "RDOQ": ("rdoq", int),
+    "RDOQTS": ("rdoq_ts", int),
+    "LoopFilterDisable": ("deblock_disable", int),
+    "LoopFilterBetaOffset_div2": ("deblock_beta_offset", int),
+    "LoopFilterTcOffset_div2": ("deblock_tc_offset", int),
+    "WaveFrontSynchro": ("wpp", int),
+    "SignHideFlag": ("sign_hide", int),
+    "SignDataHidingEnabled": ("sign_hide", int),
+    "RateControl": ("rate_control", int),
+    "TargetBitrate": ("target_bitrate", int),
+    "ScalingList": ("scaling_list", int),
+    "TemporalSubsampleRatio": ("temporal_subsample", int),
+    "ConformanceWindowMode": ("conformance_window_mode", int),
+    # Reference GPU keys → TPU switch (parity TAppEncCfg.cpp:1049-1051).
+    "OpenCL": ("use_tpu", int),
+    "UseTPU": ("use_tpu", int),
+    "OpenCLDevice": ("tpu_device", int),
+    "KernelOpenCL": ("_ignored_kernel_path", str),
+}
+
+_IGNORED_RE = re.compile(
+    r"^(SEI|Max|Min|Num|Tile|PCM|Slice|LF|Debl|Loop|Scaling|Transquant|CU|"
+    r"Weighted|TMVP|ASR|FEN|FDM|ECU|CFM|ESD|AdaptiveQ|dQP|RateControl|LCU|"
+    r"KeepHierarchical|InitialQP|Lambda|Hash|Recovery|Progressive|Packed|"
+    r"Frame[A-Z]|Field|Harmonize|Efficient|Cross|Vui|Video|Chroma|Matrix|"
+    r"Aspect|Overscan|Neutral|Colour|Default|Motion|Bitstream|Access|"
+    r"Display|Log2|Disable|Print|Summary|Verbose|Warn|TS|Implicit|Explicit)"
+)
+
+
+@dataclasses.dataclass
+class EncoderConfig:
+    """Full encoder configuration (parity: TEncCfg.h, reduced)."""
+    input_file: str = ""
+    bitstream_file: str = "str.bin"
+    recon_file: str = ""
+    width: int = 0
+    height: int = 0
+    input_bit_depth: int = 8
+    output_bit_depth: int = 0
+    internal_bit_depth: int = 8
+    chroma_format: int = 420
+    frame_rate: int = 30
+    frame_skip: int = 0
+    frames_to_encode: int = 0
+    profile: str = "main"
+    level: float = 4.0
+    ctu_size: int = 64
+    max_part_depth: int = 4
+    tu_log2_max: int = 5
+    tu_log2_min: int = 2
+    tu_depth_inter: int = 3
+    tu_depth_intra: int = 3
+    intra_period: int = 1
+    decoding_refresh_type: int = 0
+    gop_size: int = 1
+    qp: int = 32
+    search_range: int = 64
+    bipred_search_range: int = 4
+    fast_search: int = 1
+    hadamard_me: int = 1
+    sao: int = 1
+    amp: int = 1
+    transform_skip: int = 1
+    rdoq: int = 1
+    rdoq_ts: int = 1
+    deblock_disable: int = 0
+    deblock_beta_offset: int = 0
+    deblock_tc_offset: int = 0
+    wpp: int = 0
+    sign_hide: int = 0
+    rate_control: int = 0
+    target_bitrate: int = 0
+    scaling_list: int = 0
+    temporal_subsample: int = 1
+    conformance_window_mode: int = 0
+    use_tpu: int = 1
+    tpu_device: int = 0
+    _ignored_kernel_path: str = ""
+    gop_entries: List[GOPEntry] = dataclasses.field(default_factory=list)
+
+    @property
+    def internal_chroma_format(self) -> int:
+        return {400: 0, 420: 1, 422: 2, 444: 3}[self.chroma_format]
+
+
+def _strip_comment(line: str) -> str:
+    return line.split("#", 1)[0].rstrip()
+
+
+def _apply_kv(cfg: EncoderConfig, key: str, value: str) -> None:
+    m = re.match(r"Frame(\d+)", key)
+    if m:
+        idx = int(m.group(1))
+        entry = parse_gop_entry(value.split())
+        while len(cfg.gop_entries) < idx:
+            cfg.gop_entries.append(GOPEntry())
+        cfg.gop_entries[idx - 1] = entry
+        return
+    if key in _OPTION_TABLE:
+        attr, typ = _OPTION_TABLE[key]
+        if typ is int:
+            setattr(cfg, attr, int(float(value)))
+        elif typ is float:
+            setattr(cfg, attr, float(value))
+        else:
+            setattr(cfg, attr, value)
+        return
+    # Unknown-but-standard keys are ignored (with the same tolerance the
+    # reference shows for unknown cfg-file entries: warn, don't fail).
+
+
+def parse_cfg_file(path: str, cfg: Optional[EncoderConfig] = None
+                   ) -> EncoderConfig:
+    cfg = cfg or EncoderConfig()
+    with open(path) as fh:
+        for line in fh:
+            line = _strip_comment(line)
+            if not line.strip():
+                continue
+            if ":" not in line:
+                continue
+            key, value = line.split(":", 1)
+            _apply_kv(cfg, key.strip(), value.strip())
+    return cfg
+
+
+# Short CLI flags, parity TAppEncCfg.cpp option table.
+_SHORT_FLAGS = {
+    "-i": "InputFile", "-b": "BitstreamFile", "-o": "ReconFile",
+    "-wdt": "SourceWidth", "-hgt": "SourceHeight", "-fr": "FrameRate",
+    "-f": "FramesToBeEncoded", "-q": "QP", "-fs": "FrameSkip",
+    "-ip": "IntraPeriod", "-g": "GOPSize", "-sr": "SearchRange",
+    "-d": "InternalBitDepth", "-level": "Level",
+}
+
+
+def parse_cli(argv: List[str], cfg: Optional[EncoderConfig] = None
+              ) -> EncoderConfig:
+    """Parse `-c file.cfg ... --Key=value ... -i in.yuv` argument lists with
+    the same layering semantics as program_options_lite: later wins."""
+    cfg = cfg or EncoderConfig()
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        if arg == "-c":
+            parse_cfg_file(argv[i + 1], cfg)
+            i += 2
+        elif arg.startswith("--"):
+            if "=" in arg:
+                key, value = arg[2:].split("=", 1)
+            else:
+                key, value = arg[2:], argv[i + 1]
+                i += 1
+            _apply_kv(cfg, key, value)
+            i += 1
+        elif arg in _SHORT_FLAGS:
+            _apply_kv(cfg, _SHORT_FLAGS[arg], argv[i + 1])
+            i += 2
+        else:
+            raise ValueError(f"unknown argument: {arg}")
+    return cfg
