@@ -1,0 +1,147 @@
+"""ctypes binding to the native entropy library (libhevc_entropy.so).
+
+Parity: the native layer replaces the reference's TEncSbac/TEncBinCABAC and
+TDecSbac/TDecBinCABAC stacks; this module is the Python-facing API used by
+the encoder/decoder orchestrators. The library is rebuilt automatically when
+sources are newer (single-machine dev flow; wheels would prebuild it).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libhevc_entropy.so")
+_lib = None
+
+
+class SliceParamsC(ctypes.Structure):
+    _fields_ = [(n, ctypes.c_int32) for n in (
+        "pic_w", "pic_h", "ctu_size", "qp", "slice_type",
+        "max_tu_depth_intra", "max_tu_depth_inter", "chroma_format",
+        "sign_hiding", "transform_skip_enabled", "min_cb_log2",
+        "max_cb_log2", "min_tb_log2", "max_tb_log2")]
+
+
+def _build() -> None:
+    subprocess.run(["make", "-s"], cwd=_NATIVE_DIR, check=True)
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    srcs = [os.path.join(_NATIVE_DIR, f) for f in os.listdir(_NATIVE_DIR)
+            if f.endswith((".cpp", ".h"))]
+    if (not os.path.exists(_LIB_PATH)
+            or any(os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
+                   for s in srcs)):
+        _build()
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.hevc_enc_create.restype = ctypes.c_void_p
+    lib.hevc_enc_create.argtypes = [ctypes.POINTER(SliceParamsC)]
+    lib.hevc_enc_destroy.argtypes = [ctypes.c_void_p]
+    lib.hevc_enc_begin_slice.argtypes = [ctypes.c_void_p]
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    lib.hevc_enc_ctu.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        u8p, u8p, u8p, u8p, u8p, i16p, i16p, i16p, ctypes.c_int]
+    lib.hevc_enc_get.restype = ctypes.c_long
+    lib.hevc_enc_get.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                 ctypes.c_long]
+    lib.hevc_dec_create.restype = ctypes.c_void_p
+    lib.hevc_dec_create.argtypes = [ctypes.POINTER(SliceParamsC),
+                                    ctypes.c_char_p, ctypes.c_long]
+    lib.hevc_dec_destroy.argtypes = [ctypes.c_void_p]
+    lib.hevc_dec_ctu.restype = ctypes.c_int
+    lib.hevc_dec_ctu.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        u8p, u8p, u8p, u8p, u8p, i16p, i16p, i16p]
+    _lib = lib
+    return lib
+
+
+def make_slice_params(pic_w: int, pic_h: int, qp: int, slice_type: int = 2,
+                      ctu_size: int = 64, max_tu_depth_intra: int = 3,
+                      max_tu_depth_inter: int = 3, chroma_format: int = 1,
+                      sign_hiding: int = 0, transform_skip: int = 0,
+                      min_cb_log2: int = 3, max_tb_log2: int = 5
+                      ) -> SliceParamsC:
+    return SliceParamsC(
+        pic_w, pic_h, ctu_size, qp, slice_type, max_tu_depth_intra,
+        max_tu_depth_inter, chroma_format, sign_hiding, transform_skip,
+        min_cb_log2, (ctu_size.bit_length() - 1), 2, max_tb_log2)
+
+
+class CtuDecisions:
+    """Per-CTU decision maps handed to the native syntax writer."""
+
+    def __init__(self, ctu_size: int = 64):
+        n4 = ctu_size // 4
+        self.cu_depth = np.zeros((n4, n4), np.uint8)
+        self.nxn_flag = np.zeros((n4, n4), np.uint8)
+        self.luma_mode = np.full((n4, n4), 1, np.uint8)
+        self.chroma_mode = np.full((n4, n4), 1, np.uint8)
+        self.tu_depth = np.zeros((n4, n4), np.uint8)
+        self.coeff_y = np.zeros((ctu_size, ctu_size), np.int16)
+        self.coeff_cb = np.zeros((ctu_size // 2, ctu_size // 2), np.int16)
+        self.coeff_cr = np.zeros((ctu_size // 2, ctu_size // 2), np.int16)
+
+
+class SliceDataEncoder:
+    def __init__(self, params: SliceParamsC):
+        self._lib = get_lib()
+        self._h = self._lib.hevc_enc_create(ctypes.byref(params))
+
+    def begin_slice(self) -> None:
+        self._lib.hevc_enc_begin_slice(self._h)
+
+    def encode_ctu(self, ctu_x: int, ctu_y: int, d: CtuDecisions,
+                   end_of_slice: bool) -> None:
+        self._lib.hevc_enc_ctu(
+            self._h, ctu_x, ctu_y,
+            np.ascontiguousarray(d.cu_depth), np.ascontiguousarray(d.nxn_flag),
+            np.ascontiguousarray(d.luma_mode),
+            np.ascontiguousarray(d.chroma_mode),
+            np.ascontiguousarray(d.tu_depth),
+            np.ascontiguousarray(d.coeff_y),
+            np.ascontiguousarray(d.coeff_cb),
+            np.ascontiguousarray(d.coeff_cr),
+            1 if end_of_slice else 0)
+
+    def get_bytes(self) -> bytes:
+        n = self._lib.hevc_enc_get(self._h, None, 0)
+        buf = ctypes.create_string_buffer(n)
+        self._lib.hevc_enc_get(self._h, buf, n)
+        return buf.raw
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.hevc_enc_destroy(self._h)
+            self._h = None
+
+
+class SliceDataDecoder:
+    def __init__(self, params: SliceParamsC, data: bytes):
+        self._lib = get_lib()
+        self._data = data  # keep alive
+        self._h = self._lib.hevc_dec_create(ctypes.byref(params), data,
+                                            len(data))
+        self._ctu = params.ctu_size
+
+    def decode_ctu(self, ctu_x: int, ctu_y: int) -> tuple:
+        d = CtuDecisions(self._ctu)
+        eos = self._lib.hevc_dec_ctu(
+            self._h, ctu_x, ctu_y, d.cu_depth, d.nxn_flag, d.luma_mode,
+            d.chroma_mode, d.tu_depth, d.coeff_y, d.coeff_cb, d.coeff_cr)
+        return d, eos
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.hevc_dec_destroy(self._h)
+            self._h = None

@@ -1,0 +1,166 @@
+// Slice-data syntax codec (CU quadtree + intra modes + transform tree +
+// residual coding) for the hevc_tpu native entropy layer.
+//
+// Parity: reference TEncSbac.cpp (encoder side; codeCoeffNxN:1181),
+// TDecSbac.cpp (decoder side), TComTrQuant context derivations — all
+// re-derived from ITU-T H.265 sections 7.3.8 (syntax), 9.3.3 (binarization)
+// and 9.3.4.2 (context derivation).
+//
+// Data model: the Python orchestrator exchanges per-4x4-block decision maps
+// (raster within CTU) + CTU-resolution coefficient planes; this layer owns
+// picture-level maps so cross-CTU neighbour context (split depth, intra MPM)
+// works without callbacks.
+#pragma once
+#include <cstdint>
+#include <vector>
+
+#include "cabac.h"
+
+namespace hevctpu {
+
+struct SliceParams {
+  int32_t pic_w, pic_h;
+  int32_t ctu_size;        // 64
+  int32_t qp;
+  int32_t slice_type;      // 0=B 1=P 2=I
+  int32_t max_tu_depth_intra;
+  int32_t max_tu_depth_inter;
+  int32_t chroma_format;   // 1 = 4:2:0
+  int32_t sign_hiding;
+  int32_t transform_skip_enabled;
+  int32_t min_cb_log2;     // 3
+  int32_t max_cb_log2;     // 6 (== log2 ctu_size)
+  int32_t min_tb_log2;     // 2
+  int32_t max_tb_log2;     // 5
+};
+
+// Context model set: one instance per slice (later: per WPP row state).
+struct ContextSet {
+  ContextModel split_cu[3];
+  ContextModel tq_bypass[1];
+  ContextModel skip_flag[3];
+  ContextModel merge_flag[1];
+  ContextModel merge_idx[1];
+  ContextModel part_size[4];
+  ContextModel pred_mode[1];
+  ContextModel intra_luma[1];
+  ContextModel intra_chroma[2];
+  ContextModel inter_dir[5];
+  ContextModel mvd[2];
+  ContextModel ref_idx[2];
+  ContextModel dqp[3];
+  ContextModel cbf_luma[5];
+  ContextModel cbf_chroma[5];
+  ContextModel qt_root_cbf[1];
+  ContextModel last_x[30];  // 15 luma + 15 chroma
+  ContextModel last_y[30];
+  ContextModel sig_cg[4];   // 2 luma + 2 chroma
+  ContextModel sig[44];     // 28 luma + 16 chroma
+  ContextModel one[24];     // 16 luma + 8 chroma
+  ContextModel abs_[6];     // 4 luma + 2 chroma
+  ContextModel mvp_idx[1];
+  ContextModel sao_merge[1];
+  ContextModel sao_type[1];
+  ContextModel trans_subdiv[3];
+  ContextModel transform_skip[2];
+  void init(int slice_type, int qp);
+};
+
+// Per-CTU data exchanged with Python (all maps are 16x16 = per-4x4 raster).
+struct CtuData {
+  const uint8_t* cu_depth;      // quadtree depth 0..3 of the covering CU
+  const uint8_t* nxn_flag;      // 1 if the (8x8) CU uses NxN partitioning
+  const uint8_t* luma_mode;     // intra luma mode 0..34 of the covering PU
+  const uint8_t* chroma_mode;   // intra chroma mode 0..34 of the covering CU
+  const uint8_t* tu_depth;      // transform depth relative to the CU
+  const int16_t* coeff_y;       // [ctu*ctu] raster
+  const int16_t* coeff_cb;      // [ctu/2*ctu/2]
+  const int16_t* coeff_cr;
+};
+
+struct MutCtuData {  // decoder-side (written)
+  uint8_t* cu_depth;
+  uint8_t* nxn_flag;
+  uint8_t* luma_mode;
+  uint8_t* chroma_mode;
+  uint8_t* tu_depth;
+  int16_t* coeff_y;
+  int16_t* coeff_cb;
+  int16_t* coeff_cr;
+};
+
+// Picture-level per-4x4 state shared by encoder and decoder walkers.
+class PicMaps {
+ public:
+  void init(const SliceParams& sp);
+  int stride = 0, rows = 0;
+  std::vector<uint8_t> cu_depth, luma_mode, nxn_flag;
+  SliceParams sp;
+
+  int idx(int x, int y) const { return (y >> 2) * stride + (x >> 2); }
+  // coding-order availability (z-scan rule, spec 6.4.1)
+  bool available(int x, int y, int cur_x, int cur_y) const;
+};
+
+class SliceEncoder {
+ public:
+  explicit SliceEncoder(const SliceParams& sp);
+  void begin_slice();
+  void encode_ctu(int ctu_x, int ctu_y, const CtuData& d, int end_of_slice);
+  const std::vector<uint8_t>& bytes() const { return bw_.bytes; }
+  // Append rbsp_trailing_bits (stop bit + byte alignment) and return the
+  // finished slice-data RBSP bytes.
+  const std::vector<uint8_t>& finish_rbsp() {
+    if (!finished_) {
+      bw_.put_bit(1);
+      while (!bw_.aligned()) bw_.put_bit(0);
+      finished_ = true;
+    }
+    return bw_.bytes;
+  }
+
+ private:
+  void cu_tree(int x0, int y0, int log2, int depth);
+  void code_cu(int x0, int y0, int log2);
+  void transform_tree(int x0, int y0, int xb, int yb, int log2, int depth,
+                      int blk_idx, bool intra_split, int par_cb, int par_cr);
+  void residual(int x0, int y0, int log2, int c_idx);
+  void code_intra_luma_modes(int x0, int y0, int log2, bool nxn);
+  void code_intra_chroma_mode(int x0, int y0);
+
+  SliceParams sp_;
+  PicMaps maps_;
+  ContextSet ctx_;
+  BitWriter bw_;
+  CabacEncoder cabac_;
+  const CtuData* cur_ = nullptr;
+  int ctu_x0_ = 0, ctu_y0_ = 0;
+  bool finished_ = false;
+};
+
+class SliceDecoder {
+ public:
+  SliceDecoder(const SliceParams& sp, const uint8_t* data, size_t size);
+  void begin_slice();
+  // returns end_of_slice flag
+  int decode_ctu(int ctu_x, int ctu_y, const MutCtuData& d);
+
+ private:
+  void cu_tree(int x0, int y0, int log2, int depth);
+  void parse_cu(int x0, int y0, int log2);
+  void transform_tree(int x0, int y0, int xb, int yb, int log2, int depth,
+                      int blk_idx, bool intra_split, int par_cb, int par_cr);
+  void residual(int x0, int y0, int log2, int c_idx);
+  void fill(uint8_t* map, int x0, int y0, int log2, uint8_t v);
+
+  SliceParams sp_;
+  PicMaps maps_;
+  std::vector<uint8_t> tu_depth_map_, chroma_mode_map_;
+  ContextSet ctx_;
+  BitReader br_;
+  CabacDecoder cabac_;
+  const MutCtuData* cur_ = nullptr;
+  int ctu_x0_ = 0, ctu_y0_ = 0;
+};
+
+}  // namespace hevctpu
