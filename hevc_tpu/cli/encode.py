@@ -1,0 +1,57 @@
+"""Encoder CLI — reads the reference's cfg format.
+
+Parity: reference TAppEncoder (encmain.cpp:53, TAppEncTop frame loop).
+Usage:  python -m hevc_tpu.cli.encode -c cfg/encoder_intra_main.cfg \
+            -i in.yuv -wdt 416 -hgt 240 -f 8 -b out.bin -o rec.yuv
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+from ..core.types import ChromaFormat
+from ..encoder.top import EncoderTop
+from ..io.cfg import parse_cli
+from ..io.yuv import YuvReader, YuvWriter
+
+
+def main(argv=None) -> int:
+    cfg = parse_cli(argv if argv is not None else sys.argv[1:])
+    assert cfg.input_file and cfg.width and cfg.height, \
+        "InputFile/SourceWidth/SourceHeight required"
+    rd = YuvReader(cfg.input_file, cfg.width, cfg.height,
+                   ChromaFormat(cfg.internal_chroma_format),
+                   file_bit_depth=cfg.input_bit_depth,
+                   internal_bit_depth=cfg.internal_bit_depth)
+    if cfg.frame_skip:
+        rd.skip(cfg.frame_skip)
+    wr = YuvWriter(cfg.recon_file,
+                   cfg.output_bit_depth or cfg.internal_bit_depth,
+                   cfg.internal_bit_depth) if cfg.recon_file else None
+    enc = EncoderTop(cfg)
+    n = cfg.frames_to_encode or rd.num_frames
+    t0 = time.time()
+    with open(cfg.bitstream_file, "wb") as out:
+        for i in range(n):
+            planes = rd.read()
+            if planes is None:
+                break
+            au = enc.encode_frame(planes)
+            out.write(au)
+            s = enc.stats[-1]
+            print(f"POC {s['poc']:4d} ( I-SLICE, QP {cfg.qp} ) "
+                  f"{s['bits']:10d} bits [Y {s['psnr'][0]:.4f} dB  "
+                  f"U {s['psnr'][1]:.4f} dB  V {s['psnr'][2]:.4f} dB] "
+                  f"[MD5 {s['md5']}]")
+            if wr is not None:
+                wr.write(enc.recon)
+    dt = time.time() - t0
+    done = len(enc.stats)
+    print(f"encoded {done} frames in {dt:.2f}s ({done / dt:.3f} fps)")
+    if wr:
+        wr.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

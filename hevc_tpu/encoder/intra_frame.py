@@ -1,0 +1,220 @@
+"""Intra frame encoder: mode decision + reconstruction + entropy maps.
+
+Parity: reference TEncCu::xCompressCU (recursive RD decision, TEncCu.cpp:357)
+and TEncSearch::estIntraPredLumaQT (35-mode prescreen, TEncSearch.cpp:2184),
+restructured for this framework: a SATD-based mode decision with MPM-aware
+mode bits, exact spec reconstruction (prediction from reconstructed
+neighbours, DCT/DST + quant + inverse), and per-CTU decision maps handed to
+the native CABAC syntax writer.
+
+The sequential intra dependency chain (prediction needs neighbouring recon)
+runs on host numpy; the batched device twin (hevc_tpu.ops.intra) serves
+frame-level prescreens. Device offload of the wavefront recon is the next
+optimization stage.
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import numpy as np
+
+from ..core import tables
+from ..core.geometry import AvailabilityMap
+from ..core.params import SPS
+from ..core.refsamples import build_ref_vector
+from ..entropy.cabac import CtuDecisions
+from ..ops import intra_np
+from ..ops.intra import (filter_ref_samples, strong_smoothing_decision,
+                         _filter_flag)
+from ..ops.quant import dequantize_np, quantize_np
+from ..ops.transform import forward_transform_np, inverse_transform_np
+from .quadtree import cu_leaves, tu_leaves
+
+H8 = None
+
+
+def _hadamard8():
+    global H8
+    if H8 is None:
+        h = np.array([[1]])
+        while h.shape[0] < 8:
+            h = np.block([[h, h], [h, -h]])
+        H8 = h
+    return H8
+
+
+def satd(a: np.ndarray, b: np.ndarray) -> int:
+    """8x8 Hadamard SATD over the block (reference TComRdCost::xCalcHADs8x8),
+    falling back to 4x4 for small blocks."""
+    d = (a.astype(np.int64) - b.astype(np.int64))
+    n = d.shape[0]
+    h8 = _hadamard8()
+    total = 0
+    if n >= 8:
+        blocks = d[:n - n % 8, :n - n % 8].reshape(n // 8, 8, n // 8, 8)
+        t = np.einsum("ij,ajbk,kl->aibl", h8, blocks, h8)
+        total = (np.abs(t).sum(axis=(1, 3)) + 2) // 4
+        return int(total.sum())
+    h4 = h8[:4, :4] if False else np.array(
+        [[1, 1, 1, 1], [1, -1, 1, -1], [1, 1, -1, -1], [1, -1, -1, 1]])
+    blocks = d.reshape(n // 4, 4, n // 4, 4)
+    t = np.einsum("ij,ajbk,kl->aibl", h4, blocks, h4)
+    total = (np.abs(t).sum(axis=(1, 3)) + 1) // 2
+    return int(total.sum())
+
+
+def mpm_list(mode_map: np.ndarray, x0: int, y0: int, avail: AvailabilityMap,
+             ctu_size: int = 64) -> List[int]:
+    """Mirror of the native mpm_list (spec 8.4.2)."""
+    a = b = 1
+    if avail.is_available(x0 - 1, y0, x0, y0):
+        a = int(mode_map[y0 >> 2, (x0 - 1) >> 2])
+    if avail.is_available(x0, y0 - 1, x0, y0) and (y0 % ctu_size) != 0:
+        b = int(mode_map[(y0 - 1) >> 2, x0 >> 2])
+    if a == b:
+        if a < 2:
+            return [0, 1, 26]
+        return [a, 2 + ((a + 29) % 32), 2 + ((a - 2 + 1) % 32)]
+    c = 0 if (a != 0 and b != 0) else (1 if (a != 1 and b != 1) else 26)
+    return [a, b, c]
+
+
+class IntraFrameEncoder:
+    def __init__(self, sps: SPS, qp: int):
+        self.sps = sps
+        self.qp = qp
+        self.bd = sps.bit_depth_luma
+        self.w = sps.pic_width_in_luma_samples
+        self.h = sps.pic_height_in_luma_samples
+        self.ctu = sps.ctu_size
+        self.avail = AvailabilityMap(self.w, self.h, self.ctu)
+        # HM I-slice lambda model (TEncSlice::initEncSlice, simplified)
+        qp_temp = qp - 12
+        self.lam = 0.57 * (2.0 ** (qp_temp / 3.0))
+        self.sqrt_lam = math.sqrt(self.lam)
+        self.cu_depth_target = 1  # default 32x32 CUs; refined by planner
+
+    # ---- per-TB helpers ---------------------------------------------------
+    def _refs(self, plane, x0, y0, size, luma_pos=None):
+        f = build_ref_vector(plane, x0, y0, size, self.avail, self.bd,
+                             luma_pos=luma_pos)
+        strong = (self.sps.strong_intra_smoothing_enabled_flag
+                  and strong_smoothing_decision(f, size, self.bd))
+        ff = filter_ref_samples(f, size, self.bd, strong_smoothing=strong)
+        return f, ff
+
+    def _predict(self, f, ff, mode, size, is_luma):
+        fsel = ff if _filter_flag(mode, size, is_luma) else f
+        return intra_np.predict_mode(f, ff, mode, size, self.bd, is_luma)
+
+    def _mode_bits(self, mode, mpms):
+        if mode == mpms[0]:
+            return 2
+        if mode in mpms[1:]:
+            return 3
+        return 6
+
+    def _code_tb(self, orig_tb, pred, size, is_luma, is_dst):
+        """residual -> (levels, recon_tb)"""
+        resi = orig_tb.astype(np.int32) - pred.astype(np.int32)
+        coeff = forward_transform_np(resi, size, self.bd, is_dst=is_dst)
+        qp = self.qp if is_luma else tables.chroma_qp(
+            self.qp, self.sps.chroma_format_idc)
+        levels = quantize_np(coeff, size, qp, self.bd, is_intra=True)
+        if not levels.any():
+            return levels, np.clip(pred, 0, (1 << self.bd) - 1)
+        deq = dequantize_np(levels, size, qp, self.bd)
+        r = inverse_transform_np(deq, size, self.bd, is_dst=is_dst)
+        recon = np.clip(pred.astype(np.int32) + r, 0, (1 << self.bd) - 1)
+        return levels, recon
+
+    # ---- frame encode -----------------------------------------------------
+    def encode_frame(self, orig: List[np.ndarray]):
+        """Returns (ctu_decisions_list, recon_planes). Sequential z-order
+        walk; recon planes grow as TBs complete (availability-correct)."""
+        w, h, ctu = self.w, self.h, self.ctu
+        recon = [np.zeros((h, w), np.int16),
+                 np.zeros((h // 2, w // 2), np.int16),
+                 np.zeros((h // 2, w // 2), np.int16)]
+        mode_map = np.full((h + 3 >> 2, (w + 3) >> 2), 1, np.uint8)
+        ctus_w = -(-w // ctu)
+        ctus_h = -(-h // ctu)
+        decisions = []
+        for cy in range(ctus_h):
+            for cx in range(ctus_w):
+                d = CtuDecisions(ctu)
+                d.cu_depth[:] = self.cu_depth_target
+                x0c, y0c = cx * ctu, cy * ctu
+                for (x0, y0, log2) in cu_leaves(
+                        d.cu_depth, x0c, y0c, w, h,
+                        ctu_log2=tables.log2(ctu),
+                        min_cb_log2=self.sps.log2_min_luma_coding_block_size_minus3 + 3):
+                    self._encode_cu(orig, recon, mode_map, d, x0c, y0c,
+                                    x0, y0, log2)
+                decisions.append(d)
+        return decisions, recon
+
+    def _encode_cu(self, orig, recon, mode_map, d, ctu_x0, ctu_y0,
+                   x0, y0, log2):
+        size = 1 << log2
+        bx, by = (x0 - ctu_x0) >> 2, (y0 - ctu_y0) >> 2
+        nb = size >> 2
+
+        # ---- luma mode decision (SATD + mode bits over all 35 modes) ----
+        f, ff = self._refs(recon[0], x0, y0, size)
+        orig_tb = orig[0][y0:y0 + size, x0:x0 + size]
+        mpms = mpm_list(mode_map, x0, y0, self.avail, self.ctu)
+        best_mode, best_cost, best_pred = 1, None, None
+        for mode in range(35):
+            pred = self._predict(f, ff, mode, size, True)
+            cost = satd(orig_tb, pred) + int(
+                self.sqrt_lam * self._mode_bits(mode, mpms) + 0.5)
+            if best_cost is None or cost < best_cost:
+                best_mode, best_cost, best_pred = mode, cost, pred
+        mode = best_mode
+
+        d.luma_mode[by:by + nb, bx:bx + nb] = mode
+        d.chroma_mode[by:by + nb, bx:bx + nb] = mode  # DM
+        mode_map[y0 >> 2:(y0 + size) >> 2, x0 >> 2:(x0 + size) >> 2] = mode
+
+        # ---- TU walk (TU == CU unless forced) ----
+        cu_depth = tables.log2(self.ctu) - log2
+        for (tx, ty, tlog2, tdepth, blk) in tu_leaves(
+                d.tu_depth, x0, y0, log2, ctu_x0, ctu_y0, intra_split=False,
+                max_tu_depth_intra=self.sps.max_transform_hierarchy_depth_intra):
+            tsize = 1 << tlog2
+            # luma TB: prediction must be redone per TB from recon if TU<CU;
+            # with TU==CU reuse best_pred.
+            if (tx, ty, tsize) == (x0, y0, size):
+                pred = best_pred
+                ftb, fftb = f, ff
+            else:
+                ftb, fftb = self._refs(recon[0], tx, ty, tsize)
+                pred = self._predict(ftb, fftb, mode, tsize, True)
+            is_dst = tlog2 == 2
+            levels, rec = self._code_tb(
+                orig[0][ty:ty + tsize, tx:tx + tsize], pred, tsize, True,
+                is_dst)
+            d.coeff_y[ty - ctu_y0:ty - ctu_y0 + tsize,
+                      tx - ctu_x0:tx - ctu_x0 + tsize] = levels.astype(np.int16)
+            recon[0][ty:ty + tsize, tx:tx + tsize] = rec.astype(np.int16)
+
+            # chroma TBs at this TU (420; tlog2 > 2 guaranteed by planner)
+            assert tlog2 > 2, "4x4 luma TUs need blk3 chroma handling"
+            csize = tsize >> 1
+            cxx, cyy = tx >> 1, ty >> 1
+            for ci, plane in ((1, recon[1]), (2, recon[2])):
+                fc = build_ref_vector(plane, cxx, cyy, csize, self.avail,
+                                      self.sps.bit_depth_chroma,
+                                      luma_pos=(tx, ty, 2, 2))
+                ffc = filter_ref_samples(fc, csize)
+                predc = self._predict(fc, ffc, mode, csize, False)
+                lv, recc = self._code_tb(
+                    orig[ci][cyy:cyy + csize, cxx:cxx + csize], predc,
+                    csize, False, False)
+                tgt = d.coeff_cb if ci == 1 else d.coeff_cr
+                tgt[cyy - (ctu_y0 >> 1):cyy - (ctu_y0 >> 1) + csize,
+                    cxx - (ctu_x0 >> 1):cxx - (ctu_x0 >> 1) + csize] = \
+                    lv.astype(np.int16)
+                plane[cyy:cyy + csize, cxx:cxx + csize] = recc.astype(np.int16)

@@ -1,0 +1,111 @@
+"""Top-level encoder: owns parameter sets, frame loop, NAL assembly.
+
+Parity: reference TEncTop (create/init/encode, TEncTop.cpp:186,325) +
+TEncGOP::compressGOP's NAL/SEI assembly (TEncGOP.cpp:1011) reduced to the
+currently supported intra path; the GOP/inter machinery extends this class.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..core.params import PPS, SPS, VPS, SliceHeader
+from ..core.types import NalUnitType, SliceType
+from ..entropy import headers, nal, sei
+from ..entropy.cabac import (SliceDataEncoder, make_slice_params)
+from ..io.cfg import EncoderConfig
+from .intra_frame import IntraFrameEncoder
+
+
+class EncoderTop:
+    def __init__(self, cfg: EncoderConfig):
+        self.cfg = cfg
+        self.sps = SPS(
+            pic_width_in_luma_samples=cfg.width,
+            pic_height_in_luma_samples=cfg.height,
+            bit_depth_luma_minus8=cfg.internal_bit_depth - 8,
+            bit_depth_chroma_minus8=cfg.internal_bit_depth - 8,
+            chroma_format_idc=cfg.internal_chroma_format,
+            max_transform_hierarchy_depth_intra=cfg.tu_depth_intra,
+            max_transform_hierarchy_depth_inter=cfg.tu_depth_inter,
+            sample_adaptive_offset_enabled_flag=0,   # SAO syntax: next stage
+        )
+        self.vps = VPS()
+        self.pps = PPS(
+            init_qp_minus26=cfg.qp - 26,
+            # deblocking runs as a separate stage; until it lands the
+            # bitstream signals deblocking disabled so recon == conformance
+            deblocking_filter_control_present_flag=1,
+            deblocking_filter_override_enabled_flag=0,
+            pps_deblocking_filter_disabled_flag=1,
+        )
+        self.poc = 0
+        self.stats = []
+
+    def encode_frame(self, planes: List[np.ndarray]) -> bytes:
+        """Encode one frame (intra), return its Annex-B bytes (with
+        parameter sets prefixed on the first frame)."""
+        cfg = self.cfg
+        sh = SliceHeader(
+            slice_type=SliceType.I,
+            nal_unit_type=int(NalUnitType.IDR_W_RADL),
+            poc=self.poc,
+            slice_qp=cfg.qp,
+        )
+        fe = IntraFrameEncoder(self.sps, cfg.qp)
+        decisions, recon = fe.encode_frame(planes)
+
+        sp = make_slice_params(
+            cfg.width, cfg.height, cfg.qp, slice_type=int(SliceType.I),
+            ctu_size=self.sps.ctu_size,
+            max_tu_depth_intra=self.sps.max_transform_hierarchy_depth_intra)
+        senc = SliceDataEncoder(sp)
+        ctus_w = self.sps.pic_width_in_ctus
+        ctus_h = self.sps.pic_height_in_ctus
+        i = 0
+        for cy in range(ctus_h):
+            for cx in range(ctus_w):
+                last = (cy == ctus_h - 1) and (cx == ctus_w - 1)
+                senc.encode_ctu(cx, cy, decisions[i], last)
+                i += 1
+        slice_rbsp = headers.write_slice_header(sh, self.sps, self.pps) \
+            + senc.get_bytes()
+
+        nals = []
+        firsts = []
+        if self.poc == 0:
+            nals += [
+                nal.rbsp_to_nal(headers.write_vps(self.vps),
+                                int(NalUnitType.VPS_NUT)),
+                nal.rbsp_to_nal(headers.write_sps(self.sps),
+                                int(NalUnitType.SPS_NUT)),
+                nal.rbsp_to_nal(headers.write_pps(self.pps),
+                                int(NalUnitType.PPS_NUT)),
+            ]
+            firsts += [True, True, True]
+        nals.append(nal.rbsp_to_nal(slice_rbsp, sh.nal_unit_type))
+        firsts.append(self.poc != 0)  # slice starts the AU unless PS did
+        if self.poc == 0:
+            firsts[3] = False
+        digest = sei.picture_md5(recon, self.sps.bit_depth_luma)
+        nals.append(nal.rbsp_to_nal(sei.write_picture_hash_sei(digest),
+                                    int(NalUnitType.SUFFIX_SEI_NUT)))
+        firsts.append(False)
+
+        bits = sum(len(x) for x in nals) * 8
+        psnr = _psnr(planes, recon, self.sps.bit_depth_luma)
+        self.stats.append({"poc": self.poc, "bits": bits, "psnr": psnr,
+                           "md5": digest[0].hex()})
+        self.poc += 1
+        self.recon = recon
+        return nal.write_annexb(nals, firsts)
+
+
+def _psnr(orig, recon, bd):
+    out = []
+    peak = (1 << bd) - 1
+    for o, r in zip(orig, recon):
+        mse = np.mean((o.astype(np.float64) - r.astype(np.float64)) ** 2)
+        out.append(99.99 if mse == 0 else 10 * np.log10(peak * peak / mse))
+    return out

@@ -1,0 +1,234 @@
+"""Parameter-set and slice-header RBSP writers (spec 7.3.2/7.3.6).
+
+Parity: reference TEncCavlc.cpp (codeVPS/codeSPS/codePPS/codeSliceHeader) —
+transliterated from the spec syntax tables against the dataclasses in
+hevc_tpu.core.params.
+"""
+from __future__ import annotations
+
+import math
+
+from ..core.params import PPS, SPS, VPS, ProfileTierLevel, ShortTermRPS, SliceHeader
+from ..core.types import SliceType
+from .bitwriter import BitWriter
+
+
+def write_ptl(bw: BitWriter, ptl: ProfileTierLevel,
+              max_sub_layers_minus1: int = 0) -> None:
+    bw.u(0, 2)                                  # general_profile_space
+    bw.flag(ptl.general_tier_flag)
+    bw.u(ptl.general_profile_idc, 5)
+    for i in range(32):                         # profile_compatibility_flags
+        bw.flag(1 if i == ptl.general_profile_idc else 0)
+    bw.flag(ptl.general_progressive_source_flag)
+    bw.flag(ptl.general_interlaced_source_flag)
+    bw.flag(ptl.general_non_packed_constraint_flag)
+    bw.flag(ptl.general_frame_only_constraint_flag)
+    bw.u(0, 16)                                 # general_reserved_zero_44bits
+    bw.u(0, 16)
+    bw.u(0, 12)
+    bw.u(ptl.general_level_idc, 8)
+    assert max_sub_layers_minus1 == 0
+
+
+def write_st_rps(bw: BitWriter, rps: ShortTermRPS, idx: int) -> None:
+    if idx != 0:
+        bw.flag(0)  # inter_ref_pic_set_prediction_flag (always explicit)
+    neg = sorted([d for d in rps.delta_pocs if d < 0], reverse=True)
+    pos = sorted([d for d in rps.delta_pocs if d > 0])
+    used = {d: u for d, u in zip(rps.delta_pocs, rps.used_flags)}
+    bw.ue(len(neg))
+    bw.ue(len(pos))
+    prev = 0
+    for d in neg:
+        bw.ue(prev - d - 1)  # delta_poc_s0_minus1
+        bw.flag(used.get(d, 1))
+        prev = d
+    prev = 0
+    for d in pos:
+        bw.ue(d - prev - 1)  # delta_poc_s1_minus1
+        bw.flag(used.get(d, 1))
+        prev = d
+
+
+def write_vps(vps: VPS) -> bytes:
+    bw = BitWriter()
+    bw.u(vps.vps_video_parameter_set_id, 4)
+    bw.u(3, 2)                                  # vps_reserved_three_2bits
+    bw.u(0, 6)                                  # vps_max_layers_minus1
+    bw.u(vps.vps_max_sub_layers_minus1, 3)
+    bw.flag(vps.vps_temporal_id_nesting_flag)
+    bw.u(0xFFFF, 16)                            # vps_reserved_0xffff_16bits
+    write_ptl(bw, vps.ptl, vps.vps_max_sub_layers_minus1)
+    bw.flag(1)                                  # vps_sub_layer_ordering_info_present
+    for _ in range(vps.vps_max_sub_layers_minus1 + 1):
+        bw.ue(vps.vps_max_dec_pic_buffering_minus1)
+        bw.ue(vps.vps_max_num_reorder_pics)
+        bw.ue(vps.vps_max_latency_increase_plus1)
+    bw.u(0, 6)                                  # vps_max_layer_id
+    bw.ue(0)                                    # vps_num_layer_sets_minus1
+    bw.flag(0)                                  # vps_timing_info_present_flag
+    bw.flag(0)                                  # vps_extension_flag
+    bw.byte_align()
+    return bw.bytes()
+
+
+def write_sps(sps: SPS) -> bytes:
+    bw = BitWriter()
+    bw.u(sps.sps_video_parameter_set_id, 4)
+    bw.u(sps.sps_max_sub_layers_minus1, 3)
+    bw.flag(sps.sps_temporal_id_nesting_flag)
+    write_ptl(bw, sps.ptl, sps.sps_max_sub_layers_minus1)
+    bw.ue(sps.sps_seq_parameter_set_id)
+    bw.ue(sps.chroma_format_idc)
+    if sps.chroma_format_idc == 3:
+        bw.flag(0)                              # separate_colour_plane_flag
+    bw.ue(sps.pic_width_in_luma_samples)
+    bw.ue(sps.pic_height_in_luma_samples)
+    bw.flag(sps.conformance_window_flag)
+    if sps.conformance_window_flag:
+        bw.ue(sps.conf_win_left_offset)
+        bw.ue(sps.conf_win_right_offset)
+        bw.ue(sps.conf_win_top_offset)
+        bw.ue(sps.conf_win_bottom_offset)
+    bw.ue(sps.bit_depth_luma_minus8)
+    bw.ue(sps.bit_depth_chroma_minus8)
+    bw.ue(sps.log2_max_pic_order_cnt_lsb_minus4)
+    bw.flag(1)                                  # sps_sub_layer_ordering_info_present
+    for _ in range(sps.sps_max_sub_layers_minus1 + 1):
+        bw.ue(sps.sps_max_dec_pic_buffering_minus1)
+        bw.ue(sps.sps_max_num_reorder_pics)
+        bw.ue(sps.sps_max_latency_increase_plus1)
+    bw.ue(sps.log2_min_luma_coding_block_size_minus3)
+    bw.ue(sps.log2_diff_max_min_luma_coding_block_size)
+    bw.ue(sps.log2_min_luma_transform_block_size_minus2)
+    bw.ue(sps.log2_diff_max_min_luma_transform_block_size)
+    bw.ue(sps.max_transform_hierarchy_depth_inter)
+    bw.ue(sps.max_transform_hierarchy_depth_intra)
+    bw.flag(sps.scaling_list_enabled_flag)
+    bw.flag(sps.amp_enabled_flag)
+    bw.flag(sps.sample_adaptive_offset_enabled_flag)
+    bw.flag(sps.pcm_enabled_flag)
+    bw.ue(len(sps.short_term_rps))
+    for i, rps in enumerate(sps.short_term_rps):
+        write_st_rps(bw, rps, i)
+    bw.flag(sps.long_term_ref_pics_present_flag)
+    bw.flag(sps.sps_temporal_mvp_enabled_flag)
+    bw.flag(sps.strong_intra_smoothing_enabled_flag)
+    bw.flag(sps.vui_parameters_present_flag)
+    bw.flag(0)                                  # sps_extension_present_flag
+    bw.byte_align()
+    return bw.bytes()
+
+
+def write_pps(pps: PPS) -> bytes:
+    bw = BitWriter()
+    bw.ue(pps.pps_pic_parameter_set_id)
+    bw.ue(pps.pps_seq_parameter_set_id)
+    bw.flag(pps.dependent_slice_segments_enabled_flag)
+    bw.flag(pps.output_flag_present_flag)
+    bw.u(pps.num_extra_slice_header_bits, 3)
+    bw.flag(pps.sign_data_hiding_enabled_flag)
+    bw.flag(pps.cabac_init_present_flag)
+    bw.ue(pps.num_ref_idx_l0_default_active_minus1)
+    bw.ue(pps.num_ref_idx_l1_default_active_minus1)
+    bw.se(pps.init_qp_minus26)
+    bw.flag(pps.constrained_intra_pred_flag)
+    bw.flag(pps.transform_skip_enabled_flag)
+    bw.flag(pps.cu_qp_delta_enabled_flag)
+    if pps.cu_qp_delta_enabled_flag:
+        bw.ue(pps.diff_cu_qp_delta_depth)
+    bw.se(pps.pps_cb_qp_offset)
+    bw.se(pps.pps_cr_qp_offset)
+    bw.flag(pps.pps_slice_chroma_qp_offsets_present_flag)
+    bw.flag(pps.weighted_pred_flag)
+    bw.flag(pps.weighted_bipred_flag)
+    bw.flag(pps.transquant_bypass_enabled_flag)
+    bw.flag(pps.tiles_enabled_flag)
+    bw.flag(pps.entropy_coding_sync_enabled_flag)
+    bw.flag(pps.pps_loop_filter_across_slices_enabled_flag)
+    bw.flag(pps.deblocking_filter_control_present_flag)
+    if pps.deblocking_filter_control_present_flag:
+        bw.flag(pps.deblocking_filter_override_enabled_flag)
+        bw.flag(pps.pps_deblocking_filter_disabled_flag)
+        if not pps.pps_deblocking_filter_disabled_flag:
+            bw.se(pps.pps_beta_offset_div2)
+            bw.se(pps.pps_tc_offset_div2)
+    bw.flag(pps.pps_scaling_list_data_present_flag)
+    bw.flag(pps.lists_modification_present_flag)
+    bw.ue(pps.log2_parallel_merge_level_minus2)
+    bw.flag(pps.slice_segment_header_extension_present_flag)
+    bw.flag(0)                                  # pps_extension_present_flag
+    bw.byte_align()
+    return bw.bytes()
+
+
+def write_slice_header(sh: SliceHeader, sps: SPS, pps: PPS) -> bytes:
+    bw = BitWriter()
+    bw.flag(sh.first_slice_segment_in_pic_flag)
+    nal = sh.nal_unit_type
+    if 16 <= nal <= 23:  # IRAP
+        bw.flag(sh.no_output_of_prior_pics_flag)
+    bw.ue(sh.slice_pic_parameter_set_id)
+    bw.ue(int(sh.slice_type))
+    if pps.output_flag_present_flag:
+        bw.flag(1)
+    is_idr = nal in (19, 20)
+    if not is_idr:
+        max_poc_lsb = 1 << (sps.log2_max_pic_order_cnt_lsb_minus4 + 4)
+        bw.u(sh.poc % max_poc_lsb, sps.log2_max_pic_order_cnt_lsb_minus4 + 4)
+        if sh.short_term_ref_pic_set_sps_flag:
+            bw.flag(1)
+            n = len(sps.short_term_rps)
+            if n > 1:
+                bw.u(sh.rps_sps_idx, max(1, math.ceil(math.log2(n))))
+        else:
+            bw.flag(0)
+            write_st_rps(bw, sh.rps, len(sps.short_term_rps))
+        if sps.sps_temporal_mvp_enabled_flag:
+            bw.flag(sh.slice_temporal_mvp_enabled_flag)
+    if sps.sample_adaptive_offset_enabled_flag:
+        bw.flag(sh.slice_sao_luma_flag)
+        bw.flag(sh.slice_sao_chroma_flag)
+    if sh.slice_type != SliceType.I:
+        default_active = [pps.num_ref_idx_l0_default_active_minus1 + 1,
+                          pps.num_ref_idx_l1_default_active_minus1 + 1]
+        lists = [0] + ([1] if sh.slice_type == SliceType.B else [])
+        override = any(sh.num_ref_idx_active[l] != default_active[l]
+                       for l in lists)
+        bw.flag(override)
+        if override:
+            for l in lists:
+                bw.ue(sh.num_ref_idx_active[l] - 1)
+        if sh.slice_type == SliceType.B:
+            bw.flag(sh.mvd_l1_zero_flag)
+        if pps.cabac_init_present_flag:
+            bw.flag(sh.cabac_init_flag)
+        if sh.slice_temporal_mvp_enabled_flag:
+            if sh.slice_type == SliceType.B:
+                bw.flag(sh.collocated_from_l0_flag)
+            lidx = 0 if sh.collocated_from_l0_flag else 1
+            if sh.num_ref_idx_active[lidx] > 1:
+                bw.ue(sh.collocated_ref_idx)
+        bw.ue(sh.five_minus_max_num_merge_cand)
+    bw.se(sh.slice_qp - 26 - pps.init_qp_minus26)
+    if pps.pps_slice_chroma_qp_offsets_present_flag:
+        bw.se(sh.slice_cb_qp_offset)
+        bw.se(sh.slice_cr_qp_offset)
+    if pps.deblocking_filter_control_present_flag:
+        if pps.deblocking_filter_override_enabled_flag:
+            bw.flag(0)  # deblocking_filter_override_flag
+    # effective per-slice deblocking state inherits from the PPS when no
+    # override is signalled (spec 7.4.7.1)
+    deblock_disabled = (sh.slice_deblocking_filter_disabled_flag
+                        or pps.pps_deblocking_filter_disabled_flag)
+    if (pps.pps_loop_filter_across_slices_enabled_flag
+            and (sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag
+                 or not deblock_disabled)):
+        bw.flag(sh.slice_loop_filter_across_slices_enabled_flag)
+    if pps.tiles_enabled_flag or pps.entropy_coding_sync_enabled_flag:
+        bw.ue(0)                                # num_entry_point_offsets
+    # byte_alignment() at the end of the slice header
+    bw.u(1, 1)
+    bw.align_zero()
+    return bw.bytes()

@@ -5,7 +5,23 @@
 
 using namespace hevctpu;
 
+namespace hevctpu {
+FILE* g_bin_trace = nullptr;
+long g_bin_counter = 0;
+}
+
 extern "C" {
+
+void hevc_set_trace(const char* path) {
+  if (hevctpu::g_bin_trace) fclose(hevctpu::g_bin_trace);
+  hevctpu::g_bin_trace = path ? fopen(path, "w") : nullptr;
+  hevctpu::g_bin_counter = 0;
+}
+
+void hevc_trace_note(const char* s) {
+  if (hevctpu::g_bin_trace) fprintf(hevctpu::g_bin_trace, "# %s\n", s);
+}
+
 
 // ---- slice-data encoder ----------------------------------------------------
 void* hevc_enc_create(const SliceParams* sp) { return new SliceEncoder(*sp); }

@@ -9,6 +9,7 @@
 // algorithm; outputs are bit-identical.
 #pragma once
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <vector>
 
@@ -49,6 +50,11 @@ class BitWriter {
   size_t bit_count() const { return bytes.size() * 8 + held_bits; }
 };
 
+// Optional bin trace for debugging against the reference decoder's
+// DEBUG_CABAC_BINS output (set via hevc_set_trace()).
+extern FILE* g_bin_trace;
+extern long g_bin_counter;
+
 // ---- arithmetic encoder (spec 9.3.4.3) ------------------------------------
 class CabacEncoder {
  public:
@@ -56,6 +62,7 @@ class CabacEncoder {
   void start() { low_ = 0; range_ = 510; bits_outstanding_ = 0; first_bit_ = true; }
 
   void encode_bin(ContextModel& ctx, int bin) {
+    uint32_t start_range = range_;
     uint32_t lps = kRangeTabLps[ctx.state][(range_ >> 6) & 3];
     range_ -= lps;
     if (bin != ctx.mps) {
@@ -67,9 +74,13 @@ class CabacEncoder {
       if (ctx.state < 62) ctx.state++;
     }
     renorm();
+    if (g_bin_trace)
+      fprintf(g_bin_trace, "%ld: coding bin value %d, range = [%u->%u]\n",
+              g_bin_counter++, bin, start_range, range_);
   }
 
   void encode_bypass(int bin) {
+    if (g_bin_trace) fprintf(g_bin_trace, "ep bin %d\n", bin);
     low_ <<= 1;
     if (bin) low_ += range_;
     if (low_ >= 1024) { put_bit(1); low_ -= 1024; }
@@ -88,13 +99,15 @@ class CabacEncoder {
   }
 
   // EncodeFlush (9.3.4.3.5): called by encode_terminate(1) at slice end.
+  // The spec's final `((low >> 7) & 3) | 1` forces its last bit to 1 —
+  // that bit IS the rbsp_stop_one_bit, which the syntax layer writes via
+  // finish_rbsp(); emitting it here too would shift the stop pattern
+  // (verified byte-exact against the reference engine).
   void flush() {
     range_ = 2;
     renorm();
     put_bit((low_ >> 9) & 1);
-    // final two bits: ((low >> 7) & 3) | 1
     put_bit((low_ >> 8) & 1);
-    put_bit(1);
   }
 
  private:

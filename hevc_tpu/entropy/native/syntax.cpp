@@ -346,6 +346,7 @@ void SliceEncoder::cu_tree(int x0, int y0, int log2, int depth) {
 }
 
 void SliceEncoder::code_cu(int x0, int y0, int log2) {
+  if (g_bin_trace) fprintf(g_bin_trace, "# CU %d %d log2=%d\n", x0, y0, log2);
   int bw4 = sp_.ctu_size / 4;
   bool nxn = log2 == sp_.min_cb_log2 &&
              map_at(cur_->nxn_flag, bw4, x0 - ctu_x0_, y0 - ctu_y0_);
@@ -453,6 +454,7 @@ void SliceEncoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
   }
 
   // leaf: cbf_luma always coded for intra
+  if (g_bin_trace) fprintf(g_bin_trace, "# TULEAF %d %d log2=%d cb=%d cr=%d\n", x0, y0, log2, cbf_cb, cbf_cr);
   int n = 1 << log2;
   int cbf_y = any_nz(cur_->coeff_y, sp_.ctu_size, x0 - ctu_x0_, y0 - ctu_y0_, n);
   cabac_.encode_bin(ctx_.cbf_luma[depth == 0 ? 1 : 0], cbf_y);
@@ -468,6 +470,7 @@ void SliceEncoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
 }
 
 void SliceEncoder::residual(int x0, int y0, int log2, int c_idx) {
+  if (g_bin_trace) fprintf(g_bin_trace, "# RES %d %d log2=%d c=%d\n", x0, y0, log2, c_idx);
   int bw4 = sp_.ctu_size / 4;
   bool luma = c_idx == 0;
   int n = 1 << log2;
@@ -531,6 +534,7 @@ void SliceEncoder::residual(int x0, int y0, int log2, int c_idx) {
   // containing the last coefficient: both are always processed.
   csbf[0] = 1;
   csbf[last_sb] = 1;
+  if (g_bin_trace) fprintf(g_bin_trace, "# lastpos %d (x=%d y=%d) lastsb %d\n", last_pos, lx, ly, last_sb);
   auto csbf_at = [&](int xs, int ys) -> int {
     if (xs >= sb_w || ys >= sb_w) return 0;
     // find subblock scan index for (xs,ys): search (small n)
@@ -574,6 +578,7 @@ void SliceEncoder::residual(int x0, int y0, int log2, int c_idx) {
     }
 
     if (num == 0) continue;  // inferred-coded DC sub-block with no coeffs
+    if (g_bin_trace) fprintf(g_bin_trace, "# sb %d num %d -> gt1\n", i, num);
 
     // greater1 / greater2
     int ctx_set = (i > 0 && luma) ? 2 : 0;
@@ -593,6 +598,7 @@ void SliceEncoder::residual(int x0, int y0, int log2, int c_idx) {
     }
 
     // signs (with optional sign-data hiding)
+    if (g_bin_trace) fprintf(g_bin_trace, "# sb %d signs\n", i);
     int first_nz_k = coeffs[num - 1].pos & 15;  // lowest scan pos in sb
     int last_nz_k = coeffs[0].pos & 15;
     bool hide = sp_.sign_hiding && (last_nz_k - first_nz_k > 3);
@@ -602,6 +608,7 @@ void SliceEncoder::residual(int x0, int y0, int log2, int c_idx) {
     }
 
     // remaining levels
+    if (g_bin_trace) fprintf(g_bin_trace, "# sb %d remaining\n", i);
     int first_coeff2 = 1, rice = 0;
     for (int k = 0; k < num; ++k) {
       int av = std::abs(coeffs[k].val);

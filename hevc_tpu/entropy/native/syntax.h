@@ -108,8 +108,9 @@ class SliceEncoder {
   void begin_slice();
   void encode_ctu(int ctu_x, int ctu_y, const CtuData& d, int end_of_slice);
   const std::vector<uint8_t>& bytes() const { return bw_.bytes; }
-  // Append rbsp_trailing_bits (stop bit + byte alignment) and return the
-  // finished slice-data RBSP bytes.
+  // Byte-align the finished slice data and return the RBSP bytes. The
+  // final '1' of the CABAC EncodeFlush (9.3.4.3.5) already serves as the
+  // rbsp_stop_one_bit, so only zero padding is appended here.
   const std::vector<uint8_t>& finish_rbsp() {
     if (!finished_) {
       bw_.put_bit(1);

@@ -1,0 +1,44 @@
+"""End-to-end conformance: encode synthetic clips, decode with the
+reference HM decoder (oracle), require per-picture hash 'OK' and
+byte-identical reconstruction. Skips when the oracle binary is absent
+(build it with tools/build_reference_oracle.sh)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ORACLE = "/tmp/hm_oracle/bin/TAppDecoderStatic"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(ORACLE), reason="HM oracle decoder not built")
+
+
+def _mk_clip(path, w, h, n, seed=7):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_test_yuv import write_clip
+    write_clip(str(path), w, h, n)
+
+
+@pytest.mark.parametrize("dims,frames,qp", [
+    ((64, 64), 1, 32),
+    ((128, 80), 2, 27),
+    ((416, 240), 2, 37),
+])
+def test_intra_conformance(tmp_path, dims, frames, qp):
+    w, h = dims
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    bs = tmp_path / "out.bin"
+    rec = tmp_path / "rec.yuv"
+    dec = tmp_path / "dec.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f", str(frames),
+          "-q", str(qp), "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    ok_count = out.stdout.count("(OK)")
+    assert ok_count == frames, out.stdout[-2000:]
+    assert rec.read_bytes() == dec.read_bytes()
