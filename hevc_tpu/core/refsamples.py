@@ -1,7 +1,10 @@
 """Intra reference-sample fetch + substitution (spec 8.4.4.2.2).
 
 Shared by encoder and decoder so both derive bit-identical predictions.
-Parity: reference TComPattern.cpp initIntraPatternChType / fillReferenceSamples.
+Parity: reference TComPattern.cpp initIntraPatternChType / fillReferenceSamples
+— vectorized: samples are fetched with numpy slices and availability is
+evaluated once per 4x4-luma min block (the normative granularity), then the
+substitution scan is a vectorized forward fill.
 
 Combined reference vector layout f[0..4N] (see hevc_tpu.ops.intra):
   f[i], i in [0, 2N)  : left column, f[2N-1-y] = p[-1][y], y in [0, 2N)
@@ -21,14 +24,14 @@ def build_ref_vector(plane: np.ndarray, x0: int, y0: int, size: int,
     """Reference vector for the TU at (x0, y0) of `size` on `plane`.
 
     `plane` is the working reconstruction at this component's resolution.
-    `avail` decides availability in LUMA coordinates: for chroma planes pass
-    `luma_pos = (luma_x0, luma_y0, scale_x, scale_y)` so the z-scan
-    availability rule is evaluated on luma positions (spec 6.4.1 operates on
-    luma locations; chroma availability mirrors the collocated luma block).
+    Availability is decided in LUMA coordinates: for chroma planes pass
+    `luma_pos = (luma_x0, luma_y0, scale_x, scale_y)` (spec 6.4.1 operates
+    on luma locations; chroma availability mirrors the collocated luma).
     """
     n = size
+    n2 = 2 * n
     nn = 4 * n + 1
-    f = np.empty(nn, dtype=np.int32)
+    f = np.zeros(nn, dtype=np.int32)
     have = np.zeros(nn, dtype=bool)
     h, w = plane.shape
 
@@ -36,44 +39,42 @@ def build_ref_vector(plane: np.ndarray, x0: int, y0: int, size: int,
         lx0, ly0, sx, sy = x0, y0, 1, 1
     else:
         lx0, ly0, sx, sy = luma_pos
+    chunk_y = max(1, 4 // sy)   # availability granularity in component rows
+    chunk_x = max(1, 4 // sx)
 
-    def sample_avail(cx: int, cy: int) -> bool:
-        # (cx, cy) are component-plane coords; availability is checked at the
-        # collocated luma position (spec 6.4.1 works in luma units), picture
-        # bounds at component resolution. A neighbour one sample left/above
-        # the block maps to one luma sample left/above the luma block.
-        if cx < 0 or cy < 0 or cx >= w or cy >= h:
-            return False
-        dx, dy = cx - x0, cy - y0
-        lx = lx0 - 1 if dx == -1 else lx0 + dx * sx
-        ly = ly0 - 1 if dy == -1 else ly0 + dy * sy
-        return avail.is_available(lx, ly, lx0, ly0)
+    # ---- left column (incl. below-left): f[2N-1-y] = p[-1][y] ----
+    if x0 > 0:
+        ylim = min(2 * n, h - y0)
+        col = plane[y0:y0 + ylim, x0 - 1].astype(np.int32)
+        ok = np.zeros(ylim, dtype=bool)
+        for yc in range(0, ylim, chunk_y):
+            if avail.is_available(lx0 - 1, ly0 + yc * sy, lx0, ly0):
+                ok[yc:yc + chunk_y] = True
+        dst = np.arange(ylim)
+        f[n2 - 1 - dst] = col
+        have[n2 - 1 - dst] = ok
+    # ---- corner ----
+    if x0 > 0 and y0 > 0 and avail.is_available(lx0 - 1, ly0 - 1, lx0, ly0):
+        f[n2] = plane[y0 - 1, x0 - 1]
+        have[n2] = True
+    # ---- top row (incl. above-right): f[2N+1+x] = p[x][-1] ----
+    if y0 > 0:
+        xlim = min(2 * n, w - x0)
+        row = plane[y0 - 1, x0:x0 + xlim].astype(np.int32)
+        ok = np.zeros(xlim, dtype=bool)
+        for xc in range(0, xlim, chunk_x):
+            if avail.is_available(lx0 + xc * sx, ly0 - 1, lx0, ly0):
+                ok[xc:xc + chunk_x] = True
+        f[n2 + 1:n2 + 1 + xlim] = row
+        have[n2 + 1:n2 + 1 + xlim] = ok
 
-    # left column (includes below-left): f[2N-1-y] = p[-1][y]
-    for y in range(2 * n):
-        ok = sample_avail(x0 - 1, y0 + y)
-        have[2 * n - 1 - y] = ok
-        f[2 * n - 1 - y] = plane[y0 + y, x0 - 1] if ok else 0
-    # corner
-    ok = sample_avail(x0 - 1, y0 - 1)
-    have[2 * n] = ok
-    f[2 * n] = plane[y0 - 1, x0 - 1] if ok else 0
-    # top row (includes above-right): f[2N+1+x] = p[x][-1]
-    for x in range(2 * n):
-        ok = sample_avail(x0 + x, y0 - 1)
-        have[2 * n + 1 + x] = ok
-        f[2 * n + 1 + x] = plane[y0 - 1, x0 + x] if ok else 0
-
-    # Substitution (8.4.4.2.2): if nothing available, mid-grey; else fill
-    # f[0] from the first available sample scanning upward, then propagate.
+    # ---- substitution (8.4.4.2.2): forward fill from the first available --
     if not have.any():
         f[:] = 1 << (bit_depth - 1)
         return f
     if not have[0]:
-        first = int(np.argmax(have))
-        f[0] = f[first]
+        f[0] = f[int(np.argmax(have))]
         have[0] = True
-    for i in range(1, nn):
-        if not have[i]:
-            f[i] = f[i - 1]
-    return f
+    idx = np.where(have, np.arange(nn), 0)
+    np.maximum.accumulate(idx, out=idx)
+    return f[idx]

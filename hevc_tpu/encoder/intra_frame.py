@@ -44,24 +44,27 @@ def _hadamard8():
     return H8
 
 
+H4 = np.array([[1, 1, 1, 1], [1, -1, 1, -1],
+               [1, 1, -1, -1], [1, -1, -1, 1]], dtype=np.int64)
+
+
+def satd_many(diffs: np.ndarray) -> np.ndarray:
+    """Hadamard SATD per block for a batch of difference blocks [..., N, N]
+    (reference TComRdCost::xCalcHADs8x8, tiled; 4x4 variant for N=4)."""
+    n = diffs.shape[-1]
+    t = 8 if n >= 8 else 4
+    h = _hadamard8().astype(np.int64) if t == 8 else H4
+    lead = diffs.shape[:-2]
+    d = diffs.astype(np.int64).reshape(lead + (n // t, t, n // t, t))
+    d = np.swapaxes(d, -3, -2)                      # [..., n/t, n/t, t, t]
+    m = h @ d @ h                                   # broadcasted matmuls
+    per = np.abs(m).sum(axis=(-1, -2))
+    per = (per + (2 if t == 8 else 1)) >> (2 if t == 8 else 1)
+    return per.sum(axis=(-1, -2))
+
+
 def satd(a: np.ndarray, b: np.ndarray) -> int:
-    """8x8 Hadamard SATD over the block (reference TComRdCost::xCalcHADs8x8),
-    falling back to 4x4 for small blocks."""
-    d = (a.astype(np.int64) - b.astype(np.int64))
-    n = d.shape[0]
-    h8 = _hadamard8()
-    total = 0
-    if n >= 8:
-        blocks = d[:n - n % 8, :n - n % 8].reshape(n // 8, 8, n // 8, 8)
-        t = np.einsum("ij,ajbk,kl->aibl", h8, blocks, h8)
-        total = (np.abs(t).sum(axis=(1, 3)) + 2) // 4
-        return int(total.sum())
-    h4 = h8[:4, :4] if False else np.array(
-        [[1, 1, 1, 1], [1, -1, 1, -1], [1, 1, -1, -1], [1, -1, -1, 1]])
-    blocks = d.reshape(n // 4, 4, n // 4, 4)
-    t = np.einsum("ij,ajbk,kl->aibl", h4, blocks, h4)
-    total = (np.abs(t).sum(axis=(1, 3)) + 1) // 2
-    return int(total.sum())
+    return int(satd_many((a.astype(np.int64) - b.astype(np.int64))[None])[0])
 
 
 def mpm_list(mode_map: np.ndarray, x0: int, y0: int, avail: AvailabilityMap,
@@ -165,14 +168,13 @@ class IntraFrameEncoder:
         f, ff = self._refs(recon[0], x0, y0, size)
         orig_tb = orig[0][y0:y0 + size, x0:x0 + size]
         mpms = mpm_list(mode_map, x0, y0, self.avail, self.ctu)
-        best_mode, best_cost, best_pred = 1, None, None
-        for mode in range(35):
-            pred = self._predict(f, ff, mode, size, True)
-            cost = satd(orig_tb, pred) + int(
-                self.sqrt_lam * self._mode_bits(mode, mpms) + 0.5)
-            if best_cost is None or cost < best_cost:
-                best_mode, best_cost, best_pred = mode, cost, pred
-        mode = best_mode
+        preds = np.stack([self._predict(f, ff, m, size, True)
+                          for m in range(35)])
+        satds = satd_many(orig_tb.astype(np.int64)[None] - preds)
+        bits = np.array([self._mode_bits(m, mpms) for m in range(35)])
+        costs = satds + (self.sqrt_lam * bits + 0.5).astype(np.int64)
+        mode = int(np.argmin(costs))
+        best_pred = preds[mode]
 
         d.luma_mode[by:by + nb, bx:bx + nb] = mode
         d.chroma_mode[by:by + nb, bx:bx + nb] = mode  # DM
