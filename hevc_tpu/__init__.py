@@ -23,3 +23,11 @@ Package map (reference parity noted per module):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the batched search/transform graphs are
+# compile-heavy; cache them across processes (first run pays, rest reuse).
+import os as _os
+
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       _os.path.expanduser("~/.cache/hevc_tpu_jax"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")

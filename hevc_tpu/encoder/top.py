@@ -10,12 +10,13 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..core.params import PPS, SPS, VPS, SliceHeader
+from ..core.params import PPS, SPS, VPS, ShortTermRPS, SliceHeader
 from ..core.types import NalUnitType, SliceType
 from ..entropy import headers, nal, sei
 from ..entropy.cabac import (SliceDataEncoder, make_slice_params)
 from ..io.cfg import EncoderConfig
 from .intra_frame import IntraFrameEncoder
+from .inter_frame import PFrameEncoder
 
 
 class EncoderTop:
@@ -40,27 +41,54 @@ class EncoderTop:
             deblocking_filter_override_enabled_flag=0,
             pps_deblocking_filter_disabled_flag=1,
         )
+        # low-delay reference structure: one RPS referring to the previous
+        # picture (parity: TEncTop::xInitRPS for the default LD config)
+        self.sps.short_term_rps = [ShortTermRPS(delta_pocs=[-1],
+                                                used_flags=[1])]
         self.poc = 0
+        self.last_idr_poc = 0  # POC restarts at every IDR (per-CVS numbering)
         self.stats = []
+        self.dpb_recon: Optional[List[np.ndarray]] = None
 
     def encode_frame(self, planes: List[np.ndarray]) -> bytes:
-        """Encode one frame (intra), return its Annex-B bytes (with
-        parameter sets prefixed on the first frame)."""
+        """Encode one frame, return its Annex-B bytes (with parameter sets
+        prefixed on the first frame). Frame 0 (and every IntraPeriod-th
+        frame when IntraPeriod > 0) is IDR intra; others low-delay P."""
         cfg = self.cfg
-        sh = SliceHeader(
-            slice_type=SliceType.I,
-            nal_unit_type=int(NalUnitType.IDR_W_RADL),
-            poc=self.poc,
-            slice_qp=cfg.qp,
-        )
-        fe = IntraFrameEncoder(self.sps, cfg.qp)
-        decisions, recon = fe.encode_frame(planes)
+        is_intra = (self.poc == 0 or
+                    (cfg.intra_period > 0 and
+                     self.poc % max(cfg.intra_period, 1) == 0))
+        if is_intra:
+            self.last_idr_poc = self.poc
+            sh = SliceHeader(
+                slice_type=SliceType.I,
+                nal_unit_type=int(NalUnitType.IDR_W_RADL),
+                poc=0, slice_qp=cfg.qp)
+            fe = IntraFrameEncoder(self.sps, cfg.qp)
+            sp = make_slice_params(
+                cfg.width, cfg.height, cfg.qp, slice_type=int(SliceType.I),
+                ctu_size=self.sps.ctu_size,
+                max_tu_depth_intra=self.sps.max_transform_hierarchy_depth_intra)
+            senc = SliceDataEncoder(sp)
+            decisions, recon = fe.encode_frame(planes)
+        else:
+            sh = SliceHeader(
+                slice_type=SliceType.P,
+                nal_unit_type=int(NalUnitType.TRAIL_R),
+                poc=self.poc - self.last_idr_poc, slice_qp=cfg.qp,
+                short_term_ref_pic_set_sps_flag=1, rps_sps_idx=0,
+                num_ref_idx_active=[1, 0])
+            fe = PFrameEncoder(self.sps, cfg.qp, self.dpb_recon,
+                               search_range=min(cfg.search_range, 24))
+            sp = make_slice_params(
+                cfg.width, cfg.height, cfg.qp, slice_type=int(SliceType.P),
+                ctu_size=self.sps.ctu_size,
+                max_tu_depth_intra=self.sps.max_transform_hierarchy_depth_intra,
+                num_ref_l0=1)
+            senc = SliceDataEncoder(sp)
+            fe.senc = senc
+            decisions, recon = fe.encode_frame(planes)
 
-        sp = make_slice_params(
-            cfg.width, cfg.height, cfg.qp, slice_type=int(SliceType.I),
-            ctu_size=self.sps.ctu_size,
-            max_tu_depth_intra=self.sps.max_transform_hierarchy_depth_intra)
-        senc = SliceDataEncoder(sp)
         ctus_w = self.sps.pic_width_in_ctus
         ctus_h = self.sps.pic_height_in_ctus
         i = 0
@@ -96,9 +124,11 @@ class EncoderTop:
         bits = sum(len(x) for x in nals) * 8
         psnr = _psnr(planes, recon, self.sps.bit_depth_luma)
         self.stats.append({"poc": self.poc, "bits": bits, "psnr": psnr,
-                           "md5": digest[0].hex()})
+                           "md5": digest[0].hex(),
+                           "type": "I" if is_intra else "P"})
         self.poc += 1
         self.recon = recon
+        self.dpb_recon = recon
         return nal.write_annexb(nals, firsts)
 
 

@@ -24,7 +24,8 @@ class SliceParamsC(ctypes.Structure):
         "pic_w", "pic_h", "ctu_size", "qp", "slice_type",
         "max_tu_depth_intra", "max_tu_depth_inter", "chroma_format",
         "sign_hiding", "transform_skip_enabled", "min_cb_log2",
-        "max_cb_log2", "min_tb_log2", "max_tb_log2")]
+        "max_cb_log2", "min_tb_log2", "max_tb_log2", "max_merge_cand",
+        "num_ref_l0")]
 
 
 def _build() -> None:
@@ -47,10 +48,22 @@ def get_lib() -> ctypes.CDLL:
     lib.hevc_enc_destroy.argtypes = [ctypes.c_void_p]
     lib.hevc_enc_begin_slice.argtypes = [ctypes.c_void_p]
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
     lib.hevc_enc_ctu.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
-        u8p, u8p, u8p, u8p, u8p, i16p, i16p, i16p, ctypes.c_int]
+        u8p, u8p, u8p, u8p, u8p, i16p, i16p, i16p,
+        u8p, u8p, u8p, u8p, u8p, i8p, i16p, i16p, i16p, i16p,
+        ctypes.c_int]
+    lib.hevc_enc_publish_cu.argtypes = [
+        ctypes.c_void_p] + [ctypes.c_int] * 8
+    lib.hevc_enc_merge_cands.restype = ctypes.c_int
+    lib.hevc_enc_merge_cands.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        i16p, i8p]
+    lib.hevc_enc_amvp.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, i16p]
     lib.hevc_enc_get.restype = ctypes.c_long
     lib.hevc_enc_get.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                  ctypes.c_long]
@@ -61,7 +74,8 @@ def get_lib() -> ctypes.CDLL:
     lib.hevc_dec_ctu.restype = ctypes.c_int
     lib.hevc_dec_ctu.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
-        u8p, u8p, u8p, u8p, u8p, i16p, i16p, i16p]
+        u8p, u8p, u8p, u8p, u8p, i16p, i16p, i16p,
+        u8p, u8p, u8p, u8p, u8p, i8p, i16p, i16p, i16p, i16p]
     _lib = lib
     return lib
 
@@ -70,12 +84,14 @@ def make_slice_params(pic_w: int, pic_h: int, qp: int, slice_type: int = 2,
                       ctu_size: int = 64, max_tu_depth_intra: int = 3,
                       max_tu_depth_inter: int = 3, chroma_format: int = 1,
                       sign_hiding: int = 0, transform_skip: int = 0,
-                      min_cb_log2: int = 3, max_tb_log2: int = 5
+                      min_cb_log2: int = 3, max_tb_log2: int = 5,
+                      max_merge_cand: int = 5, num_ref_l0: int = 1
                       ) -> SliceParamsC:
     return SliceParamsC(
         pic_w, pic_h, ctu_size, qp, slice_type, max_tu_depth_intra,
         max_tu_depth_inter, chroma_format, sign_hiding, transform_skip,
-        min_cb_log2, (ctu_size.bit_length() - 1), 2, max_tb_log2)
+        min_cb_log2, (ctu_size.bit_length() - 1), 2, max_tb_log2,
+        max_merge_cand, num_ref_l0)
 
 
 class CtuDecisions:
@@ -91,6 +107,16 @@ class CtuDecisions:
         self.coeff_y = np.zeros((ctu_size, ctu_size), np.int16)
         self.coeff_cb = np.zeros((ctu_size // 2, ctu_size // 2), np.int16)
         self.coeff_cr = np.zeros((ctu_size // 2, ctu_size // 2), np.int16)
+        self.pred_mode = np.ones((n4, n4), np.uint8)   # 1 = intra
+        self.skip_flag = np.zeros((n4, n4), np.uint8)
+        self.merge_flag = np.zeros((n4, n4), np.uint8)
+        self.merge_idx = np.zeros((n4, n4), np.uint8)
+        self.mvp_flag = np.zeros((n4, n4), np.uint8)
+        self.ref_idx = np.full((n4, n4), -1, np.int8)
+        self.mvd_x = np.zeros((n4, n4), np.int16)
+        self.mvd_y = np.zeros((n4, n4), np.int16)
+        self.mv_x = np.zeros((n4, n4), np.int16)
+        self.mv_y = np.zeros((n4, n4), np.int16)
 
 
 class SliceDataEncoder:
@@ -112,7 +138,35 @@ class SliceDataEncoder:
             np.ascontiguousarray(d.coeff_y),
             np.ascontiguousarray(d.coeff_cb),
             np.ascontiguousarray(d.coeff_cr),
+            np.ascontiguousarray(d.pred_mode),
+            np.ascontiguousarray(d.skip_flag),
+            np.ascontiguousarray(d.merge_flag),
+            np.ascontiguousarray(d.merge_idx),
+            np.ascontiguousarray(d.mvp_flag),
+            np.ascontiguousarray(d.ref_idx),
+            np.ascontiguousarray(d.mvd_x),
+            np.ascontiguousarray(d.mvd_y),
+            np.ascontiguousarray(d.mv_x),
+            np.ascontiguousarray(d.mv_y),
             1 if end_of_slice else 0)
+
+    def publish_cu(self, x0, y0, log2, is_intra, skip=0, mv=(0, 0),
+                   ref_idx=0):
+        self._lib.hevc_enc_publish_cu(self._h, x0, y0, log2,
+                                      1 if is_intra else 0, skip,
+                                      int(mv[0]), int(mv[1]), ref_idx)
+
+    def merge_cands(self, x0, y0, size):
+        mv = np.zeros(10, np.int16)
+        ref = np.zeros(5, np.int8)
+        n = self._lib.hevc_enc_merge_cands(self._h, x0, y0, size, mv, ref)
+        return [((int(mv[2 * i]), int(mv[2 * i + 1])), int(ref[i]))
+                for i in range(n)]
+
+    def amvp_cands(self, x0, y0, size, ref=0):
+        mv = np.zeros(4, np.int16)
+        self._lib.hevc_enc_amvp(self._h, x0, y0, size, ref, mv)
+        return [(int(mv[0]), int(mv[1])), (int(mv[2]), int(mv[3]))]
 
     def get_bytes(self) -> bytes:
         n = self._lib.hevc_enc_get(self._h, None, 0)
@@ -138,7 +192,9 @@ class SliceDataDecoder:
         d = CtuDecisions(self._ctu)
         eos = self._lib.hevc_dec_ctu(
             self._h, ctu_x, ctu_y, d.cu_depth, d.nxn_flag, d.luma_mode,
-            d.chroma_mode, d.tu_depth, d.coeff_y, d.coeff_cb, d.coeff_cr)
+            d.chroma_mode, d.tu_depth, d.coeff_y, d.coeff_cb, d.coeff_cr,
+            d.pred_mode, d.skip_flag, d.merge_flag, d.merge_idx, d.mvp_flag,
+            d.ref_idx, d.mvd_x, d.mvd_y, d.mv_x, d.mv_y)
         return d, eos
 
     def __del__(self):

@@ -33,10 +33,57 @@ void hevc_enc_ctu(void* h, int ctu_x, int ctu_y,
                   const uint8_t* luma_mode, const uint8_t* chroma_mode,
                   const uint8_t* tu_depth, const int16_t* coeff_y,
                   const int16_t* coeff_cb, const int16_t* coeff_cr,
+                  const uint8_t* pred_mode, const uint8_t* skip_flag,
+                  const uint8_t* merge_flag, const uint8_t* merge_idx,
+                  const uint8_t* mvp_flag, const int8_t* ref_idx,
+                  const int16_t* mvd_x, const int16_t* mvd_y,
+                  const int16_t* mv_x, const int16_t* mv_y,
                   int end_of_slice) {
   CtuData d{cu_depth, nxn_flag, luma_mode, chroma_mode, tu_depth,
-            coeff_y, coeff_cb, coeff_cr};
+            coeff_y, coeff_cb, coeff_cr, pred_mode, skip_flag, merge_flag,
+            merge_idx, mvp_flag, ref_idx, mvd_x, mvd_y, mv_x, mv_y};
   ((SliceEncoder*)h)->encode_ctu(ctu_x, ctu_y, d, end_of_slice);
+}
+
+// Incremental publication of one decided CU's motion into the encoder's
+// picture maps, so Python can query merge/AMVP candidates for subsequent
+// CUs from the single native derivation implementation.
+void hevc_enc_publish_cu(void* h, int x0, int y0, int log2, int is_intra,
+                         int skip, int mv_x, int mv_y, int ref_idx) {
+  PicMaps& m = ((SliceEncoder*)h)->maps();
+  int b = 1 << (log2 - 2);
+  for (int yy = 0; yy < b; ++yy)
+    for (int xx = 0; xx < b; ++xx) {
+      size_t pi = (size_t)((y0 >> 2) + yy) * m.stride + (x0 >> 2) + xx;
+      m.pred_mode[pi] = is_intra ? 1 : 0;
+      m.skip_flag[pi] = skip;
+      m.mv_x[pi] = (int16_t)mv_x;
+      m.mv_y[pi] = (int16_t)mv_y;
+      m.ref_idx[pi] = (int8_t)(is_intra ? -1 : ref_idx);
+      m.cu_depth[pi] = (uint8_t)(m.sp.max_cb_log2 - log2);
+    }
+}
+
+int hevc_enc_merge_cands(void* h, int x0, int y0, int size,
+                         int16_t* out_mv /*5*2*/, int8_t* out_ref) {
+  MotionInfo c[5];
+  int n = ((SliceEncoder*)h)->maps().merge_candidates(x0, y0, size, size, c);
+  for (int i = 0; i < n; ++i) {
+    out_mv[2 * i] = c[i].mvx;
+    out_mv[2 * i + 1] = c[i].mvy;
+    out_ref[i] = c[i].ref;
+  }
+  return n;
+}
+
+void hevc_enc_amvp(void* h, int x0, int y0, int size, int ref,
+                   int16_t* out_mv /*2*2*/) {
+  MotionInfo c[2];
+  ((SliceEncoder*)h)->maps().amvp_candidates(x0, y0, size, size, ref, c);
+  out_mv[0] = c[0].mvx;
+  out_mv[1] = c[0].mvy;
+  out_mv[2] = c[1].mvx;
+  out_mv[3] = c[1].mvy;
 }
 
 // Returns the finished slice-data RBSP (with rbsp trailing bits) length;
@@ -56,9 +103,13 @@ void hevc_dec_destroy(void* h) { delete (SliceDecoder*)h; }
 int hevc_dec_ctu(void* h, int ctu_x, int ctu_y, uint8_t* cu_depth,
                  uint8_t* nxn_flag, uint8_t* luma_mode, uint8_t* chroma_mode,
                  uint8_t* tu_depth, int16_t* coeff_y, int16_t* coeff_cb,
-                 int16_t* coeff_cr) {
+                 int16_t* coeff_cr, uint8_t* pred_mode, uint8_t* skip_flag,
+                 uint8_t* merge_flag, uint8_t* merge_idx, uint8_t* mvp_flag,
+                 int8_t* ref_idx, int16_t* mvd_x, int16_t* mvd_y,
+                 int16_t* mv_x, int16_t* mv_y) {
   MutCtuData d{cu_depth, nxn_flag, luma_mode, chroma_mode, tu_depth,
-               coeff_y, coeff_cb, coeff_cr};
+               coeff_y, coeff_cb, coeff_cr, pred_mode, skip_flag, merge_flag,
+               merge_idx, mvp_flag, ref_idx, mvd_x, mvd_y, mv_x, mv_y};
   return ((SliceDecoder*)h)->decode_ctu(ctu_x, ctu_y, d);
 }
 

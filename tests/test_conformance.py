@@ -42,3 +42,22 @@ def test_intra_conformance(tmp_path, dims, frames, qp):
     ok_count = out.stdout.count("(OK)")
     assert ok_count == frames, out.stdout[-2000:]
     assert rec.read_bytes() == dec.read_bytes()
+
+
+@pytest.mark.parametrize("intra_period,frames", [(-1, 4), (3, 6)])
+def test_lowdelay_p_conformance(tmp_path, intra_period, frames):
+    w, h = 128, 80
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f", str(frames),
+          "-q", "30", f"--IntraPeriod={intra_period}", "-b", str(bs),
+          "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+    assert rec.read_bytes() == dec.read_bytes()
+    if intra_period == -1:
+        assert out.stdout.count("P-SLICE") == frames - 1
