@@ -1,0 +1,239 @@
+"""Parameter-set and slice-header parsers (spec 7.3.2/7.3.6).
+
+Parity: reference TDecCAVLC.cpp (parseVPS/parseSPS/parsePPS/
+parseSliceHeader), restricted to the feature subset this framework emits
+(asserting loudly on unsupported tools so gaps surface instead of
+corrupting).
+"""
+from __future__ import annotations
+
+from ..core.params import PPS, SPS, VPS, ProfileTierLevel, ShortTermRPS, SliceHeader
+from ..core.types import SliceType
+from ..entropy.bitreader import BitReader
+
+
+def parse_ptl(br: BitReader, ptl: ProfileTierLevel) -> None:
+    br.u(2)
+    ptl.general_tier_flag = br.flag()
+    ptl.general_profile_idc = br.u(5)
+    br.u(32)  # compatibility flags
+    ptl.general_progressive_source_flag = br.flag()
+    ptl.general_interlaced_source_flag = br.flag()
+    ptl.general_non_packed_constraint_flag = br.flag()
+    ptl.general_frame_only_constraint_flag = br.flag()
+    br.u(32)
+    br.u(12)  # reserved 44 bits
+    ptl.general_level_idc = br.u(8)
+
+
+def parse_st_rps(br: BitReader, idx: int, prev: list) -> ShortTermRPS:
+    rps = ShortTermRPS()
+    if idx != 0:
+        pred = br.flag()
+        assert pred == 0, "inter-RPS prediction not supported"
+    num_neg = br.ue()
+    num_pos = br.ue()
+    deltas, used = [], []
+    acc = 0
+    for _ in range(num_neg):
+        acc -= br.ue() + 1
+        deltas.append(acc)
+        used.append(br.flag())
+    acc = 0
+    for _ in range(num_pos):
+        acc += br.ue() + 1
+        deltas.append(acc)
+        used.append(br.flag())
+    rps.delta_pocs = deltas
+    rps.used_flags = used
+    return rps
+
+
+def parse_vps(rbsp: bytes) -> VPS:
+    br = BitReader(rbsp)
+    vps = VPS()
+    vps.vps_video_parameter_set_id = br.u(4)
+    br.u(2)
+    br.u(6)
+    vps.vps_max_sub_layers_minus1 = br.u(3)
+    vps.vps_temporal_id_nesting_flag = br.flag()
+    br.u(16)
+    parse_ptl(br, vps.ptl)
+    sub_info = br.flag()
+    for _ in range((vps.vps_max_sub_layers_minus1 + 1) if sub_info else 1):
+        vps.vps_max_dec_pic_buffering_minus1 = br.ue()
+        vps.vps_max_num_reorder_pics = br.ue()
+        vps.vps_max_latency_increase_plus1 = br.ue()
+    return vps  # remaining fields ignored
+
+
+def parse_sps(rbsp: bytes) -> SPS:
+    br = BitReader(rbsp)
+    sps = SPS()
+    sps.sps_video_parameter_set_id = br.u(4)
+    sps.sps_max_sub_layers_minus1 = br.u(3)
+    sps.sps_temporal_id_nesting_flag = br.flag()
+    parse_ptl(br, sps.ptl)
+    sps.sps_seq_parameter_set_id = br.ue()
+    sps.chroma_format_idc = br.ue()
+    if sps.chroma_format_idc == 3:
+        br.flag()
+    sps.pic_width_in_luma_samples = br.ue()
+    sps.pic_height_in_luma_samples = br.ue()
+    sps.conformance_window_flag = br.flag()
+    if sps.conformance_window_flag:
+        sps.conf_win_left_offset = br.ue()
+        sps.conf_win_right_offset = br.ue()
+        sps.conf_win_top_offset = br.ue()
+        sps.conf_win_bottom_offset = br.ue()
+    sps.bit_depth_luma_minus8 = br.ue()
+    sps.bit_depth_chroma_minus8 = br.ue()
+    sps.log2_max_pic_order_cnt_lsb_minus4 = br.ue()
+    sub_info = br.flag()
+    for _ in range((sps.sps_max_sub_layers_minus1 + 1) if sub_info else 1):
+        sps.sps_max_dec_pic_buffering_minus1 = br.ue()
+        sps.sps_max_num_reorder_pics = br.ue()
+        sps.sps_max_latency_increase_plus1 = br.ue()
+    sps.log2_min_luma_coding_block_size_minus3 = br.ue()
+    sps.log2_diff_max_min_luma_coding_block_size = br.ue()
+    sps.log2_min_luma_transform_block_size_minus2 = br.ue()
+    sps.log2_diff_max_min_luma_transform_block_size = br.ue()
+    sps.max_transform_hierarchy_depth_inter = br.ue()
+    sps.max_transform_hierarchy_depth_intra = br.ue()
+    sps.scaling_list_enabled_flag = br.flag()
+    assert not sps.scaling_list_enabled_flag, "scaling lists unsupported"
+    if sps.scaling_list_enabled_flag and br.flag():
+        raise NotImplementedError
+    sps.amp_enabled_flag = br.flag()
+    sps.sample_adaptive_offset_enabled_flag = br.flag()
+    sps.pcm_enabled_flag = br.flag()
+    assert not sps.pcm_enabled_flag, "PCM unsupported"
+    num_rps = br.ue()
+    sps.short_term_rps = []
+    for i in range(num_rps):
+        sps.short_term_rps.append(parse_st_rps(br, i, sps.short_term_rps))
+    sps.long_term_ref_pics_present_flag = br.flag()
+    assert not sps.long_term_ref_pics_present_flag
+    sps.sps_temporal_mvp_enabled_flag = br.flag()
+    assert not sps.sps_temporal_mvp_enabled_flag, "TMVP not yet supported"
+    sps.strong_intra_smoothing_enabled_flag = br.flag()
+    sps.vui_parameters_present_flag = br.flag()
+    return sps
+
+
+def parse_pps(rbsp: bytes) -> PPS:
+    br = BitReader(rbsp)
+    pps = PPS()
+    pps.pps_pic_parameter_set_id = br.ue()
+    pps.pps_seq_parameter_set_id = br.ue()
+    pps.dependent_slice_segments_enabled_flag = br.flag()
+    pps.output_flag_present_flag = br.flag()
+    pps.num_extra_slice_header_bits = br.u(3)
+    pps.sign_data_hiding_enabled_flag = br.flag()
+    pps.cabac_init_present_flag = br.flag()
+    pps.num_ref_idx_l0_default_active_minus1 = br.ue()
+    pps.num_ref_idx_l1_default_active_minus1 = br.ue()
+    pps.init_qp_minus26 = br.se()
+    pps.constrained_intra_pred_flag = br.flag()
+    pps.transform_skip_enabled_flag = br.flag()
+    assert not pps.transform_skip_enabled_flag, "transform skip unsupported"
+    pps.cu_qp_delta_enabled_flag = br.flag()
+    if pps.cu_qp_delta_enabled_flag:
+        pps.diff_cu_qp_delta_depth = br.ue()
+        raise NotImplementedError("cu_qp_delta")
+    pps.pps_cb_qp_offset = br.se()
+    pps.pps_cr_qp_offset = br.se()
+    pps.pps_slice_chroma_qp_offsets_present_flag = br.flag()
+    pps.weighted_pred_flag = br.flag()
+    pps.weighted_bipred_flag = br.flag()
+    assert not (pps.weighted_pred_flag or pps.weighted_bipred_flag)
+    pps.transquant_bypass_enabled_flag = br.flag()
+    pps.tiles_enabled_flag = br.flag()
+    pps.entropy_coding_sync_enabled_flag = br.flag()
+    assert not pps.tiles_enabled_flag, "tiles not yet supported"
+    pps.pps_loop_filter_across_slices_enabled_flag = br.flag()
+    pps.deblocking_filter_control_present_flag = br.flag()
+    if pps.deblocking_filter_control_present_flag:
+        pps.deblocking_filter_override_enabled_flag = br.flag()
+        pps.pps_deblocking_filter_disabled_flag = br.flag()
+        if not pps.pps_deblocking_filter_disabled_flag:
+            pps.pps_beta_offset_div2 = br.se()
+            pps.pps_tc_offset_div2 = br.se()
+    pps.pps_scaling_list_data_present_flag = br.flag()
+    pps.lists_modification_present_flag = br.flag()
+    pps.log2_parallel_merge_level_minus2 = br.ue()
+    pps.slice_segment_header_extension_present_flag = br.flag()
+    return pps
+
+
+def parse_slice_header(rbsp: bytes, nal_type: int, sps: SPS, pps: PPS
+                       ) -> tuple:
+    """Returns (SliceHeader, offset_bytes) where offset is the start of the
+    CABAC slice data within the RBSP."""
+    br = BitReader(rbsp)
+    sh = SliceHeader(nal_unit_type=nal_type)
+    sh.first_slice_segment_in_pic_flag = br.flag()
+    assert sh.first_slice_segment_in_pic_flag, "multi-slice unsupported"
+    if 16 <= nal_type <= 23:
+        sh.no_output_of_prior_pics_flag = br.flag()
+    sh.slice_pic_parameter_set_id = br.ue()
+    sh.slice_type = SliceType(br.ue())
+    if pps.output_flag_present_flag:
+        br.flag()
+    is_idr = nal_type in (19, 20)
+    if not is_idr:
+        nbits = sps.log2_max_pic_order_cnt_lsb_minus4 + 4
+        sh.poc = br.u(nbits)
+        if br.flag():  # short_term_ref_pic_set_sps_flag
+            sh.short_term_ref_pic_set_sps_flag = 1
+            n = len(sps.short_term_rps)
+            if n > 1:
+                import math
+                sh.rps_sps_idx = br.u(max(1, math.ceil(math.log2(n))))
+            sh.rps = sps.short_term_rps[sh.rps_sps_idx]
+        else:
+            sh.rps = parse_st_rps(br, len(sps.short_term_rps), [])
+        if sps.sps_temporal_mvp_enabled_flag:
+            sh.slice_temporal_mvp_enabled_flag = br.flag()
+    else:
+        sh.poc = 0
+    if sps.sample_adaptive_offset_enabled_flag:
+        sh.slice_sao_luma_flag = br.flag()
+        sh.slice_sao_chroma_flag = br.flag()
+        assert not (sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag)
+    if sh.slice_type != SliceType.I:
+        override = br.flag()
+        n0 = pps.num_ref_idx_l0_default_active_minus1 + 1
+        n1 = pps.num_ref_idx_l1_default_active_minus1 + 1
+        if override:
+            n0 = br.ue() + 1
+            if sh.slice_type == SliceType.B:
+                n1 = br.ue() + 1
+        sh.num_ref_idx_active = [n0, n1 if sh.slice_type == SliceType.B else 0]
+        if sh.slice_type == SliceType.B:
+            sh.mvd_l1_zero_flag = br.flag()
+        if pps.cabac_init_present_flag:
+            sh.cabac_init_flag = br.flag()
+        if sh.slice_temporal_mvp_enabled_flag:
+            raise NotImplementedError("TMVP")
+        sh.five_minus_max_num_merge_cand = br.ue()
+    sh.slice_qp = 26 + pps.init_qp_minus26 + br.se()
+    if pps.pps_slice_chroma_qp_offsets_present_flag:
+        sh.slice_cb_qp_offset = br.se()
+        sh.slice_cr_qp_offset = br.se()
+    if pps.deblocking_filter_control_present_flag:
+        if pps.deblocking_filter_override_enabled_flag:
+            if br.flag():
+                raise NotImplementedError("deblocking override")
+    deblock_disabled = pps.pps_deblocking_filter_disabled_flag
+    sh.slice_deblocking_filter_disabled_flag = deblock_disabled
+    if (pps.pps_loop_filter_across_slices_enabled_flag
+            and (sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag
+                 or not deblock_disabled)):
+        sh.slice_loop_filter_across_slices_enabled_flag = br.flag()
+    if pps.tiles_enabled_flag or pps.entropy_coding_sync_enabled_flag:
+        n_entry = br.ue()
+        assert n_entry == 0
+    br.u(1)  # alignment bit one
+    br.byte_align()
+    return sh, br.byte_pos

@@ -1,0 +1,147 @@
+"""CTU reconstruction from parsed decision maps.
+
+Parity: reference TDecCu::xDecompressCU (TDecCu.cpp:336 — intra recon,
+inter MC, residual add), sharing this framework's encoder recon math
+(intra_np predictor, transform/quant inverses, MC interpolation) so the
+encoder and decoder cannot drift apart.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..core import tables
+from ..core.geometry import AvailabilityMap
+from ..core.params import SPS
+from ..core.refsamples import build_ref_vector
+from ..encoder.quadtree import cu_leaves, tu_leaves
+from ..ops import intra_np
+from ..ops.interp import mc_predict_np
+from ..ops.intra import filter_ref_samples, strong_smoothing_decision
+from ..ops.quant import dequantize_np
+from ..ops.transform import inverse_transform_np
+
+PAD = 80
+
+
+class CtuReconstructor:
+    def __init__(self, sps: SPS, slice_qp: int,
+                 ref_padded: Optional[List[np.ndarray]] = None):
+        self.sps = sps
+        self.qp = slice_qp
+        self.qp_c = tables.chroma_qp(slice_qp, sps.chroma_format_idc)
+        self.bd = sps.bit_depth_luma
+        self.w = sps.pic_width_in_luma_samples
+        self.h = sps.pic_height_in_luma_samples
+        self.ctu = sps.ctu_size
+        self.avail = AvailabilityMap(self.w, self.h, self.ctu)
+        self.ref = ref_padded
+
+    def _intra_tb(self, recon, x0, y0, size, mode, c_idx, coeffs, is_dst,
+                  luma_pos=None):
+        plane = recon[c_idx]
+        f = build_ref_vector(plane, x0, y0, size, self.avail,
+                             self.bd, luma_pos=luma_pos)
+        strong = (c_idx == 0 and self.sps.strong_intra_smoothing_enabled_flag
+                  and strong_smoothing_decision(f, size, self.bd))
+        ff = filter_ref_samples(f, size, self.bd, strong_smoothing=strong)
+        pred = intra_np.predict_mode(f, ff, mode, size, self.bd,
+                                     is_luma=(c_idx == 0))
+        if coeffs.any():
+            qp = self.qp if c_idx == 0 else self.qp_c
+            deq = dequantize_np(coeffs.astype(np.int32), size, qp, self.bd)
+            r = inverse_transform_np(deq, size, self.bd, is_dst=is_dst)
+            pred = pred + r
+        plane[y0:y0 + size, x0:x0 + size] = np.clip(
+            pred, 0, (1 << self.bd) - 1).astype(np.int16)
+
+    def _add_resid(self, recon, pred, x0, y0, size, c_idx, coeffs):
+        if coeffs.any():
+            qp = self.qp if c_idx == 0 else self.qp_c
+            deq = dequantize_np(coeffs.astype(np.int32), size, qp, self.bd)
+            pred = pred + inverse_transform_np(deq, size, self.bd)
+        recon[c_idx][y0:y0 + size, x0:x0 + size] = np.clip(
+            pred, 0, (1 << self.bd) - 1).astype(np.int16)
+
+    def recon_ctu(self, d, cx: int, cy: int, recon: List[np.ndarray]):
+        ctu_x0, ctu_y0 = cx * self.ctu, cy * self.ctu
+        min_cb = self.sps.log2_min_luma_coding_block_size_minus3 + 3
+        for (x0, y0, log2) in cu_leaves(d.cu_depth, ctu_x0, ctu_y0,
+                                        self.w, self.h,
+                                        ctu_log2=tables.log2(self.ctu),
+                                        min_cb_log2=min_cb):
+            lx, ly = x0 - ctu_x0, y0 - ctu_y0
+            if d.pred_mode[ly >> 2, lx >> 2] == 1:
+                self._recon_intra_cu(d, recon, ctu_x0, ctu_y0, x0, y0, log2)
+            else:
+                self._recon_inter_cu(d, recon, ctu_x0, ctu_y0, x0, y0, log2)
+
+    def _recon_intra_cu(self, d, recon, ctu_x0, ctu_y0, x0, y0, log2):
+        lx, ly = x0 - ctu_x0, y0 - ctu_y0
+        nxn = bool(d.nxn_flag[ly >> 2, lx >> 2])
+        cmode = int(d.chroma_mode[ly >> 2, lx >> 2])
+        for (tx, ty, tlog2, tdepth, blk) in tu_leaves(
+                d.tu_depth, x0, y0, log2, ctu_x0, ctu_y0, intra_split=nxn,
+                max_tu_depth_intra=self.sps.max_transform_hierarchy_depth_intra):
+            tsize = 1 << tlog2
+            tlx, tly = tx - ctu_x0, ty - ctu_y0
+            mode = int(d.luma_mode[tly >> 2, tlx >> 2])
+            coeffs = d.coeff_y[tly:tly + tsize, tlx:tlx + tsize]
+            self._intra_tb(recon, tx, ty, tsize, mode, 0, coeffs,
+                           is_dst=(tlog2 == 2))
+            if tlog2 > 2:
+                cs = tsize >> 1
+                ccb = d.coeff_cb[tly >> 1:(tly >> 1) + cs,
+                                 tlx >> 1:(tlx >> 1) + cs]
+                ccr = d.coeff_cr[tly >> 1:(tly >> 1) + cs,
+                                 tlx >> 1:(tlx >> 1) + cs]
+                self._intra_tb(recon, tx >> 1, ty >> 1, cs, cmode, 1, ccb,
+                               False, luma_pos=(tx, ty, 2, 2))
+                self._intra_tb(recon, tx >> 1, ty >> 1, cs, cmode, 2, ccr,
+                               False, luma_pos=(tx, ty, 2, 2))
+            elif blk == 3:
+                bx, by = tx - (1 << tlog2), ty - (1 << tlog2)
+                blx, bly = bx - ctu_x0, by - ctu_y0
+                ccb = d.coeff_cb[bly >> 1:(bly >> 1) + 4,
+                                 blx >> 1:(blx >> 1) + 4]
+                ccr = d.coeff_cr[bly >> 1:(bly >> 1) + 4,
+                                 blx >> 1:(blx >> 1) + 4]
+                self._intra_tb(recon, bx >> 1, by >> 1, 4, cmode, 1, ccb,
+                               False, luma_pos=(bx, by, 2, 2))
+                self._intra_tb(recon, bx >> 1, by >> 1, 4, cmode, 2, ccr,
+                               False, luma_pos=(bx, by, 2, 2))
+
+    def _recon_inter_cu(self, d, recon, ctu_x0, ctu_y0, x0, y0, log2):
+        size = 1 << log2
+        lx, ly = x0 - ctu_x0, y0 - ctu_y0
+        mv = (int(d.mv_x[ly >> 2, lx >> 2]), int(d.mv_y[ly >> 2, lx >> 2]))
+        pred_y = mc_predict_np(self.ref[0], PAD, mv[0], mv[1], x0, y0,
+                               size, size, self.bd, True)
+        cs = size >> 1
+        pred_cb = mc_predict_np(self.ref[1], PAD, mv[0], mv[1], x0 >> 1,
+                                y0 >> 1, cs, cs, self.bd, False)
+        pred_cr = mc_predict_np(self.ref[2], PAD, mv[0], mv[1], x0 >> 1,
+                                y0 >> 1, cs, cs, self.bd, False)
+        # residual per TU leaf (tu_depth map was filled by the parser)
+        for (tx, ty, tlog2, tdepth, blk) in tu_leaves(
+                d.tu_depth, x0, y0, log2, ctu_x0, ctu_y0, intra_split=False,
+                max_tu_depth_intra=self.sps.max_transform_hierarchy_depth_inter):
+            tsize = 1 << tlog2
+            tlx, tly = tx - ctu_x0, ty - ctu_y0
+            py = pred_y[ty - y0:ty - y0 + tsize, tx - x0:tx - x0 + tsize]
+            self._add_resid(recon, py, tx, ty, tsize, 0,
+                            d.coeff_y[tly:tly + tsize, tlx:tlx + tsize])
+            if tlog2 > 2:
+                csz = tsize >> 1
+                cyy, cxx = (ty - y0) >> 1, (tx - x0) >> 1
+                self._add_resid(
+                    recon, pred_cb[cyy:cyy + csz, cxx:cxx + csz],
+                    tx >> 1, ty >> 1, csz, 1,
+                    d.coeff_cb[tly >> 1:(tly >> 1) + csz,
+                               tlx >> 1:(tlx >> 1) + csz])
+                self._add_resid(
+                    recon, pred_cr[cyy:cyy + csz, cxx:cxx + csz],
+                    tx >> 1, ty >> 1, csz, 2,
+                    d.coeff_cr[tly >> 1:(tly >> 1) + csz,
+                               tlx >> 1:(tlx >> 1) + csz])

@@ -1,0 +1,106 @@
+"""Top-level decoder: Annex-B in, YUV frames out, hash verification.
+
+Parity: reference TDecTop (NAL-at-a-time decode state machine,
+TDecTop.cpp:698) + TDecGop::filterPicture's decoded-picture-hash
+conformance check (TDecGop.cpp:209) + TAppDecTop's output bumping.
+Supports the feature subset this framework emits (single slice per
+picture, no SAO/tiles/WPP/TMVP yet — parsers assert on unsupported tools).
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from ..core.params import PPS, SPS, VPS
+from ..core.types import SliceType
+from ..entropy import cabac
+from ..entropy.nal import nal_to_rbsp, split_annexb
+from ..ops.interp import pad_plane
+from . import headers as dh
+from .recon import PAD, CtuReconstructor
+
+
+class DecoderTop:
+    def __init__(self):
+        self.vps: Optional[VPS] = None
+        self.sps: Optional[SPS] = None
+        self.pps: Optional[PPS] = None
+        self.dpb_recon = None
+        self.hash_status: List[str] = []
+
+    def decode_stream(self, data: bytes) -> Iterator[List[np.ndarray]]:
+        """Yields decoded frames (lists of planes) in output order."""
+        pending_recon = None
+        for nal in split_annexb(data):
+            nal_type, tid, rbsp = nal_to_rbsp(nal)
+            if nal_type == 32:
+                self.vps = dh.parse_vps(rbsp)
+            elif nal_type == 33:
+                self.sps = dh.parse_sps(rbsp)
+            elif nal_type == 34:
+                self.pps = dh.parse_pps(rbsp)
+            elif nal_type == 39 or nal_type == 40:
+                digests = self._parse_hash_sei(rbsp)
+                if digests and pending_recon is not None:
+                    ok = self._check_hash(pending_recon, digests)
+                    self.hash_status.append("OK" if ok else "ERROR")
+            elif nal_type <= 21:  # VCL
+                recon = self._decode_slice(nal_type, rbsp)
+                if pending_recon is not None:
+                    yield pending_recon
+                pending_recon = recon
+        if pending_recon is not None:
+            yield pending_recon
+
+    # ------------------------------------------------------------------
+    def _parse_hash_sei(self, rbsp: bytes):
+        if len(rbsp) < 2 or rbsp[0] != 132:
+            return None
+        size = rbsp[1]
+        if rbsp[2] != 0:  # not MD5
+            return None
+        body = rbsp[3:3 + size - 1]
+        return [body[i:i + 16] for i in range(0, len(body), 16)]
+
+    def _check_hash(self, planes, digests) -> bool:
+        for p, dg in zip(planes, digests):
+            if hashlib.md5(np.ascontiguousarray(
+                    p.astype(np.uint8)).tobytes()).digest() != dg:
+                return False
+        return True
+
+    def _decode_slice(self, nal_type: int, rbsp: bytes):
+        sps, pps = self.sps, self.pps
+        sh, offset = dh.parse_slice_header(rbsp, nal_type, sps, pps)
+        slice_data = rbsp[offset:]
+        sp = cabac.make_slice_params(
+            sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples,
+            sh.slice_qp, slice_type=int(sh.slice_type),
+            ctu_size=sps.ctu_size,
+            max_tu_depth_intra=sps.max_transform_hierarchy_depth_intra,
+            sign_hiding=pps.sign_data_hiding_enabled_flag,
+            max_merge_cand=5 - sh.five_minus_max_num_merge_cand,
+            num_ref_l0=max(1, sh.num_ref_idx_active[0]))
+        sdec = cabac.SliceDataDecoder(sp, slice_data)
+        w, h = sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples
+        recon = [np.zeros((h, w), np.int16),
+                 np.zeros((h // 2, w // 2), np.int16),
+                 np.zeros((h // 2, w // 2), np.int16)]
+        ref_padded = None
+        if sh.slice_type != SliceType.I:
+            assert self.dpb_recon is not None, "missing reference picture"
+            ref_padded = [pad_plane(p, PAD) for p in self.dpb_recon]
+        rc = CtuReconstructor(sps, sh.slice_qp, ref_padded)
+        ctus_w = sps.pic_width_in_ctus
+        ctus_h = sps.pic_height_in_ctus
+        for cy in range(ctus_h):
+            for cx in range(ctus_w):
+                d, eos = sdec.decode_ctu(cx, cy)
+                rc.recon_ctu(d, cx, cy, recon)
+                expect_eos = (cy == ctus_h - 1) and (cx == ctus_w - 1)
+                assert eos == (1 if expect_eos else 0), \
+                    f"end_of_slice mismatch at CTU {cx},{cy}"
+        self.dpb_recon = recon
+        return recon

@@ -61,3 +61,24 @@ def test_lowdelay_p_conformance(tmp_path, intra_period, frames):
     assert rec.read_bytes() == dec.read_bytes()
     if intra_period == -1:
         assert out.stdout.count("P-SLICE") == frames - 1
+
+
+def test_own_decoder_matches_reference_decoder(tmp_path):
+    w, h, frames = 128, 80, 4
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    bs = tmp_path / "o.bin"
+    from hevc_tpu.cli.encode import main as enc_main
+    enc_main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+              str(frames), "-q", "32", "--IntraPeriod=-1", "-b", str(bs),
+              "-o", str(tmp_path / "r.yuv")])
+    # our decoder
+    from hevc_tpu.cli.decode import main as dec_main
+    rc = dec_main(["-b", str(bs), "-o", str(tmp_path / "ours.yuv")])
+    assert rc == 0  # all hashes OK
+    # reference decoder
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o",
+                          str(tmp_path / "hm.yuv")], capture_output=True)
+    assert out.returncode == 0
+    assert (tmp_path / "ours.yuv").read_bytes() == \
+        (tmp_path / "hm.yuv").read_bytes()
