@@ -28,6 +28,24 @@ __version__ = "0.1.0"
 # compile-heavy; cache them across processes (first run pays, rest reuse).
 import os as _os
 
-_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                       _os.path.expanduser("~/.cache/hevc_tpu_jax"))
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+import jax as _jax
+
+# Explicit platform pin (the axon PJRT plugin can override the JAX_PLATFORMS
+# environment variable; the config API always wins). Set HEVC_TPU_PLATFORM to
+# "cpu" or "tpu"/"axon" to pin; unset keeps jax's default.
+_plat = _os.environ.get("HEVC_TPU_PLATFORM") or _os.environ.get(
+    "JAX_PLATFORMS")
+if _plat:
+    try:
+        _jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
+
+_cache_dir = _os.path.expanduser("~/.cache/hevc_tpu_jax")
+_os.makedirs(_cache_dir, exist_ok=True)
+_jax.config.update("jax_compilation_cache_dir", _cache_dir)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+try:
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass

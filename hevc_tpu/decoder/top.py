@@ -95,12 +95,20 @@ class DecoderTop:
         rc = CtuReconstructor(sps, sh.slice_qp, ref_padded)
         ctus_w = sps.pic_width_in_ctus
         ctus_h = sps.pic_height_in_ctus
+        decisions = []
         for cy in range(ctus_h):
             for cx in range(ctus_w):
                 d, eos = sdec.decode_ctu(cx, cy)
                 rc.recon_ctu(d, cx, cy, recon)
+                decisions.append(d)
                 expect_eos = (cy == ctus_h - 1) and (cx == ctus_w - 1)
                 assert eos == (1 if expect_eos else 0), \
                     f"end_of_slice mismatch at CTU {cx},{cy}"
+        if not pps.pps_deblocking_filter_disabled_flag:
+            from ..ops import deblock
+            dmaps = deblock.build_maps(decisions, sps)
+            deblock.deblock_frame(recon, dmaps, sh.slice_qp, sps,
+                                  pps.pps_beta_offset_div2,
+                                  pps.pps_tc_offset_div2)
         self.dpb_recon = recon
         return recon

@@ -93,11 +93,18 @@ class PFrameEncoder(IntraFrameEncoder):
             areas = np.concatenate([areas, np.zeros((bucket - n,) + areas.shape[1:], np.int32)])
         zeros = np.zeros(bucket, np.int32)
         mins = np.full(bucket, -R, np.int32)
-        mv_y, mv_x, cost, sad = me.full_search_batch(
-            blks, areas, mins, mins, zeros, zeros, self.lam_fp,
-            h=size, w=size, ny=2 * R + 1, nx=2 * R + 1)
-        mv_y, mv_x = np.asarray(mv_y), np.asarray(mv_x)
-        sad = np.asarray(sad)
+        import jax
+        if jax.default_backend() == "cpu":
+            # XLA-CPU executes/compiles the big search graphs pathologically
+            # on this host class; the vectorized numpy twin is fast there.
+            mv_y, mv_x, cost, sad = me.full_search_batch_np(
+                blks, areas, mins, mins, zeros, zeros, self.lam_fp)
+        else:
+            mv_y, mv_x, cost, sad = me.full_search_batch(
+                blks, areas, mins, mins, zeros, zeros, self.lam_fp,
+                h=size, w=size, ny=2 * R + 1, nx=2 * R + 1)
+            mv_y, mv_x = np.asarray(mv_y), np.asarray(mv_x)
+            sad = np.asarray(sad)
         return {p: (int(mv_x[i]), int(mv_y[i]), int(sad[i]))
                 for i, p in enumerate(pos)}
 

@@ -33,14 +33,10 @@ class EncoderTop:
             sample_adaptive_offset_enabled_flag=0,   # SAO syntax: next stage
         )
         self.vps = VPS()
-        self.pps = PPS(
-            init_qp_minus26=cfg.qp - 26,
-            # deblocking runs as a separate stage; until it lands the
-            # bitstream signals deblocking disabled so recon == conformance
-            deblocking_filter_control_present_flag=1,
-            deblocking_filter_override_enabled_flag=0,
-            pps_deblocking_filter_disabled_flag=1,
-        )
+        self.pps = PPS(init_qp_minus26=cfg.qp - 26)
+        if cfg.deblock_disable:
+            self.pps.deblocking_filter_control_present_flag = 1
+            self.pps.pps_deblocking_filter_disabled_flag = 1
         # low-delay reference structure: one RPS referring to the previous
         # picture (parity: TEncTop::xInitRPS for the default LD config)
         self.sps.short_term_rps = [ShortTermRPS(delta_pocs=[-1],
@@ -99,6 +95,13 @@ class EncoderTop:
                 i += 1
         slice_rbsp = headers.write_slice_header(sh, self.sps, self.pps) \
             + senc.get_bytes()
+
+        # in-loop deblocking (normative; filtered picture is the hash
+        # target and the reference for subsequent frames)
+        if not self.pps.pps_deblocking_filter_disabled_flag:
+            from ..ops import deblock
+            dmaps = deblock.build_maps(decisions, self.sps)
+            deblock.deblock_frame(recon, dmaps, cfg.qp, self.sps)
 
         nals = []
         firsts = []

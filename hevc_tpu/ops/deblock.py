@@ -1,0 +1,273 @@
+"""Deblocking filter (spec 8.7.2), vectorized over all edges of a frame.
+
+Parity: reference TComLoopFilter.{h,cpp} (loopFilterPic:130, boundary
+strength :417, luma/chroma edge filters :560,679). The reference walks CU by
+CU; since HEVC's 8-sample edge spacing makes every same-direction edge
+independent, this implementation filters ALL vertical edges of the picture
+in one vectorized pass, then all horizontal edges — the natural
+device-friendly formulation.
+
+Shared by encoder and decoder (in-loop: the filtered picture is the
+reference and the hash target).
+"""
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from ..core import tables
+
+TC_TABLE = np.array([
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 5, 5, 6, 6, 7, 8,
+    9, 10, 11, 13, 14, 16, 18, 20, 22, 24], dtype=np.int32)
+BETA_TABLE = np.array([
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 7, 8, 9, 10,
+    11, 12, 13, 14, 15, 16, 17, 18, 20, 22, 24, 26, 28, 30, 32, 34, 36,
+    38, 40, 42, 44, 46, 48, 50, 52, 54, 56, 58, 60, 62, 64], dtype=np.int32)
+
+
+class DeblockMaps:
+    """Per-4x4 edge flags and boundary-strength inputs for one frame.
+
+    Built from the frame's decision maps (encoder) or parse maps (decoder):
+    edge_v[by, bx]: a vertical TU/PU/CU boundary runs along the LEFT side of
+    4x4 block (bx, by); edge_h: along its TOP. is_intra/nz/mv/ref per 4x4.
+    """
+
+    def __init__(self, h4: int, w4: int):
+        self.edge_v = np.zeros((h4, w4), bool)
+        self.edge_h = np.zeros((h4, w4), bool)
+        self.is_intra = np.zeros((h4, w4), bool)
+        self.nz = np.zeros((h4, w4), bool)
+        self.mvx = np.zeros((h4, w4), np.int32)
+        self.mvy = np.zeros((h4, w4), np.int32)
+        self.ref = np.full((h4, w4), -1, np.int32)
+
+
+def build_maps(decisions, sps) -> DeblockMaps:
+    """Derive deblocking maps from per-CTU decision maps."""
+    from ..encoder.quadtree import cu_leaves, tu_leaves
+    w, h = sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples
+    ctu = sps.ctu_size
+    m = DeblockMaps((h + 3) >> 2, (w + 3) >> 2)
+    ctus_w = -(-w // ctu)
+    min_cb = sps.log2_min_luma_coding_block_size_minus3 + 3
+    for i, d in enumerate(decisions):
+        cy, cx = divmod(i, ctus_w)
+        x0c, y0c = cx * ctu, cy * ctu
+        n4 = ctu // 4
+        bx0, by0 = x0c >> 2, y0c >> 2
+        h4 = min(n4, m.is_intra.shape[0] - by0)
+        w4 = min(n4, m.is_intra.shape[1] - bx0)
+        m.is_intra[by0:by0 + h4, bx0:bx0 + w4] = \
+            d.pred_mode[:h4, :w4] == 1
+        m.mvx[by0:by0 + h4, bx0:bx0 + w4] = d.mv_x[:h4, :w4]
+        m.mvy[by0:by0 + h4, bx0:bx0 + w4] = d.mv_y[:h4, :w4]
+        m.ref[by0:by0 + h4, bx0:bx0 + w4] = np.where(
+            d.pred_mode[:h4, :w4] == 1, -1, d.ref_idx[:h4, :w4])
+        for (x0, y0, log2) in cu_leaves(d.cu_depth, x0c, y0c, w, h,
+                                        ctu_log2=tables.log2(ctu),
+                                        min_cb_log2=min_cb):
+            intra = d.pred_mode[(y0 - y0c) >> 2, (x0 - x0c) >> 2] == 1
+            nxn = bool(d.nxn_flag[(y0 - y0c) >> 2, (x0 - x0c) >> 2])
+            maxd = (sps.max_transform_hierarchy_depth_intra if intra
+                    else sps.max_transform_hierarchy_depth_inter)
+            size = 1 << log2
+            # CU (== PU for 2Nx2N) boundary edges
+            m.edge_v[y0 >> 2:(y0 + size) >> 2, x0 >> 2] = True
+            m.edge_h[y0 >> 2, x0 >> 2:(x0 + size) >> 2] = True
+            for (tx, ty, tlog2, tdepth, blk) in tu_leaves(
+                    d.tu_depth, x0, y0, log2, x0c, y0c,
+                    intra_split=(intra and nxn),
+                    max_tu_depth_intra=maxd):
+                ts = 1 << tlog2
+                m.edge_v[ty >> 2:(ty + ts) >> 2, tx >> 2] = True
+                m.edge_h[ty >> 2, tx >> 2:(tx + ts) >> 2] = True
+                tl = d.coeff_y[ty - y0c:ty - y0c + ts,
+                               tx - x0c:tx - x0c + ts]
+                if tl.any():
+                    m.nz[ty >> 2:(ty + ts) >> 2,
+                         tx >> 2:(tx + ts) >> 2] = True
+    # picture boundaries are never filtered
+    m.edge_v[:, 0] = False
+    m.edge_h[0, :] = False
+    return m
+
+
+def _boundary_strength(m: DeblockMaps, vertical: bool) -> np.ndarray:
+    """BS per 4x4 block edge (spec 8.7.2.4). For the edge on the left/top of
+    block (by,bx): P = neighbour block, Q = this block."""
+    if vertical:
+        q = (slice(None), slice(1, None))
+        p = (slice(None), slice(0, -1))
+        edge = m.edge_v[:, 1:]
+    else:
+        q = (slice(1, None), slice(None))
+        p = (slice(0, -1), slice(None))
+        edge = m.edge_h[1:, :]
+    bs = np.zeros_like(edge, dtype=np.int32)
+    intra = m.is_intra[p] | m.is_intra[q]
+    nzpq = m.nz[p] | m.nz[q]
+    refdiff = m.ref[p] != m.ref[q]
+    mvdiff = ((np.abs(m.mvx[p] - m.mvx[q]) >= 4)
+              | (np.abs(m.mvy[p] - m.mvy[q]) >= 4))
+    bs = np.where(intra, 2, np.where(nzpq | refdiff | mvdiff, 1, 0))
+    bs = np.where(edge, bs, 0)
+    # re-embed at full grid (edge at left/top of block index >= 1)
+    full = np.zeros(m.edge_v.shape, np.int32)
+    if vertical:
+        full[:, 1:] = bs
+    else:
+        full[1:, :] = bs
+    return full
+
+
+def _filter_luma_dir(y: np.ndarray, bs4: np.ndarray, qp: int, bd: int,
+                     beta_off: int, tc_off: int, vertical: bool) -> None:
+    """Filter all vertical (or horizontal) luma edges in place.
+    bs4: per-4x4 BS grid. For horizontal edges the plane is transposed so
+    one code path serves both directions."""
+    if not vertical:
+        y = y.T  # view: in-place writes go through
+        bs4 = bs4.T
+    h, w = y.shape
+    scale = 1 << (bd - 8)
+    maxv = (1 << bd) - 1
+    # candidate edges: columns multiple of 8, per 4-row segment
+    segs = []  # (x, ys, bs)
+    cols = range(8, w, 8)
+    for x in cols:
+        col_bs = bs4[:, x >> 2]
+        rows = np.nonzero(col_bs > 0)[0]
+        for by in rows:
+            segs.append((x, by * 4, int(col_bs[by])))
+    if not segs:
+        return
+    xs = np.array([s[0] for s in segs])
+    ys = np.array([s[1] for s in segs])
+    bss = np.array([s[2] for s in segs])
+    n = len(segs)
+    # gather 4x8 patches [n, 4, 8]: rows ys..ys+3, cols xs-4..xs+3
+    row_idx = ys[:, None, None] + np.arange(4)[None, :, None]
+    col_idx = xs[:, None, None] + np.arange(-4, 4)[None, None, :]
+    patch = y[row_idx, col_idx].astype(np.int64)
+    p3, p2, p1, p0 = patch[..., 0], patch[..., 1], patch[..., 2], patch[..., 3]
+    q0, q1, q2, q3 = patch[..., 4], patch[..., 5], patch[..., 6], patch[..., 7]
+
+    qidx_b = np.clip(qp + (beta_off << 1), 0, 51)
+    beta = int(BETA_TABLE[qidx_b]) * scale
+    qidx_t = np.clip(qp + 2 * (bss - 1) + (tc_off << 1), 0, 53)
+    tc = TC_TABLE[qidx_t] * scale                        # [n]
+
+    dp = np.abs(p2 - 2 * p1 + p0)                        # [n, 4]
+    dq = np.abs(q2 - 2 * q1 + q0)
+    dp0, dp3 = dp[:, 0], dp[:, 3]
+    dq0, dq3 = dq[:, 0], dq[:, 3]
+    d = dp0 + dq0 + dp3 + dq3
+    do_filter = d < beta                                  # [n]
+
+    # strong/weak decision per segment (lines 0 and 3; spec 8.7.2.5.3)
+    def sdec(i):
+        return ((2 * (dp[:, i] + dq[:, i]) < (beta >> 2))
+                & ((np.abs(p3[:, i] - p0[:, i])
+                    + np.abs(q0[:, i] - q3[:, i])) < (beta >> 3))
+                & (np.abs(p0[:, i] - q0[:, i]) < ((5 * tc + 1) >> 1)))
+    strong = do_filter & sdec(0) & sdec(3)
+    weak = do_filter & ~strong
+
+    tc_ = tc[:, None]
+    # ---- strong filter ----
+    sp0 = np.clip((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                  p0 - 2 * tc_, p0 + 2 * tc_)
+    sp1 = np.clip((p2 + p1 + p0 + q0 + 2) >> 2, p1 - 2 * tc_, p1 + 2 * tc_)
+    sp2 = np.clip((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3,
+                  p2 - 2 * tc_, p2 + 2 * tc_)
+    sq0 = np.clip((p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3,
+                  q0 - 2 * tc_, q0 + 2 * tc_)
+    sq1 = np.clip((p0 + q0 + q1 + q2 + 2) >> 2, q1 - 2 * tc_, q1 + 2 * tc_)
+    sq2 = np.clip((p0 + q0 + q1 + 3 * q2 + 2 * q3 + 4) >> 3,
+                  q2 - 2 * tc_, q2 + 2 * tc_)
+
+    # ---- weak filter ----
+    delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4     # [n, 4]
+    wf = weak[:, None] & (np.abs(delta) < (tc_ * 10))
+    dlt = np.clip(delta, -tc_, tc_)
+    wp0 = np.clip(p0 + dlt, 0, maxv)
+    wq0 = np.clip(q0 - dlt, 0, maxv)
+    side_thr = (beta + (beta >> 1)) >> 3
+    filt_p1 = (dp0 + dp3) < side_thr                      # [n]
+    filt_q1 = (dq0 + dq3) < side_thr
+    tch = tc_ >> 1
+    dp1 = np.clip((((p2 + p0 + 1) >> 1) - p1 + dlt) >> 1, -tch, tch)
+    dq1 = np.clip((((q2 + q0 + 1) >> 1) - q1 - dlt) >> 1, -tch, tch)
+    wp1 = np.clip(p1 + dp1, 0, maxv)
+    wq1 = np.clip(q1 + dq1, 0, maxv)
+
+    st = strong[:, None]
+    out_p0 = np.where(st, sp0, np.where(wf, wp0, p0))
+    out_p1 = np.where(st, sp1,
+                      np.where(wf & filt_p1[:, None], wp1, p1))
+    out_p2 = np.where(st, sp2, p2)
+    out_q0 = np.where(st, sq0, np.where(wf, wq0, q0))
+    out_q1 = np.where(st, sq1,
+                      np.where(wf & filt_q1[:, None], wq1, q1))
+    out_q2 = np.where(st, sq2, q2)
+
+    out = patch.copy()
+    out[..., 1] = out_p2
+    out[..., 2] = out_p1
+    out[..., 3] = out_p0
+    out[..., 4] = out_q0
+    out[..., 5] = out_q1
+    out[..., 6] = out_q2
+    y[row_idx, col_idx] = out.astype(y.dtype)
+
+
+def _filter_chroma_dir(c: np.ndarray, bs4: np.ndarray, qp_c: int, bd: int,
+                       tc_off: int, vertical: bool) -> None:
+    """Chroma edges: 8-chroma-sample grid, BS==2 only, 2-line granularity
+    matching the luma segment grid (spec 8.7.2.5.5)."""
+    if not vertical:
+        c = c.T
+        bs4 = bs4.T
+    h, w = c.shape
+    scale = 1 << (bd - 8)
+    maxv = (1 << bd) - 1
+    segs = []
+    for x in range(8, w, 8):          # chroma x -> luma 2x (multiple of 16)
+        col_bs = bs4[:, x >> 1]       # luma 4x4 col index = 2x/4
+        for by in range(bs4.shape[0]):
+            if col_bs[by] == 2:
+                segs.append((x, by * 2))  # 2 chroma rows per luma segment
+    if not segs:
+        return
+    xs = np.array([s[0] for s in segs])
+    ys = np.array([s[1] for s in segs])
+    row_idx = ys[:, None, None] + np.arange(2)[None, :, None]
+    col_idx = xs[:, None, None] + np.arange(-2, 2)[None, None, :]
+    patch = c[row_idx, col_idx].astype(np.int64)
+    p1, p0, q0, q1 = (patch[..., 0], patch[..., 1],
+                      patch[..., 2], patch[..., 3])
+    tc = int(TC_TABLE[np.clip(qp_c + 2 + (tc_off << 1), 0, 53)]) * scale
+    delta = np.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
+    patch[..., 1] = np.clip(p0 + delta, 0, maxv)
+    patch[..., 2] = np.clip(q0 - delta, 0, maxv)
+    c[row_idx, col_idx] = patch.astype(c.dtype)
+
+
+def deblock_frame(recon: List[np.ndarray], maps: DeblockMaps, qp: int,
+                  sps, beta_off: int = 0, tc_off: int = 0) -> None:
+    """In-place deblocking of a reconstructed frame (both directions)."""
+    bd = sps.bit_depth_luma
+    bs_v = _boundary_strength(maps, vertical=True)
+    bs_h = _boundary_strength(maps, vertical=False)
+    qp_c = tables.chroma_qp(qp, sps.chroma_format_idc)
+    # vertical edges first (normative order), then horizontal
+    _filter_luma_dir(recon[0], bs_v, qp, bd, beta_off, tc_off, True)
+    _filter_chroma_dir(recon[1], bs_v, qp_c, bd, tc_off, True)
+    _filter_chroma_dir(recon[2], bs_v, qp_c, bd, tc_off, True)
+    _filter_luma_dir(recon[0], bs_h, qp, bd, beta_off, tc_off, False)
+    _filter_chroma_dir(recon[1], bs_h, qp_c, bd, tc_off, False)
+    _filter_chroma_dir(recon[2], bs_h, qp_c, bd, tc_off, False)

@@ -94,3 +94,20 @@ def test_full_search_matches_oracle(seed):
     got = me.full_search(blk, area, -4, -4, 2, -3, lam, h=h, w=w, ny=ny, nx=nx)
     exp = me.full_search_np(blk, area, -4, -4, 2, -3, lam)
     assert (int(got[0]), int(got[1]), int(got[2]), int(got[3])) == exp
+
+
+def test_full_search_batch_np_matches_oracle():
+    rng = np.random.default_rng(9)
+    n, h, w, R = 5, 16, 16, 4
+    blks = rng.integers(0, 256, size=(n, h, w)).astype(np.int32)
+    areas = rng.integers(0, 256, size=(n, h + 2 * R, w + 2 * R)
+                         ).astype(np.int32)
+    mins = np.full(n, -R, np.int32)
+    py = rng.integers(-8, 8, n).astype(np.int32)
+    px = rng.integers(-8, 8, n).astype(np.int32)
+    got = me.full_search_batch_np(blks, areas, mins, mins, py, px, 40000)
+    for i in range(n):
+        exp = me.full_search_np(blks[i], areas[i], -R, -R, int(py[i]),
+                                int(px[i]), 40000)
+        assert (int(got[0][i]), int(got[1][i]), int(got[2][i]),
+                int(got[3][i])) == exp
