@@ -17,7 +17,7 @@ from ..core.params import SPS
 from ..core.refsamples import build_ref_vector
 from ..encoder.quadtree import cu_leaves, tu_leaves
 from ..ops import intra_np
-from ..ops.interp import mc_predict_np
+from ..ops.interp import mc_predict_bi_np, mc_predict_np
 from ..ops.intra import filter_ref_samples, strong_smoothing_decision
 from ..ops.quant import dequantize_np
 from ..ops.transform import inverse_transform_np
@@ -115,14 +115,30 @@ class CtuReconstructor:
     def _recon_inter_cu(self, d, recon, ctu_x0, ctu_y0, x0, y0, log2):
         size = 1 << log2
         lx, ly = x0 - ctu_x0, y0 - ctu_y0
-        mv = (int(d.mv_x[ly >> 2, lx >> 2]), int(d.mv_y[ly >> 2, lx >> 2]))
-        pred_y = mc_predict_np(self.ref[0], PAD, mv[0], mv[1], x0, y0,
-                               size, size, self.bd, True)
+        bi, bj = ly >> 2, lx >> 2
+        mv = (int(d.mv_x[bi, bj]), int(d.mv_y[bi, bj]))
+        r0 = int(d.ref_idx[bi, bj])
+        r1 = int(d.ref_idx1[bi, bj])
+        mv1 = (int(d.mv_x1[bi, bj]), int(d.mv_y1[bi, bj]))
         cs = size >> 1
-        pred_cb = mc_predict_np(self.ref[1], PAD, mv[0], mv[1], x0 >> 1,
-                                y0 >> 1, cs, cs, self.bd, False)
-        pred_cr = mc_predict_np(self.ref[2], PAD, mv[0], mv[1], x0 >> 1,
-                                y0 >> 1, cs, cs, self.bd, False)
+        if r0 >= 0 and r1 >= 0:  # bi-prediction (both refs = DPB pictures;
+            # low-delay single-ref: both lists resolve to self.ref)
+            pred_y = mc_predict_bi_np(self.ref[0], self.ref[0], PAD, mv, mv1,
+                                      x0, y0, size, size, self.bd, True)
+            pred_cb = mc_predict_bi_np(self.ref[1], self.ref[1], PAD, mv,
+                                       mv1, x0 >> 1, y0 >> 1, cs, cs,
+                                       self.bd, False)
+            pred_cr = mc_predict_bi_np(self.ref[2], self.ref[2], PAD, mv,
+                                       mv1, x0 >> 1, y0 >> 1, cs, cs,
+                                       self.bd, False)
+        else:
+            umv = mv if r0 >= 0 else mv1
+            pred_y = mc_predict_np(self.ref[0], PAD, umv[0], umv[1], x0, y0,
+                                   size, size, self.bd, True)
+            pred_cb = mc_predict_np(self.ref[1], PAD, umv[0], umv[1],
+                                    x0 >> 1, y0 >> 1, cs, cs, self.bd, False)
+            pred_cr = mc_predict_np(self.ref[2], PAD, umv[0], umv[1],
+                                    x0 >> 1, y0 >> 1, cs, cs, self.bd, False)
         # residual per TU leaf (tu_depth map was filled by the parser)
         for (tx, ty, tlog2, tdepth, blk) in tu_leaves(
                 d.tu_depth, x0, y0, log2, ctu_x0, ctu_y0, intra_split=False,

@@ -75,6 +75,19 @@ class DecoderTop:
         sps, pps = self.sps, self.pps
         sh, offset = dh.parse_slice_header(rbsp, nal_type, sps, pps)
         slice_data = rbsp[offset:]
+        ref_pocs_l0 = []
+        ref_pocs_l1 = []
+        if sh.slice_type != SliceType.I and sh.rps is not None:
+            negs = sorted([d for d, u in zip(sh.rps.delta_pocs,
+                                             sh.rps.used_flags)
+                           if d < 0 and u], reverse=True)
+            poss = sorted([d for d, u in zip(sh.rps.delta_pocs,
+                                             sh.rps.used_flags)
+                           if d > 0 and u])
+            # default list construction (spec 8.3.4): L0 = negatives then
+            # positives; L1 = positives then negatives
+            ref_pocs_l0 = [sh.poc + d for d in (negs + poss)]
+            ref_pocs_l1 = [sh.poc + d for d in (poss + negs)]
         sp = cabac.make_slice_params(
             sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples,
             sh.slice_qp, slice_type=int(sh.slice_type),
@@ -82,7 +95,11 @@ class DecoderTop:
             max_tu_depth_intra=sps.max_transform_hierarchy_depth_intra,
             sign_hiding=pps.sign_data_hiding_enabled_flag,
             max_merge_cand=5 - sh.five_minus_max_num_merge_cand,
-            num_ref_l0=max(1, sh.num_ref_idx_active[0]))
+            num_ref_l0=max(1, sh.num_ref_idx_active[0]),
+            num_ref_l1=sh.num_ref_idx_active[1]
+            if sh.slice_type == SliceType.B else 0,
+            mvd_l1_zero=sh.mvd_l1_zero_flag,
+            ref_poc_l0=ref_pocs_l0[:16], ref_poc_l1=ref_pocs_l1[:16])
         sdec = cabac.SliceDataDecoder(sp, slice_data)
         w, h = sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples
         recon = [np.zeros((h, w), np.int16),
@@ -106,7 +123,11 @@ class DecoderTop:
                     f"end_of_slice mismatch at CTU {cx},{cy}"
         if not pps.pps_deblocking_filter_disabled_flag:
             from ..ops import deblock
-            dmaps = deblock.build_maps(decisions, sps)
+            nl0 = max(1, sh.num_ref_idx_active[0])
+            nl1 = sh.num_ref_idx_active[1]
+            dmaps = deblock.build_maps(
+                decisions, sps,
+                (ref_pocs_l0[:nl0], ref_pocs_l1[:nl1]))
             deblock.deblock_frame(recon, dmaps, sh.slice_qp, sps,
                                   pps.pps_beta_offset_div2,
                                   pps.pps_tc_offset_div2)

@@ -22,7 +22,7 @@ import numpy as np
 from ..core import tables
 from ..entropy.cabac import CtuDecisions, SliceDataEncoder
 from ..ops import me
-from ..ops.interp import mc_predict_np, pad_plane
+from ..ops.interp import mc_predict_bi_np, mc_predict_np, pad_plane
 from ..ops.quant import dequantize_np, quantize_np
 from ..ops.transform import forward_transform_np, inverse_transform_np
 from .intra_frame import IntraFrameEncoder, satd_many
@@ -32,11 +32,18 @@ PAD = 80
 
 
 class PFrameEncoder(IntraFrameEncoder):
+    """Low-delay inter frame encoder. With is_b=True it codes a generalized
+    B slice whose two lists reference the same (previous) picture, matching
+    the lowdelay_main configuration; bi-prediction then enters through the
+    combined merge candidates."""
+
     def __init__(self, sps, qp: int, ref_planes: List[np.ndarray],
-                 search_range: int = 16):
+                 search_range: int = 16, qp_factor: float = 0.4624,
+                 is_b: bool = False):
+        self.is_b = is_b
         super().__init__(sps, qp)
-        # P-slice lambda (HM qp-factor ~0.4624 for low-delay GOP entries)
-        self.lam = 0.4624 * (2.0 ** ((qp - 12) / 3.0))
+        # P-slice lambda (HM qp-factor from the GOP table row)
+        self.lam = qp_factor * (2.0 ** ((qp - 12) / 3.0))
         self.sqrt_lam = math.sqrt(self.lam)
         self.lam_fp = int(65536.0 * self.sqrt_lam)  # reference setLambda
         self.search_range = search_range
@@ -131,8 +138,40 @@ class PFrameEncoder(IntraFrameEncoder):
                 decisions.append(d)
         return decisions, recon
 
+    def _merge_pred(self, l0, l1, x0, y0, size):
+        mv0, r0 = l0
+        mv1, r1 = l1
+        if r0 >= 0 and r1 >= 0:
+            return mc_predict_bi_np(self.ref[0], self.ref[0], PAD, mv0, mv1,
+                                    x0, y0, size, size, self.bd, True)
+        mv = mv0 if r0 >= 0 else mv1
+        return mc_predict_np(self.ref[0], PAD, mv[0], mv[1], x0, y0,
+                             size, size, self.bd, True)
+
+    def _frac_refine(self, orig_y, x0, y0, size, mv_q):
+        """Half- then quarter-pel 9-point SATD refinement around mv_q."""
+        o = orig_y.astype(np.int64)
+
+        def cost(mv):
+            pred = mc_predict_np(self.ref[0], PAD, mv[0], mv[1], x0, y0,
+                                 size, size, self.bd, True)
+            return int(satd_many((o - pred)[None])[0])
+
+        best, best_c = mv_q, cost(mv_q)
+        for step in (2, 1):
+            center = best
+            for dy in (-step, 0, step):
+                for dx in (-step, 0, step):
+                    if dx == 0 and dy == 0:
+                        continue
+                    mv = (center[0] + dx, center[1] + dy)
+                    c = cost(mv)
+                    if c < best_c:
+                        best, best_c = mv, c
+        return best
+
     def _set_inter_maps(self, d, bx, by, nb, *, skip, merge_f, merge_i,
-                        mvp_f, mv, mvd, ref):
+                        mvp_f, mv, mvd, ref, mv1=(0, 0), ref1=-1):
         sl = (slice(by, by + nb), slice(bx, bx + nb))
         d.pred_mode[sl] = 0
         d.skip_flag[sl] = skip
@@ -142,6 +181,8 @@ class PFrameEncoder(IntraFrameEncoder):
         d.ref_idx[sl] = ref
         d.mvd_x[sl], d.mvd_y[sl] = mvd
         d.mv_x[sl], d.mv_y[sl] = mv
+        d.ref_idx1[sl] = ref1
+        d.mv_x1[sl], d.mv_y1[sl] = mv1
 
     def _encode_cu_p(self, orig, recon, mode_map, d, ctu_x0, ctu_y0,
                      x0, y0, log2):
@@ -157,27 +198,31 @@ class PFrameEncoder(IntraFrameEncoder):
             self.senc.publish_cu(x0, y0, log2, True)
             return
 
-        # ---- merge candidates ----
+        # ---- merge candidates (uni or bi) ----
         cands = self.senc.merge_cands(x0, y0, size)
         merge_best = None
         seen = set()
-        for idx, (mv, ref) in enumerate(cands):
-            if (mv, ref) in seen:
+        for idx, (l0, l1) in enumerate(cands):
+            key = (l0, l1)
+            if key in seen:
                 continue
-            seen.add((mv, ref))
-            pred = mc_predict_np(self.ref[0], PAD, mv[0], mv[1], x0, y0,
-                                 size, size, self.bd, True)
+            seen.add(key)
+            pred = self._merge_pred(l0, l1, x0, y0, size)
             cost = int(satd_many((orig_y.astype(np.int64) - pred)[None])[0])
             cost += int(self.sqrt_lam * (idx + 1) + 0.5)
             if merge_best is None or cost < merge_best[0]:
-                merge_best = (cost, idx, mv, ref, pred)
+                merge_best = (cost, idx, l0, l1, pred)
 
         # ---- AMVP + integer MV from the frame-batched device search ----
-        amvp = self.senc.amvp_cands(x0, y0, size, 0)
+        amvp = self.senc.amvp_cands(x0, y0, size, 0, 0)
         me_hit = self._me.get((x0, y0))
         if me_hit is not None:
             mv_x, mv_y, sad = me_hit
-            mv_int = (mv_x << 2, mv_y << 2)
+            # fractional refinement: half-pel 8-neighbour + quarter-pel
+            # 8-neighbour SATD search (reference xPatternSearchFracDIF:4294
+            # with HadamardME). Interpolated predictions via the MC filters.
+            mv_int = self._frac_refine(orig_y, x0, y0, size,
+                                       (mv_x << 2, mv_y << 2))
             bits0 = (me.mv_bits_np(mv_int[0] - amvp[0][0])
                      + me.mv_bits_np(mv_int[1] - amvp[0][1]))
             bits1 = (me.mv_bits_np(mv_int[0] - amvp[1][0])
@@ -220,18 +265,28 @@ class PFrameEncoder(IntraFrameEncoder):
             return
 
         if best == merge_best[0]:
-            _, mi_idx, mv, ref, pred_y = merge_best
+            _, mi_idx, l0, l1, pred_y = merge_best
+            mv, ref = l0
+            mv1, ref1 = l1
         else:
             mi_idx, mv, ref, pred_y = -1, mv_int, 0, pred_inter
+            mv1, ref1 = (0, 0), -1
 
         # residual for the whole CU (TU == CU)
         qp_c = tables.chroma_qp(self.qp, self.sps.chroma_format_idc)
-        pcb = mc_predict_np(self.ref[1], PAD, mv[0], mv[1], x0 >> 1, y0 >> 1,
-                            size >> 1, size >> 1, self.bd, False)
-        pcr = mc_predict_np(self.ref[2], PAD, mv[0], mv[1], x0 >> 1, y0 >> 1,
-                            size >> 1, size >> 1, self.bd, False)
-        lv_y, rec_y = self._code_inter_tb(orig_y, pred_y, size, self.qp)
         cxx, cyy, cs = x0 >> 1, y0 >> 1, size >> 1
+        if ref >= 0 and ref1 >= 0:
+            pcb = mc_predict_bi_np(self.ref[1], self.ref[1], PAD, mv, mv1,
+                                   cxx, cyy, cs, cs, self.bd, False)
+            pcr = mc_predict_bi_np(self.ref[2], self.ref[2], PAD, mv, mv1,
+                                   cxx, cyy, cs, cs, self.bd, False)
+        else:
+            umv = mv if ref >= 0 else mv1
+            pcb = mc_predict_np(self.ref[1], PAD, umv[0], umv[1], cxx, cyy,
+                                cs, cs, self.bd, False)
+            pcr = mc_predict_np(self.ref[2], PAD, umv[0], umv[1], cxx, cyy,
+                                cs, cs, self.bd, False)
+        lv_y, rec_y = self._code_inter_tb(orig_y, pred_y, size, self.qp)
         lv_cb, rec_cb = self._code_inter_tb(
             orig[1][cyy:cyy + cs, cxx:cxx + cs], pcb, cs, qp_c)
         lv_cr, rec_cr = self._code_inter_tb(
@@ -242,7 +297,7 @@ class PFrameEncoder(IntraFrameEncoder):
             skip = 1 if zero_resid else 0
             self._set_inter_maps(d, bx, by, nb, skip=skip, merge_f=1,
                                  merge_i=mi_idx, mvp_f=0, mv=mv,
-                                 mvd=(0, 0), ref=ref)
+                                 mvd=(0, 0), ref=ref, mv1=mv1, ref1=ref1)
         else:
             self._set_inter_maps(d, bx, by, nb, skip=0, merge_f=0,
                                  merge_i=0, mvp_f=mvp_f, mv=mv, mvd=mvd,
@@ -261,4 +316,4 @@ class PFrameEncoder(IntraFrameEncoder):
         mode_map[y0 >> 2:(y0 + size) >> 2, x0 >> 2:(x0 + size) >> 2] = 1
         self.senc.publish_cu(x0, y0, log2, False, skip=int(mi_idx >= 0 and
                                                            zero_resid),
-                             mv=mv, ref_idx=ref)
+                             mv=mv, ref_idx=ref, mv1=mv1, ref_idx1=ref1)

@@ -68,22 +68,40 @@ class EncoderTop:
             senc = SliceDataEncoder(sp)
             decisions, recon = fe.encode_frame(planes)
         else:
+            # hierarchical low-delay QP offsets + lambda weights (parity:
+            # the cfg GOP table rows, e.g. encoder_lowdelay_P_main.cfg)
+            gop_poc = self.poc - self.last_idr_poc
+            is_b = False
+            if cfg.gop_entries:
+                e = cfg.gop_entries[(gop_poc - 1) % len(cfg.gop_entries)]
+                qp_off, qf = e.qp_offset, e.qp_factor
+                is_b = e.slice_type == "B"
+            else:
+                qp_off = (3, 2, 3, 1)[(gop_poc - 1) % 4]
+                qf = (0.4624, 0.4624, 0.4624, 0.578)[(gop_poc - 1) % 4]
+            slice_qp = int(np.clip(cfg.qp + qp_off, 0, 51))
+            stype = SliceType.B if is_b else SliceType.P
             sh = SliceHeader(
-                slice_type=SliceType.P,
+                slice_type=stype,
                 nal_unit_type=int(NalUnitType.TRAIL_R),
-                poc=self.poc - self.last_idr_poc, slice_qp=cfg.qp,
+                poc=gop_poc, slice_qp=slice_qp,
                 short_term_ref_pic_set_sps_flag=1, rps_sps_idx=0,
-                num_ref_idx_active=[1, 0])
-            fe = PFrameEncoder(self.sps, cfg.qp, self.dpb_recon,
-                               search_range=min(cfg.search_range, 24))
+                num_ref_idx_active=[1, 1 if is_b else 0])
+            ref_poc = gop_poc - 1
+            fe = PFrameEncoder(self.sps, slice_qp, self.dpb_recon,
+                               search_range=min(cfg.search_range, 24),
+                               qp_factor=qf, is_b=is_b)
             sp = make_slice_params(
-                cfg.width, cfg.height, cfg.qp, slice_type=int(SliceType.P),
+                cfg.width, cfg.height, slice_qp,
+                slice_type=int(stype),
                 ctu_size=self.sps.ctu_size,
                 max_tu_depth_intra=self.sps.max_transform_hierarchy_depth_intra,
-                num_ref_l0=1)
+                num_ref_l0=1, num_ref_l1=1 if is_b else 0,
+                ref_poc_l0=[ref_poc], ref_poc_l1=[ref_poc] if is_b else [])
             senc = SliceDataEncoder(sp)
             fe.senc = senc
             decisions, recon = fe.encode_frame(planes)
+            self._ref_pocs = ([ref_poc], [ref_poc] if is_b else [])
 
         ctus_w = self.sps.pic_width_in_ctus
         ctus_h = self.sps.pic_height_in_ctus
@@ -100,8 +118,10 @@ class EncoderTop:
         # target and the reference for subsequent frames)
         if not self.pps.pps_deblocking_filter_disabled_flag:
             from ..ops import deblock
-            dmaps = deblock.build_maps(decisions, self.sps)
-            deblock.deblock_frame(recon, dmaps, cfg.qp, self.sps)
+            ref_pocs = getattr(self, "_ref_pocs", ((), ())) \
+                if not is_intra else ((), ())
+            dmaps = deblock.build_maps(decisions, self.sps, ref_pocs)
+            deblock.deblock_frame(recon, dmaps, sh.slice_qp, self.sps)
 
         nals = []
         firsts = []
@@ -128,7 +148,7 @@ class EncoderTop:
         psnr = _psnr(planes, recon, self.sps.bit_depth_luma)
         self.stats.append({"poc": self.poc, "bits": bits, "psnr": psnr,
                            "md5": digest[0].hex(),
-                           "type": "I" if is_intra else "P"})
+                           "type": "I" if is_intra else str(sh.slice_type.name)})
         self.poc += 1
         self.recon = recon
         self.dpb_recon = recon

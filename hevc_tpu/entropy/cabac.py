@@ -25,7 +25,9 @@ class SliceParamsC(ctypes.Structure):
         "max_tu_depth_intra", "max_tu_depth_inter", "chroma_format",
         "sign_hiding", "transform_skip_enabled", "min_cb_log2",
         "max_cb_log2", "min_tb_log2", "max_tb_log2", "max_merge_cand",
-        "num_ref_l0")]
+        "num_ref_l0", "num_ref_l1", "mvd_l1_zero")] + [
+        ("ref_poc_l0", ctypes.c_int32 * 16),
+        ("ref_poc_l1", ctypes.c_int32 * 16)]
 
 
 def _build() -> None:
@@ -54,16 +56,17 @@ def get_lib() -> ctypes.CDLL:
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         u8p, u8p, u8p, u8p, u8p, i16p, i16p, i16p,
         u8p, u8p, u8p, u8p, u8p, i8p, i16p, i16p, i16p, i16p,
+        u8p, i8p, i16p, i16p, i16p, i16p,
         ctypes.c_int]
     lib.hevc_enc_publish_cu.argtypes = [
-        ctypes.c_void_p] + [ctypes.c_int] * 8
+        ctypes.c_void_p] + [ctypes.c_int] * 11
     lib.hevc_enc_merge_cands.restype = ctypes.c_int
     lib.hevc_enc_merge_cands.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         i16p, i8p]
     lib.hevc_enc_amvp.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, i16p]
+        ctypes.c_int, ctypes.c_int, i16p]
     lib.hevc_enc_get.restype = ctypes.c_long
     lib.hevc_enc_get.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                  ctypes.c_long]
@@ -75,7 +78,8 @@ def get_lib() -> ctypes.CDLL:
     lib.hevc_dec_ctu.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         u8p, u8p, u8p, u8p, u8p, i16p, i16p, i16p,
-        u8p, u8p, u8p, u8p, u8p, i8p, i16p, i16p, i16p, i16p]
+        u8p, u8p, u8p, u8p, u8p, i8p, i16p, i16p, i16p, i16p,
+        u8p, i8p, i16p, i16p, i16p, i16p]
     _lib = lib
     return lib
 
@@ -85,13 +89,19 @@ def make_slice_params(pic_w: int, pic_h: int, qp: int, slice_type: int = 2,
                       max_tu_depth_inter: int = 3, chroma_format: int = 1,
                       sign_hiding: int = 0, transform_skip: int = 0,
                       min_cb_log2: int = 3, max_tb_log2: int = 5,
-                      max_merge_cand: int = 5, num_ref_l0: int = 1
-                      ) -> SliceParamsC:
-    return SliceParamsC(
+                      max_merge_cand: int = 5, num_ref_l0: int = 1,
+                      num_ref_l1: int = 0, mvd_l1_zero: int = 0,
+                      ref_poc_l0=(), ref_poc_l1=()) -> SliceParamsC:
+    sp = SliceParamsC(
         pic_w, pic_h, ctu_size, qp, slice_type, max_tu_depth_intra,
         max_tu_depth_inter, chroma_format, sign_hiding, transform_skip,
         min_cb_log2, (ctu_size.bit_length() - 1), 2, max_tb_log2,
-        max_merge_cand, num_ref_l0)
+        max_merge_cand, num_ref_l0, num_ref_l1, mvd_l1_zero)
+    for i, pocv in enumerate(ref_poc_l0):
+        sp.ref_poc_l0[i] = pocv
+    for i, pocv in enumerate(ref_poc_l1):
+        sp.ref_poc_l1[i] = pocv
+    return sp
 
 
 class CtuDecisions:
@@ -117,6 +127,12 @@ class CtuDecisions:
         self.mvd_y = np.zeros((n4, n4), np.int16)
         self.mv_x = np.zeros((n4, n4), np.int16)
         self.mv_y = np.zeros((n4, n4), np.int16)
+        self.mvp_flag1 = np.zeros((n4, n4), np.uint8)
+        self.ref_idx1 = np.full((n4, n4), -1, np.int8)
+        self.mvd_x1 = np.zeros((n4, n4), np.int16)
+        self.mvd_y1 = np.zeros((n4, n4), np.int16)
+        self.mv_x1 = np.zeros((n4, n4), np.int16)
+        self.mv_y1 = np.zeros((n4, n4), np.int16)
 
 
 class SliceDataEncoder:
@@ -148,24 +164,38 @@ class SliceDataEncoder:
             np.ascontiguousarray(d.mvd_y),
             np.ascontiguousarray(d.mv_x),
             np.ascontiguousarray(d.mv_y),
+            np.ascontiguousarray(d.mvp_flag1),
+            np.ascontiguousarray(d.ref_idx1),
+            np.ascontiguousarray(d.mvd_x1),
+            np.ascontiguousarray(d.mvd_y1),
+            np.ascontiguousarray(d.mv_x1),
+            np.ascontiguousarray(d.mv_y1),
             1 if end_of_slice else 0)
 
     def publish_cu(self, x0, y0, log2, is_intra, skip=0, mv=(0, 0),
-                   ref_idx=0):
+                   ref_idx=0, mv1=(0, 0), ref_idx1=-1):
         self._lib.hevc_enc_publish_cu(self._h, x0, y0, log2,
                                       1 if is_intra else 0, skip,
-                                      int(mv[0]), int(mv[1]), ref_idx)
+                                      int(mv[0]), int(mv[1]), ref_idx,
+                                      int(mv1[0]), int(mv1[1]), ref_idx1)
 
     def merge_cands(self, x0, y0, size):
-        mv = np.zeros(10, np.int16)
-        ref = np.zeros(5, np.int8)
+        """Returns [((l0mv, l0ref), (l1mv, l1ref)), ...] — a list entry is
+        None-equivalent when its ref is -1."""
+        mv = np.zeros(20, np.int16)
+        ref = np.zeros(10, np.int8)
         n = self._lib.hevc_enc_merge_cands(self._h, x0, y0, size, mv, ref)
-        return [((int(mv[2 * i]), int(mv[2 * i + 1])), int(ref[i]))
-                for i in range(n)]
+        out = []
+        for i in range(n):
+            out.append((((int(mv[4 * i]), int(mv[4 * i + 1])),
+                         int(ref[2 * i])),
+                        ((int(mv[4 * i + 2]), int(mv[4 * i + 3])),
+                         int(ref[2 * i + 1]))))
+        return out
 
-    def amvp_cands(self, x0, y0, size, ref=0):
+    def amvp_cands(self, x0, y0, size, list_idx=0, ref=0):
         mv = np.zeros(4, np.int16)
-        self._lib.hevc_enc_amvp(self._h, x0, y0, size, ref, mv)
+        self._lib.hevc_enc_amvp(self._h, x0, y0, size, list_idx, ref, mv)
         return [(int(mv[0]), int(mv[1])), (int(mv[2]), int(mv[3]))]
 
     def get_bytes(self) -> bytes:
@@ -194,7 +224,8 @@ class SliceDataDecoder:
             self._h, ctu_x, ctu_y, d.cu_depth, d.nxn_flag, d.luma_mode,
             d.chroma_mode, d.tu_depth, d.coeff_y, d.coeff_cb, d.coeff_cr,
             d.pred_mode, d.skip_flag, d.merge_flag, d.merge_idx, d.mvp_flag,
-            d.ref_idx, d.mvd_x, d.mvd_y, d.mv_x, d.mv_y)
+            d.ref_idx, d.mvd_x, d.mvd_y, d.mv_x, d.mv_y,
+            d.mvp_flag1, d.ref_idx1, d.mvd_x1, d.mvd_y1, d.mv_x1, d.mv_y1)
         return d, eos
 
     def __del__(self):

@@ -38,10 +38,14 @@ void hevc_enc_ctu(void* h, int ctu_x, int ctu_y,
                   const uint8_t* mvp_flag, const int8_t* ref_idx,
                   const int16_t* mvd_x, const int16_t* mvd_y,
                   const int16_t* mv_x, const int16_t* mv_y,
+                  const uint8_t* mvp_flag1, const int8_t* ref_idx1,
+                  const int16_t* mvd_x1, const int16_t* mvd_y1,
+                  const int16_t* mv_x1, const int16_t* mv_y1,
                   int end_of_slice) {
   CtuData d{cu_depth, nxn_flag, luma_mode, chroma_mode, tu_depth,
             coeff_y, coeff_cb, coeff_cr, pred_mode, skip_flag, merge_flag,
-            merge_idx, mvp_flag, ref_idx, mvd_x, mvd_y, mv_x, mv_y};
+            merge_idx, mvp_flag, ref_idx, mvd_x, mvd_y, mv_x, mv_y,
+            mvp_flag1, ref_idx1, mvd_x1, mvd_y1, mv_x1, mv_y1};
   ((SliceEncoder*)h)->encode_ctu(ctu_x, ctu_y, d, end_of_slice);
 }
 
@@ -49,7 +53,8 @@ void hevc_enc_ctu(void* h, int ctu_x, int ctu_y,
 // picture maps, so Python can query merge/AMVP candidates for subsequent
 // CUs from the single native derivation implementation.
 void hevc_enc_publish_cu(void* h, int x0, int y0, int log2, int is_intra,
-                         int skip, int mv_x, int mv_y, int ref_idx) {
+                         int skip, int mv_x, int mv_y, int ref_idx,
+                         int mv_x1, int mv_y1, int ref_idx1) {
   PicMaps& m = ((SliceEncoder*)h)->maps();
   int b = 1 << (log2 - 2);
   for (int yy = 0; yy < b; ++yy)
@@ -57,33 +62,36 @@ void hevc_enc_publish_cu(void* h, int x0, int y0, int log2, int is_intra,
       size_t pi = (size_t)((y0 >> 2) + yy) * m.stride + (x0 >> 2) + xx;
       m.pred_mode[pi] = is_intra ? 1 : 0;
       m.skip_flag[pi] = skip;
-      m.mv_x[pi] = (int16_t)mv_x;
-      m.mv_y[pi] = (int16_t)mv_y;
-      m.ref_idx[pi] = (int8_t)(is_intra ? -1 : ref_idx);
+      m.mv_x[0][pi] = (int16_t)mv_x;
+      m.mv_y[0][pi] = (int16_t)mv_y;
+      m.ref_idx[0][pi] = (int8_t)(is_intra ? -1 : ref_idx);
+      m.mv_x[1][pi] = (int16_t)mv_x1;
+      m.mv_y[1][pi] = (int16_t)mv_y1;
+      m.ref_idx[1][pi] = (int8_t)(is_intra ? -1 : ref_idx1);
       m.cu_depth[pi] = (uint8_t)(m.sp.max_cb_log2 - log2);
     }
 }
 
 int hevc_enc_merge_cands(void* h, int x0, int y0, int size,
-                         int16_t* out_mv /*5*2*/, int8_t* out_ref) {
+                         int16_t* out_mv /*5*4: l0x,l0y,l1x,l1y*/,
+                         int8_t* out_ref /*5*2*/) {
   MotionInfo c[5];
   int n = ((SliceEncoder*)h)->maps().merge_candidates(x0, y0, size, size, c);
   for (int i = 0; i < n; ++i) {
-    out_mv[2 * i] = c[i].mvx;
-    out_mv[2 * i + 1] = c[i].mvy;
-    out_ref[i] = c[i].ref;
+    out_mv[4 * i] = c[i].mvx[0];
+    out_mv[4 * i + 1] = c[i].mvy[0];
+    out_mv[4 * i + 2] = c[i].mvx[1];
+    out_mv[4 * i + 3] = c[i].mvy[1];
+    out_ref[2 * i] = c[i].ref[0];
+    out_ref[2 * i + 1] = c[i].ref[1];
   }
   return n;
 }
 
-void hevc_enc_amvp(void* h, int x0, int y0, int size, int ref,
+void hevc_enc_amvp(void* h, int x0, int y0, int size, int list, int ref,
                    int16_t* out_mv /*2*2*/) {
-  MotionInfo c[2];
-  ((SliceEncoder*)h)->maps().amvp_candidates(x0, y0, size, size, ref, c);
-  out_mv[0] = c[0].mvx;
-  out_mv[1] = c[0].mvy;
-  out_mv[2] = c[1].mvx;
-  out_mv[3] = c[1].mvy;
+  ((SliceEncoder*)h)->maps().amvp_candidates(x0, y0, size, size, list, ref,
+                                             out_mv);
 }
 
 // Returns the finished slice-data RBSP (with rbsp trailing bits) length;
@@ -106,10 +114,13 @@ int hevc_dec_ctu(void* h, int ctu_x, int ctu_y, uint8_t* cu_depth,
                  int16_t* coeff_cr, uint8_t* pred_mode, uint8_t* skip_flag,
                  uint8_t* merge_flag, uint8_t* merge_idx, uint8_t* mvp_flag,
                  int8_t* ref_idx, int16_t* mvd_x, int16_t* mvd_y,
-                 int16_t* mv_x, int16_t* mv_y) {
+                 int16_t* mv_x, int16_t* mv_y, uint8_t* mvp_flag1,
+                 int8_t* ref_idx1, int16_t* mvd_x1, int16_t* mvd_y1,
+                 int16_t* mv_x1, int16_t* mv_y1) {
   MutCtuData d{cu_depth, nxn_flag, luma_mode, chroma_mode, tu_depth,
                coeff_y, coeff_cb, coeff_cr, pred_mode, skip_flag, merge_flag,
-               merge_idx, mvp_flag, ref_idx, mvd_x, mvd_y, mv_x, mv_y};
+               merge_idx, mvp_flag, ref_idx, mvd_x, mvd_y, mv_x, mv_y,
+               mvp_flag1, ref_idx1, mvd_x1, mvd_y1, mv_x1, mv_y1};
   return ((SliceDecoder*)h)->decode_ctu(ctu_x, ctu_y, d);
 }
 

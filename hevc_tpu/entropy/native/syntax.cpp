@@ -231,18 +231,22 @@ void PicMaps::init(const SliceParams& p) {
   nxn_flag.assign(n, 0);
   pred_mode.assign(n, 1);   // default intra
   skip_flag.assign(n, 0);
-  mv_x.assign(n, 0);
-  mv_y.assign(n, 0);
-  ref_idx.assign(n, -1);
+  for (int l = 0; l < 2; ++l) {
+    mv_x[l].assign(n, 0);
+    mv_y[l].assign(n, 0);
+    ref_idx[l].assign(n, -1);
+  }
 }
 
 bool PicMaps::motion_at(int x, int y, int cx, int cy, MotionInfo* out) const {
   if (!available(x, y, cx, cy)) return false;
   int i = idx(x, y);
   if (pred_mode[i] != 0) return false;  // intra neighbour
-  out->mvx = mv_x[i];
-  out->mvy = mv_y[i];
-  out->ref = ref_idx[i];
+  for (int l = 0; l < 2; ++l) {
+    out->mvx[l] = mv_x[l][i];
+    out->mvy[l] = mv_y[l][i];
+    out->ref[l] = ref_idx[l][i];
+  }
   return true;
 }
 
@@ -264,44 +268,87 @@ int PicMaps::merge_candidates(int x0, int y0, int w, int h,
     bool hb2 = motion_at(x0 - 1, y0 - 1, x0, y0, &b2);
     if (hb2 && !(ha1 && b2 == a1) && !(hb1 && b2 == b1)) out[n++] = b2;
   }
+  // B slices: combined bi-predictive candidates (spec 8.5.3.2.4)
+  bool is_b = sp.slice_type == 0;
+  if (is_b && n > 1 && n < sp.max_merge_cand) {
+    static const int l0i[12] = {0,1,0,2,1,2,0,3,1,3,2,3};
+    static const int l1i[12] = {1,0,2,0,2,1,3,0,3,1,3,2};
+    int orig = n;
+    for (int k = 0; k < 12 && n < sp.max_merge_cand; ++k) {
+      if (l0i[k] >= orig || l1i[k] >= orig) continue;
+      const MotionInfo& a = out[l0i[k]];
+      const MotionInfo& b = out[l1i[k]];
+      if (a.ref[0] < 0 || b.ref[1] < 0) continue;
+      // valid if different picture or different MV
+      if (sp.ref_poc_l0[a.ref[0]] == sp.ref_poc_l1[b.ref[1]] &&
+          a.mvx[0] == b.mvx[1] && a.mvy[0] == b.mvy[1])
+        continue;
+      MotionInfo c;
+      c.mvx[0] = a.mvx[0]; c.mvy[0] = a.mvy[0]; c.ref[0] = a.ref[0];
+      c.mvx[1] = b.mvx[1]; c.mvy[1] = b.mvy[1]; c.ref[1] = b.ref[1];
+      out[n++] = c;
+    }
+  }
   int zr = 0;
   while (n < sp.max_merge_cand) {
-    out[n].mvx = 0;
-    out[n].mvy = 0;
-    out[n].ref = (zr < sp.num_ref_l0) ? zr : 0;
-    n++;
+    MotionInfo z;
+    z.mvx[0] = z.mvy[0] = 0;
+    z.ref[0] = (int8_t)((zr < sp.num_ref_l0) ? zr : 0);
+    if (is_b) {
+      z.mvx[1] = z.mvy[1] = 0;
+      z.ref[1] = (int8_t)((zr < sp.num_ref_l1) ? zr : 0);
+    }
+    out[n++] = z;
     zr++;
   }
   return n;
 }
 
 // spec 8.5.3.2.6: AMVP spatial candidates (A from A0/A1, B from B0/B1/B2).
-// With a single active reference every inter neighbour references the same
-// picture, so the POC-scaling second pass can never trigger (guarded).
-void PicMaps::amvp_candidates(int x0, int y0, int w, int h, int ref,
-                              MotionInfo out[2]) const {
-  MotionInfo a, b, mi;
+// A neighbour contributes through either of its lists when that list
+// references the same PICTURE (same POC) as the target; with same-POC
+// low-delay lists the POC-scaling second pass can never trigger (guarded).
+void PicMaps::amvp_candidates(int x0, int y0, int w, int h, int list,
+                              int ref, int16_t out_mv[4]) const {
+  int target_poc = (list == 0) ? sp.ref_poc_l0[ref] : sp.ref_poc_l1[ref];
+  auto same_ref_mv = [&](const MotionInfo& mi, int16_t* ox, int16_t* oy) {
+    const int order[2] = {list, 1 - list};
+    for (int l : order) {
+      if (mi.ref[l] < 0) continue;
+      int poc = (l == 0) ? sp.ref_poc_l0[mi.ref[l]]
+                         : sp.ref_poc_l1[mi.ref[l]];
+      if (poc == target_poc) {
+        *ox = mi.mvx[l];
+        *oy = mi.mvy[l];
+        return true;
+      }
+    }
+    return false;
+  };
+  int16_t ax = 0, ay = 0, bx = 0, by = 0;
   bool has_a = false, has_b = false;
+  MotionInfo mi;
   const int apos[2][2] = {{x0 - 1, y0 + h}, {x0 - 1, y0 + h - 1}};
   for (auto& p : apos)
-    if (motion_at(p[0], p[1], x0, y0, &mi) && mi.ref == ref) {
-      a = mi; has_a = true; break;
+    if (motion_at(p[0], p[1], x0, y0, &mi) && same_ref_mv(mi, &ax, &ay)) {
+      has_a = true; break;
     }
   const int bpos[3][2] = {{x0 + w, y0 - 1}, {x0 + w - 1, y0 - 1},
                           {x0 - 1, y0 - 1}};
   for (auto& p : bpos)
-    if (motion_at(p[0], p[1], x0, y0, &mi) && mi.ref == ref) {
-      b = mi; has_b = true; break;
+    if (motion_at(p[0], p[1], x0, y0, &mi) && same_ref_mv(mi, &bx, &by)) {
+      has_b = true; break;
     }
   int n = 0;
-  if (has_a) out[n++] = a;
-  if (has_b && !(has_a && b.mvx == a.mvx && b.mvy == a.mvy)) out[n++] = b;
-  while (n < 2) {
-    out[n].mvx = 0;
-    out[n].mvy = 0;
-    out[n].ref = (int8_t)ref;
-    n++;
+  int16_t cand[2][2] = {{0, 0}, {0, 0}};
+  if (has_a) { cand[n][0] = ax; cand[n][1] = ay; n++; }
+  if (has_b && !(has_a && bx == ax && by == ay)) {
+    cand[n][0] = bx; cand[n][1] = by; n++;
   }
+  out_mv[0] = cand[0][0];
+  out_mv[1] = cand[0][1];
+  out_mv[2] = cand[1][0];
+  out_mv[3] = cand[1][1];
 }
 
 static inline uint32_t part1by1(uint32_t v) {
@@ -377,9 +424,14 @@ void SliceEncoder::encode_ctu(int cx, int cy, const CtuData& d,
       if (sp_.slice_type != 2 && d.pred_mode) {
         maps_.pred_mode[pi] = d.pred_mode[li];
         maps_.skip_flag[pi] = d.skip_flag[li];
-        maps_.mv_x[pi] = d.mv_x[li];
-        maps_.mv_y[pi] = d.mv_y[li];
-        maps_.ref_idx[pi] = d.ref_idx[li];
+        maps_.mv_x[0][pi] = d.mv_x[li];
+        maps_.mv_y[0][pi] = d.mv_y[li];
+        maps_.ref_idx[0][pi] = d.ref_idx[li];
+        if (d.mv_x1) {
+          maps_.mv_x[1][pi] = d.mv_x1[li];
+          maps_.mv_y[1][pi] = d.mv_y1[li];
+          maps_.ref_idx[1][pi] = d.ref_idx1[li];
+        }
       }
     }
   }
@@ -508,6 +560,7 @@ void SliceEncoder::code_mvd(int vx, int vy) {
 void SliceEncoder::code_inter_cu(int x0, int y0, int log2, bool skip) {
   int bw4 = sp_.ctu_size / 4;
   int lx = x0 - ctu_x0_, ly = y0 - ctu_y0_;
+  int li = (ly >> 2) * bw4 + (lx >> 2);
   int merge_i = map_at(cur_->merge_idx, bw4, lx, ly);
   if (skip) {  // PU = whole CU, merge, no residual
     code_merge_idx(merge_i);
@@ -521,21 +574,39 @@ void SliceEncoder::code_inter_cu(int x0, int y0, int log2, bool skip) {
   if (merge_f) {
     code_merge_idx(merge_i);
   } else {
-    // P-slice: inter_pred_idc not coded; ref_idx only if >1 active ref
-    if (sp_.num_ref_l0 > 1) {
-      int r = map_at((const uint8_t*)cur_->ref_idx, bw4, lx, ly);
-      int cmax = sp_.num_ref_l0 - 1;
+    bool is_b = sp_.slice_type == 0;
+    int ref0 = cur_->ref_idx[li];
+    int ref1 = cur_->mvd_x1 ? cur_->ref_idx1[li] : -1;
+    int idc = (ref0 >= 0 ? 1 : 0) | (ref1 >= 0 ? 2 : 0);  // 1=L0 2=L1 3=bi
+    if (is_b) {
+      // inter_pred_idc (spec 9.3.3.10): bin0 ctx = CtDepth; '1' = BI,
+      // else bin1 (ctx 4): 0 = L0, 1 = L1  (2Nx2N: nPbW+nPbH != 12)
+      int depth = sp_.max_cb_log2 - log2;
+      cabac_.encode_bin(ctx_.inter_dir[depth], idc == 3);
+      if (idc != 3) cabac_.encode_bin(ctx_.inter_dir[4], idc == 2);
+    }
+    auto code_ref = [&](int r, int num_ref) {
+      if (num_ref <= 1) return;
+      int cmax = num_ref - 1;
       cabac_.encode_bin(ctx_.ref_idx[0], r > 0);
       if (r > 0) {
         for (int k = 1; k < r && k < cmax; ++k)
           cabac_.encode_bin(ctx_.ref_idx[1], 1);
         if (r < cmax) cabac_.encode_bin(ctx_.ref_idx[1], 0);
       }
+    };
+    if (idc & 1) {
+      code_ref(ref0, sp_.num_ref_l0);
+      code_mvd(cur_->mvd_x[li], cur_->mvd_y[li]);
+      cabac_.encode_bin(ctx_.mvp_idx[0], map_at(cur_->mvp_flag, bw4, lx, ly));
     }
-    code_mvd(cur_->mvd_x[(ly >> 2) * bw4 + (lx >> 2)],
-             cur_->mvd_y[(ly >> 2) * bw4 + (lx >> 2)]);
-    cabac_.encode_bin(ctx_.mvp_idx[0],
-                      map_at(cur_->mvp_flag, bw4, lx, ly));
+    if (idc & 2) {
+      code_ref(ref1, sp_.num_ref_l1);
+      if (!(sp_.mvd_l1_zero && idc == 3))
+        code_mvd(cur_->mvd_x1[li], cur_->mvd_y1[li]);
+      cabac_.encode_bin(ctx_.mvp_idx[0],
+                        map_at(cur_->mvp_flag1, bw4, lx, ly));
+    }
   }
   // rqt_root_cbf (not coded for 2Nx2N merge: inferred 1)
   auto any_nz = [&](const int16_t* plane, int pw, int px, int py, int n) {
@@ -890,6 +961,14 @@ int SliceDecoder::decode_ctu(int cx, int cy, const MutCtuData& d) {
   std::memset(d.mvd_y, 0, sizeof(int16_t) * bw4 * bw4);
   std::memset(d.mv_x, 0, sizeof(int16_t) * bw4 * bw4);
   std::memset(d.mv_y, 0, sizeof(int16_t) * bw4 * bw4);
+  if (d.mv_x1) {
+    std::memset(d.mvp_flag1, 0, bw4 * bw4);
+    std::memset(d.ref_idx1, 0xFF, bw4 * bw4);
+    std::memset(d.mvd_x1, 0, sizeof(int16_t) * bw4 * bw4);
+    std::memset(d.mvd_y1, 0, sizeof(int16_t) * bw4 * bw4);
+    std::memset(d.mv_x1, 0, sizeof(int16_t) * bw4 * bw4);
+    std::memset(d.mv_y1, 0, sizeof(int16_t) * bw4 * bw4);
+  }
   std::memset(d.coeff_y, 0, sizeof(int16_t) * sp_.ctu_size * sp_.ctu_size);
   std::memset(d.coeff_cb, 0, sizeof(int16_t) * (sp_.ctu_size / 2) * (sp_.ctu_size / 2));
   std::memset(d.coeff_cr, 0, sizeof(int16_t) * (sp_.ctu_size / 2) * (sp_.ctu_size / 2));
@@ -936,20 +1015,27 @@ void SliceDecoder::publish_motion(int x0, int y0, int log2,
   fill(cur_->merge_flag, x0, y0, log2, merge_f);
   fill(cur_->merge_idx, x0, y0, log2, merge_i);
   fill(cur_->mvp_flag, x0, y0, log2, mvp_f);
-  fill((uint8_t*)cur_->ref_idx, x0, y0, log2, (uint8_t)mi.ref);
+  fill((uint8_t*)cur_->ref_idx, x0, y0, log2, (uint8_t)mi.ref[0]);
   fill16(cur_->mvd_x, x0, y0, log2, (int16_t)mvd_x);
   fill16(cur_->mvd_y, x0, y0, log2, (int16_t)mvd_y);
-  fill16(cur_->mv_x, x0, y0, log2, mi.mvx);
-  fill16(cur_->mv_y, x0, y0, log2, mi.mvy);
+  fill16(cur_->mv_x, x0, y0, log2, mi.mvx[0]);
+  fill16(cur_->mv_y, x0, y0, log2, mi.mvy[0]);
+  if (cur_->mv_x1) {
+    fill((uint8_t*)cur_->ref_idx1, x0, y0, log2, (uint8_t)mi.ref[1]);
+    fill16(cur_->mv_x1, x0, y0, log2, mi.mvx[1]);
+    fill16(cur_->mv_y1, x0, y0, log2, mi.mvy[1]);
+  }
   int b = 1 << (log2 - 2);
   for (int yy = 0; yy < b; ++yy)
     for (int xx = 0; xx < b; ++xx) {
       size_t pi = ((y0 >> 2) + yy) * maps_.stride + (x0 >> 2) + xx;
       maps_.pred_mode[pi] = 0;
       maps_.skip_flag[pi] = skip;
-      maps_.mv_x[pi] = mi.mvx;
-      maps_.mv_y[pi] = mi.mvy;
-      maps_.ref_idx[pi] = mi.ref;
+      for (int l = 0; l < 2; ++l) {
+        maps_.mv_x[l][pi] = mi.mvx[l];
+        maps_.mv_y[l][pi] = mi.mvy[l];
+        maps_.ref_idx[l][pi] = mi.ref[l];
+      }
     }
 }
 
@@ -1008,21 +1094,48 @@ void SliceDecoder::parse_inter_cu(int x0, int y0, int log2, bool skip) {
     maps_.merge_candidates(x0, y0, n, n, cands);
     mi = cands[merge_i];
   } else {
-    int r = 0;
-    if (sp_.num_ref_l0 > 1) {
-      if (cabac_.decode_bin(ctx_.ref_idx[0])) {
+    bool is_b = sp_.slice_type == 0;
+    int idc = 1;
+    if (is_b) {
+      int depth = sp_.max_cb_log2 - log2;
+      if (cabac_.decode_bin(ctx_.inter_dir[depth])) idc = 3;
+      else idc = cabac_.decode_bin(ctx_.inter_dir[4]) ? 2 : 1;
+    }
+    auto parse_ref = [&](int num_ref) {
+      int r = 0;
+      if (num_ref > 1 && cabac_.decode_bin(ctx_.ref_idx[0])) {
         r = 1;
-        int cmax = sp_.num_ref_l0 - 1;
+        int cmax = num_ref - 1;
         while (r < cmax && cabac_.decode_bin(ctx_.ref_idx[1])) r++;
       }
+      return r;
+    };
+    if (idc & 1) {
+      int r = parse_ref(sp_.num_ref_l0);
+      parse_mvd(&mvdx, &mvdy);
+      mvp_f = cabac_.decode_bin(ctx_.mvp_idx[0]);
+      int16_t amvp[4];
+      maps_.amvp_candidates(x0, y0, n, n, 0, r, amvp);
+      mi.mvx[0] = (int16_t)(amvp[2 * mvp_f] + mvdx);
+      mi.mvy[0] = (int16_t)(amvp[2 * mvp_f + 1] + mvdy);
+      mi.ref[0] = (int8_t)r;
     }
-    parse_mvd(&mvdx, &mvdy);
-    mvp_f = cabac_.decode_bin(ctx_.mvp_idx[0]);
-    MotionInfo amvp[2];
-    maps_.amvp_candidates(x0, y0, n, n, r, amvp);
-    mi.mvx = (int16_t)(amvp[mvp_f].mvx + mvdx);
-    mi.mvy = (int16_t)(amvp[mvp_f].mvy + mvdy);
-    mi.ref = (int8_t)r;
+    if (idc & 2) {
+      int r = parse_ref(sp_.num_ref_l1);
+      int m1x = 0, m1y = 0;
+      if (!(sp_.mvd_l1_zero && idc == 3)) parse_mvd(&m1x, &m1y);
+      int mvp_f1 = cabac_.decode_bin(ctx_.mvp_idx[0]);
+      int16_t amvp[4];
+      maps_.amvp_candidates(x0, y0, n, n, 1, r, amvp);
+      mi.mvx[1] = (int16_t)(amvp[2 * mvp_f1] + m1x);
+      mi.mvy[1] = (int16_t)(amvp[2 * mvp_f1 + 1] + m1y);
+      mi.ref[1] = (int8_t)r;
+      if (cur_->mvp_flag1) fill(cur_->mvp_flag1, x0, y0, log2, mvp_f1);
+      if (cur_->mvd_x1) {
+        fill16(cur_->mvd_x1, x0, y0, log2, (int16_t)m1x);
+        fill16(cur_->mvd_y1, x0, y0, log2, (int16_t)m1y);
+      }
+    }
   }
   publish_motion(x0, y0, log2, mi, merge_f, merge_i, mvp_f, mvdx, mvdy, 0);
   // rqt_root_cbf

@@ -34,6 +34,10 @@ struct SliceParams {
   int32_t max_tb_log2;     // 5
   int32_t max_merge_cand;  // MaxNumMergeCand (5)
   int32_t num_ref_l0;      // active references in list 0
+  int32_t num_ref_l1;      // active references in list 1 (B slices)
+  int32_t mvd_l1_zero;     // slice mvd_l1_zero_flag
+  int32_t ref_poc_l0[16];  // POCs of the list-0 references
+  int32_t ref_poc_l1[16];
 };
 
 // Context model set: one instance per slice (later: per WPP row state).
@@ -83,12 +87,19 @@ struct CtuData {
   const uint8_t* skip_flag;     // 1 = skip (merge, no residual)
   const uint8_t* merge_flag;    // 1 = merge PU (incl. skip)
   const uint8_t* merge_idx;
-  const uint8_t* mvp_flag;      // AMVP candidate selector
-  const int8_t* ref_idx;        // L0 reference index (-1 for intra)
-  const int16_t* mvd_x;         // MVD in quarter-pel (AMVP PUs)
+  const uint8_t* mvp_flag;      // AMVP candidate selector (list 0)
+  const int8_t* ref_idx;        // L0 reference index (-1: not used / intra)
+  const int16_t* mvd_x;         // MVD in quarter-pel (AMVP PUs, list 0)
   const int16_t* mvd_y;
-  const int16_t* mv_x;          // final MV in quarter-pel (all inter PUs)
+  const int16_t* mv_x;          // final MV in quarter-pel (list 0)
   const int16_t* mv_y;
+  // list-1 fields (B slices; null for P/I)
+  const uint8_t* mvp_flag1;
+  const int8_t* ref_idx1;
+  const int16_t* mvd_x1;
+  const int16_t* mvd_y1;
+  const int16_t* mv_x1;
+  const int16_t* mv_y1;
 };
 
 struct MutCtuData {  // decoder-side (written)
@@ -110,15 +121,29 @@ struct MutCtuData {  // decoder-side (written)
   int16_t* mvd_y;
   int16_t* mv_x;
   int16_t* mv_y;
+  uint8_t* mvp_flag1;
+  int8_t* ref_idx1;
+  int16_t* mvd_x1;
+  int16_t* mvd_y1;
+  int16_t* mv_x1;
+  int16_t* mv_y1;
 };
 
 // Picture-level per-4x4 state shared by encoder and decoder walkers.
 struct MotionInfo {
-  int16_t mvx = 0, mvy = 0;
-  int8_t ref = -1;              // -1: intra / unavailable
+  // two-list motion: list entries valid when ref[l] >= 0
+  int16_t mvx[2] = {0, 0}, mvy[2] = {0, 0};
+  int8_t ref[2] = {-1, -1};
   bool operator==(const MotionInfo& o) const {
-    return mvx == o.mvx && mvy == o.mvy && ref == o.ref;
+    for (int l = 0; l < 2; ++l) {
+      if ((ref[l] < 0) != (o.ref[l] < 0)) return false;
+      if (ref[l] >= 0 && (mvx[l] != o.mvx[l] || mvy[l] != o.mvy[l] ||
+                          ref[l] != o.ref[l]))
+        return false;
+    }
+    return true;
   }
+  int dir() const { return (ref[0] >= 0 ? 1 : 0) | (ref[1] >= 0 ? 2 : 0); }
 };
 
 class PicMaps {
@@ -126,8 +151,8 @@ class PicMaps {
   void init(const SliceParams& sp);
   int stride = 0, rows = 0;
   std::vector<uint8_t> cu_depth, luma_mode, nxn_flag, pred_mode, skip_flag;
-  std::vector<int16_t> mv_x, mv_y;
-  std::vector<int8_t> ref_idx;
+  std::vector<int16_t> mv_x[2], mv_y[2];
+  std::vector<int8_t> ref_idx[2];
   SliceParams sp;
 
   int idx(int x, int y) const { return (y >> 2) * stride + (x >> 2); }
@@ -138,9 +163,9 @@ class PicMaps {
   // spec 8.5.3.2.3 spatial merge candidates (+ zero fill); returns count
   int merge_candidates(int x0, int y0, int w, int h,
                        MotionInfo out[5]) const;
-  // spec 8.5.3.2.6 AMVP: two predictor candidates for ref_idx
-  void amvp_candidates(int x0, int y0, int w, int h, int ref,
-                       MotionInfo out[2]) const;
+  // spec 8.5.3.2.6 AMVP: two predictor MVs for (list, ref_idx)
+  void amvp_candidates(int x0, int y0, int w, int h, int list, int ref,
+                       int16_t out_mv[4]) const;
 };
 
 class SliceEncoder {

@@ -36,24 +36,34 @@ class DeblockMaps:
     4x4 block (bx, by); edge_h: along its TOP. is_intra/nz/mv/ref per 4x4.
     """
 
+    NO_POC = -(10 ** 6)
+
     def __init__(self, h4: int, w4: int):
         self.edge_v = np.zeros((h4, w4), bool)
         self.edge_h = np.zeros((h4, w4), bool)
         self.is_intra = np.zeros((h4, w4), bool)
         self.nz = np.zeros((h4, w4), bool)
-        self.mvx = np.zeros((h4, w4), np.int32)
-        self.mvy = np.zeros((h4, w4), np.int32)
-        self.ref = np.full((h4, w4), -1, np.int32)
+        self.mvx = np.zeros((2, h4, w4), np.int32)
+        self.mvy = np.zeros((2, h4, w4), np.int32)
+        self.poc = np.full((2, h4, w4), self.NO_POC, np.int32)
 
 
-def build_maps(decisions, sps) -> DeblockMaps:
-    """Derive deblocking maps from per-CTU decision maps."""
+def build_maps(decisions, sps, ref_pocs=((), ())) -> DeblockMaps:
+    """Derive deblocking maps from per-CTU decision maps. `ref_pocs` maps
+    (list0, list1) reference indices to picture POCs for the BS rules."""
     from ..encoder.quadtree import cu_leaves, tu_leaves
     w, h = sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples
     ctu = sps.ctu_size
     m = DeblockMaps((h + 3) >> 2, (w + 3) >> 2)
     ctus_w = -(-w // ctu)
     min_cb = sps.log2_min_luma_coding_block_size_minus3 + 3
+
+    def poc_of(lst, ridx):
+        out = np.full(ridx.shape, DeblockMaps.NO_POC, np.int32)
+        for i, pv in enumerate(lst):
+            out[ridx == i] = pv
+        return out
+
     for i, d in enumerate(decisions):
         cy, cx = divmod(i, ctus_w)
         x0c, y0c = cx * ctu, cy * ctu
@@ -61,12 +71,17 @@ def build_maps(decisions, sps) -> DeblockMaps:
         bx0, by0 = x0c >> 2, y0c >> 2
         h4 = min(n4, m.is_intra.shape[0] - by0)
         w4 = min(n4, m.is_intra.shape[1] - bx0)
-        m.is_intra[by0:by0 + h4, bx0:bx0 + w4] = \
-            d.pred_mode[:h4, :w4] == 1
-        m.mvx[by0:by0 + h4, bx0:bx0 + w4] = d.mv_x[:h4, :w4]
-        m.mvy[by0:by0 + h4, bx0:bx0 + w4] = d.mv_y[:h4, :w4]
-        m.ref[by0:by0 + h4, bx0:bx0 + w4] = np.where(
-            d.pred_mode[:h4, :w4] == 1, -1, d.ref_idx[:h4, :w4])
+        sl = (slice(by0, by0 + h4), slice(bx0, bx0 + w4))
+        intra = d.pred_mode[:h4, :w4] == 1
+        m.is_intra[sl] = intra
+        m.mvx[0][sl] = d.mv_x[:h4, :w4]
+        m.mvy[0][sl] = d.mv_y[:h4, :w4]
+        m.poc[0][sl] = np.where(intra, DeblockMaps.NO_POC,
+                                poc_of(ref_pocs[0], d.ref_idx[:h4, :w4]))
+        m.mvx[1][sl] = d.mv_x1[:h4, :w4]
+        m.mvy[1][sl] = d.mv_y1[:h4, :w4]
+        m.poc[1][sl] = np.where(intra, DeblockMaps.NO_POC,
+                                poc_of(ref_pocs[1], d.ref_idx1[:h4, :w4]))
         for (x0, y0, log2) in cu_leaves(d.cu_depth, x0c, y0c, w, h,
                                         ctu_log2=tables.log2(ctu),
                                         min_cb_log2=min_cb):
@@ -107,13 +122,50 @@ def _boundary_strength(m: DeblockMaps, vertical: bool) -> np.ndarray:
         q = (slice(1, None), slice(None))
         p = (slice(0, -1), slice(None))
         edge = m.edge_h[1:, :]
-    bs = np.zeros_like(edge, dtype=np.int32)
     intra = m.is_intra[p] | m.is_intra[q]
     nzpq = m.nz[p] | m.nz[q]
-    refdiff = m.ref[p] != m.ref[q]
-    mvdiff = ((np.abs(m.mvx[p] - m.mvx[q]) >= 4)
-              | (np.abs(m.mvy[p] - m.mvy[q]) >= 4))
-    bs = np.where(intra, 2, np.where(nzpq | refdiff | mvdiff, 1, 0))
+
+    # --- motion-based condition (spec 8.7.2.4, uni and bi cases) ---
+    def side(sel):
+        v0 = m.poc[0][sel] != DeblockMaps.NO_POC
+        v1 = m.poc[1][sel] != DeblockMaps.NO_POC
+        # normalized uni motion (whichever list is used)
+        ux = np.where(v0, m.mvx[0][sel], m.mvx[1][sel])
+        uy = np.where(v0, m.mvy[0][sel], m.mvy[1][sel])
+        up = np.where(v0, m.poc[0][sel], m.poc[1][sel])
+        return dict(n=v0.astype(np.int32) + v1.astype(np.int32),
+                    ux=ux, uy=uy, up=up,
+                    x0=m.mvx[0][sel], y0=m.mvy[0][sel], p0=m.poc[0][sel],
+                    x1=m.mvx[1][sel], y1=m.mvy[1][sel], p1=m.poc[1][sel])
+
+    P, Q = side(p), side(q)
+    ncount_diff = P["n"] != Q["n"]
+    # uni-uni
+    uni_refdiff = P["up"] != Q["up"]
+    uni_mvdiff = ((np.abs(P["ux"] - Q["ux"]) >= 4)
+                  | (np.abs(P["uy"] - Q["uy"]) >= 4))
+    uni_bad = uni_refdiff | uni_mvdiff
+    # bi-bi
+    straight_ref = (P["p0"] == Q["p0"]) & (P["p1"] == Q["p1"])
+    cross_ref = (P["p0"] == Q["p1"]) & (P["p1"] == Q["p0"])
+    st_mv_ok = ((np.abs(P["x0"] - Q["x0"]) < 4)
+                & (np.abs(P["y0"] - Q["y0"]) < 4)
+                & (np.abs(P["x1"] - Q["x1"]) < 4)
+                & (np.abs(P["y1"] - Q["y1"]) < 4))
+    cr_mv_ok = ((np.abs(P["x0"] - Q["x1"]) < 4)
+                & (np.abs(P["y0"] - Q["y1"]) < 4)
+                & (np.abs(P["x1"] - Q["x0"]) < 4)
+                & (np.abs(P["y1"] - Q["y0"]) < 4))
+    same_pic = P["p0"] == P["p1"]  # both lists reference the same picture
+    bi_ok = np.where(
+        same_pic & straight_ref,       # refs identical: either pairing ok
+        st_mv_ok | cr_mv_ok,
+        (straight_ref & st_mv_ok) | (cross_ref & ~straight_ref & cr_mv_ok))
+    bi_bad = ~(straight_ref | cross_ref) | ~bi_ok
+    motion_bad = np.where(ncount_diff, True,
+                          np.where(P["n"] == 2, bi_bad, uni_bad))
+
+    bs = np.where(intra, 2, np.where(nzpq | motion_bad, 1, 0))
     bs = np.where(edge, bs, 0)
     # re-embed at full grid (edge at left/top of block index >= 1)
     full = np.zeros(m.edge_v.shape, np.int32)

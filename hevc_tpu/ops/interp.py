@@ -57,40 +57,45 @@ def _filter_ver(region: np.ndarray, taps: np.ndarray, h: int) -> np.ndarray:
 
 def mc_block_np(ref: np.ndarray, pad: int, x: int, y: int, w: int, h: int,
                 frac_x: int, frac_y: int, bit_depth: int = 8,
-                is_luma: bool = True) -> np.ndarray:
-    """Uni-directional motion-compensated prediction of a w x h block.
+                is_luma: bool = True, raw14: bool = False) -> np.ndarray:
+    """Motion-compensated prediction of a w x h block.
 
     `ref` is the reference plane padded by `pad` on every side (edge
     extension); (x, y) is the INTEGER-pel top-left position in unpadded
     coordinates; frac_* are the sub-pel phases (luma 0..3 quarter-pel,
-    chroma 0..7 eighth-pel). Returns clipped samples [h, w] int32.
+    chroma 0..7 eighth-pel).
+
+    raw14=False: clipped uni-prediction samples [h, w] int32
+                 (spec 8.5.3.3.4.2: Clip((v + off) >> (14-bitDepth)))
+    raw14=True:  the 14-bit intermediate predSamples (for bi averaging)
     """
     filters = LUMA_FILTERS if is_luma else CHROMA_FILTERS
     nt = LUMA_TAPS if is_luma else CHROMA_TAPS
     off = nt // 2 - 1               # taps cover [-off, nt-1-off]
     maxval = (1 << bit_depth) - 1
     shift1 = bit_depth - 8          # horizontal stage
+    shift_u = 14 - bit_depth        # uni final shift
+    off_u = 1 << (shift_u - 1)
     px, py = x + pad, y + pad
     if frac_x == 0 and frac_y == 0:
-        blk = ref[py:py + h, px:px + w].astype(np.int32)
-        return blk
+        blk = ref[py:py + h, px:px + w].astype(np.int64)
+        if raw14:
+            return blk << shift_u   # spec: refPicLX << shift3
+        return blk.astype(np.int32)
     if frac_y == 0:
         region = ref[py:py + h, px - off:px - off + w + nt - 1]
-        t = _filter_hor(region, filters[frac_x], w)
-        val = (t >> shift1)
-        # total scale 64 => final (val + 32) >> 6 at 14-bit pipeline folded:
-        return np.clip((val + 32) >> 6, 0, maxval).astype(np.int32)
-    if frac_x == 0:
+        val = _filter_hor(region, filters[frac_x], w) >> shift1
+    elif frac_x == 0:
         region = ref[py - off:py - off + h + nt - 1, px:px + w]
-        t = _filter_ver(region, filters[frac_y], h)
-        val = (t >> shift1)
-        return np.clip((val + 32) >> 6, 0, maxval).astype(np.int32)
-    # both fractional: horizontal at shift1, vertical at >>6, final >>6
-    region = ref[py - off:py - off + h + nt - 1,
-                 px - off:px - off + w + nt - 1]
-    tmp = _filter_hor(region, filters[frac_x], w) >> shift1
-    t = _filter_ver(tmp, filters[frac_y], h) >> 6
-    return np.clip((t + 32) >> 6, 0, maxval).astype(np.int32)
+        val = _filter_ver(region, filters[frac_y], h) >> shift1
+    else:
+        region = ref[py - off:py - off + h + nt - 1,
+                     px - off:px - off + w + nt - 1]
+        tmp = _filter_hor(region, filters[frac_x], w) >> shift1
+        val = _filter_ver(tmp, filters[frac_y], h) >> 6
+    if raw14:
+        return val
+    return np.clip((val + off_u) >> shift_u, 0, maxval).astype(np.int32)
 
 
 def mc_predict_np(padded_ref: np.ndarray, pad: int, mv_qpel_x: int,
@@ -108,6 +113,25 @@ def mc_predict_np(padded_ref: np.ndarray, pad: int, mv_qpel_x: int,
         iy, fy = mv_qpel_y >> 3, mv_qpel_y & 7
     return mc_block_np(padded_ref, pad, x0 + ix, y0 + iy, w, h, fx, fy,
                        bit_depth, is_luma)
+
+
+def mc_predict_bi_np(padded0, padded1, pad, mv0, mv1, x0, y0, w, h,
+                     bit_depth=8, is_luma=True):
+    """Bi-prediction: average of the two 14-bit intermediates
+    (spec 8.5.3.3.4.2 default weighted: (p0 + p1 + off2) >> (15-bitDepth))."""
+    def raw(padded, mv):
+        if is_luma:
+            ix, fx = mv[0] >> 2, mv[0] & 3
+            iy, fy = mv[1] >> 2, mv[1] & 3
+        else:
+            ix, fx = mv[0] >> 3, mv[0] & 7
+            iy, fy = mv[1] >> 3, mv[1] & 7
+        return mc_block_np(padded, pad, x0 + ix, y0 + iy, w, h, fx, fy,
+                           bit_depth, is_luma, raw14=True)
+    shift2 = 15 - bit_depth
+    off2 = 1 << (shift2 - 1)
+    v = (raw(padded0, mv0) + raw(padded1, mv1) + off2) >> shift2
+    return np.clip(v, 0, (1 << bit_depth) - 1).astype(np.int32)
 
 
 def pad_plane(plane: np.ndarray, pad: int) -> np.ndarray:

@@ -1,0 +1,76 @@
+"""Pallas TPU kernel: batched full-search SAD tables.
+
+Parity: reference cl/sad.cl + TEncOpenCL.cpp calcMotionVectors:240 — the
+fork's GPU module enqueues (2R+1)^2 sequential kernel pairs per CTU per
+reference. Here ONE pallas launch computes the whole [N, ny, nx] SAD table:
+grid = (N,); each program DMAs its block's search area into VMEM and sweeps
+all (dy, dx) offsets with VPU |diff| reductions (row-vectorized over dx).
+The fused lambda*mv-bits argmin (compareSAD's job) runs as cheap XLA ops on
+the table output. Output tile padded to (8, 128) lane alignment.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(v, m):
+    return (v + m - 1) // m * m
+
+
+def _sad_kernel(blk_ref, area_ref, out_ref, scratch, sem, *, h, w, ny, nx,
+                nxp):
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(area_ref.at[i], scratch, sem)
+    dma.start()
+    dma.wait()
+    blk = blk_ref[0]
+
+    def row(dy, _):
+        rows = scratch[pl.ds(dy, h), :]
+        sads = []
+        for dx in range(nx):
+            sads.append(jnp.sum(jnp.abs(rows[:, dx:dx + w] - blk)))
+        vec = jnp.stack(sads)
+        vec = jnp.pad(vec, (0, nxp - nx))
+        out_ref[0, dy, :] = vec
+        return 0
+
+    jax.lax.fori_loop(0, ny, row, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "ny", "nx",
+                                             "interpret"))
+def sad_table(blks: jnp.ndarray, areas: jnp.ndarray, *, h: int, w: int,
+              ny: int, nx: int, interpret: bool = False) -> jnp.ndarray:
+    """blks [N,h,w] int32, areas [N,h+ny-1,w+nx-1] int32 -> SAD [N,ny,nx]."""
+    n = blks.shape[0]
+    nyp = _round_up(ny, 8)
+    nxp = _round_up(nx, 128)
+    aw = _round_up(w + nx - 1, 128)   # lane-aligned area width for the DMA
+    ah = _round_up(h + ny - 1, 8)
+    areas = jnp.pad(areas.astype(jnp.int32),
+                    ((0, 0), (0, ah - (h + ny - 1)), (0, aw - (w + nx - 1))))
+    kernel = functools.partial(_sad_kernel, h=h, w=w, ny=ny, nx=nx, nxp=nxp)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, nyp, nxp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, nyp, nxp), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((ah, aw), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(blks.astype(jnp.int32), areas)
+    return out[:, :ny, :nx]

@@ -82,3 +82,20 @@ def test_own_decoder_matches_reference_decoder(tmp_path):
     assert out.returncode == 0
     assert (tmp_path / "ours.yuv").read_bytes() == \
         (tmp_path / "hm.yuv").read_bytes()
+
+
+def test_lowdelay_b_conformance(tmp_path):
+    w, h, frames = 128, 80, 5
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-c", "/root/reference/cfg/encoder_lowdelay_main.cfg",
+          "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f", str(frames),
+          "-q", "30", "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames
+    assert out.stdout.count("B-SLICE") == frames - 1
+    assert rec.read_bytes() == dec.read_bytes()
