@@ -32,7 +32,11 @@ class EncoderTop:
             max_transform_hierarchy_depth_inter=cfg.tu_depth_inter,
             sample_adaptive_offset_enabled_flag=0,   # SAO syntax: next stage
         )
+        # profile signalling: main (1) / main10 (2)
+        if cfg.internal_bit_depth > 8 or cfg.profile == "main10":
+            self.sps.ptl.general_profile_idc = 2
         self.vps = VPS()
+        self.vps.ptl.general_profile_idc = self.sps.ptl.general_profile_idc
         self.pps = PPS(init_qp_minus26=cfg.qp - 26)
         if cfg.deblock_disable:
             self.pps.deblocking_filter_control_present_flag = 1

@@ -29,6 +29,7 @@ ENTROPY_CODING_MAX = 32767
                    static_argnames=("size", "qp", "bit_depth", "is_intra"))
 def quantize(coeffs: jnp.ndarray, *, size: int, qp: int, bit_depth: int = 8,
              is_intra: bool = True) -> jnp.ndarray:
+    qp = qp + 6 * (bit_depth - 8)   # Qp' incl. QpBdOffset (spec 8.6.1)
     log2n = tables.log2(size)
     transform_shift = 15 - bit_depth - log2n
     qbits = 14 + qp // 6 + transform_shift
@@ -45,6 +46,7 @@ def quantize(coeffs: jnp.ndarray, *, size: int, qp: int, bit_depth: int = 8,
 @functools.partial(jax.jit, static_argnames=("size", "qp", "bit_depth"))
 def dequantize(levels: jnp.ndarray, *, size: int, qp: int,
                bit_depth: int = 8) -> jnp.ndarray:
+    qp = qp + 6 * (bit_depth - 8)   # Qp' incl. QpBdOffset (spec 8.6.1)
     log2n = tables.log2(size)
     bd_shift = bit_depth + log2n - 5
     scale = int(tables.INV_QUANT_SCALES[qp % 6])
@@ -65,6 +67,7 @@ def dequantize(levels: jnp.ndarray, *, size: int, qp: int,
 
 def quantize_np(coeffs: np.ndarray, size: int, qp: int, bit_depth: int = 8,
                 is_intra: bool = True) -> np.ndarray:
+    qp = qp + 6 * (bit_depth - 8)   # Qp' incl. QpBdOffset (spec 8.6.1)
     log2n = tables.log2(size)
     transform_shift = 15 - bit_depth - log2n
     qbits = 14 + qp // 6 + transform_shift
@@ -78,6 +81,7 @@ def quantize_np(coeffs: np.ndarray, size: int, qp: int, bit_depth: int = 8,
 
 def dequantize_np(levels: np.ndarray, size: int, qp: int,
                   bit_depth: int = 8) -> np.ndarray:
+    qp = qp + 6 * (bit_depth - 8)   # Qp' incl. QpBdOffset (spec 8.6.1)
     log2n = tables.log2(size)
     bd_shift = bit_depth + log2n - 5
     scale = (int(tables.INV_QUANT_SCALES[qp % 6]) * 16) << (qp // 6)

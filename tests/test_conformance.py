@@ -99,3 +99,21 @@ def test_lowdelay_b_conformance(tmp_path):
     assert out.stdout.count("(OK)") == frames
     assert out.stdout.count("B-SLICE") == frames - 1
     assert rec.read_bytes() == dec.read_bytes()
+
+
+def test_main10_conformance(tmp_path):
+    w, h, frames = 128, 80, 3
+    clip = tmp_path / "in10.yuv"
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_test_yuv import write_clip
+    write_clip(str(clip), w, h, frames, 10)
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f", str(frames),
+          "-q", "30", "--IntraPeriod=-1", "--InternalBitDepth=10",
+          "--InputBitDepth=10", "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+    assert rec.read_bytes() == dec.read_bytes()

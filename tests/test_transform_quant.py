@@ -77,8 +77,9 @@ def test_dequant_matches_normative_formula(qp, bit_depth):
     lv = RNG.integers(-32768, 32768, size=(size, size)).astype(np.int64)
     log2n = 3
     bd_shift = bit_depth + log2n - 5
-    ls = int(quant.tables.INV_QUANT_SCALES[qp % 6])
-    spec = ((lv * 16 * ls) << (qp // 6)) + (1 << (bd_shift - 1))
+    qp_eff = qp + 6 * (bit_depth - 8)  # Qp' incl. QpBdOffset
+    ls = int(quant.tables.INV_QUANT_SCALES[qp_eff % 6])
+    spec = ((lv * 16 * ls) << (qp_eff // 6)) + (1 << (bd_shift - 1))
     spec = np.clip(spec >> bd_shift, -32768, 32767)
     got = np.asarray(quant.dequantize(lv.astype(np.int32), size=size, qp=qp,
                                       bit_depth=bit_depth))
