@@ -200,7 +200,6 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: SPS, pps: PPS
     if sps.sample_adaptive_offset_enabled_flag:
         sh.slice_sao_luma_flag = br.flag()
         sh.slice_sao_chroma_flag = br.flag()
-        assert not (sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag)
     if sh.slice_type != SliceType.I:
         override = br.flag()
         n0 = pps.num_ref_idx_l0_default_active_minus1 + 1

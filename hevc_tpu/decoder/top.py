@@ -99,7 +99,10 @@ class DecoderTop:
             num_ref_l1=sh.num_ref_idx_active[1]
             if sh.slice_type == SliceType.B else 0,
             mvd_l1_zero=sh.mvd_l1_zero_flag,
-            ref_poc_l0=ref_pocs_l0[:16], ref_poc_l1=ref_pocs_l1[:16])
+            ref_poc_l0=ref_pocs_l0[:16], ref_poc_l1=ref_pocs_l1[:16],
+            sao_luma=sh.slice_sao_luma_flag,
+            sao_chroma=sh.slice_sao_chroma_flag,
+            bit_depth=sps.bit_depth_luma)
         sdec = cabac.SliceDataDecoder(sp, slice_data)
         w, h = sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples
         recon = [np.zeros((h, w), np.int16),
@@ -131,5 +134,9 @@ class DecoderTop:
             deblock.deblock_frame(recon, dmaps, sh.slice_qp, sps,
                                   pps.pps_beta_offset_div2,
                                   pps.pps_tc_offset_div2)
+        if sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag:
+            from ..ops import sao as saolib
+            recon = saolib.apply_sao(recon, [d.sao for d in decisions],
+                                     sps, sps.bit_depth_luma)
         self.dpb_recon = recon
         return recon

@@ -30,7 +30,7 @@ class EncoderTop:
             chroma_format_idc=cfg.internal_chroma_format,
             max_transform_hierarchy_depth_intra=cfg.tu_depth_intra,
             max_transform_hierarchy_depth_inter=cfg.tu_depth_inter,
-            sample_adaptive_offset_enabled_flag=0,   # SAO syntax: next stage
+            sample_adaptive_offset_enabled_flag=1 if cfg.sao else 0,
         )
         # profile signalling: main (1) / main10 (2)
         if cfg.internal_bit_depth > 8 or cfg.profile == "main10":
@@ -63,12 +63,17 @@ class EncoderTop:
             sh = SliceHeader(
                 slice_type=SliceType.I,
                 nal_unit_type=int(NalUnitType.IDR_W_RADL),
-                poc=0, slice_qp=cfg.qp)
+                poc=0, slice_qp=cfg.qp,
+                slice_sao_luma_flag=1 if cfg.sao else 0,
+                slice_sao_chroma_flag=1 if cfg.sao else 0)
             fe = IntraFrameEncoder(self.sps, cfg.qp)
             sp = make_slice_params(
                 cfg.width, cfg.height, cfg.qp, slice_type=int(SliceType.I),
                 ctu_size=self.sps.ctu_size,
-                max_tu_depth_intra=self.sps.max_transform_hierarchy_depth_intra)
+                max_tu_depth_intra=self.sps.max_transform_hierarchy_depth_intra,
+                sao_luma=sh.slice_sao_luma_flag,
+                sao_chroma=sh.slice_sao_chroma_flag,
+                bit_depth=self.sps.bit_depth_luma)
             senc = SliceDataEncoder(sp)
             decisions, recon = fe.encode_frame(planes)
         else:
@@ -90,7 +95,9 @@ class EncoderTop:
                 nal_unit_type=int(NalUnitType.TRAIL_R),
                 poc=gop_poc, slice_qp=slice_qp,
                 short_term_ref_pic_set_sps_flag=1, rps_sps_idx=0,
-                num_ref_idx_active=[1, 1 if is_b else 0])
+                num_ref_idx_active=[1, 1 if is_b else 0],
+                slice_sao_luma_flag=1 if cfg.sao else 0,
+                slice_sao_chroma_flag=1 if cfg.sao else 0)
             ref_poc = gop_poc - 1
             fe = PFrameEncoder(self.sps, slice_qp, self.dpb_recon,
                                search_range=min(cfg.search_range, 24),
@@ -101,11 +108,33 @@ class EncoderTop:
                 ctu_size=self.sps.ctu_size,
                 max_tu_depth_intra=self.sps.max_transform_hierarchy_depth_intra,
                 num_ref_l0=1, num_ref_l1=1 if is_b else 0,
-                ref_poc_l0=[ref_poc], ref_poc_l1=[ref_poc] if is_b else [])
+                ref_poc_l0=[ref_poc], ref_poc_l1=[ref_poc] if is_b else [],
+                sao_luma=sh.slice_sao_luma_flag,
+                sao_chroma=sh.slice_sao_chroma_flag,
+                bit_depth=self.sps.bit_depth_luma)
             senc = SliceDataEncoder(sp)
             fe.senc = senc
             decisions, recon = fe.encode_frame(planes)
             self._ref_pocs = ([ref_poc], [ref_poc] if is_b else [])
+
+        # in-loop deblocking (normative; filtered picture is the hash
+        # target and the reference for subsequent frames)
+        if not self.pps.pps_deblocking_filter_disabled_flag:
+            from ..ops import deblock
+            ref_pocs = getattr(self, "_ref_pocs", ((), ())) \
+                if not is_intra else ((), ())
+            dmaps = deblock.build_maps(decisions, self.sps, ref_pocs)
+            deblock.deblock_frame(recon, dmaps, sh.slice_qp, self.sps)
+
+        # SAO: estimate on the deblocked picture, attach per-CTU params so
+        # the slice-data coder emits them, apply for the final recon
+        if sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag:
+            from ..ops import sao as saolib
+            lam = 0.57 * (2.0 ** ((sh.slice_qp - 12) / 3.0))
+            sao_params = saolib.estimate_sao(planes, recon, self.sps,
+                                             self.sps.bit_depth_luma, lam)
+            for d, prm in zip(decisions, sao_params):
+                d.sao[:] = prm
 
         ctus_w = self.sps.pic_width_in_ctus
         ctus_h = self.sps.pic_height_in_ctus
@@ -118,14 +147,9 @@ class EncoderTop:
         slice_rbsp = headers.write_slice_header(sh, self.sps, self.pps) \
             + senc.get_bytes()
 
-        # in-loop deblocking (normative; filtered picture is the hash
-        # target and the reference for subsequent frames)
-        if not self.pps.pps_deblocking_filter_disabled_flag:
-            from ..ops import deblock
-            ref_pocs = getattr(self, "_ref_pocs", ((), ())) \
-                if not is_intra else ((), ())
-            dmaps = deblock.build_maps(decisions, self.sps, ref_pocs)
-            deblock.deblock_frame(recon, dmaps, sh.slice_qp, self.sps)
+        if sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag:
+            recon = saolib.apply_sao(recon, [d.sao for d in decisions],
+                                     self.sps, self.sps.bit_depth_luma)
 
         nals = []
         firsts = []

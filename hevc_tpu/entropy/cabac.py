@@ -27,7 +27,8 @@ class SliceParamsC(ctypes.Structure):
         "max_cb_log2", "min_tb_log2", "max_tb_log2", "max_merge_cand",
         "num_ref_l0", "num_ref_l1", "mvd_l1_zero")] + [
         ("ref_poc_l0", ctypes.c_int32 * 16),
-        ("ref_poc_l1", ctypes.c_int32 * 16)]
+        ("ref_poc_l1", ctypes.c_int32 * 16)] + [
+        (n, ctypes.c_int32) for n in ("sao_luma", "sao_chroma", "bit_depth")]
 
 
 def _build() -> None:
@@ -57,6 +58,7 @@ def get_lib() -> ctypes.CDLL:
         u8p, u8p, u8p, u8p, u8p, i16p, i16p, i16p,
         u8p, u8p, u8p, u8p, u8p, i8p, i16p, i16p, i16p, i16p,
         u8p, i8p, i16p, i16p, i16p, i16p,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ctypes.c_int]
     lib.hevc_enc_publish_cu.argtypes = [
         ctypes.c_void_p] + [ctypes.c_int] * 11
@@ -79,7 +81,8 @@ def get_lib() -> ctypes.CDLL:
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         u8p, u8p, u8p, u8p, u8p, i16p, i16p, i16p,
         u8p, u8p, u8p, u8p, u8p, i8p, i16p, i16p, i16p, i16p,
-        u8p, i8p, i16p, i16p, i16p, i16p]
+        u8p, i8p, i16p, i16p, i16p, i16p,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
     _lib = lib
     return lib
 
@@ -91,7 +94,9 @@ def make_slice_params(pic_w: int, pic_h: int, qp: int, slice_type: int = 2,
                       min_cb_log2: int = 3, max_tb_log2: int = 5,
                       max_merge_cand: int = 5, num_ref_l0: int = 1,
                       num_ref_l1: int = 0, mvd_l1_zero: int = 0,
-                      ref_poc_l0=(), ref_poc_l1=()) -> SliceParamsC:
+                      ref_poc_l0=(), ref_poc_l1=(), sao_luma: int = 0,
+                      sao_chroma: int = 0, bit_depth: int = 8
+                      ) -> SliceParamsC:
     sp = SliceParamsC(
         pic_w, pic_h, ctu_size, qp, slice_type, max_tu_depth_intra,
         max_tu_depth_inter, chroma_format, sign_hiding, transform_skip,
@@ -101,6 +106,9 @@ def make_slice_params(pic_w: int, pic_h: int, qp: int, slice_type: int = 2,
         sp.ref_poc_l0[i] = pocv
     for i, pocv in enumerate(ref_poc_l1):
         sp.ref_poc_l1[i] = pocv
+    sp.sao_luma = sao_luma
+    sp.sao_chroma = sao_chroma
+    sp.bit_depth = bit_depth
     return sp
 
 
@@ -133,6 +141,7 @@ class CtuDecisions:
         self.mvd_y1 = np.zeros((n4, n4), np.int16)
         self.mv_x1 = np.zeros((n4, n4), np.int16)
         self.mv_y1 = np.zeros((n4, n4), np.int16)
+        self.sao = np.zeros(20, np.int32)
 
 
 class SliceDataEncoder:
@@ -170,6 +179,7 @@ class SliceDataEncoder:
             np.ascontiguousarray(d.mvd_y1),
             np.ascontiguousarray(d.mv_x1),
             np.ascontiguousarray(d.mv_y1),
+            np.ascontiguousarray(d.sao),
             1 if end_of_slice else 0)
 
     def publish_cu(self, x0, y0, log2, is_intra, skip=0, mv=(0, 0),
@@ -225,7 +235,8 @@ class SliceDataDecoder:
             d.chroma_mode, d.tu_depth, d.coeff_y, d.coeff_cb, d.coeff_cr,
             d.pred_mode, d.skip_flag, d.merge_flag, d.merge_idx, d.mvp_flag,
             d.ref_idx, d.mvd_x, d.mvd_y, d.mv_x, d.mv_y,
-            d.mvp_flag1, d.ref_idx1, d.mvd_x1, d.mvd_y1, d.mv_x1, d.mv_y1)
+            d.mvp_flag1, d.ref_idx1, d.mvd_x1, d.mvd_y1, d.mv_x1, d.mv_y1,
+            d.sao)
         return d, eos
 
     def __del__(self):

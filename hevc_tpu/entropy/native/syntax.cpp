@@ -435,6 +435,7 @@ void SliceEncoder::encode_ctu(int cx, int cy, const CtuData& d,
       }
     }
   }
+  if (sp_.sao_luma || sp_.sao_chroma) code_sao(cx, cy);
   cu_tree(ctu_x0_, ctu_y0_, sp_.max_cb_log2, 0);
   cabac_.encode_terminate(end_of_slice);
   if (end_of_slice) {
@@ -972,6 +973,8 @@ int SliceDecoder::decode_ctu(int cx, int cy, const MutCtuData& d) {
   std::memset(d.coeff_y, 0, sizeof(int16_t) * sp_.ctu_size * sp_.ctu_size);
   std::memset(d.coeff_cb, 0, sizeof(int16_t) * (sp_.ctu_size / 2) * (sp_.ctu_size / 2));
   std::memset(d.coeff_cr, 0, sizeof(int16_t) * (sp_.ctu_size / 2) * (sp_.ctu_size / 2));
+  if (sp_.sao_luma || sp_.sao_chroma) parse_sao(cx, cy, d.sao);
+  else if (d.sao) std::fill(d.sao, d.sao + 20, 0);
   cu_tree(ctu_x0_, ctu_y0_, sp_.max_cb_log2, 0);
   int eos = cabac_.decode_terminate();
   cur_ = nullptr;
@@ -1425,6 +1428,108 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
       plane[(py + r / n) * pw + px + r % n] = s ? -level[k] : level[k];
     }
   }
+}
+
+// ---------------------------------------------------------------------------
+// SAO syntax (spec 7.3.8.3). Parity: reference TEncSbac codeSAOBlkParam /
+// TDecSbac parseSAOBlkParam.
+// ---------------------------------------------------------------------------
+void SliceEncoder::code_sao(int cx, int cy) {
+  const int32_t* p = cur_->sao;
+  int cmax_off = (1 << (std::min(sp_.bit_depth, 10) - 5)) - 1;
+  // merge flags (we always code fresh parameters)
+  if (cx > 0) cabac_.encode_bin(ctx_.sao_merge[0], 0);
+  if (cy > 0) cabac_.encode_bin(ctx_.sao_merge[0], 0);
+  auto code_type = [&](int t) {
+    cabac_.encode_bin(ctx_.sao_type[0], t != 0);
+    if (t != 0) cabac_.encode_bypass(t == 2 ? 1 : 0);
+  };
+  auto code_offsets = [&](int t, const int32_t* off, int band_pos,
+                          int eo_class, bool code_eo) {
+    if (t == 0) return;
+    for (int i = 0; i < 4; ++i) {
+      int a = off[i] < 0 ? -off[i] : off[i];
+      for (int k = 0; k < a; ++k) cabac_.encode_bypass(1);
+      if (a < cmax_off) cabac_.encode_bypass(0);
+    }
+    if (t == 1) {  // band: signs for nonzero offsets + band position
+      for (int i = 0; i < 4; ++i)
+        if (off[i] != 0) cabac_.encode_bypass(off[i] < 0 ? 1 : 0);
+      cabac_.encode_bypass_bins((uint32_t)band_pos, 5);
+    } else if (code_eo) {
+      cabac_.encode_bypass_bins((uint32_t)eo_class, 2);
+    }
+  };
+  if (sp_.sao_luma) {
+    code_type(p[0]);
+    code_offsets(p[0], p + 8, p[4], p[2], true);
+  }
+  if (sp_.sao_chroma) {
+    code_type(p[1]);
+    code_offsets(p[1], p + 12, p[5], p[3], true);
+    // cr: type/eo inherited, own offsets + band position, no eo bits
+    code_offsets(p[1], p + 16, p[6], p[3], false);
+  }
+}
+
+void SliceDecoder::parse_sao(int cx, int cy, int32_t* out) {
+  int ctus_w = (sp_.pic_w + sp_.ctu_size - 1) / sp_.ctu_size;
+  if (sao_store_.empty())
+    sao_store_.assign((size_t)ctus_w *
+                          ((sp_.pic_h + sp_.ctu_size - 1) / sp_.ctu_size) * 20,
+                      0);
+  int cmax_off = (1 << (std::min(sp_.bit_depth, 10) - 5)) - 1;
+  std::fill(out, out + 20, 0);
+  int merge_left = cx > 0 ? cabac_.decode_bin(ctx_.sao_merge[0]) : 0;
+  int merge_up = (!merge_left && cy > 0)
+                     ? cabac_.decode_bin(ctx_.sao_merge[0]) : 0;
+  int idx = cy * ctus_w + cx;
+  if (merge_left || merge_up) {
+    int src = merge_left ? idx - 1 : idx - ctus_w;
+    std::copy(&sao_store_[src * 20], &sao_store_[src * 20 + 20], out);
+    out[7] = merge_left ? 1 : 2;
+    std::copy(out, out + 20, &sao_store_[idx * 20]);
+    return;
+  }
+  auto parse_type = [&]() {
+    if (!cabac_.decode_bin(ctx_.sao_type[0])) return 0;
+    return cabac_.decode_bypass() ? 2 : 1;
+  };
+  auto parse_offsets = [&](int t, int32_t* off, int32_t* band_pos,
+                           int32_t* eo_class, bool has_eo) {
+    if (t == 0) return;
+    int absv[4];
+    for (int i = 0; i < 4; ++i) {
+      int a = 0;
+      while (a < cmax_off && cabac_.decode_bypass()) a++;
+      absv[i] = a;
+    }
+    if (t == 1) {
+      for (int i = 0; i < 4; ++i) {
+        int sign = absv[i] ? (int)cabac_.decode_bypass() : 0;
+        off[i] = sign ? -absv[i] : absv[i];
+      }
+      *band_pos = (int32_t)cabac_.decode_bypass_bins(5);
+    } else {
+      // edge: inferred signs (+ + - -)
+      off[0] = absv[0];
+      off[1] = absv[1];
+      off[2] = -absv[2];
+      off[3] = -absv[3];
+      if (has_eo) *eo_class = (int32_t)cabac_.decode_bypass_bins(2);
+    }
+  };
+  if (sp_.sao_luma) {
+    out[0] = parse_type();
+    parse_offsets(out[0], out + 8, out + 4, out + 2, true);
+  }
+  if (sp_.sao_chroma) {
+    out[1] = parse_type();
+    parse_offsets(out[1], out + 12, out + 5, out + 3, true);
+    int32_t dummy_eo = out[3];
+    parse_offsets(out[1], out + 16, out + 6, &dummy_eo, false);
+  }
+  std::copy(out, out + 20, &sao_store_[idx * 20]);
 }
 
 }  // namespace hevctpu

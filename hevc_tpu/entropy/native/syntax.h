@@ -38,6 +38,9 @@ struct SliceParams {
   int32_t mvd_l1_zero;     // slice mvd_l1_zero_flag
   int32_t ref_poc_l0[16];  // POCs of the list-0 references
   int32_t ref_poc_l1[16];
+  int32_t sao_luma;        // slice_sao_luma_flag
+  int32_t sao_chroma;      // slice_sao_chroma_flag
+  int32_t bit_depth;       // for the sao_offset_abs cMax
 };
 
 // Context model set: one instance per slice (later: per WPP row state).
@@ -100,6 +103,12 @@ struct CtuData {
   const int16_t* mvd_y1;
   const int16_t* mv_x1;
   const int16_t* mv_y1;
+  // SAO parameters, layout (int32[20]):
+  //  [0] type_luma (0 off / 1 band / 2 edge)   [1] type_chroma
+  //  [2] eo_class_luma  [3] eo_class_chroma
+  //  [4] band_pos_luma  [5] band_pos_cb  [6] band_pos_cr  [7] merge flags
+  //  [8..11] signed offsets luma  [12..15] cb  [16..19] cr
+  const int32_t* sao;
 };
 
 struct MutCtuData {  // decoder-side (written)
@@ -127,6 +136,7 @@ struct MutCtuData {  // decoder-side (written)
   int16_t* mvd_y1;
   int16_t* mv_x1;
   int16_t* mv_y1;
+  int32_t* sao;
 };
 
 // Picture-level per-4x4 state shared by encoder and decoder walkers.
@@ -200,6 +210,7 @@ class SliceEncoder {
   void residual(int x0, int y0, int log2, int c_idx);
   void code_intra_luma_modes(int x0, int y0, int log2, bool nxn);
   void code_intra_chroma_mode(int x0, int y0);
+  void code_sao(int ctu_x, int ctu_y);
 
   SliceParams sp_;
   PicMaps maps_;
@@ -234,6 +245,8 @@ class SliceDecoder {
   void residual(int x0, int y0, int log2, int c_idx);
   void fill(uint8_t* map, int x0, int y0, int log2, uint8_t v);
   void fill16(int16_t* map, int x0, int y0, int log2, int16_t v);
+  void parse_sao(int ctu_x, int ctu_y, int32_t* out);
+  std::vector<int32_t> sao_store_;  // per-CTU params for merge derivation
 
   SliceParams sp_;
   PicMaps maps_;
