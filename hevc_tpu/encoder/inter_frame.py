@@ -107,7 +107,8 @@ class PFrameEncoder(IntraFrameEncoder):
             mv_y, mv_x, cost, sad = me.full_search_batch_np(
                 blks, areas, mins, mins, zeros, zeros, self.lam_fp)
         else:
-            mv_y, mv_x, cost, sad = me.full_search_batch(
+            # TPU: Pallas SAD-table kernel + fused cost/argmin
+            mv_y, mv_x, cost, sad = me.full_search_batch_pallas(
                 blks, areas, mins, mins, zeros, zeros, self.lam_fp,
                 h=size, w=size, ny=2 * R + 1, nx=2 * R + 1)
             mv_y, mv_x = np.asarray(mv_y), np.asarray(mv_x)

@@ -80,6 +80,27 @@ def full_search(blk, area, mv_min_y, mv_min_x, pred_qy, pred_qx, lam_fp, *,
     return r[0][0], r[1][0], r[2][0], r[3][0]
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w", "ny", "nx"))
+def full_search_batch_pallas(blks, areas, mv_min_y, mv_min_x, pred_qy,
+                             pred_qx, lam_fp, *, h, w, ny, nx):
+    """TPU path: Pallas SAD tables + fused XLA cost/argmin (the compareSAD
+    stage of the reference GPU module)."""
+    from .sad_pallas import sad_table
+    n = blks.shape[0]
+    sads = sad_table(blks, areas, h=h, w=w, ny=ny, nx=nx)
+    mv_y = mv_min_y[:, None, None] + jnp.arange(ny)[None, :, None]
+    mv_x = mv_min_x[:, None, None] + jnp.arange(nx)[None, None, :]
+    bits = (mv_bits((mv_y << 2) - pred_qy[:, None, None])
+            + mv_bits((mv_x << 2) - pred_qx[:, None, None]))
+    cost = sads + ((lam_fp * bits) >> 16)
+    flat = cost.reshape(n, ny * nx)
+    idx = jnp.argmin(flat, axis=1)
+    by, bx = idx // nx, idx % nx
+    take = lambda a: jnp.take_along_axis(
+        a.reshape(n, ny * nx), idx[:, None], axis=1)[:, 0]
+    return (mv_min_y + by, mv_min_x + bx, take(cost), take(sads))
+
+
 def full_search_np(blk, area, mv_min_y, mv_min_x, pred_qy, pred_qx, lam_fp):
     """Scalar oracle with the reference's exact scan order."""
     h, w = blk.shape

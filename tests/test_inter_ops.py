@@ -111,3 +111,19 @@ def test_full_search_batch_np_matches_oracle():
                                 int(px[i]), 40000)
         assert (int(got[0][i]), int(got[1][i]), int(got[2][i]),
                 int(got[3][i])) == exp
+
+
+def test_pallas_sad_table_interpret():
+    from hevc_tpu.ops.sad_pallas import sad_table
+    rng = np.random.default_rng(3)
+    n, h, w, R = 2, 8, 8, 2
+    blks = rng.integers(0, 256, (n, h, w)).astype(np.int32)
+    areas = rng.integers(0, 256, (n, h + 2 * R, w + 2 * R)).astype(np.int32)
+    got = np.asarray(sad_table(blks, areas, h=h, w=w, ny=2 * R + 1,
+                               nx=2 * R + 1, interpret=True))
+    for i in range(n):
+        for dy in range(2 * R + 1):
+            for dx in range(2 * R + 1):
+                exp = np.abs(areas[i, dy:dy + h, dx:dx + w].astype(np.int64)
+                             - blks[i]).sum()
+                assert got[i, dy, dx] == exp
