@@ -39,7 +39,7 @@ def main(argv=None) -> int:
             au = enc.encode_frame(planes)
             out.write(au)
             s = enc.stats[-1]
-            print(f"POC {s['poc']:4d} ( {s.get('type','I')}-SLICE, QP {cfg.qp} ) "
+            print(f"POC {s['poc']:4d} ( {s.get('type','I')}-SLICE, QP {s.get('qp', cfg.qp)} ) "
                   f"{s['bits']:10d} bits [Y {s['psnr'][0]:.4f} dB  "
                   f"U {s['psnr'][1]:.4f} dB  V {s['psnr'][2]:.4f} dB] "
                   f"[MD5 {s['md5']}]")

@@ -45,6 +45,11 @@ class EncoderTop:
         # picture (parity: TEncTop::xInitRPS for the default LD config)
         self.sps.short_term_rps = [ShortTermRPS(delta_pocs=[-1],
                                                 used_flags=[1])]
+        self.rc = None
+        if cfg.rate_control and cfg.target_bitrate:
+            from .rate_ctrl import RateController
+            self.rc = RateController(cfg.target_bitrate, cfg.frame_rate,
+                                     cfg.width, cfg.height)
         self.poc = 0
         self.last_idr_poc = 0  # POC restarts at every IDR (per-CVS numbering)
         self.stats = []
@@ -58,17 +63,18 @@ class EncoderTop:
         is_intra = (self.poc == 0 or
                     (cfg.intra_period > 0 and
                      self.poc % max(cfg.intra_period, 1) == 0))
+        base_qp = self.rc.pic_qp(is_intra) if self.rc else cfg.qp
         if is_intra:
             self.last_idr_poc = self.poc
             sh = SliceHeader(
                 slice_type=SliceType.I,
                 nal_unit_type=int(NalUnitType.IDR_W_RADL),
-                poc=0, slice_qp=cfg.qp,
+                poc=0, slice_qp=base_qp,
                 slice_sao_luma_flag=1 if cfg.sao else 0,
                 slice_sao_chroma_flag=1 if cfg.sao else 0)
-            fe = IntraFrameEncoder(self.sps, cfg.qp)
+            fe = IntraFrameEncoder(self.sps, base_qp)
             sp = make_slice_params(
-                cfg.width, cfg.height, cfg.qp, slice_type=int(SliceType.I),
+                cfg.width, cfg.height, base_qp, slice_type=int(SliceType.I),
                 ctu_size=self.sps.ctu_size,
                 max_tu_depth_intra=self.sps.max_transform_hierarchy_depth_intra,
                 sao_luma=sh.slice_sao_luma_flag,
@@ -88,7 +94,8 @@ class EncoderTop:
             else:
                 qp_off = (3, 2, 3, 1)[(gop_poc - 1) % 4]
                 qf = (0.4624, 0.4624, 0.4624, 0.578)[(gop_poc - 1) % 4]
-            slice_qp = int(np.clip(cfg.qp + qp_off, 0, 51))
+            slice_qp = int(np.clip(base_qp + (0 if self.rc else qp_off),
+                                   0, 51))
             stype = SliceType.B if is_b else SliceType.P
             sh = SliceHeader(
                 slice_type=stype,
@@ -175,8 +182,10 @@ class EncoderTop:
         bits = sum(len(x) for x in nals) * 8
         psnr = _psnr(planes, recon, self.sps.bit_depth_luma)
         self.stats.append({"poc": self.poc, "bits": bits, "psnr": psnr,
-                           "md5": digest[0].hex(),
+                           "md5": digest[0].hex(), "qp": sh.slice_qp,
                            "type": "I" if is_intra else str(sh.slice_type.name)})
+        if self.rc:
+            self.rc.update(bits)
         self.poc += 1
         self.recon = recon
         self.dpb_recon = recon

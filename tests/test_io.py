@@ -95,3 +95,25 @@ def test_cli_layering(tmp_path):
     assert c.qp == 27
     assert c.width == 832
     assert c.frames_to_encode == 8
+
+
+def test_annexb_bytecount_selftest():
+    from hevc_tpu.cli.annexb_bytecount import selftest
+    assert selftest()
+
+
+def test_convert_bitdepth(tmp_path):
+    import numpy as np
+    from hevc_tpu.cli.convert_bitdepth import main
+    w, h = 32, 16
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    u = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    v = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    src = tmp_path / "a.yuv"
+    with open(src, "wb") as f:
+        f.write(y.tobytes() + u.tobytes() + v.tobytes())
+    dst = tmp_path / "b.yuv"
+    assert main([str(src), str(dst), str(w), str(h), "8", "10"]) == 0
+    out = np.fromfile(dst, dtype="<u2")
+    assert (out[:w * h].reshape(h, w) == y.astype(np.uint16) * 4).all()
