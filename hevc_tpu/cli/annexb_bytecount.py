@@ -17,9 +17,11 @@ SELFTEST_VECTORS = [
     (b"", []),
     (b"\x00\x00\x01\x26\x01\x02", [3]),
     (b"\x00\x00\x00\x01\x26\x01\x02", [3]),
-    (b"\x00\x00\x01\x26\x01\x00\x00\x01\x48\x05", [3, 2]),
-    (b"\x00\x00\x00\x01\x26\x01\x00\x00\x00\x01\x48\x05", [3, 2]),
-    (b"\x00\x00\x01\x40\x01\x00\x00\x00\x01\x42\x01", [3, 2]),
+    # payloads exclude bytes absorbed by the following start-code prefix
+    # (trailing_zero_8bits are stripped, matching the reference AnnexBread)
+    (b"\x00\x00\x01\x26\x01\x00\x00\x01\x48\x05", [2, 2]),
+    (b"\x00\x00\x00\x01\x26\x01\x00\x00\x00\x01\x48\x05", [2, 2]),
+    (b"\x00\x00\x01\x40\x01\x00\x00\x00\x01\x42\x01", [2, 2]),
 ]
 
 
