@@ -31,20 +31,31 @@ def main(argv=None) -> int:
     enc = EncoderTop(cfg)
     n = cfg.frames_to_encode or rd.num_frames
     t0 = time.time()
+    printed = 0
+
+    def report():
+        nonlocal printed
+        while printed < len(enc.stats):
+            s = enc.stats[printed]
+            print(f"POC {s['poc']:4d} ( {s.get('type', 'I')}-SLICE, "
+                  f"QP {s.get('qp', cfg.qp)} ) "
+                  f"{s['bits']:10d} bits [Y {s['psnr'][0]:.4f} dB  "
+                  f"U {s['psnr'][1]:.4f} dB  V {s['psnr'][2]:.4f} dB] "
+                  f"[MD5 {s['md5']}]")
+            printed += 1
+        if wr is not None:
+            for _, planes_out in enc.pop_recons():
+                wr.write(planes_out)
+
     with open(cfg.bitstream_file, "wb") as out:
         for i in range(n):
             planes = rd.read()
             if planes is None:
                 break
-            au = enc.encode_frame(planes)
-            out.write(au)
-            s = enc.stats[-1]
-            print(f"POC {s['poc']:4d} ( {s.get('type','I')}-SLICE, QP {s.get('qp', cfg.qp)} ) "
-                  f"{s['bits']:10d} bits [Y {s['psnr'][0]:.4f} dB  "
-                  f"U {s['psnr'][1]:.4f} dB  V {s['psnr'][2]:.4f} dB] "
-                  f"[MD5 {s['md5']}]")
-            if wr is not None:
-                wr.write(enc.recon)
+            out.write(enc.encode_frame(planes))
+            report()
+        out.write(enc.flush())
+        report()
     dt = time.time() - t0
     done = len(enc.stats)
     print(f"encoded {done} frames in {dt:.2f}s ({done / dt:.3f} fps)")

@@ -27,7 +27,9 @@ PAD = 80
 
 class CtuReconstructor:
     def __init__(self, sps: SPS, slice_qp: int,
-                 ref_padded: Optional[List[np.ndarray]] = None):
+                 refs_l0=None, refs_l1=None):
+        """refs_l0/refs_l1: per-list padded reference pictures (each a
+        [Y,Cb,Cr] plane list), indexed by ref_idx (spec 8.5.3.1)."""
         self.sps = sps
         self.qp = slice_qp
         self.qp_c = tables.chroma_qp(slice_qp, sps.chroma_format_idc)
@@ -36,7 +38,8 @@ class CtuReconstructor:
         self.h = sps.pic_height_in_luma_samples
         self.ctu = sps.ctu_size
         self.avail = AvailabilityMap(self.w, self.h, self.ctu)
-        self.ref = ref_padded
+        self.refs_l0 = refs_l0 or []
+        self.refs_l1 = refs_l1 if refs_l1 is not None else self.refs_l0
 
     def _intra_tb(self, recon, x0, y0, size, mode, c_idx, coeffs, is_dst,
                   luma_pos=None):
@@ -121,23 +124,24 @@ class CtuReconstructor:
         r1 = int(d.ref_idx1[bi, bj])
         mv1 = (int(d.mv_x1[bi, bj]), int(d.mv_y1[bi, bj]))
         cs = size >> 1
-        if r0 >= 0 and r1 >= 0:  # bi-prediction (both refs = DPB pictures;
-            # low-delay single-ref: both lists resolve to self.ref)
-            pred_y = mc_predict_bi_np(self.ref[0], self.ref[0], PAD, mv, mv1,
+        if r0 >= 0 and r1 >= 0:  # bi-prediction (spec 8.5.3.3.3)
+            f0, f1 = self.refs_l0[r0], self.refs_l1[r1]
+            pred_y = mc_predict_bi_np(f0[0], f1[0], PAD, mv, mv1,
                                       x0, y0, size, size, self.bd, True)
-            pred_cb = mc_predict_bi_np(self.ref[1], self.ref[1], PAD, mv,
+            pred_cb = mc_predict_bi_np(f0[1], f1[1], PAD, mv,
                                        mv1, x0 >> 1, y0 >> 1, cs, cs,
                                        self.bd, False)
-            pred_cr = mc_predict_bi_np(self.ref[2], self.ref[2], PAD, mv,
+            pred_cr = mc_predict_bi_np(f0[2], f1[2], PAD, mv,
                                        mv1, x0 >> 1, y0 >> 1, cs, cs,
                                        self.bd, False)
         else:
             umv = mv if r0 >= 0 else mv1
-            pred_y = mc_predict_np(self.ref[0], PAD, umv[0], umv[1], x0, y0,
+            f = self.refs_l0[r0] if r0 >= 0 else self.refs_l1[r1]
+            pred_y = mc_predict_np(f[0], PAD, umv[0], umv[1], x0, y0,
                                    size, size, self.bd, True)
-            pred_cb = mc_predict_np(self.ref[1], PAD, umv[0], umv[1],
+            pred_cb = mc_predict_np(f[1], PAD, umv[0], umv[1],
                                     x0 >> 1, y0 >> 1, cs, cs, self.bd, False)
-            pred_cr = mc_predict_np(self.ref[2], PAD, umv[0], umv[1],
+            pred_cr = mc_predict_np(f[2], PAD, umv[0], umv[1],
                                     x0 >> 1, y0 >> 1, cs, cs, self.bd, False)
         # residual per TU leaf (tu_depth map was filled by the parser)
         for (tx, ty, tlog2, tdepth, blk) in tu_leaves(

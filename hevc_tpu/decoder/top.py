@@ -2,14 +2,17 @@
 
 Parity: reference TDecTop (NAL-at-a-time decode state machine,
 TDecTop.cpp:698) + TDecGop::filterPicture's decoded-picture-hash
-conformance check (TDecGop.cpp:209) + TAppDecTop's output bumping.
-Supports the feature subset this framework emits (single slice per
-picture, no SAO/tiles/WPP/TMVP yet — parsers assert on unsupported tools).
+conformance check (TDecGop.cpp:209) + TAppDecTop::xWriteOutput output
+bumping (TAppDecTop.cpp:262 — hold pictures until more than
+sps_max_num_reorder_pics are waiting, then emit in POC order).
+Maintains a multi-picture DPB keyed by POC so random-access
+hierarchical-B streams with past+future reference lists decode.
+Parsers assert on unsupported tools (tiles/WPP/TMVP).
 """
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator, List, Optional
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -21,18 +24,24 @@ from ..ops.interp import pad_plane
 from . import headers as dh
 from .recon import PAD, CtuReconstructor
 
+# pictures older than this many POCs below the newest are evicted; covers
+# the reference cfgs' deepest RPS delta (-13, encoder_lowdelay_P_main.cfg)
+DPB_KEEP = 32
+
 
 class DecoderTop:
     def __init__(self):
         self.vps: Optional[VPS] = None
         self.sps: Optional[SPS] = None
         self.pps: Optional[PPS] = None
-        self.dpb_recon = None
+        self.dpb: Dict[int, List[np.ndarray]] = {}    # poc -> recon planes
+        self.out_buf: List[Tuple[int, int, List[np.ndarray]]] = []
+        self.cvs = 0
         self.hash_status: List[str] = []
+        self._last_decoded = None
 
     def decode_stream(self, data: bytes) -> Iterator[List[np.ndarray]]:
         """Yields decoded frames (lists of planes) in output order."""
-        pending_recon = None
         for nal in split_annexb(data):
             nal_type, tid, rbsp = nal_to_rbsp(nal)
             if nal_type == 32:
@@ -43,16 +52,29 @@ class DecoderTop:
                 self.pps = dh.parse_pps(rbsp)
             elif nal_type == 39 or nal_type == 40:
                 digests = self._parse_hash_sei(rbsp)
-                if digests and pending_recon is not None:
-                    ok = self._check_hash(pending_recon, digests)
+                if digests and self._last_decoded is not None:
+                    ok = self._check_hash(self._last_decoded, digests)
                     self.hash_status.append("OK" if ok else "ERROR")
             elif nal_type <= 21:  # VCL
-                recon = self._decode_slice(nal_type, rbsp)
-                if pending_recon is not None:
-                    yield pending_recon
-                pending_recon = recon
-        if pending_recon is not None:
-            yield pending_recon
+                if nal_type in (19, 20):   # IDR: new CVS, flush + clear DPB
+                    yield from self._bump(all_pics=True)
+                    self.dpb = {}
+                    self.cvs += 1
+                recon, poc = self._decode_slice(nal_type, rbsp)
+                self._last_decoded = recon
+                self.dpb[poc] = recon
+                for old in [p for p in self.dpb if p < poc - DPB_KEEP]:
+                    del self.dpb[old]
+                self.out_buf.append((self.cvs, poc, recon))
+                yield from self._bump(all_pics=False)
+        yield from self._bump(all_pics=True)
+
+    def _bump(self, all_pics: bool) -> Iterator[List[np.ndarray]]:
+        limit = 0 if all_pics else (
+            self.sps.sps_max_num_reorder_pics if self.sps else 0)
+        self.out_buf.sort(key=lambda t: (t[0], t[1]))
+        while len(self.out_buf) > limit:
+            yield self.out_buf.pop(0)[2]
 
     # ------------------------------------------------------------------
     def _parse_hash_sei(self, rbsp: bytes):
@@ -75,8 +97,8 @@ class DecoderTop:
         sps, pps = self.sps, self.pps
         sh, offset = dh.parse_slice_header(rbsp, nal_type, sps, pps)
         slice_data = rbsp[offset:]
-        ref_pocs_l0 = []
-        ref_pocs_l1 = []
+        ref_pocs_l0: List[int] = []
+        ref_pocs_l1: List[int] = []
         if sh.slice_type != SliceType.I and sh.rps is not None:
             negs = sorted([d for d, u in zip(sh.rps.delta_pocs,
                                              sh.rps.used_flags)
@@ -88,6 +110,9 @@ class DecoderTop:
             # positives; L1 = positives then negatives
             ref_pocs_l0 = [sh.poc + d for d in (negs + poss)]
             ref_pocs_l1 = [sh.poc + d for d in (poss + negs)]
+        nl0 = max(1, sh.num_ref_idx_active[0])
+        nl1 = (sh.num_ref_idx_active[1]
+               if sh.slice_type == SliceType.B else 0)
         sp = cabac.make_slice_params(
             sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples,
             sh.slice_qp, slice_type=int(sh.slice_type),
@@ -95,24 +120,28 @@ class DecoderTop:
             max_tu_depth_intra=sps.max_transform_hierarchy_depth_intra,
             sign_hiding=pps.sign_data_hiding_enabled_flag,
             max_merge_cand=5 - sh.five_minus_max_num_merge_cand,
-            num_ref_l0=max(1, sh.num_ref_idx_active[0]),
-            num_ref_l1=sh.num_ref_idx_active[1]
-            if sh.slice_type == SliceType.B else 0,
+            num_ref_l0=nl0, num_ref_l1=nl1,
             mvd_l1_zero=sh.mvd_l1_zero_flag,
             ref_poc_l0=ref_pocs_l0[:16], ref_poc_l1=ref_pocs_l1[:16],
             sao_luma=sh.slice_sao_luma_flag,
             sao_chroma=sh.slice_sao_chroma_flag,
-            bit_depth=sps.bit_depth_luma)
+            bit_depth=sps.bit_depth_luma, cur_poc=sh.poc)
         sdec = cabac.SliceDataDecoder(sp, slice_data)
         w, h = sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples
         recon = [np.zeros((h, w), np.int16),
                  np.zeros((h // 2, w // 2), np.int16),
                  np.zeros((h // 2, w // 2), np.int16)]
-        ref_padded = None
+        refs_l0 = refs_l1 = None
         if sh.slice_type != SliceType.I:
-            assert self.dpb_recon is not None, "missing reference picture"
-            ref_padded = [pad_plane(p, PAD) for p in self.dpb_recon]
-        rc = CtuReconstructor(sps, sh.slice_qp, ref_padded)
+            def resolve(pocs, n):
+                out = []
+                for rp in pocs[:n]:
+                    assert rp in self.dpb, f"missing reference POC {rp}"
+                    out.append([pad_plane(p, PAD) for p in self.dpb[rp]])
+                return out
+            refs_l0 = resolve(ref_pocs_l0, nl0)
+            refs_l1 = resolve(ref_pocs_l1, nl1) if nl1 else None
+        rc = CtuReconstructor(sps, sh.slice_qp, refs_l0, refs_l1)
         ctus_w = sps.pic_width_in_ctus
         ctus_h = sps.pic_height_in_ctus
         decisions = []
@@ -126,8 +155,6 @@ class DecoderTop:
                     f"end_of_slice mismatch at CTU {cx},{cy}"
         if not pps.pps_deblocking_filter_disabled_flag:
             from ..ops import deblock
-            nl0 = max(1, sh.num_ref_idx_active[0])
-            nl1 = sh.num_ref_idx_active[1]
             dmaps = deblock.build_maps(
                 decisions, sps,
                 (ref_pocs_l0[:nl0], ref_pocs_l1[:nl1]))
@@ -138,5 +165,4 @@ class DecoderTop:
             from ..ops import sao as saolib
             recon = saolib.apply_sao(recon, [d.sao for d in decisions],
                                      sps, sps.bit_depth_luma)
-        self.dpb_recon = recon
-        return recon
+        return recon, sh.poc

@@ -39,7 +39,7 @@ class PFrameEncoder(IntraFrameEncoder):
 
     def __init__(self, sps, qp: int, ref_planes: List[np.ndarray],
                  search_range: int = 16, qp_factor: float = 0.4624,
-                 is_b: bool = False):
+                 is_b: bool = False, ref1_planes=None):
         self.is_b = is_b
         super().__init__(sps, qp)
         # P-slice lambda (HM qp-factor from the GOP table row)
@@ -48,6 +48,9 @@ class PFrameEncoder(IntraFrameEncoder):
         self.lam_fp = int(65536.0 * self.sqrt_lam)  # reference setLambda
         self.search_range = search_range
         self.ref = [pad_plane(p, PAD) for p in ref_planes]
+        # list-1 reference (hierarchical B: a different picture; GPB: same)
+        self.ref1 = ([pad_plane(p, PAD) for p in ref1_planes]
+                     if ref1_planes is not None else self.ref)
         self.senc: SliceDataEncoder = None  # set by caller before encoding
 
     # -- helpers ------------------------------------------------------------
@@ -143,10 +146,11 @@ class PFrameEncoder(IntraFrameEncoder):
         mv0, r0 = l0
         mv1, r1 = l1
         if r0 >= 0 and r1 >= 0:
-            return mc_predict_bi_np(self.ref[0], self.ref[0], PAD, mv0, mv1,
+            return mc_predict_bi_np(self.ref[0], self.ref1[0], PAD, mv0, mv1,
                                     x0, y0, size, size, self.bd, True)
         mv = mv0 if r0 >= 0 else mv1
-        return mc_predict_np(self.ref[0], PAD, mv[0], mv[1], x0, y0,
+        refs = self.ref if r0 >= 0 else self.ref1
+        return mc_predict_np(refs[0], PAD, mv[0], mv[1], x0, y0,
                              size, size, self.bd, True)
 
     def _frac_refine(self, orig_y, x0, y0, size, mv_q):
@@ -277,15 +281,16 @@ class PFrameEncoder(IntraFrameEncoder):
         qp_c = tables.chroma_qp(self.qp, self.sps.chroma_format_idc)
         cxx, cyy, cs = x0 >> 1, y0 >> 1, size >> 1
         if ref >= 0 and ref1 >= 0:
-            pcb = mc_predict_bi_np(self.ref[1], self.ref[1], PAD, mv, mv1,
+            pcb = mc_predict_bi_np(self.ref[1], self.ref1[1], PAD, mv, mv1,
                                    cxx, cyy, cs, cs, self.bd, False)
-            pcr = mc_predict_bi_np(self.ref[2], self.ref[2], PAD, mv, mv1,
+            pcr = mc_predict_bi_np(self.ref[2], self.ref1[2], PAD, mv, mv1,
                                    cxx, cyy, cs, cs, self.bd, False)
         else:
             umv = mv if ref >= 0 else mv1
-            pcb = mc_predict_np(self.ref[1], PAD, umv[0], umv[1], cxx, cyy,
+            crefs = self.ref if ref >= 0 else self.ref1
+            pcb = mc_predict_np(crefs[1], PAD, umv[0], umv[1], cxx, cyy,
                                 cs, cs, self.bd, False)
-            pcr = mc_predict_np(self.ref[2], PAD, umv[0], umv[1], cxx, cyy,
+            pcr = mc_predict_np(crefs[2], PAD, umv[0], umv[1], cxx, cyy,
                                 cs, cs, self.bd, False)
         lv_y, rec_y = self._code_inter_tb(orig_y, pred_y, size, self.qp)
         lv_cb, rec_cb = self._code_inter_tb(

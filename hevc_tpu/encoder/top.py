@@ -1,19 +1,23 @@
-"""Top-level encoder: owns parameter sets, frame loop, NAL assembly.
+"""Top-level encoder: parameter sets, GOP scheduling, NAL assembly.
 
-Parity: reference TEncTop (create/init/encode, TEncTop.cpp:186,325) +
-TEncGOP::compressGOP's NAL/SEI assembly (TEncGOP.cpp:1011) reduced to the
-currently supported intra path; the GOP/inter machinery extends this class.
+Parity: reference TEncTop (create/init/encode, TEncTop.cpp:186,325) and
+TEncGOP::compressGOP (GOP ordering + POC math TEncGOP.cpp:1045-1075, NAL
+and hash-SEI assembly :1593-1692). Supports three GOP shapes:
+  - all-intra (IntraPeriod 1)
+  - low-delay P/B (contiguous POCs, previous-frame references)
+  - random-access hierarchical B from the cfg GOP table (frame
+    reordering, per-entry RPS, past+future reference lists)
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from ..core.params import PPS, SPS, VPS, ShortTermRPS, SliceHeader
 from ..core.types import NalUnitType, SliceType
 from ..entropy import headers, nal, sei
-from ..entropy.cabac import (SliceDataEncoder, make_slice_params)
+from ..entropy.cabac import SliceDataEncoder, make_slice_params
 from ..io.cfg import EncoderConfig
 from .intra_frame import IntraFrameEncoder
 from .inter_frame import PFrameEncoder
@@ -32,7 +36,6 @@ class EncoderTop:
             max_transform_hierarchy_depth_inter=cfg.tu_depth_inter,
             sample_adaptive_offset_enabled_flag=1 if cfg.sao else 0,
         )
-        # profile signalling: main (1) / main10 (2)
         if cfg.internal_bit_depth > 8 or cfg.profile == "main10":
             self.sps.ptl.general_profile_idc = 2
         self.vps = VPS()
@@ -41,8 +44,7 @@ class EncoderTop:
         if cfg.deblock_disable:
             self.pps.deblocking_filter_control_present_flag = 1
             self.pps.pps_deblocking_filter_disabled_flag = 1
-        # low-delay reference structure: one RPS referring to the previous
-        # picture (parity: TEncTop::xInitRPS for the default LD config)
+        # low-delay RPS (previous picture); RA entries write inline RPSs
         self.sps.short_term_rps = [ShortTermRPS(delta_pocs=[-1],
                                                 used_flags=[1])]
         self.rc = None
@@ -50,15 +52,55 @@ class EncoderTop:
             from .rate_ctrl import RateController
             self.rc = RateController(cfg.target_bitrate, cfg.frame_rate,
                                      cfg.width, cfg.height)
-        self.poc = 0
-        self.last_idr_poc = 0  # POC restarts at every IDR (per-CVS numbering)
-        self.stats = []
-        self.dpb_recon: Optional[List[np.ndarray]] = None
+        # reordering state
+        entries = cfg.gop_entries
+        self.reordered = bool(entries) and \
+            [e.poc for e in entries] != list(range(1, len(entries) + 1))
+        self.gop_size = len(entries) if entries else cfg.gop_size
+        if self.reordered:
+            # the decoder must hold pictures back for display reordering
+            self.sps.sps_max_num_reorder_pics = self.gop_size - 1
+            self.sps.sps_max_dec_pic_buffering_minus1 = self.gop_size + 1
+            self.vps.vps_max_num_reorder_pics = self.gop_size - 1
+            self.vps.vps_max_dec_pic_buffering_minus1 = self.gop_size + 1
+        self.in_buf: Dict[int, List[np.ndarray]] = {}
+        self.in_count = 0
+        self.dpb: Dict[int, List[np.ndarray]] = {}   # cvs-poc -> recon
+        self.out_queue: List[Tuple[int, List[np.ndarray]]] = []
+        self.next_out = 0
+        self.encoded_upto = 0     # highest cvs-poc encoded + 1 (RA)
+        self.poc = 0              # frames submitted (display order)
+        self.last_idr_poc = 0
+        self.stats: List[dict] = []
+        self.recon = None
+        self.dpb_recon = None     # last encoded recon (low-delay ref)
 
+    # ------------------------------------------------------------------
     def encode_frame(self, planes: List[np.ndarray]) -> bytes:
-        """Encode one frame, return its Annex-B bytes (with parameter sets
-        prefixed on the first frame). Frame 0 (and every IntraPeriod-th
-        frame when IntraPeriod > 0) is IDR intra; others low-delay P."""
+        """Submit one frame in display order; returns the Annex-B bytes of
+        every access unit that became encodable (possibly empty for RA)."""
+        if not self.reordered:
+            return self._encode_streaming(planes)
+        self.in_buf[self.in_count] = planes
+        self.in_count += 1
+        return self._drain_ra(flush=False)
+
+    def flush(self) -> bytes:
+        if not self.reordered:
+            return b""
+        return self._drain_ra(flush=True)
+
+    def pop_recons(self) -> List[Tuple[int, List[np.ndarray]]]:
+        """Finished pictures in display order."""
+        out = []
+        self.out_queue.sort(key=lambda t: t[0])
+        while self.out_queue and self.out_queue[0][0] == self.next_out:
+            out.append(self.out_queue.pop(0))
+            self.next_out += 1
+        return out
+
+    # ------------------------------------------------------------------
+    def _encode_streaming(self, planes) -> bytes:
         cfg = self.cfg
         is_intra = (self.poc == 0 or
                     (cfg.intra_period > 0 and
@@ -66,25 +108,11 @@ class EncoderTop:
         base_qp = self.rc.pic_qp(is_intra) if self.rc else cfg.qp
         if is_intra:
             self.last_idr_poc = self.poc
-            sh = SliceHeader(
-                slice_type=SliceType.I,
-                nal_unit_type=int(NalUnitType.IDR_W_RADL),
-                poc=0, slice_qp=base_qp,
-                slice_sao_luma_flag=1 if cfg.sao else 0,
-                slice_sao_chroma_flag=1 if cfg.sao else 0)
-            fe = IntraFrameEncoder(self.sps, base_qp)
-            sp = make_slice_params(
-                cfg.width, cfg.height, base_qp, slice_type=int(SliceType.I),
-                ctu_size=self.sps.ctu_size,
-                max_tu_depth_intra=self.sps.max_transform_hierarchy_depth_intra,
-                sao_luma=sh.slice_sao_luma_flag,
-                sao_chroma=sh.slice_sao_chroma_flag,
-                bit_depth=self.sps.bit_depth_luma)
-            senc = SliceDataEncoder(sp)
-            decisions, recon = fe.encode_frame(planes)
+            au = self._encode_au(planes, display_poc=self.poc, cvs_poc=0,
+                                 stype=SliceType.I, slice_qp=base_qp,
+                                 qf=0.57, rps=None, ref_l0=None, ref_l1=None,
+                                 idr=True)
         else:
-            # hierarchical low-delay QP offsets + lambda weights (parity:
-            # the cfg GOP table rows, e.g. encoder_lowdelay_P_main.cfg)
             gop_poc = self.poc - self.last_idr_poc
             is_b = False
             if cfg.gop_entries:
@@ -96,48 +124,143 @@ class EncoderTop:
                 qf = (0.4624, 0.4624, 0.4624, 0.578)[(gop_poc - 1) % 4]
             slice_qp = int(np.clip(base_qp + (0 if self.rc else qp_off),
                                    0, 51))
-            stype = SliceType.B if is_b else SliceType.P
-            sh = SliceHeader(
-                slice_type=stype,
-                nal_unit_type=int(NalUnitType.TRAIL_R),
-                poc=gop_poc, slice_qp=slice_qp,
-                short_term_ref_pic_set_sps_flag=1, rps_sps_idx=0,
-                num_ref_idx_active=[1, 1 if is_b else 0],
-                slice_sao_luma_flag=1 if cfg.sao else 0,
-                slice_sao_chroma_flag=1 if cfg.sao else 0)
-            ref_poc = gop_poc - 1
-            fe = PFrameEncoder(self.sps, slice_qp, self.dpb_recon,
-                               search_range=min(cfg.search_range, 24),
-                               qp_factor=qf, is_b=is_b)
+            rps = ShortTermRPS(delta_pocs=[-1], used_flags=[1])
+            au = self._encode_au(
+                planes, display_poc=self.poc, cvs_poc=gop_poc,
+                stype=SliceType.B if is_b else SliceType.P,
+                slice_qp=slice_qp, qf=qf, rps=rps,
+                ref_l0=(gop_poc - 1, self.dpb_recon),
+                ref_l1=(gop_poc - 1, self.dpb_recon) if is_b else None,
+                idr=False, use_sps_rps=True)
+        self.poc += 1
+        return au
+
+    def _drain_ra(self, flush: bool) -> bytes:
+        cfg = self.cfg
+        out = b""
+        entries = cfg.gop_entries
+        gs = self.gop_size
+        while True:
+            if self.encoded_upto == 0 and 0 in self.in_buf:
+                base_qp = self.rc.pic_qp(True) if self.rc else cfg.qp
+                out += self._encode_au(
+                    self.in_buf.pop(0), display_poc=0, cvs_poc=0,
+                    stype=SliceType.I, slice_qp=base_qp, qf=0.57, rps=None,
+                    ref_l0=None, ref_l1=None, idr=True)
+                self.encoded_upto = 1
+                continue
+            if self.encoded_upto == 0:
+                return out
+            gop_start = self.encoded_upto - 1
+            have_all = all((gop_start + k) in self.in_buf
+                           for k in range(1, gs + 1))
+            if have_all:
+                for e in entries:
+                    p = gop_start + e.poc
+                    out += self._encode_ra_entry(self.in_buf.pop(p), p, e)
+                self.encoded_upto = gop_start + gs + 1
+                continue
+            if flush and self.in_buf:
+                # tail: remaining frames in display order, low-delay P
+                for p in sorted(self.in_buf):
+                    ref_poc = max(q for q in self.dpb if q < p)
+                    e = entries[(p - gop_start - 1) % len(entries)]
+                    rps = ShortTermRPS(delta_pocs=[ref_poc - p],
+                                       used_flags=[1])
+                    slice_qp = int(np.clip(
+                        (self.rc.pic_qp(False) if self.rc else cfg.qp)
+                        + (0 if self.rc else e.qp_offset), 0, 51))
+                    out += self._encode_au(
+                        self.in_buf[p], display_poc=p, cvs_poc=p,
+                        stype=SliceType.P, slice_qp=slice_qp,
+                        qf=e.qp_factor, rps=rps,
+                        ref_l0=(ref_poc, self.dpb[ref_poc]), ref_l1=None,
+                        idr=False)
+                self.in_buf.clear()
+            return out
+
+    def _encode_ra_entry(self, planes, p, e) -> bytes:
+        cfg = self.cfg
+        deltas = [d for d in e.reference_pics if (p + d) in self.dpb]
+        if not deltas:
+            deltas = [max(q for q in self.dpb) - p]
+        rps = ShortTermRPS(delta_pocs=deltas, used_flags=[1] * len(deltas))
+        negs = sorted([d for d in deltas if d < 0], reverse=True)
+        poss = sorted([d for d in deltas if d > 0])
+        l0_poc = p + (negs[0] if negs else poss[0])
+        l1_poc = p + (poss[0] if poss else negs[0])
+        is_b = e.slice_type == "B"
+        slice_qp = int(np.clip(
+            (self.rc.pic_qp(False) if self.rc else cfg.qp)
+            + (0 if self.rc else e.qp_offset), 0, 51))
+        return self._encode_au(
+            planes, display_poc=p, cvs_poc=p,
+            stype=SliceType.B if is_b else SliceType.P,
+            slice_qp=slice_qp, qf=e.qp_factor, rps=rps,
+            ref_l0=(l0_poc, self.dpb[l0_poc]),
+            ref_l1=(l1_poc, self.dpb[l1_poc]) if is_b else None,
+            idr=False)
+
+    # ------------------------------------------------------------------
+    def _encode_au(self, planes, *, display_poc, cvs_poc, stype, slice_qp,
+                   qf, rps, ref_l0, ref_l1, idr,
+                   use_sps_rps: bool = False) -> bytes:
+        cfg = self.cfg
+        is_intra = stype == SliceType.I
+        is_b = stype == SliceType.B
+        sao_on = 1 if cfg.sao else 0
+        sh = SliceHeader(
+            slice_type=stype,
+            nal_unit_type=int(NalUnitType.IDR_W_RADL if idr
+                              else NalUnitType.TRAIL_R),
+            poc=cvs_poc, slice_qp=slice_qp,
+            slice_sao_luma_flag=sao_on, slice_sao_chroma_flag=sao_on,
+            short_term_ref_pic_set_sps_flag=1 if use_sps_rps else 0,
+            rps_sps_idx=0, rps=rps,
+            num_ref_idx_active=[0 if is_intra else 1, 1 if is_b else 0])
+
+        if is_intra:
+            fe = IntraFrameEncoder(self.sps, slice_qp)
             sp = make_slice_params(
-                cfg.width, cfg.height, slice_qp,
-                slice_type=int(stype),
+                cfg.width, cfg.height, slice_qp, slice_type=int(stype),
+                ctu_size=self.sps.ctu_size,
+                max_tu_depth_intra=self.sps.max_transform_hierarchy_depth_intra,
+                sao_luma=sao_on, sao_chroma=sao_on,
+                bit_depth=self.sps.bit_depth_luma)
+            senc = SliceDataEncoder(sp)
+            decisions, recon = fe.encode_frame(planes)
+            ref_pocs = ((), ())
+        else:
+            l0_poc, l0_planes = ref_l0
+            sp = make_slice_params(
+                cfg.width, cfg.height, slice_qp, slice_type=int(stype),
                 ctu_size=self.sps.ctu_size,
                 max_tu_depth_intra=self.sps.max_transform_hierarchy_depth_intra,
                 num_ref_l0=1, num_ref_l1=1 if is_b else 0,
-                ref_poc_l0=[ref_poc], ref_poc_l1=[ref_poc] if is_b else [],
-                sao_luma=sh.slice_sao_luma_flag,
-                sao_chroma=sh.slice_sao_chroma_flag,
+                ref_poc_l0=[l0_poc],
+                ref_poc_l1=[ref_l1[0]] if is_b else [],
+                sao_luma=sao_on, sao_chroma=sao_on,
                 bit_depth=self.sps.bit_depth_luma)
+            sp.cur_poc = cvs_poc
             senc = SliceDataEncoder(sp)
+            fe = PFrameEncoder(self.sps, slice_qp, l0_planes,
+                               search_range=min(cfg.search_range, 24),
+                               qp_factor=qf, is_b=is_b,
+                               ref1_planes=ref_l1[1] if is_b else None)
             fe.senc = senc
             decisions, recon = fe.encode_frame(planes)
-            self._ref_pocs = ([ref_poc], [ref_poc] if is_b else [])
+            ref_pocs = ([l0_poc], [ref_l1[0]] if is_b else [])
 
-        # in-loop deblocking (normative; filtered picture is the hash
-        # target and the reference for subsequent frames)
+        # in-loop deblocking
         if not self.pps.pps_deblocking_filter_disabled_flag:
             from ..ops import deblock
-            ref_pocs = getattr(self, "_ref_pocs", ((), ())) \
-                if not is_intra else ((), ())
             dmaps = deblock.build_maps(decisions, self.sps, ref_pocs)
-            deblock.deblock_frame(recon, dmaps, sh.slice_qp, self.sps)
+            deblock.deblock_frame(recon, dmaps, slice_qp, self.sps)
 
-        # SAO: estimate on the deblocked picture, attach per-CTU params so
-        # the slice-data coder emits them, apply for the final recon
-        if sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag:
+        # SAO: estimate on deblocked, attach params, apply after coding
+        if sao_on:
             from ..ops import sao as saolib
-            lam = 0.57 * (2.0 ** ((sh.slice_qp - 12) / 3.0))
+            lam = 0.57 * (2.0 ** ((slice_qp - 12) / 3.0))
             sao_params = saolib.estimate_sao(planes, recon, self.sps,
                                              self.sps.bit_depth_luma, lam)
             for d, prm in zip(decisions, sao_params):
@@ -154,26 +277,22 @@ class EncoderTop:
         slice_rbsp = headers.write_slice_header(sh, self.sps, self.pps) \
             + senc.get_bytes()
 
-        if sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag:
+        if sao_on:
             recon = saolib.apply_sao(recon, [d.sao for d in decisions],
                                      self.sps, self.sps.bit_depth_luma)
 
-        nals = []
-        firsts = []
-        if self.poc == 0:
-            nals += [
-                nal.rbsp_to_nal(headers.write_vps(self.vps),
-                                int(NalUnitType.VPS_NUT)),
-                nal.rbsp_to_nal(headers.write_sps(self.sps),
-                                int(NalUnitType.SPS_NUT)),
-                nal.rbsp_to_nal(headers.write_pps(self.pps),
-                                int(NalUnitType.PPS_NUT)),
-            ]
+        nals, firsts = [], []
+        first_au = not self.stats
+        if first_au:
+            nals += [nal.rbsp_to_nal(headers.write_vps(self.vps),
+                                     int(NalUnitType.VPS_NUT)),
+                     nal.rbsp_to_nal(headers.write_sps(self.sps),
+                                     int(NalUnitType.SPS_NUT)),
+                     nal.rbsp_to_nal(headers.write_pps(self.pps),
+                                     int(NalUnitType.PPS_NUT))]
             firsts += [True, True, True]
         nals.append(nal.rbsp_to_nal(slice_rbsp, sh.nal_unit_type))
-        firsts.append(self.poc != 0)  # slice starts the AU unless PS did
-        if self.poc == 0:
-            firsts[3] = False
+        firsts.append(not first_au)
         digest = sei.picture_md5(recon, self.sps.bit_depth_luma)
         nals.append(nal.rbsp_to_nal(sei.write_picture_hash_sei(digest),
                                     int(NalUnitType.SUFFIX_SEI_NUT)))
@@ -181,14 +300,17 @@ class EncoderTop:
 
         bits = sum(len(x) for x in nals) * 8
         psnr = _psnr(planes, recon, self.sps.bit_depth_luma)
-        self.stats.append({"poc": self.poc, "bits": bits, "psnr": psnr,
-                           "md5": digest[0].hex(), "qp": sh.slice_qp,
-                           "type": "I" if is_intra else str(sh.slice_type.name)})
+        self.stats.append({"poc": display_poc, "bits": bits, "psnr": psnr,
+                           "md5": digest[0].hex(), "qp": slice_qp,
+                           "type": stype.name})
         if self.rc:
             self.rc.update(bits)
-        self.poc += 1
-        self.recon = recon
+        if idr:
+            self.dpb.clear()
+        self.dpb[cvs_poc] = recon
         self.dpb_recon = recon
+        self.recon = recon
+        self.out_queue.append((display_poc, recon))
         return nal.write_annexb(nals, firsts)
 
 

@@ -95,8 +95,8 @@ def make_slice_params(pic_w: int, pic_h: int, qp: int, slice_type: int = 2,
                       max_merge_cand: int = 5, num_ref_l0: int = 1,
                       num_ref_l1: int = 0, mvd_l1_zero: int = 0,
                       ref_poc_l0=(), ref_poc_l1=(), sao_luma: int = 0,
-                      sao_chroma: int = 0, bit_depth: int = 8
-                      ) -> SliceParamsC:
+                      sao_chroma: int = 0, bit_depth: int = 8,
+                      cur_poc: int = 0) -> SliceParamsC:
     sp = SliceParamsC(
         pic_w, pic_h, ctu_size, qp, slice_type, max_tu_depth_intra,
         max_tu_depth_inter, chroma_format, sign_hiding, transform_skip,
@@ -109,6 +109,7 @@ def make_slice_params(pic_w: int, pic_h: int, qp: int, slice_type: int = 2,
     sp.sao_luma = sao_luma
     sp.sao_chroma = sao_chroma
     sp.bit_depth = bit_depth
+    sp.cur_poc = cur_poc
     return sp
 
 

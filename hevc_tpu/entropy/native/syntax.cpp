@@ -304,20 +304,34 @@ int PicMaps::merge_candidates(int x0, int y0, int w, int h,
   return n;
 }
 
-// spec 8.5.3.2.6: AMVP spatial candidates (A from A0/A1, B from B0/B1/B2).
-// A neighbour contributes through either of its lists when that list
-// references the same PICTURE (same POC) as the target; with same-POC
-// low-delay lists the POC-scaling second pass can never trigger (guarded).
+// spec 8.5.3.2.6/8.5.3.2.7: AMVP spatial candidates with POC scaling.
+// A from A0/A1 (unscaled same-picture pass, then scaled pass); B from
+// B0/B1/B2 unscaled; when neither A position exists at all
+// (isScaledFlag == 0), A takes B's value and B is re-derived scaled.
+static int16_t scale_mv(int mv, int td, int tb) {
+  td = td < -128 ? -128 : (td > 127 ? 127 : td);
+  tb = tb < -128 ? -128 : (tb > 127 ? 127 : tb);
+  if (td == 0) return (int16_t)mv;
+  int tx = (16384 + (td >= 0 ? td : -td) / 2) / td;
+  int dist = (tb * tx + 32) >> 6;
+  dist = dist < -4096 ? -4096 : (dist > 4095 ? 4095 : dist);
+  int v = dist * mv;
+  int av = ((v >= 0 ? v : -v) + 127) >> 8;
+  v = v >= 0 ? av : -av;
+  return (int16_t)(v < -32768 ? -32768 : (v > 32767 ? 32767 : v));
+}
+
 void PicMaps::amvp_candidates(int x0, int y0, int w, int h, int list,
                               int ref, int16_t out_mv[4]) const {
   int target_poc = (list == 0) ? sp.ref_poc_l0[ref] : sp.ref_poc_l1[ref];
+  auto ref_poc = [&](int l, int r) {
+    return (l == 0) ? sp.ref_poc_l0[r] : sp.ref_poc_l1[r];
+  };
   auto same_ref_mv = [&](const MotionInfo& mi, int16_t* ox, int16_t* oy) {
     const int order[2] = {list, 1 - list};
     for (int l : order) {
       if (mi.ref[l] < 0) continue;
-      int poc = (l == 0) ? sp.ref_poc_l0[mi.ref[l]]
-                         : sp.ref_poc_l1[mi.ref[l]];
-      if (poc == target_poc) {
+      if (ref_poc(l, mi.ref[l]) == target_poc) {
         *ox = mi.mvx[l];
         *oy = mi.mvy[l];
         return true;
@@ -325,20 +339,47 @@ void PicMaps::amvp_candidates(int x0, int y0, int w, int h, int list,
     }
     return false;
   };
+  auto scaled_mv = [&](const MotionInfo& mi, int16_t* ox, int16_t* oy) {
+    const int order[2] = {list, 1 - list};
+    for (int l : order) {
+      if (mi.ref[l] < 0) continue;
+      int npoc = ref_poc(l, mi.ref[l]);
+      *ox = scale_mv(mi.mvx[l], sp.cur_poc - npoc, sp.cur_poc - target_poc);
+      *oy = scale_mv(mi.mvy[l], sp.cur_poc - npoc, sp.cur_poc - target_poc);
+      return true;
+    }
+    return false;
+  };
+  const int apos[2][2] = {{x0 - 1, y0 + h}, {x0 - 1, y0 + h - 1}};
+  const int bpos[3][2] = {{x0 + w, y0 - 1}, {x0 + w - 1, y0 - 1},
+                          {x0 - 1, y0 - 1}};
   int16_t ax = 0, ay = 0, bx = 0, by = 0;
   bool has_a = false, has_b = false;
   MotionInfo mi;
-  const int apos[2][2] = {{x0 - 1, y0 + h}, {x0 - 1, y0 + h - 1}};
+  bool a_exists = false;  // isScaledFlagLX: any inter neighbour at A0/A1
   for (auto& p : apos)
-    if (motion_at(p[0], p[1], x0, y0, &mi) && same_ref_mv(mi, &ax, &ay)) {
-      has_a = true; break;
+    if (motion_at(p[0], p[1], x0, y0, &mi)) {
+      a_exists = true;
+      if (!has_a && same_ref_mv(mi, &ax, &ay)) has_a = true;
     }
-  const int bpos[3][2] = {{x0 + w, y0 - 1}, {x0 + w - 1, y0 - 1},
-                          {x0 - 1, y0 - 1}};
+  if (a_exists && !has_a)
+    for (auto& p : apos)
+      if (motion_at(p[0], p[1], x0, y0, &mi) && scaled_mv(mi, &ax, &ay)) {
+        has_a = true; break;
+      }
   for (auto& p : bpos)
     if (motion_at(p[0], p[1], x0, y0, &mi) && same_ref_mv(mi, &bx, &by)) {
       has_b = true; break;
     }
+  if (!a_exists) {
+    // promote B to A, then re-derive B with scaling (spec 8.5.3.2.6)
+    if (has_b) { ax = bx; ay = by; has_a = true; }
+    has_b = false;
+    for (auto& p : bpos)
+      if (motion_at(p[0], p[1], x0, y0, &mi) && scaled_mv(mi, &bx, &by)) {
+        has_b = true; break;
+      }
+  }
   int n = 0;
   int16_t cand[2][2] = {{0, 0}, {0, 0}};
   if (has_a) { cand[n][0] = ax; cand[n][1] = ay; n++; }

@@ -41,6 +41,7 @@ struct SliceParams {
   int32_t sao_luma;        // slice_sao_luma_flag
   int32_t sao_chroma;      // slice_sao_chroma_flag
   int32_t bit_depth;       // for the sao_offset_abs cMax
+  int32_t cur_poc;         // current picture POC (AMVP scaling)
 };
 
 // Context model set: one instance per slice (later: per WPP row state).

@@ -136,3 +136,35 @@ def test_sao_conformance(tmp_path):
     from hevc_tpu.cli.decode import main as dec_main
     assert dec_main(["-b", str(bs), "-o", str(tmp_path / "o2.yuv")]) == 0
     assert (tmp_path / "o2.yuv").read_bytes() == dec.read_bytes()
+
+
+def test_randomaccess_conformance(tmp_path):
+    """Hierarchical-B GOP from the reference randomaccess cfg: frame
+    reordering, per-entry inline RPS, past+future reference lists,
+    output bumping (reference encoder_randomaccess_main.cfg GOP table,
+    TEncGOP.cpp:1045). Also decodes with our own decoder and requires a
+    byte-identical match to the HM oracle output."""
+    w, h, frames = 128, 80, 6   # IDR + one GOP-of-4 + one tail frame
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-c", "/root/reference/cfg/encoder_randomaccess_main.cfg",
+          "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f", str(frames),
+          "-q", "30", "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+    assert rec.read_bytes() == dec.read_bytes()
+    # B slices must actually be present (hierarchical levels)
+    assert "B-SLICE" in out.stdout
+    # own decoder: multi-POC DPB + output bumping
+    from hevc_tpu.decoder.top import DecoderTop
+    dt = DecoderTop()
+    got = b"".join(
+        b"".join(np.clip(p, 0, 255).astype(np.uint8).tobytes()
+                 for p in planes)
+        for planes in dt.decode_stream(bs.read_bytes()))
+    assert got == dec.read_bytes()
+    assert dt.hash_status == ["OK"] * frames
