@@ -24,12 +24,15 @@ def main(argv=None) -> int:
             raise ValueError(f"unknown arg {argv[i]}")
     assert bs, "-b bitstream required"
     dec = DecoderTop()
-    wr = YuvWriter(out) if out else None
+    wr = None
     t0 = time.time()
     n = 0
     for frame in dec.decode_stream(open(bs, "rb").read()):
         status = dec.hash_status[n] if n < len(dec.hash_status) else "-"
         print(f"POC {n:4d} decoded [hash {status}]")
+        if out and wr is None:
+            bd = dec.sps.bit_depth_luma
+            wr = YuvWriter(out, file_bit_depth=bd, internal_bit_depth=bd)
         if wr:
             wr.write(frame)
         n += 1

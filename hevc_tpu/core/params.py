@@ -22,6 +22,16 @@ class ProfileTierLevel:
     general_interlaced_source_flag: int = 0
     general_non_packed_constraint_flag: int = 0
     general_frame_only_constraint_flag: int = 1
+    # RExt (profile_idc 4/5) constraint flags, spec 7.3.3
+    general_max_12bit_constraint_flag: int = 1
+    general_max_10bit_constraint_flag: int = 1
+    general_max_8bit_constraint_flag: int = 0
+    general_max_422chroma_constraint_flag: int = 0
+    general_max_420chroma_constraint_flag: int = 0
+    general_max_monochrome_constraint_flag: int = 0
+    general_intra_constraint_flag: int = 0
+    general_one_picture_only_constraint_flag: int = 0
+    general_lower_bit_rate_constraint_flag: int = 1
 
 
 @dataclasses.dataclass

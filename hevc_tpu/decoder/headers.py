@@ -21,8 +21,22 @@ def parse_ptl(br: BitReader, ptl: ProfileTierLevel) -> None:
     ptl.general_interlaced_source_flag = br.flag()
     ptl.general_non_packed_constraint_flag = br.flag()
     ptl.general_frame_only_constraint_flag = br.flag()
-    br.u(32)
-    br.u(12)  # reserved 44 bits
+    if ptl.general_profile_idc in (4, 5):
+        ptl.general_max_12bit_constraint_flag = br.flag()
+        ptl.general_max_10bit_constraint_flag = br.flag()
+        ptl.general_max_8bit_constraint_flag = br.flag()
+        ptl.general_max_422chroma_constraint_flag = br.flag()
+        ptl.general_max_420chroma_constraint_flag = br.flag()
+        ptl.general_max_monochrome_constraint_flag = br.flag()
+        ptl.general_intra_constraint_flag = br.flag()
+        ptl.general_one_picture_only_constraint_flag = br.flag()
+        ptl.general_lower_bit_rate_constraint_flag = br.flag()
+        br.u(32)
+        br.u(2)   # reserved 34 bits
+    else:
+        br.u(32)
+        br.u(11)  # reserved 43 bits
+    br.flag()     # general_reserved_zero_bit
     ptl.general_level_idc = br.u(8)
 
 

@@ -49,8 +49,10 @@ class CtuReconstructor:
         strong = (c_idx == 0 and self.sps.strong_intra_smoothing_enabled_flag
                   and strong_smoothing_decision(f, size, self.bd))
         ff = filter_ref_samples(f, size, self.bd, strong_smoothing=strong)
+        # smoothing also applies to chroma in 4:4:4 (spec 8.4.4.2.3)
+        smooth = c_idx == 0 or self.sps.chroma_format_idc == 3
         pred = intra_np.predict_mode(f, ff, mode, size, self.bd,
-                                     is_luma=(c_idx == 0))
+                                     is_luma=(c_idx == 0), smooth=smooth)
         if coeffs.any():
             qp = self.qp if c_idx == 0 else self.qp_c
             deq = dequantize_np(coeffs.astype(np.int32), size, qp, self.bd)
@@ -93,7 +95,17 @@ class CtuReconstructor:
             coeffs = d.coeff_y[tly:tly + tsize, tlx:tlx + tsize]
             self._intra_tb(recon, tx, ty, tsize, mode, 0, coeffs,
                            is_dst=(tlog2 == 2))
-            if tlog2 > 2:
+            if self.sps.chroma_format_idc == 3:
+                # 4:4:4: full-size chroma TB per luma TU leaf (per-part
+                # chroma mode map covers NxN partitions)
+                pcmode = int(d.chroma_mode[tly >> 2, tlx >> 2])
+                ccb = d.coeff_cb[tly:tly + tsize, tlx:tlx + tsize]
+                ccr = d.coeff_cr[tly:tly + tsize, tlx:tlx + tsize]
+                self._intra_tb(recon, tx, ty, tsize, pcmode, 1, ccb, False,
+                               luma_pos=(tx, ty, 1, 1))
+                self._intra_tb(recon, tx, ty, tsize, pcmode, 2, ccr, False,
+                               luma_pos=(tx, ty, 1, 1))
+            elif tlog2 > 2:
                 cs = tsize >> 1
                 ccb = d.coeff_cb[tly >> 1:(tly >> 1) + cs,
                                  tlx >> 1:(tlx >> 1) + cs]

@@ -87,11 +87,9 @@ class DecoderTop:
         return [body[i:i + 16] for i in range(0, len(body), 16)]
 
     def _check_hash(self, planes, digests) -> bool:
-        for p, dg in zip(planes, digests):
-            if hashlib.md5(np.ascontiguousarray(
-                    p.astype(np.uint8)).tobytes()).digest() != dg:
-                return False
-        return True
+        from ..entropy.sei import picture_md5
+        ours = picture_md5(planes, self.sps.bit_depth_luma)
+        return all(a == b for a, b in zip(ours, digests))
 
     def _decode_slice(self, nal_type: int, rbsp: bytes):
         sps, pps = self.sps, self.pps
@@ -118,6 +116,7 @@ class DecoderTop:
             sh.slice_qp, slice_type=int(sh.slice_type),
             ctu_size=sps.ctu_size,
             max_tu_depth_intra=sps.max_transform_hierarchy_depth_intra,
+            chroma_format=sps.chroma_format_idc,
             sign_hiding=pps.sign_data_hiding_enabled_flag,
             max_merge_cand=5 - sh.five_minus_max_num_merge_cand,
             num_ref_l0=nl0, num_ref_l1=nl1,
@@ -128,9 +127,10 @@ class DecoderTop:
             bit_depth=sps.bit_depth_luma, cur_poc=sh.poc)
         sdec = cabac.SliceDataDecoder(sp, slice_data)
         w, h = sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples
+        csh = 0 if sps.chroma_format_idc == 3 else 1
         recon = [np.zeros((h, w), np.int16),
-                 np.zeros((h // 2, w // 2), np.int16),
-                 np.zeros((h // 2, w // 2), np.int16)]
+                 np.zeros((h >> csh, w >> csh), np.int16),
+                 np.zeros((h >> csh, w >> csh), np.int16)]
         refs_l0 = refs_l1 = None
         if sh.slice_type != SliceType.I:
             def resolve(pocs, n):

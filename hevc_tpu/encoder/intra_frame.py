@@ -97,6 +97,8 @@ class IntraFrameEncoder:
         self.lam = 0.57 * (2.0 ** (qp_temp / 3.0))
         self.sqrt_lam = math.sqrt(self.lam)
         self.cu_depth_target = 1  # default 32x32 CUs; refined by planner
+        self.cfmt = sps.chroma_format_idc
+        self.cs = 0 if self.cfmt == 3 else 1  # chroma coordinate shift
 
     # ---- per-TB helpers ---------------------------------------------------
     def _refs(self, plane, x0, y0, size, luma_pos=None):
@@ -137,16 +139,17 @@ class IntraFrameEncoder:
         """Returns (ctu_decisions_list, recon_planes). Sequential z-order
         walk; recon planes grow as TBs complete (availability-correct)."""
         w, h, ctu = self.w, self.h, self.ctu
+        cs = self.cs
         recon = [np.zeros((h, w), np.int16),
-                 np.zeros((h // 2, w // 2), np.int16),
-                 np.zeros((h // 2, w // 2), np.int16)]
+                 np.zeros((h >> cs, w >> cs), np.int16),
+                 np.zeros((h >> cs, w >> cs), np.int16)]
         mode_map = np.full((h + 3 >> 2, (w + 3) >> 2), 1, np.uint8)
         ctus_w = -(-w // ctu)
         ctus_h = -(-h // ctu)
         decisions = []
         for cy in range(ctus_h):
             for cx in range(ctus_w):
-                d = CtuDecisions(ctu)
+                d = CtuDecisions(ctu, chroma_format=self.cfmt)
                 d.cu_depth[:] = self.cu_depth_target
                 x0c, y0c = cx * ctu, cy * ctu
                 for (x0, y0, log2) in cu_leaves(
@@ -202,21 +205,28 @@ class IntraFrameEncoder:
                       tx - ctu_x0:tx - ctu_x0 + tsize] = levels.astype(np.int16)
             recon[0][ty:ty + tsize, tx:tx + tsize] = rec.astype(np.int16)
 
-            # chroma TBs at this TU (420; tlog2 > 2 guaranteed by planner)
-            assert tlog2 > 2, "4x4 luma TUs need blk3 chroma handling"
-            csize = tsize >> 1
-            cxx, cyy = tx >> 1, ty >> 1
+            # chroma TBs at this TU: half-size in 4:2:0, full-size in
+            # 4:4:4 (where smoothing applies to chroma too, spec 8.4.4.2.3,
+            # but the luma-only edge/DC boundary filters do not)
+            cs = self.cs
+            if cs == 1:
+                assert tlog2 > 2, "4x4 luma TUs need blk3 chroma handling"
+            csize = tsize >> cs
+            cxx, cyy = tx >> cs, ty >> cs
+            scale = 1 << cs
             for ci, plane in ((1, recon[1]), (2, recon[2])):
                 fc = build_ref_vector(plane, cxx, cyy, csize, self.avail,
                                       self.sps.bit_depth_chroma,
-                                      luma_pos=(tx, ty, 2, 2))
-                ffc = filter_ref_samples(fc, csize)
-                predc = self._predict(fc, ffc, mode, csize, False)
+                                      luma_pos=(tx, ty, scale, scale))
+                ffc = filter_ref_samples(fc, csize, self.sps.bit_depth_chroma)
+                predc = intra_np.predict_mode(
+                    fc, ffc, mode, csize, self.sps.bit_depth_chroma,
+                    is_luma=False, smooth=(cs == 0))
                 lv, recc = self._code_tb(
                     orig[ci][cyy:cyy + csize, cxx:cxx + csize], predc,
                     csize, False, False)
                 tgt = d.coeff_cb if ci == 1 else d.coeff_cr
-                tgt[cyy - (ctu_y0 >> 1):cyy - (ctu_y0 >> 1) + csize,
-                    cxx - (ctu_x0 >> 1):cxx - (ctu_x0 >> 1) + csize] = \
+                tgt[cyy - (ctu_y0 >> cs):cyy - (ctu_y0 >> cs) + csize,
+                    cxx - (ctu_x0 >> cs):cxx - (ctu_x0 >> cs) + csize] = \
                     lv.astype(np.int16)
                 plane[cyy:cyy + csize, cxx:cxx + csize] = recc.astype(np.int16)

@@ -36,7 +36,19 @@ class EncoderTop:
             max_transform_hierarchy_depth_inter=cfg.tu_depth_inter,
             sample_adaptive_offset_enabled_flag=1 if cfg.sao else 0,
         )
-        if cfg.internal_bit_depth > 8 or cfg.profile == "main10":
+        if cfg.internal_chroma_format != 1 or "rext" in cfg.profile.lower():
+            # format-range extensions (spec A.3.5): Main 4:4:4 family
+            ptl = self.sps.ptl
+            ptl.general_profile_idc = 4
+            ptl.general_max_12bit_constraint_flag = 1
+            ptl.general_max_10bit_constraint_flag = \
+                1 if cfg.internal_bit_depth <= 10 else 0
+            ptl.general_max_8bit_constraint_flag = \
+                1 if cfg.internal_bit_depth <= 8 else 0
+            ptl.general_intra_constraint_flag = \
+                1 if cfg.intra_period == 1 else 0
+            ptl.general_lower_bit_rate_constraint_flag = 1
+        elif cfg.internal_bit_depth > 8 or cfg.profile == "main10":
             self.sps.ptl.general_profile_idc = 2
         self.vps = VPS()
         self.vps.ptl.general_profile_idc = self.sps.ptl.general_profile_idc
@@ -225,6 +237,7 @@ class EncoderTop:
                 cfg.width, cfg.height, slice_qp, slice_type=int(stype),
                 ctu_size=self.sps.ctu_size,
                 max_tu_depth_intra=self.sps.max_transform_hierarchy_depth_intra,
+                chroma_format=self.sps.chroma_format_idc,
                 sao_luma=sao_on, sao_chroma=sao_on,
                 bit_depth=self.sps.bit_depth_luma)
             senc = SliceDataEncoder(sp)

@@ -116,16 +116,17 @@ def make_slice_params(pic_w: int, pic_h: int, qp: int, slice_type: int = 2,
 class CtuDecisions:
     """Per-CTU decision maps handed to the native syntax writer."""
 
-    def __init__(self, ctu_size: int = 64):
+    def __init__(self, ctu_size: int = 64, chroma_format: int = 1):
         n4 = ctu_size // 4
+        cw = ctu_size if chroma_format == 3 else ctu_size // 2
         self.cu_depth = np.zeros((n4, n4), np.uint8)
         self.nxn_flag = np.zeros((n4, n4), np.uint8)
         self.luma_mode = np.full((n4, n4), 1, np.uint8)
         self.chroma_mode = np.full((n4, n4), 1, np.uint8)
         self.tu_depth = np.zeros((n4, n4), np.uint8)
         self.coeff_y = np.zeros((ctu_size, ctu_size), np.int16)
-        self.coeff_cb = np.zeros((ctu_size // 2, ctu_size // 2), np.int16)
-        self.coeff_cr = np.zeros((ctu_size // 2, ctu_size // 2), np.int16)
+        self.coeff_cb = np.zeros((cw, cw), np.int16)
+        self.coeff_cr = np.zeros((cw, cw), np.int16)
         self.pred_mode = np.ones((n4, n4), np.uint8)   # 1 = intra
         self.skip_flag = np.zeros((n4, n4), np.uint8)
         self.merge_flag = np.zeros((n4, n4), np.uint8)
@@ -228,9 +229,10 @@ class SliceDataDecoder:
         self._h = self._lib.hevc_dec_create(ctypes.byref(params), data,
                                             len(data))
         self._ctu = params.ctu_size
+        self._cfmt = params.chroma_format
 
     def decode_ctu(self, ctu_x: int, ctu_y: int) -> tuple:
-        d = CtuDecisions(self._ctu)
+        d = CtuDecisions(self._ctu, chroma_format=self._cfmt)
         eos = self._lib.hevc_dec_ctu(
             self._h, ctu_x, ctu_y, d.cu_depth, d.nxn_flag, d.luma_mode,
             d.chroma_mode, d.tu_depth, d.coeff_y, d.coeff_cb, d.coeff_cr,

@@ -24,9 +24,25 @@ def write_ptl(bw: BitWriter, ptl: ProfileTierLevel,
     bw.flag(ptl.general_interlaced_source_flag)
     bw.flag(ptl.general_non_packed_constraint_flag)
     bw.flag(ptl.general_frame_only_constraint_flag)
-    bw.u(0, 16)                                 # general_reserved_zero_44bits
-    bw.u(0, 16)
-    bw.u(0, 12)
+    if ptl.general_profile_idc in (4, 5):
+        # format-range-extensions constraint flags (spec 7.3.3, RExt)
+        bw.flag(ptl.general_max_12bit_constraint_flag)
+        bw.flag(ptl.general_max_10bit_constraint_flag)
+        bw.flag(ptl.general_max_8bit_constraint_flag)
+        bw.flag(ptl.general_max_422chroma_constraint_flag)
+        bw.flag(ptl.general_max_420chroma_constraint_flag)
+        bw.flag(ptl.general_max_monochrome_constraint_flag)
+        bw.flag(ptl.general_intra_constraint_flag)
+        bw.flag(ptl.general_one_picture_only_constraint_flag)
+        bw.flag(ptl.general_lower_bit_rate_constraint_flag)
+        bw.u(0, 16)                             # general_reserved_zero_34bits
+        bw.u(0, 16)
+        bw.u(0, 2)
+    else:
+        bw.u(0, 16)                             # general_reserved_zero_43bits
+        bw.u(0, 16)
+        bw.u(0, 11)
+    bw.flag(0)                                  # general_reserved_zero_bit
     bw.u(ptl.general_level_idc, 8)
     assert max_sub_layers_minus1 == 0
 

@@ -175,9 +175,10 @@ int chroma_mode_to_idx(int mode, int luma_mode) {
   return 4;  // fallback (mode must equal one of the candidates)
 }
 
-int mode_scan_idx(int log2, int c_idx, int pred_mode) {
-  // spec 7.4.9.11: mode-dependent coefficient scan for small intra TUs
-  bool mdcs = (c_idx == 0) ? (log2 == 2 || log2 == 3) : (log2 == 2);
+int mode_scan_idx(int log2, int c_idx, int pred_mode, bool c444) {
+  // spec 7.4.9.11: mode-dependent coefficient scan for small intra TUs;
+  // chroma 8x8 qualifies when ChromaArrayType == 3 (4:4:4)
+  bool mdcs = (c_idx == 0 || c444) ? (log2 == 2 || log2 == 3) : (log2 == 2);
   if (!mdcs) return 0;
   if (pred_mode >= 6 && pred_mode <= 14) return 2;   // near-horizontal: ver scan
   if (pred_mode >= 22 && pred_mode <= 30) return 1;  // near-vertical: hor scan
@@ -555,7 +556,14 @@ void SliceEncoder::code_intra_cu(int x0, int y0, int log2) {
     cabac_.encode_bin(ctx_.part_size[0], nxn ? 0 : 1);
   }
   code_intra_luma_modes(x0, y0, log2, nxn);
-  code_intra_chroma_mode(x0, y0);
+  // 4:4:4 NxN: one intra_chroma_pred_mode per partition (spec 7.3.8.5)
+  if (sp_.chroma_format == 3 && nxn) {
+    int half = 1 << (log2 - 1);
+    for (int i = 0; i < 4; ++i)
+      code_intra_chroma_mode(x0 + (i & 1) * half, y0 + (i >> 1) * half);
+  } else {
+    code_intra_chroma_mode(x0, y0);
+  }
   transform_tree(x0, y0, x0, y0, log2, 0, 0, nxn, 1, 1, true);
 }
 
@@ -658,9 +666,12 @@ void SliceEncoder::code_inter_cu(int x0, int y0, int log2, bool skip) {
     return 0;
   };
   int n = 1 << log2;
+  int rcs = (sp_.chroma_format == 3) ? 0 : 1;
   int has_resid = any_nz(cur_->coeff_y, sp_.ctu_size, lx, ly, n)
-      || any_nz(cur_->coeff_cb, sp_.ctu_size / 2, lx >> 1, ly >> 1, n >> 1)
-      || any_nz(cur_->coeff_cr, sp_.ctu_size / 2, lx >> 1, ly >> 1, n >> 1);
+      || any_nz(cur_->coeff_cb, sp_.ctu_size >> rcs, lx >> rcs, ly >> rcs,
+                n >> rcs)
+      || any_nz(cur_->coeff_cr, sp_.ctu_size >> rcs, lx >> rcs, ly >> rcs,
+                n >> rcs);
   if (!merge_f) {
     cabac_.encode_bin(ctx_.qt_root_cbf[0], has_resid);
   }
@@ -737,17 +748,18 @@ void SliceEncoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
         if (plane[(py + yy) * pw + px + xx]) return 1;
     return 0;
   };
-  int half_ctu = sp_.ctu_size >> 1;
+  int cs = (sp_.chroma_format == 3) ? 0 : 1;  // chroma coord shift
+  int c_stride = sp_.ctu_size >> cs;
   int cbf_cb = 0, cbf_cr = 0;
-  if (log2 > 2) {
-    int cpx = (x0 - ctu_x0_) >> 1, cpy = (y0 - ctu_y0_) >> 1;
-    int cn = 1 << (log2 - 1);
+  if (log2 > 2 || cs == 0) {
+    int cpx = (x0 - ctu_x0_) >> cs, cpy = (y0 - ctu_y0_) >> cs;
+    int cn = 1 << (log2 - cs);
     if (depth == 0 || par_cb) {
-      cbf_cb = any_nz(cur_->coeff_cb, half_ctu, cpx, cpy, cn);
+      cbf_cb = any_nz(cur_->coeff_cb, c_stride, cpx, cpy, cn);
       cabac_.encode_bin(ctx_.cbf_chroma[depth], cbf_cb);
     }
     if (depth == 0 || par_cr) {
-      cbf_cr = any_nz(cur_->coeff_cr, half_ctu, cpx, cpy, cn);
+      cbf_cr = any_nz(cur_->coeff_cr, c_stride, cpx, cpy, cn);
       cabac_.encode_bin(ctx_.cbf_chroma[depth], cbf_cr);
     }
   } else {
@@ -775,9 +787,9 @@ void SliceEncoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
     cbf_y = 1;  // inferred (encoder guarantees nonzero luma here)
 
   if (cbf_y) residual(x0, y0, log2, 0);
-  if (log2 > 2) {
-    if (cbf_cb) residual(x0, y0, log2 - 1, 1);
-    if (cbf_cr) residual(x0, y0, log2 - 1, 2);
+  if (log2 > 2 || cs == 0) {
+    if (cbf_cb) residual(x0, y0, log2 - cs, 1);
+    if (cbf_cr) residual(x0, y0, log2 - cs, 2);
   } else if (blk_idx == 3) {
     if (par_cb) residual(xb, yb, 2, 1);
     if (par_cr) residual(xb, yb, 2, 2);
@@ -795,9 +807,10 @@ void SliceEncoder::residual(int x0, int y0, int log2, int c_idx) {
     plane = cur_->coeff_y; pw = sp_.ctu_size;
     px = x0 - ctu_x0_; py = y0 - ctu_y0_;
   } else {
+    int cs = (sp_.chroma_format == 3) ? 0 : 1;
     plane = (c_idx == 1) ? cur_->coeff_cb : cur_->coeff_cr;
-    pw = sp_.ctu_size >> 1;
-    px = (x0 - ctu_x0_) >> 1; py = (y0 - ctu_y0_) >> 1;
+    pw = sp_.ctu_size >> cs;
+    px = (x0 - ctu_x0_) >> cs; py = (y0 - ctu_y0_) >> cs;
   }
   // mode-dependent scan applies to intra blocks only (7.4.9.11)
   bool blk_intra = sp_.slice_type == 2 ||
@@ -805,7 +818,8 @@ void SliceEncoder::residual(int x0, int y0, int log2, int c_idx) {
   int pred_mode = luma
       ? map_at(cur_->luma_mode, bw4, x0 - ctu_x0_, y0 - ctu_y0_)
       : map_at(cur_->chroma_mode, bw4, x0 - ctu_x0_, y0 - ctu_y0_);
-  int scan_idx = blk_intra ? mode_scan_idx(log2, c_idx, pred_mode) : 0;
+  int scan_idx = blk_intra ? mode_scan_idx(log2, c_idx, pred_mode,
+                                           sp_.chroma_format == 3) : 0;
   const auto& scan = g_scans.t[log2 - 2][scan_idx];
 
   // (transform_skip_flag would be coded here; disabled in our PPS)
@@ -1253,14 +1267,21 @@ void SliceDecoder::parse_intra_cu(int x0, int y0, int log2) {
         maps_.luma_mode[((py >> 2) + yy) * maps_.stride + (px >> 2) + xx] =
             mode[i];
   }
-  // chroma mode
-  int cmode;
-  if (cabac_.decode_bin(ctx_.intra_chroma[0]) == 0) {
-    cmode = chroma_cand(4, mode[0]);
-  } else {
-    cmode = chroma_cand(cabac_.decode_bypass_bins(2), mode[0]);
+  // chroma mode (4:4:4 NxN: one per partition, spec 7.3.8.5)
+  int cparts = (sp_.chroma_format == 3 && nxn) ? 4 : 1;
+  for (int i = 0; i < cparts; ++i) {
+    int cmode;
+    if (cabac_.decode_bin(ctx_.intra_chroma[0]) == 0) {
+      cmode = chroma_cand(4, mode[i]);
+    } else {
+      cmode = chroma_cand(cabac_.decode_bypass_bins(2), mode[i]);
+    }
+    if (cparts == 4)
+      fill(cur_->chroma_mode, x0 + (i & 1) * half, y0 + (i >> 1) * half,
+           log2 - 1, cmode);
+    else
+      fill(cur_->chroma_mode, x0, y0, log2, cmode);
   }
-  fill(cur_->chroma_mode, x0, y0, log2, cmode);
 
   transform_tree(x0, y0, x0, y0, log2, 0, 0, nxn, 1, 1, true);
 }
@@ -1280,8 +1301,9 @@ void SliceDecoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
     split = cabac_.decode_bin(ctx_.trans_subdiv[5 - log2]);
   else split = false;
 
+  int cs = (sp_.chroma_format == 3) ? 0 : 1;
   int cbf_cb = 0, cbf_cr = 0;
-  if (log2 > 2) {
+  if (log2 > 2 || cs == 0) {
     if (depth == 0 || par_cb)
       cbf_cb = cabac_.decode_bin(ctx_.cbf_chroma[depth]);
     if (depth == 0 || par_cr)
@@ -1305,9 +1327,9 @@ void SliceDecoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
   if (is_intra || depth != 0 || cbf_cb || cbf_cr)
     cbf_y = cabac_.decode_bin(ctx_.cbf_luma[depth == 0 ? 1 : 0]);
   if (cbf_y) residual(x0, y0, log2, 0);
-  if (log2 > 2) {
-    if (cbf_cb) residual(x0, y0, log2 - 1, 1);
-    if (cbf_cr) residual(x0, y0, log2 - 1, 2);
+  if (log2 > 2 || cs == 0) {
+    if (cbf_cb) residual(x0, y0, log2 - cs, 1);
+    if (cbf_cr) residual(x0, y0, log2 - cs, 2);
   } else if (blk_idx == 3) {
     if (par_cb) residual(xb, yb, 2, 1);
     if (par_cr) residual(xb, yb, 2, 2);
@@ -1324,9 +1346,10 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
     plane = cur_->coeff_y; pw = sp_.ctu_size;
     px = x0 - ctu_x0_; py = y0 - ctu_y0_;
   } else {
+    int cs = (sp_.chroma_format == 3) ? 0 : 1;
     plane = (c_idx == 1) ? cur_->coeff_cb : cur_->coeff_cr;
-    pw = sp_.ctu_size >> 1;
-    px = (x0 - ctu_x0_) >> 1; py = (y0 - ctu_y0_) >> 1;
+    pw = sp_.ctu_size >> cs;
+    px = (x0 - ctu_x0_) >> cs; py = (y0 - ctu_y0_) >> cs;
   }
   // mode-dependent scan applies to intra blocks only (7.4.9.11)
   bool blk_intra = sp_.slice_type == 2 ||
@@ -1334,7 +1357,8 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
   int pred_mode = luma
       ? map_at(cur_->luma_mode, bw4, x0 - ctu_x0_, y0 - ctu_y0_)
       : map_at(cur_->chroma_mode, bw4, x0 - ctu_x0_, y0 - ctu_y0_);
-  int scan_idx = blk_intra ? mode_scan_idx(log2, c_idx, pred_mode) : 0;
+  int scan_idx = blk_intra ? mode_scan_idx(log2, c_idx, pred_mode,
+                                           sp_.chroma_format == 3) : 0;
   const auto& scan = g_scans.t[log2 - 2][scan_idx];
 
   // last significant position

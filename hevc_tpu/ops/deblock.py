@@ -278,26 +278,28 @@ def _filter_luma_dir(y: np.ndarray, bs4: np.ndarray, qp: int, bd: int,
 
 
 def _filter_chroma_dir(c: np.ndarray, bs4: np.ndarray, qp_c: int, bd: int,
-                       tc_off: int, vertical: bool) -> None:
-    """Chroma edges: 8-chroma-sample grid, BS==2 only, 2-line granularity
-    matching the luma segment grid (spec 8.7.2.5.5)."""
+                       tc_off: int, vertical: bool, cshift: int = 1) -> None:
+    """Chroma edges: 8-chroma-sample grid, BS==2 only, line granularity
+    matching the luma segment grid (spec 8.7.2.5.5). cshift is the
+    chroma subsampling shift (1 for 4:2:0, 0 for 4:4:4)."""
     if not vertical:
         c = c.T
         bs4 = bs4.T
     h, w = c.shape
     scale = 1 << (bd - 8)
     maxv = (1 << bd) - 1
+    rows_per = 4 >> cshift            # chroma rows per luma 4-row segment
     segs = []
-    for x in range(8, w, 8):          # chroma x -> luma 2x (multiple of 16)
-        col_bs = bs4[:, x >> 1]       # luma 4x4 col index = 2x/4
+    for x in range(8, w, 8):          # chroma x -> luma (x << cshift)
+        col_bs = bs4[:, (x << cshift) >> 2]
         for by in range(bs4.shape[0]):
             if col_bs[by] == 2:
-                segs.append((x, by * 2))  # 2 chroma rows per luma segment
+                segs.append((x, by * rows_per))
     if not segs:
         return
     xs = np.array([s[0] for s in segs])
     ys = np.array([s[1] for s in segs])
-    row_idx = ys[:, None, None] + np.arange(2)[None, :, None]
+    row_idx = ys[:, None, None] + np.arange(rows_per)[None, :, None]
     col_idx = xs[:, None, None] + np.arange(-2, 2)[None, None, :]
     patch = c[row_idx, col_idx].astype(np.int64)
     p1, p0, q0, q1 = (patch[..., 0], patch[..., 1],
@@ -316,10 +318,11 @@ def deblock_frame(recon: List[np.ndarray], maps: DeblockMaps, qp: int,
     bs_v = _boundary_strength(maps, vertical=True)
     bs_h = _boundary_strength(maps, vertical=False)
     qp_c = tables.chroma_qp(qp, sps.chroma_format_idc)
+    csh = 0 if sps.chroma_format_idc == 3 else 1
     # vertical edges first (normative order), then horizontal
     _filter_luma_dir(recon[0], bs_v, qp, bd, beta_off, tc_off, True)
-    _filter_chroma_dir(recon[1], bs_v, qp_c, bd, tc_off, True)
-    _filter_chroma_dir(recon[2], bs_v, qp_c, bd, tc_off, True)
+    _filter_chroma_dir(recon[1], bs_v, qp_c, bd, tc_off, True, csh)
+    _filter_chroma_dir(recon[2], bs_v, qp_c, bd, tc_off, True, csh)
     _filter_luma_dir(recon[0], bs_h, qp, bd, beta_off, tc_off, False)
-    _filter_chroma_dir(recon[1], bs_h, qp_c, bd, tc_off, False)
-    _filter_chroma_dir(recon[2], bs_h, qp_c, bd, tc_off, False)
+    _filter_chroma_dir(recon[1], bs_h, qp_c, bd, tc_off, False, csh)
+    _filter_chroma_dir(recon[2], bs_h, qp_c, bd, tc_off, False, csh)

@@ -17,13 +17,19 @@ def _filter_flag(mode, size, is_luma):
     return min_dist > tables.INTRA_FILTER_THRESH[tables.log2(size)]
 
 
-def predict_mode(f_unfilt, f_filt, mode, size, bit_depth=8, is_luma=True):
+def predict_mode(f_unfilt, f_filt, mode, size, bit_depth=8, is_luma=True,
+                 smooth=None):
+    """smooth: whether reference smoothing may apply (spec 8.4.4.2.3:
+    cIdx == 0 or ChromaArrayType == 3); defaults to is_luma. Edge/DC
+    boundary filters (8.4.4.2.5/6) remain luma-only regardless."""
     """Predict one mode from the combined ref vector f[4N+1] (layout: see
     hevc_tpu.ops.intra). Returns int64 [N, N]."""
     n = size
     n2 = 2 * n
     maxval = (1 << bit_depth) - 1
-    f = (f_filt if _filter_flag(mode, n, is_luma) else f_unfilt).astype(np.int64)
+    if smooth is None:
+        smooth = is_luma
+    f = (f_filt if _filter_flag(mode, n, smooth) else f_unfilt).astype(np.int64)
     fu = f_unfilt.astype(np.int64)
     top = f[n2 + 1:]            # p[x][-1], x in [0, 2N)
     left = f[n2 - 1::-1]        # p[-1][y], y in [0, 2N)

@@ -78,7 +78,7 @@ def apply_sao(deblocked: List[np.ndarray], sao_params: List[np.ndarray],
             t = prm[0] if ci == 0 else prm[1]
             if t == 0:
                 continue
-            scale = 1 if ci == 0 else 2
+            scale = 1 if (ci == 0 or sps.chroma_format_idc == 3) else 2
             x0, y0 = (cx * ctu) // scale, (cy * ctu) // scale
             x1 = min(((cx + 1) * ctu) // scale, w // scale)
             y1 = min(((cy + 1) * ctu) // scale, h // scale)
@@ -146,8 +146,11 @@ def estimate_sao(orig: List[np.ndarray], deblocked: List[np.ndarray],
             prm[0], prm[2], prm[4] = prm_l[0], prm_l[1], prm_l[2]
             prm[8:12] = prm_l[3]
             # ---- chroma (joint type for cb+cr) ----
-            cs = (slice((cy * ctu) // 2, min(((cy + 1) * ctu) // 2, h // 2)),
-                  slice((cx * ctu) // 2, min(((cx + 1) * ctu) // 2, w // 2)))
+            sc = 1 if sps.chroma_format_idc == 3 else 2
+            cs = (slice((cy * ctu) // sc,
+                        min(((cy + 1) * ctu) // sc, h // sc)),
+                  slice((cx * ctu) // sc,
+                        min(((cx + 1) * ctu) // sc, w // sc)))
             t, eo, bpos_cb, off_cb, bpos_cr, off_cr = _pick_chroma(
                 diffs[1][cs], diffs[2][cs], cat_maps[1], cat_maps[2],
                 band_maps[1], band_maps[2], cs, lam, max_off, best_offset)

@@ -168,3 +168,46 @@ def test_randomaccess_conformance(tmp_path):
         for planes in dt.decode_stream(bs.read_bytes()))
     assert got == dec.read_bytes()
     assert dt.hash_status == ["OK"] * frames
+
+
+def _mk_clip_444(path, w, h, n, seed=9):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    with open(path, "wb") as f:
+        for i in range(n):
+            y = ((np.sin(xx / 7 + i) + np.cos(yy / 5)) * 50 + 128
+                 + rng.integers(-20, 20, (h, w))).clip(0, 255)
+            u = ((np.sin(xx / 11) * 60) + 128
+                 + rng.integers(-15, 15, (h, w))).clip(0, 255)
+            v = ((np.cos(yy / 9) * 60) + 128
+                 + rng.integers(-15, 15, (h, w))).clip(0, 255)
+            for p in (y, u, v):
+                f.write(p.astype(np.uint8).tobytes())
+
+
+@pytest.mark.parametrize("extra", [[], ["--InternalBitDepth=8"]])
+def test_rext_444_conformance(tmp_path, extra):
+    """RExt 4:4:4 intra under the reference high-throughput cfg (10-bit
+    internal by default; 8-bit Main 4:4:4 variant): full-size chroma TBs,
+    per-part chroma modes, 4:4:4 deblock/SAO, RExt PTL signalling
+    (reference cfg/encoder_intra_high_throughput_rext.cfg,
+    TEncCfg profile plumbing TAppEncCfg.cpp)."""
+    w, h, frames = 176, 144, 2
+    clip = tmp_path / "in444.yuv"
+    _mk_clip_444(clip, w, h, frames)
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-c", "/root/reference/cfg/encoder_intra_high_throughput_rext.cfg",
+          "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f", str(frames),
+          "-q", "34", "--InputChromaFormat=444"] + extra
+         + ["-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+    assert rec.read_bytes() == dec.read_bytes()
+    # own decoder handles 4:4:4 too
+    from hevc_tpu.cli.decode import main as dmain
+    own = tmp_path / "own.yuv"
+    assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+    assert own.read_bytes() == dec.read_bytes()
