@@ -1,0 +1,152 @@
+"""Native-engine frame encoder: TPU-batched integer ME + C++ CU engine.
+
+Parity: same decision flow as intra_frame.IntraFrameEncoder._encode_cu and
+inter_frame.PFrameEncoder._encode_cu_p (reference TEncCu::xCompressCU,
+TEncSearch::predInterSearch), but the sequential per-CU work (prediction
+from reconstructed neighbours, transforms, fractional refinement) runs in
+the native engine (entropy/native/engine.cpp) while the frame-wide integer
+motion search stays batched on the device (hevc_tpu/ops/me.py). 4:2:0 only;
+the pure-Python encoders remain the reference path (HEVC_TPU_NATIVE_RECON=0)
+and the 4:4:4 path.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import tables
+from ..entropy.cabac import (EngineParamsC, NativeCtuEngine, SliceDataEncoder,
+                             SliceParamsC)
+from ..ops import me
+from ..ops.interp import pad_plane
+
+PAD = 80
+
+
+@functools.partial(jax.jit, static_argnames=("nyx",))
+def _cost_argmin(sads, bits, lam_fp, nyx):
+    """cost = sad + (lam*bits >> 16); first-minimum argmin per block over
+    the (padded) Pallas SAD table."""
+    s = sads[:, :nyx, :nyx]
+    cost = s + ((lam_fp.astype(jnp.int32) * bits[None]) >> 16)
+    return jnp.argmin(cost.reshape(cost.shape[0], -1), axis=1)
+
+
+def batched_me_grid(orig_y: np.ndarray, ref_padded_y: np.ndarray, size: int,
+                    search_range: int, lam_fp: int):
+    """Frame-batched integer full search for every aligned size x size block;
+    returns (mv_x, mv_y) int32 grids [ny, nx] (device Pallas kernel on TPU,
+    vectorized numpy twin on CPU)."""
+    h, w = orig_y.shape
+    R = search_range
+    pos = [(x0, y0)
+           for y0 in range(0, h - size + 1, size)
+           for x0 in range(0, w - size + 1, size)]
+    nx = (w - size) // size + 1 if w >= size else 0
+    ny = (h - size) // size + 1 if h >= size else 0
+    if not pos:
+        return None, None
+    # int16 end-to-end: halves the host->device transfer; the kernel
+    # widens to int32 on device.
+    blks = np.stack([orig_y[y0:y0 + size, x0:x0 + size]
+                     for (x0, y0) in pos]).astype(np.int16)
+    areas = np.stack([
+        ref_padded_y[PAD + y0 - R: PAD + y0 + R + size,
+                     PAD + x0 - R: PAD + x0 + R + size]
+        for (x0, y0) in pos]).astype(np.int16)
+    n = len(pos)
+    bucket = max(128, 1 << (n - 1).bit_length())
+    if n < bucket:
+        blks = np.concatenate(
+            [blks, np.zeros((bucket - n,) + blks.shape[1:], np.int16)])
+        areas = np.concatenate(
+            [areas, np.zeros((bucket - n,) + areas.shape[1:], np.int16)])
+    zeros = np.zeros(bucket, np.int32)
+    mins = np.full(bucket, -R, np.int32)
+    import jax
+    if jax.default_backend() == "cpu":
+        mv_y, mv_x, _, _ = me.full_search_batch_np(
+            blks.astype(np.int32), areas.astype(np.int32), mins, mins,
+            zeros, zeros, lam_fp)
+        mv_y, mv_x = np.asarray(mv_y), np.asarray(mv_x)
+    else:
+        # TPU: Pallas SAD-table kernel, then cost+argmin in a separate
+        # small jit over the device-resident table (only the winning index
+        # per block crosses the tunnel). lambda and the bits table are
+        # passed as arrays so no value is baked into a compiled graph —
+        # per-QP recompiles through the device tunnel are catastrophically
+        # slow, and wrapping the Pallas call in an outer jit retriggers
+        # the Mosaic build.
+        from ..ops.sad_pallas import sad_table
+        nyx = 2 * R + 1
+        sads = sad_table(blks, areas, h=size, w=size, ny=nyx, nx=nyx)
+        dy = np.arange(nyx) - R
+        bits = (np.array([me.mv_bits_np(v << 2) for v in dy])[:, None]
+                + np.array([me.mv_bits_np(v << 2) for v in dy])[None, :])
+        idx = np.asarray(_cost_argmin(sads, bits.astype(np.int32),
+                                      np.int32(lam_fp), nyx))
+        idx = idx[:bucket]
+        mv_y = idx // nyx - R
+        mv_x = idx % nyx - R
+    gx = np.zeros((ny, nx), np.int32)
+    gy = np.zeros((ny, nx), np.int32)
+    for i, (x0, y0) in enumerate(pos):
+        gx[y0 // size, x0 // size] = int(mv_x[i])
+        gy[y0 // size, x0 // size] = int(mv_y[i])
+    return gx, gy
+
+
+class NativeFrameEncoder:
+    def __init__(self, sps, qp: int, senc: SliceDataEncoder,
+                 sp: SliceParamsC, *, qp_factor: float = 0.57,
+                 is_b: bool = False, ref_planes=None, ref1_planes=None,
+                 search_range: int = 24, cu_depth_target: int = 1):
+        assert sps.chroma_format_idc == 1, "native engine is 4:2:0-only"
+        self.sps = sps
+        self.qp = qp
+        self.senc = senc
+        self.sp = sp
+        self.is_inter = ref_planes is not None
+        lam = qp_factor * (2.0 ** ((qp - 12) / 3.0))
+        self.sqrt_lam = math.sqrt(lam)
+        self.lam_fp = int(65536.0 * self.sqrt_lam)
+        self.search_range = search_range
+        self.cu_depth_target = cu_depth_target
+        self.is_b = is_b
+        self.ref = ([np.ascontiguousarray(pad_plane(p, PAD))
+                     for p in ref_planes] if ref_planes is not None else None)
+        self.ref1 = ([np.ascontiguousarray(pad_plane(p, PAD))
+                      for p in ref1_planes]
+                     if ref1_planes is not None else self.ref)
+
+    def encode_frame(self, orig: List[np.ndarray]):
+        sps = self.sps
+        w = sps.pic_width_in_luma_samples
+        h = sps.pic_height_in_luma_samples
+        ctu = sps.ctu_size
+        orig = [np.ascontiguousarray(p, np.int16) for p in orig]
+        recon = [np.zeros((h, w), np.int16),
+                 np.zeros((h // 2, w // 2), np.int16),
+                 np.zeros((h // 2, w // 2), np.int16)]
+        me_x = me_y = None
+        if self.is_inter:
+            size = ctu >> self.cu_depth_target
+            me_x, me_y = batched_me_grid(orig[0], self.ref[0], size,
+                                         self.search_range, self.lam_fp)
+        ep = EngineParamsC(
+            pad=PAD, cu_depth_target=self.cu_depth_target,
+            strong_smoothing=sps.strong_intra_smoothing_enabled_flag,
+            is_b=1 if self.is_b else 0, sqrt_lam=self.sqrt_lam)
+        eng = NativeCtuEngine(self.sp, ep, self.senc, orig, recon,
+                              self.ref, self.ref1 if self.is_b else self.ref,
+                              me_x, me_y)
+        from ..entropy.cabac import FrameDecisions, engine_encode_frame
+        ctus_w, ctus_h = -(-w // ctu), -(-h // ctu)
+        fd = FrameDecisions(ctus_w * ctus_h, ctu, 1)
+        engine_encode_frame(eng, ctus_w, ctus_h, fd)
+        return fd, recon

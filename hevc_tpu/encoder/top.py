@@ -231,8 +231,10 @@ class EncoderTop:
             rps_sps_idx=0, rps=rps,
             num_ref_idx_active=[0 if is_intra else 1, 1 if is_b else 0])
 
+        import os
+        use_native = (self.sps.chroma_format_idc == 1 and
+                      os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0")
         if is_intra:
-            fe = IntraFrameEncoder(self.sps, slice_qp)
             sp = make_slice_params(
                 cfg.width, cfg.height, slice_qp, slice_type=int(stype),
                 ctu_size=self.sps.ctu_size,
@@ -241,6 +243,11 @@ class EncoderTop:
                 sao_luma=sao_on, sao_chroma=sao_on,
                 bit_depth=self.sps.bit_depth_luma)
             senc = SliceDataEncoder(sp)
+            if use_native:
+                from .native_frame import NativeFrameEncoder
+                fe = NativeFrameEncoder(self.sps, slice_qp, senc, sp)
+            else:
+                fe = IntraFrameEncoder(self.sps, slice_qp)
             decisions, recon = fe.encode_frame(planes)
             ref_pocs = ((), ())
         else:
@@ -253,14 +260,21 @@ class EncoderTop:
                 ref_poc_l0=[l0_poc],
                 ref_poc_l1=[ref_l1[0]] if is_b else [],
                 sao_luma=sao_on, sao_chroma=sao_on,
-                bit_depth=self.sps.bit_depth_luma)
-            sp.cur_poc = cvs_poc
+                bit_depth=self.sps.bit_depth_luma, cur_poc=cvs_poc)
             senc = SliceDataEncoder(sp)
-            fe = PFrameEncoder(self.sps, slice_qp, l0_planes,
-                               search_range=min(cfg.search_range, 24),
-                               qp_factor=qf, is_b=is_b,
-                               ref1_planes=ref_l1[1] if is_b else None)
-            fe.senc = senc
+            if use_native:
+                from .native_frame import NativeFrameEncoder
+                fe = NativeFrameEncoder(
+                    self.sps, slice_qp, senc, sp, qp_factor=qf, is_b=is_b,
+                    ref_planes=l0_planes,
+                    ref1_planes=ref_l1[1] if is_b else None,
+                    search_range=min(cfg.search_range, 24))
+            else:
+                fe = PFrameEncoder(self.sps, slice_qp, l0_planes,
+                                   search_range=min(cfg.search_range, 24),
+                                   qp_factor=qf, is_b=is_b,
+                                   ref1_planes=ref_l1[1] if is_b else None)
+                fe.senc = senc
             decisions, recon = fe.encode_frame(planes)
             ref_pocs = ([l0_poc], [ref_l1[0]] if is_b else [])
 
@@ -274,19 +288,28 @@ class EncoderTop:
         if sao_on:
             from ..ops import sao as saolib
             lam = 0.57 * (2.0 ** ((slice_qp - 12) / 3.0))
-            sao_params = saolib.estimate_sao(planes, recon, self.sps,
-                                             self.sps.bit_depth_luma, lam)
+            if use_native:
+                from ..entropy.cabac import sao_estimate_native
+                sao_params = sao_estimate_native(
+                    planes, recon, self.sps, self.sps.bit_depth_luma, lam)
+            else:
+                sao_params = saolib.estimate_sao(
+                    planes, recon, self.sps, self.sps.bit_depth_luma, lam)
             for d, prm in zip(decisions, sao_params):
                 d.sao[:] = prm
 
         ctus_w = self.sps.pic_width_in_ctus
         ctus_h = self.sps.pic_height_in_ctus
-        i = 0
-        for cy in range(ctus_h):
-            for cx in range(ctus_w):
-                last = (cy == ctus_h - 1) and (cx == ctus_w - 1)
-                senc.encode_ctu(cx, cy, decisions[i], last)
-                i += 1
+        from ..entropy.cabac import FrameDecisions, entropy_encode_frame
+        if isinstance(decisions, FrameDecisions):
+            entropy_encode_frame(senc, ctus_w, ctus_h, decisions)
+        else:
+            i = 0
+            for cy in range(ctus_h):
+                for cx in range(ctus_w):
+                    last = (cy == ctus_h - 1) and (cx == ctus_w - 1)
+                    senc.encode_ctu(cx, cy, decisions[i], last)
+                    i += 1
         slice_rbsp = headers.write_slice_header(sh, self.sps, self.pps) \
             + senc.get_bytes()
 

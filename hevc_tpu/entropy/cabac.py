@@ -28,7 +28,8 @@ class SliceParamsC(ctypes.Structure):
         "num_ref_l0", "num_ref_l1", "mvd_l1_zero")] + [
         ("ref_poc_l0", ctypes.c_int32 * 16),
         ("ref_poc_l1", ctypes.c_int32 * 16)] + [
-        (n, ctypes.c_int32) for n in ("sao_luma", "sao_chroma", "bit_depth")]
+        (n, ctypes.c_int32) for n in ("sao_luma", "sao_chroma", "bit_depth",
+                                      "cur_poc")]
 
 
 def _build() -> None:
@@ -72,6 +73,31 @@ def get_lib() -> ctypes.CDLL:
     lib.hevc_enc_get.restype = ctypes.c_long
     lib.hevc_enc_get.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                  ctypes.c_long]
+    i16null = ctypes.POINTER(ctypes.c_int16)
+    i32null = ctypes.POINTER(ctypes.c_int32)
+    lib.hevc_engine_create.restype = ctypes.c_void_p
+    lib.hevc_engine_create.argtypes = (
+        [ctypes.POINTER(SliceParamsC), ctypes.POINTER(EngineParamsC),
+         ctypes.c_void_p] + [i16null] * 12 + [i32null, i32null,
+                                             ctypes.c_int, ctypes.c_int])
+    lib.hevc_engine_destroy.argtypes = [ctypes.c_void_p]
+    lib.hevc_engine_ctu.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        u8p, u8p, u8p, u8p, u8p, i16p, i16p, i16p,
+        u8p, u8p, u8p, u8p, u8p, i8p, i16p, i16p, i16p, i16p,
+        u8p, i8p, i16p, i16p, i16p, i16p,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
+    stacked = [u8p, u8p, u8p, u8p, u8p, i16p, i16p, i16p,
+               u8p, u8p, u8p, u8p, u8p, i8p, i16p, i16p, i16p, i16p,
+               u8p, i8p, i16p, i16p, i16p, i16p,
+               np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
+    lib.hevc_engine_frame.argtypes = [ctypes.c_void_p] + [ctypes.c_int] * 4 \
+        + stacked
+    lib.hevc_enc_frame.argtypes = [ctypes.c_void_p] + [ctypes.c_int] * 4 \
+        + stacked
+    lib.hevc_sao_estimate.argtypes = (
+        [i16p] * 6 + [ctypes.c_int] * 4 + [ctypes.c_double,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")])
     lib.hevc_dec_create.restype = ctypes.c_void_p
     lib.hevc_dec_create.argtypes = [ctypes.POINTER(SliceParamsC),
                                     ctypes.c_char_p, ctypes.c_long]
@@ -144,6 +170,12 @@ class CtuDecisions:
         self.mv_x1 = np.zeros((n4, n4), np.int16)
         self.mv_y1 = np.zeros((n4, n4), np.int16)
         self.sao = np.zeros(20, np.int32)
+
+
+class EngineParamsC(ctypes.Structure):
+    _fields_ = [("pad", ctypes.c_int32), ("cu_depth_target", ctypes.c_int32),
+                ("strong_smoothing", ctypes.c_int32),
+                ("is_b", ctypes.c_int32), ("sqrt_lam", ctypes.c_double)]
 
 
 class SliceDataEncoder:
@@ -246,3 +278,150 @@ class SliceDataDecoder:
         if getattr(self, "_h", None):
             self._lib.hevc_dec_destroy(self._h)
             self._h = None
+
+
+def _i16ptr(arr):
+    if arr is None:
+        return None
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+
+
+def _i32ptr(arr):
+    if arr is None:
+        return None
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+class NativeCtuEngine:
+    """Native per-CTU mode-decision + reconstruction engine (C++ twin of
+    the Python encoder loops; entropy/native/engine.cpp)."""
+
+    def __init__(self, params: SliceParamsC, ep: EngineParamsC,
+                 senc: SliceDataEncoder, orig, recon, ref0=None, ref1=None,
+                 me_mvx=None, me_mvy=None):
+        self._lib = get_lib()
+        # keep every buffer alive for the engine lifetime
+        self._keep = [params, ep, orig, recon, ref0, ref1, me_mvx, me_mvy]
+        r0 = ref0 or [None] * 3
+        r1 = ref1 or [None] * 3
+        me_nx = me_mvx.shape[1] if me_mvx is not None else 0
+        me_ny = me_mvx.shape[0] if me_mvx is not None else 0
+        self._h = self._lib.hevc_engine_create(
+            ctypes.byref(params), ctypes.byref(ep), senc._h,
+            _i16ptr(orig[0]), _i16ptr(orig[1]), _i16ptr(orig[2]),
+            _i16ptr(recon[0]), _i16ptr(recon[1]), _i16ptr(recon[2]),
+            _i16ptr(r0[0]), _i16ptr(r0[1]), _i16ptr(r0[2]),
+            _i16ptr(r1[0]), _i16ptr(r1[1]), _i16ptr(r1[2]),
+            _i32ptr(me_mvx), _i32ptr(me_mvy), me_nx, me_ny)
+        self._ctu = params.ctu_size
+        self._cfmt = params.chroma_format
+
+    def encode_ctu(self, ctu_x: int, ctu_y: int) -> CtuDecisions:
+        d = CtuDecisions(self._ctu, chroma_format=self._cfmt)
+        self._lib.hevc_engine_ctu(
+            self._h, ctu_x, ctu_y, d.cu_depth, d.nxn_flag, d.luma_mode,
+            d.chroma_mode, d.tu_depth, d.coeff_y, d.coeff_cb, d.coeff_cr,
+            d.pred_mode, d.skip_flag, d.merge_flag, d.merge_idx, d.mvp_flag,
+            d.ref_idx, d.mvd_x, d.mvd_y, d.mv_x, d.mv_y,
+            d.mvp_flag1, d.ref_idx1, d.mvd_x1, d.mvd_y1, d.mv_x1, d.mv_y1,
+            d.sao)
+        return d
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.hevc_engine_destroy(self._h)
+            self._h = None
+
+
+def sao_estimate_native(orig, deblocked, sps, bit_depth, lam):
+    """C++ SAO parameter estimation (engine.cpp hevc_sao_estimate);
+    returns the per-CTU param list in CtuData.sao layout."""
+    lib = get_lib()
+    w = sps.pic_width_in_luma_samples
+    h = sps.pic_height_in_luma_samples
+    ctu = sps.ctu_size
+    nctu = (-(-w // ctu)) * (-(-h // ctu))
+    out = np.zeros((nctu, 20), np.int32)
+    o = [np.ascontiguousarray(p, np.int16) for p in orig]
+    dbl = [np.ascontiguousarray(p, np.int16) for p in deblocked]
+    lib.hevc_sao_estimate(o[0], o[1], o[2], dbl[0], dbl[1], dbl[2],
+                          w, h, ctu, bit_depth, float(lam), out)
+    return list(out)
+
+
+_MAP_FIELDS = ["cu_depth", "nxn_flag", "luma_mode", "chroma_mode",
+               "tu_depth", "coeff_y", "coeff_cb", "coeff_cr", "pred_mode",
+               "skip_flag", "merge_flag", "merge_idx", "mvp_flag", "ref_idx",
+               "mvd_x", "mvd_y", "mv_x", "mv_y", "mvp_flag1", "ref_idx1",
+               "mvd_x1", "mvd_y1", "mv_x1", "mv_y1", "sao"]
+
+
+class FrameDecisions:
+    """Per-CTU decision maps for a whole frame as stacked arrays, so the
+    native engine and CABAC coder process the frame in one C call each.
+    view(i) exposes a CtuDecisions-compatible per-CTU window."""
+
+    def __init__(self, nctu: int, ctu_size: int = 64, chroma_format: int = 1):
+        n4 = ctu_size // 4
+        cw = ctu_size if chroma_format == 3 else ctu_size // 2
+        self.nctu = nctu
+        self.ctu_size = ctu_size
+        self.chroma_format = chroma_format
+        self.cu_depth = np.zeros((nctu, n4, n4), np.uint8)
+        self.nxn_flag = np.zeros((nctu, n4, n4), np.uint8)
+        self.luma_mode = np.full((nctu, n4, n4), 1, np.uint8)
+        self.chroma_mode = np.full((nctu, n4, n4), 1, np.uint8)
+        self.tu_depth = np.zeros((nctu, n4, n4), np.uint8)
+        self.coeff_y = np.zeros((nctu, ctu_size, ctu_size), np.int16)
+        self.coeff_cb = np.zeros((nctu, cw, cw), np.int16)
+        self.coeff_cr = np.zeros((nctu, cw, cw), np.int16)
+        self.pred_mode = np.ones((nctu, n4, n4), np.uint8)
+        self.skip_flag = np.zeros((nctu, n4, n4), np.uint8)
+        self.merge_flag = np.zeros((nctu, n4, n4), np.uint8)
+        self.merge_idx = np.zeros((nctu, n4, n4), np.uint8)
+        self.mvp_flag = np.zeros((nctu, n4, n4), np.uint8)
+        self.ref_idx = np.full((nctu, n4, n4), -1, np.int8)
+        self.mvd_x = np.zeros((nctu, n4, n4), np.int16)
+        self.mvd_y = np.zeros((nctu, n4, n4), np.int16)
+        self.mv_x = np.zeros((nctu, n4, n4), np.int16)
+        self.mv_y = np.zeros((nctu, n4, n4), np.int16)
+        self.mvp_flag1 = np.zeros((nctu, n4, n4), np.uint8)
+        self.ref_idx1 = np.full((nctu, n4, n4), -1, np.int8)
+        self.mvd_x1 = np.zeros((nctu, n4, n4), np.int16)
+        self.mvd_y1 = np.zeros((nctu, n4, n4), np.int16)
+        self.mv_x1 = np.zeros((nctu, n4, n4), np.int16)
+        self.mv_y1 = np.zeros((nctu, n4, n4), np.int16)
+        self.sao = np.zeros((nctu, 20), np.int32)
+
+    def _args(self):
+        return [getattr(self, f) for f in _MAP_FIELDS]
+
+    def view(self, i: int):
+        class _V:
+            pass
+        v = _V()
+        for f in _MAP_FIELDS:
+            setattr(v, f, getattr(self, f)[i])
+        return v
+
+    def __len__(self):
+        return self.nctu
+
+    def __iter__(self):
+        return (self.view(i) for i in range(self.nctu))
+
+    def __getitem__(self, i):
+        return self.view(i)
+
+
+def engine_encode_frame(engine: "NativeCtuEngine", ctus_w: int, ctus_h: int,
+                        fd: FrameDecisions) -> None:
+    engine._lib.hevc_engine_frame(
+        engine._h, ctus_w, ctus_h, fd.ctu_size, fd.chroma_format,
+        *fd._args())
+
+
+def entropy_encode_frame(senc: SliceDataEncoder, ctus_w: int, ctus_h: int,
+                         fd: FrameDecisions) -> None:
+    senc._lib.hevc_enc_frame(
+        senc._h, ctus_w, ctus_h, fd.ctu_size, fd.chroma_format, *fd._args())

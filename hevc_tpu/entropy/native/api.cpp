@@ -126,3 +126,122 @@ int hevc_dec_ctu(void* h, int ctu_x, int ctu_y, uint8_t* cu_depth,
 }
 
 }  // extern "C"
+
+// ---- native CU engine ------------------------------------------------------
+#include "engine.h"
+
+extern "C" {
+
+void* hevc_engine_create(const SliceParams* sp, const EngineParams* ep,
+                         void* senc,
+                         const int16_t* oy, const int16_t* ocb,
+                         const int16_t* ocr, int16_t* ry, int16_t* rcb,
+                         int16_t* rcr, const int16_t* r0y,
+                         const int16_t* r0cb, const int16_t* r0cr,
+                         const int16_t* r1y, const int16_t* r1cb,
+                         const int16_t* r1cr, const int32_t* me_mvx,
+                         const int32_t* me_mvy, int me_nx, int me_ny) {
+  const int16_t* orig[3] = {oy, ocb, ocr};
+  int16_t* recon[3] = {ry, rcb, rcr};
+  const int16_t* ref0[3] = {r0y, r0cb, r0cr};
+  const int16_t* ref1[3] = {r1y, r1cb, r1cr};
+  return new CtuEngine(*sp, *ep, (SliceEncoder*)senc, orig, recon,
+                       r0y ? ref0 : nullptr, r1y ? ref1 : nullptr, me_mvx,
+                       me_mvy, me_nx, me_ny);
+}
+
+void hevc_engine_destroy(void* h) { delete (CtuEngine*)h; }
+
+void hevc_engine_ctu(void* h, int cx, int cy, uint8_t* cu_depth,
+                     uint8_t* nxn_flag, uint8_t* luma_mode,
+                     uint8_t* chroma_mode, uint8_t* tu_depth,
+                     int16_t* coeff_y, int16_t* coeff_cb, int16_t* coeff_cr,
+                     uint8_t* pred_mode, uint8_t* skip_flag,
+                     uint8_t* merge_flag, uint8_t* merge_idx,
+                     uint8_t* mvp_flag, int8_t* ref_idx, int16_t* mvd_x,
+                     int16_t* mvd_y, int16_t* mv_x, int16_t* mv_y,
+                     uint8_t* mvp_flag1, int8_t* ref_idx1, int16_t* mvd_x1,
+                     int16_t* mvd_y1, int16_t* mv_x1, int16_t* mv_y1,
+                     int32_t* sao) {
+  MutCtuData d{cu_depth, nxn_flag, luma_mode, chroma_mode, tu_depth,
+               coeff_y, coeff_cb, coeff_cr, pred_mode, skip_flag, merge_flag,
+               merge_idx, mvp_flag, ref_idx, mvd_x, mvd_y, mv_x, mv_y,
+               mvp_flag1, ref_idx1, mvd_x1, mvd_y1, mv_x1, mv_y1, sao};
+  ((CtuEngine*)h)->encode_ctu(cx, cy, d);
+}
+
+}  // extern "C"
+
+// ---- whole-frame drivers (stacked per-CTU buffers, one call per frame) ----
+namespace {
+struct StackedMaps {
+  uint8_t *cu_depth, *nxn_flag, *luma_mode, *chroma_mode, *tu_depth;
+  int16_t *coeff_y, *coeff_cb, *coeff_cr;
+  uint8_t *pred_mode, *skip_flag, *merge_flag, *merge_idx, *mvp_flag;
+  int8_t* ref_idx;
+  int16_t *mvd_x, *mvd_y, *mv_x, *mv_y;
+  uint8_t* mvp_flag1;
+  int8_t* ref_idx1;
+  int16_t *mvd_x1, *mvd_y1, *mv_x1, *mv_y1;
+  int32_t* sao;
+  int ctu, cfmt;
+  MutCtuData at(size_t i) const {
+    size_t m = (size_t)(ctu / 4) * (ctu / 4);
+    size_t cy = (size_t)ctu * ctu;
+    size_t cc = cfmt == 3 ? cy : cy / 4;
+    return MutCtuData{
+        cu_depth + i * m, nxn_flag + i * m, luma_mode + i * m,
+        chroma_mode + i * m, tu_depth + i * m, coeff_y + i * cy,
+        coeff_cb + i * cc, coeff_cr + i * cc, pred_mode + i * m,
+        skip_flag + i * m, merge_flag + i * m, merge_idx + i * m,
+        mvp_flag + i * m, ref_idx + i * m, mvd_x + i * m, mvd_y + i * m,
+        mv_x + i * m, mv_y + i * m, mvp_flag1 + i * m, ref_idx1 + i * m,
+        mvd_x1 + i * m, mvd_y1 + i * m, mv_x1 + i * m, mv_y1 + i * m,
+        sao + i * 20};
+  }
+};
+}  // namespace
+
+#define STACKED_ARGS                                                        \
+  uint8_t *cu_depth, uint8_t *nxn_flag, uint8_t *luma_mode,                 \
+      uint8_t *chroma_mode, uint8_t *tu_depth, int16_t *coeff_y,            \
+      int16_t *coeff_cb, int16_t *coeff_cr, uint8_t *pred_mode,             \
+      uint8_t *skip_flag, uint8_t *merge_flag, uint8_t *merge_idx,          \
+      uint8_t *mvp_flag, int8_t *ref_idx, int16_t *mvd_x, int16_t *mvd_y,   \
+      int16_t *mv_x, int16_t *mv_y, uint8_t *mvp_flag1, int8_t *ref_idx1,   \
+      int16_t *mvd_x1, int16_t *mvd_y1, int16_t *mv_x1, int16_t *mv_y1,     \
+      int32_t *sao
+
+#define STACKED_INIT(CTU, CFMT)                                             \
+  StackedMaps sm{cu_depth, nxn_flag, luma_mode, chroma_mode, tu_depth,      \
+                 coeff_y, coeff_cb, coeff_cr, pred_mode, skip_flag,         \
+                 merge_flag, merge_idx, mvp_flag, ref_idx, mvd_x, mvd_y,    \
+                 mv_x, mv_y, mvp_flag1, ref_idx1, mvd_x1, mvd_y1, mv_x1,    \
+                 mv_y1, sao, CTU, CFMT}
+
+extern "C" void hevc_engine_frame(void* eng, int ctus_w, int ctus_h, int ctu_size,
+                       int cfmt, STACKED_ARGS) {
+  STACKED_INIT(ctu_size, cfmt);
+  for (int cy = 0; cy < ctus_h; ++cy)
+    for (int cx = 0; cx < ctus_w; ++cx)
+      ((CtuEngine*)eng)->encode_ctu(cx, cy,
+                                    sm.at((size_t)cy * ctus_w + cx));
+}
+
+extern "C" void hevc_enc_frame(void* senc, int ctus_w, int ctus_h, int ctu_size,
+                    int cfmt, STACKED_ARGS) {
+  STACKED_INIT(ctu_size, cfmt);
+  for (int cy = 0; cy < ctus_h; ++cy)
+    for (int cx = 0; cx < ctus_w; ++cx) {
+      size_t i = (size_t)cy * ctus_w + cx;
+      MutCtuData md = sm.at(i);
+      CtuData d{md.cu_depth, md.nxn_flag, md.luma_mode, md.chroma_mode,
+                md.tu_depth, md.coeff_y, md.coeff_cb, md.coeff_cr,
+                md.pred_mode, md.skip_flag, md.merge_flag, md.merge_idx,
+                md.mvp_flag, md.ref_idx, md.mvd_x, md.mvd_y, md.mv_x,
+                md.mv_y, md.mvp_flag1, md.ref_idx1, md.mvd_x1, md.mvd_y1,
+                md.mv_x1, md.mv_y1, md.sao};
+      int last = (cy == ctus_h - 1) && (cx == ctus_w - 1);
+      ((SliceEncoder*)senc)->encode_ctu(cx, cy, d, last);
+    }
+}

@@ -1,0 +1,458 @@
+// See dsp.h. C++ twins of hevc_tpu/ops/{transform,quant,interp,intra_np}.py.
+#include "dsp.h"
+
+#include <algorithm>
+#include <cstring>
+
+namespace hevctpu {
+namespace dsp {
+
+namespace {
+
+// 33 distinct transform coefficients fixed by spec 8.6.4.2 (magnitudes for
+// angle m*pi/64, m in [0,32]; hand-tuned by the standard for orthogonality).
+const int32_t kDctCoef[33] = {
+    64, 90, 90, 90, 89, 88, 87, 85, 83, 82, 80, 78, 75, 73, 70, 67,
+    64, 61, 57, 54, 50, 46, 43, 38, 36, 31, 25, 22, 18, 13, 9, 4, 0};
+
+const int32_t kDst4[16] = {29, 55, 74, 84,  74, 74, 0, -74,
+                           84, -29, -74, 55, 55, -84, 74, -29};
+
+const int32_t kQuantScales[6] = {26214, 23302, 20560, 18396, 16384, 14564};
+const int32_t kInvQuantScales[6] = {40, 45, 51, 57, 64, 72};
+
+// spec 8.4.4.2.3 filtering thresholds per log2 size (index 2..5)
+const int kIntraFilterThresh[6] = {0, 0, 10, 7, 1, 0};
+
+const int kIntraAngle[35 - 2] = {  // modes 2..34
+    32, 26, 21, 17, 13, 9, 5, 2, 0, -2, -5, -9, -13, -17, -21, -26, -32,
+    -26, -21, -17, -13, -9, -5, -2, 0, 2, 5, 9, 13, 17, 21, 26, 32};
+const int kIntraInvAngle[35 - 11] = {  // modes 11..34 (angle < 0 region)
+    -4096, -1638, -910, -630, -482, -390, -315, -256, -315, -390, -482,
+    -630, -910, -1638, -4096, 0, 0, 0, 0, 0, 0, 0, 0, 0};
+
+int ilog2(int n) {
+  int k = 0;
+  while ((1 << k) < n) ++k;
+  return k;
+}
+
+struct DctTables {
+  int32_t t4[16], t8[64], t16[256], t32[1024];
+  DctTables() {
+    build(t4, 4);
+    build(t8, 8);
+    build(t16, 16);
+    build(t32, 32);
+  }
+  static void build(int32_t* t, int n) {
+    int step = 32 / n;
+    for (int k = 0; k < n; ++k)
+      for (int col = 0; col < n; ++col) {
+        int m = (k * (2 * col + 1) * step) % 128;
+        int s = 1;
+        if (m > 64) m = 128 - m;
+        if (m > 32) { m = 64 - m; s = -1; }
+        t[k * n + col] = s * kDctCoef[m];
+      }
+  }
+};
+const DctTables g_dct;
+
+const int32_t kLumaFilters[4][8] = {
+    {0, 0, 0, 64, 0, 0, 0, 0},
+    {-1, 4, -10, 58, 17, -5, 1, 0},
+    {-1, 4, -11, 40, 40, -11, 4, -1},
+    {0, 1, -5, 17, 58, -10, 4, -1}};
+const int32_t kChromaFilters[8][4] = {
+    {0, 64, 0, 0},  {-2, 58, 10, -2}, {-4, 54, 16, -2}, {-6, 46, 28, -4},
+    {-4, 36, 36, -4}, {-4, 28, 46, -6}, {-2, 16, 54, -4}, {-2, 10, 58, -2}};
+
+}  // namespace
+
+const int32_t* dct_matrix(int n) {
+  switch (n) {
+    case 4: return g_dct.t4;
+    case 8: return g_dct.t8;
+    case 16: return g_dct.t16;
+    default: return g_dct.t32;
+  }
+}
+const int32_t* dst4_matrix() { return kDst4; }
+
+void fwd_xform(const int32_t* resi, int n, int bd, bool dst, int32_t* out) {
+  const int32_t* t = dst ? kDst4 : dct_matrix(n);
+  int log2n = ilog2(n);
+  int s1 = log2n + bd - 9, s2 = log2n + 6;
+  int64_t r1 = 1ll << (s1 - 1), r2 = 1ll << (s2 - 1);
+  // tmp = (resi @ T^T + r1) >> s1  (horizontal stage first)
+  int64_t tmp[32 * 32];
+  for (int i = 0; i < n; ++i)
+    for (int k = 0; k < n; ++k) {
+      int64_t acc = 0;
+      for (int j = 0; j < n; ++j)
+        acc += (int64_t)resi[i * n + j] * t[k * n + j];
+      tmp[i * n + k] = (acc + r1) >> s1;
+    }
+  // out = (T @ tmp + r2) >> s2
+  for (int k = 0; k < n; ++k)
+    for (int c = 0; c < n; ++c) {
+      int64_t acc = 0;
+      for (int i = 0; i < n; ++i)
+        acc += (int64_t)t[k * n + i] * tmp[i * n + c];
+      out[k * n + c] = (int32_t)((acc + r2) >> s2);
+    }
+}
+
+void inv_xform(const int32_t* coef, int n, int bd, bool dst, int32_t* out) {
+  const int32_t* t = dst ? kDst4 : dct_matrix(n);
+  int s2 = 20 - bd;
+  int64_t r2 = 1ll << (s2 - 1);
+  int64_t tmp[32 * 32];
+  // tmp = clip16((T^T @ coef + 64) >> 7)
+  for (int i = 0; i < n; ++i)
+    for (int c = 0; c < n; ++c) {
+      int64_t acc = 0;
+      for (int k = 0; k < n; ++k)
+        acc += (int64_t)t[k * n + i] * coef[k * n + c];
+      int64_t v = (acc + 64) >> 7;
+      tmp[i * n + c] = std::min<int64_t>(32767, std::max<int64_t>(-32768, v));
+    }
+  // out = clip16((tmp @ T + r2) >> s2)
+  for (int i = 0; i < n; ++i)
+    for (int j = 0; j < n; ++j) {
+      int64_t acc = 0;
+      for (int c = 0; c < n; ++c)
+        acc += tmp[i * n + c] * t[c * n + j];
+      int64_t v = (acc + r2) >> s2;
+      out[i * n + j] =
+          (int32_t)std::min<int64_t>(32767, std::max<int64_t>(-32768, v));
+    }
+}
+
+int quant(const int32_t* coef, int n, int qp, int bd, bool intra,
+          int32_t* level) {
+  qp += 6 * (bd - 8);
+  int log2n = ilog2(n);
+  int tshift = 15 - bd - log2n;
+  int qbits = 14 + qp / 6 + tshift;
+  int64_t scale = kQuantScales[qp % 6];
+  int64_t offset = (int64_t)(intra ? 171 : 85) << (qbits - 9);
+  int nz = 0;
+  for (int i = 0; i < n * n; ++i) {
+    int64_t c = coef[i];
+    int64_t l = ((c < 0 ? -c : c) * scale + offset) >> qbits;
+    if (l > 32767) l = 32767;
+    level[i] = (int32_t)(c < 0 ? -l : l);
+    nz += level[i] != 0;
+  }
+  return nz;
+}
+
+void dequant(const int32_t* level, int n, int qp, int bd, int32_t* coef) {
+  qp += 6 * (bd - 8);
+  int log2n = ilog2(n);
+  int bd_shift = bd + log2n - 5;
+  int64_t scale = ((int64_t)kInvQuantScales[qp % 6] * 16) << (qp / 6);
+  int64_t r = 1ll << (bd_shift - 1);
+  for (int i = 0; i < n * n; ++i) {
+    int64_t c = ((int64_t)level[i] * scale + r) >> bd_shift;
+    coef[i] =
+        (int32_t)std::min<int64_t>(32767, std::max<int64_t>(-32768, c));
+  }
+}
+
+namespace {
+int64_t had4(const int32_t d[16]) {
+  int32_t m[16];
+  for (int i = 0; i < 4; ++i) {  // rows
+    int32_t a = d[i * 4] + d[i * 4 + 3], b = d[i * 4 + 1] + d[i * 4 + 2];
+    int32_t c = d[i * 4] - d[i * 4 + 3], e = d[i * 4 + 1] - d[i * 4 + 2];
+    m[i * 4] = a + b; m[i * 4 + 1] = a - b;
+    m[i * 4 + 2] = c + e; m[i * 4 + 3] = c - e;
+  }
+  int64_t s = 0;
+  for (int j = 0; j < 4; ++j) {  // cols
+    int32_t a = m[j] + m[12 + j], b = m[4 + j] + m[8 + j];
+    int32_t c = m[j] - m[12 + j], e = m[4 + j] - m[8 + j];
+    s += std::abs(a + b) + std::abs(a - b) + std::abs(c + e) + std::abs(c - e);
+  }
+  return s;
+}
+
+int64_t had8(const int32_t d[64]) {
+  int32_t m[64];
+  for (int i = 0; i < 8; ++i) {
+    const int32_t* r = d + i * 8;
+    int32_t a0 = r[0] + r[4], a1 = r[1] + r[5], a2 = r[2] + r[6],
+            a3 = r[3] + r[7];
+    int32_t b0 = r[0] - r[4], b1 = r[1] - r[5], b2 = r[2] - r[6],
+            b3 = r[3] - r[7];
+    int32_t c0 = a0 + a2, c1 = a1 + a3, c2 = a0 - a2, c3 = a1 - a3;
+    int32_t e0 = b0 + b2, e1 = b1 + b3, e2 = b0 - b2, e3 = b1 - b3;
+    int32_t* o = m + i * 8;
+    o[0] = c0 + c1; o[1] = c0 - c1; o[2] = c2 + c3; o[3] = c2 - c3;
+    o[4] = e0 + e1; o[5] = e0 - e1; o[6] = e2 + e3; o[7] = e2 - e3;
+  }
+  int64_t s = 0;
+  for (int j = 0; j < 8; ++j) {
+    int32_t r[8];
+    for (int i = 0; i < 8; ++i) r[i] = m[i * 8 + j];
+    int32_t a0 = r[0] + r[4], a1 = r[1] + r[5], a2 = r[2] + r[6],
+            a3 = r[3] + r[7];
+    int32_t b0 = r[0] - r[4], b1 = r[1] - r[5], b2 = r[2] - r[6],
+            b3 = r[3] - r[7];
+    int32_t c0 = a0 + a2, c1 = a1 + a3, c2 = a0 - a2, c3 = a1 - a3;
+    int32_t e0 = b0 + b2, e1 = b1 + b3, e2 = b0 - b2, e3 = b1 - b3;
+    s += std::abs(c0 + c1) + std::abs(c0 - c1) + std::abs(c2 + c3) +
+         std::abs(c2 - c3) + std::abs(e0 + e1) + std::abs(e0 - e1) +
+         std::abs(e2 + e3) + std::abs(e2 - e3);
+  }
+  return s;
+}
+}  // namespace
+
+// NOTE: the Hadamard here is the standard fast transform, which matches the
+// matrix product H d H of intra_frame.satd_many up to a row/col permutation
+// (sum of |.| is permutation-invariant).
+int64_t satd(const int16_t* org, int so, const int32_t* pred, int sp, int n) {
+  int t = n >= 8 ? 8 : 4;
+  int64_t total = 0;
+  int32_t d[64];
+  for (int by = 0; by < n; by += t)
+    for (int bx = 0; bx < n; bx += t) {
+      for (int y = 0; y < t; ++y)
+        for (int x = 0; x < t; ++x)
+          d[y * t + x] = (int32_t)org[(by + y) * so + bx + x] -
+                         pred[(by + y) * sp + bx + x];
+      int64_t s = (t == 8) ? had8(d) : had4(d);
+      total += (s + (t == 8 ? 2 : 1)) >> (t == 8 ? 2 : 1);
+    }
+  return total;
+}
+
+void mc_block(const int16_t* ref, int rw, int pad, int x, int y, int w,
+              int h, int fx, int fy, int bd, bool is_luma, bool raw14,
+              int32_t* out) {
+  int nt = is_luma ? 8 : 4;
+  int off = nt / 2 - 1;
+  int maxv = (1 << bd) - 1;
+  int shift1 = bd - 8;
+  int shift_u = 14 - bd;
+  int off_u = 1 << (shift_u - 1);
+  int px = x + pad, py = y + pad;
+  const int32_t* fh = is_luma ? kLumaFilters[fx] : kChromaFilters[fx];
+  const int32_t* fv = is_luma ? kLumaFilters[fy] : kChromaFilters[fy];
+  if (fx == 0 && fy == 0) {
+    for (int yy = 0; yy < h; ++yy)
+      for (int xx = 0; xx < w; ++xx) {
+        int32_t v = ref[(py + yy) * rw + px + xx];
+        out[yy * w + xx] = raw14 ? (v << shift_u) : v;
+      }
+    return;
+  }
+  int64_t tmp[(32 + 8) * 32];
+  if (fy == 0) {
+    for (int yy = 0; yy < h; ++yy)
+      for (int xx = 0; xx < w; ++xx) {
+        int64_t acc = 0;
+        const int16_t* r = ref + (py + yy) * rw + px - off + xx;
+        for (int k = 0; k < nt; ++k) acc += (int64_t)fh[k] * r[k];
+        tmp[yy * w + xx] = acc >> shift1;
+      }
+  } else if (fx == 0) {
+    for (int yy = 0; yy < h; ++yy)
+      for (int xx = 0; xx < w; ++xx) {
+        int64_t acc = 0;
+        const int16_t* r = ref + (py - off + yy) * rw + px + xx;
+        for (int k = 0; k < nt; ++k) acc += (int64_t)fv[k] * r[k * rw];
+        tmp[yy * w + xx] = acc >> shift1;
+      }
+  } else {
+    int64_t mid[(32 + 8) * 32];
+    for (int yy = 0; yy < h + nt - 1; ++yy)
+      for (int xx = 0; xx < w; ++xx) {
+        int64_t acc = 0;
+        const int16_t* r = ref + (py - off + yy) * rw + px - off + xx;
+        for (int k = 0; k < nt; ++k) acc += (int64_t)fh[k] * r[k];
+        mid[yy * w + xx] = acc >> shift1;
+      }
+    for (int yy = 0; yy < h; ++yy)
+      for (int xx = 0; xx < w; ++xx) {
+        int64_t acc = 0;
+        for (int k = 0; k < nt; ++k) acc += fv[k] * mid[(yy + k) * w + xx];
+        tmp[yy * w + xx] = acc >> 6;
+      }
+  }
+  for (int i = 0; i < w * h; ++i) {
+    if (raw14) {
+      out[i] = (int32_t)tmp[i];
+    } else {
+      int64_t v = (tmp[i] + off_u) >> shift_u;
+      out[i] = (int32_t)std::min<int64_t>(maxv, std::max<int64_t>(0, v));
+    }
+  }
+}
+
+void mc_predict(const int16_t* ref, int rw, int pad, int mvx, int mvy,
+                int x0, int y0, int w, int h, int bd, bool is_luma,
+                int32_t* out) {
+  int ix, fx, iy, fy;
+  if (is_luma) {
+    ix = mvx >> 2; fx = mvx & 3; iy = mvy >> 2; fy = mvy & 3;
+  } else {
+    ix = mvx >> 3; fx = mvx & 7; iy = mvy >> 3; fy = mvy & 7;
+  }
+  mc_block(ref, rw, pad, x0 + ix, y0 + iy, w, h, fx, fy, bd, is_luma, false,
+           out);
+}
+
+void mc_predict_bi(const int16_t* r0, const int16_t* r1, int rw, int pad,
+                   int mv0x, int mv0y, int mv1x, int mv1y, int x0, int y0,
+                   int w, int h, int bd, bool is_luma, int32_t* out) {
+  int32_t a[32 * 32], b[32 * 32];
+  auto raw = [&](const int16_t* r, int mvx, int mvy, int32_t* o) {
+    int ix, fx, iy, fy;
+    if (is_luma) {
+      ix = mvx >> 2; fx = mvx & 3; iy = mvy >> 2; fy = mvy & 3;
+    } else {
+      ix = mvx >> 3; fx = mvx & 7; iy = mvy >> 3; fy = mvy & 7;
+    }
+    mc_block(r, rw, pad, x0 + ix, y0 + iy, w, h, fx, fy, bd, is_luma, true,
+             o);
+  };
+  raw(r0, mv0x, mv0y, a);
+  raw(r1, mv1x, mv1y, b);
+  int shift2 = 15 - bd;
+  int off2 = 1 << (shift2 - 1);
+  int maxv = (1 << bd) - 1;
+  for (int i = 0; i < w * h; ++i) {
+    int32_t v = (a[i] + b[i] + off2) >> shift2;
+    out[i] = std::min(maxv, std::max(0, v));
+  }
+}
+
+bool intra_filter_flag(int mode, int n, bool smooth_like_luma) {
+  if (!smooth_like_luma || n == 4 || mode == 1) return false;
+  int min_dist =
+      mode == 0 ? 10 : std::min(std::abs(mode - 26), std::abs(mode - 10));
+  return min_dist > kIntraFilterThresh[ilog2(n)];
+}
+
+bool intra_strong_smoothing(const int32_t* f, int n, int bd) {
+  // spec 8.4.4.2.3 bi-linearity test (nTbS == 32 only)
+  if (n != 32) return false;
+  int n2 = 2 * n;
+  int thr = 1 << (bd - 5);
+  int corner = f[n2];
+  int topmid = f[n2 + n], topend = f[n2 + 2 * n];
+  int leftmid = f[n2 - n], leftend = f[0];
+  bool top_ok = std::abs(corner + topend - 2 * topmid) < thr;
+  bool left_ok = std::abs(corner + leftend - 2 * leftmid) < thr;
+  return top_ok && left_ok;
+}
+
+void intra_filter_refs(const int32_t* f, int n, int bd, bool strong,
+                       int32_t* ff) {
+  int nn = 4 * n + 1;
+  int n2 = 2 * n;
+  if (strong) {
+    // linear interpolation between corners (spec 8.4.4.2.3)
+    int corner = f[n2], topend = f[4 * n], leftend = f[0];
+    int sh = ilog2(n) + 1;
+    for (int i = 0; i < nn; ++i) ff[i] = f[i];
+    for (int x = 1; x < 2 * n; ++x) {
+      ff[n2 + x] = ((2 * n - x) * corner + x * topend + n) >> sh;
+      ff[n2 - x] = ((2 * n - x) * corner + x * leftend + n) >> sh;
+    }
+    return;
+  }
+  for (int i = 0; i < nn; ++i) {
+    if (i == 0 || i == nn - 1) {
+      ff[i] = f[i];
+    } else {
+      ff[i] = (f[i - 1] + 2 * f[i] + f[i + 1] + 2) >> 2;
+    }
+  }
+}
+
+void intra_predict(const int32_t* f_sel, const int32_t* fu, int mode, int n,
+                   int bd, bool is_luma, int32_t* out) {
+  int n2 = 2 * n;
+  int maxv = (1 << bd) - 1;
+  const int32_t* f = f_sel;
+  // top[x] = f[n2+1+x]; left[y] = f[n2-1-y]; corner = f[n2]
+  if (mode == 0) {  // planar
+    int lg = ilog2(n);
+    for (int y = 0; y < n; ++y)
+      for (int x = 0; x < n; ++x) {
+        int64_t v = (int64_t)(n - 1 - x) * f[n2 - 1 - y] +
+                    (int64_t)(x + 1) * f[n2 + 1 + n] +
+                    (int64_t)(n - 1 - y) * f[n2 + 1 + x] +
+                    (int64_t)(y + 1) * f[n2 - 1 - n] + n;
+        out[y * n + x] = (int32_t)(v >> (lg + 1));
+      }
+    return;
+  }
+  if (mode == 1) {  // DC (always from unfiltered refs)
+    int64_t s = 0;
+    for (int i = 0; i < n; ++i) s += fu[n2 + 1 + i] + fu[n2 - 1 - i];
+    int dc = (int)((s + n) >> (ilog2(n) + 1));
+    for (int i = 0; i < n * n; ++i) out[i] = dc;
+    if (is_luma && n < 32) {
+      for (int x = 1; x < n; ++x)
+        out[x] = (fu[n2 + 1 + x] + 3 * dc + 2) >> 2;
+      for (int y = 1; y < n; ++y)
+        out[y * n] = (fu[n2 - 1 - y] + 3 * dc + 2) >> 2;
+      out[0] = (fu[n2 - 1] + 2 * dc + fu[n2 + 1] + 2) >> 2;
+    }
+    return;
+  }
+  int angle = kIntraAngle[mode - 2];
+  bool vertical = mode >= 18;
+  // main reference ref[j], j in [-n, 2n] at offset +n
+  int32_t ref[3 * 32 + 1];
+  for (int j = 0; j <= 3 * n; ++j) ref[j] = 0;
+  ref[n] = f[n2];
+  for (int i = 0; i < 2 * n; ++i)
+    ref[n + 1 + i] = vertical ? f[n2 + 1 + i] : f[n2 - 1 - i];
+  if (angle < 0 && ((n * angle) >> 5) < -1) {
+    int inv = kIntraInvAngle[mode - 11];
+    for (int xi = -1; xi > ((n * angle) >> 5) - 1; --xi) {
+      int q = (xi * inv + 128) >> 8;
+      ref[xi + n] = (q == 0) ? f[n2]
+                             : (vertical ? f[n2 - 1 - (q - 1 < 0 ? 0 : q - 1)]
+                                         : f[n2 + 1 + (q - 1 < 0 ? 0 : q - 1)]);
+    }
+  }
+  for (int y = 1; y <= n; ++y) {
+    int ii = (y * angle) >> 5;
+    int fa = (y * angle) & 31;
+    for (int x = 0; x < n; ++x) {
+      int j1 = x + ii + 1 + n;
+      int32_t r1 = ref[j1];
+      int32_t r2 = ref[std::min(j1 + 1, 3 * n)];
+      int32_t v = fa ? (((32 - fa) * r1 + fa * r2 + 16) >> 5) : r1;
+      if (vertical)
+        out[(y - 1) * n + x] = v;
+      else
+        out[x * n + (y - 1)] = v;
+    }
+  }
+  if (is_luma && n < 32) {
+    if (mode == 26) {
+      for (int y = 0; y < n; ++y) {
+        int32_t v = fu[n2 + 1] + ((fu[n2 - 1 - y] - fu[n2]) >> 1);
+        out[y * n] = std::min(maxv, std::max(0, v));
+      }
+    } else if (mode == 10) {
+      for (int x = 0; x < n; ++x) {
+        int32_t v = fu[n2 - 1] + ((fu[n2 + 1 + x] - fu[n2]) >> 1);
+        out[x] = std::min(maxv, std::max(0, v));
+      }
+    }
+  }
+}
+
+}  // namespace dsp
+}  // namespace hevctpu

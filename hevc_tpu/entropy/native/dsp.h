@@ -1,0 +1,63 @@
+// Spec-exact signal processing for the native CU engine: core transforms,
+// quantization, motion-compensation interpolation, intra prediction, SATD.
+//
+// Parity: reference TComTrQuant.cpp (xQuant:1126 / xDeQuant:1314, partial
+// butterflies :441-900 — realised here as integer matrix products),
+// TComInterpolationFilter.cpp:57-392, TComPrediction.cpp predIntraAng,
+// TComRdCost.cpp xCalcHADs8x8. All routines are the C++ twins of the
+// verified numpy implementations in hevc_tpu/ops/{transform,quant,interp,
+// intra_np}.py and hevc_tpu/core/refsamples.py (cross-checked by the
+// decoder-conformance suite).
+#pragma once
+#include <cstdint>
+
+namespace hevctpu {
+namespace dsp {
+
+// n-point HEVC core transform matrix (row-major n*n), derived from the 33
+// distinct spec coefficients via cosine-index folding (spec 8.6.4.2).
+const int32_t* dct_matrix(int n);
+const int32_t* dst4_matrix();
+
+// residual[n*n] int32 -> coeff[n*n] int32 (horizontal stage first).
+void fwd_xform(const int32_t* resi, int n, int bd, bool dst, int32_t* out);
+// coeff[n*n] -> residual[n*n] (vertical stage first, 16-bit clamps).
+void inv_xform(const int32_t* coef, int n, int bd, bool dst, int32_t* out);
+
+// forward quant (HM rounding 171/256 intra, 85/256 inter); returns count of
+// nonzero levels. qp is the slice QP at 8-bit scale; QpBdOffset is applied
+// inside (spec 8.6.1).
+int quant(const int32_t* coef, int n, int qp, int bd, bool intra,
+          int32_t* level);
+void dequant(const int32_t* level, int n, int qp, int bd, int32_t* coef);
+
+// Hadamard SATD between orig (int16, stride so) and pred (int32, stride n):
+// 8x8 tiles for n>=8, 4x4 for n==4 (reference TComRdCost::xCalcHADs8x8).
+int64_t satd(const int16_t* org, int so, const int32_t* pred, int sp, int n);
+
+// Motion compensation on a padded reference plane (int16, width rw, the
+// unpadded origin at (pad, pad)). mv in luma quarter-pel; for chroma
+// (is_luma=false) it acts at eighth-pel on chroma coordinates.
+// raw14: return the 14-bit intermediate (for bi averaging).
+void mc_block(const int16_t* ref, int rw, int pad, int x, int y, int w,
+              int h, int fx, int fy, int bd, bool is_luma, bool raw14,
+              int32_t* out);
+void mc_predict(const int16_t* ref, int rw, int pad, int mvx, int mvy,
+                int x0, int y0, int w, int h, int bd, bool is_luma,
+                int32_t* out);
+void mc_predict_bi(const int16_t* r0, const int16_t* r1, int rw, int pad,
+                   int mv0x, int mv0y, int mv1x, int mv1y, int x0, int y0,
+                   int w, int h, int bd, bool is_luma, int32_t* out);
+
+// Intra prediction from the combined reference vector f[4n+1]
+// (f[0..2n-1] = p[-1][2n-1-i .. 0] bottom-up, f[2n] = corner,
+// f[2n+1..4n] = p[0..2n-1][-1]); spec 8.4.4.2.4-6.
+void intra_filter_refs(const int32_t* f, int n, int bd, bool strong,
+                       int32_t* ff);
+bool intra_strong_smoothing(const int32_t* f, int n, int bd);
+bool intra_filter_flag(int mode, int n, bool smooth_like_luma);
+void intra_predict(const int32_t* f, const int32_t* ff, int mode, int n,
+                   int bd, bool is_luma, int32_t* out);
+
+}  // namespace dsp
+}  // namespace hevctpu

@@ -1,0 +1,735 @@
+// See engine.h. C++ twin of the Python decision/recon loops
+// (hevc_tpu/encoder/intra_frame.py, inter_frame.py) — the sequential hot
+// path of the encoder. Batched integer ME stays on the TPU; this engine
+// consumes its MV field.
+#include "engine.h"
+
+#include <algorithm>
+#include <cmath>
+#include <cstring>
+
+#include "dsp.h"
+
+namespace hevctpu {
+
+namespace {
+
+const int32_t kChromaQp420[58] = {
+    0,  1,  2,  3,  4,  5,  6,  7,  8,  9,  10, 11, 12, 13, 14, 15, 16, 17,
+    18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 29, 30, 31, 32, 33, 33,
+    34, 34, 35, 35, 36, 36, 37, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47,
+    48, 49, 50, 51};
+
+int mv_bits(int v) {
+  // exp-golomb signed length (hevc_tpu/ops/me.py mv_bits_np)
+  unsigned t = v <= 0 ? ((unsigned)(-v) << 1) + 1 : (unsigned)v << 1;
+  int bl = 0;
+  while (t >> bl) ++bl;
+  return 2 * (bl - 1) + 1;
+}
+
+int ilog2(int n) {
+  int k = 0;
+  while ((1 << k) < n) ++k;
+  return k;
+}
+
+}  // namespace
+
+CtuEngine::CtuEngine(const SliceParams& sp, const EngineParams& ep,
+                     SliceEncoder* senc, const int16_t* orig[3],
+                     int16_t* recon[3], const int16_t* ref0[3],
+                     const int16_t* ref1[3], const int32_t* me_mvx,
+                     const int32_t* me_mvy, int me_nx, int me_ny)
+    : sp_(sp), ep_(ep), senc_(senc), me_mvx_(me_mvx), me_mvy_(me_mvy),
+      me_nx_(me_nx), me_ny_(me_ny) {
+  for (int i = 0; i < 3; ++i) {
+    orig_[i] = orig[i];
+    recon_[i] = recon[i];
+    ref0_[i] = ref0 ? ref0[i] : nullptr;
+    ref1_[i] = ref1 ? ref1[i] : nullptr;
+  }
+  w_ = sp.pic_w;
+  h_ = sp.pic_h;
+  ctu_ = sp.ctu_size;
+  bd_ = sp.bit_depth;
+  qp_c_ = kChromaQp420[std::min(57, std::max(0, sp.qp))];
+  mode_map_.assign((size_t)((h_ + 3) >> 2) * ((w_ + 3) >> 2), 1);
+}
+
+int64_t CtuEngine::lam_bits(double bits) const {
+  return (int64_t)(ep_.sqrt_lam * bits + 0.5);
+}
+
+void CtuEngine::mpm(int x0, int y0, int cand[3]) const {
+  const PicMaps& m = senc_->maps();
+  int stride = (w_ + 3) >> 2;
+  int a = 1, b = 1;
+  if (m.available(x0 - 1, y0, x0, y0))
+    a = mode_map_[(y0 >> 2) * stride + ((x0 - 1) >> 2)];
+  if (m.available(x0, y0 - 1, x0, y0) && (y0 % ctu_) != 0)
+    b = mode_map_[((y0 - 1) >> 2) * stride + (x0 >> 2)];
+  if (a == b) {
+    if (a < 2) { cand[0] = 0; cand[1] = 1; cand[2] = 26; return; }
+    cand[0] = a;
+    cand[1] = 2 + ((a + 29) % 32);
+    cand[2] = 2 + ((a - 2 + 1) % 32);
+    return;
+  }
+  cand[0] = a;
+  cand[1] = b;
+  cand[2] = (a != 0 && b != 0) ? 0 : ((a != 1 && b != 1) ? 1 : 26);
+}
+
+int CtuEngine::mode_bits(int mode, const int cand[3]) const {
+  if (mode == cand[0]) return 2;
+  if (mode == cand[1] || mode == cand[2]) return 3;
+  return 6;
+}
+
+void CtuEngine::publish(int x0, int y0, int log2, bool is_intra, int skip,
+                        int mvx, int mvy, int ref, int mvx1, int mvy1,
+                        int ref1) {
+  PicMaps& m = senc_->maps();
+  int b = 1 << (log2 - 2);
+  for (int yy = 0; yy < b; ++yy)
+    for (int xx = 0; xx < b; ++xx) {
+      size_t pi = (size_t)((y0 >> 2) + yy) * m.stride + (x0 >> 2) + xx;
+      m.pred_mode[pi] = is_intra ? 1 : 0;
+      m.skip_flag[pi] = skip;
+      m.mv_x[0][pi] = (int16_t)mvx;
+      m.mv_y[0][pi] = (int16_t)mvy;
+      m.ref_idx[0][pi] = (int8_t)(is_intra ? -1 : ref);
+      m.mv_x[1][pi] = (int16_t)mvx1;
+      m.mv_y[1][pi] = (int16_t)mvy1;
+      m.ref_idx[1][pi] = (int8_t)(is_intra ? -1 : ref1);
+      m.cu_depth[pi] = (uint8_t)(m.sp.max_cb_log2 - log2);
+    }
+}
+
+// Mirror of hevc_tpu/core/refsamples.py build_ref_vector (spec 8.4.4.2.1-2).
+void CtuEngine::build_refs(const int16_t* plane, int pw, int ph, int stride,
+                           int x0, int y0, int n, int lx0, int ly0, int sxy,
+                           int32_t* f) {
+  const PicMaps& m = senc_->maps();
+  int n2 = 2 * n;
+  int nn = 4 * n + 1;
+  bool have[4 * 32 + 1];
+  std::memset(have, 0, nn);
+  for (int i = 0; i < nn; ++i) f[i] = 0;
+  int chunk = std::max(1, 4 / sxy);
+  if (x0 > 0) {
+    int ylim = std::min(n2, ph - y0);
+    for (int yc = 0; yc < ylim; yc += chunk) {
+      bool ok = m.available(lx0 - 1, ly0 + yc * sxy, lx0, ly0);
+      for (int i = yc; i < std::min(yc + chunk, ylim); ++i) {
+        f[n2 - 1 - i] = plane[(y0 + i) * stride + x0 - 1];
+        have[n2 - 1 - i] = ok;
+      }
+    }
+    // samples below the chunk grid but within ylim keep value w/o flag
+    for (int i = 0; i < ylim; ++i)
+      f[n2 - 1 - i] = plane[(y0 + i) * stride + x0 - 1];
+  }
+  if (x0 > 0 && y0 > 0 && m.available(lx0 - 1, ly0 - 1, lx0, ly0)) {
+    f[n2] = plane[(y0 - 1) * stride + x0 - 1];
+    have[n2] = true;
+  }
+  if (y0 > 0) {
+    int xlim = std::min(n2, pw - x0);
+    for (int xc = 0; xc < xlim; xc += chunk) {
+      bool ok = m.available(lx0 + xc * sxy, ly0 - 1, lx0, ly0);
+      for (int i = xc; i < std::min(xc + chunk, xlim); ++i) {
+        f[n2 + 1 + i] = plane[(y0 - 1) * stride + x0 + i];
+        have[n2 + 1 + i] = ok;
+      }
+    }
+  }
+  // substitution: forward fill from the first available sample
+  int first = -1;
+  for (int i = 0; i < nn; ++i)
+    if (have[i]) { first = i; break; }
+  if (first < 0) {
+    for (int i = 0; i < nn; ++i) f[i] = 1 << (bd_ - 1);
+    return;
+  }
+  if (!have[0]) {
+    f[0] = f[first];
+    have[0] = true;
+  }
+  int32_t last = f[0];
+  for (int i = 1; i < nn; ++i) {
+    if (have[i]) last = f[i];
+    else f[i] = last;
+  }
+}
+
+void CtuEngine::encode_ctu(int cx, int cy, const MutCtuData& d) {
+  int bw4 = ctu_ / 4;
+  std::memset(d.cu_depth, ep_.cu_depth_target, (size_t)bw4 * bw4);
+  int ctu_x0 = cx * ctu_, ctu_y0 = cy * ctu_;
+  int min_cb = sp_.min_cb_log2;
+  // z-order CU walk with implicit boundary splits (quadtree.py cu_leaves)
+  struct Rec {
+    CtuEngine* e;
+    const MutCtuData* d;
+    int ctu_x0, ctu_y0, min_cb;
+    void walk(int x0, int y0, int log2, int depth, int target) {
+      if (x0 >= e->w_ || y0 >= e->h_) return;
+      int size = 1 << log2;
+      bool boundary = (x0 + size > e->w_) || (y0 + size > e->h_);
+      bool split = (boundary || depth < target) && log2 > min_cb;
+      if (split) {
+        int hh = size >> 1;
+        walk(x0, y0, log2 - 1, depth + 1, target);
+        walk(x0 + hh, y0, log2 - 1, depth + 1, target);
+        walk(x0, y0 + hh, log2 - 1, depth + 1, target);
+        walk(x0 + hh, y0 + hh, log2 - 1, depth + 1, target);
+        return;
+      }
+      if (e->sp_.slice_type == 2)
+        e->encode_cu_intra(x0, y0, log2, *d, ctu_x0, ctu_y0);
+      else
+        e->encode_cu_inter(x0, y0, log2, *d, ctu_x0, ctu_y0);
+    }
+  } rec{this, &d, ctu_x0, ctu_y0, min_cb};
+  rec.walk(ctu_x0, ctu_y0, ilog2(ctu_), 0, ep_.cu_depth_target);
+}
+
+void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
+                                int ctu_x0, int ctu_y0) {
+  int n = 1 << log2;
+  int bw4 = ctu_ / 4;
+  int bx = (x0 - ctu_x0) >> 2, by = (y0 - ctu_y0) >> 2;
+  int nb = n >> 2;
+
+  int32_t f[4 * 32 + 1], ff[4 * 32 + 1];
+  build_refs(recon_[0], w_, h_, w_, x0, y0, n, x0, y0, 1, f);
+  bool strong = ep_.strong_smoothing && dsp::intra_strong_smoothing(f, n, bd_);
+  dsp::intra_filter_refs(f, n, bd_, strong, ff);
+
+  int cand[3];
+  mpm(x0, y0, cand);
+  int best_mode = 0;
+  int64_t best_cost = 0;
+  int32_t pred[32 * 32], best_pred[32 * 32];
+  const int16_t* oy = orig_[0] + y0 * w_ + x0;
+  for (int mode = 0; mode < 35; ++mode) {
+    const int32_t* fsel = dsp::intra_filter_flag(mode, n, true) ? ff : f;
+    dsp::intra_predict(fsel, f, mode, n, bd_, true, pred);
+    int64_t cost = dsp::satd(oy, w_, pred, n, n) +
+                   lam_bits(mode_bits(mode, cand));
+    if (mode == 0 || cost < best_cost) {
+      best_cost = cost;
+      best_mode = mode;
+      std::memcpy(best_pred, pred, sizeof(int32_t) * n * n);
+    }
+  }
+
+  for (int yy = 0; yy < nb; ++yy)
+    for (int xx = 0; xx < nb; ++xx) {
+      d.luma_mode[(by + yy) * bw4 + bx + xx] = (uint8_t)best_mode;
+      d.chroma_mode[(by + yy) * bw4 + bx + xx] = (uint8_t)best_mode;  // DM
+      d.pred_mode[(by + yy) * bw4 + bx + xx] = 1;
+      d.tu_depth[(by + yy) * bw4 + bx + xx] = 0;
+    }
+  int stride4 = (w_ + 3) >> 2;
+  for (int yy = y0 >> 2; yy < (y0 + n) >> 2; ++yy)
+    for (int xx = x0 >> 2; xx < (x0 + n) >> 2; ++xx)
+      mode_map_[yy * stride4 + xx] = (uint8_t)best_mode;
+
+  // luma TB (TU == CU)
+  int32_t resi[32 * 32], coef[32 * 32], lev[32 * 32], deq[32 * 32],
+      rres[32 * 32];
+  bool dst = (log2 == 2);
+  for (int i = 0; i < n; ++i)
+    for (int j = 0; j < n; ++j)
+      resi[i * n + j] = (int32_t)oy[i * w_ + j] - best_pred[i * n + j];
+  dsp::fwd_xform(resi, n, bd_, dst, coef);
+  int nz = dsp::quant(coef, n, sp_.qp, bd_, true, lev);
+  int maxv = (1 << bd_) - 1;
+  if (nz) {
+    dsp::dequant(lev, n, sp_.qp, bd_, deq);
+    dsp::inv_xform(deq, n, bd_, dst, rres);
+  } else {
+    std::memset(rres, 0, sizeof(int32_t) * n * n);
+  }
+  for (int i = 0; i < n; ++i)
+    for (int j = 0; j < n; ++j) {
+      d.coeff_y[(y0 - ctu_y0 + i) * ctu_ + (x0 - ctu_x0 + j)] =
+          (int16_t)lev[i * n + j];
+      int32_t v = best_pred[i * n + j] + rres[i * n + j];
+      recon_[0][(y0 + i) * w_ + x0 + j] =
+          (int16_t)std::min(maxv, std::max(0, v));
+    }
+
+  // chroma TBs (4:2:0, DM mode, unfiltered refs)
+  int cs = n >> 1;
+  int cw = w_ >> 1, ch = h_ >> 1;
+  int cctu = ctu_ >> 1;
+  for (int ci = 1; ci <= 2; ++ci) {
+    int32_t fc[4 * 32 + 1], ffc[4 * 32 + 1];
+    build_refs(recon_[ci], cw, ch, cw, x0 >> 1, y0 >> 1, cs, x0, y0, 2, fc);
+    dsp::intra_filter_refs(fc, cs, bd_, false, ffc);
+    const int32_t* fsel =
+        dsp::intra_filter_flag(best_mode, cs, false) ? ffc : fc;
+    dsp::intra_predict(fsel, fc, best_mode, cs, bd_, false, pred);
+    const int16_t* oc = orig_[ci] + (y0 >> 1) * cw + (x0 >> 1);
+    for (int i = 0; i < cs; ++i)
+      for (int j = 0; j < cs; ++j)
+        resi[i * cs + j] = (int32_t)oc[i * cw + j] - pred[i * cs + j];
+    dsp::fwd_xform(resi, cs, bd_, false, coef);
+    int cnz = dsp::quant(coef, cs, qp_c_, bd_, true, lev);
+    if (cnz) {
+      dsp::dequant(lev, cs, qp_c_, bd_, deq);
+      dsp::inv_xform(deq, cs, bd_, false, rres);
+    } else {
+      std::memset(rres, 0, sizeof(int32_t) * cs * cs);
+    }
+    int16_t* cplane = (ci == 1) ? d.coeff_cb : d.coeff_cr;
+    for (int i = 0; i < cs; ++i)
+      for (int j = 0; j < cs; ++j) {
+        cplane[((y0 - ctu_y0) / 2 + i) * cctu + (x0 - ctu_x0) / 2 + j] =
+            (int16_t)lev[i * cs + j];
+        int32_t v = pred[i * cs + j] + rres[i * cs + j];
+        recon_[ci][((y0 >> 1) + i) * cw + (x0 >> 1) + j] =
+            (int16_t)std::min(maxv, std::max(0, v));
+      }
+  }
+  publish(x0, y0, log2, true, 0, 0, 0, -1, 0, 0, -1);
+}
+
+void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
+                                int ctu_x0, int ctu_y0) {
+  int n = 1 << log2;
+  int bw4 = ctu_ / 4;
+  int bx = (x0 - ctu_x0) >> 2, by = (y0 - ctu_y0) >> 2;
+  int nb = n >> 2;
+  const int16_t* oy = orig_[0] + y0 * w_ + x0;
+  int pad = ep_.pad;
+  int rw = w_ + 2 * pad;      // padded luma stride
+  int rwc = w_ / 2 + 2 * pad; // padded chroma stride
+
+  if (log2 <= 3) {  // small boundary CUs stay intra (inter_frame.py:200)
+    encode_cu_intra(x0, y0, log2, d, ctu_x0, ctu_y0);
+    return;
+  }
+
+  int32_t pred[32 * 32];
+
+  // ---- merge candidates ----
+  MotionInfo cands[5];
+  int ncand = senc_->maps().merge_candidates(x0, y0, n, n, cands);
+  int64_t m_cost = -1;
+  int m_idx = -1;
+  MotionInfo m_best;
+  int32_t m_pred[32 * 32];
+  for (int idx = 0; idx < ncand; ++idx) {
+    bool dup = false;
+    for (int k = 0; k < idx; ++k)
+      if (cands[k] == cands[idx]) { dup = true; break; }
+    if (dup) continue;
+    const MotionInfo& mi = cands[idx];
+    if (mi.ref[0] >= 0 && mi.ref[1] >= 0) {
+      dsp::mc_predict_bi(ref0_[0], ref1_[0], rw, pad, mi.mvx[0], mi.mvy[0],
+                         mi.mvx[1], mi.mvy[1], x0, y0, n, n, bd_, true,
+                         pred);
+    } else {
+      const int16_t* r = mi.ref[0] >= 0 ? ref0_[0] : ref1_[0];
+      int l = mi.ref[0] >= 0 ? 0 : 1;
+      dsp::mc_predict(r, rw, pad, mi.mvx[l], mi.mvy[l], x0, y0, n, n, bd_,
+                      true, pred);
+    }
+    int64_t cost = dsp::satd(oy, w_, pred, n, n) + lam_bits(idx + 1);
+    if (m_idx < 0 || cost < m_cost) {
+      m_cost = cost;
+      m_idx = idx;
+      m_best = mi;
+      std::memcpy(m_pred, pred, sizeof(int32_t) * n * n);
+    }
+  }
+
+  // ---- AMVP + TPU integer MV + fractional refinement ----
+  int16_t amvp[4];
+  senc_->maps().amvp_candidates(x0, y0, n, n, 0, 0, amvp);
+  int size_full = ctu_ >> ep_.cu_depth_target;
+  bool has_me = me_mvx_ && n == size_full && x0 % size_full == 0 &&
+                y0 % size_full == 0 && x0 + n <= w_ && y0 + n <= h_;
+  int mv_x = 0, mv_y = 0, mvp_f = 0;
+  int mvd_x, mvd_y;
+  int64_t cost_inter;
+  int32_t i_pred[32 * 32];
+  if (has_me) {
+    int mi = (y0 / size_full) * me_nx_ + (x0 / size_full);
+    mv_x = me_mvx_[mi] << 2;
+    mv_y = me_mvy_[mi] << 2;
+    // half- then quarter-pel 9-point SATD refinement (xPatternSearchFracDIF)
+    auto cost_of = [&](int mx, int my) -> int64_t {
+      dsp::mc_predict(ref0_[0], rw, pad, mx, my, x0, y0, n, n, bd_, true,
+                      pred);
+      return dsp::satd(oy, w_, pred, n, n);
+    };
+    int64_t best_c = cost_of(mv_x, mv_y);
+    for (int step = 2; step >= 1; --step) {
+      int cx0 = mv_x, cy0 = mv_y;
+      for (int dy = -step; dy <= step; dy += step)
+        for (int dx = -step; dx <= step; dx += step) {
+          if (dx == 0 && dy == 0) continue;
+          int64_t c = cost_of(cx0 + dx, cy0 + dy);
+          if (c < best_c) {
+            best_c = c;
+            mv_x = cx0 + dx;
+            mv_y = cy0 + dy;
+          }
+        }
+    }
+    int bits0 = mv_bits(mv_x - amvp[0]) + mv_bits(mv_y - amvp[1]);
+    int bits1 = mv_bits(mv_x - amvp[2]) + mv_bits(mv_y - amvp[3]);
+    mvp_f = bits0 <= bits1 ? 0 : 1;
+    mvd_x = mv_x - amvp[2 * mvp_f];
+    mvd_y = mv_y - amvp[2 * mvp_f + 1];
+    dsp::mc_predict(ref0_[0], rw, pad, mv_x, mv_y, x0, y0, n, n, bd_, true,
+                    i_pred);
+    cost_inter = dsp::satd(oy, w_, i_pred, n, n) +
+                 lam_bits(std::min(bits0, bits1) + 3);
+  } else {
+    mvp_f = 0;
+    mvd_x = -amvp[0];
+    mvd_y = -amvp[1];
+    dsp::mc_predict(ref0_[0], rw, pad, 0, 0, x0, y0, n, n, bd_, true,
+                    i_pred);
+    cost_inter = dsp::satd(oy, w_, i_pred, n, n) + lam_bits(8);
+  }
+
+  // ---- intra screen ----
+  int32_t f[4 * 32 + 1], ff[4 * 32 + 1];
+  build_refs(recon_[0], w_, h_, w_, x0, y0, n, x0, y0, 1, f);
+  bool strong = ep_.strong_smoothing && dsp::intra_strong_smoothing(f, n, bd_);
+  dsp::intra_filter_refs(f, n, bd_, strong, ff);
+  int cand3[3];
+  mpm(x0, y0, cand3);
+  int imode = 0;
+  int64_t icost = 0;
+  for (int mode = 0; mode < 35; ++mode) {
+    const int32_t* fsel = dsp::intra_filter_flag(mode, n, true) ? ff : f;
+    dsp::intra_predict(fsel, f, mode, n, bd_, true, pred);
+    int64_t c = dsp::satd(oy, w_, pred, n, n) +
+                lam_bits(mode_bits(mode, cand3));
+    if (mode == 0 || c < icost) {
+      icost = c;
+      imode = mode;
+    }
+  }
+  int64_t cost_intra = icost + (int64_t)(ep_.sqrt_lam * 8);
+
+  int64_t best =
+      std::min(std::min(m_cost < 0 ? INT64_MAX : m_cost, cost_inter),
+               cost_intra);
+  if (best == cost_intra) {
+    encode_cu_intra(x0, y0, log2, d, ctu_x0, ctu_y0);
+    return;
+  }
+
+  MotionInfo sel;
+  const int32_t* pred_y;
+  int merge_sel = -1;
+  if (m_cost >= 0 && best == m_cost) {
+    merge_sel = m_idx;
+    sel = m_best;
+    pred_y = m_pred;
+  } else {
+    sel = MotionInfo();
+    sel.mvx[0] = (int16_t)mv_x;
+    sel.mvy[0] = (int16_t)mv_y;
+    sel.ref[0] = 0;
+    pred_y = i_pred;
+  }
+
+  // ---- residual (TU == CU) ----
+  int cs = n >> 1;
+  int cw = w_ >> 1;
+  int cctu = ctu_ >> 1;
+  int cxx = x0 >> 1, cyy = y0 >> 1;
+  int32_t pcb[16 * 16], pcr[16 * 16];
+  if (sel.ref[0] >= 0 && sel.ref[1] >= 0) {
+    dsp::mc_predict_bi(ref0_[1], ref1_[1], rwc, pad, sel.mvx[0], sel.mvy[0],
+                       sel.mvx[1], sel.mvy[1], cxx, cyy, cs, cs, bd_, false,
+                       pcb);
+    dsp::mc_predict_bi(ref0_[2], ref1_[2], rwc, pad, sel.mvx[0], sel.mvy[0],
+                       sel.mvx[1], sel.mvy[1], cxx, cyy, cs, cs, bd_, false,
+                       pcr);
+  } else {
+    int l = sel.ref[0] >= 0 ? 0 : 1;
+    const int16_t* const* refs = l == 0 ? ref0_ : ref1_;
+    dsp::mc_predict(refs[1], rwc, pad, sel.mvx[l], sel.mvy[l], cxx, cyy, cs,
+                    cs, bd_, false, pcb);
+    dsp::mc_predict(refs[2], rwc, pad, sel.mvx[l], sel.mvy[l], cxx, cyy, cs,
+                    cs, bd_, false, pcr);
+  }
+
+  int32_t resi[32 * 32], coef[32 * 32], lev_y[32 * 32], lev_cb[16 * 16],
+      lev_cr[16 * 16], deq[32 * 32], rres[32 * 32];
+  int maxv = (1 << bd_) - 1;
+  auto code_tb = [&](const int16_t* o, int ostride, const int32_t* p, int sz,
+                     int qp, int32_t* lv, int16_t* rec, int rstride) -> int {
+    for (int i = 0; i < sz; ++i)
+      for (int j = 0; j < sz; ++j)
+        resi[i * sz + j] = (int32_t)o[i * ostride + j] - p[i * sz + j];
+    dsp::fwd_xform(resi, sz, bd_, false, coef);
+    int nz = dsp::quant(coef, sz, qp, bd_, false, lv);
+    if (nz) {
+      dsp::dequant(lv, sz, qp, bd_, deq);
+      dsp::inv_xform(deq, sz, bd_, false, rres);
+    } else {
+      std::memset(rres, 0, sizeof(int32_t) * sz * sz);
+    }
+    for (int i = 0; i < sz; ++i)
+      for (int j = 0; j < sz; ++j) {
+        int32_t v = p[i * sz + j] + rres[i * sz + j];
+        rec[i * rstride + j] = (int16_t)std::min(maxv, std::max(0, v));
+      }
+    return nz;
+  };
+  int nz_y = code_tb(oy, w_, pred_y, n, sp_.qp, lev_y,
+                     recon_[0] + y0 * w_ + x0, w_);
+  int nz_cb = code_tb(orig_[1] + cyy * cw + cxx, cw, pcb, cs, qp_c_, lev_cb,
+                      recon_[1] + cyy * cw + cxx, cw);
+  int nz_cr = code_tb(orig_[2] + cyy * cw + cxx, cw, pcr, cs, qp_c_, lev_cr,
+                      recon_[2] + cyy * cw + cxx, cw);
+  bool zero_resid = !nz_y && !nz_cb && !nz_cr;
+
+  int skip = (merge_sel >= 0 && zero_resid) ? 1 : 0;
+  for (int yy = 0; yy < nb; ++yy)
+    for (int xx = 0; xx < nb; ++xx) {
+      size_t li = (size_t)(by + yy) * bw4 + bx + xx;
+      d.pred_mode[li] = 0;
+      d.skip_flag[li] = (uint8_t)skip;
+      d.merge_flag[li] = merge_sel >= 0 ? 1 : 0;
+      d.merge_idx[li] = (uint8_t)(merge_sel >= 0 ? merge_sel : 0);
+      d.mvp_flag[li] = (uint8_t)(merge_sel >= 0 ? 0 : mvp_f);
+      d.ref_idx[li] = sel.ref[0];
+      d.mvd_x[li] = (int16_t)(merge_sel >= 0 ? 0 : mvd_x);
+      d.mvd_y[li] = (int16_t)(merge_sel >= 0 ? 0 : mvd_y);
+      d.mv_x[li] = sel.mvx[0];
+      d.mv_y[li] = sel.mvy[0];
+      d.ref_idx1[li] = sel.ref[1];
+      d.mv_x1[li] = sel.mvx[1];
+      d.mv_y1[li] = sel.mvy[1];
+      d.tu_depth[li] = 0;
+    }
+  for (int i = 0; i < n; ++i)
+    for (int j = 0; j < n; ++j)
+      d.coeff_y[(y0 - ctu_y0 + i) * ctu_ + (x0 - ctu_x0 + j)] =
+          (int16_t)lev_y[i * n + j];
+  for (int i = 0; i < cs; ++i)
+    for (int j = 0; j < cs; ++j) {
+      d.coeff_cb[((y0 - ctu_y0) / 2 + i) * cctu + (x0 - ctu_x0) / 2 + j] =
+          (int16_t)lev_cb[i * cs + j];
+      d.coeff_cr[((y0 - ctu_y0) / 2 + i) * cctu + (x0 - ctu_x0) / 2 + j] =
+          (int16_t)lev_cr[i * cs + j];
+    }
+  int stride4 = (w_ + 3) >> 2;
+  for (int yy = y0 >> 2; yy < (y0 + n) >> 2; ++yy)
+    for (int xx = x0 >> 2; xx < (x0 + n) >> 2; ++xx)
+      mode_map_[yy * stride4 + xx] = 1;  // inter acts as DC for MPM
+  publish(x0, y0, log2, false, skip, sel.mvx[0], sel.mvy[0], sel.ref[0],
+          sel.mvx[1], sel.mvy[1], sel.ref[1]);
+}
+
+}  // namespace hevctpu
+
+// ===========================================================================
+// SAO parameter estimation (C++ twin of hevc_tpu/ops/sao.py estimate_sao;
+// reference TEncSampleAdaptiveOffset getStatistics:309 / deriveOffsets:473).
+// One pass per CTU component accumulates E/N for all 4 EO classes and the
+// 32 bands simultaneously; offset selection mirrors the numpy best_offset.
+// ===========================================================================
+namespace {
+
+const int kEdgeIdxMap[5] = {1, 2, 0, 3, 4};
+const int kEoDy0[4] = {0, -1, -1, -1}, kEoDx0[4] = {-1, 0, -1, 1};
+const int kEoDy1[4] = {0, 1, 1, 1}, kEoDx1[4] = {1, 0, 1, -1};
+
+inline int sgn(int v) { return (v > 0) - (v < 0); }
+
+struct CompStats {
+  int64_t E[4][5] = {{0}}, Eb[32] = {0};
+  int64_t N[4][5] = {{0}}, Nb[32] = {0};
+};
+
+void gather_stats(const int16_t* org, const int16_t* deb, int stride, int pw,
+                  int ph, int x0, int y0, int x1, int y1, int shift,
+                  CompStats* st) {
+  for (int y = y0; y < y1; ++y)
+    for (int x = x0; x < x1; ++x) {
+      int p = deb[y * stride + x];
+      int64_t diff = (int64_t)org[y * stride + x] - p;
+      for (int k = 0; k < 4; ++k) {
+        int ny0 = y + kEoDy0[k], nx0 = x + kEoDx0[k];
+        int ny1 = y + kEoDy1[k], nx1 = x + kEoDx1[k];
+        if (nx0 < 0 || nx1 < 0 || ny0 < 0 || ny1 < 0 || nx0 >= pw ||
+            nx1 >= pw || ny0 >= ph || ny1 >= ph)
+          continue;  // category 0 at picture borders
+        int cat = kEdgeIdxMap[2 + sgn(p - deb[ny0 * stride + nx0]) +
+                              sgn(p - deb[ny1 * stride + nx1])];
+        if (cat) {
+          st->E[k][cat] += diff;
+          st->N[k][cat] += 1;
+        }
+      }
+      int b = p >> shift;
+      st->Eb[b & 31] += diff;
+      st->Nb[b & 31] += 1;
+    }
+}
+
+// numpy best_offset: o = clip(round(E/N)); try {o, o-1, o+1, 0}
+void best_offset(int64_t E, int64_t N, int lo, int hi, double lam, int* o_out,
+                 double* cost_out) {
+  if (N == 0) {
+    *o_out = 0;
+    *cost_out = 0;
+    return;
+  }
+  double r = (double)E / (double)N;
+  int o = (int)std::lround(r);
+  o = std::min(hi, std::max(lo, o));
+  int cands[4] = {o, std::max(lo, o - 1), std::min(hi, o + 1), 0};
+  int best_o = 0;
+  double best_c = 0;  // cand 0 always included with cost 0+lam*1... mirror:
+  // numpy starts best=(0,0) then updates when cost < best -> offset 0 has
+  // cost N*0-0 + lam*(0+1) evaluated too; replicate exactly:
+  bool first = true;
+  for (int ci = 0; ci < 4; ++ci) {
+    int c = cands[ci];
+    bool dup = false;
+    for (int cj = 0; cj < ci; ++cj)
+      if (cands[cj] == c) { dup = true; break; }
+    if (dup) continue;
+    double dsse = (double)N * c * c - 2.0 * c * E;
+    double cost = dsse + lam * (std::abs(c) + 1);
+    if (first || cost < best_c) {
+      // numpy keeps best=(0,0) unless cost < 0; mirror its exact rule:
+      first = false;
+      best_c = cost;
+      best_o = c;
+    }
+  }
+  if (best_c >= 0) {  // numpy best starts at (0, 0): offset kept only if
+    best_o = 0;       // it beats cost 0
+    best_c = 0;
+  }
+  *o_out = best_o;
+  *cost_out = best_c;
+}
+
+struct CompChoice {
+  int type = 0, eo = 0, band = 0;
+  int off[4] = {0, 0, 0, 0};
+  double cost = 0;
+};
+
+CompChoice pick_component(const CompStats& st, double lam, int max_off) {
+  CompChoice best;
+  best.type = 0;
+  best.cost = lam * 1;
+  for (int k = 0; k < 4; ++k) {
+    CompChoice c;
+    c.type = 2;
+    c.eo = k;
+    c.cost = lam * 3;
+    for (int cat = 1; cat <= 4; ++cat) {
+      int lo = cat <= 2 ? 0 : -max_off, hi = cat <= 2 ? max_off : 0;
+      double dc;
+      best_offset(st.E[k][cat], st.N[k][cat], lo, hi, lam, &c.off[cat - 1],
+                  &dc);
+      c.cost += dc;
+    }
+    if (c.cost < best.cost) best = c;
+  }
+  CompChoice bb;
+  bool have = false;
+  for (int pos = 0; pos < 32; ++pos) {
+    CompChoice c;
+    c.type = 1;
+    c.band = pos;
+    c.cost = lam * 8;
+    for (int kk = 0; kk < 4; ++kk) {
+      int b = (pos + kk) & 31;
+      double dc;
+      best_offset(st.Eb[b], st.Nb[b], -max_off, max_off, lam, &c.off[kk],
+                  &dc);
+      c.cost += dc;
+    }
+    if (!have || c.cost < bb.cost) { bb = c; have = true; }
+  }
+  if (bb.cost < best.cost) best = bb;
+  return best;
+}
+
+}  // namespace
+
+extern "C" void hevc_sao_estimate(
+    const int16_t* oy, const int16_t* ocb, const int16_t* ocr,
+    const int16_t* dy, const int16_t* dcb, const int16_t* dcr, int w, int h,
+    int ctu, int bd, double lam, int32_t* out /* nctu * 20 */) {
+  int cw = w / 2, ch = h / 2;
+  int ctus_w = (w + ctu - 1) / ctu, ctus_h = (h + ctu - 1) / ctu;
+  int shift = bd - 5;
+  int max_off = (1 << (std::min(bd, 10) - 5)) - 1;
+  for (int cy = 0; cy < ctus_h; ++cy)
+    for (int cx = 0; cx < ctus_w; ++cx) {
+      int32_t* prm = out + ((size_t)cy * ctus_w + cx) * 20;
+      std::memset(prm, 0, 20 * sizeof(int32_t));
+      // luma
+      CompStats sl;
+      gather_stats(oy, dy, w, w, h, cx * ctu, cy * ctu,
+                   std::min((cx + 1) * ctu, w), std::min((cy + 1) * ctu, h),
+                   shift, &sl);
+      CompChoice l = pick_component(sl, lam, max_off);
+      prm[0] = l.type;
+      prm[2] = l.eo;
+      prm[4] = l.band;
+      for (int k = 0; k < 4; ++k) prm[8 + k] = l.off[k];
+      // chroma: shared type/eo-class, separate offsets/band positions.
+      // Mirror of sao.py _pick_chroma: OFF vs the 4 EO classes (band not
+      // tried jointly, same as the numpy implementation).
+      int cx0 = (cx * ctu) / 2, cy0 = (cy * ctu) / 2;
+      int cx1 = std::min(((cx + 1) * ctu) / 2, cw);
+      int cy1 = std::min(((cy + 1) * ctu) / 2, ch);
+      CompStats sb, sr;
+      gather_stats(ocb, dcb, cw, cw, ch, cx0, cy0, cx1, cy1, shift, &sb);
+      gather_stats(ocr, dcr, cw, cw, ch, cx0, cy0, cx1, cy1, shift, &sr);
+      double best_cost = 2 * lam;
+      int best_k = -1;
+      int best_off_cb[4] = {0}, best_off_cr[4] = {0};
+      for (int k = 0; k < 4; ++k) {
+        double cost = lam * 3;
+        int ob[4], orr[4];
+        for (int cat = 1; cat <= 4; ++cat) {
+          int lo = cat <= 2 ? 0 : -max_off, hi = cat <= 2 ? max_off : 0;
+          double dc;
+          best_offset(sb.E[k][cat], sb.N[k][cat], lo, hi, lam, &ob[cat - 1],
+                      &dc);
+          cost += dc;
+          best_offset(sr.E[k][cat], sr.N[k][cat], lo, hi, lam, &orr[cat - 1],
+                      &dc);
+          cost += dc;
+        }
+        if (cost < best_cost) {
+          best_cost = cost;
+          best_k = k;
+          std::memcpy(best_off_cb, ob, sizeof(ob));
+          std::memcpy(best_off_cr, orr, sizeof(orr));
+        }
+      }
+      if (best_k >= 0) {
+        prm[1] = 2;
+        prm[3] = best_k;
+        for (int k = 0; k < 4; ++k) {
+          prm[12 + k] = best_off_cb[k];
+          prm[16 + k] = best_off_cr[k];
+        }
+      }
+    }
+}

@@ -1,0 +1,66 @@
+// Native per-CTU encode engine: mode decision + spec-exact reconstruction.
+//
+// Parity: this is the C++ twin of the Python decision/recon loops in
+// hevc_tpu/encoder/intra_frame.py (_encode_cu) and inter_frame.py
+// (_encode_cu_p) — reference TEncCu::xCompressCU (TEncCu.cpp:357),
+// TEncSearch::predInterSearch (TEncSearch.cpp:2919) and
+// xPatternSearchFracDIF (:4294). Integer full-pel motion comes from the
+// TPU-batched search (hevc_tpu/ops/me.py); everything sequential
+// (prediction from reconstructed neighbours, transforms, fractional
+// refinement) runs here at native speed. The engine publishes decisions
+// into the SliceEncoder's picture maps so merge/AMVP derivation stays in
+// one implementation, and fills the per-CTU decision buffers the existing
+// CABAC syntax writer consumes unchanged.
+#pragma once
+#include <cstdint>
+#include <vector>
+
+#include "syntax.h"
+
+namespace hevctpu {
+
+struct EngineParams {
+  int32_t pad;               // reference plane padding (samples)
+  int32_t cu_depth_target;   // uniform CU depth (1 = 32x32)
+  int32_t strong_smoothing;  // SPS strong_intra_smoothing_enabled_flag
+  int32_t is_b;              // B slice (list-1 present)
+  double sqrt_lam;           // sqrt(lambda) for SATD mode costs
+};
+
+class CtuEngine {
+ public:
+  CtuEngine(const SliceParams& sp, const EngineParams& ep,
+            SliceEncoder* senc, const int16_t* orig[3], int16_t* recon[3],
+            const int16_t* ref0[3], const int16_t* ref1[3],
+            const int32_t* me_mvx, const int32_t* me_mvy, int me_nx,
+            int me_ny);
+  void encode_ctu(int cx, int cy, const MutCtuData& d);
+
+ private:
+  void encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
+                       int ctu_x0, int ctu_y0);
+  void encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
+                       int ctu_x0, int ctu_y0);
+  // availability-aware combined reference vector on a working recon plane
+  void build_refs(const int16_t* plane, int pw, int ph, int stride, int x0,
+                  int y0, int n, int lx0, int ly0, int sxy, int32_t* f);
+  void mpm(int x0, int y0, int cand[3]) const;
+  int mode_bits(int mode, const int cand[3]) const;
+  void publish(int x0, int y0, int log2, bool is_intra, int skip, int mvx,
+               int mvy, int ref, int mvx1, int mvy1, int ref1);
+  int64_t lam_bits(double bits) const;
+
+  SliceParams sp_;
+  EngineParams ep_;
+  SliceEncoder* senc_;
+  const int16_t* orig_[3];
+  int16_t* recon_[3];
+  const int16_t* ref0_[3];
+  const int16_t* ref1_[3];
+  const int32_t *me_mvx_, *me_mvy_;
+  int me_nx_, me_ny_;
+  int w_, h_, ctu_, bd_, qp_c_;
+  std::vector<uint8_t> mode_map_;  // per-4x4 intra mode, inter blocks -> DC
+};
+
+}  // namespace hevctpu
