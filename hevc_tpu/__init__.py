@@ -44,6 +44,11 @@ if _plat:
 _cache_dir = _os.path.expanduser("~/.cache/hevc_tpu_jax")
 _os.makedirs(_cache_dir, exist_ok=True)
 _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+# Strip traceback source locations from lowerings: they differ with the
+# Python call stack, which made persistent-cache keys unstable across
+# processes (every CLI run then re-paid the multi-minute device compile).
+_jax.config.update("jax_include_full_tracebacks_in_locations", False)
+_jax.config.update("jax_traceback_in_locations_limit", 0)
 _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 try:
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -162,6 +162,10 @@ class DecoderTop:
                                   pps.pps_beta_offset_div2,
                                   pps.pps_tc_offset_div2)
         if sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag:
+            if sps.chroma_format_idc == 1:
+                from ..entropy.cabac import sao_apply_native
+                return (sao_apply_native(recon, [d.sao for d in decisions],
+                                         sps, sps.bit_depth_luma), sh.poc)
             from ..ops import sao as saolib
             recon = saolib.apply_sao(recon, [d.sao for d in decisions],
                                      sps, sps.bit_depth_luma)

@@ -51,46 +51,44 @@ def batched_me_grid(orig_y: np.ndarray, ref_padded_y: np.ndarray, size: int,
     ny = (h - size) // size + 1 if h >= size else 0
     if not pos:
         return None, None
-    # int16 end-to-end: halves the host->device transfer; the kernel
-    # widens to int32 on device.
-    blks = np.stack([orig_y[y0:y0 + size, x0:x0 + size]
-                     for (x0, y0) in pos]).astype(np.int16)
-    areas = np.stack([
-        ref_padded_y[PAD + y0 - R: PAD + y0 + R + size,
-                     PAD + x0 - R: PAD + x0 + R + size]
-        for (x0, y0) in pos]).astype(np.int16)
+    # Narrow transfer dtype (uint8 for 8-bit content, int16 for deep bit
+    # depths); the kernel widens to int32 on device.
+    dt = np.uint8 if orig_y.max(initial=0) < 256 and \
+        ref_padded_y.max(initial=0) < 256 else np.int16
+    aw = 2 * R + size
     n = len(pos)
-    bucket = max(128, 1 << (n - 1).bit_length())
-    if n < bucket:
-        blks = np.concatenate(
-            [blks, np.zeros((bucket - n,) + blks.shape[1:], np.int16)])
-        areas = np.concatenate(
-            [areas, np.zeros((bucket - n,) + areas.shape[1:], np.int16)])
-    zeros = np.zeros(bucket, np.int32)
-    mins = np.full(bucket, -R, np.int32)
     import jax
     if jax.default_backend() == "cpu":
+        # vectorized numpy twin (strided gathers, no python slicing)
+        blks = orig_y[:ny * size, :nx * size].reshape(
+            ny, size, nx, size).transpose(0, 2, 1, 3).reshape(
+            ny * nx, size, size).astype(np.int32)
+        win = np.lib.stride_tricks.sliding_window_view(
+            ref_padded_y, (aw, aw))[PAD - R::size, PAD - R::size]
+        areas = win[:ny, :nx].reshape(ny * nx, aw, aw).astype(np.int32)
+        zeros = np.zeros(n, np.int32)
+        mins = np.full(n, -R, np.int32)
         mv_y, mv_x, _, _ = me.full_search_batch_np(
-            blks.astype(np.int32), areas.astype(np.int32), mins, mins,
-            zeros, zeros, lam_fp)
+            blks, areas, mins, mins, zeros, zeros, lam_fp)
         mv_y, mv_x = np.asarray(mv_y), np.asarray(mv_x)
     else:
-        # TPU: Pallas SAD-table kernel, then cost+argmin in a separate
-        # small jit over the device-resident table (only the winning index
-        # per block crosses the tunnel). lambda and the bits table are
-        # passed as arrays so no value is baked into a compiled graph —
-        # per-QP recompiles through the device tunnel are catastrophically
-        # slow, and wrapping the Pallas call in an outer jit retriggers
-        # the Mosaic build.
-        from ..ops.sad_pallas import sad_table
+        # TPU: ship only the two planes; block/window gathers + Pallas SAD
+        # run on device, then cost+argmin in a separate small jit (only the
+        # winning index per block crosses the tunnel). lambda and the bits
+        # table are passed as arrays so no value is baked into a compiled
+        # graph — per-QP recompiles through the device tunnel are
+        # catastrophically slow.
+        from ..ops.sad_pallas import sad_table_from_planes
         nyx = 2 * R + 1
-        sads = sad_table(blks, areas, h=size, w=size, ny=nyx, nx=nyx)
-        dy = np.arange(nyx) - R
-        bits = (np.array([me.mv_bits_np(v << 2) for v in dy])[:, None]
-                + np.array([me.mv_bits_np(v << 2) for v in dy])[None, :])
+        dyr = np.arange(nyx) - R
+        bits = (np.array([me.mv_bits_np(v << 2) for v in dyr])[:, None]
+                + np.array([me.mv_bits_np(v << 2) for v in dyr])[None, :])
+        sads = sad_table_from_planes(
+            np.ascontiguousarray(ref_padded_y.astype(dt)),
+            np.ascontiguousarray(orig_y.astype(dt)),
+            size=size, r=R, ny=ny, nx=nx, pad=PAD)
         idx = np.asarray(_cost_argmin(sads, bits.astype(np.int32),
-                                      np.int32(lam_fp), nyx))
-        idx = idx[:bucket]
+                                      np.int32(lam_fp), nyx))[:ny * nx]
         mv_y = idx // nyx - R
         mv_x = idx % nyx - R
     gx = np.zeros((ny, nx), np.int32)

@@ -314,8 +314,15 @@ class EncoderTop:
             + senc.get_bytes()
 
         if sao_on:
-            recon = saolib.apply_sao(recon, [d.sao for d in decisions],
-                                     self.sps, self.sps.bit_depth_luma)
+            if use_native:
+                from ..entropy.cabac import sao_apply_native
+                recon = sao_apply_native(recon,
+                                         [d.sao for d in decisions],
+                                         self.sps, self.sps.bit_depth_luma)
+            else:
+                recon = saolib.apply_sao(recon,
+                                         [d.sao for d in decisions],
+                                         self.sps, self.sps.bit_depth_luma)
 
         nals, firsts = [], []
         first_au = not self.stats

@@ -98,6 +98,10 @@ def get_lib() -> ctypes.CDLL:
     lib.hevc_sao_estimate.argtypes = (
         [i16p] * 6 + [ctypes.c_int] * 4 + [ctypes.c_double,
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")])
+    lib.hevc_sao_apply.argtypes = (
+        [i16p] * 6 + [np.ctypeslib.ndpointer(np.int32,
+                                             flags="C_CONTIGUOUS")]
+        + [ctypes.c_int] * 4)
     lib.hevc_dec_create.restype = ctypes.c_void_p
     lib.hevc_dec_create.argtypes = [ctypes.POINTER(SliceParamsC),
                                     ctypes.c_char_p, ctypes.c_long]
@@ -425,3 +429,18 @@ def entropy_encode_frame(senc: SliceDataEncoder, ctus_w: int, ctus_h: int,
                          fd: FrameDecisions) -> None:
     senc._lib.hevc_enc_frame(
         senc._h, ctus_w, ctus_h, fd.ctu_size, fd.chroma_format, *fd._args())
+
+
+def sao_apply_native(deblocked, sao_params, sps, bit_depth):
+    """C++ SAO application (engine.cpp hevc_sao_apply); byte-exact twin of
+    hevc_tpu.ops.sao.apply_sao."""
+    lib = get_lib()
+    w = sps.pic_width_in_luma_samples
+    h = sps.pic_height_in_luma_samples
+    dbl = [np.ascontiguousarray(p, np.int16) for p in deblocked]
+    out = [np.empty_like(p) for p in dbl]
+    prm = np.ascontiguousarray(np.stack([np.asarray(p, np.int32)
+                                         for p in sao_params]))
+    lib.hevc_sao_apply(dbl[0], dbl[1], dbl[2], out[0], out[1], out[2],
+                       prm, w, h, sps.ctu_size, bit_depth)
+    return out

@@ -733,3 +733,69 @@ extern "C" void hevc_sao_estimate(
       }
     }
 }
+
+// SAO application (C++ twin of sao.py apply_sao; spec 8.7.3, reference
+// TComSampleAdaptiveOffset::offsetBlock:313). Normative: reads the
+// deblocked plane, writes the output plane; per-CTU params in CtuData.sao
+// layout.
+extern "C" void hevc_sao_apply(
+    const int16_t* dy, const int16_t* dcb, const int16_t* dcr, int16_t* oy,
+    int16_t* ocb, int16_t* ocr, const int32_t* params, int w, int h,
+    int ctu, int bd) {
+  int cw = w / 2, ch = h / 2;
+  int ctus_w = (w + ctu - 1) / ctu, ctus_h = (h + ctu - 1) / ctu;
+  int shift = bd - 5;
+  int maxv = (1 << bd) - 1;
+  const int16_t* deb[3] = {dy, dcb, dcr};
+  int16_t* out[3] = {oy, ocb, ocr};
+  std::memcpy(oy, dy, sizeof(int16_t) * (size_t)w * h);
+  std::memcpy(ocb, dcb, sizeof(int16_t) * (size_t)cw * ch);
+  std::memcpy(ocr, dcr, sizeof(int16_t) * (size_t)cw * ch);
+  for (int cy = 0; cy < ctus_h; ++cy)
+    for (int cx = 0; cx < ctus_w; ++cx) {
+      const int32_t* prm = params + ((size_t)cy * ctus_w + cx) * 20;
+      for (int ci = 0; ci < 3; ++ci) {
+        int t = ci == 0 ? prm[0] : prm[1];
+        if (t == 0) continue;
+        int scale = ci == 0 ? 1 : 2;
+        int pw = ci == 0 ? w : cw, ph = ci == 0 ? h : ch;
+        int stride = pw;
+        int x0 = cx * ctu / scale, y0 = cy * ctu / scale;
+        int x1 = std::min((cx + 1) * ctu / scale, pw);
+        int y1 = std::min((cy + 1) * ctu / scale, ph);
+        const int32_t* off = prm + 8 + 4 * ci;
+        const int16_t* src = deb[ci];
+        int16_t* dst = out[ci];
+        if (t == 2) {  // edge
+          int k = ci == 0 ? prm[2] : prm[3];
+          int dy0 = kEoDy0[k], dx0 = kEoDx0[k];
+          int dy1 = kEoDy1[k], dx1 = kEoDx1[k];
+          for (int y = y0; y < y1; ++y)
+            for (int x = x0; x < x1; ++x) {
+              int ny0 = y + dy0, nx0 = x + dx0, ny1 = y + dy1, nx1 = x + dx1;
+              if (nx0 < 0 || nx1 < 0 || ny0 < 0 || ny1 < 0 || nx0 >= pw ||
+                  nx1 >= pw || ny0 >= ph || ny1 >= ph)
+                continue;
+              int p = src[y * stride + x];
+              int cat = kEdgeIdxMap[2 + sgn(p - src[ny0 * stride + nx0]) +
+                                    sgn(p - src[ny1 * stride + nx1])];
+              if (!cat) continue;
+              int v = p + off[cat - 1];
+              dst[y * stride + x] =
+                  (int16_t)std::min(maxv, std::max(0, v));
+            }
+        } else {  // band
+          int pos = prm[4 + ci];
+          int32_t lut[32] = {0};
+          for (int k = 0; k < 4; ++k) lut[(pos + k) & 31] = off[k];
+          for (int y = y0; y < y1; ++y)
+            for (int x = x0; x < x1; ++x) {
+              int p = src[y * stride + x];
+              int v = p + lut[(p >> shift) & 31];
+              dst[y * stride + x] =
+                  (int16_t)std::min(maxv, std::max(0, v));
+            }
+        }
+      }
+    }
+}

@@ -55,7 +55,13 @@ def sad_table(blks: jnp.ndarray, areas: jnp.ndarray, *, h: int, w: int,
     ah = _round_up(h + ny - 1, 8)
     areas = jnp.pad(areas.astype(jnp.int32),
                     ((0, 0), (0, ah - (h + ny - 1)), (0, aw - (w + nx - 1))))
-    kernel = functools.partial(_sad_kernel, h=h, w=w, ny=ny, nx=nx, nxp=nxp)
+    # NOTE: a functools.partial here would embed its repr (with a
+    # process-specific object address) in the serialized Mosaic payload,
+    # making the persistent-compilation-cache key unstable across
+    # processes (each CLI run then pays the multi-minute tunnel compile).
+    def kernel(blk_ref, area_ref, out_ref, scratch, sem):
+        _sad_kernel(blk_ref, area_ref, out_ref, scratch, sem, h=h, w=w,
+                    ny=ny, nx=nx, nxp=nxp)
     out = pl.pallas_call(
         kernel,
         grid=(n,),
@@ -74,3 +80,53 @@ def sad_table(blks: jnp.ndarray, areas: jnp.ndarray, *, h: int, w: int,
         interpret=interpret,
     )(blks.astype(jnp.int32), areas)
     return out[:, :ny, :nx]
+
+
+@functools.partial(jax.jit, static_argnames=("size", "r", "ny", "nx", "pad"))
+def sad_table_from_planes(ref_padded: jnp.ndarray, orig: jnp.ndarray, *,
+                          size: int, r: int, ny: int, nx: int,
+                          pad: int) -> jnp.ndarray:
+    """Full-search SAD tables with the block/window gathers ON DEVICE.
+
+    Only the two planes cross the host link (the per-block search windows
+    overlap 60%+ and re-shipping them dominated the ME cost through the
+    device tunnel). ref_padded [H+2p, W+2p], orig [H, W] (any int dtype);
+    returns SAD [ny*nx, 2r+1, 2r+1] int32 for the aligned size x size
+    block grid.
+    """
+    from jax import lax
+    aw = 2 * r + size
+    blks = (orig[:ny * size, :nx * size].astype(jnp.int32)
+            .reshape(ny, size, nx, size).transpose(0, 2, 1, 3)
+            .reshape(ny * nx, size, size))
+    # windows starting at (pad - r + i*size, pad - r + j*size)
+    roi = ref_padded[pad - r:, pad - r:].astype(jnp.int32)
+    need_h = (ny - 1) * size + aw
+    need_w = (nx - 1) * size + aw
+    roi = roi[:need_h, :need_w]
+    patches = lax.conv_general_dilated_patches(
+        roi[None, None], (aw, aw), (size, size), "VALID")
+    # [1, aw*aw, ny, nx] -> [ny*nx, aw, aw]
+    areas = (patches[0].reshape(aw, aw, ny, nx)
+             .transpose(2, 3, 0, 1).reshape(ny * nx, aw, aw))
+    n = ny * nx
+    bucket = max(128, 1 << (n - 1).bit_length())
+    if n < bucket:
+        blks = jnp.pad(blks, ((0, bucket - n), (0, 0), (0, 0)))
+        areas = jnp.pad(areas, ((0, bucket - n), (0, 0), (0, 0)))
+    return sad_table(blks, areas, h=size, w=size, ny=2 * r + 1, nx=2 * r + 1)
+
+
+@functools.partial(jax.jit, static_argnames=("size", "r", "ny", "nx", "pad"))
+def me_from_planes(ref_padded: jnp.ndarray, orig: jnp.ndarray,
+                   bits: jnp.ndarray, lam_fp: jnp.ndarray, *, size: int,
+                   r: int, ny: int, nx: int, pad: int) -> jnp.ndarray:
+    """Full search fused end-to-end on device: window gather + Pallas SAD +
+    lambda-rate cost + first-minimum argmin. Only the two planes go up and
+    one index per block comes back. bits [2r+1, 2r+1] int32 and lam_fp are
+    runtime arrays so their values never enter the compiled graph."""
+    nyx = 2 * r + 1
+    sads = sad_table_from_planes(ref_padded, orig, size=size, r=r, ny=ny,
+                                 nx=nx, pad=pad)
+    cost = sads[:, :nyx, :nyx] + ((lam_fp.astype(jnp.int32) * bits) >> 16)
+    return jnp.argmin(cost.reshape(cost.shape[0], -1), axis=1)
