@@ -251,7 +251,7 @@ void mc_block(const int16_t* ref, int rw, int pad, int x, int y, int w,
       }
     return;
   }
-  int64_t tmp[(32 + 8) * 32];
+  int64_t tmp[(64 + 8) * 64];
   if (fy == 0) {
     for (int yy = 0; yy < h; ++yy)
       for (int xx = 0; xx < w; ++xx) {
@@ -269,7 +269,7 @@ void mc_block(const int16_t* ref, int rw, int pad, int x, int y, int w,
         tmp[yy * w + xx] = acc >> shift1;
       }
   } else {
-    int64_t mid[(32 + 8) * 32];
+    int64_t mid[(64 + 8) * 64];
     for (int yy = 0; yy < h + nt - 1; ++yy)
       for (int xx = 0; xx < w; ++xx) {
         int64_t acc = 0;
@@ -310,7 +310,7 @@ void mc_predict(const int16_t* ref, int rw, int pad, int mvx, int mvy,
 void mc_predict_bi(const int16_t* r0, const int16_t* r1, int rw, int pad,
                    int mv0x, int mv0y, int mv1x, int mv1y, int x0, int y0,
                    int w, int h, int bd, bool is_luma, int32_t* out) {
-  int32_t a[32 * 32], b[32 * 32];
+  int32_t a[64 * 64], b[64 * 64];
   auto raw = [&](const int16_t* r, int mvx, int mvy, int32_t* o) {
     int ix, fx, iy, fy;
     if (is_luma) {

@@ -7,12 +7,16 @@
 #include <algorithm>
 #include <cmath>
 #include <cstring>
+#include <cstdlib>
+#include <vector>
 
 #include "dsp.h"
 
 namespace hevctpu {
 
 namespace {
+
+const int32_t kInvQuantScales420[6] = {40, 45, 51, 57, 64, 72};
 
 const int32_t kChromaQp420[58] = {
     0,  1,  2,  3,  4,  5,  6,  7,  8,  9,  10, 11, 12, 13, 14, 15, 16, 17,
@@ -32,6 +36,154 @@ int ilog2(int n) {
   int k = 0;
   while ((1 << k) < n) ++k;
   return k;
+}
+
+}  // namespace
+
+namespace {
+
+// --- RDOQ-lite (reference TComTrQuant::xRateDistOptQuant:580, reduced) ---
+// Per-coefficient level choice l vs l-1 vs 0 and per-4x4-group zeroing by
+// D + lambda*R, with D(e) = e^2 * 2^(-2*transformShift) (empirically
+// calibrated against the exact transform pair; see commit history) and a
+// small bit model R(l) ~ sig+sign+gt1+golomb.
+inline double rd_rate_bits(int l) {
+  if (l == 0) return 0.0;
+  int bl = 0;
+  while (l >> bl) ++bl;
+  return 3.0 + 2.0 * (bl - 1);
+}
+
+// diagonal scan (4x4 sub-blocks in up-right diagonal order, same pattern
+// inside each sub-block; spec 6.5.3) — cached per size
+const int* diag_scan(int n) {
+  static int s4[16], s8[64], s16[256], s32[1024];
+  static bool init = false;
+  if (!init) {
+    init = true;
+    auto build = [](int* out, int nn) {
+      int sb = nn / 4;
+      int k = 0;
+      auto diag_order = [](int m, int* ord) {
+        int c = 0;
+        for (int d = 0; d < 2 * m - 1; ++d)
+          for (int x = 0; x < m; ++x) {
+            int y = d - x;
+            if (y >= 0 && y < m) ord[c++] = y * m + x;
+          }
+      };
+      int sbord[64], inord[16];
+      diag_order(sb, sbord);
+      diag_order(4, inord);
+      for (int g = 0; g < sb * sb; ++g) {
+        int gy = sbord[g] / sb, gx = sbord[g] % sb;
+        for (int i = 0; i < 16; ++i) {
+          int iy = inord[i] / 4, ix = inord[i] % 4;
+          out[k++] = (gy * 4 + iy) * nn + gx * 4 + ix;
+        }
+      }
+    };
+    build(s4, 4);
+    build(s8, 8);
+    build(s16, 16);
+    build(s32, 32);
+  }
+  switch (n) {
+    case 4: return s4;
+    case 8: return s8;
+    case 16: return s16;
+    default: return s32;
+  }
+}
+
+const int kGroupIdxTbl[32] = {0, 1, 2, 3, 4, 4, 5, 5, 6, 6, 6, 6,
+                              7, 7, 7, 7, 8, 8, 8, 8, 8, 8, 8, 8,
+                              9, 9, 9, 9, 9, 9, 9, 9};
+
+int rdoq_adjust(int32_t* lev, const int32_t* coef, int n, int qp, int bd,
+                double lam) {
+  qp += 6 * (bd - 8);
+  int log2n = 0;
+  while ((1 << log2n) < n) ++log2n;
+  int tshift = 15 - bd - log2n;
+  double dscale = tshift >= 0 ? 1.0 / (double)(1ll << (2 * tshift))
+                              : (double)(1ll << (-2 * tshift));
+  int bd_shift = bd + log2n - 5;
+  int64_t iq = ((int64_t)kInvQuantScales420[qp % 6] * 16) << (qp / 6);
+  int64_t r = 1ll << (bd_shift - 1);
+  auto deq = [&](int64_t l) {
+    int64_t c = (l * iq + r) >> bd_shift;
+    return (int64_t)std::min<int64_t>(32767, std::max<int64_t>(-32768, c));
+  };
+  auto dist = [&](int64_t e) { return (double)e * (double)e * dscale; };
+  int nz = 0;
+  for (int i = 0; i < n * n; ++i) {
+    int l = std::abs(lev[i]);
+    if (l == 0) continue;
+    int64_t c = std::abs((int64_t)coef[i]);
+    double best = dist(c - deq(l)) + lam * rd_rate_bits(l);
+    int best_l = l;
+    for (int cand = l - 1; cand >= 0 && cand >= l - 1; --cand) {
+      double cost = dist(c - deq(cand)) + lam * rd_rate_bits(cand);
+      if (cost < best) { best = cost; best_l = cand; }
+    }
+    lev[i] = lev[i] < 0 ? -best_l : best_l;
+  }
+  // group zeroing: drop a whole 4x4 coefficient group when its rate is not
+  // worth the distortion (csbf + per-coeff bits vs zeroing SSE increase)
+  for (int gy = 0; gy < n; gy += 4)
+    for (int gx = 0; gx < n; gx += 4) {
+      double d_inc = 0, bits = 2.0;  // csbf + position overhead
+      bool any = false;
+      for (int yy = 0; yy < 4; ++yy)
+        for (int xx = 0; xx < 4; ++xx) {
+          int i = (gy + yy) * n + gx + xx;
+          int l = std::abs(lev[i]);
+          if (!l) continue;
+          any = true;
+          int64_t c = std::abs((int64_t)coef[i]);
+          d_inc += dist(c) - dist(c - deq(l));
+          bits += rd_rate_bits(l);
+        }
+      if (any && d_inc < lam * bits) {
+        for (int yy = 0; yy < 4; ++yy)
+          for (int xx = 0; xx < 4; ++xx)
+            lev[(gy + yy) * n + gx + xx] = 0;
+      }
+    }
+  // last-position truncation (reference xRateDistOptQuant's d64BestCost
+  // last-pos sweep): walking down the scan from the highest nonzero,
+  // zero trailing coefficients whose distortion is not worth the rate
+  // they add (own bins + coded-sub-block flags + last-position prefix).
+  const int* scan = diag_scan(n);
+  int last = -1;
+  for (int i = n * n - 1; i >= 0; --i)
+    if (lev[scan[i]]) { last = i; break; }
+  while (last >= 0) {
+    int pos = scan[last];
+    int l = std::abs(lev[pos]);
+    int prev = -1;
+    for (int i = last - 1; i >= 0; --i)
+      if (lev[scan[i]]) { prev = i; break; }
+    int64_t c = std::abs((int64_t)coef[pos]);
+    double d_inc = dist(c) - dist(c - deq(l));
+    int px = pos % n, py = pos / n;
+    int qpos = prev >= 0 ? scan[prev] : 0;
+    int qx = qpos % n, qy = qpos / n;
+    double bits = rd_rate_bits(l) +
+                  1.0 * ((last >> 4) - ((prev >= 0 ? prev : 0) >> 4)) +
+                  (kGroupIdxTbl[px] + kGroupIdxTbl[py] -
+                   kGroupIdxTbl[qx] - kGroupIdxTbl[qy]) +
+                  0.1 * (last - (prev >= 0 ? prev : 0));
+    if (d_inc < lam * bits) {
+      lev[pos] = 0;
+      last = prev;
+    } else {
+      break;
+    }
+  }
+  for (int i = 0; i < n * n; ++i) nz += lev[i] != 0;
+  return nz;
 }
 
 }  // namespace
@@ -187,13 +339,72 @@ void CtuEngine::encode_ctu(int cx, int cy, const MutCtuData& d) {
         walk(x0 + hh, y0 + hh, log2 - 1, depth + 1, target);
         return;
       }
-      if (e->sp_.slice_type == 2)
-        e->encode_cu_intra(x0, y0, log2, *d, ctu_x0, ctu_y0);
-      else
-        e->encode_cu_inter(x0, y0, log2, *d, ctu_x0, ctu_y0);
+      if (e->sp_.slice_type == 2) {
+        e->intra_cu_decide(x0, y0, log2, *d, ctu_x0, ctu_y0);
+        return;
+      }
+      e->encode_cu_inter(x0, y0, log2, *d, ctu_x0, ctu_y0);
     }
   } rec{this, &d, ctu_x0, ctu_y0, min_cb};
+  if (sp_.slice_type != 2 && ep_.cu_depth_target > 0 &&
+      ctu_x0 + ctu_ <= w_ && ctu_y0 + ctu_ <= h_ &&
+      inter_cu64_try(ctu_x0, ctu_y0, d, ctu_x0, ctu_y0))
+    return;
   rec.walk(ctu_x0, ctu_y0, ilog2(ctu_), 0, ep_.cu_depth_target);
+}
+
+int64_t CtuEngine::intra_screen_cost(int x0, int y0, int log2) {
+  int n = 1 << log2;
+  int32_t f[4 * 32 + 1], ff[4 * 32 + 1];
+  build_refs(recon_[0], w_, h_, w_, x0, y0, n, x0, y0, 1, f);
+  bool strong = ep_.strong_smoothing && dsp::intra_strong_smoothing(f, n, bd_);
+  dsp::intra_filter_refs(f, n, bd_, strong, ff);
+  int cand[3];
+  mpm(x0, y0, cand);
+  int32_t pred[32 * 32];
+  const int16_t* oy = orig_[0] + y0 * w_ + x0;
+  int64_t best = 0;
+  for (int mode = 0; mode < 35; ++mode) {
+    const int32_t* fsel = dsp::intra_filter_flag(mode, n, true) ? ff : f;
+    dsp::intra_predict(fsel, f, mode, n, bd_, true, pred);
+    int64_t c = dsp::satd(oy, w_, pred, n, n) +
+                lam_bits(mode_bits(mode, cand));
+    if (mode == 0 || c < best) best = c;
+  }
+  return best;
+}
+
+// Greedy top-down intra CU split decision (reference TEncCu::xCompressCU's
+// depth recursion, reduced to a SATD screen): code the block whole, or as
+// four quadrants when the summed quadrant screens (prediction from the
+// current recon; unavailable references substitute) cost less.
+void CtuEngine::intra_cu_decide(int x0, int y0, int log2,
+                                const MutCtuData& d, int ctu_x0,
+                                int ctu_y0) {
+  int bw4 = ctu_ / 4;
+  if (log2 > sp_.min_cb_log2 &&
+      x0 + (1 << log2) <= w_ && y0 + (1 << log2) <= h_) {
+    int h = 1 << (log2 - 1);
+    int64_t whole = intra_screen_cost(x0, y0, log2);
+    int64_t split = lam_bits(8);  // split flag + extra part/mode signalling
+    for (int i = 0; i < 4 && split < whole; ++i)
+      split += intra_screen_cost(x0 + (i & 1) * h, y0 + (i >> 1) * h,
+                                 log2 - 1);
+    if (split < whole) {
+      int depth = (int)(uint8_t)(ilog2(ctu_) - log2) + 1;
+      int nb = (1 << log2) >> 2;
+      int bx = (x0 - ctu_x0) >> 2, by = (y0 - ctu_y0) >> 2;
+      for (int yy = 0; yy < nb; ++yy)
+        for (int xx = 0; xx < nb; ++xx)
+          d.cu_depth[(by + yy) * bw4 + bx + xx] = (uint8_t)depth;
+      intra_cu_decide(x0, y0, log2 - 1, d, ctu_x0, ctu_y0);
+      intra_cu_decide(x0 + h, y0, log2 - 1, d, ctu_x0, ctu_y0);
+      intra_cu_decide(x0, y0 + h, log2 - 1, d, ctu_x0, ctu_y0);
+      intra_cu_decide(x0 + h, y0 + h, log2 - 1, d, ctu_x0, ctu_y0);
+      return;
+    }
+  }
+  encode_cu_intra(x0, y0, log2, d, ctu_x0, ctu_y0);
 }
 
 void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
@@ -226,10 +437,40 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     }
   }
 
+  // chroma mode decision over the candidate list (spec 8.4.3: planar,
+  // vertical, horizontal, DC, DM) by joint cb+cr SATD + signalling bits
+  int cs0 = n >> 1;
+  int cw0 = w_ >> 1, ch0 = h_ >> 1;
+  int cmode_best = best_mode;
+  {
+    int32_t fcb[4 * 32 + 1], ffcb[4 * 32 + 1];
+    int32_t fcr[4 * 32 + 1], ffcr[4 * 32 + 1];
+    build_refs(recon_[1], cw0, ch0, cw0, x0 >> 1, y0 >> 1, cs0, x0, y0, 2,
+               fcb);
+    build_refs(recon_[2], cw0, ch0, cw0, x0 >> 1, y0 >> 1, cs0, x0, y0, 2,
+               fcr);
+    dsp::intra_filter_refs(fcb, cs0, bd_, false, ffcb);
+    dsp::intra_filter_refs(fcr, cs0, bd_, false, ffcr);
+    const int16_t* ocb = orig_[1] + (y0 >> 1) * cw0 + (x0 >> 1);
+    const int16_t* ocr = orig_[2] + (y0 >> 1) * cw0 + (x0 >> 1);
+    int64_t cbest = -1;
+    int cands5[5] = {0, 26, 10, 1, best_mode};
+    for (int i = 0; i < 5; ++i) {
+      int cm = cands5[i];
+      if (i < 4 && cm == best_mode) cm = 34;  // substitution (7.4.9.6)
+      int32_t pc[16 * 16];
+      dsp::intra_predict(fcb, fcb, cm, cs0, bd_, false, pc);
+      int64_t c = dsp::satd(ocb, cw0, pc, cs0, cs0);
+      dsp::intra_predict(fcr, fcr, cm, cs0, bd_, false, pc);
+      c += dsp::satd(ocr, cw0, pc, cs0, cs0);
+      c += lam_bits(i == 4 ? 1 : 3);
+      if (cbest < 0 || c < cbest) { cbest = c; cmode_best = cm; }
+    }
+  }
   for (int yy = 0; yy < nb; ++yy)
     for (int xx = 0; xx < nb; ++xx) {
       d.luma_mode[(by + yy) * bw4 + bx + xx] = (uint8_t)best_mode;
-      d.chroma_mode[(by + yy) * bw4 + bx + xx] = (uint8_t)best_mode;  // DM
+      d.chroma_mode[(by + yy) * bw4 + bx + xx] = (uint8_t)cmode_best;
       d.pred_mode[(by + yy) * bw4 + bx + xx] = 1;
       d.tu_depth[(by + yy) * bw4 + bx + xx] = 0;
     }
@@ -247,6 +488,9 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
       resi[i * n + j] = (int32_t)oy[i * w_ + j] - best_pred[i * n + j];
   dsp::fwd_xform(resi, n, bd_, dst, coef);
   int nz = dsp::quant(coef, n, sp_.qp, bd_, true, lev);
+  if (nz)
+    nz = rdoq_adjust(lev, coef, n, sp_.qp, bd_,
+                     ep_.sqrt_lam * ep_.sqrt_lam);
   int maxv = (1 << bd_) - 1;
   if (nz) {
     dsp::dequant(lev, n, sp_.qp, bd_, deq);
@@ -272,14 +516,17 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     build_refs(recon_[ci], cw, ch, cw, x0 >> 1, y0 >> 1, cs, x0, y0, 2, fc);
     dsp::intra_filter_refs(fc, cs, bd_, false, ffc);
     const int32_t* fsel =
-        dsp::intra_filter_flag(best_mode, cs, false) ? ffc : fc;
-    dsp::intra_predict(fsel, fc, best_mode, cs, bd_, false, pred);
+        dsp::intra_filter_flag(cmode_best, cs, false) ? ffc : fc;
+    dsp::intra_predict(fsel, fc, cmode_best, cs, bd_, false, pred);
     const int16_t* oc = orig_[ci] + (y0 >> 1) * cw + (x0 >> 1);
     for (int i = 0; i < cs; ++i)
       for (int j = 0; j < cs; ++j)
         resi[i * cs + j] = (int32_t)oc[i * cw + j] - pred[i * cs + j];
     dsp::fwd_xform(resi, cs, bd_, false, coef);
     int cnz = dsp::quant(coef, cs, qp_c_, bd_, true, lev);
+    if (cnz)
+      cnz = rdoq_adjust(lev, coef, cs, qp_c_, bd_,
+                        ep_.sqrt_lam * ep_.sqrt_lam);
     if (cnz) {
       dsp::dequant(lev, cs, qp_c_, bd_, deq);
       dsp::inv_xform(deq, cs, bd_, false, rres);
@@ -297,6 +544,192 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
       }
   }
   publish(x0, y0, log2, true, 0, 0, 0, -1, 0, 0, -1);
+}
+
+// Reference TEncCu::xCompressCU depth-0 trial, reduced to a SATD screen:
+// merge candidates at 64x64 plus one AMVP candidate derived from the
+// quadrant MVs, against the summed per-quadrant screens.
+bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
+                               int ctu_x0, int ctu_y0) {
+  int n = ctu_;
+  int log2 = ilog2(ctu_);
+  int pad = ep_.pad;
+  int rw = w_ + 2 * pad;
+  int rwc = w_ / 2 + 2 * pad;
+  const int16_t* oy = orig_[0] + y0 * w_ + x0;
+  int size_full = ctu_ >> ep_.cu_depth_target;
+  if (!me_mvx_ || size_full != 32) return false;
+
+  static thread_local std::vector<int32_t> predbuf, bestbuf;
+  predbuf.resize(n * n);
+  bestbuf.resize(n * n);
+  int32_t* pred = predbuf.data();
+  int32_t* best_pred = bestbuf.data();
+
+  // quadrant integer MVs from the device search
+  int mvs[4][2];
+  for (int i = 0; i < 4; ++i) {
+    int qx = x0 + (i & 1) * 32, qy = y0 + (i >> 1) * 32;
+    int mi = (qy / 32) * me_nx_ + (qx / 32);
+    mvs[i][0] = me_mvx_[mi] << 2;
+    mvs[i][1] = me_mvy_[mi] << 2;
+  }
+  // screen cost of the split path: per-quadrant SATD at own MV + overhead
+  int64_t split_cost = lam_bits(4 * 6);
+  for (int i = 0; i < 4; ++i) {
+    int qx = x0 + (i & 1) * 32, qy = y0 + (i >> 1) * 32;
+    dsp::mc_predict(ref0_[0], rw, pad, mvs[i][0], mvs[i][1], qx, qy, 32, 32,
+                    bd_, true, pred);
+    split_cost += dsp::satd(orig_[0] + qy * w_ + qx, w_, pred, 32, 32);
+  }
+
+  // 64x64 candidates: merge list + median-MV AMVP
+  MotionInfo cands[5];
+  int ncand = senc_->maps().merge_candidates(x0, y0, n, n, cands);
+  int64_t best = -1;
+  int best_idx = -1;        // >=0 merge idx, -1 AMVP
+  MotionInfo sel;
+  int16_t amvp[4];
+  senc_->maps().amvp_candidates(x0, y0, n, n, 0, 0, amvp);
+  for (int idx = 0; idx < ncand; ++idx) {
+    bool dup = false;
+    for (int k = 0; k < idx; ++k)
+      if (cands[k] == cands[idx]) { dup = true; break; }
+    if (dup) continue;
+    const MotionInfo& mi = cands[idx];
+    if (mi.ref[0] >= 0 && mi.ref[1] >= 0)
+      dsp::mc_predict_bi(ref0_[0], ref1_[0], rw, pad, mi.mvx[0], mi.mvy[0],
+                         mi.mvx[1], mi.mvy[1], x0, y0, n, n, bd_, true,
+                         pred);
+    else {
+      int l = mi.ref[0] >= 0 ? 0 : 1;
+      dsp::mc_predict(l == 0 ? ref0_[0] : ref1_[0], rw, pad, mi.mvx[l],
+                      mi.mvy[l], x0, y0, n, n, bd_, true, pred);
+    }
+    int64_t c = dsp::satd(oy, w_, pred, n, n) + lam_bits(idx + 1);
+    if (best < 0 || c < best) {
+      best = c;
+      best_idx = idx;
+      sel = mi;
+      std::memcpy(best_pred, pred, sizeof(int32_t) * n * n);
+    }
+  }
+  // median-of-quadrants AMVP candidate
+  auto med4 = [](int a, int b, int c, int dd) {
+    int v[4] = {a, b, c, dd};
+    std::sort(v, v + 4);
+    return (v[1] + v[2]) / 2;
+  };
+  int dmx = med4(mvs[0][0], mvs[1][0], mvs[2][0], mvs[3][0]);
+  int dmy = med4(mvs[0][1], mvs[1][1], mvs[2][1], mvs[3][1]);
+  dsp::mc_predict(ref0_[0], rw, pad, dmx, dmy, x0, y0, n, n, bd_, true,
+                  pred);
+  int bits0 = mv_bits(dmx - amvp[0]) + mv_bits(dmy - amvp[1]);
+  int bits1 = mv_bits(dmx - amvp[2]) + mv_bits(dmy - amvp[3]);
+  int mvp_f = bits0 <= bits1 ? 0 : 1;
+  int64_t c_amvp = dsp::satd(oy, w_, pred, n, n) +
+                   lam_bits(std::min(bits0, bits1) + 3);
+  if (best < 0 || c_amvp < best) {
+    best = c_amvp;
+    best_idx = -1;
+    sel = MotionInfo();
+    sel.mvx[0] = (int16_t)dmx;
+    sel.mvy[0] = (int16_t)dmy;
+    sel.ref[0] = 0;
+    std::memcpy(best_pred, pred, sizeof(int32_t) * n * n);
+  }
+  if (best >= split_cost) return false;
+
+  // ---- commit 64x64 CU: residual as four 32x32 luma TBs (implicit RQT
+  // split, spec 7.3.8.8) + per-quadrant 16x16 chroma TBs ----
+  int bw4 = ctu_ / 4;
+  int cw = w_ >> 1;
+  int cctu = ctu_ >> 1;
+  int32_t resi[32 * 32], coef[32 * 32], lev[32 * 32], deq[32 * 32],
+      rres[32 * 32];
+  int maxv = (1 << bd_) - 1;
+  double lam = ep_.sqrt_lam * ep_.sqrt_lam;
+  int nz_total = 0;
+  auto code_tb64 = [&](const int16_t* o, int ostride, const int32_t* p,
+                       int pstride, int sz, int qp, int16_t* lv_out,
+                       int lv_stride, int16_t* rec, int rstride) {
+    for (int i = 0; i < sz; ++i)
+      for (int j = 0; j < sz; ++j)
+        resi[i * sz + j] = (int32_t)o[i * ostride + j] - p[i * pstride + j];
+    dsp::fwd_xform(resi, sz, bd_, false, coef);
+    int nz = dsp::quant(coef, sz, qp, bd_, false, lev);
+    if (nz) nz = rdoq_adjust(lev, coef, sz, qp, bd_, lam);
+    if (nz) {
+      dsp::dequant(lev, sz, qp, bd_, deq);
+      dsp::inv_xform(deq, sz, bd_, false, rres);
+    } else {
+      std::memset(rres, 0, sizeof(int32_t) * sz * sz);
+    }
+    for (int i = 0; i < sz; ++i)
+      for (int j = 0; j < sz; ++j) {
+        lv_out[i * lv_stride + j] = (int16_t)lev[i * sz + j];
+        int32_t v = p[i * pstride + j] + rres[i * sz + j];
+        rec[i * rstride + j] = (int16_t)std::min(maxv, std::max(0, v));
+      }
+    return nz;
+  };
+  for (int q = 0; q < 4; ++q) {
+    int qx = x0 + (q & 1) * 32, qy = y0 + (q >> 1) * 32;
+    nz_total += code_tb64(orig_[0] + qy * w_ + qx, w_,
+                          best_pred + (qy - y0) * n + (qx - x0), n, 32,
+                          sp_.qp, d.coeff_y + (qy - ctu_y0) * ctu_ +
+                          (qx - ctu_x0), ctu_,
+                          recon_[0] + qy * w_ + qx, w_);
+  }
+  // chroma (32x32 for the CU, coded as four 16x16 TBs in quadrant order)
+  int32_t pc[32 * 32];
+  for (int ci = 1; ci <= 2; ++ci) {
+    const int16_t* refp = (sel.ref[0] >= 0) ? ref0_[ci] : ref1_[ci];
+    int l = sel.ref[0] >= 0 ? 0 : 1;
+    if (sel.ref[0] >= 0 && sel.ref[1] >= 0)
+      dsp::mc_predict_bi(ref0_[ci], ref1_[ci], rwc, pad, sel.mvx[0],
+                         sel.mvy[0], sel.mvx[1], sel.mvy[1], x0 >> 1,
+                         y0 >> 1, 32, 32, bd_, false, pc);
+    else
+      dsp::mc_predict(refp, rwc, pad, sel.mvx[l], sel.mvy[l], x0 >> 1,
+                      y0 >> 1, 32, 32, bd_, false, pc);
+    int16_t* lv_plane = ci == 1 ? d.coeff_cb : d.coeff_cr;
+    for (int q = 0; q < 4; ++q) {
+      int qx = (q & 1) * 16, qy = (q >> 1) * 16;
+      nz_total += code_tb64(
+          orig_[ci] + ((y0 >> 1) + qy) * cw + (x0 >> 1) + qx, cw,
+          pc + qy * 32 + qx, 32, 16, qp_c_,
+          lv_plane + ((y0 - ctu_y0) / 2 + qy) * cctu +
+              (x0 - ctu_x0) / 2 + qx, cctu,
+          recon_[ci] + ((y0 >> 1) + qy) * cw + (x0 >> 1) + qx, cw);
+    }
+  }
+  bool zero_resid = nz_total == 0;
+  int skip = (best_idx >= 0 && zero_resid) ? 1 : 0;
+  for (int i = 0; i < bw4 * bw4; ++i) {
+    d.cu_depth[i] = 0;
+    d.pred_mode[i] = 0;
+    d.skip_flag[i] = (uint8_t)skip;
+    d.merge_flag[i] = best_idx >= 0 ? 1 : 0;
+    d.merge_idx[i] = (uint8_t)(best_idx >= 0 ? best_idx : 0);
+    d.mvp_flag[i] = (uint8_t)(best_idx >= 0 ? 0 : mvp_f);
+    d.ref_idx[i] = sel.ref[0];
+    d.mvd_x[i] = (int16_t)(best_idx >= 0 ? 0 : dmx - amvp[2 * mvp_f]);
+    d.mvd_y[i] = (int16_t)(best_idx >= 0 ? 0 : dmy - amvp[2 * mvp_f + 1]);
+    d.mv_x[i] = sel.mvx[0];
+    d.mv_y[i] = sel.mvy[0];
+    d.ref_idx1[i] = sel.ref[1];
+    d.mv_x1[i] = sel.mvx[1];
+    d.mv_y1[i] = sel.mvy[1];
+    d.tu_depth[i] = 0;
+  }
+  int stride4 = (w_ + 3) >> 2;
+  for (int yy = y0 >> 2; yy < (y0 + n) >> 2; ++yy)
+    for (int xx = x0 >> 2; xx < (x0 + n) >> 2; ++xx)
+      mode_map_[yy * stride4 + xx] = 1;
+  publish(x0, y0, log2, false, skip, sel.mvx[0], sel.mvy[0], sel.ref[0],
+          sel.mvx[1], sel.mvy[1], sel.ref[1]);
+  return true;
 }
 
 void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
@@ -420,7 +853,12 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       imode = mode;
     }
   }
+  // intra in inter slices carries a large real bit cost (no skip path,
+  // mode + tree signalling) that the SATD screen does not see; bias like
+  // the reference's FEN fast-decision rather than full RD
   int64_t cost_intra = icost + (int64_t)(ep_.sqrt_lam * 8);
+  cost_intra += cost_intra >> 3;  // +12.5%
+  if (getenv("HEVC_TPU_NO_INTRA_IN_P")) cost_intra = INT64_MAX / 2;
 
   int64_t best =
       std::min(std::min(m_cost < 0 ? INT64_MAX : m_cost, cost_inter),
@@ -477,6 +915,9 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
         resi[i * sz + j] = (int32_t)o[i * ostride + j] - p[i * sz + j];
     dsp::fwd_xform(resi, sz, bd_, false, coef);
     int nz = dsp::quant(coef, sz, qp, bd_, false, lv);
+    if (nz)
+      nz = rdoq_adjust(lv, coef, sz, qp, bd_,
+                       ep_.sqrt_lam * ep_.sqrt_lam);
     if (nz) {
       dsp::dequant(lv, sz, qp, bd_, deq);
       dsp::inv_xform(deq, sz, bd_, false, rres);
@@ -629,6 +1070,23 @@ struct CompChoice {
   double cost = 0;
 };
 
+// delta-SSE of applying (type, eo/band, offsets) to a component's stats
+double param_delta_sse(const CompStats& st, int type, int eo, int band,
+                       const int32_t* off) {
+  double d = 0;
+  if (type == 2) {
+    for (int cat = 1; cat <= 4; ++cat)
+      d += (double)st.N[eo][cat] * off[cat - 1] * off[cat - 1] -
+           2.0 * off[cat - 1] * st.E[eo][cat];
+  } else if (type == 1) {
+    for (int k = 0; k < 4; ++k) {
+      int b = (band + k) & 31;
+      d += (double)st.Nb[b] * off[k] * off[k] - 2.0 * off[k] * st.Eb[b];
+    }
+  }
+  return d;
+}
+
 CompChoice pick_component(const CompStats& st, double lam, int max_off) {
   CompChoice best;
   best.type = 0;
@@ -730,6 +1188,41 @@ extern "C" void hevc_sao_estimate(
           prm[12 + k] = best_off_cb[k];
           prm[16 + k] = best_off_cr[k];
         }
+      }
+      // ---- merge-left / merge-up (reference deriveModeMergeRDO) ----
+      // own rate: rough bits of coding the three components' parameters
+      double own_bits = 2.0;
+      for (int comp = 0; comp < 3; ++comp) {
+        int t = comp == 0 ? prm[0] : prm[1];
+        if (t == 0) { own_bits += 1; continue; }
+        const int32_t* off = prm + 8 + 4 * comp;
+        own_bits += 2 + (t == 1 ? 5 : 2);
+        for (int k = 0; k < 4; ++k) own_bits += std::abs(off[k]) + 1;
+      }
+      double own_cost = l.cost + best_cost - lam * (3.0) +
+                        lam * own_bits;  // re-rate with fuller bit model
+      const CompStats* stats3[3] = {&sl, &sb, &sr};
+      double best_merge = own_cost;
+      int merge_sel = 0;
+      const int32_t* nbrs[2] = {
+          cx > 0 ? out + ((size_t)cy * ctus_w + cx - 1) * 20 : nullptr,
+          cy > 0 ? out + ((size_t)(cy - 1) * ctus_w + cx) * 20 : nullptr};
+      for (int mi = 0; mi < 2; ++mi) {
+        const int32_t* np = nbrs[mi];
+        if (!np) continue;
+        double c = lam * (mi + 1);
+        for (int comp = 0; comp < 3; ++comp) {
+          int t = comp == 0 ? np[0] : np[1];
+          int eo = comp == 0 ? np[2] : np[3];
+          c += param_delta_sse(*stats3[comp], t, eo, np[4 + comp],
+                               np + 8 + 4 * comp);
+        }
+        if (c < best_merge) { best_merge = c; merge_sel = mi + 1; }
+      }
+      if (merge_sel) {
+        const int32_t* np = nbrs[merge_sel - 1];
+        std::memcpy(prm, np, 20 * sizeof(int32_t));
+        prm[7] = merge_sel;  // 1 = left, 2 = up (syntax-only flag)
       }
     }
 }

@@ -39,8 +39,19 @@ class CtuEngine {
  private:
   void encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
                        int ctu_x0, int ctu_y0);
+  // SATD+lambda*bits screen of the best intra mode at (x0,y0,log2) from the
+  // current recon state, without committing anything
+  int64_t intra_screen_cost(int x0, int y0, int log2);
+  // recursive RD-ish intra CU decision: code at this depth or split
+  void intra_cu_decide(int x0, int y0, int log2, const MutCtuData& d,
+                       int ctu_x0, int ctu_y0);
   void encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
                        int ctu_x0, int ctu_y0);
+  // 64x64 inter decision: code the whole CTU as one CU (merge/skip or a
+  // derived-MV AMVP) when its screen cost beats the four-quadrant sum;
+  // returns false to fall through to the per-32x32 path
+  bool inter_cu64_try(int x0, int y0, const MutCtuData& d, int ctu_x0,
+                      int ctu_y0);
   // availability-aware combined reference vector on a working recon plane
   void build_refs(const int16_t* plane, int pw, int ph, int stride, int x0,
                   int y0, int n, int lx0, int ly0, int sxy, int32_t* f);

@@ -1502,9 +1502,17 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
 void SliceEncoder::code_sao(int cx, int cy) {
   const int32_t* p = cur_->sao;
   int cmax_off = (1 << (std::min(sp_.bit_depth, 10) - 5)) - 1;
-  // merge flags (we always code fresh parameters)
-  if (cx > 0) cabac_.encode_bin(ctx_.sao_merge[0], 0);
-  if (cy > 0) cabac_.encode_bin(ctx_.sao_merge[0], 0);
+  // merge flags: p[7] = 1 merge-left, 2 merge-up (parameters already
+  // resolved into p by the estimator; only the flag is signalled)
+  int merge = p[7];
+  if (cx > 0) {
+    cabac_.encode_bin(ctx_.sao_merge[0], merge == 1);
+    if (merge == 1) return;
+  }
+  if (cy > 0) {
+    cabac_.encode_bin(ctx_.sao_merge[0], merge == 2);
+    if (merge == 2) return;
+  }
   auto code_type = [&](int t) {
     cabac_.encode_bin(ctx_.sao_type[0], t != 0);
     if (t != 0) cabac_.encode_bypass(t == 2 ? 1 : 0);
