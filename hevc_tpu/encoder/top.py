@@ -53,6 +53,11 @@ class EncoderTop:
         self.vps = VPS()
         self.vps.ptl.general_profile_idc = self.sps.ptl.general_profile_idc
         self.pps = PPS(init_qp_minus26=cfg.qp - 26)
+        import os as _os
+        if (cfg.internal_chroma_format == 1 and
+                _os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0"):
+            # the native engine enforces the parity constraint
+            self.pps.sign_data_hiding_enabled_flag = 1
         if cfg.deblock_disable:
             self.pps.deblocking_filter_control_present_flag = 1
             self.pps.pps_deblocking_filter_disabled_flag = 1
@@ -240,6 +245,7 @@ class EncoderTop:
                 ctu_size=self.sps.ctu_size,
                 max_tu_depth_intra=self.sps.max_transform_hierarchy_depth_intra,
                 chroma_format=self.sps.chroma_format_idc,
+                sign_hiding=self.pps.sign_data_hiding_enabled_flag,
                 sao_luma=sao_on, sao_chroma=sao_on,
                 bit_depth=self.sps.bit_depth_luma)
             senc = SliceDataEncoder(sp)
@@ -256,6 +262,7 @@ class EncoderTop:
                 cfg.width, cfg.height, slice_qp, slice_type=int(stype),
                 ctu_size=self.sps.ctu_size,
                 max_tu_depth_intra=self.sps.max_transform_hierarchy_depth_intra,
+                sign_hiding=self.pps.sign_data_hiding_enabled_flag,
                 num_ref_l0=1, num_ref_l1=1 if is_b else 0,
                 ref_poc_l0=[l0_poc],
                 ref_poc_l1=[ref_l1[0]] if is_b else [],

@@ -186,6 +186,72 @@ int rdoq_adjust(int32_t* lev, const int32_t* coef, int n, int qp, int bd,
   return nz;
 }
 
+// Sign-data-hiding parity enforcement (spec 7.4.9.11 sign_data_hiding /
+// reference TComTrQuant::signBitHidingHDQ:499): for every 4x4 coefficient
+// group whose first-to-last nonzero scan span exceeds 3, the sign of the
+// first (lowest scan) nonzero is inferred from the parity of the absolute
+// level sum; adjust the cheapest coefficient by +/-1 when parity is wrong.
+void sbh_enforce(int32_t* lev, const int32_t* coef, int n, int qp, int bd) {
+  qp += 6 * (bd - 8);
+  int log2n = 0;
+  while ((1 << log2n) < n) ++log2n;
+  int bd_shift = bd + log2n - 5;
+  int64_t iq = ((int64_t)kInvQuantScales420[qp % 6] * 16) << (qp / 6);
+  int64_t rr = 1ll << (bd_shift - 1);
+  auto deq = [&](int64_t l) {
+    int64_t c = (l * iq + rr) >> bd_shift;
+    return (int64_t)std::min<int64_t>(32767, std::max<int64_t>(-32768, c));
+  };
+  const int* scan = diag_scan(n);
+  int nsb = (n * n) >> 4;
+  for (int g = 0; g < nsb; ++g) {
+    int first = -1, last = -1;
+    int64_t sum = 0;
+    for (int k = 0; k < 16; ++k) {
+      int pos = scan[g * 16 + k];
+      if (lev[pos]) {
+        if (first < 0) first = k;
+        last = k;
+        sum += std::abs(lev[pos]);
+      }
+    }
+    if (first < 0 || last - first <= 3) continue;
+    int fpos = scan[g * 16 + first];
+    int want = lev[fpos] < 0 ? 1 : 0;
+    if ((int)(sum & 1) == want) continue;
+    // flip parity: +/-1 on the coefficient where it hurts least; never
+    // create a new nonzero (that would add sig+sign+level bins), so only
+    // existing coefficients are adjusted, decrements preferred
+    double best_cost = -1;
+    int best_pos = -1, best_delta = 0;
+    for (int pass = 0; pass < 2 && best_pos < 0; ++pass) {
+      for (int k = first; k <= last; ++k) {
+        int pos = scan[g * 16 + k];
+        int l = std::abs(lev[pos]);
+        if (l == 0) continue;
+        int delta = pass == 0 ? -1 : 1;
+        int nl = l + delta;
+        if (nl == 0 && (k == first || k == last)) continue;
+        if (nl < 0) continue;
+        int64_t c = std::abs((int64_t)coef[pos]);
+        int64_t e = c - deq(nl);
+        double cost = (double)e * e;
+        if (best_pos < 0 || cost < best_cost) {
+          best_cost = cost;
+          best_pos = pos;
+          best_delta = delta;
+        }
+      }
+    }
+    if (best_pos >= 0) {
+      int l = std::abs(lev[best_pos]) + best_delta;
+      int sign = lev[best_pos] < 0 ||
+                 (lev[best_pos] == 0 && coef[best_pos] < 0);
+      lev[best_pos] = sign ? -l : l;
+    }
+  }
+}
+
 }  // namespace
 
 CtuEngine::CtuEngine(const SliceParams& sp, const EngineParams& ep,
@@ -491,6 +557,7 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
   if (nz)
     nz = rdoq_adjust(lev, coef, n, sp_.qp, bd_,
                      ep_.sqrt_lam * ep_.sqrt_lam);
+  if (nz && sp_.sign_hiding) sbh_enforce(lev, coef, n, sp_.qp, bd_);
   int maxv = (1 << bd_) - 1;
   if (nz) {
     dsp::dequant(lev, n, sp_.qp, bd_, deq);
@@ -527,6 +594,7 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     if (cnz)
       cnz = rdoq_adjust(lev, coef, cs, qp_c_, bd_,
                         ep_.sqrt_lam * ep_.sqrt_lam);
+    if (cnz && sp_.sign_hiding) sbh_enforce(lev, coef, cs, qp_c_, bd_);
     if (cnz) {
       dsp::dequant(lev, cs, qp_c_, bd_, deq);
       dsp::inv_xform(deq, cs, bd_, false, rres);
@@ -659,6 +727,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
     dsp::fwd_xform(resi, sz, bd_, false, coef);
     int nz = dsp::quant(coef, sz, qp, bd_, false, lev);
     if (nz) nz = rdoq_adjust(lev, coef, sz, qp, bd_, lam);
+    if (nz && sp_.sign_hiding) sbh_enforce(lev, coef, sz, qp, bd_);
     if (nz) {
       dsp::dequant(lev, sz, qp, bd_, deq);
       dsp::inv_xform(deq, sz, bd_, false, rres);
@@ -918,6 +987,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     if (nz)
       nz = rdoq_adjust(lv, coef, sz, qp, bd_,
                        ep_.sqrt_lam * ep_.sqrt_lam);
+    if (nz && sp_.sign_hiding) sbh_enforce(lv, coef, sz, qp, bd_);
     if (nz) {
       dsp::dequant(lv, sz, qp, bd_, deq);
       dsp::inv_xform(deq, sz, bd_, false, rres);
