@@ -54,46 +54,67 @@ inline double rd_rate_bits(int l) {
   return 3.0 + 2.0 * (bl - 1);
 }
 
-// diagonal scan (4x4 sub-blocks in up-right diagonal order, same pattern
-// inside each sub-block; spec 6.5.3) — cached per size
-const int* diag_scan(int n) {
-  static int s4[16], s8[64], s16[256], s32[1024];
+// scan tables (diag/hor/ver over 4x4 sub-blocks, spec 6.5.3/6.5.4) —
+// built identically to the syntax layer's ScanTables
+const int* scan_table(int n, int sidx) {
+  static int tbl[4][3][1024];
   static bool init = false;
   if (!init) {
     init = true;
-    auto build = [](int* out, int nn) {
-      int sb = nn / 4;
-      int k = 0;
-      auto diag_order = [](int m, int* ord) {
-        int c = 0;
-        for (int d = 0; d < 2 * m - 1; ++d)
-          for (int x = 0; x < m; ++x) {
-            int y = d - x;
-            if (y >= 0 && y < m) ord[c++] = y * m + x;
+    auto order = [](int m, int sc, int* ox, int* oy) {
+      int c = 0;
+      if (sc == 1) {
+        for (int y = 0; y < m; ++y)
+          for (int x = 0; x < m; ++x) { ox[c] = x; oy[c] = y; ++c; }
+      } else if (sc == 2) {
+        for (int x = 0; x < m; ++x)
+          for (int y = 0; y < m; ++y) { ox[c] = x; oy[c] = y; ++c; }
+      } else {
+        int x = 0, y = 0;
+        while (c < m * m) {
+          while (y >= 0) {
+            if (x < m && y < m) { ox[c] = x; oy[c] = y; ++c; }
+            --y; ++x;
           }
-      };
-      int sbord[64], inord[16];
-      diag_order(sb, sbord);
-      diag_order(4, inord);
-      for (int g = 0; g < sb * sb; ++g) {
-        int gy = sbord[g] / sb, gx = sbord[g] % sb;
-        for (int i = 0; i < 16; ++i) {
-          int iy = inord[i] / 4, ix = inord[i] % 4;
-          out[k++] = (gy * 4 + iy) * nn + gx * 4 + ix;
+          y = x; x = 0;
         }
       }
     };
-    build(s4, 4);
-    build(s8, 8);
-    build(s16, 16);
-    build(s32, 32);
+    for (int lg = 2; lg <= 5; ++lg) {
+      int nn = 1 << lg;
+      for (int sc = 0; sc < 3; ++sc) {
+        int* out = tbl[lg - 2][sc];
+        if (nn == 4) {
+          int ox[16], oy[16];
+          order(4, sc, ox, oy);
+          for (int i = 0; i < 16; ++i) out[i] = oy[i] * 4 + ox[i];
+          continue;
+        }
+        int sbx[64], sby[64], inx[16], iny[16];
+        order(nn / 4, sc, sbx, sby);
+        order(4, sc, inx, iny);
+        int k = 0;
+        for (int g = 0; g < (nn / 4) * (nn / 4); ++g)
+          for (int i = 0; i < 16; ++i)
+            out[k++] = (sby[g] * 4 + iny[i]) * nn + sbx[g] * 4 + inx[i];
+      }
+    }
   }
-  switch (n) {
-    case 4: return s4;
-    case 8: return s8;
-    case 16: return s16;
-    default: return s32;
-  }
+  int lg = 0;
+  while ((1 << lg) < n) ++lg;
+  return tbl[lg - 2][sidx];
+}
+
+const int* diag_scan(int n) { return scan_table(n, 0); }
+
+// spec 7.4.9.11 mode-dependent scan selection (4:2:0 engine)
+int engine_scan_idx(int log2, int c_idx, bool is_intra, int pred_mode) {
+  if (!is_intra) return 0;
+  bool mdcs = (c_idx == 0) ? (log2 == 2 || log2 == 3) : (log2 == 2);
+  if (!mdcs) return 0;
+  if (pred_mode >= 6 && pred_mode <= 14) return 2;
+  if (pred_mode >= 22 && pred_mode <= 30) return 1;
+  return 0;
 }
 
 const int kGroupIdxTbl[32] = {0, 1, 2, 3, 4, 4, 5, 5, 6, 6, 6, 6,
@@ -191,7 +212,8 @@ int rdoq_adjust(int32_t* lev, const int32_t* coef, int n, int qp, int bd,
 // group whose first-to-last nonzero scan span exceeds 3, the sign of the
 // first (lowest scan) nonzero is inferred from the parity of the absolute
 // level sum; adjust the cheapest coefficient by +/-1 when parity is wrong.
-void sbh_enforce(int32_t* lev, const int32_t* coef, int n, int qp, int bd) {
+void sbh_enforce(int32_t* lev, const int32_t* coef, int n, int qp, int bd,
+                 int scan_idx) {
   qp += 6 * (bd - 8);
   int log2n = 0;
   while ((1 << log2n) < n) ++log2n;
@@ -202,7 +224,7 @@ void sbh_enforce(int32_t* lev, const int32_t* coef, int n, int qp, int bd) {
     int64_t c = (l * iq + rr) >> bd_shift;
     return (int64_t)std::min<int64_t>(32767, std::max<int64_t>(-32768, c));
   };
-  const int* scan = diag_scan(n);
+  const int* scan = scan_table(n, scan_idx);
   int nsb = (n * n) >> 4;
   for (int g = 0; g < nsb; ++g) {
     int first = -1, last = -1;
@@ -557,7 +579,9 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
   if (nz)
     nz = rdoq_adjust(lev, coef, n, sp_.qp, bd_,
                      ep_.sqrt_lam * ep_.sqrt_lam);
-  if (nz && sp_.sign_hiding) sbh_enforce(lev, coef, n, sp_.qp, bd_);
+  if (nz && sp_.sign_hiding)
+    sbh_enforce(lev, coef, n, sp_.qp, bd_,
+                engine_scan_idx(log2, 0, true, best_mode));
   int maxv = (1 << bd_) - 1;
   if (nz) {
     dsp::dequant(lev, n, sp_.qp, bd_, deq);
@@ -594,7 +618,9 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     if (cnz)
       cnz = rdoq_adjust(lev, coef, cs, qp_c_, bd_,
                         ep_.sqrt_lam * ep_.sqrt_lam);
-    if (cnz && sp_.sign_hiding) sbh_enforce(lev, coef, cs, qp_c_, bd_);
+    if (cnz && sp_.sign_hiding)
+      sbh_enforce(lev, coef, cs, qp_c_, bd_,
+                  engine_scan_idx(log2 - 1, ci, true, cmode_best));
     if (cnz) {
       dsp::dequant(lev, cs, qp_c_, bd_, deq);
       dsp::inv_xform(deq, cs, bd_, false, rres);
@@ -727,7 +753,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
     dsp::fwd_xform(resi, sz, bd_, false, coef);
     int nz = dsp::quant(coef, sz, qp, bd_, false, lev);
     if (nz) nz = rdoq_adjust(lev, coef, sz, qp, bd_, lam);
-    if (nz && sp_.sign_hiding) sbh_enforce(lev, coef, sz, qp, bd_);
+    if (nz && sp_.sign_hiding) sbh_enforce(lev, coef, sz, qp, bd_, 0);
     if (nz) {
       dsp::dequant(lev, sz, qp, bd_, deq);
       dsp::inv_xform(deq, sz, bd_, false, rres);
@@ -987,7 +1013,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     if (nz)
       nz = rdoq_adjust(lv, coef, sz, qp, bd_,
                        ep_.sqrt_lam * ep_.sqrt_lam);
-    if (nz && sp_.sign_hiding) sbh_enforce(lv, coef, sz, qp, bd_);
+    if (nz && sp_.sign_hiding) sbh_enforce(lv, coef, sz, qp, bd_, 0);
     if (nz) {
       dsp::dequant(lv, sz, qp, bd_, deq);
       dsp::inv_xform(deq, sz, bd_, false, rres);
