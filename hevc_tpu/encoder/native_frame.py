@@ -131,18 +131,25 @@ class NativeFrameEncoder:
         recon = [np.zeros((h, w), np.int16),
                  np.zeros((h // 2, w // 2), np.int16),
                  np.zeros((h // 2, w // 2), np.int16)]
-        me_x = me_y = None
+        me_x = me_y = me16_x = me16_y = None
         if self.is_inter:
             size = ctu >> self.cu_depth_target
             me_x, me_y = batched_me_grid(orig[0], self.ref[0], size,
                                          self.search_range, self.lam_fp)
+            import os
+            if os.environ.get("HEVC_TPU_CU16", "0") != "0":
+                # deeper inter partitioning: RD-neutral on low-motion
+                # content but costs a second device search; opt-in
+                me16_x, me16_y = batched_me_grid(
+                    orig[0], self.ref[0], 16, min(self.search_range, 16),
+                    self.lam_fp)
         ep = EngineParamsC(
             pad=PAD, cu_depth_target=self.cu_depth_target,
             strong_smoothing=sps.strong_intra_smoothing_enabled_flag,
             is_b=1 if self.is_b else 0, sqrt_lam=self.sqrt_lam)
         eng = NativeCtuEngine(self.sp, ep, self.senc, orig, recon,
                               self.ref, self.ref1 if self.is_b else self.ref,
-                              me_x, me_y)
+                              me_x, me_y, me16_x, me16_y)
         from ..entropy.cabac import FrameDecisions, engine_encode_frame
         ctus_w, ctus_h = -(-w // ctu), -(-h // ctu)
         fd = FrameDecisions(ctus_w * ctus_h, ctu, 1)

@@ -78,8 +78,9 @@ def get_lib() -> ctypes.CDLL:
     lib.hevc_engine_create.restype = ctypes.c_void_p
     lib.hevc_engine_create.argtypes = (
         [ctypes.POINTER(SliceParamsC), ctypes.POINTER(EngineParamsC),
-         ctypes.c_void_p] + [i16null] * 12 + [i32null, i32null,
-                                             ctypes.c_int, ctypes.c_int])
+         ctypes.c_void_p] + [i16null] * 12
+        + [i32null, i32null, ctypes.c_int, ctypes.c_int]
+        + [i32null, i32null, ctypes.c_int, ctypes.c_int])
     lib.hevc_engine_destroy.argtypes = [ctypes.c_void_p]
     lib.hevc_engine_ctu.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
@@ -302,21 +303,25 @@ class NativeCtuEngine:
 
     def __init__(self, params: SliceParamsC, ep: EngineParamsC,
                  senc: SliceDataEncoder, orig, recon, ref0=None, ref1=None,
-                 me_mvx=None, me_mvy=None):
+                 me_mvx=None, me_mvy=None, me16_mvx=None, me16_mvy=None):
         self._lib = get_lib()
         # keep every buffer alive for the engine lifetime
-        self._keep = [params, ep, orig, recon, ref0, ref1, me_mvx, me_mvy]
+        self._keep = [params, ep, orig, recon, ref0, ref1, me_mvx, me_mvy,
+                      me16_mvx, me16_mvy]
         r0 = ref0 or [None] * 3
         r1 = ref1 or [None] * 3
         me_nx = me_mvx.shape[1] if me_mvx is not None else 0
         me_ny = me_mvx.shape[0] if me_mvx is not None else 0
+        me16_nx = me16_mvx.shape[1] if me16_mvx is not None else 0
+        me16_ny = me16_mvx.shape[0] if me16_mvx is not None else 0
         self._h = self._lib.hevc_engine_create(
             ctypes.byref(params), ctypes.byref(ep), senc._h,
             _i16ptr(orig[0]), _i16ptr(orig[1]), _i16ptr(orig[2]),
             _i16ptr(recon[0]), _i16ptr(recon[1]), _i16ptr(recon[2]),
             _i16ptr(r0[0]), _i16ptr(r0[1]), _i16ptr(r0[2]),
             _i16ptr(r1[0]), _i16ptr(r1[1]), _i16ptr(r1[2]),
-            _i32ptr(me_mvx), _i32ptr(me_mvy), me_nx, me_ny)
+            _i32ptr(me_mvx), _i32ptr(me_mvy), me_nx, me_ny,
+            _i32ptr(me16_mvx), _i32ptr(me16_mvy), me16_nx, me16_ny)
         self._ctu = params.ctu_size
         self._cfmt = params.chroma_format
 

@@ -140,14 +140,17 @@ void* hevc_engine_create(const SliceParams* sp, const EngineParams* ep,
                          const int16_t* r0cb, const int16_t* r0cr,
                          const int16_t* r1y, const int16_t* r1cb,
                          const int16_t* r1cr, const int32_t* me_mvx,
-                         const int32_t* me_mvy, int me_nx, int me_ny) {
+                         const int32_t* me_mvy, int me_nx, int me_ny,
+                         const int32_t* me16_mvx, const int32_t* me16_mvy,
+                         int me16_nx, int me16_ny) {
   const int16_t* orig[3] = {oy, ocb, ocr};
   int16_t* recon[3] = {ry, rcb, rcr};
   const int16_t* ref0[3] = {r0y, r0cb, r0cr};
   const int16_t* ref1[3] = {r1y, r1cb, r1cr};
   return new CtuEngine(*sp, *ep, (SliceEncoder*)senc, orig, recon,
                        r0y ? ref0 : nullptr, r1y ? ref1 : nullptr, me_mvx,
-                       me_mvy, me_nx, me_ny);
+                       me_mvy, me_nx, me_ny, me16_mvx, me16_mvy, me16_nx,
+                       me16_ny);
 }
 
 void hevc_engine_destroy(void* h) { delete (CtuEngine*)h; }

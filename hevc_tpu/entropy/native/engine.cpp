@@ -280,9 +280,12 @@ CtuEngine::CtuEngine(const SliceParams& sp, const EngineParams& ep,
                      SliceEncoder* senc, const int16_t* orig[3],
                      int16_t* recon[3], const int16_t* ref0[3],
                      const int16_t* ref1[3], const int32_t* me_mvx,
-                     const int32_t* me_mvy, int me_nx, int me_ny)
+                     const int32_t* me_mvy, int me_nx, int me_ny,
+                     const int32_t* me16_mvx, const int32_t* me16_mvy,
+                     int me16_nx, int me16_ny)
     : sp_(sp), ep_(ep), senc_(senc), me_mvx_(me_mvx), me_mvy_(me_mvy),
-      me_nx_(me_nx), me_ny_(me_ny) {
+      me_nx_(me_nx), me_ny_(me_ny), me16_mvx_(me16_mvx),
+      me16_mvy_(me16_mvy), me16_nx_(me16_nx), me16_ny_(me16_ny) {
   for (int i = 0; i < 3; ++i) {
     orig_[i] = orig[i];
     recon_[i] = recon[i];
@@ -295,6 +298,23 @@ CtuEngine::CtuEngine(const SliceParams& sp, const EngineParams& ep,
   bd_ = sp.bit_depth;
   qp_c_ = kChromaQp420[std::min(57, std::max(0, sp.qp))];
   mode_map_.assign((size_t)((h_ + 3) >> 2) * ((w_ + 3) >> 2), 1);
+}
+
+bool CtuEngine::me_lookup(int x0, int y0, int n, int* mvx, int* mvy) const {
+  if (x0 % n || y0 % n || x0 + n > w_ || y0 + n > h_) return false;
+  if (n == 32 && me_mvx_) {
+    int mi = (y0 / 32) * me_nx_ + (x0 / 32);
+    *mvx = me_mvx_[mi] << 2;
+    *mvy = me_mvy_[mi] << 2;
+    return true;
+  }
+  if (n == 16 && me16_mvx_) {
+    int mi = (y0 / 16) * me16_nx_ + (x0 / 16);
+    *mvx = me16_mvx_[mi] << 2;
+    *mvy = me16_mvy_[mi] << 2;
+    return true;
+  }
+  return false;
 }
 
 int64_t CtuEngine::lam_bits(double bits) const {
@@ -880,17 +900,12 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   // ---- AMVP + TPU integer MV + fractional refinement ----
   int16_t amvp[4];
   senc_->maps().amvp_candidates(x0, y0, n, n, 0, 0, amvp);
-  int size_full = ctu_ >> ep_.cu_depth_target;
-  bool has_me = me_mvx_ && n == size_full && x0 % size_full == 0 &&
-                y0 % size_full == 0 && x0 + n <= w_ && y0 + n <= h_;
   int mv_x = 0, mv_y = 0, mvp_f = 0;
   int mvd_x, mvd_y;
   int64_t cost_inter;
   int32_t i_pred[32 * 32];
+  bool has_me = me_lookup(x0, y0, n, &mv_x, &mv_y);
   if (has_me) {
-    int mi = (y0 / size_full) * me_nx_ + (x0 / size_full);
-    mv_x = me_mvx_[mi] << 2;
-    mv_y = me_mvy_[mi] << 2;
     // half- then quarter-pel 9-point SATD refinement (xPatternSearchFracDIF)
     auto cost_of = [&](int mx, int my) -> int64_t {
       dsp::mc_predict(ref0_[0], rw, pad, mx, my, x0, y0, n, n, bd_, true,
@@ -955,9 +970,33 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   cost_intra += cost_intra >> 3;  // +12.5%
   if (getenv("HEVC_TPU_NO_INTRA_IN_P")) cost_intra = INT64_MAX / 2;
 
+  // split-to-16 screen (quadrants at their own device MVs + overhead)
+  int64_t cost_split = INT64_MAX;
+  if (log2 == 5 && me16_mvx_ && x0 + n <= w_ && y0 + n <= h_) {
+    cost_split = lam_bits(96);
+    for (int i = 0; i < 4; ++i) {
+      int qx = x0 + (i & 1) * 16, qy = y0 + (i >> 1) * 16;
+      int qmx, qmy;
+      if (!me_lookup(qx, qy, 16, &qmx, &qmy)) { cost_split = INT64_MAX; break; }
+      dsp::mc_predict(ref0_[0], rw, pad, qmx, qmy, qx, qy, 16, 16, bd_,
+                      true, pred);
+      cost_split += dsp::satd(orig_[0] + qy * w_ + qx, w_, pred, 16, 16);
+    }
+  }
   int64_t best =
       std::min(std::min(m_cost < 0 ? INT64_MAX : m_cost, cost_inter),
-               cost_intra);
+               std::min(cost_intra, cost_split));
+  if (best == cost_split) {
+    int bw44 = ctu_ / 4;
+    for (int yy = 0; yy < nb; ++yy)
+      for (int xx = 0; xx < nb; ++xx)
+        d.cu_depth[(by + yy) * bw44 + bx + xx] =
+            (uint8_t)(ilog2(ctu_) - log2 + 1);
+    for (int i = 0; i < 4; ++i)
+      encode_cu_inter(x0 + (i & 1) * 16, y0 + (i >> 1) * 16, log2 - 1, d,
+                      ctu_x0, ctu_y0);
+    return;
+  }
   if (best == cost_intra) {
     encode_cu_intra(x0, y0, log2, d, ctu_x0, ctu_y0);
     return;

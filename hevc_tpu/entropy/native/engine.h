@@ -33,7 +33,9 @@ class CtuEngine {
             SliceEncoder* senc, const int16_t* orig[3], int16_t* recon[3],
             const int16_t* ref0[3], const int16_t* ref1[3],
             const int32_t* me_mvx, const int32_t* me_mvy, int me_nx,
-            int me_ny);
+            int me_ny, const int32_t* me16_mvx = nullptr,
+            const int32_t* me16_mvy = nullptr, int me16_nx = 0,
+            int me16_ny = 0);
   void encode_ctu(int cx, int cy, const MutCtuData& d);
 
  private:
@@ -70,6 +72,10 @@ class CtuEngine {
   const int16_t* ref1_[3];
   const int32_t *me_mvx_, *me_mvy_;
   int me_nx_, me_ny_;
+  const int32_t *me16_mvx_, *me16_mvy_;
+  int me16_nx_, me16_ny_;
+  // integer-pel device-search MV for an aligned block, or false
+  bool me_lookup(int x0, int y0, int n, int* mvx, int* mvy) const;
   int w_, h_, ctu_, bd_, qp_c_;
   std::vector<uint8_t> mode_map_;  // per-4x4 intra mode, inter blocks -> DC
 };
