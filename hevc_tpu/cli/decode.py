@@ -1,6 +1,9 @@
-"""Decoder CLI. Parity: reference TAppDecoder (decmain.cpp, TAppDecTop).
+"""Decoder CLI. Parity: reference TAppDecoder (decmain.cpp, TAppDecTop);
+with -stats it is the analyser build (the reference repo's NetBeans
+"Analyser" configuration / TAppDecAnalyser), printing per-picture CU-mode
+shares, depth histograms, MV activity and coefficient counts.
 
-Usage: python -m hevc_tpu.cli.decode -b in.bin -o out.yuv
+Usage: python -m hevc_tpu.cli.decode -b in.bin [-o out.yuv] [-stats]
 """
 from __future__ import annotations
 
@@ -13,17 +16,19 @@ from ..io.yuv import YuvWriter
 
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
-    bs, out = None, None
+    bs, out, stats = None, None, False
     i = 0
     while i < len(argv):
         if argv[i] == "-b":
             bs = argv[i + 1]; i += 2
         elif argv[i] == "-o":
             out = argv[i + 1]; i += 2
+        elif argv[i] == "-stats":
+            stats = True; i += 1
         else:
             raise ValueError(f"unknown arg {argv[i]}")
     assert bs, "-b bitstream required"
-    dec = DecoderTop()
+    dec = DecoderTop(collect_stats=stats)
     wr = None
     t0 = time.time()
     n = 0
@@ -37,6 +42,24 @@ def main(argv=None) -> int:
             wr.write(frame)
         n += 1
     dt = time.time() - t0
+    if stats:
+        print(f"{'poc':>4} {'typ':>3} {'qp':>3} {'bytes':>7} "
+              f"{'skip%':>6} {'merge%':>6} {'intra%':>6} "
+              f"{'depths(64/32/16/8)':>20} {'avgMV':>6} {'coefY':>6}")
+        for r in dec.stats:
+            tot = max(1, r["skip4"] + r["merge4"] + r["intra4"]
+                      + r["inter4"] - r["skip4"] - r["merge4"])
+            n4 = max(1, r["intra4"] + r["inter4"])
+            dh = "/".join(str(x * 100 // sum(r["depth_hist"]) if
+                               sum(r["depth_hist"]) else 0)
+                          for x in r["depth_hist"])
+            amv = (r["abs_mv_sum"] / 4.0 / max(1, r["mv_blocks"]))
+            print(f"{r['poc']:>4} {r['type'][:1]:>3} {r['qp']:>3} "
+                  f"{r['slice_bytes']:>7} "
+                  f"{100 * r['skip4'] // n4:>5}% "
+                  f"{100 * r['merge4'] // n4:>5}% "
+                  f"{100 * r['intra4'] // n4:>5}% {dh:>20} "
+                  f"{amv:>6.1f} {r['coeff_y']:>6}")
     bad = sum(1 for s in dec.hash_status if s != "OK")
     print(f"decoded {n} frames in {dt:.2f}s; hash failures: {bad}")
     if wr:

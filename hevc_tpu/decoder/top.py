@@ -30,10 +30,12 @@ DPB_KEEP = 32
 
 
 class DecoderTop:
-    def __init__(self):
+    def __init__(self, collect_stats: bool = False):
         self.vps: Optional[VPS] = None
         self.sps: Optional[SPS] = None
         self.pps: Optional[PPS] = None
+        self.collect_stats = collect_stats
+        self.stats: List[dict] = []   # per-picture analyser records
         self.dpb: Dict[int, List[np.ndarray]] = {}    # poc -> recon planes
         self.out_buf: List[Tuple[int, int, List[np.ndarray]]] = []
         self.cvs = 0
@@ -161,6 +163,8 @@ class DecoderTop:
             deblock.deblock_frame(recon, dmaps, sh.slice_qp, sps,
                                   pps.pps_beta_offset_div2,
                                   pps.pps_tc_offset_div2)
+        if self.collect_stats:
+            self._collect(sh, decisions, len(slice_data))
         if sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag:
             if sps.chroma_format_idc == 1:
                 from ..entropy.cabac import sao_apply_native
@@ -170,3 +174,27 @@ class DecoderTop:
             recon = saolib.apply_sao(recon, [d.sao for d in decisions],
                                      sps, sps.bit_depth_luma)
         return recon, sh.poc
+
+    def _collect(self, sh, decisions, data_bytes):
+        """Per-picture analyser record (reference TAppDecAnalyser-style
+        statistics: CU mode shares, MV field summary, coefficient counts)."""
+        rec = {"poc": sh.poc, "type": sh.slice_type.name,
+               "qp": sh.slice_qp, "slice_bytes": data_bytes,
+               "skip4": 0, "merge4": 0, "intra4": 0, "inter4": 0,
+               "coeff_y": 0, "coeff_c": 0, "depth_hist": [0, 0, 0, 0],
+               "abs_mv_sum": 0, "mv_blocks": 0}
+        for d in decisions:
+            rec["skip4"] += int(d.skip_flag.sum())
+            rec["merge4"] += int((d.merge_flag & (1 - d.skip_flag)).sum())
+            rec["intra4"] += int((d.pred_mode == 1).sum())
+            rec["inter4"] += int((d.pred_mode == 0).sum())
+            rec["coeff_y"] += int((d.coeff_y != 0).sum())
+            rec["coeff_c"] += int((d.coeff_cb != 0).sum()
+                                  + (d.coeff_cr != 0).sum())
+            for dep in range(4):
+                rec["depth_hist"][dep] += int((d.cu_depth == dep).sum())
+            inter = d.pred_mode == 0
+            rec["abs_mv_sum"] += int((np.abs(d.mv_x[inter])
+                                      + np.abs(d.mv_y[inter])).sum())
+            rec["mv_blocks"] += int(inter.sum())
+        self.stats.append(rec)

@@ -211,3 +211,25 @@ def test_rext_444_conformance(tmp_path, extra):
     own = tmp_path / "own.yuv"
     assert dmain(["-b", str(bs), "-o", str(own)]) == 0
     assert own.read_bytes() == dec.read_bytes()
+
+
+def test_decoder_analyser_stats(tmp_path):
+    """Analyser build of the decoder CLI (-stats): per-picture CU mode
+    shares and coefficient counts (reference repo's Analyser NetBeans
+    configuration of TAppDecoder)."""
+    w, h, frames = 128, 80, 3
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    bs = tmp_path / "o.bin"
+    from hevc_tpu.cli.encode import main
+    main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-q", "30", "--IntraPeriod=-1", "-b", str(bs)])
+    from hevc_tpu.decoder.top import DecoderTop
+    dec = DecoderTop(collect_stats=True)
+    n = sum(1 for _ in dec.decode_stream(bs.read_bytes()))
+    assert n == frames
+    assert len(dec.stats) == frames
+    assert dec.stats[0]["type"] == "I"
+    assert dec.stats[1]["type"] == "P"
+    assert dec.stats[1]["inter4"] > 0
+    assert sum(dec.stats[0]["depth_hist"]) == (w // 4) * (h // 4)
