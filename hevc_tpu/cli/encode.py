@@ -58,7 +58,26 @@ def main(argv=None) -> int:
         report()
     dt = time.time() - t0
     done = len(enc.stats)
-    print(f"encoded {done} frames in {dt:.2f}s ({done / dt:.3f} fps)")
+    # sequence summary (reference TEncAnalyze::printOut, TEncAnalyze.h:139)
+    fr = cfg.frame_rate or 30
+    def _summary(rows, label):
+        if not rows:
+            return
+        bits = sum(r["bits"] for r in rows)
+        kbps = bits / len(rows) * fr / 1000.0
+        ys = sum(r["psnr"][0] for r in rows) / len(rows)
+        us = sum(r["psnr"][1] for r in rows) / len(rows)
+        vs = sum(r["psnr"][2] for r in rows) / len(rows)
+        print(f"{label:>12} {len(rows):>6} a {kbps:12.4f} {ys:8.4f} "
+              f"{us:8.4f} {vs:8.4f}")
+    print("\nSUMMARY --------------------------------------------------------")
+    print(f"{'':>12} {'Frames':>6}   {'Bitrate kbps':>12} {'Y-PSNR':>8} "
+          f"{'U-PSNR':>8} {'V-PSNR':>8}")
+    _summary(enc.stats, "Total")
+    for st in ("I", "P", "B"):
+        _summary([r for r in enc.stats if r.get("type") == st],
+                 f"{st}-Slices")
+    print(f"\nencoded {done} frames in {dt:.2f}s ({done / dt:.3f} fps)")
     if wr:
         wr.close()
     return 0

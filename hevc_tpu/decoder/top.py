@@ -62,7 +62,17 @@ class DecoderTop:
                     yield from self._bump(all_pics=True)
                     self.dpb = {}
                     self.cvs += 1
-                recon, poc = self._decode_slice(nal_type, rbsp)
+                try:
+                    recon, poc = self._decode_slice(nal_type, rbsp)
+                except (AssertionError, IndexError, ValueError) as e:
+                    # corrupt/truncated slice: conceal by dropping the
+                    # picture (reference TDecTop lost-picture handling,
+                    # TDecTop.cpp:223) and keep decoding
+                    import sys
+                    print(f"warning: slice decode failed ({e}); "
+                          "picture dropped", file=sys.stderr)
+                    self.hash_status.append("LOST")
+                    continue
                 self._last_decoded = recon
                 self.dpb[poc] = recon
                 for old in [p for p in self.dpb if p < poc - DPB_KEEP]:
