@@ -168,6 +168,9 @@ class PPS:
 @dataclasses.dataclass
 class SliceHeader:
     """Per-slice state (parity: TComSlice). One slice per picture for now."""
+    # WPP: per-substream byte offsets (NAL-payload units incl. emulation
+    # prevention), empty when entropy_coding_sync is off
+    entry_point_offsets: list = dataclasses.field(default_factory=list)
     slice_type: SliceType = SliceType.I
     nal_unit_type: int = 19  # IDR_W_RADL
     poc: int = 0

@@ -246,7 +246,10 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: SPS, pps: PPS
         sh.slice_loop_filter_across_slices_enabled_flag = br.flag()
     if pps.tiles_enabled_flag or pps.entropy_coding_sync_enabled_flag:
         n_entry = br.ue()
-        assert n_entry == 0
+        if n_entry:
+            olen = br.ue() + 1
+            sh.entry_point_offsets = [br.u(olen) + 1
+                                      for _ in range(n_entry)]
     br.u(1)  # alignment bit one
     br.byte_align()
     return sh, br.byte_pos

@@ -137,7 +137,35 @@ class DecoderTop:
             sao_luma=sh.slice_sao_luma_flag,
             sao_chroma=sh.slice_sao_chroma_flag,
             bit_depth=sps.bit_depth_luma, cur_poc=sh.poc)
+        sp.wpp = pps.entropy_coding_sync_enabled_flag
         sdec = cabac.SliceDataDecoder(sp, slice_data)
+        if pps.entropy_coding_sync_enabled_flag and sh.entry_point_offsets:
+            # map NAL-payload entry offsets (incl. emulation prevention)
+            # back to raw positions within the unescaped slice data; the
+            # escape scanner's zero-run state carries in from the header
+            targets = []
+            acc = 0
+            for o in sh.entry_point_offsets:
+                acc += o
+                targets.append(acc)
+            zeros = 0
+            for b in rbsp[:offset]:
+                if zeros >= 2 and b <= 3:
+                    zeros = 0
+                zeros = zeros + 1 if b == 0 else 0
+            raw_offs = []
+            esc = 0
+            ti = 0
+            for i, b in enumerate(slice_data):
+                if ti < len(targets) and esc == targets[ti]:
+                    raw_offs.append(i)
+                    ti += 1
+                if zeros >= 2 and b <= 3:
+                    esc += 1
+                    zeros = 0
+                esc += 1
+                zeros = zeros + 1 if b == 0 else 0
+            sdec.set_entry_points(raw_offs)
         w, h = sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples
         csh = 0 if sps.chroma_format_idc == 3 else 1
         recon = [np.zeros((h, w), np.int16),

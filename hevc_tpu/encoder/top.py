@@ -58,6 +58,8 @@ class EncoderTop:
                 _os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0"):
             # the native engine enforces the parity constraint
             self.pps.sign_data_hiding_enabled_flag = 1
+        if cfg.wpp:
+            self.pps.entropy_coding_sync_enabled_flag = 1
         if cfg.deblock_disable:
             self.pps.deblocking_filter_control_present_flag = 1
             self.pps.pps_deblocking_filter_disabled_flag = 1
@@ -247,7 +249,8 @@ class EncoderTop:
                 chroma_format=self.sps.chroma_format_idc,
                 sign_hiding=self.pps.sign_data_hiding_enabled_flag,
                 sao_luma=sao_on, sao_chroma=sao_on,
-                bit_depth=self.sps.bit_depth_luma)
+                bit_depth=self.sps.bit_depth_luma,
+                wpp=self.pps.entropy_coding_sync_enabled_flag)
             senc = SliceDataEncoder(sp)
             if use_native:
                 from .native_frame import NativeFrameEncoder
@@ -267,7 +270,8 @@ class EncoderTop:
                 ref_poc_l0=[l0_poc],
                 ref_poc_l1=[ref_l1[0]] if is_b else [],
                 sao_luma=sao_on, sao_chroma=sao_on,
-                bit_depth=self.sps.bit_depth_luma, cur_poc=cvs_poc)
+                bit_depth=self.sps.bit_depth_luma, cur_poc=cvs_poc,
+                wpp=self.pps.entropy_coding_sync_enabled_flag)
             senc = SliceDataEncoder(sp)
             if use_native:
                 from .native_frame import NativeFrameEncoder
@@ -317,8 +321,27 @@ class EncoderTop:
                     last = (cy == ctus_h - 1) and (cx == ctus_w - 1)
                     senc.encode_ctu(cx, cy, decisions[i], last)
                     i += 1
+        data = senc.get_bytes()
+        if self.pps.entropy_coding_sync_enabled_flag:
+            # WPP entry points (spec 7.4.7.1): offsets are NAL-payload byte
+            # counts (incl. emulation prevention); the header length feeds
+            # back into the escape scan, so iterate to the fixed point
+            from ..entropy.cabac import _encoder_substreams
+            sizes = _encoder_substreams(senc)
+            for _ in range(5):
+                hdr = headers.write_slice_header(sh, self.sps, self.pps)
+                bounds = [len(hdr)]
+                acc = len(hdr)
+                for sz in sizes[:-1]:
+                    acc += sz
+                    bounds.append(acc)
+                esc = nal.escaped_sizes(hdr + data, bounds)
+                offs = esc[:-1] if len(esc) > 1 else []
+                if offs == sh.entry_point_offsets:
+                    break
+                sh.entry_point_offsets = offs
         slice_rbsp = headers.write_slice_header(sh, self.sps, self.pps) \
-            + senc.get_bytes()
+            + data
 
         if sao_on:
             if use_native:

@@ -29,7 +29,7 @@ class SliceParamsC(ctypes.Structure):
         ("ref_poc_l0", ctypes.c_int32 * 16),
         ("ref_poc_l1", ctypes.c_int32 * 16)] + [
         (n, ctypes.c_int32) for n in ("sao_luma", "sao_chroma", "bit_depth",
-                                      "cur_poc")]
+                                      "cur_poc", "wpp")]
 
 
 def _build() -> None:
@@ -70,6 +70,15 @@ def get_lib() -> ctypes.CDLL:
     lib.hevc_enc_amvp.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, i16p]
+    lib.hevc_enc_substreams.restype = ctypes.c_int
+    lib.hevc_enc_substreams.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int]
+    lib.hevc_dec_set_entry.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int]
     lib.hevc_enc_get.restype = ctypes.c_long
     lib.hevc_enc_get.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                  ctypes.c_long]
@@ -127,7 +136,7 @@ def make_slice_params(pic_w: int, pic_h: int, qp: int, slice_type: int = 2,
                       num_ref_l1: int = 0, mvd_l1_zero: int = 0,
                       ref_poc_l0=(), ref_poc_l1=(), sao_luma: int = 0,
                       sao_chroma: int = 0, bit_depth: int = 8,
-                      cur_poc: int = 0) -> SliceParamsC:
+                      cur_poc: int = 0, wpp: int = 0) -> SliceParamsC:
     sp = SliceParamsC(
         pic_w, pic_h, ctu_size, qp, slice_type, max_tu_depth_intra,
         max_tu_depth_inter, chroma_format, sign_hiding, transform_skip,
@@ -141,6 +150,7 @@ def make_slice_params(pic_w: int, pic_h: int, qp: int, slice_type: int = 2,
     sp.sao_chroma = sao_chroma
     sp.bit_depth = bit_depth
     sp.cur_poc = cur_poc
+    sp.wpp = wpp
     return sp
 
 
@@ -259,6 +269,12 @@ class SliceDataEncoder:
             self._h = None
 
 
+def _encoder_substreams(senc):
+    out = np.zeros(1024, np.int32)
+    n = senc._lib.hevc_enc_substreams(senc._h, out, 1024)
+    return [int(x) for x in out[:n]]
+
+
 class SliceDataDecoder:
     def __init__(self, params: SliceParamsC, data: bytes):
         self._lib = get_lib()
@@ -267,6 +283,11 @@ class SliceDataDecoder:
                                             len(data))
         self._ctu = params.ctu_size
         self._cfmt = params.chroma_format
+
+    def set_entry_points(self, offsets) -> None:
+        arr = np.asarray(offsets, np.int32)
+        self._lib.hevc_dec_set_entry(self._h, np.ascontiguousarray(arr),
+                                     len(arr))
 
     def decode_ctu(self, ctu_x: int, ctu_y: int) -> tuple:
         d = CtuDecisions(self._ctu, chroma_format=self._cfmt)

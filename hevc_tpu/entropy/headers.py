@@ -243,7 +243,13 @@ def write_slice_header(sh: SliceHeader, sps: SPS, pps: PPS) -> bytes:
                  or not deblock_disabled)):
         bw.flag(sh.slice_loop_filter_across_slices_enabled_flag)
     if pps.tiles_enabled_flag or pps.entropy_coding_sync_enabled_flag:
-        bw.ue(0)                                # num_entry_point_offsets
+        offs = sh.entry_point_offsets
+        bw.ue(len(offs))                        # num_entry_point_offsets
+        if offs:
+            maxlen = max(o.bit_length() for o in offs)
+            bw.ue(maxlen - 1)                   # offset_len_minus1
+            for o in offs:
+                bw.u(o - 1, maxlen)             # entry_point_offset_minus1
     # byte_alignment() at the end of the slice header
     bw.u(1, 1)
     bw.align_zero()

@@ -77,3 +77,29 @@ def split_annexb(stream: bytes) -> List[bytes]:
             end -= 1
         nals.append(stream[s:end])
     return nals
+
+
+def escaped_sizes(rbsp: bytes, boundaries) -> list:
+    """For WPP entry points: sizes (in NAL-payload bytes, i.e. WITH
+    emulation-prevention bytes) of the regions between consecutive raw
+    `boundaries` (byte positions within `rbsp`). The escaping state
+    (zero-run) carries across regions exactly as rbsp_to_nal inserts it."""
+    sizes = []
+    zeros = 0
+    esc = 0
+    bi = 0
+    marks = []
+    for i, b in enumerate(rbsp):
+        if bi < len(boundaries) and i == boundaries[bi]:
+            marks.append(esc)
+            bi += 1
+        if zeros >= 2 and b <= 3:
+            esc += 1
+            zeros = 0
+        esc += 1
+        zeros = zeros + 1 if b == 0 else 0
+    while bi < len(boundaries):
+        marks.append(esc)
+        bi += 1
+    marks.append(esc)
+    return [marks[i + 1] - marks[i] for i in range(len(marks) - 1)]

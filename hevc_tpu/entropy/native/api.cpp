@@ -95,6 +95,18 @@ void hevc_enc_amvp(void* h, int x0, int y0, int size, int list, int ref,
                                              out_mv);
 }
 
+// WPP: per-row substream byte sizes (valid after finish); returns count.
+int hevc_enc_substreams(void* h, int32_t* out, int cap) {
+  const std::vector<int32_t>& v = ((SliceEncoder*)h)->substream_sizes();
+  int n = (int)v.size();
+  for (int i = 0; i < n && i < cap; ++i) out[i] = v[i];
+  return n;
+}
+
+void hevc_dec_set_entry(void* h, const int32_t* off, int n) {
+  ((SliceDecoder*)h)->set_entry_points(off, n);
+}
+
 // Returns the finished slice-data RBSP (with rbsp trailing bits) length;
 // copies into `out` if non-null.
 long hevc_enc_get(void* h, uint8_t* out, long cap) {

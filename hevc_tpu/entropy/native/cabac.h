@@ -191,6 +191,12 @@ class CabacDecoder {
     while (range_ < 256) { range_ <<= 1; offset_ = (offset_ << 1) | br_->read_bit(); }
     return 0;
   }
+  // WPP: re-initialize at a byte-aligned substream boundary (spec 9.3.1)
+  void restart_at(size_t byte_pos) {
+    br_->pos_ = byte_pos * 8;
+    range_ = 510;
+    offset_ = br_->read_bits(9);
+  }
 
  private:
   BitReader* br_;

@@ -449,6 +449,16 @@ void SliceEncoder::encode_ctu(int cx, int cy, const CtuData& d,
   cur_ = &d;
   ctu_x0_ = cx * sp_.ctu_size;
   ctu_y0_ = cy * sp_.ctu_size;
+  int ctus_w_pic = (sp_.pic_w + sp_.ctu_size - 1) / sp_.ctu_size;
+  if (sp_.wpp && cx == 0 && cy > 0) {
+    // new CTU row: contexts from the snapshot taken after CTU 1 of the
+    // row above (spec 9.3.1 entropy_coding_sync), fresh engine state
+    if (wpp_saved_valid_)
+      ctx_ = wpp_saved_;
+    else
+      ctx_.init(sp_.slice_type, sp_.qp);
+    cabac_.start();
+  }
   // publish this CTU's maps so in-CTU and cross-CTU neighbour lookups work
   // (availability guards reads of not-yet-coded blocks).
   int bw4 = sp_.ctu_size / 4;
@@ -479,11 +489,20 @@ void SliceEncoder::encode_ctu(int cx, int cy, const CtuData& d,
   }
   if (sp_.sao_luma || sp_.sao_chroma) code_sao(cx, cy);
   cu_tree(ctu_x0_, ctu_y0_, sp_.max_cb_log2, 0);
+  if (sp_.wpp && cx == 1) {
+    wpp_saved_ = ctx_;
+    wpp_saved_valid_ = true;
+  }
   cabac_.encode_terminate(end_of_slice);
-  if (end_of_slice) {
-    // encode_terminate(1) already ran EncodeFlush; byte-align the RBSP with
-    // rbsp_trailing: flush wrote the stop bit pattern; slice_data alignment
-    // is handled by the caller appending rbsp_slice_trailing_bits.
+  if (sp_.wpp && cx == ctus_w_pic - 1 && !end_of_slice) {
+    // end_of_subset_one_bit + byte_alignment (spec 7.3.8.1): the flush
+    // leaves its forced final '1' to the alignment bit written below
+    cabac_.encode_terminate(1);
+    bw_.put_bit(1);
+    while (!bw_.aligned()) bw_.put_bit(0);
+    sub_sizes_.push_back((int32_t)(bw_.bytes.size() - sub_start_));
+    sub_start_ = bw_.bytes.size();
+    cabac_.start();
   }
   cur_ = nullptr;
 }
@@ -1001,6 +1020,16 @@ int SliceDecoder::decode_ctu(int cx, int cy, const MutCtuData& d) {
   cur_ = &d;
   ctu_x0_ = cx * sp_.ctu_size;
   ctu_y0_ = cy * sp_.ctu_size;
+  int ctus_w_pic = (sp_.pic_w + sp_.ctu_size - 1) / sp_.ctu_size;
+  if (sp_.wpp && cx == 0 && cy > 0) {
+    if (wpp_saved_valid_)
+      ctx_ = wpp_saved_;
+    else
+      ctx_.init(sp_.slice_type, sp_.qp);
+    if ((size_t)(next_sub_ - 1) < sub_offsets_.size())
+      cabac_.restart_at((size_t)sub_offsets_[next_sub_ - 1]);
+    ++next_sub_;
+  }
   int bw4 = sp_.ctu_size / 4;
   std::memset(d.cu_depth, 0, bw4 * bw4);
   std::memset(d.nxn_flag, 0, bw4 * bw4);
@@ -1031,7 +1060,17 @@ int SliceDecoder::decode_ctu(int cx, int cy, const MutCtuData& d) {
   if (sp_.sao_luma || sp_.sao_chroma) parse_sao(cx, cy, d.sao);
   else if (d.sao) std::fill(d.sao, d.sao + 20, 0);
   cu_tree(ctu_x0_, ctu_y0_, sp_.max_cb_log2, 0);
+  if (sp_.wpp && cx == 1) {
+    // snapshot after the second CTB of the row is decoded (spec 9.3.1),
+    // mirroring the encoder's save point
+    wpp_saved_ = ctx_;
+    wpp_saved_valid_ = true;
+  }
   int eos = cabac_.decode_terminate();
+  if (sp_.wpp && cx == ctus_w_pic - 1 && !eos)
+    cabac_.decode_terminate();  // end_of_subset_one_bit; the engine is
+                                // re-seated at the next entry point on the
+                                // following row's first CTU
   cur_ = nullptr;
   return eos;
 }

@@ -42,6 +42,7 @@ struct SliceParams {
   int32_t sao_chroma;      // slice_sao_chroma_flag
   int32_t bit_depth;       // for the sao_offset_abs cMax
   int32_t cur_poc;         // current picture POC (AMVP scaling)
+  int32_t wpp;             // entropy_coding_sync_enabled_flag (WPP)
 };
 
 // Context model set: one instance per slice (later: per WPP row state).
@@ -192,11 +193,15 @@ class SliceEncoder {
     if (!finished_) {
       bw_.put_bit(1);
       while (!bw_.aligned()) bw_.put_bit(0);
+      sub_sizes_.push_back((int32_t)(bw_.bytes.size() - sub_start_));
+      sub_start_ = bw_.bytes.size();
       finished_ = true;
     }
     return bw_.bytes;
   }
   PicMaps& maps() { return maps_; }
+  // WPP: byte sizes of the coded substreams (one per CTU row)
+  const std::vector<int32_t>& substream_sizes() const { return sub_sizes_; }
 
  private:
   void cu_tree(int x0, int y0, int log2, int depth);
@@ -216,6 +221,10 @@ class SliceEncoder {
   SliceParams sp_;
   PicMaps maps_;
   ContextSet ctx_;
+  ContextSet wpp_saved_;     // context snapshot after CTU 1 of each row
+  bool wpp_saved_valid_ = false;
+  std::vector<int32_t> sub_sizes_;
+  size_t sub_start_ = 0;
   BitWriter bw_;
   CabacEncoder cabac_;
   const CtuData* cur_ = nullptr;
@@ -253,10 +262,19 @@ class SliceDecoder {
   PicMaps maps_;
   std::vector<uint8_t> tu_depth_map_, chroma_mode_map_;
   ContextSet ctx_;
+  ContextSet wpp_saved_;
+  bool wpp_saved_valid_ = false;
+  std::vector<int32_t> sub_offsets_;   // substream start offsets (bytes)
+  int next_sub_ = 1;
   BitReader br_;
   CabacDecoder cabac_;
   const MutCtuData* cur_ = nullptr;
   int ctu_x0_ = 0, ctu_y0_ = 0;
+
+ public:
+  void set_entry_points(const int32_t* off, int n) {
+    sub_offsets_.assign(off, off + n);
+  }
 };
 
 }  // namespace hevctpu

@@ -234,3 +234,28 @@ def test_decoder_analyser_stats(tmp_path):
     assert dec.stats[1]["inter4"] > 0
     # histogram counts map cells (CTU-padded grid)
     assert sum(dec.stats[0]["depth_hist"]) >= (w // 4) * (h // 4)
+
+
+def test_wpp_conformance(tmp_path):
+    """Wavefront parallel processing (entropy_coding_sync): per-CTU-row
+    CABAC substreams with context inheritance from the row above and
+    slice-header entry points (reference TEncSlice.cpp:744-759 WPP
+    context save/restore; spec 7.3.8.1 / 9.3.1). Verified against the HM
+    decoder and our own decoder."""
+    w, h, frames = 192, 128, 3
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-q", "30", "--IntraPeriod=-1",
+          "--WaveFrontSynchro=1", "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+    assert rec.read_bytes() == dec.read_bytes()
+    from hevc_tpu.cli.decode import main as dmain
+    own = tmp_path / "own.yuv"
+    assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+    assert own.read_bytes() == dec.read_bytes()
