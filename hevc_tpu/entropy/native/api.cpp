@@ -1,5 +1,9 @@
 // C ABI for the hevc_tpu native entropy layer (loaded via ctypes).
+#include <atomic>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 #include "syntax.h"
 
@@ -234,13 +238,50 @@ struct StackedMaps {
                  mv_x, mv_y, mvp_flag1, ref_idx1, mvd_x1, mvd_y1, mv_x1,    \
                  mv_y1, sao, CTU, CFMT}
 
-extern "C" void hevc_engine_frame(void* eng, int ctus_w, int ctus_h, int ctu_size,
+extern "C" // Wavefront-parallel frame drive: CTU (x, y) may start once row y-1 has
+// finished CTU x+1 (its decisions/recon cover the left, above and
+// above-right neighbourhood every tool reads). Decisions and recon writes
+// land in disjoint regions, so the lag-2 wavefront is race-free — the
+// same dependency structure the reference exploits for WPP
+// (TEncSlice.cpp:744). Thread count from HEVC_TPU_THREADS (default:
+// hardware concurrency, capped by row count).
+void hevc_engine_frame(void* eng, int ctus_w, int ctus_h, int ctu_size,
                        int cfmt, STACKED_ARGS) {
   STACKED_INIT(ctu_size, cfmt);
-  for (int cy = 0; cy < ctus_h; ++cy)
-    for (int cx = 0; cx < ctus_w; ++cx)
-      ((CtuEngine*)eng)->encode_ctu(cx, cy,
-                                    sm.at((size_t)cy * ctus_w + cx));
+  int nthreads = 0;
+  if (const char* e = getenv("HEVC_TPU_THREADS")) nthreads = atoi(e);
+  if (nthreads <= 0)
+    nthreads = (int)std::thread::hardware_concurrency();
+  nthreads = std::max(1, std::min(nthreads, ctus_h));
+  if (nthreads == 1 || ctus_h == 1) {
+    for (int cy = 0; cy < ctus_h; ++cy)
+      for (int cx = 0; cx < ctus_w; ++cx)
+        ((CtuEngine*)eng)->encode_ctu(cx, cy,
+                                      sm.at((size_t)cy * ctus_w + cx));
+    return;
+  }
+  std::vector<std::atomic<int>> done(ctus_h);  // CTUs finished per row
+  for (auto& a : done) a.store(0);
+  std::atomic<int> next_row{0};
+  auto worker = [&]() {
+    for (;;) {
+      int cy = next_row.fetch_add(1);
+      if (cy >= ctus_h) return;
+      for (int cx = 0; cx < ctus_w; ++cx) {
+        if (cy > 0) {
+          int need = std::min(cx + 2, ctus_w);
+          while (done[cy - 1].load(std::memory_order_acquire) < need)
+            std::this_thread::yield();
+        }
+        ((CtuEngine*)eng)->encode_ctu(cx, cy,
+                                      sm.at((size_t)cy * ctus_w + cx));
+        done[cy].store(cx + 1, std::memory_order_release);
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
 }
 
 extern "C" void hevc_enc_frame(void* senc, int ctus_w, int ctus_h, int ctu_size,
