@@ -171,6 +171,11 @@ class SliceHeader:
     # WPP: per-substream byte offsets (NAL-payload units incl. emulation
     # prevention), empty when entropy_coding_sync is off
     entry_point_offsets: list = dataclasses.field(default_factory=list)
+    # explicit weighted prediction (list 0, single ref): spec 7.4.7.3
+    wp_luma_flag: int = 0
+    wp_log2_denom: int = 6
+    wp_weight: int = 64
+    wp_offset: int = 0
     slice_type: SliceType = SliceType.I
     nal_unit_type: int = 19  # IDR_W_RADL
     poc: int = 0

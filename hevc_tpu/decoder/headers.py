@@ -160,7 +160,7 @@ def parse_pps(rbsp: bytes) -> PPS:
     pps.pps_slice_chroma_qp_offsets_present_flag = br.flag()
     pps.weighted_pred_flag = br.flag()
     pps.weighted_bipred_flag = br.flag()
-    assert not (pps.weighted_pred_flag or pps.weighted_bipred_flag)
+    assert not pps.weighted_bipred_flag, "bi-pred WP not supported"
     pps.transquant_bypass_enabled_flag = br.flag()
     pps.tiles_enabled_flag = br.flag()
     pps.entropy_coding_sync_enabled_flag = br.flag()
@@ -229,6 +229,28 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: SPS, pps: PPS
             sh.cabac_init_flag = br.flag()
         if sh.slice_temporal_mvp_enabled_flag:
             raise NotImplementedError("TMVP")
+        if pps.weighted_pred_flag and sh.slice_type == SliceType.P:
+            sh.wp_log2_denom = br.ue()
+            cdenom = sh.wp_log2_denom
+            if sps.chroma_format_idc != 0:
+                cdenom = sh.wp_log2_denom + br.se()
+            nref = sh.num_ref_idx_active[0]
+            lflags = [br.flag() for _ in range(nref)]
+            cflags = ([br.flag() for _ in range(nref)]
+                      if sps.chroma_format_idc != 0 else [0] * nref)
+            for i in range(nref):
+                if lflags[i]:
+                    w = (1 << sh.wp_log2_denom) + br.se()
+                    o = br.se()
+                    if i == 0:
+                        sh.wp_luma_flag = 1
+                        sh.wp_weight = w
+                        sh.wp_offset = o
+                if cflags[i]:
+                    for _ in range(2):
+                        br.se()
+                        br.se()
+            assert not any(cflags), "chroma WP not supported"
         sh.five_minus_max_num_merge_cand = br.ue()
     sh.slice_qp = 26 + pps.init_qp_minus26 + br.se()
     if pps.pps_slice_chroma_qp_offsets_present_flag:

@@ -17,7 +17,7 @@ from ..core.params import SPS
 from ..core.refsamples import build_ref_vector
 from ..encoder.quadtree import cu_leaves, tu_leaves
 from ..ops import intra_np
-from ..ops.interp import mc_predict_bi_np, mc_predict_np
+from ..ops.interp import mc_predict_bi_np, mc_predict_np, mc_predict_wp_np
 from ..ops.intra import filter_ref_samples, strong_smoothing_decision
 from ..ops.quant import dequantize_np
 from ..ops.transform import inverse_transform_np
@@ -27,9 +27,11 @@ PAD = 80
 
 class CtuReconstructor:
     def __init__(self, sps: SPS, slice_qp: int,
-                 refs_l0=None, refs_l1=None):
+                 refs_l0=None, refs_l1=None, wp=None):
         """refs_l0/refs_l1: per-list padded reference pictures (each a
-        [Y,Cb,Cr] plane list), indexed by ref_idx (spec 8.5.3.1)."""
+        [Y,Cb,Cr] plane list), indexed by ref_idx (spec 8.5.3.1).
+        wp: (log2_denom, weight, offset) explicit luma weighting for
+        list-0 references, or None."""
         self.sps = sps
         self.qp = slice_qp
         self.qp_c = tables.chroma_qp(slice_qp, sps.chroma_format_idc)
@@ -40,6 +42,7 @@ class CtuReconstructor:
         self.avail = AvailabilityMap(self.w, self.h, self.ctu)
         self.refs_l0 = refs_l0 or []
         self.refs_l1 = refs_l1 if refs_l1 is not None else self.refs_l0
+        self.wp = wp
 
     def _intra_tb(self, recon, x0, y0, size, mode, c_idx, coeffs, is_dst,
                   luma_pos=None):
@@ -149,8 +152,14 @@ class CtuReconstructor:
         else:
             umv = mv if r0 >= 0 else mv1
             f = self.refs_l0[r0] if r0 >= 0 else self.refs_l1[r1]
-            pred_y = mc_predict_np(f[0], PAD, umv[0], umv[1], x0, y0,
-                                   size, size, self.bd, True)
+            if self.wp is not None and r0 >= 0:
+                dnm, wgt, off = self.wp
+                pred_y = mc_predict_wp_np(f[0], PAD, umv[0], umv[1], x0, y0,
+                                          size, size, self.bd, True, wgt,
+                                          off, dnm)
+            else:
+                pred_y = mc_predict_np(f[0], PAD, umv[0], umv[1], x0, y0,
+                                       size, size, self.bd, True)
             pred_cb = mc_predict_np(f[1], PAD, umv[0], umv[1],
                                     x0 >> 1, y0 >> 1, cs, cs, self.bd, False)
             pred_cr = mc_predict_np(f[2], PAD, umv[0], umv[1],

@@ -181,7 +181,9 @@ class DecoderTop:
                 return out
             refs_l0 = resolve(ref_pocs_l0, nl0)
             refs_l1 = resolve(ref_pocs_l1, nl1) if nl1 else None
-        rc = CtuReconstructor(sps, sh.slice_qp, refs_l0, refs_l1)
+        wp = ((sh.wp_log2_denom, sh.wp_weight, sh.wp_offset)
+              if getattr(sh, "wp_luma_flag", 0) else None)
+        rc = CtuReconstructor(sps, sh.slice_qp, refs_l0, refs_l1, wp=wp)
         ctus_w = sps.pic_width_in_ctus
         ctus_h = sps.pic_height_in_ctus
         decisions = []

@@ -60,6 +60,8 @@ class EncoderTop:
             self.pps.sign_data_hiding_enabled_flag = 1
         if cfg.wpp:
             self.pps.entropy_coding_sync_enabled_flag = 1
+        if cfg.weighted_pred_p:
+            self.pps.weighted_pred_flag = 1
         if cfg.deblock_disable:
             self.pps.deblocking_filter_control_present_flag = 1
             self.pps.pps_deblocking_filter_disabled_flag = 1
@@ -261,6 +263,23 @@ class EncoderTop:
             ref_pocs = ((), ())
         else:
             l0_poc, l0_planes = ref_l0
+            if (self.pps.weighted_pred_flag and not is_b):
+                # WeightPredAnalysis-lite (reference WeightPredAnalysis.cpp
+                # xCalcACDCParamSlice:67 / xSelectWP:124): DC-ratio weight
+                # and offset, enabled only when it reduces plain SAD
+                oy = planes[0].astype(np.int64)
+                ry = l0_planes[0].astype(np.int64)
+                mo, mr = float(oy.mean()), float(ry.mean())
+                w = int(np.clip(round(64 * mo / max(mr, 1e-3)), 1, 127))
+                o = int(np.clip(round(mo - (w * mr) / 64.0), -128, 127))
+                sub_o, sub_r = oy[::4, ::4], ry[::4, ::4]
+                sad0 = int(np.abs(sub_o - sub_r).sum())
+                wp_pred = ((sub_r * w) >> 6) + o
+                sadw = int(np.abs(sub_o - wp_pred).sum())
+                if (w, o) != (64, 0) and sadw < sad0 * 0.99:
+                    sh.wp_luma_flag = 1
+                    sh.wp_weight = w
+                    sh.wp_offset = o
             sp = make_slice_params(
                 cfg.width, cfg.height, slice_qp, slice_type=int(stype),
                 ctu_size=self.sps.ctu_size,
@@ -272,6 +291,15 @@ class EncoderTop:
                 sao_luma=sao_on, sao_chroma=sao_on,
                 bit_depth=self.sps.bit_depth_luma, cur_poc=cvs_poc,
                 wpp=self.pps.entropy_coding_sync_enabled_flag)
+            if sh.wp_luma_flag:
+                sp.wp_on = 1
+                sp.wp_denom = sh.wp_log2_denom
+                sp.wp_w = sh.wp_weight
+                sp.wp_o = sh.wp_offset
+                sp.wp_cdenom = sh.wp_log2_denom
+                for j in range(2):
+                    sp.wp_cw[j] = 1 << sh.wp_log2_denom
+                    sp.wp_co[j] = 0
             senc = SliceDataEncoder(sp)
             if use_native:
                 from .native_frame import NativeFrameEncoder

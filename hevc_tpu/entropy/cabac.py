@@ -29,7 +29,9 @@ class SliceParamsC(ctypes.Structure):
         ("ref_poc_l0", ctypes.c_int32 * 16),
         ("ref_poc_l1", ctypes.c_int32 * 16)] + [
         (n, ctypes.c_int32) for n in ("sao_luma", "sao_chroma", "bit_depth",
-                                      "cur_poc", "wpp")]
+                                      "cur_poc", "wpp", "wp_on", "wp_denom",
+                                      "wp_w", "wp_o", "wp_cdenom")] + [
+        ("wp_cw", ctypes.c_int32 * 2), ("wp_co", ctypes.c_int32 * 2)]
 
 
 def _build() -> None:

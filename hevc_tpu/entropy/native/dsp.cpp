@@ -307,6 +307,32 @@ void mc_predict(const int16_t* ref, int rw, int pad, int mvx, int mvy,
            out);
 }
 
+void mc_predict_wp(const int16_t* ref, int rw, int pad, int mvx, int mvy,
+                   int x0, int y0, int w, int h, int bd, bool is_luma,
+                   int wgt, int off, int denom, int32_t* out) {
+  int ix, fx, iy, fy;
+  if (is_luma) {
+    ix = mvx >> 2; fx = mvx & 3; iy = mvy >> 2; fy = mvy & 3;
+  } else {
+    ix = mvx >> 3; fx = mvx & 7; iy = mvy >> 3; fy = mvy & 7;
+  }
+  int32_t raw[64 * 64];
+  mc_block(ref, rw, pad, x0 + ix, y0 + iy, w, h, fx, fy, bd, is_luma, true,
+           raw);
+  int log2wd = denom + 14 - bd;
+  int maxv = (1 << bd) - 1;
+  off <<= bd - 8;   // WpOffsetBdShift (spec 7.4.7.3 / 8.5.3.3.4.3)
+  int64_t rnd = log2wd >= 1 ? (1ll << (log2wd - 1)) : 0;
+  for (int i = 0; i < w * h; ++i) {
+    int64_t v;
+    if (log2wd >= 1)
+      v = (((int64_t)raw[i] * wgt + rnd) >> log2wd) + off;
+    else
+      v = (int64_t)raw[i] * wgt + off;
+    out[i] = (int32_t)std::min<int64_t>(maxv, std::max<int64_t>(0, v));
+  }
+}
+
 void mc_predict_bi(const int16_t* r0, const int16_t* r1, int rw, int pad,
                    int mv0x, int mv0y, int mv1x, int mv1y, int x0, int y0,
                    int w, int h, int bd, bool is_luma, int32_t* out) {

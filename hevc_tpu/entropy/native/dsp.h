@@ -45,6 +45,12 @@ void mc_block(const int16_t* ref, int rw, int pad, int x, int y, int w,
 void mc_predict(const int16_t* ref, int rw, int pad, int mvx, int mvy,
                 int x0, int y0, int w, int h, int bd, bool is_luma,
                 int32_t* out);
+// explicit weighted uni-prediction (spec 8.5.3.3.4.3): applies
+// ((raw14 * wgt + round) >> log2Wd) + off on the 14-bit intermediate,
+// log2Wd = denom + 14 - bd
+void mc_predict_wp(const int16_t* ref, int rw, int pad, int mvx, int mvy,
+                   int x0, int y0, int w, int h, int bd, bool is_luma,
+                   int wgt, int off, int denom, int32_t* out);
 void mc_predict_bi(const int16_t* r0, const int16_t* r1, int rw, int pad,
                    int mv0x, int mv0y, int mv1x, int mv1y, int x0, int y0,
                    int w, int h, int bd, bool is_luma, int32_t* out);

@@ -276,6 +276,21 @@ void sbh_enforce(int32_t* lev, const int32_t* coef, int n, int qp, int bd,
 
 }  // namespace
 
+// uni-prediction honouring explicit weighted prediction on list 0
+static void mc_uni(const SliceParams& sp, const int16_t* ref, int rw,
+                   int pad, int mvx, int mvy, int x0, int y0, int w, int h,
+                   int bd, bool is_luma, int list, int comp, int32_t* out) {
+  if (sp.wp_on && list == 0) {
+    int wgt = is_luma ? sp.wp_w : sp.wp_cw[comp - 1];
+    int off = is_luma ? sp.wp_o : sp.wp_co[comp - 1];
+    int den = is_luma ? sp.wp_denom : sp.wp_cdenom;
+    dsp::mc_predict_wp(ref, rw, pad, mvx, mvy, x0, y0, w, h, bd, is_luma,
+                       wgt, off, den, out);
+  } else {
+    dsp::mc_predict(ref, rw, pad, mvx, mvy, x0, y0, w, h, bd, is_luma, out);
+  }
+}
+
 CtuEngine::CtuEngine(const SliceParams& sp, const EngineParams& ep,
                      SliceEncoder* senc, const int16_t* orig[3],
                      int16_t* recon[3], const int16_t* ref0[3],
@@ -692,8 +707,8 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
   int64_t split_cost = lam_bits(4 * 6);
   for (int i = 0; i < 4; ++i) {
     int qx = x0 + (i & 1) * 32, qy = y0 + (i >> 1) * 32;
-    dsp::mc_predict(ref0_[0], rw, pad, mvs[i][0], mvs[i][1], qx, qy, 32, 32,
-                    bd_, true, pred);
+    mc_uni(sp_, ref0_[0], rw, pad, mvs[i][0], mvs[i][1], qx, qy, 32, 32,
+           bd_, true, 0, 0, pred);
     split_cost += dsp::satd(orig_[0] + qy * w_ + qx, w_, pred, 32, 32);
   }
 
@@ -717,8 +732,8 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
                          pred);
     else {
       int l = mi.ref[0] >= 0 ? 0 : 1;
-      dsp::mc_predict(l == 0 ? ref0_[0] : ref1_[0], rw, pad, mi.mvx[l],
-                      mi.mvy[l], x0, y0, n, n, bd_, true, pred);
+      mc_uni(sp_, l == 0 ? ref0_[0] : ref1_[0], rw, pad, mi.mvx[l],
+             mi.mvy[l], x0, y0, n, n, bd_, true, l, 0, pred);
     }
     int64_t c = dsp::satd(oy, w_, pred, n, n) + lam_bits(idx + 1);
     if (best < 0 || c < best) {
@@ -736,8 +751,8 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
   };
   int dmx = med4(mvs[0][0], mvs[1][0], mvs[2][0], mvs[3][0]);
   int dmy = med4(mvs[0][1], mvs[1][1], mvs[2][1], mvs[3][1]);
-  dsp::mc_predict(ref0_[0], rw, pad, dmx, dmy, x0, y0, n, n, bd_, true,
-                  pred);
+  mc_uni(sp_, ref0_[0], rw, pad, dmx, dmy, x0, y0, n, n, bd_, true, 0, 0,
+         pred);
   int bits0 = mv_bits(dmx - amvp[0]) + mv_bits(dmy - amvp[1]);
   int bits1 = mv_bits(dmx - amvp[2]) + mv_bits(dmy - amvp[3]);
   int mvp_f = bits0 <= bits1 ? 0 : 1;
@@ -806,8 +821,8 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
                          sel.mvy[0], sel.mvx[1], sel.mvy[1], x0 >> 1,
                          y0 >> 1, 32, 32, bd_, false, pc);
     else
-      dsp::mc_predict(refp, rwc, pad, sel.mvx[l], sel.mvy[l], x0 >> 1,
-                      y0 >> 1, 32, 32, bd_, false, pc);
+      mc_uni(sp_, refp, rwc, pad, sel.mvx[l], sel.mvy[l], x0 >> 1,
+             y0 >> 1, 32, 32, bd_, false, l, ci, pc);
     int16_t* lv_plane = ci == 1 ? d.coeff_cb : d.coeff_cr;
     for (int q = 0; q < 4; ++q) {
       int qx = (q & 1) * 16, qy = (q >> 1) * 16;
@@ -885,8 +900,8 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     } else {
       const int16_t* r = mi.ref[0] >= 0 ? ref0_[0] : ref1_[0];
       int l = mi.ref[0] >= 0 ? 0 : 1;
-      dsp::mc_predict(r, rw, pad, mi.mvx[l], mi.mvy[l], x0, y0, n, n, bd_,
-                      true, pred);
+      mc_uni(sp_, r, rw, pad, mi.mvx[l], mi.mvy[l], x0, y0, n, n, bd_,
+             true, l, 0, pred);
     }
     int64_t cost = dsp::satd(oy, w_, pred, n, n) + lam_bits(idx + 1);
     if (m_idx < 0 || cost < m_cost) {
@@ -908,8 +923,8 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   if (has_me) {
     // half- then quarter-pel 9-point SATD refinement (xPatternSearchFracDIF)
     auto cost_of = [&](int mx, int my) -> int64_t {
-      dsp::mc_predict(ref0_[0], rw, pad, mx, my, x0, y0, n, n, bd_, true,
-                      pred);
+      mc_uni(sp_, ref0_[0], rw, pad, mx, my, x0, y0, n, n, bd_, true, 0, 0,
+             pred);
       return dsp::satd(oy, w_, pred, n, n);
     };
     int64_t best_c = cost_of(mv_x, mv_y);
@@ -931,16 +946,16 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     mvp_f = bits0 <= bits1 ? 0 : 1;
     mvd_x = mv_x - amvp[2 * mvp_f];
     mvd_y = mv_y - amvp[2 * mvp_f + 1];
-    dsp::mc_predict(ref0_[0], rw, pad, mv_x, mv_y, x0, y0, n, n, bd_, true,
-                    i_pred);
+    mc_uni(sp_, ref0_[0], rw, pad, mv_x, mv_y, x0, y0, n, n, bd_, true,
+           0, 0, i_pred);
     cost_inter = dsp::satd(oy, w_, i_pred, n, n) +
                  lam_bits(std::min(bits0, bits1) + 3);
   } else {
     mvp_f = 0;
     mvd_x = -amvp[0];
     mvd_y = -amvp[1];
-    dsp::mc_predict(ref0_[0], rw, pad, 0, 0, x0, y0, n, n, bd_, true,
-                    i_pred);
+    mc_uni(sp_, ref0_[0], rw, pad, 0, 0, x0, y0, n, n, bd_, true, 0, 0,
+           i_pred);
     cost_inter = dsp::satd(oy, w_, i_pred, n, n) + lam_bits(8);
   }
 
@@ -978,8 +993,8 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       int qx = x0 + (i & 1) * 16, qy = y0 + (i >> 1) * 16;
       int qmx, qmy;
       if (!me_lookup(qx, qy, 16, &qmx, &qmy)) { cost_split = INT64_MAX; break; }
-      dsp::mc_predict(ref0_[0], rw, pad, qmx, qmy, qx, qy, 16, 16, bd_,
-                      true, pred);
+      mc_uni(sp_, ref0_[0], rw, pad, qmx, qmy, qx, qy, 16, 16, bd_,
+             true, 0, 0, pred);
       cost_split += dsp::satd(orig_[0] + qy * w_ + qx, w_, pred, 16, 16);
     }
   }
@@ -1033,10 +1048,10 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   } else {
     int l = sel.ref[0] >= 0 ? 0 : 1;
     const int16_t* const* refs = l == 0 ? ref0_ : ref1_;
-    dsp::mc_predict(refs[1], rwc, pad, sel.mvx[l], sel.mvy[l], cxx, cyy, cs,
-                    cs, bd_, false, pcb);
-    dsp::mc_predict(refs[2], rwc, pad, sel.mvx[l], sel.mvy[l], cxx, cyy, cs,
-                    cs, bd_, false, pcr);
+    mc_uni(sp_, refs[1], rwc, pad, sel.mvx[l], sel.mvy[l], cxx, cyy, cs,
+           cs, bd_, false, l, 1, pcb);
+    mc_uni(sp_, refs[2], rwc, pad, sel.mvx[l], sel.mvy[l], cxx, cyy, cs,
+           cs, bd_, false, l, 2, pcr);
   }
 
   int32_t resi[32 * 32], coef[32 * 32], lev_y[32 * 32], lev_cb[16 * 16],

@@ -43,6 +43,12 @@ struct SliceParams {
   int32_t bit_depth;       // for the sao_offset_abs cMax
   int32_t cur_poc;         // current picture POC (AMVP scaling)
   int32_t wpp;             // entropy_coding_sync_enabled_flag (WPP)
+  // explicit weighted prediction (P, list 0 ref 0): spec 8.5.3.3.4.3
+  int32_t wp_on;
+  int32_t wp_denom;        // luma_log2_weight_denom
+  int32_t wp_w, wp_o;      // luma weight / offset
+  int32_t wp_cdenom;       // chroma log2 weight denom
+  int32_t wp_cw[2], wp_co[2];
 };
 
 // Context model set: one instance per slice (later: per WPP row state).

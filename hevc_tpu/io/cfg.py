@@ -99,6 +99,7 @@ _OPTION_TABLE = {
     "LoopFilterBetaOffset_div2": ("deblock_beta_offset", int),
     "LoopFilterTcOffset_div2": ("deblock_tc_offset", int),
     "WaveFrontSynchro": ("wpp", int),
+    "WeightedPredP": ("weighted_pred_p", int),
     "SignHideFlag": ("sign_hide", int),
     "SignDataHidingEnabled": ("sign_hide", int),
     "RateControl": ("rate_control", int),
@@ -163,6 +164,7 @@ class EncoderConfig:
     deblock_beta_offset: int = 0
     deblock_tc_offset: int = 0
     wpp: int = 0
+    weighted_pred_p: int = 0
     sign_hide: int = 0
     rate_control: int = 0
     target_bitrate: int = 0

@@ -115,6 +115,24 @@ def mc_predict_np(padded_ref: np.ndarray, pad: int, mv_qpel_x: int,
                        bit_depth, is_luma)
 
 
+def mc_predict_wp_np(padded_ref, pad, mv_qpel_x, mv_qpel_y, x0, y0, w, h,
+                     bit_depth, is_luma, wgt, off, denom):
+    """Explicit weighted uni-prediction (spec 8.5.3.3.4.3): weight/offset
+    applied on the 14-bit intermediate; log2Wd = denom + 14 - bitDepth."""
+    if is_luma:
+        ix, fx = mv_qpel_x >> 2, mv_qpel_x & 3
+        iy, fy = mv_qpel_y >> 2, mv_qpel_y & 3
+    else:
+        ix, fx = mv_qpel_x >> 3, mv_qpel_x & 7
+        iy, fy = mv_qpel_y >> 3, mv_qpel_y & 7
+    raw = mc_block_np(padded_ref, pad, x0 + ix, y0 + iy, w, h, fx, fy,
+                      bit_depth, is_luma, raw14=True)
+    log2wd = denom + 14 - bit_depth
+    off = off << (bit_depth - 8)
+    v = ((raw.astype(np.int64) * wgt + (1 << (log2wd - 1))) >> log2wd) + off
+    return np.clip(v, 0, (1 << bit_depth) - 1).astype(np.int32)
+
+
 def mc_predict_bi_np(padded0, padded1, pad, mv0, mv1, x0, y0, w, h,
                      bit_depth=8, is_luma=True):
     """Bi-prediction: average of the two 14-bit intermediates

@@ -259,3 +259,43 @@ def test_wpp_conformance(tmp_path):
     own = tmp_path / "own.yuv"
     assert dmain(["-b", str(bs), "-o", str(own)]) == 0
     assert own.read_bytes() == dec.read_bytes()
+
+
+def test_weighted_prediction_conformance(tmp_path):
+    """Explicit weighted prediction on a fade (reference
+    WeightPredAnalysis.cpp xSelectWP + TComWeightPrediction): DC-ratio
+    weight/offset estimation, pred_weight_table signalling and weighted
+    MC; must cut the bitrate on a fade and stay conformant."""
+    w, h, frames = 192, 128, 5
+    clip = tmp_path / "fade.yuv"
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((np.sin(xx / 9) + np.cos(yy / 7)) * 40 + 120)
+    with open(clip, "wb") as f:
+        for i in range(frames):
+            y = np.clip(base * (1.0 - 0.12 * i)
+                        + rng.integers(-6, 6, (h, w)), 0, 255)
+            u = np.full((h // 2, w // 2), 128, np.uint8)
+            v = np.full((h // 2, w // 2), 120, np.uint8)
+            f.write(y.astype(np.uint8).tobytes() + u.tobytes() + v.tobytes())
+    from hevc_tpu.cli.encode import main
+    sizes = {}
+    for wp in (0, 1):
+        bs = tmp_path / f"o{wp}.bin"
+        rec = tmp_path / f"r{wp}.yuv"
+        dec = tmp_path / f"d{wp}.yuv"
+        main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+              str(frames), "-q", "32", "--IntraPeriod=-1",
+              f"--WeightedPredP={wp}", "-b", str(bs), "-o", str(rec)])
+        out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                             capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert out.stdout.count("(OK)") == frames
+        assert rec.read_bytes() == dec.read_bytes()
+        sizes[wp] = bs.stat().st_size
+    assert sizes[1] < sizes[0] * 0.8, sizes
+    # own decoder handles the weighted stream
+    from hevc_tpu.cli.decode import main as dmain
+    own = tmp_path / "own.yuv"
+    assert dmain(["-b", str(tmp_path / "o1.bin"), "-o", str(own)]) == 0
+    assert own.read_bytes() == (tmp_path / "d1.yuv").read_bytes()
