@@ -1056,38 +1056,106 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
 
   int32_t resi[32 * 32], coef[32 * 32], lev_y[32 * 32], lev_cb[16 * 16],
       lev_cr[16 * 16], deq[32 * 32], rres[32 * 32];
+  int16_t rec_y[32 * 32], rec_cb[16 * 16], rec_cr[16 * 16];
   int maxv = (1 << bd_) - 1;
-  auto code_tb = [&](const int16_t* o, int ostride, const int32_t* p, int sz,
-                     int qp, int32_t* lv, int16_t* rec, int rstride) -> int {
+  double lam_sq = ep_.sqrt_lam * ep_.sqrt_lam;
+  // codes one TB: levels into lv (stride lstride), recon into rec; returns
+  // nz and accumulates pixel SSE + level-bit estimate
+  auto code_tb = [&](const int16_t* o, int ostride, const int32_t* p,
+                     int pstride, int sz, int qp, int32_t* lv, int lstride,
+                     int16_t* rec, int rstride, double* sse,
+                     double* bits) -> int {
     for (int i = 0; i < sz; ++i)
       for (int j = 0; j < sz; ++j)
-        resi[i * sz + j] = (int32_t)o[i * ostride + j] - p[i * sz + j];
+        resi[i * sz + j] = (int32_t)o[i * ostride + j] - p[i * pstride + j];
     dsp::fwd_xform(resi, sz, bd_, false, coef);
-    int nz = dsp::quant(coef, sz, qp, bd_, false, lv);
-    if (nz)
-      nz = rdoq_adjust(lv, coef, sz, qp, bd_,
-                       ep_.sqrt_lam * ep_.sqrt_lam);
-    if (nz && sp_.sign_hiding) sbh_enforce(lv, coef, sz, qp, bd_, 0);
+    int nz = dsp::quant(coef, sz, qp, bd_, false, lev_tmp_);
+    if (nz) nz = rdoq_adjust(lev_tmp_, coef, sz, qp, bd_, lam_sq);
+    if (nz && sp_.sign_hiding) sbh_enforce(lev_tmp_, coef, sz, qp, bd_, 0);
     if (nz) {
-      dsp::dequant(lv, sz, qp, bd_, deq);
+      dsp::dequant(lev_tmp_, sz, qp, bd_, deq);
       dsp::inv_xform(deq, sz, bd_, false, rres);
     } else {
       std::memset(rres, 0, sizeof(int32_t) * sz * sz);
     }
+    *bits += 2.0;  // cbf + tree overhead
     for (int i = 0; i < sz; ++i)
       for (int j = 0; j < sz; ++j) {
-        int32_t v = p[i * sz + j] + rres[i * sz + j];
-        rec[i * rstride + j] = (int16_t)std::min(maxv, std::max(0, v));
+        lv[i * lstride + j] = lev_tmp_[i * sz + j];
+        if (lev_tmp_[i * sz + j])
+          *bits += rd_rate_bits(std::abs(lev_tmp_[i * sz + j]));
+        int32_t v = p[i * pstride + j] + rres[i * sz + j];
+        int16_t rv = (int16_t)std::min(maxv, std::max(0, v));
+        rec[i * rstride + j] = rv;
+        double e = (double)o[i * ostride + j] - rv;
+        *sse += e * e;
       }
     return nz;
   };
-  int nz_y = code_tb(oy, w_, pred_y, n, sp_.qp, lev_y,
-                     recon_[0] + y0 * w_ + x0, w_);
-  int nz_cb = code_tb(orig_[1] + cyy * cw + cxx, cw, pcb, cs, qp_c_, lev_cb,
-                      recon_[1] + cyy * cw + cxx, cw);
-  int nz_cr = code_tb(orig_[2] + cyy * cw + cxx, cw, pcr, cs, qp_c_, lev_cr,
-                      recon_[2] + cyy * cw + cxx, cw);
-  bool zero_resid = !nz_y && !nz_cb && !nz_cr;
+  // RQT depth decision (reference TEncSearch::xEstimateInterResidualQT):
+  // TU == CU vs one split level, by pixel SSE + lambda * level bits
+  auto code_all = [&](int depth, double* cost) -> int {
+    int nzs = 0;
+    double sse = 0, bits = depth ? 9.0 : 1.0;  // split flag + extra cbfs
+    int tn = n >> depth, tc = cs >> depth;
+    int parts = depth ? 2 : 1;
+    for (int qy = 0; qy < parts; ++qy)
+      for (int qx = 0; qx < parts; ++qx) {
+        int ly = qy * tn, lx = qx * tn;
+        int lcy = qy * tc, lcx = qx * tc;
+        nzs += code_tb(oy + ly * w_ + lx, w_, pred_y + ly * n + lx, n, tn,
+                       sp_.qp, lev_y + ly * n + lx, n, rec_y + ly * n + lx,
+                       n, &sse, &bits);
+        nzs += code_tb(orig_[1] + (cyy + lcy) * cw + cxx + lcx, cw,
+                       pcb + lcy * cs + lcx, cs, tc, qp_c_,
+                       lev_cb + lcy * cs + lcx, cs,
+                       rec_cb + lcy * cs + lcx, cs, &sse, &bits);
+        nzs += code_tb(orig_[2] + (cyy + lcy) * cw + cxx + lcx, cw,
+                       pcr + lcy * cs + lcx, cs, tc, qp_c_,
+                       lev_cr + lcy * cs + lcx, cs,
+                       rec_cr + lcy * cs + lcx, cs, &sse, &bits);
+      }
+    *cost = sse + lam_sq * bits;
+    return nzs;
+  };
+  double cost1, cost0;
+  int tu_depth_sel = 0;
+  int nz0 = code_all(0, &cost0);
+  int nz_total = nz0;
+  if (nz0 > 24) {
+    // only trial the split when the whole-CU coding is coefficient-heavy
+    // (the split pays off via shorter scans / localized cbfs)
+    int16_t rec0_y[32 * 32], rec0_cb[16 * 16], rec0_cr[16 * 16];
+    int32_t lv0_y[32 * 32], lv0_cb[16 * 16], lv0_cr[16 * 16];
+    std::memcpy(rec0_y, rec_y, sizeof(rec_y));
+    std::memcpy(rec0_cb, rec_cb, sizeof(rec_cb));
+    std::memcpy(rec0_cr, rec_cr, sizeof(rec_cr));
+    std::memcpy(lv0_y, lev_y, sizeof(lev_y));
+    std::memcpy(lv0_cb, lev_cb, sizeof(lev_cb));
+    std::memcpy(lv0_cr, lev_cr, sizeof(lev_cr));
+    int nz1 = code_all(1, &cost1);
+    if (nz1 && cost1 < cost0) {
+      tu_depth_sel = 1;
+      nz_total = nz1;
+    } else {
+      std::memcpy(rec_y, rec0_y, sizeof(rec_y));
+      std::memcpy(rec_cb, rec0_cb, sizeof(rec_cb));
+      std::memcpy(rec_cr, rec0_cr, sizeof(rec_cr));
+      std::memcpy(lev_y, lv0_y, sizeof(lev_y));
+      std::memcpy(lev_cb, lv0_cb, sizeof(lev_cb));
+      std::memcpy(lev_cr, lv0_cr, sizeof(lev_cr));
+    }
+  }
+  for (int i = 0; i < n; ++i)
+    std::memcpy(recon_[0] + (y0 + i) * w_ + x0, rec_y + i * n,
+                sizeof(int16_t) * n);
+  for (int i = 0; i < cs; ++i) {
+    std::memcpy(recon_[1] + (cyy + i) * cw + cxx, rec_cb + i * cs,
+                sizeof(int16_t) * cs);
+    std::memcpy(recon_[2] + (cyy + i) * cw + cxx, rec_cr + i * cs,
+                sizeof(int16_t) * cs);
+  }
+  bool zero_resid = nz_total == 0;
 
   int skip = (merge_sel >= 0 && zero_resid) ? 1 : 0;
   for (int yy = 0; yy < nb; ++yy)
@@ -1106,7 +1174,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       d.ref_idx1[li] = sel.ref[1];
       d.mv_x1[li] = sel.mvx[1];
       d.mv_y1[li] = sel.mvy[1];
-      d.tu_depth[li] = 0;
+      d.tu_depth[li] = (uint8_t)(zero_resid ? 0 : tu_depth_sel);
     }
   for (int i = 0; i < n; ++i)
     for (int j = 0; j < n; ++j)

@@ -77,6 +77,7 @@ class CtuEngine {
   // integer-pel device-search MV for an aligned block, or false
   bool me_lookup(int x0, int y0, int n, int* mvx, int* mvy) const;
   int w_, h_, ctu_, bd_, qp_c_;
+  int32_t lev_tmp_[32 * 32];
   std::vector<uint8_t> mode_map_;  // per-4x4 intra mode, inter blocks -> DC
 };
 
