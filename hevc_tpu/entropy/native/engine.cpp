@@ -602,76 +602,141 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     for (int xx = x0 >> 2; xx < (x0 + n) >> 2; ++xx)
       mode_map_[yy * stride4 + xx] = (uint8_t)best_mode;
 
-  // luma TB (TU == CU)
+  // ---- residual coding with intra RQT (TU == CU vs one split level;
+  // reference TEncSearch::xRecurIntraCodingLumaQT) — splitting also moves
+  // the prediction closer to its reference samples ----
   int32_t resi[32 * 32], coef[32 * 32], lev[32 * 32], deq[32 * 32],
       rres[32 * 32];
-  bool dst = (log2 == 2);
-  for (int i = 0; i < n; ++i)
-    for (int j = 0; j < n; ++j)
-      resi[i * n + j] = (int32_t)oy[i * w_ + j] - best_pred[i * n + j];
-  dsp::fwd_xform(resi, n, bd_, dst, coef);
-  int nz = dsp::quant(coef, n, sp_.qp, bd_, true, lev);
-  if (nz)
-    nz = rdoq_adjust(lev, coef, n, sp_.qp, bd_,
-                     ep_.sqrt_lam * ep_.sqrt_lam);
-  if (nz && sp_.sign_hiding)
-    sbh_enforce(lev, coef, n, sp_.qp, bd_,
-                engine_scan_idx(log2, 0, true, best_mode));
   int maxv = (1 << bd_) - 1;
-  if (nz) {
-    dsp::dequant(lev, n, sp_.qp, bd_, deq);
-    dsp::inv_xform(deq, n, bd_, dst, rres);
-  } else {
-    std::memset(rres, 0, sizeof(int32_t) * n * n);
-  }
-  for (int i = 0; i < n; ++i)
-    for (int j = 0; j < n; ++j) {
-      d.coeff_y[(y0 - ctu_y0 + i) * ctu_ + (x0 - ctu_x0 + j)] =
-          (int16_t)lev[i * n + j];
-      int32_t v = best_pred[i * n + j] + rres[i * n + j];
-      recon_[0][(y0 + i) * w_ + x0 + j] =
-          (int16_t)std::min(maxv, std::max(0, v));
-    }
-
-  // chroma TBs (4:2:0, DM mode, unfiltered refs)
   int cs = n >> 1;
   int cw = w_ >> 1, ch = h_ >> 1;
   int cctu = ctu_ >> 1;
-  for (int ci = 1; ci <= 2; ++ci) {
-    int32_t fc[4 * 32 + 1], ffc[4 * 32 + 1];
-    build_refs(recon_[ci], cw, ch, cw, x0 >> 1, y0 >> 1, cs, x0, y0, 2, fc);
-    dsp::intra_filter_refs(fc, cs, bd_, false, ffc);
+  double lam_sq = ep_.sqrt_lam * ep_.sqrt_lam;
+  int32_t f2[4 * 32 + 1], ff2[4 * 32 + 1];
+
+  // code one intra TB (luma c=0 or chroma c=1/2) at (tx,ty) size tn,
+  // predicting from the live recon; returns nz, accumulates sse/bits
+  auto code_tb_i = [&](int c, int tx, int ty, int tn, int mode,
+                       double* sse, double* bits) -> int {
+    int stride = c == 0 ? w_ : cw;
+    int ph = c == 0 ? h_ : ch;
+    int px = c == 0 ? tx : tx >> 1;
+    int py = c == 0 ? ty : ty >> 1;
+    int tz = c == 0 ? tn : tn >> 1;
+    int qp = c == 0 ? sp_.qp : qp_c_;
+    build_refs(recon_[c], c == 0 ? w_ : cw, ph, stride, px, py, tz, tx, ty,
+               c == 0 ? 1 : 2, f2);
+    bool strong2 = c == 0 && ep_.strong_smoothing &&
+                   dsp::intra_strong_smoothing(f2, tz, bd_);
+    dsp::intra_filter_refs(f2, tz, bd_, strong2, ff2);
     const int32_t* fsel =
-        dsp::intra_filter_flag(cmode_best, cs, false) ? ffc : fc;
-    dsp::intra_predict(fsel, fc, cmode_best, cs, bd_, false, pred);
-    const int16_t* oc = orig_[ci] + (y0 >> 1) * cw + (x0 >> 1);
-    for (int i = 0; i < cs; ++i)
-      for (int j = 0; j < cs; ++j)
-        resi[i * cs + j] = (int32_t)oc[i * cw + j] - pred[i * cs + j];
-    dsp::fwd_xform(resi, cs, bd_, false, coef);
-    int cnz = dsp::quant(coef, cs, qp_c_, bd_, true, lev);
-    if (cnz)
-      cnz = rdoq_adjust(lev, coef, cs, qp_c_, bd_,
-                        ep_.sqrt_lam * ep_.sqrt_lam);
-    if (cnz && sp_.sign_hiding)
-      sbh_enforce(lev, coef, cs, qp_c_, bd_,
-                  engine_scan_idx(log2 - 1, ci, true, cmode_best));
-    if (cnz) {
-      dsp::dequant(lev, cs, qp_c_, bd_, deq);
-      dsp::inv_xform(deq, cs, bd_, false, rres);
+        dsp::intra_filter_flag(mode, tz, c == 0) ? ff2 : f2;
+    int32_t predt[32 * 32];
+    dsp::intra_predict(fsel, f2, mode, tz, bd_, c == 0, predt);
+    const int16_t* o = orig_[c] + py * stride + px;
+    for (int i = 0; i < tz; ++i)
+      for (int j = 0; j < tz; ++j)
+        resi[i * tz + j] = (int32_t)o[i * stride + j] - predt[i * tz + j];
+    bool dstt = (c == 0 && tz == 4);
+    dsp::fwd_xform(resi, tz, bd_, dstt, coef);
+    int nz = dsp::quant(coef, tz, qp, bd_, true, lev);
+    if (nz) nz = rdoq_adjust(lev, coef, tz, qp, bd_, lam_sq);
+    if (nz && sp_.sign_hiding)
+      sbh_enforce(lev, coef, tz, qp, bd_,
+                  engine_scan_idx(ilog2(tz), c, true, mode));
+    if (nz) {
+      dsp::dequant(lev, tz, qp, bd_, deq);
+      dsp::inv_xform(deq, tz, bd_, dstt, rres);
     } else {
-      std::memset(rres, 0, sizeof(int32_t) * cs * cs);
+      std::memset(rres, 0, sizeof(int32_t) * tz * tz);
     }
-    int16_t* cplane = (ci == 1) ? d.coeff_cb : d.coeff_cr;
-    for (int i = 0; i < cs; ++i)
-      for (int j = 0; j < cs; ++j) {
-        cplane[((y0 - ctu_y0) / 2 + i) * cctu + (x0 - ctu_x0) / 2 + j] =
-            (int16_t)lev[i * cs + j];
-        int32_t v = pred[i * cs + j] + rres[i * cs + j];
-        recon_[ci][((y0 >> 1) + i) * cw + (x0 >> 1) + j] =
-            (int16_t)std::min(maxv, std::max(0, v));
+    *bits += 2.0;
+    int16_t* cpl = c == 0 ? d.coeff_y : (c == 1 ? d.coeff_cb : d.coeff_cr);
+    int cstride = c == 0 ? ctu_ : cctu;
+    int lx0 = c == 0 ? tx - ctu_x0 : (tx - ctu_x0) >> 1;
+    int ly0 = c == 0 ? ty - ctu_y0 : (ty - ctu_y0) >> 1;
+    for (int i = 0; i < tz; ++i)
+      for (int j = 0; j < tz; ++j) {
+        cpl[(ly0 + i) * cstride + lx0 + j] = (int16_t)lev[i * tz + j];
+        if (lev[i * tz + j]) *bits += rd_rate_bits(std::abs(lev[i * tz + j]));
+        int32_t v = predt[i * tz + j] + rres[i * tz + j];
+        int16_t rv = (int16_t)std::min(maxv, std::max(0, v));
+        recon_[c][(py + i) * stride + px + j] = rv;
+        double e = (double)o[i * stride + j] - rv;
+        *sse += e * e;
       }
+    return nz;
+  };
+
+  auto code_depth = [&](int depth, double* cost) -> int {
+    int nzs = 0;
+    double sse = 0, bits = depth ? 9.0 : 1.0;
+    int parts = depth ? 2 : 1;
+    int tn = n >> depth;
+    for (int qy = 0; qy < parts; ++qy)
+      for (int qx = 0; qx < parts; ++qx) {
+        int tx = x0 + qx * tn, ty = y0 + qy * tn;
+        nzs += code_tb_i(0, tx, ty, tn, best_mode, &sse, &bits);
+        nzs += code_tb_i(1, tx, ty, tn, cmode_best, &sse, &bits);
+        nzs += code_tb_i(2, tx, ty, tn, cmode_best, &sse, &bits);
+      }
+    *cost = sse + lam_sq * bits;
+    return nzs;
+  };
+
+  double cost0, cost1;
+  int nz0 = code_depth(0, &cost0);
+  int tu_sel = 0;
+  if (log2 >= 4 && nz0 > 24) {
+    // snapshot the depth-0 result before trialing the split
+    std::vector<int16_t> sy(n * n), scb(cs * cs), scr(cs * cs);
+    std::vector<int16_t> cy_(n * n), ccb(cs * cs), ccr(cs * cs);
+    for (int i = 0; i < n; ++i) {
+      std::memcpy(&sy[i * n], recon_[0] + (y0 + i) * w_ + x0,
+                  sizeof(int16_t) * n);
+      std::memcpy(&cy_[i * n],
+                  d.coeff_y + (y0 - ctu_y0 + i) * ctu_ + (x0 - ctu_x0),
+                  sizeof(int16_t) * n);
+    }
+    for (int i = 0; i < cs; ++i) {
+      std::memcpy(&scb[i * cs], recon_[1] + ((y0 >> 1) + i) * cw + (x0 >> 1),
+                  sizeof(int16_t) * cs);
+      std::memcpy(&scr[i * cs], recon_[2] + ((y0 >> 1) + i) * cw + (x0 >> 1),
+                  sizeof(int16_t) * cs);
+      std::memcpy(&ccb[i * cs], d.coeff_cb +
+                  ((y0 - ctu_y0) / 2 + i) * cctu + (x0 - ctu_x0) / 2,
+                  sizeof(int16_t) * cs);
+      std::memcpy(&ccr[i * cs], d.coeff_cr +
+                  ((y0 - ctu_y0) / 2 + i) * cctu + (x0 - ctu_x0) / 2,
+                  sizeof(int16_t) * cs);
+    }
+    int nz1 = code_depth(1, &cost1);
+    (void)nz1;
+    if (cost1 < cost0) {
+      tu_sel = 1;
+    } else {
+      for (int i = 0; i < n; ++i) {
+        std::memcpy(recon_[0] + (y0 + i) * w_ + x0, &sy[i * n],
+                    sizeof(int16_t) * n);
+        std::memcpy(d.coeff_y + (y0 - ctu_y0 + i) * ctu_ + (x0 - ctu_x0),
+                    &cy_[i * n], sizeof(int16_t) * n);
+      }
+      for (int i = 0; i < cs; ++i) {
+        std::memcpy(recon_[1] + ((y0 >> 1) + i) * cw + (x0 >> 1),
+                    &scb[i * cs], sizeof(int16_t) * cs);
+        std::memcpy(recon_[2] + ((y0 >> 1) + i) * cw + (x0 >> 1),
+                    &scr[i * cs], sizeof(int16_t) * cs);
+        std::memcpy(d.coeff_cb + ((y0 - ctu_y0) / 2 + i) * cctu +
+                    (x0 - ctu_x0) / 2, &ccb[i * cs], sizeof(int16_t) * cs);
+        std::memcpy(d.coeff_cr + ((y0 - ctu_y0) / 2 + i) * cctu +
+                    (x0 - ctu_x0) / 2, &ccr[i * cs], sizeof(int16_t) * cs);
+      }
+    }
   }
+  for (int yy = 0; yy < nb; ++yy)
+    for (int xx = 0; xx < nb; ++xx)
+      d.tu_depth[(by + yy) * bw4 + bx + xx] = (uint8_t)tu_sel;
+
   publish(x0, y0, log2, true, 0, 0, 0, -1, 0, 0, -1);
 }
 
