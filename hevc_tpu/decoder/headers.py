@@ -129,7 +129,6 @@ def parse_sps(rbsp: bytes) -> SPS:
     sps.long_term_ref_pics_present_flag = br.flag()
     assert not sps.long_term_ref_pics_present_flag
     sps.sps_temporal_mvp_enabled_flag = br.flag()
-    assert not sps.sps_temporal_mvp_enabled_flag, "TMVP not yet supported"
     sps.strong_intra_smoothing_enabled_flag = br.flag()
     sps.vui_parameters_present_flag = br.flag()
     return sps
@@ -228,7 +227,11 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: SPS, pps: PPS
         if pps.cabac_init_present_flag:
             sh.cabac_init_flag = br.flag()
         if sh.slice_temporal_mvp_enabled_flag:
-            raise NotImplementedError("TMVP")
+            if sh.slice_type == SliceType.B:
+                sh.collocated_from_l0_flag = br.flag()
+            lidx = 0 if sh.collocated_from_l0_flag else 1
+            if sh.num_ref_idx_active[lidx] > 1:
+                sh.collocated_ref_idx = br.ue()
         if pps.weighted_pred_flag and sh.slice_type == SliceType.P:
             sh.wp_log2_denom = br.ue()
             cdenom = sh.wp_log2_denom

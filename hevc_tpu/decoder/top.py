@@ -37,6 +37,7 @@ class DecoderTop:
         self.collect_stats = collect_stats
         self.stats: List[dict] = []   # per-picture analyser records
         self.dpb: Dict[int, List[np.ndarray]] = {}    # poc -> recon planes
+        self.dpb_motion: Dict[int, dict] = {}         # poc -> motion field
         self.out_buf: List[Tuple[int, int, List[np.ndarray]]] = []
         self.cvs = 0
         self.hash_status: List[str] = []
@@ -61,6 +62,7 @@ class DecoderTop:
                 if nal_type in (19, 20):   # IDR: new CVS, flush + clear DPB
                     yield from self._bump(all_pics=True)
                     self.dpb = {}
+                    self.dpb_motion = {}
                     self.cvs += 1
                 try:
                     recon, poc = self._decode_slice(nal_type, rbsp)
@@ -139,6 +141,10 @@ class DecoderTop:
             bit_depth=sps.bit_depth_luma, cur_poc=sh.poc)
         sp.wpp = pps.entropy_coding_sync_enabled_flag
         sdec = cabac.SliceDataDecoder(sp, slice_data)
+        if (sh.slice_temporal_mvp_enabled_flag and ref_pocs_l0
+                and ref_pocs_l0[0] in self.dpb_motion):
+            cabac.set_collocated(sdec, self.dpb_motion[ref_pocs_l0[0]],
+                                 False)
         if pps.entropy_coding_sync_enabled_flag and sh.entry_point_offsets:
             # map NAL-payload entry offsets (incl. emulation prevention)
             # back to raw positions within the unescaped slice data; the
@@ -195,6 +201,10 @@ class DecoderTop:
                 expect_eos = (cy == ctus_h - 1) and (cx == ctus_w - 1)
                 assert eos == (1 if expect_eos else 0), \
                     f"end_of_slice mismatch at CTU {cx},{cy}"
+        if sps.sps_temporal_mvp_enabled_flag:
+            self.dpb_motion[sh.poc] = cabac.motion_field(
+                decisions, sps, ref_pocs_l0[:nl0], ref_pocs_l1[:nl1],
+                sh.poc)
         if not pps.pps_deblocking_filter_disabled_flag:
             from ..ops import deblock
             dmaps = deblock.build_maps(

@@ -62,6 +62,9 @@ class EncoderTop:
             self.pps.entropy_coding_sync_enabled_flag = 1
         if cfg.weighted_pred_p:
             self.pps.weighted_pred_flag = 1
+        if cfg.tmvp:
+            self.sps.sps_temporal_mvp_enabled_flag = 1
+        self.dpb_motion = {}   # cvs_poc -> per-4x4 motion field (TMVP)
         if cfg.deblock_disable:
             self.pps.deblocking_filter_control_present_flag = 1
             self.pps.pps_deblocking_filter_disabled_flag = 1
@@ -254,6 +257,9 @@ class EncoderTop:
                 bit_depth=self.sps.bit_depth_luma,
                 wpp=self.pps.entropy_coding_sync_enabled_flag)
             senc = SliceDataEncoder(sp)
+            if sh.slice_temporal_mvp_enabled_flag:
+                from ..entropy.cabac import set_collocated
+                set_collocated(senc, self.dpb_motion[l0_poc], True)
             if use_native:
                 from .native_frame import NativeFrameEncoder
                 fe = NativeFrameEncoder(self.sps, slice_qp, senc, sp)
@@ -291,6 +297,9 @@ class EncoderTop:
                 sao_luma=sao_on, sao_chroma=sao_on,
                 bit_depth=self.sps.bit_depth_luma, cur_poc=cvs_poc,
                 wpp=self.pps.entropy_coding_sync_enabled_flag)
+            use_tmvp = (self.sps.sps_temporal_mvp_enabled_flag
+                        and not is_b and l0_poc in self.dpb_motion)
+            sh.slice_temporal_mvp_enabled_flag = 1 if use_tmvp else 0
             if sh.wp_luma_flag:
                 sp.wp_on = 1
                 sp.wp_denom = sh.wp_log2_denom
@@ -301,6 +310,9 @@ class EncoderTop:
                     sp.wp_cw[j] = 1 << sh.wp_log2_denom
                     sp.wp_co[j] = 0
             senc = SliceDataEncoder(sp)
+            if sh.slice_temporal_mvp_enabled_flag:
+                from ..entropy.cabac import set_collocated
+                set_collocated(senc, self.dpb_motion[l0_poc], True)
             if use_native:
                 from .native_frame import NativeFrameEncoder
                 fe = NativeFrameEncoder(
@@ -408,6 +420,11 @@ class EncoderTop:
             self.rc.update(bits)
         if idr:
             self.dpb.clear()
+            self.dpb_motion.clear()
+        if self.sps.sps_temporal_mvp_enabled_flag:
+            from ..entropy.cabac import motion_field
+            self.dpb_motion[cvs_poc] = motion_field(
+                decisions, self.sps, ref_pocs[0], ref_pocs[1], cvs_poc)
         self.dpb[cvs_poc] = recon
         self.dpb_recon = recon
         self.recon = recon

@@ -77,6 +77,11 @@ def get_lib() -> ctypes.CDLL:
         ctypes.c_void_p,
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ctypes.c_int]
+    colargs = ([i16p, i16p,
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")] * 2
+               + [ctypes.c_int] * 3)
+    lib.hevc_enc_set_col.argtypes = [ctypes.c_void_p] + colargs
+    lib.hevc_dec_set_col.argtypes = [ctypes.c_void_p] + colargs
     lib.hevc_dec_set_entry.argtypes = [
         ctypes.c_void_p,
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
@@ -472,3 +477,53 @@ def sao_apply_native(deblocked, sao_params, sps, bit_depth):
     lib.hevc_sao_apply(dbl[0], dbl[1], dbl[2], out[0], out[1], out[2],
                        prm, w, h, sps.ctu_size, bit_depth)
     return out
+
+
+COL_NONE = -(2 ** 31)   # INT32_MIN sentinel for "list unused / intra"
+
+
+def set_collocated(handle_obj, mf, is_encoder: bool) -> None:
+    """Attach a collocated picture's motion field (dict with mvx0/mvy0/
+    refpoc0/mvx1/mvy1/refpoc1 arrays + poc) for TMVP derivation."""
+    lib = get_lib()
+    fn = lib.hevc_enc_set_col if is_encoder else lib.hevc_dec_set_col
+    rows, stride = mf["mvx0"].shape
+    handle_obj._colkeep = mf   # keep arrays alive
+    fn(handle_obj._h, mf["mvx0"], mf["mvy0"], mf["refpoc0"],
+       mf["mvx1"], mf["mvy1"], mf["refpoc1"], stride, rows, mf["poc"])
+
+
+def motion_field(decisions, sps, ref_pocs_l0, ref_pocs_l1, poc):
+    """Assemble a per-4x4 motion field (ref_idx resolved to POCs) from the
+    per-CTU decision maps — the reference's compressed TMVP field
+    (TComMotionInfo compression; we store full 4x4 granularity and read at
+    the 16x16-snapped position, which is equivalent)."""
+    ctu = sps.ctu_size
+    n4 = ctu // 4
+    w4 = (sps.pic_width_in_luma_samples + 3) // 4
+    h4 = (sps.pic_height_in_luma_samples + 3) // 4
+    ctus_w = -(-sps.pic_width_in_luma_samples // ctu)
+    mvx = [np.zeros((h4, w4), np.int16) for _ in range(2)]
+    mvy = [np.zeros((h4, w4), np.int16) for _ in range(2)]
+    rp = [np.full((h4, w4), COL_NONE, np.int32) for _ in range(2)]
+    for i, d in enumerate(decisions):
+        cy, cx = divmod(i, ctus_w)
+        y0, x0 = cy * n4, cx * n4
+        ys = min(n4, h4 - y0)
+        xs = min(n4, w4 - x0)
+        if ys <= 0 or xs <= 0:
+            continue
+        inter = d.pred_mode[:ys, :xs] == 0
+        for l, (ridx, mx, my, pocs) in enumerate(
+                ((d.ref_idx, d.mv_x, d.mv_y, ref_pocs_l0),
+                 (d.ref_idx1, d.mv_x1, d.mv_y1, ref_pocs_l1))):
+            use = inter & (ridx[:ys, :xs] >= 0)
+            mvx[l][y0:y0 + ys, x0:x0 + xs][use] = mx[:ys, :xs][use]
+            mvy[l][y0:y0 + ys, x0:x0 + xs][use] = my[:ys, :xs][use]
+            if len(pocs):
+                pl = np.asarray(pocs, np.int32)
+                idxs = np.clip(ridx[:ys, :xs].astype(np.int32), 0,
+                               len(pl) - 1)
+                rp[l][y0:y0 + ys, x0:x0 + xs][use] = pl[idxs][use]
+    return {"mvx0": mvx[0], "mvy0": mvy[0], "refpoc0": rp[0],
+            "mvx1": mvx[1], "mvy1": mvy[1], "refpoc1": rp[1], "poc": poc}

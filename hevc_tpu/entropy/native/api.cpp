@@ -107,6 +107,24 @@ int hevc_enc_substreams(void* h, int32_t* out, int cap) {
   return n;
 }
 
+void hevc_enc_set_col(void* h, const int16_t* mx0, const int16_t* my0,
+                      const int32_t* rp0, const int16_t* mx1,
+                      const int16_t* my1, const int32_t* rp1, int stride,
+                      int rows, int poc) {
+  ((SliceEncoder*)h)->maps().set_col(mx0, my0, rp0, mx1, my1, rp1, stride,
+                                     rows, poc);
+}
+
+void* hevc_dec_maps(void* h);  // fwd
+
+void hevc_dec_set_col(void* h, const int16_t* mx0, const int16_t* my0,
+                      const int32_t* rp0, const int16_t* mx1,
+                      const int16_t* my1, const int32_t* rp1, int stride,
+                      int rows, int poc) {
+  ((SliceDecoder*)h)->maps().set_col(mx0, my0, rp0, mx1, my1, rp1, stride,
+                                     rows, poc);
+}
+
 void hevc_dec_set_entry(void* h, const int32_t* off, int n) {
   ((SliceDecoder*)h)->set_entry_points(off, n);
 }

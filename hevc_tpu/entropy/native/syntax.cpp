@@ -253,6 +253,54 @@ bool PicMaps::motion_at(int x, int y, int cx, int cy, MotionInfo* out) const {
 
 // spec 8.5.3.2.3: spatial merge candidates A1,B1,B0,A0,(B2) with pairwise
 // redundancy pruning, then zero-MV fill (no TMVP: sps_temporal_mvp off).
+static int16_t scale_mv(int mv, int td, int tb);
+
+// spec 8.5.3.2.8 (collocated position + availability) and 8.5.3.2.9
+// (col MV selection + POC-distance scaling). The per-4x4 col field reads
+// the 16x16-snapped position, matching the reference's motion compression
+// (stored MV = top-left 4x4 of each 16x16 region).
+bool PicMaps::temporal_mv(int x0, int y0, int w, int h, int list,
+                          int16_t* omx, int16_t* omy) const {
+  if (!col_mvx[0]) return false;
+  int ctb_log2 = sp.max_cb_log2;
+  for (int attempt = 0; attempt < 2; ++attempt) {
+    int px, py;
+    if (attempt == 0) {  // C0: bottom-right, same CTU row, inside picture
+      int xbr = x0 + w, ybr = y0 + h;
+      if ((y0 >> ctb_log2) != (ybr >> ctb_log2)) continue;
+      if (ybr >= sp.pic_h || xbr >= sp.pic_w) continue;
+      px = (xbr >> 4) << 4;
+      py = (ybr >> 4) << 4;
+    } else {  // C1: centre
+      px = ((x0 + w / 2) >> 4) << 4;
+      py = ((y0 + h / 2) >> 4) << 4;
+    }
+    int bx = px >> 2, bry = py >> 2;
+    if (bx >= col_stride || bry >= col_rows) continue;
+    size_t i = (size_t)bry * col_stride + bx;
+    bool l0 = col_refpoc[0][i] != INT32_MIN;
+    bool l1 = col_refpoc[1] && col_refpoc[1][i] != INT32_MIN;
+    if (!l0 && !l1) continue;  // intra collocated block
+    // list selection: single-list blocks use that list; bi blocks in a
+    // low-delay stream (all references before the current picture — the
+    // only configuration we enable TMVP for) use the target list
+    int use = (l0 && l1) ? list : (l0 ? 0 : 1);
+    int target_poc = list == 0 ? sp.ref_poc_l0[0] : sp.ref_poc_l1[0];
+    int td = col_poc - col_refpoc[use][i];
+    int tb = sp.cur_poc - target_poc;
+    int16_t mx = col_mvx[use][i], my = col_mvy[use][i];
+    if (td == tb || td == 0) {
+      *omx = mx;
+      *omy = my;
+    } else {
+      *omx = scale_mv(mx, td, tb);
+      *omy = scale_mv(my, td, tb);
+    }
+    return true;
+  }
+  return false;
+}
+
 int PicMaps::merge_candidates(int x0, int y0, int w, int h,
                               MotionInfo out[5]) const {
   int n = 0;
@@ -269,8 +317,30 @@ int PicMaps::merge_candidates(int x0, int y0, int w, int h,
     bool hb2 = motion_at(x0 - 1, y0 - 1, x0, y0, &b2);
     if (hb2 && !(ha1 && b2 == a1) && !(hb1 && b2 == b1)) out[n++] = b2;
   }
-  // B slices: combined bi-predictive candidates (spec 8.5.3.2.4)
   bool is_b = sp.slice_type == 0;
+  // temporal merging candidate (spec 8.5.3.2.1 step after B2; refIdx 0,
+  // not pruned against the spatial candidates)
+  if (col_mvx[0] && n < sp.max_merge_cand) {
+    MotionInfo t;
+    int16_t mx, my;
+    bool got0 = temporal_mv(x0, y0, w, h, 0, &mx, &my);
+    if (got0) {
+      t.mvx[0] = mx;
+      t.mvy[0] = my;
+      t.ref[0] = 0;
+    }
+    bool got1 = false;
+    if (is_b && sp.num_ref_l1 > 0) {
+      got1 = temporal_mv(x0, y0, w, h, 1, &mx, &my);
+      if (got1) {
+        t.mvx[1] = mx;
+        t.mvy[1] = my;
+        t.ref[1] = 0;
+      }
+    }
+    if (got0 || got1) out[n++] = t;
+  }
+  // B slices: combined bi-predictive candidates (spec 8.5.3.2.4)
   if (is_b && n > 1 && n < sp.max_merge_cand) {
     static const int l0i[12] = {0,1,0,2,1,2,0,3,1,3,2,3};
     static const int l1i[12] = {1,0,2,0,2,1,3,0,3,1,3,2};
@@ -386,6 +456,16 @@ void PicMaps::amvp_candidates(int x0, int y0, int w, int h, int list,
   if (has_a) { cand[n][0] = ax; cand[n][1] = ay; n++; }
   if (has_b && !(has_a && bx == ax && by == ay)) {
     cand[n][0] = bx; cand[n][1] = by; n++;
+  }
+  if (n < 2 && col_mvx[0]) {
+    // temporal predictor (spec 8.5.3.2.6: appended when fewer than two
+    // distinct spatial candidates; not pruned against them)
+    int16_t tx2, ty2;
+    if (temporal_mv(x0, y0, w, h, list, &tx2, &ty2)) {
+      cand[n][0] = tx2;
+      cand[n][1] = ty2;
+      n++;
+    }
   }
   out_mv[0] = cand[0][0];
   out_mv[1] = cand[0][1];

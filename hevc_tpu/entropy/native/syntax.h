@@ -173,6 +173,25 @@ class PicMaps {
   std::vector<int8_t> ref_idx[2];
   SliceParams sp;
 
+  // collocated-picture motion for TMVP (null = disabled); per-4x4 raster
+  // fields of the collocated reference, list-separated; refpoc uses
+  // INT32_MIN as the "unused" sentinel (spec 8.5.3.2.8/9)
+  const int16_t* col_mvx[2] = {nullptr, nullptr};
+  const int16_t* col_mvy[2] = {nullptr, nullptr};
+  const int32_t* col_refpoc[2] = {nullptr, nullptr};
+  int32_t col_poc = 0;
+  int col_stride = 0, col_rows = 0;
+  void set_col(const int16_t* mx0, const int16_t* my0, const int32_t* rp0,
+               const int16_t* mx1, const int16_t* my1, const int32_t* rp1,
+               int stride_, int rows_, int32_t poc) {
+    col_mvx[0] = mx0; col_mvy[0] = my0; col_refpoc[0] = rp0;
+    col_mvx[1] = mx1; col_mvy[1] = my1; col_refpoc[1] = rp1;
+    col_stride = stride_; col_rows = rows_; col_poc = poc;
+  }
+  // spec 8.5.3.2.8 temporal candidate for target list (refIdx 0)
+  bool temporal_mv(int x0, int y0, int w, int h, int list, int16_t* omx,
+                   int16_t* omy) const;
+
   int idx(int x, int y) const { return (y >> 2) * stride + (x >> 2); }
   // coding-order availability (z-scan rule, spec 6.4.1)
   bool available(int x, int y, int cur_x, int cur_y) const;
@@ -281,6 +300,7 @@ class SliceDecoder {
   void set_entry_points(const int32_t* off, int n) {
     sub_offsets_.assign(off, off + n);
   }
+  PicMaps& maps() { return maps_; }
 };
 
 }  // namespace hevctpu

@@ -100,6 +100,7 @@ _OPTION_TABLE = {
     "LoopFilterTcOffset_div2": ("deblock_tc_offset", int),
     "WaveFrontSynchro": ("wpp", int),
     "WeightedPredP": ("weighted_pred_p", int),
+    "TMVPMode": ("tmvp", int),
     "SignHideFlag": ("sign_hide", int),
     "SignDataHidingEnabled": ("sign_hide", int),
     "RateControl": ("rate_control", int),
@@ -165,6 +166,7 @@ class EncoderConfig:
     deblock_tc_offset: int = 0
     wpp: int = 0
     weighted_pred_p: int = 0
+    tmvp: int = 0
     sign_hide: int = 0
     rate_control: int = 0
     target_bitrate: int = 0

@@ -299,3 +299,28 @@ def test_weighted_prediction_conformance(tmp_path):
     own = tmp_path / "own.yuv"
     assert dmain(["-b", str(tmp_path / "o1.bin"), "-o", str(own)]) == 0
     assert own.read_bytes() == (tmp_path / "d1.yuv").read_bytes()
+
+
+def test_tmvp_conformance(tmp_path):
+    """Temporal MV prediction (spec 8.5.3.2.8/9): collocated-picture
+    motion field, temporal merge + AMVP candidates with POC-distance
+    scaling (reference TComDataCU::getInterMergeCandidates temporal part,
+    TComMotionInfo compression). Gated to low-delay P (TMVPMode=1)."""
+    w, h, frames = 192, 128, 5
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    from hevc_tpu.cli.encode import main
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    main(["-c", "/root/reference/cfg/encoder_lowdelay_P_main.cfg",
+          "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-q", "30", "--TMVPMode=1",
+          "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+    assert rec.read_bytes() == dec.read_bytes()
+    from hevc_tpu.cli.decode import main as dmain
+    own = tmp_path / "own.yuv"
+    assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+    assert own.read_bytes() == dec.read_bytes()
