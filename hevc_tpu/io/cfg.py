@@ -166,7 +166,7 @@ class EncoderConfig:
     deblock_tc_offset: int = 0
     wpp: int = 0
     weighted_pred_p: int = 0
-    tmvp: int = 0
+    tmvp: int = 1
     sign_hide: int = 0
     rate_control: int = 0
     target_bitrate: int = 0
