@@ -404,6 +404,17 @@ class EncoderTop:
                      nal.rbsp_to_nal(headers.write_pps(self.pps),
                                      int(NalUnitType.PPS_NUT))]
             firsts += [True, True, True]
+        if idr:
+            # IRAP bookkeeping SEIs (reference SEIEncoder
+            # initSEIActiveParameterSets / initSEIRecoveryPoint)
+            nals.append(nal.rbsp_to_nal(
+                sei.write_active_parameter_sets_sei(),
+                int(NalUnitType.PREFIX_SEI_NUT)))
+            firsts.append(False)
+            nals.append(nal.rbsp_to_nal(
+                sei.write_recovery_point_sei(0),
+                int(NalUnitType.PREFIX_SEI_NUT)))
+            firsts.append(False)
         nals.append(nal.rbsp_to_nal(slice_rbsp, sh.nal_unit_type))
         firsts.append(not first_au)
         digest = sei.picture_md5(recon, self.sps.bit_depth_luma)

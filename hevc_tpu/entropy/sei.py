@@ -13,6 +13,9 @@ import numpy as np
 from .bitwriter import BitWriter
 
 DECODED_PICTURE_HASH = 132
+ACTIVE_PARAMETER_SETS = 129
+RECOVERY_POINT = 6
+USER_DATA_UNREGISTERED = 5
 
 
 def picture_md5(planes: List[np.ndarray], bit_depth: int = 8) -> List[bytes]:
@@ -39,3 +42,95 @@ def write_picture_hash_sei(digests: List[bytes]) -> bytes:
             bw.u(b, 8)
     bw.byte_align()
     return bw.bytes()
+
+
+def _payload_align(p: BitWriter) -> None:
+    """SEI payload alignment: bit_equal_to_one + zeros, only when the
+    payload is not already byte-aligned (spec 7.3.5)."""
+    if p._nbits:
+        p.u(1, 1)
+        p.align_zero()
+
+
+def _sei_rbsp(ptype: int, payload_bits: BitWriter) -> bytes:
+    """Wrap a payload in the SEI message framing (spec 7.3.5): type/size
+    bytes, payload, payload alignment, rbsp trailing."""
+    body = payload_bits.bytes()
+    bw = BitWriter()
+    t = ptype
+    while t >= 255:
+        bw.u(255, 8)
+        t -= 255
+    bw.u(t, 8)
+    n = len(body)
+    while n >= 255:
+        bw.u(255, 8)
+        n -= 255
+    bw.u(n, 8)
+    for b in body:
+        bw.u(b, 8)
+    bw.byte_align()                 # rbsp_trailing_bits (stop bit + zeros)
+    return bw.bytes()
+
+
+def write_active_parameter_sets_sei(vps_id: int = 0,
+                                    sps_id: int = 0) -> bytes:
+    """active_parameter_sets SEI (spec D.2.21 / reference
+    SEIEncoder::initSEIActiveParameterSets)."""
+    p = BitWriter()
+    p.u(vps_id, 4)                   # active_video_parameter_set_id
+    p.flag(1)                        # self_contained_cvs_flag
+    p.flag(0)                        # no_parameter_set_update_flag
+    p.ue(0)                          # num_sps_ids_minus1
+    p.ue(sps_id)                     # active_seq_parameter_set_id[0]
+    _payload_align(p)
+    return _sei_rbsp(ACTIVE_PARAMETER_SETS, p)
+
+
+def write_recovery_point_sei(recovery_poc_cnt: int = 0,
+                             exact_match: int = 1) -> bytes:
+    """recovery_point SEI (spec D.2.8)."""
+    p = BitWriter()
+    p.se(recovery_poc_cnt)
+    p.flag(exact_match)
+    p.flag(0)                        # broken_link_flag
+    _payload_align(p)
+    return _sei_rbsp(RECOVERY_POINT, p)
+
+
+def write_user_data_sei(payload: bytes,
+                        uuid: bytes = b"hevc-tpu-frmwrk!") -> bytes:
+    """user_data_unregistered SEI (spec D.2.7)."""
+    assert len(uuid) == 16
+    p = BitWriter()
+    for b in uuid + payload:
+        p.u(b, 8)
+    return _sei_rbsp(USER_DATA_UNREGISTERED, p)
+
+
+def parse_sei_messages(rbsp: bytes):
+    """Iterate (payload_type, payload_bytes) in one SEI NAL RBSP."""
+    out = []
+    i = 0
+    while i + 1 < len(rbsp):
+        t = 0
+        while i < len(rbsp) and rbsp[i] == 255:
+            t += 255
+            i += 1
+        if i >= len(rbsp):
+            break
+        t += rbsp[i]
+        i += 1
+        n = 0
+        while i < len(rbsp) and rbsp[i] == 255:
+            n += 255
+            i += 1
+        if i >= len(rbsp):
+            break
+        n += rbsp[i]
+        i += 1
+        out.append((t, rbsp[i:i + n]))
+        i += n
+        if i >= len(rbsp) or (len(rbsp) - i) <= 1:
+            break
+    return out
