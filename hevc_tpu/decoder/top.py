@@ -11,7 +11,6 @@ Parsers assert on unsupported tools (tiles/WPP/TMVP).
 """
 from __future__ import annotations
 
-import hashlib
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np

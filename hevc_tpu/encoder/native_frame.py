@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import tables
 from ..entropy.cabac import (EngineParamsC, NativeCtuEngine, SliceDataEncoder,
                              SliceParamsC)
 from ..ops import me

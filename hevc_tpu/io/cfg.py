@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import dataclasses
 import re
-import shlex
 from typing import Dict, List, Optional
 
 

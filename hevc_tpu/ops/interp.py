@@ -10,8 +10,6 @@ uni-prediction at the working bit depth.
 """
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 # Luma quarter-pel filters, phases 0..3 (spec Table 8-12), taps at x-3..x+4.
