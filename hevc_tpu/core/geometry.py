@@ -44,17 +44,43 @@ class AvailabilityMap:
     """
 
     def __init__(self, pic_w: int, pic_h: int, ctu_size: int = 64,
-                 min_block: int = 4):
+                 min_block: int = 4, tile_cols: int = 0, tile_rows: int = 0):
         self.pic_w = pic_w
         self.pic_h = pic_h
         self.ctu_size = ctu_size
         self.min_block = min_block
         self.ctus_w = -(-pic_w // ctu_size)
+        self.ctus_h = -(-pic_h // ctu_size)
+        self.tiles = tile_cols > 1 or tile_rows > 1
+        if self.tiles:
+            tc, tr = max(tile_cols, 1), max(tile_rows, 1)
+            self._xedges = [i * self.ctus_w // tc for i in range(tc)] \
+                + [self.ctus_w]
+            self._yedges = [i * self.ctus_h // tr for i in range(tr)] \
+                + [self.ctus_h]
+            # tile-scan rank of every CTU (spec 6.5.1)
+            self._rank = {}
+            r = 0
+            for ty in range(tr):
+                for tx in range(tc):
+                    for cy in range(self._yedges[ty], self._yedges[ty + 1]):
+                        for cx in range(self._xedges[tx],
+                                        self._xedges[tx + 1]):
+                            self._rank[(cx, cy)] = r
+                            r += 1
+
+    def tile_id(self, cx: int, cy: int) -> int:
+        col = sum(1 for e in self._xedges[1:-1] if cx >= e)
+        row = sum(1 for e in self._yedges[1:-1] if cy >= e)
+        return row * (len(self._xedges) - 1) + col
 
     def block_order_key(self, x: int, y: int) -> int:
         """Total coding-order key of the min-block containing sample (x,y)."""
         cx, cy = x // self.ctu_size, y // self.ctu_size
-        ctu_addr = cy * self.ctus_w + cx
+        if self.tiles:
+            ctu_addr = self._rank[(cx, cy)]
+        else:
+            ctu_addr = cy * self.ctus_w + cx
         bx = (x % self.ctu_size) // self.min_block
         by = (y % self.ctu_size) // self.min_block
         return (ctu_addr << 16) | zscan(bx, by)
@@ -63,4 +89,8 @@ class AvailabilityMap:
         """Is sample (x,y) available as predictor for block at (cur_x0,cur_y0)?"""
         if x < 0 or y < 0 or x >= self.pic_w or y >= self.pic_h:
             return False
+        if self.tiles and self.tile_id(x // self.ctu_size,
+                                       y // self.ctu_size) != self.tile_id(
+                cur_x0 // self.ctu_size, cur_y0 // self.ctu_size):
+            return False  # prediction never crosses a tile boundary
         return self.block_order_key(x, y) < self.block_order_key(cur_x0, cur_y0)

@@ -152,6 +152,8 @@ class PPS:
     weighted_bipred_flag: int = 0
     transquant_bypass_enabled_flag: int = 0
     tiles_enabled_flag: int = 0
+    num_tile_columns_minus1: int = 0
+    num_tile_rows_minus1: int = 0
     entropy_coding_sync_enabled_flag: int = 0
     pps_loop_filter_across_slices_enabled_flag: int = 1
     deblocking_filter_control_present_flag: int = 0

@@ -163,7 +163,11 @@ def parse_pps(rbsp: bytes) -> PPS:
     pps.transquant_bypass_enabled_flag = br.flag()
     pps.tiles_enabled_flag = br.flag()
     pps.entropy_coding_sync_enabled_flag = br.flag()
-    assert not pps.tiles_enabled_flag, "tiles not yet supported"
+    if pps.tiles_enabled_flag:
+        pps.num_tile_columns_minus1 = br.ue()
+        pps.num_tile_rows_minus1 = br.ue()
+        assert br.flag() == 1, "only uniform tile spacing supported"
+        br.flag()        # loop_filter_across_tiles_enabled_flag
     pps.pps_loop_filter_across_slices_enabled_flag = br.flag()
     pps.deblocking_filter_control_present_flag = br.flag()
     if pps.deblocking_filter_control_present_flag:

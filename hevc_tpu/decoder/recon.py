@@ -39,7 +39,10 @@ class CtuReconstructor:
         self.w = sps.pic_width_in_luma_samples
         self.h = sps.pic_height_in_luma_samples
         self.ctu = sps.ctu_size
-        self.avail = AvailabilityMap(self.w, self.h, self.ctu)
+        self.avail = AvailabilityMap(
+            self.w, self.h, self.ctu,
+            tile_cols=getattr(sps, "_tile_cols", 0),
+            tile_rows=getattr(sps, "_tile_rows", 0))
         self.refs_l0 = refs_l0 or []
         self.refs_l1 = refs_l1 if refs_l1 is not None else self.refs_l0
         self.wp = wp

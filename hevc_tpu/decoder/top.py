@@ -137,14 +137,19 @@ class DecoderTop:
             ref_poc_l0=ref_pocs_l0[:16], ref_poc_l1=ref_pocs_l1[:16],
             sao_luma=sh.slice_sao_luma_flag,
             sao_chroma=sh.slice_sao_chroma_flag,
-            bit_depth=sps.bit_depth_luma, cur_poc=sh.poc)
+            bit_depth=sps.bit_depth_luma, cur_poc=sh.poc,
+            tile_cols=pps.num_tile_columns_minus1 + 1
+            if pps.tiles_enabled_flag else 0,
+            tile_rows=pps.num_tile_rows_minus1 + 1
+            if pps.tiles_enabled_flag else 0)
         sp.wpp = pps.entropy_coding_sync_enabled_flag
         sdec = cabac.SliceDataDecoder(sp, slice_data)
         if (sh.slice_temporal_mvp_enabled_flag and ref_pocs_l0
                 and ref_pocs_l0[0] in self.dpb_motion):
             cabac.set_collocated(sdec, self.dpb_motion[ref_pocs_l0[0]],
                                  False)
-        if pps.entropy_coding_sync_enabled_flag and sh.entry_point_offsets:
+        if ((pps.entropy_coding_sync_enabled_flag
+             or pps.tiles_enabled_flag) and sh.entry_point_offsets):
             # map NAL-payload entry offsets (incl. emulation prevention)
             # back to raw positions within the unescaped slice data; the
             # escape scanner's zero-run state carries in from the header
@@ -186,20 +191,27 @@ class DecoderTop:
                 return out
             refs_l0 = resolve(ref_pocs_l0, nl0)
             refs_l1 = resolve(ref_pocs_l1, nl1) if nl1 else None
+        sps._tile_cols = (pps.num_tile_columns_minus1 + 1
+                          if pps.tiles_enabled_flag else 0)
+        sps._tile_rows = (pps.num_tile_rows_minus1 + 1
+                          if pps.tiles_enabled_flag else 0)
         wp = ((sh.wp_log2_denom, sh.wp_weight, sh.wp_offset)
               if getattr(sh, "wp_luma_flag", 0) else None)
         rc = CtuReconstructor(sps, sh.slice_qp, refs_l0, refs_l1, wp=wp)
         ctus_w = sps.pic_width_in_ctus
         ctus_h = sps.pic_height_in_ctus
-        decisions = []
-        for cy in range(ctus_h):
-            for cx in range(ctus_w):
-                d, eos = sdec.decode_ctu(cx, cy)
-                rc.recon_ctu(d, cx, cy, recon)
-                decisions.append(d)
-                expect_eos = (cy == ctus_h - 1) and (cx == ctus_w - 1)
-                assert eos == (1 if expect_eos else 0), \
-                    f"end_of_slice mismatch at CTU {cx},{cy}"
+        from ..entropy.cabac import tile_scan_order
+        order = tile_scan_order(
+            w, h, sps.ctu_size,
+            pps.num_tile_columns_minus1 + 1 if pps.tiles_enabled_flag else 0,
+            pps.num_tile_rows_minus1 + 1 if pps.tiles_enabled_flag else 0)
+        decisions = [None] * (ctus_w * ctus_h)
+        for k, (cx, cy) in enumerate(order):
+            d, eos = sdec.decode_ctu(cx, cy)
+            rc.recon_ctu(d, cx, cy, recon)
+            decisions[cy * ctus_w + cx] = d
+            assert eos == (1 if k == len(order) - 1 else 0), \
+                f"end_of_slice mismatch at CTU {cx},{cy}"
         if sps.sps_temporal_mvp_enabled_flag:
             self.dpb_motion[sh.poc] = cabac.motion_field(
                 decisions, sps, ref_pocs_l0[:nl0], ref_pocs_l1[:nl1],

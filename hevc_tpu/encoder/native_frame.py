@@ -149,8 +149,15 @@ class NativeFrameEncoder:
         eng = NativeCtuEngine(self.sp, ep, self.senc, orig, recon,
                               self.ref, self.ref1 if self.is_b else self.ref,
                               me_x, me_y, me16_x, me16_y)
-        from ..entropy.cabac import FrameDecisions, engine_encode_frame
+        from ..entropy.cabac import (FrameDecisions, engine_encode_frame,
+                                     engine_encode_frame_order,
+                                     tile_scan_order)
         ctus_w, ctus_h = -(-w // ctu), -(-h // ctu)
         fd = FrameDecisions(ctus_w * ctus_h, ctu, 1)
-        engine_encode_frame(eng, ctus_w, ctus_h, fd)
+        if self.sp.tile_cols > 1 or self.sp.tile_rows > 1:
+            order = tile_scan_order(w, h, ctu, self.sp.tile_cols,
+                                    self.sp.tile_rows)
+            engine_encode_frame_order(eng, order, ctus_w, fd)
+        else:
+            engine_encode_frame(eng, ctus_w, ctus_h, fd)
         return fd, recon

@@ -58,7 +58,15 @@ class EncoderTop:
                 _os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0"):
             # the native engine enforces the parity constraint
             self.pps.sign_data_hiding_enabled_flag = 1
-        if cfg.wpp:
+        self.tiles = (max(cfg.tile_cols_minus1, 0),
+                      max(cfg.tile_rows_minus1, 0))
+        if self.tiles != (0, 0):
+            self.pps.tiles_enabled_flag = 1
+            self.pps.num_tile_columns_minus1 = self.tiles[0]
+            self.pps.num_tile_rows_minus1 = self.tiles[1]
+            self.sps._tile_cols = self.tiles[0] + 1
+            self.sps._tile_rows = self.tiles[1] + 1
+        elif cfg.wpp:
             self.pps.entropy_coding_sync_enabled_flag = 1
         if cfg.weighted_pred_p:
             self.pps.weighted_pred_flag = 1
@@ -255,7 +263,11 @@ class EncoderTop:
                 sign_hiding=self.pps.sign_data_hiding_enabled_flag,
                 sao_luma=sao_on, sao_chroma=sao_on,
                 bit_depth=self.sps.bit_depth_luma,
-                wpp=self.pps.entropy_coding_sync_enabled_flag)
+                wpp=self.pps.entropy_coding_sync_enabled_flag,
+                tile_cols=self.pps.num_tile_columns_minus1 + 1
+                if self.pps.tiles_enabled_flag else 0,
+                tile_rows=self.pps.num_tile_rows_minus1 + 1
+                if self.pps.tiles_enabled_flag else 0)
             senc = SliceDataEncoder(sp)
             if sh.slice_temporal_mvp_enabled_flag:
                 from ..entropy.cabac import set_collocated
@@ -296,7 +308,11 @@ class EncoderTop:
                 ref_poc_l1=[ref_l1[0]] if is_b else [],
                 sao_luma=sao_on, sao_chroma=sao_on,
                 bit_depth=self.sps.bit_depth_luma, cur_poc=cvs_poc,
-                wpp=self.pps.entropy_coding_sync_enabled_flag)
+                wpp=self.pps.entropy_coding_sync_enabled_flag,
+                tile_cols=self.pps.num_tile_columns_minus1 + 1
+                if self.pps.tiles_enabled_flag else 0,
+                tile_rows=self.pps.num_tile_rows_minus1 + 1
+                if self.pps.tiles_enabled_flag else 0)
             use_tmvp = (self.sps.sps_temporal_mvp_enabled_flag
                         and not is_b and l0_poc in self.dpb_motion)
             sh.slice_temporal_mvp_enabled_flag = 1 if use_tmvp else 0
@@ -351,9 +367,18 @@ class EncoderTop:
 
         ctus_w = self.sps.pic_width_in_ctus
         ctus_h = self.sps.pic_height_in_ctus
-        from ..entropy.cabac import FrameDecisions, entropy_encode_frame
+        from ..entropy.cabac import (FrameDecisions, entropy_encode_frame,
+                                     entropy_encode_frame_order,
+                                     tile_scan_order)
         if isinstance(decisions, FrameDecisions):
-            entropy_encode_frame(senc, ctus_w, ctus_h, decisions)
+            if self.pps.tiles_enabled_flag:
+                order = tile_scan_order(
+                    cfg.width, cfg.height, self.sps.ctu_size,
+                    self.pps.num_tile_columns_minus1 + 1,
+                    self.pps.num_tile_rows_minus1 + 1)
+                entropy_encode_frame_order(senc, order, ctus_w, decisions)
+            else:
+                entropy_encode_frame(senc, ctus_w, ctus_h, decisions)
         else:
             i = 0
             for cy in range(ctus_h):
@@ -362,7 +387,8 @@ class EncoderTop:
                     senc.encode_ctu(cx, cy, decisions[i], last)
                     i += 1
         data = senc.get_bytes()
-        if self.pps.entropy_coding_sync_enabled_flag:
+        if (self.pps.entropy_coding_sync_enabled_flag
+                or self.pps.tiles_enabled_flag):
             # WPP entry points (spec 7.4.7.1): offsets are NAL-payload byte
             # counts (incl. emulation prevention); the header length feeds
             # back into the escape scan, so iterate to the fixed point

@@ -28,7 +28,8 @@ class SliceParamsC(ctypes.Structure):
         ("ref_poc_l0", ctypes.c_int32 * 16),
         ("ref_poc_l1", ctypes.c_int32 * 16)] + [
         (n, ctypes.c_int32) for n in ("sao_luma", "sao_chroma", "bit_depth",
-                                      "cur_poc", "wpp", "wp_on", "wp_denom",
+                                      "cur_poc", "wpp", "tile_cols",
+                                      "tile_rows", "wp_on", "wp_denom",
                                       "wp_w", "wp_o", "wp_cdenom")] + [
         ("wp_cw", ctypes.c_int32 * 2), ("wp_co", ctypes.c_int32 * 2)]
 
@@ -111,9 +112,17 @@ def get_lib() -> ctypes.CDLL:
         + stacked
     lib.hevc_enc_frame.argtypes = [ctypes.c_void_p] + [ctypes.c_int] * 4 \
         + stacked
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.hevc_engine_frame_order.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int, i32p, i32p]
+        + [ctypes.c_int] * 3 + stacked)
+    lib.hevc_enc_frame_order.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int, i32p, i32p]
+        + [ctypes.c_int] * 3 + stacked)
     lib.hevc_sao_estimate.argtypes = (
         [i16p] * 6 + [ctypes.c_int] * 4 + [ctypes.c_double,
-        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")])
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int, ctypes.c_int])
     lib.hevc_sao_apply.argtypes = (
         [i16p] * 6 + [np.ctypeslib.ndpointer(np.int32,
                                              flags="C_CONTIGUOUS")]
@@ -142,7 +151,8 @@ def make_slice_params(pic_w: int, pic_h: int, qp: int, slice_type: int = 2,
                       num_ref_l1: int = 0, mvd_l1_zero: int = 0,
                       ref_poc_l0=(), ref_poc_l1=(), sao_luma: int = 0,
                       sao_chroma: int = 0, bit_depth: int = 8,
-                      cur_poc: int = 0, wpp: int = 0) -> SliceParamsC:
+                      cur_poc: int = 0, wpp: int = 0, tile_cols: int = 0,
+                      tile_rows: int = 0) -> SliceParamsC:
     sp = SliceParamsC(
         pic_w, pic_h, ctu_size, qp, slice_type, max_tu_depth_intra,
         max_tu_depth_inter, chroma_format, sign_hiding, transform_skip,
@@ -157,6 +167,8 @@ def make_slice_params(pic_w: int, pic_h: int, qp: int, slice_type: int = 2,
     sp.bit_depth = bit_depth
     sp.cur_poc = cur_poc
     sp.wpp = wpp
+    sp.tile_cols = tile_cols
+    sp.tile_rows = tile_rows
     return sp
 
 
@@ -380,8 +392,10 @@ def sao_estimate_native(orig, deblocked, sps, bit_depth, lam):
     out = np.zeros((nctu, 20), np.int32)
     o = [np.ascontiguousarray(p, np.int16) for p in orig]
     dbl = [np.ascontiguousarray(p, np.int16) for p in deblocked]
+    tc = getattr(sps, "_tile_cols", 0)
+    tr = getattr(sps, "_tile_rows", 0)
     lib.hevc_sao_estimate(o[0], o[1], o[2], dbl[0], dbl[1], dbl[2],
-                          w, h, ctu, bit_depth, float(lam), out)
+                          w, h, ctu, bit_depth, float(lam), out, tc, tr)
     return list(out)
 
 
@@ -526,3 +540,39 @@ def motion_field(decisions, sps, ref_pocs_l0, ref_pocs_l1, poc):
                 rp[l][y0:y0 + ys, x0:x0 + xs][use] = pl[idxs][use]
     return {"mvx0": mvx[0], "mvy0": mvy[0], "refpoc0": rp[0],
             "mvx1": mvx[1], "mvy1": mvy[1], "refpoc1": rp[1], "poc": poc}
+
+
+def tile_scan_order(pic_w, pic_h, ctu, tile_cols, tile_rows):
+    """CTU (cx, cy) processing order for a uniform tile grid (spec 6.5.1);
+    raster when no tiles."""
+    cw = -(-pic_w // ctu)
+    ch = -(-pic_h // ctu)
+    if tile_cols <= 1 and tile_rows <= 1:
+        return [(x, y) for y in range(ch) for x in range(cw)]
+    def edges(n, t):
+        return [i * n // t for i in range(t)] + [n]
+    xs = edges(cw, max(tile_cols, 1))
+    ys = edges(ch, max(tile_rows, 1))
+    order = []
+    for r in range(len(ys) - 1):
+        for c in range(len(xs) - 1):
+            for y in range(ys[r], ys[r + 1]):
+                for x in range(xs[c], xs[c + 1]):
+                    order.append((x, y))
+    return order
+
+
+def engine_encode_frame_order(engine, order, ctus_w, fd):
+    cxs = np.ascontiguousarray([c[0] for c in order], np.int32)
+    cys = np.ascontiguousarray([c[1] for c in order], np.int32)
+    engine._lib.hevc_engine_frame_order(
+        engine._h, len(order), cxs, cys, ctus_w, fd.ctu_size,
+        fd.chroma_format, *fd._args())
+
+
+def entropy_encode_frame_order(senc, order, ctus_w, fd):
+    cxs = np.ascontiguousarray([c[0] for c in order], np.int32)
+    cys = np.ascontiguousarray([c[1] for c in order], np.int32)
+    senc._lib.hevc_enc_frame_order(
+        senc._h, len(order), cxs, cys, ctus_w, fd.ctu_size,
+        fd.chroma_format, *fd._args())

@@ -162,6 +162,11 @@ def write_pps(pps: PPS) -> bytes:
     bw.flag(pps.transquant_bypass_enabled_flag)
     bw.flag(pps.tiles_enabled_flag)
     bw.flag(pps.entropy_coding_sync_enabled_flag)
+    if pps.tiles_enabled_flag:
+        bw.ue(pps.num_tile_columns_minus1)
+        bw.ue(pps.num_tile_rows_minus1)
+        bw.flag(1)                              # uniform_spacing_flag
+        bw.flag(1)                # loop_filter_across_tiles_enabled_flag
     bw.flag(pps.pps_loop_filter_across_slices_enabled_flag)
     bw.flag(pps.deblocking_filter_control_present_flag)
     if pps.deblocking_filter_control_present_flag:

@@ -256,15 +256,15 @@ struct StackedMaps {
                  mv_x, mv_y, mvp_flag1, ref_idx1, mvd_x1, mvd_y1, mv_x1,    \
                  mv_y1, sao, CTU, CFMT}
 
-extern "C" // Wavefront-parallel frame drive: CTU (x, y) may start once row y-1 has
+// Wavefront-parallel frame drive: CTU (x, y) may start once row y-1 has
 // finished CTU x+1 (its decisions/recon cover the left, above and
 // above-right neighbourhood every tool reads). Decisions and recon writes
 // land in disjoint regions, so the lag-2 wavefront is race-free — the
 // same dependency structure the reference exploits for WPP
 // (TEncSlice.cpp:744). Thread count from HEVC_TPU_THREADS (default:
 // hardware concurrency, capped by row count).
-void hevc_engine_frame(void* eng, int ctus_w, int ctus_h, int ctu_size,
-                       int cfmt, STACKED_ARGS) {
+extern "C" void hevc_engine_frame(void* eng, int ctus_w, int ctus_h,
+                                  int ctu_size, int cfmt, STACKED_ARGS) {
   STACKED_INIT(ctu_size, cfmt);
   int nthreads = 0;
   if (const char* e = getenv("HEVC_TPU_THREADS")) nthreads = atoi(e);
@@ -302,8 +302,35 @@ void hevc_engine_frame(void* eng, int ctus_w, int ctus_h, int ctu_size,
   for (auto& t : pool) t.join();
 }
 
-extern "C" void hevc_enc_frame(void* senc, int ctus_w, int ctus_h, int ctu_size,
-                    int cfmt, STACKED_ARGS) {
+// tile-scan (or any explicit) CTU order variants: the stacked buffers
+// stay raster-indexed; `cxs/cys` give the processing sequence
+extern "C" void hevc_engine_frame_order(void* eng, int nctu, const int32_t* cxs,
+                             const int32_t* cys, int ctus_w, int ctu_size,
+                             int cfmt, STACKED_ARGS) {
+  STACKED_INIT(ctu_size, cfmt);
+  for (int i = 0; i < nctu; ++i)
+    ((CtuEngine*)eng)->encode_ctu(cxs[i], cys[i],
+                                  sm.at((size_t)cys[i] * ctus_w + cxs[i]));
+}
+
+extern "C" void hevc_enc_frame_order(void* senc, int nctu, const int32_t* cxs,
+                          const int32_t* cys, int ctus_w, int ctu_size,
+                          int cfmt, STACKED_ARGS) {
+  STACKED_INIT(ctu_size, cfmt);
+  for (int i = 0; i < nctu; ++i) {
+    MutCtuData md = sm.at((size_t)cys[i] * ctus_w + cxs[i]);
+    CtuData d{md.cu_depth, md.nxn_flag, md.luma_mode, md.chroma_mode,
+              md.tu_depth, md.coeff_y, md.coeff_cb, md.coeff_cr,
+              md.pred_mode, md.skip_flag, md.merge_flag, md.merge_idx,
+              md.mvp_flag, md.ref_idx, md.mvd_x, md.mvd_y, md.mv_x,
+              md.mv_y, md.mvp_flag1, md.ref_idx1, md.mvd_x1, md.mvd_y1,
+              md.mv_x1, md.mv_y1, md.sao};
+    ((SliceEncoder*)senc)->encode_ctu(cxs[i], cys[i], d, i == nctu - 1);
+  }
+}
+
+extern "C" void hevc_enc_frame(void* senc, int ctus_w, int ctus_h,
+                               int ctu_size, int cfmt, STACKED_ARGS) {
   STACKED_INIT(ctu_size, cfmt);
   for (int cy = 0; cy < ctus_h; ++cy)
     for (int cx = 0; cx < ctus_w; ++cx) {

@@ -1410,10 +1410,21 @@ CompChoice pick_component(const CompStats& st, double lam, int max_off) {
 
 }  // namespace
 
+namespace hevctpu {
+int tile_id_of(const SliceParams& sp, int ctu_x, int ctu_y);
+}
+
 extern "C" void hevc_sao_estimate(
     const int16_t* oy, const int16_t* ocb, const int16_t* ocr,
     const int16_t* dy, const int16_t* dcb, const int16_t* dcr, int w, int h,
-    int ctu, int bd, double lam, int32_t* out /* nctu * 20 */) {
+    int ctu, int bd, double lam, int32_t* out /* nctu * 20 */,
+    int tile_cols, int tile_rows) {
+  hevctpu::SliceParams tsp{};
+  tsp.pic_w = w;
+  tsp.pic_h = h;
+  tsp.ctu_size = ctu;
+  tsp.tile_cols = tile_cols;
+  tsp.tile_rows = tile_rows;
   int cw = w / 2, ch = h / 2;
   int ctus_w = (w + ctu - 1) / ctu, ctus_h = (h + ctu - 1) / ctu;
   int shift = bd - 5;
@@ -1487,9 +1498,12 @@ extern "C" void hevc_sao_estimate(
       const CompStats* stats3[3] = {&sl, &sb, &sr};
       double best_merge = own_cost;
       int merge_sel = 0;
+      int tid = hevctpu::tile_id_of(tsp, cx, cy);
       const int32_t* nbrs[2] = {
-          cx > 0 ? out + ((size_t)cy * ctus_w + cx - 1) * 20 : nullptr,
-          cy > 0 ? out + ((size_t)(cy - 1) * ctus_w + cx) * 20 : nullptr};
+          (cx > 0 && tile_id_of(tsp, cx - 1, cy) == tid)
+              ? out + ((size_t)cy * ctus_w + cx - 1) * 20 : nullptr,
+          (cy > 0 && tile_id_of(tsp, cx, cy - 1) == tid)
+              ? out + ((size_t)(cy - 1) * ctus_w + cx) * 20 : nullptr};
       for (int mi = 0; mi < 2; ++mi) {
         const int32_t* np = nbrs[mi];
         if (!np) continue;

@@ -473,6 +473,52 @@ void PicMaps::amvp_candidates(int x0, int y0, int w, int h, int list,
   out_mv[3] = cand[1][1];
 }
 
+// uniform tile geometry (spec 6.5.1): column/row boundaries in CTUs
+static int tile_edge(int n_ctus, int n_tiles, int i) {
+  return (i * n_ctus) / n_tiles;   // uniform_spacing_flag derivation
+}
+
+int tile_id_of(const SliceParams& sp, int ctu_x, int ctu_y) {
+  int tc = sp.tile_cols > 1 ? sp.tile_cols : 1;
+  int tr = sp.tile_rows > 1 ? sp.tile_rows : 1;
+  if (tc == 1 && tr == 1) return 0;
+  int cw = (sp.pic_w + sp.ctu_size - 1) / sp.ctu_size;
+  int ch = (sp.pic_h + sp.ctu_size - 1) / sp.ctu_size;
+  int col = 0, row = 0;
+  for (int i = 1; i < tc; ++i)
+    if (ctu_x >= tile_edge(cw, tc, i)) col = i;
+  for (int i = 1; i < tr; ++i)
+    if (ctu_y >= tile_edge(ch, tr, i)) row = i;
+  return row * tc + col;
+}
+
+// tile-scan rank of a CTU (CTUs ordered tile by tile, raster inside each)
+int tile_scan_rank(const SliceParams& sp, int ctu_x, int ctu_y) {
+  int tc = sp.tile_cols > 1 ? sp.tile_cols : 1;
+  int tr = sp.tile_rows > 1 ? sp.tile_rows : 1;
+  int cw = (sp.pic_w + sp.ctu_size - 1) / sp.ctu_size;
+  int ch = (sp.pic_h + sp.ctu_size - 1) / sp.ctu_size;
+  if (tc == 1 && tr == 1) return ctu_y * cw + ctu_x;
+  int rank = 0;
+  int tid = tile_id_of(sp, ctu_x, ctu_y);
+  for (int row = 0; row < tr; ++row) {
+    int y0 = tile_edge(ch, tr, row);
+    int y1 = row + 1 < tr ? tile_edge(ch, tr, row + 1) : ch;
+    for (int col = 0; col < tc; ++col) {
+      int x0 = tile_edge(cw, tc, col);
+      int x1 = col + 1 < tc ? tile_edge(cw, tc, col + 1) : cw;
+      int t = row * tc + col;
+      if (t < tid) {
+        rank += (x1 - x0) * (y1 - y0);
+      } else if (t == tid) {
+        rank += (ctu_y - y0) * (x1 - x0) + (ctu_x - x0);
+        return rank;
+      }
+    }
+  }
+  return rank;
+}
+
 static inline uint32_t part1by1(uint32_t v) {
   v &= 0xFFFF;
   v = (v | (v << 8)) & 0x00FF00FF;
@@ -484,9 +530,16 @@ static inline uint32_t part1by1(uint32_t v) {
 
 bool PicMaps::available(int x, int y, int cx, int cy) const {
   if (x < 0 || y < 0 || x >= sp.pic_w || y >= sp.pic_h) return false;
+  bool tiles = sp.tile_cols > 1 || sp.tile_rows > 1;
+  if (tiles &&
+      tile_id_of(sp, x / sp.ctu_size, y / sp.ctu_size) !=
+          tile_id_of(sp, cx / sp.ctu_size, cy / sp.ctu_size))
+    return false;  // prediction never crosses a tile boundary (spec 6.4.1)
   int ctus_w = (sp.pic_w + sp.ctu_size - 1) / sp.ctu_size;
   auto key = [&](int px, int py) -> uint64_t {
-    uint64_t ctu = (uint64_t)(py / sp.ctu_size) * ctus_w + px / sp.ctu_size;
+    uint64_t ctu = tiles
+        ? (uint64_t)tile_scan_rank(sp, px / sp.ctu_size, py / sp.ctu_size)
+        : (uint64_t)(py / sp.ctu_size) * ctus_w + px / sp.ctu_size;
     uint32_t bx = (px % sp.ctu_size) >> 2, by = (py % sp.ctu_size) >> 2;
     return (ctu << 16) | part1by1(bx) | (part1by1(by) << 1);
   };
@@ -530,6 +583,23 @@ void SliceEncoder::encode_ctu(int cx, int cy, const CtuData& d,
   ctu_x0_ = cx * sp_.ctu_size;
   ctu_y0_ = cy * sp_.ctu_size;
   int ctus_w_pic = (sp_.pic_w + sp_.ctu_size - 1) / sp_.ctu_size;
+  if (sp_.tile_cols > 1 || sp_.tile_rows > 1) {
+    int tid = tile_id_of(sp_, cx, cy);
+    if (tid != cur_tile_) {
+      if (cur_tile_ >= 0) {
+        // close the previous tile's substream: end_of_subset_one_bit +
+        // byte alignment (spec 7.3.8.1)
+        cabac_.encode_terminate(1);
+        bw_.put_bit(1);
+        while (!bw_.aligned()) bw_.put_bit(0);
+        sub_sizes_.push_back((int32_t)(bw_.bytes.size() - sub_start_));
+        sub_start_ = bw_.bytes.size();
+        cabac_.start();
+      }
+      ctx_.init(sp_.slice_type, sp_.qp);
+      cur_tile_ = tid;
+    }
+  }
   if (sp_.wpp && cx == 0 && cy > 0) {
     // new CTU row: contexts from the snapshot taken after CTU 1 of the
     // row above (spec 9.3.1 entropy_coding_sync), fresh engine state
@@ -1101,6 +1171,19 @@ int SliceDecoder::decode_ctu(int cx, int cy, const MutCtuData& d) {
   ctu_x0_ = cx * sp_.ctu_size;
   ctu_y0_ = cy * sp_.ctu_size;
   int ctus_w_pic = (sp_.pic_w + sp_.ctu_size - 1) / sp_.ctu_size;
+  if (sp_.tile_cols > 1 || sp_.tile_rows > 1) {
+    int tid = tile_id_of(sp_, cx, cy);
+    if (tid != cur_tile_) {
+      if (cur_tile_ >= 0) {
+        cabac_.decode_terminate();  // end_of_subset_one_bit of prev tile
+        if ((size_t)(next_sub_ - 1) < sub_offsets_.size())
+          cabac_.restart_at((size_t)sub_offsets_[next_sub_ - 1]);
+        ++next_sub_;
+      }
+      ctx_.init(sp_.slice_type, sp_.qp);
+      cur_tile_ = tid;
+    }
+  }
   if (sp_.wpp && cx == 0 && cy > 0) {
     if (wpp_saved_valid_)
       ctx_ = wpp_saved_;
@@ -1622,13 +1705,15 @@ void SliceEncoder::code_sao(int cx, int cy) {
   const int32_t* p = cur_->sao;
   int cmax_off = (1 << (std::min(sp_.bit_depth, 10) - 5)) - 1;
   // merge flags: p[7] = 1 merge-left, 2 merge-up (parameters already
-  // resolved into p by the estimator; only the flag is signalled)
+  // resolved into p by the estimator; only the flag is signalled).
+  // Candidates must lie in the same tile (spec 7.4.9.3).
   int merge = p[7];
-  if (cx > 0) {
+  int tid = tile_id_of(sp_, cx, cy);
+  if (cx > 0 && tile_id_of(sp_, cx - 1, cy) == tid) {
     cabac_.encode_bin(ctx_.sao_merge[0], merge == 1);
     if (merge == 1) return;
   }
-  if (cy > 0) {
+  if (cy > 0 && tile_id_of(sp_, cx, cy - 1) == tid) {
     cabac_.encode_bin(ctx_.sao_merge[0], merge == 2);
     if (merge == 2) return;
   }
@@ -1672,8 +1757,11 @@ void SliceDecoder::parse_sao(int cx, int cy, int32_t* out) {
                       0);
   int cmax_off = (1 << (std::min(sp_.bit_depth, 10) - 5)) - 1;
   std::fill(out, out + 20, 0);
-  int merge_left = cx > 0 ? cabac_.decode_bin(ctx_.sao_merge[0]) : 0;
-  int merge_up = (!merge_left && cy > 0)
+  int tid_sao = tile_id_of(sp_, cx, cy);
+  int left_ok = cx > 0 && tile_id_of(sp_, cx - 1, cy) == tid_sao;
+  int up_ok = cy > 0 && tile_id_of(sp_, cx, cy - 1) == tid_sao;
+  int merge_left = left_ok ? cabac_.decode_bin(ctx_.sao_merge[0]) : 0;
+  int merge_up = (!merge_left && up_ok)
                      ? cabac_.decode_bin(ctx_.sao_merge[0]) : 0;
   int idx = cy * ctus_w + cx;
   if (merge_left || merge_up) {

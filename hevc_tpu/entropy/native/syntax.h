@@ -43,6 +43,8 @@ struct SliceParams {
   int32_t bit_depth;       // for the sao_offset_abs cMax
   int32_t cur_poc;         // current picture POC (AMVP scaling)
   int32_t wpp;             // entropy_coding_sync_enabled_flag (WPP)
+  int32_t tile_cols;       // tiles: uniform grid (0/1 = no tiles)
+  int32_t tile_rows;
   // explicit weighted prediction (P, list 0 ref 0): spec 8.5.3.3.4.3
   int32_t wp_on;
   int32_t wp_denom;        // luma_log2_weight_denom
@@ -248,6 +250,7 @@ class SliceEncoder {
   ContextSet ctx_;
   ContextSet wpp_saved_;     // context snapshot after CTU 1 of each row
   bool wpp_saved_valid_ = false;
+  int cur_tile_ = -1;
   std::vector<int32_t> sub_sizes_;
   size_t sub_start_ = 0;
   BitWriter bw_;
@@ -289,6 +292,7 @@ class SliceDecoder {
   ContextSet ctx_;
   ContextSet wpp_saved_;
   bool wpp_saved_valid_ = false;
+  int cur_tile_ = -1;
   std::vector<int32_t> sub_offsets_;   // substream start offsets (bytes)
   int next_sub_ = 1;
   BitReader br_;

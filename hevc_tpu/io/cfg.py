@@ -100,6 +100,8 @@ _OPTION_TABLE = {
     "WaveFrontSynchro": ("wpp", int),
     "WeightedPredP": ("weighted_pred_p", int),
     "TMVPMode": ("tmvp", int),
+    "NumTileColumnsMinus1": ("tile_cols_minus1", int),
+    "NumTileRowsMinus1": ("tile_rows_minus1", int),
     "SignHideFlag": ("sign_hide", int),
     "SignDataHidingEnabled": ("sign_hide", int),
     "RateControl": ("rate_control", int),
@@ -166,6 +168,8 @@ class EncoderConfig:
     wpp: int = 0
     weighted_pred_p: int = 0
     tmvp: int = 1
+    tile_cols_minus1: int = 0
+    tile_rows_minus1: int = 0
     sign_hide: int = 0
     rate_control: int = 0
     target_bitrate: int = 0

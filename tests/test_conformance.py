@@ -324,3 +324,28 @@ def test_tmvp_conformance(tmp_path):
     own = tmp_path / "own.yuv"
     assert dmain(["-b", str(bs), "-o", str(own)]) == 0
     assert own.read_bytes() == dec.read_bytes()
+
+
+def test_tiles_conformance(tmp_path):
+    """Uniform tile grid (spec 6.5.1): tile-scan CTU order, per-tile CABAC
+    reset with entry points, tile-bounded prediction/SAO-merge
+    (reference TComPicSym tiles + TEncSlice substreams). Tile columns
+    must be >= 256 luma samples wide (spec A.1), hence the 832-wide clip."""
+    w, h, frames = 832, 480, 3
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    from hevc_tpu.cli.encode import main
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    main(["-c", "/root/reference/cfg/encoder_lowdelay_P_main.cfg",
+          "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-q", "32", "--NumTileColumnsMinus1=1",
+          "--NumTileRowsMinus1=1", "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+    assert rec.read_bytes() == dec.read_bytes()
+    from hevc_tpu.cli.decode import main as dmain
+    own = tmp_path / "own.yuv"
+    assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+    assert own.read_bytes() == dec.read_bytes()
