@@ -133,40 +133,61 @@ class CtuReconstructor:
                 self._intra_tb(recon, bx >> 1, by >> 1, 4, cmode, 2, ccr,
                                False, luma_pos=(bx, by, 2, 2))
 
-    def _recon_inter_cu(self, d, recon, ctu_x0, ctu_y0, x0, y0, log2):
-        size = 1 << log2
-        lx, ly = x0 - ctu_x0, y0 - ctu_y0
-        bi, bj = ly >> 2, lx >> 2
+    def _pu_pred(self, d, ctu_x0, ctu_y0, px, py, pw, ph):
+        """Prediction planes for one PU rectangle (spec 8.5.3)."""
+        bi, bj = (py - ctu_y0) >> 2, (px - ctu_x0) >> 2
         mv = (int(d.mv_x[bi, bj]), int(d.mv_y[bi, bj]))
         r0 = int(d.ref_idx[bi, bj])
         r1 = int(d.ref_idx1[bi, bj])
         mv1 = (int(d.mv_x1[bi, bj]), int(d.mv_y1[bi, bj]))
-        cs = size >> 1
+        cw, chh = pw >> 1, ph >> 1
         if r0 >= 0 and r1 >= 0:  # bi-prediction (spec 8.5.3.3.3)
             f0, f1 = self.refs_l0[r0], self.refs_l1[r1]
-            pred_y = mc_predict_bi_np(f0[0], f1[0], PAD, mv, mv1,
-                                      x0, y0, size, size, self.bd, True)
-            pred_cb = mc_predict_bi_np(f0[1], f1[1], PAD, mv,
-                                       mv1, x0 >> 1, y0 >> 1, cs, cs,
-                                       self.bd, False)
-            pred_cr = mc_predict_bi_np(f0[2], f1[2], PAD, mv,
-                                       mv1, x0 >> 1, y0 >> 1, cs, cs,
-                                       self.bd, False)
+            py_ = mc_predict_bi_np(f0[0], f1[0], PAD, mv, mv1,
+                                   px, py, pw, ph, self.bd, True)
+            pcb = mc_predict_bi_np(f0[1], f1[1], PAD, mv, mv1, px >> 1,
+                                   py >> 1, cw, chh, self.bd, False)
+            pcr = mc_predict_bi_np(f0[2], f1[2], PAD, mv, mv1, px >> 1,
+                                   py >> 1, cw, chh, self.bd, False)
         else:
             umv = mv if r0 >= 0 else mv1
             f = self.refs_l0[r0] if r0 >= 0 else self.refs_l1[r1]
             if self.wp is not None and r0 >= 0:
                 dnm, wgt, off = self.wp
-                pred_y = mc_predict_wp_np(f[0], PAD, umv[0], umv[1], x0, y0,
-                                          size, size, self.bd, True, wgt,
-                                          off, dnm)
+                py_ = mc_predict_wp_np(f[0], PAD, umv[0], umv[1], px, py,
+                                       pw, ph, self.bd, True, wgt, off, dnm)
             else:
-                pred_y = mc_predict_np(f[0], PAD, umv[0], umv[1], x0, y0,
-                                       size, size, self.bd, True)
-            pred_cb = mc_predict_np(f[1], PAD, umv[0], umv[1],
-                                    x0 >> 1, y0 >> 1, cs, cs, self.bd, False)
-            pred_cr = mc_predict_np(f[2], PAD, umv[0], umv[1],
-                                    x0 >> 1, y0 >> 1, cs, cs, self.bd, False)
+                py_ = mc_predict_np(f[0], PAD, umv[0], umv[1], px, py,
+                                    pw, ph, self.bd, True)
+            pcb = mc_predict_np(f[1], PAD, umv[0], umv[1], px >> 1,
+                                py >> 1, cw, chh, self.bd, False)
+            pcr = mc_predict_np(f[2], PAD, umv[0], umv[1], px >> 1,
+                                py >> 1, cw, chh, self.bd, False)
+        return py_, pcb, pcr
+
+    def _recon_inter_cu(self, d, recon, ctu_x0, ctu_y0, x0, y0, log2):
+        size = 1 << log2
+        lx, ly = x0 - ctu_x0, y0 - ctu_y0
+        cs = size >> 1
+        part = int(d.nxn_flag[ly >> 2, lx >> 2])  # 0 / 2=2NxN / 3=Nx2N
+        pred_y = np.zeros((size, size), np.int32)
+        pred_cb = np.zeros((cs, cs), np.int32)
+        pred_cr = np.zeros((cs, cs), np.int32)
+        npu = 1 if part == 0 else 2
+        for pu in range(npu):
+            px, py, pw, ph = x0, y0, size, size
+            if part == 2:
+                ph = size >> 1
+                py += pu * ph
+            elif part == 3:
+                pw = size >> 1
+                px += pu * pw
+            py_, pcb, pcr = self._pu_pred(d, ctu_x0, ctu_y0, px, py, pw, ph)
+            pred_y[py - y0:py - y0 + ph, px - x0:px - x0 + pw] = py_
+            pred_cb[(py - y0) >> 1:((py - y0) >> 1) + (ph >> 1),
+                    (px - x0) >> 1:((px - x0) >> 1) + (pw >> 1)] = pcb
+            pred_cr[(py - y0) >> 1:((py - y0) >> 1) + (ph >> 1),
+                    (px - x0) >> 1:((px - x0) >> 1) + (pw >> 1)] = pcr
         # residual per TU leaf (tu_depth map was filled by the parser)
         for (tx, ty, tlog2, tdepth, blk) in tu_leaves(
                 d.tu_depth, x0, y0, log2, ctu_x0, ctu_y0, intra_split=False,

@@ -216,11 +216,16 @@ int64_t had8(const int32_t d[64]) {
 // matrix product H d H of intra_frame.satd_many up to a row/col permutation
 // (sum of |.| is permutation-invariant).
 int64_t satd(const int16_t* org, int so, const int32_t* pred, int sp, int n) {
-  int t = n >= 8 ? 8 : 4;
+  return satd_rect(org, so, pred, sp, n, n);
+}
+
+int64_t satd_rect(const int16_t* org, int so, const int32_t* pred, int sp,
+                  int w, int h) {
+  int t = (w >= 8 && h >= 8) ? 8 : 4;
   int64_t total = 0;
   int32_t d[64];
-  for (int by = 0; by < n; by += t)
-    for (int bx = 0; bx < n; bx += t) {
+  for (int by = 0; by < h; by += t)
+    for (int bx = 0; bx < w; bx += t) {
       for (int y = 0; y < t; ++y)
         for (int x = 0; x < t; ++x)
           d[y * t + x] = (int32_t)org[(by + y) * so + bx + x] -

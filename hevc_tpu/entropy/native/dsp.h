@@ -34,6 +34,8 @@ void dequant(const int32_t* level, int n, int qp, int bd, int32_t* coef);
 // Hadamard SATD between orig (int16, stride so) and pred (int32, stride n):
 // 8x8 tiles for n>=8, 4x4 for n==4 (reference TComRdCost::xCalcHADs8x8).
 int64_t satd(const int16_t* org, int so, const int32_t* pred, int sp, int n);
+int64_t satd_rect(const int16_t* org, int so, const int32_t* pred, int sp,
+                  int w, int h);
 
 // Motion compensation on a padded reference plane (int16, width rw, the
 // unpadded origin at (pad, pad)). mv in luma quarter-pel; for chroma

@@ -382,6 +382,22 @@ void CtuEngine::publish(int x0, int y0, int log2, bool is_intra, int skip,
     }
 }
 
+void CtuEngine::publish_rect(int x0, int y0, int w, int h,
+                             const MotionInfo& mi, int skip) {
+  PicMaps& m = senc_->maps();
+  for (int yy = 0; yy < (h >> 2); ++yy)
+    for (int xx = 0; xx < (w >> 2); ++xx) {
+      size_t pi = (size_t)((y0 >> 2) + yy) * m.stride + (x0 >> 2) + xx;
+      m.pred_mode[pi] = 0;
+      m.skip_flag[pi] = (uint8_t)skip;
+      for (int l = 0; l < 2; ++l) {
+        m.mv_x[l][pi] = mi.mvx[l];
+        m.mv_y[l][pi] = mi.mvy[l];
+        m.ref_idx[l][pi] = mi.ref[l];
+      }
+    }
+}
+
 // Mirror of hevc_tpu/core/refsamples.py build_ref_vector (spec 8.4.4.2.1-2).
 void CtuEngine::build_refs(const int16_t* plane, int pw, int ph, int stride,
                            int x0, int y0, int n, int lx0, int ly0, int sxy,
@@ -1063,9 +1079,109 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       cost_split += dsp::satd(orig_[0] + qy * w_ + qx, w_, pred, 16, 16);
     }
   }
+  // ---- rectangular partitions 2NxN / Nx2N (spec PartMode; reference
+  // TEncCu inter 2NxN/Nx2N trials) — SATD screen per PU over the merge
+  // candidates and a CU-MV AMVP option; PU0's choice is published before
+  // PU1's candidate derivation so the lists match the decoder's ----
+  struct PuChoice {
+    MotionInfo mi;
+    int merge_f = 0, merge_i = 0, mvp_f = 0;
+    int mvdx = 0, mvdy = 0;
+  };
+  PuChoice rect_sel[2][2];   // [part-2][pu]
+  int64_t cost_rect[2] = {INT64_MAX, INT64_MAX};
+  // EXPERIMENTAL (off by default): the 2NxN/Nx2N decisions produce
+  // streams whose prediction the HM decoder reconstructs differently in
+  // rare neighbourhoods (our encoder and decoder agree with each other,
+  // so a candidate-derivation detail still deviates from spec; the PU
+  // syntax itself is verified — HM parses these streams with bit-exact
+  // CABAC context decisions). Enable with HEVC_TPU_RECT=1 to reproduce.
+  if (log2 == 5 && has_me && getenv("HEVC_TPU_RECT")) {
+    for (int part = 2; part <= 3; ++part) {
+      int64_t total = lam_bits(10);  // extra part/PU signalling
+      bool ok = true;
+      MotionInfo saved_region[2];
+      for (int pu = 0; pu < 2 && ok; ++pu) {
+        int px = x0, py = y0, pw = n, ph = n;
+        if (part == 2) { ph = n >> 1; py += pu * ph; }
+        else { pw = n >> 1; px += pu * pw; }
+        MotionInfo cands[5];
+        int nc = senc_->maps().merge_candidates(px, py, pw, ph, cands,
+                                                part, pu);
+        int64_t bestc = -1;
+        PuChoice ch;
+        for (int idx = 0; idx < nc; ++idx) {
+          bool dup = false;
+          for (int k = 0; k < idx; ++k)
+            if (cands[k] == cands[idx]) { dup = true; break; }
+          if (dup) continue;
+          const MotionInfo& mi = cands[idx];
+          if (mi.ref[0] >= 0 && mi.ref[1] >= 0)
+            dsp::mc_predict_bi(ref0_[0], ref1_[0], rw, pad, mi.mvx[0],
+                               mi.mvy[0], mi.mvx[1], mi.mvy[1], px, py, pw,
+                               ph, bd_, true, pred);
+          else {
+            int l = mi.ref[0] >= 0 ? 0 : 1;
+            mc_uni(sp_, l == 0 ? ref0_[0] : ref1_[0], rw, pad, mi.mvx[l],
+                   mi.mvy[l], px, py, pw, ph, bd_, true, l, 0, pred);
+          }
+          int64_t c = dsp::satd_rect(orig_[0] + py * w_ + px, w_, pred, pw,
+                                     pw, ph) +
+                      lam_bits(idx + 1);
+          if (bestc < 0 || c < bestc) {
+            bestc = c;
+            ch = PuChoice();
+            ch.mi = mi;
+            ch.merge_f = 1;
+            ch.merge_i = idx;
+          }
+        }
+        // AMVP option with the CU-level refined MV
+        {
+          int16_t pamvp[4];
+          senc_->maps().amvp_candidates(px, py, pw, ph, 0, 0, pamvp);
+          mc_uni(sp_, ref0_[0], rw, pad, mv_x, mv_y, px, py, pw, ph, bd_,
+                 true, 0, 0, pred);
+          int b0 = mv_bits(mv_x - pamvp[0]) + mv_bits(mv_y - pamvp[1]);
+          int b1 = mv_bits(mv_x - pamvp[2]) + mv_bits(mv_y - pamvp[3]);
+          int pf = b0 <= b1 ? 0 : 1;
+          int64_t c = dsp::satd_rect(orig_[0] + py * w_ + px, w_, pred, pw,
+                                     pw, ph) +
+                      lam_bits(std::min(b0, b1) + 3);
+          if (bestc < 0 || c < bestc) {
+            bestc = c;
+            ch = PuChoice();
+            ch.mi = MotionInfo();
+            ch.mi.mvx[0] = (int16_t)mv_x;
+            ch.mi.mvy[0] = (int16_t)mv_y;
+            ch.mi.ref[0] = 0;
+            ch.mvp_f = pf;
+            ch.mvdx = mv_x - pamvp[2 * pf];
+            ch.mvdy = mv_y - pamvp[2 * pf + 1];
+          }
+        }
+        if (bestc < 0) { ok = false; break; }
+        total += bestc;
+        rect_sel[part - 2][pu] = ch;
+        if (pu == 0) {
+          // publish PU0 so PU1's candidate derivation sees it; remember
+          // the old region motion to restore if this part loses
+          saved_region[0] = MotionInfo();  // (region was this CU: not yet
+                                           // published this frame)
+          publish_rect(px, py, pw, ph, ch.mi, 0);
+        }
+      }
+      if (ok) cost_rect[part - 2] = total;
+      // reset the region's published state (final commit re-publishes)
+      MotionInfo blank;
+      publish_rect(x0, y0, n, n, blank, 0);
+      (void)saved_region;
+    }
+  }
   int64_t best =
       std::min(std::min(m_cost < 0 ? INT64_MAX : m_cost, cost_inter),
-               std::min(cost_intra, cost_split));
+               std::min(std::min(cost_intra, cost_split),
+                        std::min(cost_rect[0], cost_rect[1])));
   if (best == cost_split) {
     int bw44 = ctu_ / 4;
     for (int yy = 0; yy < nb; ++yy)
@@ -1082,10 +1198,56 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     return;
   }
 
+  int part_sel = 0;
+  if (best == cost_rect[0]) part_sel = 2;
+  else if (best == cost_rect[1]) part_sel = 3;
+
   MotionInfo sel;
   const int32_t* pred_y;
   int merge_sel = -1;
-  if (m_cost >= 0 && best == m_cost) {
+  int cs = n >> 1;
+  int cw = w_ >> 1;
+  int cctu = ctu_ >> 1;
+  int cxx = x0 >> 1, cyy = y0 >> 1;
+  int32_t pcb[16 * 16], pcr[16 * 16];
+  int32_t rect_luma[32 * 32];
+  int32_t putmp[32 * 32];
+  // prediction of one component rect for motion mi into a strided dest
+  auto mc_into = [&](const MotionInfo& mi, int comp, int px, int py, int pw,
+                     int ph, int32_t* dst, int dstride) {
+    int prw = comp == 0 ? rw : rwc;
+    const int16_t* r0p = ref0_[comp];
+    const int16_t* r1p = ref1_[comp];
+    if (mi.ref[0] >= 0 && mi.ref[1] >= 0)
+      dsp::mc_predict_bi(r0p, r1p, prw, pad, mi.mvx[0], mi.mvy[0],
+                         mi.mvx[1], mi.mvy[1], px, py, pw, ph, bd_,
+                         comp == 0, putmp);
+    else {
+      int l = mi.ref[0] >= 0 ? 0 : 1;
+      mc_uni(sp_, l == 0 ? r0p : r1p, prw, pad, mi.mvx[l], mi.mvy[l], px,
+             py, pw, ph, bd_, comp == 0, l, comp, putmp);
+    }
+    for (int i = 0; i < ph; ++i)
+      std::memcpy(dst + i * dstride, putmp + i * pw,
+                  sizeof(int32_t) * pw);
+  };
+
+  if (part_sel) {
+    for (int pu = 0; pu < 2; ++pu) {
+      int px = x0, py = y0, pw = n, ph = n;
+      if (part_sel == 2) { ph = n >> 1; py += pu * ph; }
+      else { pw = n >> 1; px += pu * pw; }
+      const MotionInfo& mi = rect_sel[part_sel - 2][pu].mi;
+      mc_into(mi, 0, px, py, pw, ph,
+              rect_luma + (py - y0) * n + (px - x0), n);
+      mc_into(mi, 1, px >> 1, py >> 1, pw >> 1, ph >> 1,
+              pcb + ((py - y0) >> 1) * cs + ((px - x0) >> 1), cs);
+      mc_into(mi, 2, px >> 1, py >> 1, pw >> 1, ph >> 1,
+              pcr + ((py - y0) >> 1) * cs + ((px - x0) >> 1), cs);
+    }
+    pred_y = rect_luma;
+    sel = rect_sel[part_sel - 2][0].mi;
+  } else if (m_cost >= 0 && best == m_cost) {
     merge_sel = m_idx;
     sel = m_best;
     pred_y = m_pred;
@@ -1097,26 +1259,23 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     pred_y = i_pred;
   }
 
-  // ---- residual (TU == CU) ----
-  int cs = n >> 1;
-  int cw = w_ >> 1;
-  int cctu = ctu_ >> 1;
-  int cxx = x0 >> 1, cyy = y0 >> 1;
-  int32_t pcb[16 * 16], pcr[16 * 16];
-  if (sel.ref[0] >= 0 && sel.ref[1] >= 0) {
-    dsp::mc_predict_bi(ref0_[1], ref1_[1], rwc, pad, sel.mvx[0], sel.mvy[0],
-                       sel.mvx[1], sel.mvy[1], cxx, cyy, cs, cs, bd_, false,
-                       pcb);
-    dsp::mc_predict_bi(ref0_[2], ref1_[2], rwc, pad, sel.mvx[0], sel.mvy[0],
-                       sel.mvx[1], sel.mvy[1], cxx, cyy, cs, cs, bd_, false,
-                       pcr);
-  } else {
-    int l = sel.ref[0] >= 0 ? 0 : 1;
-    const int16_t* const* refs = l == 0 ? ref0_ : ref1_;
-    mc_uni(sp_, refs[1], rwc, pad, sel.mvx[l], sel.mvy[l], cxx, cyy, cs,
-           cs, bd_, false, l, 1, pcb);
-    mc_uni(sp_, refs[2], rwc, pad, sel.mvx[l], sel.mvy[l], cxx, cyy, cs,
-           cs, bd_, false, l, 2, pcr);
+  // ---- residual (TU == CU unless the RQT split wins) ----
+  if (!part_sel) {
+    if (sel.ref[0] >= 0 && sel.ref[1] >= 0) {
+      dsp::mc_predict_bi(ref0_[1], ref1_[1], rwc, pad, sel.mvx[0],
+                         sel.mvy[0], sel.mvx[1], sel.mvy[1], cxx, cyy, cs,
+                         cs, bd_, false, pcb);
+      dsp::mc_predict_bi(ref0_[2], ref1_[2], rwc, pad, sel.mvx[0],
+                         sel.mvy[0], sel.mvx[1], sel.mvy[1], cxx, cyy, cs,
+                         cs, bd_, false, pcr);
+    } else {
+      int l = sel.ref[0] >= 0 ? 0 : 1;
+      const int16_t* const* refs = l == 0 ? ref0_ : ref1_;
+      mc_uni(sp_, refs[1], rwc, pad, sel.mvx[l], sel.mvy[l], cxx, cyy, cs,
+             cs, bd_, false, l, 1, pcb);
+      mc_uni(sp_, refs[2], rwc, pad, sel.mvx[l], sel.mvy[l], cxx, cyy, cs,
+             cs, bd_, false, l, 2, pcr);
+    }
   }
 
   int32_t resi[32 * 32], coef[32 * 32], lev_y[32 * 32], lev_cb[16 * 16],
@@ -1222,12 +1381,42 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   }
   bool zero_resid = nz_total == 0;
 
-  int skip = (merge_sel >= 0 && zero_resid) ? 1 : 0;
+  int skip = (!part_sel && merge_sel >= 0 && zero_resid) ? 1 : 0;
+  if (part_sel) {
+    for (int pu = 0; pu < 2; ++pu) {
+      int px = x0, py = y0, pw = n, ph = n;
+      if (part_sel == 2) { ph = n >> 1; py += pu * ph; }
+      else { pw = n >> 1; px += pu * pw; }
+      const PuChoice& ch = rect_sel[part_sel - 2][pu];
+      for (int yy = 0; yy < (ph >> 2); ++yy)
+        for (int xx = 0; xx < (pw >> 2); ++xx) {
+          size_t li = (size_t)(((py - ctu_y0) >> 2) + yy) * bw4 +
+                      ((px - ctu_x0) >> 2) + xx;
+          d.pred_mode[li] = 0;
+          d.skip_flag[li] = 0;
+          d.nxn_flag[li] = (uint8_t)part_sel;
+          d.merge_flag[li] = (uint8_t)ch.merge_f;
+          d.merge_idx[li] = (uint8_t)ch.merge_i;
+          d.mvp_flag[li] = (uint8_t)ch.mvp_f;
+          d.ref_idx[li] = ch.mi.ref[0];
+          d.mvd_x[li] = (int16_t)(ch.merge_f ? 0 : ch.mvdx);
+          d.mvd_y[li] = (int16_t)(ch.merge_f ? 0 : ch.mvdy);
+          d.mv_x[li] = ch.mi.mvx[0];
+          d.mv_y[li] = ch.mi.mvy[0];
+          d.ref_idx1[li] = ch.mi.ref[1];
+          d.mv_x1[li] = ch.mi.mvx[1];
+          d.mv_y1[li] = ch.mi.mvy[1];
+          d.tu_depth[li] = (uint8_t)(zero_resid ? 0 : tu_depth_sel);
+        }
+      publish_rect(px, py, pw, ph, ch.mi, 0);
+    }
+  } else {
   for (int yy = 0; yy < nb; ++yy)
     for (int xx = 0; xx < nb; ++xx) {
       size_t li = (size_t)(by + yy) * bw4 + bx + xx;
       d.pred_mode[li] = 0;
       d.skip_flag[li] = (uint8_t)skip;
+      d.nxn_flag[li] = 0;
       d.merge_flag[li] = merge_sel >= 0 ? 1 : 0;
       d.merge_idx[li] = (uint8_t)(merge_sel >= 0 ? merge_sel : 0);
       d.mvp_flag[li] = (uint8_t)(merge_sel >= 0 ? 0 : mvp_f);
@@ -1241,6 +1430,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       d.mv_y1[li] = sel.mvy[1];
       d.tu_depth[li] = (uint8_t)(zero_resid ? 0 : tu_depth_sel);
     }
+  }
   for (int i = 0; i < n; ++i)
     for (int j = 0; j < n; ++j)
       d.coeff_y[(y0 - ctu_y0 + i) * ctu_ + (x0 - ctu_x0 + j)] =
@@ -1256,8 +1446,17 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   for (int yy = y0 >> 2; yy < (y0 + n) >> 2; ++yy)
     for (int xx = x0 >> 2; xx < (x0 + n) >> 2; ++xx)
       mode_map_[yy * stride4 + xx] = 1;  // inter acts as DC for MPM
-  publish(x0, y0, log2, false, skip, sel.mvx[0], sel.mvy[0], sel.ref[0],
-          sel.mvx[1], sel.mvy[1], sel.ref[1]);
+  if (!part_sel)
+    publish(x0, y0, log2, false, skip, sel.mvx[0], sel.mvy[0], sel.ref[0],
+            sel.mvx[1], sel.mvy[1], sel.ref[1]);
+  else {
+    // cu_depth for the whole CU (publish_rect covered motion fields)
+    PicMaps& m = senc_->maps();
+    for (int yy = 0; yy < (n >> 2); ++yy)
+      for (int xx = 0; xx < (n >> 2); ++xx)
+        m.cu_depth[(size_t)((y0 >> 2) + yy) * m.stride + (x0 >> 2) + xx] =
+            (uint8_t)(m.sp.max_cb_log2 - log2);
+  }
 }
 
 }  // namespace hevctpu

@@ -302,12 +302,16 @@ bool PicMaps::temporal_mv(int x0, int y0, int w, int h, int list,
 }
 
 int PicMaps::merge_candidates(int x0, int y0, int w, int h,
-                              MotionInfo out[5]) const {
+                              MotionInfo out[5], int part, int pu) const {
   int n = 0;
   MotionInfo a1, b1, b0, a0, b2;
-  bool ha1 = motion_at(x0 - 1, y0 + h - 1, x0, y0, &a1);
+  // second-PU exclusions (spec 8.5.3.2.3): A1 for Nx2N PU1, B1 for
+  // 2NxN PU1 (they would duplicate the first PU's motion)
+  bool excl_a1 = part == 3 && pu == 1;
+  bool excl_b1 = part == 2 && pu == 1;
+  bool ha1 = !excl_a1 && motion_at(x0 - 1, y0 + h - 1, x0, y0, &a1);
   if (ha1) out[n++] = a1;
-  bool hb1 = motion_at(x0 + w - 1, y0 - 1, x0, y0, &b1);
+  bool hb1 = !excl_b1 && motion_at(x0 + w - 1, y0 - 1, x0, y0, &b1);
   if (hb1 && !(ha1 && b1 == a1)) out[n++] = b1;
   bool hb0 = motion_at(x0 + w, y0 - 1, x0, y0, &b0);
   if (hb0 && !(hb1 && b0 == b1)) out[n++] = b0;
@@ -785,21 +789,35 @@ void SliceEncoder::code_inter_cu(int x0, int y0, int log2, bool skip) {
     code_merge_idx(merge_i);
     return;
   }
-  // part_mode: 2Nx2N ('1' first bin in every inter table row)
-  cabac_.encode_bin(ctx_.part_size[0], 1);
-  // prediction_unit (2Nx2N)
-  int merge_f = map_at(cur_->merge_flag, bw4, lx, ly);
-  cabac_.encode_bin(ctx_.merge_flag[0], merge_f);
-  if (merge_f) {
-    code_merge_idx(merge_i);
-  } else {
+  // part_mode (spec 9.3.3.7, AMP off): 2Nx2N '1', 2NxN '01', Nx2N '00';
+  // stored in the nxn_flag map (0 / 2 / 3) for inter CUs
+  int part = map_at(cur_->nxn_flag, bw4, lx, ly);
+  cabac_.encode_bin(ctx_.part_size[0], part == 0);
+  if (part != 0) cabac_.encode_bin(ctx_.part_size[1], part == 2);
+  int n = 1 << log2;
+  int npu = part == 0 ? 1 : 2;
+  int any_merge_f = 1;
+  for (int pu = 0; pu < npu; ++pu) {
+    int px = x0, py = y0, pw = n, ph = n;
+    if (part == 2) { ph = n >> 1; py += pu * ph; }
+    if (part == 3) { pw = n >> 1; px += pu * pw; }
+    int plx = px - ctu_x0_, ply = py - ctu_y0_;
+    int pli = (ply >> 2) * bw4 + (plx >> 2);
+    int merge_f = map_at(cur_->merge_flag, bw4, plx, ply);
+    int pu_merge_i = map_at(cur_->merge_idx, bw4, plx, ply);
+    if (!merge_f) any_merge_f = 0;
+    cabac_.encode_bin(ctx_.merge_flag[0], merge_f);
+    if (merge_f) {
+      code_merge_idx(pu_merge_i);
+      continue;
+    }
     bool is_b = sp_.slice_type == 0;
-    int ref0 = cur_->ref_idx[li];
-    int ref1 = cur_->mvd_x1 ? cur_->ref_idx1[li] : -1;
+    int ref0 = cur_->ref_idx[pli];
+    int ref1 = cur_->mvd_x1 ? cur_->ref_idx1[pli] : -1;
     int idc = (ref0 >= 0 ? 1 : 0) | (ref1 >= 0 ? 2 : 0);  // 1=L0 2=L1 3=bi
     if (is_b) {
       // inter_pred_idc (spec 9.3.3.10): bin0 ctx = CtDepth; '1' = BI,
-      // else bin1 (ctx 4): 0 = L0, 1 = L1  (2Nx2N: nPbW+nPbH != 12)
+      // else bin1 (ctx 4): 0 = L0, 1 = L1  (nPbW+nPbH != 12 here)
       int depth = sp_.max_cb_log2 - log2;
       cabac_.encode_bin(ctx_.inter_dir[depth], idc == 3);
       if (idc != 3) cabac_.encode_bin(ctx_.inter_dir[4], idc == 2);
@@ -816,17 +834,19 @@ void SliceEncoder::code_inter_cu(int x0, int y0, int log2, bool skip) {
     };
     if (idc & 1) {
       code_ref(ref0, sp_.num_ref_l0);
-      code_mvd(cur_->mvd_x[li], cur_->mvd_y[li]);
-      cabac_.encode_bin(ctx_.mvp_idx[0], map_at(cur_->mvp_flag, bw4, lx, ly));
+      code_mvd(cur_->mvd_x[pli], cur_->mvd_y[pli]);
+      cabac_.encode_bin(ctx_.mvp_idx[0],
+                        map_at(cur_->mvp_flag, bw4, plx, ply));
     }
     if (idc & 2) {
       code_ref(ref1, sp_.num_ref_l1);
       if (!(sp_.mvd_l1_zero && idc == 3))
-        code_mvd(cur_->mvd_x1[li], cur_->mvd_y1[li]);
+        code_mvd(cur_->mvd_x1[pli], cur_->mvd_y1[pli]);
       cabac_.encode_bin(ctx_.mvp_idx[0],
-                        map_at(cur_->mvp_flag1, bw4, lx, ly));
+                        map_at(cur_->mvp_flag1, bw4, plx, ply));
     }
   }
+  int merge_f = part == 0 ? any_merge_f : 0;  // rqt_root rule below
   // rqt_root_cbf (not coded for 2Nx2N merge: inferred 1)
   auto any_nz = [&](const int16_t* plane, int pw, int px, int py, int n) {
     for (int yy = 0; yy < n; ++yy)
@@ -834,7 +854,6 @@ void SliceEncoder::code_inter_cu(int x0, int y0, int log2, bool skip) {
         if (plane[(py + yy) * pw + px + xx]) return 1;
     return 0;
   };
-  int n = 1 << log2;
   int rcs = (sp_.chroma_format == 3) ? 0 : 1;
   int has_resid = any_nz(cur_->coeff_y, sp_.ctu_size, lx, ly, n)
       || any_nz(cur_->coeff_cb, sp_.ctu_size >> rcs, lx >> rcs, ly >> rcs,
@@ -1345,63 +1364,122 @@ void SliceDecoder::parse_inter_cu(int x0, int y0, int log2, bool skip) {
     publish_motion(x0, y0, log2, mi, 1, mi_idx, 0, 0, 0, 1);
     return;
   }
-  cabac_.decode_bin(ctx_.part_size[0]);  // 2Nx2N ('1'); other parts: TODO
-  int merge_f = cabac_.decode_bin(ctx_.merge_flag[0]);
-  int merge_i = 0, mvp_f = 0, mvdx = 0, mvdy = 0;
-  if (merge_f) {
-    merge_i = parse_merge_idx();
-    MotionInfo cands[5];
-    maps_.merge_candidates(x0, y0, n, n, cands);
-    mi = cands[merge_i];
-  } else {
-    bool is_b = sp_.slice_type == 0;
-    int idc = 1;
-    if (is_b) {
-      int depth = sp_.max_cb_log2 - log2;
-      if (cabac_.decode_bin(ctx_.inter_dir[depth])) idc = 3;
-      else idc = cabac_.decode_bin(ctx_.inter_dir[4]) ? 2 : 1;
-    }
-    auto parse_ref = [&](int num_ref) {
-      int r = 0;
-      if (num_ref > 1 && cabac_.decode_bin(ctx_.ref_idx[0])) {
-        r = 1;
-        int cmax = num_ref - 1;
-        while (r < cmax && cabac_.decode_bin(ctx_.ref_idx[1])) r++;
+  // part_mode (AMP off): '1' 2Nx2N, '01' 2NxN, '00' Nx2N
+  int part = 0;
+  if (!cabac_.decode_bin(ctx_.part_size[0]))
+    part = cabac_.decode_bin(ctx_.part_size[1]) ? 2 : 3;
+  fill(cur_->nxn_flag, x0, y0, log2, (uint8_t)part);
+  int npu = part == 0 ? 1 : 2;
+  int cu_merge = 1;
+  for (int pu = 0; pu < npu; ++pu) {
+    int px = x0, py = y0, pw = n, ph = n;
+    if (part == 2) { ph = n >> 1; py += pu * ph; }
+    if (part == 3) { pw = n >> 1; px += pu * pw; }
+    int merge_f = cabac_.decode_bin(ctx_.merge_flag[0]);
+    if (!merge_f) cu_merge = 0;
+    int merge_i = 0, mvp_f = 0, mvdx = 0, mvdy = 0;
+    MotionInfo pmi;
+    if (merge_f) {
+      merge_i = parse_merge_idx();
+      MotionInfo cands[5];
+      maps_.merge_candidates(px, py, pw, ph, cands, part, pu);
+      pmi = cands[merge_i];
+    } else {
+      bool is_b = sp_.slice_type == 0;
+      int idc = 1;
+      if (is_b) {
+        int depth = sp_.max_cb_log2 - log2;
+        if (cabac_.decode_bin(ctx_.inter_dir[depth])) idc = 3;
+        else idc = cabac_.decode_bin(ctx_.inter_dir[4]) ? 2 : 1;
       }
-      return r;
-    };
-    if (idc & 1) {
-      int r = parse_ref(sp_.num_ref_l0);
-      parse_mvd(&mvdx, &mvdy);
-      mvp_f = cabac_.decode_bin(ctx_.mvp_idx[0]);
-      int16_t amvp[4];
-      maps_.amvp_candidates(x0, y0, n, n, 0, r, amvp);
-      mi.mvx[0] = (int16_t)(amvp[2 * mvp_f] + mvdx);
-      mi.mvy[0] = (int16_t)(amvp[2 * mvp_f + 1] + mvdy);
-      mi.ref[0] = (int8_t)r;
-    }
-    if (idc & 2) {
-      int r = parse_ref(sp_.num_ref_l1);
-      int m1x = 0, m1y = 0;
-      if (!(sp_.mvd_l1_zero && idc == 3)) parse_mvd(&m1x, &m1y);
-      int mvp_f1 = cabac_.decode_bin(ctx_.mvp_idx[0]);
-      int16_t amvp[4];
-      maps_.amvp_candidates(x0, y0, n, n, 1, r, amvp);
-      mi.mvx[1] = (int16_t)(amvp[2 * mvp_f1] + m1x);
-      mi.mvy[1] = (int16_t)(amvp[2 * mvp_f1 + 1] + m1y);
-      mi.ref[1] = (int8_t)r;
-      if (cur_->mvp_flag1) fill(cur_->mvp_flag1, x0, y0, log2, mvp_f1);
-      if (cur_->mvd_x1) {
-        fill16(cur_->mvd_x1, x0, y0, log2, (int16_t)m1x);
-        fill16(cur_->mvd_y1, x0, y0, log2, (int16_t)m1y);
+      auto parse_ref = [&](int num_ref) {
+        int r = 0;
+        if (num_ref > 1 && cabac_.decode_bin(ctx_.ref_idx[0])) {
+          r = 1;
+          int cmax = num_ref - 1;
+          while (r < cmax && cabac_.decode_bin(ctx_.ref_idx[1])) r++;
+        }
+        return r;
+      };
+      if (idc & 1) {
+        int r = parse_ref(sp_.num_ref_l0);
+        parse_mvd(&mvdx, &mvdy);
+        mvp_f = cabac_.decode_bin(ctx_.mvp_idx[0]);
+        int16_t amvp[4];
+        maps_.amvp_candidates(px, py, pw, ph, 0, r, amvp);
+        pmi.mvx[0] = (int16_t)(amvp[2 * mvp_f] + mvdx);
+        pmi.mvy[0] = (int16_t)(amvp[2 * mvp_f + 1] + mvdy);
+        pmi.ref[0] = (int8_t)r;
+      }
+      if (idc & 2) {
+        int r = parse_ref(sp_.num_ref_l1);
+        int m1x = 0, m1y = 0;
+        if (!(sp_.mvd_l1_zero && idc == 3)) parse_mvd(&m1x, &m1y);
+        int mvp_f1 = cabac_.decode_bin(ctx_.mvp_idx[0]);
+        int16_t amvp[4];
+        maps_.amvp_candidates(px, py, pw, ph, 1, r, amvp);
+        pmi.mvx[1] = (int16_t)(amvp[2 * mvp_f1] + m1x);
+        pmi.mvy[1] = (int16_t)(amvp[2 * mvp_f1 + 1] + m1y);
+        pmi.ref[1] = (int8_t)r;
+        if (cur_->mvp_flag1) {
+          int b4w = pw >> 2, b4h = ph >> 2, bw4l = sp_.ctu_size / 4;
+          for (int yy = 0; yy < b4h; ++yy)
+            for (int xx = 0; xx < b4w; ++xx) {
+              size_t liq = (size_t)(((py - ctu_y0_) >> 2) + yy) * bw4l +
+                           ((px - ctu_x0_) >> 2) + xx;
+              cur_->mvp_flag1[liq] = (uint8_t)mvp_f1;
+              cur_->mvd_x1[liq] = (int16_t)m1x;
+              cur_->mvd_y1[liq] = (int16_t)m1y;
+            }
+        }
       }
     }
+    publish_motion_rect(px, py, pw, ph, pmi, merge_f, merge_i, mvp_f, mvdx,
+                        mvdy, 0);
+    if (pu == 0) mi = pmi;
   }
-  publish_motion(x0, y0, log2, mi, merge_f, merge_i, mvp_f, mvdx, mvdy, 0);
-  // rqt_root_cbf
+  // rqt_root_cbf coded unless a 2Nx2N merge PU (spec 7.3.8.5)
+  int merge_2nx2n = part == 0 && cu_merge;
   int root = 1;
-  if (!merge_f) root = cabac_.decode_bin(ctx_.qt_root_cbf[0]);
+  if (!merge_2nx2n) root = cabac_.decode_bin(ctx_.qt_root_cbf[0]);
   if (root) transform_tree(x0, y0, x0, y0, log2, 0, 0, false, 1, 1, false);
+}
+
+void SliceDecoder::publish_motion_rect(int x0, int y0, int w, int h,
+                                       const MotionInfo& mi, int merge_f,
+                                       int merge_i, int mvp_f, int mvd_x,
+                                       int mvd_y, int skip) {
+  int bw4 = sp_.ctu_size / 4;
+  int b4w = w >> 2, b4h = h >> 2;
+  for (int yy = 0; yy < b4h; ++yy)
+    for (int xx = 0; xx < b4w; ++xx) {
+      size_t li = (size_t)(((y0 - ctu_y0_) >> 2) + yy) * bw4 +
+                  ((x0 - ctu_x0_) >> 2) + xx;
+      cur_->pred_mode[li] = 0;
+      cur_->skip_flag[li] = (uint8_t)skip;
+      cur_->merge_flag[li] = (uint8_t)merge_f;
+      cur_->merge_idx[li] = (uint8_t)merge_i;
+      cur_->mvp_flag[li] = (uint8_t)mvp_f;
+      cur_->ref_idx[li] = mi.ref[0];
+      cur_->mvd_x[li] = (int16_t)mvd_x;
+      cur_->mvd_y[li] = (int16_t)mvd_y;
+      cur_->mv_x[li] = mi.mvx[0];
+      cur_->mv_y[li] = mi.mvy[0];
+      if (cur_->mv_x1) {
+        cur_->ref_idx1[li] = mi.ref[1];
+        cur_->mv_x1[li] = mi.mvx[1];
+        cur_->mv_y1[li] = mi.mvy[1];
+      }
+      size_t pi = (size_t)(((y0 >> 2) + yy)) * maps_.stride +
+                  (x0 >> 2) + xx;
+      maps_.pred_mode[pi] = 0;
+      maps_.skip_flag[pi] = (uint8_t)skip;
+      for (int l = 0; l < 2; ++l) {
+        maps_.mv_x[l][pi] = mi.mvx[l];
+        maps_.mv_y[l][pi] = mi.mvy[l];
+        maps_.ref_idx[l][pi] = mi.ref[l];
+      }
+    }
 }
 
 void SliceDecoder::parse_cu(int x0, int y0, int log2) {

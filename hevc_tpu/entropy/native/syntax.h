@@ -199,9 +199,10 @@ class PicMaps {
   bool available(int x, int y, int cur_x, int cur_y) const;
   // inter motion of the min-block containing (x,y) if available & inter
   bool motion_at(int x, int y, int cur_x, int cur_y, MotionInfo* out) const;
-  // spec 8.5.3.2.3 spatial merge candidates (+ zero fill); returns count
-  int merge_candidates(int x0, int y0, int w, int h,
-                       MotionInfo out[5]) const;
+  // spec 8.5.3.2.3 spatial merge candidates (+ temporal + zero fill);
+  // part/pu select the second-PU exclusions of 2NxN (B1) / Nx2N (A1)
+  int merge_candidates(int x0, int y0, int w, int h, MotionInfo out[5],
+                       int part = 0, int pu = 0) const;
   // spec 8.5.3.2.6 AMVP: two predictor MVs for (list, ref_idx)
   void amvp_candidates(int x0, int y0, int w, int h, int list, int ref,
                        int16_t out_mv[4]) const;
@@ -277,6 +278,10 @@ class SliceDecoder {
   void publish_motion(int x0, int y0, int log2, const MotionInfo& mi,
                       int merge_f, int merge_i, int mvp_f, int mvd_x,
                       int mvd_y, int skip);
+  void publish_motion_rect(int x0, int y0, int w, int h,
+                           const MotionInfo& mi, int merge_f, int merge_i,
+                           int mvp_f, int mvd_x, int mvd_y, int skip);
+  void parse_pu(int px, int py, int pw, int ph, int log2, int part);
   void transform_tree(int x0, int y0, int xb, int yb, int log2, int depth,
                       int blk_idx, bool intra_split, int par_cb, int par_cr,
                       bool is_intra);

@@ -41,6 +41,10 @@ class DeblockMaps:
     def __init__(self, h4: int, w4: int):
         self.edge_v = np.zeros((h4, w4), bool)
         self.edge_h = np.zeros((h4, w4), bool)
+        # transform-unit edges: the nonzero-coefficient BS rule applies
+        # only here, not at pure PU boundaries (spec 8.7.2.4)
+        self.tu_edge_v = np.zeros((h4, w4), bool)
+        self.tu_edge_h = np.zeros((h4, w4), bool)
         self.is_intra = np.zeros((h4, w4), bool)
         self.nz = np.zeros((h4, w4), bool)
         self.mvx = np.zeros((2, h4, w4), np.int32)
@@ -90,9 +94,20 @@ def build_maps(decisions, sps, ref_pocs=((), ())) -> DeblockMaps:
             maxd = (sps.max_transform_hierarchy_depth_intra if intra
                     else sps.max_transform_hierarchy_depth_inter)
             size = 1 << log2
-            # CU (== PU for 2Nx2N) boundary edges
+            # CU boundary edges (CU edges are also TU edges)
             m.edge_v[y0 >> 2:(y0 + size) >> 2, x0 >> 2] = True
             m.edge_h[y0 >> 2, x0 >> 2:(x0 + size) >> 2] = True
+            m.tu_edge_v[y0 >> 2:(y0 + size) >> 2, x0 >> 2] = True
+            m.tu_edge_h[y0 >> 2, x0 >> 2:(x0 + size) >> 2] = True
+            # interior PU boundary of 2NxN / Nx2N partitions (spec 8.7.2.2)
+            if not intra and not __import__('os').environ.get('HEVC_TPU_NO_PU_EDGE'):
+                part = int(d.nxn_flag[(y0 - y0c) >> 2, (x0 - x0c) >> 2])
+                if part == 2:
+                    m.edge_h[(y0 + (size >> 1)) >> 2,
+                             x0 >> 2:(x0 + size) >> 2] = True
+                elif part == 3:
+                    m.edge_v[y0 >> 2:(y0 + size) >> 2,
+                             (x0 + (size >> 1)) >> 2] = True
             for (tx, ty, tlog2, tdepth, blk) in tu_leaves(
                     d.tu_depth, x0, y0, log2, x0c, y0c,
                     intra_split=(intra and nxn),
@@ -100,6 +115,8 @@ def build_maps(decisions, sps, ref_pocs=((), ())) -> DeblockMaps:
                 ts = 1 << tlog2
                 m.edge_v[ty >> 2:(ty + ts) >> 2, tx >> 2] = True
                 m.edge_h[ty >> 2, tx >> 2:(tx + ts) >> 2] = True
+                m.tu_edge_v[ty >> 2:(ty + ts) >> 2, tx >> 2] = True
+                m.tu_edge_h[ty >> 2, tx >> 2:(tx + ts) >> 2] = True
                 tl = d.coeff_y[ty - y0c:ty - y0c + ts,
                                tx - x0c:tx - x0c + ts]
                 if tl.any():
@@ -108,6 +125,8 @@ def build_maps(decisions, sps, ref_pocs=((), ())) -> DeblockMaps:
     # picture boundaries are never filtered
     m.edge_v[:, 0] = False
     m.edge_h[0, :] = False
+    m.tu_edge_v[:, 0] = False
+    m.tu_edge_h[0, :] = False
     return m
 
 
@@ -118,10 +137,12 @@ def _boundary_strength(m: DeblockMaps, vertical: bool) -> np.ndarray:
         q = (slice(None), slice(1, None))
         p = (slice(None), slice(0, -1))
         edge = m.edge_v[:, 1:]
+        tu_edge = m.tu_edge_v[:, 1:]
     else:
         q = (slice(1, None), slice(None))
         p = (slice(0, -1), slice(None))
         edge = m.edge_h[1:, :]
+        tu_edge = m.tu_edge_h[1:, :]
     intra = m.is_intra[p] | m.is_intra[q]
     nzpq = m.nz[p] | m.nz[q]
 
@@ -165,7 +186,8 @@ def _boundary_strength(m: DeblockMaps, vertical: bool) -> np.ndarray:
     motion_bad = np.where(ncount_diff, True,
                           np.where(P["n"] == 2, bi_bad, uni_bad))
 
-    bs = np.where(intra, 2, np.where(nzpq | motion_bad, 1, 0))
+    bs = np.where(intra, 2,
+                  np.where((nzpq & tu_edge) | motion_bad, 1, 0))
     bs = np.where(edge, bs, 0)
     # re-embed at full grid (edge at left/top of block index >= 1)
     full = np.zeros(m.edge_v.shape, np.int32)
