@@ -1090,13 +1090,8 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   };
   PuChoice rect_sel[2][2];   // [part-2][pu]
   int64_t cost_rect[2] = {INT64_MAX, INT64_MAX};
-  // EXPERIMENTAL (off by default): the 2NxN/Nx2N decisions produce
-  // streams whose prediction the HM decoder reconstructs differently in
-  // rare neighbourhoods (our encoder and decoder agree with each other,
-  // so a candidate-derivation detail still deviates from spec; the PU
-  // syntax itself is verified — HM parses these streams with bit-exact
-  // CABAC context decisions). Enable with HEVC_TPU_RECT=1 to reproduce.
-  if (log2 == 5 && has_me && getenv("HEVC_TPU_RECT")) {
+  // rectangular partitions, on by default (HEVC_TPU_NO_RECT disables)
+  if (log2 == 5 && has_me && !getenv("HEVC_TPU_NO_RECT")) {
     for (int part = 2; part <= 3; ++part) {
       int64_t total = lam_bits(10);  // extra part/PU signalling
       bool ok = true;
@@ -1139,7 +1134,8 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
         // AMVP option with the CU-level refined MV
         {
           int16_t pamvp[4];
-          senc_->maps().amvp_candidates(px, py, pw, ph, 0, 0, pamvp);
+          senc_->maps().amvp_candidates(px, py, pw, ph, 0, 0, pamvp, x0,
+                                        y0, n, part, pu);
           mc_uni(sp_, ref0_[0], rw, pad, mv_x, mv_y, px, py, pw, ph, bd_,
                  true, 0, 0, pred);
           int b0 = mv_bits(mv_x - pamvp[0]) + mv_bits(mv_y - pamvp[1]);

@@ -301,24 +301,59 @@ bool PicMaps::temporal_mv(int x0, int y0, int w, int h, int list,
   return false;
 }
 
+bool PicMaps::pb_available(int x, int y, int px0, int py0, int cx0,
+                           int cy0, int cn, int part, int pu) const {
+  if (x < 0 || y < 0 || x >= sp.pic_w || y >= sp.pic_h) return false;
+  if (cn > 0 && x >= cx0 && x < cx0 + cn && y >= cy0 && y < cy0 + cn) {
+    // same coding block (spec 6.4.2): available iff in an earlier PU
+    if (pu == 0) return false;
+    if (part == 2) return y < cy0 + (cn >> 1);   // PU0 = top half
+    if (part == 3) return x < cx0 + (cn >> 1);   // PU0 = left half
+    return false;
+  }
+  return available(x, y, px0, py0);
+}
+
+bool PicMaps::motion_at_pu(int x, int y, int px0, int py0, int cx0,
+                           int cy0, int cn, int part, int pu,
+                           MotionInfo* out) const {
+  if (!pb_available(x, y, px0, py0, cx0, cy0, cn, part, pu)) return false;
+  size_t i = idx(x, y);
+  if (pred_mode[i] != 0) return false;
+  out->mvx[0] = mv_x[0][i];
+  out->mvy[0] = mv_y[0][i];
+  out->ref[0] = ref_idx[0][i];
+  out->mvx[1] = mv_x[1][i];
+  out->mvy[1] = mv_y[1][i];
+  out->ref[1] = ref_idx[1][i];
+  return true;
+}
+
 int PicMaps::merge_candidates(int x0, int y0, int w, int h,
                               MotionInfo out[5], int part, int pu) const {
   int n = 0;
   MotionInfo a1, b1, b0, a0, b2;
+  // current CU rectangle for 6.4.2 same-CB availability
+  int cn = part == 0 ? 0 : (part == 2 ? h * 2 : w * 2);
+  int cx0 = part == 3 && pu == 1 ? x0 - w : x0;
+  int cy0 = part == 2 && pu == 1 ? y0 - h : y0;
+  auto mat = [&](int x, int y, MotionInfo* mi) {
+    return motion_at_pu(x, y, x0, y0, cx0, cy0, cn, part, pu, mi);
+  };
   // second-PU exclusions (spec 8.5.3.2.3): A1 for Nx2N PU1, B1 for
   // 2NxN PU1 (they would duplicate the first PU's motion)
   bool excl_a1 = part == 3 && pu == 1;
   bool excl_b1 = part == 2 && pu == 1;
-  bool ha1 = !excl_a1 && motion_at(x0 - 1, y0 + h - 1, x0, y0, &a1);
+  bool ha1 = !excl_a1 && mat(x0 - 1, y0 + h - 1, &a1);
   if (ha1) out[n++] = a1;
-  bool hb1 = !excl_b1 && motion_at(x0 + w - 1, y0 - 1, x0, y0, &b1);
+  bool hb1 = !excl_b1 && mat(x0 + w - 1, y0 - 1, &b1);
   if (hb1 && !(ha1 && b1 == a1)) out[n++] = b1;
-  bool hb0 = motion_at(x0 + w, y0 - 1, x0, y0, &b0);
+  bool hb0 = mat(x0 + w, y0 - 1, &b0);
   if (hb0 && !(hb1 && b0 == b1)) out[n++] = b0;
-  bool ha0 = motion_at(x0 - 1, y0 + h, x0, y0, &a0);
+  bool ha0 = mat(x0 - 1, y0 + h, &a0);
   if (ha0 && !(ha1 && a0 == a1)) out[n++] = a0;
   if (n < 4) {
-    bool hb2 = motion_at(x0 - 1, y0 - 1, x0, y0, &b2);
+    bool hb2 = mat(x0 - 1, y0 - 1, &b2);
     if (hb2 && !(ha1 && b2 == a1) && !(hb1 && b2 == b1)) out[n++] = b2;
   }
   bool is_b = sp.slice_type == 0;
@@ -397,7 +432,9 @@ static int16_t scale_mv(int mv, int td, int tb) {
 }
 
 void PicMaps::amvp_candidates(int x0, int y0, int w, int h, int list,
-                              int ref, int16_t out_mv[4]) const {
+                              int ref, int16_t out_mv[4], int cx0, int cy0,
+                              int cn, int part, int pu) const {
+  if (cx0 < 0) { cx0 = x0; cy0 = y0; cn = 0; }
   int target_poc = (list == 0) ? sp.ref_poc_l0[ref] : sp.ref_poc_l1[ref];
   auto ref_poc = [&](int l, int r) {
     return (l == 0) ? sp.ref_poc_l0[r] : sp.ref_poc_l1[r];
@@ -433,17 +470,17 @@ void PicMaps::amvp_candidates(int x0, int y0, int w, int h, int list,
   MotionInfo mi;
   bool a_exists = false;  // isScaledFlagLX: any inter neighbour at A0/A1
   for (auto& p : apos)
-    if (motion_at(p[0], p[1], x0, y0, &mi)) {
+    if (motion_at_pu(p[0], p[1], x0, y0, cx0, cy0, cn, part, pu, &mi)) {
       a_exists = true;
       if (!has_a && same_ref_mv(mi, &ax, &ay)) has_a = true;
     }
   if (a_exists && !has_a)
     for (auto& p : apos)
-      if (motion_at(p[0], p[1], x0, y0, &mi) && scaled_mv(mi, &ax, &ay)) {
+      if (motion_at_pu(p[0], p[1], x0, y0, cx0, cy0, cn, part, pu, &mi) && scaled_mv(mi, &ax, &ay)) {
         has_a = true; break;
       }
   for (auto& p : bpos)
-    if (motion_at(p[0], p[1], x0, y0, &mi) && same_ref_mv(mi, &bx, &by)) {
+    if (motion_at_pu(p[0], p[1], x0, y0, cx0, cy0, cn, part, pu, &mi) && same_ref_mv(mi, &bx, &by)) {
       has_b = true; break;
     }
   if (!a_exists) {
@@ -451,7 +488,7 @@ void PicMaps::amvp_candidates(int x0, int y0, int w, int h, int list,
     if (has_b) { ax = bx; ay = by; has_a = true; }
     has_b = false;
     for (auto& p : bpos)
-      if (motion_at(p[0], p[1], x0, y0, &mi) && scaled_mv(mi, &bx, &by)) {
+      if (motion_at_pu(p[0], p[1], x0, y0, cx0, cy0, cn, part, pu, &mi) && scaled_mv(mi, &bx, &by)) {
         has_b = true; break;
       }
   }
@@ -1406,7 +1443,8 @@ void SliceDecoder::parse_inter_cu(int x0, int y0, int log2, bool skip) {
         parse_mvd(&mvdx, &mvdy);
         mvp_f = cabac_.decode_bin(ctx_.mvp_idx[0]);
         int16_t amvp[4];
-        maps_.amvp_candidates(px, py, pw, ph, 0, r, amvp);
+        maps_.amvp_candidates(px, py, pw, ph, 0, r, amvp, x0, y0, n, part,
+                              pu);
         pmi.mvx[0] = (int16_t)(amvp[2 * mvp_f] + mvdx);
         pmi.mvy[0] = (int16_t)(amvp[2 * mvp_f + 1] + mvdy);
         pmi.ref[0] = (int8_t)r;
@@ -1417,7 +1455,8 @@ void SliceDecoder::parse_inter_cu(int x0, int y0, int log2, bool skip) {
         if (!(sp_.mvd_l1_zero && idc == 3)) parse_mvd(&m1x, &m1y);
         int mvp_f1 = cabac_.decode_bin(ctx_.mvp_idx[0]);
         int16_t amvp[4];
-        maps_.amvp_candidates(px, py, pw, ph, 1, r, amvp);
+        maps_.amvp_candidates(px, py, pw, ph, 1, r, amvp, x0, y0, n, part,
+                              pu);
         pmi.mvx[1] = (int16_t)(amvp[2 * mvp_f1] + m1x);
         pmi.mvy[1] = (int16_t)(amvp[2 * mvp_f1 + 1] + m1y);
         pmi.ref[1] = (int8_t)r;

@@ -203,9 +203,20 @@ class PicMaps {
   // part/pu select the second-PU exclusions of 2NxN (B1) / Nx2N (A1)
   int merge_candidates(int x0, int y0, int w, int h, MotionInfo out[5],
                        int part = 0, int pu = 0) const;
-  // spec 8.5.3.2.6 AMVP: two predictor MVs for (list, ref_idx)
+  // PB availability (spec 6.4.2): positions inside the current CU are
+  // available iff they lie in an earlier PU (the z-scan rule of 6.4.1
+  // applies only outside the CU); (cx0,cy0,cn) is the CU rectangle and
+  // (px0,py0) the current PU origin
+  bool pb_available(int x, int y, int px0, int py0, int cx0, int cy0,
+                    int cn, int part, int pu) const;
+  bool motion_at_pu(int x, int y, int px0, int py0, int cx0, int cy0,
+                    int cn, int part, int pu, MotionInfo* out) const;
+  // spec 8.5.3.2.6 AMVP: two predictor MVs for (list, ref_idx);
+  // (cx0,cy0,cn,part,pu) give the PU context for 6.4.2 availability
+  // (defaults describe a 2Nx2N PU == CU)
   void amvp_candidates(int x0, int y0, int w, int h, int list, int ref,
-                       int16_t out_mv[4]) const;
+                       int16_t out_mv[4], int cx0 = -1, int cy0 = -1,
+                       int cn = 0, int part = 0, int pu = 0) const;
 };
 
 class SliceEncoder {

@@ -349,3 +349,44 @@ def test_tiles_conformance(tmp_path):
     own = tmp_path / "own.yuv"
     assert dmain(["-b", str(bs), "-o", str(own)]) == 0
     assert own.read_bytes() == dec.read_bytes()
+
+
+def test_rect_partitions_conformance(tmp_path):
+    """2NxN / Nx2N rectangular inter PUs: part_mode syntax, per-PU
+    merge/AMVP with the spec 6.4.2 same-CB availability rule (earlier PU
+    available despite the raw z-scan order) and 8.5.3.2.3 second-PU
+    exclusions, PU deblocking edges (reference TEncCu inter partition
+    trials / TComDataCU getInterMergeCandidates)."""
+    w, h, frames = 832, 480, 4
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    from hevc_tpu.cli.encode import main
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    main(["-c", "/root/reference/cfg/encoder_lowdelay_P_main.cfg",
+          "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-q", "32", "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+    assert rec.read_bytes() == dec.read_bytes()
+    from hevc_tpu.cli.decode import main as dmain
+    own = tmp_path / "own.yuv"
+    assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+    assert own.read_bytes() == dec.read_bytes()
+    # the stream must actually contain rectangular partitions
+    from hevc_tpu.decoder.top import DecoderTop
+    dt = DecoderTop(collect_stats=False)
+    import hevc_tpu.decoder.recon as drecon
+    seen = set()
+    orig_rc = drecon.CtuReconstructor.recon_ctu
+    def spy(self, d, cx, cy, recon):
+        seen.update(np.unique(d.nxn_flag[d.pred_mode == 0]).tolist())
+        return orig_rc(self, d, cx, cy, recon)
+    drecon.CtuReconstructor.recon_ctu = spy
+    try:
+        for _ in dt.decode_stream(bs.read_bytes()):
+            pass
+    finally:
+        drecon.CtuReconstructor.recon_ctu = orig_rc
+    assert seen & {2, 3}, f"no rectangular PUs coded: {seen}"
