@@ -25,6 +25,25 @@ from ..ops.transform import inverse_transform_np
 PAD = 80
 
 
+def _pu_rect(part, pu, n):
+    """Inter PU geometry (mirror of the native pu_rect; part codes
+    0=2Nx2N, 2=2NxN, 3=Nx2N, 4=2NxnU, 5=2NxnD, 6=nLx2N, 7=nRx2N)."""
+    q = n >> 2
+    if part == 2:
+        return 0, pu * (n >> 1), n, n >> 1
+    if part == 3:
+        return pu * (n >> 1), 0, n >> 1, n
+    if part == 4:
+        return 0, q if pu else 0, n, (n - q) if pu else q
+    if part == 5:
+        return 0, (n - q) if pu else 0, n, q if pu else (n - q)
+    if part == 6:
+        return (q if pu else 0), 0, (n - q) if pu else q, n
+    if part == 7:
+        return ((n - q) if pu else 0), 0, (q if pu else (n - q)), n
+    return 0, 0, n, n
+
+
 class CtuReconstructor:
     def __init__(self, sps: SPS, slice_qp: int,
                  refs_l0=None, refs_l1=None, wp=None):
@@ -169,19 +188,14 @@ class CtuReconstructor:
         size = 1 << log2
         lx, ly = x0 - ctu_x0, y0 - ctu_y0
         cs = size >> 1
-        part = int(d.nxn_flag[ly >> 2, lx >> 2])  # 0 / 2=2NxN / 3=Nx2N
+        part = int(d.nxn_flag[ly >> 2, lx >> 2])  # pu_rect part codes
         pred_y = np.zeros((size, size), np.int32)
         pred_cb = np.zeros((cs, cs), np.int32)
         pred_cr = np.zeros((cs, cs), np.int32)
         npu = 1 if part == 0 else 2
         for pu in range(npu):
-            px, py, pw, ph = x0, y0, size, size
-            if part == 2:
-                ph = size >> 1
-                py += pu * ph
-            elif part == 3:
-                pw = size >> 1
-                px += pu * pw
+            ox, oy, pw, ph = _pu_rect(part, pu, size)
+            px, py = x0 + ox, y0 + oy
             py_, pcb, pcr = self._pu_pred(d, ctu_x0, ctu_y0, px, py, pw, ph)
             pred_y[py - y0:py - y0 + ph, px - x0:px - x0 + pw] = py_
             pred_cb[(py - y0) >> 1:((py - y0) >> 1) + (ph >> 1),

@@ -35,6 +35,7 @@ class EncoderTop:
             max_transform_hierarchy_depth_intra=cfg.tu_depth_intra,
             max_transform_hierarchy_depth_inter=cfg.tu_depth_inter,
             sample_adaptive_offset_enabled_flag=1 if cfg.sao else 0,
+            amp_enabled_flag=1 if cfg.amp else 0,
         )
         if cfg.internal_chroma_format != 1 or "rext" in cfg.profile.lower():
             # format-range extensions (spec A.3.5): Main 4:4:4 family
@@ -303,6 +304,7 @@ class EncoderTop:
                 ctu_size=self.sps.ctu_size,
                 max_tu_depth_intra=self.sps.max_transform_hierarchy_depth_intra,
                 sign_hiding=self.pps.sign_data_hiding_enabled_flag,
+                amp=self.sps.amp_enabled_flag,
                 num_ref_l0=1, num_ref_l1=1 if is_b else 0,
                 ref_poc_l0=[l0_poc],
                 ref_poc_l1=[ref_l1[0]] if is_b else [],

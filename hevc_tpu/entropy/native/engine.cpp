@@ -1088,18 +1088,20 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     int merge_f = 0, merge_i = 0, mvp_f = 0;
     int mvdx = 0, mvdy = 0;
   };
-  PuChoice rect_sel[2][2];   // [part-2][pu]
-  int64_t cost_rect[2] = {INT64_MAX, INT64_MAX};
-  // rectangular partitions, on by default (HEVC_TPU_NO_RECT disables)
+  PuChoice rect_sel[6][2];   // [part-2][pu]
+  int64_t cost_rect[6] = {INT64_MAX, INT64_MAX, INT64_MAX,
+                          INT64_MAX, INT64_MAX, INT64_MAX};
+  // rectangular + asymmetric partitions (HEVC_TPU_NO_RECT disables)
+  int max_part = sp_.amp ? 7 : 3;
   if (log2 == 5 && has_me && !getenv("HEVC_TPU_NO_RECT")) {
-    for (int part = 2; part <= 3; ++part) {
+    for (int part = 2; part <= max_part; ++part) {
       int64_t total = lam_bits(10);  // extra part/PU signalling
       bool ok = true;
       MotionInfo saved_region[2];
       for (int pu = 0; pu < 2 && ok; ++pu) {
-        int px = x0, py = y0, pw = n, ph = n;
-        if (part == 2) { ph = n >> 1; py += pu * ph; }
-        else { pw = n >> 1; px += pu * pw; }
+        int ox, oy, pw, ph;
+        pu_rect(part, pu, n, &ox, &oy, &pw, &ph);
+        int px = x0 + ox, py = y0 + oy;
         MotionInfo cands[5];
         int nc = senc_->maps().merge_candidates(px, py, pw, ph, cands,
                                                 part, pu);
@@ -1174,10 +1176,16 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       (void)saved_region;
     }
   }
+  int64_t best_rect = INT64_MAX;
+  int best_rect_part = 0;
+  for (int k = 0; k < 6; ++k)
+    if (cost_rect[k] < best_rect) {
+      best_rect = cost_rect[k];
+      best_rect_part = k + 2;
+    }
   int64_t best =
       std::min(std::min(m_cost < 0 ? INT64_MAX : m_cost, cost_inter),
-               std::min(std::min(cost_intra, cost_split),
-                        std::min(cost_rect[0], cost_rect[1])));
+               std::min(std::min(cost_intra, cost_split), best_rect));
   if (best == cost_split) {
     int bw44 = ctu_ / 4;
     for (int yy = 0; yy < nb; ++yy)
@@ -1195,8 +1203,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   }
 
   int part_sel = 0;
-  if (best == cost_rect[0]) part_sel = 2;
-  else if (best == cost_rect[1]) part_sel = 3;
+  if (best == best_rect && best_rect != INT64_MAX) part_sel = best_rect_part;
 
   MotionInfo sel;
   const int32_t* pred_y;
@@ -1230,9 +1237,9 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
 
   if (part_sel) {
     for (int pu = 0; pu < 2; ++pu) {
-      int px = x0, py = y0, pw = n, ph = n;
-      if (part_sel == 2) { ph = n >> 1; py += pu * ph; }
-      else { pw = n >> 1; px += pu * pw; }
+      int ox, oy, pw, ph;
+      pu_rect(part_sel, pu, n, &ox, &oy, &pw, &ph);
+      int px = x0 + ox, py = y0 + oy;
       const MotionInfo& mi = rect_sel[part_sel - 2][pu].mi;
       mc_into(mi, 0, px, py, pw, ph,
               rect_luma + (py - y0) * n + (px - x0), n);
@@ -1380,9 +1387,9 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   int skip = (!part_sel && merge_sel >= 0 && zero_resid) ? 1 : 0;
   if (part_sel) {
     for (int pu = 0; pu < 2; ++pu) {
-      int px = x0, py = y0, pw = n, ph = n;
-      if (part_sel == 2) { ph = n >> 1; py += pu * ph; }
-      else { pw = n >> 1; px += pu * pw; }
+      int ox, oy, pw, ph;
+      pu_rect(part_sel, pu, n, &ox, &oy, &pw, &ph);
+      int px = x0 + ox, py = y0 + oy;
       const PuChoice& ch = rect_sel[part_sel - 2][pu];
       for (int yy = 0; yy < (ph >> 2); ++yy)
         for (int xx = 0; xx < (pw >> 2); ++xx) {

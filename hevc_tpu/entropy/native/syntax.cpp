@@ -307,8 +307,10 @@ bool PicMaps::pb_available(int x, int y, int px0, int py0, int cx0,
   if (cn > 0 && x >= cx0 && x < cx0 + cn && y >= cy0 && y < cy0 + cn) {
     // same coding block (spec 6.4.2): available iff in an earlier PU
     if (pu == 0) return false;
-    if (part == 2) return y < cy0 + (cn >> 1);   // PU0 = top half
-    if (part == 3) return x < cx0 + (cn >> 1);   // PU0 = left half
+    int ox, oy, pw0, ph0;
+    pu_rect(part, 0, cn, &ox, &oy, &pw0, &ph0);
+    if (part_hor(part)) return y < cy0 + ph0;    // PU0 = top strip
+    if (part_ver(part)) return x < cx0 + pw0;    // PU0 = left strip
     return false;
   }
   return available(x, y, px0, py0);
@@ -334,16 +336,18 @@ int PicMaps::merge_candidates(int x0, int y0, int w, int h,
   int n = 0;
   MotionInfo a1, b1, b0, a0, b2;
   // current CU rectangle for 6.4.2 same-CB availability
-  int cn = part == 0 ? 0 : (part == 2 ? h * 2 : w * 2);
-  int cx0 = part == 3 && pu == 1 ? x0 - w : x0;
-  int cy0 = part == 2 && pu == 1 ? y0 - h : y0;
+  int cn = part == 0 ? 0 : (part_hor(part) ? w : h);
+  int ox_, oy_, pw_, ph_;
+  pu_rect(part, pu, cn > 0 ? cn : 1, &ox_, &oy_, &pw_, &ph_);
+  int cx0 = x0 - ox_;
+  int cy0 = y0 - oy_;
   auto mat = [&](int x, int y, MotionInfo* mi) {
     return motion_at_pu(x, y, x0, y0, cx0, cy0, cn, part, pu, mi);
   };
   // second-PU exclusions (spec 8.5.3.2.3): A1 for Nx2N PU1, B1 for
   // 2NxN PU1 (they would duplicate the first PU's motion)
-  bool excl_a1 = part == 3 && pu == 1;
-  bool excl_b1 = part == 2 && pu == 1;
+  bool excl_a1 = part_ver(part) && pu == 1;
+  bool excl_b1 = part_hor(part) && pu == 1;
   bool ha1 = !excl_a1 && mat(x0 - 1, y0 + h - 1, &a1);
   if (ha1) out[n++] = a1;
   bool hb1 = !excl_b1 && mat(x0 + w - 1, y0 - 1, &b1);
@@ -826,18 +830,27 @@ void SliceEncoder::code_inter_cu(int x0, int y0, int log2, bool skip) {
     code_merge_idx(merge_i);
     return;
   }
-  // part_mode (spec 9.3.3.7, AMP off): 2Nx2N '1', 2NxN '01', Nx2N '00';
-  // stored in the nxn_flag map (0 / 2 / 3) for inter CUs
+  // part_mode (spec 9.3.3.7): with SPS AMP enabled at this depth the
+  // rectangular codes carry an extra ctx-3 bin and the asymmetric modes
+  // one more bypass bin; part codes per pu_rect() in the nxn_flag map
   int part = map_at(cur_->nxn_flag, bw4, lx, ly);
+  bool amp_bins = sp_.amp && log2 > sp_.min_cb_log2 && log2 < sp_.max_cb_log2;
   cabac_.encode_bin(ctx_.part_size[0], part == 0);
-  if (part != 0) cabac_.encode_bin(ctx_.part_size[1], part == 2);
+  if (part != 0) {
+    cabac_.encode_bin(ctx_.part_size[1], part_hor(part));
+    if (amp_bins) {
+      bool plain = part == 2 || part == 3;
+      cabac_.encode_bin(ctx_.part_size[3], plain);
+      if (!plain) cabac_.encode_bypass(part == 5 || part == 7);
+    }
+  }
   int n = 1 << log2;
   int npu = part == 0 ? 1 : 2;
   int any_merge_f = 1;
   for (int pu = 0; pu < npu; ++pu) {
-    int px = x0, py = y0, pw = n, ph = n;
-    if (part == 2) { ph = n >> 1; py += pu * ph; }
-    if (part == 3) { pw = n >> 1; px += pu * pw; }
+    int ox, oy, pw, ph;
+    pu_rect(part, pu, n, &ox, &oy, &pw, &ph);
+    int px = x0 + ox, py = y0 + oy;
     int plx = px - ctu_x0_, ply = py - ctu_y0_;
     int pli = (ply >> 2) * bw4 + (plx >> 2);
     int merge_f = map_at(cur_->merge_flag, bw4, plx, ply);
@@ -1401,17 +1414,25 @@ void SliceDecoder::parse_inter_cu(int x0, int y0, int log2, bool skip) {
     publish_motion(x0, y0, log2, mi, 1, mi_idx, 0, 0, 0, 1);
     return;
   }
-  // part_mode (AMP off): '1' 2Nx2N, '01' 2NxN, '00' Nx2N
+  // part_mode (spec 9.3.3.7, incl. AMP binarization)
   int part = 0;
-  if (!cabac_.decode_bin(ctx_.part_size[0]))
-    part = cabac_.decode_bin(ctx_.part_size[1]) ? 2 : 3;
+  bool amp_bins = sp_.amp && log2 > sp_.min_cb_log2 && log2 < sp_.max_cb_log2;
+  if (!cabac_.decode_bin(ctx_.part_size[0])) {
+    bool hor = cabac_.decode_bin(ctx_.part_size[1]);
+    if (amp_bins && !cabac_.decode_bin(ctx_.part_size[3])) {
+      int second = cabac_.decode_bypass();
+      part = hor ? (second ? 5 : 4) : (second ? 7 : 6);
+    } else {
+      part = hor ? 2 : 3;
+    }
+  }
   fill(cur_->nxn_flag, x0, y0, log2, (uint8_t)part);
   int npu = part == 0 ? 1 : 2;
   int cu_merge = 1;
   for (int pu = 0; pu < npu; ++pu) {
-    int px = x0, py = y0, pw = n, ph = n;
-    if (part == 2) { ph = n >> 1; py += pu * ph; }
-    if (part == 3) { pw = n >> 1; px += pu * pw; }
+    int ox, oy, pw, ph;
+    pu_rect(part, pu, n, &ox, &oy, &pw, &ph);
+    int px = x0 + ox, py = y0 + oy;
     int merge_f = cabac_.decode_bin(ctx_.merge_flag[0]);
     if (!merge_f) cu_merge = 0;
     int merge_i = 0, mvp_f = 0, mvdx = 0, mvdy = 0;

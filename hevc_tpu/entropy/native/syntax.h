@@ -45,6 +45,7 @@ struct SliceParams {
   int32_t wpp;             // entropy_coding_sync_enabled_flag (WPP)
   int32_t tile_cols;       // tiles: uniform grid (0/1 = no tiles)
   int32_t tile_rows;
+  int32_t amp;             // SPS amp_enabled_flag (part_mode binarization)
   // explicit weighted prediction (P, list 0 ref 0): spec 8.5.3.3.4.3
   int32_t wp_on;
   int32_t wp_denom;        // luma_log2_weight_denom
@@ -148,6 +149,30 @@ struct MutCtuData {  // decoder-side (written)
   int16_t* mv_y1;
   int32_t* sao;
 };
+
+// Inter PU geometry for part codes stored in the nxn_flag map:
+// 0=2Nx2N, 2=2NxN, 3=Nx2N, 4=2NxnU, 5=2NxnD, 6=nLx2N, 7=nRx2N
+// (1 = intra NxN). Returns the PU rectangle offset/size within an n-CU.
+inline void pu_rect(int part, int pu, int n, int* ox, int* oy, int* pw,
+                    int* ph) {
+  *ox = 0; *oy = 0; *pw = n; *ph = n;
+  int q = n >> 2;
+  switch (part) {
+    case 2: *ph = n >> 1; *oy = pu * *ph; break;
+    case 3: *pw = n >> 1; *ox = pu * *pw; break;
+    case 4: *ph = pu ? n - q : q; *oy = pu ? q : 0; break;       // 2NxnU
+    case 5: *ph = pu ? q : n - q; *oy = pu ? n - q : 0; break;   // 2NxnD
+    case 6: *pw = pu ? n - q : q; *ox = pu ? q : 0; break;       // nLx2N
+    case 7: *pw = pu ? q : n - q; *ox = pu ? n - q : 0; break;   // nRx2N
+    default: break;
+  }
+}
+inline bool part_hor(int part) {  // horizontal split (PUs stacked)
+  return part == 2 || part == 4 || part == 5;
+}
+inline bool part_ver(int part) {
+  return part == 3 || part == 6 || part == 7;
+}
 
 // Picture-level per-4x4 state shared by encoder and decoder walkers.
 struct MotionInfo {

@@ -100,14 +100,16 @@ def build_maps(decisions, sps, ref_pocs=((), ())) -> DeblockMaps:
             m.tu_edge_v[y0 >> 2:(y0 + size) >> 2, x0 >> 2] = True
             m.tu_edge_h[y0 >> 2, x0 >> 2:(x0 + size) >> 2] = True
             # interior PU boundary of 2NxN / Nx2N partitions (spec 8.7.2.2)
-            if not intra and not __import__('os').environ.get('HEVC_TPU_NO_PU_EDGE'):
+            if not intra:
                 part = int(d.nxn_flag[(y0 - y0c) >> 2, (x0 - x0c) >> 2])
-                if part == 2:
-                    m.edge_h[(y0 + (size >> 1)) >> 2,
+                off = {2: size >> 1, 4: size >> 2, 5: size - (size >> 2),
+                       3: size >> 1, 6: size >> 2, 7: size - (size >> 2)}
+                if part in (2, 4, 5):
+                    m.edge_h[(y0 + off[part]) >> 2,
                              x0 >> 2:(x0 + size) >> 2] = True
-                elif part == 3:
+                elif part in (3, 6, 7):
                     m.edge_v[y0 >> 2:(y0 + size) >> 2,
-                             (x0 + (size >> 1)) >> 2] = True
+                             (x0 + off[part]) >> 2] = True
             for (tx, ty, tlog2, tdepth, blk) in tu_leaves(
                     d.tu_depth, x0, y0, log2, x0c, y0c,
                     intra_split=(intra and nxn),
