@@ -1093,7 +1093,12 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
                           INT64_MAX, INT64_MAX, INT64_MAX};
   // rectangular + asymmetric partitions (HEVC_TPU_NO_RECT disables)
   int max_part = sp_.amp ? 7 : 3;
-  if (log2 == 5 && has_me && !getenv("HEVC_TPU_NO_RECT")) {
+  // only trial partitions when the whole-CU prediction is poor enough
+  // that splitting could pay for its signalling (reference FEN-style gate)
+  int64_t best_2nx2n =
+      std::min(m_cost < 0 ? INT64_MAX : m_cost, cost_inter);
+  if (log2 == 5 && has_me && best_2nx2n > lam_bits(64) &&
+      !getenv("HEVC_TPU_NO_RECT")) {
     for (int part = 2; part <= max_part; ++part) {
       int64_t total = lam_bits(10);  // extra part/PU signalling
       bool ok = true;
