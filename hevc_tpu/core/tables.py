@@ -179,3 +179,31 @@ INTRA_FILTER_THRESH = {3: 7, 4: 1, 5: 0}  # log2 size 8,16,32
 
 def log2(v: int) -> int:
     return int(v).bit_length() - 1
+
+
+# Default quantization matrices (spec Table 7-5/7-6); 4x4 default is flat.
+QUANT_INTRA_DEF8 = np.array([
+    16, 16, 16, 16, 17, 18, 21, 24, 16, 16, 16, 16, 17, 19, 22, 25,
+    16, 16, 17, 18, 20, 22, 25, 29, 16, 16, 18, 21, 24, 27, 31, 36,
+    17, 17, 20, 24, 30, 35, 41, 47, 18, 19, 22, 27, 35, 44, 54, 65,
+    21, 22, 25, 31, 41, 54, 70, 88, 24, 25, 29, 36, 47, 65, 88, 115,
+], np.int32).reshape(8, 8)
+QUANT_INTER_DEF8 = np.array([
+    16, 16, 16, 16, 17, 18, 20, 24, 16, 16, 16, 17, 18, 20, 24, 25,
+    16, 16, 17, 18, 20, 24, 25, 28, 16, 17, 18, 20, 24, 25, 28, 33,
+    17, 18, 20, 24, 25, 28, 33, 41, 18, 20, 24, 25, 28, 33, 41, 54,
+    20, 24, 25, 28, 33, 41, 54, 71, 24, 25, 28, 33, 41, 54, 71, 91,
+], np.int32).reshape(8, 8)
+
+
+@functools.lru_cache(maxsize=None)
+def default_scaling_matrix(size: int, intra: bool):
+    """Default scaling matrix for size >= 8 (8x8 upsampled to 16/32 with
+    DC reset to 16); None for 4x4 (flat)."""
+    if size < 8:
+        return None
+    base = QUANT_INTRA_DEF8 if intra else QUANT_INTER_DEF8
+    m = np.repeat(np.repeat(base, size // 8, 0), size // 8, 1).copy()
+    if size > 8:
+        m[0, 0] = 16
+    return m

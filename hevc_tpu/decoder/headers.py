@@ -115,9 +115,8 @@ def parse_sps(rbsp: bytes) -> SPS:
     sps.max_transform_hierarchy_depth_inter = br.ue()
     sps.max_transform_hierarchy_depth_intra = br.ue()
     sps.scaling_list_enabled_flag = br.flag()
-    assert not sps.scaling_list_enabled_flag, "scaling lists unsupported"
-    if sps.scaling_list_enabled_flag and br.flag():
-        raise NotImplementedError
+    if sps.scaling_list_enabled_flag:
+        assert br.flag() == 0, "explicit scaling list data unsupported"
     sps.amp_enabled_flag = br.flag()
     sps.sample_adaptive_offset_enabled_flag = br.flag()
     sps.pcm_enabled_flag = br.flag()

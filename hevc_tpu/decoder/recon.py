@@ -80,7 +80,10 @@ class CtuReconstructor:
                                      is_luma=(c_idx == 0), smooth=smooth)
         if coeffs.any():
             qp = self.qp if c_idx == 0 else self.qp_c
-            deq = dequantize_np(coeffs.astype(np.int32), size, qp, self.bd)
+            sm = (tables.default_scaling_matrix(size, True)
+                  if self.sps.scaling_list_enabled_flag else None)
+            deq = dequantize_np(coeffs.astype(np.int32), size, qp, self.bd,
+                                scaling=sm)
             r = inverse_transform_np(deq, size, self.bd, is_dst=is_dst)
             pred = pred + r
         plane[y0:y0 + size, x0:x0 + size] = np.clip(
@@ -89,7 +92,10 @@ class CtuReconstructor:
     def _add_resid(self, recon, pred, x0, y0, size, c_idx, coeffs):
         if coeffs.any():
             qp = self.qp if c_idx == 0 else self.qp_c
-            deq = dequantize_np(coeffs.astype(np.int32), size, qp, self.bd)
+            sm = (tables.default_scaling_matrix(size, False)
+                  if self.sps.scaling_list_enabled_flag else None)
+            deq = dequantize_np(coeffs.astype(np.int32), size, qp, self.bd,
+                                scaling=sm)
             pred = pred + inverse_transform_np(deq, size, self.bd)
         recon[c_idx][y0:y0 + size, x0:x0 + size] = np.clip(
             pred, 0, (1 << self.bd) - 1).astype(np.int16)

@@ -131,6 +131,7 @@ class DecoderTop:
             max_tu_depth_intra=sps.max_transform_hierarchy_depth_intra,
             chroma_format=sps.chroma_format_idc,
             amp=sps.amp_enabled_flag,
+            scaling_lists=sps.scaling_list_enabled_flag,
             sign_hiding=pps.sign_data_hiding_enabled_flag,
             max_merge_cand=5 - sh.five_minus_max_num_merge_cand,
             num_ref_l0=nl0, num_ref_l1=nl1,

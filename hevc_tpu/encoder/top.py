@@ -36,7 +36,14 @@ class EncoderTop:
             max_transform_hierarchy_depth_inter=cfg.tu_depth_inter,
             sample_adaptive_offset_enabled_flag=1 if cfg.sao else 0,
             amp_enabled_flag=1 if cfg.amp else 0,
+            scaling_list_enabled_flag=1 if cfg.scaling_list else 0,
         )
+        if cfg.scaling_list > 1:
+            # reference TAppEncCfg: 2 = SCALING_LIST_FILE_READ (explicit
+            # lists from a file) — not supported; the default (Table
+            # 7-5/7-6) matrices are signalled instead
+            print("warning: ScalingList=2 (file) unsupported; "
+                  "using default scaling lists", flush=True)
         if cfg.internal_chroma_format != 1 or "rext" in cfg.profile.lower():
             # format-range extensions (spec A.3.5): Main 4:4:4 family
             ptl = self.sps.ptl
@@ -264,6 +271,7 @@ class EncoderTop:
                 sign_hiding=self.pps.sign_data_hiding_enabled_flag,
                 sao_luma=sao_on, sao_chroma=sao_on,
                 bit_depth=self.sps.bit_depth_luma,
+                scaling_lists=self.sps.scaling_list_enabled_flag,
                 wpp=self.pps.entropy_coding_sync_enabled_flag,
                 tile_cols=self.pps.num_tile_columns_minus1 + 1
                 if self.pps.tiles_enabled_flag else 0,
@@ -305,6 +313,7 @@ class EncoderTop:
                 max_tu_depth_intra=self.sps.max_transform_hierarchy_depth_intra,
                 sign_hiding=self.pps.sign_data_hiding_enabled_flag,
                 amp=self.sps.amp_enabled_flag,
+                scaling_lists=self.sps.scaling_list_enabled_flag,
                 num_ref_l0=1, num_ref_l1=1 if is_b else 0,
                 ref_poc_l0=[l0_poc],
                 ref_poc_l1=[ref_l1[0]] if is_b else [],

@@ -29,8 +29,8 @@ class SliceParamsC(ctypes.Structure):
         ("ref_poc_l1", ctypes.c_int32 * 16)] + [
         (n, ctypes.c_int32) for n in ("sao_luma", "sao_chroma", "bit_depth",
                                       "cur_poc", "wpp", "tile_cols",
-                                      "tile_rows", "amp", "wp_on",
-                                      "wp_denom",
+                                      "tile_rows", "amp", "scaling_lists",
+                                      "wp_on", "wp_denom",
                                       "wp_w", "wp_o", "wp_cdenom")] + [
         ("wp_cw", ctypes.c_int32 * 2), ("wp_co", ctypes.c_int32 * 2)]
 
@@ -153,7 +153,8 @@ def make_slice_params(pic_w: int, pic_h: int, qp: int, slice_type: int = 2,
                       ref_poc_l0=(), ref_poc_l1=(), sao_luma: int = 0,
                       sao_chroma: int = 0, bit_depth: int = 8,
                       cur_poc: int = 0, wpp: int = 0, tile_cols: int = 0,
-                      tile_rows: int = 0, amp: int = 0) -> SliceParamsC:
+                      tile_rows: int = 0, amp: int = 0,
+                      scaling_lists: int = 0) -> SliceParamsC:
     sp = SliceParamsC(
         pic_w, pic_h, ctu_size, qp, slice_type, max_tu_depth_intra,
         max_tu_depth_inter, chroma_format, sign_hiding, transform_skip,
@@ -171,6 +172,7 @@ def make_slice_params(pic_w: int, pic_h: int, qp: int, slice_type: int = 2,
     sp.tile_cols = tile_cols
     sp.tile_rows = tile_rows
     sp.amp = amp
+    sp.scaling_lists = scaling_lists
     return sp
 
 

@@ -122,6 +122,8 @@ def write_sps(sps: SPS) -> bytes:
     bw.ue(sps.max_transform_hierarchy_depth_inter)
     bw.ue(sps.max_transform_hierarchy_depth_intra)
     bw.flag(sps.scaling_list_enabled_flag)
+    if sps.scaling_list_enabled_flag:
+        bw.flag(0)          # sps_scaling_list_data_present (use defaults)
     bw.flag(sps.amp_enabled_flag)
     bw.flag(sps.sample_adaptive_offset_enabled_flag)
     bw.flag(sps.pcm_enabled_flag)

@@ -68,7 +68,44 @@ const int32_t kChromaFilters[8][4] = {
     {0, 64, 0, 0},  {-2, 58, 10, -2}, {-4, 54, 16, -2}, {-6, 46, 28, -4},
     {-4, 36, 36, -4}, {-4, 28, 46, -6}, {-2, 16, 54, -4}, {-2, 10, 58, -2}};
 
+// normative default quantization matrices (spec Table 7-5/7-6)
+const int32_t kQuantIntraDef8[64] = {
+    16, 16, 16, 16, 17, 18, 21, 24, 16, 16, 16, 16, 17, 19, 22, 25,
+    16, 16, 17, 18, 20, 22, 25, 29, 16, 16, 18, 21, 24, 27, 31, 36,
+    17, 17, 20, 24, 30, 35, 41, 47, 18, 19, 22, 27, 35, 44, 54, 65,
+    21, 22, 25, 31, 41, 54, 70, 88, 24, 25, 29, 36, 47, 65, 88, 115};
+const int32_t kQuantInterDef8[64] = {
+    16, 16, 16, 16, 17, 18, 20, 24, 16, 16, 16, 17, 18, 20, 24, 25,
+    16, 16, 17, 18, 20, 24, 25, 28, 16, 17, 18, 20, 24, 25, 28, 33,
+    17, 18, 20, 24, 25, 28, 33, 41, 18, 20, 24, 25, 28, 33, 41, 54,
+    20, 24, 25, 28, 33, 41, 54, 71, 24, 25, 28, 33, 41, 54, 71, 91};
+
+struct ScalingTables {
+  int32_t m[2][3][32 * 32];  // [intra][log2n-3]
+  ScalingTables() {
+    for (int ii = 0; ii < 2; ++ii) {
+      const int32_t* base = ii ? kQuantIntraDef8 : kQuantInterDef8;
+      for (int lg = 3; lg <= 5; ++lg) {
+        int n = 1 << lg, sh = lg - 3;
+        for (int y = 0; y < n; ++y)
+          for (int x = 0; x < n; ++x)
+            m[ii][lg - 3][y * n + x] = base[(y >> sh) * 8 + (x >> sh)];
+        // DC coefficient: scaling_list_dc default 16 for 16x16/32x32
+        if (lg > 3) m[ii][lg - 3][0] = 16;
+      }
+    }
+  }
+};
+const ScalingTables g_scaling;
+
 }  // namespace
+
+const int32_t* default_scaling_matrix(int n, bool intra) {
+  if (n < 8) return nullptr;  // 4x4 default is flat
+  int lg = 3;
+  while ((1 << lg) < n) ++lg;
+  return g_scaling.m[intra ? 1 : 0][lg - 3];
+}
 
 const int32_t* dct_matrix(int n) {
   switch (n) {
@@ -131,7 +168,7 @@ void inv_xform(const int32_t* coef, int n, int bd, bool dst, int32_t* out) {
 }
 
 int quant(const int32_t* coef, int n, int qp, int bd, bool intra,
-          int32_t* level) {
+          int32_t* level, const int32_t* m) {
   qp += 6 * (bd - 8);
   int log2n = ilog2(n);
   int tshift = 15 - bd - log2n;
@@ -141,7 +178,8 @@ int quant(const int32_t* coef, int n, int qp, int bd, bool intra,
   int nz = 0;
   for (int i = 0; i < n * n; ++i) {
     int64_t c = coef[i];
-    int64_t l = ((c < 0 ? -c : c) * scale + offset) >> qbits;
+    int64_t sc = m ? (scale * 16) / m[i] : scale;
+    int64_t l = ((c < 0 ? -c : c) * sc + offset) >> qbits;
     if (l > 32767) l = 32767;
     level[i] = (int32_t)(c < 0 ? -l : l);
     nz += level[i] != 0;
@@ -149,14 +187,17 @@ int quant(const int32_t* coef, int n, int qp, int bd, bool intra,
   return nz;
 }
 
-void dequant(const int32_t* level, int n, int qp, int bd, int32_t* coef) {
+void dequant(const int32_t* level, int n, int qp, int bd, int32_t* coef,
+             const int32_t* m) {
   qp += 6 * (bd - 8);
   int log2n = ilog2(n);
   int bd_shift = bd + log2n - 5;
-  int64_t scale = ((int64_t)kInvQuantScales[qp % 6] * 16) << (qp / 6);
+  int64_t ls = (int64_t)kInvQuantScales[qp % 6] << (qp / 6);
   int64_t r = 1ll << (bd_shift - 1);
   for (int i = 0; i < n * n; ++i) {
-    int64_t c = ((int64_t)level[i] * scale + r) >> bd_shift;
+    // spec 8.6.3: d = (level * m[i] * levScale[rem] << per + r) >> bdShift
+    int64_t mi = m ? m[i] : 16;
+    int64_t c = ((int64_t)level[i] * mi * ls + r) >> bd_shift;
     coef[i] =
         (int32_t)std::min<int64_t>(32767, std::max<int64_t>(-32768, c));
   }

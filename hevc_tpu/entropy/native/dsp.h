@@ -26,10 +26,14 @@ void inv_xform(const int32_t* coef, int n, int bd, bool dst, int32_t* out);
 
 // forward quant (HM rounding 171/256 intra, 85/256 inter); returns count of
 // nonzero levels. qp is the slice QP at 8-bit scale; QpBdOffset is applied
-// inside (spec 8.6.1).
+// inside (spec 8.6.1). `m` is the scaling matrix (n*n, 16 = flat) or null.
 int quant(const int32_t* coef, int n, int qp, int bd, bool intra,
-          int32_t* level);
-void dequant(const int32_t* level, int n, int qp, int bd, int32_t* coef);
+          int32_t* level, const int32_t* m = nullptr);
+void dequant(const int32_t* level, int n, int qp, int bd, int32_t* coef,
+             const int32_t* m = nullptr);
+// default scaling matrix (spec Table 7-5/7-6, 8x8 upsampled to 16/32);
+// null for 4x4 (flat by default)
+const int32_t* default_scaling_matrix(int n, bool intra);
 
 // Hadamard SATD between orig (int16, stride so) and pred (int32, stride n):
 // 8x8 tiles for n>=8, 4x4 for n==4 (reference TComRdCost::xCalcHADs8x8).

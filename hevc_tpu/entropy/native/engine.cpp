@@ -122,7 +122,7 @@ const int kGroupIdxTbl[32] = {0, 1, 2, 3, 4, 4, 5, 5, 6, 6, 6, 6,
                               9, 9, 9, 9, 9, 9, 9, 9};
 
 int rdoq_adjust(int32_t* lev, const int32_t* coef, int n, int qp, int bd,
-                double lam) {
+                double lam, const int32_t* smat = nullptr) {
   qp += 6 * (bd - 8);
   int log2n = 0;
   while ((1 << log2n) < n) ++log2n;
@@ -130,10 +130,11 @@ int rdoq_adjust(int32_t* lev, const int32_t* coef, int n, int qp, int bd,
   double dscale = tshift >= 0 ? 1.0 / (double)(1ll << (2 * tshift))
                               : (double)(1ll << (-2 * tshift));
   int bd_shift = bd + log2n - 5;
-  int64_t iq = ((int64_t)kInvQuantScales420[qp % 6] * 16) << (qp / 6);
+  int64_t iqs = (int64_t)kInvQuantScales420[qp % 6] << (qp / 6);
   int64_t r = 1ll << (bd_shift - 1);
-  auto deq = [&](int64_t l) {
-    int64_t c = (l * iq + r) >> bd_shift;
+  auto deq = [&](int64_t l, int i) {
+    int64_t mi = smat ? smat[i] : 16;
+    int64_t c = (l * mi * iqs + r) >> bd_shift;
     return (int64_t)std::min<int64_t>(32767, std::max<int64_t>(-32768, c));
   };
   auto dist = [&](int64_t e) { return (double)e * (double)e * dscale; };
@@ -142,10 +143,10 @@ int rdoq_adjust(int32_t* lev, const int32_t* coef, int n, int qp, int bd,
     int l = std::abs(lev[i]);
     if (l == 0) continue;
     int64_t c = std::abs((int64_t)coef[i]);
-    double best = dist(c - deq(l)) + lam * rd_rate_bits(l);
+    double best = dist(c - deq(l, i)) + lam * rd_rate_bits(l);
     int best_l = l;
     for (int cand = l - 1; cand >= 0 && cand >= l - 1; --cand) {
-      double cost = dist(c - deq(cand)) + lam * rd_rate_bits(cand);
+      double cost = dist(c - deq(cand, i)) + lam * rd_rate_bits(cand);
       if (cost < best) { best = cost; best_l = cand; }
     }
     lev[i] = lev[i] < 0 ? -best_l : best_l;
@@ -163,7 +164,7 @@ int rdoq_adjust(int32_t* lev, const int32_t* coef, int n, int qp, int bd,
           if (!l) continue;
           any = true;
           int64_t c = std::abs((int64_t)coef[i]);
-          d_inc += dist(c) - dist(c - deq(l));
+          d_inc += dist(c) - dist(c - deq(l, i));
           bits += rd_rate_bits(l);
         }
       if (any && d_inc < lam * bits) {
@@ -187,7 +188,7 @@ int rdoq_adjust(int32_t* lev, const int32_t* coef, int n, int qp, int bd,
     for (int i = last - 1; i >= 0; --i)
       if (lev[scan[i]]) { prev = i; break; }
     int64_t c = std::abs((int64_t)coef[pos]);
-    double d_inc = dist(c) - dist(c - deq(l));
+    double d_inc = dist(c) - dist(c - deq(l, pos));
     int px = pos % n, py = pos / n;
     int qpos = prev >= 0 ? scan[prev] : 0;
     int qx = qpos % n, qy = qpos / n;
@@ -213,15 +214,16 @@ int rdoq_adjust(int32_t* lev, const int32_t* coef, int n, int qp, int bd,
 // first (lowest scan) nonzero is inferred from the parity of the absolute
 // level sum; adjust the cheapest coefficient by +/-1 when parity is wrong.
 void sbh_enforce(int32_t* lev, const int32_t* coef, int n, int qp, int bd,
-                 int scan_idx) {
+                 int scan_idx, const int32_t* smat = nullptr) {
   qp += 6 * (bd - 8);
   int log2n = 0;
   while ((1 << log2n) < n) ++log2n;
   int bd_shift = bd + log2n - 5;
-  int64_t iq = ((int64_t)kInvQuantScales420[qp % 6] * 16) << (qp / 6);
+  int64_t iqs = (int64_t)kInvQuantScales420[qp % 6] << (qp / 6);
   int64_t rr = 1ll << (bd_shift - 1);
-  auto deq = [&](int64_t l) {
-    int64_t c = (l * iq + rr) >> bd_shift;
+  auto deq = [&](int64_t l, int i) {
+    int64_t mi = smat ? smat[i] : 16;
+    int64_t c = (l * mi * iqs + rr) >> bd_shift;
     return (int64_t)std::min<int64_t>(32767, std::max<int64_t>(-32768, c));
   };
   const int* scan = scan_table(n, scan_idx);
@@ -256,7 +258,7 @@ void sbh_enforce(int32_t* lev, const int32_t* coef, int n, int qp, int bd,
         if (nl == 0 && (k == first || k == last)) continue;
         if (nl < 0) continue;
         int64_t c = std::abs((int64_t)coef[pos]);
-        int64_t e = c - deq(nl);
+        int64_t e = c - deq(nl, pos);
         double cost = (double)e * e;
         if (best_pos < 0 || cost < best_cost) {
           best_cost = cost;
@@ -654,14 +656,16 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
       for (int j = 0; j < tz; ++j)
         resi[i * tz + j] = (int32_t)o[i * stride + j] - predt[i * tz + j];
     bool dstt = (c == 0 && tz == 4);
+    const int32_t* smat_t =
+        sp_.scaling_lists ? dsp::default_scaling_matrix(tz, true) : nullptr;
     dsp::fwd_xform(resi, tz, bd_, dstt, coef);
-    int nz = dsp::quant(coef, tz, qp, bd_, true, lev);
-    if (nz) nz = rdoq_adjust(lev, coef, tz, qp, bd_, lam_sq);
+    int nz = dsp::quant(coef, tz, qp, bd_, true, lev, smat_t);
+    if (nz) nz = rdoq_adjust(lev, coef, tz, qp, bd_, lam_sq, smat_t);
     if (nz && sp_.sign_hiding)
       sbh_enforce(lev, coef, tz, qp, bd_,
-                  engine_scan_idx(ilog2(tz), c, true, mode));
+                  engine_scan_idx(ilog2(tz), c, true, mode), smat_t);
     if (nz) {
-      dsp::dequant(lev, tz, qp, bd_, deq);
+      dsp::dequant(lev, tz, qp, bd_, deq, smat_t);
       dsp::inv_xform(deq, tz, bd_, dstt, rres);
     } else {
       std::memset(rres, 0, sizeof(int32_t) * tz * tz);
@@ -866,12 +870,15 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
     for (int i = 0; i < sz; ++i)
       for (int j = 0; j < sz; ++j)
         resi[i * sz + j] = (int32_t)o[i * ostride + j] - p[i * pstride + j];
+    const int32_t* smat_p =
+        sp_.scaling_lists ? dsp::default_scaling_matrix(sz, false) : nullptr;
     dsp::fwd_xform(resi, sz, bd_, false, coef);
-    int nz = dsp::quant(coef, sz, qp, bd_, false, lev);
-    if (nz) nz = rdoq_adjust(lev, coef, sz, qp, bd_, lam);
-    if (nz && sp_.sign_hiding) sbh_enforce(lev, coef, sz, qp, bd_, 0);
+    int nz = dsp::quant(coef, sz, qp, bd_, false, lev, smat_p);
+    if (nz) nz = rdoq_adjust(lev, coef, sz, qp, bd_, lam, smat_p);
+    if (nz && sp_.sign_hiding)
+      sbh_enforce(lev, coef, sz, qp, bd_, 0, smat_p);
     if (nz) {
-      dsp::dequant(lev, sz, qp, bd_, deq);
+      dsp::dequant(lev, sz, qp, bd_, deq, smat_p);
       dsp::inv_xform(deq, sz, bd_, false, rres);
     } else {
       std::memset(rres, 0, sizeof(int32_t) * sz * sz);
@@ -1300,12 +1307,15 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     for (int i = 0; i < sz; ++i)
       for (int j = 0; j < sz; ++j)
         resi[i * sz + j] = (int32_t)o[i * ostride + j] - p[i * pstride + j];
+    const int32_t* smat_p =
+        sp_.scaling_lists ? dsp::default_scaling_matrix(sz, false) : nullptr;
     dsp::fwd_xform(resi, sz, bd_, false, coef);
-    int nz = dsp::quant(coef, sz, qp, bd_, false, lev_tmp_);
-    if (nz) nz = rdoq_adjust(lev_tmp_, coef, sz, qp, bd_, lam_sq);
-    if (nz && sp_.sign_hiding) sbh_enforce(lev_tmp_, coef, sz, qp, bd_, 0);
+    int nz = dsp::quant(coef, sz, qp, bd_, false, lev_tmp_, smat_p);
+    if (nz) nz = rdoq_adjust(lev_tmp_, coef, sz, qp, bd_, lam_sq, smat_p);
+    if (nz && sp_.sign_hiding)
+      sbh_enforce(lev_tmp_, coef, sz, qp, bd_, 0, smat_p);
     if (nz) {
-      dsp::dequant(lev_tmp_, sz, qp, bd_, deq);
+      dsp::dequant(lev_tmp_, sz, qp, bd_, deq, smat_p);
       dsp::inv_xform(deq, sz, bd_, false, rres);
     } else {
       std::memset(rres, 0, sizeof(int32_t) * sz * sz);

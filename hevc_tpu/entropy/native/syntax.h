@@ -46,6 +46,7 @@ struct SliceParams {
   int32_t tile_cols;       // tiles: uniform grid (0/1 = no tiles)
   int32_t tile_rows;
   int32_t amp;             // SPS amp_enabled_flag (part_mode binarization)
+  int32_t scaling_lists;   // SPS scaling_list_enabled (default matrices)
   // explicit weighted prediction (P, list 0 ref 0): spec 8.5.3.3.4.3
   int32_t wp_on;
   int32_t wp_denom;        // luma_log2_weight_denom

@@ -80,10 +80,12 @@ def quantize_np(coeffs: np.ndarray, size: int, qp: int, bit_depth: int = 8,
 
 
 def dequantize_np(levels: np.ndarray, size: int, qp: int,
-                  bit_depth: int = 8) -> np.ndarray:
+                  bit_depth: int = 8, scaling=None) -> np.ndarray:
     qp = qp + 6 * (bit_depth - 8)   # Qp' incl. QpBdOffset (spec 8.6.1)
     log2n = tables.log2(size)
     bd_shift = bit_depth + log2n - 5
-    scale = (int(tables.INV_QUANT_SCALES[qp % 6]) * 16) << (qp // 6)
-    c = (levels.astype(np.int64) * scale + (1 << (bd_shift - 1))) >> bd_shift
+    ls = int(tables.INV_QUANT_SCALES[qp % 6]) << (qp // 6)
+    m = 16 if scaling is None else scaling.astype(np.int64)
+    c = (levels.astype(np.int64) * m * ls
+         + (1 << (bd_shift - 1))) >> bd_shift
     return np.clip(c, ENTROPY_CODING_MIN, ENTROPY_CODING_MAX).astype(np.int32)

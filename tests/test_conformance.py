@@ -390,3 +390,33 @@ def test_rect_partitions_conformance(tmp_path):
     finally:
         drecon.CtuReconstructor.recon_ctu = orig_rc
     assert seen & {2, 3}, f"no rectangular PUs coded: {seen}"
+
+
+def test_scaling_lists_conformance(tmp_path):
+    """Default quantization matrices (spec 7.4.5 Table 7-5/7-6, 8.6.3
+    dequant with m[x][y]): SPS scaling_list_enabled_flag=1 with no
+    explicit data = normative default matrices, 8x8 upsampled to 16/32
+    with DC=16 (reference TComTrQuant setDefaultScalingList /
+    processScalingListDec, TComRom g_quantIntraDefault8x8). Covers
+    intra and inter slices so both default matrix families are hit."""
+    w, h, frames = 192, 128, 4
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    from hevc_tpu.cli.encode import main
+    from hevc_tpu.cli.decode import main as dmain
+    for cfg, qp in (("encoder_intra_main.cfg", 27),
+                    ("encoder_lowdelay_P_main.cfg", 32)):
+        bs, rec, dec = (tmp_path / f"{qp}.bin", tmp_path / f"{qp}r.yuv",
+                        tmp_path / f"{qp}d.yuv")
+        main(["-c", f"/root/reference/cfg/{cfg}",
+              "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+              str(frames), "-q", str(qp), "--ScalingList=1",
+              "-b", str(bs), "-o", str(rec)])
+        out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                             capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+        assert rec.read_bytes() == dec.read_bytes()
+        own = tmp_path / f"{qp}own.yuv"
+        assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+        assert own.read_bytes() == dec.read_bytes()
