@@ -148,7 +148,6 @@ def parse_pps(rbsp: bytes) -> PPS:
     pps.init_qp_minus26 = br.se()
     pps.constrained_intra_pred_flag = br.flag()
     pps.transform_skip_enabled_flag = br.flag()
-    assert not pps.transform_skip_enabled_flag, "transform skip unsupported"
     pps.cu_qp_delta_enabled_flag = br.flag()
     if pps.cu_qp_delta_enabled_flag:
         pps.diff_cu_qp_delta_depth = br.ue()

@@ -20,7 +20,7 @@ from ..ops import intra_np
 from ..ops.interp import mc_predict_bi_np, mc_predict_np, mc_predict_wp_np
 from ..ops.intra import filter_ref_samples, strong_smoothing_decision
 from ..ops.quant import dequantize_np
-from ..ops.transform import inverse_transform_np
+from ..ops.transform import inverse_transform_np, inverse_ts_np
 
 PAD = 80
 
@@ -67,7 +67,7 @@ class CtuReconstructor:
         self.wp = wp
 
     def _intra_tb(self, recon, x0, y0, size, mode, c_idx, coeffs, is_dst,
-                  luma_pos=None):
+                  luma_pos=None, ts=False):
         plane = recon[c_idx]
         f = build_ref_vector(plane, x0, y0, size, self.avail,
                              self.bd, luma_pos=luma_pos)
@@ -84,19 +84,22 @@ class CtuReconstructor:
                   if self.sps.scaling_list_enabled_flag else None)
             deq = dequantize_np(coeffs.astype(np.int32), size, qp, self.bd,
                                 scaling=sm)
-            r = inverse_transform_np(deq, size, self.bd, is_dst=is_dst)
+            r = (inverse_ts_np(deq, self.bd) if ts else
+                 inverse_transform_np(deq, size, self.bd, is_dst=is_dst))
             pred = pred + r
         plane[y0:y0 + size, x0:x0 + size] = np.clip(
             pred, 0, (1 << self.bd) - 1).astype(np.int16)
 
-    def _add_resid(self, recon, pred, x0, y0, size, c_idx, coeffs):
+    def _add_resid(self, recon, pred, x0, y0, size, c_idx, coeffs,
+                   ts=False):
         if coeffs.any():
             qp = self.qp if c_idx == 0 else self.qp_c
             sm = (tables.default_scaling_matrix(size, False)
                   if self.sps.scaling_list_enabled_flag else None)
             deq = dequantize_np(coeffs.astype(np.int32), size, qp, self.bd,
                                 scaling=sm)
-            pred = pred + inverse_transform_np(deq, size, self.bd)
+            pred = pred + (inverse_ts_np(deq, self.bd) if ts else
+                           inverse_transform_np(deq, size, self.bd))
         recon[c_idx][y0:y0 + size, x0:x0 + size] = np.clip(
             pred, 0, (1 << self.bd) - 1).astype(np.int16)
 
@@ -113,6 +116,13 @@ class CtuReconstructor:
             else:
                 self._recon_inter_cu(d, recon, ctu_x0, ctu_y0, x0, y0, log2)
 
+    @staticmethod
+    def _ts_of(d, lx, ly, bit):
+        """Transform-skip flag from the tu_depth high bits at the TB origin
+        (lx/ly = luma offsets within the CTU); bit: 0x10 Y, 0x20 Cb,
+        0x40 Cr."""
+        return bool(d.tu_depth[ly >> 2, lx >> 2] & bit)
+
     def _recon_intra_cu(self, d, recon, ctu_x0, ctu_y0, x0, y0, log2):
         lx, ly = x0 - ctu_x0, y0 - ctu_y0
         nxn = bool(d.nxn_flag[ly >> 2, lx >> 2])
@@ -125,7 +135,8 @@ class CtuReconstructor:
             mode = int(d.luma_mode[tly >> 2, tlx >> 2])
             coeffs = d.coeff_y[tly:tly + tsize, tlx:tlx + tsize]
             self._intra_tb(recon, tx, ty, tsize, mode, 0, coeffs,
-                           is_dst=(tlog2 == 2))
+                           is_dst=(tlog2 == 2),
+                           ts=(tlog2 == 2 and self._ts_of(d, tlx, tly, 0x10)))
             if self.sps.chroma_format_idc == 3:
                 # 4:4:4: full-size chroma TB per luma TU leaf (per-part
                 # chroma mode map covers NxN partitions)
@@ -133,9 +144,13 @@ class CtuReconstructor:
                 ccb = d.coeff_cb[tly:tly + tsize, tlx:tlx + tsize]
                 ccr = d.coeff_cr[tly:tly + tsize, tlx:tlx + tsize]
                 self._intra_tb(recon, tx, ty, tsize, pcmode, 1, ccb, False,
-                               luma_pos=(tx, ty, 1, 1))
+                               luma_pos=(tx, ty, 1, 1),
+                               ts=(tlog2 == 2 and
+                                   self._ts_of(d, tlx, tly, 0x20)))
                 self._intra_tb(recon, tx, ty, tsize, pcmode, 2, ccr, False,
-                               luma_pos=(tx, ty, 1, 1))
+                               luma_pos=(tx, ty, 1, 1),
+                               ts=(tlog2 == 2 and
+                                   self._ts_of(d, tlx, tly, 0x40)))
             elif tlog2 > 2:
                 cs = tsize >> 1
                 ccb = d.coeff_cb[tly >> 1:(tly >> 1) + cs,
@@ -143,9 +158,13 @@ class CtuReconstructor:
                 ccr = d.coeff_cr[tly >> 1:(tly >> 1) + cs,
                                  tlx >> 1:(tlx >> 1) + cs]
                 self._intra_tb(recon, tx >> 1, ty >> 1, cs, cmode, 1, ccb,
-                               False, luma_pos=(tx, ty, 2, 2))
+                               False, luma_pos=(tx, ty, 2, 2),
+                               ts=(cs == 4 and
+                                   self._ts_of(d, tlx, tly, 0x20)))
                 self._intra_tb(recon, tx >> 1, ty >> 1, cs, cmode, 2, ccr,
-                               False, luma_pos=(tx, ty, 2, 2))
+                               False, luma_pos=(tx, ty, 2, 2),
+                               ts=(cs == 4 and
+                                   self._ts_of(d, tlx, tly, 0x40)))
             elif blk == 3:
                 bx, by = tx - (1 << tlog2), ty - (1 << tlog2)
                 blx, bly = bx - ctu_x0, by - ctu_y0
@@ -154,9 +173,11 @@ class CtuReconstructor:
                 ccr = d.coeff_cr[bly >> 1:(bly >> 1) + 4,
                                  blx >> 1:(blx >> 1) + 4]
                 self._intra_tb(recon, bx >> 1, by >> 1, 4, cmode, 1, ccb,
-                               False, luma_pos=(bx, by, 2, 2))
+                               False, luma_pos=(bx, by, 2, 2),
+                               ts=self._ts_of(d, blx, bly, 0x20))
                 self._intra_tb(recon, bx >> 1, by >> 1, 4, cmode, 2, ccr,
-                               False, luma_pos=(bx, by, 2, 2))
+                               False, luma_pos=(bx, by, 2, 2),
+                               ts=self._ts_of(d, blx, bly, 0x40))
 
     def _pu_pred(self, d, ctu_x0, ctu_y0, px, py, pw, ph):
         """Prediction planes for one PU rectangle (spec 8.5.3)."""
@@ -216,7 +237,9 @@ class CtuReconstructor:
             tlx, tly = tx - ctu_x0, ty - ctu_y0
             py = pred_y[ty - y0:ty - y0 + tsize, tx - x0:tx - x0 + tsize]
             self._add_resid(recon, py, tx, ty, tsize, 0,
-                            d.coeff_y[tly:tly + tsize, tlx:tlx + tsize])
+                            d.coeff_y[tly:tly + tsize, tlx:tlx + tsize],
+                            ts=(tlog2 == 2 and
+                                self._ts_of(d, tlx, tly, 0x10)))
             if tlog2 > 2:
                 csz = tsize >> 1
                 cyy, cxx = (ty - y0) >> 1, (tx - x0) >> 1
@@ -224,9 +247,11 @@ class CtuReconstructor:
                     recon, pred_cb[cyy:cyy + csz, cxx:cxx + csz],
                     tx >> 1, ty >> 1, csz, 1,
                     d.coeff_cb[tly >> 1:(tly >> 1) + csz,
-                               tlx >> 1:(tlx >> 1) + csz])
+                               tlx >> 1:(tlx >> 1) + csz],
+                    ts=(csz == 4 and self._ts_of(d, tlx, tly, 0x20)))
                 self._add_resid(
                     recon, pred_cr[cyy:cyy + csz, cxx:cxx + csz],
                     tx >> 1, ty >> 1, csz, 2,
                     d.coeff_cr[tly >> 1:(tly >> 1) + csz,
-                               tlx >> 1:(tlx >> 1) + csz])
+                               tlx >> 1:(tlx >> 1) + csz],
+                    ts=(csz == 4 and self._ts_of(d, tlx, tly, 0x40)))

@@ -132,6 +132,7 @@ class DecoderTop:
             chroma_format=sps.chroma_format_idc,
             amp=sps.amp_enabled_flag,
             scaling_lists=sps.scaling_list_enabled_flag,
+            transform_skip=pps.transform_skip_enabled_flag,
             sign_hiding=pps.sign_data_hiding_enabled_flag,
             max_merge_cand=5 - sh.five_minus_max_num_merge_cand,
             num_ref_l0=nl0, num_ref_l1=nl1,

@@ -55,8 +55,8 @@ def tu_leaves(tu_depth_map: np.ndarray, cu_x0: int, cu_y0: int, cu_log2: int,
         if log2 > max_tb_log2 or (intra_split and depth == 0):
             split = True
         elif explicit:
-            split = tu_depth_map[(y0 - ctu_y0) >> 2,
-                                 (x0 - ctu_x0) >> 2] > depth
+            split = (tu_depth_map[(y0 - ctu_y0) >> 2,
+                                  (x0 - ctu_x0) >> 2] & 0x7) > depth
         else:
             split = False
         if split:

@@ -61,6 +61,9 @@ class EncoderTop:
         self.vps = VPS()
         self.vps.ptl.general_profile_idc = self.sps.ptl.general_profile_idc
         self.pps = PPS(init_qp_minus26=cfg.qp - 26)
+        if cfg.transform_skip:
+            # 4x4 transform-skip trials run only in the native engine path
+            self.pps.transform_skip_enabled_flag = 1
         import os as _os
         if (cfg.internal_chroma_format == 1 and
                 _os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0"):
@@ -272,6 +275,7 @@ class EncoderTop:
                 sao_luma=sao_on, sao_chroma=sao_on,
                 bit_depth=self.sps.bit_depth_luma,
                 scaling_lists=self.sps.scaling_list_enabled_flag,
+                transform_skip=self.pps.transform_skip_enabled_flag,
                 wpp=self.pps.entropy_coding_sync_enabled_flag,
                 tile_cols=self.pps.num_tile_columns_minus1 + 1
                 if self.pps.tiles_enabled_flag else 0,
@@ -314,6 +318,7 @@ class EncoderTop:
                 sign_hiding=self.pps.sign_data_hiding_enabled_flag,
                 amp=self.sps.amp_enabled_flag,
                 scaling_lists=self.sps.scaling_list_enabled_flag,
+                transform_skip=self.pps.transform_skip_enabled_flag,
                 num_ref_l0=1, num_ref_l1=1 if is_b else 0,
                 ref_poc_l0=[l0_poc],
                 ref_poc_l1=[ref_l1[0]] if is_b else [],

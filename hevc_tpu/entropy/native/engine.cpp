@@ -317,6 +317,41 @@ CtuEngine::CtuEngine(const SliceParams& sp, const EngineParams& ep,
   mode_map_.assign((size_t)((h_ + 3) >> 2) * ((w_ + 3) >> 2), 1);
 }
 
+// Transform-skip trial for a 4x4 TB (spec 7.3.8.11 transform_skip_flag,
+// 8.6.4.2 r = d << 7; reference TComTrQuant::xTransformSkip /
+// xITransformSkip): quantize the shifted residual directly and keep the
+// skip candidate when SSE + lambda*bits (+1 flag bin) beats the transform
+// path already in lev/rres. Overwrites lev/rres/nz on a win.
+bool CtuEngine::ts_trial(const int32_t* resi, int qp, bool intra,
+                         double lam_sq, const int32_t* smat, int scan_idx,
+                         int32_t* lev, int32_t* rres, int* nz) {
+  int32_t coefs[16], levs[16], deqs[16], rress[16];
+  int tshift = 15 - bd_ - 2;
+  for (int i = 0; i < 16; ++i) coefs[i] = resi[i] << tshift;
+  int nzs = dsp::quant(coefs, 4, qp, bd_, intra, levs, smat);
+  if (nzs) nzs = rdoq_adjust(levs, coefs, 4, qp, bd_, lam_sq, smat);
+  if (!nzs) return false;
+  if (sp_.sign_hiding) sbh_enforce(levs, coefs, 4, qp, bd_, scan_idx, smat);
+  dsp::dequant(levs, 4, qp, bd_, deqs, smat);
+  int bdshift = 20 - bd_;
+  int rnd = 1 << (bdshift - 1);
+  for (int i = 0; i < 16; ++i)
+    rress[i] = ((deqs[i] << 7) + rnd) >> bdshift;
+  double d0 = 0, b0 = 0, d1 = 0, b1 = 0;
+  for (int i = 0; i < 16; ++i) {
+    double e0 = (double)resi[i] - rres[i], e1 = (double)resi[i] - rress[i];
+    d0 += e0 * e0;
+    d1 += e1 * e1;
+    if (lev[i]) b0 += rd_rate_bits(std::abs(lev[i]));
+    if (levs[i]) b1 += rd_rate_bits(std::abs(levs[i]));
+  }
+  if (d1 + lam_sq * (b1 + 1.0) >= d0 + lam_sq * b0) return false;
+  std::memcpy(lev, levs, sizeof(levs));
+  std::memcpy(rres, rress, sizeof(rress));
+  *nz = nzs;
+  return true;
+}
+
 bool CtuEngine::me_lookup(int x0, int y0, int n, int* mvx, int* mvy) const {
   if (x0 % n || y0 % n || x0 + n > w_ || y0 + n > h_) return false;
   if (n == 32 && me_mvx_) {
@@ -631,6 +666,9 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
   int cctu = ctu_ >> 1;
   double lam_sq = ep_.sqrt_lam * ep_.sqrt_lam;
   int32_t f2[4 * 32 + 1], ff2[4 * 32 + 1];
+  // per-4x4 transform-skip flags (TS_Y/TS_CB/TS_CR at the TB origin,
+  // CU-local coords); merged into d.tu_depth at the end
+  uint8_t ts_loc[64] = {0};
 
   // code one intra TB (luma c=0 or chroma c=1/2) at (tx,ty) size tn,
   // predicting from the live recon; returns nz, accumulates sse/bits
@@ -670,6 +708,14 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     } else {
       std::memset(rres, 0, sizeof(int32_t) * tz * tz);
     }
+    if (sp_.transform_skip_enabled && tz == 4) {
+      int slot = (((ty - y0) >> 2) & 7) * 8 + (((tx - x0) >> 2) & 7);
+      uint8_t bit = c == 0 ? TS_Y : (c == 1 ? TS_CB : TS_CR);
+      ts_loc[slot] &= (uint8_t)~bit;
+      if (ts_trial(resi, qp, true, lam_sq, smat_t,
+                   engine_scan_idx(2, c, true, mode), lev, rres, &nz))
+        ts_loc[slot] |= bit;
+    }
     *bits += 2.0;
     int16_t* cpl = c == 0 ? d.coeff_y : (c == 1 ? d.coeff_cb : d.coeff_cr);
     int cstride = c == 0 ? ctu_ : cctu;
@@ -697,9 +743,17 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
       for (int qx = 0; qx < parts; ++qx) {
         int tx = x0 + qx * tn, ty = y0 + qy * tn;
         nzs += code_tb_i(0, tx, ty, tn, best_mode, &sse, &bits);
-        nzs += code_tb_i(1, tx, ty, tn, cmode_best, &sse, &bits);
-        nzs += code_tb_i(2, tx, ty, tn, cmode_best, &sse, &bits);
+        if (tn >= 8) {
+          nzs += code_tb_i(1, tx, ty, tn, cmode_best, &sse, &bits);
+          nzs += code_tb_i(2, tx, ty, tn, cmode_best, &sse, &bits);
+        }
       }
+    if (tn < 8) {
+      // 4x4 luma leaves share one 4x4 chroma TB at the parent origin
+      // (spec 7.3.8.8 blkIdx==3 rule)
+      nzs += code_tb_i(1, x0, y0, 8, cmode_best, &sse, &bits);
+      nzs += code_tb_i(2, x0, y0, 8, cmode_best, &sse, &bits);
+    }
     *cost = sse + lam_sq * bits;
     return nzs;
   };
@@ -707,10 +761,12 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
   double cost0, cost1;
   int nz0 = code_depth(0, &cost0);
   int tu_sel = 0;
-  if (log2 >= 4 && nz0 > 24) {
+  if ((log2 >= 4 && nz0 > 24) || (log2 == 3 && nz0 > 5)) {
     // snapshot the depth-0 result before trialing the split
     std::vector<int16_t> sy(n * n), scb(cs * cs), scr(cs * cs);
     std::vector<int16_t> cy_(n * n), ccb(cs * cs), ccr(cs * cs);
+    uint8_t ts_snap[64];
+    std::memcpy(ts_snap, ts_loc, sizeof(ts_loc));
     for (int i = 0; i < n; ++i) {
       std::memcpy(&sy[i * n], recon_[0] + (y0 + i) * w_ + x0,
                   sizeof(int16_t) * n);
@@ -735,6 +791,7 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     if (cost1 < cost0) {
       tu_sel = 1;
     } else {
+      std::memcpy(ts_loc, ts_snap, sizeof(ts_loc));
       for (int i = 0; i < n; ++i) {
         std::memcpy(recon_[0] + (y0 + i) * w_ + x0, &sy[i * n],
                     sizeof(int16_t) * n);
@@ -755,7 +812,8 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
   }
   for (int yy = 0; yy < nb; ++yy)
     for (int xx = 0; xx < nb; ++xx)
-      d.tu_depth[(by + yy) * bw4 + bx + xx] = (uint8_t)tu_sel;
+      d.tu_depth[(by + yy) * bw4 + bx + xx] =
+          (uint8_t)(tu_sel | ts_loc[(yy & 7) * 8 + (xx & 7)]);
 
   publish(x0, y0, log2, true, 0, 0, 0, -1, 0, 0, -1);
 }
@@ -1298,12 +1356,15 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   int16_t rec_y[32 * 32], rec_cb[16 * 16], rec_cr[16 * 16];
   int maxv = (1 << bd_) - 1;
   double lam_sq = ep_.sqrt_lam * ep_.sqrt_lam;
+  uint8_t ts_loc[64] = {0};  // per-4x4 TS flags, CU-local (see intra path)
   // codes one TB: levels into lv (stride lstride), recon into rec; returns
-  // nz and accumulates pixel SSE + level-bit estimate
+  // nz and accumulates pixel SSE + level-bit estimate. ts_slot/ts_bit:
+  // where to record a winning 4x4 transform-skip trial (null = n/a)
   auto code_tb = [&](const int16_t* o, int ostride, const int32_t* p,
                      int pstride, int sz, int qp, int32_t* lv, int lstride,
-                     int16_t* rec, int rstride, double* sse,
-                     double* bits) -> int {
+                     int16_t* rec, int rstride, double* sse, double* bits,
+                     uint8_t* ts_slot = nullptr,
+                     uint8_t ts_bit = 0) -> int {
     for (int i = 0; i < sz; ++i)
       for (int j = 0; j < sz; ++j)
         resi[i * sz + j] = (int32_t)o[i * ostride + j] - p[i * pstride + j];
@@ -1319,6 +1380,11 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       dsp::inv_xform(deq, sz, bd_, false, rres);
     } else {
       std::memset(rres, 0, sizeof(int32_t) * sz * sz);
+    }
+    if (ts_slot && sp_.transform_skip_enabled && sz == 4) {
+      *ts_slot &= (uint8_t)~ts_bit;
+      if (ts_trial(resi, qp, false, lam_sq, smat_p, 0, lev_tmp_, rres, &nz))
+        *ts_slot |= ts_bit;
     }
     *bits += 2.0;  // cbf + tree overhead
     for (int i = 0; i < sz; ++i)
@@ -1347,15 +1413,19 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
         int lcy = qy * tc, lcx = qx * tc;
         nzs += code_tb(oy + ly * w_ + lx, w_, pred_y + ly * n + lx, n, tn,
                        sp_.qp, lev_y + ly * n + lx, n, rec_y + ly * n + lx,
-                       n, &sse, &bits);
+                       n, &sse, &bits, &ts_loc[(ly >> 2) * 8 + (lx >> 2)],
+                       TS_Y);
+        uint8_t* slot = &ts_loc[((lcy * 2) >> 2) * 8 + ((lcx * 2) >> 2)];
         nzs += code_tb(orig_[1] + (cyy + lcy) * cw + cxx + lcx, cw,
                        pcb + lcy * cs + lcx, cs, tc, qp_c_,
                        lev_cb + lcy * cs + lcx, cs,
-                       rec_cb + lcy * cs + lcx, cs, &sse, &bits);
+                       rec_cb + lcy * cs + lcx, cs, &sse, &bits, slot,
+                       TS_CB);
         nzs += code_tb(orig_[2] + (cyy + lcy) * cw + cxx + lcx, cw,
                        pcr + lcy * cs + lcx, cs, tc, qp_c_,
                        lev_cr + lcy * cs + lcx, cs,
-                       rec_cr + lcy * cs + lcx, cs, &sse, &bits);
+                       rec_cr + lcy * cs + lcx, cs, &sse, &bits, slot,
+                       TS_CR);
       }
     *cost = sse + lam_sq * bits;
     return nzs;
@@ -1375,6 +1445,8 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     std::memcpy(lv0_y, lev_y, sizeof(lev_y));
     std::memcpy(lv0_cb, lev_cb, sizeof(lev_cb));
     std::memcpy(lv0_cr, lev_cr, sizeof(lev_cr));
+    uint8_t ts_snap[64];
+    std::memcpy(ts_snap, ts_loc, sizeof(ts_loc));
     int nz1 = code_all(1, &cost1);
     if (nz1 && cost1 < cost0) {
       tu_depth_sel = 1;
@@ -1386,6 +1458,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       std::memcpy(lev_y, lv0_y, sizeof(lev_y));
       std::memcpy(lev_cb, lv0_cb, sizeof(lev_cb));
       std::memcpy(lev_cr, lv0_cr, sizeof(lev_cr));
+      std::memcpy(ts_loc, ts_snap, sizeof(ts_loc));
     }
   }
   for (int i = 0; i < n; ++i)
@@ -1424,7 +1497,10 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
           d.ref_idx1[li] = ch.mi.ref[1];
           d.mv_x1[li] = ch.mi.mvx[1];
           d.mv_y1[li] = ch.mi.mvy[1];
-          d.tu_depth[li] = (uint8_t)(zero_resid ? 0 : tu_depth_sel);
+          d.tu_depth[li] = (uint8_t)(zero_resid ? 0 :
+              (tu_depth_sel |
+               ts_loc[((((py - y0) >> 2) + yy) & 7) * 8 +
+                      ((((px - x0) >> 2) + xx) & 7)]));
         }
       publish_rect(px, py, pw, ph, ch.mi, 0);
     }
@@ -1446,7 +1522,8 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       d.ref_idx1[li] = sel.ref[1];
       d.mv_x1[li] = sel.mvx[1];
       d.mv_y1[li] = sel.mvy[1];
-      d.tu_depth[li] = (uint8_t)(zero_resid ? 0 : tu_depth_sel);
+      d.tu_depth[li] = (uint8_t)(zero_resid ? 0 :
+          (tu_depth_sel | ts_loc[(yy & 7) * 8 + (xx & 7)]));
     }
   }
   for (int i = 0; i < n; ++i)

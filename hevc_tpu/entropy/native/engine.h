@@ -52,6 +52,9 @@ class CtuEngine {
   // 64x64 inter decision: code the whole CTU as one CU (merge/skip or a
   // derived-MV AMVP) when its screen cost beats the four-quadrant sum;
   // returns false to fall through to the per-32x32 path
+  bool ts_trial(const int32_t* resi, int qp, bool intra, double lam_sq,
+                const int32_t* smat, int scan_idx, int32_t* lev,
+                int32_t* rres, int* nz);
   bool inter_cu64_try(int x0, int y0, const MutCtuData& d, int ctu_x0,
                       int ctu_y0);
   // availability-aware combined reference vector on a working recon plane

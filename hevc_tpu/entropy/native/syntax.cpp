@@ -975,7 +975,8 @@ void SliceEncoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
   if (log2 > sp_.max_tb_log2) split = true;
   else if (intra_split && depth == 0) split = true;
   else if (explicit_split)
-    split = map_at(cur_->tu_depth, bw4, x0 - ctu_x0_, y0 - ctu_y0_) > depth;
+    split = (map_at(cur_->tu_depth, bw4, x0 - ctu_x0_, y0 - ctu_y0_) &
+             TU_DEPTH_MASK) > depth;
   else split = false;
   if (explicit_split)
     cabac_.encode_bin(ctx_.trans_subdiv[5 - log2], split ? 1 : 0);
@@ -1060,7 +1061,13 @@ void SliceEncoder::residual(int x0, int y0, int log2, int c_idx) {
                                            sp_.chroma_format == 3) : 0;
   const auto& scan = g_scans.t[log2 - 2][scan_idx];
 
-  // (transform_skip_flag would be coded here; disabled in our PPS)
+  // transform_skip_flag (spec 7.3.8.11, first element of residual_coding;
+  // reference TEncSbac::codeTransformSkipFlags, 2 contexts luma/chroma)
+  if (sp_.transform_skip_enabled && log2 == 2) {
+    int ts = (map_at(cur_->tu_depth, bw4, x0 - ctu_x0_, y0 - ctu_y0_) &
+              ts_bit_of(c_idx)) ? 1 : 0;
+    cabac_.encode_bin(ctx_.transform_skip[luma ? 0 : 1], ts);
+  }
 
   // last significant position
   int last_pos = -1;
@@ -1700,6 +1707,12 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
   int scan_idx = blk_intra ? mode_scan_idx(log2, c_idx, pred_mode,
                                            sp_.chroma_format == 3) : 0;
   const auto& scan = g_scans.t[log2 - 2][scan_idx];
+
+  if (sp_.transform_skip_enabled && log2 == 2) {
+    if (cabac_.decode_bin(ctx_.transform_skip[luma ? 0 : 1]))
+      cur_->tu_depth[((y0 - ctu_y0_) >> 2) * bw4 + ((x0 - ctu_x0_) >> 2)] |=
+          ts_bit_of(c_idx);
+  }
 
   // last significant position
   ContextModel* lastx = luma ? ctx_.last_x : ctx_.last_x + 15;

@@ -87,6 +87,15 @@ struct ContextSet {
   void init(int slice_type, int qp);
 };
 
+// Transform-skip flags ride in the spare high bits of the tu_depth map at
+// the TB origin position (depth itself stays in the low bits): readers of
+// the depth must mask with TU_DEPTH_MASK.
+enum : uint8_t { TU_DEPTH_MASK = 0x7, TS_Y = 0x10, TS_CB = 0x20,
+                 TS_CR = 0x40 };
+inline uint8_t ts_bit_of(int c_idx) {
+  return c_idx == 0 ? TS_Y : (c_idx == 1 ? TS_CB : TS_CR);
+}
+
 // Per-CTU data exchanged with Python (all maps are 16x16 = per-4x4 raster).
 // Inter fields are ignored for I slices.
 struct CtuData {

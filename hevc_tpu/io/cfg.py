@@ -107,6 +107,7 @@ _OPTION_TABLE = {
     "RateControl": ("rate_control", int),
     "TargetBitrate": ("target_bitrate", int),
     "ScalingList": ("scaling_list", int),
+    "TransformSkip": ("transform_skip", int),
     "TemporalSubsampleRatio": ("temporal_subsample", int),
     "ConformanceWindowMode": ("conformance_window_mode", int),
     # Reference GPU keys → TPU switch (parity TAppEncCfg.cpp:1049-1051).
@@ -174,6 +175,7 @@ class EncoderConfig:
     rate_control: int = 0
     target_bitrate: int = 0
     scaling_list: int = 0
+    transform_skip: int = 0
     temporal_subsample: int = 1
     conformance_window_mode: int = 0
     use_tpu: int = 1

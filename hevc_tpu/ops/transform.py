@@ -105,3 +105,12 @@ def inverse_transform_np(coeffs: np.ndarray, size: int, bit_depth: int = 8,
     tmp = np.clip(tmp, -32768, 32767)
     out = (tmp @ t + (1 << (shift2 - 1))) >> shift2
     return np.clip(out, -32768, 32767).astype(np.int32)
+
+
+def inverse_ts_np(deq: np.ndarray, bit_depth: int = 8) -> np.ndarray:
+    """Transform-skip inverse (spec 8.6.4.2 r = d << 7 followed by the
+    8.6.5 bdShift = 20 - BitDepth rounding; reference
+    TComTrQuant::xITransformSkip)."""
+    bd_shift = 20 - bit_depth
+    rnd = 1 << (bd_shift - 1)
+    return ((deq.astype(np.int64) << 7) + rnd) >> bd_shift

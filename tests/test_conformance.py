@@ -420,3 +420,32 @@ def test_scaling_lists_conformance(tmp_path):
         own = tmp_path / f"{qp}own.yuv"
         assert dmain(["-b", str(bs), "-o", str(own)]) == 0
         assert own.read_bytes() == dec.read_bytes()
+
+
+def test_transform_skip_conformance(tmp_path):
+    """4x4 transform skip (spec 7.3.8.11 transform_skip_flag, 8.6.4.2
+    r = d << 7): PPS transform_skip_enabled_flag, per-TB encoder trial
+    against the DCT/DST path, TS inverse in both decoders (reference
+    TComTrQuant::xTransformSkip / xITransformSkip,
+    TEncSbac::codeTransformSkipFlags). Run at a QP where the intra CU8
+    RQT split produces 4x4 luma TBs so the flag genuinely toggles."""
+    w, h, frames = 416, 240, 3
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    from hevc_tpu.cli.encode import main
+    from hevc_tpu.cli.decode import main as dmain
+    for cfg in ("encoder_intra_main.cfg", "encoder_lowdelay_P_main.cfg"):
+        bs, rec, dec = (tmp_path / "o.bin", tmp_path / "r.yuv",
+                        tmp_path / "d.yuv")
+        main(["-c", f"/root/reference/cfg/{cfg}",
+              "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+              str(frames), "-q", "27", "--TransformSkip=1",
+              "-b", str(bs), "-o", str(rec)])
+        out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                             capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+        assert rec.read_bytes() == dec.read_bytes()
+        own = tmp_path / "own.yuv"
+        assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+        assert own.read_bytes() == dec.read_bytes()
