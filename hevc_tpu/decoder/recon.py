@@ -66,6 +66,12 @@ class CtuReconstructor:
         self.refs_l1 = refs_l1 if refs_l1 is not None else self.refs_l0
         self.wp = wp
 
+    def set_qp(self, qp: int) -> None:
+        """Per-CTU QP for cu_qp_delta streams (the signalled group QP —
+        every CU with coefficients in the group dequantizes with it)."""
+        self.qp = qp
+        self.qp_c = tables.chroma_qp(qp, self.sps.chroma_format_idc)
+
     def _intra_tb(self, recon, x0, y0, size, mode, c_idx, coeffs, is_dst,
                   luma_pos=None, ts=False):
         plane = recon[c_idx]

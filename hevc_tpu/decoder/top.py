@@ -133,6 +133,7 @@ class DecoderTop:
             amp=sps.amp_enabled_flag,
             scaling_lists=sps.scaling_list_enabled_flag,
             transform_skip=pps.transform_skip_enabled_flag,
+            cu_dqp=pps.cu_qp_delta_enabled_flag,
             sign_hiding=pps.sign_data_hiding_enabled_flag,
             max_merge_cand=5 - sh.five_minus_max_num_merge_cand,
             num_ref_l0=nl0, num_ref_l1=nl1,
@@ -209,8 +210,14 @@ class DecoderTop:
             pps.num_tile_columns_minus1 + 1 if pps.tiles_enabled_flag else 0,
             pps.num_tile_rows_minus1 + 1 if pps.tiles_enabled_flag else 0)
         decisions = [None] * (ctus_w * ctus_h)
+        dqp_on = pps.cu_qp_delta_enabled_flag
+        qp_fin = None
         for k, (cx, cy) in enumerate(order):
             d, eos = sdec.decode_ctu(cx, cy)
+            if dqp_on:
+                qp_pred, qp_fin = cabac.fetch_ctu_qps(
+                    sdec, len(order), decoder=True)
+                rc.set_qp(int(qp_fin[k]))
             rc.recon_ctu(d, cx, cy, recon)
             decisions[cy * ctus_w + cx] = d
             assert eos == (1 if k == len(order) - 1 else 0), \
@@ -224,9 +231,15 @@ class DecoderTop:
             dmaps = deblock.build_maps(
                 decisions, sps,
                 (ref_pocs_l0[:nl0], ref_pocs_l1[:nl1]))
+            qmap = None
+            if dqp_on and qp_fin is not None:
+                from ..ops import qpmap
+                qmap = qpmap.build_qp_map(
+                    lambda i: decisions[i], order, qp_pred, qp_fin,
+                    sps.ctu_size, w, h)
             deblock.deblock_frame(recon, dmaps, sh.slice_qp, sps,
                                   pps.pps_beta_offset_div2,
-                                  pps.pps_tc_offset_div2)
+                                  pps.pps_tc_offset_div2, qp_map=qmap)
         if self.collect_stats:
             self._collect(sh, decisions, len(slice_data))
         if sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag:

@@ -56,3 +56,33 @@ class RateController:
         self.beta += 0.05 * ln_err * math.log(max(bpp_real, 1e-6))
         self.alpha = min(max(self.alpha, 0.05), 500.0)
         self.beta = min(max(self.beta, -3.0), -0.1)
+
+
+def lcu_qps(luma, ref_luma, ctu_size: int, pic_qp: int,
+            clip_range: int = 2):
+    """CTU-level QP allocation (reference TEncRCPic::getLCUTargetBpp /
+    getLCUEstLambda, redesigned feed-forward so the wavefront engine can
+    run all CTUs in parallel): the picture's bit budget is spread over
+    CTUs proportionally to prediction-error complexity (SATD-like SAD vs
+    the reference picture, or variance for intra); lambda per CTU scales
+    with the inverse share, QP = pic_qp + 3*log2(w_avg/w_ctu) clipped to
+    +-clip_range (the reference clips LCU QP the same way)."""
+    import numpy as np
+    h, w = luma.shape
+    cw = (w + ctu_size - 1) // ctu_size
+    ch = (h + ctu_size - 1) // ctu_size
+    wgt = np.zeros((ch, cw))
+    for cy in range(ch):
+        for cx in range(cw):
+            o = luma[cy * ctu_size:(cy + 1) * ctu_size,
+                     cx * ctu_size:(cx + 1) * ctu_size].astype(np.float64)
+            if ref_luma is not None:
+                r = ref_luma[cy * ctu_size:(cy + 1) * ctu_size,
+                             cx * ctu_size:(cx + 1) * ctu_size]
+                wgt[cy, cx] = np.abs(o - r).mean() + 0.1
+            else:
+                wgt[cy, cx] = o.var() ** 0.5 + 0.1
+    avg = wgt.mean()
+    dqp = np.round(3.0 * np.log2(wgt / avg))
+    dqp = np.clip(dqp, -clip_range, clip_range)
+    return np.clip(pic_qp + dqp, 0, 51).astype(np.int8)

@@ -64,6 +64,17 @@ class EncoderTop:
         if cfg.transform_skip:
             # 4x4 transform-skip trials run only in the native engine path
             self.pps.transform_skip_enabled_flag = 1
+        import os as _os0
+        if ((cfg.adaptive_qp or cfg.lcu_rate_control)
+                and cfg.internal_chroma_format == 1
+                and _os0.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0"):
+            # CTU-granularity quantization groups (cu_qp_delta); driven by
+            # the variance preanalysis (AdaptiveQP) and/or CTU-level rate
+            # control (reference TEncPic/TEncPreanalyzer, TEncRateCtrl)
+            self.pps.cu_qp_delta_enabled_flag = 1
+            self.pps.diff_cu_qp_delta_depth = 0
+            assert cfg.max_cu_dqp_depth == 0, \
+                "only CTU-size quantization groups supported"
         import os as _os
         if (cfg.internal_chroma_format == 1 and
                 _os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0"):
@@ -265,6 +276,19 @@ class EncoderTop:
         import os
         use_native = (self.sps.chroma_format_idc == 1 and
                       os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0")
+        ctu_qps = None
+        if self.pps.cu_qp_delta_enabled_flag:
+            if cfg.lcu_rate_control and self.rc is not None:
+                from .rate_ctrl import lcu_qps
+                refl = None if is_intra else (
+                    ref_l0[1][0] if not is_intra else None)
+                ctu_qps = lcu_qps(planes[0], refl, self.sps.ctu_size,
+                                  slice_qp).reshape(-1)
+            else:
+                from ..ops.qpmap import adaptive_qp_offsets
+                ctu_qps = adaptive_qp_offsets(
+                    planes[0], self.sps.ctu_size, slice_qp,
+                    cfg.qp_adaptation_range).reshape(-1)
         if is_intra:
             sp = make_slice_params(
                 cfg.width, cfg.height, slice_qp, slice_type=int(stype),
@@ -276,6 +300,7 @@ class EncoderTop:
                 bit_depth=self.sps.bit_depth_luma,
                 scaling_lists=self.sps.scaling_list_enabled_flag,
                 transform_skip=self.pps.transform_skip_enabled_flag,
+                cu_dqp=self.pps.cu_qp_delta_enabled_flag, ctu_qps=ctu_qps,
                 wpp=self.pps.entropy_coding_sync_enabled_flag,
                 tile_cols=self.pps.num_tile_columns_minus1 + 1
                 if self.pps.tiles_enabled_flag else 0,
@@ -319,6 +344,7 @@ class EncoderTop:
                 amp=self.sps.amp_enabled_flag,
                 scaling_lists=self.sps.scaling_list_enabled_flag,
                 transform_skip=self.pps.transform_skip_enabled_flag,
+                cu_dqp=self.pps.cu_qp_delta_enabled_flag, ctu_qps=ctu_qps,
                 num_ref_l0=1, num_ref_l1=1 if is_b else 0,
                 ref_poc_l0=[l0_poc],
                 ref_poc_l1=[ref_l1[0]] if is_b else [],
@@ -365,7 +391,34 @@ class EncoderTop:
         if not self.pps.pps_deblocking_filter_disabled_flag:
             from ..ops import deblock
             dmaps = deblock.build_maps(decisions, self.sps, ref_pocs)
-            deblock.deblock_frame(recon, dmaps, slice_qp, self.sps)
+            qmap = None
+            if self.pps.cu_qp_delta_enabled_flag and ctu_qps is not None:
+                from ..entropy.cabac import tile_scan_order
+                from ..ops import qpmap
+                cfgw, cfgh = cfg.width, cfg.height
+                order = tile_scan_order(
+                    cfgw, cfgh, self.sps.ctu_size,
+                    self.pps.num_tile_columns_minus1 + 1
+                    if self.pps.tiles_enabled_flag else 0,
+                    self.pps.num_tile_rows_minus1 + 1
+                    if self.pps.tiles_enabled_flag else 0)
+                ctus_w = self.sps.pic_width_in_ctus
+                ctus_h = self.sps.pic_height_in_ctus
+                get_d = (decisions.view if hasattr(decisions, "view")
+                         else lambda i: decisions[i])
+                has = [qpmap.ctu_has_cbf(get_d(cy * ctus_w + cx))
+                       for (cx, cy) in order]
+                pred, fin = qpmap.qp_chain(
+                    ctu_qps, has, slice_qp, order, ctus_w, ctus_h,
+                    wpp=self.pps.entropy_coding_sync_enabled_flag,
+                    tile_cols=self.pps.num_tile_columns_minus1 + 1
+                    if self.pps.tiles_enabled_flag else 0,
+                    tile_rows=self.pps.num_tile_rows_minus1 + 1
+                    if self.pps.tiles_enabled_flag else 0)
+                qmap = qpmap.build_qp_map(get_d, order, pred, fin,
+                                          self.sps.ctu_size, cfgw, cfgh)
+            deblock.deblock_frame(recon, dmaps, slice_qp, self.sps,
+                                  qp_map=qmap)
 
         # SAO: estimate on deblocked, attach params, apply after coding
         if sao_on:

@@ -32,7 +32,9 @@ class SliceParamsC(ctypes.Structure):
                                       "tile_rows", "amp", "scaling_lists",
                                       "wp_on", "wp_denom",
                                       "wp_w", "wp_o", "wp_cdenom")] + [
-        ("wp_cw", ctypes.c_int32 * 2), ("wp_co", ctypes.c_int32 * 2)]
+        ("wp_cw", ctypes.c_int32 * 2), ("wp_co", ctypes.c_int32 * 2),
+        ("cu_dqp", ctypes.c_int32),
+        ("ctu_qps", ctypes.POINTER(ctypes.c_int8))]
 
 
 def _build() -> None:
@@ -54,6 +56,11 @@ def get_lib() -> ctypes.CDLL:
     lib.hevc_enc_create.argtypes = [ctypes.POINTER(SliceParamsC)]
     lib.hevc_enc_destroy.argtypes = [ctypes.c_void_p]
     lib.hevc_enc_begin_slice.argtypes = [ctypes.c_void_p]
+    i8cp = ctypes.POINTER(ctypes.c_int8)
+    lib.hevc_enc_ctu_qps.restype = ctypes.c_long
+    lib.hevc_enc_ctu_qps.argtypes = [ctypes.c_void_p, i8cp, i8cp]
+    lib.hevc_dec_ctu_qps.restype = ctypes.c_long
+    lib.hevc_dec_ctu_qps.argtypes = [ctypes.c_void_p, i8cp, i8cp]
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
@@ -154,7 +161,8 @@ def make_slice_params(pic_w: int, pic_h: int, qp: int, slice_type: int = 2,
                       sao_chroma: int = 0, bit_depth: int = 8,
                       cur_poc: int = 0, wpp: int = 0, tile_cols: int = 0,
                       tile_rows: int = 0, amp: int = 0,
-                      scaling_lists: int = 0) -> SliceParamsC:
+                      scaling_lists: int = 0, cu_dqp: int = 0,
+                      ctu_qps=None) -> SliceParamsC:
     sp = SliceParamsC(
         pic_w, pic_h, ctu_size, qp, slice_type, max_tu_depth_intra,
         max_tu_depth_inter, chroma_format, sign_hiding, transform_skip,
@@ -173,6 +181,11 @@ def make_slice_params(pic_w: int, pic_h: int, qp: int, slice_type: int = 2,
     sp.tile_rows = tile_rows
     sp.amp = amp
     sp.scaling_lists = scaling_lists
+    sp.cu_dqp = cu_dqp
+    if ctu_qps is not None:
+        arr = np.ascontiguousarray(ctu_qps, dtype=np.int8)
+        sp._ctu_qps_ref = arr  # keep alive
+        sp.ctu_qps = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
     return sp
 
 
@@ -580,3 +593,18 @@ def entropy_encode_frame_order(senc, order, ctus_w, fd):
     senc._lib.hevc_enc_frame_order(
         senc._h, len(order), cxs, cys, ctus_w, fd.ctu_size,
         fd.chroma_format, *fd._args())
+
+
+def fetch_ctu_qps(obj, n_ctus: int, decoder: bool = False):
+    """Per-CTU (predicted, final) luma QPs recorded by the native slice
+    codec during the last frame (cu_qp_delta; spec 8.6.1). Returns None
+    when cu_qp_delta was not enabled."""
+    pred = np.zeros(n_ctus, np.int8)
+    fin = np.zeros(n_ctus, np.int8)
+    fn = obj._lib.hevc_dec_ctu_qps if decoder else obj._lib.hevc_enc_ctu_qps
+    cnt = fn(obj._h,
+             pred.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+             fin.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+    if cnt == 0:
+        return None
+    return pred, fin

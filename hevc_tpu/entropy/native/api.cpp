@@ -346,3 +346,25 @@ extern "C" void hevc_enc_frame(void* senc, int ctus_w, int ctus_h,
       ((SliceEncoder*)senc)->encode_ctu(cx, cy, d, last);
     }
 }
+
+// ---- cu_qp_delta per-CTU QP exports (spec 8.6.1 qPY chain) -----------------
+extern "C" {
+// Copies the per-CTU predicted and final (carried) luma QPs recorded in
+// encode order during the last slice; returns the CTU count.
+long hevc_enc_ctu_qps(void* h, int8_t* pred, int8_t* fin) {
+  SliceEncoder* e = (SliceEncoder*)h;
+  for (size_t i = 0; i < e->ctu_qp_pred.size(); ++i) {
+    pred[i] = e->ctu_qp_pred[i];
+    fin[i] = e->ctu_qp_final[i];
+  }
+  return (long)e->ctu_qp_pred.size();
+}
+long hevc_dec_ctu_qps(void* h, int8_t* pred, int8_t* fin) {
+  SliceDecoder* d = (SliceDecoder*)h;
+  for (size_t i = 0; i < d->ctu_qp_pred.size(); ++i) {
+    pred[i] = d->ctu_qp_pred[i];
+    fin[i] = d->ctu_qp_final[i];
+  }
+  return (long)d->ctu_qp_pred.size();
+}
+}  // extern "C"

@@ -313,7 +313,9 @@ CtuEngine::CtuEngine(const SliceParams& sp, const EngineParams& ep,
   h_ = sp.pic_h;
   ctu_ = sp.ctu_size;
   bd_ = sp.bit_depth;
+  qp_y_ = sp.qp;
   qp_c_ = kChromaQp420[std::min(57, std::max(0, sp.qp))];
+  sqrt_lam_ = ep.sqrt_lam;
   mode_map_.assign((size_t)((h_ + 3) >> 2) * ((w_ + 3) >> 2), 1);
 }
 
@@ -370,7 +372,7 @@ bool CtuEngine::me_lookup(int x0, int y0, int n, int* mvx, int* mvy) const {
 }
 
 int64_t CtuEngine::lam_bits(double bits) const {
-  return (int64_t)(ep_.sqrt_lam * bits + 0.5);
+  return (int64_t)(sqrt_lam_ * bits + 0.5);
 }
 
 void CtuEngine::mpm(int x0, int y0, int cand[3]) const {
@@ -492,7 +494,24 @@ void CtuEngine::build_refs(const int16_t* plane, int pw, int ph, int stride,
   }
 }
 
+thread_local int CtuEngine::qp_y_ = 0;
+thread_local int CtuEngine::qp_c_ = 0;
+thread_local double CtuEngine::sqrt_lam_ = 0.0;
+
 void CtuEngine::encode_ctu(int cx, int cy, const MutCtuData& d) {
+  // per-CTU quantization state (always set: thread-local, and a worker
+  // thread may be seeing this engine for the first time)
+  if (sp_.cu_dqp && sp_.ctu_qps) {
+    int ctus_w = (w_ + ctu_ - 1) / ctu_;
+    qp_y_ = sp_.ctu_qps[(size_t)cy * ctus_w + cx];
+    // rate-distortion lambda tracks the CTU QP (reference TEncRateCtrl
+    // getLCUInitialLambda shape): sqrt(lambda) scales by 2^(dQP/6)
+    sqrt_lam_ = ep_.sqrt_lam * std::pow(2.0, (qp_y_ - sp_.qp) / 6.0);
+  } else {
+    qp_y_ = sp_.qp;
+    sqrt_lam_ = ep_.sqrt_lam;
+  }
+  qp_c_ = kChromaQp420[std::min(57, std::max(0, qp_y_))];
   int bw4 = ctu_ / 4;
   std::memset(d.cu_depth, ep_.cu_depth_target, (size_t)bw4 * bw4);
   int ctu_x0 = cx * ctu_, ctu_y0 = cy * ctu_;
@@ -664,7 +683,7 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
   int cs = n >> 1;
   int cw = w_ >> 1, ch = h_ >> 1;
   int cctu = ctu_ >> 1;
-  double lam_sq = ep_.sqrt_lam * ep_.sqrt_lam;
+  double lam_sq = sqrt_lam_ * sqrt_lam_;
   int32_t f2[4 * 32 + 1], ff2[4 * 32 + 1];
   // per-4x4 transform-skip flags (TS_Y/TS_CB/TS_CR at the TB origin,
   // CU-local coords); merged into d.tu_depth at the end
@@ -679,7 +698,7 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     int px = c == 0 ? tx : tx >> 1;
     int py = c == 0 ? ty : ty >> 1;
     int tz = c == 0 ? tn : tn >> 1;
-    int qp = c == 0 ? sp_.qp : qp_c_;
+    int qp = c == 0 ? qp_y_ : qp_c_;
     build_refs(recon_[c], c == 0 ? w_ : cw, ph, stride, px, py, tz, tx, ty,
                c == 0 ? 1 : 2, f2);
     bool strong2 = c == 0 && ep_.strong_smoothing &&
@@ -920,7 +939,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
   int32_t resi[32 * 32], coef[32 * 32], lev[32 * 32], deq[32 * 32],
       rres[32 * 32];
   int maxv = (1 << bd_) - 1;
-  double lam = ep_.sqrt_lam * ep_.sqrt_lam;
+  double lam = sqrt_lam_ * sqrt_lam_;
   int nz_total = 0;
   auto code_tb64 = [&](const int16_t* o, int ostride, const int32_t* p,
                        int pstride, int sz, int qp, int16_t* lv_out,
@@ -953,7 +972,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
     int qx = x0 + (q & 1) * 32, qy = y0 + (q >> 1) * 32;
     nz_total += code_tb64(orig_[0] + qy * w_ + qx, w_,
                           best_pred + (qy - y0) * n + (qx - x0), n, 32,
-                          sp_.qp, d.coeff_y + (qy - ctu_y0) * ctu_ +
+                          qp_y_, d.coeff_y + (qy - ctu_y0) * ctu_ +
                           (qx - ctu_x0), ctu_,
                           recon_[0] + qy * w_ + qx, w_);
   }
@@ -1127,7 +1146,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   // intra in inter slices carries a large real bit cost (no skip path,
   // mode + tree signalling) that the SATD screen does not see; bias like
   // the reference's FEN fast-decision rather than full RD
-  int64_t cost_intra = icost + (int64_t)(ep_.sqrt_lam * 8);
+  int64_t cost_intra = icost + (int64_t)(sqrt_lam_ * 8);
   cost_intra += cost_intra >> 3;  // +12.5%
   if (getenv("HEVC_TPU_NO_INTRA_IN_P")) cost_intra = INT64_MAX / 2;
 
@@ -1355,7 +1374,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       lev_cr[16 * 16], deq[32 * 32], rres[32 * 32];
   int16_t rec_y[32 * 32], rec_cb[16 * 16], rec_cr[16 * 16];
   int maxv = (1 << bd_) - 1;
-  double lam_sq = ep_.sqrt_lam * ep_.sqrt_lam;
+  double lam_sq = sqrt_lam_ * sqrt_lam_;
   uint8_t ts_loc[64] = {0};  // per-4x4 TS flags, CU-local (see intra path)
   // codes one TB: levels into lv (stride lstride), recon into rec; returns
   // nz and accumulates pixel SSE + level-bit estimate. ts_slot/ts_bit:
@@ -1412,7 +1431,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
         int ly = qy * tn, lx = qx * tn;
         int lcy = qy * tc, lcx = qx * tc;
         nzs += code_tb(oy + ly * w_ + lx, w_, pred_y + ly * n + lx, n, tn,
-                       sp_.qp, lev_y + ly * n + lx, n, rec_y + ly * n + lx,
+                       qp_y_, lev_y + ly * n + lx, n, rec_y + ly * n + lx,
                        n, &sse, &bits, &ts_loc[(ly >> 2) * 8 + (lx >> 2)],
                        TS_Y);
         uint8_t* slot = &ts_loc[((lcy * 2) >> 2) * 8 + ((lcx * 2) >> 2)];

@@ -81,7 +81,12 @@ class CtuEngine {
   int me16_nx_, me16_ny_;
   // integer-pel device-search MV for an aligned block, or false
   bool me_lookup(int x0, int y0, int n, int* mvx, int* mvy) const;
-  int w_, h_, ctu_, bd_, qp_c_;
+  int w_, h_, ctu_, bd_;
+  // Per-CTU quantization state. One engine is shared by the wavefront
+  // worker threads, so these are thread-local; encode_ctu() sets them
+  // unconditionally on entry (cu_dqp makes them vary per CTU).
+  static thread_local int qp_y_, qp_c_;
+  static thread_local double sqrt_lam_;
   int32_t lev_tmp_[32 * 32];
   std::vector<uint8_t> mode_map_;  // per-4x4 intra mode, inter blocks -> DC
 };

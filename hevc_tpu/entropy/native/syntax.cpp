@@ -616,6 +616,10 @@ SliceEncoder::SliceEncoder(const SliceParams& sp) : sp_(sp), cabac_(&bw_) {
 }
 
 void SliceEncoder::begin_slice() {
+  dqp_first_ = true;
+  dqp_coded_ = false;
+  ctu_qp_pred.clear();
+  ctu_qp_final.clear();
   ctx_.init(sp_.slice_type, sp_.qp);
   bw_ = BitWriter();
   cabac_ = CabacEncoder(&bw_);
@@ -643,9 +647,11 @@ void SliceEncoder::encode_ctu(int cx, int cy, const CtuData& d,
       }
       ctx_.init(sp_.slice_type, sp_.qp);
       cur_tile_ = tid;
+      dqp_first_ = true;  // qPY_PREV resets at tile start (spec 8.6.1)
     }
   }
   if (sp_.wpp && cx == 0 && cy > 0) {
+    dqp_first_ = true;  // qPY_PREV resets per CTB row under WPP
     // new CTU row: contexts from the snapshot taken after CTU 1 of the
     // row above (spec 9.3.1 entropy_coding_sync), fresh engine state
     if (wpp_saved_valid_)
@@ -682,8 +688,20 @@ void SliceEncoder::encode_ctu(int cx, int cy, const CtuData& d,
       }
     }
   }
+  if (sp_.cu_dqp) {
+    dqp_pred_ = dqp_first_ ? sp_.qp : dqp_carried_;
+    dqp_first_ = false;
+    dqp_target_ = sp_.ctu_qps
+        ? sp_.ctu_qps[(size_t)cy * ctus_w_pic + cx] : sp_.qp;
+    dqp_coded_ = false;
+  }
   if (sp_.sao_luma || sp_.sao_chroma) code_sao(cx, cy);
   cu_tree(ctu_x0_, ctu_y0_, sp_.max_cb_log2, 0);
+  if (sp_.cu_dqp) {
+    dqp_carried_ = dqp_coded_ ? dqp_target_ : dqp_pred_;
+    ctu_qp_pred.push_back((int8_t)dqp_pred_);
+    ctu_qp_final.push_back((int8_t)dqp_carried_);
+  }
   if (sp_.wpp && cx == 1) {
     wpp_saved_ = ctx_;
     wpp_saved_valid_ = true;
@@ -1025,6 +1043,28 @@ void SliceEncoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
   else
     cbf_y = 1;  // inferred (encoder guarantees nonzero luma here)
 
+  // cu_qp_delta_abs/sign, once per quantization group at the first TU
+  // with any cbf (spec 7.3.8.10; reference TEncSbac::codeDeltaQP: TU
+  // prefix cMax 5 with ctx 0 then 1, EG0 suffix, bypass sign)
+  if (sp_.cu_dqp && !dqp_coded_ && (cbf_y || cbf_cb || cbf_cr)) {
+    int delta = dqp_target_ - dqp_pred_;
+    int a = delta < 0 ? -delta : delta;
+    int pre = a < 5 ? a : 5;
+    for (int b = 0; b < pre; ++b) cabac_.encode_bin(ctx_.dqp[b ? 1 : 0], 1);
+    if (pre < 5) cabac_.encode_bin(ctx_.dqp[pre ? 1 : 0], 0);
+    if (a >= 5) {  // EG0 suffix
+      int v = a - 5, k = 0;
+      while (v >= (1 << (k + 1)) - 1) ++k;  // v+1 in [2^k, 2^(k+1))
+      int base = (1 << k) - 1;
+      for (int b = 0; b < k; ++b) cabac_.encode_bypass(1);
+      cabac_.encode_bypass(0);
+      for (int b = k - 1; b >= 0; --b)
+        cabac_.encode_bypass((v - base >> b) & 1);
+    }
+    if (a) cabac_.encode_bypass(delta < 0 ? 1 : 0);
+    dqp_coded_ = true;
+  }
+
   if (cbf_y) residual(x0, y0, log2, 0);
   if (log2 > 2 || cs == 0) {
     if (cbf_cb) residual(x0, y0, log2 - cs, 1);
@@ -1258,9 +1298,11 @@ int SliceDecoder::decode_ctu(int cx, int cy, const MutCtuData& d) {
       }
       ctx_.init(sp_.slice_type, sp_.qp);
       cur_tile_ = tid;
+      dqp_first_ = true;  // qPY_PREV resets at tile start (spec 8.6.1)
     }
   }
   if (sp_.wpp && cx == 0 && cy > 0) {
+    dqp_first_ = true;  // qPY_PREV resets per CTB row under WPP
     if (wpp_saved_valid_)
       ctx_ = wpp_saved_;
     else
@@ -1298,7 +1340,18 @@ int SliceDecoder::decode_ctu(int cx, int cy, const MutCtuData& d) {
   std::memset(d.coeff_cr, 0, sizeof(int16_t) * (sp_.ctu_size / 2) * (sp_.ctu_size / 2));
   if (sp_.sao_luma || sp_.sao_chroma) parse_sao(cx, cy, d.sao);
   else if (d.sao) std::fill(d.sao, d.sao + 20, 0);
+  if (sp_.cu_dqp) {
+    dqp_pred_ = dqp_first_ ? sp_.qp : dqp_carried_;
+    dqp_first_ = false;
+    dqp_target_ = dqp_pred_;
+    dqp_coded_ = false;
+  }
   cu_tree(ctu_x0_, ctu_y0_, sp_.max_cb_log2, 0);
+  if (sp_.cu_dqp) {
+    dqp_carried_ = dqp_coded_ ? dqp_target_ : dqp_pred_;
+    ctu_qp_pred.push_back((int8_t)dqp_pred_);
+    ctu_qp_final.push_back((int8_t)dqp_carried_);
+  }
   if (sp_.wpp && cx == 1) {
     // snapshot after the second CTB of the row is decoded (spec 9.3.1),
     // mirroring the encoder's save point
@@ -1673,6 +1726,24 @@ void SliceDecoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
   int cbf_y = 1;  // inferred for inter depth-0 with no chroma cbf
   if (is_intra || depth != 0 || cbf_cb || cbf_cr)
     cbf_y = cabac_.decode_bin(ctx_.cbf_luma[depth == 0 ? 1 : 0]);
+  // cu_qp_delta (spec 7.3.8.10/9.3.3.8): TU prefix cMax 5 (ctx 0 then 1),
+  // EG0 suffix, bypass sign; QpY wraps per 8.6.1
+  if (sp_.cu_dqp && !dqp_coded_ && (cbf_y || cbf_cb || cbf_cr)) {
+    int a = 0;
+    while (a < 5 && cabac_.decode_bin(ctx_.dqp[a ? 1 : 0])) ++a;
+    if (a == 5) {
+      int k = 0;
+      while (cabac_.decode_bypass()) ++k;
+      int v = (1 << k) - 1;
+      for (int b = 0; b < k; ++b) v += cabac_.decode_bypass() << (k - 1 - b);
+      a = 5 + v;
+    }
+    int delta = a;
+    if (a && cabac_.decode_bypass()) delta = -a;
+    int qbd = 6 * (sp_.bit_depth - 8);
+    dqp_target_ = ((dqp_pred_ + delta + 52 + 2 * qbd) % (52 + qbd)) - qbd;
+    dqp_coded_ = true;
+  }
   if (cbf_y) residual(x0, y0, log2, 0);
   if (log2 > 2 || cs == 0) {
     if (cbf_cb) residual(x0, y0, log2 - cs, 1);

@@ -53,6 +53,8 @@ struct SliceParams {
   int32_t wp_w, wp_o;      // luma weight / offset
   int32_t wp_cdenom;       // chroma log2 weight denom
   int32_t wp_cw[2], wp_co[2];
+  int32_t cu_dqp;          // PPS cu_qp_delta_enabled (CTU-size quant groups)
+  const int8_t* ctu_qps;   // per-CTU target QP, raster (encoder; may be null)
 };
 
 // Context model set: one instance per slice (later: per WPP row state).
@@ -303,6 +305,12 @@ class SliceEncoder {
   BitWriter bw_;
   CabacEncoder cabac_;
   const CtuData* cur_ = nullptr;
+  // cu_qp_delta state (spec 8.6.1 qPY_PRED chain at CTU granularity)
+  int dqp_target_ = 0, dqp_pred_ = 0, dqp_carried_ = 0;
+  bool dqp_coded_ = false, dqp_first_ = true;
+ public:
+  std::vector<int8_t> ctu_qp_pred, ctu_qp_final;  // per-CTU, encode order
+ private:
   int ctu_x0_ = 0, ctu_y0_ = 0;
   bool finished_ = false;
 };
@@ -349,6 +357,11 @@ class SliceDecoder {
   BitReader br_;
   CabacDecoder cabac_;
   const MutCtuData* cur_ = nullptr;
+  int dqp_target_ = 0, dqp_pred_ = 0, dqp_carried_ = 0;
+  bool dqp_coded_ = false, dqp_first_ = true;
+ public:
+  std::vector<int8_t> ctu_qp_pred, ctu_qp_final;
+ private:
   int ctu_x0_ = 0, ctu_y0_ = 0;
 
  public:

@@ -92,6 +92,11 @@ _OPTION_TABLE = {
     "SAO": ("sao", int),
     "AMP": ("amp", int),
     "TransformSkip": ("transform_skip", int),
+    "AdaptiveQP": ("adaptive_qp", int),
+    "AQ": ("adaptive_qp", int),
+    "MaxQPAdaptationRange": ("qp_adaptation_range", int),
+    "MaxCuDQPDepth": ("max_cu_dqp_depth", int),
+    "LCULevelRateControl": ("lcu_rate_control", int),
     "RDOQ": ("rdoq", int),
     "RDOQTS": ("rdoq_ts", int),
     "LoopFilterDisable": ("deblock_disable", int),
@@ -108,6 +113,11 @@ _OPTION_TABLE = {
     "TargetBitrate": ("target_bitrate", int),
     "ScalingList": ("scaling_list", int),
     "TransformSkip": ("transform_skip", int),
+    "AdaptiveQP": ("adaptive_qp", int),
+    "AQ": ("adaptive_qp", int),
+    "MaxQPAdaptationRange": ("qp_adaptation_range", int),
+    "MaxCuDQPDepth": ("max_cu_dqp_depth", int),
+    "LCULevelRateControl": ("lcu_rate_control", int),
     "TemporalSubsampleRatio": ("temporal_subsample", int),
     "ConformanceWindowMode": ("conformance_window_mode", int),
     # Reference GPU keys → TPU switch (parity TAppEncCfg.cpp:1049-1051).
@@ -176,6 +186,10 @@ class EncoderConfig:
     target_bitrate: int = 0
     scaling_list: int = 0
     transform_skip: int = 0
+    adaptive_qp: int = 0
+    qp_adaptation_range: int = 6
+    max_cu_dqp_depth: int = 0
+    lcu_rate_control: int = 0
     temporal_subsample: int = 1
     conformance_window_mode: int = 0
     use_tpu: int = 1

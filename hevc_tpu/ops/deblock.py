@@ -201,13 +201,18 @@ def _boundary_strength(m: DeblockMaps, vertical: bool) -> np.ndarray:
 
 
 def _filter_luma_dir(y: np.ndarray, bs4: np.ndarray, qp: int, bd: int,
-                     beta_off: int, tc_off: int, vertical: bool) -> None:
+                     beta_off: int, tc_off: int, vertical: bool,
+                     qp_map=None) -> None:
     """Filter all vertical (or horizontal) luma edges in place.
     bs4: per-4x4 BS grid. For horizontal edges the plane is transposed so
-    one code path serves both directions."""
+    one code path serves both directions. qp_map (per-4x4 luma QP, for
+    cu_qp_delta streams) replaces the scalar qp: per segment the spec
+    8.7.2.5.3 average of the two adjacent blocks' QPs is used."""
     if not vertical:
         y = y.T  # view: in-place writes go through
         bs4 = bs4.T
+        if qp_map is not None:
+            qp_map = qp_map.T
     h, w = y.shape
     scale = 1 << (bd - 8)
     maxv = (1 << bd) - 1
@@ -232,8 +237,11 @@ def _filter_luma_dir(y: np.ndarray, bs4: np.ndarray, qp: int, bd: int,
     p3, p2, p1, p0 = patch[..., 0], patch[..., 1], patch[..., 2], patch[..., 3]
     q0, q1, q2, q3 = patch[..., 4], patch[..., 5], patch[..., 6], patch[..., 7]
 
+    if qp_map is not None:
+        qp = ((qp_map[ys >> 2, (xs >> 2) - 1] +
+               qp_map[ys >> 2, xs >> 2] + 1) >> 1)       # [n]
     qidx_b = np.clip(qp + (beta_off << 1), 0, 51)
-    beta = int(BETA_TABLE[qidx_b]) * scale
+    beta = BETA_TABLE[qidx_b].astype(np.int64) * scale   # [n] (or scalar)
     qidx_t = np.clip(qp + 2 * (bss - 1) + (tc_off << 1), 0, 53)
     tc = TC_TABLE[qidx_t] * scale                        # [n]
 
@@ -302,13 +310,16 @@ def _filter_luma_dir(y: np.ndarray, bs4: np.ndarray, qp: int, bd: int,
 
 
 def _filter_chroma_dir(c: np.ndarray, bs4: np.ndarray, qp_c: int, bd: int,
-                       tc_off: int, vertical: bool, cshift: int = 1) -> None:
+                       tc_off: int, vertical: bool, cshift: int = 1,
+                       qp_map=None, chroma_format: int = 1) -> None:
     """Chroma edges: 8-chroma-sample grid, BS==2 only, line granularity
     matching the luma segment grid (spec 8.7.2.5.5). cshift is the
     chroma subsampling shift (1 for 4:2:0, 0 for 4:4:4)."""
     if not vertical:
         c = c.T
         bs4 = bs4.T
+        if qp_map is not None:
+            qp_map = qp_map.T
     h, w = c.shape
     scale = 1 << (bd - 8)
     maxv = (1 << bd) - 1
@@ -328,7 +339,16 @@ def _filter_chroma_dir(c: np.ndarray, bs4: np.ndarray, qp_c: int, bd: int,
     patch = c[row_idx, col_idx].astype(np.int64)
     p1, p0, q0, q1 = (patch[..., 0], patch[..., 1],
                       patch[..., 2], patch[..., 3])
-    tc = int(TC_TABLE[np.clip(qp_c + 2 + (tc_off << 1), 0, 53)]) * scale
+    if qp_map is not None:
+        lx = xs << cshift   # luma column of the edge
+        qpl = ((qp_map[(ys << cshift) >> 2, (lx >> 2) - 1] +
+                qp_map[(ys << cshift) >> 2, lx >> 2] + 1) >> 1)
+        if chroma_format == 3:
+            qp_c = np.minimum(qpl, 51)
+        else:
+            qp_c = tables.CHROMA_QP_MAP_420[np.clip(qpl, 0, 57)]
+        qp_c = qp_c[:, None]
+    tc = TC_TABLE[np.clip(qp_c + 2 + (tc_off << 1), 0, 53)] * scale
     delta = np.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
     patch[..., 1] = np.clip(p0 + delta, 0, maxv)
     patch[..., 2] = np.clip(q0 - delta, 0, maxv)
@@ -336,17 +356,24 @@ def _filter_chroma_dir(c: np.ndarray, bs4: np.ndarray, qp_c: int, bd: int,
 
 
 def deblock_frame(recon: List[np.ndarray], maps: DeblockMaps, qp: int,
-                  sps, beta_off: int = 0, tc_off: int = 0) -> None:
-    """In-place deblocking of a reconstructed frame (both directions)."""
+                  sps, beta_off: int = 0, tc_off: int = 0,
+                  qp_map=None) -> None:
+    """In-place deblocking of a reconstructed frame (both directions).
+    qp_map: per-4x4 luma QP (cu_qp_delta streams; ops/qpmap.py)."""
     bd = sps.bit_depth_luma
     bs_v = _boundary_strength(maps, vertical=True)
     bs_h = _boundary_strength(maps, vertical=False)
     qp_c = tables.chroma_qp(qp, sps.chroma_format_idc)
     csh = 0 if sps.chroma_format_idc == 3 else 1
+    cf = sps.chroma_format_idc
     # vertical edges first (normative order), then horizontal
-    _filter_luma_dir(recon[0], bs_v, qp, bd, beta_off, tc_off, True)
-    _filter_chroma_dir(recon[1], bs_v, qp_c, bd, tc_off, True, csh)
-    _filter_chroma_dir(recon[2], bs_v, qp_c, bd, tc_off, True, csh)
-    _filter_luma_dir(recon[0], bs_h, qp, bd, beta_off, tc_off, False)
-    _filter_chroma_dir(recon[1], bs_h, qp_c, bd, tc_off, False, csh)
-    _filter_chroma_dir(recon[2], bs_h, qp_c, bd, tc_off, False, csh)
+    _filter_luma_dir(recon[0], bs_v, qp, bd, beta_off, tc_off, True, qp_map)
+    _filter_chroma_dir(recon[1], bs_v, qp_c, bd, tc_off, True, csh,
+                       qp_map, cf)
+    _filter_chroma_dir(recon[2], bs_v, qp_c, bd, tc_off, True, csh,
+                       qp_map, cf)
+    _filter_luma_dir(recon[0], bs_h, qp, bd, beta_off, tc_off, False, qp_map)
+    _filter_chroma_dir(recon[1], bs_h, qp_c, bd, tc_off, False, csh,
+                       qp_map, cf)
+    _filter_chroma_dir(recon[2], bs_h, qp_c, bd, tc_off, False, csh,
+                       qp_map, cf)

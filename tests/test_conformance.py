@@ -449,3 +449,59 @@ def test_transform_skip_conformance(tmp_path):
         own = tmp_path / "own.yuv"
         assert dmain(["-b", str(bs), "-o", str(own)]) == 0
         assert own.read_bytes() == dec.read_bytes()
+
+
+def test_adaptive_qp_conformance(tmp_path):
+    """cu_qp_delta at CTU granularity (spec 7.3.8.10 cu_qp_delta_abs/sign,
+    8.6.1 qPY_PRED chain, 8.7.2.5 per-edge QP deblocking) driven by the
+    variance preanalysis (--AdaptiveQP=1; reference TEncPreanalyzer +
+    TEncSbac::codeDeltaQP, TDecCu::xFinishDecodeCU group-QP semantics).
+    Covers intra + lowdelay-P + WPP so the qPY_PREV resets are hit."""
+    w, h, frames = 192, 128, 4
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    from hevc_tpu.cli.encode import main
+    from hevc_tpu.cli.decode import main as dmain
+    for cfg, extra in (("encoder_intra_main.cfg", []),
+                       ("encoder_lowdelay_P_main.cfg", []),
+                       ("encoder_lowdelay_P_main.cfg",
+                        ["--WaveFrontSynchro=1"])):
+        bs, rec, dec = (tmp_path / "o.bin", tmp_path / "r.yuv",
+                        tmp_path / "d.yuv")
+        main(["-c", f"/root/reference/cfg/{cfg}",
+              "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+              str(frames), "-q", "30", "--AdaptiveQP=1"] + extra +
+             ["-b", str(bs), "-o", str(rec)])
+        out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                             capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+        assert rec.read_bytes() == dec.read_bytes()
+        own = tmp_path / "own.yuv"
+        assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+        assert own.read_bytes() == dec.read_bytes()
+
+
+def test_lcu_rate_control_conformance(tmp_path):
+    """CTU-level rate control (--LCULevelRateControl=1): per-CTU QP from
+    the complexity-weighted bit allocation (reference TEncRCPic::
+    getLCUTargetBpp/getLCUEstLambda, feed-forward so the wavefront
+    engine parallelizes), signalled via cu_qp_delta."""
+    w, h, frames = 192, 128, 6
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    from hevc_tpu.cli.encode import main
+    from hevc_tpu.cli.decode import main as dmain
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    main(["-c", "/root/reference/cfg/encoder_lowdelay_P_main.cfg",
+          "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-q", "32", "--RateControl=1", "--TargetBitrate=256",
+          "--LCULevelRateControl=1", "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+    assert rec.read_bytes() == dec.read_bytes()
+    own = tmp_path / "own.yuv"
+    assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+    assert own.read_bytes() == dec.read_bytes()
