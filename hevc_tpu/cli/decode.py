@@ -32,6 +32,7 @@ def main(argv=None) -> int:
     wr = None
     t0 = time.time()
     n = 0
+    pend = []
     for frame in dec.decode_stream(open(bs, "rb").read()):
         status = dec.hash_status[n] if n < len(dec.hash_status) else "-"
         print(f"POC {n:4d} decoded [hash {status}]")
@@ -39,7 +40,27 @@ def main(argv=None) -> int:
             bd = dec.sps.bit_depth_luma
             wr = YuvWriter(out, file_bit_depth=bd, internal_bit_depth=bd)
         if wr:
-            wr.write(frame)
+            if getattr(dec.sps, "vui_field_seq_flag", 0):
+                # reinterleave field pairs into frames on output, like
+                # the reference decoder app does for field_seq streams;
+                # pic_timing pic_struct (1 top / 2 bottom) fixes parity
+                pend.append(frame)
+                if len(pend) == 2:
+                    import numpy as np
+                    first_top = True
+                    if len(dec.pic_structs) >= n + 1:
+                        first_top = dec.pic_structs[n - 1] != 2
+                    top, bot = pend if first_top else pend[::-1]
+                    woven = []
+                    for t, b in zip(top, bot):
+                        f = np.zeros((t.shape[0] * 2, t.shape[1]), t.dtype)
+                        f[0::2] = t
+                        f[1::2] = b
+                        woven.append(f)
+                    wr.write(woven)
+                    pend.clear()
+            else:
+                wr.write(frame)
         n += 1
     dt = time.time() - t0
     if stats:

@@ -15,6 +15,20 @@ from ..io.cfg import parse_cli
 from ..io.yuv import YuvReader, YuvWriter
 
 
+def _weave(fields, top_first: int):
+    """Interleave two decoded fields into one frame (the reference
+    decoder app reinterleaves field_seq streams the same way)."""
+    import numpy as np
+    first, second = fields if top_first else fields[::-1]
+    out = []
+    for t, b in zip(first, second):
+        f = np.zeros((t.shape[0] * 2, t.shape[1]), t.dtype)
+        f[0::2] = t
+        f[1::2] = b
+        out.append(f)
+    return out
+
+
 def main(argv=None) -> int:
     cfg = parse_cli(argv if argv is not None else sys.argv[1:])
     assert cfg.input_file and cfg.width and cfg.height, \
@@ -28,10 +42,16 @@ def main(argv=None) -> int:
     wr = YuvWriter(cfg.recon_file,
                    cfg.output_bit_depth or cfg.internal_bit_depth,
                    cfg.internal_bit_depth) if cfg.recon_file else None
+    if cfg.field_coding:
+        # each frame is coded as two field pictures of half height
+        # (reference TAppEncTop / TVideoIOYuv field path)
+        cfg.height //= 2
     enc = EncoderTop(cfg)
     n = cfg.frames_to_encode or rd.num_frames
     t0 = time.time()
     printed = 0
+
+    pending_field = []
 
     def report():
         nonlocal printed
@@ -45,14 +65,26 @@ def main(argv=None) -> int:
             printed += 1
         if wr is not None:
             for _, planes_out in enc.pop_recons():
-                wr.write(planes_out)
+                if cfg.field_coding:
+                    pending_field.append(planes_out)
+                    if len(pending_field) == 2:
+                        wr.write(_weave(pending_field, cfg.top_field_first))
+                        pending_field.clear()
+                else:
+                    wr.write(planes_out)
 
     with open(cfg.bitstream_file, "wb") as out:
         for i in range(n):
             planes = rd.read()
             if planes is None:
                 break
-            out.write(enc.encode_frame(planes))
+            if cfg.field_coding:
+                first, second = (0, 1) if cfg.top_field_first else (1, 0)
+                out.write(enc.encode_frame([pl[first::2] for pl in planes]))
+                report()
+                out.write(enc.encode_frame([pl[second::2] for pl in planes]))
+            else:
+                out.write(enc.encode_frame(planes))
             report()
         out.write(enc.flush())
         report()

@@ -97,6 +97,12 @@ class SPS:
     sps_temporal_mvp_enabled_flag: int = 0
     strong_intra_smoothing_enabled_flag: int = 1
     vui_parameters_present_flag: int = 0
+    # VUI (annex E.2.1); only the subset the encoder emits
+    vui_field_seq_flag: int = 0
+    vui_frame_field_info_present_flag: int = 0
+    vui_timing_info_present_flag: int = 0
+    vui_num_units_in_tick: int = 1
+    vui_time_scale: int = 30
 
     # Derived geometry helpers -------------------------------------------------
     @property

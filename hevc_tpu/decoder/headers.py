@@ -130,6 +130,22 @@ def parse_sps(rbsp: bytes) -> SPS:
     sps.sps_temporal_mvp_enabled_flag = br.flag()
     sps.strong_intra_smoothing_enabled_flag = br.flag()
     sps.vui_parameters_present_flag = br.flag()
+    if sps.vui_parameters_present_flag:
+        assert br.flag() == 0        # aspect_ratio_info_present
+        assert br.flag() == 0        # overscan_info_present
+        assert br.flag() == 0        # video_signal_type_present
+        assert br.flag() == 0        # chroma_loc_info_present
+        br.flag()                    # neutral_chroma_indication_flag
+        sps.vui_field_seq_flag = br.flag()
+        sps.vui_frame_field_info_present_flag = br.flag()
+        assert br.flag() == 0        # default_display_window_flag
+        sps.vui_timing_info_present_flag = br.flag()
+        if sps.vui_timing_info_present_flag:
+            sps.vui_num_units_in_tick = br.u(32)
+            sps.vui_time_scale = br.u(32)
+            assert br.flag() == 0    # vui_poc_proportional_to_timing
+            assert br.flag() == 0    # vui_hrd_parameters_present
+        assert br.flag() == 0        # bitstream_restriction_flag
     return sps
 
 

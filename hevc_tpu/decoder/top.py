@@ -40,6 +40,7 @@ class DecoderTop:
         self.out_buf: List[Tuple[int, int, List[np.ndarray]]] = []
         self.cvs = 0
         self.hash_status: List[str] = []
+        self.pic_structs = []  # pic_timing SEI per AU (field weaving)
         self._last_decoded = None
 
     def decode_stream(self, data: bytes) -> Iterator[List[np.ndarray]]:
@@ -57,6 +58,11 @@ class DecoderTop:
                 if digests and self._last_decoded is not None:
                     ok = self._check_hash(self._last_decoded, digests)
                     self.hash_status.append("OK" if ok else "ERROR")
+                from ..entropy.sei import parse_sei_messages, PIC_TIMING
+                for (ptype, body) in parse_sei_messages(rbsp):
+                    if ptype == PIC_TIMING and body:
+                        # pic_struct u(4) is the first field (D.2.3)
+                        self.pic_structs.append(body[0] >> 4)
             elif nal_type <= 21:  # VCL
                 if nal_type in (19, 20):   # IDR: new CVS, flush + clear DPB
                     yield from self._bump(all_pics=True)

@@ -92,6 +92,21 @@ class EncoderTop:
             self.pps.entropy_coding_sync_enabled_flag = 1
         if cfg.weighted_pred_p:
             self.pps.weighted_pred_flag = 1
+        if cfg.vui or cfg.field_coding:
+            # VUI timing info (annex E.2.1; reference TEncTop xInitSPS VUI
+            # block). For field coding each coded picture is one field:
+            # the tick rate doubles and field_seq/frame_field info are set
+            # (reference TEncGOP field path + xWriteSEIPictureTiming).
+            self.sps.vui_parameters_present_flag = 1
+            self.sps.vui_timing_info_present_flag = 1
+            self.sps.vui_num_units_in_tick = 1
+            fr = int(round(cfg.frame_rate or 30))
+            self.sps.vui_time_scale = fr * (2 if cfg.field_coding else 1)
+            if cfg.field_coding:
+                self.sps.vui_field_seq_flag = 1
+                self.sps.vui_frame_field_info_present_flag = 1
+                self.sps.ptl.general_progressive_source_flag = 0
+                self.sps.ptl.general_interlaced_source_flag = 1
         if cfg.tmvp:
             self.sps.sps_temporal_mvp_enabled_flag = 1
         self.dpb_motion = {}   # cvs_poc -> per-4x4 motion field (TMVP)
@@ -508,6 +523,15 @@ class EncoderTop:
             firsts.append(False)
             nals.append(nal.rbsp_to_nal(
                 sei.write_recovery_point_sei(0),
+                int(NalUnitType.PREFIX_SEI_NUT)))
+            firsts.append(False)
+        if self.sps.vui_frame_field_info_present_flag:
+            # pic_struct 1 = top field, 2 = bottom field (Table D.2);
+            # parity follows the display order and TopFieldFirst
+            top = (display_poc % 2 == 0) == bool(self.cfg.top_field_first)
+            nals.append(nal.rbsp_to_nal(
+                sei.write_pic_timing_sei(1 if top else 2,
+                                         source_scan_type=0),
                 int(NalUnitType.PREFIX_SEI_NUT)))
             firsts.append(False)
         nals.append(nal.rbsp_to_nal(slice_rbsp, sh.nal_unit_type))

@@ -134,9 +134,32 @@ def write_sps(sps: SPS) -> bytes:
     bw.flag(sps.sps_temporal_mvp_enabled_flag)
     bw.flag(sps.strong_intra_smoothing_enabled_flag)
     bw.flag(sps.vui_parameters_present_flag)
+    if sps.vui_parameters_present_flag:
+        write_vui(bw, sps)
     bw.flag(0)                                  # sps_extension_present_flag
     bw.byte_align()
     return bw.bytes()
+
+
+def write_vui(bw: BitWriter, sps: SPS) -> None:
+    """vui_parameters (spec E.2.1; reference TEncCavlc::codeVUI): the
+    subset we emit — field sequence / frame-field info for interlaced
+    streams and the timing info block."""
+    bw.flag(0)                       # aspect_ratio_info_present_flag
+    bw.flag(0)                       # overscan_info_present_flag
+    bw.flag(0)                       # video_signal_type_present_flag
+    bw.flag(0)                       # chroma_loc_info_present_flag
+    bw.flag(0)                       # neutral_chroma_indication_flag
+    bw.flag(sps.vui_field_seq_flag)
+    bw.flag(sps.vui_frame_field_info_present_flag)
+    bw.flag(0)                       # default_display_window_flag
+    bw.flag(sps.vui_timing_info_present_flag)
+    if sps.vui_timing_info_present_flag:
+        bw.u(sps.vui_num_units_in_tick, 32)
+        bw.u(sps.vui_time_scale, 32)
+        bw.flag(0)                   # vui_poc_proportional_to_timing_flag
+        bw.flag(0)                   # vui_hrd_parameters_present_flag
+    bw.flag(0)                       # bitstream_restriction_flag
 
 
 def write_pps(pps: PPS) -> bytes:

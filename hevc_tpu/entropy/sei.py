@@ -134,3 +134,19 @@ def parse_sei_messages(rbsp: bytes):
         if i >= len(rbsp) or (len(rbsp) - i) <= 1:
             break
     return out
+
+
+PIC_TIMING = 1
+
+
+def write_pic_timing_sei(pic_struct: int, source_scan_type: int = 0,
+                         duplicate_flag: int = 0) -> bytes:
+    """pic_timing SEI (spec D.2.3, frame-field info part only — no HRD;
+    reference SEIEncoder::initSEIPictureTiming). pic_struct: 0 frame,
+    1 top field, 2 bottom field (Table D.2)."""
+    p = BitWriter()
+    p.u(pic_struct, 4)
+    p.u(source_scan_type, 2)
+    p.flag(duplicate_flag)
+    _payload_align(p)
+    return _sei_rbsp(PIC_TIMING, p)

@@ -97,6 +97,9 @@ _OPTION_TABLE = {
     "MaxQPAdaptationRange": ("qp_adaptation_range", int),
     "MaxCuDQPDepth": ("max_cu_dqp_depth", int),
     "LCULevelRateControl": ("lcu_rate_control", int),
+    "FieldCoding": ("field_coding", int),
+    "TopFieldFirst": ("top_field_first", int),
+    "VuiParametersPresent": ("vui", int),
     "RDOQ": ("rdoq", int),
     "RDOQTS": ("rdoq_ts", int),
     "LoopFilterDisable": ("deblock_disable", int),
@@ -118,6 +121,9 @@ _OPTION_TABLE = {
     "MaxQPAdaptationRange": ("qp_adaptation_range", int),
     "MaxCuDQPDepth": ("max_cu_dqp_depth", int),
     "LCULevelRateControl": ("lcu_rate_control", int),
+    "FieldCoding": ("field_coding", int),
+    "TopFieldFirst": ("top_field_first", int),
+    "VuiParametersPresent": ("vui", int),
     "TemporalSubsampleRatio": ("temporal_subsample", int),
     "ConformanceWindowMode": ("conformance_window_mode", int),
     # Reference GPU keys → TPU switch (parity TAppEncCfg.cpp:1049-1051).
@@ -190,6 +196,9 @@ class EncoderConfig:
     qp_adaptation_range: int = 6
     max_cu_dqp_depth: int = 0
     lcu_rate_control: int = 0
+    field_coding: int = 0
+    top_field_first: int = 1
+    vui: int = 0
     temporal_subsample: int = 1
     conformance_window_mode: int = 0
     use_tpu: int = 1

@@ -505,3 +505,33 @@ def test_lcu_rate_control_conformance(tmp_path):
     own = tmp_path / "own.yuv"
     assert dmain(["-b", str(bs), "-o", str(own)]) == 0
     assert own.read_bytes() == dec.read_bytes()
+
+
+def test_field_coding_conformance(tmp_path):
+    """Interlaced field coding (--FieldCoding=1): each frame is coded as
+    two half-height field pictures; VUI field_seq/frame_field_info +
+    timing (annex E.2.1), pic_timing SEI pic_struct 1/2 per field
+    (spec D.2.3; reference TEncGOP field path, TAppDecTop reinterleave).
+    The reference decoder weaves fields back into frames on output, so
+    the recon comparison also proves HM honours our VUI/SEI signalling.
+    Both TopFieldFirst orders are covered."""
+    w, h, frames = 192, 128, 3
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    from hevc_tpu.cli.encode import main
+    from hevc_tpu.cli.decode import main as dmain
+    for tff in (1, 0):
+        bs, rec, dec = (tmp_path / "o.bin", tmp_path / "r.yuv",
+                        tmp_path / "d.yuv")
+        main(["-c", "/root/reference/cfg/encoder_lowdelay_P_main.cfg",
+              "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+              str(frames), "-q", "32", "--FieldCoding=1",
+              f"--TopFieldFirst={tff}", "-b", str(bs), "-o", str(rec)])
+        out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                             capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert out.stdout.count("(OK)") == frames * 2, out.stdout[-1500:]
+        assert rec.read_bytes() == dec.read_bytes()
+        own = tmp_path / "own.yuv"
+        assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+        assert own.read_bytes() == dec.read_bytes()
