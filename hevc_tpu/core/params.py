@@ -92,6 +92,11 @@ class SPS:
     amp_enabled_flag: int = 0
     sample_adaptive_offset_enabled_flag: int = 0
     pcm_enabled_flag: int = 0
+    pcm_sample_bit_depth_luma_minus1: int = 7
+    pcm_sample_bit_depth_chroma_minus1: int = 7
+    log2_min_pcm_luma_coding_block_size_minus3: int = 0
+    log2_diff_max_min_pcm_luma_coding_block_size: int = 2
+    pcm_loop_filter_disabled_flag: int = 0
     short_term_rps: List[ShortTermRPS] = dataclasses.field(default_factory=list)
     long_term_ref_pics_present_flag: int = 0
     sps_temporal_mvp_enabled_flag: int = 0

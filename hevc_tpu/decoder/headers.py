@@ -120,7 +120,14 @@ def parse_sps(rbsp: bytes) -> SPS:
     sps.amp_enabled_flag = br.flag()
     sps.sample_adaptive_offset_enabled_flag = br.flag()
     sps.pcm_enabled_flag = br.flag()
-    assert not sps.pcm_enabled_flag, "PCM unsupported"
+    if sps.pcm_enabled_flag:
+        sps.pcm_sample_bit_depth_luma_minus1 = br.u(4)
+        sps.pcm_sample_bit_depth_chroma_minus1 = br.u(4)
+        sps.log2_min_pcm_luma_coding_block_size_minus3 = br.ue()
+        sps.log2_diff_max_min_pcm_luma_coding_block_size = br.ue()
+        sps.pcm_loop_filter_disabled_flag = br.flag()
+        assert sps.log2_min_pcm_luma_coding_block_size_minus3 == 0, \
+            "PCM min block size must be 8"
     num_rps = br.ue()
     sps.short_term_rps = []
     for i in range(num_rps):

@@ -131,6 +131,16 @@ class CtuReconstructor:
 
     def _recon_intra_cu(self, d, recon, ctu_x0, ctu_y0, x0, y0, log2):
         lx, ly = x0 - ctu_x0, y0 - ctu_y0
+        if d.tu_depth[ly >> 2, lx >> 2] & 0x80:
+            # I_PCM: the raw samples ride the coeff planes (spec 8.4.1)
+            n = 1 << log2
+            recon[0][y0:y0 + n, x0:x0 + n] = d.coeff_y[ly:ly + n, lx:lx + n]
+            cs = n >> 1
+            recon[1][y0 >> 1:(y0 >> 1) + cs, x0 >> 1:(x0 >> 1) + cs] = \
+                d.coeff_cb[ly >> 1:(ly >> 1) + cs, lx >> 1:(lx >> 1) + cs]
+            recon[2][y0 >> 1:(y0 >> 1) + cs, x0 >> 1:(x0 >> 1) + cs] = \
+                d.coeff_cr[ly >> 1:(ly >> 1) + cs, lx >> 1:(lx >> 1) + cs]
+            return
         nxn = bool(d.nxn_flag[ly >> 2, lx >> 2])
         cmode = int(d.chroma_mode[ly >> 2, lx >> 2])
         for (tx, ty, tlog2, tdepth, blk) in tu_leaves(

@@ -140,6 +140,7 @@ class DecoderTop:
             scaling_lists=sps.scaling_list_enabled_flag,
             transform_skip=pps.transform_skip_enabled_flag,
             cu_dqp=pps.cu_qp_delta_enabled_flag,
+            pcm=sps.pcm_enabled_flag,
             sign_hiding=pps.sign_data_hiding_enabled_flag,
             max_merge_cand=5 - sh.five_minus_max_num_merge_cand,
             num_ref_l0=nl0, num_ref_l1=nl1,

@@ -61,6 +61,12 @@ class EncoderTop:
         self.vps = VPS()
         self.vps.ptl.general_profile_idc = self.sps.ptl.general_profile_idc
         self.pps = PPS(init_qp_minus26=cfg.qp - 26)
+        if cfg.pcm:
+            self.sps.pcm_enabled_flag = 1
+            self.sps.pcm_sample_bit_depth_luma_minus1 = \
+                cfg.internal_bit_depth - 1
+            self.sps.pcm_sample_bit_depth_chroma_minus1 = \
+                cfg.internal_bit_depth - 1
         if cfg.transform_skip:
             # 4x4 transform-skip trials run only in the native engine path
             self.pps.transform_skip_enabled_flag = 1
@@ -316,6 +322,7 @@ class EncoderTop:
                 scaling_lists=self.sps.scaling_list_enabled_flag,
                 transform_skip=self.pps.transform_skip_enabled_flag,
                 cu_dqp=self.pps.cu_qp_delta_enabled_flag, ctu_qps=ctu_qps,
+                pcm=self.sps.pcm_enabled_flag,
                 wpp=self.pps.entropy_coding_sync_enabled_flag,
                 tile_cols=self.pps.num_tile_columns_minus1 + 1
                 if self.pps.tiles_enabled_flag else 0,
@@ -360,6 +367,7 @@ class EncoderTop:
                 scaling_lists=self.sps.scaling_list_enabled_flag,
                 transform_skip=self.pps.transform_skip_enabled_flag,
                 cu_dqp=self.pps.cu_qp_delta_enabled_flag, ctu_qps=ctu_qps,
+                pcm=self.sps.pcm_enabled_flag,
                 num_ref_l0=1, num_ref_l1=1 if is_b else 0,
                 ref_poc_l0=[l0_poc],
                 ref_poc_l1=[ref_l1[0]] if is_b else [],

@@ -127,6 +127,12 @@ def write_sps(sps: SPS) -> bytes:
     bw.flag(sps.amp_enabled_flag)
     bw.flag(sps.sample_adaptive_offset_enabled_flag)
     bw.flag(sps.pcm_enabled_flag)
+    if sps.pcm_enabled_flag:
+        bw.u(sps.pcm_sample_bit_depth_luma_minus1, 4)
+        bw.u(sps.pcm_sample_bit_depth_chroma_minus1, 4)
+        bw.ue(sps.log2_min_pcm_luma_coding_block_size_minus3)
+        bw.ue(sps.log2_diff_max_min_pcm_luma_coding_block_size)
+        bw.flag(sps.pcm_loop_filter_disabled_flag)
     bw.ue(len(sps.short_term_rps))
     for i, rps in enumerate(sps.short_term_rps):
         write_st_rps(bw, rps, i)

@@ -197,6 +197,15 @@ class CabacDecoder {
     range_ = 510;
     offset_ = br_->read_bits(9);
   }
+  // I_PCM (spec 7.3.8.7 / 9.3.1): after decode_terminate()==1 on
+  // pcm_flag this reader sits exactly one bit past the stop bit; skip
+  // the alignment zeros, read raw sample codes, then re-init.
+  void align_to_byte() { br_->pos_ = (br_->pos_ + 7) & ~(size_t)7; }
+  uint32_t read_raw(int n) { return br_->read_bits(n); }
+  void restart_here() {
+    range_ = 510;
+    offset_ = br_->read_bits(9);
+  }
 
  private:
   BitReader* br_;

@@ -829,6 +829,42 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
       }
     }
   }
+  // I_PCM trial (reference TEncCu::xCheckIntraPCM): raw 8x8 samples cost
+  // a fixed 96*bd bits at zero distortion — take it when the coded CU is
+  // costlier (noise-like content at low QP).
+  if (sp_.pcm && log2 >= 3 && log2 <= 5) {
+    double pcm_bits = 1.5 * n * n * bd_ + 2.0;
+    if (lam_sq * pcm_bits < (tu_sel ? cost1 : cost0)) {
+      int lx = x0 - ctu_x0, ly = y0 - ctu_y0;
+      int cctu = ctu_ >> 1;
+      for (int i = 0; i < n; ++i)
+        for (int j = 0; j < n; ++j) {
+          int16_t v = orig_[0][(y0 + i) * w_ + x0 + j];
+          recon_[0][(y0 + i) * w_ + x0 + j] = v;
+          d.coeff_y[(ly + i) * ctu_ + lx + j] = v;
+        }
+      for (int c = 1; c <= 2; ++c) {
+        int16_t* cp = c == 1 ? d.coeff_cb : d.coeff_cr;
+        for (int i = 0; i < cs; ++i)
+          for (int j = 0; j < cs; ++j) {
+            int16_t v = orig_[c][((y0 >> 1) + i) * cw + (x0 >> 1) + j];
+            recon_[c][((y0 >> 1) + i) * cw + (x0 >> 1) + j] = v;
+            cp[((ly >> 1) + i) * cctu + (lx >> 1) + j] = v;
+          }
+      }
+      int stride4 = (w_ + 3) >> 2;
+      for (int yy = 0; yy < nb; ++yy)
+        for (int xx = 0; xx < nb; ++xx) {
+          d.tu_depth[(by + yy) * bw4 + bx + xx] = 0;
+          d.luma_mode[(by + yy) * bw4 + bx + xx] = 1;   // DC (I_PCM dir)
+          d.chroma_mode[(by + yy) * bw4 + bx + xx] = 1;
+          mode_map_[((y0 >> 2) + yy) * stride4 + (x0 >> 2) + xx] = 1;
+        }
+      d.tu_depth[by * bw4 + bx] = PCM_FLAG;
+      publish(x0, y0, log2, true, 0, 0, 0, -1, 0, 0, -1);
+      return;
+    }
+  }
   for (int yy = 0; yy < nb; ++yy)
     for (int xx = 0; xx < nb; ++xx)
       d.tu_depth[(by + yy) * bw4 + bx + xx] =

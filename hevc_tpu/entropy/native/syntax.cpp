@@ -787,6 +787,37 @@ void SliceEncoder::code_intra_cu(int x0, int y0, int log2) {
   if (log2 == sp_.min_cb_log2) {
     cabac_.encode_bin(ctx_.part_size[0], nxn ? 0 : 1);
   }
+  // pcm_flag (spec 7.3.8.5/7.3.8.7; reference TEncSbac::codeIPCMInfo):
+  // terminate-coded; on 1 the arithmetic coder flushes (stop bit + byte
+  // alignment), raw sample codes follow, then the engine restarts with
+  // contexts retained. 8x8 I_PCM only; samples ride the coeff planes.
+  if (sp_.pcm && log2 >= 3 && log2 <= 5 && !nxn) {
+    int pcm = (map_at(cur_->tu_depth, bw4, x0 - ctu_x0_, y0 - ctu_y0_) &
+               PCM_FLAG) ? 1 : 0;
+    cabac_.encode_terminate(pcm);
+    if (pcm) {
+      bw_.put_bit(1);
+      while (!bw_.aligned()) bw_.put_bit(0);
+      int n = 1 << log2, cn = n >> 1;
+      int lx = x0 - ctu_x0_, ly = y0 - ctu_y0_;
+      for (int i = 0; i < n; ++i)
+        for (int j = 0; j < n; ++j)
+          bw_.put_bits(
+              (uint32_t)cur_->coeff_y[(ly + i) * sp_.ctu_size + lx + j],
+              sp_.bit_depth);
+      int cctu = sp_.ctu_size >> 1;
+      for (int c = 0; c < 2; ++c) {
+        const int16_t* cp = c == 0 ? cur_->coeff_cb : cur_->coeff_cr;
+        for (int i = 0; i < cn; ++i)
+          for (int j = 0; j < cn; ++j)
+            bw_.put_bits(
+                (uint32_t)cp[((ly >> 1) + i) * cctu + (lx >> 1) + j],
+                sp_.bit_depth);
+      }
+      cabac_.start();
+      return;
+    }
+  }
   code_intra_luma_modes(x0, y0, log2, nxn);
   // 4:4:4 NxN: one intra_chroma_pred_mode per partition (spec 7.3.8.5)
   if (sp_.chroma_format == 3 && nxn) {
@@ -1636,6 +1667,42 @@ void SliceDecoder::parse_intra_cu(int x0, int y0, int log2) {
   if (log2 == sp_.min_cb_log2)
     nxn = cabac_.decode_bin(ctx_.part_size[0]) == 0;
   fill(cur_->nxn_flag, x0, y0, log2, nxn ? 1 : 0);
+
+  // pcm_flag (spec 7.3.8.5/9.3.1; reference TDecSbac::parseIPCMInfo):
+  // after the terminate bin reads 1 this bit-exact reader sits one bit
+  // past the stop bit — align, read raw samples, re-init the engine.
+  if (sp_.pcm && log2 >= 3 && log2 <= 5 && !nxn) {
+    if (cabac_.decode_terminate()) {
+      cabac_.align_to_byte();
+      int bw4 = sp_.ctu_size / 4;
+      int n = 1 << log2, cn = n >> 1;
+      int lx = x0 - ctu_x0_, ly = y0 - ctu_y0_;
+      for (int i = 0; i < n; ++i)
+        for (int j = 0; j < n; ++j)
+          cur_->coeff_y[(ly + i) * sp_.ctu_size + lx + j] =
+              (int16_t)cabac_.read_raw(sp_.bit_depth);
+      int cctu = sp_.ctu_size >> 1;
+      for (int c = 0; c < 2; ++c) {
+        int16_t* cp = c == 0 ? cur_->coeff_cb : cur_->coeff_cr;
+        for (int i = 0; i < cn; ++i)
+          for (int j = 0; j < cn; ++j)
+            cp[((ly >> 1) + i) * cctu + (lx >> 1) + j] =
+                (int16_t)cabac_.read_raw(sp_.bit_depth);
+      }
+      cabac_.restart_here();
+      cur_->tu_depth[(ly >> 2) * bw4 + (lx >> 2)] |= PCM_FLAG;
+      // intra DC direction for neighbour MPM/chroma derivation
+      // (reference sets I_PCM intra dir to DC)
+      fill(cur_->luma_mode, x0, y0, log2, 1);
+      fill(cur_->chroma_mode, x0, y0, log2, 1);
+      int pb = 1 << (log2 - 2);
+      for (int yy = 0; yy < pb; ++yy)
+        for (int xx = 0; xx < pb; ++xx)
+          maps_.luma_mode[((y0 >> 2) + yy) * maps_.stride + (x0 >> 2) + xx] =
+              1;
+      return;
+    }
+  }
 
   // luma modes
   int npart = nxn ? 4 : 1;

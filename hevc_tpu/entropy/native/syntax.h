@@ -55,6 +55,8 @@ struct SliceParams {
   int32_t wp_cw[2], wp_co[2];
   int32_t cu_dqp;          // PPS cu_qp_delta_enabled (CTU-size quant groups)
   const int8_t* ctu_qps;   // per-CTU target QP, raster (encoder; may be null)
+  int32_t pcm;             // SPS pcm_enabled (8x8 I_PCM CUs, sample depth
+                           // = bit_depth, loop filter on)
 };
 
 // Context model set: one instance per slice (later: per WPP row state).
@@ -93,7 +95,7 @@ struct ContextSet {
 // the TB origin position (depth itself stays in the low bits): readers of
 // the depth must mask with TU_DEPTH_MASK.
 enum : uint8_t { TU_DEPTH_MASK = 0x7, TS_Y = 0x10, TS_CB = 0x20,
-                 TS_CR = 0x40 };
+                 TS_CR = 0x40, PCM_FLAG = 0x80 };
 inline uint8_t ts_bit_of(int c_idx) {
   return c_idx == 0 ? TS_Y : (c_idx == 1 ? TS_CB : TS_CR);
 }

@@ -100,6 +100,7 @@ _OPTION_TABLE = {
     "FieldCoding": ("field_coding", int),
     "TopFieldFirst": ("top_field_first", int),
     "VuiParametersPresent": ("vui", int),
+    "PCMEnabledFlag": ("pcm", int),
     "RDOQ": ("rdoq", int),
     "RDOQTS": ("rdoq_ts", int),
     "LoopFilterDisable": ("deblock_disable", int),
@@ -124,6 +125,7 @@ _OPTION_TABLE = {
     "FieldCoding": ("field_coding", int),
     "TopFieldFirst": ("top_field_first", int),
     "VuiParametersPresent": ("vui", int),
+    "PCMEnabledFlag": ("pcm", int),
     "TemporalSubsampleRatio": ("temporal_subsample", int),
     "ConformanceWindowMode": ("conformance_window_mode", int),
     # Reference GPU keys → TPU switch (parity TAppEncCfg.cpp:1049-1051).
@@ -199,6 +201,7 @@ class EncoderConfig:
     field_coding: int = 0
     top_field_first: int = 1
     vui: int = 0
+    pcm: int = 0
     temporal_subsample: int = 1
     conformance_window_mode: int = 0
     use_tpu: int = 1

@@ -35,7 +35,23 @@ def _tile_id(cx: int, cy: int, ctus_w: int, ctus_h: int,
 
 
 def ctu_has_cbf(d, chroma_shift: int = 1) -> bool:
-    return bool(d.coeff_y.any() or d.coeff_cb.any() or d.coeff_cr.any())
+    """Any coded cbf in the CTU. I_PCM CUs carry raw samples in the coeff
+    planes but have no cbf — mask them out (flag bit 0x80 at CU origin)."""
+    if not (d.tu_depth & 0x80).any():
+        return bool(d.coeff_y.any() or d.coeff_cb.any() or d.coeff_cr.any())
+    cy = d.coeff_y.copy()
+    cb = d.coeff_cb.copy()
+    cr = d.coeff_cr.copy()
+    for by, bx in np.argwhere(d.tu_depth & 0x80):
+        # CU size from the depth map (the flag sits at the CU origin)
+        log2 = (d.cu_depth.shape[0] * 4).bit_length() - 1 - \
+            int(d.cu_depth[by, bx])
+        n = 1 << log2
+        y4, x4 = by * 4, bx * 4
+        cy[y4:y4 + n, x4:x4 + n] = 0
+        cb[y4 >> 1:(y4 >> 1) + (n >> 1), x4 >> 1:(x4 >> 1) + (n >> 1)] = 0
+        cr[y4 >> 1:(y4 >> 1) + (n >> 1), x4 >> 1:(x4 >> 1) + (n >> 1)] = 0
+    return bool(cy.any() or cb.any() or cr.any())
 
 
 def qp_chain(targets: np.ndarray, has_cbf: List[bool], slice_qp: int,
@@ -89,12 +105,15 @@ def build_qp_map(get_d, order: List[Tuple[int, int]], pred: np.ndarray,
                                          ctu_log2=log2):
             n = 1 << ulog2
             lx, ly = ux - x0, uy - y0
-            has = bool(
-                d.coeff_y[ly:ly + n, lx:lx + n].any() or
-                d.coeff_cb[ly >> cs:(ly + n) >> cs,
-                           lx >> cs:(lx + n) >> cs].any() or
-                d.coeff_cr[ly >> cs:(ly + n) >> cs,
-                           lx >> cs:(lx + n) >> cs].any())
+            if d.tu_depth[ly >> 2, lx >> 2] & 0x80:
+                has = False   # I_PCM: no cbf
+            else:
+                has = bool(
+                    d.coeff_y[ly:ly + n, lx:lx + n].any() or
+                    d.coeff_cb[ly >> cs:(ly + n) >> cs,
+                               lx >> cs:(lx + n) >> cs].any() or
+                    d.coeff_cr[ly >> cs:(ly + n) >> cs,
+                               lx >> cs:(lx + n) >> cs].any())
             seen = seen or has
             qmap[uy >> 2:(uy + n) >> 2, ux >> 2:(ux + n) >> 2] = \
                 f if seen else p

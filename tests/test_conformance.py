@@ -535,3 +535,39 @@ def test_field_coding_conformance(tmp_path):
         own = tmp_path / "own.yuv"
         assert dmain(["-b", str(bs), "-o", str(own)]) == 0
         assert own.read_bytes() == dec.read_bytes()
+
+
+def test_pcm_conformance(tmp_path):
+    """I_PCM coding units (--PCMEnabledFlag=1, spec 7.3.8.7 pcm_sample +
+    9.3.1 CABAC suspend/resume around raw sample codes; reference
+    TEncSbac::codeIPCMInfo / TDecSbac::parseIPCMInfo). Noise content at
+    low QP makes the raw-sample trial win, so the flag genuinely fires;
+    the AdaptiveQP combo exercises PCM's no-cbf rule in the qPY chain."""
+    import numpy as np
+    w, h, frames = 192, 128, 2
+    clip = tmp_path / "in.yuv"
+    rng = np.random.default_rng(9)
+    with open(clip, "wb") as fp:
+        for _ in range(frames):
+            fp.write(rng.integers(0, 256, (h, w), dtype=np.uint8).tobytes())
+            fp.write(rng.integers(0, 256, (h // 2, w // 2),
+                                  dtype=np.uint8).tobytes())
+            fp.write(rng.integers(0, 256, (h // 2, w // 2),
+                                  dtype=np.uint8).tobytes())
+    from hevc_tpu.cli.encode import main
+    from hevc_tpu.cli.decode import main as dmain
+    for extra in ([], ["--AdaptiveQP=1"]):
+        bs, rec, dec = (tmp_path / "o.bin", tmp_path / "r.yuv",
+                        tmp_path / "d.yuv")
+        main(["-c", "/root/reference/cfg/encoder_lowdelay_P_main.cfg",
+              "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+              str(frames), "-q", "10", "--PCMEnabledFlag=1"] + extra +
+             ["-b", str(bs), "-o", str(rec)])
+        out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                             capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+        assert rec.read_bytes() == dec.read_bytes()
+        own = tmp_path / "own.yuv"
+        assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+        assert own.read_bytes() == dec.read_bytes()
