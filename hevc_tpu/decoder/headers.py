@@ -44,7 +44,34 @@ def parse_st_rps(br: BitReader, idx: int, prev: list) -> ShortTermRPS:
     rps = ShortTermRPS()
     if idx != 0:
         pred = br.flag()
-        assert pred == 0, "inter-RPS prediction not supported"
+        if pred:
+            # inter-RPS prediction (spec 7.4.8 st_ref_pic_set with
+            # inter_ref_pic_set_prediction_flag; reference TDecCAVLC::
+            # parseShortTermRefPicSet): the set is derived from a
+            # previously signalled RPS shifted by deltaRps.
+            # delta_idx_minus1 only appears in slice headers (7.4.8);
+            # in the SPS the reference set is always the previous one
+            ref = prev[idx - 1]
+            sign = br.flag()
+            abs_delta = br.ue() + 1
+            delta_rps = (1 - 2 * sign) * abs_delta
+            src = list(ref.delta_pocs) + [0]   # + the ref picture itself
+            ds, us = [], []
+            for j in range(len(src)):
+                used = br.flag()
+                use_delta = 1 if used else br.flag()
+                if used or use_delta:
+                    d = src[j] + delta_rps if j < len(src) - 1 \
+                        else delta_rps
+                    if d != 0:
+                        ds.append(d)
+                        us.append(1 if used else 0)
+            order = sorted(range(len(ds)), key=lambda k: ds[k])
+            neg = [k for k in order if ds[k] < 0][::-1]
+            pos = [k for k in order if ds[k] > 0]
+            rps.delta_pocs = [ds[k] for k in neg] + [ds[k] for k in pos]
+            rps.used_flags = [us[k] for k in neg] + [us[k] for k in pos]
+            return rps
     num_neg = br.ue()
     num_pos = br.ue()
     deltas, used = [], []

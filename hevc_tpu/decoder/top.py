@@ -135,6 +135,7 @@ class DecoderTop:
             sh.slice_qp, slice_type=int(sh.slice_type),
             ctu_size=sps.ctu_size,
             max_tu_depth_intra=sps.max_transform_hierarchy_depth_intra,
+            max_tu_depth_inter=sps.max_transform_hierarchy_depth_inter,
             chroma_format=sps.chroma_format_idc,
             amp=sps.amp_enabled_flag,
             scaling_lists=sps.scaling_list_enabled_flag,

@@ -32,8 +32,12 @@ class EncoderTop:
             bit_depth_luma_minus8=cfg.internal_bit_depth - 8,
             bit_depth_chroma_minus8=cfg.internal_bit_depth - 8,
             chroma_format_idc=cfg.internal_chroma_format,
-            max_transform_hierarchy_depth_intra=cfg.tu_depth_intra,
-            max_transform_hierarchy_depth_inter=cfg.tu_depth_inter,
+            # the reference writes QuadtreeTUMaxDepth{Intra,Inter} - 1 as
+            # the SPS max_transform_hierarchy_depth (TEncCavlc codeSPS)
+            max_transform_hierarchy_depth_intra=max(
+                0, cfg.tu_depth_intra - 1),
+            max_transform_hierarchy_depth_inter=max(
+                0, cfg.tu_depth_inter - 1),
             sample_adaptive_offset_enabled_flag=1 if cfg.sao else 0,
             amp_enabled_flag=1 if cfg.amp else 0,
             scaling_list_enabled_flag=1 if cfg.scaling_list else 0,
@@ -315,6 +319,7 @@ class EncoderTop:
                 cfg.width, cfg.height, slice_qp, slice_type=int(stype),
                 ctu_size=self.sps.ctu_size,
                 max_tu_depth_intra=self.sps.max_transform_hierarchy_depth_intra,
+                max_tu_depth_inter=self.sps.max_transform_hierarchy_depth_inter,
                 chroma_format=self.sps.chroma_format_idc,
                 sign_hiding=self.pps.sign_data_hiding_enabled_flag,
                 sao_luma=sao_on, sao_chroma=sao_on,
@@ -362,6 +367,7 @@ class EncoderTop:
                 cfg.width, cfg.height, slice_qp, slice_type=int(stype),
                 ctu_size=self.sps.ctu_size,
                 max_tu_depth_intra=self.sps.max_transform_hierarchy_depth_intra,
+                max_tu_depth_inter=self.sps.max_transform_hierarchy_depth_inter,
                 sign_hiding=self.pps.sign_data_hiding_enabled_flag,
                 amp=self.sps.amp_enabled_flag,
                 scaling_lists=self.sps.scaling_list_enabled_flag,

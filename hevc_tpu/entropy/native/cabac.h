@@ -159,6 +159,7 @@ class CabacDecoder {
     offset_ = br_->read_bits(9);
   }
   int decode_bin(ContextModel& ctx) {
+    uint32_t start_range = range_;
     uint32_t lps = kRangeTabLps[ctx.state][(range_ >> 6) & 3];
     range_ -= lps;
     int bin;
@@ -173,6 +174,9 @@ class CabacDecoder {
       if (ctx.state < 62) ctx.state++;
     }
     while (range_ < 256) { range_ <<= 1; offset_ = (offset_ << 1) | br_->read_bit(); }
+    if (g_bin_trace)
+      fprintf(g_bin_trace, "%ld: coding bin value %d, range = [%u->%u]\n",
+              g_bin_counter++, bin, start_range, range_);
     return bin;
   }
   int decode_bypass() {

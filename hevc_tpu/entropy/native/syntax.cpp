@@ -1314,6 +1314,7 @@ void SliceDecoder::fill16(int16_t* map, int x0, int y0, int log2, int16_t v) {
 }
 
 int SliceDecoder::decode_ctu(int cx, int cy, const MutCtuData& d) {
+  if (g_bin_trace) fprintf(g_bin_trace, "# CTU %d %d\n", cx, cy);
   cur_ = &d;
   ctu_x0_ = cx * sp_.ctu_size;
   ctu_y0_ = cy * sp_.ctu_size;
@@ -1469,6 +1470,7 @@ int SliceDecoder::parse_merge_idx() {
 }
 
 void SliceDecoder::parse_mvd(int* vx, int* vy) {
+  if (g_bin_trace) fprintf(g_bin_trace, "# mvd\n");
   int g0x = cabac_.decode_bin(ctx_.mvd[0]);
   int g0y = cabac_.decode_bin(ctx_.mvd[0]);
   int g1x = g0x ? cabac_.decode_bin(ctx_.mvd[1]) : 0;
@@ -1495,6 +1497,7 @@ void SliceDecoder::parse_mvd(int* vx, int* vy) {
 }
 
 void SliceDecoder::parse_inter_cu(int x0, int y0, int log2, bool skip) {
+  if (g_bin_trace) fprintf(g_bin_trace, "# PCU %d %d log2=%d\n", x0, y0, log2);
   int n = 1 << log2;
   MotionInfo mi;
   if (skip) {
@@ -1508,6 +1511,7 @@ void SliceDecoder::parse_inter_cu(int x0, int y0, int log2, bool skip) {
   // part_mode (spec 9.3.3.7, incl. AMP binarization)
   int part = 0;
   bool amp_bins = sp_.amp && log2 > sp_.min_cb_log2 && log2 < sp_.max_cb_log2;
+  if (g_bin_trace) fprintf(g_bin_trace, "# part\n");
   if (!cabac_.decode_bin(ctx_.part_size[0])) {
     bool hor = cabac_.decode_bin(ctx_.part_size[1]);
     if (amp_bins && !cabac_.decode_bin(ctx_.part_size[3])) {
@@ -1524,6 +1528,7 @@ void SliceDecoder::parse_inter_cu(int x0, int y0, int log2, bool skip) {
     int ox, oy, pw, ph;
     pu_rect(part, pu, n, &ox, &oy, &pw, &ph);
     int px = x0 + ox, py = y0 + oy;
+    {if (g_bin_trace) fprintf(g_bin_trace, "# pu%d mrgf\n", pu);}
     int merge_f = cabac_.decode_bin(ctx_.merge_flag[0]);
     if (!merge_f) cu_merge = 0;
     int merge_i = 0, mvp_f = 0, mvdx = 0, mvdy = 0;
@@ -1542,6 +1547,7 @@ void SliceDecoder::parse_inter_cu(int x0, int y0, int log2, bool skip) {
         else idc = cabac_.decode_bin(ctx_.inter_dir[4]) ? 2 : 1;
       }
       auto parse_ref = [&](int num_ref) {
+        {if (g_bin_trace) fprintf(g_bin_trace, "# ref nr=%d\n", num_ref);}
         int r = 0;
         if (num_ref > 1 && cabac_.decode_bin(ctx_.ref_idx[0])) {
           r = 1;
@@ -1592,7 +1598,10 @@ void SliceDecoder::parse_inter_cu(int x0, int y0, int log2, bool skip) {
   // rqt_root_cbf coded unless a 2Nx2N merge PU (spec 7.3.8.5)
   int merge_2nx2n = part == 0 && cu_merge;
   int root = 1;
-  if (!merge_2nx2n) root = cabac_.decode_bin(ctx_.qt_root_cbf[0]);
+  if (!merge_2nx2n) {
+    if (g_bin_trace) fprintf(g_bin_trace, "# rqt_root\n");
+    root = cabac_.decode_bin(ctx_.qt_root_cbf[0]);
+  }
   if (root) transform_tree(x0, y0, x0, y0, log2, 0, 0, false, 1, 1, false);
 }
 
@@ -1663,6 +1672,7 @@ void SliceDecoder::parse_cu(int x0, int y0, int log2) {
 }
 
 void SliceDecoder::parse_intra_cu(int x0, int y0, int log2) {
+  if (g_bin_trace) fprintf(g_bin_trace, "# ICU %d %d log2=%d\n", x0, y0, log2);
   bool nxn = false;
   if (log2 == sp_.min_cb_log2)
     nxn = cabac_.decode_bin(ctx_.part_size[0]) == 0;
@@ -1756,6 +1766,9 @@ void SliceDecoder::parse_intra_cu(int x0, int y0, int log2) {
 void SliceDecoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
                                   int depth, int blk_idx, bool intra_split,
                                   int par_cb, int par_cr, bool is_intra) {
+  if (g_bin_trace)
+    fprintf(g_bin_trace, "# TT %d %d log2=%d d=%d pcb=%d pcr=%d\n", x0, y0,
+            log2, depth, par_cb, par_cr);
   int max_depth = is_intra ? sp_.max_tu_depth_intra + (intra_split ? 1 : 0)
                            : sp_.max_tu_depth_inter;
   bool explicit_split =
@@ -1764,17 +1777,23 @@ void SliceDecoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
   bool split;
   if (log2 > sp_.max_tb_log2) split = true;
   else if (intra_split && depth == 0) split = true;
-  else if (explicit_split)
+  else if (explicit_split) {
+    if (g_bin_trace) fprintf(g_bin_trace, "# tsplit\n");
     split = cabac_.decode_bin(ctx_.trans_subdiv[5 - log2]);
+  }
   else split = false;
 
   int cs = (sp_.chroma_format == 3) ? 0 : 1;
   int cbf_cb = 0, cbf_cr = 0;
   if (log2 > 2 || cs == 0) {
-    if (depth == 0 || par_cb)
+    if (depth == 0 || par_cb) {
+      if (g_bin_trace) fprintf(g_bin_trace, "# cbfCb d=%d\n", depth);
       cbf_cb = cabac_.decode_bin(ctx_.cbf_chroma[depth]);
-    if (depth == 0 || par_cr)
+    }
+    if (depth == 0 || par_cr) {
+      if (g_bin_trace) fprintf(g_bin_trace, "# cbfCr d=%d\n", depth);
       cbf_cr = cabac_.decode_bin(ctx_.cbf_chroma[depth]);
+    }
   } else {
     cbf_cb = par_cb;
     cbf_cr = par_cr;
@@ -1791,8 +1810,10 @@ void SliceDecoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
 
   fill(cur_->tu_depth, x0, y0, log2, depth);
   int cbf_y = 1;  // inferred for inter depth-0 with no chroma cbf
-  if (is_intra || depth != 0 || cbf_cb || cbf_cr)
+  if (is_intra || depth != 0 || cbf_cb || cbf_cr) {
+    if (g_bin_trace) fprintf(g_bin_trace, "# cbfY d=%d\n", depth);
     cbf_y = cabac_.decode_bin(ctx_.cbf_luma[depth == 0 ? 1 : 0]);
+  }
   // cu_qp_delta (spec 7.3.8.10/9.3.3.8): TU prefix cMax 5 (ctx 0 then 1),
   // EG0 suffix, bypass sign; QpY wraps per 8.6.1
   if (sp_.cu_dqp && !dqp_coded_ && (cbf_y || cbf_cb || cbf_cr)) {
@@ -1822,6 +1843,7 @@ void SliceDecoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
 }
 
 void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
+  if (g_bin_trace) fprintf(g_bin_trace, "# RES %d %d log2=%d c=%d\n", x0, y0, log2, c_idx);
   int bw4 = sp_.ctu_size / 4;
   bool luma = c_idx == 0;
   int n = 1 << log2;
@@ -1899,6 +1921,7 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
     int right = csbf_at(xs + 1, ys), below = csbf_at(xs, ys + 1);
     if (i < last_sb && i > 0) {
       int ctxi = (right || below) ? 1 : 0;
+      if (g_bin_trace) fprintf(g_bin_trace, "# csbf i=%d ctx=%d\n", i, ctxi);
       csbf[i] = cabac_.decode_bin(ctx_.sig_cg[(luma ? 0 : 2) + ctxi]);
     }
     if (!csbf[i]) continue;
@@ -1914,6 +1937,9 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
       if (k > 0 || !infer_dc) {
         int xc = r % n, yc = r / n;
         int sctx = sig_ctx_inc(log2, scan_idx, xc, yc, right, below, luma);
+        if (g_bin_trace)
+          fprintf(g_bin_trace, "# sig k=%d xy=%d,%d sctx=%d\n", k, xc, yc,
+                  sctx);
         sig = cabac_.decode_bin(ctx_.sig[(luma ? 0 : 28) + sctx]);
         if (sig) infer_dc = 0;
       } else {
@@ -1930,6 +1956,8 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
     int gt1[16] = {0}, first_gt1 = -1;
     int num_c1 = std::min(num, 8);
     for (int k = 0; k < num_c1; ++k) {
+      if (g_bin_trace)
+        fprintf(g_bin_trace, "# gt1 k=%d set=%d c1=%d\n", k, ctx_set, c1);
       gt1[k] = cabac_.decode_bin(ctx_.one[(luma ? 0 : 16) + 4 * ctx_set + c1]);
       if (gt1[k]) { c1 = 0; if (first_gt1 < 0) first_gt1 = k; }
       else if (c1 < 3 && c1 > 0) c1++;
