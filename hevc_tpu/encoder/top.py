@@ -10,6 +10,7 @@ and hash-SEI assembly :1593-1692). Supports three GOP shapes:
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -74,10 +75,9 @@ class EncoderTop:
         if cfg.transform_skip:
             # 4x4 transform-skip trials run only in the native engine path
             self.pps.transform_skip_enabled_flag = 1
-        import os as _os0
         if ((cfg.adaptive_qp or cfg.lcu_rate_control)
                 and cfg.internal_chroma_format == 1
-                and _os0.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0"):
+                and os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0"):
             # CTU-granularity quantization groups (cu_qp_delta); driven by
             # the variance preanalysis (AdaptiveQP) and/or CTU-level rate
             # control (reference TEncPic/TEncPreanalyzer, TEncRateCtrl)
@@ -85,9 +85,8 @@ class EncoderTop:
             self.pps.diff_cu_qp_delta_depth = 0
             assert cfg.max_cu_dqp_depth == 0, \
                 "only CTU-size quantization groups supported"
-        import os as _os
         if (cfg.internal_chroma_format == 1 and
-                _os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0"):
+                os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0"):
             # the native engine enforces the parity constraint
             self.pps.sign_data_hiding_enabled_flag = 1
         self.tiles = (max(cfg.tile_cols_minus1, 0),
@@ -288,6 +287,8 @@ class EncoderTop:
         is_intra = stype == SliceType.I
         is_b = stype == SliceType.B
         sao_on = 1 if cfg.sao else 0
+        use_native = (self.sps.chroma_format_idc == 1 and
+                      os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0")
         sh = SliceHeader(
             slice_type=stype,
             nal_unit_type=int(NalUnitType.IDR_W_RADL if idr
@@ -298,9 +299,6 @@ class EncoderTop:
             rps_sps_idx=0, rps=rps,
             num_ref_idx_active=[0 if is_intra else 1, 1 if is_b else 0])
 
-        import os
-        use_native = (self.sps.chroma_format_idc == 1 and
-                      os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0")
         ctu_qps = None
         if self.pps.cu_qp_delta_enabled_flag:
             if cfg.lcu_rate_control and self.rc is not None:
