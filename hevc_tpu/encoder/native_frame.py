@@ -102,7 +102,8 @@ class NativeFrameEncoder:
     def __init__(self, sps, qp: int, senc: SliceDataEncoder,
                  sp: SliceParamsC, *, qp_factor: float = 0.57,
                  is_b: bool = False, ref_planes=None, ref1_planes=None,
-                 search_range: int = 24, cu_depth_target: int = 1):
+                 search_range: int = 24, cu_depth_target: int = 1,
+                 me_provider=None):
         assert sps.chroma_format_idc == 1, "native engine is 4:2:0-only"
         self.sps = sps
         self.qp = qp
@@ -120,6 +121,9 @@ class NativeFrameEncoder:
         self.ref1 = ([np.ascontiguousarray(pad_plane(p, PAD))
                       for p in ref1_planes]
                      if ref1_planes is not None else self.ref)
+        # optional callable(size, range, lam_fp) -> (gx, gy) or None:
+        # precomputed (mesh-sharded lookahead) integer-ME grids
+        self.me_provider = me_provider
 
     def encode_frame(self, orig: List[np.ndarray]):
         sps = self.sps
@@ -133,8 +137,13 @@ class NativeFrameEncoder:
         me_x = me_y = me16_x = me16_y = None
         if self.is_inter:
             size = ctu >> self.cu_depth_target
-            me_x, me_y = batched_me_grid(orig[0], self.ref[0], size,
-                                         self.search_range, self.lam_fp)
+            pre = (self.me_provider(size, self.search_range, self.lam_fp)
+                   if self.me_provider else None)
+            if pre is not None:
+                me_x, me_y = pre
+            else:
+                me_x, me_y = batched_me_grid(orig[0], self.ref[0], size,
+                                             self.search_range, self.lam_fp)
             import os
             if os.environ.get("HEVC_TPU_CU16", "0") != "0":
                 # deeper inter partitioning: RD-neutral on low-motion

@@ -152,6 +152,11 @@ class EncoderTop:
         self.stats: List[dict] = []
         self.recon = None
         self.dpb_recon = None     # last encoded recon (low-delay ref)
+        # optional hook: callable(display_poc, size, range, lam_fp) ->
+        # (gx, gy) int32 grids or None. Used by hevc_tpu.parallel to feed
+        # mesh-sharded lookahead integer-ME results into the frame encoder
+        # (the inline per-frame device search is skipped when it hits).
+        self.me_provider = None
 
     # ------------------------------------------------------------------
     def encode_frame(self, planes: List[np.ndarray]) -> bytes:
@@ -404,7 +409,11 @@ class EncoderTop:
                     self.sps, slice_qp, senc, sp, qp_factor=qf, is_b=is_b,
                     ref_planes=l0_planes,
                     ref1_planes=ref_l1[1] if is_b else None,
-                    search_range=min(cfg.search_range, 24))
+                    search_range=min(cfg.search_range, 24),
+                    me_provider=(
+                        (lambda size, r, lam:
+                         self.me_provider(display_poc, size, r, lam))
+                        if self.me_provider else None))
             else:
                 fe = PFrameEncoder(self.sps, slice_qp, l0_planes,
                                    search_range=min(cfg.search_range, 24),
