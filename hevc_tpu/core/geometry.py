@@ -44,13 +44,17 @@ class AvailabilityMap:
     """
 
     def __init__(self, pic_w: int, pic_h: int, ctu_size: int = 64,
-                 min_block: int = 4, tile_cols: int = 0, tile_rows: int = 0):
+                 min_block: int = 4, tile_cols: int = 0, tile_rows: int = 0,
+                 slice_start_ctu: int = 0):
         self.pic_w = pic_w
         self.pic_h = pic_h
         self.ctu_size = ctu_size
         self.min_block = min_block
         self.ctus_w = -(-pic_w // ctu_size)
         self.ctus_h = -(-pic_h // ctu_size)
+        # first CTU (scan order) of the current slice segment: samples in
+        # earlier slices are unavailable for prediction (spec 6.4.1)
+        self.slice_start_ctu = slice_start_ctu
         self.tiles = tile_cols > 1 or tile_rows > 1
         if self.tiles:
             tc, tr = max(tile_cols, 1), max(tile_rows, 1)
@@ -93,4 +97,7 @@ class AvailabilityMap:
                                        y // self.ctu_size) != self.tile_id(
                 cur_x0 // self.ctu_size, cur_y0 // self.ctu_size):
             return False  # prediction never crosses a tile boundary
+        if self.slice_start_ctu and (self.block_order_key(x, y) >> 16) \
+                < self.slice_start_ctu:
+            return False  # sample belongs to an earlier slice segment
         return self.block_order_key(x, y) < self.block_order_key(cur_x0, cur_y0)

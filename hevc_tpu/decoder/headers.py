@@ -12,35 +12,61 @@ from ..core.types import SliceType
 from ..entropy.bitreader import BitReader
 
 
-def parse_ptl(br: BitReader, ptl: ProfileTierLevel) -> None:
+def _parse_profile_tier(br: BitReader, ptl) -> None:
+    """One profile_tier() structure, 88 bits (spec 7.3.3; reference
+    TDecCAVLC parseProfileTier:1550). ptl may be None for sub-layer
+    structures we skip."""
+    sink = ProfileTierLevel() if ptl is None else ptl
     br.u(2)
-    ptl.general_tier_flag = br.flag()
-    ptl.general_profile_idc = br.u(5)
+    sink.general_tier_flag = br.flag()
+    sink.general_profile_idc = br.u(5)
     br.u(32)  # compatibility flags
-    ptl.general_progressive_source_flag = br.flag()
-    ptl.general_interlaced_source_flag = br.flag()
-    ptl.general_non_packed_constraint_flag = br.flag()
-    ptl.general_frame_only_constraint_flag = br.flag()
-    if ptl.general_profile_idc in (4, 5):
-        ptl.general_max_12bit_constraint_flag = br.flag()
-        ptl.general_max_10bit_constraint_flag = br.flag()
-        ptl.general_max_8bit_constraint_flag = br.flag()
-        ptl.general_max_422chroma_constraint_flag = br.flag()
-        ptl.general_max_420chroma_constraint_flag = br.flag()
-        ptl.general_max_monochrome_constraint_flag = br.flag()
-        ptl.general_intra_constraint_flag = br.flag()
-        ptl.general_one_picture_only_constraint_flag = br.flag()
-        ptl.general_lower_bit_rate_constraint_flag = br.flag()
+    sink.general_progressive_source_flag = br.flag()
+    sink.general_interlaced_source_flag = br.flag()
+    sink.general_non_packed_constraint_flag = br.flag()
+    sink.general_frame_only_constraint_flag = br.flag()
+    if sink.general_profile_idc in (4, 5):
+        sink.general_max_12bit_constraint_flag = br.flag()
+        sink.general_max_10bit_constraint_flag = br.flag()
+        sink.general_max_8bit_constraint_flag = br.flag()
+        sink.general_max_422chroma_constraint_flag = br.flag()
+        sink.general_max_420chroma_constraint_flag = br.flag()
+        sink.general_max_monochrome_constraint_flag = br.flag()
+        sink.general_intra_constraint_flag = br.flag()
+        sink.general_one_picture_only_constraint_flag = br.flag()
+        sink.general_lower_bit_rate_constraint_flag = br.flag()
         br.u(32)
         br.u(2)   # reserved 34 bits
     else:
         br.u(32)
         br.u(11)  # reserved 43 bits
     br.flag()     # general_reserved_zero_bit
+
+
+def parse_ptl(br: BitReader, ptl: ProfileTierLevel,
+              max_sub_layers_minus1: int = 0) -> None:
+    """profile_tier_level() incl. the per-sub-layer structures (spec
+    7.3.3; reference TDecCAVLC::parsePTL:1512 — round 1 skipped the
+    sub-layer loops, which broke on HM's 4-temporal-layer RA streams)."""
+    _parse_profile_tier(br, ptl)
     ptl.general_level_idc = br.u(8)
+    sub_profile = []
+    sub_level = []
+    for _ in range(max_sub_layers_minus1):
+        sub_profile.append(br.flag())
+        sub_level.append(br.flag())
+    if max_sub_layers_minus1 > 0:
+        for _ in range(max_sub_layers_minus1, 8):
+            br.u(2)  # reserved_zero_2bits
+    for i in range(max_sub_layers_minus1):
+        if sub_profile[i]:
+            _parse_profile_tier(br, None)
+        if sub_level[i]:
+            br.u(8)  # sub_layer_level_idc
 
 
-def parse_st_rps(br: BitReader, idx: int, prev: list) -> ShortTermRPS:
+def parse_st_rps(br: BitReader, idx: int, prev: list,
+                 in_slice_header: bool = False) -> ShortTermRPS:
     rps = ShortTermRPS()
     if idx != 0:
         pred = br.flag()
@@ -48,10 +74,14 @@ def parse_st_rps(br: BitReader, idx: int, prev: list) -> ShortTermRPS:
             # inter-RPS prediction (spec 7.4.8 st_ref_pic_set with
             # inter_ref_pic_set_prediction_flag; reference TDecCAVLC::
             # parseShortTermRefPicSet): the set is derived from a
-            # previously signalled RPS shifted by deltaRps.
-            # delta_idx_minus1 only appears in slice headers (7.4.8);
-            # in the SPS the reference set is always the previous one
-            ref = prev[idx - 1]
+            # previously signalled RPS shifted by deltaRps. In a slice
+            # header (idx == num_short_term_ref_pic_sets) the reference
+            # set is selected by delta_idx_minus1; in the SPS it is
+            # always the previous one.
+            ref_idx = idx - 1
+            if in_slice_header:
+                ref_idx = idx - 1 - br.ue()   # delta_idx_minus1
+            ref = prev[ref_idx]
             sign = br.flag()
             abs_delta = br.ue() + 1
             delta_rps = (1 - 2 * sign) * abs_delta
@@ -99,13 +129,26 @@ def parse_vps(rbsp: bytes) -> VPS:
     vps.vps_max_sub_layers_minus1 = br.u(3)
     vps.vps_temporal_id_nesting_flag = br.flag()
     br.u(16)
-    parse_ptl(br, vps.ptl)
+    parse_ptl(br, vps.ptl, vps.vps_max_sub_layers_minus1)
     sub_info = br.flag()
     for _ in range((vps.vps_max_sub_layers_minus1 + 1) if sub_info else 1):
+        # keep the highest sub-layer's values (= the full stream's)
         vps.vps_max_dec_pic_buffering_minus1 = br.ue()
         vps.vps_max_num_reorder_pics = br.ue()
         vps.vps_max_latency_increase_plus1 = br.ue()
-    return vps  # remaining fields ignored
+    max_layer_id = br.u(6)
+    num_layer_sets_minus1 = br.ue()
+    for _ in range(num_layer_sets_minus1):
+        for _ in range(max_layer_id + 1):
+            br.flag()  # layer_id_included_flag
+    if br.flag():      # vps_timing_info_present_flag
+        br.u(32)       # vps_num_units_in_tick
+        br.u(32)       # vps_time_scale
+        if br.flag():  # vps_poc_proportional_to_timing_flag
+            br.ue()    # vps_num_ticks_poc_diff_one_minus1
+        num_hrd = br.ue()
+        assert num_hrd == 0, "VPS HRD parameters unsupported"
+    return vps  # extension ignored
 
 
 def parse_sps(rbsp: bytes) -> SPS:
@@ -114,7 +157,7 @@ def parse_sps(rbsp: bytes) -> SPS:
     sps.sps_video_parameter_set_id = br.u(4)
     sps.sps_max_sub_layers_minus1 = br.u(3)
     sps.sps_temporal_id_nesting_flag = br.flag()
-    parse_ptl(br, sps.ptl)
+    parse_ptl(br, sps.ptl, sps.sps_max_sub_layers_minus1)
     sps.sps_seq_parameter_set_id = br.ue()
     sps.chroma_format_idc = br.ue()
     if sps.chroma_format_idc == 3:
@@ -160,7 +203,15 @@ def parse_sps(rbsp: bytes) -> SPS:
     for i in range(num_rps):
         sps.short_term_rps.append(parse_st_rps(br, i, sps.short_term_rps))
     sps.long_term_ref_pics_present_flag = br.flag()
-    assert not sps.long_term_ref_pics_present_flag
+    if sps.long_term_ref_pics_present_flag:
+        # spec 7.3.2.2: SPS-level long-term reference candidates
+        n_lt = br.ue()
+        sps._lt_poc_lsb_sps = []
+        sps._lt_used_sps = []
+        for _ in range(n_lt):
+            sps._lt_poc_lsb_sps.append(
+                br.u(sps.log2_max_pic_order_cnt_lsb_minus4 + 4))
+            sps._lt_used_sps.append(br.flag())
     sps.sps_temporal_mvp_enabled_flag = br.flag()
     sps.strong_intra_smoothing_enabled_flag = br.flag()
     sps.vui_parameters_present_flag = br.flag()
@@ -232,24 +283,95 @@ def parse_pps(rbsp: bytes) -> PPS:
     return pps
 
 
-def parse_slice_header(rbsp: bytes, nal_type: int, sps: SPS, pps: PPS
-                       ) -> tuple:
+def _parse_wp_table(br: BitReader, sh: SliceHeader, sps: SPS) -> None:
+    """pred_weight_table (spec 7.3.6.3; reference TDecCAVLC
+    parsePredWeightTable:1340). Stores per-list per-ref weights:
+    sh.wp_tables[list][ref] = (luma (w, o) or None,
+                               chroma [(w, o), (w, o)] or None)."""
+    sh.wp_log2_denom = br.ue()
+    chroma = sps.chroma_format_idc != 0
+    cdenom = sh.wp_log2_denom
+    if chroma:
+        cdenom = sh.wp_log2_denom + br.se()
+    sh.wp_chroma_log2_denom = cdenom
+    nlists = 2 if sh.slice_type == SliceType.B else 1
+    sh.wp_tables = [[], []]
+    for lx in range(nlists):
+        nref = sh.num_ref_idx_active[lx]
+        lflags = [br.flag() for _ in range(nref)]
+        cflags = ([br.flag() for _ in range(nref)] if chroma
+                  else [0] * nref)
+        for i in range(nref):
+            lw = None
+            if lflags[i]:
+                w = (1 << sh.wp_log2_denom) + br.se()
+                o = br.se()
+                lw = (w, o)
+            cw = None
+            if cflags[i]:
+                cw = []
+                for _ in range(2):
+                    w = (1 << cdenom) + br.se()
+                    delta_off = br.se()
+                    # spec 7.4.7.3 ChromaOffset derivation
+                    shift = 1 << 7   # 8-bit weighted pred offset range
+                    o = max(-128, min(127,
+                                      delta_off + shift
+                                      - ((shift * w) >> cdenom)))
+                    cw.append((w, o))
+            sh.wp_tables[lx].append((lw, cw))
+    # legacy single-weight fields (list 0, ref 0 luma)
+    if sh.wp_tables[0] and sh.wp_tables[0][0][0] is not None:
+        sh.wp_luma_flag = 1
+        sh.wp_weight, sh.wp_offset = sh.wp_tables[0][0][0]
+
+
+def parse_slice_header(rbsp: bytes, nal_type: int, sps: SPS, pps: PPS,
+                       prev_tid0_poc: int = 0) -> tuple:
     """Returns (SliceHeader, offset_bytes) where offset is the start of the
-    CABAC slice data within the RBSP."""
+    CABAC slice data within the RBSP. prev_tid0_poc drives the POC-msb
+    derivation (spec 8.3.1; reference TDecCAVLC parseSliceHeader:1011)."""
     br = BitReader(rbsp)
     sh = SliceHeader(nal_unit_type=nal_type)
     sh.first_slice_segment_in_pic_flag = br.flag()
-    assert sh.first_slice_segment_in_pic_flag, "multi-slice unsupported"
     if 16 <= nal_type <= 23:
         sh.no_output_of_prior_pics_flag = br.flag()
     sh.slice_pic_parameter_set_id = br.ue()
+    sh.dependent_slice_segment_flag = 0
+    sh.slice_segment_address = 0
+    if not sh.first_slice_segment_in_pic_flag:
+        if pps.dependent_slice_segments_enabled_flag:
+            sh.dependent_slice_segment_flag = br.flag()
+            assert not sh.dependent_slice_segment_flag, \
+                "dependent slice segments unsupported"
+        ctus = (-(-sps.pic_width_in_luma_samples // sps.ctu_size)
+                * -(-sps.pic_height_in_luma_samples // sps.ctu_size))
+        nbits = max(1, (ctus - 1).bit_length())
+        sh.slice_segment_address = br.u(nbits)
+    for _ in range(pps.num_extra_slice_header_bits):
+        br.flag()
     sh.slice_type = SliceType(br.ue())
     if pps.output_flag_present_flag:
         br.flag()
     is_idr = nal_type in (19, 20)
+    sh.lt_pocs = []       # long-term reference POCs (resolved or lsb-only)
+    sh.lt_used = []
+    sh.lt_has_msb = []
     if not is_idr:
         nbits = sps.log2_max_pic_order_cnt_lsb_minus4 + 4
-        sh.poc = br.u(nbits)
+        poc_lsb = br.u(nbits)
+        max_lsb = 1 << nbits
+        prev_lsb = prev_tid0_poc & (max_lsb - 1)
+        prev_msb = prev_tid0_poc - prev_lsb
+        if poc_lsb < prev_lsb and prev_lsb - poc_lsb >= max_lsb // 2:
+            msb = prev_msb + max_lsb
+        elif poc_lsb > prev_lsb and poc_lsb - prev_lsb > max_lsb // 2:
+            msb = prev_msb - max_lsb
+        else:
+            msb = prev_msb
+        if nal_type in (16, 17, 18):   # BLA: POCmsb = 0
+            msb = 0
+        sh.poc = msb + poc_lsb
         if br.flag():  # short_term_ref_pic_set_sps_flag
             sh.short_term_ref_pic_set_sps_flag = 1
             n = len(sps.short_term_rps)
@@ -258,14 +380,54 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: SPS, pps: PPS
                 sh.rps_sps_idx = br.u(max(1, math.ceil(math.log2(n))))
             sh.rps = sps.short_term_rps[sh.rps_sps_idx]
         else:
-            sh.rps = parse_st_rps(br, len(sps.short_term_rps), [])
+            sh.rps = parse_st_rps(br, len(sps.short_term_rps),
+                                  sps.short_term_rps,
+                                  in_slice_header=True)
+        if sps.long_term_ref_pics_present_flag:
+            # spec 7.3.6.1 long-term part; reference TDecCAVLC:1066-1146
+            n_sps_cand = len(getattr(sps, "_lt_poc_lsb_sps", []))
+            num_lt_sps = br.ue() if n_sps_cand > 0 else 0
+            bits_lt = max(0, (max(n_sps_cand - 1, 0)).bit_length()) \
+                if n_sps_cand > 1 else 0
+            num_lt_pics = br.ue()
+            prev_delta_msb = 0
+            delta_msb_cycle = 0
+            total = num_lt_sps + num_lt_pics
+            for k in range(total):
+                if k < num_lt_sps:
+                    idx = br.u(bits_lt) if bits_lt > 0 else 0
+                    poc_lsb_lt = sps._lt_poc_lsb_sps[idx]
+                    used = sps._lt_used_sps[idx]
+                else:
+                    poc_lsb_lt = br.u(nbits)
+                    used = br.flag()
+                msb_present = br.flag()
+                if msb_present:
+                    cyc = br.ue()
+                    if k == 0 or k == num_lt_sps:
+                        delta_msb_cycle = cyc
+                    else:
+                        delta_msb_cycle = cyc + prev_delta_msb
+                    poc_lt = (sh.poc - delta_msb_cycle * max_lsb
+                              - poc_lsb + poc_lsb_lt)
+                    sh.lt_pocs.append(poc_lt)
+                    sh.lt_has_msb.append(True)
+                else:
+                    if k == num_lt_sps:
+                        delta_msb_cycle = 0
+                    sh.lt_pocs.append(poc_lsb_lt)
+                    sh.lt_has_msb.append(False)
+                sh.lt_used.append(used)
+                prev_delta_msb = delta_msb_cycle
         if sps.sps_temporal_mvp_enabled_flag:
             sh.slice_temporal_mvp_enabled_flag = br.flag()
     else:
         sh.poc = 0
     if sps.sample_adaptive_offset_enabled_flag:
         sh.slice_sao_luma_flag = br.flag()
-        sh.slice_sao_chroma_flag = br.flag()
+        if sps.chroma_format_idc != 0:
+            sh.slice_sao_chroma_flag = br.flag()
+    sh.list_entries = [None, None]
     if sh.slice_type != SliceType.I:
         override = br.flag()
         n0 = pps.num_ref_idx_l0_default_active_minus1 + 1
@@ -275,6 +437,17 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: SPS, pps: PPS
             if sh.slice_type == SliceType.B:
                 n1 = br.ue() + 1
         sh.num_ref_idx_active = [n0, n1 if sh.slice_type == SliceType.B else 0]
+        # NumPicTotalCurr (spec 7.4.7.2): used st + used lt pictures
+        n_curr = (sum(sh.rps.used_flags) if sh.rps else 0) \
+            + sum(sh.lt_used)
+        if pps.lists_modification_present_flag and n_curr > 1:
+            # ref_pic_list_modification (spec 7.3.6.2; reference
+            # TDecCAVLC.cpp:1216)
+            ebits = max(1, (n_curr - 1).bit_length())
+            if br.flag():
+                sh.list_entries[0] = [br.u(ebits) for _ in range(n0)]
+            if sh.slice_type == SliceType.B and br.flag():
+                sh.list_entries[1] = [br.u(ebits) for _ in range(n1)]
         if sh.slice_type == SliceType.B:
             sh.mvd_l1_zero_flag = br.flag()
         if pps.cabac_init_present_flag:
@@ -285,39 +458,30 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: SPS, pps: PPS
             lidx = 0 if sh.collocated_from_l0_flag else 1
             if sh.num_ref_idx_active[lidx] > 1:
                 sh.collocated_ref_idx = br.ue()
-        if pps.weighted_pred_flag and sh.slice_type == SliceType.P:
-            sh.wp_log2_denom = br.ue()
-            cdenom = sh.wp_log2_denom
-            if sps.chroma_format_idc != 0:
-                cdenom = sh.wp_log2_denom + br.se()
-            nref = sh.num_ref_idx_active[0]
-            lflags = [br.flag() for _ in range(nref)]
-            cflags = ([br.flag() for _ in range(nref)]
-                      if sps.chroma_format_idc != 0 else [0] * nref)
-            for i in range(nref):
-                if lflags[i]:
-                    w = (1 << sh.wp_log2_denom) + br.se()
-                    o = br.se()
-                    if i == 0:
-                        sh.wp_luma_flag = 1
-                        sh.wp_weight = w
-                        sh.wp_offset = o
-                if cflags[i]:
-                    for _ in range(2):
-                        br.se()
-                        br.se()
-            assert not any(cflags), "chroma WP not supported"
+        if ((pps.weighted_pred_flag and sh.slice_type == SliceType.P)
+                or (pps.weighted_bipred_flag
+                    and sh.slice_type == SliceType.B)):
+            _parse_wp_table(br, sh, sps)
         sh.five_minus_max_num_merge_cand = br.ue()
     sh.slice_qp = 26 + pps.init_qp_minus26 + br.se()
     if pps.pps_slice_chroma_qp_offsets_present_flag:
         sh.slice_cb_qp_offset = br.se()
         sh.slice_cr_qp_offset = br.se()
-    if pps.deblocking_filter_control_present_flag:
-        if pps.deblocking_filter_override_enabled_flag:
-            if br.flag():
-                raise NotImplementedError("deblocking override")
     deblock_disabled = pps.pps_deblocking_filter_disabled_flag
+    beta_off = pps.pps_beta_offset_div2
+    tc_off = pps.pps_tc_offset_div2
+    if pps.deblocking_filter_control_present_flag:
+        override_db = 0
+        if pps.deblocking_filter_override_enabled_flag:
+            override_db = br.flag()
+        if override_db:
+            deblock_disabled = br.flag()
+            if not deblock_disabled:
+                beta_off = br.se()
+                tc_off = br.se()
     sh.slice_deblocking_filter_disabled_flag = deblock_disabled
+    sh.slice_beta_offset_div2 = beta_off
+    sh.slice_tc_offset_div2 = tc_off
     if (pps.pps_loop_filter_across_slices_enabled_flag
             and (sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag
                  or not deblock_disabled)):
@@ -328,6 +492,10 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: SPS, pps: PPS
             olen = br.ue() + 1
             sh.entry_point_offsets = [br.u(olen) + 1
                                       for _ in range(n_entry)]
+    if pps.slice_segment_header_extension_present_flag:
+        ext_len = br.ue()
+        for _ in range(ext_len):
+            br.u(8)
     br.u(1)  # alignment bit one
     br.byte_align()
     return sh, br.byte_pos

@@ -46,11 +46,14 @@ def _pu_rect(part, pu, n):
 
 class CtuReconstructor:
     def __init__(self, sps: SPS, slice_qp: int,
-                 refs_l0=None, refs_l1=None, wp=None):
+                 refs_l0=None, refs_l1=None, wp=None, wp_tables=None,
+                 wp_denoms=(6, 6), slice_start_ctu: int = 0):
         """refs_l0/refs_l1: per-list padded reference pictures (each a
         [Y,Cb,Cr] plane list), indexed by ref_idx (spec 8.5.3.1).
-        wp: (log2_denom, weight, offset) explicit luma weighting for
-        list-0 references, or None."""
+        wp: legacy (log2_denom, weight, offset) explicit luma weighting
+        for list-0 ref 0. wp_tables: full pred_weight_table —
+        wp_tables[list][ref] = (luma (w, o) or None, chroma
+        [(w, o), (w, o)] or None); wp_denoms = (luma, chroma) log2."""
         self.sps = sps
         self.qp = slice_qp
         self.qp_c = tables.chroma_qp(slice_qp, sps.chroma_format_idc)
@@ -61,10 +64,13 @@ class CtuReconstructor:
         self.avail = AvailabilityMap(
             self.w, self.h, self.ctu,
             tile_cols=getattr(sps, "_tile_cols", 0),
-            tile_rows=getattr(sps, "_tile_rows", 0))
+            tile_rows=getattr(sps, "_tile_rows", 0),
+            slice_start_ctu=slice_start_ctu)
         self.refs_l0 = refs_l0 or []
         self.refs_l1 = refs_l1 if refs_l1 is not None else self.refs_l0
         self.wp = wp
+        self.wp_tables = wp_tables
+        self.wp_denoms = wp_denoms
 
     def set_qp(self, qp: int) -> None:
         """Per-CTU QP for cu_qp_delta streams (the signalled group QP —
@@ -195,13 +201,37 @@ class CtuReconstructor:
                                False, luma_pos=(bx, by, 2, 2),
                                ts=self._ts_of(d, blx, bly, 0x40))
 
-    def _pu_pred(self, d, ctu_x0, ctu_y0, px, py, pw, ph):
+    def _clip_mv(self, mv, cu_x, cu_y):
+        """MV clip to picture + margin (reference TComDataCU::clipMv
+        :2907, applied in TComPrediction::xPredInterUni:594 on both the
+        encoder and decoder paths — merge/AMVP candidates can point far
+        outside the padded reference area)."""
+        off = 8
+        hmax = (self.w + off - cu_x - 1) << 2
+        hmin = (-self.ctu - off - cu_x + 1) << 2
+        vmax = (self.h + off - cu_y - 1) << 2
+        vmin = (-self.ctu - off - cu_y + 1) << 2
+        return (min(hmax, max(hmin, mv[0])), min(vmax, max(vmin, mv[1])))
+
+    def _wp_of(self, lx, ridx):
+        if self.wp_tables is not None:
+            tab = self.wp_tables[lx]
+            if ridx < len(tab):
+                return tab[ridx]
+        if self.wp is not None and lx == 0 and ridx == 0:
+            dnm, wgt, off = self.wp
+            return ((wgt, off), None)
+        return (None, None)
+
+    def _pu_pred(self, d, ctu_x0, ctu_y0, px, py, pw, ph, cu_x, cu_y):
         """Prediction planes for one PU rectangle (spec 8.5.3)."""
         bi, bj = (py - ctu_y0) >> 2, (px - ctu_x0) >> 2
-        mv = (int(d.mv_x[bi, bj]), int(d.mv_y[bi, bj]))
+        mv = self._clip_mv((int(d.mv_x[bi, bj]), int(d.mv_y[bi, bj])),
+                           cu_x, cu_y)
         r0 = int(d.ref_idx[bi, bj])
         r1 = int(d.ref_idx1[bi, bj])
-        mv1 = (int(d.mv_x1[bi, bj]), int(d.mv_y1[bi, bj]))
+        mv1 = self._clip_mv((int(d.mv_x1[bi, bj]), int(d.mv_y1[bi, bj])),
+                            cu_x, cu_y)
         cw, chh = pw >> 1, ph >> 1
         if r0 >= 0 and r1 >= 0:  # bi-prediction (spec 8.5.3.3.3)
             f0, f1 = self.refs_l0[r0], self.refs_l1[r1]
@@ -213,18 +243,31 @@ class CtuReconstructor:
                                    py >> 1, cw, chh, self.bd, False)
         else:
             umv = mv if r0 >= 0 else mv1
-            f = self.refs_l0[r0] if r0 >= 0 else self.refs_l1[r1]
-            if self.wp is not None and r0 >= 0:
-                dnm, wgt, off = self.wp
+            lx = 0 if r0 >= 0 else 1
+            ridx = r0 if r0 >= 0 else r1
+            f = self.refs_l0[ridx] if lx == 0 else self.refs_l1[ridx]
+            lw, cwts = self._wp_of(lx, ridx)
+            if lw is not None:
                 py_ = mc_predict_wp_np(f[0], PAD, umv[0], umv[1], px, py,
-                                       pw, ph, self.bd, True, wgt, off, dnm)
+                                       pw, ph, self.bd, True, lw[0], lw[1],
+                                       self.wp_denoms[0])
             else:
                 py_ = mc_predict_np(f[0], PAD, umv[0], umv[1], px, py,
                                     pw, ph, self.bd, True)
-            pcb = mc_predict_np(f[1], PAD, umv[0], umv[1], px >> 1,
-                                py >> 1, cw, chh, self.bd, False)
-            pcr = mc_predict_np(f[2], PAD, umv[0], umv[1], px >> 1,
-                                py >> 1, cw, chh, self.bd, False)
+            if cwts is not None:
+                pcb = mc_predict_wp_np(f[1], PAD, umv[0], umv[1], px >> 1,
+                                       py >> 1, cw, chh, self.bd, False,
+                                       cwts[0][0], cwts[0][1],
+                                       self.wp_denoms[1])
+                pcr = mc_predict_wp_np(f[2], PAD, umv[0], umv[1], px >> 1,
+                                       py >> 1, cw, chh, self.bd, False,
+                                       cwts[1][0], cwts[1][1],
+                                       self.wp_denoms[1])
+            else:
+                pcb = mc_predict_np(f[1], PAD, umv[0], umv[1], px >> 1,
+                                    py >> 1, cw, chh, self.bd, False)
+                pcr = mc_predict_np(f[2], PAD, umv[0], umv[1], px >> 1,
+                                    py >> 1, cw, chh, self.bd, False)
         return py_, pcb, pcr
 
     def _recon_inter_cu(self, d, recon, ctu_x0, ctu_y0, x0, y0, log2):
@@ -239,7 +282,8 @@ class CtuReconstructor:
         for pu in range(npu):
             ox, oy, pw, ph = _pu_rect(part, pu, size)
             px, py = x0 + ox, y0 + oy
-            py_, pcb, pcr = self._pu_pred(d, ctu_x0, ctu_y0, px, py, pw, ph)
+            py_, pcb, pcr = self._pu_pred(d, ctu_x0, ctu_y0, px, py, pw, ph,
+                                          x0, y0)
             pred_y[py - y0:py - y0 + ph, px - x0:px - x0 + pw] = py_
             pred_cb[(py - y0) >> 1:((py - y0) >> 1) + (ph >> 1),
                     (px - x0) >> 1:((px - x0) >> 1) + (pw >> 1)] = pcb
@@ -271,3 +315,22 @@ class CtuReconstructor:
                     d.coeff_cr[tly >> 1:(tly >> 1) + csz,
                                tlx >> 1:(tlx >> 1) + csz],
                     ts=(csz == 4 and self._ts_of(d, tlx, tly, 0x40)))
+            elif blk == 3:
+                # 8x8 TU split into 4x4 lumas: the single 4x4 chroma TB
+                # rides the last child, placed at the parent origin
+                # (spec 7.3.8.8 — same structure as the intra path)
+                bx, by = tx - (1 << tlog2), ty - (1 << tlog2)
+                blx, bly = bx - ctu_x0, by - ctu_y0
+                cyy, cxx = (by - y0) >> 1, (bx - x0) >> 1
+                self._add_resid(
+                    recon, pred_cb[cyy:cyy + 4, cxx:cxx + 4],
+                    bx >> 1, by >> 1, 4, 1,
+                    d.coeff_cb[bly >> 1:(bly >> 1) + 4,
+                               blx >> 1:(blx >> 1) + 4],
+                    ts=self._ts_of(d, blx, bly, 0x20))
+                self._add_resid(
+                    recon, pred_cr[cyy:cyy + 4, cxx:cxx + 4],
+                    bx >> 1, by >> 1, 4, 2,
+                    d.coeff_cr[bly >> 1:(bly >> 1) + 4,
+                               blx >> 1:(blx >> 1) + 4],
+                    ts=self._ts_of(d, blx, bly, 0x40))

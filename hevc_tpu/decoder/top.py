@@ -5,9 +5,11 @@ TDecTop.cpp:698) + TDecGop::filterPicture's decoded-picture-hash
 conformance check (TDecGop.cpp:209) + TAppDecTop::xWriteOutput output
 bumping (TAppDecTop.cpp:262 — hold pictures until more than
 sps_max_num_reorder_pics are waiting, then emit in POC order).
-Maintains a multi-picture DPB keyed by POC so random-access
-hierarchical-B streams with past+future reference lists decode.
-Parsers assert on unsupported tools (tiles/WPP/TMVP).
+Decodes general HM-16.4 Main/Main10 streams: full POC-msb derivation
+(TDecCAVLC.cpp:1011), multi-slice pictures, reference-list construction
+with ref_pic_list_modification and long-term pictures
+(TComSlice::setRefPicList), MD5/CRC/checksum hash types, and the
+clipMv motion-vector clamp on reconstruction.
 """
 from __future__ import annotations
 
@@ -28,35 +30,49 @@ from .recon import PAD, CtuReconstructor
 DPB_KEEP = 32
 
 
+class MissingReferenceError(RuntimeError):
+    """A reference picture named by the RPS is absent from the DPB
+    (reference TDecTop::xCreateLostPicture trigger)."""
+
+
 class DecoderTop:
-    def __init__(self, collect_stats: bool = False):
+    def __init__(self, collect_stats: bool = False, conceal: bool = False):
         self.vps: Optional[VPS] = None
         self.sps: Optional[SPS] = None
         self.pps: Optional[PPS] = None
         self.collect_stats = collect_stats
+        self.conceal = conceal
         self.stats: List[dict] = []   # per-picture analyser records
         self.dpb: Dict[int, List[np.ndarray]] = {}    # poc -> recon planes
+        self.dpb_lt: Dict[int, bool] = {}             # poc -> is long-term
         self.dpb_motion: Dict[int, dict] = {}         # poc -> motion field
         self.out_buf: List[Tuple[int, int, List[np.ndarray]]] = []
         self.cvs = 0
         self.hash_status: List[str] = []
         self.pic_structs = []  # pic_timing SEI per AU (field weaving)
         self._last_decoded = None
+        self.prev_tid0_poc = 0
+        self._pic = None       # in-progress picture accumulator
 
     def decode_stream(self, data: bytes) -> Iterator[List[np.ndarray]]:
         """Yields decoded frames (lists of planes) in output order."""
         for nal in split_annexb(data):
             nal_type, tid, rbsp = nal_to_rbsp(nal)
             if nal_type == 32:
+                self._finalize_picture()
                 self.vps = dh.parse_vps(rbsp)
             elif nal_type == 33:
+                self._finalize_picture()
                 self.sps = dh.parse_sps(rbsp)
             elif nal_type == 34:
+                self._finalize_picture()
                 self.pps = dh.parse_pps(rbsp)
             elif nal_type == 39 or nal_type == 40:
-                digests = self._parse_hash_sei(rbsp)
+                self._finalize_picture()
+                digests, hash_type = self._parse_hash_sei(rbsp)
                 if digests and self._last_decoded is not None:
-                    ok = self._check_hash(self._last_decoded, digests)
+                    ok = self._check_hash(self._last_decoded, digests,
+                                          hash_type)
                     self.hash_status.append("OK" if ok else "ERROR")
                 from ..entropy.sei import parse_sei_messages, PIC_TIMING
                 for (ptype, body) in parse_sei_messages(rbsp):
@@ -64,28 +80,35 @@ class DecoderTop:
                         # pic_struct u(4) is the first field (D.2.3)
                         self.pic_structs.append(body[0] >> 4)
             elif nal_type <= 21:  # VCL
-                if nal_type in (19, 20):   # IDR: new CVS, flush + clear DPB
-                    yield from self._bump(all_pics=True)
-                    self.dpb = {}
-                    self.dpb_motion = {}
-                    self.cvs += 1
+                sh, offset = dh.parse_slice_header(
+                    rbsp, nal_type, self.sps, self.pps,
+                    prev_tid0_poc=self.prev_tid0_poc)
+                sh.temporal_id = tid
+                if sh.first_slice_segment_in_pic_flag:
+                    self._finalize_picture()
+                    if nal_type in (16, 17, 18, 19, 20):
+                        # IRAP with DPB reset (IDR/BLA): flush + clear
+                        yield from self._bump(all_pics=True)
+                        self.dpb = {}
+                        self.dpb_lt = {}
+                        self.dpb_motion = {}
+                        self.cvs += 1
+                    self._start_picture(sh)
                 try:
-                    recon, poc = self._decode_slice(nal_type, rbsp)
-                except (AssertionError, IndexError, ValueError) as e:
-                    # corrupt/truncated slice: conceal by dropping the
-                    # picture (reference TDecTop lost-picture handling,
-                    # TDecTop.cpp:223) and keep decoding
+                    self._decode_slice_into(sh, rbsp, offset)
+                except MissingReferenceError as e:
+                    if not self.conceal:
+                        raise
+                    # lost-picture concealment (reference
+                    # TDecTop::xCreateLostPicture:223): substitute the
+                    # closest DPB picture and keep decoding
                     import sys
-                    print(f"warning: slice decode failed ({e}); "
-                          "picture dropped", file=sys.stderr)
-                    self.hash_status.append("LOST")
-                    continue
-                self._last_decoded = recon
-                self.dpb[poc] = recon
-                for old in [p for p in self.dpb if p < poc - DPB_KEEP]:
-                    del self.dpb[old]
-                self.out_buf.append((self.cvs, poc, recon))
+                    print(f"warning: {e}; concealing", file=sys.stderr)
+                    self._conceal_missing_refs(sh)
+                    self._decode_slice_into(sh, rbsp, offset)
+                # picture-level output happens at finalize
                 yield from self._bump(all_pics=False)
+        self._finalize_picture()
         yield from self._bump(all_pics=True)
 
     def _bump(self, all_pics: bool) -> Iterator[List[np.ndarray]]:
@@ -97,36 +120,98 @@ class DecoderTop:
 
     # ------------------------------------------------------------------
     def _parse_hash_sei(self, rbsp: bytes):
-        if len(rbsp) < 2 or rbsp[0] != 132:
-            return None
-        size = rbsp[1]
-        if rbsp[2] != 0:  # not MD5
-            return None
-        body = rbsp[3:3 + size - 1]
-        return [body[i:i + 16] for i in range(0, len(body), 16)]
+        from ..entropy.sei import parse_sei_messages, DECODED_PICTURE_HASH
+        for (ptype, body) in parse_sei_messages(rbsp):
+            if ptype == DECODED_PICTURE_HASH and body:
+                hash_type = body[0]
+                per = {0: 16, 1: 2, 2: 4}.get(hash_type)
+                if per is None:
+                    return None, None
+                digests = [body[1 + i:1 + i + per]
+                           for i in range(0, len(body) - 1, per)]
+                return digests, hash_type
+        return None, None
 
-    def _check_hash(self, planes, digests) -> bool:
-        from ..entropy.sei import picture_md5
-        ours = picture_md5(planes, self.sps.bit_depth_luma)
-        return all(a == b for a, b in zip(ours, digests))
+    def _check_hash(self, planes, digests, hash_type) -> bool:
+        from ..entropy.sei import picture_hash
+        ours = picture_hash(planes, self.sps.bit_depth_luma, hash_type)
+        return (len(ours) == len(digests)
+                and all(a == b for a, b in zip(ours, digests)))
 
-    def _decode_slice(self, nal_type: int, rbsp: bytes):
+    # ------------------------------------------------------------------
+    def _ref_lists(self, sh) -> Tuple[List[int], List[int], List[bool]]:
+        """Final L0/L1 reference POC lists (spec 8.3.4; reference
+        TComSlice::setRefPicList — temp list st0/st1/lt cyclically
+        extended, then ref_pic_list_modification entries applied).
+        Returns (l0, l1, lt_flags_by_temp_idx)."""
+        if sh.slice_type == SliceType.I or sh.rps is None:
+            return [], [], []
+        st0 = [sh.poc + d for d, u in zip(sh.rps.delta_pocs,
+                                          sh.rps.used_flags)
+               if d < 0 and u]
+        st1 = [sh.poc + d for d, u in zip(sh.rps.delta_pocs,
+                                          sh.rps.used_flags)
+               if d > 0 and u]
+        max_lsb = 1 << (self.sps.log2_max_pic_order_cnt_lsb_minus4 + 4)
+        lt = []
+        for poc_or_lsb, used, has_msb in zip(sh.lt_pocs, sh.lt_used,
+                                             sh.lt_has_msb):
+            if not used:
+                continue
+            if has_msb:
+                lt.append(poc_or_lsb)
+            else:
+                # match by POC lsb in the DPB (spec 8.3.2 "PocLsbLt")
+                cand = [p for p in self.dpb
+                        if (p & (max_lsb - 1)) == poc_or_lsb]
+                lt.append(max(cand) if cand else poc_or_lsb)
+        for p in lt:
+            self.dpb_lt[p] = True   # keep past DPB_KEEP eviction
+        temp0 = st0 + st1 + lt
+        temp1 = st1 + st0 + lt
+        n_total = len(temp0)
+        if n_total == 0:
+            return [], [], []
+        is_lt = [i >= len(st0) + len(st1) for i in range(n_total)]
+        n0, n1 = sh.num_ref_idx_active
+        ent0 = sh.list_entries[0]
+        ent1 = sh.list_entries[1]
+        l0 = [temp0[ent0[r] if ent0 else r % n_total] for r in range(n0)]
+        l1 = ([temp1[ent1[r] if ent1 else r % n_total] for r in range(n1)]
+              if sh.slice_type == SliceType.B else [])
+        return l0, l1, is_lt
+
+    def _start_picture(self, sh) -> None:
+        sps = self.sps
+        w, h = sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples
+        csh = 0 if sps.chroma_format_idc == 3 else 1
+        recon = [np.zeros((h, w), np.int16),
+                 np.zeros((h >> csh, w >> csh), np.int16),
+                 np.zeros((h >> csh, w >> csh), np.int16)]
+        ctus_w = sps.pic_width_in_ctus
+        ctus_h = sps.pic_height_in_ctus
+        self._pic = {
+            "sh0": sh, "recon": recon,
+            "decisions": [None] * (ctus_w * ctus_h),
+            "slices": [],         # (sh, first_ctu_idx, n_ctus) per slice
+            "qp_pred": None, "qp_fin": None,
+            "ref_l0": [], "ref_l1": [],
+        }
+
+    def _conceal_missing_refs(self, sh) -> None:
+        l0, l1, _ = self._ref_lists(sh)
+        for rp in set(l0 + l1):
+            if rp not in self.dpb:
+                if not self.dpb:
+                    raise MissingReferenceError(
+                        f"no pictures available to conceal POC {rp}")
+                closest = min(self.dpb, key=lambda p: abs(p - rp))
+                self.dpb[rp] = [p.copy() for p in self.dpb[closest]]
+
+    def _decode_slice_into(self, sh, rbsp: bytes, offset: int) -> None:
         sps, pps = self.sps, self.pps
-        sh, offset = dh.parse_slice_header(rbsp, nal_type, sps, pps)
         slice_data = rbsp[offset:]
-        ref_pocs_l0: List[int] = []
-        ref_pocs_l1: List[int] = []
-        if sh.slice_type != SliceType.I and sh.rps is not None:
-            negs = sorted([d for d, u in zip(sh.rps.delta_pocs,
-                                             sh.rps.used_flags)
-                           if d < 0 and u], reverse=True)
-            poss = sorted([d for d, u in zip(sh.rps.delta_pocs,
-                                             sh.rps.used_flags)
-                           if d > 0 and u])
-            # default list construction (spec 8.3.4): L0 = negatives then
-            # positives; L1 = positives then negatives
-            ref_pocs_l0 = [sh.poc + d for d in (negs + poss)]
-            ref_pocs_l1 = [sh.poc + d for d in (poss + negs)]
+        ref_pocs_l0, ref_pocs_l1, _ = self._ref_lists(sh)
         nl0 = max(1, sh.num_ref_idx_active[0])
         nl1 = (sh.num_ref_idx_active[1]
                if sh.slice_type == SliceType.B else 0)
@@ -144,6 +229,9 @@ class DecoderTop:
             pcm=sps.pcm_enabled_flag,
             sign_hiding=pps.sign_data_hiding_enabled_flag,
             max_merge_cand=5 - sh.five_minus_max_num_merge_cand,
+            cabac_init=sh.cabac_init_flag,
+            col_from_l0=sh.collocated_from_l0_flag,
+            slice_start_ctu=sh.slice_segment_address,
             num_ref_l0=nl0, num_ref_l1=nl1,
             mvd_l1_zero=sh.mvd_l1_zero_flag,
             ref_poc_l0=ref_pocs_l0[:16], ref_poc_l1=ref_pocs_l1[:16],
@@ -156,10 +244,16 @@ class DecoderTop:
             if pps.tiles_enabled_flag else 0)
         sp.wpp = pps.entropy_coding_sync_enabled_flag
         sdec = cabac.SliceDataDecoder(sp, slice_data)
-        if (sh.slice_temporal_mvp_enabled_flag and ref_pocs_l0
-                and ref_pocs_l0[0] in self.dpb_motion):
-            cabac.set_collocated(sdec, self.dpb_motion[ref_pocs_l0[0]],
-                                 False)
+        if sh.slice_temporal_mvp_enabled_flag:
+            col_list = (ref_pocs_l0 if sh.collocated_from_l0_flag
+                        else ref_pocs_l1)
+            if (col_list and sh.collocated_ref_idx < len(col_list)
+                    and col_list[sh.collocated_ref_idx]
+                    in self.dpb_motion):
+                cabac.set_collocated(
+                    sdec,
+                    self.dpb_motion[col_list[sh.collocated_ref_idx]],
+                    False)
         if ((pps.entropy_coding_sync_enabled_flag
              or pps.tiles_enabled_flag) and sh.entry_point_offsets):
             # map NAL-payload entry offsets (incl. emulation prevention)
@@ -189,16 +283,14 @@ class DecoderTop:
                 zeros = zeros + 1 if b == 0 else 0
             sdec.set_entry_points(raw_offs)
         w, h = sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples
-        csh = 0 if sps.chroma_format_idc == 3 else 1
-        recon = [np.zeros((h, w), np.int16),
-                 np.zeros((h >> csh, w >> csh), np.int16),
-                 np.zeros((h >> csh, w >> csh), np.int16)]
         refs_l0 = refs_l1 = None
         if sh.slice_type != SliceType.I:
             def resolve(pocs, n):
                 out = []
                 for rp in pocs[:n]:
-                    assert rp in self.dpb, f"missing reference POC {rp}"
+                    if rp not in self.dpb:
+                        raise MissingReferenceError(
+                            f"missing reference POC {rp}")
                     out.append([pad_plane(p, PAD) for p in self.dpb[rp]])
                 return out
             refs_l0 = resolve(ref_pocs_l0, nl0)
@@ -207,58 +299,111 @@ class DecoderTop:
                           if pps.tiles_enabled_flag else 0)
         sps._tile_rows = (pps.num_tile_rows_minus1 + 1
                           if pps.tiles_enabled_flag else 0)
+        wp_tables = getattr(sh, "wp_tables", None)
         wp = ((sh.wp_log2_denom, sh.wp_weight, sh.wp_offset)
-              if getattr(sh, "wp_luma_flag", 0) else None)
-        rc = CtuReconstructor(sps, sh.slice_qp, refs_l0, refs_l1, wp=wp)
+              if (wp_tables is None and getattr(sh, "wp_luma_flag", 0))
+              else None)
+        rc = CtuReconstructor(
+            sps, sh.slice_qp, refs_l0, refs_l1, wp=wp,
+            wp_tables=wp_tables,
+            wp_denoms=(getattr(sh, "wp_log2_denom", 6),
+                       getattr(sh, "wp_chroma_log2_denom", 6)),
+            slice_start_ctu=sh.slice_segment_address)
         ctus_w = sps.pic_width_in_ctus
-        ctus_h = sps.pic_height_in_ctus
         from ..entropy.cabac import tile_scan_order
         order = tile_scan_order(
             w, h, sps.ctu_size,
             pps.num_tile_columns_minus1 + 1 if pps.tiles_enabled_flag else 0,
             pps.num_tile_rows_minus1 + 1 if pps.tiles_enabled_flag else 0)
-        decisions = [None] * (ctus_w * ctus_h)
+        pic = self._pic
+        recon = pic["recon"]
+        decisions = pic["decisions"]
         dqp_on = pps.cu_qp_delta_enabled_flag
-        qp_fin = None
-        for k, (cx, cy) in enumerate(order):
+        assert not dqp_on or sh.slice_segment_address == 0, \
+            "cu_qp_delta with multi-slice pictures unsupported"
+        start = sh.slice_segment_address
+        n_done = 0
+        recon_q = []
+        for k in range(start, len(order)):
+            cx, cy = order[k]
             d, eos = sdec.decode_ctu(cx, cy)
             if dqp_on:
                 qp_pred, qp_fin = cabac.fetch_ctu_qps(
                     sdec, len(order), decoder=True)
+                pic["qp_pred"], pic["qp_fin"] = qp_pred, qp_fin
                 rc.set_qp(int(qp_fin[k]))
             rc.recon_ctu(d, cx, cy, recon)
             decisions[cy * ctus_w + cx] = d
-            assert eos == (1 if k == len(order) - 1 else 0), \
-                f"end_of_slice mismatch at CTU {cx},{cy}"
+            n_done += 1
+            if eos:
+                break
+        assert start + n_done <= len(order)
+        if start + n_done == len(order):
+            assert eos == 1, "end_of_slice missing at final CTU"
+        pic["slices"].append((sh, start, n_done))
+        pic["bytes"] = pic.get("bytes", 0) + len(slice_data)
+        pic["ref_l0"], pic["ref_l1"] = ref_pocs_l0[:nl0], ref_pocs_l1[:nl1]
+
+    def _finalize_picture(self) -> None:
+        """Deblock + SAO + DPB/output bookkeeping once every slice of the
+        current picture has been decoded (reference
+        TDecTop::executeLoopFilters / TDecGop::filterPicture)."""
+        pic, self._pic = self._pic, None
+        if pic is None:
+            return
+        sps, pps = self.sps, self.pps
+        sh = pic["sh0"]
+        recon = pic["recon"]
+        decisions = pic["decisions"]
+        covered = sum(n for (_s, _a, n) in pic["slices"])
+        assert covered == len(decisions) and all(
+            d is not None for d in decisions), \
+            f"picture POC {sh.poc} incomplete: {covered}/{len(decisions)}"
+        w, h = sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples
+        ctus_w = sps.pic_width_in_ctus
+        from ..entropy.cabac import tile_scan_order
+        order = tile_scan_order(
+            w, h, sps.ctu_size,
+            pps.num_tile_columns_minus1 + 1 if pps.tiles_enabled_flag else 0,
+            pps.num_tile_rows_minus1 + 1 if pps.tiles_enabled_flag else 0)
         if sps.sps_temporal_mvp_enabled_flag:
             self.dpb_motion[sh.poc] = cabac.motion_field(
-                decisions, sps, ref_pocs_l0[:nl0], ref_pocs_l1[:nl1],
-                sh.poc)
-        if not pps.pps_deblocking_filter_disabled_flag:
+                decisions, sps, pic["ref_l0"], pic["ref_l1"], sh.poc)
+        if not sh.slice_deblocking_filter_disabled_flag:
             from ..ops import deblock
-            dmaps = deblock.build_maps(
-                decisions, sps,
-                (ref_pocs_l0[:nl0], ref_pocs_l1[:nl1]))
+            dmaps = deblock.build_maps(decisions, sps,
+                                       (pic["ref_l0"], pic["ref_l1"]))
             qmap = None
-            if dqp_on and qp_fin is not None:
+            if pps.cu_qp_delta_enabled_flag and pic["qp_fin"] is not None:
                 from ..ops import qpmap
                 qmap = qpmap.build_qp_map(
-                    lambda i: decisions[i], order, qp_pred, qp_fin,
-                    sps.ctu_size, w, h)
+                    lambda i: decisions[i], order,
+                    pic["qp_pred"], pic["qp_fin"], sps.ctu_size, w, h)
             deblock.deblock_frame(recon, dmaps, sh.slice_qp, sps,
-                                  pps.pps_beta_offset_div2,
-                                  pps.pps_tc_offset_div2, qp_map=qmap)
-        if self.collect_stats:
-            self._collect(sh, decisions, len(slice_data))
+                                  sh.slice_beta_offset_div2,
+                                  sh.slice_tc_offset_div2, qp_map=qmap)
         if sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag:
             if sps.chroma_format_idc == 1:
                 from ..entropy.cabac import sao_apply_native
-                return (sao_apply_native(recon, [d.sao for d in decisions],
-                                         sps, sps.bit_depth_luma), sh.poc)
-            from ..ops import sao as saolib
-            recon = saolib.apply_sao(recon, [d.sao for d in decisions],
-                                     sps, sps.bit_depth_luma)
-        return recon, sh.poc
+                recon = sao_apply_native(recon,
+                                         [d.sao for d in decisions],
+                                         sps, sps.bit_depth_luma)
+            else:
+                from ..ops import sao as saolib
+                recon = saolib.apply_sao(recon, [d.sao for d in decisions],
+                                         sps, sps.bit_depth_luma)
+        if self.collect_stats:
+            self._collect(sh, decisions, pic.get("bytes", 0))
+        self._last_decoded = recon
+        self.dpb[sh.poc] = recon
+        # track prevTid0Poc (spec 8.3.1: TemporalId 0, not RASL/RADL/SLNR)
+        if sh.temporal_id == 0 and sh.nal_unit_type not in (6, 7, 8, 9):
+            self.prev_tid0_poc = sh.poc
+        lt_keep = {p for p, f in self.dpb_lt.items() if f}
+        for old in [p for p in self.dpb
+                    if p < sh.poc - DPB_KEEP and p not in lt_keep]:
+            del self.dpb[old]
+        self.out_buf.append((self.cvs, sh.poc, recon))
 
     def _collect(self, sh, decisions, data_bytes):
         """Per-picture analyser record (reference TAppDecAnalyser-style

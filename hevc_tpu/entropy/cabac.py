@@ -35,7 +35,10 @@ class SliceParamsC(ctypes.Structure):
         ("wp_cw", ctypes.c_int32 * 2), ("wp_co", ctypes.c_int32 * 2),
         ("cu_dqp", ctypes.c_int32),
         ("ctu_qps", ctypes.POINTER(ctypes.c_int8)),
-        ("pcm", ctypes.c_int32)]
+        ("pcm", ctypes.c_int32),
+        ("cabac_init", ctypes.c_int32),
+        ("col_from_l0", ctypes.c_int32),
+        ("slice_start_ctu", ctypes.c_int32)]
 
 
 def _build() -> None:
@@ -163,7 +166,10 @@ def make_slice_params(pic_w: int, pic_h: int, qp: int, slice_type: int = 2,
                       cur_poc: int = 0, wpp: int = 0, tile_cols: int = 0,
                       tile_rows: int = 0, amp: int = 0,
                       scaling_lists: int = 0, cu_dqp: int = 0,
-                      ctu_qps=None, pcm: int = 0) -> SliceParamsC:
+                      ctu_qps=None, pcm: int = 0,
+                      cabac_init: int = 0,
+                      col_from_l0: int = 1,
+                      slice_start_ctu: int = 0) -> SliceParamsC:
     sp = SliceParamsC(
         pic_w, pic_h, ctu_size, qp, slice_type, max_tu_depth_intra,
         max_tu_depth_inter, chroma_format, sign_hiding, transform_skip,
@@ -184,6 +190,9 @@ def make_slice_params(pic_w: int, pic_h: int, qp: int, slice_type: int = 2,
     sp.scaling_lists = scaling_lists
     sp.cu_dqp = cu_dqp
     sp.pcm = pcm
+    sp.cabac_init = cabac_init
+    sp.col_from_l0 = col_from_l0
+    sp.slice_start_ctu = slice_start_ctu
     if ctu_qps is not None:
         arr = np.ascontiguousarray(ctu_qps, dtype=np.int8)
         sp._ctu_qps_ref = arr  # keep alive

@@ -14,6 +14,13 @@ namespace hevctpu {
 namespace {
 constexpr uint8_t CNU = 154;
 
+// spec 9.3.2.2: cabac_init_flag swaps the P and B initialization tables
+// (reference TDecSbac::resetEntropy initType selection)
+inline int ctx_init_type(const SliceParams& sp) {
+  if (sp.cabac_init && sp.slice_type != 2) return 1 - sp.slice_type;
+  return sp.slice_type;
+}
+
 const uint8_t IV_SPLIT[3][3] = {{107,139,126},{107,139,126},{139,141,157}};
 const uint8_t IV_TQB[3][1] = {{154},{154},{154}};
 const uint8_t IV_SKIP[3][3] = {{197,185,201},{197,185,201},{CNU,CNU,CNU}};
@@ -259,7 +266,7 @@ static int16_t scale_mv(int mv, int td, int tb);
 // (col MV selection + POC-distance scaling). The per-4x4 col field reads
 // the 16x16-snapped position, matching the reference's motion compression
 // (stored MV = top-left 4x4 of each 16x16 region).
-bool PicMaps::temporal_mv(int x0, int y0, int w, int h, int list,
+bool PicMaps::temporal_mv(int x0, int y0, int w, int h, int list, int ref,
                           int16_t* omx, int16_t* omy) const {
   if (!col_mvx[0]) return false;
   int ctb_log2 = sp.max_cb_log2;
@@ -281,11 +288,22 @@ bool PicMaps::temporal_mv(int x0, int y0, int w, int h, int list,
     bool l0 = col_refpoc[0][i] != INT32_MIN;
     bool l1 = col_refpoc[1] && col_refpoc[1][i] != INT32_MIN;
     if (!l0 && !l1) continue;  // intra collocated block
-    // list selection: single-list blocks use that list; bi blocks in a
-    // low-delay stream (all references before the current picture — the
-    // only configuration we enable TMVP for) use the target list
-    int use = (l0 && l1) ? list : (l0 ? 0 : 1);
-    int target_poc = list == 0 ? sp.ref_poc_l0[0] : sp.ref_poc_l1[0];
+    // list selection (spec 8.5.3.2.9): single-list blocks use that
+    // list; bi blocks use the target list when no reference follows the
+    // current picture (NoBackwardPredFlag), else list N where
+    // N == collocated_from_l0_flag
+    int use;
+    if (l0 && l1) {
+      bool no_backward = true;
+      for (int r = 0; r < sp.num_ref_l0 && no_backward; ++r)
+        if (sp.ref_poc_l0[r] > sp.cur_poc) no_backward = false;
+      for (int r = 0; r < sp.num_ref_l1 && no_backward; ++r)
+        if (sp.ref_poc_l1[r] > sp.cur_poc) no_backward = false;
+      use = no_backward ? list : (sp.col_from_l0 ? 1 : 0);
+    } else {
+      use = l0 ? 0 : 1;
+    }
+    int target_poc = list == 0 ? sp.ref_poc_l0[ref] : sp.ref_poc_l1[ref];
     int td = col_poc - col_refpoc[use][i];
     int tb = sp.cur_poc - target_poc;
     int16_t mx = col_mvx[use][i], my = col_mvy[use][i];
@@ -366,7 +384,7 @@ int PicMaps::merge_candidates(int x0, int y0, int w, int h,
   if (col_mvx[0] && n < sp.max_merge_cand) {
     MotionInfo t;
     int16_t mx, my;
-    bool got0 = temporal_mv(x0, y0, w, h, 0, &mx, &my);
+    bool got0 = temporal_mv(x0, y0, w, h, 0, 0, &mx, &my);
     if (got0) {
       t.mvx[0] = mx;
       t.mvy[0] = my;
@@ -374,7 +392,7 @@ int PicMaps::merge_candidates(int x0, int y0, int w, int h,
     }
     bool got1 = false;
     if (is_b && sp.num_ref_l1 > 0) {
-      got1 = temporal_mv(x0, y0, w, h, 1, &mx, &my);
+      got1 = temporal_mv(x0, y0, w, h, 1, 0, &mx, &my);
       if (got1) {
         t.mvx[1] = mx;
         t.mvy[1] = my;
@@ -414,6 +432,13 @@ int PicMaps::merge_candidates(int x0, int y0, int w, int h,
     }
     out[n++] = z;
     zr++;
+  }
+  // small-PU bi-pred restriction (spec 8.5.3.2.3 last step; reference
+  // TDecEntropy/TEncSearch after getInterMergeCandidates): 8x4 and 4x8
+  // prediction units use list 0 only — bi candidates are converted
+  if (w + h == 12) {
+    for (int i = 0; i < n; ++i)
+      if (out[i].ref[0] >= 0 && out[i].ref[1] >= 0) out[i].ref[1] = -1;
   }
   return n;
 }
@@ -506,7 +531,7 @@ void PicMaps::amvp_candidates(int x0, int y0, int w, int h, int list,
     // temporal predictor (spec 8.5.3.2.6: appended when fewer than two
     // distinct spatial candidates; not pruned against them)
     int16_t tx2, ty2;
-    if (temporal_mv(x0, y0, w, h, list, &tx2, &ty2)) {
+    if (temporal_mv(x0, y0, w, h, list, ref, &tx2, &ty2)) {
       cand[n][0] = tx2;
       cand[n][1] = ty2;
       n++;
@@ -620,7 +645,7 @@ void SliceEncoder::begin_slice() {
   dqp_coded_ = false;
   ctu_qp_pred.clear();
   ctu_qp_final.clear();
-  ctx_.init(sp_.slice_type, sp_.qp);
+  ctx_.init(ctx_init_type(sp_), sp_.qp);
   bw_ = BitWriter();
   cabac_ = CabacEncoder(&bw_);
   finished_ = false;
@@ -645,7 +670,7 @@ void SliceEncoder::encode_ctu(int cx, int cy, const CtuData& d,
         sub_start_ = bw_.bytes.size();
         cabac_.start();
       }
-      ctx_.init(sp_.slice_type, sp_.qp);
+      ctx_.init(ctx_init_type(sp_), sp_.qp);
       cur_tile_ = tid;
       dqp_first_ = true;  // qPY_PREV resets at tile start (spec 8.6.1)
     }
@@ -657,7 +682,7 @@ void SliceEncoder::encode_ctu(int cx, int cy, const CtuData& d,
     if (wpp_saved_valid_)
       ctx_ = wpp_saved_;
     else
-      ctx_.init(sp_.slice_type, sp_.qp);
+      ctx_.init(ctx_init_type(sp_), sp_.qp);
     cabac_.start();
   }
   // publish this CTU's maps so in-CTU and cross-CTU neighbour lookups work
@@ -883,7 +908,7 @@ void SliceEncoder::code_inter_cu(int x0, int y0, int log2, bool skip) {
   // rectangular codes carry an extra ctx-3 bin and the asymmetric modes
   // one more bypass bin; part codes per pu_rect() in the nxn_flag map
   int part = map_at(cur_->nxn_flag, bw4, lx, ly);
-  bool amp_bins = sp_.amp && log2 > sp_.min_cb_log2 && log2 < sp_.max_cb_log2;
+  bool amp_bins = sp_.amp && log2 > sp_.min_cb_log2;  // HM codePartSize: uiDepth < log2DiffMaxMin (64x64 CUs included)
   cabac_.encode_bin(ctx_.part_size[0], part == 0);
   if (part != 0) {
     cabac_.encode_bin(ctx_.part_size[1], part_hor(part));
@@ -916,19 +941,29 @@ void SliceEncoder::code_inter_cu(int x0, int y0, int log2, bool skip) {
     int idc = (ref0 >= 0 ? 1 : 0) | (ref1 >= 0 ? 2 : 0);  // 1=L0 2=L1 3=bi
     if (is_b) {
       // inter_pred_idc (spec 9.3.3.10): bin0 ctx = CtDepth; '1' = BI,
-      // else bin1 (ctx 4): 0 = L0, 1 = L1  (nPbW+nPbH != 12 here)
+      // else bin1 (ctx 4): 0 = L0, 1 = L1. PUs of an 8x8 CU other than
+      // 2Nx2N cannot be bi — bin0 is skipped (reference TEncSbac
+      // codeInterDir: partSize == 2Nx2N || height != 8)
       int depth = sp_.max_cb_log2 - log2;
-      cabac_.encode_bin(ctx_.inter_dir[depth], idc == 3);
+      if (part == 0 || log2 > 3)
+        cabac_.encode_bin(ctx_.inter_dir[depth], idc == 3);
       if (idc != 3) cabac_.encode_bin(ctx_.inter_dir[4], idc == 2);
     }
     auto code_ref = [&](int r, int num_ref) {
+      // TR binarization; only bins 0 and 1 are context-coded, the rest
+      // bypass (reference TEncSbac codeRefFrmIdx / spec 9.3.4.2.1)
       if (num_ref <= 1) return;
       int cmax = num_ref - 1;
       cabac_.encode_bin(ctx_.ref_idx[0], r > 0);
       if (r > 0) {
-        for (int k = 1; k < r && k < cmax; ++k)
-          cabac_.encode_bin(ctx_.ref_idx[1], 1);
-        if (r < cmax) cabac_.encode_bin(ctx_.ref_idx[1], 0);
+        for (int k = 1; k < r && k < cmax; ++k) {
+          if (k == 1) cabac_.encode_bin(ctx_.ref_idx[1], 1);
+          else cabac_.encode_bypass(1);
+        }
+        if (r < cmax) {
+          if (r == 1) cabac_.encode_bin(ctx_.ref_idx[1], 0);
+          else cabac_.encode_bypass(0);
+        }
       }
     };
     if (idc & 1) {
@@ -1290,7 +1325,7 @@ SliceDecoder::SliceDecoder(const SliceParams& sp, const uint8_t* data,
                            size_t size)
     : sp_(sp), br_(data, size), cabac_(&br_) {
   maps_.init(sp);
-  ctx_.init(sp_.slice_type, sp_.qp);
+  ctx_.init(ctx_init_type(sp_), sp_.qp);
 }
 
 void SliceDecoder::begin_slice() {}
@@ -1328,7 +1363,7 @@ int SliceDecoder::decode_ctu(int cx, int cy, const MutCtuData& d) {
           cabac_.restart_at((size_t)sub_offsets_[next_sub_ - 1]);
         ++next_sub_;
       }
-      ctx_.init(sp_.slice_type, sp_.qp);
+      ctx_.init(ctx_init_type(sp_), sp_.qp);
       cur_tile_ = tid;
       dqp_first_ = true;  // qPY_PREV resets at tile start (spec 8.6.1)
     }
@@ -1338,7 +1373,7 @@ int SliceDecoder::decode_ctu(int cx, int cy, const MutCtuData& d) {
     if (wpp_saved_valid_)
       ctx_ = wpp_saved_;
     else
-      ctx_.init(sp_.slice_type, sp_.qp);
+      ctx_.init(ctx_init_type(sp_), sp_.qp);
     if ((size_t)(next_sub_ - 1) < sub_offsets_.size())
       cabac_.restart_at((size_t)sub_offsets_[next_sub_ - 1]);
     ++next_sub_;
@@ -1510,7 +1545,7 @@ void SliceDecoder::parse_inter_cu(int x0, int y0, int log2, bool skip) {
   }
   // part_mode (spec 9.3.3.7, incl. AMP binarization)
   int part = 0;
-  bool amp_bins = sp_.amp && log2 > sp_.min_cb_log2 && log2 < sp_.max_cb_log2;
+  bool amp_bins = sp_.amp && log2 > sp_.min_cb_log2;  // HM codePartSize: uiDepth < log2DiffMaxMin (64x64 CUs included)
   if (g_bin_trace) fprintf(g_bin_trace, "# part\n");
   if (!cabac_.decode_bin(ctx_.part_size[0])) {
     bool hor = cabac_.decode_bin(ctx_.part_size[1]);
@@ -1543,7 +1578,9 @@ void SliceDecoder::parse_inter_cu(int x0, int y0, int log2, bool skip) {
       int idc = 1;
       if (is_b) {
         int depth = sp_.max_cb_log2 - log2;
-        if (cabac_.decode_bin(ctx_.inter_dir[depth])) idc = 3;
+        int bi = (part == 0 || log2 > 3)
+                     ? cabac_.decode_bin(ctx_.inter_dir[depth]) : 0;
+        if (bi) idc = 3;
         else idc = cabac_.decode_bin(ctx_.inter_dir[4]) ? 2 : 1;
       }
       auto parse_ref = [&](int num_ref) {
@@ -1552,7 +1589,11 @@ void SliceDecoder::parse_inter_cu(int x0, int y0, int log2, bool skip) {
         if (num_ref > 1 && cabac_.decode_bin(ctx_.ref_idx[0])) {
           r = 1;
           int cmax = num_ref - 1;
-          while (r < cmax && cabac_.decode_bin(ctx_.ref_idx[1])) r++;
+          // bin 1 context-coded, bins >= 2 bypass (spec 9.3.4.2.1)
+          if (r < cmax && cabac_.decode_bin(ctx_.ref_idx[1])) {
+            r = 2;
+            while (r < cmax && cabac_.decode_bypass()) r++;
+          }
         }
         return r;
       };
@@ -1563,6 +1604,11 @@ void SliceDecoder::parse_inter_cu(int x0, int y0, int log2, bool skip) {
         int16_t amvp[4];
         maps_.amvp_candidates(px, py, pw, ph, 0, r, amvp, x0, y0, n, part,
                               pu);
+        if (g_bin_trace)
+          fprintf(g_bin_trace,
+                  "# amvp0 pu(%d,%d %dx%d) r=%d cands (%d,%d)(%d,%d) "
+                  "mvpf=%d mvd=(%d,%d)\n", px, py, pw, ph, r, amvp[0],
+                  amvp[1], amvp[2], amvp[3], mvp_f, mvdx, mvdy);
         pmi.mvx[0] = (int16_t)(amvp[2 * mvp_f] + mvdx);
         pmi.mvy[0] = (int16_t)(amvp[2 * mvp_f + 1] + mvdy);
         pmi.ref[0] = (int8_t)r;
@@ -2075,8 +2121,11 @@ void SliceDecoder::parse_sao(int cx, int cy, int32_t* out) {
   int cmax_off = (1 << (std::min(sp_.bit_depth, 10) - 5)) - 1;
   std::fill(out, out + 20, 0);
   int tid_sao = tile_id_of(sp_, cx, cy);
-  int left_ok = cx > 0 && tile_id_of(sp_, cx - 1, cy) == tid_sao;
-  int up_ok = cy > 0 && tile_id_of(sp_, cx, cy - 1) == tid_sao;
+  // merge candidates must be in the same tile AND slice (spec 7.4.9.3)
+  int left_ok = cx > 0 && tile_id_of(sp_, cx - 1, cy) == tid_sao &&
+                cy * ctus_w + cx - 1 >= sp_.slice_start_ctu;
+  int up_ok = cy > 0 && tile_id_of(sp_, cx, cy - 1) == tid_sao &&
+              (cy - 1) * ctus_w + cx >= sp_.slice_start_ctu;
   int merge_left = left_ok ? cabac_.decode_bin(ctx_.sao_merge[0]) : 0;
   int merge_up = (!merge_left && up_ok)
                      ? cabac_.decode_bin(ctx_.sao_merge[0]) : 0;

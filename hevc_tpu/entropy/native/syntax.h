@@ -57,6 +57,14 @@ struct SliceParams {
   const int8_t* ctu_qps;   // per-CTU target QP, raster (encoder; may be null)
   int32_t pcm;             // SPS pcm_enabled (8x8 I_PCM CUs, sample depth
                            // = bit_depth, loop filter on)
+  int32_t cabac_init;      // slice cabac_init_flag (spec 9.3.2.2: swaps
+                           // the P and B context-init tables)
+  int32_t col_from_l0;     // slice collocated_from_l0_flag (TMVP list
+                           // selection for bi collocated blocks,
+                           // spec 8.5.3.2.9)
+  int32_t slice_start_ctu; // scan-order CTU address of the slice segment
+                           // start (multi-slice pictures; SAO merge and
+                           // prediction never cross slice boundaries)
 };
 
 // Context model set: one instance per slice (later: per WPP row state).
@@ -230,7 +238,8 @@ class PicMaps {
     col_stride = stride_; col_rows = rows_; col_poc = poc;
   }
   // spec 8.5.3.2.8 temporal candidate for target list (refIdx 0)
-  bool temporal_mv(int x0, int y0, int w, int h, int list, int16_t* omx,
+  bool temporal_mv(int x0, int y0, int w, int h, int list, int ref,
+                   int16_t* omx,
                    int16_t* omy) const;
 
   int idx(int x, int y) const { return (y >> 2) * stride + (x >> 2); }

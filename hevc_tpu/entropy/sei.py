@@ -30,13 +30,85 @@ def picture_md5(planes: List[np.ndarray], bit_depth: int = 8) -> List[bytes]:
     return digests
 
 
-def write_picture_hash_sei(digests: List[bytes]) -> bytes:
-    """decoded_picture_hash SEI RBSP (hash_type 0 = MD5)."""
+def _crc_table():
+    # reduction table for the reference's CRC variant (data bits shifted
+    # into the LOW end, poly applied on the old msb only)
+    tab = []
+    for v in range(256):
+        c = (v << 8) & 0xFFFF
+        for _ in range(8):
+            msb = (c >> 15) & 1
+            c = ((c << 1) & 0xFFFF) ^ (msb * 0x1021)
+        tab.append(c)
+    return tab
+
+
+_CRC_TAB = _crc_table()
+
+
+def picture_crc(planes: List[np.ndarray], bit_depth: int = 8
+                ) -> List[bytes]:
+    """Per-plane CRC (hash_type 1; reference TComPicYuvMD5.cpp
+    compCRC:89 — init 0xffff, poly 0x1021, sample bits shifted into the
+    LOW end of the register (not the crc_hqx convention), low byte of
+    each sample first, 16 zero bits flushed at the end)."""
+    tab = _CRC_TAB
+    out = []
+    for p in planes:
+        if bit_depth <= 8:
+            data = np.ascontiguousarray(p.astype(np.uint8)).tobytes()
+        else:
+            data = np.ascontiguousarray(p.astype("<u2")).tobytes()
+        crc = 0xFFFF
+        for b in data:
+            crc = tab[crc >> 8] ^ (((crc & 0xFF) << 8) | b)
+        for _ in range(2):  # flush 16 zero bits
+            crc = tab[crc >> 8] ^ ((crc & 0xFF) << 8)
+        out.append(bytes([(crc >> 8) & 0xFF, crc & 0xFF]))
+    return out
+
+
+def picture_checksum(planes: List[np.ndarray], bit_depth: int = 8
+                     ) -> List[bytes]:
+    """Per-plane xor-mask checksum (hash_type 2; reference
+    TComPicYuvMD5.cpp compChecksum:141)."""
+    out = []
+    for p in planes:
+        h, w = p.shape
+        xs = np.arange(w, dtype=np.uint32)
+        ys = np.arange(h, dtype=np.uint32)[:, None]
+        mask = ((xs & 0xFF) ^ (ys & 0xFF) ^ (xs >> 8) ^ (ys >> 8)) \
+            .astype(np.uint32)
+        pv = p.astype(np.uint32)
+        s = int(((pv & 0xFF) ^ mask).sum(dtype=np.uint64))
+        if bit_depth > 8:
+            s += int(((pv >> 8) ^ mask).sum(dtype=np.uint64))
+        s &= 0xFFFFFFFF
+        out.append(bytes([(s >> 24) & 0xFF, (s >> 16) & 0xFF,
+                          (s >> 8) & 0xFF, s & 0xFF]))
+    return out
+
+
+def picture_hash(planes, bit_depth: int, hash_type: int) -> List[bytes]:
+    if hash_type == 0:
+        return picture_md5(planes, bit_depth)
+    if hash_type == 1:
+        return picture_crc(planes, bit_depth)
+    if hash_type == 2:
+        return picture_checksum(planes, bit_depth)
+    raise ValueError(f"unknown decoded_picture_hash type {hash_type}")
+
+
+def write_picture_hash_sei(digests: List[bytes],
+                           hash_type: int = 0) -> bytes:
+    """decoded_picture_hash SEI RBSP (hash_type 0 MD5 / 1 CRC /
+    2 checksum)."""
     bw = BitWriter()
-    payload_size = 1 + 16 * len(digests)
+    per = {0: 16, 1: 2, 2: 4}[hash_type]
+    payload_size = 1 + per * len(digests)
     bw.u(DECODED_PICTURE_HASH, 8)   # last_payload_type_byte
     bw.u(payload_size, 8)           # last_payload_size_byte
-    bw.u(0, 8)                      # hash_type = MD5
+    bw.u(hash_type, 8)
     for d in digests:
         for b in d:
             bw.u(b, 8)

@@ -1,0 +1,84 @@
+"""Conformance in the decode direction: the REFERENCE encoder produces
+streams, our decoder must reconstruct them byte-identically to the
+reference's own recon output (reference TDecTop parity). Exercises tools
+our encoder does not emit: multi-ref lists, cabac_init table switching,
+AMP at 64x64, inline/inter-predicted RPS, multi-slice pictures, WPP entry
+points, CRC/checksum hash SEIs. Skips when the HM oracle is absent."""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+ENC = "/tmp/hm_oracle/bin/TAppEncoderStatic"
+CFG = "/tmp/hm_oracle/cfg"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(ENC), reason="HM oracle encoder not built")
+
+
+def _mk_clip(path, w, h, n):
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_test_yuv import write_clip
+    write_clip(str(path), w, h, n)
+
+
+def _hm_encode(tmp, cfg, extra, w=128, h=80, frames=5, qp=32):
+    clip = tmp / "in.yuv"
+    if not clip.exists():
+        _mk_clip(clip, w, h, frames)
+    bs = tmp / "o.bin"
+    rec = tmp / "r.yuv"
+    cmd = [ENC, "-c", f"{CFG}/{cfg}", "-i", str(clip), "-wdt", str(w),
+           "-hgt", str(h), "-f", str(frames), "-fr", "30", "-q", str(qp),
+           "-b", str(bs), "-o", str(rec)] + extra
+    out = subprocess.run(cmd, capture_output=True, text=True)
+    assert out.returncode == 0, out.stdout[-1500:] + out.stderr[-500:]
+    return bs.read_bytes(), rec.read_bytes()
+
+
+def _decode_ours(data, bit_depth=8):
+    from hevc_tpu.decoder.top import DecoderTop
+    dec = DecoderTop()
+    out = b""
+    for pic in dec.decode_stream(data):
+        if bit_depth > 8:
+            out += b"".join(np.ascontiguousarray(p.astype("<u2")).tobytes()
+                            for p in pic)
+        else:
+            out += b"".join(
+                np.ascontiguousarray(p.astype(np.uint8)).tobytes()
+                for p in pic)
+    return out, dec
+
+
+@pytest.mark.parametrize("cfg,extra,bd", [
+    ("encoder_intra_main.cfg", [], 8),
+    ("encoder_lowdelay_P_main.cfg", [], 8),
+    ("encoder_lowdelay_main.cfg", [], 8),
+    ("encoder_randomaccess_main.cfg", ["-f", "9"], 8),
+    ("encoder_randomaccess_main10.cfg", ["--InputBitDepth=8", "-f", "9"],
+     10),
+])
+def test_hm_stream_decodes_byte_identical(tmp_path, cfg, extra, bd):
+    frames = 9 if "-f" in extra else 5
+    data, hm_rec = _hm_encode(tmp_path, cfg, extra, frames=frames)
+    ours, _ = _decode_ours(data, bd)
+    assert ours == hm_rec
+
+
+@pytest.mark.parametrize("extra,label", [
+    (["--WaveFrontSynchro=1"], "wpp"),
+    (["--SliceMode=1", "--SliceArgument=2"], "multislice"),
+    (["--SEIDecodedPictureHash=2"], "crc"),
+    (["--SEIDecodedPictureHash=3"], "checksum"),
+])
+def test_hm_tool_variants(tmp_path, extra, label):
+    data, hm_rec = _hm_encode(tmp_path, "encoder_lowdelay_P_main.cfg",
+                              extra)
+    ours, dec = _decode_ours(data)
+    assert ours == hm_rec
+    if label in ("crc", "checksum"):
+        assert dec.hash_status and all(s == "OK" for s in dec.hash_status)
