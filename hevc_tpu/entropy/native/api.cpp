@@ -272,6 +272,7 @@ extern "C" void hevc_engine_frame(void* eng, int ctus_w, int ctus_h,
     nthreads = (int)std::thread::hardware_concurrency();
   nthreads = std::max(1, std::min(nthreads, ctus_h));
   if (nthreads == 1 || ctus_h == 1) {
+    ((CtuEngine*)eng)->set_sequential(true);
     for (int cy = 0; cy < ctus_h; ++cy)
       for (int cx = 0; cx < ctus_w; ++cx)
         ((CtuEngine*)eng)->encode_ctu(cx, cy,
@@ -308,6 +309,7 @@ extern "C" void hevc_engine_frame_order(void* eng, int nctu, const int32_t* cxs,
                              const int32_t* cys, int ctus_w, int ctu_size,
                              int cfmt, STACKED_ARGS) {
   STACKED_INIT(ctu_size, cfmt);
+  ((CtuEngine*)eng)->set_sequential(true);
   for (int i = 0; i < nctu; ++i)
     ((CtuEngine*)eng)->encode_ctu(cxs[i], cys[i],
                                   sm.at((size_t)cys[i] * ctus_w + cxs[i]));

@@ -303,6 +303,11 @@ CtuEngine::CtuEngine(const SliceParams& sp, const EngineParams& ep,
     : sp_(sp), ep_(ep), senc_(senc), me_mvx_(me_mvx), me_mvy_(me_mvy),
       me_nx_(me_nx), me_ny_(me_ny), me16_mvx_(me16_mvx),
       me16_mvy_(me16_mvy), me16_nx_(me16_nx), me16_ny_(me16_ny) {
+  est_ctx_ = senc_->contexts();  // slice-init states for RD bit estimates
+  const char* rq = getenv("HEVC_TPU_RDOQ");
+  rdoq_exact_ = !(rq && strcmp(rq, "lite") == 0);
+  if (rdoq_exact_) est_enc_.reset(new SliceEncoder(sp));
+
   for (int i = 0; i < 3; ++i) {
     orig_[i] = orig[i];
     recon_[i] = recon[i];
@@ -324,14 +329,24 @@ CtuEngine::CtuEngine(const SliceParams& sp, const EngineParams& ep,
 // xITransformSkip): quantize the shifted residual directly and keep the
 // skip candidate when SSE + lambda*bits (+1 flag bin) beats the transform
 // path already in lev/rres. Overwrites lev/rres/nz on a win.
+int CtuEngine::rdoq_run(int32_t* lev, const int32_t* coef, int n, int qp,
+                        int nz, int c_idx, int scan_idx, double lam,
+                        const int32_t* smat) {
+  if (rdoq_exact_)
+    return rdoq_quant(est_ctx_, coef, lev, ilog2(n), c_idx, scan_idx, qp,
+                      bd_, lam, smat);
+  if (nz) return rdoq_adjust(lev, coef, n, qp, bd_, lam, smat);
+  return 0;
+}
+
 bool CtuEngine::ts_trial(const int32_t* resi, int qp, bool intra,
                          double lam_sq, const int32_t* smat, int scan_idx,
-                         int32_t* lev, int32_t* rres, int* nz) {
+                         int c_idx, int32_t* lev, int32_t* rres, int* nz) {
   int32_t coefs[16], levs[16], deqs[16], rress[16];
   int tshift = 15 - bd_ - 2;
   for (int i = 0; i < 16; ++i) coefs[i] = resi[i] << tshift;
   int nzs = dsp::quant(coefs, 4, qp, bd_, intra, levs, smat);
-  if (nzs) nzs = rdoq_adjust(levs, coefs, 4, qp, bd_, lam_sq, smat);
+  nzs = rdoq_run(levs, coefs, 4, qp, nzs, c_idx, scan_idx, lam_sq, smat);
   if (!nzs) return false;
   if (sp_.sign_hiding) sbh_enforce(levs, coefs, 4, qp, bd_, scan_idx, smat);
   dsp::dequant(levs, 4, qp, bd_, deqs, smat);
@@ -499,6 +514,8 @@ thread_local int CtuEngine::qp_c_ = 0;
 thread_local double CtuEngine::sqrt_lam_ = 0.0;
 
 void CtuEngine::encode_ctu(int cx, int cy, const MutCtuData& d) {
+  if (est_enc_ && sequential_)
+    est_ctx_ = est_enc_->contexts();  // true states at this CTU
   // per-CTU quantization state (always set: thread-local, and a worker
   // thread may be seeing this engine for the first time)
   if (sp_.cu_dqp && sp_.ctu_qps) {
@@ -541,11 +558,22 @@ void CtuEngine::encode_ctu(int cx, int cy, const MutCtuData& d) {
       e->encode_cu_inter(x0, y0, log2, *d, ctu_x0, ctu_y0);
     }
   } rec{this, &d, ctu_x0, ctu_y0, min_cb};
-  if (sp_.slice_type != 2 && ep_.cu_depth_target > 0 &&
-      ctu_x0 + ctu_ <= w_ && ctu_y0 + ctu_ <= h_ &&
-      inter_cu64_try(ctu_x0, ctu_y0, d, ctu_x0, ctu_y0))
-    return;
-  rec.walk(ctu_x0, ctu_y0, ilog2(ctu_), 0, ep_.cu_depth_target);
+  bool done64 = sp_.slice_type != 2 && ep_.cu_depth_target > 0 &&
+                ctu_x0 + ctu_ <= w_ && ctu_y0 + ctu_ <= h_ &&
+                inter_cu64_try(ctu_x0, ctu_y0, d, ctu_x0, ctu_y0);
+  if (!done64) rec.walk(ctu_x0, ctu_y0, ilog2(ctu_), 0, ep_.cu_depth_target);
+  if (est_enc_ && sequential_) {
+    // replay the committed CTU through the shadow coder so est_ctx_
+    // tracks the real pass (SAO params are not final yet — only the SAO
+    // contexts drift, which no estimate reads)
+    CtuData cd{d.cu_depth, d.nxn_flag, d.luma_mode, d.chroma_mode,
+               d.tu_depth, d.coeff_y, d.coeff_cb, d.coeff_cr,
+               d.pred_mode, d.skip_flag, d.merge_flag, d.merge_idx,
+               d.mvp_flag, d.ref_idx, d.mvd_x, d.mvd_y, d.mv_x, d.mv_y,
+               d.mvp_flag1, d.ref_idx1, d.mvd_x1, d.mvd_y1, d.mv_x1,
+               d.mv_y1, d.sao};
+    est_enc_->encode_ctu(cx, cy, cd, 0);
+  }
 }
 
 int64_t CtuEngine::intra_screen_cost(int x0, int y0, int log2) {
@@ -717,7 +745,9 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
         sp_.scaling_lists ? dsp::default_scaling_matrix(tz, true) : nullptr;
     dsp::fwd_xform(resi, tz, bd_, dstt, coef);
     int nz = dsp::quant(coef, tz, qp, bd_, true, lev, smat_t);
-    if (nz) nz = rdoq_adjust(lev, coef, tz, qp, bd_, lam_sq, smat_t);
+    nz = rdoq_run(lev, coef, tz, qp, nz, c,
+                  engine_scan_idx(ilog2(tz), c, true, mode), lam_sq,
+                  smat_t);
     if (nz && sp_.sign_hiding)
       sbh_enforce(lev, coef, tz, qp, bd_,
                   engine_scan_idx(ilog2(tz), c, true, mode), smat_t);
@@ -732,7 +762,7 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
       uint8_t bit = c == 0 ? TS_Y : (c == 1 ? TS_CB : TS_CR);
       ts_loc[slot] &= (uint8_t)~bit;
       if (ts_trial(resi, qp, true, lam_sq, smat_t,
-                   engine_scan_idx(2, c, true, mode), lev, rres, &nz))
+                   engine_scan_idx(2, c, true, mode), c, lev, rres, &nz))
         ts_loc[slot] |= bit;
     }
     *bits += 2.0;
@@ -978,8 +1008,9 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
   double lam = sqrt_lam_ * sqrt_lam_;
   int nz_total = 0;
   auto code_tb64 = [&](const int16_t* o, int ostride, const int32_t* p,
-                       int pstride, int sz, int qp, int16_t* lv_out,
-                       int lv_stride, int16_t* rec, int rstride) {
+                       int pstride, int sz, int qp, int c_idx,
+                       int16_t* lv_out, int lv_stride, int16_t* rec,
+                       int rstride) {
     for (int i = 0; i < sz; ++i)
       for (int j = 0; j < sz; ++j)
         resi[i * sz + j] = (int32_t)o[i * ostride + j] - p[i * pstride + j];
@@ -987,7 +1018,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
         sp_.scaling_lists ? dsp::default_scaling_matrix(sz, false) : nullptr;
     dsp::fwd_xform(resi, sz, bd_, false, coef);
     int nz = dsp::quant(coef, sz, qp, bd_, false, lev, smat_p);
-    if (nz) nz = rdoq_adjust(lev, coef, sz, qp, bd_, lam, smat_p);
+    nz = rdoq_run(lev, coef, sz, qp, nz, c_idx, 0, lam, smat_p);
     if (nz && sp_.sign_hiding)
       sbh_enforce(lev, coef, sz, qp, bd_, 0, smat_p);
     if (nz) {
@@ -1008,7 +1039,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
     int qx = x0 + (q & 1) * 32, qy = y0 + (q >> 1) * 32;
     nz_total += code_tb64(orig_[0] + qy * w_ + qx, w_,
                           best_pred + (qy - y0) * n + (qx - x0), n, 32,
-                          qp_y_, d.coeff_y + (qy - ctu_y0) * ctu_ +
+                          qp_y_, 0, d.coeff_y + (qy - ctu_y0) * ctu_ +
                           (qx - ctu_x0), ctu_,
                           recon_[0] + qy * w_ + qx, w_);
   }
@@ -1029,7 +1060,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
       int qx = (q & 1) * 16, qy = (q >> 1) * 16;
       nz_total += code_tb64(
           orig_[ci] + ((y0 >> 1) + qy) * cw + (x0 >> 1) + qx, cw,
-          pc + qy * 32 + qx, 32, 16, qp_c_,
+          pc + qy * 32 + qx, 32, 16, qp_c_, ci,
           lv_plane + ((y0 - ctu_y0) / 2 + qy) * cctu +
               (x0 - ctu_x0) / 2 + qx, cctu,
           recon_[ci] + ((y0 >> 1) + qy) * cw + (x0 >> 1) + qx, cw);
@@ -1416,9 +1447,9 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   // nz and accumulates pixel SSE + level-bit estimate. ts_slot/ts_bit:
   // where to record a winning 4x4 transform-skip trial (null = n/a)
   auto code_tb = [&](const int16_t* o, int ostride, const int32_t* p,
-                     int pstride, int sz, int qp, int32_t* lv, int lstride,
-                     int16_t* rec, int rstride, double* sse, double* bits,
-                     uint8_t* ts_slot = nullptr,
+                     int pstride, int sz, int qp, int c_idx, int32_t* lv,
+                     int lstride, int16_t* rec, int rstride, double* sse,
+                     double* bits, uint8_t* ts_slot = nullptr,
                      uint8_t ts_bit = 0) -> int {
     for (int i = 0; i < sz; ++i)
       for (int j = 0; j < sz; ++j)
@@ -1427,7 +1458,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
         sp_.scaling_lists ? dsp::default_scaling_matrix(sz, false) : nullptr;
     dsp::fwd_xform(resi, sz, bd_, false, coef);
     int nz = dsp::quant(coef, sz, qp, bd_, false, lev_tmp_, smat_p);
-    if (nz) nz = rdoq_adjust(lev_tmp_, coef, sz, qp, bd_, lam_sq, smat_p);
+    nz = rdoq_run(lev_tmp_, coef, sz, qp, nz, c_idx, 0, lam_sq, smat_p);
     if (nz && sp_.sign_hiding)
       sbh_enforce(lev_tmp_, coef, sz, qp, bd_, 0, smat_p);
     if (nz) {
@@ -1438,7 +1469,8 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     }
     if (ts_slot && sp_.transform_skip_enabled && sz == 4) {
       *ts_slot &= (uint8_t)~ts_bit;
-      if (ts_trial(resi, qp, false, lam_sq, smat_p, 0, lev_tmp_, rres, &nz))
+      if (ts_trial(resi, qp, false, lam_sq, smat_p, 0, c_idx, lev_tmp_,
+                   rres, &nz))
         *ts_slot |= ts_bit;
     }
     *bits += 2.0;  // cbf + tree overhead
@@ -1467,17 +1499,17 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
         int ly = qy * tn, lx = qx * tn;
         int lcy = qy * tc, lcx = qx * tc;
         nzs += code_tb(oy + ly * w_ + lx, w_, pred_y + ly * n + lx, n, tn,
-                       qp_y_, lev_y + ly * n + lx, n, rec_y + ly * n + lx,
-                       n, &sse, &bits, &ts_loc[(ly >> 2) * 8 + (lx >> 2)],
-                       TS_Y);
+                       qp_y_, 0, lev_y + ly * n + lx, n,
+                       rec_y + ly * n + lx, n, &sse, &bits,
+                       &ts_loc[(ly >> 2) * 8 + (lx >> 2)], TS_Y);
         uint8_t* slot = &ts_loc[((lcy * 2) >> 2) * 8 + ((lcx * 2) >> 2)];
         nzs += code_tb(orig_[1] + (cyy + lcy) * cw + cxx + lcx, cw,
-                       pcb + lcy * cs + lcx, cs, tc, qp_c_,
+                       pcb + lcy * cs + lcx, cs, tc, qp_c_, 1,
                        lev_cb + lcy * cs + lcx, cs,
                        rec_cb + lcy * cs + lcx, cs, &sse, &bits, slot,
                        TS_CB);
         nzs += code_tb(orig_[2] + (cyy + lcy) * cw + cxx + lcx, cw,
-                       pcr + lcy * cs + lcx, cs, tc, qp_c_,
+                       pcr + lcy * cs + lcx, cs, tc, qp_c_, 2,
                        lev_cr + lcy * cs + lcx, cs,
                        rec_cr + lcy * cs + lcx, cs, &sse, &bits, slot,
                        TS_CR);

@@ -13,6 +13,7 @@
 // CABAC syntax writer consumes unchanged.
 #pragma once
 #include <cstdint>
+#include <memory>
 #include <vector>
 
 #include "syntax.h"
@@ -39,6 +40,23 @@ class CtuEngine {
   void encode_ctu(int cx, int cy, const MutCtuData& d);
 
  private:
+  // RDOQ dispatch: context-exact rdoq_quant (default) or the legacy
+  // calibrated heuristic (HEVC_TPU_RDOQ=lite)
+  int rdoq_run(int32_t* lev, const int32_t* coef, int n, int qp, int nz,
+               int c_idx, int scan_idx, double lam, const int32_t* smat);
+  ContextSet est_ctx_;   // context states for bit estimation
+  bool rdoq_exact_ = true;
+  // Shadow entropy coder: replays each committed CTU so est_ctx_ always
+  // holds the TRUE CABAC states the real coding pass will have at the
+  // next CTU (the reference refreshes its RDOQ estBits tables from its
+  // interleaved coder; our decision pass runs ahead of entropy coding,
+  // so we reproduce the states by re-coding what has been decided).
+  // Only active when CTUs are processed sequentially in coding order.
+  std::unique_ptr<SliceEncoder> est_enc_;
+ public:
+  void set_sequential(bool s) { sequential_ = s; }
+ private:
+  bool sequential_ = false;
   void encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
                        int ctu_x0, int ctu_y0);
   // SATD+lambda*bits screen of the best intra mode at (x0,y0,log2) from the
@@ -53,7 +71,7 @@ class CtuEngine {
   // derived-MV AMVP) when its screen cost beats the four-quadrant sum;
   // returns false to fall through to the per-32x32 path
   bool ts_trial(const int32_t* resi, int qp, bool intra, double lam_sq,
-                const int32_t* smat, int scan_idx, int32_t* lev,
+                const int32_t* smat, int scan_idx, int c_idx, int32_t* lev,
                 int32_t* rres, int* nz);
   bool inter_cu64_try(int x0, int y0, const MutCtuData& d, int ctu_x0,
                       int ctu_y0);

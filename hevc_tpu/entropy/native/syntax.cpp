@@ -1318,6 +1318,276 @@ void SliceEncoder::residual(int x0, int y0, int log2, int c_idx) {
   }
 }
 
+
+// ===========================================================================
+// Exact RDOQ (reference TComTrQuant::xRateDistOptQuant:2129, re-derived).
+// Rates are context-exact fractional bits read from kEntropyBits on the
+// supplied (slice-init) context states; the gt1/gt2 context counters, the
+// Golomb-Rice parameter and the coefficient-group flags evolve along the
+// scan exactly as the residual writer above codes them.
+// ===========================================================================
+namespace {
+
+inline double ctx_bits(const ContextModel& c, int bin) {
+  return kEntropyBits[(((int)c.state << 1) | c.mps) ^ bin] / 32768.0;
+}
+
+// coeff_abs_level_remaining EP bits (mirror of the writer, spec 9.3.3.9)
+inline int eg_rice_bits(int rem, int rice) {
+  if (rem < (3 << rice)) return (rem >> rice) + 1 + rice;
+  int len = rice;
+  int val = rem - (3 << rice);
+  while (val >= (1 << len)) { val -= 1 << len; ++len; }
+  return (3 + len + 1 - rice) + len;
+}
+
+// rate in bits of coding |level| > 0 given the gt1/gt2 context models and
+// the in-group counters (k = number of earlier nonzero coeffs in the CG,
+// c2done = a gt2 flag was already coded in this CG)
+inline double level_rate(int level, const ContextModel& one_ctx,
+                         const ContextModel& abs_ctx, int k, bool c2done,
+                         int rice) {
+  double r = 1.0;  // sign (EP; SBH recovers most of it later)
+  if (k < 8) {
+    int base = c2done ? 2 : 3;
+    if (level >= base) {
+      r += ctx_bits(one_ctx, 1);
+      if (!c2done) r += ctx_bits(abs_ctx, 1);
+      r += eg_rice_bits(level - base, rice);
+    } else if (level == 1) {
+      r += ctx_bits(one_ctx, 0);
+    } else {  // level == 2, a gt2 flag still available
+      r += ctx_bits(one_ctx, 1) + ctx_bits(abs_ctx, 0);
+    }
+  } else {
+    r += eg_rice_bits(level - 1, rice);
+  }
+  return r;
+}
+
+}  // namespace
+
+int rdoq_quant(const ContextSet& cs, const int32_t* coef, int32_t* lev,
+               int log2, int c_idx, int scan_idx, int qp, int bd,
+               double lambda, const int32_t* smat) {
+  const int n = 1 << log2;
+  const bool luma = c_idx == 0;
+  const auto& scan = g_scans.t[log2 - 2][scan_idx];
+  const int qpp = qp + 6 * (bd - 8);
+  const int tshift = 15 - bd - log2;
+  const int qbits = 14 + qpp / 6 + tshift;
+  static const int32_t kQScale[6] = {26214, 23302, 20560, 18396, 16384,
+                                     14564};
+  static const int32_t kIQScale[6] = {40, 45, 51, 57, 64, 72};
+  const int64_t qscale = kQScale[qpp % 6];
+  const int bd_shift = bd + log2 - 5;
+  const int64_t iqs = (int64_t)kIQScale[qpp % 6] << (qpp / 6);
+  const int64_t iround = 1ll << (bd_shift - 1);
+  const double dscale = tshift >= 0 ? 1.0 / (double)(1ll << (2 * tshift))
+                                    : (double)(1ll << (-2 * tshift));
+  auto deq = [&](int64_t l, int r) {
+    int64_t mi = smat ? smat[r] : 16;
+    int64_t c = (l * mi * iqs + iround) >> bd_shift;
+    return std::min<int64_t>(32767, std::max<int64_t>(-32768, c));
+  };
+  auto dist_of = [&](int64_t e) { return (double)e * (double)e * dscale; };
+
+  const int nn = n * n;
+  std::fill(lev, lev + nn, 0);
+  // per-position max candidate level (half-offset rounding, like the
+  // reference RDOQ's lLevelDouble path)
+  int maxlev[1024];
+  int last_scan = -1;
+  for (int i = 0; i < nn; ++i) {
+    int r = scan[i];
+    int64_t c = std::abs((int64_t)coef[r]);
+    int64_t sc = smat ? (qscale * 16) / std::max(1, (int)smat[r]) : qscale;
+    int64_t l = (c * sc + (1ll << (qbits - 1))) >> qbits;
+    maxlev[i] = (int)std::min<int64_t>(32767, l);
+    if (maxlev[i]) last_scan = i;
+  }
+  if (last_scan < 0) return 0;
+
+  const int last_sb = last_scan >> 4;
+  const int sb_w = n >> 2;
+  const int nsb = 1 << (2 * (log2 - 2));
+  uint8_t csbf[64] = {0};
+  auto sb_xy = [&](int sb) {
+    int r = scan[sb * 16];
+    return std::make_pair((r % n) >> 2, (r / n) >> 2);
+  };
+  auto csbf_at = [&](int xs, int ys) -> int {
+    if (xs >= sb_w || ys >= sb_w || xs < 0 || ys < 0) return 0;
+    for (int i = 0; i < nsb; ++i) {
+      auto p = sb_xy(i);
+      if (p.first == xs && p.second == ys) return csbf[i];
+    }
+    return 0;
+  };
+
+  double cost_coeff[1024], cost_sig[1024], cost_zero[1024];
+  double block_uncoded = 0;
+  for (int i = 0; i <= last_scan; ++i) {
+    int64_t c = std::abs((int64_t)coef[scan[i]]);
+    cost_zero[i] = dist_of(c);
+    cost_coeff[i] = cost_zero[i];
+    cost_sig[i] = 0;
+    block_uncoded += cost_zero[i];
+  }
+
+  const ContextModel* one_base = cs.one + (luma ? 0 : 16);
+  const ContextModel* abs_base = cs.abs_ + (luma ? 0 : 4);
+  const ContextModel* sig_base = cs.sig + (luma ? 0 : 28);
+  const ContextModel* cg_base = cs.sig_cg + (luma ? 0 : 2);
+
+  bool found_last = false;
+  int c1 = 1;
+  double total = 0;  // cost of coded decisions (positions <= actual last)
+
+  for (int sb = last_sb; sb >= 0; --sb) {
+    auto sp = sb_xy(sb);
+    int right = csbf_at(sp.first + 1, sp.second);
+    int below = csbf_at(sp.first, sp.second + 1);
+    int ctx_set = (sb > 0 && luma) ? 2 : 0;
+    if (c1 == 0) ctx_set++;
+    c1 = 1;
+    int k = 0;          // nonzero coefficients decided in this CG
+    bool c2done = false;
+    int rice = 0;
+    double cg_cost = 0, cg_zero = 0;
+    int cg_nz = 0;
+    int top = (sb == last_sb) ? (last_scan & 15) : 15;
+    for (int kk = top; kk >= 0; --kk) {
+      int i = sb * 16 + kk;
+      int r = scan[i];
+      int xc = r % n, yc = r / n;
+      int64_t c = std::abs((int64_t)coef[r]);
+      int sctx = sig_ctx_inc(log2, scan_idx, xc, yc, right, below, luma);
+      double sig0 = lambda * ctx_bits(sig_base[sctx], 0);
+      double sig1 = lambda * ctx_bits(sig_base[sctx], 1);
+      int ml = maxlev[i];
+      if (!found_last) {
+        if (ml == 0) { total += cost_zero[i]; cg_zero += cost_zero[i];
+                       cg_cost += cost_zero[i]; continue; }
+        // candidate last coefficient: no sig bit
+        double best = cost_zero[i];
+        int best_l = 0;
+        for (int l = ml; l >= ml - 1 && l > 0; --l) {
+          double cost = dist_of(c - deq(l, r)) +
+                        lambda * level_rate(l, one_base[4 * ctx_set + c1],
+                                            abs_base[ctx_set], k, c2done,
+                                            rice);
+          if (cost < best) { best = cost; best_l = l; }
+        }
+        if (best_l == 0) { total += cost_zero[i]; cg_zero += cost_zero[i];
+                           cg_cost += cost_zero[i]; continue; }
+        found_last = true;
+        lev[r] = coef[r] < 0 ? -best_l : best_l;
+        cost_coeff[i] = best;
+        cost_sig[i] = 0;
+      } else {
+        double best = cost_zero[i] + sig0;
+        int best_l = 0;
+        for (int l = ml; l >= ml - 1 && l > 0; --l) {
+          double cost = dist_of(c - deq(l, r)) + sig1 +
+                        lambda * level_rate(l, one_base[4 * ctx_set + c1],
+                                            abs_base[ctx_set], k, c2done,
+                                            rice);
+          if (cost < best) { best = cost; best_l = l; }
+        }
+        lev[r] = coef[r] < 0 ? -best_l : best_l;
+        cost_coeff[i] = best;
+        cost_sig[i] = best_l ? sig1 : sig0;
+      }
+      int al = std::abs(lev[r]);
+      if (al) {
+        ++cg_nz;
+        // evolve gt1 context, gt2 availability and the rice parameter
+        // exactly like the residual writer above
+        if (k < 8) {
+          if (al > 1) c1 = 0;
+          else if (c1 < 3 && c1 > 0) c1++;
+        }
+        int base = (k < 8) ? (c2done ? 2 : 3) : 1;
+        if (al >= base && al > (3 << rice)) rice = std::min(rice + 1, 4);
+        if (al >= 2) c2done = true;
+        ++k;
+      }
+      cg_cost += cost_coeff[i];
+      cg_zero += cost_zero[i];
+      total += cost_coeff[i];
+    }
+    csbf[sb] = cg_nz > 0;
+    // coefficient-group zeroing (signalled CGs only)
+    if (sb > 0 && sb < last_sb) {
+      double bits1 = lambda * ctx_bits(cg_base[(right || below) ? 1 : 0], 1);
+      double bits0 = lambda * ctx_bits(cg_base[(right || below) ? 1 : 0], 0);
+      if (cg_nz == 0) {
+        total += bits0;
+      } else if (cg_zero + bits0 < cg_cost + bits1) {
+        for (int kk = 15; kk >= 0; --kk) {
+          int i = sb * 16 + kk;
+          lev[scan[i]] = 0;
+          total += cost_zero[i] - cost_coeff[i];
+          cost_coeff[i] = cost_zero[i];
+          cost_sig[i] = 0;
+        }
+        csbf[sb] = 0;
+        total += bits0;
+      } else {
+        total += bits1;
+      }
+    }
+  }
+
+  // last-position sweep: pick the nonzero position whose selection as the
+  // last coefficient minimises total cost (positions above it become
+  // uncoded zeros); compare against coding nothing at all.
+  auto last_bits = [&](int pos) {
+    int lx = pos % n, ly = pos / n;
+    if (scan_idx == 2) std::swap(lx, ly);
+    const ContextModel* lastx = luma ? cs.last_x : cs.last_x + 15;
+    const ContextModel* lasty = luma ? cs.last_y : cs.last_y + 15;
+    int ctx_offset = luma ? 3 * (log2 - 2) + ((log2 - 1) >> 2) : 0;
+    int ctx_shift = luma ? (log2 + 1) >> 2 : log2 - 2;
+    int cmax = (log2 << 1) - 1;
+    int gx = kGroupIdx[lx], gy = kGroupIdx[ly];
+    double b = 0;
+    for (int bb = 0; bb < gx; ++bb)
+      b += ctx_bits(lastx[ctx_offset + (bb >> ctx_shift)], 1);
+    if (gx < cmax) b += ctx_bits(lastx[ctx_offset + (gx >> ctx_shift)], 0);
+    for (int bb = 0; bb < gy; ++bb)
+      b += ctx_bits(lasty[ctx_offset + (bb >> ctx_shift)], 1);
+    if (gy < cmax) b += ctx_bits(lasty[ctx_offset + (gy >> ctx_shift)], 0);
+    if (gx > 3) b += (gx >> 1) - 1;
+    if (gy > 3) b += (gy >> 1) - 1;
+    return b;
+  };
+
+  double best = block_uncoded;        // cbf = 0
+  int best_last = -1;
+  double base = total;
+  for (int i = last_scan; i >= 0; --i) {
+    int r = scan[i];
+    if (lev[r]) {
+      double cand = base - cost_sig[i] + lambda * last_bits(r);
+      if (cand < best) { best = cand; best_last = i; }
+      base += cost_zero[i] - cost_coeff[i];
+    } else {
+      base -= cost_sig[i];
+      base += cost_zero[i] - cost_coeff[i];
+    }
+  }
+  if (best_last < 0) { std::fill(lev, lev + nn, 0); return 0; }
+  int nz = 0;
+  for (int i = 0; i <= last_scan; ++i) {
+    int r = scan[i];
+    if (i > best_last) lev[r] = 0;
+    if (lev[r]) ++nz;
+  }
+  return nz;
+}
+
 // ===========================================================================
 // SliceDecoder
 // ===========================================================================

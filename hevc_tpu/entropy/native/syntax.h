@@ -287,6 +287,9 @@ class SliceEncoder {
     return bw_.bytes;
   }
   PicMaps& maps() { return maps_; }
+  // slice-init context states (RD bit estimation; the engine snapshots
+  // these for rdoq_quant / counter-based mode costs)
+  const ContextSet& contexts() const { return ctx_; }
   // WPP: byte sizes of the coded substreams (one per CTU row)
   const std::vector<int32_t>& substream_sizes() const { return sub_sizes_; }
 
@@ -380,6 +383,20 @@ class SliceDecoder {
     sub_offsets_.assign(off, off + n);
   }
   PicMaps& maps() { return maps_; }
+  // slice-init context states (RD bit estimation; the engine snapshots
+  // these for rdoq_quant / counter-based mode costs)
+  const ContextSet& contexts() const { return ctx_; }
 };
+
+// Exact rate-distortion-optimized quantization (reference
+// TComTrQuant::xRateDistOptQuant, TComTrQuant.cpp:2129): per-coefficient
+// level choice, coefficient-group zeroing and last-position selection by
+// D + lambda*R with context-exact fractional-bit rates (kEntropyBits)
+// evaluated on the context states in `cs`. coef: forward-transform
+// coefficients (raster); lev: output levels (raster). Returns the number
+// of nonzero levels (0 = code no residual).
+int rdoq_quant(const ContextSet& cs, const int32_t* coef, int32_t* lev,
+               int log2, int c_idx, int scan_idx, int qp, int bd,
+               double lambda, const int32_t* smat);
 
 }  // namespace hevctpu
