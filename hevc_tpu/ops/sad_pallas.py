@@ -29,18 +29,30 @@ def _sad_kernel(blk_ref, area_ref, out_ref, scratch, sem, *, h, w, ny, nx,
     dma.start()
     dma.wait()
     blk = blk_ref[0]
+    # 8 dy offsets per iteration: the dynamic row slice start stays a
+    # provable multiple of 8 (Mosaic sublane alignment), and each inner
+    # accumulation is a lane-wide (h, nx) reduce — one SAD row per vector
+    # op instead of one scalar per (dy, dx).
+    h8 = _round_up(h + 8, 8)
 
-    def row(dy, _):
-        rows = scratch[pl.ds(dy, h), :]
-        sads = []
-        for dx in range(nx):
-            sads.append(jnp.sum(jnp.abs(rows[:, dx:dx + w] - blk)))
-        vec = jnp.stack(sads)
-        vec = jnp.pad(vec, (0, nxp - nx))
-        out_ref[0, dy, :] = vec
+    zero = jnp.int32(0)
+
+    def row8(t, _):
+        rows = scratch[pl.ds(t * 8, h8), :]
+        sads = [[None] * nxp for _ in range(8)]
+        for k in range(8):
+            sub = rows[k:k + h, :]
+            for dx in range(nxp):
+                sads[k][dx] = (jnp.sum(jnp.abs(sub[:, dx:dx + w] - blk))
+                               if dx < nx else zero)
+        # scalar->vector stacks stay within one 128-lane tile per chunk
+        for j in range(nxp // 128):
+            chunk = jnp.stack([jnp.stack(sads[k][j * 128:(j + 1) * 128])
+                               for k in range(8)])
+            out_ref[0, pl.ds(t * 8, 8), j * 128:(j + 1) * 128] = chunk
         return 0
 
-    jax.lax.fori_loop(0, ny, row, 0)
+    jax.lax.fori_loop(0, (ny + 7) // 8, row8, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "ny", "nx",
@@ -52,7 +64,8 @@ def sad_table(blks: jnp.ndarray, areas: jnp.ndarray, *, h: int, w: int,
     nyp = _round_up(ny, 8)
     nxp = _round_up(nx, 128)
     aw = _round_up(w + nx - 1, 128)   # lane-aligned area width for the DMA
-    ah = _round_up(h + ny - 1, 8)
+    # rows for the last 8-dy iteration: (nyp - 8) + (h + 8 rounded up)
+    ah = nyp - 8 + _round_up(h + 8, 8)
     areas = jnp.pad(areas.astype(jnp.int32),
                     ((0, 0), (0, ah - (h + ny - 1)), (0, aw - (w + nx - 1))))
     # NOTE: a functools.partial here would embed its repr (with a
@@ -68,7 +81,7 @@ def sad_table(blks: jnp.ndarray, areas: jnp.ndarray, *, h: int, w: int,
         in_specs=[
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, nyp, nxp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
