@@ -104,6 +104,10 @@ class NativeFrameEncoder:
                  is_b: bool = False, ref_planes=None, ref1_planes=None,
                  search_range: int = 24, cu_depth_target: int = 1,
                  me_provider=None):
+        """ref_planes / ref1_planes: a single [Y, Cb, Cr] plane list or a
+        list of them — one entry per active reference of the list
+        (reference TEncSearch::predInterSearch per-refIdx loop,
+        TEncSearch.cpp:3027)."""
         assert sps.chroma_format_idc == 1, "native engine is 4:2:0-only"
         self.sps = sps
         self.qp = qp
@@ -116,13 +120,19 @@ class NativeFrameEncoder:
         self.search_range = search_range
         self.cu_depth_target = cu_depth_target
         self.is_b = is_b
-        self.ref = ([np.ascontiguousarray(pad_plane(p, PAD))
-                     for p in ref_planes] if ref_planes is not None else None)
-        self.ref1 = ([np.ascontiguousarray(pad_plane(p, PAD))
-                      for p in ref1_planes]
-                     if ref1_planes is not None else self.ref)
+
+        def norm(refs):
+            if refs is None:
+                return None
+            if len(refs) and isinstance(refs[0], np.ndarray):
+                refs = [refs]
+            return [[np.ascontiguousarray(pad_plane(p, PAD)) for p in r]
+                    for r in refs]
+
+        self.ref = norm(ref_planes)
+        self.ref1 = norm(ref1_planes) if ref1_planes is not None else self.ref
         # optional callable(size, range, lam_fp) -> (gx, gy) or None:
-        # precomputed (mesh-sharded lookahead) integer-ME grids
+        # precomputed (mesh-sharded lookahead) integer-ME grids (ref 0)
         self.me_provider = me_provider
 
     def encode_frame(self, orig: List[np.ndarray]):
@@ -137,20 +147,25 @@ class NativeFrameEncoder:
         me_x = me_y = me16_x = me16_y = None
         if self.is_inter:
             size = ctu >> self.cu_depth_target
-            pre = (self.me_provider(size, self.search_range, self.lam_fp)
-                   if self.me_provider else None)
-            if pre is not None:
-                me_x, me_y = pre
-            else:
-                me_x, me_y = batched_me_grid(orig[0], self.ref[0], size,
-                                             self.search_range, self.lam_fp)
+            me_x, me_y = [], []
+            for r, ref in enumerate(self.ref):
+                pre = (self.me_provider(size, self.search_range, self.lam_fp)
+                       if r == 0 and self.me_provider else None)
+                gx, gy = pre if pre is not None else batched_me_grid(
+                    orig[0], ref[0], size, self.search_range, self.lam_fp)
+                me_x.append(gx)
+                me_y.append(gy)
             import os
             if os.environ.get("HEVC_TPU_CU16", "0") != "0":
                 # deeper inter partitioning: RD-neutral on low-motion
                 # content but costs a second device search; opt-in
-                me16_x, me16_y = batched_me_grid(
-                    orig[0], self.ref[0], 16, min(self.search_range, 16),
-                    self.lam_fp)
+                me16_x, me16_y = [], []
+                for ref in self.ref:
+                    gx, gy = batched_me_grid(
+                        orig[0], ref[0], 16, min(self.search_range, 16),
+                        self.lam_fp)
+                    me16_x.append(gx)
+                    me16_y.append(gy)
         ep = EngineParamsC(
             pad=PAD, cu_depth_target=self.cu_depth_target,
             strong_smoothing=sps.strong_intra_smoothing_enabled_flag,

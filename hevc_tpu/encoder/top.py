@@ -122,9 +122,27 @@ class EncoderTop:
         if cfg.deblock_disable:
             self.pps.deblocking_filter_control_present_flag = 1
             self.pps.pps_deblocking_filter_disabled_flag = 1
-        # low-delay RPS (previous picture); RA entries write inline RPSs
-        self.sps.short_term_rps = [ShortTermRPS(delta_pocs=[-1],
-                                                used_flags=[1])]
+        # low-delay RPS: one SPS RPS per GOP entry carrying the entry's
+        # full reference set (reference TEncTop::xInitRPS — the cfg rows'
+        # deltas, e.g. -1 -5 -9 -13, chain so every picture a future frame
+        # needs stays in the decoder DPB); RA entries write inline RPSs.
+        # Early frames whose full set does not exist yet fall back to an
+        # inline truncated RPS in the slice header.
+        if cfg.gop_entries and not (bool(cfg.gop_entries) and
+                                    [e.poc for e in cfg.gop_entries] !=
+                                    list(range(1,
+                                               len(cfg.gop_entries) + 1))):
+            self.sps.short_term_rps = [
+                ShortTermRPS(delta_pocs=list(e.reference_pics),
+                             used_flags=[1] * len(e.reference_pics))
+                for e in cfg.gop_entries]
+        else:
+            self.sps.short_term_rps = [ShortTermRPS(delta_pocs=[-1],
+                                                    used_flags=[1])]
+        # retain pictures while any future RPS can reference them
+        self._max_ref_delta = max(
+            (abs(d) for e in (cfg.gop_entries or [])
+             for d in e.reference_pics), default=1)
         self.rc = None
         if cfg.rate_control and cfg.target_bitrate:
             from .rate_ctrl import RateController
@@ -198,23 +216,48 @@ class EncoderTop:
         else:
             gop_poc = self.poc - self.last_idr_poc
             is_b = False
+            entry = None
+            entry_idx = 0
             if cfg.gop_entries:
-                e = cfg.gop_entries[(gop_poc - 1) % len(cfg.gop_entries)]
-                qp_off, qf = e.qp_offset, e.qp_factor
-                is_b = e.slice_type == "B"
+                entry_idx = (gop_poc - 1) % len(cfg.gop_entries)
+                entry = cfg.gop_entries[entry_idx]
+                qp_off, qf = entry.qp_offset, entry.qp_factor
+                is_b = entry.slice_type == "B"
             else:
                 qp_off = (3, 2, 3, 1)[(gop_poc - 1) % 4]
                 qf = (0.4624, 0.4624, 0.4624, 0.578)[(gop_poc - 1) % 4]
             slice_qp = int(np.clip(base_qp + (0 if self.rc else qp_off),
                                    0, 51))
-            rps = ShortTermRPS(delta_pocs=[-1], used_flags=[1])
+            # multi-reference list from the GOP entry's RPS (reference
+            # TEncSearch per-refIdx search over NumRefIdxActive refs)
+            if entry is not None and entry.reference_pics:
+                want = list(entry.reference_pics)
+                avail = [d for d in want if (gop_poc + d) in self.dpb]
+                if not avail:
+                    avail = [-1]
+                # decoder L0 order: POC < cur by descending POC
+                avail.sort(reverse=True)
+                full = (avail == sorted(want, reverse=True)
+                        and len(self.sps.short_term_rps) ==
+                        len(cfg.gop_entries))
+                rps = ShortTermRPS(delta_pocs=avail,
+                                   used_flags=[1] * len(avail))
+                nact = max(1, min(entry.num_ref_pics_active or 1,
+                                  len(avail)))
+                refs = [(gop_poc + d, self.dpb[gop_poc + d])
+                        for d in avail[:nact]]
+            else:
+                full = len(self.sps.short_term_rps) == 1
+                rps = ShortTermRPS(delta_pocs=[-1], used_flags=[1])
+                refs = [(gop_poc - 1, self.dpb_recon)]
+                entry_idx = 0
             au = self._encode_au(
                 planes, display_poc=self.poc, cvs_poc=gop_poc,
                 stype=SliceType.B if is_b else SliceType.P,
                 slice_qp=slice_qp, qf=qf, rps=rps,
-                ref_l0=(gop_poc - 1, self.dpb_recon),
-                ref_l1=(gop_poc - 1, self.dpb_recon) if is_b else None,
-                idr=False, use_sps_rps=True)
+                ref_l0=refs,
+                ref_l1=[refs[0]] if is_b else None,
+                idr=False, use_sps_rps=full, rps_sps_idx=entry_idx)
         self.poc += 1
         return au
 
@@ -257,7 +300,7 @@ class EncoderTop:
                         self.in_buf[p], display_poc=p, cvs_poc=p,
                         stype=SliceType.P, slice_qp=slice_qp,
                         qf=e.qp_factor, rps=rps,
-                        ref_l0=(ref_poc, self.dpb[ref_poc]), ref_l1=None,
+                        ref_l0=[(ref_poc, self.dpb[ref_poc])], ref_l1=None,
                         idr=False)
                 self.in_buf.clear()
             return out
@@ -280,20 +323,24 @@ class EncoderTop:
             planes, display_poc=p, cvs_poc=p,
             stype=SliceType.B if is_b else SliceType.P,
             slice_qp=slice_qp, qf=e.qp_factor, rps=rps,
-            ref_l0=(l0_poc, self.dpb[l0_poc]),
-            ref_l1=(l1_poc, self.dpb[l1_poc]) if is_b else None,
+            ref_l0=[(l0_poc, self.dpb[l0_poc])],
+            ref_l1=[(l1_poc, self.dpb[l1_poc])] if is_b else None,
             idr=False)
 
     # ------------------------------------------------------------------
     def _encode_au(self, planes, *, display_poc, cvs_poc, stype, slice_qp,
                    qf, rps, ref_l0, ref_l1, idr,
-                   use_sps_rps: bool = False) -> bytes:
+                   use_sps_rps: bool = False, rps_sps_idx: int = 0) -> bytes:
+        """ref_l0/ref_l1: active reference lists, each a list of
+        (cvs_poc, recon_planes) in final L0/L1 order."""
         cfg = self.cfg
         is_intra = stype == SliceType.I
         is_b = stype == SliceType.B
         sao_on = 1 if cfg.sao else 0
         use_native = (self.sps.chroma_format_idc == 1 and
                       os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0")
+        n_l0 = 0 if is_intra else len(ref_l0)
+        n_l1 = len(ref_l1) if is_b and ref_l1 else 0
         sh = SliceHeader(
             slice_type=stype,
             nal_unit_type=int(NalUnitType.IDR_W_RADL if idr
@@ -301,15 +348,14 @@ class EncoderTop:
             poc=cvs_poc, slice_qp=slice_qp,
             slice_sao_luma_flag=sao_on, slice_sao_chroma_flag=sao_on,
             short_term_ref_pic_set_sps_flag=1 if use_sps_rps else 0,
-            rps_sps_idx=0, rps=rps,
-            num_ref_idx_active=[0 if is_intra else 1, 1 if is_b else 0])
+            rps_sps_idx=rps_sps_idx, rps=rps,
+            num_ref_idx_active=[n_l0, n_l1])
 
         ctu_qps = None
         if self.pps.cu_qp_delta_enabled_flag:
             if cfg.lcu_rate_control and self.rc is not None:
                 from .rate_ctrl import lcu_qps
-                refl = None if is_intra else (
-                    ref_l0[1][0] if not is_intra else None)
+                refl = None if is_intra else ref_l0[0][1][0]
                 ctu_qps = lcu_qps(planes[0], refl, self.sps.ctu_size,
                                   slice_qp).reshape(-1)
             else:
@@ -348,7 +394,7 @@ class EncoderTop:
             decisions, recon = fe.encode_frame(planes)
             ref_pocs = ((), ())
         else:
-            l0_poc, l0_planes = ref_l0
+            l0_poc, l0_planes = ref_l0[0]
             if (self.pps.weighted_pred_flag and not is_b):
                 # WeightPredAnalysis-lite (reference WeightPredAnalysis.cpp
                 # xCalcACDCParamSlice:67 / xSelectWP:124): DC-ratio weight
@@ -366,6 +412,11 @@ class EncoderTop:
                     sh.wp_luma_flag = 1
                     sh.wp_weight = w
                     sh.wp_offset = o
+                    # the pred_weight_table / engine carry one luma weight
+                    # (list 0, ref 0): restrict to a single active ref
+                    ref_l0 = ref_l0[:1]
+                    n_l0 = 1
+                    sh.num_ref_idx_active = [1, n_l1]
             sp = make_slice_params(
                 cfg.width, cfg.height, slice_qp, slice_type=int(stype),
                 ctu_size=self.sps.ctu_size,
@@ -377,9 +428,9 @@ class EncoderTop:
                 transform_skip=self.pps.transform_skip_enabled_flag,
                 cu_dqp=self.pps.cu_qp_delta_enabled_flag, ctu_qps=ctu_qps,
                 pcm=self.sps.pcm_enabled_flag,
-                num_ref_l0=1, num_ref_l1=1 if is_b else 0,
-                ref_poc_l0=[l0_poc],
-                ref_poc_l1=[ref_l1[0]] if is_b else [],
+                num_ref_l0=n_l0, num_ref_l1=n_l1,
+                ref_poc_l0=[p for p, _ in ref_l0],
+                ref_poc_l1=[p for p, _ in ref_l1] if is_b else [],
                 sao_luma=sao_on, sao_chroma=sao_on,
                 bit_depth=self.sps.bit_depth_luma, cur_poc=cvs_poc,
                 wpp=self.pps.entropy_coding_sync_enabled_flag,
@@ -407,21 +458,24 @@ class EncoderTop:
                 from .native_frame import NativeFrameEncoder
                 fe = NativeFrameEncoder(
                     self.sps, slice_qp, senc, sp, qp_factor=qf, is_b=is_b,
-                    ref_planes=l0_planes,
-                    ref1_planes=ref_l1[1] if is_b else None,
-                    search_range=min(cfg.search_range, 24),
+                    ref_planes=[pl for _, pl in ref_l0],
+                    ref1_planes=[pl for _, pl in ref_l1] if is_b else None,
+                    search_range=cfg.search_range,
                     me_provider=(
                         (lambda size, r, lam:
                          self.me_provider(display_poc, size, r, lam))
                         if self.me_provider else None))
             else:
+                # pure-Python reference path: single reference per list
                 fe = PFrameEncoder(self.sps, slice_qp, l0_planes,
                                    search_range=min(cfg.search_range, 24),
                                    qp_factor=qf, is_b=is_b,
-                                   ref1_planes=ref_l1[1] if is_b else None)
+                                   ref1_planes=ref_l1[0][1] if is_b
+                                   else None)
                 fe.senc = senc
             decisions, recon = fe.encode_frame(planes)
-            ref_pocs = ([l0_poc], [ref_l1[0]] if is_b else [])
+            ref_pocs = ([p for p, _ in ref_l0],
+                        [p for p, _ in ref_l1] if is_b else [])
 
         # in-loop deblocking
         if not self.pps.pps_deblocking_filter_disabled_flag:
@@ -577,6 +631,13 @@ class EncoderTop:
             self.dpb_motion[cvs_poc] = motion_field(
                 decisions, self.sps, ref_pocs[0], ref_pocs[1], cvs_poc)
         self.dpb[cvs_poc] = recon
+        # bounded DPB: evict pictures no future RPS can reference
+        # (reference TComSlice::applyReferencePictureSet bumping)
+        keep = self.gop_size + self._max_ref_delta
+        top = max(self.dpb)
+        for q in [q for q in self.dpb if q < top - keep]:
+            del self.dpb[q]
+            self.dpb_motion.pop(q, None)
         self.dpb_recon = recon
         self.recon = recon
         self.out_queue.append((display_poc, recon))

@@ -102,13 +102,15 @@ def get_lib() -> ctypes.CDLL:
     lib.hevc_enc_get.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                  ctypes.c_long]
     i16null = ctypes.POINTER(ctypes.c_int16)
-    i32null = ctypes.POINTER(ctypes.c_int32)
+    pp16 = ctypes.POINTER(ctypes.POINTER(ctypes.c_int16))
+    pp32 = ctypes.POINTER(ctypes.POINTER(ctypes.c_int32))
     lib.hevc_engine_create.restype = ctypes.c_void_p
     lib.hevc_engine_create.argtypes = (
         [ctypes.POINTER(SliceParamsC), ctypes.POINTER(EngineParamsC),
-         ctypes.c_void_p] + [i16null] * 12
-        + [i32null, i32null, ctypes.c_int, ctypes.c_int]
-        + [i32null, i32null, ctypes.c_int, ctypes.c_int])
+         ctypes.c_void_p] + [i16null] * 6
+        + [pp16, ctypes.c_int, pp16, ctypes.c_int]
+        + [pp32, pp32, ctypes.c_int, ctypes.c_int]
+        + [pp32, pp32, ctypes.c_int, ctypes.c_int])
     lib.hevc_engine_destroy.argtypes = [ctypes.c_void_p]
     lib.hevc_engine_ctu.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
@@ -364,31 +366,80 @@ def _i32ptr(arr):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
 
+def _as_ref_list(refs):
+    """Normalize a reference argument to a list of [Y, Cb, Cr] plane lists:
+    accepts None, a single [3] plane list, or a list of such lists."""
+    if refs is None:
+        return []
+    if len(refs) and isinstance(refs[0], np.ndarray):
+        return [refs]
+    return list(refs)
+
+
+def _as_grid_list(g, n):
+    """Normalize ME grids to a per-ref list of length n (None-padded)."""
+    if g is None:
+        return [None] * n
+    if isinstance(g, np.ndarray):
+        lst = [g]
+    else:
+        lst = list(g)
+    return (lst + [None] * n)[:n]
+
+
+def _plane_ptr_array(ref_list):
+    """Flattened (int16*)[nref*3] ctypes array for the engine."""
+    n = len(ref_list)
+    arr = (ctypes.POINTER(ctypes.c_int16) * max(1, n * 3))()
+    for r, planes in enumerate(ref_list):
+        for c in range(3):
+            arr[r * 3 + c] = _i16ptr(planes[c])
+    return arr
+
+
+def _grid_ptr_array(grids):
+    arr = (ctypes.POINTER(ctypes.c_int32) * max(1, len(grids)))()
+    for i, g in enumerate(grids):
+        if g is not None:
+            arr[i] = _i32ptr(g)
+    return arr
+
+
 class NativeCtuEngine:
     """Native per-CTU mode-decision + reconstruction engine (C++ twin of
-    the Python encoder loops; entropy/native/engine.cpp)."""
+    the Python encoder loops; entropy/native/engine.cpp). ref0/ref1 accept
+    a single [Y, Cb, Cr] plane list or a list of them (multi-reference,
+    reference TEncSearch per-refIdx loop); me grids likewise accept one
+    [ny, nx] int32 grid or a per-ref list."""
 
     def __init__(self, params: SliceParamsC, ep: EngineParamsC,
                  senc: SliceDataEncoder, orig, recon, ref0=None, ref1=None,
                  me_mvx=None, me_mvy=None, me16_mvx=None, me16_mvy=None):
         self._lib = get_lib()
+        r0 = _as_ref_list(ref0)
+        r1 = _as_ref_list(ref1)
+        me_mvx = _as_grid_list(me_mvx, max(1, len(r0)))
+        me_mvy = _as_grid_list(me_mvy, max(1, len(r0)))
+        me16_mvx = _as_grid_list(me16_mvx, max(1, len(r0)))
+        me16_mvy = _as_grid_list(me16_mvy, max(1, len(r0)))
         # keep every buffer alive for the engine lifetime
-        self._keep = [params, ep, orig, recon, ref0, ref1, me_mvx, me_mvy,
+        self._keep = [params, ep, orig, recon, r0, r1, me_mvx, me_mvy,
                       me16_mvx, me16_mvy]
-        r0 = ref0 or [None] * 3
-        r1 = ref1 or [None] * 3
-        me_nx = me_mvx.shape[1] if me_mvx is not None else 0
-        me_ny = me_mvx.shape[0] if me_mvx is not None else 0
-        me16_nx = me16_mvx.shape[1] if me16_mvx is not None else 0
-        me16_ny = me16_mvx.shape[0] if me16_mvx is not None else 0
+        first = next((g for g in me_mvx if g is not None), None)
+        me_ny, me_nx = first.shape if first is not None else (0, 0)
+        first16 = next((g for g in me16_mvx if g is not None), None)
+        me16_ny, me16_nx = first16.shape if first16 is not None else (0, 0)
+        r0p = _plane_ptr_array(r0)
+        r1p = _plane_ptr_array(r1)
+        gxp, gyp = _grid_ptr_array(me_mvx), _grid_ptr_array(me_mvy)
+        g16xp, g16yp = _grid_ptr_array(me16_mvx), _grid_ptr_array(me16_mvy)
+        self._keep += [r0p, r1p, gxp, gyp, g16xp, g16yp]
         self._h = self._lib.hevc_engine_create(
             ctypes.byref(params), ctypes.byref(ep), senc._h,
             _i16ptr(orig[0]), _i16ptr(orig[1]), _i16ptr(orig[2]),
             _i16ptr(recon[0]), _i16ptr(recon[1]), _i16ptr(recon[2]),
-            _i16ptr(r0[0]), _i16ptr(r0[1]), _i16ptr(r0[2]),
-            _i16ptr(r1[0]), _i16ptr(r1[1]), _i16ptr(r1[2]),
-            _i32ptr(me_mvx), _i32ptr(me_mvy), me_nx, me_ny,
-            _i32ptr(me16_mvx), _i32ptr(me16_mvy), me16_nx, me16_ny)
+            r0p, len(r0), r1p, len(r1),
+            gxp, gyp, me_nx, me_ny, g16xp, g16yp, me16_nx, me16_ny)
         self._ctu = params.ctu_size
         self._cfmt = params.chroma_format
 

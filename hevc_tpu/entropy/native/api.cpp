@@ -166,25 +166,26 @@ int hevc_dec_ctu(void* h, int ctu_x, int ctu_y, uint8_t* cu_depth,
 
 extern "C" {
 
+// ref0/ref1: flattened per-list reference plane pointer arrays
+// (ref0[r * 3 + comp], nref0 references); me grids are per-list-0-ref
+// pointer arrays ([nref0] each an [me_ny * me_nx] int32 grid, or null).
 void* hevc_engine_create(const SliceParams* sp, const EngineParams* ep,
                          void* senc,
                          const int16_t* oy, const int16_t* ocb,
                          const int16_t* ocr, int16_t* ry, int16_t* rcb,
-                         int16_t* rcr, const int16_t* r0y,
-                         const int16_t* r0cb, const int16_t* r0cr,
-                         const int16_t* r1y, const int16_t* r1cb,
-                         const int16_t* r1cr, const int32_t* me_mvx,
-                         const int32_t* me_mvy, int me_nx, int me_ny,
-                         const int32_t* me16_mvx, const int32_t* me16_mvy,
-                         int me16_nx, int me16_ny) {
+                         int16_t* rcr,
+                         const int16_t* const* ref0, int nref0,
+                         const int16_t* const* ref1, int nref1,
+                         const int32_t* const* me_mvx,
+                         const int32_t* const* me_mvy, int me_nx, int me_ny,
+                         const int32_t* const* me16_mvx,
+                         const int32_t* const* me16_mvy, int me16_nx,
+                         int me16_ny) {
   const int16_t* orig[3] = {oy, ocb, ocr};
   int16_t* recon[3] = {ry, rcb, rcr};
-  const int16_t* ref0[3] = {r0y, r0cb, r0cr};
-  const int16_t* ref1[3] = {r1y, r1cb, r1cr};
-  return new CtuEngine(*sp, *ep, (SliceEncoder*)senc, orig, recon,
-                       r0y ? ref0 : nullptr, r1y ? ref1 : nullptr, me_mvx,
-                       me_mvy, me_nx, me_ny, me16_mvx, me16_mvy, me16_nx,
-                       me16_ny);
+  return new CtuEngine(*sp, *ep, (SliceEncoder*)senc, orig, recon, ref0,
+                       nref0, ref1, nref1, me_mvx, me_mvy, me_nx, me_ny,
+                       me16_mvx, me16_mvy, me16_nx, me16_ny);
 }
 
 void hevc_engine_destroy(void* h) { delete (CtuEngine*)h; }

@@ -278,6 +278,25 @@ void sbh_enforce(int32_t* lev, const int32_t* coef, int n, int qp, int bd,
 
 }  // namespace
 
+// MV clip to picture + margin (reference TComDataCU::clipMv, applied at
+// prediction time in TComPrediction::xPredInterUni:594 — merge/TMVP
+// candidates can point far outside the padded reference area; the stored
+// and coded MV stays UNclipped, matching the decoder which clips at MC)
+static MotionInfo clip_mi(const SliceParams& sp, const MotionInfo& mi,
+                          int cu_x, int cu_y) {
+  int off = 8, ctu = sp.ctu_size;
+  int hmax = (sp.pic_w + off - cu_x - 1) << 2;
+  int hmin = (-ctu - off - cu_x + 1) << 2;
+  int vmax = (sp.pic_h + off - cu_y - 1) << 2;
+  int vmin = (-ctu - off - cu_y + 1) << 2;
+  MotionInfo out = mi;
+  for (int l = 0; l < 2; ++l) {
+    out.mvx[l] = (int16_t)std::min(hmax, std::max(hmin, (int)mi.mvx[l]));
+    out.mvy[l] = (int16_t)std::min(vmax, std::max(vmin, (int)mi.mvy[l]));
+  }
+  return out;
+}
+
 // uni-prediction honouring explicit weighted prediction on list 0
 static void mc_uni(const SliceParams& sp, const int16_t* ref, int rw,
                    int pad, int mvx, int mvy, int x0, int y0, int w, int h,
@@ -295,24 +314,36 @@ static void mc_uni(const SliceParams& sp, const int16_t* ref, int rw,
 
 CtuEngine::CtuEngine(const SliceParams& sp, const EngineParams& ep,
                      SliceEncoder* senc, const int16_t* orig[3],
-                     int16_t* recon[3], const int16_t* ref0[3],
-                     const int16_t* ref1[3], const int32_t* me_mvx,
-                     const int32_t* me_mvy, int me_nx, int me_ny,
-                     const int32_t* me16_mvx, const int32_t* me16_mvy,
-                     int me16_nx, int me16_ny)
-    : sp_(sp), ep_(ep), senc_(senc), me_mvx_(me_mvx), me_mvy_(me_mvy),
-      me_nx_(me_nx), me_ny_(me_ny), me16_mvx_(me16_mvx),
-      me16_mvy_(me16_mvy), me16_nx_(me16_nx), me16_ny_(me16_ny) {
+                     int16_t* recon[3], const int16_t* const* ref0,
+                     int nref0, const int16_t* const* ref1, int nref1,
+                     const int32_t* const* me_mvx,
+                     const int32_t* const* me_mvy, int me_nx, int me_ny,
+                     const int32_t* const* me16_mvx,
+                     const int32_t* const* me16_mvy, int me16_nx,
+                     int me16_ny)
+    : sp_(sp), ep_(ep), senc_(senc), me_nx_(me_nx), me_ny_(me_ny),
+      me16_nx_(me16_nx), me16_ny_(me16_ny) {
   est_ctx_ = senc_->contexts();  // slice-init states for RD bit estimates
   const char* rq = getenv("HEVC_TPU_RDOQ");
   rdoq_exact_ = !(rq && strcmp(rq, "lite") == 0);
   if (rdoq_exact_) est_enc_.reset(new SliceEncoder(sp));
 
+  nref_[0] = std::min(nref0, 16);
+  nref_[1] = std::min(nref1, 16);
   for (int i = 0; i < 3; ++i) {
     orig_[i] = orig[i];
     recon_[i] = recon[i];
-    ref0_[i] = ref0 ? ref0[i] : nullptr;
-    ref1_[i] = ref1 ? ref1[i] : nullptr;
+  }
+  for (int l = 0; l < 2; ++l) {
+    const int16_t* const* src = l == 0 ? ref0 : ref1;
+    for (int r = 0; r < nref_[l]; ++r)
+      for (int c = 0; c < 3; ++c) refs_[l][r][c] = src[r * 3 + c];
+  }
+  for (int r = 0; r < nref_[0]; ++r) {
+    me_mvx_[r] = me_mvx ? me_mvx[r] : nullptr;
+    me_mvy_[r] = me_mvy ? me_mvy[r] : nullptr;
+    me16_mvx_[r] = me16_mvx ? me16_mvx[r] : nullptr;
+    me16_mvy_[r] = me16_mvy ? me16_mvy[r] : nullptr;
   }
   w_ = sp.pic_w;
   h_ = sp.pic_h;
@@ -369,18 +400,20 @@ bool CtuEngine::ts_trial(const int32_t* resi, int qp, bool intra,
   return true;
 }
 
-bool CtuEngine::me_lookup(int x0, int y0, int n, int* mvx, int* mvy) const {
+bool CtuEngine::me_lookup(int x0, int y0, int n, int r, int* mvx,
+                          int* mvy) const {
   if (x0 % n || y0 % n || x0 + n > w_ || y0 + n > h_) return false;
-  if (n == 32 && me_mvx_) {
+  if (r < 0 || r >= 16) return false;
+  if (n == 32 && me_mvx_[r]) {
     int mi = (y0 / 32) * me_nx_ + (x0 / 32);
-    *mvx = me_mvx_[mi] << 2;
-    *mvy = me_mvy_[mi] << 2;
+    *mvx = me_mvx_[r][mi] << 2;
+    *mvy = me_mvy_[r][mi] << 2;
     return true;
   }
-  if (n == 16 && me16_mvx_) {
+  if (n == 16 && me16_mvx_[r]) {
     int mi = (y0 / 16) * me16_nx_ + (x0 / 16);
-    *mvx = me16_mvx_[mi] << 2;
-    *mvy = me16_mvy_[mi] << 2;
+    *mvx = me16_mvx_[r][mi] << 2;
+    *mvy = me16_mvy_[r][mi] << 2;
     return true;
   }
   return false;
@@ -915,7 +948,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
   int rwc = w_ / 2 + 2 * pad;
   const int16_t* oy = orig_[0] + y0 * w_ + x0;
   int size_full = ctu_ >> ep_.cu_depth_target;
-  if (!me_mvx_ || size_full != 32) return false;
+  if (!me_mvx_[0] || size_full != 32) return false;
 
   static thread_local std::vector<int32_t> predbuf, bestbuf;
   predbuf.resize(n * n);
@@ -923,19 +956,19 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
   int32_t* pred = predbuf.data();
   int32_t* best_pred = bestbuf.data();
 
-  // quadrant integer MVs from the device search
+  // quadrant integer MVs from the device search (ref 0 screens the split)
   int mvs[4][2];
   for (int i = 0; i < 4; ++i) {
     int qx = x0 + (i & 1) * 32, qy = y0 + (i >> 1) * 32;
     int mi = (qy / 32) * me_nx_ + (qx / 32);
-    mvs[i][0] = me_mvx_[mi] << 2;
-    mvs[i][1] = me_mvy_[mi] << 2;
+    mvs[i][0] = me_mvx_[0][mi] << 2;
+    mvs[i][1] = me_mvy_[0][mi] << 2;
   }
   // screen cost of the split path: per-quadrant SATD at own MV + overhead
   int64_t split_cost = lam_bits(4 * 6);
   for (int i = 0; i < 4; ++i) {
     int qx = x0 + (i & 1) * 32, qy = y0 + (i >> 1) * 32;
-    mc_uni(sp_, ref0_[0], rw, pad, mvs[i][0], mvs[i][1], qx, qy, 32, 32,
+    mc_uni(sp_, rp(0, 0, 0), rw, pad, mvs[i][0], mvs[i][1], qx, qy, 32, 32,
            bd_, true, 0, 0, pred);
     split_cost += dsp::satd(orig_[0] + qy * w_ + qx, w_, pred, 32, 32);
   }
@@ -954,14 +987,15 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
       if (cands[k] == cands[idx]) { dup = true; break; }
     if (dup) continue;
     const MotionInfo& mi = cands[idx];
+    MotionInfo cmi = clip_mi(sp_, mi, x0, y0);
     if (mi.ref[0] >= 0 && mi.ref[1] >= 0)
-      dsp::mc_predict_bi(ref0_[0], ref1_[0], rw, pad, mi.mvx[0], mi.mvy[0],
-                         mi.mvx[1], mi.mvy[1], x0, y0, n, n, bd_, true,
-                         pred);
+      dsp::mc_predict_bi(rp(0, mi.ref[0], 0), rp(1, mi.ref[1], 0), rw, pad,
+                         cmi.mvx[0], cmi.mvy[0], cmi.mvx[1], cmi.mvy[1],
+                         x0, y0, n, n, bd_, true, pred);
     else {
       int l = mi.ref[0] >= 0 ? 0 : 1;
-      mc_uni(sp_, l == 0 ? ref0_[0] : ref1_[0], rw, pad, mi.mvx[l],
-             mi.mvy[l], x0, y0, n, n, bd_, true, l, 0, pred);
+      mc_uni(sp_, rp(l, mi.ref[l], 0), rw, pad, cmi.mvx[l],
+             cmi.mvy[l], x0, y0, n, n, bd_, true, l, 0, pred);
     }
     int64_t c = dsp::satd(oy, w_, pred, n, n) + lam_bits(idx + 1);
     if (best < 0 || c < best) {
@@ -979,7 +1013,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
   };
   int dmx = med4(mvs[0][0], mvs[1][0], mvs[2][0], mvs[3][0]);
   int dmy = med4(mvs[0][1], mvs[1][1], mvs[2][1], mvs[3][1]);
-  mc_uni(sp_, ref0_[0], rw, pad, dmx, dmy, x0, y0, n, n, bd_, true, 0, 0,
+  mc_uni(sp_, rp(0, 0, 0), rw, pad, dmx, dmy, x0, y0, n, n, bd_, true, 0, 0,
          pred);
   int bits0 = mv_bits(dmx - amvp[0]) + mv_bits(dmy - amvp[1]);
   int bits1 = mv_bits(dmx - amvp[2]) + mv_bits(dmy - amvp[3]);
@@ -1046,15 +1080,16 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
   // chroma (32x32 for the CU, coded as four 16x16 TBs in quadrant order)
   int32_t pc[32 * 32];
   for (int ci = 1; ci <= 2; ++ci) {
-    const int16_t* refp = (sel.ref[0] >= 0) ? ref0_[ci] : ref1_[ci];
     int l = sel.ref[0] >= 0 ? 0 : 1;
+    MotionInfo csel = clip_mi(sp_, sel, x0, y0);
     if (sel.ref[0] >= 0 && sel.ref[1] >= 0)
-      dsp::mc_predict_bi(ref0_[ci], ref1_[ci], rwc, pad, sel.mvx[0],
-                         sel.mvy[0], sel.mvx[1], sel.mvy[1], x0 >> 1,
-                         y0 >> 1, 32, 32, bd_, false, pc);
+      dsp::mc_predict_bi(rp(0, sel.ref[0], ci), rp(1, sel.ref[1], ci), rwc,
+                         pad, csel.mvx[0], csel.mvy[0], csel.mvx[1],
+                         csel.mvy[1], x0 >> 1, y0 >> 1, 32, 32, bd_, false,
+                         pc);
     else
-      mc_uni(sp_, refp, rwc, pad, sel.mvx[l], sel.mvy[l], x0 >> 1,
-             y0 >> 1, 32, 32, bd_, false, l, ci, pc);
+      mc_uni(sp_, rp(l, sel.ref[l], ci), rwc, pad, csel.mvx[l],
+             csel.mvy[l], x0 >> 1, y0 >> 1, 32, 32, bd_, false, l, ci, pc);
     int16_t* lv_plane = ci == 1 ? d.coeff_cb : d.coeff_cr;
     for (int q = 0; q < 4; ++q) {
       int qx = (q & 1) * 16, qy = (q >> 1) * 16;
@@ -1125,15 +1160,15 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       if (cands[k] == cands[idx]) { dup = true; break; }
     if (dup) continue;
     const MotionInfo& mi = cands[idx];
+    MotionInfo cmi = clip_mi(sp_, mi, x0, y0);
     if (mi.ref[0] >= 0 && mi.ref[1] >= 0) {
-      dsp::mc_predict_bi(ref0_[0], ref1_[0], rw, pad, mi.mvx[0], mi.mvy[0],
-                         mi.mvx[1], mi.mvy[1], x0, y0, n, n, bd_, true,
-                         pred);
+      dsp::mc_predict_bi(rp(0, mi.ref[0], 0), rp(1, mi.ref[1], 0), rw, pad,
+                         cmi.mvx[0], cmi.mvy[0], cmi.mvx[1], cmi.mvy[1],
+                         x0, y0, n, n, bd_, true, pred);
     } else {
-      const int16_t* r = mi.ref[0] >= 0 ? ref0_[0] : ref1_[0];
       int l = mi.ref[0] >= 0 ? 0 : 1;
-      mc_uni(sp_, r, rw, pad, mi.mvx[l], mi.mvy[l], x0, y0, n, n, bd_,
-             true, l, 0, pred);
+      mc_uni(sp_, rp(l, mi.ref[l], 0), rw, pad, cmi.mvx[l], cmi.mvy[l], x0,
+             y0, n, n, bd_, true, l, 0, pred);
     }
     int64_t cost = dsp::satd(oy, w_, pred, n, n) + lam_bits(idx + 1);
     if (m_idx < 0 || cost < m_cost) {
@@ -1144,49 +1179,69 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     }
   }
 
-  // ---- AMVP + TPU integer MV + fractional refinement ----
+  // ---- AMVP: per-refIdx TPU integer MV + fractional refinement
+  // (reference TEncSearch::predInterSearch's per-refIdx loop,
+  // TEncSearch.cpp:3027; ref_idx signalling bits included in the cost) ----
   int16_t amvp[4];
-  senc_->maps().amvp_candidates(x0, y0, n, n, 0, 0, amvp);
-  int mv_x = 0, mv_y = 0, mvp_f = 0;
-  int mvd_x, mvd_y;
-  int64_t cost_inter;
+  int mv_x = 0, mv_y = 0, mvp_f = 0, best_r = 0;
+  int mvd_x = 0, mvd_y = 0;
+  int64_t cost_inter = -1;
   int32_t i_pred[32 * 32];
-  bool has_me = me_lookup(x0, y0, n, &mv_x, &mv_y);
-  if (has_me) {
+  bool has_me = false;
+  int nref = std::max(1, nref_[0]);
+  for (int r = 0; r < nref; ++r) {
+    int rmx, rmy;
+    if (!me_lookup(x0, y0, n, r, &rmx, &rmy)) continue;
+    has_me = true;
     // half- then quarter-pel 9-point SATD refinement (xPatternSearchFracDIF)
     auto cost_of = [&](int mx, int my) -> int64_t {
-      mc_uni(sp_, ref0_[0], rw, pad, mx, my, x0, y0, n, n, bd_, true, 0, 0,
-             pred);
+      mc_uni(sp_, rp(0, r, 0), rw, pad, mx, my, x0, y0, n, n, bd_, true, 0,
+             0, pred);
       return dsp::satd(oy, w_, pred, n, n);
     };
-    int64_t best_c = cost_of(mv_x, mv_y);
+    int64_t best_c = cost_of(rmx, rmy);
     for (int step = 2; step >= 1; --step) {
-      int cx0 = mv_x, cy0 = mv_y;
+      int cx0 = rmx, cy0 = rmy;
       for (int dy = -step; dy <= step; dy += step)
         for (int dx = -step; dx <= step; dx += step) {
           if (dx == 0 && dy == 0) continue;
           int64_t c = cost_of(cx0 + dx, cy0 + dy);
           if (c < best_c) {
             best_c = c;
-            mv_x = cx0 + dx;
-            mv_y = cy0 + dy;
+            rmx = cx0 + dx;
+            rmy = cy0 + dy;
           }
         }
     }
-    int bits0 = mv_bits(mv_x - amvp[0]) + mv_bits(mv_y - amvp[1]);
-    int bits1 = mv_bits(mv_x - amvp[2]) + mv_bits(mv_y - amvp[3]);
-    mvp_f = bits0 <= bits1 ? 0 : 1;
-    mvd_x = mv_x - amvp[2 * mvp_f];
-    mvd_y = mv_y - amvp[2 * mvp_f + 1];
-    mc_uni(sp_, ref0_[0], rw, pad, mv_x, mv_y, x0, y0, n, n, bd_, true,
-           0, 0, i_pred);
-    cost_inter = dsp::satd(oy, w_, i_pred, n, n) +
-                 lam_bits(std::min(bits0, bits1) + 3);
-  } else {
+    int16_t ramvp[4];
+    senc_->maps().amvp_candidates(x0, y0, n, n, 0, r, ramvp);
+    int bits0 = mv_bits(rmx - ramvp[0]) + mv_bits(rmy - ramvp[1]);
+    int bits1 = mv_bits(rmx - ramvp[2]) + mv_bits(rmy - ramvp[3]);
+    int pf = bits0 <= bits1 ? 0 : 1;
+    mc_uni(sp_, rp(0, r, 0), rw, pad, rmx, rmy, x0, y0, n, n, bd_, true,
+           0, 0, pred);
+    int64_t c = dsp::satd(oy, w_, pred, n, n) +
+                lam_bits(std::min(bits0, bits1) + 3 +
+                         ref_bits(r, nref_[0]));
+    if (cost_inter < 0 || c < cost_inter) {
+      cost_inter = c;
+      best_r = r;
+      mv_x = rmx;
+      mv_y = rmy;
+      mvp_f = pf;
+      mvd_x = rmx - ramvp[2 * pf];
+      mvd_y = rmy - ramvp[2 * pf + 1];
+      std::memcpy(amvp, ramvp, sizeof(ramvp));
+      std::memcpy(i_pred, pred, sizeof(int32_t) * n * n);
+    }
+  }
+  if (!has_me) {
+    senc_->maps().amvp_candidates(x0, y0, n, n, 0, 0, amvp);
+    best_r = 0;
     mvp_f = 0;
     mvd_x = -amvp[0];
     mvd_y = -amvp[1];
-    mc_uni(sp_, ref0_[0], rw, pad, 0, 0, x0, y0, n, n, bd_, true, 0, 0,
+    mc_uni(sp_, rp(0, 0, 0), rw, pad, 0, 0, x0, y0, n, n, bd_, true, 0, 0,
            i_pred);
     cost_inter = dsp::satd(oy, w_, i_pred, n, n) + lam_bits(8);
   }
@@ -1217,15 +1272,19 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   cost_intra += cost_intra >> 3;  // +12.5%
   if (getenv("HEVC_TPU_NO_INTRA_IN_P")) cost_intra = INT64_MAX / 2;
 
-  // split-to-16 screen (quadrants at their own device MVs + overhead)
+  // split-to-16 screen (quadrants at their own device MVs + overhead;
+  // ref 0 screens the split — the recursive path re-searches all refs)
   int64_t cost_split = INT64_MAX;
-  if (log2 == 5 && me16_mvx_ && x0 + n <= w_ && y0 + n <= h_) {
+  if (log2 == 5 && me16_mvx_[0] && x0 + n <= w_ && y0 + n <= h_) {
     cost_split = lam_bits(96);
     for (int i = 0; i < 4; ++i) {
       int qx = x0 + (i & 1) * 16, qy = y0 + (i >> 1) * 16;
       int qmx, qmy;
-      if (!me_lookup(qx, qy, 16, &qmx, &qmy)) { cost_split = INT64_MAX; break; }
-      mc_uni(sp_, ref0_[0], rw, pad, qmx, qmy, qx, qy, 16, 16, bd_,
+      if (!me_lookup(qx, qy, 16, 0, &qmx, &qmy)) {
+        cost_split = INT64_MAX;
+        break;
+      }
+      mc_uni(sp_, rp(0, 0, 0), rw, pad, qmx, qmy, qx, qy, 16, 16, bd_,
              true, 0, 0, pred);
       cost_split += dsp::satd(orig_[0] + qy * w_ + qx, w_, pred, 16, 16);
     }
@@ -1269,14 +1328,15 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
             if (cands[k] == cands[idx]) { dup = true; break; }
           if (dup) continue;
           const MotionInfo& mi = cands[idx];
+          MotionInfo cmi = clip_mi(sp_, mi, x0, y0);
           if (mi.ref[0] >= 0 && mi.ref[1] >= 0)
-            dsp::mc_predict_bi(ref0_[0], ref1_[0], rw, pad, mi.mvx[0],
-                               mi.mvy[0], mi.mvx[1], mi.mvy[1], px, py, pw,
-                               ph, bd_, true, pred);
+            dsp::mc_predict_bi(rp(0, mi.ref[0], 0), rp(1, mi.ref[1], 0),
+                               rw, pad, cmi.mvx[0], cmi.mvy[0], cmi.mvx[1],
+                               cmi.mvy[1], px, py, pw, ph, bd_, true, pred);
           else {
             int l = mi.ref[0] >= 0 ? 0 : 1;
-            mc_uni(sp_, l == 0 ? ref0_[0] : ref1_[0], rw, pad, mi.mvx[l],
-                   mi.mvy[l], px, py, pw, ph, bd_, true, l, 0, pred);
+            mc_uni(sp_, rp(l, mi.ref[l], 0), rw, pad, cmi.mvx[l],
+                   cmi.mvy[l], px, py, pw, ph, bd_, true, l, 0, pred);
           }
           int64_t c = dsp::satd_rect(orig_[0] + py * w_ + px, w_, pred, pw,
                                      pw, ph) +
@@ -1289,26 +1349,27 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
             ch.merge_i = idx;
           }
         }
-        // AMVP option with the CU-level refined MV
+        // AMVP option with the CU-level refined MV (and its best ref)
         {
           int16_t pamvp[4];
-          senc_->maps().amvp_candidates(px, py, pw, ph, 0, 0, pamvp, x0,
-                                        y0, n, part, pu);
-          mc_uni(sp_, ref0_[0], rw, pad, mv_x, mv_y, px, py, pw, ph, bd_,
-                 true, 0, 0, pred);
+          senc_->maps().amvp_candidates(px, py, pw, ph, 0, best_r, pamvp,
+                                        x0, y0, n, part, pu);
+          mc_uni(sp_, rp(0, best_r, 0), rw, pad, mv_x, mv_y, px, py, pw,
+                 ph, bd_, true, 0, 0, pred);
           int b0 = mv_bits(mv_x - pamvp[0]) + mv_bits(mv_y - pamvp[1]);
           int b1 = mv_bits(mv_x - pamvp[2]) + mv_bits(mv_y - pamvp[3]);
           int pf = b0 <= b1 ? 0 : 1;
           int64_t c = dsp::satd_rect(orig_[0] + py * w_ + px, w_, pred, pw,
                                      pw, ph) +
-                      lam_bits(std::min(b0, b1) + 3);
+                      lam_bits(std::min(b0, b1) + 3 +
+                               ref_bits(best_r, nref_[0]));
           if (bestc < 0 || c < bestc) {
             bestc = c;
             ch = PuChoice();
             ch.mi = MotionInfo();
             ch.mi.mvx[0] = (int16_t)mv_x;
             ch.mi.mvy[0] = (int16_t)mv_y;
-            ch.mi.ref[0] = 0;
+            ch.mi.ref[0] = (int8_t)best_r;
             ch.mvp_f = pf;
             ch.mvdx = mv_x - pamvp[2 * pf];
             ch.mvdy = mv_y - pamvp[2 * pf + 1];
@@ -1372,19 +1433,18 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   int32_t rect_luma[32 * 32];
   int32_t putmp[32 * 32];
   // prediction of one component rect for motion mi into a strided dest
-  auto mc_into = [&](const MotionInfo& mi, int comp, int px, int py, int pw,
-                     int ph, int32_t* dst, int dstride) {
+  auto mc_into = [&](const MotionInfo& mi0, int comp, int px, int py,
+                     int pw, int ph, int32_t* dst, int dstride) {
     int prw = comp == 0 ? rw : rwc;
-    const int16_t* r0p = ref0_[comp];
-    const int16_t* r1p = ref1_[comp];
+    MotionInfo mi = clip_mi(sp_, mi0, x0, y0);  // clip at the CU origin
     if (mi.ref[0] >= 0 && mi.ref[1] >= 0)
-      dsp::mc_predict_bi(r0p, r1p, prw, pad, mi.mvx[0], mi.mvy[0],
-                         mi.mvx[1], mi.mvy[1], px, py, pw, ph, bd_,
-                         comp == 0, putmp);
+      dsp::mc_predict_bi(rp(0, mi.ref[0], comp), rp(1, mi.ref[1], comp),
+                         prw, pad, mi.mvx[0], mi.mvy[0], mi.mvx[1],
+                         mi.mvy[1], px, py, pw, ph, bd_, comp == 0, putmp);
     else {
       int l = mi.ref[0] >= 0 ? 0 : 1;
-      mc_uni(sp_, l == 0 ? r0p : r1p, prw, pad, mi.mvx[l], mi.mvy[l], px,
-             py, pw, ph, bd_, comp == 0, l, comp, putmp);
+      mc_uni(sp_, rp(l, mi.ref[l], comp), prw, pad, mi.mvx[l], mi.mvy[l],
+             px, py, pw, ph, bd_, comp == 0, l, comp, putmp);
     }
     for (int i = 0; i < ph; ++i)
       std::memcpy(dst + i * dstride, putmp + i * pw,
@@ -1414,26 +1474,26 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     sel = MotionInfo();
     sel.mvx[0] = (int16_t)mv_x;
     sel.mvy[0] = (int16_t)mv_y;
-    sel.ref[0] = 0;
+    sel.ref[0] = (int8_t)best_r;
     pred_y = i_pred;
   }
 
   // ---- residual (TU == CU unless the RQT split wins) ----
   if (!part_sel) {
+    MotionInfo csel = clip_mi(sp_, sel, x0, y0);
     if (sel.ref[0] >= 0 && sel.ref[1] >= 0) {
-      dsp::mc_predict_bi(ref0_[1], ref1_[1], rwc, pad, sel.mvx[0],
-                         sel.mvy[0], sel.mvx[1], sel.mvy[1], cxx, cyy, cs,
-                         cs, bd_, false, pcb);
-      dsp::mc_predict_bi(ref0_[2], ref1_[2], rwc, pad, sel.mvx[0],
-                         sel.mvy[0], sel.mvx[1], sel.mvy[1], cxx, cyy, cs,
-                         cs, bd_, false, pcr);
+      dsp::mc_predict_bi(rp(0, sel.ref[0], 1), rp(1, sel.ref[1], 1), rwc,
+                         pad, csel.mvx[0], csel.mvy[0], csel.mvx[1],
+                         csel.mvy[1], cxx, cyy, cs, cs, bd_, false, pcb);
+      dsp::mc_predict_bi(rp(0, sel.ref[0], 2), rp(1, sel.ref[1], 2), rwc,
+                         pad, csel.mvx[0], csel.mvy[0], csel.mvx[1],
+                         csel.mvy[1], cxx, cyy, cs, cs, bd_, false, pcr);
     } else {
       int l = sel.ref[0] >= 0 ? 0 : 1;
-      const int16_t* const* refs = l == 0 ? ref0_ : ref1_;
-      mc_uni(sp_, refs[1], rwc, pad, sel.mvx[l], sel.mvy[l], cxx, cyy, cs,
-             cs, bd_, false, l, 1, pcb);
-      mc_uni(sp_, refs[2], rwc, pad, sel.mvx[l], sel.mvy[l], cxx, cyy, cs,
-             cs, bd_, false, l, 2, pcr);
+      mc_uni(sp_, rp(l, sel.ref[l], 1), rwc, pad, csel.mvx[l], csel.mvy[l],
+             cxx, cyy, cs, cs, bd_, false, l, 1, pcb);
+      mc_uni(sp_, rp(l, sel.ref[l], 2), rwc, pad, csel.mvx[l], csel.mvy[l],
+             cxx, cyy, cs, cs, bd_, false, l, 2, pcr);
     }
   }
 

@@ -30,12 +30,18 @@ struct EngineParams {
 
 class CtuEngine {
  public:
+  // ref0/ref1: per-list reference plane pointers, ref0[r * 3 + comp]
+  // (reference TEncSearch predInterSearch's per-refIdx loop,
+  // TEncSearch.cpp:3027). me_mvx/me_mvy: per-list-0-ref integer-MV grids
+  // from the device search (me_mvx[r] is an [me_ny * me_nx] grid).
   CtuEngine(const SliceParams& sp, const EngineParams& ep,
             SliceEncoder* senc, const int16_t* orig[3], int16_t* recon[3],
-            const int16_t* ref0[3], const int16_t* ref1[3],
-            const int32_t* me_mvx, const int32_t* me_mvy, int me_nx,
-            int me_ny, const int32_t* me16_mvx = nullptr,
-            const int32_t* me16_mvy = nullptr, int me16_nx = 0,
+            const int16_t* const* ref0, int nref0,
+            const int16_t* const* ref1, int nref1,
+            const int32_t* const* me_mvx, const int32_t* const* me_mvy,
+            int me_nx, int me_ny,
+            const int32_t* const* me16_mvx = nullptr,
+            const int32_t* const* me16_mvy = nullptr, int me16_nx = 0,
             int me16_ny = 0);
   void encode_ctu(int cx, int cy, const MutCtuData& d);
 
@@ -91,14 +97,25 @@ class CtuEngine {
   SliceEncoder* senc_;
   const int16_t* orig_[3];
   int16_t* recon_[3];
-  const int16_t* ref0_[3];
-  const int16_t* ref1_[3];
-  const int32_t *me_mvx_, *me_mvy_;
-  int me_nx_, me_ny_;
-  const int32_t *me16_mvx_, *me16_mvy_;
-  int me16_nx_, me16_ny_;
-  // integer-pel device-search MV for an aligned block, or false
-  bool me_lookup(int x0, int y0, int n, int* mvx, int* mvy) const;
+  int nref_[2] = {0, 0};
+  const int16_t* refs_[2][16][3] = {};
+  // reference plane for (list, ref_idx, comp); out-of-range refs clamp to
+  // 0 so stale map values can never read wild pointers
+  const int16_t* rp(int l, int r, int c) const {
+    return refs_[l][(r >= 0 && r < nref_[l]) ? r : 0][c];
+  }
+  // truncated-unary ref_idx bin count (spec 9.3.3.2, cMax = nref-1)
+  static int ref_bits(int r, int nref) {
+    return nref <= 1 ? 0 : (r + 1 < nref ? r + 1 : nref - 1);
+  }
+  const int32_t* me_mvx_[16] = {};
+  const int32_t* me_mvy_[16] = {};
+  int me_nx_ = 0, me_ny_ = 0;
+  const int32_t* me16_mvx_[16] = {};
+  const int32_t* me16_mvy_[16] = {};
+  int me16_nx_ = 0, me16_ny_ = 0;
+  // integer-pel device-search MV of list-0 ref r for an aligned block
+  bool me_lookup(int x0, int y0, int n, int r, int* mvx, int* mvy) const;
   int w_, h_, ctu_, bd_;
   // Per-CTU quantization state. One engine is shared by the wavefront
   // worker threads, so these are thread-local; encode_ctu() sets them

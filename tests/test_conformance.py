@@ -63,6 +63,29 @@ def test_lowdelay_p_conformance(tmp_path, intra_period, frames):
         assert out.stdout.count("P-SLICE") == frames - 1
 
 
+def test_multiref_lowdelay_p_conformance(tmp_path):
+    """Four active references per the reference LDP CTC cfg (GOP rows
+    -1 -5 -9 -13 etc., NumRefIdxActive 4 — TEncSearch per-refIdx loop):
+    the stream must carry ref_idx > 0 PUs and stay byte-conformant."""
+    w, h, frames = 128, 80, 8
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-c", "/root/reference/cfg/encoder_lowdelay_P_main.cfg",
+          "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f", str(frames),
+          "-q", "30", "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+    assert rec.read_bytes() == dec.read_bytes()
+    # our decoder agrees
+    from hevc_tpu.decoder.top import DecoderTop
+    recons = list(DecoderTop().decode_stream(bs.read_bytes()))
+    assert len(recons) == frames
+
+
 def test_own_decoder_matches_reference_decoder(tmp_path):
     w, h, frames = 128, 80, 4
     clip = tmp_path / "in.yuv"
