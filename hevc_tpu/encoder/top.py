@@ -75,7 +75,13 @@ class EncoderTop:
         if cfg.transform_skip:
             # 4x4 transform-skip trials run only in the native engine path
             self.pps.transform_skip_enabled_flag = 1
-        if ((cfg.adaptive_qp or cfg.lcu_rate_control)
+        # LCULevelRateControl only applies under RateControl=1 (reference
+        # TAppEncCfg: the cfg files list it under a disabled RateControl
+        # section; honouring it unconditionally enabled CTU-QP modulation
+        # on every CTC low-delay encode and inflated bitrates)
+        lcu_rc = cfg.lcu_rate_control and cfg.rate_control \
+            and cfg.target_bitrate
+        if ((cfg.adaptive_qp or lcu_rc)
                 and cfg.internal_chroma_format == 1
                 and os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0"):
             # CTU-granularity quantization groups (cu_qp_delta); driven by
@@ -175,6 +181,28 @@ class EncoderTop:
         # mesh-sharded lookahead integer-ME results into the frame encoder
         # (the inline per-frame device search is skipped when it hits).
         self.me_provider = None
+        # device-resident padded reference Y planes, keyed by cvs_poc:
+        # a reconstruction serves as an ME reference for up to
+        # NumRefIdxActive later frames, so each upload through the host
+        # link is paid once (the reference re-ships the search window per
+        # CTU, TEncOpenCL.cpp:271)
+        self._dev_refs: Dict[int, object] = {}
+
+    def _dev_ref(self, poc: int, planes):
+        ref = self._dev_refs.get(poc)
+        if ref is None:
+            import jax
+
+            from ..ops.interp import pad_plane
+            from .native_frame import PAD
+            y = planes[0]
+            if jax.default_backend() == "cpu" or y.max(initial=0) >= 256:
+                return None
+            padded = np.ascontiguousarray(
+                pad_plane(np.asarray(y, np.int16), PAD).astype(np.uint8))
+            ref = jax.device_put(padded)
+            self._dev_refs[poc] = ref
+        return ref
 
     # ------------------------------------------------------------------
     def encode_frame(self, planes: List[np.ndarray]) -> bytes:
@@ -464,7 +492,8 @@ class EncoderTop:
                     me_provider=(
                         (lambda size, r, lam:
                          self.me_provider(display_poc, size, r, lam))
-                        if self.me_provider else None))
+                        if self.me_provider else None),
+                    ref_dev=[self._dev_ref(p, pl) for p, pl in ref_l0])
             else:
                 # pure-Python reference path: single reference per list
                 fe = PFrameEncoder(self.sps, slice_qp, l0_planes,
@@ -626,6 +655,7 @@ class EncoderTop:
         if idr:
             self.dpb.clear()
             self.dpb_motion.clear()
+            self._dev_refs.clear()
         if self.sps.sps_temporal_mvp_enabled_flag:
             from ..entropy.cabac import motion_field
             self.dpb_motion[cvs_poc] = motion_field(
@@ -638,6 +668,7 @@ class EncoderTop:
         for q in [q for q in self.dpb if q < top - keep]:
             del self.dpb[q]
             self.dpb_motion.pop(q, None)
+            self._dev_refs.pop(q, None)
         self.dpb_recon = recon
         self.recon = recon
         self.out_queue.append((display_poc, recon))

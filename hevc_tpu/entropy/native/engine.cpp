@@ -345,6 +345,8 @@ CtuEngine::CtuEngine(const SliceParams& sp, const EngineParams& ep,
     me16_mvx_[r] = me16_mvx ? me16_mvx[r] : nullptr;
     me16_mvy_[r] = me16_mvy ? me16_mvy[r] : nullptr;
   }
+  if (const char* ls = getenv("HEVC_TPU_LAM_SCALE"))
+    ep_.sqrt_lam *= std::sqrt(atof(ls));
   w_ = sp.pic_w;
   h_ = sp.pic_h;
   ctu_ = sp.ctu_size;
@@ -1502,15 +1504,22 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   int16_t rec_y[32 * 32], rec_cb[16 * 16], rec_cr[16 * 16];
   int maxv = (1 << bd_) - 1;
   double lam_sq = sqrt_lam_ * sqrt_lam_;
+  // chroma distortion weight / RDOQ lambda split (reference
+  // TEncSlice::setUpLambda: chroma SSE is weighted by 2^((qpY-qpC)/3) in
+  // mode decisions and RDOQ runs at lambda / weight)
+  double cwgt = std::pow(2.0, (qp_y_ - qp_c_) / 3.0);
   uint8_t ts_loc[64] = {0};  // per-4x4 TS flags, CU-local (see intra path)
   // codes one TB: levels into lv (stride lstride), recon into rec; returns
-  // nz and accumulates pixel SSE + level-bit estimate. ts_slot/ts_bit:
+  // nz and accumulates pixel SSE (chroma weighted) + CABAC-counter exact
+  // bits (tb_rate_bits on the tracked context states). ts_slot/ts_bit:
   // where to record a winning 4x4 transform-skip trial (null = n/a)
   auto code_tb = [&](const int16_t* o, int ostride, const int32_t* p,
                      int pstride, int sz, int qp, int c_idx, int32_t* lv,
                      int lstride, int16_t* rec, int rstride, double* sse,
                      double* bits, uint8_t* ts_slot = nullptr,
                      uint8_t ts_bit = 0) -> int {
+    double dw = c_idx ? cwgt : 1.0;
+    double lam_c = c_idx ? lam_sq / cwgt : lam_sq;
     for (int i = 0; i < sz; ++i)
       for (int j = 0; j < sz; ++j)
         resi[i * sz + j] = (int32_t)o[i * ostride + j] - p[i * pstride + j];
@@ -1518,7 +1527,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
         sp_.scaling_lists ? dsp::default_scaling_matrix(sz, false) : nullptr;
     dsp::fwd_xform(resi, sz, bd_, false, coef);
     int nz = dsp::quant(coef, sz, qp, bd_, false, lev_tmp_, smat_p);
-    nz = rdoq_run(lev_tmp_, coef, sz, qp, nz, c_idx, 0, lam_sq, smat_p);
+    nz = rdoq_run(lev_tmp_, coef, sz, qp, nz, c_idx, 0, lam_c, smat_p);
     if (nz && sp_.sign_hiding)
       sbh_enforce(lev_tmp_, coef, sz, qp, bd_, 0, smat_p);
     if (nz) {
@@ -1529,22 +1538,25 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     }
     if (ts_slot && sp_.transform_skip_enabled && sz == 4) {
       *ts_slot &= (uint8_t)~ts_bit;
-      if (ts_trial(resi, qp, false, lam_sq, smat_p, 0, c_idx, lev_tmp_,
+      if (ts_trial(resi, qp, false, lam_c, smat_p, 0, c_idx, lev_tmp_,
                    rres, &nz))
         *ts_slot |= ts_bit;
     }
-    *bits += 2.0;  // cbf + tree overhead
+    // cbf bin (context-exact) — luma ctx by depth-in-CU, chroma likewise
+    *bits += ctx_rate(c_idx == 0 ? est_ctx_.cbf_luma[1]
+                                 : est_ctx_.cbf_chroma[0], nz != 0);
     for (int i = 0; i < sz; ++i)
       for (int j = 0; j < sz; ++j) {
         lv[i * lstride + j] = lev_tmp_[i * sz + j];
-        if (lev_tmp_[i * sz + j])
-          *bits += rd_rate_bits(std::abs(lev_tmp_[i * sz + j]));
         int32_t v = p[i * pstride + j] + rres[i * sz + j];
         int16_t rv = (int16_t)std::min(maxv, std::max(0, v));
         rec[i * rstride + j] = rv;
         double e = (double)o[i * ostride + j] - rv;
-        *sse += e * e;
+        *sse += e * e * dw;
       }
+    if (nz)
+      *bits += tb_rate_bits(est_ctx_, lv, lstride, ilog2(sz), c_idx, 0,
+                            sp_.sign_hiding);
     return nz;
   };
   // RQT depth decision (reference TEncSearch::xEstimateInterResidualQT):
@@ -1577,7 +1589,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     *cost = sse + lam_sq * bits;
     return nzs;
   };
-  double cost1, cost0;
+  double cost1 = 0, cost0 = 0;
   int tu_depth_sel = 0;
   int nz0 = code_all(0, &cost0);
   int nz_total = nz0;
@@ -1606,6 +1618,47 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       std::memcpy(lev_cb, lv0_cb, sizeof(lev_cb));
       std::memcpy(lev_cr, lv0_cr, sizeof(lev_cr));
       std::memcpy(ts_loc, ts_snap, sizeof(ts_loc));
+    }
+  }
+  // Explicit SKIP trial (reference TEncCu::xCheckRDCostMerge2Nx2N codes
+  // every merge candidate with AND without residual and keeps the RD
+  // winner): J(skip) = SSE of the bare merge prediction vs J(coded) =
+  // the coded CU's SSE + lambda * exact residual bits (+ rqt_root_cbf).
+  if (!part_sel && merge_sel >= 0 && nz_total > 0) {
+    double sse_skip = 0;
+    for (int i = 0; i < n; ++i)
+      for (int j = 0; j < n; ++j) {
+        double e = (double)oy[i * w_ + j] - pred_y[i * n + j];
+        sse_skip += e * e;
+      }
+    for (int i = 0; i < cs; ++i)
+      for (int j = 0; j < cs; ++j) {
+        double eb = (double)orig_[1][(cyy + i) * cw + cxx + j] -
+                    pcb[i * cs + j];
+        double er = (double)orig_[2][(cyy + i) * cw + cxx + j] -
+                    pcr[i * cs + j];
+        sse_skip += (eb * eb + er * er) * cwgt;
+      }
+    double cost_sel = tu_depth_sel ? cost1 : cost0;
+    if (sse_skip < cost_sel + lam_sq *
+                       ctx_rate(est_ctx_.qt_root_cbf[0], 1)) {
+      nz_total = 0;
+      tu_depth_sel = 0;
+      std::memset(lev_y, 0, sizeof(lev_y));
+      std::memset(lev_cb, 0, sizeof(lev_cb));
+      std::memset(lev_cr, 0, sizeof(lev_cr));
+      std::memset(ts_loc, 0, sizeof(ts_loc));
+      for (int i = 0; i < n; ++i)
+        for (int j = 0; j < n; ++j)
+          rec_y[i * n + j] = (int16_t)std::min(
+              maxv, std::max(0, pred_y[i * n + j]));
+      for (int i = 0; i < cs; ++i)
+        for (int j = 0; j < cs; ++j) {
+          rec_cb[i * cs + j] = (int16_t)std::min(
+              maxv, std::max(0, pcb[i * cs + j]));
+          rec_cr[i * cs + j] = (int16_t)std::min(
+              maxv, std::max(0, pcr[i * cs + j]));
+        }
     }
   }
   for (int i = 0; i < n; ++i)

@@ -1588,6 +1588,153 @@ int rdoq_quant(const ContextSet& cs, const int32_t* coef, int32_t* lev,
   return nz;
 }
 
+double ctx_rate(const ContextModel& c, int bin) {
+  return kEntropyBits[(((int)c.state << 1) | c.mps) ^ bin] / 32768.0;
+}
+
+namespace {
+// counting twin of CabacEncoder::encode_bin: accumulates the fractional
+// bits AND evolves the context state (TEncBinCABACCounter semantics)
+struct RateCounter {
+  double bits = 0;
+  void bin(ContextModel& c, int b) {
+    bits += kEntropyBits[(((int)c.state << 1) | c.mps) ^ b] / 32768.0;
+    if (b != c.mps) {
+      if (c.state == 0) c.mps = 1 - c.mps;
+      c.state = kTransIdxLps[c.state];
+    } else if (c.state < 62) {
+      c.state++;
+    }
+  }
+  void ep(int n) { bits += n; }
+};
+}  // namespace
+
+double tb_rate_bits(const ContextSet& cs_in, const int32_t* lev, int stride,
+                    int log2, int c_idx, int scan_idx, int sign_hiding) {
+  ContextSet ctx = cs_in;
+  RateCounter rc;
+  const bool luma = c_idx == 0;
+  const int n = 1 << log2;
+  const auto& scan = g_scans.t[log2 - 2][scan_idx];
+  auto at = [&](int r) { return lev[(r / n) * stride + (r % n)]; };
+
+  int last_pos = -1;
+  for (int i = n * n - 1; i >= 0; --i)
+    if (at(scan[i])) { last_pos = i; break; }
+  if (last_pos < 0) return 0.0;
+  int lx = scan[last_pos] % n, ly = scan[last_pos] / n;
+  if (scan_idx == 2) std::swap(lx, ly);
+
+  ContextModel* lastx = luma ? ctx.last_x : ctx.last_x + 15;
+  ContextModel* lasty = luma ? ctx.last_y : ctx.last_y + 15;
+  int ctx_offset = luma ? 3 * (log2 - 2) + ((log2 - 1) >> 2) : 0;
+  int ctx_shift = luma ? (log2 + 1) >> 2 : log2 - 2;
+  int cmax = (log2 << 1) - 1;
+  int gx = kGroupIdx[lx], gy = kGroupIdx[ly];
+  for (int b = 0; b < gx; ++b)
+    rc.bin(lastx[ctx_offset + (b >> ctx_shift)], 1);
+  if (gx < cmax) rc.bin(lastx[ctx_offset + (gx >> ctx_shift)], 0);
+  for (int b = 0; b < gy; ++b)
+    rc.bin(lasty[ctx_offset + (b >> ctx_shift)], 1);
+  if (gy < cmax) rc.bin(lasty[ctx_offset + (gy >> ctx_shift)], 0);
+  if (gx > 3) rc.ep((gx >> 1) - 1);
+  if (gy > 3) rc.ep((gy >> 1) - 1);
+
+  int nsb = 1 << (2 * (log2 - 2));
+  int sb_w = n >> 2;
+  uint8_t csbf[64] = {0};
+  auto sb_of = [&](int i) {
+    int r = scan[i * 16];
+    return std::make_pair((r % n) >> 2, (r / n) >> 2);
+  };
+  for (int i = 0; i < nsb; ++i)
+    for (int k = 0; k < 16; ++k)
+      if (at(scan[i * 16 + k])) { csbf[i] = 1; break; }
+  int last_sb = last_pos >> 4;
+  csbf[0] = 1;
+  csbf[last_sb] = 1;
+  auto csbf_at = [&](int xs, int ys) -> int {
+    if (xs >= sb_w || ys >= sb_w) return 0;
+    for (int i = 0; i < nsb; ++i) {
+      auto p = sb_of(i);
+      if (p.first == xs && p.second == ys) return csbf[i];
+    }
+    return 0;
+  };
+  struct SC { int pos; int32_t val; };
+  int c1 = 1;
+  for (int i = last_sb; i >= 0; --i) {
+    auto sbp = sb_of(i);
+    int xs = sbp.first, ys = sbp.second;
+    int right = csbf_at(xs + 1, ys), below = csbf_at(xs, ys + 1);
+    if (i < last_sb && i > 0)
+      rc.bin(ctx.sig_cg[(luma ? 0 : 2) + ((right || below) ? 1 : 0)],
+             csbf[i]);
+    if (!csbf[i]) continue;
+
+    int infer_dc = (i < last_sb && i > 0) ? 1 : 0;
+    SC coeffs[16];
+    int num = 0;
+    int start = (i == last_sb) ? (last_pos & 15) : 15;
+    if (i == last_sb) coeffs[num++] = {last_pos, at(scan[last_pos])};
+    for (int k = start - (i == last_sb ? 1 : 0); k >= 0; --k) {
+      int pos = i * 16 + k;
+      int r = scan[pos];
+      int32_t v = at(r);
+      int sig = v != 0;
+      if (k > 0 || !infer_dc) {
+        int xc = r % n, yc = r / n;
+        int sctx = sig_ctx_inc(log2, scan_idx, xc, yc, right, below, luma);
+        rc.bin(ctx.sig[(luma ? 0 : 28) + sctx], sig);
+        if (sig) infer_dc = 0;
+      }
+      if (sig) coeffs[num++] = {pos, v};
+    }
+    if (num == 0) continue;
+
+    int ctx_set = (i > 0 && luma) ? 2 : 0;
+    if (c1 == 0) ctx_set++;
+    c1 = 1;
+    int first_gt1 = -1;
+    int num_c1 = std::min(num, 8);
+    for (int k = 0; k < num_c1; ++k) {
+      int gt1 = std::abs(coeffs[k].val) > 1;
+      rc.bin(ctx.one[(luma ? 0 : 16) + 4 * ctx_set + c1], gt1);
+      if (gt1) { c1 = 0; if (first_gt1 < 0) first_gt1 = k; }
+      else if (c1 < 3 && c1 > 0) c1++;
+    }
+    if (first_gt1 >= 0)
+      rc.bin(ctx.abs_[(luma ? 0 : 4) + ctx_set],
+             std::abs(coeffs[first_gt1].val) > 2);
+
+    int first_nz_k = coeffs[num - 1].pos & 15;
+    int last_nz_k = coeffs[0].pos & 15;
+    bool hide = sign_hiding && (last_nz_k - first_nz_k > 3);
+    rc.ep(hide ? num - 1 : num);
+
+    int first_coeff2 = 1, rice = 0;
+    for (int k = 0; k < num; ++k) {
+      int av = std::abs(coeffs[k].val);
+      int base = (k < 8) ? (2 + first_coeff2) : 1;
+      if (av >= base) {
+        int rem = av - base;
+        if (rem < (3 << rice)) {
+          rc.ep((rem >> rice) + 1 + rice);
+        } else {
+          int len = rice;
+          int val = rem - (3 << rice);
+          while (val >= (1 << len)) { val -= 1 << len; len++; }
+          rc.ep((3 + len + 1 - rice) + len);
+        }
+        if (av > (3 << rice)) rice = std::min(rice + 1, 4);
+      }
+      if (av >= 2) first_coeff2 = 0;
+    }
+  }
+  return rc.bits;
+}
+
 // ===========================================================================
 // SliceDecoder
 // ===========================================================================

@@ -399,4 +399,17 @@ int rdoq_quant(const ContextSet& cs, const int32_t* coef, int32_t* lev,
                int log2, int c_idx, int scan_idx, int qp, int bd,
                double lambda, const int32_t* smat);
 
+// Context-exact fractional-bit rate of one bin (kEntropyBits — the
+// reference TEncBinCABACCounter / ContextModel::getEntropyBits cost).
+double ctx_rate(const ContextModel& c, int bin);
+
+// CABAC-counter rate of a coded transform block: exact fractional bits
+// the residual writer would spend coding `lev` (raster, `stride` between
+// rows) on a copy of the context states `cs` — last position, CG flags,
+// sig/gt1/gt2, sign (incl. hiding) and Golomb-Rice remaining, mirroring
+// SliceEncoder::residual. Reference TEncBinCoderCABACCounter semantics:
+// states evolve along the count. Returns 0 for an all-zero block.
+double tb_rate_bits(const ContextSet& cs, const int32_t* lev, int stride,
+                    int log2, int c_idx, int scan_idx, int sign_hiding);
+
 }  // namespace hevctpu

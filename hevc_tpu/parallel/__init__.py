@@ -88,53 +88,17 @@ def _probe_device_count() -> int:
 # ----------------------------------------------------------------------
 # Sharded frame-batched integer motion search
 # ----------------------------------------------------------------------
-def _frame_me_idx(orig, refp, bits, lam_fp, *, size, r, ny, nx, pad):
-    """One frame's full-search argmin indices, pure XLA.
-
-    Same math as ops.me.full_search_batch_np (zero MV predictor, cost =
-    SAD + (lam*bits >> 16), first-minimum in row-major (dy, dx) order).
-    The dy axis runs as a lax.scan so peak memory stays at one row of
-    im2col patches instead of the full (2R+1)^2 table.
-    """
-    aw = 2 * r + size
-    nyx = 2 * r + 1
-    n = ny * nx
-    blks = (orig[:ny * size, :nx * size].astype(jnp.int32)
-            .reshape(ny, size, nx, size).transpose(0, 2, 1, 3)
-            .reshape(n, size * size))
-    roi = refp[pad - r:pad - r + (ny - 1) * size + aw,
-               pad - r:pad - r + (nx - 1) * size + aw].astype(jnp.int32)
-    patches = lax.conv_general_dilated_patches(
-        roi[None, None], (aw, aw), (size, size), "VALID")
-    areas = (patches[0].reshape(aw, aw, ny, nx)
-             .transpose(2, 3, 0, 1).reshape(n, aw, aw))
-
-    def row(dy, _):
-        slab = lax.dynamic_slice_in_dim(areas, dy, size, axis=1)
-        win = lax.conv_general_dilated_patches(
-            slab[:, None], (size, size), (1, 1), "VALID")  # [N,size*size,1,nyx]
-        sad = jnp.sum(jnp.abs(win[:, :, 0, :] - blks[:, :, None]), axis=1)
-        return dy + 1, sad
-
-    _, sads = lax.scan(row, 0, None, length=nyx)       # [nyx, N, nyx]
-    sads = sads.transpose(1, 0, 2)                     # [N, dy, dx]
-    cost = sads + ((lam_fp.astype(jnp.int32) * bits)[None] >> 16)
-    return jnp.argmin(cost.reshape(n, -1), axis=1)
-
-
 @functools.partial(jax.jit,
                    static_argnames=("size", "r", "ny", "nx", "pad"))
-def _me_frames(origs, refps, bits, lam_fp, *, size, r, ny, nx, pad):
+def _me_frames(origs, refps, bits, lam_q8, *, size, r, ny, nx, pad):
+    """Per-frame two-pass MXU SSD argmin, vmapped over the frame axis
+    (ops/me_mxu.py — identical decisions to the single-frame path)."""
+    from ..ops import me_mxu
+
     def one(orig, refp):
-        return _frame_me_idx(orig, refp, bits, lam_fp, size=size, r=r,
-                             ny=ny, nx=nx, pad=pad)
+        return me_mxu.me_idx_frame(orig, refp, bits, lam_q8, size=size,
+                                   r=r, ny=ny, nx=nx, pad=pad)
     return jax.vmap(one)(origs, refps)
-
-
-def _mv_bits_table(r: int) -> np.ndarray:
-    dyr = np.arange(2 * r + 1) - r
-    b = np.array([me_ops.mv_bits_np(int(v) << 2) for v in dyr], np.int32)
-    return b[:, None] + b[None, :]
 
 
 def me_grids_frames(origs: np.ndarray, refs_padded: np.ndarray, *,
@@ -148,13 +112,14 @@ def me_grids_frames(origs: np.ndarray, refs_padded: np.ndarray, *,
     Returns (gx, gy) int32 arrays [F, ny, nx] — identical values to
     encoder.native_frame.batched_me_grid run per frame.
     """
+    from ..ops import me_mxu
     f, h, w = origs.shape
     r = search_range
     ny = (h - size) // size + 1 if h >= size else 0
     nx = (w - size) // size + 1 if w >= size else 0
     if ny == 0 or nx == 0:
         return (np.zeros((f, 0, 0), np.int32),) * 2
-    bits = _mv_bits_table(r)
+    bits = me_mxu.bits0_table(r)
     nyx = 2 * r + 1
     fpad = f
     origs = np.ascontiguousarray(origs, np.int16)
@@ -170,9 +135,10 @@ def me_grids_frames(origs: np.ndarray, refs_padded: np.ndarray, *,
         sh3 = NamedSharding(mesh, P(axis_name, None, None))
         origs = jax.device_put(origs, sh3)
         refs_padded = jax.device_put(refs_padded, sh3)
-    idx = np.asarray(_me_frames(origs, refs_padded,
-                                jnp.asarray(bits), jnp.int32(lam_fp),
-                                size=size, r=r, ny=ny, nx=nx, pad=PAD))
+    idx = np.asarray(_me_frames(
+        origs, refs_padded, jnp.asarray(bits),
+        jnp.int32(me_mxu.lam_q8_of(lam_fp)),
+        size=size, r=r, ny=ny, nx=nx, pad=PAD))
     idx = idx[:f]
     gy = (idx // nyx - r).astype(np.int32).reshape(f, ny, nx)
     gx = (idx % nyx - r).astype(np.int32).reshape(f, ny, nx)
@@ -182,37 +148,19 @@ def me_grids_frames(origs: np.ndarray, refs_padded: np.ndarray, *,
 @functools.partial(jax.jit,
                    static_argnames=("size", "r", "ny", "nx", "pad",
                                     "axis_name"))
-def _me_one_frame_spatial(orig, refp, bits, lam_fp, *, size, r, ny, nx,
+def _me_one_frame_spatial(orig, refp, bits, lam_q8, *, size, r, ny, nx,
                           pad, axis_name):
     """Single large frame with the block axis sharded across the mesh:
-    the gathered [N, aw, aw] search areas get a sharding constraint so
-    XLA scatters the SAD scan over devices (spatial parallelism)."""
-    aw = 2 * r + size
-    nyx = 2 * r + 1
-    n = ny * nx
-    blks = (orig[:ny * size, :nx * size].astype(jnp.int32)
-            .reshape(ny, size, nx, size).transpose(0, 2, 1, 3)
-            .reshape(n, size * size))
-    roi = refp[pad - r:pad - r + (ny - 1) * size + aw,
-               pad - r:pad - r + (nx - 1) * size + aw].astype(jnp.int32)
-    patches = lax.conv_general_dilated_patches(
-        roi[None, None], (aw, aw), (size, size), "VALID")
-    areas = (patches[0].reshape(aw, aw, ny, nx)
-             .transpose(2, 3, 0, 1).reshape(n, aw, aw))
-    areas = lax.with_sharding_constraint(areas, P(axis_name, None, None))
-    blks = lax.with_sharding_constraint(blks, P(axis_name, None))
+    the per-block tensors of the MXU SSD search get sharding constraints
+    so XLA scatters the work over devices (spatial parallelism)."""
+    from ..ops import me_mxu
 
-    def row(dy, _):
-        slab = lax.dynamic_slice_in_dim(areas, dy, size, axis=1)
-        win = lax.conv_general_dilated_patches(
-            slab[:, None], (size, size), (1, 1), "VALID")
-        sad = jnp.sum(jnp.abs(win[:, :, 0, :] - blks[:, :, None]), axis=1)
-        return dy + 1, sad
+    def shard(t):
+        spec = P(*([axis_name] + [None] * (t.ndim - 1)))
+        return lax.with_sharding_constraint(t, spec)
 
-    _, sads = lax.scan(row, 0, None, length=nyx)
-    sads = sads.transpose(1, 0, 2)
-    cost = sads + ((lam_fp.astype(jnp.int32) * bits)[None] >> 16)
-    return jnp.argmin(cost.reshape(n, -1), axis=1)
+    return me_mxu.me_idx_frame(orig, refp, bits, lam_q8, size=size, r=r,
+                               ny=ny, nx=nx, pad=pad, shard=shard)
 
 
 def me_grid_spatial(orig: np.ndarray, ref_padded: np.ndarray, *, size: int,
@@ -220,17 +168,18 @@ def me_grid_spatial(orig: np.ndarray, ref_padded: np.ndarray, *, size: int,
                     axis_name: str = "frame"):
     """One frame's MV grid with blocks sharded over the mesh. The block
     count is padded to a multiple of the mesh size."""
+    from ..ops import me_mxu
     h, w = orig.shape
     r = search_range
     ny = (h - size) // size + 1
     nx = (w - size) // size + 1
     nyx = 2 * r + 1
-    bits = _mv_bits_table(r)
+    bits = me_mxu.bits0_table(r)
     with mesh:
         idx = np.asarray(_me_one_frame_spatial(
             jnp.asarray(np.ascontiguousarray(orig, np.int16)),
             jnp.asarray(np.ascontiguousarray(ref_padded, np.int16)),
-            jnp.asarray(bits), jnp.int32(lam_fp),
+            jnp.asarray(bits), jnp.int32(me_mxu.lam_q8_of(lam_fp)),
             size=size, r=r, ny=ny, nx=nx, pad=PAD, axis_name=axis_name))
     gy = (idx // nyx - r).astype(np.int32).reshape(ny, nx)
     gx = (idx % nyx - r).astype(np.int32).reshape(ny, nx)
