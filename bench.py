@@ -1,20 +1,24 @@
 #!/usr/bin/env python
-"""Benchmark: 1080p lowdelay-P encode fps (BASELINE.json north-star config).
+"""Benchmark: the five BASELINE.json configs + per-stage time split.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line (the north-star metric: 1080p lowdelay-P encode fps
+vs the HM-16.4 single-thread anchor) on stdout. The full per-config
+table — fps, HM anchor fps, bitrate, PSNR, and the device/host stage
+split — is written to BENCH_ALL.json (and pretty-printed on stderr).
 
 Baseline provenance: the reference HM-16.4 encoder (built via
-tools/build_reference_oracle.sh) measured on this machine encoding a
-synthetic 1920x1080 clip with cfg/encoder_lowdelay_P_main.cfg:
-0.044 fps single-thread (BASELINE.md "measured" section). If the oracle
-binary is present the baseline is re-measured live on a short run.
+tools/build_reference_oracle.sh) is re-measured live on short runs when
+the oracle binary exists; otherwise recorded constants from BASELINE.md
+(this host class) are used.
 
-The steady-state rate excludes the first two frames (one-time device
-kernel compilation / persistent-cache population for the Pallas motion
-search is not a per-frame cost).
+Steady-state excludes warmup frames (one-time device kernel compilation
+/ persistent-cache population is not a per-frame cost).
 """
+import contextlib
+import io
 import json
 import os
+import re
 import subprocess
 import sys
 import tempfile
@@ -25,69 +29,127 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
 HM_ENC = "/tmp/hm_oracle/bin/TAppEncoderStatic"
-HM_BASELINE_FPS = 0.044  # measured: 8 frames / 181.88 s (this host class)
+CFGDIR = "/root/reference/cfg"
+
+# name, cfg file, W, H, frames, QP, bit depth, our warmup, HM frames
+CONFIGS = [
+    ("intra_main", "encoder_intra_main.cfg", 416, 240, 8, 32, 8, 1, 8),
+    ("lowdelay_P_main", "encoder_lowdelay_P_main.cfg", 832, 480, 8, 32, 8,
+     2, 3),
+    ("randomaccess_main", "encoder_randomaccess_main.cfg", 832, 480, 9, 32,
+     8, 1, 9),
+    ("randomaccess_main10", "encoder_randomaccess_main10.cfg", 832, 480, 9,
+     32, 10, 1, 9),
+    ("intra_high_throughput_rext", "encoder_intra_high_throughput_rext.cfg",
+     416, 240, 2, 32, 8, 1, 2),
+]
+# recorded HM anchors (fps) for this host class when the oracle is absent
+HM_FALLBACK = {"intra_main": 2.17, "lowdelay_P_main": 0.141,
+               "randomaccess_main": 0.10, "randomaccess_main10": 0.08,
+               "intra_high_throughput_rext": 1.5,
+               "headline_1080p_ldp": 0.044}
+
 W, H, FRAMES, QP = 1920, 1080, 7, 32
-WARMUP = 2   # frames excluded from the steady-state measurement
-CFG = "/root/reference/cfg/encoder_lowdelay_P_main.cfg"
+WARMUP = 2
 
 
-def measure_ours(clip):
+def measure_ours(cfg_path, clip, w, h, frames, qp, warmup):
     from hevc_tpu.encoder.top import EncoderTop
     from hevc_tpu.io.cfg import parse_cli
     from hevc_tpu.io.yuv import YuvReader
-    cfg = parse_cli(["-c", CFG, "-i", clip, "-wdt", str(W), "-hgt", str(H),
-                     "-f", str(FRAMES), "-q", str(QP), "-b", "/dev/null"])
-    rd = YuvReader(clip, W, H)
+    from hevc_tpu.utils.timing import timers
+    cfg = parse_cli(["-c", cfg_path, "-i", clip, "-wdt", str(w),
+                     "-hgt", str(h), "-f", str(frames), "-q", str(qp),
+                     "-b", "/dev/null"])
+    rd = YuvReader(clip, w, h, file_bit_depth=cfg.input_bit_depth,
+                   internal_bit_depth=cfg.internal_bit_depth)
     enc = EncoderTop(cfg)
     t_start = None
     done = 0
-    for i in range(FRAMES):
+    for i in range(frames):
         planes = rd.read()
-        if i == WARMUP:
+        if i == warmup:
+            timers.reset()
+            timers.enabled = True
             t_start = time.time()
         enc.encode_frame(planes)
-        if i >= WARMUP:
+        if t_start is not None:
             done += 1
-    return done / (time.time() - t_start)
+    enc.flush()
+    elapsed = time.time() - t_start if t_start else 1e9
+    timers.enabled = False
+    bits = sum(s["bits"] for s in enc.stats)
+    psnr = sum(s["psnr"][0] for s in enc.stats) / max(1, len(enc.stats))
+    return {"fps": round(done / max(elapsed, 1e-9), 4),
+            "frames_measured": done,
+            "total_bits": bits, "mean_y_psnr": round(psnr, 3),
+            "stage_seconds": timers.summary()}
 
 
-def measure_hm(clip, tmp):
-    """Steady-state HM fps from its own per-POC [ET x] log entries (same
-    warmup exclusion as measure_ours)."""
+def measure_hm(cfg_path, clip, w, h, frames, qp, bd, warmup=1):
     if not os.path.exists(HM_ENC):
-        return HM_BASELINE_FPS
-    import re
-    frames = 4
-    out = subprocess.run(
-        [HM_ENC, "-c", CFG, "-i", clip, "-wdt", str(W), "-hgt", str(H),
-         "-f", str(frames), "-fr", "30", "-q", str(QP),
-         "-b", os.path.join(tmp, "hm.bin")],
-        capture_output=True, check=True, text=True)
-    ets = [float(m) for m in re.findall(r"\[ET\s+([0-9.]+)\s*\]",
-                                        out.stdout)]
-    steady = ets[WARMUP:] if len(ets) > WARMUP else ets
+        return None
+    with tempfile.TemporaryDirectory() as tmp:
+        args = [HM_ENC, "-c", cfg_path, "-i", clip, "-wdt", str(w),
+                "-hgt", str(h), "-f", str(frames), "-fr", "30",
+                "-q", str(qp), "-b", os.path.join(tmp, "hm.bin")]
+        out = subprocess.run(args, capture_output=True, text=True)
+        if out.returncode != 0:
+            return None
+        ets = [float(m) for m in re.findall(r"\[ET\s+([0-9.]+)\s*\]",
+                                            out.stdout)]
+    steady = ets[warmup:] if len(ets) > warmup else ets
     if not steady or sum(steady) == 0:
-        return HM_BASELINE_FPS
+        return None
     return len(steady) / sum(steady)
 
 
 def main():
     from make_test_yuv import write_clip
+    results = {}
     with tempfile.TemporaryDirectory() as tmp:
-        clip = os.path.join(tmp, "in.yuv")
+        # ---- the five BASELINE.json configs ----
+        for (name, cfgf, w, h, frames, qp, bd, warm, hm_frames) in CONFIGS:
+            clip = os.path.join(tmp, f"{name}.yuv")
+            write_clip(clip, w, h, frames, bd)
+            cfg_path = os.path.join(CFGDIR, cfgf)
+            buf = io.StringIO()
+            try:
+                with contextlib.redirect_stdout(buf):
+                    r = measure_ours(cfg_path, clip, w, h, frames, qp, warm)
+                    base = measure_hm(cfg_path, clip, w, h, hm_frames, qp,
+                                      bd) or HM_FALLBACK[name]
+                r["hm_fps"] = round(base, 4)
+                r["vs_hm"] = round(r["fps"] / base, 2)
+                r["dims"] = f"{w}x{h}x{frames}@qp{qp}"
+                results[name] = r
+            except Exception as e:  # record, don't abort the suite
+                results[name] = {"error": f"{type(e).__name__}: {e}"}
+
+        # ---- north-star: 1080p lowdelay-P ----
+        clip = os.path.join(tmp, "hl.yuv")
         write_clip(clip, W, H, FRAMES)
-        import contextlib
-        import io
+        cfg_path = os.path.join(CFGDIR, "encoder_lowdelay_P_main.cfg")
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
-            fps = measure_ours(clip)
-            base = measure_hm(clip, tmp)
-        print(json.dumps({
-            "metric": "lowdelayP_encode_fps_1080p",
-            "value": round(fps, 4),
-            "unit": "frames/sec",
-            "vs_baseline": round(fps / base, 4),
-        }))
+            r = measure_ours(cfg_path, clip, W, H, FRAMES, QP, WARMUP)
+            base = (measure_hm(cfg_path, clip, W, H, 4, QP, 8, WARMUP)
+                    or HM_FALLBACK["headline_1080p_ldp"])
+        r["hm_fps"] = round(base, 4)
+        r["vs_hm"] = round(r["fps"] / base, 2)
+        r["dims"] = f"{W}x{H}x{FRAMES}@qp{QP}"
+        results["headline_1080p_ldp"] = r
+
+    with open(os.path.join(REPO, "BENCH_ALL.json"), "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(json.dumps(results, indent=1), file=sys.stderr)
+    hl = results["headline_1080p_ldp"]
+    print(json.dumps({
+        "metric": "lowdelayP_encode_fps_1080p",
+        "value": hl["fps"],
+        "unit": "frames/sec",
+        "vs_baseline": round(hl["fps"] / hl["hm_fps"], 4),
+    }))
 
 
 if __name__ == "__main__":

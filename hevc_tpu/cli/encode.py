@@ -33,6 +33,12 @@ def main(argv=None) -> int:
     cfg = parse_cli(argv if argv is not None else sys.argv[1:])
     assert cfg.input_file and cfg.width and cfg.height, \
         "InputFile/SourceWidth/SourceHeight required"
+    from ..io.cfg import ConfigError, validate
+    try:
+        validate(cfg)
+    except ConfigError as e:
+        print(f"configuration error: {e}", file=sys.stderr)
+        return 2
     rd = YuvReader(cfg.input_file, cfg.width, cfg.height,
                    ChromaFormat(cfg.internal_chroma_format),
                    file_bit_depth=cfg.input_bit_depth,

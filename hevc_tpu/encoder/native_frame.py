@@ -239,9 +239,12 @@ class NativeFrameEncoder:
         recon = [np.zeros((h, w), np.int16),
                  np.zeros((h // 2, w // 2), np.int16),
                  np.zeros((h // 2, w // 2), np.int16)]
+        from ..utils.timing import timers
         me_x = me_y = me16_x = me16_y = None
         if self.is_inter:
             size = ctu >> self.cu_depth_target
+            timers_cm = timers.section("me_device")
+            timers_cm.__enter__()
             # one upload of the source plane serves every ref's search
             orig_dev = None
             if (jax.default_backend() != "cpu"
@@ -270,6 +273,7 @@ class NativeFrameEncoder:
                         self.lam_fp, ref_dev=dev, orig_dev=orig_dev)
                     me16_x.append(gx)
                     me16_y.append(gy)
+            timers_cm.__exit__(None, None, None)
         ep = EngineParamsC(
             pad=PAD, cu_depth_target=self.cu_depth_target,
             strong_smoothing=sps.strong_intra_smoothing_enabled_flag,
@@ -282,10 +286,11 @@ class NativeFrameEncoder:
                                      tile_scan_order)
         ctus_w, ctus_h = -(-w // ctu), -(-h // ctu)
         fd = FrameDecisions(ctus_w * ctus_h, ctu, 1)
-        if self.sp.tile_cols > 1 or self.sp.tile_rows > 1:
-            order = tile_scan_order(w, h, ctu, self.sp.tile_cols,
-                                    self.sp.tile_rows)
-            engine_encode_frame_order(eng, order, ctus_w, fd)
-        else:
-            engine_encode_frame(eng, ctus_w, ctus_h, fd)
+        with timers.section("engine_host"):
+            if self.sp.tile_cols > 1 or self.sp.tile_rows > 1:
+                order = tile_scan_order(w, h, ctu, self.sp.tile_cols,
+                                        self.sp.tile_rows)
+                engine_encode_frame_order(eng, order, ctus_w, fd)
+            else:
+                engine_encode_frame(eng, ctus_w, ctus_h, fd)
         return fd, recon

@@ -43,12 +43,7 @@ class EncoderTop:
             amp_enabled_flag=1 if cfg.amp else 0,
             scaling_list_enabled_flag=1 if cfg.scaling_list else 0,
         )
-        if cfg.scaling_list > 1:
-            # reference TAppEncCfg: 2 = SCALING_LIST_FILE_READ (explicit
-            # lists from a file) — not supported; the default (Table
-            # 7-5/7-6) matrices are signalled instead
-            print("warning: ScalingList=2 (file) unsupported; "
-                  "using default scaling lists", flush=True)
+        # ScalingList=2 (explicit file) is rejected by io.cfg.validate()
         if cfg.internal_chroma_format != 1 or "rext" in cfg.profile.lower():
             # format-range extensions (spec A.3.5): Main 4:4:4 family
             ptl = self.sps.ptl
@@ -506,6 +501,7 @@ class EncoderTop:
             ref_pocs = ([p for p, _ in ref_l0],
                         [p for p, _ in ref_l1] if is_b else [])
 
+        from ..utils.timing import timers
         # in-loop deblocking
         if not self.pps.pps_deblocking_filter_disabled_flag:
             from ..ops import deblock
@@ -536,8 +532,9 @@ class EncoderTop:
                     if self.pps.tiles_enabled_flag else 0)
                 qmap = qpmap.build_qp_map(get_d, order, pred, fin,
                                           self.sps.ctu_size, cfgw, cfgh)
-            deblock.deblock_frame(recon, dmaps, slice_qp, self.sps,
-                                  qp_map=qmap)
+            with timers.section("deblock"):
+                deblock.deblock_frame(recon, dmaps, slice_qp, self.sps,
+                                      qp_map=qmap)
 
         # SAO: estimate on deblocked, attach params, apply after coding
         if sao_on:
@@ -558,23 +555,25 @@ class EncoderTop:
         from ..entropy.cabac import (FrameDecisions, entropy_encode_frame,
                                      entropy_encode_frame_order,
                                      tile_scan_order)
-        if isinstance(decisions, FrameDecisions):
-            if self.pps.tiles_enabled_flag:
-                order = tile_scan_order(
-                    cfg.width, cfg.height, self.sps.ctu_size,
-                    self.pps.num_tile_columns_minus1 + 1,
-                    self.pps.num_tile_rows_minus1 + 1)
-                entropy_encode_frame_order(senc, order, ctus_w, decisions)
+        with timers.section("entropy"):
+            if isinstance(decisions, FrameDecisions):
+                if self.pps.tiles_enabled_flag:
+                    order = tile_scan_order(
+                        cfg.width, cfg.height, self.sps.ctu_size,
+                        self.pps.num_tile_columns_minus1 + 1,
+                        self.pps.num_tile_rows_minus1 + 1)
+                    entropy_encode_frame_order(senc, order, ctus_w,
+                                               decisions)
+                else:
+                    entropy_encode_frame(senc, ctus_w, ctus_h, decisions)
             else:
-                entropy_encode_frame(senc, ctus_w, ctus_h, decisions)
-        else:
-            i = 0
-            for cy in range(ctus_h):
-                for cx in range(ctus_w):
-                    last = (cy == ctus_h - 1) and (cx == ctus_w - 1)
-                    senc.encode_ctu(cx, cy, decisions[i], last)
-                    i += 1
-        data = senc.get_bytes()
+                i = 0
+                for cy in range(ctus_h):
+                    for cx in range(ctus_w):
+                        last = (cy == ctus_h - 1) and (cx == ctus_w - 1)
+                        senc.encode_ctu(cx, cy, decisions[i], last)
+                        i += 1
+            data = senc.get_bytes()
         if (self.pps.entropy_coding_sync_enabled_flag
                 or self.pps.tiles_enabled_flag):
             # WPP entry points (spec 7.4.7.1): offsets are NAL-payload byte

@@ -133,6 +133,51 @@ _OPTION_TABLE = {
     "UseTPU": ("use_tpu", int),
     "OpenCLDevice": ("tpu_device", int),
     "KernelOpenCL": ("_ignored_kernel_path", str),
+    # validated surface (rejected by validate() outside supported values)
+    "SliceMode": ("slice_mode", int),
+    "SliceArgument": ("slice_argument", int),
+    "ScalingListFile": ("scaling_list_file", str),
+    "Tier": ("tier", str),
+    "MaxNumMergeCand": ("max_merge_cand", int),
+    "CbQpOffset": ("cb_qp_offset", int),
+    "CrQpOffset": ("cr_qp_offset", int),
+    "DeltaQpRD": ("delta_qp_rd", int),
+    "MaxDeltaQP": ("max_delta_qp", int),
+    "CUTransquantBypassFlagForce": ("tq_bypass_force", int),
+    "TransquantBypassEnableFlag": ("tq_bypass_enable", int),
+    "CrossComponentPrediction": ("cross_comp_pred", int),
+    "ExtendedPrecision": ("extended_precision", int),
+    "HighPrecisionPredictionWeighting": ("high_prec_wp", int),
+    "ImplicitResidualDPCM": ("implicit_rdpcm", int),
+    "ExplicitResidualDPCM": ("explicit_rdpcm", int),
+    "ResidualRotation": ("residual_rotation", int),
+    "GolombRiceParameterAdaptation": ("rice_adaptation", int),
+    "AlignCABACBeforeBypass": ("align_cabac_bypass", int),
+    "SingleSignificanceMapContext": ("single_sig_ctx", int),
+    "IntraReferenceSmoothing": ("intra_ref_smoothing", int),
+    "SAOLcuBoundary": ("sao_lcu_boundary", int),
+    "TransformSkipLog2MaxSize": ("ts_log2_max", int),
+    "TransformSkipFast": ("ts_fast", int),
+    "PCMLog2MaxSize": ("pcm_log2_max", int),
+    "PCMLog2MinSize": ("pcm_log2_min", int),
+    "PCMInputBitDepthFlag": ("pcm_input_bd", int),
+    "PCMFilterDisableFlag": ("pcm_filter_disable", int),
+    "LoopFilterOffsetInPPS": ("lf_offset_in_pps", int),
+    "DeblockingFilterMetric": ("deblock_metric", int),
+    "DeblockingFilterControlPresent": ("deblock_control_present", int),
+    "LFCrossSliceBoundaryFlag": ("lf_cross_slice", int),
+    "LFCrossTileBoundaryFlag": ("lf_cross_tile", int),
+    "TileUniformSpacing": ("tile_uniform", int),
+    "UniformSpacingIdc": ("tile_uniform", int),
+    "ColumnWidthArray": ("tile_col_widths", str),
+    "RowHeightArray": ("tile_row_heights", str),
+    "TileColumnWidthArray": ("tile_col_widths", str),
+    "TileRowHeightArray": ("tile_row_heights", str),
+    "InitialQP": ("rc_initial_qp", int),
+    "RCForceIntraQP": ("rc_force_intra_qp", int),
+    "RCLCUSeparateModel": ("rc_lcu_separate", int),
+    "KeepHierarchicalBit": ("rc_keep_hierarchy", int),
+    "IntraConstraintFlag": ("intra_constraint", int),
 }
 
 _IGNORED_RE = re.compile(
@@ -207,6 +252,47 @@ class EncoderConfig:
     use_tpu: int = 1
     tpu_device: int = 0
     _ignored_kernel_path: str = ""
+    slice_mode: int = 0
+    slice_argument: int = 0
+    scaling_list_file: str = ""
+    tier: str = "main"
+    max_merge_cand: int = 5
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+    delta_qp_rd: int = 0
+    max_delta_qp: int = 0
+    tq_bypass_force: int = 0
+    tq_bypass_enable: int = 0
+    cross_comp_pred: int = 0
+    extended_precision: int = 0
+    high_prec_wp: int = 0
+    implicit_rdpcm: int = 0
+    explicit_rdpcm: int = 0
+    residual_rotation: int = 0
+    rice_adaptation: int = 0
+    align_cabac_bypass: int = 0
+    single_sig_ctx: int = 0
+    intra_ref_smoothing: int = 1
+    sao_lcu_boundary: int = 0
+    ts_log2_max: int = 2
+    ts_fast: int = 1
+    pcm_log2_max: int = 5
+    pcm_log2_min: int = 3
+    pcm_input_bd: int = 1
+    pcm_filter_disable: int = 0
+    lf_offset_in_pps: int = 0
+    deblock_metric: int = 0
+    deblock_control_present: int = 0
+    lf_cross_slice: int = 1
+    lf_cross_tile: int = 1
+    tile_uniform: int = 1
+    tile_col_widths: str = ""
+    tile_row_heights: str = ""
+    rc_initial_qp: int = 0
+    rc_force_intra_qp: int = 0
+    rc_lcu_separate: int = 1
+    rc_keep_hierarchy: int = 0
+    intra_constraint: int = 0
     gop_entries: List[GOPEntry] = dataclasses.field(default_factory=list)
 
     @property
@@ -290,3 +376,114 @@ def parse_cli(argv: List[str], cfg: Optional[EncoderConfig] = None
         else:
             raise ValueError(f"unknown argument: {arg}")
     return cfg
+
+
+class ConfigError(ValueError):
+    """A cfg key was set to a value this encoder does not support."""
+
+
+def validate(cfg: EncoderConfig, warn=None) -> None:
+    """xConfirmPara-style validation (reference TAppEncCfg.cpp:1691
+    xCheckParameter): unsupported values are REJECTED, never silently
+    overridden. Optional coding TOOLS the encoder chooses not to use
+    (RExt "enable the encoder to use X" switches) are accepted with a
+    warning — an encoder may always decline a permitted tool; the
+    stream stays conformant without it. Every key of the five CTC
+    baseline cfgs is either honoured by the encoder or checked here.
+    `warn`: callable for warnings (default: print to stdout)."""
+    errs = []
+    if warn is None:
+        def warn(m):
+            print(f"warning: {m}", flush=True)
+
+    def confirm(bad: bool, msg: str) -> None:
+        if bad:
+            errs.append(msg)
+
+    def tool_hint(enabled, name: str) -> None:
+        if enabled:
+            warn(f"{name} permitted by cfg but this encoder does not use "
+                 "the tool (stream is conformant without it)")
+
+    confirm(cfg.width <= 0 or cfg.height <= 0,
+            "SourceWidth/SourceHeight must be positive")
+    confirm(cfg.width % 8 or cfg.height % 8,
+            "picture dimensions must be multiples of 8")
+    confirm(cfg.ctu_size != 64, "only MaxCUWidth/Height 64 supported")
+    confirm(cfg.chroma_format not in (420, 444),
+            f"InputChromaFormat {cfg.chroma_format} unsupported "
+            "(420 and 444 implemented)")
+    confirm(cfg.internal_bit_depth not in (8, 10),
+            f"InternalBitDepth {cfg.internal_bit_depth} unsupported "
+            "(8 and 10 implemented)")
+    confirm(cfg.qp < 0 or cfg.qp > 51, "QP out of [0, 51]")
+    confirm(cfg.search_range < 1 or cfg.search_range > 64,
+            "SearchRange out of [1, 64]")
+    confirm(cfg.slice_mode != 0,
+            f"SliceMode {cfg.slice_mode} unsupported (one slice per "
+            "picture; multi-slice decode IS supported)")
+    confirm(cfg.scaling_list not in (0, 1),
+            "ScalingList 2 (explicit file) unsupported; 0=off 1=default")
+    confirm(bool(cfg.scaling_list_file) and cfg.scaling_list == 2,
+            "ScalingListFile requires ScalingList=2 which is unsupported")
+    confirm(cfg.max_cu_dqp_depth != 0,
+            "MaxCuDQPDepth != 0 unsupported (CTU-size quant groups only)")
+    confirm(cfg.delta_qp_rd != 0, "DeltaQpRD unsupported")
+    confirm(cfg.max_delta_qp != 0, "MaxDeltaQP unsupported")
+    confirm(cfg.tq_bypass_force != 0,
+            "CUTransquantBypassFlagForce unsupported (every CU would "
+            "have to bypass transform/quant)")
+    tool_hint(cfg.tq_bypass_enable, "TransquantBypassEnableFlag")
+    tool_hint(cfg.cross_comp_pred, "CrossComponentPrediction")
+    confirm(cfg.extended_precision != 0, "ExtendedPrecision unsupported")
+    tool_hint(cfg.high_prec_wp, "HighPrecisionPredictionWeighting")
+    tool_hint(cfg.implicit_rdpcm, "ImplicitResidualDPCM")
+    tool_hint(cfg.explicit_rdpcm, "ExplicitResidualDPCM")
+    tool_hint(cfg.residual_rotation, "ResidualRotation")
+    tool_hint(cfg.rice_adaptation, "GolombRiceParameterAdaptation")
+    tool_hint(cfg.align_cabac_bypass, "AlignCABACBeforeBypass")
+    tool_hint(cfg.single_sig_ctx, "SingleSignificanceMapContext")
+    confirm(cfg.intra_ref_smoothing != 1,
+            "IntraReferenceSmoothing must stay enabled")
+    confirm(cfg.sao_lcu_boundary != 0, "SAOLcuBoundary unsupported")
+    confirm(cfg.ts_log2_max != 2,
+            "TransformSkipLog2MaxSize must be 2 (4x4 TS only)")
+    confirm(cfg.pcm and (cfg.pcm_log2_max != 5 or cfg.pcm_log2_min != 3),
+            "PCM sizes: only Log2Max 5 / Log2Min 3 supported")
+    confirm(cfg.pcm and cfg.pcm_input_bd != 1,
+            "PCMInputBitDepthFlag must be 1")
+    confirm(cfg.pcm and cfg.pcm_filter_disable != 0,
+            "PCMFilterDisableFlag unsupported")
+    confirm(cfg.lf_offset_in_pps not in (0, 1),
+            "LoopFilterOffsetInPPS out of range")
+    confirm(cfg.deblock_metric != 0, "DeblockingFilterMetric unsupported")
+    confirm(cfg.deblock_beta_offset != 0 or cfg.deblock_tc_offset != 0,
+            "deblocking beta/tc offsets unsupported (must be 0)")
+    confirm(cfg.lf_cross_slice != 1,
+            "LFCrossSliceBoundaryFlag=0 unsupported")
+    confirm(cfg.lf_cross_tile != 1,
+            "LFCrossTileBoundaryFlag=0 unsupported")
+    tiles_on = cfg.tile_cols_minus1 > 0 or cfg.tile_rows_minus1 > 0
+    confirm(tiles_on and not cfg.tile_uniform,
+            "only uniform tile spacing supported")
+    confirm(tiles_on and (bool(cfg.tile_col_widths.strip())
+                          or bool(cfg.tile_row_heights.strip())),
+            "explicit tile width/height arrays unsupported")
+    confirm(cfg.max_merge_cand != 5, "MaxNumMergeCand must be 5")
+    confirm(cfg.cb_qp_offset != 0 or cfg.cr_qp_offset != 0,
+            "chroma QP offsets unsupported (must be 0)")
+    confirm(cfg.tier.lower() not in ("main", ""), "only Main tier")
+    confirm(bool(cfg.rate_control) and cfg.target_bitrate <= 0,
+            "RateControl=1 requires a positive TargetBitrate")
+    confirm(bool(cfg.rate_control) and cfg.rc_force_intra_qp != 0,
+            "RCForceIntraQP unsupported")
+    confirm(cfg.field_coding and cfg.gop_entries
+            and [e.poc for e in cfg.gop_entries]
+            != list(range(1, len(cfg.gop_entries) + 1)),
+            "FieldCoding with reordered GOPs unsupported")
+    for e in cfg.gop_entries:
+        confirm(e.slice_type not in ("P", "B"),
+                f"GOP entry slice type {e.slice_type} unsupported")
+        confirm(e.num_ref_pics_active > 16, "NumRefPicsActive > 16")
+    if errs:
+        raise ConfigError("; ".join(errs))

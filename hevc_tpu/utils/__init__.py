@@ -1,0 +1,2 @@
+"""Utilities: per-stage pipeline timers (timing.py)."""
+from .timing import timers  # noqa: F401

@@ -1,0 +1,52 @@
+"""Config validation (reference TAppEncCfg::xCheckParameter parity):
+every CTC baseline cfg passes; unsupported values are rejected, never
+silently overridden."""
+import os
+
+import pytest
+
+from hevc_tpu.io.cfg import ConfigError, parse_cli, validate
+
+CFGS = ["intra_main", "lowdelay_main", "lowdelay_P_main",
+        "randomaccess_main", "randomaccess_main10",
+        "intra_high_throughput_rext"]
+
+BASE = ["-i", "x.yuv", "-wdt", "416", "-hgt", "240", "-q", "32",
+        "-b", "y.bin"]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference/cfg"), reason="reference cfgs absent")
+
+
+@pytest.mark.parametrize("name", CFGS)
+def test_ctc_cfgs_validate(name):
+    cfg = parse_cli(["-c", f"/root/reference/cfg/encoder_{name}.cfg"]
+                    + BASE)
+    validate(cfg, warn=lambda m: None)
+
+
+@pytest.mark.parametrize("extra", [
+    ["--SliceMode=1"],
+    ["--MaxCUWidth=32", "--MaxCUHeight=32"],
+    ["--InternalBitDepth=12"],
+    ["--ScalingList=2"],
+    ["--MaxCuDQPDepth=1"],
+    ["--MaxNumMergeCand=3"],
+    ["--CbQpOffset=1"],
+    ["--SearchRange=128"],
+    ["--CUTransquantBypassFlagForce=1"],
+])
+def test_unsupported_values_rejected(extra):
+    cfg = parse_cli(["-c", "/root/reference/cfg/encoder_intra_main.cfg"]
+                    + BASE + extra)
+    with pytest.raises(ConfigError):
+        validate(cfg, warn=lambda m: None)
+
+
+def test_rext_tool_hints_warn_not_reject():
+    warns = []
+    cfg = parse_cli(
+        ["-c", "/root/reference/cfg/encoder_intra_high_throughput_rext.cfg"]
+        + BASE)
+    validate(cfg, warn=warns.append)
+    assert len(warns) >= 5  # RDPCM/rotation/CCP/... accepted as unused
