@@ -195,6 +195,7 @@ class SliceHeader:
     slice_qp: int = 32
     temporal_id: int = 0
     first_slice_segment_in_pic_flag: int = 1
+    slice_segment_address: int = 0
     no_output_of_prior_pics_flag: int = 0
     slice_pic_parameter_set_id: int = 0
     short_term_ref_pic_set_sps_flag: int = 0

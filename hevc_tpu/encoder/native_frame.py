@@ -230,7 +230,9 @@ class NativeFrameEncoder:
         # precomputed (mesh-sharded lookahead) integer-ME grids (ref 0)
         self.me_provider = me_provider
 
-    def encode_frame(self, orig: List[np.ndarray]):
+    def encode_frame(self, orig: List[np.ndarray], slices=None):
+        """slices: optional [(sp_i, senc_i, [(cx, cy), ...]), ...] for
+        multi-slice pictures (SliceMode 1/3)."""
         sps = self.sps
         w = sps.pic_width_in_luma_samples
         h = sps.pic_height_in_luma_samples
@@ -278,14 +280,27 @@ class NativeFrameEncoder:
             pad=PAD, cu_depth_target=self.cu_depth_target,
             strong_smoothing=sps.strong_intra_smoothing_enabled_flag,
             is_b=1 if self.is_b else 0, sqrt_lam=self.sqrt_lam)
-        eng = NativeCtuEngine(self.sp, ep, self.senc, orig, recon,
-                              self.ref, self.ref1 if self.is_b else self.ref,
-                              me_x, me_y, me16_x, me16_y)
         from ..entropy.cabac import (FrameDecisions, engine_encode_frame,
                                      engine_encode_frame_order,
                                      tile_scan_order)
         ctus_w, ctus_h = -(-w // ctu), -(-h // ctu)
         fd = FrameDecisions(ctus_w * ctus_h, ctu, 1)
+        if slices is not None:
+            # multi-slice picture (reference TEncSlice slice modes): one
+            # engine + entropy state per slice segment, shared recon and
+            # device ME grids; prediction availability stops at each
+            # slice start via sp.slice_start_ctu
+            with timers.section("engine_host"):
+                for sp_i, senc_i, ctus in slices:
+                    eng = NativeCtuEngine(
+                        sp_i, ep, senc_i, orig, recon, self.ref,
+                        self.ref1 if self.is_b else self.ref,
+                        me_x, me_y, me16_x, me16_y)
+                    engine_encode_frame_order(eng, ctus, ctus_w, fd)
+            return fd, recon
+        eng = NativeCtuEngine(self.sp, ep, self.senc, orig, recon,
+                              self.ref, self.ref1 if self.is_b else self.ref,
+                              me_x, me_y, me16_x, me16_y)
         with timers.section("engine_host"):
             if self.sp.tile_cols > 1 or self.sp.tile_rows > 1:
                 order = tile_scan_order(w, h, ctu, self.sp.tile_cols,

@@ -147,8 +147,10 @@ class EncoderTop:
         self.rc = None
         if cfg.rate_control and cfg.target_bitrate:
             from .rate_ctrl import RateController
-            self.rc = RateController(cfg.target_bitrate, cfg.frame_rate,
-                                     cfg.width, cfg.height)
+            self.rc = RateController(
+                cfg.target_bitrate, cfg.frame_rate, cfg.width, cfg.height,
+                total_frames=cfg.frames_to_encode,
+                gop_size=len(cfg.gop_entries) or cfg.gop_size or 4)
         # reordering state
         entries = cfg.gop_entries
         self.reordered = bool(entries) and \
@@ -229,7 +231,14 @@ class EncoderTop:
         is_intra = (self.poc == 0 or
                     (cfg.intra_period > 0 and
                      self.poc % max(cfg.intra_period, 1) == 0))
-        base_qp = self.rc.pic_qp(is_intra) if self.rc else cfg.qp
+        if self.rc:
+            comp = 0.0
+            if is_intra:
+                from .rate_ctrl import intra_complexity
+                comp = intra_complexity(np.asarray(planes[0]))
+            base_qp = self.rc.pic_qp(is_intra, comp)
+        else:
+            base_qp = cfg.qp
         if is_intra:
             self.last_idr_poc = self.poc
             au = self._encode_au(planes, display_poc=self.poc, cvs_poc=0,
@@ -414,7 +423,6 @@ class EncoderTop:
                 fe = NativeFrameEncoder(self.sps, slice_qp, senc, sp)
             else:
                 fe = IntraFrameEncoder(self.sps, slice_qp)
-            decisions, recon = fe.encode_frame(planes)
             ref_pocs = ((), ())
         else:
             l0_poc, l0_planes = ref_l0[0]
@@ -497,11 +505,40 @@ class EncoderTop:
                                    ref1_planes=ref_l1[0][1] if is_b
                                    else None)
                 fe.senc = senc
-            decisions, recon = fe.encode_frame(planes)
             ref_pocs = ([p for p, _ in ref_l0],
                         [p for p, _ in ref_l1] if is_b else [])
 
         from ..utils.timing import timers
+        # multi-slice partition (SliceMode 1: SliceArgument CTUs per
+        # slice, reference TEncSlice::xDetermineStartAndBoundingCtuTsAddr)
+        slice_objs = None
+        ctus_w = self.sps.pic_width_in_ctus
+        ctus_h = self.sps.pic_height_in_ctus
+        if cfg.slice_mode == 1 and use_native:
+            import ctypes as _ct
+
+            from ..entropy.cabac import SliceParamsC
+            raster = [(x, y) for y in range(ctus_h) for x in range(ctus_w)]
+            arg = max(1, cfg.slice_argument)
+            slice_objs = []
+            for s0 in range(0, len(raster), arg):
+                ctus = raster[s0:s0 + arg]
+                if s0 == 0:
+                    spi, senc_i = sp, senc
+                else:
+                    spi = SliceParamsC.from_buffer_copy(sp)
+                    spi.slice_start_ctu = s0
+                    senc_i = SliceDataEncoder(spi)
+                    if sh.slice_temporal_mvp_enabled_flag:
+                        from ..entropy.cabac import set_collocated
+                        set_collocated(senc_i, self.dpb_motion[l0_poc],
+                                       True)
+                slice_objs.append((spi, senc_i, ctus))
+        if slice_objs is not None:
+            decisions, recon = fe.encode_frame(planes, slices=slice_objs)
+        else:
+            decisions, recon = fe.encode_frame(planes)
+
         # in-loop deblocking
         if not self.pps.pps_deblocking_filter_disabled_flag:
             from ..ops import deblock
@@ -542,39 +579,66 @@ class EncoderTop:
             lam = 0.57 * (2.0 ** ((slice_qp - 12) / 3.0))
             if use_native:
                 from ..entropy.cabac import sao_estimate_native
+                sids = None
+                if slice_objs is not None and len(slice_objs) > 1:
+                    sids = np.zeros(ctus_w * ctus_h, np.int32)
+                    for si, (_s, _e, ctus) in enumerate(slice_objs):
+                        for (cx, cy) in ctus:
+                            sids[cy * ctus_w + cx] = si
                 sao_params = sao_estimate_native(
-                    planes, recon, self.sps, self.sps.bit_depth_luma, lam)
+                    planes, recon, self.sps, self.sps.bit_depth_luma, lam,
+                    slice_ids=sids)
             else:
                 sao_params = saolib.estimate_sao(
                     planes, recon, self.sps, self.sps.bit_depth_luma, lam)
             for d, prm in zip(decisions, sao_params):
                 d.sao[:] = prm
 
-        ctus_w = self.sps.pic_width_in_ctus
-        ctus_h = self.sps.pic_height_in_ctus
         from ..entropy.cabac import (FrameDecisions, entropy_encode_frame,
                                      entropy_encode_frame_order,
                                      tile_scan_order)
-        with timers.section("entropy"):
-            if isinstance(decisions, FrameDecisions):
-                if self.pps.tiles_enabled_flag:
-                    order = tile_scan_order(
-                        cfg.width, cfg.height, self.sps.ctu_size,
-                        self.pps.num_tile_columns_minus1 + 1,
-                        self.pps.num_tile_rows_minus1 + 1)
-                    entropy_encode_frame_order(senc, order, ctus_w,
+        slice_rbsps = None
+        if slice_objs is not None and len(slice_objs) > 1:
+            # one coded slice segment per partition (SliceMode 1)
+            import dataclasses as _dc
+            slice_rbsps = []
+            with timers.section("entropy"):
+                for si, (spi, senc_i, ctus) in enumerate(slice_objs):
+                    entropy_encode_frame_order(senc_i, ctus, ctus_w,
                                                decisions)
+                    sh_i = _dc.replace(
+                        sh, first_slice_segment_in_pic_flag=1 if si == 0
+                        else 0,
+                        slice_segment_address=spi.slice_start_ctu)
+                    slice_rbsps.append(
+                        headers.write_slice_header(sh_i, self.sps,
+                                                   self.pps)
+                        + senc_i.get_bytes())
+        data = b""
+        if slice_rbsps is None:
+            with timers.section("entropy"):
+                if isinstance(decisions, FrameDecisions):
+                    if self.pps.tiles_enabled_flag:
+                        order = tile_scan_order(
+                            cfg.width, cfg.height, self.sps.ctu_size,
+                            self.pps.num_tile_columns_minus1 + 1,
+                            self.pps.num_tile_rows_minus1 + 1)
+                        entropy_encode_frame_order(senc, order, ctus_w,
+                                                   decisions)
+                    else:
+                        entropy_encode_frame(senc, ctus_w, ctus_h,
+                                             decisions)
                 else:
-                    entropy_encode_frame(senc, ctus_w, ctus_h, decisions)
-            else:
-                i = 0
-                for cy in range(ctus_h):
-                    for cx in range(ctus_w):
-                        last = (cy == ctus_h - 1) and (cx == ctus_w - 1)
-                        senc.encode_ctu(cx, cy, decisions[i], last)
-                        i += 1
-            data = senc.get_bytes()
-        if (self.pps.entropy_coding_sync_enabled_flag
+                    i = 0
+                    for cy in range(ctus_h):
+                        for cx in range(ctus_w):
+                            last = (cy == ctus_h - 1) and \
+                                (cx == ctus_w - 1)
+                            senc.encode_ctu(cx, cy, decisions[i], last)
+                            i += 1
+                data = senc.get_bytes()
+        if slice_rbsps is None and (
+                self.pps.entropy_coding_sync_enabled_flag
                 or self.pps.tiles_enabled_flag):
             # WPP entry points (spec 7.4.7.1): offsets are NAL-payload byte
             # counts (incl. emulation prevention); the header length feeds
@@ -593,8 +657,9 @@ class EncoderTop:
                 if offs == sh.entry_point_offsets:
                     break
                 sh.entry_point_offsets = offs
-        slice_rbsp = headers.write_slice_header(sh, self.sps, self.pps) \
-            + data
+        if slice_rbsps is None:
+            slice_rbsps = [headers.write_slice_header(sh, self.sps,
+                                                      self.pps) + data]
 
         if sao_on:
             if use_native:
@@ -637,12 +702,24 @@ class EncoderTop:
                                          source_scan_type=0),
                 int(NalUnitType.PREFIX_SEI_NUT)))
             firsts.append(False)
-        nals.append(nal.rbsp_to_nal(slice_rbsp, sh.nal_unit_type))
-        firsts.append(not first_au)
-        digest = sei.picture_md5(recon, self.sps.bit_depth_luma)
-        nals.append(nal.rbsp_to_nal(sei.write_picture_hash_sei(digest),
-                                    int(NalUnitType.SUFFIX_SEI_NUT)))
-        firsts.append(False)
+        for si, rb in enumerate(slice_rbsps):
+            nals.append(nal.rbsp_to_nal(rb, sh.nal_unit_type))
+            firsts.append(not first_au and si == 0)
+        # decoded-picture-hash SEI; type per SEIDecodedPictureHash
+        # (reference TComPicYuvMD5 calcMD5/CRC/checksum, TEncGOP.cpp:1661)
+        ht = getattr(cfg, "hash_sei_type", 1)
+        if ht == 2:
+            digest = sei.picture_crc(recon, self.sps.bit_depth_luma)
+        elif ht == 3:
+            digest = sei.picture_checksum(recon, self.sps.bit_depth_luma)
+        else:
+            digest = sei.picture_md5(recon, self.sps.bit_depth_luma)
+        if ht:
+            nals.append(nal.rbsp_to_nal(
+                sei.write_picture_hash_sei(digest, {1: 0, 2: 1,
+                                                    3: 2}.get(ht, 0)),
+                int(NalUnitType.SUFFIX_SEI_NUT)))
+            firsts.append(False)
 
         bits = sum(len(x) for x in nals) * 8
         psnr = _psnr(planes, recon, self.sps.bit_depth_luma)

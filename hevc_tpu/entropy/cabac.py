@@ -136,7 +136,8 @@ def get_lib() -> ctypes.CDLL:
     lib.hevc_sao_estimate.argtypes = (
         [i16p] * 6 + [ctypes.c_int] * 4 + [ctypes.c_double,
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-        ctypes.c_int, ctypes.c_int])
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32)])
     lib.hevc_sao_apply.argtypes = (
         [i16p] * 6 + [np.ctypeslib.ndpointer(np.int32,
                                              flags="C_CONTIGUOUS")]
@@ -460,9 +461,11 @@ class NativeCtuEngine:
             self._h = None
 
 
-def sao_estimate_native(orig, deblocked, sps, bit_depth, lam):
+def sao_estimate_native(orig, deblocked, sps, bit_depth, lam,
+                        slice_ids=None):
     """C++ SAO parameter estimation (engine.cpp hevc_sao_estimate);
-    returns the per-CTU param list in CtuData.sao layout."""
+    returns the per-CTU param list in CtuData.sao layout. slice_ids:
+    per-CTU raster int32 slice indices (merge never crosses them)."""
     lib = get_lib()
     w = sps.pic_width_in_luma_samples
     h = sps.pic_height_in_luma_samples
@@ -473,8 +476,13 @@ def sao_estimate_native(orig, deblocked, sps, bit_depth, lam):
     dbl = [np.ascontiguousarray(p, np.int16) for p in deblocked]
     tc = getattr(sps, "_tile_cols", 0)
     tr = getattr(sps, "_tile_rows", 0)
+    sid = None
+    if slice_ids is not None:
+        sid_arr = np.ascontiguousarray(slice_ids, np.int32)
+        sid = sid_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     lib.hevc_sao_estimate(o[0], o[1], o[2], dbl[0], dbl[1], dbl[2],
-                          w, h, ctu, bit_depth, float(lam), out, tc, tr)
+                          w, h, ctu, bit_depth, float(lam), out, tc, tr,
+                          sid)
     return list(out)
 
 

@@ -222,6 +222,13 @@ def write_slice_header(sh: SliceHeader, sps: SPS, pps: PPS) -> bytes:
     if 16 <= nal <= 23:  # IRAP
         bw.flag(sh.no_output_of_prior_pics_flag)
     bw.ue(sh.slice_pic_parameter_set_id)
+    if not sh.first_slice_segment_in_pic_flag:
+        # slice_segment_address, u(ceil(log2(PicSizeInCtbsY)))
+        ctu = sps.ctu_size
+        ctus = (-(-sps.pic_width_in_luma_samples // ctu)
+                * -(-sps.pic_height_in_luma_samples // ctu))
+        bw.u(sh.slice_segment_address,
+             max(1, math.ceil(math.log2(ctus))))
     bw.ue(int(sh.slice_type))
     if pps.output_flag_present_flag:
         bw.flag(1)

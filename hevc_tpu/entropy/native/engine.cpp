@@ -1912,7 +1912,8 @@ extern "C" void hevc_sao_estimate(
     const int16_t* oy, const int16_t* ocb, const int16_t* ocr,
     const int16_t* dy, const int16_t* dcb, const int16_t* dcr, int w, int h,
     int ctu, int bd, double lam, int32_t* out /* nctu * 20 */,
-    int tile_cols, int tile_rows) {
+    int tile_cols, int tile_rows,
+    const int32_t* slice_id /* per-CTU, raster; null = one slice */) {
   hevctpu::SliceParams tsp{};
   tsp.pic_w = w;
   tsp.pic_h = h;
@@ -1993,10 +1994,19 @@ extern "C" void hevc_sao_estimate(
       double best_merge = own_cost;
       int merge_sel = 0;
       int tid = hevctpu::tile_id_of(tsp, cx, cy);
+      // merge-left/up never cross tile or slice boundaries (spec 7.3.8.3
+      // leftCtbInSliceSeg/leftCtbInTile conditions)
+      auto same_slice = [&](int ox, int oy2) {
+        if (!slice_id) return true;
+        return slice_id[(size_t)oy2 * ctus_w + ox] ==
+               slice_id[(size_t)cy * ctus_w + cx];
+      };
       const int32_t* nbrs[2] = {
-          (cx > 0 && tile_id_of(tsp, cx - 1, cy) == tid)
+          (cx > 0 && tile_id_of(tsp, cx - 1, cy) == tid &&
+           same_slice(cx - 1, cy))
               ? out + ((size_t)cy * ctus_w + cx - 1) * 20 : nullptr,
-          (cy > 0 && tile_id_of(tsp, cx, cy - 1) == tid)
+          (cy > 0 && tile_id_of(tsp, cx, cy - 1) == tid &&
+           same_slice(cx, cy - 1))
               ? out + ((size_t)(cy - 1) * ctus_w + cx) * 20 : nullptr};
       for (int mi = 0; mi < 2; ++mi) {
         const int32_t* np = nbrs[mi];

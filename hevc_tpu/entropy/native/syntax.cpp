@@ -606,6 +606,11 @@ bool PicMaps::available(int x, int y, int cx, int cy) const {
           tile_id_of(sp, cx / sp.ctu_size, cy / sp.ctu_size))
     return false;  // prediction never crosses a tile boundary (spec 6.4.1)
   int ctus_w = (sp.pic_w + sp.ctu_size - 1) / sp.ctu_size;
+  // prediction/context availability never reaches back across the start
+  // of the current slice segment (spec 6.4.1 — both CTUs must belong to
+  // the same slice)
+  if ((y / sp.ctu_size) * ctus_w + (x / sp.ctu_size) < sp.slice_start_ctu)
+    return false;
   auto key = [&](int px, int py) -> uint64_t {
     uint64_t ctu = tiles
         ? (uint64_t)tile_scan_rank(sp, px / sp.ctu_size, py / sp.ctu_size)
@@ -2489,11 +2494,17 @@ void SliceEncoder::code_sao(int cx, int cy) {
   // Candidates must lie in the same tile (spec 7.4.9.3).
   int merge = p[7];
   int tid = tile_id_of(sp_, cx, cy);
-  if (cx > 0 && tile_id_of(sp_, cx - 1, cy) == tid) {
+  int ctus_w = (sp_.pic_w + sp_.ctu_size - 1) / sp_.ctu_size;
+  // spec 7.3.8.3: the merge flags are present only when the candidate CTU
+  // is in the same slice segment AND tile
+  auto in_slice = [&](int ox, int oy) {
+    return oy * ctus_w + ox >= sp_.slice_start_ctu;
+  };
+  if (cx > 0 && tile_id_of(sp_, cx - 1, cy) == tid && in_slice(cx - 1, cy)) {
     cabac_.encode_bin(ctx_.sao_merge[0], merge == 1);
     if (merge == 1) return;
   }
-  if (cy > 0 && tile_id_of(sp_, cx, cy - 1) == tid) {
+  if (cy > 0 && tile_id_of(sp_, cx, cy - 1) == tid && in_slice(cx, cy - 1)) {
     cabac_.encode_bin(ctx_.sao_merge[0], merge == 2);
     if (merge == 2) return;
   }

@@ -83,6 +83,7 @@ _OPTION_TABLE = {
     "QuadtreeTUMaxDepthIntra": ("tu_depth_intra", int),
     "IntraPeriod": ("intra_period", int),
     "DecodingRefreshType": ("decoding_refresh_type", int),
+    "SEIDecodedPictureHash": ("hash_sei_type", int),
     "GOPSize": ("gop_size", int),
     "QP": ("qp", int),
     "SearchRange": ("search_range", int),
@@ -215,6 +216,7 @@ class EncoderConfig:
     tu_depth_intra: int = 3
     intra_period: int = 1
     decoding_refresh_type: int = 0
+    hash_sei_type: int = 1   # 1=MD5 2=CRC 3=checksum (0 disables)
     gop_size: int = 1
     qp: int = 32
     search_range: int = 64
@@ -419,9 +421,18 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
     confirm(cfg.qp < 0 or cfg.qp > 51, "QP out of [0, 51]")
     confirm(cfg.search_range < 1 or cfg.search_range > 64,
             "SearchRange out of [1, 64]")
-    confirm(cfg.slice_mode != 0,
-            f"SliceMode {cfg.slice_mode} unsupported (one slice per "
-            "picture; multi-slice decode IS supported)")
+    confirm(cfg.slice_mode not in (0, 1),
+            f"SliceMode {cfg.slice_mode} unsupported (0 = one slice per "
+            "picture, 1 = SliceArgument CTUs per slice)")
+    confirm(cfg.slice_mode == 1 and cfg.slice_argument < 1,
+            "SliceMode 1 requires SliceArgument >= 1 (CTUs per slice)")
+    confirm(cfg.slice_mode == 1 and bool(cfg.wpp),
+            "SliceMode with WaveFrontSynchro unsupported")
+    confirm(cfg.slice_mode == 1 and
+            (cfg.tile_cols_minus1 > 0 or cfg.tile_rows_minus1 > 0),
+            "SliceMode with tiles unsupported")
+    confirm(cfg.slice_mode == 1 and bool(cfg.adaptive_qp),
+            "SliceMode with AdaptiveQP unsupported")
     confirm(cfg.scaling_list not in (0, 1),
             "ScalingList 2 (explicit file) unsupported; 0=off 1=default")
     confirm(bool(cfg.scaling_list_file) and cfg.scaling_list == 2,
@@ -465,10 +476,8 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
             "LFCrossTileBoundaryFlag=0 unsupported")
     tiles_on = cfg.tile_cols_minus1 > 0 or cfg.tile_rows_minus1 > 0
     confirm(tiles_on and not cfg.tile_uniform,
-            "only uniform tile spacing supported")
-    confirm(tiles_on and (bool(cfg.tile_col_widths.strip())
-                          or bool(cfg.tile_row_heights.strip())),
-            "explicit tile width/height arrays unsupported")
+            "only uniform tile spacing supported (TileUniformSpacing=1; "
+            "the explicit width/height arrays are not implemented)")
     confirm(cfg.max_merge_cand != 5, "MaxNumMergeCand must be 5")
     confirm(cfg.cb_qp_offset != 0 or cfg.cr_qp_offset != 0,
             "chroma QP offsets unsupported (must be 0)")

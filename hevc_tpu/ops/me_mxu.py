@@ -183,6 +183,31 @@ def me_grid_ssd(orig_y, ref_padded_y, size: int, r: int, lam_fp: int, *,
 # ---------------------------------------------------------------------
 # numpy twin (CPU backend; bit-identical decisions to the XLA path)
 # ---------------------------------------------------------------------
+def _ssd_np(areas, blks, size, nyx):
+    """Exact SSD tables on the host, via the same decomposition as the
+    device path (window energy + block energy - 2*correlation). The
+    correlation runs as per-row einsums over x-windows in float64 —
+    exact for 8-bit samples (|sums| << 2^53) and ~10x faster than a
+    per-position sweep."""
+    n = areas.shape[0]
+    a = (areas - 128).astype(np.float64)
+    b = (blks - 128).astype(np.float64)
+    av = np.lib.stride_tricks.sliding_window_view(a, size, axis=2)
+    corr = np.zeros((n, nyx, nyx))
+    for r in range(size):
+        corr += np.einsum('nyxc,nc->nyx', av[:, r:r + nyx, :nyx, :],
+                          b[:, r, :], optimize=True)
+    corr = np.rint(corr).astype(np.int64)
+    a2 = ((areas - 128) ** 2).astype(np.int64)
+    ii = np.pad(a2.cumsum(axis=1).cumsum(axis=2),
+                ((0, 0), (1, 0), (1, 0)))
+    win = (ii[:, size:size + nyx, size:size + nyx]
+           - ii[:, :nyx, size:size + nyx]
+           - ii[:, size:size + nyx, :nyx] + ii[:, :nyx, :nyx])
+    b2 = ((blks - 128) ** 2).sum((1, 2))[:, None, None]
+    return (win + b2 - 2 * corr).astype(np.int32)
+
+
 def me_grid_ssd_np(orig_y, ref_padded_y, size: int, r: int, lam_fp: int, *,
                    pad: int):
     h, w = orig_y.shape[:2]
@@ -200,13 +225,7 @@ def me_grid_ssd_np(orig_y, ref_padded_y, size: int, r: int, lam_fp: int, *,
         ref_padded_y.astype(np.int64), (aw, aw))[pad - r::size,
                                                  pad - r::size]
     areas = winv[:ny, :nx].reshape(n, aw, aw)
-    ssd = np.empty((n, nyx, nyx), np.int64)
-    for dy in range(nyx):
-        w2 = np.lib.stride_tricks.sliding_window_view(
-            areas[:, dy:dy + size, :], (size, size), axis=(1, 2))[:, 0]
-        d = w2 - blks[:, None]
-        ssd[:, dy, :] = (d * d).sum((2, 3))
-    ssd = ssd.astype(np.int32)
+    ssd = _ssd_np(areas, blks, size, nyx)
     lam = lam_q8_of(lam_fp)
 
     def bits_of(v):

@@ -26,7 +26,8 @@ def test_ctc_cfgs_validate(name):
 
 
 @pytest.mark.parametrize("extra", [
-    ["--SliceMode=1"],
+    ["--SliceMode=2"],
+    ["--SliceMode=1", "--WaveFrontSynchro=1"],
     ["--MaxCUWidth=32", "--MaxCUHeight=32"],
     ["--InternalBitDepth=12"],
     ["--ScalingList=2"],

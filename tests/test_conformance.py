@@ -362,7 +362,8 @@ def test_tiles_conformance(tmp_path):
     main(["-c", "/root/reference/cfg/encoder_lowdelay_P_main.cfg",
           "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
           str(frames), "-q", "32", "--NumTileColumnsMinus1=1",
-          "--NumTileRowsMinus1=1", "-b", str(bs), "-o", str(rec)])
+          "--NumTileRowsMinus1=1", "--TileUniformSpacing=1",
+          "-b", str(bs), "-o", str(rec)])
     out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
                          capture_output=True, text=True)
     assert out.returncode == 0, out.stderr[-2000:]
@@ -594,3 +595,41 @@ def test_pcm_conformance(tmp_path):
         own = tmp_path / "own.yuv"
         assert dmain(["-b", str(bs), "-o", str(own)]) == 0
         assert own.read_bytes() == dec.read_bytes()
+
+
+def test_multislice_conformance(tmp_path):
+    """SliceMode 1 (fixed CTUs per slice, reference TEncSlice slice
+    modes): multi-slice pictures with mid-row boundaries must decode
+    byte-identically in the HM reference decoder and in ours."""
+    w, h, frames = 256, 128, 4
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-q", "32", "--IntraPeriod=-1", "--SliceMode=1",
+          "--SliceArgument=3", "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames
+    assert rec.read_bytes() == dec.read_bytes()
+
+
+def test_crc_checksum_hash_sei(tmp_path):
+    """SEIDecodedPictureHash 2 (CRC) / 3 (checksum): the HM decoder must
+    verify the hashes (reference TComPicYuvMD5 crc/checksum)."""
+    w, h, frames = 128, 80, 2
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    from hevc_tpu.cli.encode import main
+    for ht in (2, 3):
+        bs = tmp_path / f"o{ht}.bin"
+        main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+              str(frames), "-q", "32", f"--SEIDecodedPictureHash={ht}",
+              "-b", str(bs), "-o", str(tmp_path / "r.yuv")])
+        out = subprocess.run([ORACLE, "-b", str(bs), "-o",
+                              str(tmp_path / "d.yuv")],
+                             capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert out.stdout.count("(OK)") == frames, out.stdout[-800:]
