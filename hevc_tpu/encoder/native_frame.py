@@ -202,7 +202,10 @@ class NativeFrameEncoder:
         (reference TEncSearch::predInterSearch per-refIdx loop,
         TEncSearch.cpp:3027). ref_dev: optional per-list-0-ref device
         arrays of the padded Y planes (encoder reference cache)."""
-        assert sps.chroma_format_idc == 1, "native engine is 4:2:0-only"
+        assert sps.chroma_format_idc in (1, 3), \
+            "native engine supports 4:2:0 and 4:4:4"
+        assert sps.chroma_format_idc == 1 or ref_planes is None, \
+            "native 4:4:4 is intra-only (inter 4:4:4 takes the Python path)"
         self.sps = sps
         self.qp = qp
         self.senc = senc
@@ -237,10 +240,12 @@ class NativeFrameEncoder:
         w = sps.pic_width_in_luma_samples
         h = sps.pic_height_in_luma_samples
         ctu = sps.ctu_size
+        cfmt = sps.chroma_format_idc
+        csx = 0 if cfmt == 3 else 1
         orig = [np.ascontiguousarray(p, np.int16) for p in orig]
         recon = [np.zeros((h, w), np.int16),
-                 np.zeros((h // 2, w // 2), np.int16),
-                 np.zeros((h // 2, w // 2), np.int16)]
+                 np.zeros((h >> csx, w >> csx), np.int16),
+                 np.zeros((h >> csx, w >> csx), np.int16)]
         from ..utils.timing import timers
         me_x = me_y = me16_x = me16_y = None
         if self.is_inter:
@@ -284,7 +289,7 @@ class NativeFrameEncoder:
                                      engine_encode_frame_order,
                                      tile_scan_order)
         ctus_w, ctus_h = -(-w // ctu), -(-h // ctu)
-        fd = FrameDecisions(ctus_w * ctus_h, ctu, 1)
+        fd = FrameDecisions(ctus_w * ctus_h, ctu, cfmt)
         if slices is not None:
             # multi-slice picture (reference TEncSlice slice modes): one
             # engine + entropy state per slice segment, shared recon and

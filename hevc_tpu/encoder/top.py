@@ -86,9 +86,12 @@ class EncoderTop:
             self.pps.diff_cu_qp_delta_depth = 0
             assert cfg.max_cu_dqp_depth == 0, \
                 "only CTU-size quantization groups supported"
-        if (cfg.internal_chroma_format == 1 and
-                os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0"):
-            # the native engine enforces the parity constraint
+        if ((cfg.internal_chroma_format == 1 or
+             (cfg.internal_chroma_format == 3 and cfg.intra_period == 1))
+                and os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0"):
+            # the native engine enforces the parity constraint (4:2:0
+            # everywhere; 4:4:4 when every picture takes the native
+            # intra path)
             self.pps.sign_data_hiding_enabled_flag = 1
         self.tiles = (max(cfg.tile_cols_minus1, 0),
                       max(cfg.tile_rows_minus1, 0))
@@ -369,7 +372,8 @@ class EncoderTop:
         is_intra = stype == SliceType.I
         is_b = stype == SliceType.B
         sao_on = 1 if cfg.sao else 0
-        use_native = (self.sps.chroma_format_idc == 1 and
+        cfmt = self.sps.chroma_format_idc
+        use_native = ((cfmt == 1 or (cfmt == 3 and is_intra)) and
                       os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0")
         n_l0 = 0 if is_intra else len(ref_l0)
         n_l1 = len(ref_l1) if is_b and ref_l1 else 0

@@ -137,11 +137,11 @@ def get_lib() -> ctypes.CDLL:
         [i16p] * 6 + [ctypes.c_int] * 4 + [ctypes.c_double,
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int32)])
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int])
     lib.hevc_sao_apply.argtypes = (
         [i16p] * 6 + [np.ctypeslib.ndpointer(np.int32,
                                              flags="C_CONTIGUOUS")]
-        + [ctypes.c_int] * 4)
+        + [ctypes.c_int] * 5)
     lib.hevc_dec_create.restype = ctypes.c_void_p
     lib.hevc_dec_create.argtypes = [ctypes.POINTER(SliceParamsC),
                                     ctypes.c_char_p, ctypes.c_long]
@@ -482,7 +482,7 @@ def sao_estimate_native(orig, deblocked, sps, bit_depth, lam,
         sid = sid_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     lib.hevc_sao_estimate(o[0], o[1], o[2], dbl[0], dbl[1], dbl[2],
                           w, h, ctu, bit_depth, float(lam), out, tc, tr,
-                          sid)
+                          sid, sps.chroma_format_idc)
     return list(out)
 
 
@@ -575,7 +575,8 @@ def sao_apply_native(deblocked, sao_params, sps, bit_depth):
     prm = np.ascontiguousarray(np.stack([np.asarray(p, np.int32)
                                          for p in sao_params]))
     lib.hevc_sao_apply(dbl[0], dbl[1], dbl[2], out[0], out[1], out[2],
-                       prm, w, h, sps.ctu_size, bit_depth)
+                       prm, w, h, sps.ctu_size, bit_depth,
+                       sps.chroma_format_idc)
     return out
 
 

@@ -107,10 +107,14 @@ const int* scan_table(int n, int sidx) {
 
 const int* diag_scan(int n) { return scan_table(n, 0); }
 
-// spec 7.4.9.11 mode-dependent scan selection (4:2:0 engine)
-int engine_scan_idx(int log2, int c_idx, bool is_intra, int pred_mode) {
+// spec 7.4.9.11 mode-dependent scan selection (chroma 8x8 qualifies in
+// 4:4:4 — must match syntax.cpp mode_scan_idx or sign-data hiding
+// enforces parity along the wrong scan)
+int engine_scan_idx(int log2, int c_idx, bool is_intra, int pred_mode,
+                    bool c444 = false) {
   if (!is_intra) return 0;
-  bool mdcs = (c_idx == 0) ? (log2 == 2 || log2 == 3) : (log2 == 2);
+  bool mdcs = (c_idx == 0 || c444) ? (log2 == 2 || log2 == 3)
+                                   : (log2 == 2);
   if (!mdcs) return 0;
   if (pred_mode >= 6 && pred_mode <= 14) return 2;
   if (pred_mode >= 22 && pred_mode <= 30) return 1;
@@ -351,8 +355,9 @@ CtuEngine::CtuEngine(const SliceParams& sp, const EngineParams& ep,
   h_ = sp.pic_h;
   ctu_ = sp.ctu_size;
   bd_ = sp.bit_depth;
+  csx_ = sp.chroma_format == 3 ? 0 : 1;
   qp_y_ = sp.qp;
-  qp_c_ = kChromaQp420[std::min(57, std::max(0, sp.qp))];
+  qp_c_ = chroma_qp_of(sp.qp);
   sqrt_lam_ = ep.sqrt_lam;
   mode_map_.assign((size_t)((h_ + 3) >> 2) * ((w_ + 3) >> 2), 1);
 }
@@ -400,6 +405,11 @@ bool CtuEngine::ts_trial(const int32_t* resi, int qp, bool intra,
   std::memcpy(rres, rress, sizeof(rress));
   *nz = nzs;
   return true;
+}
+
+int CtuEngine::chroma_qp_of(int qp) const {
+  if (csx_ == 0) return std::min(51, std::max(0, qp));
+  return kChromaQp420[std::min(57, std::max(0, qp))];
 }
 
 bool CtuEngine::me_lookup(int x0, int y0, int n, int r, int* mvx,
@@ -563,7 +573,7 @@ void CtuEngine::encode_ctu(int cx, int cy, const MutCtuData& d) {
     qp_y_ = sp_.qp;
     sqrt_lam_ = ep_.sqrt_lam;
   }
-  qp_c_ = kChromaQp420[std::min(57, std::max(0, qp_y_))];
+  qp_c_ = chroma_qp_of(qp_y_);
   int bw4 = ctu_ / 4;
   std::memset(d.cu_depth, ep_.cu_depth_target, (size_t)bw4 * bw4);
   int ctu_x0 = cx * ctu_, ctu_y0 = cy * ctu_;
@@ -697,29 +707,36 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
 
   // chroma mode decision over the candidate list (spec 8.4.3: planar,
   // vertical, horizontal, DC, DM) by joint cb+cr SATD + signalling bits
-  int cs0 = n >> 1;
-  int cw0 = w_ >> 1, ch0 = h_ >> 1;
+  int cs0 = n >> csx_;
+  int cw0 = w_ >> csx_, ch0 = h_ >> csx_;
   int cmode_best = best_mode;
   {
     int32_t fcb[4 * 32 + 1], ffcb[4 * 32 + 1];
     int32_t fcr[4 * 32 + 1], ffcr[4 * 32 + 1];
-    build_refs(recon_[1], cw0, ch0, cw0, x0 >> 1, y0 >> 1, cs0, x0, y0, 2,
-               fcb);
-    build_refs(recon_[2], cw0, ch0, cw0, x0 >> 1, y0 >> 1, cs0, x0, y0, 2,
-               fcr);
+    build_refs(recon_[1], cw0, ch0, cw0, x0 >> csx_, y0 >> csx_, cs0, x0,
+               y0, 1 << csx_, fcb);
+    build_refs(recon_[2], cw0, ch0, cw0, x0 >> csx_, y0 >> csx_, cs0, x0,
+               y0, 1 << csx_, fcr);
     dsp::intra_filter_refs(fcb, cs0, bd_, false, ffcb);
     dsp::intra_filter_refs(fcr, cs0, bd_, false, ffcr);
-    const int16_t* ocb = orig_[1] + (y0 >> 1) * cw0 + (x0 >> 1);
-    const int16_t* ocr = orig_[2] + (y0 >> 1) * cw0 + (x0 >> 1);
+    const int16_t* ocb = orig_[1] + (y0 >> csx_) * cw0 + (x0 >> csx_);
+    const int16_t* ocr = orig_[2] + (y0 >> csx_) * cw0 + (x0 >> csx_);
     int64_t cbest = -1;
     int cands5[5] = {0, 26, 10, 1, best_mode};
     for (int i = 0; i < 5; ++i) {
       int cm = cands5[i];
       if (i < 4 && cm == best_mode) cm = 34;  // substitution (7.4.9.6)
-      int32_t pc[16 * 16];
-      dsp::intra_predict(fcb, fcb, cm, cs0, bd_, false, pc);
+      int32_t pc[32 * 32];
+      // 4:4:4 chroma references are mode-filtered like luma (8.4.4.2.3)
+      const int32_t* fb = (csx_ == 0 &&
+                           dsp::intra_filter_flag(cm, cs0, true))
+                              ? ffcb : fcb;
+      const int32_t* fr = (csx_ == 0 &&
+                           dsp::intra_filter_flag(cm, cs0, true))
+                              ? ffcr : fcr;
+      dsp::intra_predict(fb, fcb, cm, cs0, bd_, false, pc);
       int64_t c = dsp::satd(ocb, cw0, pc, cs0, cs0);
-      dsp::intra_predict(fcr, fcr, cm, cs0, bd_, false, pc);
+      dsp::intra_predict(fr, fcr, cm, cs0, bd_, false, pc);
       c += dsp::satd(ocr, cw0, pc, cs0, cs0);
       c += lam_bits(i == 4 ? 1 : 3);
       if (cbest < 0 || c < cbest) { cbest = c; cmode_best = cm; }
@@ -743,9 +760,9 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
   int32_t resi[32 * 32], coef[32 * 32], lev[32 * 32], deq[32 * 32],
       rres[32 * 32];
   int maxv = (1 << bd_) - 1;
-  int cs = n >> 1;
-  int cw = w_ >> 1, ch = h_ >> 1;
-  int cctu = ctu_ >> 1;
+  int cs = n >> csx_;
+  int cw = w_ >> csx_, ch = h_ >> csx_;
+  int cctu = ctu_ >> csx_;
   double lam_sq = sqrt_lam_ * sqrt_lam_;
   int32_t f2[4 * 32 + 1], ff2[4 * 32 + 1];
   // per-4x4 transform-skip flags (TS_Y/TS_CB/TS_CR at the TB origin,
@@ -758,17 +775,19 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
                        double* sse, double* bits) -> int {
     int stride = c == 0 ? w_ : cw;
     int ph = c == 0 ? h_ : ch;
-    int px = c == 0 ? tx : tx >> 1;
-    int py = c == 0 ? ty : ty >> 1;
-    int tz = c == 0 ? tn : tn >> 1;
+    int px = c == 0 ? tx : tx >> csx_;
+    int py = c == 0 ? ty : ty >> csx_;
+    int tz = c == 0 ? tn : tn >> csx_;
     int qp = c == 0 ? qp_y_ : qp_c_;
     build_refs(recon_[c], c == 0 ? w_ : cw, ph, stride, px, py, tz, tx, ty,
-               c == 0 ? 1 : 2, f2);
+               c == 0 ? 1 : 1 << csx_, f2);
     bool strong2 = c == 0 && ep_.strong_smoothing &&
                    dsp::intra_strong_smoothing(f2, tz, bd_);
     dsp::intra_filter_refs(f2, tz, bd_, strong2, ff2);
+    // reference-sample filtering applies to luma and, in 4:4:4, to
+    // chroma as well (spec 8.4.4.2.3 cIdx==0 || ChromaArrayType==3)
     const int32_t* fsel =
-        dsp::intra_filter_flag(mode, tz, c == 0) ? ff2 : f2;
+        dsp::intra_filter_flag(mode, tz, c == 0 || csx_ == 0) ? ff2 : f2;
     int32_t predt[32 * 32];
     dsp::intra_predict(fsel, f2, mode, tz, bd_, c == 0, predt);
     const int16_t* o = orig_[c] + py * stride + px;
@@ -781,11 +800,12 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     dsp::fwd_xform(resi, tz, bd_, dstt, coef);
     int nz = dsp::quant(coef, tz, qp, bd_, true, lev, smat_t);
     nz = rdoq_run(lev, coef, tz, qp, nz, c,
-                  engine_scan_idx(ilog2(tz), c, true, mode), lam_sq,
-                  smat_t);
+                  engine_scan_idx(ilog2(tz), c, true, mode, csx_ == 0),
+                  lam_sq, smat_t);
     if (nz && sp_.sign_hiding)
       sbh_enforce(lev, coef, tz, qp, bd_,
-                  engine_scan_idx(ilog2(tz), c, true, mode), smat_t);
+                  engine_scan_idx(ilog2(tz), c, true, mode, csx_ == 0),
+                  smat_t);
     if (nz) {
       dsp::dequant(lev, tz, qp, bd_, deq, smat_t);
       dsp::inv_xform(deq, tz, bd_, dstt, rres);
@@ -797,14 +817,15 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
       uint8_t bit = c == 0 ? TS_Y : (c == 1 ? TS_CB : TS_CR);
       ts_loc[slot] &= (uint8_t)~bit;
       if (ts_trial(resi, qp, true, lam_sq, smat_t,
-                   engine_scan_idx(2, c, true, mode), c, lev, rres, &nz))
+                   engine_scan_idx(2, c, true, mode, csx_ == 0), c, lev,
+                   rres, &nz))
         ts_loc[slot] |= bit;
     }
     *bits += 2.0;
     int16_t* cpl = c == 0 ? d.coeff_y : (c == 1 ? d.coeff_cb : d.coeff_cr);
     int cstride = c == 0 ? ctu_ : cctu;
-    int lx0 = c == 0 ? tx - ctu_x0 : (tx - ctu_x0) >> 1;
-    int ly0 = c == 0 ? ty - ctu_y0 : (ty - ctu_y0) >> 1;
+    int lx0 = c == 0 ? tx - ctu_x0 : (tx - ctu_x0) >> csx_;
+    int ly0 = c == 0 ? ty - ctu_y0 : (ty - ctu_y0) >> csx_;
     for (int i = 0; i < tz; ++i)
       for (int j = 0; j < tz; ++j) {
         cpl[(ly0 + i) * cstride + lx0 + j] = (int16_t)lev[i * tz + j];
@@ -827,14 +848,15 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
       for (int qx = 0; qx < parts; ++qx) {
         int tx = x0 + qx * tn, ty = y0 + qy * tn;
         nzs += code_tb_i(0, tx, ty, tn, best_mode, &sse, &bits);
-        if (tn >= 8) {
+        if (tn >= 8 || csx_ == 0) {
+          // 4:4:4 codes a full-size chroma TB per luma leaf
           nzs += code_tb_i(1, tx, ty, tn, cmode_best, &sse, &bits);
           nzs += code_tb_i(2, tx, ty, tn, cmode_best, &sse, &bits);
         }
       }
-    if (tn < 8) {
-      // 4x4 luma leaves share one 4x4 chroma TB at the parent origin
-      // (spec 7.3.8.8 blkIdx==3 rule)
+    if (tn < 8 && csx_ == 1) {
+      // 4:2:0: 4x4 luma leaves share one 4x4 chroma TB at the parent
+      // origin (spec 7.3.8.8 blkIdx==3 rule)
       nzs += code_tb_i(1, x0, y0, 8, cmode_best, &sse, &bits);
       nzs += code_tb_i(2, x0, y0, 8, cmode_best, &sse, &bits);
     }
@@ -859,15 +881,15 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
                   sizeof(int16_t) * n);
     }
     for (int i = 0; i < cs; ++i) {
-      std::memcpy(&scb[i * cs], recon_[1] + ((y0 >> 1) + i) * cw + (x0 >> 1),
+      std::memcpy(&scb[i * cs], recon_[1] + ((y0 >> csx_) + i) * cw + (x0 >> csx_),
                   sizeof(int16_t) * cs);
-      std::memcpy(&scr[i * cs], recon_[2] + ((y0 >> 1) + i) * cw + (x0 >> 1),
+      std::memcpy(&scr[i * cs], recon_[2] + ((y0 >> csx_) + i) * cw + (x0 >> csx_),
                   sizeof(int16_t) * cs);
       std::memcpy(&ccb[i * cs], d.coeff_cb +
-                  ((y0 - ctu_y0) / 2 + i) * cctu + (x0 - ctu_x0) / 2,
+                  (((y0 - ctu_y0) >> csx_) + i) * cctu + ((x0 - ctu_x0) >> csx_),
                   sizeof(int16_t) * cs);
       std::memcpy(&ccr[i * cs], d.coeff_cr +
-                  ((y0 - ctu_y0) / 2 + i) * cctu + (x0 - ctu_x0) / 2,
+                  (((y0 - ctu_y0) >> csx_) + i) * cctu + ((x0 - ctu_x0) >> csx_),
                   sizeof(int16_t) * cs);
     }
     int nz1 = code_depth(1, &cost1);
@@ -883,14 +905,16 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
                     &cy_[i * n], sizeof(int16_t) * n);
       }
       for (int i = 0; i < cs; ++i) {
-        std::memcpy(recon_[1] + ((y0 >> 1) + i) * cw + (x0 >> 1),
+        std::memcpy(recon_[1] + ((y0 >> csx_) + i) * cw + (x0 >> csx_),
                     &scb[i * cs], sizeof(int16_t) * cs);
-        std::memcpy(recon_[2] + ((y0 >> 1) + i) * cw + (x0 >> 1),
+        std::memcpy(recon_[2] + ((y0 >> csx_) + i) * cw + (x0 >> csx_),
                     &scr[i * cs], sizeof(int16_t) * cs);
-        std::memcpy(d.coeff_cb + ((y0 - ctu_y0) / 2 + i) * cctu +
-                    (x0 - ctu_x0) / 2, &ccb[i * cs], sizeof(int16_t) * cs);
-        std::memcpy(d.coeff_cr + ((y0 - ctu_y0) / 2 + i) * cctu +
-                    (x0 - ctu_x0) / 2, &ccr[i * cs], sizeof(int16_t) * cs);
+        std::memcpy(d.coeff_cb + (((y0 - ctu_y0) >> csx_) + i) * cctu +
+                    ((x0 - ctu_x0) >> csx_), &ccb[i * cs],
+                    sizeof(int16_t) * cs);
+        std::memcpy(d.coeff_cr + (((y0 - ctu_y0) >> csx_) + i) * cctu +
+                    ((x0 - ctu_x0) >> csx_), &ccr[i * cs],
+                    sizeof(int16_t) * cs);
       }
     }
   }
@@ -901,7 +925,6 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     double pcm_bits = 1.5 * n * n * bd_ + 2.0;
     if (lam_sq * pcm_bits < (tu_sel ? cost1 : cost0)) {
       int lx = x0 - ctu_x0, ly = y0 - ctu_y0;
-      int cctu = ctu_ >> 1;
       for (int i = 0; i < n; ++i)
         for (int j = 0; j < n; ++j) {
           int16_t v = orig_[0][(y0 + i) * w_ + x0 + j];
@@ -912,9 +935,9 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
         int16_t* cp = c == 1 ? d.coeff_cb : d.coeff_cr;
         for (int i = 0; i < cs; ++i)
           for (int j = 0; j < cs; ++j) {
-            int16_t v = orig_[c][((y0 >> 1) + i) * cw + (x0 >> 1) + j];
-            recon_[c][((y0 >> 1) + i) * cw + (x0 >> 1) + j] = v;
-            cp[((ly >> 1) + i) * cctu + (lx >> 1) + j] = v;
+            int16_t v = orig_[c][((y0 >> csx_) + i) * cw + (x0 >> csx_) + j];
+            recon_[c][((y0 >> csx_) + i) * cw + (x0 >> csx_) + j] = v;
+            cp[((ly >> csx_) + i) * cctu + (lx >> csx_) + j] = v;
           }
       }
       int stride4 = (w_ + 3) >> 2;
@@ -1913,14 +1936,16 @@ extern "C" void hevc_sao_estimate(
     const int16_t* dy, const int16_t* dcb, const int16_t* dcr, int w, int h,
     int ctu, int bd, double lam, int32_t* out /* nctu * 20 */,
     int tile_cols, int tile_rows,
-    const int32_t* slice_id /* per-CTU, raster; null = one slice */) {
+    const int32_t* slice_id /* per-CTU, raster; null = one slice */,
+    int cfmt /* 1 = 4:2:0, 3 = 4:4:4 */) {
   hevctpu::SliceParams tsp{};
   tsp.pic_w = w;
   tsp.pic_h = h;
   tsp.ctu_size = ctu;
   tsp.tile_cols = tile_cols;
   tsp.tile_rows = tile_rows;
-  int cw = w / 2, ch = h / 2;
+  int csx = cfmt == 3 ? 0 : 1;
+  int cw = w >> csx, ch = h >> csx;
   int ctus_w = (w + ctu - 1) / ctu, ctus_h = (h + ctu - 1) / ctu;
   int shift = bd - 5;
   int max_off = (1 << (std::min(bd, 10) - 5)) - 1;
@@ -1941,9 +1966,9 @@ extern "C" void hevc_sao_estimate(
       // chroma: shared type/eo-class, separate offsets/band positions.
       // Mirror of sao.py _pick_chroma: OFF vs the 4 EO classes (band not
       // tried jointly, same as the numpy implementation).
-      int cx0 = (cx * ctu) / 2, cy0 = (cy * ctu) / 2;
-      int cx1 = std::min(((cx + 1) * ctu) / 2, cw);
-      int cy1 = std::min(((cy + 1) * ctu) / 2, ch);
+      int cx0 = (cx * ctu) >> csx, cy0 = (cy * ctu) >> csx;
+      int cx1 = std::min(((cx + 1) * ctu) >> csx, cw);
+      int cy1 = std::min(((cy + 1) * ctu) >> csx, ch);
       CompStats sb, sr;
       gather_stats(ocb, dcb, cw, cw, ch, cx0, cy0, cx1, cy1, shift, &sb);
       gather_stats(ocr, dcr, cw, cw, ch, cx0, cy0, cx1, cy1, shift, &sr);
@@ -2035,8 +2060,9 @@ extern "C" void hevc_sao_estimate(
 extern "C" void hevc_sao_apply(
     const int16_t* dy, const int16_t* dcb, const int16_t* dcr, int16_t* oy,
     int16_t* ocb, int16_t* ocr, const int32_t* params, int w, int h,
-    int ctu, int bd) {
-  int cw = w / 2, ch = h / 2;
+    int ctu, int bd, int cfmt) {
+  int csx = cfmt == 3 ? 0 : 1;
+  int cw = w >> csx, ch = h >> csx;
   int ctus_w = (w + ctu - 1) / ctu, ctus_h = (h + ctu - 1) / ctu;
   int shift = bd - 5;
   int maxv = (1 << bd) - 1;
@@ -2051,7 +2077,7 @@ extern "C" void hevc_sao_apply(
       for (int ci = 0; ci < 3; ++ci) {
         int t = ci == 0 ? prm[0] : prm[1];
         if (t == 0) continue;
-        int scale = ci == 0 ? 1 : 2;
+        int scale = ci == 0 ? 1 : 1 << csx;
         int pw = ci == 0 ? w : cw, ph = ci == 0 ? h : ch;
         int stride = pw;
         int x0 = cx * ctu / scale, y0 = cy * ctu / scale;

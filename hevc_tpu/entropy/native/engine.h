@@ -116,7 +116,11 @@ class CtuEngine {
   int me16_nx_ = 0, me16_ny_ = 0;
   // integer-pel device-search MV of list-0 ref r for an aligned block
   bool me_lookup(int x0, int y0, int n, int r, int* mvx, int* mvy) const;
+  // chroma QP: the 4:2:0 mapping table, or Min(qp, 51) otherwise
+  // (spec 8.6.1 ChromaArrayType rule)
+  int chroma_qp_of(int qp) const;
   int w_, h_, ctu_, bd_;
+  int csx_ = 1;   // chroma subsampling shift (1 = 4:2:0, 0 = 4:4:4)
   // Per-CTU quantization state. One engine is shared by the wavefront
   // worker threads, so these are thread-local; encode_ctu() sets them
   // unconditionally on entry (cu_dqp makes them vary per CTU).

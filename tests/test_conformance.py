@@ -633,3 +633,36 @@ def test_crc_checksum_hash_sei(tmp_path):
                              capture_output=True, text=True)
         assert out.returncode == 0, out.stderr[-2000:]
         assert out.stdout.count("(OK)") == frames, out.stdout[-800:]
+
+
+def test_rext444_native_engine_conformance(tmp_path):
+    """4:4:4 intra (config 5 family) through the NATIVE engine (the
+    Python path remains the fallback for inter 4:4:4): byte-identical
+    in the HM decoder and ours, with SAO enabled."""
+    w, h, frames = 256, 128, 3
+    clip = tmp_path / "in444.yuv"
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_test_yuv import make_frame
+    with open(clip, "wb") as fh:
+        for t in range(frames):
+            y, u, v = make_frame(w, h, t)
+            fh.write(np.asarray(y, np.uint8).tobytes())
+            for p in (u, v):
+                full = np.repeat(np.repeat(np.asarray(p, np.uint8), 2, 0),
+                                 2, 1)[:h, :w]
+                fh.write(full.tobytes())
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-c",
+          "/root/reference/cfg/encoder_intra_high_throughput_rext.cfg",
+          "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-q", "29", "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames
+    assert rec.read_bytes() == dec.read_bytes()
+    from hevc_tpu.cli.decode import main as dec_main
+    assert dec_main(["-b", str(bs), "-o", str(tmp_path / "o2.yuv")]) == 0
+    assert (tmp_path / "o2.yuv").read_bytes() == dec.read_bytes()
