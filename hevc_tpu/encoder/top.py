@@ -44,7 +44,8 @@ class EncoderTop:
             scaling_list_enabled_flag=1 if cfg.scaling_list else 0,
         )
         # ScalingList=2 (explicit file) is rejected by io.cfg.validate()
-        if cfg.internal_chroma_format != 1 or "rext" in cfg.profile.lower():
+        if (cfg.internal_chroma_format != 1 or cfg.internal_bit_depth > 10
+                or "rext" in cfg.profile.lower()):
             # format-range extensions (spec A.3.5): Main 4:4:4 family
             ptl = self.sps.ptl
             ptl.general_profile_idc = 4

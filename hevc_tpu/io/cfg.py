@@ -415,9 +415,9 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
     confirm(cfg.chroma_format not in (420, 444),
             f"InputChromaFormat {cfg.chroma_format} unsupported "
             "(420 and 444 implemented)")
-    confirm(cfg.internal_bit_depth not in (8, 10),
+    confirm(cfg.internal_bit_depth not in (8, 10, 12),
             f"InternalBitDepth {cfg.internal_bit_depth} unsupported "
-            "(8 and 10 implemented)")
+            "(8, 10 and 12 implemented)")
     confirm(cfg.qp < 0 or cfg.qp > 51, "QP out of [0, 51]")
     confirm(cfg.search_range < 1 or cfg.search_range > 64,
             "SearchRange out of [1, 64]")

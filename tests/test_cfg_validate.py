@@ -29,7 +29,7 @@ def test_ctc_cfgs_validate(name):
     ["--SliceMode=2"],
     ["--SliceMode=1", "--WaveFrontSynchro=1"],
     ["--MaxCUWidth=32", "--MaxCUHeight=32"],
-    ["--InternalBitDepth=12"],
+    ["--InternalBitDepth=14"],
     ["--ScalingList=2"],
     ["--MaxCuDQPDepth=1"],
     ["--MaxNumMergeCand=3"],

@@ -666,3 +666,25 @@ def test_rext444_native_engine_conformance(tmp_path):
     from hevc_tpu.cli.decode import main as dec_main
     assert dec_main(["-b", str(bs), "-o", str(tmp_path / "o2.yuv")]) == 0
     assert (tmp_path / "o2.yuv").read_bytes() == dec.read_bytes()
+
+
+def test_main12_conformance(tmp_path):
+    """12-bit internal depth (reference RExt__HIGH_BIT_DEPTH paths,
+    TypeDef.h:244): intra + inter, RExt PTL signalling."""
+    w, h, frames = 128, 80, 3
+    clip = tmp_path / "in12.yuv"
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_test_yuv import write_clip
+    write_clip(str(clip), w, h, frames, 12)
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-q", "30", "--IntraPeriod=-1",
+          "--InternalBitDepth=12", "--InputBitDepth=12",
+          "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames
+    assert rec.read_bytes() == dec.read_bytes()
