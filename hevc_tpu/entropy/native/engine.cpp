@@ -1065,11 +1065,15 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
       rres[32 * 32];
   int maxv = (1 << bd_) - 1;
   double lam = sqrt_lam_ * sqrt_lam_;
+  double cwgt = std::pow(2.0, (qp_y_ - qp_c_) / 3.0);
+  double sse_coded = 0, bits_coded = 0;
   int nz_total = 0;
   auto code_tb64 = [&](const int16_t* o, int ostride, const int32_t* p,
                        int pstride, int sz, int qp, int c_idx,
                        int16_t* lv_out, int lv_stride, int16_t* rec,
                        int rstride) {
+    double dw = c_idx ? cwgt : 1.0;
+    double lam_c = c_idx ? lam / cwgt : lam;
     for (int i = 0; i < sz; ++i)
       for (int j = 0; j < sz; ++j)
         resi[i * sz + j] = (int32_t)o[i * ostride + j] - p[i * pstride + j];
@@ -1077,7 +1081,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
         sp_.scaling_lists ? dsp::default_scaling_matrix(sz, false) : nullptr;
     dsp::fwd_xform(resi, sz, bd_, false, coef);
     int nz = dsp::quant(coef, sz, qp, bd_, false, lev, smat_p);
-    nz = rdoq_run(lev, coef, sz, qp, nz, c_idx, 0, lam, smat_p);
+    nz = rdoq_run(lev, coef, sz, qp, nz, c_idx, 0, lam_c, smat_p);
     if (nz && sp_.sign_hiding)
       sbh_enforce(lev, coef, sz, qp, bd_, 0, smat_p);
     if (nz) {
@@ -1086,12 +1090,20 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
     } else {
       std::memset(rres, 0, sizeof(int32_t) * sz * sz);
     }
+    bits_coded += ctx_rate(c_idx == 0 ? est_ctx_.cbf_luma[0]
+                                      : est_ctx_.cbf_chroma[1], nz != 0);
     for (int i = 0; i < sz; ++i)
       for (int j = 0; j < sz; ++j) {
         lv_out[i * lv_stride + j] = (int16_t)lev[i * sz + j];
         int32_t v = p[i * pstride + j] + rres[i * sz + j];
-        rec[i * rstride + j] = (int16_t)std::min(maxv, std::max(0, v));
+        int16_t rv = (int16_t)std::min(maxv, std::max(0, v));
+        rec[i * rstride + j] = rv;
+        double e = (double)o[i * ostride + j] - rv;
+        sse_coded += e * e * dw;
       }
+    if (nz)
+      bits_coded += tb_rate_bits(est_ctx_, lev, sz, ilog2(sz), c_idx, 0,
+                                 sp_.sign_hiding);
     return nz;
   };
   for (int q = 0; q < 4; ++q) {
@@ -1103,8 +1115,9 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
                           recon_[0] + qy * w_ + qx, w_);
   }
   // chroma (32x32 for the CU, coded as four 16x16 TBs in quadrant order)
-  int32_t pc[32 * 32];
+  int32_t pcb64[32 * 32], pcr64[32 * 32];
   for (int ci = 1; ci <= 2; ++ci) {
+    int32_t* pc = ci == 1 ? pcb64 : pcr64;
     int l = sel.ref[0] >= 0 ? 0 : 1;
     MotionInfo csel = clip_mi(sp_, sel, x0, y0);
     if (sel.ref[0] >= 0 && sel.ref[1] >= 0)
@@ -1124,6 +1137,49 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
           lv_plane + ((y0 - ctu_y0) / 2 + qy) * cctu +
               (x0 - ctu_x0) / 2 + qx, cctu,
           recon_[ci] + ((y0 >> 1) + qy) * cw + (x0 >> 1) + qx, cw);
+    }
+  }
+  // explicit 64x64 SKIP trial (reference xCheckRDCostMerge2Nx2N's
+  // no-residual candidate, at depth 0): bare merge prediction vs the
+  // coded CU by exact J
+  if (best_idx >= 0 && nz_total > 0) {
+    double sse_skip = 0;
+    for (int i = 0; i < n; ++i)
+      for (int j = 0; j < n; ++j) {
+        double e = (double)oy[i * w_ + j] - best_pred[i * n + j];
+        sse_skip += e * e;
+      }
+    for (int i = 0; i < 32; ++i)
+      for (int j = 0; j < 32; ++j) {
+        double eb = (double)orig_[1][((y0 >> 1) + i) * cw + (x0 >> 1) + j]
+                    - pcb64[i * 32 + j];
+        double er = (double)orig_[2][((y0 >> 1) + i) * cw + (x0 >> 1) + j]
+                    - pcr64[i * 32 + j];
+        sse_skip += (eb * eb + er * er) * cwgt;
+      }
+    if (sse_skip < sse_coded + lam * (bits_coded +
+                                      ctx_rate(est_ctx_.qt_root_cbf[0],
+                                               1))) {
+      nz_total = 0;
+      for (int i = 0; i < n; ++i) {
+        std::memset(d.coeff_y + (y0 - ctu_y0 + i) * ctu_ + (x0 - ctu_x0),
+                    0, sizeof(int16_t) * n);
+        for (int j = 0; j < n; ++j)
+          recon_[0][(y0 + i) * w_ + x0 + j] = (int16_t)std::min(
+              maxv, std::max(0, best_pred[i * n + j]));
+      }
+      for (int i = 0; i < 32; ++i) {
+        std::memset(d.coeff_cb + ((y0 - ctu_y0) / 2 + i) * cctu +
+                    (x0 - ctu_x0) / 2, 0, sizeof(int16_t) * 32);
+        std::memset(d.coeff_cr + ((y0 - ctu_y0) / 2 + i) * cctu +
+                    (x0 - ctu_x0) / 2, 0, sizeof(int16_t) * 32);
+        for (int j = 0; j < 32; ++j) {
+          recon_[1][((y0 >> 1) + i) * cw + (x0 >> 1) + j] =
+              (int16_t)std::min(maxv, std::max(0, pcb64[i * 32 + j]));
+          recon_[2][((y0 >> 1) + i) * cw + (x0 >> 1) + j] =
+              (int16_t)std::min(maxv, std::max(0, pcr64[i * 32 + j]));
+        }
+      }
     }
   }
   bool zero_resid = nz_total == 0;
