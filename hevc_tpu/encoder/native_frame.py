@@ -196,7 +196,7 @@ class NativeFrameEncoder:
                  sp: SliceParamsC, *, qp_factor: float = 0.57,
                  is_b: bool = False, ref_planes=None, ref1_planes=None,
                  search_range: int = 24, cu_depth_target: int = 1,
-                 me_provider=None, ref_dev=None):
+                 me_provider=None, ref_dev=None, ref1_dev=None):
         """ref_planes / ref1_planes: a single [Y, Cb, Cr] plane list or a
         list of them — one entry per active reference of the list
         (reference TEncSearch::predInterSearch per-refIdx loop,
@@ -229,6 +229,7 @@ class NativeFrameEncoder:
         self.ref = norm(ref_planes)
         self.ref1 = norm(ref1_planes) if ref1_planes is not None else self.ref
         self.ref_dev = ref_dev or []
+        self.ref1_dev = ref1_dev or []
         # optional callable(size, range, lam_fp) -> (gx, gy) or None:
         # precomputed (mesh-sharded lookahead) integer-ME grids (ref 0)
         self.me_provider = me_provider
@@ -247,7 +248,7 @@ class NativeFrameEncoder:
                  np.zeros((h >> csx, w >> csx), np.int16),
                  np.zeros((h >> csx, w >> csx), np.int16)]
         from ..utils.timing import timers
-        me_x = me_y = me16_x = me16_y = None
+        me_x = me_y = me16_x = me16_y = me1_x = me1_y = None
         if self.is_inter:
             size = ctu >> self.cu_depth_target
             timers_cm = timers.section("me_device")
@@ -268,6 +269,18 @@ class NativeFrameEncoder:
                     ref_dev=dev, orig_dev=orig_dev)
                 me_x.append(gx)
                 me_y.append(gy)
+            if self.is_b and self.ref1 is not None:
+                # list-1 integer search (B slices; reference
+                # predInterSearch list-1 loop)
+                me1_x, me1_y = [], []
+                for r, ref in enumerate(self.ref1):
+                    dev = self.ref1_dev[r] if r < len(self.ref1_dev) \
+                        else None
+                    gx, gy = batched_me_grid(
+                        orig[0], ref[0], size, self.search_range,
+                        self.lam_fp, ref_dev=dev, orig_dev=orig_dev)
+                    me1_x.append(gx)
+                    me1_y.append(gy)
             import os
             if os.environ.get("HEVC_TPU_CU16", "0") != "0":
                 # deeper inter partitioning: RD-neutral on low-motion
@@ -300,12 +313,12 @@ class NativeFrameEncoder:
                     eng = NativeCtuEngine(
                         sp_i, ep, senc_i, orig, recon, self.ref,
                         self.ref1 if self.is_b else self.ref,
-                        me_x, me_y, me16_x, me16_y)
+                        me_x, me_y, me16_x, me16_y, me1_x, me1_y)
                     engine_encode_frame_order(eng, ctus, ctus_w, fd)
             return fd, recon
         eng = NativeCtuEngine(self.sp, ep, self.senc, orig, recon,
                               self.ref, self.ref1 if self.is_b else self.ref,
-                              me_x, me_y, me16_x, me16_y)
+                              me_x, me_y, me16_x, me16_y, me1_x, me1_y)
         with timers.section("engine_host"):
             if self.sp.tile_cols > 1 or self.sp.tile_rows > 1:
                 order = tile_scan_order(w, h, ctu, self.sp.tile_cols,

@@ -501,7 +501,9 @@ class EncoderTop:
                         (lambda size, r, lam:
                          self.me_provider(display_poc, size, r, lam))
                         if self.me_provider else None),
-                    ref_dev=[self._dev_ref(p, pl) for p, pl in ref_l0])
+                    ref_dev=[self._dev_ref(p, pl) for p, pl in ref_l0],
+                    ref1_dev=[self._dev_ref(p, pl) for p, pl in ref_l1]
+                    if is_b else None)
             else:
                 # pure-Python reference path: single reference per list
                 fe = PFrameEncoder(self.sps, slice_qp, l0_planes,

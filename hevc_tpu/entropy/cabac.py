@@ -110,7 +110,8 @@ def get_lib() -> ctypes.CDLL:
          ctypes.c_void_p] + [i16null] * 6
         + [pp16, ctypes.c_int, pp16, ctypes.c_int]
         + [pp32, pp32, ctypes.c_int, ctypes.c_int]
-        + [pp32, pp32, ctypes.c_int, ctypes.c_int])
+        + [pp32, pp32, ctypes.c_int, ctypes.c_int]
+        + [pp32, pp32])
     lib.hevc_engine_destroy.argtypes = [ctypes.c_void_p]
     lib.hevc_engine_ctu.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
@@ -415,7 +416,8 @@ class NativeCtuEngine:
 
     def __init__(self, params: SliceParamsC, ep: EngineParamsC,
                  senc: SliceDataEncoder, orig, recon, ref0=None, ref1=None,
-                 me_mvx=None, me_mvy=None, me16_mvx=None, me16_mvy=None):
+                 me_mvx=None, me_mvy=None, me16_mvx=None, me16_mvy=None,
+                 me1_mvx=None, me1_mvy=None):
         self._lib = get_lib()
         r0 = _as_ref_list(ref0)
         r1 = _as_ref_list(ref1)
@@ -423,9 +425,11 @@ class NativeCtuEngine:
         me_mvy = _as_grid_list(me_mvy, max(1, len(r0)))
         me16_mvx = _as_grid_list(me16_mvx, max(1, len(r0)))
         me16_mvy = _as_grid_list(me16_mvy, max(1, len(r0)))
+        me1_mvx = _as_grid_list(me1_mvx, max(1, len(r1)))
+        me1_mvy = _as_grid_list(me1_mvy, max(1, len(r1)))
         # keep every buffer alive for the engine lifetime
         self._keep = [params, ep, orig, recon, r0, r1, me_mvx, me_mvy,
-                      me16_mvx, me16_mvy]
+                      me16_mvx, me16_mvy, me1_mvx, me1_mvy]
         first = next((g for g in me_mvx if g is not None), None)
         me_ny, me_nx = first.shape if first is not None else (0, 0)
         first16 = next((g for g in me16_mvx if g is not None), None)
@@ -434,13 +438,15 @@ class NativeCtuEngine:
         r1p = _plane_ptr_array(r1)
         gxp, gyp = _grid_ptr_array(me_mvx), _grid_ptr_array(me_mvy)
         g16xp, g16yp = _grid_ptr_array(me16_mvx), _grid_ptr_array(me16_mvy)
-        self._keep += [r0p, r1p, gxp, gyp, g16xp, g16yp]
+        g1xp, g1yp = _grid_ptr_array(me1_mvx), _grid_ptr_array(me1_mvy)
+        self._keep += [r0p, r1p, gxp, gyp, g16xp, g16yp, g1xp, g1yp]
         self._h = self._lib.hevc_engine_create(
             ctypes.byref(params), ctypes.byref(ep), senc._h,
             _i16ptr(orig[0]), _i16ptr(orig[1]), _i16ptr(orig[2]),
             _i16ptr(recon[0]), _i16ptr(recon[1]), _i16ptr(recon[2]),
             r0p, len(r0), r1p, len(r1),
-            gxp, gyp, me_nx, me_ny, g16xp, g16yp, me16_nx, me16_ny)
+            gxp, gyp, me_nx, me_ny, g16xp, g16yp, me16_nx, me16_ny,
+            g1xp, g1yp)
         self._ctu = params.ctu_size
         self._cfmt = params.chroma_format
 

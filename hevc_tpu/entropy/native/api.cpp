@@ -180,12 +180,15 @@ void* hevc_engine_create(const SliceParams* sp, const EngineParams* ep,
                          const int32_t* const* me_mvy, int me_nx, int me_ny,
                          const int32_t* const* me16_mvx,
                          const int32_t* const* me16_mvy, int me16_nx,
-                         int me16_ny) {
+                         int me16_ny,
+                         const int32_t* const* me1_mvx,
+                         const int32_t* const* me1_mvy) {
   const int16_t* orig[3] = {oy, ocb, ocr};
   int16_t* recon[3] = {ry, rcb, rcr};
   return new CtuEngine(*sp, *ep, (SliceEncoder*)senc, orig, recon, ref0,
                        nref0, ref1, nref1, me_mvx, me_mvy, me_nx, me_ny,
-                       me16_mvx, me16_mvy, me16_nx, me16_ny);
+                       me16_mvx, me16_mvy, me16_nx, me16_ny, me1_mvx,
+                       me1_mvy);
 }
 
 void hevc_engine_destroy(void* h) { delete (CtuEngine*)h; }

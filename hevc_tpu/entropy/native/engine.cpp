@@ -324,7 +324,8 @@ CtuEngine::CtuEngine(const SliceParams& sp, const EngineParams& ep,
                      const int32_t* const* me_mvy, int me_nx, int me_ny,
                      const int32_t* const* me16_mvx,
                      const int32_t* const* me16_mvy, int me16_nx,
-                     int me16_ny)
+                     int me16_ny, const int32_t* const* me1_mvx,
+                     const int32_t* const* me1_mvy)
     : sp_(sp), ep_(ep), senc_(senc), me_nx_(me_nx), me_ny_(me_ny),
       me16_nx_(me16_nx), me16_ny_(me16_ny) {
   est_ctx_ = senc_->contexts();  // slice-init states for RD bit estimates
@@ -348,6 +349,10 @@ CtuEngine::CtuEngine(const SliceParams& sp, const EngineParams& ep,
     me_mvy_[r] = me_mvy ? me_mvy[r] : nullptr;
     me16_mvx_[r] = me16_mvx ? me16_mvx[r] : nullptr;
     me16_mvy_[r] = me16_mvy ? me16_mvy[r] : nullptr;
+  }
+  for (int r = 0; r < nref_[1]; ++r) {
+    me1_mvx_[r] = me1_mvx ? me1_mvx[r] : nullptr;
+    me1_mvy_[r] = me1_mvy ? me1_mvy[r] : nullptr;
   }
   if (const char* ls = getenv("HEVC_TPU_LAM_SCALE"))
     ep_.sqrt_lam *= std::sqrt(atof(ls));
@@ -410,6 +415,16 @@ bool CtuEngine::ts_trial(const int32_t* resi, int qp, bool intra,
 int CtuEngine::chroma_qp_of(int qp) const {
   if (csx_ == 0) return std::min(51, std::max(0, qp));
   return kChromaQp420[std::min(57, std::max(0, qp))];
+}
+
+bool CtuEngine::me1_lookup(int x0, int y0, int n, int r, int* mvx,
+                           int* mvy) const {
+  if (x0 % n || y0 % n || x0 + n > w_ || y0 + n > h_) return false;
+  if (r < 0 || r >= 16 || n != 32 || !me1_mvx_[r]) return false;
+  int mi = (y0 / 32) * me_nx_ + (x0 / 32);
+  *mvx = me1_mvx_[r][mi] << 2;
+  *mvy = me1_mvy_[r][mi] << 2;
+  return true;
 }
 
 bool CtuEngine::me_lookup(int x0, int y0, int n, int r, int* mvx,
@@ -1327,6 +1342,65 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     cost_inter = dsp::satd(oy, w_, i_pred, n, n) + lam_bits(8);
   }
 
+  // ---- list-1 uni search + bi-prediction trial (B slices; reference
+  // predInterSearch list-1 loop and the bi-pred combination
+  // TEncSearch.cpp:3160) ----
+  int mv1_x = 0, mv1_y = 0, mvp1_f = 0, best_r1 = 0;
+  int mvd1_x = 0, mvd1_y = 0, l1_bits = 0;
+  int64_t cost_l1 = INT64_MAX, cost_bi = INT64_MAX;
+  int32_t l1_pred[32 * 32], bi_pred[32 * 32];
+  if (sp_.slice_type == 0 && nref_[1] > 0) {
+    for (int r = 0; r < nref_[1]; ++r) {
+      int rmx, rmy;
+      if (!me1_lookup(x0, y0, n, r, &rmx, &rmy)) continue;
+      auto cost_of1 = [&](int mx, int my) -> int64_t {
+        mc_uni(sp_, rp(1, r, 0), rw, pad, mx, my, x0, y0, n, n, bd_, true,
+               1, 0, pred);
+        return dsp::satd(oy, w_, pred, n, n);
+      };
+      int64_t best_c = cost_of1(rmx, rmy);
+      for (int step = 2; step >= 1; --step) {
+        int cx0 = rmx, cy0 = rmy;
+        for (int dy = -step; dy <= step; dy += step)
+          for (int dx = -step; dx <= step; dx += step) {
+            if (dx == 0 && dy == 0) continue;
+            int64_t c = cost_of1(cx0 + dx, cy0 + dy);
+            if (c < best_c) { best_c = c; rmx = cx0 + dx; rmy = cy0 + dy; }
+          }
+      }
+      int16_t ramvp[4];
+      senc_->maps().amvp_candidates(x0, y0, n, n, 1, r, ramvp);
+      int b0 = mv_bits(rmx - ramvp[0]) + mv_bits(rmy - ramvp[1]);
+      int b1 = mv_bits(rmx - ramvp[2]) + mv_bits(rmy - ramvp[3]);
+      int pf = b0 <= b1 ? 0 : 1;
+      mc_uni(sp_, rp(1, r, 0), rw, pad, rmx, rmy, x0, y0, n, n, bd_, true,
+             1, 0, pred);
+      int bits = std::min(b0, b1) + 3 + ref_bits(r, nref_[1]);
+      int64_t c = dsp::satd(oy, w_, pred, n, n) + lam_bits(bits);
+      if (c < cost_l1) {
+        cost_l1 = c;
+        best_r1 = r;
+        mv1_x = rmx;
+        mv1_y = rmy;
+        mvp1_f = pf;
+        mvd1_x = rmx - ramvp[2 * pf];
+        mvd1_y = rmy - ramvp[2 * pf + 1];
+        l1_bits = bits;
+        std::memcpy(l1_pred, pred, sizeof(int32_t) * n * n);
+      }
+    }
+    if (cost_l1 != INT64_MAX && has_me) {
+      // bi average of the two uni winners (one combination; the
+      // reference iterates up to 4 times refining each list)
+      dsp::mc_predict_bi(rp(0, best_r, 0), rp(1, best_r1, 0), rw, pad,
+                         mv_x, mv_y, mv1_x, mv1_y, x0, y0, n, n, bd_,
+                         true, bi_pred);
+      cost_bi = dsp::satd(oy, w_, bi_pred, n, n) +
+                lam_bits(mvd_x == 0 && mvd_y == 0 ? 6 : 10) +
+                lam_bits(l1_bits);
+    }
+  }
+
   // ---- intra screen ----
   int32_t f[4 * 32 + 1], ff[4 * 32 + 1];
   build_refs(recon_[0], w_, h_, w_, x0, y0, n, x0, y0, 1, f);
@@ -1483,7 +1557,9 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     }
   int64_t best =
       std::min(std::min(m_cost < 0 ? INT64_MAX : m_cost, cost_inter),
-               std::min(std::min(cost_intra, cost_split), best_rect));
+               std::min(std::min(cost_intra, cost_split),
+                        std::min(best_rect,
+                                 std::min(cost_l1, cost_bi))));
   if (best == cost_split) {
     int bw44 = ctu_ / 4;
     for (int yy = 0; yy < nb; ++yy)
@@ -1551,6 +1627,21 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     merge_sel = m_idx;
     sel = m_best;
     pred_y = m_pred;
+  } else if (best == cost_bi && cost_bi != INT64_MAX) {
+    sel = MotionInfo();
+    sel.mvx[0] = (int16_t)mv_x;
+    sel.mvy[0] = (int16_t)mv_y;
+    sel.ref[0] = (int8_t)best_r;
+    sel.mvx[1] = (int16_t)mv1_x;
+    sel.mvy[1] = (int16_t)mv1_y;
+    sel.ref[1] = (int8_t)best_r1;
+    pred_y = bi_pred;
+  } else if (best == cost_l1 && cost_l1 != INT64_MAX) {
+    sel = MotionInfo();
+    sel.mvx[1] = (int16_t)mv1_x;
+    sel.mvy[1] = (int16_t)mv1_y;
+    sel.ref[1] = (int8_t)best_r1;
+    pred_y = l1_pred;
   } else {
     sel = MotionInfo();
     sel.mvx[0] = (int16_t)mv_x;
@@ -1801,6 +1892,11 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       d.ref_idx1[li] = sel.ref[1];
       d.mv_x1[li] = sel.mvx[1];
       d.mv_y1[li] = sel.mvy[1];
+      if (merge_sel < 0 && sel.ref[1] >= 0) {
+        d.mvp_flag1[li] = (uint8_t)mvp1_f;
+        d.mvd_x1[li] = (int16_t)mvd1_x;
+        d.mvd_y1[li] = (int16_t)mvd1_y;
+      }
       d.tu_depth[li] = (uint8_t)(zero_resid ? 0 :
           (tu_depth_sel | ts_loc[(yy & 7) * 8 + (xx & 7)]));
     }

@@ -42,7 +42,9 @@ class CtuEngine {
             int me_nx, int me_ny,
             const int32_t* const* me16_mvx = nullptr,
             const int32_t* const* me16_mvy = nullptr, int me16_nx = 0,
-            int me16_ny = 0);
+            int me16_ny = 0,
+            const int32_t* const* me1_mvx = nullptr,
+            const int32_t* const* me1_mvy = nullptr);
   void encode_ctu(int cx, int cy, const MutCtuData& d);
 
  private:
@@ -114,8 +116,12 @@ class CtuEngine {
   const int32_t* me16_mvx_[16] = {};
   const int32_t* me16_mvy_[16] = {};
   int me16_nx_ = 0, me16_ny_ = 0;
+  // list-1 integer-MV grids (B slices; 32-grid only)
+  const int32_t* me1_mvx_[16] = {};
+  const int32_t* me1_mvy_[16] = {};
   // integer-pel device-search MV of list-0 ref r for an aligned block
   bool me_lookup(int x0, int y0, int n, int r, int* mvx, int* mvy) const;
+  bool me1_lookup(int x0, int y0, int n, int r, int* mvx, int* mvy) const;
   // chroma QP: the 4:2:0 mapping table, or Min(qp, 51) otherwise
   // (spec 8.6.1 ChromaArrayType rule)
   int chroma_qp_of(int qp) const;
