@@ -97,6 +97,7 @@ class SPS:
     log2_min_pcm_luma_coding_block_size_minus3: int = 0
     log2_diff_max_min_pcm_luma_coding_block_size: int = 2
     pcm_loop_filter_disabled_flag: int = 0
+    hrd: object = None   # HrdParameters when HRD signalling is on
     short_term_rps: List[ShortTermRPS] = dataclasses.field(default_factory=list)
     long_term_ref_pics_present_flag: int = 0
     sps_temporal_mvp_enabled_flag: int = 0
@@ -176,6 +177,19 @@ class PPS:
     lists_modification_present_flag: int = 0
     log2_parallel_merge_level_minus2: int = 0
     slice_segment_header_extension_present_flag: int = 0
+
+
+@dataclasses.dataclass
+class HrdParameters:
+    """NAL HRD parameters (spec E.2.2, reduced to one sub-layer;
+    reference TComHRD, TComSlice.h:283)."""
+    bit_rate_scale: int = 2
+    cpb_size_scale: int = 3
+    initial_cpb_removal_delay_length_minus1: int = 23
+    au_cpb_removal_delay_length_minus1: int = 23
+    dpb_output_delay_length_minus1: int = 23
+    bit_rate_value_minus1: int = 0
+    cpb_size_value_minus1: int = 0
 
 
 @dataclasses.dataclass

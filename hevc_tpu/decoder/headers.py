@@ -216,22 +216,84 @@ def parse_sps(rbsp: bytes) -> SPS:
     sps.strong_intra_smoothing_enabled_flag = br.flag()
     sps.vui_parameters_present_flag = br.flag()
     if sps.vui_parameters_present_flag:
-        assert br.flag() == 0        # aspect_ratio_info_present
-        assert br.flag() == 0        # overscan_info_present
-        assert br.flag() == 0        # video_signal_type_present
-        assert br.flag() == 0        # chroma_loc_info_present
-        br.flag()                    # neutral_chroma_indication_flag
-        sps.vui_field_seq_flag = br.flag()
-        sps.vui_frame_field_info_present_flag = br.flag()
-        assert br.flag() == 0        # default_display_window_flag
-        sps.vui_timing_info_present_flag = br.flag()
-        if sps.vui_timing_info_present_flag:
-            sps.vui_num_units_in_tick = br.u(32)
-            sps.vui_time_scale = br.u(32)
-            assert br.flag() == 0    # vui_poc_proportional_to_timing
-            assert br.flag() == 0    # vui_hrd_parameters_present
-        assert br.flag() == 0        # bitstream_restriction_flag
+        _parse_vui(br, sps)
     return sps
+
+
+def _parse_vui(br: BitReader, sps: SPS) -> None:
+    """Full vui_parameters parse (spec E.2.1 — every field consumed so
+    HRD-carrying streams decode; values we don't act on are skipped)."""
+    if br.flag():                    # aspect_ratio_info_present
+        idc = br.u(8)
+        if idc == 255:               # EXTENDED_SAR
+            br.u(16)
+            br.u(16)
+    if br.flag():                    # overscan_info_present
+        br.flag()
+    if br.flag():                    # video_signal_type_present
+        br.u(3)                      # video_format
+        br.flag()                    # video_full_range_flag
+        if br.flag():                # colour_description_present
+            br.u(8)
+            br.u(8)
+            br.u(8)
+    if br.flag():                    # chroma_loc_info_present
+        br.ue()
+        br.ue()
+    br.flag()                        # neutral_chroma_indication_flag
+    sps.vui_field_seq_flag = br.flag()
+    sps.vui_frame_field_info_present_flag = br.flag()
+    if br.flag():                    # default_display_window_flag
+        br.ue(); br.ue(); br.ue(); br.ue()
+    sps.vui_timing_info_present_flag = br.flag()
+    if sps.vui_timing_info_present_flag:
+        sps.vui_num_units_in_tick = br.u(32)
+        sps.vui_time_scale = br.u(32)
+        if br.flag():                # vui_poc_proportional_to_timing
+            br.ue()                  # vui_num_ticks_poc_diff_one_minus1
+        if br.flag():                # vui_hrd_parameters_present
+            _parse_hrd(br, sps.sps_max_sub_layers_minus1
+                       if hasattr(sps, "sps_max_sub_layers_minus1") else 0)
+    if br.flag():                    # bitstream_restriction_flag
+        br.flag(); br.flag(); br.flag()
+        br.ue(); br.ue(); br.ue(); br.ue(); br.ue()
+
+
+def _parse_hrd(br: BitReader, max_sub_layers_minus1: int = 0) -> None:
+    """hrd_parameters (spec E.2.2), commonInfPresent = 1."""
+    nal_hrd = br.flag()
+    vcl_hrd = br.flag()
+    sub_pic = 0
+    if nal_hrd or vcl_hrd:
+        sub_pic = br.flag()
+        if sub_pic:
+            br.u(8)                  # tick_divisor_minus2
+            br.u(5)                  # du_cpb_removal_delay_inc_len_minus1
+            br.flag()                # sub_pic_cpb_params_in_pic_timing
+            br.u(5)                  # dpb_output_delay_du_length_minus1
+        br.u(4)                      # bit_rate_scale
+        br.u(4)                      # cpb_size_scale
+        if sub_pic:
+            br.u(4)                  # cpb_size_du_scale
+        br.u(5)                      # initial_cpb_removal_delay_len_minus1
+        br.u(5)                      # au_cpb_removal_delay_length_minus1
+        br.u(5)                      # dpb_output_delay_length_minus1
+    for _ in range(max_sub_layers_minus1 + 1):
+        fixed_general = br.flag()
+        fixed_within = 1 if fixed_general else br.flag()
+        low_delay = 0
+        if fixed_within:
+            br.ue()                  # elemental_duration_in_tc_minus1
+        else:
+            low_delay = br.flag()
+        cpb_cnt = 0 if low_delay else br.ue()
+        for hrd_sel in ((1,) if nal_hrd else ()) +                 ((1,) if vcl_hrd else ()):
+            for _ in range(cpb_cnt + 1):
+                br.ue()              # bit_rate_value_minus1
+                br.ue()              # cpb_size_value_minus1
+                if sub_pic:
+                    br.ue(); br.ue()
+                br.flag()            # cbr_flag
 
 
 def parse_pps(rbsp: bytes) -> PPS:

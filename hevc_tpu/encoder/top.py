@@ -106,6 +106,24 @@ class EncoderTop:
             self.pps.entropy_coding_sync_enabled_flag = 1
         if cfg.weighted_pred_p:
             self.pps.weighted_pred_flag = 1
+        if cfg.sei_buffering_period or cfg.sei_pic_timing:
+            # HRD (annex E.2.2 / C: reference TEncTop xSetHrdParameters):
+            # NAL HRD with one CPB sized for ~1s at the target or a
+            # nominal rate; buffering-period SEI at each IRAP and CPB
+            # delays in pic_timing
+            from ..core.params import HrdParameters
+            rate = (cfg.target_bitrate or 1000) * 1000
+            hrd = HrdParameters()
+            hrd.bit_rate_value_minus1 = max(
+                0, rate // (1 << (6 + hrd.bit_rate_scale)) - 1)
+            hrd.cpb_size_value_minus1 = max(
+                0, rate // (1 << (4 + hrd.cpb_size_scale)) - 1)
+            self.sps.hrd = hrd
+            self.sps.vui_parameters_present_flag = 1
+            self.sps.vui_timing_info_present_flag = 1
+            self.sps.vui_num_units_in_tick = 1
+            self.sps.vui_time_scale = int(round(cfg.frame_rate or 30))
+        self._au_count_since_bp = 0
         if cfg.vui or cfg.field_coding:
             # VUI timing info (annex E.2.1; reference TEncTop xInitSPS VUI
             # block). For field coding each coded picture is one field:
@@ -700,15 +718,31 @@ class EncoderTop:
                 sei.write_recovery_point_sei(0),
                 int(NalUnitType.PREFIX_SEI_NUT)))
             firsts.append(False)
-        if self.sps.vui_frame_field_info_present_flag:
+        hrd = getattr(self.sps, "hrd", None)
+        if hrd is not None and idr and cfg.sei_buffering_period:
+            # 1-second nominal initial CPB removal delay in 90 kHz units
+            nals.append(nal.rbsp_to_nal(
+                sei.write_buffering_period_sei(hrd, 90000),
+                int(NalUnitType.PREFIX_SEI_NUT)))
+            firsts.append(False)
+            self._au_count_since_bp = 0
+        if self.sps.vui_frame_field_info_present_flag or (
+                hrd is not None and cfg.sei_pic_timing):
             # pic_struct 1 = top field, 2 = bottom field (Table D.2);
             # parity follows the display order and TopFieldFirst
             top = (display_poc % 2 == 0) == bool(self.cfg.top_field_first)
+            ffi = bool(self.sps.vui_frame_field_info_present_flag)
             nals.append(nal.rbsp_to_nal(
-                sei.write_pic_timing_sei(1 if top else 2,
-                                         source_scan_type=0),
+                sei.write_pic_timing_sei(
+                    (1 if top else 2) if ffi else 0, source_scan_type=0,
+                    hrd=hrd if cfg.sei_pic_timing else None,
+                    cpb_removal_delay=self._au_count_since_bp,
+                    dpb_output_delay=self.gop_size +
+                    (display_poc - cvs_poc if self.reordered else 0),
+                    frame_field_info=ffi),
                 int(NalUnitType.PREFIX_SEI_NUT)))
             firsts.append(False)
+        self._au_count_since_bp += 1
         for si, rb in enumerate(slice_rbsps):
             nals.append(nal.rbsp_to_nal(rb, sh.nal_unit_type))
             firsts.append(not first_au and si == 0)

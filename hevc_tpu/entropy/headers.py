@@ -164,8 +164,31 @@ def write_vui(bw: BitWriter, sps: SPS) -> None:
         bw.u(sps.vui_num_units_in_tick, 32)
         bw.u(sps.vui_time_scale, 32)
         bw.flag(0)                   # vui_poc_proportional_to_timing_flag
-        bw.flag(0)                   # vui_hrd_parameters_present_flag
+        hrd = getattr(sps, "hrd", None)
+        bw.flag(1 if hrd else 0)     # vui_hrd_parameters_present_flag
+        if hrd:
+            write_hrd_parameters(bw, hrd)
     bw.flag(0)                       # bitstream_restriction_flag
+
+
+def write_hrd_parameters(bw: BitWriter, hrd) -> None:
+    """hrd_parameters (spec E.2.2; reference TEncCavlc::codeHrdParameters)
+    — one sub-layer, NAL HRD only, fixed pic rate."""
+    bw.flag(1)                       # nal_hrd_parameters_present_flag
+    bw.flag(0)                       # vcl_hrd_parameters_present_flag
+    bw.flag(0)                       # sub_pic_hrd_params_present_flag
+    bw.u(hrd.bit_rate_scale, 4)
+    bw.u(hrd.cpb_size_scale, 4)
+    bw.u(hrd.initial_cpb_removal_delay_length_minus1, 5)
+    bw.u(hrd.au_cpb_removal_delay_length_minus1, 5)
+    bw.u(hrd.dpb_output_delay_length_minus1, 5)
+    # one temporal sub-layer
+    bw.flag(1)                       # fixed_pic_rate_general_flag
+    bw.ue(0)                         # elemental_duration_in_tc_minus1
+    bw.ue(0)                         # cpb_cnt_minus1
+    bw.ue(hrd.bit_rate_value_minus1)
+    bw.ue(hrd.cpb_size_value_minus1)
+    bw.flag(0)                       # cbr_flag
 
 
 def write_pps(pps: PPS) -> bytes:

@@ -212,13 +212,42 @@ PIC_TIMING = 1
 
 
 def write_pic_timing_sei(pic_struct: int, source_scan_type: int = 0,
-                         duplicate_flag: int = 0) -> bytes:
-    """pic_timing SEI (spec D.2.3, frame-field info part only — no HRD;
-    reference SEIEncoder::initSEIPictureTiming). pic_struct: 0 frame,
-    1 top field, 2 bottom field (Table D.2)."""
+                         duplicate_flag: int = 0, hrd=None,
+                         cpb_removal_delay: int = 0,
+                         dpb_output_delay: int = 0,
+                         frame_field_info: bool = True) -> bytes:
+    """pic_timing SEI (spec D.2.3; reference
+    SEIEncoder::initSEIPictureTiming): frame-field info and, when HRD
+    parameters are active, the CPB removal / DPB output delays."""
     p = BitWriter()
-    p.u(pic_struct, 4)
-    p.u(source_scan_type, 2)
-    p.flag(duplicate_flag)
+    if frame_field_info:
+        p.u(pic_struct, 4)
+        p.u(source_scan_type, 2)
+        p.flag(duplicate_flag)
+    if hrd is not None:
+        p.u(cpb_removal_delay,
+            hrd.au_cpb_removal_delay_length_minus1 + 1)
+        p.u(dpb_output_delay, hrd.dpb_output_delay_length_minus1 + 1)
     _payload_align(p)
     return _sei_rbsp(PIC_TIMING, p)
+
+
+BUFFERING_PERIOD = 0
+
+
+def write_buffering_period_sei(hrd, initial_cpb_removal_delay: int,
+                               initial_cpb_removal_offset: int = 0,
+                               sps_id: int = 0) -> bytes:
+    """buffering_period SEI (spec D.2.2; reference
+    SEIEncoder::initSEIBufferingPeriod): NAL HRD, one CPB."""
+    p = BitWriter()
+    p.ue(sps_id)                     # bp_seq_parameter_set_id
+    p.flag(0)                        # irap_cpb_params_present_flag
+    p.flag(0)                        # concatenation_flag
+    n = hrd.au_cpb_removal_delay_length_minus1 + 1
+    p.u(0, n)                        # au_cpb_removal_delay_delta_minus1
+    m = hrd.initial_cpb_removal_delay_length_minus1 + 1
+    p.u(initial_cpb_removal_delay, m)
+    p.u(initial_cpb_removal_offset, m)
+    _payload_align(p)
+    return _sei_rbsp(BUFFERING_PERIOD, p)

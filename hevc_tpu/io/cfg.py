@@ -84,6 +84,8 @@ _OPTION_TABLE = {
     "IntraPeriod": ("intra_period", int),
     "DecodingRefreshType": ("decoding_refresh_type", int),
     "SEIDecodedPictureHash": ("hash_sei_type", int),
+    "SEIBufferingPeriod": ("sei_buffering_period", int),
+    "SEIPictureTiming": ("sei_pic_timing", int),
     "GOPSize": ("gop_size", int),
     "QP": ("qp", int),
     "SearchRange": ("search_range", int),
@@ -217,6 +219,8 @@ class EncoderConfig:
     intra_period: int = 1
     decoding_refresh_type: int = 0
     hash_sei_type: int = 1   # 1=MD5 2=CRC 3=checksum (0 disables)
+    sei_buffering_period: int = 0
+    sei_pic_timing: int = 0
     gop_size: int = 1
     qp: int = 32
     search_range: int = 64

@@ -688,3 +688,27 @@ def test_main12_conformance(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert out.stdout.count("(OK)") == frames
     assert rec.read_bytes() == dec.read_bytes()
+
+
+def test_hrd_buffering_period_conformance(tmp_path):
+    """HRD parameters in the SPS VUI + buffering_period SEI at IRAPs +
+    pic_timing with CPB/DPB delays (annex E.2.2 / D.2.2-D.2.3;
+    reference SEIEncoder::initSEIBufferingPeriod, TEncTop HRD setup):
+    HM and our decoder must both parse and verify the stream."""
+    w, h, frames = 128, 80, 4
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-q", "32", "--IntraPeriod=-1",
+          "--SEIBufferingPeriod=1", "--SEIPictureTiming=1",
+          "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames
+    assert rec.read_bytes() == dec.read_bytes()
+    from hevc_tpu.cli.decode import main as dec_main
+    assert dec_main(["-b", str(bs), "-o", str(tmp_path / "o2.yuv")]) == 0
+    assert (tmp_path / "o2.yuv").read_bytes() == dec.read_bytes()
