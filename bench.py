@@ -104,9 +104,31 @@ def measure_hm(cfg_path, clip, w, h, frames, qp, bd, warmup=1):
     return len(steady) / sum(steady)
 
 
+def _device_alive(timeout_s: float = 120.0) -> bool:
+    """Probe the accelerator with a trivial op under a watchdog — a dead
+    device tunnel hangs forever inside libtpu, so probe in a subprocess
+    we can kill."""
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float(jnp.ones((8, 8)).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     from make_test_yuv import write_clip
     results = {}
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu" and not _device_alive():
+        # device tunnel dead: record the fact and measure on CPU with a
+        # reduced headline so the benchmark still completes
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["HEVC_TPU_PLATFORM"] = "cpu"
+        results["device_unavailable"] = True
+        global W, H, FRAMES
+        W, H, FRAMES = 416, 240, 4
     with tempfile.TemporaryDirectory() as tmp:
         # ---- the five BASELINE.json configs ----
         for (name, cfgf, w, h, frames, qp, bd, warm, hm_frames) in CONFIGS:
