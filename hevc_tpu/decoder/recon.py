@@ -232,15 +232,19 @@ class CtuReconstructor:
         r1 = int(d.ref_idx1[bi, bj])
         mv1 = self._clip_mv((int(d.mv_x1[bi, bj]), int(d.mv_y1[bi, bj])),
                             cu_x, cu_y)
-        cw, chh = pw >> 1, ph >> 1
+        csx = 0 if self.sps.chroma_format_idc == 3 else 1
+        cw, chh = pw >> csx, ph >> csx
+        cx, cy = px >> csx, py >> csx
         if r0 >= 0 and r1 >= 0:  # bi-prediction (spec 8.5.3.3.3)
             f0, f1 = self.refs_l0[r0], self.refs_l1[r1]
             py_ = mc_predict_bi_np(f0[0], f1[0], PAD, mv, mv1,
                                    px, py, pw, ph, self.bd, True)
-            pcb = mc_predict_bi_np(f0[1], f1[1], PAD, mv, mv1, px >> 1,
-                                   py >> 1, cw, chh, self.bd, False)
-            pcr = mc_predict_bi_np(f0[2], f1[2], PAD, mv, mv1, px >> 1,
-                                   py >> 1, cw, chh, self.bd, False)
+            pcb = mc_predict_bi_np(f0[1], f1[1], PAD, mv, mv1, cx,
+                                   cy, cw, chh, self.bd, False,
+                                   chroma_shift=csx)
+            pcr = mc_predict_bi_np(f0[2], f1[2], PAD, mv, mv1, cx,
+                                   cy, cw, chh, self.bd, False,
+                                   chroma_shift=csx)
         else:
             umv = mv if r0 >= 0 else mv1
             lx = 0 if r0 >= 0 else 1
@@ -255,25 +259,28 @@ class CtuReconstructor:
                 py_ = mc_predict_np(f[0], PAD, umv[0], umv[1], px, py,
                                     pw, ph, self.bd, True)
             if cwts is not None:
-                pcb = mc_predict_wp_np(f[1], PAD, umv[0], umv[1], px >> 1,
-                                       py >> 1, cw, chh, self.bd, False,
+                pcb = mc_predict_wp_np(f[1], PAD, umv[0], umv[1], cx,
+                                       cy, cw, chh, self.bd, False,
                                        cwts[0][0], cwts[0][1],
-                                       self.wp_denoms[1])
-                pcr = mc_predict_wp_np(f[2], PAD, umv[0], umv[1], px >> 1,
-                                       py >> 1, cw, chh, self.bd, False,
+                                       self.wp_denoms[1], chroma_shift=csx)
+                pcr = mc_predict_wp_np(f[2], PAD, umv[0], umv[1], cx,
+                                       cy, cw, chh, self.bd, False,
                                        cwts[1][0], cwts[1][1],
-                                       self.wp_denoms[1])
+                                       self.wp_denoms[1], chroma_shift=csx)
             else:
-                pcb = mc_predict_np(f[1], PAD, umv[0], umv[1], px >> 1,
-                                    py >> 1, cw, chh, self.bd, False)
-                pcr = mc_predict_np(f[2], PAD, umv[0], umv[1], px >> 1,
-                                    py >> 1, cw, chh, self.bd, False)
+                pcb = mc_predict_np(f[1], PAD, umv[0], umv[1], cx,
+                                    cy, cw, chh, self.bd, False,
+                                    chroma_shift=csx)
+                pcr = mc_predict_np(f[2], PAD, umv[0], umv[1], cx,
+                                    cy, cw, chh, self.bd, False,
+                                    chroma_shift=csx)
         return py_, pcb, pcr
 
     def _recon_inter_cu(self, d, recon, ctu_x0, ctu_y0, x0, y0, log2):
         size = 1 << log2
         lx, ly = x0 - ctu_x0, y0 - ctu_y0
-        cs = size >> 1
+        csx = 0 if self.sps.chroma_format_idc == 3 else 1
+        cs = size >> csx
         part = int(d.nxn_flag[ly >> 2, lx >> 2])  # pu_rect part codes
         pred_y = np.zeros((size, size), np.int32)
         pred_cb = np.zeros((cs, cs), np.int32)
@@ -285,10 +292,10 @@ class CtuReconstructor:
             py_, pcb, pcr = self._pu_pred(d, ctu_x0, ctu_y0, px, py, pw, ph,
                                           x0, y0)
             pred_y[py - y0:py - y0 + ph, px - x0:px - x0 + pw] = py_
-            pred_cb[(py - y0) >> 1:((py - y0) >> 1) + (ph >> 1),
-                    (px - x0) >> 1:((px - x0) >> 1) + (pw >> 1)] = pcb
-            pred_cr[(py - y0) >> 1:((py - y0) >> 1) + (ph >> 1),
-                    (px - x0) >> 1:((px - x0) >> 1) + (pw >> 1)] = pcr
+            pred_cb[(py - y0) >> csx:((py - y0) >> csx) + (ph >> csx),
+                    (px - x0) >> csx:((px - x0) >> csx) + (pw >> csx)] = pcb
+            pred_cr[(py - y0) >> csx:((py - y0) >> csx) + (ph >> csx),
+                    (px - x0) >> csx:((px - x0) >> csx) + (pw >> csx)] = pcr
         # residual per TU leaf (tu_depth map was filled by the parser)
         for (tx, ty, tlog2, tdepth, blk) in tu_leaves(
                 d.tu_depth, x0, y0, log2, ctu_x0, ctu_y0, intra_split=False,
@@ -300,7 +307,20 @@ class CtuReconstructor:
                             d.coeff_y[tly:tly + tsize, tlx:tlx + tsize],
                             ts=(tlog2 == 2 and
                                 self._ts_of(d, tlx, tly, 0x10)))
-            if tlog2 > 2:
+            if csx == 0:
+                # 4:4:4: full-size chroma TB per luma leaf
+                cyy, cxx = ty - y0, tx - x0
+                self._add_resid(
+                    recon, pred_cb[cyy:cyy + tsize, cxx:cxx + tsize],
+                    tx, ty, tsize, 1,
+                    d.coeff_cb[tly:tly + tsize, tlx:tlx + tsize],
+                    ts=(tsize == 4 and self._ts_of(d, tlx, tly, 0x20)))
+                self._add_resid(
+                    recon, pred_cr[cyy:cyy + tsize, cxx:cxx + tsize],
+                    tx, ty, tsize, 2,
+                    d.coeff_cr[tly:tly + tsize, tlx:tlx + tsize],
+                    ts=(tsize == 4 and self._ts_of(d, tlx, tly, 0x40)))
+            elif tlog2 > 2:
                 csz = tsize >> 1
                 cyy, cxx = (ty - y0) >> 1, (tx - x0) >> 1
                 self._add_resid(

@@ -96,33 +96,37 @@ def mc_block_np(ref: np.ndarray, pad: int, x: int, y: int, w: int, h: int,
     return np.clip((val + off_u) >> shift_u, 0, maxval).astype(np.int32)
 
 
+def _mv_split(mvx: int, mvy: int, is_luma: bool, cs: int = 1):
+    """Integer offset + filter phase from a luma quarter-pel MV.
+    cs = chroma subsampling shift (1 for 4:2:0, 0 for 4:4:4 where the
+    chroma MV acts at quarter-pel and the 8-phase chroma filter is
+    addressed at (mv & 3) << 1 — spec 8.5.3.3.3.2 SubWidthC scaling)."""
+    if is_luma:
+        return mvx >> 2, mvx & 3, mvy >> 2, mvy & 3
+    sh = 2 + cs
+    sc = 1 - cs
+    return (mvx >> sh, (mvx & ((1 << sh) - 1)) << sc,
+            mvy >> sh, (mvy & ((1 << sh) - 1)) << sc)
+
+
 def mc_predict_np(padded_ref: np.ndarray, pad: int, mv_qpel_x: int,
                   mv_qpel_y: int, x0: int, y0: int, w: int, h: int,
-                  bit_depth: int = 8, is_luma: bool = True) -> np.ndarray:
+                  bit_depth: int = 8, is_luma: bool = True,
+                  chroma_shift: int = 1) -> np.ndarray:
     """Prediction for a block at (x0, y0) on a pre-padded reference plane.
     The MV is in luma quarter-pel units; for chroma planes (4:2:0) the same
     MV acts at eighth-pel and (x0, y0, w, h) are chroma coordinates."""
-    if is_luma:
-        ix, fx = mv_qpel_x >> 2, mv_qpel_x & 3
-        iy, fy = mv_qpel_y >> 2, mv_qpel_y & 3
-    else:
-        # chroma in 4:2:0: the luma quarter-pel MV is chroma eighth-pel
-        ix, fx = mv_qpel_x >> 3, mv_qpel_x & 7
-        iy, fy = mv_qpel_y >> 3, mv_qpel_y & 7
+    ix, fx, iy, fy = _mv_split(mv_qpel_x, mv_qpel_y, is_luma, chroma_shift)
     return mc_block_np(padded_ref, pad, x0 + ix, y0 + iy, w, h, fx, fy,
                        bit_depth, is_luma)
 
 
 def mc_predict_wp_np(padded_ref, pad, mv_qpel_x, mv_qpel_y, x0, y0, w, h,
-                     bit_depth, is_luma, wgt, off, denom):
+                     bit_depth, is_luma, wgt, off, denom,
+                     chroma_shift=1):
     """Explicit weighted uni-prediction (spec 8.5.3.3.4.3): weight/offset
     applied on the 14-bit intermediate; log2Wd = denom + 14 - bitDepth."""
-    if is_luma:
-        ix, fx = mv_qpel_x >> 2, mv_qpel_x & 3
-        iy, fy = mv_qpel_y >> 2, mv_qpel_y & 3
-    else:
-        ix, fx = mv_qpel_x >> 3, mv_qpel_x & 7
-        iy, fy = mv_qpel_y >> 3, mv_qpel_y & 7
+    ix, fx, iy, fy = _mv_split(mv_qpel_x, mv_qpel_y, is_luma, chroma_shift)
     raw = mc_block_np(padded_ref, pad, x0 + ix, y0 + iy, w, h, fx, fy,
                       bit_depth, is_luma, raw14=True)
     log2wd = denom + 14 - bit_depth
@@ -132,16 +136,11 @@ def mc_predict_wp_np(padded_ref, pad, mv_qpel_x, mv_qpel_y, x0, y0, w, h,
 
 
 def mc_predict_bi_np(padded0, padded1, pad, mv0, mv1, x0, y0, w, h,
-                     bit_depth=8, is_luma=True):
+                     bit_depth=8, is_luma=True, chroma_shift=1):
     """Bi-prediction: average of the two 14-bit intermediates
     (spec 8.5.3.3.4.2 default weighted: (p0 + p1 + off2) >> (15-bitDepth))."""
     def raw(padded, mv):
-        if is_luma:
-            ix, fx = mv[0] >> 2, mv[0] & 3
-            iy, fy = mv[1] >> 2, mv[1] & 3
-        else:
-            ix, fx = mv[0] >> 3, mv[0] & 7
-            iy, fy = mv[1] >> 3, mv[1] & 7
+        ix, fx, iy, fy = _mv_split(mv[0], mv[1], is_luma, chroma_shift)
         return mc_block_np(padded, pad, x0 + ix, y0 + iy, w, h, fx, fy,
                            bit_depth, is_luma, raw14=True)
     shift2 = 15 - bit_depth

@@ -6,6 +6,7 @@ AMP at 64x64, inline/inter-predicted RPS, multi-slice pictures, WPP entry
 points, CRC/checksum hash SEIs. Skips when the HM oracle is absent."""
 import os
 import subprocess
+import sys
 
 import numpy as np
 import pytest
@@ -82,3 +83,47 @@ def test_hm_tool_variants(tmp_path, extra, label):
     assert ours == hm_rec
     if label in ("crc", "checksum"):
         assert dec.hash_status and all(s == "OK" for s in dec.hash_status)
+
+
+@pytest.mark.skipif(not os.path.exists(ENC),
+                    reason="HM oracle encoder not built")
+def test_hm_444_inter_stream_decodes(tmp_path):
+    """HM-encoded Main 4:4:4 LOW-DELAY stream (RExt coding tools off):
+    our decoder output must match the HM decoder byte-for-byte —
+    4:4:4 inter MC uses quarter-pel chroma MVs with doubled filter
+    phases (spec 8.5.3.3.3.2 SubWidthC scaling)."""
+    import numpy as np
+    w, h, frames = 128, 80, 4
+    clip = tmp_path / "in444.yuv"
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_test_yuv import make_frame
+    with open(clip, "wb") as fh:
+        for t in range(frames):
+            y, u, v = make_frame(w, h, t)
+            fh.write(np.asarray(y, np.uint8).tobytes())
+            for p in (u, v):
+                full = np.repeat(np.repeat(np.asarray(p, np.uint8), 2, 0),
+                                 2, 1)[:h, :w]
+                fh.write(full.tobytes())
+    bs = tmp_path / "o.bin"
+    out = subprocess.run(
+        [ENC, "-c", "/root/reference/cfg/encoder_lowdelay_main_rext.cfg",
+         "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+         str(frames), "-fr", "30", "-q", "32", "--InputChromaFormat=444",
+         "--ChromaFormatIDC=444", "--CrossComponentPrediction=0",
+         "--ImplicitResidualDPCM=0", "--ExplicitResidualDPCM=0",
+         "--ResidualRotation=0", "--GolombRiceParameterAdaptation=0",
+         "--AlignCABACBeforeBypass=0", "--SingleSignificanceMapContext=0",
+         "--HighPrecisionPredictionWeighting=0",
+         "-b", str(bs), "-o", str(tmp_path / "hmrec.yuv")],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-1500:]
+    ref = subprocess.run(
+        ["/tmp/hm_oracle/bin/TAppDecoderStatic", "-b", str(bs), "-o",
+         str(tmp_path / "hmdec.yuv")], capture_output=True, text=True)
+    assert ref.returncode == 0
+    from hevc_tpu.cli.decode import main as dec_main
+    dec_main(["-b", str(bs), "-o", str(tmp_path / "ours.yuv")])
+    assert (tmp_path / "ours.yuv").read_bytes() == \
+        (tmp_path / "hmdec.yuv").read_bytes()
