@@ -419,6 +419,9 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
     confirm(cfg.chroma_format not in (420, 444),
             f"InputChromaFormat {cfg.chroma_format} unsupported "
             "(420 and 444 implemented)")
+    confirm(cfg.chroma_format == 444 and cfg.intra_period != 1,
+            "4:4:4 encoding is all-intra only (IntraPeriod 1; DECODING "
+            "4:4:4 inter streams is supported)")
     confirm(cfg.internal_bit_depth not in (8, 10, 12),
             f"InternalBitDepth {cfg.internal_bit_depth} unsupported "
             "(8, 10 and 12 implemented)")

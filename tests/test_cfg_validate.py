@@ -51,3 +51,9 @@ def test_rext_tool_hints_warn_not_reject():
         + BASE)
     validate(cfg, warn=warns.append)
     assert len(warns) >= 5  # RDPCM/rotation/CCP/... accepted as unused
+
+
+def test_444_inter_encode_rejected():
+    cfg = parse_cli(BASE + ["--InputChromaFormat=444", "--IntraPeriod=-1"])
+    with pytest.raises(ConfigError):
+        validate(cfg, warn=lambda m: None)
