@@ -131,6 +131,9 @@ def _argmin_two_pass(ssd, bits0, lam_q8, *, r, ny, nx):
     flat2 = cost2.reshape(n, -1)
     idx_g = jnp.argmin(flat2, axis=1)
     c_g = jnp.take_along_axis(flat2, idx_g[:, None], axis=1)[:, 0]
+    import os
+    if os.environ.get("HEVC_TPU_ME_LOCAL_ONLY"):
+        return idx_loc
     return jnp.where(c_g + (c_loc >> 3) < c_loc, idx_g, idx_loc)
 
 
@@ -255,7 +258,11 @@ def me_grid_ssd_np(orig_y, ref_padded_y, size: int, r: int, lam_fp: int, *,
     flat2 = cost2.reshape(n, -1)
     idx_g = np.argmin(flat2, axis=1)
     c_g = flat2[np.arange(n), idx_g]
-    idx2 = np.where(c_g + (c_loc >> 3) < c_loc, idx_g, idx_loc)
+    import os
+    if os.environ.get("HEVC_TPU_ME_LOCAL_ONLY"):
+        idx2 = idx_loc
+    else:
+        idx2 = np.where(c_g + (c_loc >> 3) < c_loc, idx_g, idx_loc)
     gy = (idx2 // nyx - r).astype(np.int32).reshape(ny, nx)
     gx = (idx2 % nyx - r).astype(np.int32).reshape(ny, nx)
     return gx, gy
