@@ -424,7 +424,7 @@ bool intra_strong_smoothing(const int32_t* f, int n, int bd) {
   return top_ok && left_ok;
 }
 
-void intra_filter_refs(const int32_t* f, int n, int bd, bool strong,
+void intra_filter_refs(const int32_t* f, int n, int /*bd*/, bool strong,
                        int32_t* ff) {
   int nn = 4 * n + 1;
   int n2 = 2 * n;

@@ -1408,17 +1408,13 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   dsp::intra_filter_refs(f, n, bd_, strong, ff);
   int cand3[3];
   mpm(x0, y0, cand3);
-  int imode = 0;
   int64_t icost = 0;
   for (int mode = 0; mode < 35; ++mode) {
     const int32_t* fsel = dsp::intra_filter_flag(mode, n, true) ? ff : f;
     dsp::intra_predict(fsel, f, mode, n, bd_, true, pred);
     int64_t c = dsp::satd(oy, w_, pred, n, n) +
                 lam_bits(mode_bits(mode, cand3));
-    if (mode == 0 || c < icost) {
-      icost = c;
-      imode = mode;
-    }
+    if (mode == 0 || c < icost) icost = c;
   }
   // intra in inter slices carries a large real bit cost (no skip path,
   // mode + tree signalling) that the SATD screen does not see; bias like

@@ -903,7 +903,6 @@ void SliceEncoder::code_mvd(int vx, int vy) {
 void SliceEncoder::code_inter_cu(int x0, int y0, int log2, bool skip) {
   int bw4 = sp_.ctu_size / 4;
   int lx = x0 - ctu_x0_, ly = y0 - ctu_y0_;
-  int li = (ly >> 2) * bw4 + (lx >> 2);
   int merge_i = map_at(cur_->merge_idx, bw4, lx, ly);
   if (skip) {  // PU = whole CU, merge, no residual
     code_merge_idx(merge_i);
@@ -1130,7 +1129,7 @@ void SliceEncoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
       for (int b = 0; b < k; ++b) cabac_.encode_bypass(1);
       cabac_.encode_bypass(0);
       for (int b = k - 1; b >= 0; --b)
-        cabac_.encode_bypass((v - base >> b) & 1);
+        cabac_.encode_bypass(((v - base) >> b) & 1);
     }
     if (a) cabac_.encode_bypass(delta < 0 ? 1 : 0);
     dqp_coded_ = true;
