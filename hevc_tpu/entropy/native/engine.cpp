@@ -1285,7 +1285,33 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   int32_t i_pred[32 * 32];
   bool has_me = false;
   int nref = std::max(1, nref_[0]);
-  for (int r = 0; r < nref; ++r) {
+  // integer-pel screen of the references: fractionally refine only the
+  // best two (the reference refines every refIdx; the screen keeps the
+  // RD winner in practice at half the interpolation cost)
+  int r_order[16];
+  int n_cand = 0;
+  {
+    int64_t iscore[16];
+    for (int r = 0; r < nref; ++r) {
+      int rmx, rmy;
+      if (!me_lookup(x0, y0, n, r, &rmx, &rmy)) continue;
+      mc_uni(sp_, rp(0, r, 0), rw, pad, rmx, rmy, x0, y0, n, n, bd_, true,
+             0, 0, pred);
+      int64_t c = dsp::satd(oy, w_, pred, n, n) +
+                  lam_bits(ref_bits(r, nref_[0]));
+      int pos = n_cand++;
+      while (pos > 0 && c < iscore[pos - 1]) {
+        iscore[pos] = iscore[pos - 1];
+        r_order[pos] = r_order[pos - 1];
+        --pos;
+      }
+      iscore[pos] = c;
+      r_order[pos] = r;
+    }
+    if (n_cand > 2) n_cand = 2;
+  }
+  for (int ri = 0; ri < (n_cand ? n_cand : nref); ++ri) {
+    int r = n_cand ? r_order[ri] : ri;
     int rmx, rmy;
     if (!me_lookup(x0, y0, n, r, &rmx, &rmy)) continue;
     has_me = true;
