@@ -37,9 +37,9 @@ CONFIGS = [
     ("lowdelay_P_main", "encoder_lowdelay_P_main.cfg", 832, 480, 8, 32, 8,
      2, 3),
     ("randomaccess_main", "encoder_randomaccess_main.cfg", 832, 480, 9, 32,
-     8, 1, 9),
+     8, 1, 3),
     ("randomaccess_main10", "encoder_randomaccess_main10.cfg", 832, 480, 9,
-     32, 10, 1, 9),
+     32, 10, 1, 3),
     ("intra_high_throughput_rext", "encoder_intra_high_throughput_rext.cfg",
      416, 240, 2, 32, 8, 1, 2),
 ]

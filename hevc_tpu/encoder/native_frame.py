@@ -260,15 +260,30 @@ class NativeFrameEncoder:
                 orig_dev = jax.device_put(
                     np.ascontiguousarray(orig[0].astype(np.uint8)))
             me_x, me_y = [], []
-            for r, ref in enumerate(self.ref):
-                pre = (self.me_provider(size, self.search_range, self.lam_fp)
-                       if r == 0 and self.me_provider else None)
-                dev = self.ref_dev[r] if r < len(self.ref_dev) else None
-                gx, gy = pre if pre is not None else batched_me_grid(
-                    orig[0], ref[0], size, self.search_range, self.lam_fp,
-                    ref_dev=dev, orig_dev=orig_dev)
-                me_x.append(gx)
-                me_y.append(gy)
+            all_dev = (orig_dev is not None and self.me_provider is None
+                       and len(self.ref) > 1
+                       and len(self.ref_dev) >= len(self.ref)
+                       and all(d is not None for d in
+                               self.ref_dev[:len(self.ref)]))
+            if all_dev:
+                # every reference searched in ONE device dispatch
+                from ..ops import me_mxu
+                for gx, gy in me_mxu.me_grids_multi(
+                        orig_dev, self.ref_dev[:len(self.ref)], size,
+                        self.search_range, self.lam_fp, pad=PAD):
+                    me_x.append(gx)
+                    me_y.append(gy)
+            else:
+                for r, ref in enumerate(self.ref):
+                    pre = (self.me_provider(size, self.search_range,
+                                            self.lam_fp)
+                           if r == 0 and self.me_provider else None)
+                    dev = self.ref_dev[r] if r < len(self.ref_dev) else None
+                    gx, gy = pre if pre is not None else batched_me_grid(
+                        orig[0], ref[0], size, self.search_range,
+                        self.lam_fp, ref_dev=dev, orig_dev=orig_dev)
+                    me_x.append(gx)
+                    me_y.append(gy)
             if self.is_b and self.ref1 is not None:
                 # list-1 integer search (B slices; reference
                 # predInterSearch list-1 loop)

@@ -604,6 +604,8 @@ class EncoderTop:
             lam = 0.57 * (2.0 ** ((slice_qp - 12) / 3.0))
             if use_native:
                 from ..entropy.cabac import sao_estimate_native
+                timers_sao = timers.section("sao")
+                timers_sao.__enter__()
                 sids = None
                 if slice_objs is not None and len(slice_objs) > 1:
                     sids = np.zeros(ctus_w * ctus_h, np.int32)
@@ -613,6 +615,7 @@ class EncoderTop:
                 sao_params = sao_estimate_native(
                     planes, recon, self.sps, self.sps.bit_depth_luma, lam,
                     slice_ids=sids)
+                timers_sao.__exit__(None, None, None)
             else:
                 sao_params = saolib.estimate_sao(
                     planes, recon, self.sps, self.sps.bit_depth_luma, lam)
@@ -689,9 +692,10 @@ class EncoderTop:
         if sao_on:
             if use_native:
                 from ..entropy.cabac import sao_apply_native
-                recon = sao_apply_native(recon,
-                                         [d.sao for d in decisions],
-                                         self.sps, self.sps.bit_depth_luma)
+                with timers.section("sao"):
+                    recon = sao_apply_native(
+                        recon, [d.sao for d in decisions], self.sps,
+                        self.sps.bit_depth_luma)
             else:
                 recon = saolib.apply_sao(recon,
                                          [d.sao for d in decisions],
@@ -763,7 +767,8 @@ class EncoderTop:
             firsts.append(False)
 
         bits = sum(len(x) for x in nals) * 8
-        psnr = _psnr(planes, recon, self.sps.bit_depth_luma)
+        with timers.section("hash_psnr"):
+            psnr = _psnr(planes, recon, self.sps.bit_depth_luma)
         self.stats.append({"poc": display_poc, "bits": bits, "psnr": psnr,
                            "md5": digest[0].hex(), "qp": slice_qp,
                            "type": stype.name})

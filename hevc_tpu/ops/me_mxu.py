@@ -157,6 +157,46 @@ def _me_idx_frame_jit(orig, ref_padded, bits0, lam_q8, *, size, r, ny, nx,
                         ny=ny, nx=nx, pad=pad)
 
 
+@functools.partial(jax.jit, static_argnames=("size", "r", "ny", "nx",
+                                             "pad"))
+def _me_idx_multi_jit(orig, refs_stacked, bits0, lam_q8, *, size, r, ny,
+                      nx, pad):
+    def one(refp):
+        return me_idx_frame(orig, refp, bits0, lam_q8, size=size, r=r,
+                            ny=ny, nx=nx, pad=pad)
+    return jax.vmap(one)(refs_stacked)
+
+
+def me_grids_multi(orig_dev, ref_devs, size: int, r: int, lam_fp: int, *,
+                   pad: int):
+    """MV grids for several references in ONE device dispatch (the
+    reference searches each refIdx separately, TEncSearch.cpp:3027; here
+    the reference axis vmaps over the same MXU search). The ref count is
+    padded to 1/2/4/8 so each clip shape compiles once."""
+    h, w = orig_dev.shape[:2]
+    ny = (h - size) // size + 1 if h >= size else 0
+    nx = (w - size) // size + 1 if w >= size else 0
+    if ny == 0 or nx == 0:
+        return [(None, None)] * len(ref_devs)
+    nref = len(ref_devs)
+    npad = 1
+    while npad < nref:
+        npad *= 2
+    padded = list(ref_devs) + [ref_devs[-1]] * (npad - nref)
+    stacked = jnp.stack(padded)
+    nyx = 2 * r + 1
+    idx = np.asarray(_me_idx_multi_jit(
+        orig_dev, stacked, jnp.asarray(bits0_table(r)),
+        jnp.int32(lam_q8_of(lam_fp)), size=size, r=r, ny=ny, nx=nx,
+        pad=pad))
+    out = []
+    for k in range(nref):
+        gy = (idx[k] // nyx - r).astype(np.int32).reshape(ny, nx)
+        gx = (idx[k] % nyx - r).astype(np.int32).reshape(ny, nx)
+        out.append((gx, gy))
+    return out
+
+
 def bits0_table(r: int) -> np.ndarray:
     from .me import mv_bits_np
     d = np.arange(2 * r + 1) - r
