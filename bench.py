@@ -104,7 +104,7 @@ def measure_hm(cfg_path, clip, w, h, frames, qp, bd, warmup=1):
     return len(steady) / sum(steady)
 
 
-def _device_alive(timeout_s: float = 120.0) -> bool:
+def _device_alive(timeout_s: float = 300.0) -> bool:
     """Probe the accelerator with a trivial op under a watchdog — a dead
     device tunnel hangs forever inside libtpu, so probe in a subprocess
     we can kill."""
