@@ -104,7 +104,7 @@ def measure_hm(cfg_path, clip, w, h, frames, qp, bd, warmup=1):
     return len(steady) / sum(steady)
 
 
-def _device_alive(timeout_s: float = 300.0) -> bool:
+def _device_alive(timeout_s: float = 600.0) -> bool:
     """Probe the accelerator with a trivial op under a watchdog — a dead
     device tunnel hangs forever inside libtpu, so probe in a subprocess
     we can kill."""
@@ -153,13 +153,17 @@ def main():
         write_clip(clip, W, H, FRAMES)
         cfg_path = os.path.join(CFGDIR, "encoder_lowdelay_P_main.cfg")
         buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            r = measure_ours(cfg_path, clip, W, H, FRAMES, QP, WARMUP)
-            base = (measure_hm(cfg_path, clip, W, H, 4, QP, 8, WARMUP)
-                    or HM_FALLBACK["headline_1080p_ldp"])
-        r["hm_fps"] = round(base, 4)
-        r["vs_hm"] = round(r["fps"] / base, 2)
-        r["dims"] = f"{W}x{H}x{FRAMES}@qp{QP}"
+        try:
+            with contextlib.redirect_stdout(buf):
+                r = measure_ours(cfg_path, clip, W, H, FRAMES, QP, WARMUP)
+                base = (measure_hm(cfg_path, clip, W, H, 4, QP, 8, WARMUP)
+                        or HM_FALLBACK["headline_1080p_ldp"])
+            r["hm_fps"] = round(base, 4)
+            r["vs_hm"] = round(r["fps"] / base, 2)
+            r["dims"] = f"{W}x{H}x{FRAMES}@qp{QP}"
+        except Exception as e:
+            r = {"error": f"{type(e).__name__}: {e}", "fps": 0.0,
+                 "hm_fps": HM_FALLBACK["headline_1080p_ldp"]}
         results["headline_1080p_ldp"] = r
 
     with open(os.path.join(REPO, "BENCH_ALL.json"), "w") as fh:
