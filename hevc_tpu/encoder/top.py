@@ -539,26 +539,58 @@ class EncoderTop:
         slice_objs = None
         ctus_w = self.sps.pic_width_in_ctus
         ctus_h = self.sps.pic_height_in_ctus
-        if cfg.slice_mode == 1 and use_native:
-            import ctypes as _ct
-
+        if cfg.slice_mode in (1, 2) and use_native:
             from ..entropy.cabac import SliceParamsC
             raster = [(x, y) for y in range(ctus_h) for x in range(ctus_w)]
-            arg = max(1, cfg.slice_argument)
-            slice_objs = []
-            for s0 in range(0, len(raster), arg):
-                ctus = raster[s0:s0 + arg]
-                if s0 == 0:
-                    spi, senc_i = sp, senc
-                else:
-                    spi = SliceParamsC.from_buffer_copy(sp)
-                    spi.slice_start_ctu = s0
-                    senc_i = SliceDataEncoder(spi)
-                    if sh.slice_temporal_mvp_enabled_flag:
-                        from ..entropy.cabac import set_collocated
-                        set_collocated(senc_i, self.dpb_motion[l0_poc],
-                                       True)
-                slice_objs.append((spi, senc_i, ctus))
+            n_all = len(raster)
+
+            def _mk_slices(bounds, reuse_first=True):
+                objs = []
+                for s0, cnt in bounds:
+                    ctus = raster[s0:s0 + cnt]
+                    if s0 == 0 and reuse_first:
+                        spi, senc_i = sp, senc
+                    else:
+                        spi = SliceParamsC.from_buffer_copy(sp)
+                        spi.slice_start_ctu = s0
+                        senc_i = SliceDataEncoder(spi)
+                        if sh.slice_temporal_mvp_enabled_flag:
+                            from ..entropy.cabac import set_collocated
+                            set_collocated(senc_i,
+                                           self.dpb_motion[l0_poc], True)
+                    objs.append((spi, senc_i, ctus))
+                return objs
+
+            if cfg.slice_mode == 1:
+                arg = max(1, cfg.slice_argument)
+                bounds = [(s0, min(arg, n_all - s0))
+                          for s0 in range(0, n_all, arg)]
+            else:
+                # SliceMode 2 (bytes per slice, reference
+                # TEncSlice::compressSlice slice-byte-limit termination):
+                # greedy prefix — compress with the open slice covering
+                # the rest of the picture, entropy-code it until the
+                # byte budget trips, cut there, repeat. Boundaries are
+                # decided pre-SAO, as the reference decides them at
+                # compress time; each already-coded prefix byte is
+                # invariant to where the slice later ends.
+                from ..entropy.cabac import (
+                    entropy_encode_frame_order_budget)
+                budget = max(1, cfg.slice_argument)
+                bounds, s0 = [], 0
+                while True:
+                    cand = bounds + [(s0, n_all - s0)]
+                    objs = _mk_slices(cand, reuse_first=False)
+                    dec_t, _ = fe.encode_frame(planes, slices=objs)
+                    spi_t, senc_t, ctus_t = objs[-1]
+                    ncod = entropy_encode_frame_order_budget(
+                        senc_t, ctus_t, ctus_w, dec_t, budget)
+                    if ncod >= len(ctus_t):
+                        bounds = cand
+                        break
+                    bounds.append((s0, ncod))
+                    s0 += ncod
+            slice_objs = _mk_slices(bounds)
         if slice_objs is not None:
             decisions, recon = fe.encode_frame(planes, slices=slice_objs)
         else:

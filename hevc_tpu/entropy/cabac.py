@@ -134,6 +134,10 @@ def get_lib() -> ctypes.CDLL:
     lib.hevc_enc_frame_order.argtypes = (
         [ctypes.c_void_p, ctypes.c_int, i32p, i32p]
         + [ctypes.c_int] * 3 + stacked)
+    lib.hevc_enc_frame_order_budget.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int, i32p, i32p]
+        + [ctypes.c_int] * 3 + [ctypes.c_long] + stacked)
+    lib.hevc_enc_frame_order_budget.restype = ctypes.c_long
     lib.hevc_sao_estimate.argtypes = (
         [i16p] * 6 + [ctypes.c_int] * 4 + [ctypes.c_double,
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
@@ -670,6 +674,19 @@ def entropy_encode_frame_order(senc, order, ctus_w, fd):
     senc._lib.hevc_enc_frame_order(
         senc._h, len(order), cxs, cys, ctus_w, fd.ctu_size,
         fd.chroma_format, *fd._args())
+
+
+def entropy_encode_frame_order_budget(senc, order, ctus_w, fd,
+                                      byte_budget):
+    """SliceMode 2: code `order` until the flushed slice payload reaches
+    byte_budget — the crossing CTU is included, as in the reference slice
+    byte-limit termination (TEncSlice::compressSlice). Returns the number
+    of CTUs coded."""
+    cxs = np.ascontiguousarray([c[0] for c in order], np.int32)
+    cys = np.ascontiguousarray([c[1] for c in order], np.int32)
+    return int(senc._lib.hevc_enc_frame_order_budget(
+        senc._h, len(order), cxs, cys, ctus_w, fd.ctu_size,
+        fd.chroma_format, byte_budget, *fd._args()))
 
 
 def fetch_ctu_qps(obj, n_ctus: int, decoder: bool = False):

@@ -335,6 +335,35 @@ extern "C" void hevc_enc_frame_order(void* senc, int nctu, const int32_t* cxs,
   }
 }
 
+// SliceMode 2 (reference TEncSlice::compressSlice slice-byte-limit
+// termination): code CTUs in order until the flushed slice payload
+// reaches `byte_budget` after a CTU — that CTU becomes the last one of
+// the slice (the budget is a soft bound: the crossing CTU is included,
+// as in the reference). Returns the number of CTUs coded.
+extern "C" long hevc_enc_frame_order_budget(
+    void* senc, int nctu, const int32_t* cxs, const int32_t* cys,
+    int ctus_w, int ctu_size, int cfmt, long byte_budget, STACKED_ARGS) {
+  STACKED_INIT(ctu_size, cfmt);
+  SliceEncoder* e = (SliceEncoder*)senc;
+  long coded = 0;
+  for (int i = 0; i < nctu; ++i) {
+    MutCtuData md = sm.at((size_t)cys[i] * ctus_w + cxs[i]);
+    CtuData d{md.cu_depth, md.nxn_flag, md.luma_mode, md.chroma_mode,
+              md.tu_depth, md.coeff_y, md.coeff_cb, md.coeff_cr,
+              md.pred_mode, md.skip_flag, md.merge_flag, md.merge_idx,
+              md.mvp_flag, md.ref_idx, md.mvd_x, md.mvd_y, md.mv_x,
+              md.mv_y, md.mvp_flag1, md.ref_idx1, md.mvd_x1, md.mvd_y1,
+              md.mv_x1, md.mv_y1, md.sao};
+    e->encode_ctu(cxs[i], cys[i], d, -1);
+    ++coded;
+    int last = (i == nctu - 1) ||
+               ((long)e->bytes().size() >= byte_budget);
+    e->write_end_flag(last);
+    if (last) break;
+  }
+  return coded;
+}
+
 extern "C" void hevc_enc_frame(void* senc, int ctus_w, int ctus_h,
                                int ctu_size, int cfmt, STACKED_ARGS) {
   STACKED_INIT(ctu_size, cfmt);

@@ -736,6 +736,12 @@ void SliceEncoder::encode_ctu(int cx, int cy, const CtuData& d,
     wpp_saved_ = ctx_;
     wpp_saved_valid_ = true;
   }
+  if (end_of_slice < 0) {
+    // end_of_slice_segment_flag deferred (SliceMode 2 byte budget):
+    // the caller inspects bytes() and writes it via write_end_flag().
+    cur_ = nullptr;
+    return;
+  }
   cabac_.encode_terminate(end_of_slice);
   if (sp_.wpp && cx == ctus_w_pic - 1 && !end_of_slice) {
     // end_of_subset_one_bit + byte_alignment (spec 7.3.8.1): the flush

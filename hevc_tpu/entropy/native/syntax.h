@@ -272,6 +272,10 @@ class SliceEncoder {
   explicit SliceEncoder(const SliceParams& sp);
   void begin_slice();
   void encode_ctu(int ctu_x, int ctu_y, const CtuData& d, int end_of_slice);
+  // SliceMode 2 (reference TEncSlice.cpp slice-byte-limit termination):
+  // encode_ctu(..., -1) defers the end_of_slice_segment_flag; once the
+  // budget decision is known the caller writes it here.
+  void write_end_flag(int flag) { cabac_.encode_terminate(flag); }
   const std::vector<uint8_t>& bytes() const { return bw_.bytes; }
   // Byte-align the finished slice data and return the RBSP bytes. The
   // final '1' of the CABAC EncodeFlush (9.3.4.3.5) already serves as the

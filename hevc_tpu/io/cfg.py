@@ -428,17 +428,18 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
     confirm(cfg.qp < 0 or cfg.qp > 51, "QP out of [0, 51]")
     confirm(cfg.search_range < 1 or cfg.search_range > 64,
             "SearchRange out of [1, 64]")
-    confirm(cfg.slice_mode not in (0, 1),
+    confirm(cfg.slice_mode not in (0, 1, 2),
             f"SliceMode {cfg.slice_mode} unsupported (0 = one slice per "
-            "picture, 1 = SliceArgument CTUs per slice)")
-    confirm(cfg.slice_mode == 1 and cfg.slice_argument < 1,
-            "SliceMode 1 requires SliceArgument >= 1 (CTUs per slice)")
-    confirm(cfg.slice_mode == 1 and bool(cfg.wpp),
+            "picture, 1 = SliceArgument CTUs per slice, 2 = SliceArgument"
+            " bytes per slice)")
+    confirm(cfg.slice_mode in (1, 2) and cfg.slice_argument < 1,
+            "SliceMode 1/2 requires SliceArgument >= 1")
+    confirm(cfg.slice_mode in (1, 2) and bool(cfg.wpp),
             "SliceMode with WaveFrontSynchro unsupported")
-    confirm(cfg.slice_mode == 1 and
+    confirm(cfg.slice_mode in (1, 2) and
             (cfg.tile_cols_minus1 > 0 or cfg.tile_rows_minus1 > 0),
             "SliceMode with tiles unsupported")
-    confirm(cfg.slice_mode == 1 and bool(cfg.adaptive_qp),
+    confirm(cfg.slice_mode in (1, 2) and bool(cfg.adaptive_qp),
             "SliceMode with AdaptiveQP unsupported")
     confirm(cfg.scaling_list not in (0, 1),
             "ScalingList 2 (explicit file) unsupported; 0=off 1=default")

@@ -26,7 +26,7 @@ def test_ctc_cfgs_validate(name):
 
 
 @pytest.mark.parametrize("extra", [
-    ["--SliceMode=2"],
+    ["--SliceMode=3"],
     ["--SliceMode=1", "--WaveFrontSynchro=1"],
     ["--MaxCUWidth=32", "--MaxCUHeight=32"],
     ["--InternalBitDepth=14"],

@@ -616,6 +616,36 @@ def test_multislice_conformance(tmp_path):
     assert rec.read_bytes() == dec.read_bytes()
 
 
+def test_multislice_bytes_conformance(tmp_path):
+    """SliceMode 2 (byte budget per slice, reference
+    TEncSlice::compressSlice slice-byte-limit termination): slices are
+    cut where the coded payload crosses the budget; the stream must
+    decode byte-identically in the HM reference decoder and produce
+    more than one slice per picture."""
+    w, h, frames = 256, 128, 3
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-q", "32", "--IntraPeriod=-1", "--SliceMode=2",
+          "--SliceArgument=150", "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames
+    assert rec.read_bytes() == dec.read_bytes()
+    # each frame far exceeds one 150-byte slice
+    from hevc_tpu.entropy.nal import split_annexb
+    n_slices = sum(1 for n in split_annexb(bs.read_bytes())
+                   if (n[0] >> 1) & 0x3F in (0, 1, 19, 20))
+    assert n_slices > frames, n_slices
+    own = tmp_path / "own.yuv"
+    from hevc_tpu.cli.decode import main as dmain
+    assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+    assert own.read_bytes() == dec.read_bytes()
+
+
 def test_crc_checksum_hash_sei(tmp_path):
     """SEIDecodedPictureHash 2 (CRC) / 3 (checksum): the HM decoder must
     verify the hashes (reference TComPicYuvMD5 crc/checksum)."""
