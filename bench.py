@@ -32,14 +32,20 @@ HM_ENC = "/tmp/hm_oracle/bin/TAppEncoderStatic"
 CFGDIR = "/root/reference/cfg"
 
 # name, cfg file, W, H, frames, QP, bit depth, our warmup, HM frames
+# warmup must cover every reference-count shape the GOP structure will
+# reach (nref grows 1->4 over the first LDP frames; each pad group is a
+# distinct XLA compile) so one-time compiles stay out of the steady rate
 CONFIGS = [
     ("intra_main", "encoder_intra_main.cfg", 416, 240, 8, 32, 8, 1, 8),
-    ("lowdelay_P_main", "encoder_lowdelay_P_main.cfg", 832, 480, 8, 32, 8,
-     2, 3),
-    ("randomaccess_main", "encoder_randomaccess_main.cfg", 832, 480, 9, 32,
-     8, 1, 3),
-    ("randomaccess_main10", "encoder_randomaccess_main10.cfg", 832, 480, 9,
-     32, 10, 1, 3),
+    ("lowdelay_P_main", "encoder_lowdelay_P_main.cfg", 832, 480, 10, 32, 8,
+     5, 3),
+    # randomaccess compresses in GOP-of-8 bursts: warmup 9 = IDR + the
+    # whole first GOP (where every hierarchy shape compiles); the
+    # measured 8 inputs are exactly the second GOP
+    ("randomaccess_main", "encoder_randomaccess_main.cfg", 832, 480, 17, 32,
+     8, 9, 3),
+    ("randomaccess_main10", "encoder_randomaccess_main10.cfg", 832, 480, 17,
+     32, 10, 9, 3),
     ("intra_high_throughput_rext", "encoder_intra_high_throughput_rext.cfg",
      416, 240, 2, 32, 8, 1, 2),
 ]
@@ -49,8 +55,8 @@ HM_FALLBACK = {"intra_main": 2.17, "lowdelay_P_main": 0.141,
                "intra_high_throughput_rext": 1.5,
                "headline_1080p_ldp": 0.044}
 
-W, H, FRAMES, QP = 1920, 1080, 7, 32
-WARMUP = 2
+W, H, FRAMES, QP = 1920, 1080, 10, 32
+WARMUP = 5
 
 
 def measure_ours(cfg_path, clip, w, h, frames, qp, warmup):

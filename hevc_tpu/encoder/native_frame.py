@@ -259,8 +259,10 @@ class NativeFrameEncoder:
                     and orig[0].max(initial=0) < 256):
                 orig_dev = jax.device_put(
                     np.ascontiguousarray(orig[0].astype(np.uint8)))
+            import os as _os
             me_x, me_y = [], []
             all_dev = (orig_dev is not None and self.me_provider is None
+                       and _os.environ.get("HEVC_TPU_ME_MULTI", "1") != "0"
                        and len(self.ref) > 1
                        and len(self.ref_dev) >= len(self.ref)
                        and all(d is not None for d in
