@@ -815,6 +815,11 @@ class EncoderTop:
             self.dpb_motion[cvs_poc] = motion_field(
                 decisions, self.sps, ref_pocs[0], ref_pocs[1], cvs_poc)
         self.dpb[cvs_poc] = recon
+        # start the device upload of the new reference now: jax.device_put
+        # is asynchronous, so the transfer rides under the entropy/IO host
+        # work instead of stalling the next frame's motion search
+        if self.cfg.intra_period != 1:
+            self._dev_ref(cvs_poc, recon)
         # bounded DPB: evict pictures no future RPS can reference
         # (reference TComSlice::applyReferencePictureSet bumping)
         keep = self.gop_size + self._max_ref_delta
