@@ -838,6 +838,9 @@ def _psnr(orig, recon, bd):
     out = []
     peak = (1 << bd) - 1
     for o, r in zip(orig, recon):
-        mse = np.mean((o.astype(np.float64) - r.astype(np.float64)) ** 2)
+        # integer SSE via int64 dot: exact and ~10x cheaper than the
+        # float64 mean at 1080p (this runs per frame on the host)
+        d = (np.asarray(o, np.int64) - np.asarray(r, np.int64)).ravel()
+        mse = float(np.dot(d, d)) / d.size
         out.append(99.99 if mse == 0 else 10 * np.log10(peak * peak / mse))
     return out
