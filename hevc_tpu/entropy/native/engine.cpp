@@ -1372,9 +1372,14 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   // predInterSearch list-1 loop and the bi-pred combination
   // TEncSearch.cpp:3160) ----
   int mv1_x = 0, mv1_y = 0, mvp1_f = 0, best_r1 = 0;
-  int mvd1_x = 0, mvd1_y = 0, l1_bits = 0;
+  int mvd1_x = 0, mvd1_y = 0;
   int64_t cost_l1 = INT64_MAX, cost_bi = INT64_MAX;
   int32_t l1_pred[32 * 32], bi_pred[32 * 32];
+  // bi-prediction motion state (may diverge from the uni winners after
+  // iterative refinement, reference TEncSearch::xEstimateMvBiPred)
+  int bm0x = 0, bm0y = 0, bm1x = 0, bm1y = 0;
+  int bmvp0 = 0, bmvp1 = 0, bmvd0x = 0, bmvd0y = 0, bmvd1x = 0,
+      bmvd1y = 0;
   if (sp_.slice_type == 0 && nref_[1] > 0) {
     for (int r = 0; r < nref_[1]; ++r) {
       int rmx, rmy;
@@ -1401,8 +1406,8 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       int pf = b0 <= b1 ? 0 : 1;
       mc_uni(sp_, rp(1, r, 0), rw, pad, rmx, rmy, x0, y0, n, n, bd_, true,
              1, 0, pred);
-      int bits = std::min(b0, b1) + 3 + ref_bits(r, nref_[1]);
-      int64_t c = dsp::satd(oy, w_, pred, n, n) + lam_bits(bits);
+      int64_t c = dsp::satd(oy, w_, pred, n, n) +
+                  lam_bits(std::min(b0, b1) + 3 + ref_bits(r, nref_[1]));
       if (c < cost_l1) {
         cost_l1 = c;
         best_r1 = r;
@@ -1411,19 +1416,67 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
         mvp1_f = pf;
         mvd1_x = rmx - ramvp[2 * pf];
         mvd1_y = rmy - ramvp[2 * pf + 1];
-        l1_bits = bits;
         std::memcpy(l1_pred, pred, sizeof(int32_t) * n * n);
       }
     }
     if (cost_l1 != INT64_MAX && has_me) {
-      // bi average of the two uni winners (one combination; the
-      // reference iterates up to 4 times refining each list)
-      dsp::mc_predict_bi(rp(0, best_r, 0), rp(1, best_r1, 0), rw, pad,
-                         mv_x, mv_y, mv1_x, mv1_y, x0, y0, n, n, bd_,
-                         true, bi_pred);
-      cost_bi = dsp::satd(oy, w_, bi_pred, n, n) +
-                lam_bits(mvd_x == 0 && mvd_y == 0 ? 6 : 10) +
-                lam_bits(l1_bits);
+      // bi-prediction of the two uni winners, then iterative refinement
+      // (reference TEncSearch::xEstimateMvBiPred, up to 4 rounds): each
+      // list is re-searched in its +-1 quarter-pel neighbourhood against
+      // the true bi-prediction SATD + exact MVD/ref rate
+      int16_t a1[4];
+      senc_->maps().amvp_candidates(x0, y0, n, n, 1, best_r1, a1);
+      bm0x = mv_x; bm0y = mv_y; bm1x = mv1_x; bm1y = mv1_y;
+      auto bi_cost = [&](int m0x, int m0y, int m1x, int m1y,
+                         int32_t* out) -> int64_t {
+        dsp::mc_predict_bi(rp(0, best_r, 0), rp(1, best_r1, 0), rw, pad,
+                           m0x, m0y, m1x, m1y, x0, y0, n, n, bd_, true,
+                           out);
+        int b0 =
+            std::min(mv_bits(m0x - amvp[0]) + mv_bits(m0y - amvp[1]),
+                     mv_bits(m0x - amvp[2]) + mv_bits(m0y - amvp[3]));
+        int b1 = std::min(mv_bits(m1x - a1[0]) + mv_bits(m1y - a1[1]),
+                          mv_bits(m1x - a1[2]) + mv_bits(m1y - a1[3]));
+        return dsp::satd(oy, w_, out, n, n) +
+               lam_bits(b0 + b1 + 6 + ref_bits(best_r, nref_[0]) +
+                        ref_bits(best_r1, nref_[1]));
+      };
+      int32_t btmp[32 * 32];
+      int64_t bc = bi_cost(bm0x, bm0y, bm1x, bm1y, bi_pred);
+      for (int round = 0; round < 2; ++round) {
+        bool improved = false;
+        for (int l = 1; l >= 0; --l) {
+          int* pmx = l ? &bm1x : &bm0x;
+          int* pmy = l ? &bm1y : &bm0y;
+          int cx0 = *pmx, cy0 = *pmy;
+          for (int dy = -1; dy <= 1; ++dy)
+            for (int dx = -1; dx <= 1; ++dx) {
+              if (!dx && !dy) continue;
+              int64_t c =
+                  l ? bi_cost(bm0x, bm0y, cx0 + dx, cy0 + dy, btmp)
+                    : bi_cost(cx0 + dx, cy0 + dy, bm1x, bm1y, btmp);
+              if (c < bc) {
+                bc = c;
+                *pmx = cx0 + dx;
+                *pmy = cy0 + dy;
+                std::memcpy(bi_pred, btmp, sizeof(int32_t) * n * n);
+                improved = true;
+              }
+            }
+        }
+        if (!improved) break;
+      }
+      cost_bi = bc;
+      int c00 = mv_bits(bm0x - amvp[0]) + mv_bits(bm0y - amvp[1]);
+      int c01 = mv_bits(bm0x - amvp[2]) + mv_bits(bm0y - amvp[3]);
+      bmvp0 = c00 <= c01 ? 0 : 1;
+      bmvd0x = bm0x - amvp[2 * bmvp0];
+      bmvd0y = bm0y - amvp[2 * bmvp0 + 1];
+      int c10 = mv_bits(bm1x - a1[0]) + mv_bits(bm1y - a1[1]);
+      int c11 = mv_bits(bm1x - a1[2]) + mv_bits(bm1y - a1[3]);
+      bmvp1 = c10 <= c11 ? 0 : 1;
+      bmvd1x = bm1x - a1[2 * bmvp1];
+      bmvd1y = bm1y - a1[2 * bmvp1 + 1];
     }
   }
 
@@ -1651,12 +1704,19 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     pred_y = m_pred;
   } else if (best == cost_bi && cost_bi != INT64_MAX) {
     sel = MotionInfo();
-    sel.mvx[0] = (int16_t)mv_x;
-    sel.mvy[0] = (int16_t)mv_y;
+    sel.mvx[0] = (int16_t)bm0x;
+    sel.mvy[0] = (int16_t)bm0y;
     sel.ref[0] = (int8_t)best_r;
-    sel.mvx[1] = (int16_t)mv1_x;
-    sel.mvy[1] = (int16_t)mv1_y;
+    sel.mvx[1] = (int16_t)bm1x;
+    sel.mvy[1] = (int16_t)bm1y;
     sel.ref[1] = (int8_t)best_r1;
+    // refined bi MVs carry their own MVD/MVP state
+    mvp_f = bmvp0;
+    mvd_x = bmvd0x;
+    mvd_y = bmvd0y;
+    mvp1_f = bmvp1;
+    mvd1_x = bmvd1x;
+    mvd1_y = bmvd1y;
     pred_y = bi_pred;
   } else if (best == cost_l1 && cost_l1 != INT64_MAX) {
     sel = MotionInfo();
