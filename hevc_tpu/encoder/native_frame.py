@@ -21,174 +21,46 @@ import numpy as np
 
 from ..entropy.cabac import (EngineParamsC, NativeCtuEngine, SliceDataEncoder,
                              SliceParamsC)
-from ..ops import me
 from ..ops.interp import pad_plane
 
 PAD = 80
 
 
-@functools.partial(jax.jit, static_argnames=("nyx",))
-def _cost_argmin(sads, bits, lam_fp, nyx):
-    """cost = sad + (lam*bits >> 16); first-minimum argmin per block over
-    the (padded) Pallas SAD table."""
-    s = sads[:, :nyx, :nyx]
-    cost = s + ((lam_fp.astype(jnp.int32) * bits[None]) >> 16)
-    return jnp.argmin(cost.reshape(cost.shape[0], -1), axis=1)
-
-
-def _med3(a, b, c):
-    return jnp.maximum(jnp.minimum(jnp.maximum(a, b), c),
-                       jnp.minimum(a, b))
-
-
-@functools.partial(jax.jit, static_argnames=("nyx", "ny", "nx"))
-def _cost_argmin_pred(sads, bits0, lam_fp, nyx, ny, nx):
-    """Two-pass argmin with a motion-coherent rate term.
-
-    The reference costs every candidate MV against the AMVP predictor of
-    the already-decided neighbourhood (TEncSearch xPatternSearch +
-    xSetSearchRange), which keeps the motion field smooth — merge and
-    skip then actually hit. A sequential predictor chain doesn't map to
-    the device, so approximate it in two parallel passes: pass 1 finds
-    per-block MVs against a zero predictor; pass 2 re-runs the argmin
-    with each block's rate term centred on the median of its left /
-    above / above-right pass-1 MVs (the AMVP spatial pattern)."""
-    R = (nyx - 1) // 2
-    lam = lam_fp.astype(jnp.int32)
-    s = sads[:ny * nx, :nyx, :nyx]
-    idx1 = jnp.argmin(
-        (s + ((lam * bits0) >> 16)).reshape(ny * nx, -1), axis=1)
-    g1y = (idx1 // nyx - R).reshape(ny, nx).astype(jnp.int32)
-    g1x = (idx1 % nyx - R).reshape(ny, nx).astype(jnp.int32)
-
-    def nb(g):
-        left = jnp.pad(g[:, :-1], ((0, 0), (1, 0)))
-        up = jnp.pad(g[:-1, :], ((1, 0), (0, 0)))
-        upr = jnp.pad(g[:-1, 1:], ((1, 0), (0, 1)))
-        return _med3(left, up, upr)
-
-    pqy = (nb(g1y) << 2).reshape(-1)
-    pqx = (nb(g1x) << 2).reshape(-1)
-    dy = (jnp.arange(nyx, dtype=jnp.int32) - R) << 2
-    from ..ops.me import mv_bits
-    bits2 = (mv_bits(dy[None, :, None] - pqy[:, None, None])
-             + mv_bits(dy[None, None, :] - pqx[:, None, None]))
-    cost2 = s + ((lam * bits2) >> 16)
-    return jnp.argmin(cost2.reshape(ny * nx, -1), axis=1)
-
-
-def _two_pass_np(sads, lam_fp, R, ny, nx):
-    """Numpy twin of _cost_argmin_pred: two-pass coherent argmin over a
-    full [N, nyx, nyx] SAD table; returns (mv_y, mv_x) flat arrays."""
-    nyx = 2 * R + 1
-    n = ny * nx
-    dyr = np.arange(nyx, dtype=np.int64) - R
-
-    def bits_of(v):
-        t = np.where(v <= 0, ((-v) << 1) + 1, v << 1).astype(np.int64)
-        return (2 * np.floor(np.log2(t)).astype(np.int32) + 1)
-
-    b1 = bits_of(dyr << 2)
-    bits0 = (b1[:, None] + b1[None, :]).astype(np.int32)
-    cost1 = sads[:n] + ((lam_fp * bits0[None]) >> 16).astype(np.int32)
-    idx1 = np.argmin(cost1.reshape(n, -1), axis=1)
-    g1y = (idx1 // nyx - R).reshape(ny, nx).astype(np.int64)
-    g1x = (idx1 % nyx - R).reshape(ny, nx).astype(np.int64)
-
-    def med3(a, b, c):
-        return np.maximum(np.minimum(np.maximum(a, b), c),
-                          np.minimum(a, b))
-
-    def nb(g):
-        left = np.pad(g[:, :-1], ((0, 0), (1, 0)))
-        up = np.pad(g[:-1, :], ((1, 0), (0, 0)))
-        upr = np.pad(g[:-1, 1:], ((1, 0), (0, 1)))
-        return med3(left, up, upr)
-
-    pqy = (nb(g1y) << 2).reshape(-1)
-    pqx = (nb(g1x) << 2).reshape(-1)
-    bits2 = (bits_of((dyr << 2)[None, :, None] - pqy[:, None, None])
-             + bits_of((dyr << 2)[None, None, :] - pqx[:, None, None]))
-    cost2 = sads[:n] + ((lam_fp * bits2) >> 16).astype(np.int32)
-    idx2 = np.argmin(cost2.reshape(n, -1), axis=1)
-    return (idx2 // nyx - R).astype(np.int32), \
-        (idx2 % nyx - R).astype(np.int32)
-
-
 def batched_me_grid(orig_y: np.ndarray, ref_padded_y: np.ndarray, size: int,
                     search_range: int, lam_fp: int, ref_dev=None,
-                    orig_dev=None):
+                    orig_dev=None, depth: int = None):
     """Frame-batched integer full search for every aligned size x size
     block; returns (mv_x, mv_y) int32 grids [ny, nx].
 
-    8-bit content: MXU SSD search (ops/me_mxu.py) — one grouped int8
-    convolution per frame on the device, numpy twin on the CPU backend.
-    Deeper bit depths: Pallas SAD sweep. ref_dev, when given, is the
-    padded reference Y plane already resident on the device (the
-    encoder's reference cache — reference planes are re-used as refs for
-    several subsequent frames, so each upload is paid once)."""
+    Every bit depth runs the MXU SSD search (ops/me_mxu.py): 8-bit as one
+    grouped int8 convolution per frame, Main10/12 as three (hi/lo int8
+    plane decomposition) — numpy twins on the CPU backend. ref_dev, when
+    given, is the padded reference Y plane already resident on the device
+    (the encoder's reference cache — reference planes are re-used as refs
+    for several subsequent frames, so each upload is paid once)."""
     h, w = orig_y.shape
     R = search_range
     nx = (w - size) // size + 1 if w >= size else 0
     ny = (h - size) // size + 1 if h >= size else 0
     if ny == 0 or nx == 0:
         return None, None
-    eight_bit = orig_y.max(initial=0) < 256 and \
-        ref_padded_y.max(initial=0) < 256
+    if depth is None:
+        mx = max(int(orig_y.max(initial=0)),
+                 int(ref_padded_y.max(initial=0)))
+        depth = 8 if mx < 256 else (10 if mx < 1024 else 12)
     import jax
 
     from ..ops import me_mxu
     if jax.default_backend() == "cpu":
-        if eight_bit:
-            gx, gy = me_mxu.me_grid_ssd_np(orig_y, ref_padded_y, size, R,
-                                           lam_fp, pad=PAD)
-        else:
-            gx, gy = _sad_grid_np(orig_y, ref_padded_y, size, R, lam_fp,
-                                  ny, nx)
-        return gx, gy
-    if eight_bit:
-        ref = ref_dev if ref_dev is not None else \
-            np.ascontiguousarray(ref_padded_y.astype(np.uint8))
-        src = orig_dev if orig_dev is not None else \
-            np.ascontiguousarray(orig_y.astype(np.uint8))
-        return me_mxu.me_grid_ssd(src, ref, size, R, lam_fp, pad=PAD)
-    # deep bit depth: Pallas SAD table + two-pass coherent argmin
-    from ..ops.sad_pallas import sad_table_from_planes
-    nyx = 2 * R + 1
-    dyr = np.arange(nyx) - R
-    bits = (np.array([me.mv_bits_np(v << 2) for v in dyr])[:, None]
-            + np.array([me.mv_bits_np(v << 2) for v in dyr])[None, :])
-    sads = sad_table_from_planes(
-        np.ascontiguousarray(ref_padded_y.astype(np.int16)),
-        np.ascontiguousarray(orig_y.astype(np.int16)),
-        size=size, r=R, ny=ny, nx=nx, pad=PAD)
-    idx = np.asarray(_cost_argmin_pred(
-        sads, bits.astype(np.int32), np.int32(lam_fp), nyx, ny,
-        nx))[:ny * nx]
-    gy = (idx // nyx - R).astype(np.int32).reshape(ny, nx)
-    gx = (idx % nyx - R).astype(np.int32).reshape(ny, nx)
-    return gx, gy
-
-
-def _sad_grid_np(orig_y, ref_padded_y, size, R, lam_fp, ny, nx):
-    """Numpy SAD twin for deep bit depths (matches the Pallas path)."""
-    nyx = 2 * R + 1
-    aw = 2 * R + size
-    n = ny * nx
-    blks = orig_y[:ny * size, :nx * size].reshape(
-        ny, size, nx, size).transpose(0, 2, 1, 3).reshape(
-        n, size, size).astype(np.int32)
-    win = np.lib.stride_tricks.sliding_window_view(
-        ref_padded_y, (aw, aw))[PAD - R::size, PAD - R::size]
-    areas = win[:ny, :nx].reshape(n, aw, aw).astype(np.int32)
-    sads = np.empty((n, nyx, nyx), np.int32)
-    for dy in range(nyx):
-        w2 = np.lib.stride_tricks.sliding_window_view(
-            areas[:, dy:dy + size, :], (size, size), axis=(1, 2))[:, 0]
-        sads[:, dy, :] = np.abs(w2.astype(np.int32)
-                                - blks[:, None]).sum((2, 3))
-    mv_y, mv_x = _two_pass_np(sads, lam_fp, R, ny, nx)
-    return mv_x.reshape(ny, nx), mv_y.reshape(ny, nx)
+        return me_mxu.me_grid_ssd_np(orig_y, ref_padded_y, size, R,
+                                     lam_fp, pad=PAD, depth=depth)
+    dt = np.uint8 if depth <= 8 else np.int16
+    ref = ref_dev if ref_dev is not None else \
+        np.ascontiguousarray(ref_padded_y.astype(dt))
+    src = orig_dev if orig_dev is not None else \
+        np.ascontiguousarray(orig_y.astype(dt))
+    return me_mxu.me_grid_ssd(src, ref, size, R, lam_fp, pad=PAD,
+                              depth=depth)
 
 
 class NativeFrameEncoder:
@@ -251,14 +123,15 @@ class NativeFrameEncoder:
         me_x = me_y = me16_x = me16_y = me1_x = me1_y = None
         if self.is_inter:
             size = ctu >> self.cu_depth_target
+            depth = self.sps.bit_depth_luma
             timers_cm = timers.section("me_device")
             timers_cm.__enter__()
             # one upload of the source plane serves every ref's search
             orig_dev = None
-            if (jax.default_backend() != "cpu"
-                    and orig[0].max(initial=0) < 256):
+            if jax.default_backend() != "cpu":
+                dt = np.uint8 if depth <= 8 else np.int16
                 orig_dev = jax.device_put(
-                    np.ascontiguousarray(orig[0].astype(np.uint8)))
+                    np.ascontiguousarray(orig[0].astype(dt)))
             import os as _os
             me_x, me_y = [], []
             all_dev = (orig_dev is not None and self.me_provider is None
@@ -272,7 +145,8 @@ class NativeFrameEncoder:
                 from ..ops import me_mxu
                 for gx, gy in me_mxu.me_grids_multi(
                         orig_dev, self.ref_dev[:len(self.ref)], size,
-                        self.search_range, self.lam_fp, pad=PAD):
+                        self.search_range, self.lam_fp, pad=PAD,
+                        depth=depth):
                     me_x.append(gx)
                     me_y.append(gy)
             else:
@@ -283,7 +157,8 @@ class NativeFrameEncoder:
                     dev = self.ref_dev[r] if r < len(self.ref_dev) else None
                     gx, gy = pre if pre is not None else batched_me_grid(
                         orig[0], ref[0], size, self.search_range,
-                        self.lam_fp, ref_dev=dev, orig_dev=orig_dev)
+                        self.lam_fp, ref_dev=dev, orig_dev=orig_dev,
+                        depth=depth)
                     me_x.append(gx)
                     me_y.append(gy)
             if self.is_b and self.ref1 is not None:
@@ -295,7 +170,8 @@ class NativeFrameEncoder:
                         else None
                     gx, gy = batched_me_grid(
                         orig[0], ref[0], size, self.search_range,
-                        self.lam_fp, ref_dev=dev, orig_dev=orig_dev)
+                        self.lam_fp, ref_dev=dev, orig_dev=orig_dev,
+                        depth=depth)
                     me1_x.append(gx)
                     me1_y.append(gy)
             import os
@@ -307,7 +183,8 @@ class NativeFrameEncoder:
                     dev = self.ref_dev[r] if r < len(self.ref_dev) else None
                     gx, gy = batched_me_grid(
                         orig[0], ref[0], 16, min(self.search_range, 16),
-                        self.lam_fp, ref_dev=dev, orig_dev=orig_dev)
+                        self.lam_fp, ref_dev=dev, orig_dev=orig_dev,
+                        depth=depth)
                     me16_x.append(gx)
                     me16_y.append(gy)
             timers_cm.__exit__(None, None, None)

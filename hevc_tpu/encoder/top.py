@@ -215,10 +215,11 @@ class EncoderTop:
             from ..ops.interp import pad_plane
             from .native_frame import PAD
             y = planes[0]
-            if jax.default_backend() == "cpu" or y.max(initial=0) >= 256:
+            if jax.default_backend() == "cpu":
                 return None
+            dt = np.uint8 if self.sps.bit_depth_luma <= 8 else np.int16
             padded = np.ascontiguousarray(
-                pad_plane(np.asarray(y, np.int16), PAD).astype(np.uint8))
+                pad_plane(np.asarray(y, np.int16), PAD).astype(dt))
             ref = jax.device_put(padded)
             self._dev_refs[poc] = ref
         return ref

@@ -11,9 +11,16 @@ SAD on CPU only for speed), with the lambda*mv-bits cost in full-lambda
 units to match the squared-error scale.
 
 Pure XLA (no Pallas) so the identical program runs on the CPU mesh used
-by tests and the multi-chip dry run. 8-bit samples only — the int8
-products are exact in int32 accumulation; deeper bit depths take the
-Pallas SAD path (hevc_tpu/ops/sad_pallas.py).
+by tests and the multi-chip dry run. 8-bit samples use one int8 conv per
+(block, window); deeper bit depths (Main10/12) split each centred sample
+a' into 128*hi + lo with hi in [-4,4] and lo in [-64,63] — both int8 —
+so the SSD cross-term decomposes into THREE int8 grouped convs
+(hi*hi, lo*lo, (hi+lo)*(hi+lo)) combined exactly in int32, keeping the
+MXU as the one search engine for every depth (reference has a single
+depth-agnostic path: cl/sad.cl + TypeDef.h:244
+RExt__HIGH_BIT_DEPTH_SUPPORT). Depths above 10 bits pre-shift samples by
+(depth-10), mirroring HM's DISTORTION_PRECISION_ADJUSTMENT right-shift
+of distortion at high bit depths (TComRdCost.h).
 
 The two-pass argmin mirrors the reference's predictor-centred MV cost
 (TEncSearch::xPatternSearch costs candidates against the AMVP
@@ -87,6 +94,91 @@ def _ssd_table(roi, orig, *, size, r, ny, nx, shard=None):
     return shard(ssd) if shard is not None else ssd
 
 
+def _stack_areas(plane, *, size, aw, ny, nx):
+    """[n, aw, aw] per-block search areas from a plane whose (0, 0) is
+    integer MV (-r, -r) of block (0, 0) — static slices, not im2col."""
+    bands = jnp.stack([plane[by * size:by * size + aw] for by in range(ny)])
+    return jnp.stack([bands[:, :, bx * size:bx * size + aw]
+                      for bx in range(nx)], axis=1).reshape(ny * nx, aw, aw)
+
+
+def _corr_grouped(areas8, blks8, n, nyx):
+    """Cross-correlation of each int8 block against its own int8 window
+    as ONE grouped convolution on the MXU; exact int32 accumulation."""
+    return lax.conv_general_dilated(
+        areas8[None], blks8[:, None], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=n,
+        preferred_element_type=jnp.int32)[0][:, :nyx, :nyx]
+
+
+def _split128(x):
+    """Centred int32 sample -> (hi, lo) int8 with x = 128*hi + lo.
+    Exact for |x| <= 512 (10-bit centred range): lo in [-64, 63],
+    hi in [-4, 4]."""
+    lo = ((x + 64) & 127) - 64
+    hi = (x - lo) >> 7
+    return hi.astype(jnp.int8), lo.astype(jnp.int8)
+
+
+def _window_energies(p2, *, size, r, ny, nx):
+    """Per-(block, dy, dx) window energies from a plane-level integral
+    image. int32 cumsum may wrap, but two's-complement differences are
+    exact whenever the true window sum fits int32."""
+    nyx = 2 * r + 1
+    ii = jnp.pad(jnp.cumsum(jnp.cumsum(p2, axis=0), axis=1),
+                 ((1, 0), (1, 0)))
+    box = (ii[size:, size:] - ii[:-size, size:]
+           - ii[size:, :-size] + ii[:-size, :-size])
+    rows = (jnp.arange(ny)[:, None] * size
+            + jnp.arange(nyx)[None, :]).reshape(-1)
+    cols = (jnp.arange(nx)[:, None] * size
+            + jnp.arange(nyx)[None, :]).reshape(-1)
+    return (jnp.take(jnp.take(box, rows, axis=0), cols, axis=1)
+            .reshape(ny, nyx, nx, nyx).transpose(0, 2, 1, 3)
+            .reshape(ny * nx, nyx, nyx))
+
+
+def _ssd_table_deep(roi, orig, *, size, r, ny, nx, depth, shard=None):
+    """Exact int32 SSD tables for deep bit depths (Main10/Main12).
+
+    Samples are centred at mid-range and (for depth > 10) pre-shifted to
+    a 10-bit effective depth; the centred value a' in [-512, 511] splits
+    as 128*hi + lo so a'.b' = 16384 hA.hB + 128 (hA.lB + lA.hB) + lA.lB
+    with hA.lB + lA.hB = (hA+lA)(hB+lB) - hA.hB - lA.lB — three int8
+    grouped MXU convs, all partial sums and the final SSD exact in int32
+    for block sizes up to 32x32 at 10 effective bits.
+    """
+    shift = max(0, depth - 10)
+    ds = depth - shift
+    mid = 1 << (ds - 1)
+    aw = 2 * r + size
+    nyx = 2 * r + 1
+    n = ny * nx
+    bc = ((orig[:ny * size, :nx * size].astype(jnp.int32) >> shift) - mid)
+    bc = (bc.reshape(ny, size, nx, size).transpose(0, 2, 1, 3)
+          .reshape(n, size, size))
+    rc = (roi.astype(jnp.int32) >> shift) - mid
+    hb, lb = _split128(bc)
+    hr, lr = _split128(rc)
+    sb = (hb.astype(jnp.int32) + lb).astype(jnp.int8)
+    sr = (hr.astype(jnp.int32) + lr).astype(jnp.int8)
+    ah = _stack_areas(hr, size=size, aw=aw, ny=ny, nx=nx)
+    al = _stack_areas(lr, size=size, aw=aw, ny=ny, nx=nx)
+    as_ = _stack_areas(sr, size=size, aw=aw, ny=ny, nx=nx)
+    if shard is not None:
+        ah, al, as_ = shard(ah), shard(al), shard(as_)
+        hb, lb, sb = shard(hb), shard(lb), shard(sb)
+    chh = _corr_grouped(ah, hb, n, nyx)
+    cll = _corr_grouped(al, lb, n, nyx)
+    css = _corr_grouped(as_, sb, n, nyx)
+    corr = (chh << 14) + ((css - chh - cll) << 7) + cll
+    win = _window_energies(rc * rc, size=size, r=r, ny=ny, nx=nx)
+    b2 = jnp.sum(bc * bc, axis=(1, 2))
+    ssd = win + b2[:, None, None] - 2 * corr
+    return shard(ssd) if shard is not None else ssd
+
+
 def _med3(a, b, c):
     return jnp.maximum(jnp.minimum(jnp.maximum(a, b), c),
                        jnp.minimum(a, b))
@@ -137,38 +229,51 @@ def _argmin_two_pass(ssd, bits0, lam_q8, *, r, ny, nx):
     return jnp.where(c_g + (c_loc >> 3) < c_loc, idx_g, idx_loc)
 
 
+def _lam_shift(depth: int) -> int:
+    """Rate-term scale: our SSD at effective depth ds = min(depth, 10) is
+    2^(2*(ds-8)) times the 8-bit-equivalent distortion HM's lambda is
+    calibrated for, so lambda scales up by the same factor."""
+    return 2 * (min(depth, 10) - 8) if depth > 8 else 0
+
+
 def me_idx_frame(orig, ref_padded, bits0, lam_q8, *, size, r, ny, nx,
-                 pad, shard=None):
+                 pad, depth=8, shard=None):
     """One frame's two-pass SSD argmin indices (traceable; used directly
     and under vmap/shard by hevc_tpu.parallel). `shard`, when given, is a
     sharding-constraint function applied to the per-block tensors
     (spatial block-axis parallelism over a mesh)."""
     roi = ref_padded[pad - r:pad - r + (ny - 1) * size + 2 * r + size,
                      pad - r:pad - r + (nx - 1) * size + 2 * r + size]
-    ssd = _ssd_table(roi, orig, size=size, r=r, ny=ny, nx=nx, shard=shard)
+    if depth > 8:
+        ssd = _ssd_table_deep(roi, orig, size=size, r=r, ny=ny, nx=nx,
+                              depth=depth, shard=shard)
+        lam_q8 = lam_q8 << _lam_shift(depth)
+    else:
+        ssd = _ssd_table(roi, orig, size=size, r=r, ny=ny, nx=nx,
+                         shard=shard)
     return _argmin_two_pass(ssd, bits0, lam_q8, r=r, ny=ny, nx=nx)
 
 
 @functools.partial(jax.jit, static_argnames=("size", "r", "ny", "nx",
-                                             "pad"))
+                                             "pad", "depth"))
 def _me_idx_frame_jit(orig, ref_padded, bits0, lam_q8, *, size, r, ny, nx,
-                      pad):
+                      pad, depth=8):
     return me_idx_frame(orig, ref_padded, bits0, lam_q8, size=size, r=r,
-                        ny=ny, nx=nx, pad=pad)
+                        ny=ny, nx=nx, pad=pad, depth=depth)
 
 
 @functools.partial(jax.jit, static_argnames=("size", "r", "ny", "nx",
-                                             "pad"))
+                                             "pad", "depth"))
 def _me_idx_multi_jit(orig, refs_stacked, bits0, lam_q8, *, size, r, ny,
-                      nx, pad):
+                      nx, pad, depth=8):
     def one(refp):
         return me_idx_frame(orig, refp, bits0, lam_q8, size=size, r=r,
-                            ny=ny, nx=nx, pad=pad)
+                            ny=ny, nx=nx, pad=pad, depth=depth)
     return jax.vmap(one)(refs_stacked)
 
 
 def me_grids_multi(orig_dev, ref_devs, size: int, r: int, lam_fp: int, *,
-                   pad: int):
+                   pad: int, depth: int = 8):
     """MV grids for several references in ONE device dispatch (the
     reference searches each refIdx separately, TEncSearch.cpp:3027; here
     the reference axis vmaps over the same MXU search). The ref count is
@@ -188,7 +293,7 @@ def me_grids_multi(orig_dev, ref_devs, size: int, r: int, lam_fp: int, *,
     idx = np.asarray(_me_idx_multi_jit(
         orig_dev, stacked, jnp.asarray(bits0_table(r)),
         jnp.int32(lam_q8_of(lam_fp)), size=size, r=r, ny=ny, nx=nx,
-        pad=pad))
+        pad=pad, depth=depth))
     out = []
     for k in range(nref):
         gy = (idx[k] // nyx - r).astype(np.int32).reshape(ny, nx)
@@ -205,7 +310,7 @@ def bits0_table(r: int) -> np.ndarray:
 
 
 def me_grid_ssd(orig_y, ref_padded_y, size: int, r: int, lam_fp: int, *,
-                pad: int):
+                pad: int, depth: int = 8):
     """(gx, gy) int32 MV grids for the aligned block grid — the device
     entry point (ref_padded_y may be a device array from the ref cache)."""
     h, w = orig_y.shape[:2]
@@ -217,7 +322,7 @@ def me_grid_ssd(orig_y, ref_padded_y, size: int, r: int, lam_fp: int, *,
     idx = np.asarray(_me_idx_frame_jit(
         jnp.asarray(orig_y), ref_padded_y, jnp.asarray(bits0_table(r)),
         jnp.int32(lam_q8_of(lam_fp)), size=size, r=r, ny=ny, nx=nx,
-        pad=pad))
+        pad=pad, depth=depth))
     gy = (idx // nyx - r).astype(np.int32).reshape(ny, nx)
     gx = (idx % nyx - r).astype(np.int32).reshape(ny, nx)
     return gx, gy
@@ -226,33 +331,34 @@ def me_grid_ssd(orig_y, ref_padded_y, size: int, r: int, lam_fp: int, *,
 # ---------------------------------------------------------------------
 # numpy twin (CPU backend; bit-identical decisions to the XLA path)
 # ---------------------------------------------------------------------
-def _ssd_np(areas, blks, size, nyx):
+def _ssd_np(areas, blks, size, nyx, mid=128):
     """Exact SSD tables on the host, via the same decomposition as the
     device path (window energy + block energy - 2*correlation). The
     correlation runs as per-row einsums over x-windows in float64 —
-    exact for 8-bit samples (|sums| << 2^53) and ~10x faster than a
-    per-position sweep."""
+    exact whenever |sums| << 2^53 (true for 8- and 10-bit samples) and
+    ~10x faster than a per-position sweep. `mid` is the centring offset
+    (128 for 8-bit; 2^(ds-1) for the deep path's effective depth ds)."""
     n = areas.shape[0]
-    a = (areas - 128).astype(np.float64)
-    b = (blks - 128).astype(np.float64)
+    a = (areas - mid).astype(np.float64)
+    b = (blks - mid).astype(np.float64)
     av = np.lib.stride_tricks.sliding_window_view(a, size, axis=2)
     corr = np.zeros((n, nyx, nyx))
     for r in range(size):
         corr += np.einsum('nyxc,nc->nyx', av[:, r:r + nyx, :nyx, :],
                           b[:, r, :], optimize=True)
     corr = np.rint(corr).astype(np.int64)
-    a2 = ((areas - 128) ** 2).astype(np.int64)
+    a2 = ((areas - mid) ** 2).astype(np.int64)
     ii = np.pad(a2.cumsum(axis=1).cumsum(axis=2),
                 ((0, 0), (1, 0), (1, 0)))
     win = (ii[:, size:size + nyx, size:size + nyx]
            - ii[:, :nyx, size:size + nyx]
            - ii[:, size:size + nyx, :nyx] + ii[:, :nyx, :nyx])
-    b2 = ((blks - 128) ** 2).sum((1, 2))[:, None, None]
+    b2 = ((blks - mid) ** 2).sum((1, 2))[:, None, None]
     return (win + b2 - 2 * corr).astype(np.int32)
 
 
 def me_grid_ssd_np(orig_y, ref_padded_y, size: int, r: int, lam_fp: int, *,
-                   pad: int):
+                   pad: int, depth: int = 8):
     h, w = orig_y.shape[:2]
     ny = (h - size) // size + 1 if h >= size else 0
     nx = (w - size) // size + 1 if w >= size else 0
@@ -261,15 +367,17 @@ def me_grid_ssd_np(orig_y, ref_padded_y, size: int, r: int, lam_fp: int, *,
     nyx = 2 * r + 1
     n = ny * nx
     aw = 2 * r + size
-    blks = (orig_y[:ny * size, :nx * size].astype(np.int64)
+    shift = max(0, depth - 10) if depth > 8 else 0
+    mid = 1 << (depth - shift - 1) if depth > 8 else 128
+    blks = ((orig_y[:ny * size, :nx * size].astype(np.int64) >> shift)
             .reshape(ny, size, nx, size).transpose(0, 2, 1, 3)
             .reshape(n, size, size))
     winv = np.lib.stride_tricks.sliding_window_view(
-        ref_padded_y.astype(np.int64), (aw, aw))[pad - r::size,
-                                                 pad - r::size]
+        ref_padded_y.astype(np.int64) >> shift, (aw, aw))[pad - r::size,
+                                                          pad - r::size]
     areas = winv[:ny, :nx].reshape(n, aw, aw)
-    ssd = _ssd_np(areas, blks, size, nyx)
-    lam = lam_q8_of(lam_fp)
+    ssd = _ssd_np(areas, blks, size, nyx, mid=mid)
+    lam = lam_q8_of(lam_fp) << _lam_shift(depth)
 
     def bits_of(v):
         t = np.where(v <= 0, ((-v) << 1) + 1, v << 1).astype(np.int64)
