@@ -26,6 +26,12 @@ from .inter_frame import PFrameEncoder
 
 class EncoderTop:
     def __init__(self, cfg: EncoderConfig):
+        # the supported-surface contract (io.cfg.validate) holds for every
+        # entry point, not just the CLI: library users / bench / parallel
+        # get the same xConfirmPara rejects (reference TAppEncCfg.cpp:1691
+        # runs for every encode). Tool hints stay silent here.
+        from ..io.cfg import validate
+        validate(cfg, warn=lambda m: None)
         self.cfg = cfg
         self.sps = SPS(
             pic_width_in_luma_samples=cfg.width,

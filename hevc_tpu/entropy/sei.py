@@ -218,15 +218,19 @@ def write_pic_timing_sei(pic_struct: int, source_scan_type: int = 0,
                          frame_field_info: bool = True) -> bytes:
     """pic_timing SEI (spec D.2.3; reference
     SEIEncoder::initSEIPictureTiming): frame-field info and, when HRD
-    parameters are active, the CPB removal / DPB output delays."""
+    parameters are active, the CPB removal / DPB output delays.
+    `cpb_removal_delay` is the AU count since the buffering period; the
+    au_cpb_removal_delay_minus1 field carries max(1, delay) - 1 clamped
+    to the signalled length (reference SEIwrite.cpp:308 writes delay-1
+    with delay = max(1, totalCoded - lastBP), TEncGOP.cpp:542)."""
     p = BitWriter()
     if frame_field_info:
         p.u(pic_struct, 4)
         p.u(source_scan_type, 2)
         p.flag(duplicate_flag)
     if hrd is not None:
-        p.u(cpb_removal_delay,
-            hrd.au_cpb_removal_delay_length_minus1 + 1)
+        n = hrd.au_cpb_removal_delay_length_minus1 + 1
+        p.u(min(max(1, cpb_removal_delay) - 1, (1 << n) - 1), n)
         p.u(dpb_output_delay, hrd.dpb_output_delay_length_minus1 + 1)
     _payload_align(p)
     return _sei_rbsp(PIC_TIMING, p)
