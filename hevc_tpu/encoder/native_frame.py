@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os as _os
 from typing import List, Optional
 
 import jax
@@ -132,7 +133,6 @@ class NativeFrameEncoder:
                 dt = np.uint8 if depth <= 8 else np.int16
                 orig_dev = jax.device_put(
                     np.ascontiguousarray(orig[0].astype(dt)))
-            import os as _os
             me_x, me_y = [], []
             all_dev = (orig_dev is not None and self.me_provider is None
                        and _os.environ.get("HEVC_TPU_ME_MULTI", "1") != "0"
@@ -174,8 +174,7 @@ class NativeFrameEncoder:
                         depth=depth)
                     me1_x.append(gx)
                     me1_y.append(gy)
-            import os
-            if os.environ.get("HEVC_TPU_CU16", "0") != "0":
+            if _os.environ.get("HEVC_TPU_CU16", "0") != "0":
                 # deeper inter partitioning: RD-neutral on low-motion
                 # content but costs a second device search; opt-in
                 me16_x, me16_y = [], []
@@ -188,6 +187,15 @@ class NativeFrameEncoder:
                     me16_x.append(gx)
                     me16_y.append(gy)
             timers_cm.__exit__(None, None, None)
+        intra_hints = None
+        if (self.sp.slice_type == 2 and _os.environ.get(
+                "HEVC_TPU_INTRA_SCREEN", "1") != "0"):
+            # device 35-mode prescreen: candidate lists + split-screen
+            # costs for the whole frame in batched launches
+            from ..ops.intra_screen import screen_frame
+            with timers.section("intra_device"):
+                intra_hints = screen_frame(orig[0], sps.bit_depth_luma,
+                                           self.sqrt_lam)
         ep = EngineParamsC(
             pad=PAD, cu_depth_target=self.cu_depth_target,
             strong_smoothing=sps.strong_intra_smoothing_enabled_flag,
@@ -208,11 +216,15 @@ class NativeFrameEncoder:
                         sp_i, ep, senc_i, orig, recon, self.ref,
                         self.ref1 if self.is_b else self.ref,
                         me_x, me_y, me16_x, me16_y, me1_x, me1_y)
+                    if intra_hints:
+                        eng.set_intra_hints(intra_hints)
                     engine_encode_frame_order(eng, ctus, ctus_w, fd)
             return fd, recon
         eng = NativeCtuEngine(self.sp, ep, self.senc, orig, recon,
                               self.ref, self.ref1 if self.is_b else self.ref,
                               me_x, me_y, me16_x, me16_y, me1_x, me1_y)
+        if intra_hints:
+            eng.set_intra_hints(intra_hints)
         with timers.section("engine_host"):
             if self.sp.tile_cols > 1 or self.sp.tile_rows > 1:
                 order = tile_scan_order(w, h, ctu, self.sp.tile_cols,

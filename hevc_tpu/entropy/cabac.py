@@ -113,6 +113,10 @@ def get_lib() -> ctypes.CDLL:
         + [pp32, pp32, ctypes.c_int, ctypes.c_int]
         + [pp32, pp32])
     lib.hevc_engine_destroy.argtypes = [ctypes.c_void_p]
+    lib.hevc_engine_set_intra_hints.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int]
     lib.hevc_engine_ctu.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         u8p, u8p, u8p, u8p, u8p, i16p, i16p, i16p,
@@ -453,6 +457,24 @@ class NativeCtuEngine:
             g1xp, g1yp)
         self._ctu = params.ctu_size
         self._cfmt = params.chroma_format
+
+    def set_intra_hints(self, hints) -> None:
+        """hints: {log2: (cands uint8 [ny, nx, k], costs int64 [ny, nx]
+        or None)} from the device 35-mode prescreen
+        (hevc_tpu.ops.intra_screen)."""
+        for log2, (cands, costs) in hints.items():
+            cands = np.ascontiguousarray(cands, np.uint8)
+            self._keep.append(cands)
+            cp = None
+            if costs is not None:
+                costs = np.ascontiguousarray(costs, np.int64)
+                self._keep.append(costs)
+                cp = costs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+            ny, nx, k = cands.shape
+            self._lib.hevc_engine_set_intra_hints(
+                self._h, int(log2),
+                cands.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), k,
+                cp, ny, nx)
 
     def encode_ctu(self, ctu_x: int, ctu_y: int) -> CtuDecisions:
         d = CtuDecisions(self._ctu, chroma_format=self._cfmt)

@@ -193,6 +193,15 @@ void* hevc_engine_create(const SliceParams* sp, const EngineParams* ep,
 
 void hevc_engine_destroy(void* h) { delete (CtuEngine*)h; }
 
+// device intra prescreen (top-k candidate modes + screen costs) for
+// blocks of size 1<<log2; buffers owned by the caller, alive for the
+// engine lifetime
+void hevc_engine_set_intra_hints(void* h, int log2, const uint8_t* cands,
+                                 int k, const int64_t* costs, int ny,
+                                 int nx) {
+  ((CtuEngine*)h)->set_intra_hints(log2, cands, k, costs, ny, nx);
+}
+
 void hevc_engine_ctu(void* h, int cx, int cy, uint8_t* cu_depth,
                      uint8_t* nxn_flag, uint8_t* luma_mode,
                      uint8_t* chroma_mode, uint8_t* tu_depth,

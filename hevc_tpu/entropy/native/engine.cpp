@@ -636,6 +636,38 @@ void CtuEngine::encode_ctu(int cx, int cy, const MutCtuData& d) {
   }
 }
 
+void CtuEngine::set_intra_hints(int log2, const uint8_t* cands, int k,
+                                const int64_t* costs, int ny, int nx) {
+  if (log2 < 2 || log2 > 6) return;
+  ih_[log2] = IntraHints{cands, costs, k, ny, nx};
+}
+
+// Candidate mode list for the recon-reference SATD loops: the device
+// prescreen's top-k for this block plus the 3 MPMs (deduplicated), or
+// all 35 when no hints cover the block (reference estIntraPredLumaQT's
+// uiRdModeList + MPM append, TEncSearch.cpp:2288). Returns the count.
+int CtuEngine::intra_try_list(int x0, int y0, int log2, const int cand[3],
+                              int* modes_try) const {
+  int n = 1 << log2;
+  const IntraHints& hh = ih_[log2];
+  int nm = 0;
+  if (hh.cands && (x0 & (n - 1)) == 0 && (y0 & (n - 1)) == 0 &&
+      (y0 >> log2) < hh.ny && (x0 >> log2) < hh.nx) {
+    const uint8_t* cm =
+        hh.cands + (size_t)((y0 >> log2) * hh.nx + (x0 >> log2)) * hh.k;
+    for (int i = 0; i < hh.k; ++i) modes_try[nm++] = cm[i];
+    for (int i = 0; i < 3; ++i) {
+      bool dup = false;
+      for (int j = 0; j < nm; ++j)
+        if (modes_try[j] == cand[i]) { dup = true; break; }
+      if (!dup) modes_try[nm++] = cand[i];
+    }
+    return nm;
+  }
+  for (int m = 0; m < 35; ++m) modes_try[nm++] = m;
+  return nm;
+}
+
 int64_t CtuEngine::intra_screen_cost(int x0, int y0, int log2) {
   int n = 1 << log2;
   int32_t f[4 * 32 + 1], ff[4 * 32 + 1];
@@ -644,15 +676,18 @@ int64_t CtuEngine::intra_screen_cost(int x0, int y0, int log2) {
   dsp::intra_filter_refs(f, n, bd_, strong, ff);
   int cand[3];
   mpm(x0, y0, cand);
+  int modes_try[38];
+  int nm = intra_try_list(x0, y0, log2, cand, modes_try);
   int32_t pred[32 * 32];
   const int16_t* oy = orig_[0] + y0 * w_ + x0;
   int64_t best = 0;
-  for (int mode = 0; mode < 35; ++mode) {
+  for (int mi = 0; mi < nm; ++mi) {
+    int mode = modes_try[mi];
     const int32_t* fsel = dsp::intra_filter_flag(mode, n, true) ? ff : f;
     dsp::intra_predict(fsel, f, mode, n, bd_, true, pred);
     int64_t c = dsp::satd(oy, w_, pred, n, n) +
                 lam_bits(mode_bits(mode, cand));
-    if (mode == 0 || c < best) best = c;
+    if (mi == 0 || c < best) best = c;
   }
   return best;
 }
@@ -663,12 +698,13 @@ int64_t CtuEngine::intra_screen_cost(int x0, int y0, int log2) {
 // current recon; unavailable references substitute) cost less.
 void CtuEngine::intra_cu_decide(int x0, int y0, int log2,
                                 const MutCtuData& d, int ctu_x0,
-                                int ctu_y0) {
+                                int ctu_y0, int64_t whole_hint) {
   int bw4 = ctu_ / 4;
   if (log2 > sp_.min_cb_log2 &&
       x0 + (1 << log2) <= w_ && y0 + (1 << log2) <= h_) {
     int h = 1 << (log2 - 1);
-    int64_t whole = intra_screen_cost(x0, y0, log2);
+    int64_t whole = whole_hint >= 0 ? whole_hint
+                                    : intra_screen_cost(x0, y0, log2);
     int64_t split = lam_bits(8);  // split flag + extra part/mode signalling
     for (int i = 0; i < 4 && split < whole; ++i)
       split += intra_screen_cost(x0 + (i & 1) * h, y0 + (i >> 1) * h,
@@ -704,16 +740,19 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
 
   int cand[3];
   mpm(x0, y0, cand);
+  int modes_try[38];
+  int nm = intra_try_list(x0, y0, log2, cand, modes_try);
   int best_mode = 0;
   int64_t best_cost = 0;
   int32_t pred[32 * 32], best_pred[32 * 32];
   const int16_t* oy = orig_[0] + y0 * w_ + x0;
-  for (int mode = 0; mode < 35; ++mode) {
+  for (int mi = 0; mi < nm; ++mi) {
+    int mode = modes_try[mi];
     const int32_t* fsel = dsp::intra_filter_flag(mode, n, true) ? ff : f;
     dsp::intra_predict(fsel, f, mode, n, bd_, true, pred);
     int64_t cost = dsp::satd(oy, w_, pred, n, n) +
                    lam_bits(mode_bits(mode, cand));
-    if (mode == 0 || cost < best_cost) {
+    if (mi == 0 || cost < best_cost) {
       best_cost = cost;
       best_mode = mode;
       std::memcpy(best_pred, pred, sizeof(int32_t) * n * n);

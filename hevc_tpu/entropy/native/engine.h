@@ -28,6 +28,18 @@ struct EngineParams {
   double sqrt_lam;           // sqrt(lambda) for SATD mode costs
 };
 
+// Device intra prescreen for one block size: top-k candidate modes and
+// best SATD+lambda*bits screen cost per aligned block (the batched
+// 35-mode predict+SATD kernel in hevc_tpu/ops/intra.py — reference
+// TEncSearch::estIntraPredLumaQT's candidate list, TEncSearch.cpp:2184,
+// computed for the whole frame in one launch from original-pixel
+// reference samples).
+struct IntraHints {
+  const uint8_t* cands = nullptr;  // [ny * nx * k] modes, best first
+  const int64_t* costs = nullptr;  // [ny * nx] best screen cost
+  int32_t k = 0, ny = 0, nx = 0;
+};
+
 class CtuEngine {
  public:
   // ref0/ref1: per-list reference plane pointers, ref0[r * 3 + comp]
@@ -46,6 +58,10 @@ class CtuEngine {
             const int32_t* const* me1_mvx = nullptr,
             const int32_t* const* me1_mvy = nullptr);
   void encode_ctu(int cx, int cy, const MutCtuData& d);
+  // install the device prescreen for blocks of size 1<<log2 (pointers
+  // must stay alive for the engine lifetime; caller owns them)
+  void set_intra_hints(int log2, const uint8_t* cands, int k,
+                       const int64_t* costs, int ny, int nx);
 
  private:
   // RDOQ dispatch: context-exact rdoq_quant (default) or the legacy
@@ -70,9 +86,15 @@ class CtuEngine {
   // SATD+lambda*bits screen of the best intra mode at (x0,y0,log2) from the
   // current recon state, without committing anything
   int64_t intra_screen_cost(int x0, int y0, int log2);
-  // recursive RD-ish intra CU decision: code at this depth or split
+  // prescreen-restricted candidate mode list (all 35 without hints)
+  int intra_try_list(int x0, int y0, int log2, const int cand[3],
+                     int* modes_try) const;
+  // recursive RD-ish intra CU decision: code at this depth or split.
+  // whole_hint (>= 0): this block's screen cost already computed by the
+  // parent's quadrant loop — the recon state is unchanged since, so it
+  // is reused instead of recomputed.
   void intra_cu_decide(int x0, int y0, int log2, const MutCtuData& d,
-                       int ctu_x0, int ctu_y0);
+                       int ctu_x0, int ctu_y0, int64_t whole_hint = -1);
   void encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
                        int ctu_x0, int ctu_y0);
   // 64x64 inter decision: code the whole CTU as one CU (merge/skip or a
@@ -125,6 +147,7 @@ class CtuEngine {
   // chroma QP: the 4:2:0 mapping table, or Min(qp, 51) otherwise
   // (spec 8.6.1 ChromaArrayType rule)
   int chroma_qp_of(int qp) const;
+  IntraHints ih_[7] = {};  // indexed by log2 (2..6)
   int w_, h_, ctu_, bd_;
   int csx_ = 1;   // chroma subsampling shift (1 = 4:2:0, 0 = 4:4:4)
   // Per-CTU quantization state. One engine is shared by the wavefront

@@ -216,20 +216,18 @@ def _filter_luma_dir(y: np.ndarray, bs4: np.ndarray, qp: int, bd: int,
     h, w = y.shape
     scale = 1 << (bd - 8)
     maxv = (1 << bd) - 1
-    # candidate edges: columns multiple of 8, per 4-row segment
-    segs = []  # (x, ys, bs)
-    cols = range(8, w, 8)
-    for x in cols:
-        col_bs = bs4[:, x >> 2]
-        rows = np.nonzero(col_bs > 0)[0]
-        for by in rows:
-            segs.append((x, by * 4, int(col_bs[by])))
-    if not segs:
+    # candidate edges: columns multiple of 8, per 4-row segment; one
+    # nonzero over the [h/4, w/8] BS sub-grid (no Python per-edge loop)
+    sub = bs4[:, 2::2][:, :(w - 9) // 8 + 1] if w > 8 else None
+    if sub is None or sub.size == 0:
         return
-    xs = np.array([s[0] for s in segs])
-    ys = np.array([s[1] for s in segs])
-    bss = np.array([s[2] for s in segs])
-    n = len(segs)
+    rows_nz, cols_nz = np.nonzero(sub > 0)
+    if rows_nz.size == 0:
+        return
+    xs = (cols_nz + 1) * 8
+    ys = rows_nz * 4
+    bss = sub[rows_nz, cols_nz].astype(np.int64)
+    n = len(xs)
     # gather 4x8 patches [n, 4, 8]: rows ys..ys+3, cols xs-4..xs+3
     row_idx = ys[:, None, None] + np.arange(4)[None, :, None]
     col_idx = xs[:, None, None] + np.arange(-4, 4)[None, None, :]
@@ -324,16 +322,18 @@ def _filter_chroma_dir(c: np.ndarray, bs4: np.ndarray, qp_c: int, bd: int,
     scale = 1 << (bd - 8)
     maxv = (1 << bd) - 1
     rows_per = 4 >> cshift            # chroma rows per luma 4-row segment
-    segs = []
-    for x in range(8, w, 8):          # chroma x -> luma (x << cshift)
-        col_bs = bs4[:, (x << cshift) >> 2]
-        for by in range(bs4.shape[0]):
-            if col_bs[by] == 2:
-                segs.append((x, by * rows_per))
-    if not segs:
+    # chroma x in {8, 16, ...} -> luma BS column ((x << cshift) >> 2);
+    # BS==2 edges only, vectorized over the sub-grid
+    nxe = (w - 9) // 8 + 1 if w > 8 else 0
+    if nxe <= 0:
         return
-    xs = np.array([s[0] for s in segs])
-    ys = np.array([s[1] for s in segs])
+    step = 2 << cshift
+    sub = bs4[:, step::step][:, :nxe]
+    rows_nz, cols_nz = np.nonzero(sub == 2)
+    if rows_nz.size == 0:
+        return
+    xs = (cols_nz + 1) * 8
+    ys = rows_nz * rows_per
     row_idx = ys[:, None, None] + np.arange(rows_per)[None, :, None]
     col_idx = xs[:, None, None] + np.arange(-2, 2)[None, None, :]
     patch = c[row_idx, col_idx].astype(np.int64)
