@@ -80,18 +80,26 @@ def main(argv=None) -> int:
                     wr.write(planes_out)
 
     with open(cfg.bitstream_file, "wb") as out:
-        for i in range(n):
-            planes = rd.read()
-            if planes is None:
-                break
+        planes = rd.read() if n > 0 else None
+        if planes is not None and not cfg.field_coding:
+            enc.prefetch_intra_screen(planes)
+        i = 0
+        while planes is not None and i < n:
+            nxt = rd.read() if i + 1 < n else None
             if cfg.field_coding:
                 first, second = (0, 1) if cfg.top_field_first else (1, 0)
                 out.write(enc.encode_frame([pl[first::2] for pl in planes]))
                 report()
                 out.write(enc.encode_frame([pl[second::2] for pl in planes]))
             else:
+                if nxt is not None:
+                    # one-frame lookahead: the next frame's device intra
+                    # prescreen runs under this frame's host work
+                    enc.prefetch_intra_screen(nxt)
                 out.write(enc.encode_frame(planes))
             report()
+            planes = nxt
+            i += 1
         out.write(enc.flush())
         report()
     dt = time.time() - t0

@@ -69,7 +69,8 @@ class NativeFrameEncoder:
                  sp: SliceParamsC, *, qp_factor: float = 0.57,
                  is_b: bool = False, ref_planes=None, ref1_planes=None,
                  search_range: int = 24, cu_depth_target: int = 1,
-                 me_provider=None, ref_dev=None, ref1_dev=None):
+                 me_provider=None, ref_dev=None, ref1_dev=None,
+                 intra_screen=None):
         """ref_planes / ref1_planes: a single [Y, Cb, Cr] plane list or a
         list of them — one entry per active reference of the list
         (reference TEncSearch::predInterSearch per-refIdx loop,
@@ -106,6 +107,10 @@ class NativeFrameEncoder:
         # optional callable(size, range, lam_fp) -> (gx, gy) or None:
         # precomputed (mesh-sharded lookahead) integer-ME grids (ref 0)
         self.me_provider = me_provider
+        # optional zero-arg resolver for an already-dispatched device
+        # intra prescreen (EncoderTop's one-frame lookahead hides the
+        # device round trip behind the previous frame's host work)
+        self.intra_screen = intra_screen
 
     def encode_frame(self, orig: List[np.ndarray], slices=None):
         """slices: optional [(sp_i, senc_i, [(cx, cy), ...]), ...] for
@@ -190,12 +195,15 @@ class NativeFrameEncoder:
         intra_hints = None
         if (self.sp.slice_type == 2 and _os.environ.get(
                 "HEVC_TPU_INTRA_SCREEN", "1") != "0"):
-            # device 35-mode prescreen: candidate lists + split-screen
-            # costs for the whole frame in batched launches
-            from ..ops.intra_screen import screen_frame
+            # device 35-mode prescreen: per-block candidate mode lists
+            # for the whole frame in batched launches
             with timers.section("intra_device"):
-                intra_hints = screen_frame(orig[0], sps.bit_depth_luma,
-                                           self.sqrt_lam)
+                if self.intra_screen is not None:
+                    intra_hints = self.intra_screen()
+                else:
+                    from ..ops.intra_screen import screen_frame
+                    intra_hints = screen_frame(
+                        orig[0], sps.bit_depth_luma, self.sqrt_lam)
         ep = EngineParamsC(
             pad=PAD, cu_depth_target=self.cu_depth_target,
             strong_smoothing=sps.strong_intra_smoothing_enabled_flag,

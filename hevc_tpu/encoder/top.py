@@ -11,6 +11,7 @@ and hash-SEI assembly :1593-1692). Supports three GOP shapes:
 from __future__ import annotations
 
 import os
+from collections import deque
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -130,6 +131,9 @@ class EncoderTop:
             self.sps.vui_num_units_in_tick = 1
             self.sps.vui_time_scale = int(round(cfg.frame_rate or 30))
         self._au_count_since_bp = 0
+        # FIFO of dispatched-but-unresolved intra prescreens (one entry
+        # per not-yet-encoded frame, in display order)
+        self._intra_screen_q = deque()
         if cfg.vui or cfg.field_coding:
             # VUI timing info (annex E.2.1; reference TEncTop xInitSPS VUI
             # block). For field coding each coded picture is one field:
@@ -231,6 +235,24 @@ class EncoderTop:
         return ref
 
     # ------------------------------------------------------------------
+    def prefetch_intra_screen(self, planes: List[np.ndarray]) -> None:
+        """Dispatch the device intra prescreen for the NEXT frame (all-
+        intra sequences). The dispatch is asynchronous; by the time the
+        next encode_frame() needs the candidate lists the device has
+        computed them under the current frame's host work — hiding the
+        device round trip entirely. Safe no-op otherwise."""
+        import math as _math
+        import os as _osm
+        if (self.cfg.intra_period != 1
+                or _osm.environ.get("HEVC_TPU_INTRA_SCREEN", "1") == "0"
+                or _osm.environ.get("HEVC_TPU_NATIVE_RECON", "1") == "0"):
+            return
+        from ..ops.intra_screen import screen_frame_async
+        lam = 0.57 * (2.0 ** ((self.cfg.qp - 12) / 3.0))
+        self._intra_screen_q.append(screen_frame_async(
+            np.ascontiguousarray(planes[0], np.int16),
+            self.cfg.internal_bit_depth, _math.sqrt(lam)))
+
     def encode_frame(self, planes: List[np.ndarray]) -> bytes:
         """Submit one frame in display order; returns the Annex-B bytes of
         every access unit that became encodable (possibly empty for RA)."""
@@ -450,7 +472,10 @@ class EncoderTop:
                 set_collocated(senc, self.dpb_motion[l0_poc], True)
             if use_native:
                 from .native_frame import NativeFrameEncoder
-                fe = NativeFrameEncoder(self.sps, slice_qp, senc, sp)
+                scr = (self._intra_screen_q.popleft()
+                       if self._intra_screen_q else None)
+                fe = NativeFrameEncoder(self.sps, slice_qp, senc, sp,
+                                        intra_screen=scr)
             else:
                 fe = IntraFrameEncoder(self.sps, slice_qp)
             ref_pocs = ((), ())

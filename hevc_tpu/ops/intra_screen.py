@@ -5,7 +5,7 @@ builds a per-PU candidate mode list by Hadamard-SATD over all 35 modes
 before the expensive RD loop. Re-designed TPU-first: every aligned block
 of one size forms a batch; reference vectors come from ORIGINAL pixels
 (blocks are then independent, so the whole frame's 35-mode predict+SATD
-runs as ONE fused launch of hevc_tpu.ops.intra.predict_all_modes +
+runs as batched launches of hevc_tpu.ops.intra.predict_all_modes +
 ops.satd.satd_batch — the same original-pixels batching trick the ME
 path uses). The native engine consumes the top-k candidate modes per
 block to restrict its recon-reference SATD+bits mode decision
@@ -18,11 +18,12 @@ references sit inside the parent) and over-split.
 k follows the reference's g_aucIntraModeNumFast (TComRom.cpp:60): 8
 candidates for 8x8, 3 for 16x16/32x32.
 
-All block sizes are computed in ONE jitted program per resolution, with
-the static gather tables embedded as constants — per frame the host
-uploads one int16 plane and reads back the packed candidate lists in a
-single device round trip (the tunnel's round-trip latency, not FLOPs,
-bounds this stage at small resolutions).
+Dispatch shape: the padded plane is uploaded once per frame; each
+(size, chunk) runs as its own async jitted dispatch against
+device-cached static gather tables, and the host reads every chunk's
+packed result back at the end (dispatches overlap; only the final
+gather blocks). No lax.map / while-loop chunking — the tunnel backend
+compiles plain fan-out programs far more reliably.
 
 Out-of-frame reference rows/cols (y=-1 of the top block row, x=-1 of
 the left block column) take the mid-level value, approximating the
@@ -44,7 +45,7 @@ from .intra import predict_all_modes
 from .satd import satd_batch
 
 K_OF_LOG2 = {2: 8, 3: 8, 4: 3, 5: 3}
-_CHUNK = 16384  # blocks per lax.map step (bounds the [B, 35, N, N] buffer)
+_CHUNK = 16384  # blocks per dispatch (bounds the [B, 35, N, N] buffer)
 
 
 @functools.lru_cache(maxsize=None)
@@ -89,12 +90,40 @@ def _mode_bits_est(mode: int) -> int:
     return 6
 
 
+@functools.partial(jax.jit, static_argnames=("size", "bit_depth", "k"))
+def _screen_chunk(p16, fi, bi, lam_tab, *, size, bit_depth, k):
+    """One chunk's top-k candidate modes (uint8 [B, k]). p16: padded
+    int16 plane; fi [B, 4n+1] / bi [B, n*n]: flat gather indices."""
+    n = size
+    b = fi.shape[0]
+    p_flat = p16.reshape(-1).astype(jnp.int32)
+    f = jnp.take(p_flat, fi.reshape(-1)).reshape(b, 4 * n + 1)
+    # [1 2 1]/4 smoothing, ends copied (spec 8.4.4.2.3; strong smoothing
+    # is not modelled in the screen)
+    ff = jnp.concatenate([
+        f[:, :1],
+        (f[:, :-2] + 2 * f[:, 1:-1] + f[:, 2:] + 2) >> 2,
+        f[:, -1:]], axis=1)
+    preds = predict_all_modes(f, ff, size=n, bit_depth=bit_depth,
+                              is_luma=True)                  # [B, 35, n, n]
+    blocks = jnp.take(p_flat, bi.reshape(-1)).reshape(b, 1, n, n)
+    satd = satd_batch(preds, blocks, size=n)                 # [B, 35]
+    # int32 throughout (SATD of a 32x32 12-bit block is < 2^27)
+    cost = satd + lam_tab[None, :]
+    _, idx = lax.top_k(-cost, k)
+    return idx.astype(jnp.uint8)
+
+
+@jax.jit
+def _concat_flat(arrs):
+    return jnp.concatenate([a.reshape(-1) for a in arrs])
+
+
 @functools.lru_cache(maxsize=16)
-def _screen_fn(w: int, h: int, bit_depth: int, log2s: tuple):
-    """One jitted program computing every size's candidates for a
-    [h+1, w+1] int16 padded plane; static index tables are embedded as
-    program constants (nothing but the plane crosses the link)."""
-    plans = []
+def _frame_plan(w: int, h: int, log2s: tuple):
+    """Per-resolution dispatch plan: device-resident gather tables for
+    every (size, chunk). Uploaded once per process per resolution."""
+    plan = []
     for log2 in log2s:
         n = 1 << log2
         ny, nx = h // n, w // n
@@ -103,74 +132,80 @@ def _screen_fn(w: int, h: int, bit_depth: int, log2s: tuple):
         k = K_OF_LOG2[log2]
         f_idx, blk_idx = _index_maps(n, ny, nx, w, h)
         b = ny * nx
-        chunk = min(_CHUNK, b)
-        nc = -(-b // chunk)
-        if nc * chunk > b:           # pad by repeating the last block
-            padn = nc * chunk - b
-            f_idx = np.concatenate([f_idx, np.repeat(f_idx[-1:], padn, 0)])
-            blk_idx = np.concatenate(
-                [blk_idx, np.repeat(blk_idx[-1:], padn, 0)])
-        plans.append((log2, n, ny, nx, k, b, chunk, nc,
-                      f_idx.reshape(nc, chunk, -1),
-                      blk_idx.reshape(nc, chunk, -1)))
-
-    def run(p16, lam_tab):
-        p_flat = p16.reshape(-1).astype(jnp.int32)
-        outs = []
-        for (log2, n, ny, nx, k, b, chunk, nc, f_idx, blk_idx) in plans:
-            def step(idxs, n=n, k=k, chunk=chunk):
-                fi, bi = idxs
-                f = jnp.take(p_flat, fi.reshape(-1)).reshape(
-                    chunk, 4 * n + 1)
-                ff = jnp.concatenate([
-                    f[:, :1],
-                    (f[:, :-2] + 2 * f[:, 1:-1] + f[:, 2:] + 2) >> 2,
-                    f[:, -1:]], axis=1)
-                preds = predict_all_modes(f, ff, size=n,
-                                          bit_depth=bit_depth,
-                                          is_luma=True)
-                blocks = jnp.take(p_flat, bi.reshape(-1)).reshape(
-                    chunk, 1, n, n)
-                satd = satd_batch(preds, blocks, size=n)
-                cost = satd + lam_tab[None, :]
-                _, idx = lax.top_k(-cost, k)
-                return idx.astype(jnp.uint8)
-            if nc == 1:
-                cands = step((jnp.asarray(f_idx[0]), jnp.asarray(blk_idx[0])))
+        chunks = []
+        for s in range(0, b, _CHUNK):
+            e = min(s + _CHUNK, b)
+            if e - s < _CHUNK and b > _CHUNK:
+                # pad to the chunk shape so every chunk shares one compile
+                padn = _CHUNK - (e - s)
+                fi = np.concatenate(
+                    [f_idx[s:e], np.repeat(f_idx[e - 1:e], padn, 0)])
+                bi = np.concatenate(
+                    [blk_idx[s:e], np.repeat(blk_idx[e - 1:e], padn, 0)])
             else:
-                cands = lax.map(step, (jnp.asarray(f_idx),
-                                       jnp.asarray(blk_idx))
-                                ).reshape(nc * chunk, k)
-            outs.append(cands[:b].reshape(-1))
-        # one packed buffer -> one host transfer (the tunnel round trip,
-        # not compute, bounds this stage at small resolutions)
-        return jnp.concatenate(outs)
-
-    meta = [(p[0], p[2], p[3], p[4]) for p in plans]
-    return jax.jit(run), meta
+                fi, bi = f_idx[s:e], blk_idx[s:e]
+            chunks.append((s, e, jax.device_put(np.ascontiguousarray(fi)),
+                           jax.device_put(np.ascontiguousarray(bi))))
+        plan.append((log2, n, ny, nx, k, b, chunks))
+    return plan
 
 
-def screen_frame(orig_y: np.ndarray, bit_depth: int, sqrt_lam: float,
-                 log2s=(3, 4, 5)):
-    """Device intra prescreen for every aligned block of sizes 1<<log2s.
+def screen_frame_async(orig_y: np.ndarray, bit_depth: int, sqrt_lam: float,
+                       log2s=(3, 4, 5)):
+    """Dispatch the prescreen and return a zero-arg resolver.
 
-    Returns {log2: (cands uint8 [ny, nx, k], costs=None)} for
-    NativeCtuEngine.set_intra_hints. Runs identically on the CPU backend
-    (pure XLA)."""
+    The dispatches run asynchronously on the device; only the resolver
+    blocks (on the packed readbacks). Callers with a frame of host work
+    between dispatch and use (EncoderTop's prefetch path) hide the whole
+    device round trip behind it."""
     h, w = orig_y.shape
     mid = 1 << (bit_depth - 1)
     p = np.empty((h + 1, w + 1), np.int16)
     p[1:, 1:] = orig_y
     p[0, :] = mid
     p[:, 0] = mid
-    lam_tab = np.array([round(sqrt_lam * _mode_bits_est(m))
-                        for m in range(35)], np.int32)
-    fn, meta = _screen_fn(w, h, bit_depth, tuple(log2s))
-    packed = np.asarray(fn(p, lam_tab))
-    out = {}
-    off = 0
-    for (log2, ny, nx, k) in meta:
-        sz = ny * nx * k
-        out[log2] = (packed[off:off + sz].reshape(ny, nx, k), None)
-        off += sz
-    return out
+    p_dev = jax.device_put(p)
+    lam_tab = jax.device_put(np.array(
+        [round(sqrt_lam * _mode_bits_est(m)) for m in range(35)], np.int32))
+    plan = _frame_plan(w, h, tuple(log2s))
+    pending = []                       # dispatch everything, block once
+    for (log2, n, ny, nx, k, b, chunks) in plan:
+        for (s, e, fi, bi) in chunks:
+            pending.append((log2, s, e, _screen_chunk(
+                p_dev, fi, bi, lam_tab, size=n, bit_depth=bit_depth, k=k)))
+    # one packed device vector -> ONE host transfer, started immediately
+    # (the tunnel charges a round trip per array read back)
+    packed = _concat_flat([c for (_, _, _, c) in pending])
+    try:
+        packed.copy_to_host_async()
+    except AttributeError:
+        pass
+
+    def resolve():
+        flat = np.asarray(packed)
+        out = {}
+        off = 0
+        views = []
+        for (l2, s, e, c) in pending:
+            sz = int(np.prod(c.shape))
+            views.append((l2, s, e, flat[off:off + sz].reshape(c.shape)))
+            off += sz
+        for (log2, n, ny, nx, k, b, chunks) in plan:
+            cands = np.empty((b, k), np.uint8)
+            for (l2, s, e, arr) in views:
+                if l2 == log2:
+                    cands[s:e] = arr[:e - s]
+            out[log2] = (cands.reshape(ny, nx, k), None)
+        return out
+
+    return resolve
+
+
+def screen_frame(orig_y: np.ndarray, bit_depth: int, sqrt_lam: float,
+                 log2s=(3, 4, 5)):
+    """Device intra prescreen for every aligned block of sizes 1<<log2s.
+
+    Returns {log2: (cands uint8 [ny, nx, k], None)} for
+    NativeCtuEngine.set_intra_hints. Runs identically on the CPU backend
+    (pure XLA)."""
+    return screen_frame_async(orig_y, bit_depth, sqrt_lam, log2s)()
