@@ -870,9 +870,10 @@ def _psnr(orig, recon, bd):
     out = []
     peak = (1 << bd) - 1
     for o, r in zip(orig, recon):
-        # integer SSE via int64 dot: exact and ~10x cheaper than the
-        # float64 mean at 1080p (this runs per frame on the host)
-        d = (np.asarray(o, np.int64) - np.asarray(r, np.int64)).ravel()
+        # SSE via float64 BLAS dot: numpy's integer dot is a slow
+        # non-BLAS loop (~200 ms/frame at 1080p); float64 is exact here
+        # (|d| < 2^16, so the 2^53-exact sum bound holds to ~8K video)
+        d = (np.asarray(o, np.float64) - np.asarray(r, np.float64)).ravel()
         mse = float(np.dot(d, d)) / d.size
         out.append(99.99 if mse == 0 else 10 * np.log10(peak * peak / mse))
     return out
