@@ -39,11 +39,13 @@ class PFrameEncoder(IntraFrameEncoder):
 
     def __init__(self, sps, qp: int, ref_planes: List[np.ndarray],
                  search_range: int = 16, qp_factor: float = 0.4624,
-                 is_b: bool = False, ref1_planes=None):
+                 is_b: bool = False, ref1_planes=None, lam=None):
         self.is_b = is_b
         super().__init__(sps, qp)
-        # P-slice lambda (HM qp-factor from the GOP table row)
-        self.lam = qp_factor * (2.0 ** ((qp - 12) / 3.0))
+        # P-slice lambda (HM qp-factor from the GOP table row; EncoderTop
+        # passes the exact picture lambda incl. the depth multiplier)
+        self.lam = lam if lam is not None else \
+            qp_factor * (2.0 ** ((qp - 12) / 3.0))
         self.sqrt_lam = math.sqrt(self.lam)
         self.lam_fp = int(65536.0 * self.sqrt_lam)  # reference setLambda
         self.search_range = search_range

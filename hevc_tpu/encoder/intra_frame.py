@@ -84,7 +84,7 @@ def mpm_list(mode_map: np.ndarray, x0: int, y0: int, avail: AvailabilityMap,
 
 
 class IntraFrameEncoder:
-    def __init__(self, sps: SPS, qp: int):
+    def __init__(self, sps: SPS, qp: int, lam=None):
         self.sps = sps
         self.qp = qp
         self.bd = sps.bit_depth_luma
@@ -92,9 +92,11 @@ class IntraFrameEncoder:
         self.h = sps.pic_height_in_luma_samples
         self.ctu = sps.ctu_size
         self.avail = AvailabilityMap(self.w, self.h, self.ctu)
-        # HM I-slice lambda model (TEncSlice::initEncSlice, simplified)
-        qp_temp = qp - 12
-        self.lam = 0.57 * (2.0 ** (qp_temp / 3.0))
+        # HM I-slice lambda model (TEncSlice::initEncSlice; EncoderTop
+        # passes the exact picture lambda incl. the GOP-size scale)
+        if lam is None:
+            lam = 0.57 * (2.0 ** ((qp - 12) / 3.0))
+        self.lam = lam
         self.sqrt_lam = math.sqrt(self.lam)
         self.cu_depth_target = 1  # default 32x32 CUs; refined by planner
         self.cfmt = sps.chroma_format_idc

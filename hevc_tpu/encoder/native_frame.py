@@ -70,7 +70,7 @@ class NativeFrameEncoder:
                  is_b: bool = False, ref_planes=None, ref1_planes=None,
                  search_range: int = 24, cu_depth_target: int = 1,
                  me_provider=None, ref_dev=None, ref1_dev=None,
-                 intra_screen=None):
+                 intra_screen=None, lam: Optional[float] = None):
         """ref_planes / ref1_planes: a single [Y, Cb, Cr] plane list or a
         list of them — one entry per active reference of the list
         (reference TEncSearch::predInterSearch per-refIdx loop,
@@ -85,7 +85,8 @@ class NativeFrameEncoder:
         self.senc = senc
         self.sp = sp
         self.is_inter = ref_planes is not None
-        lam = qp_factor * (2.0 ** ((qp - 12) / 3.0))
+        if lam is None:  # fallback; EncoderTop passes the exact HM pic
+            lam = qp_factor * (2.0 ** ((qp - 12) / 3.0))  # lambda in
         self.sqrt_lam = math.sqrt(lam)
         self.lam_fp = int(65536.0 * self.sqrt_lam)
         self.search_range = search_range
@@ -139,21 +140,37 @@ class NativeFrameEncoder:
                 orig_dev = jax.device_put(
                     np.ascontiguousarray(orig[0].astype(dt)))
             me_x, me_y = [], []
+            # the 16-grid (deeper inter quadtree) is on by default and
+            # rides the same device dispatch as the CU-grid search
+            want16 = (_os.environ.get("HEVC_TPU_CU16", "1") != "0"
+                      and size > 16)
             all_dev = (orig_dev is not None and self.me_provider is None
                        and _os.environ.get("HEVC_TPU_ME_MULTI", "1") != "0"
-                       and len(self.ref) > 1
                        and len(self.ref_dev) >= len(self.ref)
                        and all(d is not None for d in
                                self.ref_dev[:len(self.ref)]))
             if all_dev:
-                # every reference searched in ONE device dispatch
+                # every reference (and both grid sizes) in ONE dispatch
                 from ..ops import me_mxu
-                for gx, gy in me_mxu.me_grids_multi(
-                        orig_dev, self.ref_dev[:len(self.ref)], size,
-                        self.search_range, self.lam_fp, pad=PAD,
-                        depth=depth):
-                    me_x.append(gx)
-                    me_y.append(gy)
+                if want16:
+                    me16_x, me16_y = [], []
+                    for gx, gy, g16x, g16y in me_mxu.me_grids_multi2(
+                            orig_dev, self.ref_dev[:len(self.ref)], size,
+                            16, self.search_range, self.lam_fp, pad=PAD,
+                            depth=depth):
+                        me_x.append(gx)
+                        me_y.append(gy)
+                        me16_x.append(g16x)
+                        me16_y.append(g16y)
+                    if any(g is None for g in me16_x):
+                        me16_x = me16_y = None
+                else:
+                    for gx, gy in me_mxu.me_grids_multi(
+                            orig_dev, self.ref_dev[:len(self.ref)], size,
+                            self.search_range, self.lam_fp, pad=PAD,
+                            depth=depth):
+                        me_x.append(gx)
+                        me_y.append(gy)
             else:
                 for r, ref in enumerate(self.ref):
                     pre = (self.me_provider(size, self.search_range,
@@ -166,6 +183,19 @@ class NativeFrameEncoder:
                         depth=depth)
                     me_x.append(gx)
                     me_y.append(gy)
+                if want16:
+                    me16_x, me16_y = [], []
+                    for r, ref in enumerate(self.ref):
+                        dev = (self.ref_dev[r]
+                               if r < len(self.ref_dev) else None)
+                        gx, gy = batched_me_grid(
+                            orig[0], ref[0], 16,
+                            min(self.search_range, 16), self.lam_fp,
+                            ref_dev=dev, orig_dev=orig_dev, depth=depth)
+                        me16_x.append(gx)
+                        me16_y.append(gy)
+                    if any(g is None for g in me16_x):
+                        me16_x = me16_y = None
             if self.is_b and self.ref1 is not None:
                 # list-1 integer search (B slices; reference
                 # predInterSearch list-1 loop)
@@ -179,18 +209,6 @@ class NativeFrameEncoder:
                         depth=depth)
                     me1_x.append(gx)
                     me1_y.append(gy)
-            if _os.environ.get("HEVC_TPU_CU16", "0") != "0":
-                # deeper inter partitioning: RD-neutral on low-motion
-                # content but costs a second device search; opt-in
-                me16_x, me16_y = [], []
-                for r, ref in enumerate(self.ref):
-                    dev = self.ref_dev[r] if r < len(self.ref_dev) else None
-                    gx, gy = batched_me_grid(
-                        orig[0], ref[0], 16, min(self.search_range, 16),
-                        self.lam_fp, ref_dev=dev, orig_dev=orig_dev,
-                        depth=depth)
-                    me16_x.append(gx)
-                    me16_y.append(gy)
             timers_cm.__exit__(None, None, None)
         intra_hints = None
         if (self.sp.slice_type == 2 and _os.environ.get(

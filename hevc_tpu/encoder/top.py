@@ -25,6 +25,49 @@ from .intra_frame import IntraFrameEncoder
 from .inter_frame import PFrameEncoder
 
 
+def _gop_depth(poc: int, gop_size: int) -> int:
+    """Hierarchy depth of a picture from its POC within the GOP, exactly
+    as the reference derives it (TEncSlice::initEncSlice depth loop,
+    TEncSlice.cpp:206-240): halving steps until the phase matches."""
+    if gop_size <= 1:
+        return 0
+    poc %= gop_size
+    if poc == 0:
+        return 0
+    depth = 0
+    step = gop_size
+    i = step >> 1
+    while i >= 1:
+        matched = any(j == poc for j in range(i, gop_size, step))
+        step >>= 1
+        depth += 1
+        if matched:
+            break
+        i >>= 1
+    return depth
+
+
+def hm_pic_lambda(qp: float, gop_size: int, gop_poc: int, qp_factor: float,
+                  is_intra: bool) -> float:
+    """Picture-level RD lambda exactly as the reference computes it
+    (TEncSlice::initEncSlice, TEncSlice.cpp:335-371):
+      lambda = QPfactor * 2^((QP-12)/3)
+    with the I-slice factor scaled by 1 - min(0.5, 0.05*(GOPSize-1)) and
+    every non-key picture (hierarchy depth > 0 — hierarchical-B levels
+    AND low-delay non-GOP-boundary frames) scaled by Clip3(2, 4,
+    (QP-12)/6). HadamardME is on, so the 0.95 no-HAD factor is not
+    applied."""
+    qp_temp = float(qp) - 12.0
+    if is_intra:
+        scale = 1.0 - min(0.5, 0.05 * max(0, gop_size - 1))
+        lam = 0.57 * scale * (2.0 ** (qp_temp / 3.0))
+    else:
+        lam = qp_factor * (2.0 ** (qp_temp / 3.0))
+    if _gop_depth(gop_poc, gop_size) > 0:
+        lam *= min(4.0, max(2.0, qp_temp / 6.0))
+    return lam
+
+
 class EncoderTop:
     def __init__(self, cfg: EncoderConfig):
         # the supported-surface contract (io.cfg.validate) holds for every
@@ -394,11 +437,16 @@ class EncoderTop:
         if not deltas:
             deltas = [max(q for q in self.dpb) - p]
         rps = ShortTermRPS(delta_pocs=deltas, used_flags=[1] * len(deltas))
+        # default reference list construction (spec 8.3.4): L0 = past
+        # pictures by descending POC then future ascending; L1 mirrored.
+        # Truncated to the GOP row's NumRefPicsActive (reference
+        # TComSlice::setRefPicList + TEncTop xInitRPS active counts).
         negs = sorted([d for d in deltas if d < 0], reverse=True)
         poss = sorted([d for d in deltas if d > 0])
-        l0_poc = p + (negs[0] if negs else poss[0])
-        l1_poc = p + (poss[0] if poss else negs[0])
         is_b = e.slice_type == "B"
+        nact = max(1, e.num_ref_pics_active or 1)
+        l0_order = (negs + poss)[:nact]
+        l1_order = (poss + negs)[:nact]
         slice_qp = int(np.clip(
             (self.rc.pic_qp(False) if self.rc else cfg.qp)
             + (0 if self.rc else e.qp_offset), 0, 51))
@@ -406,8 +454,9 @@ class EncoderTop:
             planes, display_poc=p, cvs_poc=p,
             stype=SliceType.B if is_b else SliceType.P,
             slice_qp=slice_qp, qf=e.qp_factor, rps=rps,
-            ref_l0=[(l0_poc, self.dpb[l0_poc])],
-            ref_l1=[(l1_poc, self.dpb[l1_poc])] if is_b else None,
+            ref_l0=[(p + d, self.dpb[p + d]) for d in l0_order],
+            ref_l1=[(p + d, self.dpb[p + d]) for d in l1_order]
+            if is_b else None,
             idr=False)
 
     # ------------------------------------------------------------------
@@ -419,6 +468,10 @@ class EncoderTop:
         cfg = self.cfg
         is_intra = stype == SliceType.I
         is_b = stype == SliceType.B
+        # picture lambda per the reference's exact model (hierarchy-depth
+        # multiplier + I-slice GOP scale, TEncSlice.cpp:335-371)
+        pic_lam = hm_pic_lambda(slice_qp, self.gop_size or 1, cvs_poc,
+                                qf, is_intra)
         sao_on = 1 if cfg.sao else 0
         cfmt = self.sps.chroma_format_idc
         use_native = ((cfmt == 1 or (cfmt == 3 and is_intra)) and
@@ -475,9 +528,9 @@ class EncoderTop:
                 scr = (self._intra_screen_q.popleft()
                        if self._intra_screen_q else None)
                 fe = NativeFrameEncoder(self.sps, slice_qp, senc, sp,
-                                        intra_screen=scr)
+                                        intra_screen=scr, lam=pic_lam)
             else:
-                fe = IntraFrameEncoder(self.sps, slice_qp)
+                fe = IntraFrameEncoder(self.sps, slice_qp, lam=pic_lam)
             ref_pocs = ((), ())
         else:
             l0_poc, l0_planes = ref_l0[0]
@@ -524,8 +577,11 @@ class EncoderTop:
                 if self.pps.tiles_enabled_flag else 0,
                 tile_rows=self.pps.num_tile_rows_minus1 + 1
                 if self.pps.tiles_enabled_flag else 0)
+            # TMVP for P and B slices; the collocated picture is L0[0]
+            # (collocated_from_l0_flag = 1, both signalled and used by the
+            # PicMaps temporal candidate derivation, spec 8.5.3.2.8-9)
             use_tmvp = (self.sps.sps_temporal_mvp_enabled_flag
-                        and not is_b and l0_poc in self.dpb_motion)
+                        and l0_poc in self.dpb_motion)
             sh.slice_temporal_mvp_enabled_flag = 1 if use_tmvp else 0
             if sh.wp_luma_flag:
                 sp.wp_on = 1
@@ -544,6 +600,7 @@ class EncoderTop:
                 from .native_frame import NativeFrameEncoder
                 fe = NativeFrameEncoder(
                     self.sps, slice_qp, senc, sp, qp_factor=qf, is_b=is_b,
+                    lam=pic_lam,
                     ref_planes=[pl for _, pl in ref_l0],
                     ref1_planes=[pl for _, pl in ref_l1] if is_b else None,
                     search_range=cfg.search_range,
@@ -558,7 +615,7 @@ class EncoderTop:
                 # pure-Python reference path: single reference per list
                 fe = PFrameEncoder(self.sps, slice_qp, l0_planes,
                                    search_range=min(cfg.search_range, 24),
-                                   qp_factor=qf, is_b=is_b,
+                                   qp_factor=qf, is_b=is_b, lam=pic_lam,
                                    ref1_planes=ref_l1[0][1] if is_b
                                    else None)
                 fe.senc = senc
@@ -665,7 +722,7 @@ class EncoderTop:
         # SAO: estimate on deblocked, attach params, apply after coding
         if sao_on:
             from ..ops import sao as saolib
-            lam = 0.57 * (2.0 ** ((slice_qp - 12) / 3.0))
+            lam = pic_lam
             if use_native:
                 from ..entropy.cabac import sao_estimate_native
                 timers_sao = timers.section("sao")

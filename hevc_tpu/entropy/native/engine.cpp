@@ -443,6 +443,17 @@ bool CtuEngine::me_lookup(int x0, int y0, int n, int r, int* mvx,
     *mvy = me16_mvy_[r][mi] << 2;
     return true;
   }
+  if (n == 8 && me16_mvx_[r]) {
+    // 8x8 CUs inherit the containing 16-block's grid MV (per-quadrant
+    // adaptation comes from the local refine in the split screen and
+    // the fractional refinement)
+    int gy = y0 / 16, gx = x0 / 16;
+    if (gy >= me16_ny_ || gx >= me16_nx_) return false;
+    int mi = gy * me16_nx_ + gx;
+    *mvx = me16_mvx_[r][mi] << 2;
+    *mvy = me16_mvy_[r][mi] << 2;
+    return true;
+  }
   return false;
 }
 
@@ -1275,11 +1286,6 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   int rw = w_ + 2 * pad;      // padded luma stride
   int rwc = w_ / 2 + 2 * pad; // padded chroma stride
 
-  if (log2 <= 3) {  // small boundary CUs stay intra (inter_frame.py:200)
-    encode_cu_intra(x0, y0, log2, d, ctu_x0, ctu_y0);
-    return;
-  }
-
   int32_t pred[32 * 32];
 
   // ---- merge candidates ----
@@ -1527,12 +1533,18 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   int cand3[3];
   mpm(x0, y0, cand3);
   int64_t icost = 0;
+  int iscr_mode = 0;
+  int32_t iscr_pred[32 * 32];
   for (int mode = 0; mode < 35; ++mode) {
     const int32_t* fsel = dsp::intra_filter_flag(mode, n, true) ? ff : f;
     dsp::intra_predict(fsel, f, mode, n, bd_, true, pred);
     int64_t c = dsp::satd(oy, w_, pred, n, n) +
                 lam_bits(mode_bits(mode, cand3));
-    if (mode == 0 || c < icost) icost = c;
+    if (mode == 0 || c < icost) {
+      icost = c;
+      iscr_mode = mode;
+      std::memcpy(iscr_pred, pred, sizeof(int32_t) * n * n);
+    }
   }
   // intra in inter slices carries a large real bit cost (no skip path,
   // mode + tree signalling) that the SATD screen does not see; bias like
@@ -1541,21 +1553,39 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   cost_intra += cost_intra >> 3;  // +12.5%
   if (getenv("HEVC_TPU_NO_INTRA_IN_P")) cost_intra = INT64_MAX / 2;
 
-  // split-to-16 screen (quadrants at their own device MVs + overhead;
-  // ref 0 screens the split — the recursive path re-searches all refs)
+  // split screen (quadrants at their own device MVs + overhead; ref 0
+  // screens the split — the recursive path re-searches all refs). At
+  // log2 == 4 the 8x8 quadrants inherit the 16-grid MV and get a +-1
+  // integer-pel local refine: per-quadrant adaptation is exactly what
+  // the deeper split buys (reference TEncCu::xCompressCU recursion to
+  // depth 3, TEncCu.cpp:357-620).
   int64_t cost_split = INT64_MAX;
-  if (log2 == 5 && me16_mvx_[0] && x0 + n <= w_ && y0 + n <= h_) {
-    cost_split = lam_bits(96);
+  if (log2 >= 4 && me16_mvx_[0] && x0 + n <= w_ && y0 + n <= h_) {
+    int hn = n >> 1;
+    cost_split = lam_bits(log2 == 5 ? 96 : 72);
     for (int i = 0; i < 4; ++i) {
-      int qx = x0 + (i & 1) * 16, qy = y0 + (i >> 1) * 16;
+      int qx = x0 + (i & 1) * hn, qy = y0 + (i >> 1) * hn;
       int qmx, qmy;
-      if (!me_lookup(qx, qy, 16, 0, &qmx, &qmy)) {
+      if (!me_lookup(qx, qy, hn, 0, &qmx, &qmy)) {
         cost_split = INT64_MAX;
         break;
       }
-      mc_uni(sp_, rp(0, 0, 0), rw, pad, qmx, qmy, qx, qy, 16, 16, bd_,
-             true, 0, 0, pred);
-      cost_split += dsp::satd(orig_[0] + qy * w_ + qx, w_, pred, 16, 16);
+      int64_t qc = -1;
+      if (hn == 8) {
+        for (int dy = -4; dy <= 4; dy += 4)
+          for (int dx = -4; dx <= 4; dx += 4) {
+            mc_uni(sp_, rp(0, 0, 0), rw, pad, qmx + dx, qmy + dy, qx, qy,
+                   hn, hn, bd_, true, 0, 0, pred);
+            int64_t c =
+                dsp::satd(orig_[0] + qy * w_ + qx, w_, pred, hn, hn);
+            if (qc < 0 || c < qc) qc = c;
+          }
+      } else {
+        mc_uni(sp_, rp(0, 0, 0), rw, pad, qmx, qmy, qx, qy, hn, hn, bd_,
+               true, 0, 0, pred);
+        qc = dsp::satd(orig_[0] + qy * w_ + qx, w_, pred, hn, hn);
+      }
+      cost_split += qc;
     }
   }
   // ---- rectangular partitions 2NxN / Nx2N (spec PartMode; reference
@@ -1576,7 +1606,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   // that splitting could pay for its signalling (reference FEN-style gate)
   int64_t best_2nx2n =
       std::min(m_cost < 0 ? INT64_MAX : m_cost, cost_inter);
-  if (log2 == 5 && has_me && best_2nx2n > lam_bits(64) &&
+  if (log2 >= 4 && has_me && best_2nx2n > lam_bits(2 * n) &&
       !getenv("HEVC_TPU_NO_RECT")) {
     for (int part = 2; part <= max_part; ++part) {
       int64_t total = lam_bits(10);  // extra part/PU signalling
@@ -1676,12 +1706,13 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
                                  std::min(cost_l1, cost_bi))));
   if (best == cost_split) {
     int bw44 = ctu_ / 4;
+    int hn = n >> 1;
     for (int yy = 0; yy < nb; ++yy)
       for (int xx = 0; xx < nb; ++xx)
         d.cu_depth[(by + yy) * bw44 + bx + xx] =
             (uint8_t)(ilog2(ctu_) - log2 + 1);
     for (int i = 0; i < 4; ++i)
-      encode_cu_inter(x0 + (i & 1) * 16, y0 + (i >> 1) * 16, log2 - 1, d,
+      encode_cu_inter(x0 + (i & 1) * hn, y0 + (i >> 1) * hn, log2 - 1, d,
                       ctu_x0, ctu_y0);
     return;
   }
@@ -1884,9 +1915,10 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   int tu_depth_sel = 0;
   int nz0 = code_all(0, &cost0);
   int nz_total = nz0;
-  if (nz0 > 24) {
+  if (nz0 > 24 && log2 > 3) {
     // only trial the split when the whole-CU coding is coefficient-heavy
-    // (the split pays off via shorter scans / localized cbfs)
+    // (the split pays off via shorter scans / localized cbfs); at 8x8
+    // a TU split would take chroma below 4x4 — not trialled
     int16_t rec0_y[32 * 32], rec0_cb[16 * 16], rec0_cr[16 * 16];
     int32_t lv0_y[32 * 32], lv0_cb[16 * 16], lv0_cr[16 * 16];
     std::memcpy(rec0_y, rec_y, sizeof(rec_y));
@@ -1915,6 +1947,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   // every merge candidate with AND without residual and keeps the RD
   // winner): J(skip) = SSE of the bare merge prediction vs J(coded) =
   // the coded CU's SSE + lambda * exact residual bits (+ rqt_root_cbf).
+  double j_inter = tu_depth_sel ? cost1 : cost0;  // sse + lam^2*resid bits
   if (!part_sel && merge_sel >= 0 && nz_total > 0) {
     double sse_skip = 0;
     for (int i = 0; i < n; ++i)
@@ -1933,6 +1966,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     double cost_sel = tu_depth_sel ? cost1 : cost0;
     if (sse_skip < cost_sel + lam_sq *
                        ctx_rate(est_ctx_.qt_root_cbf[0], 1)) {
+      j_inter = sse_skip;
       nz_total = 0;
       tu_depth_sel = 0;
       std::memset(lev_y, 0, sizeof(lev_y));
@@ -1950,6 +1984,100 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
           rec_cr[i * cs + j] = (int16_t)std::min(
               maxv, std::max(0, pcr[i * cs + j]));
         }
+    }
+  }
+  // ---- exact-RD intra trial (reference TEncCu::xCompressCU runs
+  // xCheckRDCostIntra with FULL residual RD at every depth,
+  // TEncCu.cpp:614 — a SATD screen alone misranks content whose inter
+  // residual is cheap-looking by SATD but expensive in true rate, e.g.
+  // multi-velocity or DC-ramp scenes). The trial codes the best screen
+  // mode's luma TB + DM chroma TBs with exact quant/RDOQ and the
+  // CABAC-counter rate; if its J beats the committed inter J, the CU is
+  // re-encoded intra (encode_cu_intra then redoes the full mode/RQT
+  // search, which can only improve on the trial's J). ----
+  if (!getenv("HEVC_TPU_NO_INTRA_TRIAL") &&
+      cost_intra < INT64_MAX / 4) {
+    // inter signalling bits not yet in j_inter (cu_skip/merge/mvd/ref)
+    double sig_inter = 2.0;
+    if (part_sel) {
+      sig_inter = 10.0;
+      for (int pu = 0; pu < 2; ++pu) {
+        const PuChoice& ch = rect_sel[part_sel - 2][pu];
+        sig_inter += ch.merge_f ? 2.0 + ch.merge_i
+                                : 5.0 + mv_bits(ch.mvdx) + mv_bits(ch.mvdy);
+      }
+    } else if (merge_sel >= 0) {
+      sig_inter = 2.0 + merge_sel;
+    } else if (sel.ref[0] >= 0 && sel.ref[1] >= 0) {
+      sig_inter = 8.0 + mv_bits(mvd_x) + mv_bits(mvd_y) +
+                  mv_bits(mvd1_x) + mv_bits(mvd1_y) +
+                  ref_bits(best_r, nref_[0]) + ref_bits(best_r1, nref_[1]);
+    } else if (sel.ref[1] >= 0) {
+      sig_inter = 5.0 + mv_bits(mvd1_x) + mv_bits(mvd1_y) +
+                  ref_bits(best_r1, nref_[1]);
+    } else {
+      sig_inter = 5.0 + mv_bits(mvd_x) + mv_bits(mvd_y) +
+                  ref_bits(best_r, nref_[0]);
+    }
+    double j_intra = 0;
+    double ibits = 6.0 + mode_bits(iscr_mode, cand3);
+    int32_t it_resi[32 * 32], it_coef[32 * 32], it_deq[32 * 32],
+        it_rres[32 * 32], it_lev[32 * 32];
+    // one trial TB: returns weighted SSE contribution, accumulates bits
+    auto trial_tb = [&](const int16_t* o, int ostride, const int32_t* p,
+                        int sz, int qp, int c_idx, int mode) {
+      double dw = c_idx ? cwgt : 1.0;
+      double lam_c = c_idx ? lam_sq / cwgt : lam_sq;
+      for (int i = 0; i < sz; ++i)
+        for (int j = 0; j < sz; ++j)
+          it_resi[i * sz + j] =
+              (int32_t)o[i * ostride + j] - p[i * sz + j];
+      const int32_t* smat_t = sp_.scaling_lists
+                                  ? dsp::default_scaling_matrix(sz, true)
+                                  : nullptr;
+      dsp::fwd_xform(it_resi, sz, bd_, false, it_coef);
+      int nz = dsp::quant(it_coef, sz, qp, bd_, true, it_lev, smat_t);
+      int scan = engine_scan_idx(ilog2(sz), c_idx, true, mode, csx_ == 0);
+      nz = rdoq_run(it_lev, it_coef, sz, qp, nz, c_idx, scan, lam_c,
+                    smat_t);
+      if (nz && sp_.sign_hiding)
+        sbh_enforce(it_lev, it_coef, sz, qp, bd_, scan, smat_t);
+      if (nz) {
+        dsp::dequant(it_lev, sz, qp, bd_, it_deq, smat_t);
+        dsp::inv_xform(it_deq, sz, bd_, false, it_rres);
+      } else {
+        std::memset(it_rres, 0, sizeof(int32_t) * sz * sz);
+      }
+      ibits += ctx_rate(c_idx == 0 ? est_ctx_.cbf_luma[1]
+                                   : est_ctx_.cbf_chroma[0],
+                        nz != 0);
+      if (nz)
+        ibits += tb_rate_bits(est_ctx_, it_lev, sz, ilog2(sz), c_idx,
+                              scan, sp_.sign_hiding);
+      double sse = 0;
+      for (int i = 0; i < sz; ++i)
+        for (int j = 0; j < sz; ++j) {
+          int32_t v = p[i * sz + j] + it_rres[i * sz + j];
+          double e = (double)o[i * ostride + j] -
+                     std::min(maxv, std::max(0, v));
+          sse += e * e * dw;
+        }
+      return sse;
+    };
+    j_intra += trial_tb(oy, w_, iscr_pred, n, qp_y_, 0, iscr_mode);
+    // chroma DM prediction from the live recon
+    int32_t fc[4 * 32 + 1], ffc[4 * 32 + 1], predc[32 * 32];
+    for (int c = 1; c <= 2; ++c) {
+      build_refs(recon_[c], cw, h_ >> 1, cw, cxx, cyy, cs, x0, y0, 2, fc);
+      dsp::intra_filter_refs(fc, cs, bd_, false, ffc);
+      dsp::intra_predict(fc, fc, iscr_mode, cs, bd_, false, predc);
+      j_intra += trial_tb(orig_[c] + cyy * cw + cxx, cw, predc, cs, qp_c_,
+                          c, iscr_mode);
+    }
+    j_intra += lam_sq * ibits;
+    if (j_intra < j_inter + lam_sq * sig_inter) {
+      encode_cu_intra(x0, y0, log2, d, ctu_x0, ctu_y0);
+      return;
     }
   }
   for (int i = 0; i < n; ++i)

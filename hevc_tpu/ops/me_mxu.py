@@ -272,6 +272,89 @@ def _me_idx_multi_jit(orig, refs_stacked, bits0, lam_q8, *, size, r, ny,
     return jax.vmap(one)(refs_stacked)
 
 
+def _shard_fn(axis_name):
+    """Sharding-constraint function for the per-block tensors (block axis
+    split over the mesh); None when not running under a mesh."""
+    if axis_name is None:
+        return None
+    from jax.sharding import PartitionSpec
+
+    def shard(t):
+        spec = PartitionSpec(*([axis_name] + [None] * (t.ndim - 1)))
+        return lax.with_sharding_constraint(t, spec)
+    return shard
+
+
+@functools.partial(jax.jit, static_argnames=("size", "size2", "r", "r2",
+                                             "ny", "nx", "ny2", "nx2",
+                                             "pad", "depth", "axis_name"))
+def _me_idx_multi2_jit(orig, refs_stacked, bits0, bits0b, lam_q8, *, size,
+                       size2, r, r2, ny, nx, ny2, nx2, pad, depth=8,
+                       axis_name=None):
+    """Two block sizes (CU32 + CU16 grids) for every reference in ONE
+    compiled dispatch; lax.map runs the references sequentially so the
+    per-reference working set (areas/corr/cost tables) is live once.
+    axis_name: mesh axis for block-parallel sharding constraints (the
+    multi-chip path runs this IDENTICAL program — same grids, same
+    stream — with the block tensors split across chips)."""
+    shard = _shard_fn(axis_name)
+
+    def one(refp):
+        i1 = me_idx_frame(orig, refp, bits0, lam_q8, size=size, r=r,
+                          ny=ny, nx=nx, pad=pad, depth=depth, shard=shard)
+        i2 = me_idx_frame(orig, refp, bits0b, lam_q8, size=size2, r=r2,
+                          ny=ny2, nx=nx2, pad=pad, depth=depth,
+                          shard=shard)
+        return i1, i2
+    return lax.map(one, refs_stacked)
+
+
+def me_grids_multi2(orig_dev, ref_devs, size: int, size2: int, r: int,
+                    lam_fp: int, *, pad: int, depth: int = 8,
+                    axis_name=None):
+    """MV grids at the CU-grid size AND its half size for several
+    references in one device dispatch (the deeper inter quadtree's
+    16-grid rides the same launch as the 32-grid instead of a second
+    round trip). Returns [(gx, gy, gx2, gy2)] per reference; any grid
+    whose dimension is empty is (None, None)."""
+    h, w = orig_dev.shape[:2]
+    r2 = min(r, 16)
+    ny = (h - size) // size + 1 if h >= size else 0
+    nx = (w - size) // size + 1 if w >= size else 0
+    ny2 = (h - size2) // size2 + 1 if h >= size2 else 0
+    nx2 = (w - size2) // size2 + 1 if w >= size2 else 0
+    nref = len(ref_devs)
+    if ny2 == 0 or nx2 == 0:
+        out = me_grids_multi(orig_dev, ref_devs, size, r, lam_fp, pad=pad,
+                             depth=depth)
+        return [(gx, gy, None, None) for gx, gy in out]
+    if ny == 0 or nx == 0:
+        # picture smaller than the large grid: only the small grid runs
+        out = me_grids_multi(orig_dev, ref_devs, size2, r2, lam_fp,
+                             pad=pad, depth=depth)
+        return [(None, None, gx, gy) for gx, gy in out]
+    npad = 1
+    while npad < nref:
+        npad *= 2
+    padded = list(ref_devs) + [ref_devs[-1]] * (npad - nref)
+    stacked = jnp.stack(padded)
+    nyx, nyx2 = 2 * r + 1, 2 * r2 + 1
+    i1, i2 = _me_idx_multi2_jit(
+        orig_dev, stacked, jnp.asarray(bits0_table(r)),
+        jnp.asarray(bits0_table(r2)), jnp.int32(lam_q8_of(lam_fp)),
+        size=size, size2=size2, r=r, r2=r2, ny=ny, nx=nx, ny2=ny2,
+        nx2=nx2, pad=pad, depth=depth, axis_name=axis_name)
+    i1, i2 = np.asarray(i1), np.asarray(i2)
+    out = []
+    for k in range(nref):
+        gy = (i1[k] // nyx - r).astype(np.int32).reshape(ny, nx)
+        gx = (i1[k] % nyx - r).astype(np.int32).reshape(ny, nx)
+        gy2 = (i2[k] // nyx2 - r2).astype(np.int32).reshape(ny2, nx2)
+        gx2 = (i2[k] % nyx2 - r2).astype(np.int32).reshape(ny2, nx2)
+        out.append((gx, gy, gx2, gy2))
+    return out
+
+
 def me_grids_multi(orig_dev, ref_devs, size: int, r: int, lam_fp: int, *,
                    pad: int, depth: int = 8):
     """MV grids for several references in ONE device dispatch (the
