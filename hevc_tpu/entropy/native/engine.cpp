@@ -8,6 +8,7 @@
 #include <cmath>
 #include <cstring>
 #include <cstdlib>
+#include <functional>
 #include <vector>
 
 #include "dsp.h"
@@ -886,7 +887,18 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
                    rres, &nz))
         ts_loc[slot] |= bit;
     }
-    *bits += 2.0;
+    // context-exact TB rate (cbf bin + CABAC-counter residual bits) — the
+    // same pricing the inter path uses; a static per-level model
+    // undercounts the sig-map cost of scattered small coefficients and
+    // over-spends at high QP
+    *bits += ctx_rate(c == 0 ? est_ctx_.cbf_luma[1]
+                             : est_ctx_.cbf_chroma[0],
+                      nz != 0);
+    if (nz)
+      *bits += tb_rate_bits(est_ctx_, lev, tz, ilog2(tz), c,
+                            engine_scan_idx(ilog2(tz), c, true, mode,
+                                            csx_ == 0),
+                            sp_.sign_hiding);
     int16_t* cpl = c == 0 ? d.coeff_y : (c == 1 ? d.coeff_cb : d.coeff_cr);
     int cstride = c == 0 ? ctu_ : cctu;
     int lx0 = c == 0 ? tx - ctu_x0 : (tx - ctu_x0) >> csx_;
@@ -894,7 +906,6 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     for (int i = 0; i < tz; ++i)
       for (int j = 0; j < tz; ++j) {
         cpl[(ly0 + i) * cstride + lx0 + j] = (int16_t)lev[i * tz + j];
-        if (lev[i * tz + j]) *bits += rd_rate_bits(std::abs(lev[i * tz + j]));
         int32_t v = predt[i * tz + j] + rres[i * tz + j];
         int16_t rv = (int16_t)std::min(maxv, std::max(0, v));
         recon_[c][(py + i) * stride + px + j] = rv;
@@ -904,91 +915,129 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     return nz;
   };
 
-  auto code_depth = [&](int depth, double* cost) -> int {
-    int nzs = 0;
-    double sse = 0, bits = depth ? 9.0 : 1.0;
-    int parts = depth ? 2 : 1;
-    int tn = n >> depth;
-    for (int qy = 0; qy < parts; ++qy)
-      for (int qx = 0; qx < parts; ++qx) {
-        int tx = x0 + qx * tn, ty = y0 + qy * tn;
-        nzs += code_tb_i(0, tx, ty, tn, best_mode, &sse, &bits);
-        if (tn >= 8 || csx_ == 0) {
-          // 4:4:4 codes a full-size chroma TB per luma leaf
-          nzs += code_tb_i(1, tx, ty, tn, cmode_best, &sse, &bits);
-          nzs += code_tb_i(2, tx, ty, tn, cmode_best, &sse, &bits);
-        }
-      }
-    if (tn < 8 && csx_ == 1) {
-      // 4:2:0: 4x4 luma leaves share one 4x4 chroma TB at the parent
-      // origin (spec 7.3.8.8 blkIdx==3 rule)
-      nzs += code_tb_i(1, x0, y0, 8, cmode_best, &sse, &bits);
-      nzs += code_tb_i(2, x0, y0, 8, cmode_best, &sse, &bits);
-    }
-    *cost = sse + lam_sq * bits;
-    return nzs;
+  // ---- recursive intra RQT to the SPS max TU depth (reference
+  // TEncSearch::xRecurIntraCodingLumaQT recurses the full transform tree,
+  // TEncSearch.cpp:1244): intra predicts PER TU from the live recon, so
+  // deeper TUs buy finer-grained prediction — each node snapshots
+  // recon/coeff state, codes TU == node, then trials the 4-way split and
+  // keeps the RD winner. td_map records the leaf depth per 4x4. ----
+  uint8_t td_map[64] = {0};
+  struct Snap {
+    std::vector<int16_t> ry, rcb, rcr, cy, ccb, ccr;
   };
-
-  double cost0, cost1;
-  int nz0 = code_depth(0, &cost0);
-  int tu_sel = 0;
-  if ((log2 >= 4 && nz0 > 24) || (log2 == 3 && nz0 > 5)) {
-    // snapshot the depth-0 result before trialing the split
-    std::vector<int16_t> sy(n * n), scb(cs * cs), scr(cs * cs);
-    std::vector<int16_t> cy_(n * n), ccb(cs * cs), ccr(cs * cs);
-    uint8_t ts_snap[64];
-    std::memcpy(ts_snap, ts_loc, sizeof(ts_loc));
-    for (int i = 0; i < n; ++i) {
-      std::memcpy(&sy[i * n], recon_[0] + (y0 + i) * w_ + x0,
-                  sizeof(int16_t) * n);
-      std::memcpy(&cy_[i * n],
-                  d.coeff_y + (y0 - ctu_y0 + i) * ctu_ + (x0 - ctu_x0),
-                  sizeof(int16_t) * n);
+  auto take = [&](int tx, int ty, int tn, Snap& s) {
+    int tc = tn >> csx_;
+    int px = tx >> csx_, py = ty >> csx_;
+    s.ry.resize(tn * tn);
+    s.cy.resize(tn * tn);
+    s.rcb.resize(tc * tc);
+    s.rcr.resize(tc * tc);
+    s.ccb.resize(tc * tc);
+    s.ccr.resize(tc * tc);
+    for (int i = 0; i < tn; ++i) {
+      std::memcpy(&s.ry[i * tn], recon_[0] + (ty + i) * w_ + tx,
+                  sizeof(int16_t) * tn);
+      std::memcpy(&s.cy[i * tn],
+                  d.coeff_y + (ty - ctu_y0 + i) * ctu_ + (tx - ctu_x0),
+                  sizeof(int16_t) * tn);
     }
-    for (int i = 0; i < cs; ++i) {
-      std::memcpy(&scb[i * cs], recon_[1] + ((y0 >> csx_) + i) * cw + (x0 >> csx_),
-                  sizeof(int16_t) * cs);
-      std::memcpy(&scr[i * cs], recon_[2] + ((y0 >> csx_) + i) * cw + (x0 >> csx_),
-                  sizeof(int16_t) * cs);
-      std::memcpy(&ccb[i * cs], d.coeff_cb +
-                  (((y0 - ctu_y0) >> csx_) + i) * cctu + ((x0 - ctu_x0) >> csx_),
-                  sizeof(int16_t) * cs);
-      std::memcpy(&ccr[i * cs], d.coeff_cr +
-                  (((y0 - ctu_y0) >> csx_) + i) * cctu + ((x0 - ctu_x0) >> csx_),
-                  sizeof(int16_t) * cs);
+    for (int i = 0; i < tc; ++i) {
+      std::memcpy(&s.rcb[i * tc], recon_[1] + (py + i) * cw + px,
+                  sizeof(int16_t) * tc);
+      std::memcpy(&s.rcr[i * tc], recon_[2] + (py + i) * cw + px,
+                  sizeof(int16_t) * tc);
+      std::memcpy(&s.ccb[i * tc],
+                  d.coeff_cb + (((ty - ctu_y0) >> csx_) + i) * cctu +
+                      ((tx - ctu_x0) >> csx_),
+                  sizeof(int16_t) * tc);
+      std::memcpy(&s.ccr[i * tc],
+                  d.coeff_cr + (((ty - ctu_y0) >> csx_) + i) * cctu +
+                      ((tx - ctu_x0) >> csx_),
+                  sizeof(int16_t) * tc);
     }
-    int nz1 = code_depth(1, &cost1);
-    (void)nz1;
-    if (cost1 < cost0) {
-      tu_sel = 1;
-    } else {
-      std::memcpy(ts_loc, ts_snap, sizeof(ts_loc));
-      for (int i = 0; i < n; ++i) {
-        std::memcpy(recon_[0] + (y0 + i) * w_ + x0, &sy[i * n],
-                    sizeof(int16_t) * n);
-        std::memcpy(d.coeff_y + (y0 - ctu_y0 + i) * ctu_ + (x0 - ctu_x0),
-                    &cy_[i * n], sizeof(int16_t) * n);
+  };
+  auto put = [&](int tx, int ty, int tn, const Snap& s) {
+    int tc = tn >> csx_;
+    int px = tx >> csx_, py = ty >> csx_;
+    for (int i = 0; i < tn; ++i) {
+      std::memcpy(recon_[0] + (ty + i) * w_ + tx, &s.ry[i * tn],
+                  sizeof(int16_t) * tn);
+      std::memcpy(d.coeff_y + (ty - ctu_y0 + i) * ctu_ + (tx - ctu_x0),
+                  &s.cy[i * tn], sizeof(int16_t) * tn);
+    }
+    for (int i = 0; i < tc; ++i) {
+      std::memcpy(recon_[1] + (py + i) * cw + px, &s.rcb[i * tc],
+                  sizeof(int16_t) * tc);
+      std::memcpy(recon_[2] + (py + i) * cw + px, &s.rcr[i * tc],
+                  sizeof(int16_t) * tc);
+      std::memcpy(d.coeff_cb + (((ty - ctu_y0) >> csx_) + i) * cctu +
+                      ((tx - ctu_x0) >> csx_),
+                  &s.ccb[i * tc], sizeof(int16_t) * tc);
+      std::memcpy(d.coeff_cr + (((ty - ctu_y0) >> csx_) + i) * cctu +
+                      ((tx - ctu_x0) >> csx_),
+                  &s.ccr[i * tc], sizeof(int16_t) * tc);
+    }
+  };
+  std::function<int(int, int, int, int, double*)> code_r =
+      [&](int tx, int ty, int tn, int td, double* cost) -> int {
+    bool owns_chroma = tn > 4 || csx_ == 0;
+    bool can_split = tn > 4 && td < sp_.max_tu_depth_intra &&
+                     (tn >> 1) >= (1 << sp_.min_tb_log2);
+    Snap pre;
+    if (can_split) take(tx, ty, tn, pre);
+    double sseA = 0, bitsA = 1.0;
+    int nzA = code_tb_i(0, tx, ty, tn, best_mode, &sseA, &bitsA);
+    if (owns_chroma) {
+      nzA += code_tb_i(1, tx, ty, tn, cmode_best, &sseA, &bitsA);
+      nzA += code_tb_i(2, tx, ty, tn, cmode_best, &sseA, &bitsA);
+    }
+    double costA = sseA + lam_sq * bitsA;
+    if (can_split && nzA > 0) {
+      Snap resA;
+      take(tx, ty, tn, resA);
+      uint8_t tsA[64], tdA[64];
+      std::memcpy(tsA, ts_loc, sizeof(tsA));
+      std::memcpy(tdA, td_map, sizeof(tdA));
+      put(tx, ty, tn, pre);
+      int hn2 = tn >> 1;
+      double costB = lam_sq * 8.0;  // split flag + extra cbf signalling
+      int nzB = 0;
+      for (int k = 0; k < 4; ++k) {
+        double cc = 0;
+        nzB += code_r(tx + (k & 1) * hn2, ty + (k >> 1) * hn2, hn2,
+                      td + 1, &cc);
+        costB += cc;
       }
-      for (int i = 0; i < cs; ++i) {
-        std::memcpy(recon_[1] + ((y0 >> csx_) + i) * cw + (x0 >> csx_),
-                    &scb[i * cs], sizeof(int16_t) * cs);
-        std::memcpy(recon_[2] + ((y0 >> csx_) + i) * cw + (x0 >> csx_),
-                    &scr[i * cs], sizeof(int16_t) * cs);
-        std::memcpy(d.coeff_cb + (((y0 - ctu_y0) >> csx_) + i) * cctu +
-                    ((x0 - ctu_x0) >> csx_), &ccb[i * cs],
-                    sizeof(int16_t) * cs);
-        std::memcpy(d.coeff_cr + (((y0 - ctu_y0) >> csx_) + i) * cctu +
-                    ((x0 - ctu_x0) >> csx_), &ccr[i * cs],
-                    sizeof(int16_t) * cs);
+      if (hn2 == 4 && csx_ == 1) {
+        // the four 4x4 luma leaves share this node's 4x4 chroma pair
+        // (spec 7.3.8.8 blkIdx == 3 rule)
+        double sseC = 0, bitsC = 0;
+        nzB += code_tb_i(1, tx, ty, tn, cmode_best, &sseC, &bitsC);
+        nzB += code_tb_i(2, tx, ty, tn, cmode_best, &sseC, &bitsC);
+        costB += sseC + lam_sq * bitsC;
       }
+      if (costB < costA) {
+        *cost = costB;
+        return nzB;
+      }
+      put(tx, ty, tn, resA);
+      std::memcpy(ts_loc, tsA, sizeof(tsA));
+      std::memcpy(td_map, tdA, sizeof(tdA));
     }
-  }
+    for (int yy = (ty - y0) >> 2; yy < (ty - y0 + tn) >> 2; ++yy)
+      for (int xx = (tx - x0) >> 2; xx < (tx - x0 + tn) >> 2; ++xx)
+        td_map[(yy & 7) * 8 + (xx & 7)] = (uint8_t)td;
+    *cost = costA;
+    return nzA;
+  };
+  double cost0 = 0;
+  code_r(x0, y0, n, 0, &cost0);
   // I_PCM trial (reference TEncCu::xCheckIntraPCM): raw 8x8 samples cost
   // a fixed 96*bd bits at zero distortion — take it when the coded CU is
   // costlier (noise-like content at low QP).
   if (sp_.pcm && log2 >= 3 && log2 <= 5) {
     double pcm_bits = 1.5 * n * n * bd_ + 2.0;
-    if (lam_sq * pcm_bits < (tu_sel ? cost1 : cost0)) {
+    if (lam_sq * pcm_bits < cost0) {
       int lx = x0 - ctu_x0, ly = y0 - ctu_y0;
       for (int i = 0; i < n; ++i)
         for (int j = 0; j < n; ++j) {
@@ -1021,7 +1070,8 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
   for (int yy = 0; yy < nb; ++yy)
     for (int xx = 0; xx < nb; ++xx)
       d.tu_depth[(by + yy) * bw4 + bx + xx] =
-          (uint8_t)(tu_sel | ts_loc[(yy & 7) * 8 + (xx & 7)]);
+          (uint8_t)(td_map[(yy & 7) * 8 + (xx & 7)] |
+                    ts_loc[(yy & 7) * 8 + (xx & 7)]);
 
   publish(x0, y0, log2, true, 0, 0, 0, -1, 0, 0, -1);
 }

@@ -421,14 +421,20 @@ int PicMaps::merge_candidates(int x0, int y0, int w, int h,
       out[n++] = c;
     }
   }
+  // zero-MV fill (spec 8.5.3.2.5): numRefIdx = min over BOTH lists in B
+  // slices, and once zeroIdx >= numRefIdx both refs clamp to 0 (HM
+  // TComDataCU::getInterMergeCandidates zero-candidate loop)
   int zr = 0;
+  int num_ref_z = is_b ? std::min(sp.num_ref_l0, sp.num_ref_l1)
+                       : sp.num_ref_l0;
   while (n < sp.max_merge_cand) {
     MotionInfo z;
+    int8_t r = (int8_t)((zr < num_ref_z) ? zr : 0);
     z.mvx[0] = z.mvy[0] = 0;
-    z.ref[0] = (int8_t)((zr < sp.num_ref_l0) ? zr : 0);
+    z.ref[0] = r;
     if (is_b) {
       z.mvx[1] = z.mvy[1] = 0;
-      z.ref[1] = (int8_t)((zr < sp.num_ref_l1) ? zr : 0);
+      z.ref[1] = r;
     }
     out[n++] = z;
     zr++;
@@ -2064,6 +2070,12 @@ void SliceDecoder::parse_inter_cu(int x0, int y0, int log2, bool skip) {
         }
       }
     }
+    if (g_bin_trace)
+      fprintf(g_bin_trace,
+              "# PU (%d,%d %dx%d) part=%d mrg=%d idx=%d "
+              "mv0=(%d,%d r%d) mv1=(%d,%d r%d)\n",
+              px, py, pw, ph, part, merge_f, merge_i, pmi.mvx[0],
+              pmi.mvy[0], pmi.ref[0], pmi.mvx[1], pmi.mvy[1], pmi.ref[1]);
     publish_motion_rect(px, py, pw, ph, pmi, merge_f, merge_i, mvp_f, mvdx,
                         mvdy, 0);
     if (pu == 0) mi = pmi;
