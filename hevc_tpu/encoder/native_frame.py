@@ -70,7 +70,8 @@ class NativeFrameEncoder:
                  is_b: bool = False, ref_planes=None, ref1_planes=None,
                  search_range: int = 24, cu_depth_target: int = 1,
                  me_provider=None, ref_dev=None, ref1_dev=None,
-                 intra_screen=None, lam: Optional[float] = None):
+                 intra_screen=None, lam: Optional[float] = None,
+                 mesh=None, mesh_axis: Optional[str] = None):
         """ref_planes / ref1_planes: a single [Y, Cb, Cr] plane list or a
         list of them — one entry per active reference of the list
         (reference TEncSearch::predInterSearch per-refIdx loop,
@@ -92,6 +93,12 @@ class NativeFrameEncoder:
         self.search_range = search_range
         self.cu_depth_target = cu_depth_target
         self.is_b = is_b
+        # multi-chip: a jax.sharding.Mesh splits the per-block ME tensors
+        # across chips via sharding constraints — the IDENTICAL search
+        # program (same grids, same stream) as single-chip
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis or (
+            mesh.axis_names[0] if mesh is not None else None)
 
         def norm(refs):
             if refs is None:
@@ -133,9 +140,11 @@ class NativeFrameEncoder:
             depth = self.sps.bit_depth_luma
             timers_cm = timers.section("me_device")
             timers_cm.__enter__()
-            # one upload of the source plane serves every ref's search
+            # one upload of the source plane serves every ref's search.
+            # Under a mesh the device path runs on any backend (the CPU
+            # mesh of tests / the driver dry run included).
             orig_dev = None
-            if jax.default_backend() != "cpu":
+            if jax.default_backend() != "cpu" or self.mesh is not None:
                 dt = np.uint8 if depth <= 8 else np.int16
                 orig_dev = jax.device_put(
                     np.ascontiguousarray(orig[0].astype(dt)))
@@ -144,33 +153,57 @@ class NativeFrameEncoder:
             # rides the same device dispatch as the CU-grid search
             want16 = (_os.environ.get("HEVC_TPU_CU16", "1") != "0"
                       and size > 16)
+            n0, n1 = len(self.ref), len(self.ref1) if self.is_b else 0
             all_dev = (orig_dev is not None and self.me_provider is None
                        and _os.environ.get("HEVC_TPU_ME_MULTI", "1") != "0"
-                       and len(self.ref_dev) >= len(self.ref)
-                       and all(d is not None for d in
-                               self.ref_dev[:len(self.ref)]))
+                       and len(self.ref_dev) >= n0
+                       and all(d is not None for d in self.ref_dev[:n0])
+                       and (not self.is_b or (
+                           len(self.ref1_dev) >= n1
+                           and all(d is not None
+                                   for d in self.ref1_dev[:n1]))))
             if all_dev:
-                # every reference (and both grid sizes) in ONE dispatch
+                # BOTH lists' references (and both grid sizes) in ONE
+                # dispatch: the reference searches each refIdx of each
+                # list separately (TEncSearch.cpp:3027); here the unique
+                # reference pictures stack along one device axis.
+                # Duplicate POCs across L0/L1 (low-delay B) collapse to a
+                # single search. Under a mesh the per-block tensors carry
+                # sharding constraints (block axis split across chips).
+                from contextlib import nullcontext
+
                 from ..ops import me_mxu
+                uniq, slot = [], {}
+                for d in self.ref_dev[:n0] + self.ref1_dev[:n1]:
+                    if id(d) not in slot:
+                        slot[id(d)] = len(uniq)
+                        uniq.append(d)
+                l0s = [slot[id(d)] for d in self.ref_dev[:n0]]
+                l1s = [slot[id(d)] for d in self.ref1_dev[:n1]]
+                ctx = self.mesh if self.mesh is not None else nullcontext()
+                with ctx:
+                    if want16:
+                        out = me_mxu.me_grids_multi2(
+                            orig_dev, uniq, size, 16, self.search_range,
+                            self.lam_fp, pad=PAD, depth=depth,
+                            axis_name=self.mesh_axis)
+                    else:
+                        out = [(gx, gy, None, None) for gx, gy in
+                               me_mxu.me_grids_multi(
+                                   orig_dev, uniq, size,
+                                   self.search_range, self.lam_fp,
+                                   pad=PAD, depth=depth,
+                                   axis_name=self.mesh_axis)]
+                me_x = [out[i][0] for i in l0s]
+                me_y = [out[i][1] for i in l0s]
                 if want16:
-                    me16_x, me16_y = [], []
-                    for gx, gy, g16x, g16y in me_mxu.me_grids_multi2(
-                            orig_dev, self.ref_dev[:len(self.ref)], size,
-                            16, self.search_range, self.lam_fp, pad=PAD,
-                            depth=depth):
-                        me_x.append(gx)
-                        me_y.append(gy)
-                        me16_x.append(g16x)
-                        me16_y.append(g16y)
+                    me16_x = [out[i][2] for i in l0s]
+                    me16_y = [out[i][3] for i in l0s]
                     if any(g is None for g in me16_x):
                         me16_x = me16_y = None
-                else:
-                    for gx, gy in me_mxu.me_grids_multi(
-                            orig_dev, self.ref_dev[:len(self.ref)], size,
-                            self.search_range, self.lam_fp, pad=PAD,
-                            depth=depth):
-                        me_x.append(gx)
-                        me_y.append(gy)
+                if self.is_b:
+                    me1_x = [out[i][0] for i in l1s]
+                    me1_y = [out[i][1] for i in l1s]
             else:
                 for r, ref in enumerate(self.ref):
                     pre = (self.me_provider(size, self.search_range,
@@ -196,7 +229,7 @@ class NativeFrameEncoder:
                         me16_y.append(gy)
                     if any(g is None for g in me16_x):
                         me16_x = me16_y = None
-            if self.is_b and self.ref1 is not None:
+            if self.is_b and self.ref1 is not None and not all_dev:
                 # list-1 integer search (B slices; reference
                 # predInterSearch list-1 loop)
                 me1_x, me1_y = [], []

@@ -69,7 +69,8 @@ def hm_pic_lambda(qp: float, gop_size: int, gop_poc: int, qp_factor: float,
 
 
 class EncoderTop:
-    def __init__(self, cfg: EncoderConfig):
+    def __init__(self, cfg: EncoderConfig, mesh=None,
+                 mesh_axis: Optional[str] = None):
         # the supported-surface contract (io.cfg.validate) holds for every
         # entry point, not just the CLI: library users / bench / parallel
         # get the same xConfirmPara rejects (reference TAppEncCfg.cpp:1691
@@ -77,6 +78,13 @@ class EncoderTop:
         from ..io.cfg import validate
         validate(cfg, warn=lambda m: None)
         self.cfg = cfg
+        # multi-chip: a jax.sharding.Mesh makes every device ME dispatch
+        # run the identical search program with its block tensors sharded
+        # across the mesh — same MV grids, same bitstream, full cfg
+        # SearchRange, every GOP shape (the product path IS the
+        # multi-chip path; hevc_tpu.parallel.encode_clip wraps this)
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         self.sps = SPS(
             pic_width_in_luma_samples=cfg.width,
             pic_height_in_luma_samples=cfg.height,
@@ -268,7 +276,7 @@ class EncoderTop:
             from ..ops.interp import pad_plane
             from .native_frame import PAD
             y = planes[0]
-            if jax.default_backend() == "cpu":
+            if jax.default_backend() == "cpu" and self.mesh is None:
                 return None
             dt = np.uint8 if self.sps.bit_depth_luma <= 8 else np.int16
             padded = np.ascontiguousarray(
@@ -610,11 +618,12 @@ class EncoderTop:
                         if self.me_provider else None),
                     ref_dev=[self._dev_ref(p, pl) for p, pl in ref_l0],
                     ref1_dev=[self._dev_ref(p, pl) for p, pl in ref_l1]
-                    if is_b else None)
+                    if is_b else None,
+                    mesh=self.mesh, mesh_axis=self.mesh_axis)
             else:
                 # pure-Python reference path: single reference per list
                 fe = PFrameEncoder(self.sps, slice_qp, l0_planes,
-                                   search_range=min(cfg.search_range, 24),
+                                   search_range=cfg.search_range,
                                    qp_factor=qf, is_b=is_b, lam=pic_lam,
                                    ref1_planes=ref_l1[0][1] if is_b
                                    else None)

@@ -14,7 +14,10 @@ import subprocess
 import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libhevc_entropy.so")
+# HEVC_TPU_LIB overrides the native library (e.g. the TSAN build from
+# `make tsan` for the threaded-wavefront race check)
+_LIB_PATH = os.environ.get(
+    "HEVC_TPU_LIB", os.path.join(_NATIVE_DIR, "libhevc_entropy.so"))
 _lib = None
 
 

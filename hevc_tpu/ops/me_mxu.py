@@ -263,12 +263,17 @@ def _me_idx_frame_jit(orig, ref_padded, bits0, lam_q8, *, size, r, ny, nx,
 
 
 @functools.partial(jax.jit, static_argnames=("size", "r", "ny", "nx",
-                                             "pad", "depth"))
+                                             "pad", "depth", "axis_name"))
 def _me_idx_multi_jit(orig, refs_stacked, bits0, lam_q8, *, size, r, ny,
-                      nx, pad, depth=8):
+                      nx, pad, depth=8, axis_name=None):
+    shard = _shard_fn(axis_name)
+
     def one(refp):
         return me_idx_frame(orig, refp, bits0, lam_q8, size=size, r=r,
-                            ny=ny, nx=nx, pad=pad, depth=depth)
+                            ny=ny, nx=nx, pad=pad, depth=depth,
+                            shard=shard)
+    if axis_name is not None:
+        return lax.map(one, refs_stacked)
     return jax.vmap(one)(refs_stacked)
 
 
@@ -326,12 +331,12 @@ def me_grids_multi2(orig_dev, ref_devs, size: int, size2: int, r: int,
     nref = len(ref_devs)
     if ny2 == 0 or nx2 == 0:
         out = me_grids_multi(orig_dev, ref_devs, size, r, lam_fp, pad=pad,
-                             depth=depth)
+                             depth=depth, axis_name=axis_name)
         return [(gx, gy, None, None) for gx, gy in out]
     if ny == 0 or nx == 0:
         # picture smaller than the large grid: only the small grid runs
         out = me_grids_multi(orig_dev, ref_devs, size2, r2, lam_fp,
-                             pad=pad, depth=depth)
+                             pad=pad, depth=depth, axis_name=axis_name)
         return [(None, None, gx, gy) for gx, gy in out]
     npad = 1
     while npad < nref:
@@ -356,7 +361,7 @@ def me_grids_multi2(orig_dev, ref_devs, size: int, size2: int, r: int,
 
 
 def me_grids_multi(orig_dev, ref_devs, size: int, r: int, lam_fp: int, *,
-                   pad: int, depth: int = 8):
+                   pad: int, depth: int = 8, axis_name=None):
     """MV grids for several references in ONE device dispatch (the
     reference searches each refIdx separately, TEncSearch.cpp:3027; here
     the reference axis vmaps over the same MXU search). The ref count is
@@ -376,7 +381,7 @@ def me_grids_multi(orig_dev, ref_devs, size: int, r: int, lam_fp: int, *,
     idx = np.asarray(_me_idx_multi_jit(
         orig_dev, stacked, jnp.asarray(bits0_table(r)),
         jnp.int32(lam_q8_of(lam_fp)), size=size, r=r, ny=ny, nx=nx,
-        pad=pad, depth=depth))
+        pad=pad, depth=depth, axis_name=axis_name))
     out = []
     for k in range(nref):
         gy = (idx[k] // nyx - r).astype(np.int32).reshape(ny, nx)

@@ -187,29 +187,45 @@ def me_grid_spatial(orig: np.ndarray, ref_padded: np.ndarray, *, size: int,
 
 
 # ----------------------------------------------------------------------
-# Mesh-parallel clip encode (low-delay): lookahead ME over the frame axis
+# Mesh-parallel clip encode
 # ----------------------------------------------------------------------
 def encode_clip(cfg, frames: List[List[np.ndarray]],
-                mesh: Optional[Mesh] = None) -> Tuple[bytes, list]:
-    """Encode a clip with the whole clip's integer motion search batched
-    into one sharded device launch (frame-data-parallel), then the
-    conformant host engine consuming the precomputed MV grids.
+                mesh: Optional[Mesh] = None,
+                lookahead: bool = False) -> Tuple[bytes, list]:
+    """Encode a clip over a device mesh.
 
-    Integer ME runs against the *original* previous frame (lookahead
-    semantics) so all frames are independent on the device; fractional
-    refinement and prediction inside the engine still use reconstructed
-    references, keeping the bitstream conformant. Low-delay (streaming)
-    GOP shapes only.
+    Default mode is the PRODUCT path: ``EncoderTop(cfg, mesh=mesh)``.
+    Every device motion-search dispatch runs the identical XLA program
+    as single-chip with its per-block tensors sharded across the mesh
+    (sharding constraints in ops/me_mxu.py), searching RECONSTRUCTED
+    references at the full cfg SearchRange with every GOP shape —
+    low-delay and random-access — supported. The emitted stream is
+    byte-identical to the unsharded encoder's.
+
+    ``lookahead=True`` instead batches the whole clip's integer ME into
+    one frame-axis-sharded launch against the *original* previous
+    picture (streaming lookahead semantics: all frames independent on
+    the device; fractional refinement and prediction still use recon
+    refs, so the stream stays conformant — but differs from the
+    unsharded product stream). Low-delay GOPs only.
 
     Returns (annexb_bytes, per-frame stats list).
     """
     from ..encoder.top import EncoderTop
 
+    if not lookahead:
+        enc = EncoderTop(cfg, mesh=mesh)
+        out = b"".join(enc.encode_frame(f) for f in frames)
+        out += enc.flush()
+        return out, enc.stats
+
     enc = EncoderTop(cfg)
     if enc.reordered:
-        raise ValueError("mesh encode supports low-delay GOPs only")
+        raise ValueError("lookahead mesh encode supports low-delay GOPs "
+                         "only; use the default (product-path) mode for "
+                         "random access")
     size = enc.sps.ctu_size >> 1
-    r = min(cfg.search_range, 24)
+    r = cfg.search_range
     lam = 0.4624 * (2.0 ** ((cfg.qp - 12) / 3.0))
     lam_fp = int(65536.0 * math.sqrt(lam))
     ip = cfg.intra_period
