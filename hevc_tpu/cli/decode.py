@@ -65,7 +65,7 @@ def main(argv=None) -> int:
     dt = time.time() - t0
     if stats:
         print(f"{'poc':>4} {'typ':>3} {'qp':>3} {'bytes':>7} "
-              f"{'skip%':>6} {'merge%':>6} {'intra%':>6} "
+              f"{'skip%':>6} {'merge%':>6} {'intra%':>6} {'bi%':>4} "
               f"{'depths(64/32/16/8)':>20} {'avgMV':>6} {'coefY':>6}")
         for r in dec.stats:
             tot = max(1, r["skip4"] + r["merge4"] + r["intra4"]
@@ -79,7 +79,8 @@ def main(argv=None) -> int:
                   f"{r['slice_bytes']:>7} "
                   f"{100 * r['skip4'] // n4:>5}% "
                   f"{100 * r['merge4'] // n4:>5}% "
-                  f"{100 * r['intra4'] // n4:>5}% {dh:>20} "
+                  f"{100 * r['intra4'] // n4:>5}% "
+                  f"{100 * r.get('bi4', 0) // n4:>3}% {dh:>20} "
                   f"{amv:>6.1f} {r['coeff_y']:>6}")
     bad = sum(1 for s in dec.hash_status if s != "OK")
     print(f"decoded {n} frames in {dt:.2f}s; hash failures: {bad}")

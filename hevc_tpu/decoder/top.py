@@ -427,4 +427,6 @@ class DecoderTop:
             rec["abs_mv_sum"] += int((np.abs(d.mv_x[inter])
                                       + np.abs(d.mv_y[inter])).sum())
             rec["mv_blocks"] += int(inter.sum())
+            rec["bi4"] = rec.get("bi4", 0) + int(
+                (inter & (d.ref_idx >= 0) & (d.ref_idx1 >= 0)).sum())
         self.stats.append(rec)

@@ -261,6 +261,10 @@ class EncoderTop:
         # mesh-sharded lookahead integer-ME results into the frame encoder
         # (the inline per-frame device search is skipped when it hits).
         self.me_provider = None
+        # reference TEncGOP::compressGOP uiColDir: the B-slice collocated
+        # list alternates per coded picture, resetting to 1 per GOP batch
+        self._col_dir = 1
+        self._col_batch = -1
         # device-resident padded reference Y planes, keyed by cvs_poc:
         # a reconstruction serves as an ME reference for up to
         # NumRefIdxActive later frames, so each upload through the host
@@ -585,12 +589,27 @@ class EncoderTop:
                 if self.pps.tiles_enabled_flag else 0,
                 tile_rows=self.pps.num_tile_rows_minus1 + 1
                 if self.pps.tiles_enabled_flag else 0)
-            # TMVP for P and B slices; the collocated picture is L0[0]
-            # (collocated_from_l0_flag = 1, both signalled and used by the
-            # PicMaps temporal candidate derivation, spec 8.5.3.2.8-9)
+            # TMVP collocated picture (spec 8.5.3.2.8-9): P slices use
+            # L0[0]; B slices alternate the list per coded picture within
+            # a GOP exactly as the reference's uiColDir toggle
+            # (TEncGOP::compressGOP, TEncGOP.cpp:1271 setColFromL0Flag
+            # (1-uiColDir) with uiColDir starting at 1 per GOP batch) —
+            # so the first B of a hierarchical GOP collocates with the
+            # motion-rich L1 picture instead of a motionless I frame,
+            # which feeds bi-predictive TMVP merge candidates.
+            gop_n = max(1, self.gop_size or 1)
+            batch = 0 if cvs_poc == 0 else (cvs_poc - 1) // gop_n + 1
+            if batch != self._col_batch:
+                self._col_batch = batch
+                self._col_dir = 1
+            col_from_l0 = (1 - self._col_dir) if is_b else 1
+            col_poc = (l0_poc if col_from_l0 else ref_l1[0][0]) \
+                if (col_from_l0 or ref_l1) else l0_poc
             use_tmvp = (self.sps.sps_temporal_mvp_enabled_flag
-                        and l0_poc in self.dpb_motion)
+                        and col_poc in self.dpb_motion)
             sh.slice_temporal_mvp_enabled_flag = 1 if use_tmvp else 0
+            sh.collocated_from_l0_flag = col_from_l0
+            sp.col_from_l0 = col_from_l0
             if sh.wp_luma_flag:
                 sp.wp_on = 1
                 sp.wp_denom = sh.wp_log2_denom
@@ -603,7 +622,7 @@ class EncoderTop:
             senc = SliceDataEncoder(sp)
             if sh.slice_temporal_mvp_enabled_flag:
                 from ..entropy.cabac import set_collocated
-                set_collocated(senc, self.dpb_motion[l0_poc], True)
+                set_collocated(senc, self.dpb_motion[col_poc], True)
             if use_native:
                 from .native_frame import NativeFrameEncoder
                 fe = NativeFrameEncoder(
@@ -655,7 +674,7 @@ class EncoderTop:
                         if sh.slice_temporal_mvp_enabled_flag:
                             from ..entropy.cabac import set_collocated
                             set_collocated(senc_i,
-                                           self.dpb_motion[l0_poc], True)
+                                           self.dpb_motion[col_poc], True)
                     objs.append((spi, senc_i, ctus))
                 return objs
 
@@ -929,6 +948,8 @@ class EncoderTop:
         self.dpb_recon = recon
         self.recon = recon
         self.out_queue.append((display_poc, recon))
+        # uiColDir flips after every coded picture (TEncGOP.cpp:1299)
+        self._col_dir = 1 - self._col_dir
         return nal.write_annexb(nals, firsts)
 
 

@@ -1339,12 +1339,28 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   int32_t pred[32 * 32];
 
   // ---- merge candidates ----
+  // Besides the SATD-ranked coded-merge pick, every candidate is scored
+  // as a SKIP at EXACT RD — bare-prediction SSE (luma + weighted chroma)
+  // + lambda * signalling — mirroring the no-residual arm the reference
+  // runs for every candidate (TEncCu::xCheckRDCostMerge2Nx2N's
+  // uiNoResidual loop). The SATD rank alone systematically under-skips:
+  // it sees absolute distortion, not the skip-vs-coded RD tradeoff.
   MotionInfo cands[5];
   int ncand = senc_->maps().merge_candidates(x0, y0, n, n, cands);
   int64_t m_cost = -1;
   int m_idx = -1;
   MotionInfo m_best;
   int32_t m_pred[32 * 32];
+  int csz = n >> 1, ccx = x0 >> 1, ccy = y0 >> 1;
+  int cwp = w_ >> 1;
+  double sk_cwgt = std::pow(2.0, (qp_y_ - chroma_qp_of(qp_y_)) / 3.0);
+  double sk_lam = sqrt_lam_ * sqrt_lam_;
+  double m_sk_j = -1.0;
+  int m_sk_idx = -1;
+  MotionInfo m_sk_mi;
+  int32_t m_sk_py[32 * 32];
+  int32_t m_sk_pcb[16 * 16], m_sk_pcr[16 * 16];
+  int32_t skc[2][16 * 16];
   for (int idx = 0; idx < ncand; ++idx) {
     bool dup = false;
     for (int k = 0; k < idx; ++k)
@@ -1356,10 +1372,22 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       dsp::mc_predict_bi(rp(0, mi.ref[0], 0), rp(1, mi.ref[1], 0), rw, pad,
                          cmi.mvx[0], cmi.mvy[0], cmi.mvx[1], cmi.mvy[1],
                          x0, y0, n, n, bd_, true, pred);
+      dsp::mc_predict_bi(rp(0, mi.ref[0], 1), rp(1, mi.ref[1], 1), rwc,
+                         pad, cmi.mvx[0], cmi.mvy[0], cmi.mvx[1],
+                         cmi.mvy[1], ccx, ccy, csz, csz, bd_, false,
+                         skc[0]);
+      dsp::mc_predict_bi(rp(0, mi.ref[0], 2), rp(1, mi.ref[1], 2), rwc,
+                         pad, cmi.mvx[0], cmi.mvy[0], cmi.mvx[1],
+                         cmi.mvy[1], ccx, ccy, csz, csz, bd_, false,
+                         skc[1]);
     } else {
       int l = mi.ref[0] >= 0 ? 0 : 1;
       mc_uni(sp_, rp(l, mi.ref[l], 0), rw, pad, cmi.mvx[l], cmi.mvy[l], x0,
              y0, n, n, bd_, true, l, 0, pred);
+      mc_uni(sp_, rp(l, mi.ref[l], 1), rwc, pad, cmi.mvx[l], cmi.mvy[l],
+             ccx, ccy, csz, csz, bd_, false, l, 1, skc[0]);
+      mc_uni(sp_, rp(l, mi.ref[l], 2), rwc, pad, cmi.mvx[l], cmi.mvy[l],
+             ccx, ccy, csz, csz, bd_, false, l, 2, skc[1]);
     }
     int64_t cost = dsp::satd(oy, w_, pred, n, n) + lam_bits(idx + 1);
     if (m_idx < 0 || cost < m_cost) {
@@ -1367,6 +1395,33 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       m_idx = idx;
       m_best = mi;
       std::memcpy(m_pred, pred, sizeof(int32_t) * n * n);
+    }
+    // exact skip J of this candidate
+    int maxv_sk = (1 << bd_) - 1;
+    double sse = 0;
+    for (int i = 0; i < n; ++i)
+      for (int j = 0; j < n; ++j) {
+        double e = (double)oy[i * w_ + j] -
+                   std::min(maxv_sk, std::max(0, pred[i * n + j]));
+        sse += e * e;
+      }
+    for (int c = 0; c < 2; ++c) {
+      const int16_t* o = orig_[c + 1] + ccy * cwp + ccx;
+      for (int i = 0; i < csz; ++i)
+        for (int j = 0; j < csz; ++j) {
+          double e = (double)o[i * cwp + j] -
+                     std::min(maxv_sk, std::max(0, skc[c][i * csz + j]));
+          sse += e * e * sk_cwgt;
+        }
+    }
+    double j = sse + sk_lam * (idx + 2);
+    if (m_sk_idx < 0 || j < m_sk_j) {
+      m_sk_j = j;
+      m_sk_idx = idx;
+      m_sk_mi = mi;
+      std::memcpy(m_sk_py, pred, sizeof(int32_t) * n * n);
+      std::memcpy(m_sk_pcb, skc[0], sizeof(int32_t) * csz * csz);
+      std::memcpy(m_sk_pcr, skc[1], sizeof(int32_t) * csz * csz);
     }
   }
 
@@ -1538,6 +1593,101 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       };
       int32_t btmp[32 * 32];
       int64_t bc = bi_cost(bm0x, bm0y, bm1x, bm1y, bi_pred);
+      // mirrored seeds (linear-motion optimum): project each list's uni
+      // winner onto the other list by POC distance. The reference's
+      // xEstimateMvBiPred converges here through full per-iteration
+      // re-searches against (2*orig - otherPred) (TEncSearch.cpp:3160);
+      // seeding the symmetric pair directly recovers the same optimum
+      // for linear motion at a fraction of the search cost — on content
+      // whose uni residuals are antisymmetric (constant-velocity motion,
+      // brightness ramps) the mirrored average cancels them outright.
+      int d0 = sp_.cur_poc - sp_.ref_poc_l0[best_r];
+      int d1 = sp_.cur_poc - sp_.ref_poc_l1[best_r1];
+      auto try_seed = [&](int m0x, int m0y, int m1x, int m1y) {
+        int64_t c = bi_cost(m0x, m0y, m1x, m1y, btmp);
+        if (c < bc) {
+          bc = c;
+          bm0x = m0x; bm0y = m0y; bm1x = m1x; bm1y = m1y;
+          std::memcpy(bi_pred, btmp, sizeof(int32_t) * n * n);
+        }
+      };
+      if (d0 != 0 && d1 != 0) {
+        auto scl = [&](int v, int num, int den) {
+          return den ? (2 * v * num + (v * num >= 0 ? den : -den)) /
+                           (2 * den) : v;
+        };
+        try_seed(mv_x, mv_y, scl(mv_x, d1, d0), scl(mv_y, d1, d0));
+        try_seed(scl(mv1_x, d0, d1), scl(mv1_y, d0, d1), mv1_x, mv1_y);
+      }
+      // integer-pel re-search of each list against the true bi target
+      // 2*orig - predOther (the reference's xEstimateMvBiPred re-runs
+      // full motion estimation per iteration against exactly this
+      // target, TEncSearch.cpp:3160): the joint optimum is often
+      // ASYMMETRIC — one list absorbs one motion component, the other
+      // list the rest — unreachable from uni winners by +-1 refinement.
+      // Integer MVs read reference pixels directly, so a diamond
+      // (steps 8/4/2/1) costs plain SAD loops only.
+      {
+        static thread_local std::vector<int32_t> tgtb, pob;
+        tgtb.resize(n * n);
+        pob.resize(n * n);
+        int32_t* tgt = tgtb.data();
+        int32_t* pother = pob.data();
+        auto research = [&](int l) {
+          if (l == 0)
+            mc_uni(sp_, rp(1, best_r1, 0), rw, pad, bm1x, bm1y, x0, y0, n,
+                   n, bd_, true, 1, 0, pother);
+          else
+            mc_uni(sp_, rp(0, best_r, 0), rw, pad, bm0x, bm0y, x0, y0, n,
+                   n, bd_, true, 0, 0, pother);
+          for (int i = 0; i < n; ++i)
+            for (int j = 0; j < n; ++j)
+              tgt[i * n + j] =
+                  2 * (int32_t)oy[i * w_ + j] - pother[i * n + j];
+          const int16_t* refp = rp(l, l ? best_r1 : best_r, 0);
+          int lox = -pad - x0, hix = w_ + pad - n - x0;
+          int loy = -pad - y0, hiy = h_ + pad - n - y0;
+          auto sad_at = [&](int jx, int jy) -> int64_t {
+            if (jx < lox || jx > hix || jy < loy || jy > hiy)
+              return INT64_MAX;
+            const int16_t* rr =
+                refp + (size_t)(pad + y0 + jy) * rw + pad + x0 + jx;
+            int64_t s = 0;
+            for (int i = 0; i < n; ++i)
+              for (int j = 0; j < n; ++j)
+                s += std::abs(tgt[i * n + j] - (int32_t)rr[i * rw + j]);
+            return s;
+          };
+          int ix = (l ? bm1x : bm0x) >> 2, iy = (l ? bm1y : bm0y) >> 2;
+          int64_t bs = sad_at(ix, iy);
+          for (int step = 8; step >= 1; step >>= 1) {
+            bool moved = true;
+            while (moved) {
+              moved = false;
+              int cx1 = ix, cy1 = iy;
+              for (int k = 0; k < 4; ++k) {
+                static const int ddx[4] = {step, -step, 0, 0};
+                static const int ddy[4] = {0, 0, step, -step};
+                int64_t s = sad_at(cx1 + ddx[k], cy1 + ddy[k]);
+                if (s < bs) {
+                  bs = s;
+                  ix = cx1 + ddx[k];
+                  iy = cy1 + ddy[k];
+                  moved = true;
+                }
+              }
+            }
+          }
+          if (l)
+            try_seed(bm0x, bm0y, ix << 2, iy << 2);
+          else
+            try_seed(ix << 2, iy << 2, bm1x, bm1y);
+        };
+        for (int it = 0; it < 2; ++it) {
+          research(1);
+          research(0);
+        }
+      }
       for (int round = 0; round < 2; ++round) {
         bool improved = false;
         for (int l = 1; l >= 0; --l) {
@@ -1754,6 +1904,13 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
                std::min(std::min(cost_intra, cost_split),
                         std::min(best_rect,
                                  std::min(cost_l1, cost_bi))));
+  if (getenv("HEVC_TPU_DBG_BI"))
+    fprintf(stderr,
+            "CU %d %d n=%d merge=%lld inter=%lld l1=%lld bi=%lld "
+            "intra=%lld split=%lld rect=%lld\n",
+            x0, y0, n, (long long)m_cost, (long long)cost_inter,
+            (long long)cost_l1, (long long)cost_bi, (long long)cost_intra,
+            (long long)cost_split, (long long)best_rect);
   if (best == cost_split) {
     int bw44 = ctu_ / 4;
     int hn = n >> 1;
@@ -1998,27 +2155,28 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   // winner): J(skip) = SSE of the bare merge prediction vs J(coded) =
   // the coded CU's SSE + lambda * exact residual bits (+ rqt_root_cbf).
   double j_inter = tu_depth_sel ? cost1 : cost0;  // sse + lam^2*resid bits
-  if (!part_sel && merge_sel >= 0 && nz_total > 0) {
-    double sse_skip = 0;
-    for (int i = 0; i < n; ++i)
-      for (int j = 0; j < n; ++j) {
-        double e = (double)oy[i * w_ + j] - pred_y[i * n + j];
-        sse_skip += e * e;
-      }
-    for (int i = 0; i < cs; ++i)
-      for (int j = 0; j < cs; ++j) {
-        double eb = (double)orig_[1][(cyy + i) * cw + cxx + j] -
-                    pcb[i * cs + j];
-        double er = (double)orig_[2][(cyy + i) * cw + cxx + j] -
-                    pcr[i * cs + j];
-        sse_skip += (eb * eb + er * er) * cwgt;
-      }
+  if (!part_sel && m_sk_idx >= 0 && (nz_total > 0 || merge_sel < 0)) {
+    // best skip candidate over the WHOLE merge list (exact SSE computed
+    // in the candidate loop) vs the coded winner, priced with their
+    // signalling difference: skip = cu_skip_flag + merge idx; coded =
+    // merge idx (or mvd/ref for AMVP) + rqt_root_cbf.
+    double sse_skip = m_sk_j - sk_lam * (m_sk_idx + 2);
+    double sig_skip = 1.0 + m_sk_idx + 1.0;
+    double sig_coded = ctx_rate(est_ctx_.qt_root_cbf[0], 1) +
+                       (merge_sel >= 0
+                            ? 2.0 + merge_sel
+                            : 5.0 + mv_bits(mvd_x) + mv_bits(mvd_y) +
+                                  (sel.ref[1] >= 0
+                                       ? 3.0 + mv_bits(mvd1_x) +
+                                             mv_bits(mvd1_y)
+                                       : 0.0));
     double cost_sel = tu_depth_sel ? cost1 : cost0;
-    if (sse_skip < cost_sel + lam_sq *
-                       ctx_rate(est_ctx_.qt_root_cbf[0], 1)) {
+    if (sse_skip + lam_sq * sig_skip < cost_sel + lam_sq * sig_coded) {
       j_inter = sse_skip;
       nz_total = 0;
       tu_depth_sel = 0;
+      merge_sel = m_sk_idx;
+      sel = m_sk_mi;
       std::memset(lev_y, 0, sizeof(lev_y));
       std::memset(lev_cb, 0, sizeof(lev_cb));
       std::memset(lev_cr, 0, sizeof(lev_cr));
@@ -2026,13 +2184,13 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       for (int i = 0; i < n; ++i)
         for (int j = 0; j < n; ++j)
           rec_y[i * n + j] = (int16_t)std::min(
-              maxv, std::max(0, pred_y[i * n + j]));
+              maxv, std::max(0, m_sk_py[i * n + j]));
       for (int i = 0; i < cs; ++i)
         for (int j = 0; j < cs; ++j) {
           rec_cb[i * cs + j] = (int16_t)std::min(
-              maxv, std::max(0, pcb[i * cs + j]));
+              maxv, std::max(0, m_sk_pcb[i * cs + j]));
           rec_cr[i * cs + j] = (int16_t)std::min(
-              maxv, std::max(0, pcr[i * cs + j]));
+              maxv, std::max(0, m_sk_pcr[i * cs + j]));
         }
     }
   }

@@ -19,6 +19,55 @@ pytestmark = pytest.mark.skipif(
     not os.path.exists(HM_ENC), reason="HM oracle encoder not built")
 
 
+def bd_rate(curve_a, curve_b):
+    """Bjøntegaard delta-rate of curve_a vs curve_b (fractional bit
+    delta at equal PSNR, negative = a cheaper). Curves are [(bits,
+    psnr)] lists; log-bits is fitted as a polynomial in PSNR and the
+    difference integrated over the overlapping PSNR range — the
+    standard BD-rate construction (VCEG-M33)."""
+    import numpy as np
+    pa = np.array([p for _, p in curve_a])
+    ra = np.log(np.array([float(b) for b, _ in curve_a]))
+    pb = np.array([p for _, p in curve_b])
+    rb = np.log(np.array([float(b) for b, _ in curve_b]))
+    deg = min(3, len(pa) - 1)
+    fa = np.polyfit(pa, ra, deg)
+    fb = np.polyfit(pb, rb, deg)
+    lo = max(pa.min(), pb.min())
+    hi = min(pa.max(), pb.max())
+    assert hi > lo, (pa, pb)
+    ia = np.polyint(fa)
+    ib = np.polyint(fb)
+    avg = (np.polyval(ia, hi) - np.polyval(ia, lo)
+           - np.polyval(ib, hi) + np.polyval(ib, lo)) / (hi - lo)
+    return math.exp(avg) - 1.0
+
+
+@pytest.mark.parametrize("cfg,max_bd", [
+    # RA/LDB hierarchical-B over QP 27/32/37 (VERDICT r2 item 4: gate a
+    # multi-point BD-rate, not one operating point)
+    ("encoder_randomaccess_main.cfg", 0.15),
+    ("encoder_lowdelay_main.cfg", 0.15),
+])
+def test_bd_rate_vs_hm(cfg, max_bd):
+    from make_test_yuv import write_clip
+    from rd_compare import run_hm, run_ours
+    w, h, frames = 320, 192, 9
+    qps = [27, 32, 37]
+    cfg_path = f"/root/reference/cfg/{cfg}"
+    with tempfile.TemporaryDirectory() as tmp:
+        clip = os.path.join(tmp, "in.yuv")
+        write_clip(clip, w, h, frames)
+        ours = [run_ours(cfg_path, clip, w, h, frames, qp, tmp)
+                for qp in qps]
+        hm = [run_hm(cfg_path, clip, w, h, frames, qp, tmp)
+              for qp in qps]
+    bd = bd_rate(ours, hm)
+    assert bd <= max_bd, (
+        f"{cfg}: BD-rate vs HM {100 * bd:+.1f}% over QP{qps} "
+        f"(ours {ours}, HM {hm})")
+
+
 @pytest.mark.parametrize("cfg,max_ratio", [
     ("encoder_intra_main.cfg", 1.10),
     ("encoder_lowdelay_P_main.cfg", 1.15),
