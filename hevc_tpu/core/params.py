@@ -128,6 +128,17 @@ class SPS:
     def min_cu_size(self) -> int:
         return 1 << (self.log2_min_luma_coding_block_size_minus3 + 3)
 
+    # sps_range_extension (spec 7.3.2.2.2; all default off)
+    transform_skip_rotation_enabled_flag: int = 0
+    transform_skip_context_enabled_flag: int = 0
+    implicit_rdpcm_enabled_flag: int = 0
+    explicit_rdpcm_enabled_flag: int = 0
+    extended_precision_processing_flag: int = 0
+    intra_smoothing_disabled_flag: int = 0
+    high_precision_offsets_enabled_flag: int = 0
+    persistent_rice_adaptation_enabled_flag: int = 0
+    cabac_bypass_alignment_enabled_flag: int = 0
+
     @property
     def pic_width_in_ctus(self) -> int:
         return -(-self.pic_width_in_luma_samples // self.ctu_size)
@@ -177,6 +188,15 @@ class PPS:
     lists_modification_present_flag: int = 0
     log2_parallel_merge_level_minus2: int = 0
     slice_segment_header_extension_present_flag: int = 0
+    # pps_range_extension (spec 7.3.3.3.1; all default off)
+    log2_max_transform_skip_block_size_minus2: int = 0
+    cross_component_prediction_enabled_flag: int = 0
+    chroma_qp_offset_list_enabled_flag: int = 0
+    diff_cu_chroma_qp_offset_depth: int = 0
+    cb_qp_offset_list: list = dataclasses.field(default_factory=list)
+    cr_qp_offset_list: list = dataclasses.field(default_factory=list)
+    log2_sao_offset_scale_luma: int = 0
+    log2_sao_offset_scale_chroma: int = 0
 
 
 @dataclasses.dataclass

@@ -217,6 +217,26 @@ def parse_sps(rbsp: bytes) -> SPS:
     sps.vui_parameters_present_flag = br.flag()
     if sps.vui_parameters_present_flag:
         _parse_vui(br, sps)
+    # sps_extension (spec 7.3.2.2.1/7.3.2.2.2 sps_range_extension;
+    # reference TDecCAVLC::parseSPS RExt block)
+    if br.flag():                       # sps_extension_present_flag
+        range_ext = br.flag()           # sps_range_extension_flag
+        multilayer = br.flag()
+        sps_3d = br.flag()
+        scc = br.flag()
+        br.u(4)                         # sps_extension_4bits
+        if range_ext:
+            sps.transform_skip_rotation_enabled_flag = br.flag()
+            sps.transform_skip_context_enabled_flag = br.flag()
+            sps.implicit_rdpcm_enabled_flag = br.flag()
+            sps.explicit_rdpcm_enabled_flag = br.flag()
+            sps.extended_precision_processing_flag = br.flag()
+            sps.intra_smoothing_disabled_flag = br.flag()
+            sps.high_precision_offsets_enabled_flag = br.flag()
+            sps.persistent_rice_adaptation_enabled_flag = br.flag()
+            sps.cabac_bypass_alignment_enabled_flag = br.flag()
+        assert not (multilayer or sps_3d or scc), \
+            "only the range-extension SPS extension is supported"
     return sps
 
 
@@ -342,6 +362,26 @@ def parse_pps(rbsp: bytes) -> PPS:
     pps.lists_modification_present_flag = br.flag()
     pps.log2_parallel_merge_level_minus2 = br.ue()
     pps.slice_segment_header_extension_present_flag = br.flag()
+    # pps_extension (spec 7.3.3.3.1 pps_range_extension)
+    if br.flag():                       # pps_extension_present_flag
+        range_ext = br.flag()
+        br.flag(); br.flag(); br.flag()  # multilayer / 3d / scc
+        br.u(4)
+        if range_ext:
+            if pps.transform_skip_enabled_flag:
+                pps.log2_max_transform_skip_block_size_minus2 = br.ue()
+            pps.cross_component_prediction_enabled_flag = br.flag()
+            pps.chroma_qp_offset_list_enabled_flag = br.flag()
+            if pps.chroma_qp_offset_list_enabled_flag:
+                pps.diff_cu_chroma_qp_offset_depth = br.ue()
+                n = br.ue() + 1
+                pps.cb_qp_offset_list = []
+                pps.cr_qp_offset_list = []
+                for _ in range(n):
+                    pps.cb_qp_offset_list.append(br.se())
+                    pps.cr_qp_offset_list.append(br.se())
+            pps.log2_sao_offset_scale_luma = br.ue()
+            pps.log2_sao_offset_scale_chroma = br.ue()
     return pps
 
 

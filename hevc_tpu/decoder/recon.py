@@ -78,8 +78,42 @@ class CtuReconstructor:
         self.qp = qp
         self.qp_c = tables.chroma_qp(qp, self.sps.chroma_format_idc)
 
+    def _resid(self, coeffs, size, c_idx, ts, is_dst=False, intra=False,
+               rdpcm=0):
+        """Final residual of one TB: dequant, inverse (or skipped)
+        transform, then the range-extension residual modifications —
+        180-degree rotation of 4x4 intra TS residuals
+        (transform_skip_rotation, reference TComTU
+        isNonTransformedResidualRotated) and RDPCM accumulation along
+        the prediction direction (reference TComTrQuant::invRdpcmNxN;
+        rdpcm: 0 off, 1 horizontal, 2 vertical)."""
+        qp = self.qp if c_idx == 0 else self.qp_c
+        sm = (tables.default_scaling_matrix(size, intra)
+              if self.sps.scaling_list_enabled_flag else None)
+        deq = dequantize_np(coeffs.astype(np.int32), size, qp, self.bd,
+                            scaling=sm)
+        r = (inverse_ts_np(deq, self.bd) if ts else
+             inverse_transform_np(deq, size, self.bd, is_dst=is_dst))
+        if ts:
+            if (intra and size == 4 and
+                    self.sps.transform_skip_rotation_enabled_flag):
+                r = r[::-1, ::-1]
+            if rdpcm == 1:
+                r = np.cumsum(r, axis=1)
+            elif rdpcm == 2:
+                r = np.cumsum(r, axis=0)
+        return r
+
+    @staticmethod
+    def _ccp_term(alpha, luma_resi):
+        """Cross-component prediction residual term (spec 8.6.6,
+        reference TComTrQuant::crossComponentPrediction):
+        (alpha * lumaResidual) >> 3 with arithmetic shift."""
+        return (int(alpha) * luma_resi) >> 3
+
     def _intra_tb(self, recon, x0, y0, size, mode, c_idx, coeffs, is_dst,
-                  luma_pos=None, ts=False):
+                  luma_pos=None, ts=False, rdpcm=0, ccp_alpha=0,
+                  luma_resi=None):
         plane = recon[c_idx]
         f = build_ref_vector(plane, x0, y0, size, self.avail,
                              self.bd, luma_pos=luma_pos)
@@ -90,30 +124,32 @@ class CtuReconstructor:
         smooth = c_idx == 0 or self.sps.chroma_format_idc == 3
         pred = intra_np.predict_mode(f, ff, mode, size, self.bd,
                                      is_luma=(c_idx == 0), smooth=smooth)
+        r = None
         if coeffs.any():
-            qp = self.qp if c_idx == 0 else self.qp_c
-            sm = (tables.default_scaling_matrix(size, True)
-                  if self.sps.scaling_list_enabled_flag else None)
-            deq = dequantize_np(coeffs.astype(np.int32), size, qp, self.bd,
-                                scaling=sm)
-            r = (inverse_ts_np(deq, self.bd) if ts else
-                 inverse_transform_np(deq, size, self.bd, is_dst=is_dst))
+            r = self._resid(coeffs, size, c_idx, ts, is_dst=is_dst,
+                            intra=True, rdpcm=rdpcm)
+        if ccp_alpha and luma_resi is not None:
+            ccp = self._ccp_term(ccp_alpha, luma_resi)
+            r = ccp if r is None else r + ccp
+        if r is not None:
             pred = pred + r
         plane[y0:y0 + size, x0:x0 + size] = np.clip(
             pred, 0, (1 << self.bd) - 1).astype(np.int16)
+        return r
 
     def _add_resid(self, recon, pred, x0, y0, size, c_idx, coeffs,
-                   ts=False):
+                   ts=False, rdpcm=0, ccp_alpha=0, luma_resi=None):
+        r = None
         if coeffs.any():
-            qp = self.qp if c_idx == 0 else self.qp_c
-            sm = (tables.default_scaling_matrix(size, False)
-                  if self.sps.scaling_list_enabled_flag else None)
-            deq = dequantize_np(coeffs.astype(np.int32), size, qp, self.bd,
-                                scaling=sm)
-            pred = pred + (inverse_ts_np(deq, self.bd) if ts else
-                           inverse_transform_np(deq, size, self.bd))
+            r = self._resid(coeffs, size, c_idx, ts, rdpcm=rdpcm)
+        if ccp_alpha and luma_resi is not None:
+            ccp = self._ccp_term(ccp_alpha, luma_resi)
+            r = ccp if r is None else r + ccp
+        if r is not None:
+            pred = pred + r
         recon[c_idx][y0:y0 + size, x0:x0 + size] = np.clip(
             pred, 0, (1 << self.bd) - 1).astype(np.int16)
+        return r
 
     def recon_ctu(self, d, cx: int, cy: int, recon: List[np.ndarray]):
         ctu_x0, ctu_y0 = cx * self.ctu, cy * self.ctu
@@ -127,6 +163,28 @@ class CtuReconstructor:
                 self._recon_intra_cu(d, recon, ctu_x0, ctu_y0, x0, y0, log2)
             else:
                 self._recon_inter_cu(d, recon, ctu_x0, ctu_y0, x0, y0, log2)
+
+    def _irdpcm(self, mode, ts):
+        """Implicit RDPCM direction for an intra TS TB (spec RExt:
+        horizontal/vertical prediction accumulates the residual)."""
+        if not (ts and self.sps.implicit_rdpcm_enabled_flag):
+            return 0
+        return 1 if mode == 10 else (2 if mode == 26 else 0)
+
+    @staticmethod
+    def _erdpcm(d, lx, ly, comp):
+        """Explicit RDPCM mode for an inter TB from the parser's rext
+        bits at the TB origin (0 off, 1 horizontal, 2 vertical)."""
+        rext = getattr(d, "rext", None)
+        if rext is None:
+            return 0
+        b = int(rext[ly >> 2, lx >> 2]) >> (comp * 2)
+        return ((b >> 1 & 1) + 1) if (b & 1) else 0
+
+    @staticmethod
+    def _ccp_of(d, lx, ly, comp):
+        m = getattr(d, "ccp_cb" if comp == 1 else "ccp_cr", None)
+        return int(m[ly >> 2, lx >> 2]) if m is not None else 0
 
     @staticmethod
     def _ts_of(d, lx, ly, bit):
@@ -156,37 +214,42 @@ class CtuReconstructor:
             tlx, tly = tx - ctu_x0, ty - ctu_y0
             mode = int(d.luma_mode[tly >> 2, tlx >> 2])
             coeffs = d.coeff_y[tly:tly + tsize, tlx:tlx + tsize]
-            self._intra_tb(recon, tx, ty, tsize, mode, 0, coeffs,
-                           is_dst=(tlog2 == 2),
-                           ts=(tlog2 == 2 and self._ts_of(d, tlx, tly, 0x10)))
+            ts_y = self._ts_of(d, tlx, tly, 0x10)
+            r_y = self._intra_tb(recon, tx, ty, tsize, mode, 0, coeffs,
+                                 is_dst=(tlog2 == 2), ts=ts_y,
+                                 rdpcm=self._irdpcm(mode, ts_y))
             if self.sps.chroma_format_idc == 3:
                 # 4:4:4: full-size chroma TB per luma TU leaf (per-part
                 # chroma mode map covers NxN partitions)
                 pcmode = int(d.chroma_mode[tly >> 2, tlx >> 2])
                 ccb = d.coeff_cb[tly:tly + tsize, tlx:tlx + tsize]
                 ccr = d.coeff_cr[tly:tly + tsize, tlx:tlx + tsize]
+                ts_cb = self._ts_of(d, tlx, tly, 0x20)
+                ts_cr = self._ts_of(d, tlx, tly, 0x40)
                 self._intra_tb(recon, tx, ty, tsize, pcmode, 1, ccb, False,
-                               luma_pos=(tx, ty, 1, 1),
-                               ts=(tlog2 == 2 and
-                                   self._ts_of(d, tlx, tly, 0x20)))
+                               luma_pos=(tx, ty, 1, 1), ts=ts_cb,
+                               rdpcm=self._irdpcm(pcmode, ts_cb),
+                               ccp_alpha=self._ccp_of(d, tlx, tly, 1),
+                               luma_resi=r_y)
                 self._intra_tb(recon, tx, ty, tsize, pcmode, 2, ccr, False,
-                               luma_pos=(tx, ty, 1, 1),
-                               ts=(tlog2 == 2 and
-                                   self._ts_of(d, tlx, tly, 0x40)))
+                               luma_pos=(tx, ty, 1, 1), ts=ts_cr,
+                               rdpcm=self._irdpcm(pcmode, ts_cr),
+                               ccp_alpha=self._ccp_of(d, tlx, tly, 2),
+                               luma_resi=r_y)
             elif tlog2 > 2:
                 cs = tsize >> 1
                 ccb = d.coeff_cb[tly >> 1:(tly >> 1) + cs,
                                  tlx >> 1:(tlx >> 1) + cs]
                 ccr = d.coeff_cr[tly >> 1:(tly >> 1) + cs,
                                  tlx >> 1:(tlx >> 1) + cs]
+                ts_cb = self._ts_of(d, tlx, tly, 0x20)
+                ts_cr = self._ts_of(d, tlx, tly, 0x40)
                 self._intra_tb(recon, tx >> 1, ty >> 1, cs, cmode, 1, ccb,
-                               False, luma_pos=(tx, ty, 2, 2),
-                               ts=(cs == 4 and
-                                   self._ts_of(d, tlx, tly, 0x20)))
+                               False, luma_pos=(tx, ty, 2, 2), ts=ts_cb,
+                               rdpcm=self._irdpcm(cmode, ts_cb))
                 self._intra_tb(recon, tx >> 1, ty >> 1, cs, cmode, 2, ccr,
-                               False, luma_pos=(tx, ty, 2, 2),
-                               ts=(cs == 4 and
-                                   self._ts_of(d, tlx, tly, 0x40)))
+                               False, luma_pos=(tx, ty, 2, 2), ts=ts_cr,
+                               rdpcm=self._irdpcm(cmode, ts_cr))
             elif blk == 3:
                 bx, by = tx - (1 << tlog2), ty - (1 << tlog2)
                 blx, bly = bx - ctu_x0, by - ctu_y0
@@ -194,12 +257,14 @@ class CtuReconstructor:
                                  blx >> 1:(blx >> 1) + 4]
                 ccr = d.coeff_cr[bly >> 1:(bly >> 1) + 4,
                                  blx >> 1:(blx >> 1) + 4]
+                ts_cb = self._ts_of(d, blx, bly, 0x20)
+                ts_cr = self._ts_of(d, blx, bly, 0x40)
                 self._intra_tb(recon, bx >> 1, by >> 1, 4, cmode, 1, ccb,
-                               False, luma_pos=(bx, by, 2, 2),
-                               ts=self._ts_of(d, blx, bly, 0x20))
+                               False, luma_pos=(bx, by, 2, 2), ts=ts_cb,
+                               rdpcm=self._irdpcm(cmode, ts_cb))
                 self._intra_tb(recon, bx >> 1, by >> 1, 4, cmode, 2, ccr,
-                               False, luma_pos=(bx, by, 2, 2),
-                               ts=self._ts_of(d, blx, bly, 0x40))
+                               False, luma_pos=(bx, by, 2, 2), ts=ts_cr,
+                               rdpcm=self._irdpcm(cmode, ts_cr))
 
     def _clip_mv(self, mv, cu_x, cu_y):
         """MV clip to picture + margin (reference TComDataCU::clipMv
@@ -303,23 +368,32 @@ class CtuReconstructor:
             tsize = 1 << tlog2
             tlx, tly = tx - ctu_x0, ty - ctu_y0
             py = pred_y[ty - y0:ty - y0 + tsize, tx - x0:tx - x0 + tsize]
-            self._add_resid(recon, py, tx, ty, tsize, 0,
-                            d.coeff_y[tly:tly + tsize, tlx:tlx + tsize],
-                            ts=(tlog2 == 2 and
-                                self._ts_of(d, tlx, tly, 0x10)))
+            ts_y = self._ts_of(d, tlx, tly, 0x10)
+            r_y = self._add_resid(
+                recon, py, tx, ty, tsize, 0,
+                d.coeff_y[tly:tly + tsize, tlx:tlx + tsize], ts=ts_y,
+                rdpcm=self._erdpcm(d, tlx, tly, 0) if ts_y else 0)
             if csx == 0:
                 # 4:4:4: full-size chroma TB per luma leaf
                 cyy, cxx = ty - y0, tx - x0
+                ts_cb = self._ts_of(d, tlx, tly, 0x20)
+                ts_cr = self._ts_of(d, tlx, tly, 0x40)
                 self._add_resid(
                     recon, pred_cb[cyy:cyy + tsize, cxx:cxx + tsize],
                     tx, ty, tsize, 1,
                     d.coeff_cb[tly:tly + tsize, tlx:tlx + tsize],
-                    ts=(tsize == 4 and self._ts_of(d, tlx, tly, 0x20)))
+                    ts=ts_cb,
+                    rdpcm=self._erdpcm(d, tlx, tly, 1) if ts_cb else 0,
+                    ccp_alpha=self._ccp_of(d, tlx, tly, 1),
+                    luma_resi=r_y)
                 self._add_resid(
                     recon, pred_cr[cyy:cyy + tsize, cxx:cxx + tsize],
                     tx, ty, tsize, 2,
                     d.coeff_cr[tly:tly + tsize, tlx:tlx + tsize],
-                    ts=(tsize == 4 and self._ts_of(d, tlx, tly, 0x40)))
+                    ts=ts_cr,
+                    rdpcm=self._erdpcm(d, tlx, tly, 2) if ts_cr else 0,
+                    ccp_alpha=self._ccp_of(d, tlx, tly, 2),
+                    luma_resi=r_y)
             elif tlog2 > 2:
                 csz = tsize >> 1
                 cyy, cxx = (ty - y0) >> 1, (tx - x0) >> 1

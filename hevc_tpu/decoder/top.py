@@ -243,6 +243,16 @@ class DecoderTop:
             tile_rows=pps.num_tile_rows_minus1 + 1
             if pps.tiles_enabled_flag else 0)
         sp.wpp = pps.entropy_coding_sync_enabled_flag
+        # range extensions (sps_range_extension / pps_range_extension)
+        sp.ts_rotation = sps.transform_skip_rotation_enabled_flag
+        sp.ts_context = sps.transform_skip_context_enabled_flag
+        sp.implicit_rdpcm = sps.implicit_rdpcm_enabled_flag
+        sp.explicit_rdpcm = sps.explicit_rdpcm_enabled_flag
+        sp.persistent_rice = sps.persistent_rice_adaptation_enabled_flag
+        sp.bypass_align = sps.cabac_bypass_alignment_enabled_flag
+        sp.ccp = pps.cross_component_prediction_enabled_flag
+        sp.ts_max_log2 = (2 + pps.log2_max_transform_skip_block_size_minus2
+                          if pps.transform_skip_enabled_flag else 2)
         sdec = cabac.SliceDataDecoder(sp, slice_data)
         if sh.slice_temporal_mvp_enabled_flag:
             col_list = (ref_pocs_l0 if sh.collocated_from_l0_flag

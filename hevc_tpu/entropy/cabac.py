@@ -41,7 +41,16 @@ class SliceParamsC(ctypes.Structure):
         ("pcm", ctypes.c_int32),
         ("cabac_init", ctypes.c_int32),
         ("col_from_l0", ctypes.c_int32),
-        ("slice_start_ctu", ctypes.c_int32)]
+        ("slice_start_ctu", ctypes.c_int32),
+        # range extensions (sps_range_extension / pps_range_extension)
+        ("ts_rotation", ctypes.c_int32),
+        ("ts_context", ctypes.c_int32),
+        ("implicit_rdpcm", ctypes.c_int32),
+        ("explicit_rdpcm", ctypes.c_int32),
+        ("persistent_rice", ctypes.c_int32),
+        ("bypass_align", ctypes.c_int32),
+        ("ccp", ctypes.c_int32),
+        ("ts_max_log2", ctypes.c_int32)]
 
 
 def _build() -> None:
@@ -129,7 +138,8 @@ def get_lib() -> ctypes.CDLL:
     stacked = [u8p, u8p, u8p, u8p, u8p, i16p, i16p, i16p,
                u8p, u8p, u8p, u8p, u8p, i8p, i16p, i16p, i16p, i16p,
                u8p, i8p, i16p, i16p, i16p, i16p,
-               np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
+               np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+               u8p, i8p, i8p]
     lib.hevc_engine_frame.argtypes = [ctypes.c_void_p] + [ctypes.c_int] * 4 \
         + stacked
     lib.hevc_enc_frame.argtypes = [ctypes.c_void_p] + [ctypes.c_int] * 4 \
@@ -164,7 +174,8 @@ def get_lib() -> ctypes.CDLL:
         u8p, u8p, u8p, u8p, u8p, i16p, i16p, i16p,
         u8p, u8p, u8p, u8p, u8p, i8p, i16p, i16p, i16p, i16p,
         u8p, i8p, i16p, i16p, i16p, i16p,
-        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        u8p, i8p, i8p]
     _lib = lib
     return lib
 
@@ -246,6 +257,11 @@ class CtuDecisions:
         self.mv_x1 = np.zeros((n4, n4), np.int16)
         self.mv_y1 = np.zeros((n4, n4), np.int16)
         self.sao = np.zeros(20, np.int32)
+        # range extensions: RDPCM bits (0x01/0x02 Y on/dir, 0x04/0x08 Cb,
+        # 0x10/0x20 Cr) and cross-component alphas at TB origins
+        self.rext = np.zeros((n4, n4), np.uint8)
+        self.ccp_cb = np.zeros((n4, n4), np.int8)
+        self.ccp_cr = np.zeros((n4, n4), np.int8)
 
 
 class EngineParamsC(ctypes.Structure):
@@ -358,7 +374,7 @@ class SliceDataDecoder:
             d.pred_mode, d.skip_flag, d.merge_flag, d.merge_idx, d.mvp_flag,
             d.ref_idx, d.mvd_x, d.mvd_y, d.mv_x, d.mv_y,
             d.mvp_flag1, d.ref_idx1, d.mvd_x1, d.mvd_y1, d.mv_x1, d.mv_y1,
-            d.sao)
+            d.sao, d.rext, d.ccp_cb, d.ccp_cr)
         return d, eos
 
     def __del__(self):
@@ -525,7 +541,8 @@ _MAP_FIELDS = ["cu_depth", "nxn_flag", "luma_mode", "chroma_mode",
                "tu_depth", "coeff_y", "coeff_cb", "coeff_cr", "pred_mode",
                "skip_flag", "merge_flag", "merge_idx", "mvp_flag", "ref_idx",
                "mvd_x", "mvd_y", "mv_x", "mv_y", "mvp_flag1", "ref_idx1",
-               "mvd_x1", "mvd_y1", "mv_x1", "mv_y1", "sao"]
+               "mvd_x1", "mvd_y1", "mv_x1", "mv_y1", "sao",
+               "rext", "ccp_cb", "ccp_cr"]
 
 
 class FrameDecisions:
@@ -559,6 +576,9 @@ class FrameDecisions:
         self.mv_y = np.zeros((nctu, n4, n4), np.int16)
         self.mvp_flag1 = np.zeros((nctu, n4, n4), np.uint8)
         self.ref_idx1 = np.full((nctu, n4, n4), -1, np.int8)
+        self.rext = np.zeros((nctu, n4, n4), np.uint8)
+        self.ccp_cb = np.zeros((nctu, n4, n4), np.int8)
+        self.ccp_cr = np.zeros((nctu, n4, n4), np.int8)
         self.mvd_x1 = np.zeros((nctu, n4, n4), np.int16)
         self.mvd_y1 = np.zeros((nctu, n4, n4), np.int16)
         self.mv_x1 = np.zeros((nctu, n4, n4), np.int16)

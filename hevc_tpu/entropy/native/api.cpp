@@ -50,7 +50,8 @@ void hevc_enc_ctu(void* h, int ctu_x, int ctu_y,
   CtuData d{cu_depth, nxn_flag, luma_mode, chroma_mode, tu_depth,
             coeff_y, coeff_cb, coeff_cr, pred_mode, skip_flag, merge_flag,
             merge_idx, mvp_flag, ref_idx, mvd_x, mvd_y, mv_x, mv_y,
-            mvp_flag1, ref_idx1, mvd_x1, mvd_y1, mv_x1, mv_y1, sao};
+            mvp_flag1, ref_idx1, mvd_x1, mvd_y1, mv_x1, mv_y1, sao,
+            nullptr, nullptr, nullptr};
   ((SliceEncoder*)h)->encode_ctu(ctu_x, ctu_y, d, end_of_slice);
 }
 
@@ -151,11 +152,13 @@ int hevc_dec_ctu(void* h, int ctu_x, int ctu_y, uint8_t* cu_depth,
                  int8_t* ref_idx, int16_t* mvd_x, int16_t* mvd_y,
                  int16_t* mv_x, int16_t* mv_y, uint8_t* mvp_flag1,
                  int8_t* ref_idx1, int16_t* mvd_x1, int16_t* mvd_y1,
-                 int16_t* mv_x1, int16_t* mv_y1, int32_t* sao) {
+                 int16_t* mv_x1, int16_t* mv_y1, int32_t* sao,
+                 uint8_t* rext, int8_t* ccp_cb, int8_t* ccp_cr) {
   MutCtuData d{cu_depth, nxn_flag, luma_mode, chroma_mode, tu_depth,
                coeff_y, coeff_cb, coeff_cr, pred_mode, skip_flag, merge_flag,
                merge_idx, mvp_flag, ref_idx, mvd_x, mvd_y, mv_x, mv_y,
-               mvp_flag1, ref_idx1, mvd_x1, mvd_y1, mv_x1, mv_y1, sao};
+               mvp_flag1, ref_idx1, mvd_x1, mvd_y1, mv_x1, mv_y1, sao,
+               rext, ccp_cb, ccp_cr};
   return ((SliceDecoder*)h)->decode_ctu(ctu_x, ctu_y, d);
 }
 
@@ -216,7 +219,8 @@ void hevc_engine_ctu(void* h, int cx, int cy, uint8_t* cu_depth,
   MutCtuData d{cu_depth, nxn_flag, luma_mode, chroma_mode, tu_depth,
                coeff_y, coeff_cb, coeff_cr, pred_mode, skip_flag, merge_flag,
                merge_idx, mvp_flag, ref_idx, mvd_x, mvd_y, mv_x, mv_y,
-               mvp_flag1, ref_idx1, mvd_x1, mvd_y1, mv_x1, mv_y1, sao};
+               mvp_flag1, ref_idx1, mvd_x1, mvd_y1, mv_x1, mv_y1, sao,
+            nullptr, nullptr, nullptr};
   ((CtuEngine*)h)->encode_ctu(cx, cy, d);
 }
 
@@ -234,6 +238,8 @@ struct StackedMaps {
   int8_t* ref_idx1;
   int16_t *mvd_x1, *mvd_y1, *mv_x1, *mv_y1;
   int32_t* sao;
+  uint8_t* rext;
+  int8_t *ccp_cb, *ccp_cr;
   int ctu, cfmt;
   MutCtuData at(size_t i) const {
     size_t m = (size_t)(ctu / 4) * (ctu / 4);
@@ -247,7 +253,9 @@ struct StackedMaps {
         mvp_flag + i * m, ref_idx + i * m, mvd_x + i * m, mvd_y + i * m,
         mv_x + i * m, mv_y + i * m, mvp_flag1 + i * m, ref_idx1 + i * m,
         mvd_x1 + i * m, mvd_y1 + i * m, mv_x1 + i * m, mv_y1 + i * m,
-        sao + i * 20};
+        sao + i * 20, rext ? rext + i * m : nullptr,
+        ccp_cb ? ccp_cb + i * m : nullptr,
+        ccp_cr ? ccp_cr + i * m : nullptr};
   }
 };
 }  // namespace
@@ -260,14 +268,14 @@ struct StackedMaps {
       uint8_t *mvp_flag, int8_t *ref_idx, int16_t *mvd_x, int16_t *mvd_y,   \
       int16_t *mv_x, int16_t *mv_y, uint8_t *mvp_flag1, int8_t *ref_idx1,   \
       int16_t *mvd_x1, int16_t *mvd_y1, int16_t *mv_x1, int16_t *mv_y1,     \
-      int32_t *sao
+      int32_t *sao, uint8_t *rext, int8_t *ccp_cb, int8_t *ccp_cr
 
 #define STACKED_INIT(CTU, CFMT)                                             \
   StackedMaps sm{cu_depth, nxn_flag, luma_mode, chroma_mode, tu_depth,      \
                  coeff_y, coeff_cb, coeff_cr, pred_mode, skip_flag,         \
                  merge_flag, merge_idx, mvp_flag, ref_idx, mvd_x, mvd_y,    \
                  mv_x, mv_y, mvp_flag1, ref_idx1, mvd_x1, mvd_y1, mv_x1,    \
-                 mv_y1, sao, CTU, CFMT}
+                 mv_y1, sao, rext, ccp_cb, ccp_cr, CTU, CFMT}
 
 // Wavefront-parallel frame drive: CTU (x, y) may start once row y-1 has
 // finished CTU x+1 (its decisions/recon cover the left, above and
@@ -339,7 +347,7 @@ extern "C" void hevc_enc_frame_order(void* senc, int nctu, const int32_t* cxs,
               md.pred_mode, md.skip_flag, md.merge_flag, md.merge_idx,
               md.mvp_flag, md.ref_idx, md.mvd_x, md.mvd_y, md.mv_x,
               md.mv_y, md.mvp_flag1, md.ref_idx1, md.mvd_x1, md.mvd_y1,
-              md.mv_x1, md.mv_y1, md.sao};
+              md.mv_x1, md.mv_y1, md.sao, md.rext, md.ccp_cb, md.ccp_cr};
     ((SliceEncoder*)senc)->encode_ctu(cxs[i], cys[i], d, i == nctu - 1);
   }
 }
@@ -362,7 +370,7 @@ extern "C" long hevc_enc_frame_order_budget(
               md.pred_mode, md.skip_flag, md.merge_flag, md.merge_idx,
               md.mvp_flag, md.ref_idx, md.mvd_x, md.mvd_y, md.mv_x,
               md.mv_y, md.mvp_flag1, md.ref_idx1, md.mvd_x1, md.mvd_y1,
-              md.mv_x1, md.mv_y1, md.sao};
+              md.mv_x1, md.mv_y1, md.sao, md.rext, md.ccp_cb, md.ccp_cr};
     e->encode_ctu(cxs[i], cys[i], d, -1);
     ++coded;
     int last = (i == nctu - 1) ||
@@ -385,7 +393,7 @@ extern "C" void hevc_enc_frame(void* senc, int ctus_w, int ctus_h,
                 md.pred_mode, md.skip_flag, md.merge_flag, md.merge_idx,
                 md.mvp_flag, md.ref_idx, md.mvd_x, md.mvd_y, md.mv_x,
                 md.mv_y, md.mvp_flag1, md.ref_idx1, md.mvd_x1, md.mvd_y1,
-                md.mv_x1, md.mv_y1, md.sao};
+                md.mv_x1, md.mv_y1, md.sao, md.rext, md.ccp_cb, md.ccp_cr};
       int last = (cy == ctus_h - 1) && (cx == ctus_w - 1);
       ((SliceEncoder*)senc)->encode_ctu(cx, cy, d, last);
     }

@@ -184,6 +184,10 @@ class CabacDecoder {
     if (offset_ >= range_) { offset_ -= range_; return 1; }
     return 0;
   }
+  // cabac_bypass_alignment (spec 9.3.4.3.4, high-throughput RExt):
+  // ivlCurrRange is forced to 256 so subsequent bypass bins read raw
+  // bits (the aligned-bypass fast path)
+  void align() { range_ = 256; }
   uint32_t decode_bypass_bins(int n) {
     uint32_t v = 0;
     for (int i = 0; i < n; ++i) v = (v << 1) | decode_bypass();

@@ -643,7 +643,7 @@ void CtuEngine::encode_ctu(int cx, int cy, const MutCtuData& d) {
                d.pred_mode, d.skip_flag, d.merge_flag, d.merge_idx,
                d.mvp_flag, d.ref_idx, d.mvd_x, d.mvd_y, d.mv_x, d.mv_y,
                d.mvp_flag1, d.ref_idx1, d.mvd_x1, d.mvd_y1, d.mv_x1,
-               d.mv_y1, d.sao};
+               d.mv_y1, d.sao, nullptr, nullptr, nullptr};
     est_enc_->encode_ctu(cx, cy, cd, 0);
   }
 }

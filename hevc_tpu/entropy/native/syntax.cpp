@@ -70,6 +70,13 @@ const uint8_t IV_SAOM[3][1] = {{153},{153},{153}};
 const uint8_t IV_SAOT[3][1] = {{160},{185},{200}};
 const uint8_t IV_TSUB[3][3] = {{224,167,122},{124,138, 94},{153,138,138}};
 const uint8_t IV_TSKIP[3][2] = {{139,139},{139,139},{139,139}};
+// range extensions (spec 9.3.2.2 / reference ContextTables.h RExt rows)
+const uint8_t IV_ERDPCM_F[3][2] = {{139,139},{139,139},{154,154}};
+const uint8_t IV_ERDPCM_D[3][2] = {{139,139},{139,139},{154,154}};
+const uint8_t IV_CCP[3][10] = {
+    {154,154,154,154,154,154,154,154,154,154},
+    {154,154,154,154,154,154,154,154,154,154},
+    {154,154,154,154,154,154,154,154,154,154}};
 
 template <size_t N>
 void init_arr(ContextModel (&arr)[N], const uint8_t (&iv)[3][N], int st, int qp) {
@@ -222,6 +229,10 @@ void ContextSet::init(int st, int qp) {
   init_arr(sao_type, IV_SAOT, st, qp);
   init_arr(trans_subdiv, IV_TSUB, st, qp);
   init_arr(transform_skip, IV_TSKIP, st, qp);
+  init_arr(explicit_rdpcm_flag, IV_ERDPCM_F, st, qp);
+  init_arr(explicit_rdpcm_dir, IV_ERDPCM_D, st, qp);
+  init_arr(ccp, IV_CCP, st, qp);
+  rice_stat[0] = rice_stat[1] = rice_stat[2] = rice_stat[3] = 0;
 }
 
 // ===========================================================================
@@ -1185,10 +1196,12 @@ void SliceEncoder::residual(int x0, int y0, int log2, int c_idx) {
 
   // transform_skip_flag (spec 7.3.8.11, first element of residual_coding;
   // reference TEncSbac::codeTransformSkipFlags, 2 contexts luma/chroma)
+  bool ts = false;
+  bool no_sbh = false;  // RDPCM TBs would disable SBH (RExt; not emitted)
   if (sp_.transform_skip_enabled && log2 == 2) {
-    int ts = (map_at(cur_->tu_depth, bw4, x0 - ctu_x0_, y0 - ctu_y0_) &
-              ts_bit_of(c_idx)) ? 1 : 0;
-    cabac_.encode_bin(ctx_.transform_skip[luma ? 0 : 1], ts);
+    ts = (map_at(cur_->tu_depth, bw4, x0 - ctu_x0_, y0 - ctu_y0_) &
+          ts_bit_of(c_idx)) != 0;
+    cabac_.encode_bin(ctx_.transform_skip[luma ? 0 : 1], ts ? 1 : 0);
   }
 
   // last significant position
@@ -1269,7 +1282,10 @@ void SliceEncoder::residual(int x0, int y0, int log2, int c_idx) {
       int sig = v != 0;
       if (k > 0 || !infer_dc) {
         int xc = r % n, yc = r / n;
-        int sctx = sig_ctx_inc(log2, scan_idx, xc, yc, right, below, luma);
+        int sctx = (sp_.ts_context && ts)
+                       ? (luma ? 27 : 15)
+                       : sig_ctx_inc(log2, scan_idx, xc, yc, right, below,
+                                     luma);
         cabac_.encode_bin(ctx_.sig[(luma ? 0 : 28) + sctx], sig);
         if (sig) infer_dc = 0;
       }
@@ -1300,7 +1316,8 @@ void SliceEncoder::residual(int x0, int y0, int log2, int c_idx) {
     if (g_bin_trace) fprintf(g_bin_trace, "# sb %d signs\n", i);
     int first_nz_k = coeffs[num - 1].pos & 15;  // lowest scan pos in sb
     int last_nz_k = coeffs[0].pos & 15;
-    bool hide = sp_.sign_hiding && (last_nz_k - first_nz_k > 3);
+    bool hide = sp_.sign_hiding && !no_sbh &&
+                (last_nz_k - first_nz_k > 3);
     for (int k = 0; k < num; ++k) {
       if (hide && k == num - 1) break;  // hidden sign: parity conveys it
       cabac_.encode_bypass(coeffs[k].val < 0 ? 1 : 0);
@@ -1701,7 +1718,8 @@ double tb_rate_bits(const ContextSet& cs_in, const int32_t* lev, int stride,
       int sig = v != 0;
       if (k > 0 || !infer_dc) {
         int xc = r % n, yc = r / n;
-        int sctx = sig_ctx_inc(log2, scan_idx, xc, yc, right, below, luma);
+        int sctx = sig_ctx_inc(log2, scan_idx, xc, yc, right, below,
+                               luma);
         rc.bin(ctx.sig[(luma ? 0 : 28) + sctx], sig);
         if (sig) infer_dc = 0;
       }
@@ -2318,8 +2336,45 @@ void SliceDecoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
     dqp_coded_ = true;
   }
   if (cbf_y) residual(x0, y0, log2, 0);
+  // cross-component prediction (spec 7.3.8.12, 4:4:4 only): one alpha
+  // per chroma component, parsed when the luma TB has coefficients and
+  // the CU is inter or intra with DM chroma (reference TDecSbac
+  // parseCrossComponentPrediction)
+  auto parse_ccp = [&](int comp) -> int {
+    if (!sp_.ccp || !cbf_y || cs != 0) return 0;
+    bool cu_intra = is_intra;
+    if (cu_intra) {
+      int lm = map_at(cur_->luma_mode, sp_.ctu_size / 4, x0 - ctu_x0_,
+                      y0 - ctu_y0_);
+      int cm = map_at(cur_->chroma_mode, sp_.ctu_size / 4, x0 - ctu_x0_,
+                      y0 - ctu_y0_);
+      if (lm != cm) return 0;  // not DM chroma
+    }
+    ContextModel* pc = ctx_.ccp + (comp == 2 ? 5 : 0);
+    if (!cabac_.decode_bin(pc[0])) return 0;
+    int symbol = cabac_.decode_bin(pc[1]);
+    if (symbol) {
+      // unary max 2: first bin ctx pc[2], further bins pc[3]
+      int u = 0;
+      if (cabac_.decode_bin(pc[2])) {
+        u = 1;
+        if (cabac_.decode_bin(pc[3])) u = 2;
+      }
+      symbol = u + 1;
+    }
+    int alpha = 1 << symbol;
+    if (cabac_.decode_bin(pc[4])) alpha = -alpha;
+    int bw4l = sp_.ctu_size / 4;
+    int8_t* m = comp == 1 ? cur_->ccp_cb : cur_->ccp_cr;
+    if (m)
+      m[((y0 - ctu_y0_) >> 2) * bw4l + ((x0 - ctu_x0_) >> 2)] =
+          (int8_t)alpha;
+    return alpha;
+  };
   if (log2 > 2 || cs == 0) {
+    parse_ccp(1);
     if (cbf_cb) residual(x0, y0, log2 - cs, 1);
+    parse_ccp(2);
     if (cbf_cr) residual(x0, y0, log2 - cs, 2);
   } else if (blk_idx == 3) {
     if (par_cb) residual(xb, yb, 2, 1);
@@ -2353,11 +2408,35 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
                                            sp_.chroma_format == 3) : 0;
   const auto& scan = g_scans.t[log2 - 2][scan_idx];
 
-  if (sp_.transform_skip_enabled && log2 == 2) {
-    if (cabac_.decode_bin(ctx_.transform_skip[luma ? 0 : 1]))
+  int ts_max = sp_.ts_max_log2 ? sp_.ts_max_log2 : 2;
+  bool ts = false;
+  if (sp_.transform_skip_enabled && log2 <= ts_max) {
+    if (cabac_.decode_bin(ctx_.transform_skip[luma ? 0 : 1])) {
+      ts = true;
       cur_->tu_depth[((y0 - ctu_y0_) >> 2) * bw4 + ((x0 - ctu_x0_) >> 2)] |=
           ts_bit_of(c_idx);
+    }
   }
+  // RDPCM (range extensions): explicit on inter TS TBs (parsed), implicit
+  // on intra TS TBs with horizontal/vertical prediction (derived). Both
+  // disable sign-data hiding for the TB (reference TDecSbac
+  // parseCoeffNxN beValid handling).
+  bool no_sbh = false;
+  if (ts && sp_.explicit_rdpcm && !blk_intra) {
+    int ch = luma ? 0 : 1;
+    if (cabac_.decode_bin(ctx_.explicit_rdpcm_flag[ch])) {
+      int dir = cabac_.decode_bin(ctx_.explicit_rdpcm_dir[ch]);
+      no_sbh = true;
+      if (cur_->rext) {
+        int shift = luma ? 0 : (c_idx == 1 ? 2 : 4);
+        cur_->rext[((y0 - ctu_y0_) >> 2) * bw4 + ((x0 - ctu_x0_) >> 2)] |=
+            (uint8_t)((1 | (dir << 1)) << shift);
+      }
+    }
+  }
+  if (ts && sp_.implicit_rdpcm && blk_intra &&
+      (pred_mode == 10 || pred_mode == 26))
+    no_sbh = true;
 
   // last significant position
   ContextModel* lastx = luma ? ctx_.last_x : ctx_.last_x + 15;
@@ -2421,7 +2500,10 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
       int sig;
       if (k > 0 || !infer_dc) {
         int xc = r % n, yc = r / n;
-        int sctx = sig_ctx_inc(log2, scan_idx, xc, yc, right, below, luma);
+        int sctx = (sp_.ts_context && ts)
+                       ? (luma ? 27 : 15)
+                       : sig_ctx_inc(log2, scan_idx, xc, yc, right, below,
+                                     luma);
         if (g_bin_trace)
           fprintf(g_bin_trace, "# sig k=%d xy=%d,%d sctx=%d\n", k, xc, yc,
                   sctx);
@@ -2451,9 +2533,19 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
     if (first_gt1 >= 0)
       gt2 = cabac_.decode_bin(ctx_.abs_[(luma ? 0 : 4) + ctx_set]);
 
+    // escape data present in this CG? (2nd+ gt1, any gt2, or >8 coeffs
+    // -- reference escapeDataPresentInGroup); with RExt CABAC bypass
+    // alignment the decoder range snaps to 256 before the bypass run
+    if (sp_.bypass_align) {
+      bool escape = num > 8 || gt2 != 0;
+      for (int k = 0; k < num_c1 && !escape; ++k)
+        if (gt1[k] && k != first_gt1) escape = true;
+      if (escape) cabac_.align();
+    }
     int first_nz_k = sig_pos[num - 1] & 15;
     int last_nz_k = sig_pos[0] & 15;
-    bool hide = sp_.sign_hiding && (last_nz_k - first_nz_k > 3);
+    bool hide = sp_.sign_hiding && !no_sbh &&
+                (last_nz_k - first_nz_k > 3);
     int sign[16] = {0};
     for (int k = 0; k < num; ++k) {
       if (hide && k == num - 1) break;
@@ -2470,7 +2562,15 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
              + (int)cabac_.decode_bypass_bins(eg_len);
     };
     int level[16];
-    int first_coeff2 = 1, rice = 0;
+    // persistent Golomb-Rice adaptation (RExt): the CG's initial rice
+    // parameter comes from the per-class statistic, the statistic is
+    // updated by the FIRST escape value of the CG, and the in-CG rice
+    // increment is uncapped (reference parseCoeffNxN adaptation path)
+    int stat_idx = (luma ? 2 : 0) + (ts ? 1 : 0);
+    int first_coeff2 = 1;
+    int rice = sp_.persistent_rice ? (int)(ctx_.rice_stat[stat_idx] >> 2)
+                                   : 0;
+    bool update_stat = sp_.persistent_rice != 0;
     long sum_abs = 0;
     for (int k = 0; k < num; ++k) {
       int flags_val, base_level;
@@ -2483,8 +2583,19 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
       }
       int av = flags_val;
       if (flags_val == base_level) {  // flags saturated -> remaining present
-        av += read_remaining(rice);
-        if (av > (3 << rice)) rice = std::min(rice + 1, 4);
+        int rem = read_remaining(rice);
+        av += rem;
+        if (av > (3 << rice))
+          rice = sp_.persistent_rice ? rice + 1 : std::min(rice + 1, 4);
+        if (update_stat) {
+          int init_rice = (int)(ctx_.rice_stat[stat_idx] >> 2);
+          if (rem >= (3 << init_rice))
+            ctx_.rice_stat[stat_idx]++;
+          else if (2 * rem < (1 << init_rice) &&
+                   ctx_.rice_stat[stat_idx] > 0)
+            ctx_.rice_stat[stat_idx]--;
+          update_stat = false;
+        }
       }
       level[k] = av;
       if (av >= 2) first_coeff2 = 0;

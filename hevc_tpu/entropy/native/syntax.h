@@ -65,6 +65,16 @@ struct SliceParams {
   int32_t slice_start_ctu; // scan-order CTU address of the slice segment
                            // start (multi-slice pictures; SAO merge and
                            // prediction never cross slice boundaries)
+  // ---- range extensions (spec 7.4.3.2.2 sps_range_extension /
+  // 7.4.3.3.2 pps_range_extension; reference TComSlice.h SPSRExt/PPSRExt)
+  int32_t ts_rotation;     // transform_skip_rotation_enabled_flag
+  int32_t ts_context;      // transform_skip_context_enabled_flag
+  int32_t implicit_rdpcm;  // implicit_rdpcm_enabled_flag
+  int32_t explicit_rdpcm;  // explicit_rdpcm_enabled_flag
+  int32_t persistent_rice; // persistent_rice_adaptation_enabled_flag
+  int32_t bypass_align;    // cabac_bypass_alignment_enabled_flag
+  int32_t ccp;             // PPS cross_component_prediction_enabled_flag
+  int32_t ts_max_log2;     // PPS log2_max_transform_skip_block_size (2..5)
 };
 
 // Context model set: one instance per slice (later: per WPP row state).
@@ -96,6 +106,14 @@ struct ContextSet {
   ContextModel sao_type[1];
   ContextModel trans_subdiv[3];
   ContextModel transform_skip[2];
+  // range extensions (reference ContextTables.h RExt rows)
+  ContextModel explicit_rdpcm_flag[2];  // [channel]
+  ContextModel explicit_rdpcm_dir[2];
+  ContextModel ccp[10];                 // cross_comp_pred: 5 Cb + 5 Cr
+  // persistent Golomb-Rice adaptation statistics (reference
+  // m_golombRiceAdaptationStatistics; rides WPP context save/load):
+  // [chroma/luma << 1 | transformed/skipped]
+  uint32_t rice_stat[4];
   void init(int slice_type, int qp);
 };
 
@@ -142,6 +160,12 @@ struct CtuData {
   //  [4] band_pos_luma  [5] band_pos_cb  [6] band_pos_cr  [7] merge flags
   //  [8..11] signed offsets luma  [12..15] cb  [16..19] cr
   const int32_t* sao;
+  // range extensions (per-4x4 at the TB origin; null when not present):
+  // rext bits: 0x01 Y-RDPCM on, 0x02 Y dir (1 = vertical), 0x04/0x08 Cb,
+  // 0x10/0x20 Cr. ccp_cb/ccp_cr: cross-component alpha (-8..8).
+  const uint8_t* rext;
+  const int8_t* ccp_cb;
+  const int8_t* ccp_cr;
 };
 
 struct MutCtuData {  // decoder-side (written)
@@ -170,6 +194,9 @@ struct MutCtuData {  // decoder-side (written)
   int16_t* mv_x1;
   int16_t* mv_y1;
   int32_t* sao;
+  uint8_t* rext;
+  int8_t* ccp_cb;
+  int8_t* ccp_cr;
 };
 
 // Inter PU geometry for part codes stored in the nxn_flag map:

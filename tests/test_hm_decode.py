@@ -87,6 +87,55 @@ def test_hm_tool_variants(tmp_path, extra, label):
 
 @pytest.mark.skipif(not os.path.exists(ENC),
                     reason="HM oracle encoder not built")
+@pytest.mark.parametrize("rext_cfg", [
+    "encoder_intra_main_rext.cfg",
+    "encoder_intra_high_throughput_rext.cfg",
+    "encoder_lowdelay_main_rext.cfg",
+    "encoder_randomaccess_main_rext.cfg",
+])
+def test_hm_rext_full_tools_stream_decodes(tmp_path, rext_cfg):
+    """HM range-extension streams with ALL the cfg's RExt coding tools
+    ON — cross-component prediction, residual rotation, implicit +
+    explicit RDPCM, persistent Golomb-Rice adaptation, and (high
+    throughput) CABAC bypass alignment with the single significance-map
+    context — must decode byte-identically to the HM decoder
+    (reference TDecSbac RExt paths / TComTrQuant::invRdpcmNxN /
+    crossComponentPrediction)."""
+    import numpy as np
+    w, h, frames = 128, 80, 4
+    clip = tmp_path / "in444.yuv"
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_test_yuv import make_frame
+    with open(clip, "wb") as fh:
+        for t in range(frames):
+            y, u, v = make_frame(w, h, t)
+            fh.write(np.asarray(y, np.uint8).tobytes())
+            for p in (u, v):
+                full = np.repeat(np.repeat(np.asarray(p, np.uint8), 2, 0),
+                                 2, 1)[:h, :w]
+                fh.write(full.tobytes())
+    bs = tmp_path / "o.bin"
+    out = subprocess.run(
+        [ENC, "-c", f"/root/reference/cfg/{rext_cfg}",
+         "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+         str(frames), "-fr", "30", "-q", "32", "--InputChromaFormat=444",
+         "--ChromaFormatIDC=444",
+         "-b", str(bs), "-o", str(tmp_path / "hmrec.yuv")],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-1500:]
+    ref = subprocess.run(
+        ["/tmp/hm_oracle/bin/TAppDecoderStatic", "-b", str(bs), "-o",
+         str(tmp_path / "hmdec.yuv")], capture_output=True, text=True)
+    assert ref.returncode == 0
+    from hevc_tpu.cli.decode import main as dec_main
+    dec_main(["-b", str(bs), "-o", str(tmp_path / "ours.yuv")])
+    assert (tmp_path / "ours.yuv").read_bytes() == \
+        (tmp_path / "hmdec.yuv").read_bytes()
+
+
+@pytest.mark.skipif(not os.path.exists(ENC),
+                    reason="HM oracle encoder not built")
 def test_hm_444_inter_stream_decodes(tmp_path):
     """HM-encoded Main 4:4:4 LOW-DELAY stream (RExt coding tools off):
     our decoder output must match the HM decoder byte-for-byte —
