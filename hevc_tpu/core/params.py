@@ -128,6 +128,17 @@ class SPS:
     def min_cu_size(self) -> int:
         return 1 << (self.log2_min_luma_coding_block_size_minus3 + 3)
 
+    @property
+    def chroma_shift_x(self) -> int:
+        """SubWidthC as a shift (spec Table 6-1)."""
+        return 0 if self.chroma_format_idc == 3 else 1
+
+    @property
+    def chroma_shift_y(self) -> int:
+        """SubHeightC as a shift (spec Table 6-1; 4:2:2 subsamples
+        horizontally only)."""
+        return 1 if self.chroma_format_idc == 1 else 0
+
     # sps_range_extension (spec 7.3.2.2.2; all default off)
     transform_skip_rotation_enabled_flag: int = 0
     transform_skip_context_enabled_flag: int = 0

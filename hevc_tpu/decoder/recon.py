@@ -71,6 +71,8 @@ class CtuReconstructor:
         self.wp = wp
         self.wp_tables = wp_tables
         self.wp_denoms = wp_denoms
+        self.csx = sps.chroma_shift_x
+        self.csy = sps.chroma_shift_y
 
     def set_qp(self, qp: int) -> None:
         """Per-CTU QP for cu_qp_delta streams (the signalled group QP —
@@ -199,11 +201,12 @@ class CtuReconstructor:
             # I_PCM: the raw samples ride the coeff planes (spec 8.4.1)
             n = 1 << log2
             recon[0][y0:y0 + n, x0:x0 + n] = d.coeff_y[ly:ly + n, lx:lx + n]
-            cs = n >> 1
-            recon[1][y0 >> 1:(y0 >> 1) + cs, x0 >> 1:(x0 >> 1) + cs] = \
-                d.coeff_cb[ly >> 1:(ly >> 1) + cs, lx >> 1:(lx >> 1) + cs]
-            recon[2][y0 >> 1:(y0 >> 1) + cs, x0 >> 1:(x0 >> 1) + cs] = \
-                d.coeff_cr[ly >> 1:(ly >> 1) + cs, lx >> 1:(lx >> 1) + cs]
+            sx, sy = self.csx, self.csy
+            cw, chh = n >> sx, n >> sy
+            recon[1][y0 >> sy:(y0 >> sy) + chh, x0 >> sx:(x0 >> sx) + cw] = \
+                d.coeff_cb[ly >> sy:(ly >> sy) + chh, lx >> sx:(lx >> sx) + cw]
+            recon[2][y0 >> sy:(y0 >> sy) + chh, x0 >> sx:(x0 >> sx) + cw] = \
+                d.coeff_cr[ly >> sy:(ly >> sy) + chh, lx >> sx:(lx >> sx) + cw]
             return
         nxn = bool(d.nxn_flag[ly >> 2, lx >> 2])
         cmode = int(d.chroma_mode[ly >> 2, lx >> 2])
@@ -236,6 +239,33 @@ class CtuReconstructor:
                                rdpcm=self._irdpcm(pcmode, ts_cr),
                                ccp_alpha=self._ccp_of(d, tlx, tly, 2),
                                luma_resi=r_y)
+            elif self.sps.chroma_format_idc == 2:
+                # 4:2:2: TWO square chroma sub-TBs stacked vertically per
+                # luma TB (or per blk-3 parent), chroma y == luma y
+                # (reference TComTU two-sub-TU iteration; the mode map
+                # already holds the Table 8-3 remapped direction)
+                if tlog2 > 2:
+                    bx, by, blog2 = tx, ty, tlog2
+                elif blk == 3:
+                    bx, by = tx - (1 << tlog2), ty - (1 << tlog2)
+                    blog2 = tlog2 + 1
+                else:
+                    continue
+                cs = 1 << (blog2 - 1)
+                blx = bx - ctu_x0
+                for half in range(2):
+                    hy = by + half * cs          # luma == chroma row
+                    hly = hy - ctu_y0
+                    ccb = d.coeff_cb[hly:hly + cs, blx >> 1:(blx >> 1) + cs]
+                    ccr = d.coeff_cr[hly:hly + cs, blx >> 1:(blx >> 1) + cs]
+                    ts_cb = self._ts_of(d, blx, hly, 0x20)
+                    ts_cr = self._ts_of(d, blx, hly, 0x40)
+                    self._intra_tb(recon, bx >> 1, hy, cs, cmode, 1, ccb,
+                                   False, luma_pos=(bx, hy, 2, 1), ts=ts_cb,
+                                   rdpcm=self._irdpcm(cmode, ts_cb))
+                    self._intra_tb(recon, bx >> 1, hy, cs, cmode, 2, ccr,
+                                   False, luma_pos=(bx, hy, 2, 1), ts=ts_cr,
+                                   rdpcm=self._irdpcm(cmode, ts_cr))
             elif tlog2 > 2:
                 cs = tsize >> 1
                 ccb = d.coeff_cb[tly >> 1:(tly >> 1) + cs,
@@ -297,19 +327,19 @@ class CtuReconstructor:
         r1 = int(d.ref_idx1[bi, bj])
         mv1 = self._clip_mv((int(d.mv_x1[bi, bj]), int(d.mv_y1[bi, bj])),
                             cu_x, cu_y)
-        csx = 0 if self.sps.chroma_format_idc == 3 else 1
-        cw, chh = pw >> csx, ph >> csx
-        cx, cy = px >> csx, py >> csx
+        csx, csy = self.csx, self.csy
+        cw, chh = pw >> csx, ph >> csy
+        cx, cy = px >> csx, py >> csy
         if r0 >= 0 and r1 >= 0:  # bi-prediction (spec 8.5.3.3.3)
             f0, f1 = self.refs_l0[r0], self.refs_l1[r1]
             py_ = mc_predict_bi_np(f0[0], f1[0], PAD, mv, mv1,
                                    px, py, pw, ph, self.bd, True)
             pcb = mc_predict_bi_np(f0[1], f1[1], PAD, mv, mv1, cx,
                                    cy, cw, chh, self.bd, False,
-                                   chroma_shift=csx)
+                                   chroma_shift=(csx, csy))
             pcr = mc_predict_bi_np(f0[2], f1[2], PAD, mv, mv1, cx,
                                    cy, cw, chh, self.bd, False,
-                                   chroma_shift=csx)
+                                   chroma_shift=(csx, csy))
         else:
             umv = mv if r0 >= 0 else mv1
             lx = 0 if r0 >= 0 else 1
@@ -327,29 +357,28 @@ class CtuReconstructor:
                 pcb = mc_predict_wp_np(f[1], PAD, umv[0], umv[1], cx,
                                        cy, cw, chh, self.bd, False,
                                        cwts[0][0], cwts[0][1],
-                                       self.wp_denoms[1], chroma_shift=csx)
+                                       self.wp_denoms[1], chroma_shift=(csx, csy))
                 pcr = mc_predict_wp_np(f[2], PAD, umv[0], umv[1], cx,
                                        cy, cw, chh, self.bd, False,
                                        cwts[1][0], cwts[1][1],
-                                       self.wp_denoms[1], chroma_shift=csx)
+                                       self.wp_denoms[1], chroma_shift=(csx, csy))
             else:
                 pcb = mc_predict_np(f[1], PAD, umv[0], umv[1], cx,
                                     cy, cw, chh, self.bd, False,
-                                    chroma_shift=csx)
+                                    chroma_shift=(csx, csy))
                 pcr = mc_predict_np(f[2], PAD, umv[0], umv[1], cx,
                                     cy, cw, chh, self.bd, False,
-                                    chroma_shift=csx)
+                                    chroma_shift=(csx, csy))
         return py_, pcb, pcr
 
     def _recon_inter_cu(self, d, recon, ctu_x0, ctu_y0, x0, y0, log2):
         size = 1 << log2
         lx, ly = x0 - ctu_x0, y0 - ctu_y0
-        csx = 0 if self.sps.chroma_format_idc == 3 else 1
-        cs = size >> csx
+        csx, csy = self.csx, self.csy
         part = int(d.nxn_flag[ly >> 2, lx >> 2])  # pu_rect part codes
         pred_y = np.zeros((size, size), np.int32)
-        pred_cb = np.zeros((cs, cs), np.int32)
-        pred_cr = np.zeros((cs, cs), np.int32)
+        pred_cb = np.zeros((size >> csy, size >> csx), np.int32)
+        pred_cr = np.zeros((size >> csy, size >> csx), np.int32)
         npu = 1 if part == 0 else 2
         for pu in range(npu):
             ox, oy, pw, ph = _pu_rect(part, pu, size)
@@ -357,9 +386,9 @@ class CtuReconstructor:
             py_, pcb, pcr = self._pu_pred(d, ctu_x0, ctu_y0, px, py, pw, ph,
                                           x0, y0)
             pred_y[py - y0:py - y0 + ph, px - x0:px - x0 + pw] = py_
-            pred_cb[(py - y0) >> csx:((py - y0) >> csx) + (ph >> csx),
+            pred_cb[(py - y0) >> csy:((py - y0) >> csy) + (ph >> csy),
                     (px - x0) >> csx:((px - x0) >> csx) + (pw >> csx)] = pcb
-            pred_cr[(py - y0) >> csx:((py - y0) >> csx) + (ph >> csx),
+            pred_cr[(py - y0) >> csy:((py - y0) >> csy) + (ph >> csy),
                     (px - x0) >> csx:((px - x0) >> csx) + (pw >> csx)] = pcr
         # residual per TU leaf (tu_depth map was filled by the parser)
         for (tx, ty, tlog2, tdepth, blk) in tu_leaves(
@@ -394,6 +423,33 @@ class CtuReconstructor:
                     rdpcm=self._erdpcm(d, tlx, tly, 2) if ts_cr else 0,
                     ccp_alpha=self._ccp_of(d, tlx, tly, 2),
                     luma_resi=r_y)
+            elif self.sps.chroma_format_idc == 2:
+                # 4:2:2: two square chroma sub-TBs per luma TB (or per
+                # blk-3 parent), stacked vertically in the full-height
+                # chroma plane
+                if tlog2 > 2:
+                    bx, by, blog2 = tx, ty, tlog2
+                elif blk == 3:
+                    bx, by = tx - (1 << tlog2), ty - (1 << tlog2)
+                    blog2 = tlog2 + 1
+                else:
+                    continue
+                csz = 1 << (blog2 - 1)
+                blx = bx - ctu_x0
+                for half in range(2):
+                    hy = by + half * csz        # luma == chroma row
+                    hly = hy - ctu_y0
+                    cyy, cxx = hy - y0, (bx - x0) >> 1
+                    self._add_resid(
+                        recon, pred_cb[cyy:cyy + csz, cxx:cxx + csz],
+                        bx >> 1, hy, csz, 1,
+                        d.coeff_cb[hly:hly + csz, blx >> 1:(blx >> 1) + csz],
+                        ts=(csz == 4 and self._ts_of(d, blx, hly, 0x20)))
+                    self._add_resid(
+                        recon, pred_cr[cyy:cyy + csz, cxx:cxx + csz],
+                        bx >> 1, hy, csz, 2,
+                        d.coeff_cr[hly:hly + csz, blx >> 1:(blx >> 1) + csz],
+                        ts=(csz == 4 and self._ts_of(d, blx, hly, 0x40)))
             elif tlog2 > 2:
                 csz = tsize >> 1
                 cyy, cxx = (ty - y0) >> 1, (tx - x0) >> 1

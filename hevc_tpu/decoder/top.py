@@ -184,10 +184,10 @@ class DecoderTop:
     def _start_picture(self, sh) -> None:
         sps = self.sps
         w, h = sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples
-        csh = 0 if sps.chroma_format_idc == 3 else 1
+        sx, sy = sps.chroma_shift_x, sps.chroma_shift_y
         recon = [np.zeros((h, w), np.int16),
-                 np.zeros((h >> csh, w >> csh), np.int16),
-                 np.zeros((h >> csh, w >> csh), np.int16)]
+                 np.zeros((h >> sy, w >> sx), np.int16),
+                 np.zeros((h >> sy, w >> sx), np.int16)]
         ctus_w = sps.pic_width_in_ctus
         ctus_h = sps.pic_height_in_ctus
         self._pic = {

@@ -232,14 +232,15 @@ class CtuDecisions:
     def __init__(self, ctu_size: int = 64, chroma_format: int = 1):
         n4 = ctu_size // 4
         cw = ctu_size if chroma_format == 3 else ctu_size // 2
+        ch = ctu_size // 2 if chroma_format == 1 else ctu_size
         self.cu_depth = np.zeros((n4, n4), np.uint8)
         self.nxn_flag = np.zeros((n4, n4), np.uint8)
         self.luma_mode = np.full((n4, n4), 1, np.uint8)
         self.chroma_mode = np.full((n4, n4), 1, np.uint8)
         self.tu_depth = np.zeros((n4, n4), np.uint8)
         self.coeff_y = np.zeros((ctu_size, ctu_size), np.int16)
-        self.coeff_cb = np.zeros((cw, cw), np.int16)
-        self.coeff_cr = np.zeros((cw, cw), np.int16)
+        self.coeff_cb = np.zeros((ch, cw), np.int16)
+        self.coeff_cr = np.zeros((ch, cw), np.int16)
         self.pred_mode = np.ones((n4, n4), np.uint8)   # 1 = intra
         self.skip_flag = np.zeros((n4, n4), np.uint8)
         self.merge_flag = np.zeros((n4, n4), np.uint8)
@@ -553,6 +554,7 @@ class FrameDecisions:
     def __init__(self, nctu: int, ctu_size: int = 64, chroma_format: int = 1):
         n4 = ctu_size // 4
         cw = ctu_size if chroma_format == 3 else ctu_size // 2
+        ch = ctu_size // 2 if chroma_format == 1 else ctu_size
         self.nctu = nctu
         self.ctu_size = ctu_size
         self.chroma_format = chroma_format
@@ -562,8 +564,8 @@ class FrameDecisions:
         self.chroma_mode = np.full((nctu, n4, n4), 1, np.uint8)
         self.tu_depth = np.zeros((nctu, n4, n4), np.uint8)
         self.coeff_y = np.zeros((nctu, ctu_size, ctu_size), np.int16)
-        self.coeff_cb = np.zeros((nctu, cw, cw), np.int16)
-        self.coeff_cr = np.zeros((nctu, cw, cw), np.int16)
+        self.coeff_cb = np.zeros((nctu, ch, cw), np.int16)
+        self.coeff_cr = np.zeros((nctu, ch, cw), np.int16)
         self.pred_mode = np.ones((nctu, n4, n4), np.uint8)
         self.skip_flag = np.zeros((nctu, n4, n4), np.uint8)
         self.merge_flag = np.zeros((nctu, n4, n4), np.uint8)

@@ -244,7 +244,9 @@ struct StackedMaps {
   MutCtuData at(size_t i) const {
     size_t m = (size_t)(ctu / 4) * (ctu / 4);
     size_t cy = (size_t)ctu * ctu;
-    size_t cc = cfmt == 3 ? cy : cy / 4;
+    // 4:2:0 quarter-size, 4:2:2 half-size (horizontal subsampling only),
+    // 4:4:4 full-size chroma planes
+    size_t cc = cfmt == 3 ? cy : (cfmt == 2 ? cy / 2 : cy / 4);
     return MutCtuData{
         cu_depth + i * m, nxn_flag + i * m, luma_mode + i * m,
         chroma_mode + i * m, tu_depth + i * m, coeff_y + i * cy,

@@ -189,6 +189,13 @@ int chroma_mode_to_idx(int mode, int luma_mode) {
   return 4;  // fallback (mode must equal one of the candidates)
 }
 
+// 4:2:2 chroma intra angle remapping (spec Table 8-3: IntraPredModeC is
+// remapped because the chroma sample grid is stretched vertically;
+// numerically identical to ITU-T H.265 Table 8-3 constants).
+const uint8_t CHROMA_422_ANGLE_MAP[35] = {
+    0, 1, 2, 2, 2, 2, 3, 5, 7, 8, 10, 12, 13, 15, 17, 18, 19, 20,
+    21, 22, 23, 23, 24, 24, 25, 25, 26, 27, 27, 28, 28, 29, 29, 30, 31};
+
 int mode_scan_idx(int log2, int c_idx, int pred_mode, bool c444) {
   // spec 7.4.9.11: mode-dependent coefficient scan for small intra TUs;
   // chroma 8x8 qualifies when ChromaArrayType == 3 (4:4:4)
@@ -1179,10 +1186,13 @@ void SliceEncoder::residual(int x0, int y0, int log2, int c_idx) {
     plane = cur_->coeff_y; pw = sp_.ctu_size;
     px = x0 - ctu_x0_; py = y0 - ctu_y0_;
   } else {
-    int cs = (sp_.chroma_format == 3) ? 0 : 1;
+    // chroma coeff planes are (ctu >> csy) rows x (ctu >> csx) cols;
+    // 4:2:2 subsamples horizontally only (SubWidthC=2, SubHeightC=1)
+    int csx = (sp_.chroma_format == 3) ? 0 : 1;
+    int csy = (sp_.chroma_format == 1) ? 1 : 0;
     plane = (c_idx == 1) ? cur_->coeff_cb : cur_->coeff_cr;
-    pw = sp_.ctu_size >> cs;
-    px = (x0 - ctu_x0_) >> cs; py = (y0 - ctu_y0_) >> cs;
+    pw = sp_.ctu_size >> csx;
+    px = (x0 - ctu_x0_) >> csx; py = (y0 - ctu_y0_) >> csy;
   }
   // mode-dependent scan applies to intra blocks only (7.4.9.11)
   bool blk_intra = sp_.slice_type == 2 ||
@@ -2188,18 +2198,20 @@ void SliceDecoder::parse_intra_cu(int x0, int y0, int log2) {
     if (cabac_.decode_terminate()) {
       cabac_.align_to_byte();
       int bw4 = sp_.ctu_size / 4;
-      int n = 1 << log2, cn = n >> 1;
+      int csx = (sp_.chroma_format == 3) ? 0 : 1;
+      int csy = (sp_.chroma_format == 1) ? 1 : 0;
+      int n = 1 << log2, cnx = n >> csx, cny = n >> csy;
       int lx = x0 - ctu_x0_, ly = y0 - ctu_y0_;
       for (int i = 0; i < n; ++i)
         for (int j = 0; j < n; ++j)
           cur_->coeff_y[(ly + i) * sp_.ctu_size + lx + j] =
               (int16_t)cabac_.read_raw(sp_.bit_depth);
-      int cctu = sp_.ctu_size >> 1;
+      int cctu = sp_.ctu_size >> csx;
       for (int c = 0; c < 2; ++c) {
         int16_t* cp = c == 0 ? cur_->coeff_cb : cur_->coeff_cr;
-        for (int i = 0; i < cn; ++i)
-          for (int j = 0; j < cn; ++j)
-            cp[((ly >> 1) + i) * cctu + (lx >> 1) + j] =
+        for (int i = 0; i < cny; ++i)
+          for (int j = 0; j < cnx; ++j)
+            cp[((ly >> csy) + i) * cctu + (lx >> csx) + j] =
                 (int16_t)cabac_.read_raw(sp_.bit_depth);
       }
       cabac_.restart_here();
@@ -2256,6 +2268,10 @@ void SliceDecoder::parse_intra_cu(int x0, int y0, int log2) {
     } else {
       cmode = chroma_cand(cabac_.decode_bypass_bins(2), mode[i]);
     }
+    // 4:2:2 stores the REMAPPED mode (spec Table 8-3) — both the
+    // residual scan choice (7.4.9.11) and prediction use it
+    // (reference TDecSbac.cpp:1337, TDecCu.cpp:500)
+    if (sp_.chroma_format == 2) cmode = CHROMA_422_ANGLE_MAP[cmode];
     if (cparts == 4)
       fill(cur_->chroma_mode, x0 + (i & 1) * half, y0 + (i >> 1) * half,
            log2 - 1, cmode);
@@ -2268,7 +2284,8 @@ void SliceDecoder::parse_intra_cu(int x0, int y0, int log2) {
 
 void SliceDecoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
                                   int depth, int blk_idx, bool intra_split,
-                                  int par_cb, int par_cr, bool is_intra) {
+                                  int par_cb, int par_cr, bool is_intra,
+                                  int par_cb2, int par_cr2) {
   if (g_bin_trace)
     fprintf(g_bin_trace, "# TT %d %d log2=%d d=%d pcb=%d pcr=%d\n", x0, y0,
             log2, depth, par_cb, par_cr);
@@ -2287,39 +2304,52 @@ void SliceDecoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
   else split = false;
 
   int cs = (sp_.chroma_format == 3) ? 0 : 1;
-  int cbf_cb = 0, cbf_cr = 0;
+  // 4:2:2: a luma TB carries TWO square chroma sub-TBs stacked
+  // vertically, each with its own cbf (spec 7.3.8.8: the second flag at
+  // [x0][y0 + (1 << (log2TrafoSize - 1))] is coded when the node does
+  // not split, or at log2TrafoSize == 3 where children cannot carry
+  // chroma; reference TComTU two-sub-TU iteration).
+  bool c422 = sp_.chroma_format == 2;
+  int cbf_cb = 0, cbf_cr = 0, cbf_cb2 = 0, cbf_cr2 = 0;
   if (log2 > 2 || cs == 0) {
     if (depth == 0 || par_cb) {
       if (g_bin_trace) fprintf(g_bin_trace, "# cbfCb d=%d\n", depth);
       cbf_cb = cabac_.decode_bin(ctx_.cbf_chroma[depth]);
+      if (c422 && (!split || log2 == 3))
+        cbf_cb2 = cabac_.decode_bin(ctx_.cbf_chroma[depth]);
     }
     if (depth == 0 || par_cr) {
       if (g_bin_trace) fprintf(g_bin_trace, "# cbfCr d=%d\n", depth);
       cbf_cr = cabac_.decode_bin(ctx_.cbf_chroma[depth]);
+      if (c422 && (!split || log2 == 3))
+        cbf_cr2 = cabac_.decode_bin(ctx_.cbf_chroma[depth]);
     }
   } else {
     cbf_cb = par_cb;
     cbf_cr = par_cr;
+    cbf_cb2 = par_cb2;
+    cbf_cr2 = par_cr2;
   }
 
   if (split) {
     int h = 1 << (log2 - 1);
-    transform_tree(x0, y0, x0, y0, log2 - 1, depth + 1, 0, intra_split, cbf_cb, cbf_cr, is_intra);
-    transform_tree(x0 + h, y0, x0, y0, log2 - 1, depth + 1, 1, intra_split, cbf_cb, cbf_cr, is_intra);
-    transform_tree(x0, y0 + h, x0, y0, log2 - 1, depth + 1, 2, intra_split, cbf_cb, cbf_cr, is_intra);
-    transform_tree(x0 + h, y0 + h, x0, y0, log2 - 1, depth + 1, 3, intra_split, cbf_cb, cbf_cr, is_intra);
+    transform_tree(x0, y0, x0, y0, log2 - 1, depth + 1, 0, intra_split, cbf_cb, cbf_cr, is_intra, cbf_cb2, cbf_cr2);
+    transform_tree(x0 + h, y0, x0, y0, log2 - 1, depth + 1, 1, intra_split, cbf_cb, cbf_cr, is_intra, cbf_cb2, cbf_cr2);
+    transform_tree(x0, y0 + h, x0, y0, log2 - 1, depth + 1, 2, intra_split, cbf_cb, cbf_cr, is_intra, cbf_cb2, cbf_cr2);
+    transform_tree(x0 + h, y0 + h, x0, y0, log2 - 1, depth + 1, 3, intra_split, cbf_cb, cbf_cr, is_intra, cbf_cb2, cbf_cr2);
     return;
   }
 
   fill(cur_->tu_depth, x0, y0, log2, depth);
   int cbf_y = 1;  // inferred for inter depth-0 with no chroma cbf
-  if (is_intra || depth != 0 || cbf_cb || cbf_cr) {
+  if (is_intra || depth != 0 || cbf_cb || cbf_cr || cbf_cb2 || cbf_cr2) {
     if (g_bin_trace) fprintf(g_bin_trace, "# cbfY d=%d\n", depth);
     cbf_y = cabac_.decode_bin(ctx_.cbf_luma[depth == 0 ? 1 : 0]);
   }
   // cu_qp_delta (spec 7.3.8.10/9.3.3.8): TU prefix cMax 5 (ctx 0 then 1),
   // EG0 suffix, bypass sign; QpY wraps per 8.6.1
-  if (sp_.cu_dqp && !dqp_coded_ && (cbf_y || cbf_cb || cbf_cr)) {
+  if (sp_.cu_dqp && !dqp_coded_ &&
+      (cbf_y || cbf_cb || cbf_cr || cbf_cb2 || cbf_cr2)) {
     int a = 0;
     while (a < 5 && cabac_.decode_bin(ctx_.dqp[a ? 1 : 0])) ++a;
     if (a == 5) {
@@ -2374,11 +2404,15 @@ void SliceDecoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
   if (log2 > 2 || cs == 0) {
     parse_ccp(1);
     if (cbf_cb) residual(x0, y0, log2 - cs, 1);
+    if (c422 && cbf_cb2) residual(x0, y0 + (1 << (log2 - 1)), log2 - 1, 1);
     parse_ccp(2);
     if (cbf_cr) residual(x0, y0, log2 - cs, 2);
+    if (c422 && cbf_cr2) residual(x0, y0 + (1 << (log2 - 1)), log2 - 1, 2);
   } else if (blk_idx == 3) {
     if (par_cb) residual(xb, yb, 2, 1);
+    if (c422 && par_cb2) residual(xb, yb + 4, 2, 1);
     if (par_cr) residual(xb, yb, 2, 2);
+    if (c422 && par_cr2) residual(xb, yb + 4, 2, 2);
   }
 }
 
@@ -2393,10 +2427,13 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
     plane = cur_->coeff_y; pw = sp_.ctu_size;
     px = x0 - ctu_x0_; py = y0 - ctu_y0_;
   } else {
-    int cs = (sp_.chroma_format == 3) ? 0 : 1;
+    // chroma coeff planes are (ctu >> csy) rows x (ctu >> csx) cols;
+    // 4:2:2 subsamples horizontally only (SubWidthC=2, SubHeightC=1)
+    int csx = (sp_.chroma_format == 3) ? 0 : 1;
+    int csy = (sp_.chroma_format == 1) ? 1 : 0;
     plane = (c_idx == 1) ? cur_->coeff_cb : cur_->coeff_cr;
-    pw = sp_.ctu_size >> cs;
-    px = (x0 - ctu_x0_) >> cs; py = (y0 - ctu_y0_) >> cs;
+    pw = sp_.ctu_size >> csx;
+    px = (x0 - ctu_x0_) >> csx; py = (y0 - ctu_y0_) >> csy;
   }
   // mode-dependent scan applies to intra blocks only (7.4.9.11)
   bool blk_intra = sp_.slice_type == 2 ||

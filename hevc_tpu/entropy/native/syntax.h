@@ -383,7 +383,7 @@ class SliceDecoder {
   void parse_pu(int px, int py, int pw, int ph, int log2, int part);
   void transform_tree(int x0, int y0, int xb, int yb, int log2, int depth,
                       int blk_idx, bool intra_split, int par_cb, int par_cr,
-                      bool is_intra);
+                      bool is_intra, int par_cb2 = 0, int par_cr2 = 0);
   void residual(int x0, int y0, int log2, int c_idx);
   void fill(uint8_t* map, int x0, int y0, int log2, uint8_t v);
   void fill16(int16_t* map, int x0, int y0, int log2, int16_t v);

@@ -308,11 +308,18 @@ def _filter_luma_dir(y: np.ndarray, bs4: np.ndarray, qp: int, bd: int,
 
 
 def _filter_chroma_dir(c: np.ndarray, bs4: np.ndarray, qp_c: int, bd: int,
-                       tc_off: int, vertical: bool, cshift: int = 1,
-                       qp_map=None, chroma_format: int = 1) -> None:
+                       tc_off: int, vertical: bool, eshift: int = 1,
+                       qp_map=None, chroma_format: int = 1,
+                       lshift: int = None) -> None:
     """Chroma edges: 8-chroma-sample grid, BS==2 only, line granularity
-    matching the luma segment grid (spec 8.7.2.5.5). cshift is the
-    chroma subsampling shift (1 for 4:2:0, 0 for 4:4:4)."""
+    matching the luma segment grid (spec 8.7.2.5.5). eshift is the
+    subsampling shift PERPENDICULAR to the edge (sets the edge spacing
+    in luma units), lshift the shift ALONG the edge (sets the chroma
+    lines per 4-luma BS segment). For 4:2:0 both are 1; for 4:2:2
+    vertical edges (eshift=1, lshift=0) and horizontal edges
+    (eshift=0, lshift=1); 4:4:4 both 0."""
+    if lshift is None:
+        lshift = eshift
     if not vertical:
         c = c.T
         bs4 = bs4.T
@@ -321,13 +328,13 @@ def _filter_chroma_dir(c: np.ndarray, bs4: np.ndarray, qp_c: int, bd: int,
     h, w = c.shape
     scale = 1 << (bd - 8)
     maxv = (1 << bd) - 1
-    rows_per = 4 >> cshift            # chroma rows per luma 4-row segment
-    # chroma x in {8, 16, ...} -> luma BS column ((x << cshift) >> 2);
+    rows_per = 4 >> lshift            # chroma rows per luma 4-row segment
+    # chroma x in {8, 16, ...} -> luma BS column ((x << eshift) >> 2);
     # BS==2 edges only, vectorized over the sub-grid
     nxe = (w - 9) // 8 + 1 if w > 8 else 0
     if nxe <= 0:
         return
-    step = 2 << cshift
+    step = 2 << eshift
     sub = bs4[:, step::step][:, :nxe]
     rows_nz, cols_nz = np.nonzero(sub == 2)
     if rows_nz.size == 0:
@@ -340,13 +347,13 @@ def _filter_chroma_dir(c: np.ndarray, bs4: np.ndarray, qp_c: int, bd: int,
     p1, p0, q0, q1 = (patch[..., 0], patch[..., 1],
                       patch[..., 2], patch[..., 3])
     if qp_map is not None:
-        lx = xs << cshift   # luma column of the edge
-        qpl = ((qp_map[(ys << cshift) >> 2, (lx >> 2) - 1] +
-                qp_map[(ys << cshift) >> 2, lx >> 2] + 1) >> 1)
-        if chroma_format == 3:
-            qp_c = np.minimum(qpl, 51)
-        else:
+        lx = xs << eshift   # luma column of the edge
+        qpl = ((qp_map[(ys << lshift) >> 2, (lx >> 2) - 1] +
+                qp_map[(ys << lshift) >> 2, lx >> 2] + 1) >> 1)
+        if chroma_format == 1:
             qp_c = tables.CHROMA_QP_MAP_420[np.clip(qpl, 0, 57)]
+        else:
+            qp_c = np.minimum(qpl, 51)
         qp_c = qp_c[:, None]
     tc = TC_TABLE[np.clip(qp_c + 2 + (tc_off << 1), 0, 53)] * scale
     delta = np.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
@@ -364,16 +371,17 @@ def deblock_frame(recon: List[np.ndarray], maps: DeblockMaps, qp: int,
     bs_v = _boundary_strength(maps, vertical=True)
     bs_h = _boundary_strength(maps, vertical=False)
     qp_c = tables.chroma_qp(qp, sps.chroma_format_idc)
-    csh = 0 if sps.chroma_format_idc == 3 else 1
+    csx, csy = sps.chroma_shift_x, sps.chroma_shift_y
     cf = sps.chroma_format_idc
-    # vertical edges first (normative order), then horizontal
+    # vertical edges first (normative order), then horizontal; the
+    # perpendicular/along-edge shifts swap between the two passes
     _filter_luma_dir(recon[0], bs_v, qp, bd, beta_off, tc_off, True, qp_map)
-    _filter_chroma_dir(recon[1], bs_v, qp_c, bd, tc_off, True, csh,
-                       qp_map, cf)
-    _filter_chroma_dir(recon[2], bs_v, qp_c, bd, tc_off, True, csh,
-                       qp_map, cf)
+    _filter_chroma_dir(recon[1], bs_v, qp_c, bd, tc_off, True, csx,
+                       qp_map, cf, lshift=csy)
+    _filter_chroma_dir(recon[2], bs_v, qp_c, bd, tc_off, True, csx,
+                       qp_map, cf, lshift=csy)
     _filter_luma_dir(recon[0], bs_h, qp, bd, beta_off, tc_off, False, qp_map)
-    _filter_chroma_dir(recon[1], bs_h, qp_c, bd, tc_off, False, csh,
-                       qp_map, cf)
-    _filter_chroma_dir(recon[2], bs_h, qp_c, bd, tc_off, False, csh,
-                       qp_map, cf)
+    _filter_chroma_dir(recon[1], bs_h, qp_c, bd, tc_off, False, csy,
+                       qp_map, cf, lshift=csx)
+    _filter_chroma_dir(recon[2], bs_h, qp_c, bd, tc_off, False, csy,
+                       qp_map, cf, lshift=csx)

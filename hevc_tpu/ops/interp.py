@@ -96,17 +96,19 @@ def mc_block_np(ref: np.ndarray, pad: int, x: int, y: int, w: int, h: int,
     return np.clip((val + off_u) >> shift_u, 0, maxval).astype(np.int32)
 
 
-def _mv_split(mvx: int, mvy: int, is_luma: bool, cs: int = 1):
+def _mv_split(mvx: int, mvy: int, is_luma: bool, cs=1):
     """Integer offset + filter phase from a luma quarter-pel MV.
     cs = chroma subsampling shift (1 for 4:2:0, 0 for 4:4:4 where the
     chroma MV acts at quarter-pel and the 8-phase chroma filter is
-    addressed at (mv & 3) << 1 — spec 8.5.3.3.3.2 SubWidthC scaling)."""
+    addressed at (mv & 3) << 1 — spec 8.5.3.3.3.2 SubWidthC scaling).
+    A (csx, csy) pair supports 4:2:2 where only the horizontal axis is
+    subsampled (eighth-pel horizontally, quarter-pel vertically)."""
     if is_luma:
         return mvx >> 2, mvx & 3, mvy >> 2, mvy & 3
-    sh = 2 + cs
-    sc = 1 - cs
-    return (mvx >> sh, (mvx & ((1 << sh) - 1)) << sc,
-            mvy >> sh, (mvy & ((1 << sh) - 1)) << sc)
+    csx, csy = cs if isinstance(cs, tuple) else (cs, cs)
+    shx, shy = 2 + csx, 2 + csy
+    return (mvx >> shx, (mvx & ((1 << shx) - 1)) << (1 - csx),
+            mvy >> shy, (mvy & ((1 << shy) - 1)) << (1 - csy))
 
 
 def mc_predict_np(padded_ref: np.ndarray, pad: int, mv_qpel_x: int,

@@ -78,10 +78,11 @@ def apply_sao(deblocked: List[np.ndarray], sao_params: List[np.ndarray],
             t = prm[0] if ci == 0 else prm[1]
             if t == 0:
                 continue
-            scale = 1 if (ci == 0 or sps.chroma_format_idc == 3) else 2
-            x0, y0 = (cx * ctu) // scale, (cy * ctu) // scale
-            x1 = min(((cx + 1) * ctu) // scale, w // scale)
-            y1 = min(((cy + 1) * ctu) // scale, h // scale)
+            sx = 1 if ci == 0 else 1 << sps.chroma_shift_x
+            sy = 1 if ci == 0 else 1 << sps.chroma_shift_y
+            x0, y0 = (cx * ctu) // sx, (cy * ctu) // sy
+            x1 = min(((cx + 1) * ctu) // sx, w // sx)
+            y1 = min(((cy + 1) * ctu) // sy, h // sy)
             off = prm[8 + 4 * ci:12 + 4 * ci]
             reg = deblocked[ci][y0:y1, x0:x1].astype(np.int32)
             if t == 2:  # edge

@@ -136,6 +136,62 @@ def test_hm_rext_full_tools_stream_decodes(tmp_path, rext_cfg):
 
 @pytest.mark.skipif(not os.path.exists(ENC),
                     reason="HM oracle encoder not built")
+@pytest.mark.parametrize("cfg,extra,label", [
+    ("encoder_intra_main_rext.cfg", [], "intra"),
+    ("encoder_lowdelay_main_rext.cfg", [], "ldb"),
+    ("encoder_randomaccess_main_rext.cfg", [], "ra"),
+    ("encoder_intra_main_rext.cfg",
+     ["--InternalBitDepth=10", "--Profile=main-RExt"], "10bit"),
+    ("encoder_lowdelay_main_rext.cfg",
+     ["--TransformSkip=1", "--ImplicitResidualDPCM=1",
+      "--ExplicitResidualDPCM=1", "--ResidualRotation=1",
+      "--GolombRiceParameterAdaptation=1", "--Profile=main-RExt"],
+     "tools"),
+    ("encoder_intra_main_rext.cfg",
+     ["--PCMEnabledFlag=1", "--PCMLog2MinSize=3", "--PCMLog2MaxSize=5",
+      "-q", "51"], "pcm"),
+])
+def test_hm_422_stream_decodes(tmp_path, cfg, extra, label):
+    """HM 4:2:2 streams decode byte-identically: two square chroma
+    sub-TBs per luma TB with per-half cbf (spec 7.3.8.8), Table 8-3
+    chroma intra angle remapping, eighth-pel horizontal / quarter-pel
+    vertical chroma MC (spec 8.5.3.3.3.2), per-direction deblock grid,
+    and Min(qPi,51) chroma QP (reference TComChromaFormat.h:80,144,
+    TComTU 4:2:2 sub-TU iteration, g_chroma422IntraAngleMappingTable)."""
+    import numpy as np
+    w, h, frames = 128, 80, 5
+    clip = tmp_path / "in422.yuv"
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_test_yuv import make_frame
+    with open(clip, "wb") as fh:
+        for t in range(frames):
+            y, u, v = make_frame(w, h, t)
+            fh.write(np.asarray(y, np.uint8).tobytes())
+            for p in (u, v):
+                full = np.repeat(np.asarray(p, np.uint8), 2, 0)[:h, :w // 2]
+                fh.write(full.tobytes())
+    bs = tmp_path / "o.bin"
+    out = subprocess.run(
+        [ENC, "-c", f"/root/reference/cfg/{cfg}",
+         "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+         str(frames), "-fr", "30", "-q", "32", "--InputChromaFormat=422",
+         "--ChromaFormatIDC=422", "--SEIDecodedPictureHash=1",
+         *extra, "-b", str(bs), "-o", str(tmp_path / "hmrec.yuv")],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-1500:]
+    ref = subprocess.run(
+        ["/tmp/hm_oracle/bin/TAppDecoderStatic", "-b", str(bs), "-o",
+         str(tmp_path / "hmdec.yuv")], capture_output=True, text=True)
+    assert ref.returncode == 0
+    from hevc_tpu.cli.decode import main as dec_main
+    dec_main(["-b", str(bs), "-o", str(tmp_path / "ours.yuv")])
+    assert (tmp_path / "ours.yuv").read_bytes() == \
+        (tmp_path / "hmdec.yuv").read_bytes()
+
+
+@pytest.mark.skipif(not os.path.exists(ENC),
+                    reason="HM oracle encoder not built")
 def test_hm_444_inter_stream_decodes(tmp_path):
     """HM-encoded Main 4:4:4 LOW-DELAY stream (RExt coding tools off):
     our decoder output must match the HM decoder byte-for-byte —
