@@ -334,8 +334,6 @@ def parse_pps(rbsp: bytes) -> PPS:
     pps.cu_qp_delta_enabled_flag = br.flag()
     if pps.cu_qp_delta_enabled_flag:
         pps.diff_cu_qp_delta_depth = br.ue()
-        assert pps.diff_cu_qp_delta_depth == 0, \
-            "only CTU-size quantization groups supported"
     pps.pps_cb_qp_offset = br.se()
     pps.pps_cr_qp_offset = br.se()
     pps.pps_slice_chroma_qp_offsets_present_flag = br.flag()

@@ -47,7 +47,8 @@ def _pu_rect(part, pu, n):
 class CtuReconstructor:
     def __init__(self, sps: SPS, slice_qp: int,
                  refs_l0=None, refs_l1=None, wp=None, wp_tables=None,
-                 wp_denoms=(6, 6), slice_start_ctu: int = 0):
+                 wp_denoms=(6, 6), slice_start_ctu: int = 0,
+                 cb_qp_offset: int = 0, cr_qp_offset: int = 0):
         """refs_l0/refs_l1: per-list padded reference pictures (each a
         [Y,Cb,Cr] plane list), indexed by ref_idx (spec 8.5.3.1).
         wp: legacy (log2_denom, weight, offset) explicit luma weighting
@@ -56,7 +57,14 @@ class CtuReconstructor:
         [(w, o), (w, o)] or None); wp_denoms = (luma, chroma) log2."""
         self.sps = sps
         self.qp = slice_qp
-        self.qp_c = tables.chroma_qp(slice_qp, sps.chroma_format_idc)
+        # per-component chroma QP (spec 8.6.1: qPiCb/qPiCr apply the
+        # pps+slice offsets BEFORE the 4:2:0 mapping table)
+        self.cb_off = cb_qp_offset
+        self.cr_off = cr_qp_offset
+        self.qp_cb = tables.chroma_qp(slice_qp, sps.chroma_format_idc,
+                                      cb_qp_offset)
+        self.qp_cr = tables.chroma_qp(slice_qp, sps.chroma_format_idc,
+                                      cr_qp_offset)
         self.bd = sps.bit_depth_luma
         self.w = sps.pic_width_in_luma_samples
         self.h = sps.pic_height_in_luma_samples
@@ -78,7 +86,10 @@ class CtuReconstructor:
         """Per-CTU QP for cu_qp_delta streams (the signalled group QP —
         every CU with coefficients in the group dequantizes with it)."""
         self.qp = qp
-        self.qp_c = tables.chroma_qp(qp, self.sps.chroma_format_idc)
+        self.qp_cb = tables.chroma_qp(qp, self.sps.chroma_format_idc,
+                                      self.cb_off)
+        self.qp_cr = tables.chroma_qp(qp, self.sps.chroma_format_idc,
+                                      self.cr_off)
 
     def _resid(self, coeffs, size, c_idx, ts, is_dst=False, intra=False,
                rdpcm=0):
@@ -89,7 +100,8 @@ class CtuReconstructor:
         isNonTransformedResidualRotated) and RDPCM accumulation along
         the prediction direction (reference TComTrQuant::invRdpcmNxN;
         rdpcm: 0 off, 1 horizontal, 2 vertical)."""
-        qp = self.qp if c_idx == 0 else self.qp_c
+        qp = self.qp if c_idx == 0 else (
+            self.qp_cb if c_idx == 1 else self.qp_cr)
         sm = (tables.default_scaling_matrix(size, intra)
               if self.sps.scaling_list_enabled_flag else None)
         deq = dequantize_np(coeffs.astype(np.int32), size, qp, self.bd,
@@ -153,7 +165,11 @@ class CtuReconstructor:
             pred, 0, (1 << self.bd) - 1).astype(np.int16)
         return r
 
-    def recon_ctu(self, d, cx: int, cy: int, recon: List[np.ndarray]):
+    def recon_ctu(self, d, cx: int, cy: int, recon: List[np.ndarray],
+                  qp4=None):
+        """qp4: per-4x4 luma QP map of this CTU (cu_qp_delta streams —
+        with sub-CTU quantization groups each CU dequantizes with its
+        own QpY, spec 8.6.1)."""
         ctu_x0, ctu_y0 = cx * self.ctu, cy * self.ctu
         min_cb = self.sps.log2_min_luma_coding_block_size_minus3 + 3
         for (x0, y0, log2) in cu_leaves(d.cu_depth, ctu_x0, ctu_y0,
@@ -161,6 +177,10 @@ class CtuReconstructor:
                                         ctu_log2=tables.log2(self.ctu),
                                         min_cb_log2=min_cb):
             lx, ly = x0 - ctu_x0, y0 - ctu_y0
+            if qp4 is not None:
+                q = int(qp4[ly >> 2, lx >> 2])
+                if q != self.qp:
+                    self.set_qp(q)
             if d.pred_mode[ly >> 2, lx >> 2] == 1:
                 self._recon_intra_cu(d, recon, ctu_x0, ctu_y0, x0, y0, log2)
             else:

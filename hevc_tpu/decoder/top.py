@@ -226,6 +226,7 @@ class DecoderTop:
             scaling_lists=sps.scaling_list_enabled_flag,
             transform_skip=pps.transform_skip_enabled_flag,
             cu_dqp=pps.cu_qp_delta_enabled_flag,
+            dqp_depth=pps.diff_cu_qp_delta_depth,
             pcm=sps.pcm_enabled_flag,
             sign_hiding=pps.sign_data_hiding_enabled_flag,
             max_merge_cand=5 - sh.five_minus_max_num_merge_cand,
@@ -318,7 +319,11 @@ class DecoderTop:
             wp_tables=wp_tables,
             wp_denoms=(getattr(sh, "wp_log2_denom", 6),
                        getattr(sh, "wp_chroma_log2_denom", 6)),
-            slice_start_ctu=sh.slice_segment_address)
+            slice_start_ctu=sh.slice_segment_address,
+            cb_qp_offset=pps.pps_cb_qp_offset
+            + getattr(sh, "slice_cb_qp_offset", 0),
+            cr_qp_offset=pps.pps_cr_qp_offset
+            + getattr(sh, "slice_cr_qp_offset", 0))
         ctus_w = sps.pic_width_in_ctus
         from ..entropy.cabac import tile_scan_order
         order = tile_scan_order(
@@ -337,12 +342,13 @@ class DecoderTop:
         for k in range(start, len(order)):
             cx, cy = order[k]
             d, eos = sdec.decode_ctu(cx, cy)
+            qp4 = None
             if dqp_on:
-                qp_pred, qp_fin = cabac.fetch_ctu_qps(
-                    sdec, len(order), decoder=True)
-                pic["qp_pred"], pic["qp_fin"] = qp_pred, qp_fin
-                rc.set_qp(int(qp_fin[k]))
-            rc.recon_ctu(d, cx, cy, recon)
+                # per-4x4 QP map: sub-CTU quantization groups
+                # (diff_cu_qp_delta_depth > 0) vary QP inside the CTU
+                qp4 = cabac.fetch_ctu_qp4(sdec, sps.ctu_size)
+                pic.setdefault("qp4", {})[(cx, cy)] = qp4
+            rc.recon_ctu(d, cx, cy, recon, qp4=qp4)
             decisions[cy * ctus_w + cx] = d
             n_done += 1
             if eos:
@@ -384,14 +390,21 @@ class DecoderTop:
             dmaps = deblock.build_maps(decisions, sps,
                                        (pic["ref_l0"], pic["ref_l1"]))
             qmap = None
-            if pps.cu_qp_delta_enabled_flag and pic["qp_fin"] is not None:
-                from ..ops import qpmap
-                qmap = qpmap.build_qp_map(
-                    lambda i: decisions[i], order,
-                    pic["qp_pred"], pic["qp_fin"], sps.ctu_size, w, h)
+            if pps.cu_qp_delta_enabled_flag and pic.get("qp4"):
+                # assemble the frame per-4x4 QP map from the per-CTU
+                # quantization-group maps recorded during parsing
+                h4, w4 = -(-h // 4), -(-w // 4)
+                n4 = sps.ctu_size // 4
+                qmap = np.full((h4, w4), sh.slice_qp, np.int32)
+                for (cx, cy), tile in pic["qp4"].items():
+                    y0, x0 = cy * n4, cx * n4
+                    qmap[y0:y0 + n4, x0:x0 + n4] = \
+                        tile[:h4 - y0, :w4 - x0]
             deblock.deblock_frame(recon, dmaps, sh.slice_qp, sps,
                                   sh.slice_beta_offset_div2,
-                                  sh.slice_tc_offset_div2, qp_map=qmap)
+                                  sh.slice_tc_offset_div2, qp_map=qmap,
+                                  cb_qp_offset=pps.pps_cb_qp_offset,
+                                  cr_qp_offset=pps.pps_cr_qp_offset)
         if sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag:
             if sps.chroma_format_idc == 1:
                 from ..entropy.cabac import sao_apply_native

@@ -50,7 +50,8 @@ class SliceParamsC(ctypes.Structure):
         ("persistent_rice", ctypes.c_int32),
         ("bypass_align", ctypes.c_int32),
         ("ccp", ctypes.c_int32),
-        ("ts_max_log2", ctypes.c_int32)]
+        ("ts_max_log2", ctypes.c_int32),
+        ("dqp_depth", ctypes.c_int32)]
 
 
 def _build() -> None:
@@ -77,6 +78,8 @@ def get_lib() -> ctypes.CDLL:
     lib.hevc_enc_ctu_qps.argtypes = [ctypes.c_void_p, i8cp, i8cp]
     lib.hevc_dec_ctu_qps.restype = ctypes.c_long
     lib.hevc_dec_ctu_qps.argtypes = [ctypes.c_void_p, i8cp, i8cp]
+    lib.hevc_dec_ctu_qp4.restype = ctypes.c_long
+    lib.hevc_dec_ctu_qp4.argtypes = [ctypes.c_void_p, i8cp]
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
@@ -195,7 +198,8 @@ def make_slice_params(pic_w: int, pic_h: int, qp: int, slice_type: int = 2,
                       ctu_qps=None, pcm: int = 0,
                       cabac_init: int = 0,
                       col_from_l0: int = 1,
-                      slice_start_ctu: int = 0) -> SliceParamsC:
+                      slice_start_ctu: int = 0,
+                      dqp_depth: int = 0) -> SliceParamsC:
     sp = SliceParamsC(
         pic_w, pic_h, ctu_size, qp, slice_type, max_tu_depth_intra,
         max_tu_depth_inter, chroma_format, sign_hiding, transform_skip,
@@ -215,6 +219,7 @@ def make_slice_params(pic_w: int, pic_h: int, qp: int, slice_type: int = 2,
     sp.amp = amp
     sp.scaling_lists = scaling_lists
     sp.cu_dqp = cu_dqp
+    sp.dqp_depth = dqp_depth
     sp.pcm = pcm
     sp.cabac_init = cabac_init
     sp.col_from_l0 = col_from_l0
@@ -749,3 +754,15 @@ def fetch_ctu_qps(obj, n_ctus: int, decoder: bool = False):
     if cnt == 0:
         return None
     return pred, fin
+
+
+def fetch_ctu_qp4(sdec, ctu_size: int):
+    """Per-4x4 luma QP map of the CTU just decoded ((ctu/4, ctu/4) int8;
+    spec 8.6.1 QpY per quantization group). None if dqp was off."""
+    n4 = ctu_size // 4
+    out = np.zeros((n4, n4), np.int8)
+    cnt = sdec._lib.hevc_dec_ctu_qp4(
+        sdec._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+    if cnt == 0:
+        return None
+    return out

@@ -421,4 +421,15 @@ long hevc_dec_ctu_qps(void* h, int8_t* pred, int8_t* fin) {
   }
   return (long)d->ctu_qp_pred.size();
 }
+// Copies the per-4x4 luma QP map of the most recently decoded CTU
+// ((ctu/4)^2 entries) — sub-CTU quantization groups make QP vary inside
+// a CTU (diff_cu_qp_delta_depth > 0), so dequant and deblock need the
+// full-resolution map, not just the per-CTU value.
+long hevc_dec_ctu_qp4(void* h, int8_t* out) {
+  SliceDecoder* d = (SliceDecoder*)h;
+  long n = (long)d->qp4_size();
+  const int8_t* m = d->qp4_data();
+  for (long i = 0; i < n; ++i) out[i] = m[i];
+  return n;
+}
 }  // extern "C"

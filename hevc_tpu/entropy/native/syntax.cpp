@@ -1869,15 +1869,18 @@ int SliceDecoder::decode_ctu(int cx, int cy, const MutCtuData& d) {
   if (sp_.sao_luma || sp_.sao_chroma) parse_sao(cx, cy, d.sao);
   else if (d.sao) std::fill(d.sao, d.sao + 20, 0);
   if (sp_.cu_dqp) {
-    dqp_pred_ = dqp_first_ ? sp_.qp : dqp_carried_;
+    last_qp_ = dqp_first_ ? sp_.qp : dqp_carried_;
     dqp_first_ = false;
-    dqp_target_ = dqp_pred_;
+    int bw4 = sp_.ctu_size / 4;
+    qp4_.assign((size_t)bw4 * bw4, (int8_t)last_qp_);
+    qg_ref_ = last_qp_;
+    dqp_target_ = last_qp_;
     dqp_coded_ = false;
+    ctu_qp_pred.push_back((int8_t)last_qp_);
   }
   cu_tree(ctu_x0_, ctu_y0_, sp_.max_cb_log2, 0);
   if (sp_.cu_dqp) {
-    dqp_carried_ = dqp_coded_ ? dqp_target_ : dqp_pred_;
-    ctu_qp_pred.push_back((int8_t)dqp_pred_);
+    dqp_carried_ = last_qp_;
     ctu_qp_final.push_back((int8_t)dqp_carried_);
   }
   if (sp_.wpp && cx == 1) {
@@ -1912,7 +1915,12 @@ void SliceDecoder::cu_tree(int x0, int y0, int log2, int depth) {
       split = cabac_.decode_bin(ctx_.split_cu[ctxi]);
     }
   }
+  // Quantization-group boundary (spec 7.3.8.4 coding_quadtree resets of
+  // IsCuQpDeltaCoded; reference TDecCu::xDecodeCU): a new QG starts at a
+  // split node of exactly QG size, or at a leaf CU of >= QG size.
+  int qg_log2 = sp_.max_cb_log2 - sp_.dqp_depth;
   if (split) {
+    if (sp_.cu_dqp && log2 == qg_log2) qg_start(x0, y0);
     int h = size >> 1;
     cu_tree(x0, y0, log2 - 1, depth + 1);
     cu_tree(x0 + h, y0, log2 - 1, depth + 1);
@@ -1920,7 +1928,35 @@ void SliceDecoder::cu_tree(int x0, int y0, int log2, int depth) {
     cu_tree(x0 + h, y0 + h, log2 - 1, depth + 1);
     return;
   }
+  if (sp_.cu_dqp && log2 >= qg_log2) qg_start(x0, y0);
   parse_cu(x0, y0, log2);
+  if (sp_.cu_dqp) {
+    // CU finish (reference TDecCu::xFinishDecodeCU): every 4x4 of the
+    // CU gets the coded QP once a dqp was parsed in this QG, else the
+    // QG prediction; qPY_PREV advances to this CU's QP
+    int q = dqp_coded_ ? dqp_target_ : qg_ref_;
+    int bw4 = sp_.ctu_size / 4;
+    int n = 1 << (log2 - 2);
+    int qx = (x0 - ctu_x0_) >> 2, qy = (y0 - ctu_y0_) >> 2;
+    for (int yy = 0; yy < n; ++yy)
+      std::fill(&qp4_[(size_t)(qy + yy) * bw4 + qx],
+                &qp4_[(size_t)(qy + yy) * bw4 + qx + n], (int8_t)q);
+    last_qp_ = q;
+  }
+}
+
+void SliceDecoder::qg_start(int x0, int y0) {
+  // New quantization group: reset the coded flag and derive qPY_PRED
+  // from the left/above 4x4 neighbours of the QG origin within this CTB
+  // (falling back to the last coded QP, spec 8.6.1; reference
+  // TComDataCU::getRefQP/getQpMinCuLeft/getQpMinCuAbove).
+  dqp_coded_ = false;
+  int bw4 = sp_.ctu_size / 4;
+  int qx = (x0 - ctu_x0_) >> 2, qy = (y0 - ctu_y0_) >> 2;
+  int l = qx > 0 ? qp4_[(size_t)qy * bw4 + qx - 1] : last_qp_;
+  int a = qy > 0 ? qp4_[(size_t)(qy - 1) * bw4 + qx] : last_qp_;
+  qg_ref_ = (l + a + 1) >> 1;
+  dqp_target_ = qg_ref_;
 }
 
 void SliceDecoder::publish_motion(int x0, int y0, int log2,
@@ -2362,7 +2398,7 @@ void SliceDecoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
     int delta = a;
     if (a && cabac_.decode_bypass()) delta = -a;
     int qbd = 6 * (sp_.bit_depth - 8);
-    dqp_target_ = ((dqp_pred_ + delta + 52 + 2 * qbd) % (52 + qbd)) - qbd;
+    dqp_target_ = ((qg_ref_ + delta + 52 + 2 * qbd) % (52 + qbd)) - qbd;
     dqp_coded_ = true;
   }
   if (cbf_y) residual(x0, y0, log2, 0);

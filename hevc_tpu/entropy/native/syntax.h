@@ -75,6 +75,9 @@ struct SliceParams {
   int32_t bypass_align;    // cabac_bypass_alignment_enabled_flag
   int32_t ccp;             // PPS cross_component_prediction_enabled_flag
   int32_t ts_max_log2;     // PPS log2_max_transform_skip_block_size (2..5)
+  int32_t dqp_depth;       // PPS diff_cu_qp_delta_depth: quantization
+                           // groups of size ctu >> dqp_depth (spec 7.4.3.3,
+                           // reference TComPPS::getMaxCuDQPDepth)
 };
 
 // Context model set: one instance per slice (later: per WPP row state).
@@ -381,6 +384,7 @@ class SliceDecoder {
                            const MotionInfo& mi, int merge_f, int merge_i,
                            int mvp_f, int mvd_x, int mvd_y, int skip);
   void parse_pu(int px, int py, int pw, int ph, int log2, int part);
+  void qg_start(int x0, int y0);
   void transform_tree(int x0, int y0, int xb, int yb, int log2, int depth,
                       int blk_idx, bool intra_split, int par_cb, int par_cr,
                       bool is_intra, int par_cb2 = 0, int par_cr2 = 0);
@@ -402,10 +406,19 @@ class SliceDecoder {
   BitReader br_;
   CabacDecoder cabac_;
   const MutCtuData* cur_ = nullptr;
-  int dqp_target_ = 0, dqp_pred_ = 0, dqp_carried_ = 0;
+  // Quantization-group dQP state (spec 8.6.1; reference TDecCu
+  // xDecodeCU QG resets + TComDataCU::getRefQP/getLastCodedQP):
+  // last_qp_ is the QP of the last finished CU in decoding order,
+  // qg_ref_ the left/above-averaged prediction of the current QG,
+  // qp4_ the per-4x4 luma QP of the current CTU.
+  int dqp_target_ = 0, dqp_carried_ = 0;
+  int last_qp_ = 0, qg_ref_ = 0;
+  std::vector<int8_t> qp4_;
   bool dqp_coded_ = false, dqp_first_ = true;
  public:
   std::vector<int8_t> ctu_qp_pred, ctu_qp_final;
+  size_t qp4_size() const { return qp4_.size(); }
+  const int8_t* qp4_data() const { return qp4_.data(); }
  private:
   int ctu_x0_ = 0, ctu_y0_ = 0;
 

@@ -310,7 +310,7 @@ def _filter_luma_dir(y: np.ndarray, bs4: np.ndarray, qp: int, bd: int,
 def _filter_chroma_dir(c: np.ndarray, bs4: np.ndarray, qp_c: int, bd: int,
                        tc_off: int, vertical: bool, eshift: int = 1,
                        qp_map=None, chroma_format: int = 1,
-                       lshift: int = None) -> None:
+                       lshift: int = None, qp_off: int = 0) -> None:
     """Chroma edges: 8-chroma-sample grid, BS==2 only, line granularity
     matching the luma segment grid (spec 8.7.2.5.5). eshift is the
     subsampling shift PERPENDICULAR to the edge (sets the edge spacing
@@ -349,11 +349,11 @@ def _filter_chroma_dir(c: np.ndarray, bs4: np.ndarray, qp_c: int, bd: int,
     if qp_map is not None:
         lx = xs << eshift   # luma column of the edge
         qpl = ((qp_map[(ys << lshift) >> 2, (lx >> 2) - 1] +
-                qp_map[(ys << lshift) >> 2, lx >> 2] + 1) >> 1)
+                qp_map[(ys << lshift) >> 2, lx >> 2] + 1) >> 1) + qp_off
         if chroma_format == 1:
             qp_c = tables.CHROMA_QP_MAP_420[np.clip(qpl, 0, 57)]
         else:
-            qp_c = np.minimum(qpl, 51)
+            qp_c = np.minimum(np.maximum(qpl, 0), 51)
         qp_c = qp_c[:, None]
     tc = TC_TABLE[np.clip(qp_c + 2 + (tc_off << 1), 0, 53)] * scale
     delta = np.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
@@ -364,24 +364,29 @@ def _filter_chroma_dir(c: np.ndarray, bs4: np.ndarray, qp_c: int, bd: int,
 
 def deblock_frame(recon: List[np.ndarray], maps: DeblockMaps, qp: int,
                   sps, beta_off: int = 0, tc_off: int = 0,
-                  qp_map=None) -> None:
+                  qp_map=None, cb_qp_offset: int = 0,
+                  cr_qp_offset: int = 0) -> None:
     """In-place deblocking of a reconstructed frame (both directions).
-    qp_map: per-4x4 luma QP (cu_qp_delta streams; ops/qpmap.py)."""
+    qp_map: per-4x4 luma QP (cu_qp_delta streams; ops/qpmap.py).
+    cb/cr_qp_offset: the PPS chroma QP offsets — spec 8.7.2.5.3 applies
+    the pps (not slice) offset to the averaged edge QP before the
+    chroma mapping."""
     bd = sps.bit_depth_luma
     bs_v = _boundary_strength(maps, vertical=True)
     bs_h = _boundary_strength(maps, vertical=False)
-    qp_c = tables.chroma_qp(qp, sps.chroma_format_idc)
+    qp_cb = tables.chroma_qp(qp, sps.chroma_format_idc, cb_qp_offset)
+    qp_cr = tables.chroma_qp(qp, sps.chroma_format_idc, cr_qp_offset)
     csx, csy = sps.chroma_shift_x, sps.chroma_shift_y
     cf = sps.chroma_format_idc
     # vertical edges first (normative order), then horizontal; the
     # perpendicular/along-edge shifts swap between the two passes
     _filter_luma_dir(recon[0], bs_v, qp, bd, beta_off, tc_off, True, qp_map)
-    _filter_chroma_dir(recon[1], bs_v, qp_c, bd, tc_off, True, csx,
-                       qp_map, cf, lshift=csy)
-    _filter_chroma_dir(recon[2], bs_v, qp_c, bd, tc_off, True, csx,
-                       qp_map, cf, lshift=csy)
+    _filter_chroma_dir(recon[1], bs_v, qp_cb, bd, tc_off, True, csx,
+                       qp_map, cf, lshift=csy, qp_off=cb_qp_offset)
+    _filter_chroma_dir(recon[2], bs_v, qp_cr, bd, tc_off, True, csx,
+                       qp_map, cf, lshift=csy, qp_off=cr_qp_offset)
     _filter_luma_dir(recon[0], bs_h, qp, bd, beta_off, tc_off, False, qp_map)
-    _filter_chroma_dir(recon[1], bs_h, qp_c, bd, tc_off, False, csy,
-                       qp_map, cf, lshift=csx)
-    _filter_chroma_dir(recon[2], bs_h, qp_c, bd, tc_off, False, csy,
-                       qp_map, cf, lshift=csx)
+    _filter_chroma_dir(recon[1], bs_h, qp_cb, bd, tc_off, False, csy,
+                       qp_map, cf, lshift=csx, qp_off=cb_qp_offset)
+    _filter_chroma_dir(recon[2], bs_h, qp_cr, bd, tc_off, False, csy,
+                       qp_map, cf, lshift=csx, qp_off=cr_qp_offset)

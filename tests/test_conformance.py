@@ -404,9 +404,9 @@ def test_rect_partitions_conformance(tmp_path):
     import hevc_tpu.decoder.recon as drecon
     seen = set()
     orig_rc = drecon.CtuReconstructor.recon_ctu
-    def spy(self, d, cx, cy, recon):
+    def spy(self, d, cx, cy, recon, **kw):
         seen.update(np.unique(d.nxn_flag[d.pred_mode == 0]).tolist())
-        return orig_rc(self, d, cx, cy, recon)
+        return orig_rc(self, d, cx, cy, recon, **kw)
     drecon.CtuReconstructor.recon_ctu = spy
     try:
         for _ in dt.decode_stream(bs.read_bytes()):

@@ -87,6 +87,44 @@ def test_hm_tool_variants(tmp_path, extra, label):
 
 @pytest.mark.skipif(not os.path.exists(ENC),
                     reason="HM oracle encoder not built")
+@pytest.mark.parametrize("extra,label", [
+    (["--CbQpOffset=2", "--CrQpOffset=-2"], "chroma-qp-offsets"),
+    (["--MaxCuDQPDepth=2"], "dqp-depth2"),
+    (["--AdaptiveQP=1", "--MaxCuDQPDepth=2"], "aqp-depth2"),
+    (["--AdaptiveQP=1", "--MaxCuDQPDepth=3", "--CbQpOffset=2"],
+     "aqp-depth3-offs"),
+    (["--AdaptiveQP=1", "--MaxCuDQPDepth=2", "--WaveFrontSynchro=1"],
+     "aqp-wpp"),
+])
+def test_hm_dqp_and_chroma_offset_streams_decode(tmp_path, extra, label):
+    """Sub-CTU quantization groups (diff_cu_qp_delta_depth 1..3, spec
+    8.6.1 qPY_PRED from left/above QG neighbours; reference
+    TComDataCU::getRefQP/getLastCodedQP) and pps cb/cr chroma QP offsets
+    must decode byte-identically — AdaptiveQP produces real nonzero
+    per-QG deltas. HM's encoder segfaults at teardown with AdaptiveQP
+    after writing the complete stream, so the oracle decoder's success
+    gates the input instead of the encoder's exit code."""
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, 416, 240, 5)
+    bs = tmp_path / "o.bin"
+    subprocess.run(
+        [ENC, "-c", "/root/reference/cfg/encoder_lowdelay_main.cfg",
+         "-i", str(clip), "-wdt", "416", "-hgt", "240", "-f", "5",
+         "-fr", "30", "-q", "30", *extra,
+         "-b", str(bs), "-o", str(tmp_path / "hmrec.yuv")],
+        capture_output=True, text=True)
+    ref = subprocess.run(
+        ["/tmp/hm_oracle/bin/TAppDecoderStatic", "-b", str(bs), "-o",
+         str(tmp_path / "hmdec.yuv")], capture_output=True, text=True)
+    assert ref.returncode == 0, "HM oracle could not decode its own stream"
+    from hevc_tpu.cli.decode import main as dec_main
+    dec_main(["-b", str(bs), "-o", str(tmp_path / "ours.yuv")])
+    assert (tmp_path / "ours.yuv").read_bytes() == \
+        (tmp_path / "hmdec.yuv").read_bytes()
+
+
+@pytest.mark.skipif(not os.path.exists(ENC),
+                    reason="HM oracle encoder not built")
 @pytest.mark.parametrize("rext_cfg", [
     "encoder_intra_main_rext.cfg",
     "encoder_intra_high_throughput_rext.cfg",
