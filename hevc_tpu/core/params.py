@@ -13,6 +13,104 @@ from typing import List, Optional
 from .types import ChromaFormat, SliceType
 
 
+class ScalingListData:
+    """Explicit scaling matrices (spec 7.3.4 scaling_list_data;
+    reference TComScalingList, TComSlice.cpp:2066 xParseScalingList).
+
+    lists[sizeId][listId]: flat raster coefficient list — 16 entries for
+    sizeId 0 (4x4), 64 for sizeId 1..3 (the 16x16/32x32 matrices store
+    the 8x8 sub-sampled form upsampled at use). dc[sizeId][listId] holds
+    the explicit DC for sizeId >= 2. listId = cIdx + (intra ? 0 : 3);
+    the 32x32 chroma entries are derived from 16x16 as HM does."""
+
+    N_SIZES = 4
+    N_LISTS = 6
+
+    def __init__(self):
+        import numpy as np
+        self.lists = [[None] * self.N_LISTS for _ in range(self.N_SIZES)]
+        self.dc = [[16] * self.N_LISTS for _ in range(self.N_SIZES)]
+
+    def set_default(self, size_id: int, list_id: int) -> None:
+        from . import tables
+        import numpy as np
+        if size_id == 0:
+            m = np.full((4, 4), 16, np.int32)
+        else:
+            m = (tables.QUANT_INTRA_DEF8 if list_id < 3
+                 else tables.QUANT_INTER_DEF8)
+        self.lists[size_id][list_id] = m.reshape(-1).copy()
+        self.dc[size_id][list_id] = 16
+
+    _MATRIX_NAMES = [
+        ["INTRA4X4_LUMA", "INTRA4X4_CHROMAU", "INTRA4X4_CHROMAV",
+         "INTER4X4_LUMA", "INTER4X4_CHROMAU", "INTER4X4_CHROMAV"],
+        ["INTRA8X8_LUMA", "INTRA8X8_CHROMAU", "INTRA8X8_CHROMAV",
+         "INTER8X8_LUMA", "INTER8X8_CHROMAU", "INTER8X8_CHROMAV"],
+        ["INTRA16X16_LUMA", "INTRA16X16_CHROMAU", "INTRA16X16_CHROMAV",
+         "INTER16X16_LUMA", "INTER16X16_CHROMAU", "INTER16X16_CHROMAV"],
+        ["INTRA32X32_LUMA", None, None, "INTER32X32_LUMA", None, None],
+    ]
+
+    @classmethod
+    def from_hm_file(cls, path: str) -> "ScalingListData":
+        """Parse the reference encoder's scaling-list text format
+        (reference TComScalingList::xParseScalingList,
+        TComSlice.cpp:2066): a '<NAME> =' header line followed by
+        comma-separated coefficients in raster order, with a separate
+        '<NAME>_DC =' value for the 16x16/32x32 matrices. The 32x32
+        chroma entries are derived from 16x16, as HM does."""
+        import re
+        import numpy as np
+        text = open(path).read()
+        lines = text.split("\n")
+
+        def ints_after(token, count, exclude=None):
+            for li, line in enumerate(lines):
+                if token in line and (exclude is None or exclude not in line):
+                    rest = "\n".join(lines[li + 1:])
+                    vals = re.findall(r"-?\d+", rest)[:count]
+                    if len(vals) < count:
+                        raise ValueError(
+                            f"scaling list file: matrix {token} truncated")
+                    return [int(v) for v in vals]
+            raise ValueError(f"scaling list file: matrix {token} not found")
+
+        sld = cls()
+        for size_id in range(4):
+            for list_id in range(6):
+                name = cls._MATRIX_NAMES[size_id][list_id]
+                if name is None:      # chroma 32x32: derive from 16x16
+                    sld.lists[3][list_id] = sld.lists[2][list_id].copy()
+                    sld.dc[3][list_id] = sld.dc[2][list_id]
+                    continue
+                n = 4 if size_id == 0 else 8
+                vals = ints_after(name, n * n, exclude=name + "_DC")
+                sld.lists[size_id][list_id] = np.array(vals, np.int32)
+                if size_id >= 2:
+                    sld.dc[size_id][list_id] = ints_after(name + "_DC", 1)[0]
+                else:
+                    sld.dc[size_id][list_id] = vals[0]
+        return sld
+
+    def matrix(self, size: int, c_idx: int, intra: bool):
+        """Final n x n dequant matrix for a TB (upsampled, DC applied)."""
+        import numpy as np
+        size_id = {4: 0, 8: 1, 16: 2, 32: 3}[size]
+        list_id = (0 if intra else 3) + c_idx
+        flat = self.lists[size_id][list_id]
+        if flat is None:
+            return None
+        n = 4 if size_id == 0 else 8
+        m = np.asarray(flat, np.int32).reshape(n, n)
+        if size > n:
+            r = size // n
+            m = np.repeat(np.repeat(m, r, 0), r, 1)
+            m = m.copy()
+            m[0, 0] = self.dc[size_id][list_id]
+        return m
+
+
 @dataclasses.dataclass
 class ProfileTierLevel:
     general_profile_idc: int = 1          # Main
@@ -89,6 +187,7 @@ class SPS:
     max_transform_hierarchy_depth_inter: int = 3
     max_transform_hierarchy_depth_intra: int = 3
     scaling_list_enabled_flag: int = 0
+    scaling_list_data: Optional[ScalingListData] = None
     amp_enabled_flag: int = 0
     sample_adaptive_offset_enabled_flag: int = 0
     pcm_enabled_flag: int = 0
@@ -196,6 +295,7 @@ class PPS:
     pps_beta_offset_div2: int = 0
     pps_tc_offset_div2: int = 0
     pps_scaling_list_data_present_flag: int = 0
+    scaling_list_data: Optional[ScalingListData] = None
     lists_modification_present_flag: int = 0
     log2_parallel_merge_level_minus2: int = 0
     slice_segment_header_extension_present_flag: int = 0

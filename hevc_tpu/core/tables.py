@@ -81,6 +81,15 @@ CHROMA_QP_MAP_420 = np.array(
     dtype=np.int32,
 )
 
+# 4:2:2 chroma intra angle remapping (spec Table 8-3): the chroma sample
+# grid is stretched vertically, so the signalled direction is remapped
+# before prediction and scan selection.
+CHROMA_422_ANGLE_MAP = np.array(
+    [0, 1, 2, 2, 2, 2, 3, 5, 7, 8, 10, 12, 13, 15, 17, 18, 19, 20,
+     21, 22, 23, 23, 24, 24, 25, 25, 26, 27, 27, 28, 28, 29, 29, 30, 31],
+    dtype=np.int32,
+)
+
 
 def chroma_qp(qp_y: int, chroma_format: int, offset: int = 0) -> int:
     q = int(np.clip(qp_y + offset, 0, 57))

@@ -7,9 +7,52 @@ corrupting).
 """
 from __future__ import annotations
 
-from ..core.params import PPS, SPS, VPS, ProfileTierLevel, ShortTermRPS, SliceHeader
+from ..core.params import (PPS, SPS, VPS, ProfileTierLevel, ScalingListData,
+                           ShortTermRPS, SliceHeader)
 from ..core.types import SliceType
 from ..entropy.bitreader import BitReader
+
+
+def _parse_scaling_list_data(br: BitReader) -> ScalingListData:
+    """scaling_list_data (spec 7.3.4; reference TDecCavlc::
+    parseScalingList/xDecodeScalingList): per (sizeId, listId) either a
+    copy/default reference or DPCM-coded coefficients in diagonal scan;
+    HM derives the 32x32 chroma entries from 16x16."""
+    import numpy as np
+    from ..core import tables
+    sld = ScalingListData()
+    for size_id in range(4):
+        for list_id in range(6):
+            if size_id == 3 and list_id % 3 != 0:
+                sld.lists[3][list_id] = sld.lists[2][list_id].copy()
+                sld.dc[3][list_id] = sld.dc[2][list_id]
+                continue
+            if not br.flag():           # scaling_list_pred_mode_flag == 0
+                delta = br.ue()         # scaling_list_pred_matrix_id_delta
+                if size_id == 3:
+                    delta *= 3
+                ref = list_id - delta
+                if ref == list_id:      # delta 0: spec default matrix
+                    sld.set_default(size_id, list_id)
+                else:
+                    sld.lists[size_id][list_id] = \
+                        sld.lists[size_id][ref].copy()
+                    sld.dc[size_id][list_id] = (
+                        sld.dc[size_id][ref] if size_id >= 2 else 16)
+            else:                       # DPCM mode
+                n = 4 if size_id == 0 else 8
+                next_coef = 8
+                if size_id > 1:
+                    next_coef = br.se() + 8   # scaling_list_dc_coef_minus8
+                    sld.dc[size_id][list_id] = next_coef
+                dst = np.zeros(n * n, np.int32)
+                scan = tables.diag_scan(n)
+                for i in range(n * n):
+                    next_coef = (next_coef + br.se() + 256) % 256
+                    x, y = scan[i]
+                    dst[y * n + x] = next_coef
+                sld.lists[size_id][list_id] = dst
+    return sld
 
 
 def _parse_profile_tier(br: BitReader, ptl) -> None:
@@ -186,7 +229,8 @@ def parse_sps(rbsp: bytes) -> SPS:
     sps.max_transform_hierarchy_depth_intra = br.ue()
     sps.scaling_list_enabled_flag = br.flag()
     if sps.scaling_list_enabled_flag:
-        assert br.flag() == 0, "explicit scaling list data unsupported"
+        if br.flag():                   # sps_scaling_list_data_present
+            sps.scaling_list_data = _parse_scaling_list_data(br)
     sps.amp_enabled_flag = br.flag()
     sps.sample_adaptive_offset_enabled_flag = br.flag()
     sps.pcm_enabled_flag = br.flag()
@@ -357,6 +401,8 @@ def parse_pps(rbsp: bytes) -> PPS:
             pps.pps_beta_offset_div2 = br.se()
             pps.pps_tc_offset_div2 = br.se()
     pps.pps_scaling_list_data_present_flag = br.flag()
+    if pps.pps_scaling_list_data_present_flag:
+        pps.scaling_list_data = _parse_scaling_list_data(br)
     pps.lists_modification_present_flag = br.flag()
     pps.log2_parallel_merge_level_minus2 = br.ue()
     pps.slice_segment_header_extension_present_flag = br.flag()

@@ -102,8 +102,15 @@ class CtuReconstructor:
         rdpcm: 0 off, 1 horizontal, 2 vertical)."""
         qp = self.qp if c_idx == 0 else (
             self.qp_cb if c_idx == 1 else self.qp_cr)
-        sm = (tables.default_scaling_matrix(size, intra)
-              if self.sps.scaling_list_enabled_flag else None)
+        sm = None
+        if self.sps.scaling_list_enabled_flag:
+            # pps data overrides sps data overrides the spec defaults
+            # (spec 7.4.3.3; reference TComSlice::setScalingList)
+            sld = getattr(self.sps, "_scaling_data", None)
+            if sld is not None:
+                sm = sld.matrix(size, c_idx, intra)
+            else:
+                sm = tables.default_scaling_matrix(size, intra)
         deq = dequantize_np(coeffs.astype(np.int32), size, qp, self.bd,
                             scaling=sm)
         r = (inverse_ts_np(deq, self.bd) if ts else

@@ -310,6 +310,9 @@ class DecoderTop:
                           if pps.tiles_enabled_flag else 0)
         sps._tile_rows = (pps.num_tile_rows_minus1 + 1
                           if pps.tiles_enabled_flag else 0)
+        sps._scaling_data = (pps.scaling_list_data
+                             if pps.scaling_list_data is not None
+                             else sps.scaling_list_data)
         wp_tables = getattr(sh, "wp_tables", None)
         wp = ((sh.wp_log2_denom, sh.wp_weight, sh.wp_offset)
               if (wp_tables is None and getattr(sh, "wp_luma_flag", 0))

@@ -122,16 +122,28 @@ class IntraFrameEncoder:
             return 3
         return 6
 
-    def _code_tb(self, orig_tb, pred, size, is_luma, is_dst):
+    def _scaling_of(self, size, c_idx):
+        """Quant/dequant scaling matrix (explicit list, default, or None
+        for flat) — must mirror the decoder's dequant choice exactly."""
+        if not self.sps.scaling_list_enabled_flag:
+            return None
+        sld = self.sps.scaling_list_data
+        if sld is not None:
+            return sld.matrix(size, c_idx, True)
+        return tables.default_scaling_matrix(size, True)
+
+    def _code_tb(self, orig_tb, pred, size, is_luma, is_dst, c_idx=0):
         """residual -> (levels, recon_tb)"""
         resi = orig_tb.astype(np.int32) - pred.astype(np.int32)
         coeff = forward_transform_np(resi, size, self.bd, is_dst=is_dst)
         qp = self.qp if is_luma else tables.chroma_qp(
             self.qp, self.sps.chroma_format_idc)
-        levels = quantize_np(coeff, size, qp, self.bd, is_intra=True)
+        sm = self._scaling_of(size, c_idx)
+        levels = quantize_np(coeff, size, qp, self.bd, is_intra=True,
+                             scaling=sm)
         if not levels.any():
             return levels, np.clip(pred, 0, (1 << self.bd) - 1)
-        deq = dequantize_np(levels, size, qp, self.bd)
+        deq = dequantize_np(levels, size, qp, self.bd, scaling=sm)
         r = inverse_transform_np(deq, size, self.bd, is_dst=is_dst)
         recon = np.clip(pred.astype(np.int32) + r, 0, (1 << self.bd) - 1)
         return levels, recon
@@ -141,10 +153,10 @@ class IntraFrameEncoder:
         """Returns (ctu_decisions_list, recon_planes). Sequential z-order
         walk; recon planes grow as TBs complete (availability-correct)."""
         w, h, ctu = self.w, self.h, self.ctu
-        cs = self.cs
+        sx, sy = self.sps.chroma_shift_x, self.sps.chroma_shift_y
         recon = [np.zeros((h, w), np.int16),
-                 np.zeros((h >> cs, w >> cs), np.int16),
-                 np.zeros((h >> cs, w >> cs), np.int16)]
+                 np.zeros((h >> sy, w >> sx), np.int16),
+                 np.zeros((h >> sy, w >> sx), np.int16)]
         mode_map = np.full((h + 3 >> 2, (w + 3) >> 2), 1, np.uint8)
         ctus_w = -(-w // ctu)
         ctus_h = -(-h // ctu)
@@ -209,10 +221,41 @@ class IntraFrameEncoder:
 
             # chroma TBs at this TU: half-size in 4:2:0, full-size in
             # 4:4:4 (where smoothing applies to chroma too, spec 8.4.4.2.3,
-            # but the luma-only edge/DC boundary filters do not)
+            # but the luma-only edge/DC boundary filters do not); 4:2:2
+            # codes TWO square sub-TBs stacked vertically per luma TB with
+            # the Table 8-3 remapped direction (reference TComTU sub-TU
+            # iteration, g_chroma422IntraAngleMappingTable)
             cs = self.cs
             if cs == 1:
                 assert tlog2 > 2, "4x4 luma TUs need blk3 chroma handling"
+            if self.cfmt == 2:
+                csize = tsize >> 1
+                cmode = tables.CHROMA_422_ANGLE_MAP[mode]
+                for half in range(2):
+                    hy = ty + half * csize      # luma == chroma row
+                    cxx = tx >> 1
+                    for ci, plane in ((1, recon[1]), (2, recon[2])):
+                        fc = build_ref_vector(
+                            plane, cxx, hy, csize, self.avail,
+                            self.sps.bit_depth_chroma,
+                            luma_pos=(tx, hy, 2, 1))
+                        ffc = filter_ref_samples(
+                            fc, csize, self.sps.bit_depth_chroma)
+                        predc = intra_np.predict_mode(
+                            fc, ffc, cmode, csize,
+                            self.sps.bit_depth_chroma,
+                            is_luma=False, smooth=False)
+                        lv, recc = self._code_tb(
+                            orig[ci][hy:hy + csize, cxx:cxx + csize],
+                            predc, csize, False, False, c_idx=ci)
+                        tgt = d.coeff_cb if ci == 1 else d.coeff_cr
+                        tgt[hy - ctu_y0:hy - ctu_y0 + csize,
+                            cxx - (ctu_x0 >> 1):
+                            cxx - (ctu_x0 >> 1) + csize] = \
+                            lv.astype(np.int16)
+                        plane[hy:hy + csize, cxx:cxx + csize] = \
+                            recc.astype(np.int16)
+                continue
             csize = tsize >> cs
             cxx, cyy = tx >> cs, ty >> cs
             scale = 1 << cs
@@ -226,7 +269,7 @@ class IntraFrameEncoder:
                     is_luma=False, smooth=(cs == 0))
                 lv, recc = self._code_tb(
                     orig[ci][cyy:cyy + csize, cxx:cxx + csize], predc,
-                    csize, False, False)
+                    csize, False, False, c_idx=ci)
                 tgt = d.coeff_cb if ci == 1 else d.coeff_cr
                 tgt[cyy - (ctu_y0 >> cs):cyy - (ctu_y0 >> cs) + csize,
                     cxx - (ctu_x0 >> cs):cxx - (ctu_x0 >> cs) + csize] = \

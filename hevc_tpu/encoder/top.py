@@ -101,7 +101,14 @@ class EncoderTop:
             amp_enabled_flag=1 if cfg.amp else 0,
             scaling_list_enabled_flag=1 if cfg.scaling_list else 0,
         )
-        # ScalingList=2 (explicit file) is rejected by io.cfg.validate()
+        if cfg.scaling_list == 2:
+            # explicit (file-read) scaling lists (reference
+            # TComScalingList::xParseScalingList, TAppEncCfg
+            # ScalingListFile); all-intra only — the Python intra path
+            # quantizes with the custom matrices
+            from ..core.params import ScalingListData
+            self.sps.scaling_list_data = ScalingListData.from_hm_file(
+                cfg.scaling_list_file)
         if (cfg.internal_chroma_format != 1 or cfg.internal_bit_depth > 10
                 or "rext" in cfg.profile.lower()):
             # format-range extensions (spec A.3.5): Main 4:4:4 family
@@ -112,6 +119,10 @@ class EncoderTop:
                 1 if cfg.internal_bit_depth <= 10 else 0
             ptl.general_max_8bit_constraint_flag = \
                 1 if cfg.internal_bit_depth <= 8 else 0
+            ptl.general_max_422chroma_constraint_flag = \
+                1 if cfg.internal_chroma_format <= 2 else 0
+            ptl.general_max_420chroma_constraint_flag = \
+                1 if cfg.internal_chroma_format <= 1 else 0
             ptl.general_intra_constraint_flag = \
                 1 if cfg.intra_period == 1 else 0
             ptl.general_lower_bit_rate_constraint_flag = 1
@@ -147,10 +158,12 @@ class EncoderTop:
                 "only CTU-size quantization groups supported"
         if ((cfg.internal_chroma_format == 1 or
              (cfg.internal_chroma_format == 3 and cfg.intra_period == 1))
+                and self.sps.scaling_list_data is None
                 and os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0"):
             # the native engine enforces the parity constraint (4:2:0
             # everywhere; 4:4:4 when every picture takes the native
-            # intra path)
+            # intra path); the Python fallback (explicit scaling lists)
+            # does not produce SBH-parity-adjusted levels
             self.pps.sign_data_hiding_enabled_flag = 1
         self.tiles = (max(cfg.tile_cols_minus1, 0),
                       max(cfg.tile_rows_minus1, 0))
@@ -487,6 +500,7 @@ class EncoderTop:
         sao_on = 1 if cfg.sao else 0
         cfmt = self.sps.chroma_format_idc
         use_native = ((cfmt == 1 or (cfmt == 3 and is_intra)) and
+                      self.sps.scaling_list_data is None and
                       os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0")
         n_l0 = 0 if is_intra else len(ref_l0)
         n_l1 = len(ref_l1) if is_b and ref_l1 else 0

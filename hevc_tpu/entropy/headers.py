@@ -67,6 +67,33 @@ def write_st_rps(bw: BitWriter, rps: ShortTermRPS, idx: int) -> None:
         prev = d
 
 
+def write_scaling_list_data(bw: BitWriter, sld) -> None:
+    """scaling_list_data (spec 7.3.4; reference TEncCavlc::
+    codeScalingList/xCodeScalingList): every present matrix is written in
+    DPCM mode over the diagonal scan; the 32x32 chroma entries are
+    derived on the decoder side and not coded."""
+    from ..core import tables
+    for size_id in range(4):
+        for list_id in range(6):
+            if size_id == 3 and list_id % 3 != 0:
+                continue
+            flat = sld.lists[size_id][list_id]
+            bw.flag(1)                  # scaling_list_pred_mode_flag: DPCM
+            n = 4 if size_id == 0 else 8
+            next_coef = 8
+            if size_id > 1:
+                dc = int(sld.dc[size_id][list_id])
+                bw.se(dc - 8)           # scaling_list_dc_coef_minus8
+                next_coef = dc
+            scan = tables.diag_scan(n)
+            for i in range(n * n):
+                x, y = scan[i]
+                v = int(flat[y * n + x])
+                d = (v - next_coef) % 256   # scaling_list_delta_coef
+                bw.se(d - 256 if d > 127 else d)
+                next_coef = v
+
+
 def write_vps(vps: VPS) -> bytes:
     bw = BitWriter()
     bw.u(vps.vps_video_parameter_set_id, 4)
@@ -123,7 +150,11 @@ def write_sps(sps: SPS) -> bytes:
     bw.ue(sps.max_transform_hierarchy_depth_intra)
     bw.flag(sps.scaling_list_enabled_flag)
     if sps.scaling_list_enabled_flag:
-        bw.flag(0)          # sps_scaling_list_data_present (use defaults)
+        if sps.scaling_list_data is not None:
+            bw.flag(1)      # sps_scaling_list_data_present (explicit)
+            write_scaling_list_data(bw, sps.scaling_list_data)
+        else:
+            bw.flag(0)      # use the spec default matrices
     bw.flag(sps.amp_enabled_flag)
     bw.flag(sps.sample_adaptive_offset_enabled_flag)
     bw.flag(sps.pcm_enabled_flag)

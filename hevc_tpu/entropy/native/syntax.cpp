@@ -1082,7 +1082,8 @@ void SliceEncoder::code_intra_chroma_mode(int x0, int y0) {
 
 void SliceEncoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
                                   int depth, int blk_idx, bool intra_split,
-                                  int par_cb, int par_cr, bool is_intra) {
+                                  int par_cb, int par_cr, bool is_intra,
+                                  int par_cb2, int par_cr2) {
   int bw4 = sp_.ctu_size / 4;
   int max_depth = is_intra ? sp_.max_tu_depth_intra + (intra_split ? 1 : 0)
                            : sp_.max_tu_depth_inter;
@@ -1105,31 +1106,46 @@ void SliceEncoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
         if (plane[(py + yy) * pw + px + xx]) return 1;
     return 0;
   };
-  int cs = (sp_.chroma_format == 3) ? 0 : 1;  // chroma coord shift
+  int cs = (sp_.chroma_format == 3) ? 0 : 1;  // chroma coord shift (x)
+  bool c422 = sp_.chroma_format == 2;
   int c_stride = sp_.ctu_size >> cs;
-  int cbf_cb = 0, cbf_cr = 0;
+  int cbf_cb = 0, cbf_cr = 0, cbf_cb2 = 0, cbf_cr2 = 0;
   if (log2 > 2 || cs == 0) {
-    int cpx = (x0 - ctu_x0_) >> cs, cpy = (y0 - ctu_y0_) >> cs;
+    // 4:2:2 chroma planes are full height (no vertical subsampling):
+    // each luma TB carries two square sub-TBs stacked vertically, each
+    // with its own cbf (spec 7.3.8.8; mirrors the decoder path above)
+    int cpx = (x0 - ctu_x0_) >> cs;
+    int cpy = c422 ? (y0 - ctu_y0_) : ((y0 - ctu_y0_) >> cs);
     int cn = 1 << (log2 - cs);
     if (depth == 0 || par_cb) {
       cbf_cb = any_nz(cur_->coeff_cb, c_stride, cpx, cpy, cn);
       cabac_.encode_bin(ctx_.cbf_chroma[depth], cbf_cb);
+      if (c422 && (!split || log2 == 3)) {
+        cbf_cb2 = any_nz(cur_->coeff_cb, c_stride, cpx, cpy + cn, cn);
+        cabac_.encode_bin(ctx_.cbf_chroma[depth], cbf_cb2);
+      }
     }
     if (depth == 0 || par_cr) {
       cbf_cr = any_nz(cur_->coeff_cr, c_stride, cpx, cpy, cn);
       cabac_.encode_bin(ctx_.cbf_chroma[depth], cbf_cr);
+      if (c422 && (!split || log2 == 3)) {
+        cbf_cr2 = any_nz(cur_->coeff_cr, c_stride, cpx, cpy + cn, cn);
+        cabac_.encode_bin(ctx_.cbf_chroma[depth], cbf_cr2);
+      }
     }
   } else {
     cbf_cb = par_cb;
     cbf_cr = par_cr;
+    cbf_cb2 = par_cb2;
+    cbf_cr2 = par_cr2;
   }
 
   if (split) {
     int h = 1 << (log2 - 1);
-    transform_tree(x0, y0, x0, y0, log2 - 1, depth + 1, 0, intra_split, cbf_cb, cbf_cr, is_intra);
-    transform_tree(x0 + h, y0, x0, y0, log2 - 1, depth + 1, 1, intra_split, cbf_cb, cbf_cr, is_intra);
-    transform_tree(x0, y0 + h, x0, y0, log2 - 1, depth + 1, 2, intra_split, cbf_cb, cbf_cr, is_intra);
-    transform_tree(x0 + h, y0 + h, x0, y0, log2 - 1, depth + 1, 3, intra_split, cbf_cb, cbf_cr, is_intra);
+    transform_tree(x0, y0, x0, y0, log2 - 1, depth + 1, 0, intra_split, cbf_cb, cbf_cr, is_intra, cbf_cb2, cbf_cr2);
+    transform_tree(x0 + h, y0, x0, y0, log2 - 1, depth + 1, 1, intra_split, cbf_cb, cbf_cr, is_intra, cbf_cb2, cbf_cr2);
+    transform_tree(x0, y0 + h, x0, y0, log2 - 1, depth + 1, 2, intra_split, cbf_cb, cbf_cr, is_intra, cbf_cb2, cbf_cr2);
+    transform_tree(x0 + h, y0 + h, x0, y0, log2 - 1, depth + 1, 3, intra_split, cbf_cb, cbf_cr, is_intra, cbf_cb2, cbf_cr2);
     return;
   }
 
@@ -1138,7 +1154,7 @@ void SliceEncoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
   if (g_bin_trace) fprintf(g_bin_trace, "# TULEAF %d %d log2=%d cb=%d cr=%d\n", x0, y0, log2, cbf_cb, cbf_cr);
   int n = 1 << log2;
   int cbf_y = any_nz(cur_->coeff_y, sp_.ctu_size, x0 - ctu_x0_, y0 - ctu_y0_, n);
-  if (is_intra || depth != 0 || cbf_cb || cbf_cr)
+  if (is_intra || depth != 0 || cbf_cb || cbf_cr || cbf_cb2 || cbf_cr2)
     cabac_.encode_bin(ctx_.cbf_luma[depth == 0 ? 1 : 0], cbf_y);
   else
     cbf_y = 1;  // inferred (encoder guarantees nonzero luma here)
@@ -1146,7 +1162,8 @@ void SliceEncoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
   // cu_qp_delta_abs/sign, once per quantization group at the first TU
   // with any cbf (spec 7.3.8.10; reference TEncSbac::codeDeltaQP: TU
   // prefix cMax 5 with ctx 0 then 1, EG0 suffix, bypass sign)
-  if (sp_.cu_dqp && !dqp_coded_ && (cbf_y || cbf_cb || cbf_cr)) {
+  if (sp_.cu_dqp && !dqp_coded_ &&
+      (cbf_y || cbf_cb || cbf_cr || cbf_cb2 || cbf_cr2)) {
     int delta = dqp_target_ - dqp_pred_;
     int a = delta < 0 ? -delta : delta;
     int pre = a < 5 ? a : 5;
@@ -1168,10 +1185,14 @@ void SliceEncoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
   if (cbf_y) residual(x0, y0, log2, 0);
   if (log2 > 2 || cs == 0) {
     if (cbf_cb) residual(x0, y0, log2 - cs, 1);
+    if (c422 && cbf_cb2) residual(x0, y0 + (1 << (log2 - 1)), log2 - 1, 1);
     if (cbf_cr) residual(x0, y0, log2 - cs, 2);
+    if (c422 && cbf_cr2) residual(x0, y0 + (1 << (log2 - 1)), log2 - 1, 2);
   } else if (blk_idx == 3) {
     if (par_cb) residual(xb, yb, 2, 1);
+    if (c422 && par_cb2) residual(xb, yb + 4, 2, 1);
     if (par_cr) residual(xb, yb, 2, 2);
+    if (c422 && par_cr2) residual(xb, yb + 4, 2, 2);
   }
 }
 
@@ -1200,6 +1221,10 @@ void SliceEncoder::residual(int x0, int y0, int log2, int c_idx) {
   int pred_mode = luma
       ? map_at(cur_->luma_mode, bw4, x0 - ctu_x0_, y0 - ctu_y0_)
       : map_at(cur_->chroma_mode, bw4, x0 - ctu_x0_, y0 - ctu_y0_);
+  // the encoder maps keep the CODED chroma mode (signalling needs it);
+  // 4:2:2 scan selection uses the Table 8-3 remapped direction
+  if (!luma && sp_.chroma_format == 2)
+    pred_mode = CHROMA_422_ANGLE_MAP[pred_mode];
   int scan_idx = blk_intra ? mode_scan_idx(log2, c_idx, pred_mode,
                                            sp_.chroma_format == 3) : 0;
   const auto& scan = g_scans.t[log2 - 2][scan_idx];

@@ -336,7 +336,7 @@ class SliceEncoder {
   void code_mvd(int vx, int vy);
   void transform_tree(int x0, int y0, int xb, int yb, int log2, int depth,
                       int blk_idx, bool intra_split, int par_cb, int par_cr,
-                      bool is_intra);
+                      bool is_intra, int par_cb2 = 0, int par_cr2 = 0);
   void residual(int x0, int y0, int log2, int c_idx);
   void code_intra_luma_modes(int x0, int y0, int log2, bool nxn);
   void code_intra_chroma_mode(int x0, int y0);

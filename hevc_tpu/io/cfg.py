@@ -416,12 +416,12 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
     confirm(cfg.width % 8 or cfg.height % 8,
             "picture dimensions must be multiples of 8")
     confirm(cfg.ctu_size != 64, "only MaxCUWidth/Height 64 supported")
-    confirm(cfg.chroma_format not in (420, 444),
+    confirm(cfg.chroma_format not in (420, 422, 444),
             f"InputChromaFormat {cfg.chroma_format} unsupported "
-            "(420 and 444 implemented)")
-    confirm(cfg.chroma_format == 444 and cfg.intra_period != 1,
-            "4:4:4 encoding is all-intra only (IntraPeriod 1; DECODING "
-            "4:4:4 inter streams is supported)")
+            "(420, 422 and 444 implemented)")
+    confirm(cfg.chroma_format in (422, 444) and cfg.intra_period != 1,
+            "4:2:2/4:4:4 encoding is all-intra only (IntraPeriod 1; "
+            "DECODING 4:2:2/4:4:4 inter streams is supported)")
     confirm(cfg.internal_bit_depth not in (8, 10, 12),
             f"InternalBitDepth {cfg.internal_bit_depth} unsupported "
             "(8, 10 and 12 implemented)")
@@ -441,10 +441,12 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
             "SliceMode with tiles unsupported")
     confirm(cfg.slice_mode in (1, 2) and bool(cfg.adaptive_qp),
             "SliceMode with AdaptiveQP unsupported")
-    confirm(cfg.scaling_list not in (0, 1),
-            "ScalingList 2 (explicit file) unsupported; 0=off 1=default")
-    confirm(bool(cfg.scaling_list_file) and cfg.scaling_list == 2,
-            "ScalingListFile requires ScalingList=2 which is unsupported")
+    confirm(cfg.scaling_list not in (0, 1, 2),
+            "ScalingList must be 0 (off), 1 (default) or 2 (file)")
+    confirm(cfg.scaling_list == 2 and not cfg.scaling_list_file,
+            "ScalingList=2 requires ScalingListFile")
+    confirm(cfg.scaling_list == 2 and cfg.intra_period != 1,
+            "explicit scaling lists (ScalingList=2) are all-intra only")
     confirm(cfg.max_cu_dqp_depth != 0,
             "MaxCuDQPDepth != 0 unsupported (CTU-size quant groups only)")
     confirm(cfg.delta_qp_rd != 0, "DeltaQpRD unsupported")

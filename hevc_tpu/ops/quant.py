@@ -66,12 +66,17 @@ def dequantize(levels: jnp.ndarray, *, size: int, qp: int,
 # ---------------------------------------------------------------------------
 
 def quantize_np(coeffs: np.ndarray, size: int, qp: int, bit_depth: int = 8,
-                is_intra: bool = True) -> np.ndarray:
+                is_intra: bool = True, scaling=None) -> np.ndarray:
+    """scaling: per-coefficient scaling matrix (spec 8.6.3 m[x][y]); the
+    forward quant scale folds it as (quantScale << 4) / m, matching the
+    reference TComTrQuant::xSetScalingListEnc quantCoef derivation."""
     qp = qp + 6 * (bit_depth - 8)   # Qp' incl. QpBdOffset (spec 8.6.1)
     log2n = tables.log2(size)
     transform_shift = 15 - bit_depth - log2n
     qbits = 14 + qp // 6 + transform_shift
     scale = int(tables.QUANT_SCALES[qp % 6])
+    if scaling is not None:
+        scale = (scale << 4) // scaling.astype(np.int64)
     offset = (171 if is_intra else 85) << (qbits - 9)
     c = coeffs.astype(np.int64)
     level = (np.abs(c) * scale + offset) >> qbits

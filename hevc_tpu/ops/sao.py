@@ -147,11 +147,12 @@ def estimate_sao(orig: List[np.ndarray], deblocked: List[np.ndarray],
             prm[0], prm[2], prm[4] = prm_l[0], prm_l[1], prm_l[2]
             prm[8:12] = prm_l[3]
             # ---- chroma (joint type for cb+cr) ----
-            sc = 1 if sps.chroma_format_idc == 3 else 2
-            cs = (slice((cy * ctu) // sc,
-                        min(((cy + 1) * ctu) // sc, h // sc)),
-                  slice((cx * ctu) // sc,
-                        min(((cx + 1) * ctu) // sc, w // sc)))
+            scx = 1 << sps.chroma_shift_x
+            scy = 1 << sps.chroma_shift_y
+            cs = (slice((cy * ctu) // scy,
+                        min(((cy + 1) * ctu) // scy, h // scy)),
+                  slice((cx * ctu) // scx,
+                        min(((cx + 1) * ctu) // scx, w // scx)))
             t, eo, bpos_cb, off_cb, bpos_cr, off_cr = _pick_chroma(
                 diffs[1][cs], diffs[2][cs], cat_maps[1], cat_maps[2],
                 band_maps[1], band_maps[2], cs, lam, max_off, best_offset)

@@ -236,6 +236,88 @@ def test_rext_444_conformance(tmp_path, extra):
     assert own.read_bytes() == dec.read_bytes()
 
 
+def _mk_clip_422(path, w, h, n, bd=8, seed=9):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    cxx = xx[:, :w // 2]
+    cyy = yy[:, :w // 2]
+    dt = np.uint8 if bd == 8 else np.uint16
+    sc = 1 << (bd - 8)
+    with open(path, "wb") as f:
+        for i in range(n):
+            y = ((np.sin(xx / 7 + i) + np.cos(yy / 5)) * 50 + 128
+                 + rng.integers(-20, 20, (h, w))).clip(0, 255)
+            u = ((np.sin(cxx / 11) * 60) + 128
+                 + rng.integers(-15, 15, (h, w // 2))).clip(0, 255)
+            v = ((np.cos(cyy / 9) * 60) + 128
+                 + rng.integers(-15, 15, (h, w // 2))).clip(0, 255)
+            for p in (y, u, v):
+                f.write((p.astype(np.int64) * sc).astype(dt).tobytes())
+
+
+@pytest.mark.parametrize("qp,extra", [
+    (32, []),
+    (45, []),
+    (27, ["--InputBitDepth=10", "--InternalBitDepth=10"]),
+])
+def test_rext_422_conformance(tmp_path, qp, extra):
+    """4:2:2 intra encode under the reference main_rext cfg: two square
+    chroma sub-TBs per luma TB with per-half cbf (spec 7.3.8.8), Table
+    8-3 chroma angle remapping, full-height half-width planes through
+    deblock/SAO, 4:2:2 RExt PTL constraint flags (reference
+    cfg/encoder_intra_main_rext.cfg, TComChromaFormat.h:80). The HM
+    decoder must verify every picture hash and produce byte-identical
+    reconstruction; our decoder must agree."""
+    w, h, frames = 176, 144, 2
+    bd = 10 if extra else 8
+    clip = tmp_path / "in422.yuv"
+    _mk_clip_422(clip, w, h, frames, bd)
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-c", "/root/reference/cfg/encoder_intra_main_rext.cfg",
+          "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f", str(frames),
+          "-q", str(qp), "--InputChromaFormat=422", "--ChromaFormatIDC=422"]
+         + extra + ["-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+    assert rec.read_bytes() == dec.read_bytes()
+    from hevc_tpu.cli.decode import main as dmain
+    own = tmp_path / "own.yuv"
+    assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+    assert own.read_bytes() == dec.read_bytes()
+
+
+def test_explicit_scaling_list_encode_conformance(tmp_path):
+    """ScalingList=2 with an HM-format ScalingListFile: the SPS carries
+    DPCM-coded scaling_list_data and quant/dequant use the custom
+    matrices (reference TComScalingList xParseScalingList +
+    TComTrQuant::xSetScalingListEnc). The HM decoder must verify every
+    hash and match the recon byte for byte."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_hm_decode import _write_hm_scaling_file
+    w, h, frames = 176, 144, 2
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    slist = tmp_path / "slist.txt"
+    _write_hm_scaling_file(slist)
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f", str(frames),
+          "-q", "32", "--ScalingList=2", f"--ScalingListFile={slist}",
+          "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+    assert rec.read_bytes() == dec.read_bytes()
+    from hevc_tpu.cli.decode import main as dmain
+    own = tmp_path / "own.yuv"
+    assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+    assert own.read_bytes() == dec.read_bytes()
+
+
 def test_decoder_analyser_stats(tmp_path):
     """Analyser build of the decoder CLI (-stats): per-picture CU mode
     shares and coefficient counts (reference repo's Analyser NetBeans

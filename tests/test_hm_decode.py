@@ -85,6 +85,57 @@ def test_hm_tool_variants(tmp_path, extra, label):
         assert dec.hash_status and all(s == "OK" for s in dec.hash_status)
 
 
+def _write_hm_scaling_file(path, seed=3):
+    """HM-format scaling list file with non-default values (reference
+    TComScalingList::outputScalingLists layout)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    names = ([(f"{p}4X4_{c}", 4) for p in ("INTRA", "INTER")
+              for c in ("LUMA", "CHROMAU", "CHROMAV")]
+             + [(f"{p}{s}X{s}_{c}", 8) for s in (8, 16)
+                for p in ("INTRA", "INTER")
+                for c in ("LUMA", "CHROMAU", "CHROMAV")]
+             + [("INTRA32X32_LUMA", 8), ("INTER32X32_LUMA", 8)])
+    with open(path, "w") as f:
+        for nm, n in names:
+            vals = np.clip(16 + rng.integers(-6, 20, n * n), 1, 255)
+            f.write(nm + " =\n  ")
+            for y in range(n):
+                row = ", ".join("%3d" % v
+                                for v in vals[y * n:(y + 1) * n]) + ", "
+                f.write(row + ("\n  " if y + 1 < n else "\n"))
+            if "16X16" in nm or "32X32" in nm:
+                f.write(nm + "_DC = \n  %3d\n"
+                        % int(np.clip(16 + rng.integers(-4, 10), 1, 255)))
+            f.write("\n")
+
+
+@pytest.mark.skipif(not os.path.exists(ENC),
+                    reason="HM oracle encoder not built")
+@pytest.mark.parametrize("cfg", ["encoder_intra_main.cfg",
+                                 "encoder_lowdelay_main.cfg"])
+def test_hm_explicit_scaling_list_stream_decodes(tmp_path, cfg):
+    """Explicit (file-read) scaling lists: HM ScalingList=2 streams with
+    non-default matrices (DPCM-coded scaling_list_data in the SPS, spec
+    7.3.4) must decode byte-identically (reference
+    TComScalingList::xParseScalingList / TDecCavlc::parseScalingList)."""
+    slist = tmp_path / "slist.txt"
+    _write_hm_scaling_file(slist)
+    data, hm_rec = _hm_encode(
+        tmp_path, cfg,
+        ["--ScalingList=2", f"--ScalingListFile={slist}",
+         "--SEIDecodedPictureHash=1"])
+    bs = tmp_path / "o.bin"
+    ref = subprocess.run(
+        ["/tmp/hm_oracle/bin/TAppDecoderStatic", "-b", str(bs), "-o",
+         str(tmp_path / "hmdec.yuv")], capture_output=True, text=True)
+    assert ref.returncode == 0
+    from hevc_tpu.cli.decode import main as dec_main
+    assert dec_main(["-b", str(bs), "-o", str(tmp_path / "ours.yuv")]) == 0
+    assert (tmp_path / "ours.yuv").read_bytes() == \
+        (tmp_path / "hmdec.yuv").read_bytes()
+
+
 @pytest.mark.skipif(not os.path.exists(ENC),
                     reason="HM oracle encoder not built")
 @pytest.mark.parametrize("extra,label", [
