@@ -340,6 +340,7 @@ class SliceHeader:
     slice_qp: int = 32
     temporal_id: int = 0
     first_slice_segment_in_pic_flag: int = 1
+    dependent_slice_segment_flag: int = 0
     slice_segment_address: int = 0
     no_output_of_prior_pics_flag: int = 0
     slice_pic_parameter_set_id: int = 0

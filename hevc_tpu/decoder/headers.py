@@ -488,12 +488,27 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: SPS, pps: PPS,
     if not sh.first_slice_segment_in_pic_flag:
         if pps.dependent_slice_segments_enabled_flag:
             sh.dependent_slice_segment_flag = br.flag()
-            assert not sh.dependent_slice_segment_flag, \
-                "dependent slice segments unsupported"
         ctus = (-(-sps.pic_width_in_luma_samples // sps.ctu_size)
                 * -(-sps.pic_height_in_luma_samples // sps.ctu_size))
         nbits = max(1, (ctus - 1).bit_length())
         sh.slice_segment_address = br.u(nbits)
+    if sh.dependent_slice_segment_flag:
+        # dependent segment short header (spec 7.3.6.1): every slice
+        # parameter is inherited from the preceding independent segment
+        # — only entry points / extension / alignment remain
+        if pps.tiles_enabled_flag or pps.entropy_coding_sync_enabled_flag:
+            n_entry = br.ue()
+            if n_entry:
+                olen = br.ue() + 1
+                sh.entry_point_offsets = [br.u(olen) + 1
+                                          for _ in range(n_entry)]
+        if pps.slice_segment_header_extension_present_flag:
+            ext_len = br.ue()
+            for _ in range(ext_len):
+                br.u(8)
+        br.u(1)  # alignment bit one
+        br.byte_align()
+        return sh, br.byte_pos
     for _ in range(pps.num_extra_slice_header_bits):
         br.flag()
     sh.slice_type = SliceType(br.ue())

@@ -84,6 +84,20 @@ class DecoderTop:
                     rbsp, nal_type, self.sps, self.pps,
                     prev_tid0_poc=self.prev_tid0_poc)
                 sh.temporal_id = tid
+                if sh.dependent_slice_segment_flag:
+                    # inherit every slice parameter from the preceding
+                    # segment of this slice (spec 7.3.6.1; reference
+                    # TDecSlice copySliceInfo) — shallow copy keeps the
+                    # parsed extras (lt_pocs, wp_tables, ...) too
+                    import copy as _copy
+                    parent = self._pic["slices"][-1][0]
+                    addr = sh.slice_segment_address
+                    entries = sh.entry_point_offsets
+                    sh = _copy.copy(parent)
+                    sh.dependent_slice_segment_flag = 1
+                    sh.first_slice_segment_in_pic_flag = 0
+                    sh.slice_segment_address = addr
+                    sh.entry_point_offsets = entries
                 if sh.first_slice_segment_in_pic_flag:
                     self._finalize_picture()
                     if nal_type in (16, 17, 18, 19, 20):
@@ -254,8 +268,17 @@ class DecoderTop:
         sp.ccp = pps.cross_component_prediction_enabled_flag
         sp.ts_max_log2 = (2 + pps.log2_max_transform_skip_block_size_minus2
                           if pps.transform_skip_enabled_flag else 2)
-        sdec = cabac.SliceDataDecoder(sp, slice_data)
-        if sh.slice_temporal_mvp_enabled_flag:
+        if sh.dependent_slice_segment_flag and self._pic.get("sdec"):
+            # dependent segment: the open decoder continues with its
+            # CABAC contexts / neighbour maps / dQP chain intact
+            sdec = self._pic["sdec"]
+            sdec.reseat(slice_data)
+        else:
+            sdec = cabac.SliceDataDecoder(sp, slice_data)
+            self._pic["sdec"] = sdec
+            self._pic["slice_start"] = sh.slice_segment_address
+        if sh.slice_temporal_mvp_enabled_flag and \
+                not sh.dependent_slice_segment_flag:
             col_list = (ref_pocs_l0 if sh.collocated_from_l0_flag
                         else ref_pocs_l1)
             if (col_list and sh.collocated_ref_idx < len(col_list)
@@ -322,7 +345,9 @@ class DecoderTop:
             wp_tables=wp_tables,
             wp_denoms=(getattr(sh, "wp_log2_denom", 6),
                        getattr(sh, "wp_chroma_log2_denom", 6)),
-            slice_start_ctu=sh.slice_segment_address,
+            slice_start_ctu=(self._pic.get("slice_start", 0)
+                             if sh.dependent_slice_segment_flag
+                             else sh.slice_segment_address),
             cb_qp_offset=pps.pps_cb_qp_offset
             + getattr(sh, "slice_cb_qp_offset", 0),
             cr_qp_offset=pps.pps_cr_qp_offset
@@ -339,7 +364,13 @@ class DecoderTop:
         dqp_on = pps.cu_qp_delta_enabled_flag
         assert not dqp_on or sh.slice_segment_address == 0, \
             "cu_qp_delta with multi-slice pictures unsupported"
+        # slice_segment_address is a raster-scan CTB address (spec
+        # 7.4.7.1); decoding walks the TILE scan — convert (reference
+        # TComPicSym CtuRsToTsAddrMap)
         start = sh.slice_segment_address
+        if pps.tiles_enabled_flag and start:
+            sx, sy = start % ctus_w, start // ctus_w
+            start = order.index((sx, sy))
         n_done = 0
         recon_q = []
         for k in range(start, len(order)):

@@ -171,6 +171,8 @@ def get_lib() -> ctypes.CDLL:
     lib.hevc_dec_create.argtypes = [ctypes.POINTER(SliceParamsC),
                                     ctypes.c_char_p, ctypes.c_long]
     lib.hevc_dec_destroy.argtypes = [ctypes.c_void_p]
+    lib.hevc_dec_reseat.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                    ctypes.c_long]
     lib.hevc_dec_ctu.restype = ctypes.c_int
     lib.hevc_dec_ctu.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
@@ -371,6 +373,13 @@ class SliceDataDecoder:
         arr = np.asarray(offsets, np.int32)
         self._lib.hevc_dec_set_entry(self._h, np.ascontiguousarray(arr),
                                      len(arr))
+
+    def reseat(self, data: bytes) -> None:
+        """Continue this decoder on a dependent slice segment's data:
+        CABAC contexts, neighbour maps and the dQP chain carry over;
+        only the bit reader/arithmetic engine restart (spec 9.3.1)."""
+        self._data = data  # keep alive
+        self._lib.hevc_dec_reseat(self._h, data, len(data))
 
     def decode_ctu(self, ctu_x: int, ctu_y: int) -> tuple:
         d = CtuDecisions(self._ctu, chroma_format=self._cfmt)

@@ -143,6 +143,10 @@ void* hevc_dec_create(const SliceParams* sp, const uint8_t* data, long size) {
   return new SliceDecoder(*sp, data, (size_t)size);
 }
 void hevc_dec_destroy(void* h) { delete (SliceDecoder*)h; }
+// dependent slice segment: continue an open decoder on new segment data
+void hevc_dec_reseat(void* h, const uint8_t* data, long size) {
+  ((SliceDecoder*)h)->reseat(data, (size_t)size);
+}
 
 int hevc_dec_ctu(void* h, int ctu_x, int ctu_y, uint8_t* cu_depth,
                  uint8_t* nxn_flag, uint8_t* luma_mode, uint8_t* chroma_mode,

@@ -1816,6 +1816,17 @@ SliceDecoder::SliceDecoder(const SliceParams& sp, const uint8_t* data,
 
 void SliceDecoder::begin_slice() {}
 
+void SliceDecoder::reseat(const uint8_t* data, size_t size) {
+  br_ = BitReader(data, size);
+  cabac_ = CabacDecoder(&br_);
+  // per-segment substream bookkeeping (tiles/WPP entry points) restarts
+  sub_offsets_.clear();
+  next_sub_ = 1;
+  // a tile starting at this segment has no end_of_subset_one_bit to
+  // consume and the engine is already seated at the segment start
+  seg_fresh_ = true;
+}
+
 void SliceDecoder::fill(uint8_t* map, int x0, int y0, int log2, uint8_t v) {
   int bw4 = sp_.ctu_size / 4;
   int b = 1 << (log2 - 2);
@@ -1843,7 +1854,7 @@ int SliceDecoder::decode_ctu(int cx, int cy, const MutCtuData& d) {
   if (sp_.tile_cols > 1 || sp_.tile_rows > 1) {
     int tid = tile_id_of(sp_, cx, cy);
     if (tid != cur_tile_) {
-      if (cur_tile_ >= 0) {
+      if (cur_tile_ >= 0 && !seg_fresh_) {
         cabac_.decode_terminate();  // end_of_subset_one_bit of prev tile
         if ((size_t)(next_sub_ - 1) < sub_offsets_.size())
           cabac_.restart_at((size_t)sub_offsets_[next_sub_ - 1]);
@@ -1854,6 +1865,7 @@ int SliceDecoder::decode_ctu(int cx, int cy, const MutCtuData& d) {
       dqp_first_ = true;  // qPY_PREV resets at tile start (spec 8.6.1)
     }
   }
+  seg_fresh_ = false;
   if (sp_.wpp && cx == 0 && cy > 0) {
     dqp_first_ = true;  // qPY_PREV resets per CTB row under WPP
     if (wpp_saved_valid_)

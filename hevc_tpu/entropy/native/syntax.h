@@ -369,6 +369,12 @@ class SliceDecoder {
   void begin_slice();
   // returns end_of_slice flag
   int decode_ctu(int ctu_x, int ctu_y, const MutCtuData& d);
+  // Dependent slice segment (spec 7.3.6.1): re-seat the bit reader and
+  // arithmetic engine on the next segment's slice data while KEEPING the
+  // context models, neighbour maps, SAO merge state and dQP chain — the
+  // in-picture prediction and CABAC state continue across dependent
+  // segments of one slice (spec 9.3.1 TableStateIdxDs).
+  void reseat(const uint8_t* data, size_t size);
 
  private:
   void cu_tree(int x0, int y0, int log2, int depth);
@@ -401,6 +407,7 @@ class SliceDecoder {
   ContextSet wpp_saved_;
   bool wpp_saved_valid_ = false;
   int cur_tile_ = -1;
+  bool seg_fresh_ = false;  // first CTU after a dependent-segment reseat
   std::vector<int32_t> sub_offsets_;   // substream start offsets (bytes)
   int next_sub_ = 1;
   BitReader br_;

@@ -85,6 +85,52 @@ def test_hm_tool_variants(tmp_path, extra, label):
         assert dec.hash_status and all(s == "OK" for s in dec.hash_status)
 
 
+@pytest.mark.skipif(not os.path.exists(ENC),
+                    reason="HM oracle encoder not built")
+@pytest.mark.parametrize("extra,label", [
+    (["--SliceSegmentMode=1", "--SliceSegmentArgument=17"], "ctus"),
+    (["--SliceSegmentMode=2", "--SliceSegmentArgument=900"], "bytes"),
+    (["--SliceMode=1", "--SliceArgument=30",
+      "--SliceSegmentMode=1", "--SliceSegmentArgument=10"],
+     "slices-plus-segments"),
+    (["--WaveFrontSynchro=1", "--SliceSegmentMode=1",
+      "--SliceSegmentArgument=10"], "wpp"),
+    (["--UniformSpacingIdc=1", "--NumTileColumnsMinus1=1",
+      "--NumTileRowsMinus1=1", "--SliceSegmentMode=3",
+      "--SliceSegmentArgument=1"], "tiles"),
+    (["--UniformSpacingIdc=1", "--NumTileColumnsMinus1=1",
+      "--NumTileRowsMinus1=1", "--SliceMode=3", "--SliceArgument=1"],
+     "slicemode3"),
+])
+def test_hm_dependent_slice_segments_decode(tmp_path, extra, label):
+    """Dependent slice segments (spec 7.3.6.1 short header; CABAC
+    contexts, neighbour maps and dQP chain continue across segments of
+    one slice) and SliceMode 3 / SliceSegmentMode 3 (slices or segments
+    made of whole tiles, raster slice_segment_address converted to tile
+    scan) must decode byte-identically (reference TDecSlice
+    copySliceInfo, TComPicSym CtuRsToTsAddrMap)."""
+    w, h, frames = 640, 360, 3
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    bs = tmp_path / "o.bin"
+    out = subprocess.run(
+        [ENC, "-c", "/root/reference/cfg/encoder_lowdelay_main.cfg",
+         "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+         str(frames), "-fr", "30", "-q", "30",
+         "--SEIDecodedPictureHash=1", *extra,
+         "-b", str(bs), "-o", str(tmp_path / "hmrec.yuv")],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-1500:]
+    ref = subprocess.run(
+        ["/tmp/hm_oracle/bin/TAppDecoderStatic", "-b", str(bs), "-o",
+         str(tmp_path / "hmdec.yuv")], capture_output=True, text=True)
+    assert ref.returncode == 0
+    from hevc_tpu.cli.decode import main as dec_main
+    assert dec_main(["-b", str(bs), "-o", str(tmp_path / "ours.yuv")]) == 0
+    assert (tmp_path / "ours.yuv").read_bytes() == \
+        (tmp_path / "hmdec.yuv").read_bytes()
+
+
 def _write_hm_scaling_file(path, seed=3):
     """HM-format scaling list file with non-default values (reference
     TComScalingList::outputScalingLists layout)."""
