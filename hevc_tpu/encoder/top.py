@@ -165,6 +165,9 @@ class EncoderTop:
             # intra path); the Python fallback (explicit scaling lists)
             # does not produce SBH-parity-adjusted levels
             self.pps.sign_data_hiding_enabled_flag = 1
+        if cfg.slice_segment_mode in (1, 2):
+            # dependent slice segments (reference TAppEncCfg.cpp:852)
+            self.pps.dependent_slice_segments_enabled_flag = 1
         self.tiles = (max(cfg.tile_cols_minus1, 0),
                       max(cfg.tile_rows_minus1, 0))
         if self.tiles != (0, 0):
@@ -670,20 +673,30 @@ class EncoderTop:
         slice_objs = None
         ctus_w = self.sps.pic_width_in_ctus
         ctus_h = self.sps.pic_height_in_ctus
-        if cfg.slice_mode in (1, 2) and use_native:
-            from ..entropy.cabac import SliceParamsC
-            raster = [(x, y) for y in range(ctus_h) for x in range(ctus_w)]
+        if cfg.slice_mode in (1, 2, 3) and use_native:
+            from ..entropy.cabac import SliceParamsC, tile_scan_order
+            if cfg.slice_mode == 3:
+                # slices made of whole tiles (reference TypeDef.h:581
+                # FIXED_NUMBER_OF_TILES): partition the TILE-scan walk
+                raster = tile_scan_order(
+                    cfg.width, cfg.height, self.sps.ctu_size,
+                    self.pps.num_tile_columns_minus1 + 1,
+                    self.pps.num_tile_rows_minus1 + 1)
+            else:
+                raster = [(x, y) for y in range(ctus_h)
+                          for x in range(ctus_w)]
             n_all = len(raster)
 
             def _mk_slices(bounds, reuse_first=True):
                 objs = []
                 for s0, cnt in bounds:
                     ctus = raster[s0:s0 + cnt]
+                    start_rs = ctus[0][1] * ctus_w + ctus[0][0]
                     if s0 == 0 and reuse_first:
                         spi, senc_i = sp, senc
                     else:
                         spi = SliceParamsC.from_buffer_copy(sp)
-                        spi.slice_start_ctu = s0
+                        spi.slice_start_ctu = start_rs
                         senc_i = SliceDataEncoder(spi)
                         if sh.slice_temporal_mvp_enabled_flag:
                             from ..entropy.cabac import set_collocated
@@ -692,7 +705,27 @@ class EncoderTop:
                     objs.append((spi, senc_i, ctus))
                 return objs
 
-            if cfg.slice_mode == 1:
+            if cfg.slice_mode == 3:
+                # group SliceArgument whole tiles per slice; tile start
+                # indices in the tile-scan walk are the cumulative
+                # uniform-grid tile areas (spec 6.5.1)
+                tcols = self.pps.num_tile_columns_minus1 + 1
+                trows = self.pps.num_tile_rows_minus1 + 1
+                xs = [i * ctus_w // tcols for i in range(tcols)] + [ctus_w]
+                ys = [i * ctus_h // trows for i in range(trows)] + [ctus_h]
+                starts, acc = [0], 0
+                for r in range(trows):
+                    for c in range(tcols):
+                        acc += (ys[r + 1] - ys[r]) * (xs[c + 1] - xs[c])
+                        starts.append(acc)
+                arg = max(1, cfg.slice_argument)
+                bounds = []
+                ti = 0
+                while ti < len(starts) - 1:
+                    last = min(ti + arg, len(starts) - 1)
+                    bounds.append((starts[ti], starts[last] - starts[ti]))
+                    ti = last
+            elif cfg.slice_mode == 1:
                 arg = max(1, cfg.slice_argument)
                 bounds = [(s0, min(arg, n_all - s0))
                           for s0 in range(0, n_all, arg)]
@@ -800,11 +833,61 @@ class EncoderTop:
                     sh_i = _dc.replace(
                         sh, first_slice_segment_in_pic_flag=1 if si == 0
                         else 0,
-                        slice_segment_address=spi.slice_start_ctu)
+                        slice_segment_address=spi.slice_start_ctu,
+                        entry_point_offsets=[])
+                    data_i = senc_i.get_bytes()
+                    if self.pps.tiles_enabled_flag:
+                        # entry points for the tiles within this slice
+                        # (SliceMode 3 with SliceArgument > 1)
+                        from ..entropy.cabac import _encoder_substreams
+                        sizes = _encoder_substreams(senc_i)
+                        if len(sizes) > 1:
+                            for _ in range(5):
+                                hdr = headers.write_slice_header(
+                                    sh_i, self.sps, self.pps)
+                                bnds = [len(hdr)]
+                                acc = len(hdr)
+                                for sz in sizes[:-1]:
+                                    acc += sz
+                                    bnds.append(acc)
+                                esc = nal.escaped_sizes(hdr + data_i, bnds)
+                                offs = esc[:-1] if len(esc) > 1 else []
+                                if offs == sh_i.entry_point_offsets:
+                                    break
+                                sh_i.entry_point_offsets = offs
                     slice_rbsps.append(
                         headers.write_slice_header(sh_i, self.sps,
-                                                   self.pps)
-                        + senc_i.get_bytes())
+                                                   self.pps) + data_i)
+        if (slice_rbsps is None and cfg.slice_segment_mode in (1, 2)
+                and use_native and isinstance(decisions, FrameDecisions)):
+            # dependent slice segments: one entropy pass over the slice,
+            # cut whenever the CTU/byte limit trips; contexts continue
+            # (native segment_cut) and every segment after the first
+            # carries the short dependent header (spec 7.3.6.1)
+            import dataclasses as _dc
+            from ..entropy.cabac import entropy_encode_frame_order_segments
+            with timers.section("entropy"):
+                rorder = [(x, y) for y in range(ctus_h)
+                          for x in range(ctus_w)]
+                seg_counts, marks = entropy_encode_frame_order_segments(
+                    senc, rorder, ctus_w, decisions,
+                    cfg.slice_segment_mode,
+                    max(1, cfg.slice_segment_argument))
+                seg_data = senc.get_bytes()
+            slice_rbsps = []
+            bpos, addr = 0, 0
+            for i, cnt in enumerate(seg_counts):
+                end_b = marks[i] if marks[i] >= 0 else len(seg_data)
+                sh_i = _dc.replace(
+                    sh,
+                    first_slice_segment_in_pic_flag=1 if i == 0 else 0,
+                    dependent_slice_segment_flag=0 if i == 0 else 1,
+                    slice_segment_address=addr,
+                    entry_point_offsets=[])
+                slice_rbsps.append(
+                    headers.write_slice_header(sh_i, self.sps, self.pps)
+                    + seg_data[bpos:end_b])
+                bpos, addr = end_b, addr + cnt
         data = b""
         if slice_rbsps is None:
             with timers.section("entropy"):

@@ -116,6 +116,11 @@ def get_lib() -> ctypes.CDLL:
     lib.hevc_enc_get.restype = ctypes.c_long
     lib.hevc_enc_get.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                  ctypes.c_long]
+    lib.hevc_enc_pos.restype = ctypes.c_long
+    lib.hevc_enc_pos.argtypes = [ctypes.c_void_p]
+    lib.hevc_enc_end_flag.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.hevc_enc_segment_cut.restype = ctypes.c_long
+    lib.hevc_enc_segment_cut.argtypes = [ctypes.c_void_p]
     i16null = ctypes.POINTER(ctypes.c_int16)
     pp16 = ctypes.POINTER(ctypes.POINTER(ctypes.c_int16))
     pp32 = ctypes.POINTER(ctypes.POINTER(ctypes.c_int32))
@@ -158,6 +163,13 @@ def get_lib() -> ctypes.CDLL:
         [ctypes.c_void_p, ctypes.c_int, i32p, i32p]
         + [ctypes.c_int] * 3 + [ctypes.c_long] + stacked)
     lib.hevc_enc_frame_order_budget.restype = ctypes.c_long
+    lib.hevc_enc_frame_order_segments.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int, i32p, i32p]
+        + [ctypes.c_int] * 4 + [ctypes.c_long,
+           np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+           np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+        + stacked)
+    lib.hevc_enc_frame_order_segments.restype = ctypes.c_long
     lib.hevc_sao_estimate.argtypes = (
         [i16p] * 6 + [ctypes.c_int] * 4 + [ctypes.c_double,
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
@@ -314,7 +326,21 @@ class SliceDataEncoder:
             np.ascontiguousarray(d.mv_x1),
             np.ascontiguousarray(d.mv_y1),
             np.ascontiguousarray(d.sao),
-            1 if end_of_slice else 0)
+            int(end_of_slice))  # -1 defers the end_of_slice_segment_flag
+
+    def byte_pos(self) -> int:
+        """Flushed payload bytes so far (dependent-segment budgeting)."""
+        return int(self._lib.hevc_enc_pos(self._h))
+
+    def end_flag(self, flag: int) -> None:
+        """Write a deferred end_of_slice_segment_flag (after
+        encode_ctu(..., -1))."""
+        self._lib.hevc_enc_end_flag(self._h, 1 if flag else 0)
+
+    def segment_cut(self) -> int:
+        """Close the current dependent slice segment (align + engine
+        restart, contexts retained); returns the boundary byte offset."""
+        return int(self._lib.hevc_enc_segment_cut(self._h))
 
     def publish_cu(self, x0, y0, log2, is_intra, skip=0, mv=(0, 0),
                    ref_idx=0, mv1=(0, 0), ref_idx1=-1):
@@ -735,6 +761,24 @@ def entropy_encode_frame_order(senc, order, ctus_w, fd):
     senc._lib.hevc_enc_frame_order(
         senc._h, len(order), cxs, cys, ctus_w, fd.ctu_size,
         fd.chroma_format, *fd._args())
+
+
+def entropy_encode_frame_order_segments(senc, order, ctus_w, fd,
+                                        seg_mode, seg_arg):
+    """Dependent slice segments: encode `order` as one slice cut into
+    segments (mode 1: seg_arg CTUs, mode 2: seg_arg bytes). Returns
+    (ctus_per_segment, byte_marks) — byte_marks[i] is the payload offset
+    where segment i ends (-1 marks the final segment, which ends at
+    get_bytes())."""
+    cxs = np.ascontiguousarray([c[0] for c in order], np.int32)
+    cys = np.ascontiguousarray([c[1] for c in order], np.int32)
+    seg_ctus = np.zeros(len(order) + 1, np.int32)
+    seg_marks = np.zeros(len(order) + 1, np.int64)
+    n = int(senc._lib.hevc_enc_frame_order_segments(
+        senc._h, len(order), cxs, cys, ctus_w, fd.ctu_size,
+        fd.chroma_format, seg_mode, seg_arg, seg_ctus, seg_marks,
+        *fd._args()))
+    return [int(x) for x in seg_ctus[:n]], [int(x) for x in seg_marks[:n]]
 
 
 def entropy_encode_frame_order_budget(senc, order, ctus_w, fd,

@@ -277,12 +277,28 @@ def write_slice_header(sh: SliceHeader, sps: SPS, pps: PPS) -> bytes:
         bw.flag(sh.no_output_of_prior_pics_flag)
     bw.ue(sh.slice_pic_parameter_set_id)
     if not sh.first_slice_segment_in_pic_flag:
+        if pps.dependent_slice_segments_enabled_flag:
+            bw.flag(sh.dependent_slice_segment_flag)
         # slice_segment_address, u(ceil(log2(PicSizeInCtbsY)))
         ctu = sps.ctu_size
         ctus = (-(-sps.pic_width_in_luma_samples // ctu)
                 * -(-sps.pic_height_in_luma_samples // ctu))
         bw.u(sh.slice_segment_address,
              max(1, math.ceil(math.log2(ctus))))
+    if sh.dependent_slice_segment_flag:
+        # short header (spec 7.3.6.1): entry points / alignment only
+        if (pps.tiles_enabled_flag
+                or pps.entropy_coding_sync_enabled_flag):
+            offs = sh.entry_point_offsets
+            bw.ue(len(offs))
+            if offs:
+                maxlen = max(o.bit_length() for o in offs)
+                bw.ue(maxlen - 1)
+                for o in offs:
+                    bw.u(o - 1, maxlen)
+        bw.u(1, 1)
+        bw.align_zero()
+        return bw.bytes()
     bw.ue(int(sh.slice_type))
     if pps.output_flag_present_flag:
         bw.flag(1)

@@ -137,6 +137,19 @@ long hevc_enc_get(void* h, uint8_t* out, long cap) {
   if (out && (long)b.size() <= cap) std::memcpy(out, b.data(), b.size());
   return (long)b.size();
 }
+// flushed-payload byte count so far (dependent-segment byte budgeting)
+long hevc_enc_pos(void* h) {
+  return (long)((SliceEncoder*)h)->bytes().size();
+}
+// deferred end_of_slice_segment_flag (paired with encode_ctu(..., -1))
+void hevc_enc_end_flag(void* h, int flag) {
+  ((SliceEncoder*)h)->write_end_flag(flag);
+}
+// close a dependent slice segment: align, restart the engine with the
+// context models retained; returns the segment boundary byte offset
+long hevc_enc_segment_cut(void* h) {
+  return (long)((SliceEncoder*)h)->segment_cut();
+}
 
 // ---- slice-data decoder ----------------------------------------------------
 void* hevc_dec_create(const SliceParams* sp, const uint8_t* data, long size) {
@@ -385,6 +398,49 @@ extern "C" long hevc_enc_frame_order_budget(
     if (last) break;
   }
   return coded;
+}
+
+// Dependent slice segments (SliceSegmentMode 1: max CTUs per segment,
+// 2: max bytes per segment — reference TAppEncCfg.cpp:852): encode the
+// whole slice in one pass, terminating and cutting a segment whenever
+// the limit trips; the CABAC contexts continue across segments. Fills
+// seg_ctus[] (CTUs per segment) and seg_marks[] (cumulative payload
+// byte offset at each cut; the final segment ends at finish_rbsp).
+// Returns the segment count.
+extern "C" long hevc_enc_frame_order_segments(
+    void* senc, int nctu, const int32_t* cxs, const int32_t* cys,
+    int ctus_w, int ctu_size, int cfmt, int seg_mode, long seg_arg,
+    int32_t* seg_ctus, int64_t* seg_marks, STACKED_ARGS) {
+  STACKED_INIT(ctu_size, cfmt);
+  SliceEncoder* e = (SliceEncoder*)senc;
+  long nseg = 0;
+  long seg_start_bytes = 0;
+  int in_seg = 0;
+  for (int i = 0; i < nctu; ++i) {
+    MutCtuData md = sm.at((size_t)cys[i] * ctus_w + cxs[i]);
+    CtuData d{md.cu_depth, md.nxn_flag, md.luma_mode, md.chroma_mode,
+              md.tu_depth, md.coeff_y, md.coeff_cb, md.coeff_cr,
+              md.pred_mode, md.skip_flag, md.merge_flag, md.merge_idx,
+              md.mvp_flag, md.ref_idx, md.mvd_x, md.mvd_y, md.mv_x,
+              md.mv_y, md.mvp_flag1, md.ref_idx1, md.mvd_x1, md.mvd_y1,
+              md.mv_x1, md.mv_y1, md.sao, md.rext, md.ccp_cb, md.ccp_cr};
+    e->encode_ctu(cxs[i], cys[i], d, -1);
+    ++in_seg;
+    int last = i == nctu - 1;
+    int end = last ||
+              (seg_mode == 1 && in_seg >= seg_arg) ||
+              (seg_mode == 2 &&
+               (long)e->bytes().size() - seg_start_bytes >= seg_arg);
+    e->write_end_flag(end);
+    if (end) {
+      seg_ctus[nseg] = in_seg;
+      seg_marks[nseg] = last ? -1 : (int64_t)e->segment_cut();
+      ++nseg;
+      seg_start_bytes = (long)e->bytes().size();
+      in_seg = 0;
+    }
+  }
+  return nseg;
 }
 
 extern "C" void hevc_enc_frame(void* senc, int ctus_w, int ctus_h,

@@ -320,6 +320,19 @@ class SliceEncoder {
     }
     return bw_.bytes;
   }
+  // Dependent slice segments (spec 7.3.6.1): after encode_terminate(1)
+  // flushed the engine for the segment's last CTU, align the payload
+  // (the flush's final '1' is the rbsp_stop_one_bit) and restart the
+  // arithmetic engine KEEPING the context models — the byte offset
+  // returned marks the segment boundary within bytes().
+  size_t segment_cut() {
+    bw_.put_bit(1);
+    while (!bw_.aligned()) bw_.put_bit(0);
+    sub_sizes_.push_back((int32_t)(bw_.bytes.size() - sub_start_));
+    sub_start_ = bw_.bytes.size();
+    cabac_.start();
+    return bw_.bytes.size();
+  }
   PicMaps& maps() { return maps_; }
   // slice-init context states (RD bit estimation; the engine snapshots
   // these for rdoq_quant / counter-based mode costs)

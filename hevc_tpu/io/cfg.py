@@ -139,6 +139,8 @@ _OPTION_TABLE = {
     # validated surface (rejected by validate() outside supported values)
     "SliceMode": ("slice_mode", int),
     "SliceArgument": ("slice_argument", int),
+    "SliceSegmentMode": ("slice_segment_mode", int),
+    "SliceSegmentArgument": ("slice_segment_argument", int),
     "ScalingListFile": ("scaling_list_file", str),
     "Tier": ("tier", str),
     "MaxNumMergeCand": ("max_merge_cand", int),
@@ -260,6 +262,8 @@ class EncoderConfig:
     _ignored_kernel_path: str = ""
     slice_mode: int = 0
     slice_argument: int = 0
+    slice_segment_mode: int = 0
+    slice_segment_argument: int = 0
     scaling_list_file: str = ""
     tier: str = "main"
     max_merge_cand: int = 5
@@ -428,7 +432,29 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
     confirm(cfg.qp < 0 or cfg.qp > 51, "QP out of [0, 51]")
     confirm(cfg.search_range < 1 or cfg.search_range > 64,
             "SearchRange out of [1, 64]")
-    confirm(cfg.slice_mode not in (0, 1, 2),
+    confirm(cfg.slice_segment_mode not in (0, 1, 2),
+            f"SliceSegmentMode {cfg.slice_segment_mode} unsupported "
+            "(0 off, 1 = max CTUs, 2 = max bytes per dependent segment)")
+    confirm(cfg.slice_segment_mode in (1, 2) and
+            cfg.slice_segment_argument < 1,
+            "SliceSegmentMode requires SliceSegmentArgument >= 1")
+    confirm(cfg.slice_segment_mode in (1, 2) and
+            (cfg.slice_mode != 0 or bool(cfg.wpp)
+             or cfg.tile_cols_minus1 > 0 or cfg.tile_rows_minus1 > 0
+             or bool(cfg.adaptive_qp)),
+            "SliceSegmentMode with SliceMode/WPP/tiles/AdaptiveQP "
+            "unsupported")
+    confirm(cfg.slice_segment_mode in (1, 2)
+            and cfg.chroma_format != 420,
+            "SliceSegmentMode requires 4:2:0 (native entropy path)")
+    confirm(cfg.slice_mode == 3 and
+            cfg.tile_cols_minus1 <= 0 and cfg.tile_rows_minus1 <= 0,
+            "SliceMode 3 (tiles per slice) requires tiles")
+    confirm(cfg.slice_mode == 3 and cfg.slice_argument < 1,
+            "SliceMode 3 requires SliceArgument >= 1")
+    confirm(cfg.slice_mode == 3 and bool(cfg.adaptive_qp),
+            "SliceMode with AdaptiveQP unsupported")
+    confirm(cfg.slice_mode not in (0, 1, 2, 3),
             f"SliceMode {cfg.slice_mode} unsupported (0 = one slice per "
             "picture, 1 = SliceArgument CTUs per slice, 2 = SliceArgument"
             " bytes per slice)")

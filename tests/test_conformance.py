@@ -289,6 +289,43 @@ def test_rext_422_conformance(tmp_path, qp, extra):
     assert own.read_bytes() == dec.read_bytes()
 
 
+@pytest.mark.parametrize("extra,label", [
+    (["--SliceSegmentMode=1", "--SliceSegmentArgument=9"], "seg-ctus"),
+    (["--SliceSegmentMode=2", "--SliceSegmentArgument=800"], "seg-bytes"),
+    (["--UniformSpacingIdc=1", "--NumTileColumnsMinus1=1",
+      "--NumTileRowsMinus1=1", "--SliceMode=3", "--SliceArgument=1"],
+     "tiles-per-slice"),
+    (["--UniformSpacingIdc=1", "--NumTileColumnsMinus1=1",
+      "--NumTileRowsMinus1=1", "--SliceMode=3", "--SliceArgument=2"],
+     "two-tiles-per-slice"),
+])
+def test_dependent_segments_and_slicemode3_encode(tmp_path, extra, label):
+    """Dependent slice segments (SliceSegmentMode 1/2: CABAC contexts
+    continue across segments, short dependent headers, native
+    segment_cut engine restart) and SliceMode 3 (slices of whole tiles,
+    in-slice tile entry points) produce conformant streams: HM decoder
+    hash OK + byte-identical recon; our decoder agrees (reference
+    TAppEncCfg.cpp:852, TypeDef.h:581)."""
+    w, h = (640, 360) if "Tile" in " ".join(extra) else (416, 240)
+    frames = 3
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-q", "30", "--IntraPeriod=-1", *extra,
+          "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+    assert rec.read_bytes() == dec.read_bytes()
+    from hevc_tpu.cli.decode import main as dmain
+    own = tmp_path / "own.yuv"
+    assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+    assert own.read_bytes() == dec.read_bytes()
+
+
 def test_explicit_scaling_list_encode_conformance(tmp_path):
     """ScalingList=2 with an HM-format ScalingListFile: the SPS carries
     DPCM-coded scaling_list_data and quant/dequant use the custom
