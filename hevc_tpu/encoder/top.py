@@ -324,6 +324,103 @@ class EncoderTop:
             np.ascontiguousarray(planes[0], np.int16),
             self.cfg.internal_bit_depth, _math.sqrt(lam)))
 
+    def _idr_scope_seis(self) -> List[bytes]:
+        """IRAP-scoped informative SEIs from the cfg surface (reference
+        SEIEncoder initSEIToneMappingInfo/FramePacking/... driven by the
+        TAppEncCfg.cpp:948-1060 options; emitted once per IDR like HM's
+        per-CVS messages)."""
+        from ..entropy import sei
+        cfg = self.cfg
+        out = []
+        if cfg.sei_tone_mapping:
+            out.append(sei.write_tone_mapping_sei(
+                tone_map_id=cfg.sei_tone_map_id,
+                cancel=cfg.sei_tone_map_cancel,
+                persistence=cfg.sei_tone_map_persistence,
+                coded_bit_depth=cfg.sei_tone_map_coded_depth,
+                target_bit_depth=cfg.sei_tone_map_target_depth,
+                model_id=cfg.sei_tone_map_model,
+                min_value=cfg.sei_tone_map_min,
+                max_value=cfg.sei_tone_map_max,
+                sigmoid_midpoint=cfg.sei_tone_map_sigmoid_mid,
+                sigmoid_width=cfg.sei_tone_map_sigmoid_width))
+        if cfg.sei_frame_packing:
+            out.append(sei.write_frame_packing_sei(
+                cfg.sei_frame_packing_type,
+                arrangement_id=cfg.sei_frame_packing_id,
+                quincunx=cfg.sei_frame_packing_quincunx,
+                content_interpretation=cfg.sei_frame_packing_interp))
+        if cfg.sei_segrect_frame_packing:
+            out.append(sei.write_segmented_rect_frame_packing_sei(
+                cancel=cfg.sei_segrect_frame_packing_cancel,
+                content_interpretation=cfg.sei_segrect_frame_packing_type,
+                persistence=cfg.sei_segrect_frame_packing_persist))
+        if cfg.sei_display_orientation:
+            out.append(sei.write_display_orientation_sei(
+                cfg.sei_display_orientation))
+        if cfg.sei_mastering_display:
+            pv = [int(v) for v in cfg.sei_mastering_primaries
+                  .replace(",", " ").split()]
+            prim = [tuple(pv[i:i + 2]) for i in (0, 2, 4)]
+            wp = tuple(int(v) for v in
+                       cfg.sei_mastering_white_point.replace(",", " ")
+                       .split())[:2]
+            out.append(sei.write_mastering_display_sei(
+                prim, wp, cfg.sei_mastering_max_lum,
+                cfg.sei_mastering_min_lum))
+        if cfg.sei_knee_function:
+            ip = [int(v) for v in cfg.sei_knee_input_points
+                  .replace(",", " ").split()]
+            op = [int(v) for v in cfg.sei_knee_output_points
+                  .replace(",", " ").split()]
+            out.append(sei.write_knee_function_sei(
+                knee_id=cfg.sei_knee_id, cancel=cfg.sei_knee_cancel,
+                persistence=cfg.sei_knee_persistence,
+                input_drange=cfg.sei_knee_input_drange,
+                input_disp_luminance=cfg.sei_knee_input_lum,
+                output_drange=cfg.sei_knee_output_drange,
+                output_disp_luminance=cfg.sei_knee_output_lum,
+                input_knee_points=ip, output_knee_points=op))
+        if cfg.sei_chroma_filter_hint:
+            out.append(sei.write_chroma_sampling_filter_hint_sei(
+                ver_idc=cfg.sei_chroma_filter_ver,
+                hor_idc=cfg.sei_chroma_filter_hor))
+        if cfg.sei_sop_description and cfg.gop_entries:
+            entries = []
+            for i, ge in enumerate(self.cfg.gop_entries[:self.gop_size]):
+                entries.append((1, getattr(ge, "temporal_id", 0), i,
+                                ge.poc - (self.cfg.gop_entries[i - 1].poc
+                                          if i else 0)))
+            if entries:
+                out.append(sei.write_sop_description_sei(0, entries))
+        return out
+
+    def _per_picture_seis(self, idr: bool) -> List[bytes]:
+        """Per-access-unit informative SEIs: temporal level-0 index,
+        region refresh (GDR), time code, no-display (reference
+        SEIEncoder xCreatePerPictureSEIMessages)."""
+        from ..entropy import sei
+        cfg = self.cfg
+        out = []
+        if cfg.sei_temporal_level0_index:
+            if idr:
+                self._rap_idx = getattr(self, "_rap_idx", -1) + 1
+                self._tl0_idx = 0
+            else:
+                self._tl0_idx = getattr(self, "_tl0_idx", 0) + 1
+            out.append(sei.write_temporal_level0_index_sei(
+                getattr(self, "_tl0_idx", 0),
+                getattr(self, "_rap_idx", 0)))
+        if cfg.sei_gdr_info and idr:
+            out.append(sei.write_region_refresh_sei(1))
+        if cfg.sei_time_code and cfg.sei_time_code_num_ts > 0:
+            out.append(sei.write_time_code_sei(
+                [{"ts_flag": 1} for _ in range(cfg.sei_time_code_num_ts)]))
+        # SEINoDisplay=N applies to temporal layers >= N (N > 0); this
+        # encoder writes every NAL at temporal id 0, so, like HM on a
+        # single-layer stream, the message is never emitted.
+        return out
+
     def encode_frame(self, planes: List[np.ndarray]) -> bytes:
         """Submit one frame in display order; returns the Annex-B bytes of
         every access unit that became encodable (possibly empty for RA)."""
@@ -968,6 +1065,10 @@ class EncoderTop:
                 sei.write_recovery_point_sei(0),
                 int(NalUnitType.PREFIX_SEI_NUT)))
             firsts.append(False)
+            for rb in self._idr_scope_seis():
+                nals.append(nal.rbsp_to_nal(
+                    rb, int(NalUnitType.PREFIX_SEI_NUT)))
+                firsts.append(False)
         hrd = getattr(self.sps, "hrd", None)
         if hrd is not None and idr and cfg.sei_buffering_period:
             # 1-second nominal initial CPB removal delay in 90 kHz units
@@ -993,6 +1094,10 @@ class EncoderTop:
                 int(NalUnitType.PREFIX_SEI_NUT)))
             firsts.append(False)
         self._au_count_since_bp += 1
+        for rb in self._per_picture_seis(idr):
+            nals.append(nal.rbsp_to_nal(
+                rb, int(NalUnitType.PREFIX_SEI_NUT)))
+            firsts.append(False)
         for si, rb in enumerate(slice_rbsps):
             nals.append(nal.rbsp_to_nal(rb, sh.nal_unit_type))
             firsts.append(not first_au and si == 0)

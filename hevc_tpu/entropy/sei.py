@@ -255,3 +255,331 @@ def write_buffering_period_sei(hrd, initial_cpb_removal_delay: int,
     p.u(initial_cpb_removal_offset, m)
     _payload_align(p)
     return _sei_rbsp(BUFFERING_PERIOD, p)
+
+
+# ---------------------------------------------------------------------------
+# Extended SEI payload set (spec D.2/D.3; reference SEIwrite.cpp 339-790,
+# TAppEncCfg.cpp:948-1060 option surface)
+# ---------------------------------------------------------------------------
+
+TONE_MAPPING_INFO = 23
+FRAME_PACKING = 45
+DISPLAY_ORIENTATION = 47
+SOP_DESCRIPTION = 128
+TEMPORAL_LEVEL0_INDEX = 131
+SCALABLE_NESTING = 133
+REGION_REFRESH_INFO = 134
+NO_DISPLAY = 135
+TIME_CODE = 136
+MASTERING_DISPLAY_COLOUR_VOLUME = 137
+SEGM_RECT_FRAME_PACKING = 138
+CHROMA_SAMPLING_FILTER_HINT = 140
+KNEE_FUNCTION_INFO = 141
+
+SEI_NAMES = {
+    0: "buffering_period", 1: "pic_timing", 2: "pan_scan_rect",
+    3: "filler_payload", 4: "user_data_registered_itu_t_t35",
+    5: "user_data_unregistered", 6: "recovery_point", 9: "scene_info",
+    15: "picture_snapshot", 16: "progressive_refinement_segment_start",
+    17: "progressive_refinement_segment_end",
+    19: "film_grain_characteristics", 22: "post_filter_hint",
+    23: "tone_mapping_info", 45: "frame_packing_arrangement",
+    47: "display_orientation", 128: "structure_of_pictures_info",
+    129: "active_parameter_sets", 130: "decoding_unit_info",
+    131: "temporal_sub_layer_zero_index", 132: "decoded_picture_hash",
+    133: "scalable_nesting", 134: "region_refresh_info",
+    135: "no_display", 136: "time_code",
+    137: "mastering_display_colour_volume",
+    138: "segmented_rect_frame_packing_arrangement",
+    139: "temporal_motion_constrained_tile_sets",
+    140: "chroma_resampling_filter_hint", 141: "knee_function_info",
+}
+
+
+def write_tone_mapping_sei(tone_map_id=0, cancel=0, persistence=1,
+                           coded_bit_depth=8, target_bit_depth=8,
+                           model_id=0, min_value=0, max_value=1023,
+                           sigmoid_midpoint=512, sigmoid_width=960,
+                           start_of_coded_interval=(),
+                           coded_pivots=(), target_pivots=(),
+                           camera_iso_speed_idc=0,
+                           camera_iso_speed_value=400,
+                           exposure_index_idc=0, exposure_index_value=400,
+                           exposure_comp_sign=0, exposure_comp_num=0,
+                           exposure_comp_denom_idc=2,
+                           ref_screen_luminance_white=350,
+                           extended_range_white_level=800,
+                           nominal_black_level=16, nominal_white_level=235,
+                           extended_white_level=300) -> bytes:
+    """tone_mapping_info SEI (spec D.2.15; reference
+    SEIwrite.cpp:383 xWriteSEIToneMappingInfo, all five model_id forms)."""
+    p = BitWriter()
+    p.ue(tone_map_id)
+    p.flag(cancel)
+    if not cancel:
+        p.flag(persistence)
+        p.u(coded_bit_depth, 8)
+        p.u(target_bit_depth, 8)
+        p.ue(model_id)
+        if model_id == 0:
+            p.u(min_value, 32)
+            p.u(max_value, 32)
+        elif model_id == 1:
+            p.u(sigmoid_midpoint, 32)
+            p.u(sigmoid_width, 32)
+        elif model_id == 2:
+            nbits = ((coded_bit_depth + 7) >> 3) << 3
+            vals = list(start_of_coded_interval)
+            vals += [0] * ((1 << target_bit_depth) - len(vals))
+            for v in vals[:1 << target_bit_depth]:
+                p.u(v, nbits)
+        elif model_id == 3:
+            cb = ((coded_bit_depth + 7) >> 3) << 3
+            tb = ((target_bit_depth + 7) >> 3) << 3
+            p.u(len(coded_pivots), 16)
+            for c, t in zip(coded_pivots, target_pivots):
+                p.u(c, cb)
+                p.u(t, tb)
+        elif model_id == 4:
+            p.u(camera_iso_speed_idc, 8)
+            if camera_iso_speed_idc == 255:
+                p.u(camera_iso_speed_value, 32)
+            p.u(exposure_index_idc, 8)
+            if exposure_index_idc == 255:
+                p.u(exposure_index_value, 32)
+            p.flag(exposure_comp_sign)
+            p.u(exposure_comp_num, 16)
+            p.u(exposure_comp_denom_idc, 16)
+            p.u(ref_screen_luminance_white, 32)
+            p.u(extended_range_white_level, 32)
+            p.u(nominal_black_level, 16)
+            p.u(nominal_white_level, 16)
+            p.u(extended_white_level, 16)
+        else:
+            raise ValueError(f"tone map model_id {model_id} undefined")
+    _payload_align(p)
+    return _sei_rbsp(TONE_MAPPING_INFO, p)
+
+
+def write_frame_packing_sei(arrangement_type, arrangement_id=0, cancel=0,
+                            quincunx=0, content_interpretation=0,
+                            persistence=1) -> bytes:
+    """frame_packing_arrangement SEI (spec D.2.16;
+    reference SEIwrite.cpp:339)."""
+    p = BitWriter()
+    p.ue(arrangement_id)
+    p.flag(cancel)
+    if not cancel:
+        p.u(arrangement_type, 7)
+        p.flag(quincunx)
+        p.u(content_interpretation, 6)
+        p.flag(0)                    # spatial_flipping_flag
+        p.flag(0)                    # frame0_flipped_flag
+        p.flag(0)                    # field_views_flag
+        p.flag(0)                    # current_frame_is_frame0_flag
+        p.flag(0)                    # frame0_self_contained_flag
+        p.flag(0)                    # frame1_self_contained_flag
+        if quincunx == 0 and arrangement_type != 5:
+            for _ in range(4):       # frame0/1 grid positions x/y
+                p.u(0, 4)
+        p.u(0, 8)                    # frame_packing_arrangement_reserved
+        p.flag(persistence)
+    p.flag(0)                        # upsampled_aspect_ratio
+    _payload_align(p)
+    return _sei_rbsp(FRAME_PACKING, p)
+
+
+def write_segmented_rect_frame_packing_sei(cancel=0,
+                                           content_interpretation=0,
+                                           persistence=0) -> bytes:
+    """segmented_rect_frame_packing_arrangement SEI (spec D.2.16.1;
+    reference SEIwrite.cpp:373)."""
+    p = BitWriter()
+    p.flag(cancel)
+    if not cancel:
+        p.u(content_interpretation, 2)
+        p.flag(persistence)
+    _payload_align(p)
+    return _sei_rbsp(SEGM_RECT_FRAME_PACKING, p)
+
+
+def write_display_orientation_sei(anticlockwise_rotation, hor_flip=0,
+                                  ver_flip=0, persistence=1) -> bytes:
+    """display_orientation SEI (spec D.2.17; reference
+    SEIwrite.cpp:459 / SEIEncoder initSEIDisplayOrientation —
+    TAppEncCfg SEIDisplayOrientation=N sets the rotation)."""
+    p = BitWriter()
+    p.flag(0)                        # display_orientation_cancel_flag
+    p.flag(hor_flip)
+    p.flag(ver_flip)
+    p.u(anticlockwise_rotation, 16)
+    p.flag(persistence)
+    _payload_align(p)
+    return _sei_rbsp(DISPLAY_ORIENTATION, p)
+
+
+def write_temporal_level0_index_sei(tl0_idx, rap_idx) -> bytes:
+    """temporal_sub_layer_zero_index SEI (spec D.2.22; reference
+    SEIwrite.cpp:470)."""
+    p = BitWriter()
+    p.u(tl0_idx & 0xFF, 8)
+    p.u(rap_idx & 0xFF, 8)
+    _payload_align(p)
+    return _sei_rbsp(TEMPORAL_LEVEL0_INDEX, p)
+
+
+def write_region_refresh_sei(gdr_foreground=1) -> bytes:
+    """region_refresh_info SEI (spec D.2.24; reference SEIwrite.cpp:476
+    xWriteSEIGradualDecodingRefreshInfo — SEIGradualDecodingRefreshInfo
+    cfg key)."""
+    p = BitWriter()
+    p.flag(gdr_foreground)
+    _payload_align(p)
+    return _sei_rbsp(REGION_REFRESH_INFO, p)
+
+
+def write_no_display_sei() -> bytes:
+    """no_display SEI (spec D.2.25; empty payload —
+    reference SEIwrite.cpp:481)."""
+    p = BitWriter()
+    _payload_align(p)
+    return _sei_rbsp(NO_DISPLAY, p)
+
+
+def write_sop_description_sei(sps_id, entries) -> bytes:
+    """structure_of_pictures_info SEI (spec D.2.26; reference
+    SEIwrite.cpp:484, SEIEncoder::initSEISOPDescription built from the
+    GOP RPS table). entries: [(vcl_nalu_type, temporal_id, st_rps_idx,
+    poc_delta), ...] — st_rps_idx is skipped for IDR entries and
+    poc_delta for the first."""
+    p = BitWriter()
+    p.ue(sps_id)
+    p.ue(len(entries) - 1)
+    for i, (nalu, tid, rps_idx, poc_delta) in enumerate(entries):
+        p.u(nalu, 6)
+        p.u(tid, 3)
+        if nalu not in (19, 20):     # not IDR
+            p.ue(rps_idx)
+        if i > 0:
+            p.se(poc_delta)
+    _payload_align(p)
+    return _sei_rbsp(SOP_DESCRIPTION, p)
+
+
+def write_time_code_sei(time_sets) -> bytes:
+    """time_code SEI (spec D.2.27; reference SEIwrite.cpp:602). Each
+    time set is a dict with the HM TComSEITimeSet fields (defaults 0):
+    ts_flag, field_based, counting_type, full_ts, discontinuity,
+    cnt_dropped, n_frames, seconds/minutes/hours (+ *_flag for the
+    short form), offset_len, offset."""
+    p = BitWriter()
+    p.u(len(time_sets), 2)
+    for ts in time_sets:
+        g = ts.get
+        p.flag(g("ts_flag", 1))
+        if g("ts_flag", 1):
+            p.flag(g("field_based", 0))
+            p.u(g("counting_type", 0), 5)
+            full = g("full_ts", 0)
+            p.flag(full)
+            p.flag(g("discontinuity", 0))
+            p.flag(g("cnt_dropped", 0))
+            p.u(g("n_frames", 0), 9)
+            if full:
+                p.u(g("seconds", 0), 6)
+                p.u(g("minutes", 0), 6)
+                p.u(g("hours", 0), 5)
+            else:
+                p.flag(g("seconds_flag", 0))
+                if g("seconds_flag", 0):
+                    p.u(g("seconds", 0), 6)
+                    p.flag(g("minutes_flag", 0))
+                    if g("minutes_flag", 0):
+                        p.u(g("minutes", 0), 6)
+                        p.flag(g("hours_flag", 0))
+                        if g("hours_flag", 0):
+                            p.u(g("hours", 0), 5)
+            olen = g("offset_len", 0)
+            p.u(olen, 5)
+            if olen > 0:
+                v = g("offset", 0)
+                if v < 0:            # two's complement (SEIwrite.cpp:645)
+                    v = ((~v + 1) | (1 << (olen - 1))) & ((1 << olen) - 1)
+                p.u(v, olen)
+    _payload_align(p)
+    return _sei_rbsp(TIME_CODE, p)
+
+
+def write_mastering_display_sei(primaries, white_point, max_luminance,
+                                min_luminance) -> bytes:
+    """mastering_display_colour_volume SEI (spec D.2.28; reference
+    SEIwrite.cpp:760). primaries: 3 (x, y) pairs in 1/50000 units;
+    white_point: (x, y); luminances in 1/10000 cd/m2."""
+    p = BitWriter()
+    for (x, y) in primaries:
+        p.u(x, 16)
+        p.u(y, 16)
+    p.u(white_point[0], 16)
+    p.u(white_point[1], 16)
+    p.u(max_luminance, 32)
+    p.u(min_luminance, 32)
+    _payload_align(p)
+    return _sei_rbsp(MASTERING_DISPLAY_COLOUR_VOLUME, p)
+
+
+def write_knee_function_sei(knee_id=0, cancel=0, persistence=1,
+                            input_drange=1000, input_disp_luminance=100,
+                            output_drange=4000, output_disp_luminance=800,
+                            input_knee_points=(), output_knee_points=()) \
+        -> bytes:
+    """knee_function_info SEI (spec D.2.32; reference SEIwrite.cpp:739)."""
+    p = BitWriter()
+    p.ue(knee_id)
+    p.flag(cancel)
+    if not cancel:
+        p.flag(persistence)
+        p.u(input_drange, 32)
+        p.u(input_disp_luminance, 32)
+        p.u(output_drange, 32)
+        p.u(output_disp_luminance, 32)
+        p.ue(len(input_knee_points) - 1)
+        for i, o in zip(input_knee_points, output_knee_points):
+            p.u(i, 10)
+            p.u(o, 10)
+    _payload_align(p)
+    return _sei_rbsp(KNEE_FUNCTION_INFO, p)
+
+
+def write_chroma_sampling_filter_hint_sei(ver_idc=2, hor_idc=2,
+                                          ver_filtering_process=1) \
+        -> bytes:
+    """chroma_resampling_filter_hint SEI (spec D.2.30; reference
+    SEIwrite.cpp:657). idc 1 (user-defined coefficient tables) is not
+    emitted — HM hardcodes a sample table; 0/2 cover the cfg surface."""
+    assert ver_idc != 1 and hor_idc != 1, \
+        "user-defined chroma filter coefficients not supported"
+    p = BitWriter()
+    p.u(ver_idc, 8)
+    p.u(hor_idc, 8)
+    p.flag(ver_filtering_process)
+    _payload_align(p)
+    return _sei_rbsp(CHROMA_SAMPLING_FILTER_HINT, p)
+
+
+def write_scalable_nesting_sei(nested_sei_rbsps) -> bytes:
+    """scalable_nesting SEI (spec D.2.23; reference SEIwrite.cpp:504):
+    the default all-layers form wrapping already-coded SEI payloads
+    (each given as the raw payload stream of one SEI message, i.e. a
+    full sei_message() without the NAL wrapper)."""
+    p = BitWriter()
+    p.flag(0)                        # bitstream_subset_flag
+    p.flag(0)                        # nesting_op_flag
+    p.flag(1)                        # all_layers_flag
+    while p.bit_count % 8:
+        p.flag(0)                    # nesting_zero_bit
+    for rbsp in nested_sei_rbsps:
+        # strip the rbsp_trailing byte of the nested message
+        for b in rbsp[:-1] if rbsp.endswith(b"\x80") else rbsp:
+            p.u(b, 8)
+    _payload_align(p)
+    return _sei_rbsp(SCALABLE_NESTING, p)

@@ -86,6 +86,58 @@ _OPTION_TABLE = {
     "SEIDecodedPictureHash": ("hash_sei_type", int),
     "SEIBufferingPeriod": ("sei_buffering_period", int),
     "SEIPictureTiming": ("sei_pic_timing", int),
+    # extended SEI payload surface (reference TAppEncCfg.cpp:948-1060)
+    "SEIToneMappingInfo": ("sei_tone_mapping", int),
+    "SEIToneMapId": ("sei_tone_map_id", int),
+    "SEIToneMapCancelFlag": ("sei_tone_map_cancel", int),
+    "SEIToneMapPersistenceFlag": ("sei_tone_map_persistence", int),
+    "SEIToneMapCodedDataBitDepth": ("sei_tone_map_coded_depth", int),
+    "SEIToneMapTargetBitDepth": ("sei_tone_map_target_depth", int),
+    "SEIToneMapModelId": ("sei_tone_map_model", int),
+    "SEIToneMapMinValue": ("sei_tone_map_min", int),
+    "SEIToneMapMaxValue": ("sei_tone_map_max", int),
+    "SEIToneMapSigmoidMidpoint": ("sei_tone_map_sigmoid_mid", int),
+    "SEIToneMapSigmoidWidth": ("sei_tone_map_sigmoid_width", int),
+    "SEIFramePacking": ("sei_frame_packing", int),
+    "SEIFramePackingType": ("sei_frame_packing_type", int),
+    "SEIFramePackingId": ("sei_frame_packing_id", int),
+    "SEIFramePackingQuincunx": ("sei_frame_packing_quincunx", int),
+    "SEIFramePackingInterpretation": ("sei_frame_packing_interp", int),
+    "SEISegmentedRectFramePacking": ("sei_segrect_frame_packing", int),
+    "SEISegmentedRectFramePackingCancel":
+        ("sei_segrect_frame_packing_cancel", int),
+    "SEISegmentedRectFramePackingType":
+        ("sei_segrect_frame_packing_type", int),
+    "SEISegmentedRectFramePackingPersistence":
+        ("sei_segrect_frame_packing_persist", int),
+    "SEIDisplayOrientation": ("sei_display_orientation", int),
+    "SEITemporalLevel0Index": ("sei_temporal_level0_index", int),
+    "SEIGradualDecodingRefreshInfo": ("sei_gdr_info", int),
+    "SEINoDisplay": ("sei_no_display", int),
+    "SEISOPDescription": ("sei_sop_description", int),
+    "SEITimeCodeEnabled": ("sei_time_code", int),
+    "SEITimeCodeNumClockTs": ("sei_time_code_num_ts", int),
+    "SEIMasteringDisplayColourVolume": ("sei_mastering_display", int),
+    "SEIMasteringDisplayMaxLuminance": ("sei_mastering_max_lum", int),
+    "SEIMasteringDisplayMinLuminance": ("sei_mastering_min_lum", int),
+    "SEIMasteringDisplayPrimaries": ("sei_mastering_primaries", str),
+    "SEIMasteringDisplayWhitePoint": ("sei_mastering_white_point", str),
+    "SEIKneeFunctionInfo": ("sei_knee_function", int),
+    "SEIKneeFunctionId": ("sei_knee_id", int),
+    "SEIKneeFunctionCancelFlag": ("sei_knee_cancel", int),
+    "SEIKneeFunctionPersistenceFlag": ("sei_knee_persistence", int),
+    "SEIKneeFunctionInputDrange": ("sei_knee_input_drange", int),
+    "SEIKneeFunctionInputDispLuminance": ("sei_knee_input_lum", int),
+    "SEIKneeFunctionOutputDrange": ("sei_knee_output_drange", int),
+    "SEIKneeFunctionOutputDispLuminance": ("sei_knee_output_lum", int),
+    "SEIKneeFunctionNumKneePointsMinus1": ("sei_knee_points_minus1", int),
+    "SEIKneeFunctionInputKneePointValue": ("sei_knee_input_points", str),
+    "SEIKneeFunctionOutputKneePointValue": ("sei_knee_output_points", str),
+    "SEIChromaSamplingFilterHint": ("sei_chroma_filter_hint", int),
+    "SEIChromaSamplingHorizontalFilterType":
+        ("sei_chroma_filter_hor", int),
+    "SEIChromaSamplingVerticalFilterType":
+        ("sei_chroma_filter_ver", int),
     "GOPSize": ("gop_size", int),
     "QP": ("qp", int),
     "SearchRange": ("search_range", int),
@@ -223,6 +275,53 @@ class EncoderConfig:
     hash_sei_type: int = 1   # 1=MD5 2=CRC 3=checksum (0 disables)
     sei_buffering_period: int = 0
     sei_pic_timing: int = 0
+    # extended SEI payload surface (reference TAppEncCfg.cpp:948-1060)
+    sei_tone_mapping: int = 0
+    sei_tone_map_id: int = 0
+    sei_tone_map_cancel: int = 0
+    sei_tone_map_persistence: int = 1
+    sei_tone_map_coded_depth: int = 8
+    sei_tone_map_target_depth: int = 8
+    sei_tone_map_model: int = 0
+    sei_tone_map_min: int = 0
+    sei_tone_map_max: int = 1023
+    sei_tone_map_sigmoid_mid: int = 512
+    sei_tone_map_sigmoid_width: int = 960
+    sei_frame_packing: int = 0
+    sei_frame_packing_type: int = 0
+    sei_frame_packing_id: int = 0
+    sei_frame_packing_quincunx: int = 0
+    sei_frame_packing_interp: int = 0
+    sei_segrect_frame_packing: int = 0
+    sei_segrect_frame_packing_cancel: int = 0
+    sei_segrect_frame_packing_type: int = 0
+    sei_segrect_frame_packing_persist: int = 0
+    sei_display_orientation: int = 0
+    sei_temporal_level0_index: int = 0
+    sei_gdr_info: int = 0
+    sei_no_display: int = 0
+    sei_sop_description: int = 0
+    sei_time_code: int = 0
+    sei_time_code_num_ts: int = 0
+    sei_mastering_display: int = 0
+    sei_mastering_max_lum: int = 10000
+    sei_mastering_min_lum: int = 0
+    sei_mastering_primaries: str = "0,50000 0,0 50000,0"
+    sei_mastering_white_point: str = "16667,16667"
+    sei_knee_function: int = 0
+    sei_knee_id: int = 0
+    sei_knee_cancel: int = 0
+    sei_knee_persistence: int = 1
+    sei_knee_input_drange: int = 1000
+    sei_knee_input_lum: int = 100
+    sei_knee_output_drange: int = 4000
+    sei_knee_output_lum: int = 800
+    sei_knee_points_minus1: int = 2
+    sei_knee_input_points: str = "600 800 900"
+    sei_knee_output_points: str = "100 250 450"
+    sei_chroma_filter_hint: int = 0
+    sei_chroma_filter_hor: int = 2
+    sei_chroma_filter_ver: int = 2
     gop_size: int = 1
     qp: int = 32
     search_range: int = 64
@@ -432,6 +531,14 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
     confirm(cfg.qp < 0 or cfg.qp > 51, "QP out of [0, 51]")
     confirm(cfg.search_range < 1 or cfg.search_range > 64,
             "SearchRange out of [1, 64]")
+    confirm(bool(cfg.sei_tone_mapping)
+            and cfg.sei_tone_map_model in (2, 3),
+            "SEIToneMapModelId 2/3 (table modes) unsupported "
+            "(0, 1 and 4 implemented)")
+    confirm(bool(cfg.sei_chroma_filter_hint)
+            and 1 in (cfg.sei_chroma_filter_hor, cfg.sei_chroma_filter_ver),
+            "SEIChromaSampling filter type 1 (user-defined coefficients) "
+            "unsupported")
     confirm(cfg.slice_segment_mode not in (0, 1, 2),
             f"SliceSegmentMode {cfg.slice_segment_mode} unsupported "
             "(0 off, 1 = max CTUs, 2 = max bytes per dependent segment)")
@@ -469,7 +576,7 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
             "SliceMode with AdaptiveQP unsupported")
     confirm(cfg.scaling_list not in (0, 1, 2),
             "ScalingList must be 0 (off), 1 (default) or 2 (file)")
-    confirm(cfg.scaling_list == 2 and not cfg.scaling_list_file,
+    confirm(cfg.scaling_list == 2 and not cfg.scaling_list_file.strip(),
             "ScalingList=2 requires ScalingListFile")
     confirm(cfg.scaling_list == 2 and cfg.intra_period != 1,
             "explicit scaling lists (ScalingList=2) are all-intra only")

@@ -30,7 +30,8 @@ def test_ctc_cfgs_validate(name):
     ["--SliceMode=1", "--WaveFrontSynchro=1"],
     ["--MaxCUWidth=32", "--MaxCUHeight=32"],
     ["--InternalBitDepth=14"],
-    ["--ScalingList=2"],
+    ["--ScalingList=3"],
+    ["--ScalingList=2", "--ScalingListFile= "],
     ["--MaxCuDQPDepth=1"],
     ["--MaxNumMergeCand=3"],
     ["--CbQpOffset=1"],

@@ -326,6 +326,51 @@ def test_dependent_segments_and_slicemode3_encode(tmp_path, extra, label):
     assert own.read_bytes() == dec.read_bytes()
 
 
+def test_extended_sei_payloads(tmp_path):
+    """The extended SEI surface (tone mapping, frame packing, segmented
+    rect frame packing, display orientation, mastering display colour
+    volume, knee function, chroma resampling hint, temporal level-0
+    index, region refresh, time code — reference TAppEncCfg.cpp:948-1060
+    and SEIwrite.cpp payload writers) emits well-formed messages: the
+    stream stays HM-decodable with hash OK and every requested payload
+    type appears."""
+    w, h, frames = 128, 80, 3
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-q", "32", "--IntraPeriod=-1",
+          "--SEIToneMappingInfo=1", "--SEIFramePacking=1",
+          "--SEIFramePackingType=3", "--SEIDisplayOrientation=90",
+          "--SEIMasteringDisplayColourVolume=1", "--SEIKneeFunctionInfo=1",
+          "--SEIChromaSamplingFilterHint=1", "--SEITemporalLevel0Index=1",
+          "--SEITimeCodeEnabled=1", "--SEITimeCodeNumClockTs=1",
+          "--SEISegmentedRectFramePacking=1",
+          "--SEIGradualDecodingRefreshInfo=1",
+          "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames
+    assert rec.read_bytes() == dec.read_bytes()
+    from hevc_tpu.entropy.nal import split_annexb, nal_to_rbsp
+    from hevc_tpu.entropy.sei import parse_sei_messages, SEI_NAMES
+    types = set()
+    for unit in split_annexb(bs.read_bytes()):
+        t, _tid, rbsp = nal_to_rbsp(bytes(unit))
+        if t in (39, 40):
+            for (pt, _b) in parse_sei_messages(bytes(rbsp)):
+                types.add(SEI_NAMES.get(pt, pt))
+    expected = {"tone_mapping_info", "frame_packing_arrangement",
+                "display_orientation", "mastering_display_colour_volume",
+                "knee_function_info", "chroma_resampling_filter_hint",
+                "temporal_sub_layer_zero_index", "time_code",
+                "segmented_rect_frame_packing_arrangement",
+                "region_refresh_info", "decoded_picture_hash"}
+    assert expected <= types, types
+
+
 def test_explicit_scaling_list_encode_conformance(tmp_path):
     """ScalingList=2 with an HM-format ScalingListFile: the SPS carries
     DPCM-coded scaling_list_data and quant/dequant use the custom
