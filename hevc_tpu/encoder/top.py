@@ -114,7 +114,8 @@ class EncoderTop:
             # format-range extensions (spec A.3.5): Main 4:4:4 family
             ptl = self.sps.ptl
             ptl.general_profile_idc = 4
-            ptl.general_max_12bit_constraint_flag = 1
+            ptl.general_max_12bit_constraint_flag = \
+                1 if cfg.internal_bit_depth <= 12 else 0
             ptl.general_max_10bit_constraint_flag = \
                 1 if cfg.internal_bit_depth <= 10 else 0
             ptl.general_max_8bit_constraint_flag = \

@@ -283,8 +283,12 @@ void mc_block(const int16_t* ref, int rw, int pad, int x, int y, int w,
   int nt = is_luma ? 8 : 4;
   int off = nt / 2 - 1;
   int maxv = (1 << bd) - 1;
-  int shift1 = bd - 8;
-  int shift_u = 14 - bd;
+  // headroom floor of 2 (reference TComInterpolationFilter
+  // std::max<Int>(2, IF_INTERNAL_PREC - bitDepth)): 14-bit video runs
+  // the MC intermediate at 16-bit precision
+  int hr = std::max(2, 14 - bd);
+  int shift1 = 6 - hr;
+  int shift_u = hr;
   int off_u = 1 << (shift_u - 1);
   int px = x + pad, py = y + pad;
   const int32_t* fh = is_luma ? kLumaFilters[fx] : kChromaFilters[fx];
@@ -365,7 +369,7 @@ void mc_predict_wp(const int16_t* ref, int rw, int pad, int mvx, int mvy,
   int32_t raw[64 * 64];
   mc_block(ref, rw, pad, x0 + ix, y0 + iy, w, h, fx, fy, bd, is_luma, true,
            raw);
-  int log2wd = denom + 14 - bd;
+  int log2wd = denom + std::max(2, 14 - bd);
   int maxv = (1 << bd) - 1;
   off <<= bd - 8;   // WpOffsetBdShift (spec 7.4.7.3 / 8.5.3.3.4.3)
   int64_t rnd = log2wd >= 1 ? (1ll << (log2wd - 1)) : 0;
@@ -395,7 +399,7 @@ void mc_predict_bi(const int16_t* r0, const int16_t* r1, int rw, int pad,
   };
   raw(r0, mv0x, mv0y, a);
   raw(r1, mv1x, mv1y, b);
-  int shift2 = 15 - bd;
+  int shift2 = std::max(2, 14 - bd) + 1;
   int off2 = 1 << (shift2 - 1);
   int maxv = (1 << bd) - 1;
   for (int i = 0; i < w * h; ++i) {

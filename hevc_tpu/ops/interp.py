@@ -71,8 +71,12 @@ def mc_block_np(ref: np.ndarray, pad: int, x: int, y: int, w: int, h: int,
     nt = LUMA_TAPS if is_luma else CHROMA_TAPS
     off = nt // 2 - 1               # taps cover [-off, nt-1-off]
     maxval = (1 << bit_depth) - 1
-    shift1 = bit_depth - 8          # horizontal stage
-    shift_u = 14 - bit_depth        # uni final shift
+    # headroom floor of 2 (spec 8.5.3.3.3.2 shift1 = Min(4, BitDepth-8);
+    # reference TComInterpolationFilter std::max<Int>(2, 14 - bitDepth)):
+    # at 14-bit the intermediate runs at 16-bit precision, not 14
+    hr = max(2, 14 - bit_depth)
+    shift1 = 6 - hr                 # first filter stage down-shift
+    shift_u = hr                    # uni final shift
     off_u = 1 << (shift_u - 1)
     px, py = x + pad, y + pad
     if frac_x == 0 and frac_y == 0:
@@ -131,7 +135,7 @@ def mc_predict_wp_np(padded_ref, pad, mv_qpel_x, mv_qpel_y, x0, y0, w, h,
     ix, fx, iy, fy = _mv_split(mv_qpel_x, mv_qpel_y, is_luma, chroma_shift)
     raw = mc_block_np(padded_ref, pad, x0 + ix, y0 + iy, w, h, fx, fy,
                       bit_depth, is_luma, raw14=True)
-    log2wd = denom + 14 - bit_depth
+    log2wd = denom + max(2, 14 - bit_depth)
     off = off << (bit_depth - 8)
     v = ((raw.astype(np.int64) * wgt + (1 << (log2wd - 1))) >> log2wd) + off
     return np.clip(v, 0, (1 << bit_depth) - 1).astype(np.int32)
@@ -145,7 +149,7 @@ def mc_predict_bi_np(padded0, padded1, pad, mv0, mv1, x0, y0, w, h,
         ix, fx, iy, fy = _mv_split(mv[0], mv[1], is_luma, chroma_shift)
         return mc_block_np(padded, pad, x0 + ix, y0 + iy, w, h, fx, fy,
                            bit_depth, is_luma, raw14=True)
-    shift2 = 15 - bit_depth
+    shift2 = max(2, 14 - bit_depth) + 1
     off2 = 1 << (shift2 - 1)
     v = (raw(padded0, mv0) + raw(padded1, mv1) + off2) >> shift2
     return np.clip(v, 0, (1 << bit_depth) - 1).astype(np.int32)

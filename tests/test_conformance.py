@@ -326,6 +326,66 @@ def test_dependent_segments_and_slicemode3_encode(tmp_path, extra, label):
     assert own.read_bytes() == dec.read_bytes()
 
 
+HBD_ORACLE = "/tmp/hm_oracle_hbd/bin/TAppDecoderStatic"
+
+
+@pytest.mark.skipif(not os.path.exists(HBD_ORACLE),
+                    reason="high-bit-depth HM oracle not built "
+                           "(tools/build_hbd_oracle.sh)")
+@pytest.mark.parametrize("cfg,label", [
+    ("encoder_intra_main_rext.cfg", "intra"),
+    ("encoder_lowdelay_main_rext.cfg", "ldb"),
+    ("encoder_randomaccess_main_rext.cfg", "ra"),
+])
+def test_14bit_conformance(tmp_path, cfg, label):
+    """14-bit internal depth (reference high-bit-depth build target,
+    TypeDef.h:244 RExt__HIGH_BIT_DEPTH_SUPPORT): the MC interpolation
+    headroom floors at 2 (TComInterpolationFilter max(2, 14-bitDepth) —
+    16-bit intermediates), bi averaging shifts by headroom+1. Verified
+    against an HM oracle built with high-bit-depth support: hash OK and
+    byte-identical recon; our decoder also reads HM's own 14-bit
+    streams."""
+    w, h, frames = 128, 80, 3
+    clip = tmp_path / "in14.yuv"
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_test_yuv import make_frame
+    with open(clip, "wb") as fh:
+        for t in range(frames):
+            for p in make_frame(w, h, t):
+                fh.write((np.asarray(p, np.uint16) << 6).tobytes())
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-c", f"/root/reference/cfg/{cfg}", "-i", str(clip),
+          "-wdt", str(w), "-hgt", str(h), "-f", str(frames), "-fr", "30",
+          "-q", "32", "--InputBitDepth=14", "--InternalBitDepth=14",
+          "--Profile=main-RExt", "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([HBD_ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+    assert rec.read_bytes() == dec.read_bytes()
+    from hevc_tpu.cli.decode import main as dmain
+    own = tmp_path / "own.yuv"
+    assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+    assert own.read_bytes() == dec.read_bytes()
+    # and general 14-bit HM streams decode byte-identically
+    hm_enc = "/tmp/hm_oracle_hbd/bin/TAppEncoderStatic"
+    hmbs = tmp_path / "hm.bin"
+    subprocess.run(
+        [hm_enc, "-c", f"/root/reference/cfg/{cfg}", "-i", str(clip),
+         "-wdt", str(w), "-hgt", str(h), "-f", str(frames), "-fr", "30",
+         "-q", "32", "--InputBitDepth=14", "--InternalBitDepth=14",
+         "--SEIDecodedPictureHash=1", "-b", str(hmbs),
+         "-o", str(tmp_path / "hr.yuv")], capture_output=True)
+    hmd = tmp_path / "hmd.yuv"
+    assert subprocess.run([HBD_ORACLE, "-b", str(hmbs), "-o", str(hmd)],
+                          capture_output=True).returncode == 0
+    own2 = tmp_path / "own2.yuv"
+    assert dmain(["-b", str(hmbs), "-o", str(own2)]) == 0
+    assert own2.read_bytes() == hmd.read_bytes()
+
+
 def test_extended_sei_payloads(tmp_path):
     """The extended SEI surface (tone mapping, frame packing, segmented
     rect frame packing, display orientation, mastering display colour
