@@ -334,6 +334,11 @@ class SliceHeader:
     wp_log2_denom: int = 6
     wp_weight: int = 64
     wp_offset: int = 0
+    # chroma weights for list 0 ref 0 (reference WeightPredAnalysis
+    # derives per-component weights; encoder signals ref 0's)
+    wp_chroma_flag: int = 0
+    wp_chroma_log2_denom: int = 6
+    wp_chroma: tuple = ((64, 0), (64, 0))   # (w, o) for Cb, Cr
     slice_type: SliceType = SliceType.I
     nal_unit_type: int = 19  # IDR_W_RADL
     poc: int = 0

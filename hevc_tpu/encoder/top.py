@@ -594,6 +594,14 @@ class EncoderTop:
         cfg = self.cfg
         is_intra = stype == SliceType.I
         is_b = stype == SliceType.B
+        if self.pps.weighted_pred_flag:
+            # whole-picture AC/DC of the ORIGINAL (reference
+            # xCalcACDCParamSlice stores these on the slice for later
+            # pictures' weight fits)
+            from .wp_analysis import calc_acdc
+            if not hasattr(self, "_wp_acdc"):
+                self._wp_acdc = {}
+            self._wp_acdc[cvs_poc] = calc_acdc(planes)
         # picture lambda per the reference's exact model (hierarchy-depth
         # multiplier + I-slice GOP scale, TEncSlice.cpp:335-371)
         pic_lam = hm_pic_lambda(slice_qp, self.gop_size or 1, cvs_poc,
@@ -662,27 +670,39 @@ class EncoderTop:
         else:
             l0_poc, l0_planes = ref_l0[0]
             if (self.pps.weighted_pred_flag and not is_b):
-                # WeightPredAnalysis-lite (reference WeightPredAnalysis.cpp
-                # xCalcACDCParamSlice:67 / xSelectWP:124): DC-ratio weight
-                # and offset, enabled only when it reduces plain SAD
-                oy = planes[0].astype(np.int64)
-                ry = l0_planes[0].astype(np.int64)
-                mo, mr = float(oy.mean()), float(ry.mean())
-                w = int(np.clip(round(64 * mo / max(mr, 1e-3)), 1, 127))
-                o = int(np.clip(round(mo - (w * mr) / 64.0), -128, 127))
-                sub_o, sub_r = oy[::4, ::4], ry[::4, ::4]
-                sad0 = int(np.abs(sub_o - sub_r).sum())
-                wp_pred = ((sub_r * w) >> 6) + o
-                sadw = int(np.abs(sub_o - wp_pred).sum())
-                if (w, o) != (64, 0) and sadw < sad0 * 0.99:
-                    sh.wp_luma_flag = 1
-                    sh.wp_weight = w
-                    sh.wp_offset = o
-                    # the pred_weight_table / engine carry one luma weight
-                    # (list 0, ref 0): restrict to a single active ref
-                    ref_l0 = ref_l0[:1]
-                    n_l0 = 1
-                    sh.num_ref_idx_active = [1, n_l1]
+                # WeightPredAnalysis (reference WeightPredAnalysis.cpp:
+                # whole-picture AC/DC fit per reference and component,
+                # iterative denom reduction, SAD-gated selection). The
+                # native engine applies one explicit weight set (list 0
+                # ref 0, luma + chroma); weights the analysis derives
+                # for other references are not signalled — those refs
+                # keep default weighting, and the active ref count is no
+                # longer restricted.
+                from .wp_analysis import analyse_wp, calc_acdc
+                cur_acdc = self._wp_acdc.get(cvs_poc) or calc_acdc(planes)
+                ref_acdcs, ref_recs = [], []
+                for (rp, rplanes) in ref_l0:
+                    ra = self._wp_acdc.get(rp)
+                    if ra is None:
+                        break
+                    ref_acdcs.append(ra)
+                    ref_recs.append(rplanes)
+                if len(ref_acdcs) == len(ref_l0):
+                    denom, tables = analyse_wp(
+                        cur_acdc, ref_acdcs, planes, ref_recs,
+                        self.sps.bit_depth_luma, len(ref_l0))
+                    if tables and tables[0] is not None:
+                        (wy, oy_), (wcb, ocb), (wcr, ocr) = tables[0]
+                        sh.wp_log2_denom = denom
+                        sh.wp_chroma_log2_denom = denom
+                        if (wy, oy_) != (1 << denom, 0):
+                            sh.wp_luma_flag = 1
+                            sh.wp_weight = wy
+                            sh.wp_offset = oy_
+                        if ((wcb, ocb) != (1 << denom, 0)
+                                or (wcr, ocr) != (1 << denom, 0)):
+                            sh.wp_chroma_flag = 1
+                            sh.wp_chroma = ((wcb, ocb), (wcr, ocr))
             sp = make_slice_params(
                 cfg.width, cfg.height, slice_qp, slice_type=int(stype),
                 ctu_size=self.sps.ctu_size,
@@ -725,15 +745,20 @@ class EncoderTop:
             sh.slice_temporal_mvp_enabled_flag = 1 if use_tmvp else 0
             sh.collocated_from_l0_flag = col_from_l0
             sp.col_from_l0 = col_from_l0
-            if sh.wp_luma_flag:
+            if sh.wp_luma_flag or sh.wp_chroma_flag:
                 sp.wp_on = 1
                 sp.wp_denom = sh.wp_log2_denom
-                sp.wp_w = sh.wp_weight
-                sp.wp_o = sh.wp_offset
-                sp.wp_cdenom = sh.wp_log2_denom
+                sp.wp_w = sh.wp_weight if sh.wp_luma_flag \
+                    else (1 << sh.wp_log2_denom)
+                sp.wp_o = sh.wp_offset if sh.wp_luma_flag else 0
+                sp.wp_cdenom = sh.wp_chroma_log2_denom
                 for j in range(2):
-                    sp.wp_cw[j] = 1 << sh.wp_log2_denom
-                    sp.wp_co[j] = 0
+                    if sh.wp_chroma_flag:
+                        sp.wp_cw[j] = sh.wp_chroma[j][0]
+                        sp.wp_co[j] = sh.wp_chroma[j][1]
+                    else:
+                        sp.wp_cw[j] = 1 << sh.wp_chroma_log2_denom
+                        sp.wp_co[j] = 0
             senc = SliceDataEncoder(sp)
             if sh.slice_temporal_mvp_enabled_flag:
                 from ..entropy.cabac import set_collocated

@@ -340,20 +340,30 @@ def write_slice_header(sh: SliceHeader, sps: SPS, pps: PPS) -> bytes:
             if sh.num_ref_idx_active[lidx] > 1:
                 bw.ue(sh.collocated_ref_idx)
         if (pps.weighted_pred_flag and sh.slice_type == SliceType.P):
-            # pred_weight_table (spec 7.3.6.3), luma-only weights, single
-            # list-0 reference; chroma keeps the default (identity) weights
+            # pred_weight_table (spec 7.3.6.3; reference TEncCavlc
+            # xCodePredWeightTable): explicit luma + chroma weights on
+            # list-0 ref 0, default weighting on further references
             bw.ue(sh.wp_log2_denom)             # luma_log2_weight_denom
+            cden = sh.wp_chroma_log2_denom
             if sps.chroma_format_idc != 0:
-                bw.se(0)                        # delta_chroma_log2_denom
-            for _ in range(sh.num_ref_idx_active[0]):
-                bw.flag(sh.wp_luma_flag)
+                bw.se(cden - sh.wp_log2_denom)  # delta_chroma_log2_denom
+            for r in range(sh.num_ref_idx_active[0]):
+                bw.flag(sh.wp_luma_flag if r == 0 else 0)
             if sps.chroma_format_idc != 0:
-                for _ in range(sh.num_ref_idx_active[0]):
-                    bw.flag(0)                  # chroma_weight_l0_flag
-            for _ in range(sh.num_ref_idx_active[0]):
-                if sh.wp_luma_flag:
+                for r in range(sh.num_ref_idx_active[0]):
+                    bw.flag(sh.wp_chroma_flag if r == 0 else 0)
+            for r in range(sh.num_ref_idx_active[0]):
+                if r == 0 and sh.wp_luma_flag:
                     bw.se(sh.wp_weight - (1 << sh.wp_log2_denom))
                     bw.se(sh.wp_offset)
+                if (sps.chroma_format_idc != 0 and r == 0
+                        and sh.wp_chroma_flag):
+                    for (cw, co) in sh.wp_chroma:
+                        bw.se(cw - (1 << cden))
+                        # delta_chroma_offset vs the DC-preserving
+                        # prediction (spec 7.4.7.3)
+                        pred = 128 - ((128 * cw) >> cden)
+                        bw.se(co - pred)
         bw.ue(sh.five_minus_max_num_merge_cand)
     bw.se(sh.slice_qp - 26 - pps.init_qp_minus26)
     if pps.pps_slice_chroma_qp_offsets_present_flag:

@@ -386,6 +386,56 @@ def test_14bit_conformance(tmp_path, cfg, label):
     assert own2.read_bytes() == hmd.read_bytes()
 
 
+def test_weighted_prediction_analysis_conformance(tmp_path):
+    """Full WeightPredAnalysis (reference WeightPredAnalysis.cpp:
+    whole-picture AC/DC fits per reference and component, denom
+    iteration, DTHRESH SAD gate): on fading content the P slices must
+    signal luma AND chroma weights for list-0 ref 0 (multi-ref lists
+    stay active, further refs keep default weighting) and the stream
+    must be HM-conformant."""
+    w, h, frames = 128, 80, 5
+    clip = tmp_path / "fade.yuv"
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_test_yuv import make_frame
+    with open(clip, "wb") as fh:
+        for t in range(frames):
+            g = 1.0 - 0.15 * t
+            for p in make_frame(w, h, 0):
+                arr = np.clip(np.asarray(p, np.float64) * g, 0, 255)
+                fh.write(arr.astype(np.uint8).tobytes())
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-c", "/root/reference/cfg/encoder_lowdelay_P_main.cfg",
+          "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-fr", "30", "-q", "32", "--WeightedPredP=1",
+          "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames
+    assert rec.read_bytes() == dec.read_bytes()
+    # the coded tables carry luma + chroma weights on ref 0
+    from hevc_tpu.entropy.nal import split_annexb, nal_to_rbsp
+    from hevc_tpu.decoder import headers as dh
+    sps = pps = None
+    wp_slices = 0
+    for unit in split_annexb(bs.read_bytes()):
+        t, _tid, rbsp = nal_to_rbsp(bytes(unit))
+        if t == 33:
+            sps = dh.parse_sps(bytes(rbsp))
+        elif t == 34:
+            pps = dh.parse_pps(bytes(rbsp))
+        elif t <= 21:
+            sh, _off = dh.parse_slice_header(bytes(rbsp), t, sps, pps)
+            if int(sh.slice_type) != 2 and sh.wp_tables[0]:
+                lw, cw = sh.wp_tables[0][0]
+                if lw is not None and cw is not None:
+                    wp_slices += 1
+                    assert lw[0] < (1 << sh.wp_log2_denom)  # fade: w < 1
+    assert wp_slices >= 3, "weights did not fire on fading content"
+
+
 def test_extended_sei_payloads(tmp_path):
     """The extended SEI surface (tone mapping, frame packing, segmented
     rect frame packing, display orientation, mastering display colour
