@@ -82,6 +82,20 @@ def main(argv=None) -> int:
                   f"{100 * r['intra4'] // n4:>5}% "
                   f"{100 * r.get('bi4', 0) // n4:>3}% {dh:>20} "
                   f"{amv:>6.1f} {r['coeff_y']:>6}")
+        # per-syntax-element bit breakdown (reference
+        # TComCodingStatistics / RExt__DECODER_DEBUG_BIT_STATISTICS)
+        from hevc_tpu.entropy.cabac import SYNTAX_STAT_NAMES
+        total = int(dec.syntax_bits.sum())
+        if total:
+            print(f"\n{'syntax element':<22} {'bits':>10} {'%':>6}")
+            order = sorted(range(len(SYNTAX_STAT_NAMES)),
+                           key=lambda i: -int(dec.syntax_bits[i]))
+            for i in order:
+                b = int(dec.syntax_bits[i])
+                if b:
+                    print(f"{SYNTAX_STAT_NAMES[i]:<22} {b:>10} "
+                          f"{100.0 * b / total:>5.1f}%")
+            print(f"{'total (slice data)':<22} {total:>10}")
     bad = sum(1 for s in dec.hash_status if s != "OK")
     print(f"decoded {n} frames in {dt:.2f}s; hash failures: {bad}")
     if wr:

@@ -43,6 +43,9 @@ class DecoderTop:
         self.collect_stats = collect_stats
         self.conceal = conceal
         self.stats: List[dict] = []   # per-picture analyser records
+        # per-syntax-element bit totals (reference TComCodingStatistics)
+        from ..entropy.cabac import SYNTAX_STAT_NAMES
+        self.syntax_bits = np.zeros(len(SYNTAX_STAT_NAMES), np.uint64)
         self.dpb: Dict[int, List[np.ndarray]] = {}    # poc -> recon planes
         self.dpb_lt: Dict[int, bool] = {}             # poc -> is long-term
         self.dpb_motion: Dict[int, dict] = {}         # poc -> motion field
@@ -275,6 +278,8 @@ class DecoderTop:
             sdec.reseat(slice_data)
         else:
             sdec = cabac.SliceDataDecoder(sp, slice_data)
+            if self.collect_stats:
+                sdec.enable_stats()
             self._pic["sdec"] = sdec
             self._pic["slice_start"] = sh.slice_segment_address
         if sh.slice_temporal_mvp_enabled_flag and \
@@ -390,6 +395,12 @@ class DecoderTop:
         assert start + n_done <= len(order)
         if start + n_done == len(order):
             assert eos == 1, "end_of_slice missing at final CTU"
+        if self.collect_stats:
+            cur = sdec.stat_bits()
+            prev = getattr(sdec, "_stats_taken", None)
+            self.syntax_bits = self.syntax_bits + (
+                cur if prev is None else cur - prev)
+            sdec._stats_taken = cur
         pic["slices"].append((sh, start, n_done))
         pic["bytes"] = pic.get("bytes", 0) + len(slice_data)
         pic["ref_l0"], pic["ref_l1"] = ref_pocs_l0[:nl0], ref_pocs_l1[:nl1]

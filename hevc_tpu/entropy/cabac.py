@@ -80,6 +80,11 @@ def get_lib() -> ctypes.CDLL:
     lib.hevc_dec_ctu_qps.argtypes = [ctypes.c_void_p, i8cp, i8cp]
     lib.hevc_dec_ctu_qp4.restype = ctypes.c_long
     lib.hevc_dec_ctu_qp4.argtypes = [ctypes.c_void_p, i8cp]
+    lib.hevc_dec_enable_stats.argtypes = [ctypes.c_void_p]
+    lib.hevc_dec_stat_bits.restype = ctypes.c_long
+    lib.hevc_dec_stat_bits.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")]
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
@@ -386,6 +391,18 @@ def _encoder_substreams(senc):
     return [int(x) for x in out[:n]]
 
 
+# per-syntax-element bit statistic categories (must match the native
+# StatCat enum; reference TComCodingStatistics element taxonomy)
+SYNTAX_STAT_NAMES = [
+    "split_cu_flag", "cu_skip_flag", "merge_flag", "merge_idx",
+    "part_mode", "pred_mode_flag", "intra_luma_mode", "intra_chroma_mode",
+    "inter_pred_idc", "ref_idx", "mvd", "mvp_idx", "transform_tree",
+    "cu_qp_delta", "transform_skip_flag", "last_sig_coeff_pos",
+    "sig_coeff_map", "coeff_level", "coeff_sign", "sao", "pcm_samples",
+    "other",
+]
+
+
 class SliceDataDecoder:
     def __init__(self, params: SliceParamsC, data: bytes):
         self._lib = get_lib()
@@ -406,6 +423,15 @@ class SliceDataDecoder:
         only the bit reader/arithmetic engine restart (spec 9.3.1)."""
         self._data = data  # keep alive
         self._lib.hevc_dec_reseat(self._h, data, len(data))
+
+    def enable_stats(self) -> None:
+        self._lib.hevc_dec_enable_stats(self._h)
+
+    def stat_bits(self):
+        """Per-syntax-element bit counts (SYNTAX_STAT_NAMES order)."""
+        out = np.zeros(len(SYNTAX_STAT_NAMES), np.uint64)
+        self._lib.hevc_dec_stat_bits(self._h, out)
+        return out
 
     def decode_ctu(self, ctu_x: int, ctu_y: int) -> tuple:
         d = CtuDecisions(self._ctu, chroma_format=self._cfmt)

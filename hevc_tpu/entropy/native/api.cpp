@@ -160,6 +160,14 @@ void hevc_dec_destroy(void* h) { delete (SliceDecoder*)h; }
 void hevc_dec_reseat(void* h, const uint8_t* data, long size) {
   ((SliceDecoder*)h)->reseat(data, (size_t)size);
 }
+// per-syntax-element bit statistics (reference TComCodingStatistics /
+// RExt__DECODER_DEBUG_BIT_STATISTICS analyser output)
+void hevc_dec_enable_stats(void* h) { ((SliceDecoder*)h)->enable_stats(); }
+long hevc_dec_stat_bits(void* h, uint64_t* out) {
+  const uint64_t* b = ((SliceDecoder*)h)->stat_bits();
+  for (int i = 0; i < ST_N; ++i) out[i] = b[i];
+  return ST_N;
+}
 
 int hevc_dec_ctu(void* h, int ctu_x, int ctu_y, uint8_t* cu_depth,
                  uint8_t* nxn_flag, uint8_t* luma_mode, uint8_t* chroma_mode,

@@ -1825,6 +1825,7 @@ void SliceDecoder::reseat(const uint8_t* data, size_t size) {
   // a tile starting at this segment has no end_of_subset_one_bit to
   // consume and the engine is already seated at the segment start
   seg_fresh_ = true;
+  stat_mark_ = 0;  // bit accounting restarts with the new buffer
 }
 
 void SliceDecoder::fill(uint8_t* map, int x0, int y0, int log2, uint8_t v) {
@@ -1949,6 +1950,7 @@ void SliceDecoder::cu_tree(int x0, int y0, int log2, int depth) {
           maps_.cu_depth[maps_.idx(x0 - 1, y0)] > depth) ctxi++;
       if (maps_.available(x0, y0 - 1, x0, y0) &&
           maps_.cu_depth[maps_.idx(x0, y0 - 1)] > depth) ctxi++;
+      stat(ST_SPLIT_CU);
       split = cabac_.decode_bin(ctx_.split_cu[ctxi]);
     }
   }
@@ -2030,6 +2032,7 @@ void SliceDecoder::publish_motion(int x0, int y0, int log2,
 }
 
 int SliceDecoder::parse_merge_idx() {
+  stat(ST_MERGE_IDX);
   int cmax = sp_.max_merge_cand - 1;
   if (cmax == 0) return 0;
   if (!cabac_.decode_bin(ctx_.merge_idx[0])) return 0;
@@ -2039,6 +2042,7 @@ int SliceDecoder::parse_merge_idx() {
 }
 
 void SliceDecoder::parse_mvd(int* vx, int* vy) {
+  stat(ST_MVD);
   if (g_bin_trace) fprintf(g_bin_trace, "# mvd\n");
   int g0x = cabac_.decode_bin(ctx_.mvd[0]);
   int g0y = cabac_.decode_bin(ctx_.mvd[0]);
@@ -2081,6 +2085,7 @@ void SliceDecoder::parse_inter_cu(int x0, int y0, int log2, bool skip) {
   int part = 0;
   bool amp_bins = sp_.amp && log2 > sp_.min_cb_log2;  // HM codePartSize: uiDepth < log2DiffMaxMin (64x64 CUs included)
   if (g_bin_trace) fprintf(g_bin_trace, "# part\n");
+  stat(ST_PART_SIZE);
   if (!cabac_.decode_bin(ctx_.part_size[0])) {
     bool hor = cabac_.decode_bin(ctx_.part_size[1]);
     if (amp_bins && !cabac_.decode_bin(ctx_.part_size[3])) {
@@ -2098,6 +2103,7 @@ void SliceDecoder::parse_inter_cu(int x0, int y0, int log2, bool skip) {
     pu_rect(part, pu, n, &ox, &oy, &pw, &ph);
     int px = x0 + ox, py = y0 + oy;
     {if (g_bin_trace) fprintf(g_bin_trace, "# pu%d mrgf\n", pu);}
+    stat(ST_MERGE_FLAG);
     int merge_f = cabac_.decode_bin(ctx_.merge_flag[0]);
     if (!merge_f) cu_merge = 0;
     int merge_i = 0, mvp_f = 0, mvdx = 0, mvdy = 0;
@@ -2112,6 +2118,7 @@ void SliceDecoder::parse_inter_cu(int x0, int y0, int log2, bool skip) {
       int idc = 1;
       if (is_b) {
         int depth = sp_.max_cb_log2 - log2;
+        stat(ST_INTER_DIR);
         int bi = (part == 0 || log2 > 3)
                      ? cabac_.decode_bin(ctx_.inter_dir[depth]) : 0;
         if (bi) idc = 3;
@@ -2119,6 +2126,7 @@ void SliceDecoder::parse_inter_cu(int x0, int y0, int log2, bool skip) {
       }
       auto parse_ref = [&](int num_ref) {
         {if (g_bin_trace) fprintf(g_bin_trace, "# ref nr=%d\n", num_ref);}
+        stat(ST_REF_IDX);
         int r = 0;
         if (num_ref > 1 && cabac_.decode_bin(ctx_.ref_idx[0])) {
           r = 1;
@@ -2134,6 +2142,7 @@ void SliceDecoder::parse_inter_cu(int x0, int y0, int log2, bool skip) {
       if (idc & 1) {
         int r = parse_ref(sp_.num_ref_l0);
         parse_mvd(&mvdx, &mvdy);
+        stat(ST_MVP_IDX);
         mvp_f = cabac_.decode_bin(ctx_.mvp_idx[0]);
         int16_t amvp[4];
         maps_.amvp_candidates(px, py, pw, ph, 0, r, amvp, x0, y0, n, part,
@@ -2151,6 +2160,7 @@ void SliceDecoder::parse_inter_cu(int x0, int y0, int log2, bool skip) {
         int r = parse_ref(sp_.num_ref_l1);
         int m1x = 0, m1y = 0;
         if (!(sp_.mvd_l1_zero && idc == 3)) parse_mvd(&m1x, &m1y);
+        stat(ST_MVP_IDX);
         int mvp_f1 = cabac_.decode_bin(ctx_.mvp_idx[0]);
         int16_t amvp[4];
         maps_.amvp_candidates(px, py, pw, ph, 1, r, amvp, x0, y0, n, part,
@@ -2243,11 +2253,13 @@ void SliceDecoder::parse_cu(int x0, int y0, int log2) {
         maps_.skip_flag[maps_.idx(x0 - 1, y0)]) ctxi++;
     if (maps_.available(x0, y0 - 1, x0, y0) &&
         maps_.skip_flag[maps_.idx(x0, y0 - 1)]) ctxi++;
+    stat(ST_SKIP);
     int skip = cabac_.decode_bin(ctx_.skip_flag[ctxi]);
     if (skip) {
       parse_inter_cu(x0, y0, log2, true);
       return;
     }
+    stat(ST_PRED_MODE);
     int intra = cabac_.decode_bin(ctx_.pred_mode[0]);
     if (!intra) {
       parse_inter_cu(x0, y0, log2, false);
@@ -2270,6 +2282,7 @@ void SliceDecoder::parse_intra_cu(int x0, int y0, int log2) {
   if (sp_.pcm && log2 >= 3 && log2 <= 5 && !nxn) {
     if (cabac_.decode_terminate()) {
       cabac_.align_to_byte();
+      stat(ST_PCM);
       int bw4 = sp_.ctu_size / 4;
       int csx = (sp_.chroma_format == 3) ? 0 : 1;
       int csy = (sp_.chroma_format == 1) ? 1 : 0;
@@ -2306,6 +2319,7 @@ void SliceDecoder::parse_intra_cu(int x0, int y0, int log2) {
   int npart = nxn ? 4 : 1;
   int half = 1 << (log2 - 1);
   int prev_flag[4], mode[4];
+  stat(ST_INTRA_LUMA);
   for (int i = 0; i < npart; ++i)
     prev_flag[i] = cabac_.decode_bin(ctx_.intra_luma[0]);
   for (int i = 0; i < npart; ++i) {
@@ -2334,6 +2348,7 @@ void SliceDecoder::parse_intra_cu(int x0, int y0, int log2) {
   }
   // chroma mode (4:4:4 NxN: one per partition, spec 7.3.8.5)
   int cparts = (sp_.chroma_format == 3 && nxn) ? 4 : 1;
+  stat(ST_INTRA_CHROMA);
   for (int i = 0; i < cparts; ++i) {
     int cmode;
     if (cabac_.decode_bin(ctx_.intra_chroma[0]) == 0) {
@@ -2359,6 +2374,7 @@ void SliceDecoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
                                   int depth, int blk_idx, bool intra_split,
                                   int par_cb, int par_cr, bool is_intra,
                                   int par_cb2, int par_cr2) {
+  stat(ST_TRANSFORM_TREE);
   if (g_bin_trace)
     fprintf(g_bin_trace, "# TT %d %d log2=%d d=%d pcb=%d pcr=%d\n", x0, y0,
             log2, depth, par_cb, par_cr);
@@ -2423,6 +2439,7 @@ void SliceDecoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
   // EG0 suffix, bypass sign; QpY wraps per 8.6.1
   if (sp_.cu_dqp && !dqp_coded_ &&
       (cbf_y || cbf_cb || cbf_cr || cbf_cb2 || cbf_cr2)) {
+    stat(ST_DQP);
     int a = 0;
     while (a < 5 && cabac_.decode_bin(ctx_.dqp[a ? 1 : 0])) ++a;
     if (a == 5) {
@@ -2521,6 +2538,7 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
   int ts_max = sp_.ts_max_log2 ? sp_.ts_max_log2 : 2;
   bool ts = false;
   if (sp_.transform_skip_enabled && log2 <= ts_max) {
+    stat(ST_TS_FLAG);
     if (cabac_.decode_bin(ctx_.transform_skip[luma ? 0 : 1])) {
       ts = true;
       cur_->tu_depth[((y0 - ctu_y0_) >> 2) * bw4 + ((x0 - ctu_x0_) >> 2)] |=
@@ -2549,6 +2567,7 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
     no_sbh = true;
 
   // last significant position
+  stat(ST_LAST_POS);
   ContextModel* lastx = luma ? ctx_.last_x : ctx_.last_x + 15;
   ContextModel* lasty = luma ? ctx_.last_y : ctx_.last_y + 15;
   int ctx_offset = luma ? 3 * (log2 - 2) + ((log2 - 1) >> 2) : 0;
@@ -2589,6 +2608,7 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
   csbf[last_sb] = 1;
   csbf[0] = 1;
   int c1 = 1;
+  stat(ST_SIG_MAP);
   for (int i = last_sb; i >= 0; --i) {
     auto sbp = sb_of(i);
     int xs = sbp.first, ys = sbp.second;
@@ -2627,6 +2647,7 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
 
     if (num == 0) continue;  // inferred-coded DC sub-block with no coeffs
 
+    stat(ST_COEFF_LEVEL);
     int ctx_set = (i > 0 && luma) ? 2 : 0;
     if (c1 == 0) ctx_set++;
     c1 = 1;
@@ -2657,12 +2678,14 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
     bool hide = sp_.sign_hiding && !no_sbh &&
                 (last_nz_k - first_nz_k > 3);
     int sign[16] = {0};
+    stat(ST_SIGN);
     for (int k = 0; k < num; ++k) {
       if (hide && k == num - 1) break;
       sign[k] = cabac_.decode_bypass();
     }
 
     // levels: inverse of the coeff_abs_level_remaining binarization
+    stat(ST_COEFF_LEVEL);
     auto read_remaining = [&](int rice) -> int {
       int p = 0;
       while (cabac_.decode_bypass()) p++;
@@ -2779,6 +2802,7 @@ void SliceEncoder::code_sao(int cx, int cy) {
 }
 
 void SliceDecoder::parse_sao(int cx, int cy, int32_t* out) {
+  stat(ST_SAO);
   int ctus_w = (sp_.pic_w + sp_.ctu_size - 1) / sp_.ctu_size;
   if (sao_store_.empty())
     sao_store_.assign((size_t)ctus_w *

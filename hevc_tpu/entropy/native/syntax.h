@@ -376,9 +376,23 @@ class SliceEncoder {
   bool finished_ = false;
 };
 
+// Per-syntax-element bit accounting categories (reference
+// TComCodingStatistics / RExt__DECODER_DEBUG_BIT_STATISTICS): each
+// parsed element attributes the arithmetic-decoder bit consumption
+// since the previous element to its category.
+enum StatCat {
+  ST_SPLIT_CU = 0, ST_SKIP, ST_MERGE_FLAG, ST_MERGE_IDX, ST_PART_SIZE,
+  ST_PRED_MODE, ST_INTRA_LUMA, ST_INTRA_CHROMA, ST_INTER_DIR, ST_REF_IDX,
+  ST_MVD, ST_MVP_IDX, ST_TRANSFORM_TREE, ST_DQP, ST_TS_FLAG,
+  ST_LAST_POS, ST_SIG_MAP, ST_COEFF_LEVEL, ST_SIGN, ST_SAO, ST_PCM,
+  ST_OTHER, ST_N
+};
+
 class SliceDecoder {
  public:
   SliceDecoder(const SliceParams& sp, const uint8_t* data, size_t size);
+  void enable_stats() { stats_on_ = true; }
+  const uint64_t* stat_bits() { stat(ST_OTHER); return stat_bits_; }
   void begin_slice();
   // returns end_of_slice flag
   int decode_ctu(int ctu_x, int ctu_y, const MutCtuData& d);
@@ -421,6 +435,17 @@ class SliceDecoder {
   bool wpp_saved_valid_ = false;
   int cur_tile_ = -1;
   bool seg_fresh_ = false;  // first CTU after a dependent-segment reseat
+  // per-syntax-element bit stats (reference TComCodingStatistics)
+  bool stats_on_ = false;
+  uint64_t stat_bits_[ST_N] = {};
+  size_t stat_mark_ = 0;
+  int stat_cat_ = ST_OTHER;
+  inline void stat(int cat) {
+    if (!stats_on_) return;
+    stat_bits_[stat_cat_] += br_.pos_ - stat_mark_;
+    stat_mark_ = br_.pos_;
+    stat_cat_ = cat;
+  }
   std::vector<int32_t> sub_offsets_;   // substream start offsets (bytes)
   int next_sub_ = 1;
   BitReader br_;

@@ -386,6 +386,39 @@ def test_14bit_conformance(tmp_path, cfg, label):
     assert own2.read_bytes() == hmd.read_bytes()
 
 
+def test_syntax_element_bit_statistics(tmp_path):
+    """Per-syntax-element bit accounting (reference TComCodingStatistics
+    / RExt__DECODER_DEBUG_BIT_STATISTICS): every arithmetic-decoder bit
+    is attributed to a syntax-element category; the total must sit
+    within the VCL payload size and the decode stays byte-identical."""
+    w, h, frames = 128, 80, 4
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    bs = tmp_path / "o.bin"
+    from hevc_tpu.cli.encode import main
+    main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-q", "30", "--IntraPeriod=-1",
+          "-b", str(bs), "-o", str(tmp_path / "r.yuv")])
+    from hevc_tpu.decoder.top import DecoderTop
+    from hevc_tpu.entropy.cabac import SYNTAX_STAT_NAMES
+    dec = DecoderTop(collect_stats=True)
+    frames_out = list(dec.decode_stream(bs.read_bytes()))
+    assert len(frames_out) == frames
+    assert all(s == "OK" for s in dec.hash_status)
+    stats = {n: int(b) for n, b in zip(SYNTAX_STAT_NAMES,
+                                       dec.syntax_bits)}
+    total = sum(stats.values())
+    from hevc_tpu.entropy.nal import split_annexb, nal_to_rbsp
+    vcl_bits = sum(len(r) * 8 for u in split_annexb(bs.read_bytes())
+                   for (t, _tid, r) in [nal_to_rbsp(bytes(u))] if t <= 21)
+    assert 0 < total <= vcl_bits
+    assert total >= vcl_bits * 0.8          # headers are the remainder
+    # the load-bearing categories must be populated
+    for name in ("coeff_level", "sig_coeff_map", "last_sig_coeff_pos",
+                 "merge_flag", "mvd", "transform_tree"):
+        assert stats[name] > 0, name
+
+
 def test_weighted_prediction_analysis_conformance(tmp_path):
     """Full WeightPredAnalysis (reference WeightPredAnalysis.cpp:
     whole-picture AC/DC fits per reference and component, denom
