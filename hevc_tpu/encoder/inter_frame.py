@@ -123,9 +123,10 @@ class PFrameEncoder(IntraFrameEncoder):
 
     def encode_frame(self, orig: List[np.ndarray]):
         w, h, ctu = self.w, self.h, self.ctu
+        sx, sy = self.sps.chroma_shift_x, self.sps.chroma_shift_y
         recon = [np.zeros((h, w), np.int16),
-                 np.zeros((h // 2, w // 2), np.int16),
-                 np.zeros((h // 2, w // 2), np.int16)]
+                 np.zeros((h >> sy, w >> sx), np.int16),
+                 np.zeros((h >> sy, w >> sx), np.int16)]
         mode_map = np.full(((h + 3) >> 2, (w + 3) >> 2), 1, np.uint8)
         self._me = self._batched_me(orig)
         ctus_w = -(-w // ctu)
@@ -133,7 +134,8 @@ class PFrameEncoder(IntraFrameEncoder):
         decisions = []
         for cy in range(ctus_h):
             for cx in range(ctus_w):
-                d = CtuDecisions(ctu)
+                d = CtuDecisions(ctu,
+                                 chroma_format=self.sps.chroma_format_idc)
                 d.cu_depth[:] = self.cu_depth_target
                 x0c, y0c = cx * ctu, cy * ctu
                 for (x0, y0, log2) in cu_leaves(
@@ -279,26 +281,42 @@ class PFrameEncoder(IntraFrameEncoder):
             mi_idx, mv, ref, pred_y = -1, mv_int, 0, pred_inter
             mv1, ref1 = (0, 0), -1
 
-        # residual for the whole CU (TU == CU)
+        # residual for the whole CU (TU == CU); 4:2:2 codes the chroma
+        # of a luma TB as two square sub-TBs stacked vertically
         qp_c = tables.chroma_qp(self.qp, self.sps.chroma_format_idc)
-        cxx, cyy, cs = x0 >> 1, y0 >> 1, size >> 1
+        sx, sy = self.sps.chroma_shift_x, self.sps.chroma_shift_y
+        cxx, cyy = x0 >> sx, y0 >> sy
+        cs = size >> sx                 # square chroma TB size
+        chh = size >> sy                # chroma block height (2*cs at 422)
         if ref >= 0 and ref1 >= 0:
             pcb = mc_predict_bi_np(self.ref[1], self.ref1[1], PAD, mv, mv1,
-                                   cxx, cyy, cs, cs, self.bd, False)
+                                   cxx, cyy, cs, chh, self.bd, False,
+                                   chroma_shift=(sx, sy))
             pcr = mc_predict_bi_np(self.ref[2], self.ref1[2], PAD, mv, mv1,
-                                   cxx, cyy, cs, cs, self.bd, False)
+                                   cxx, cyy, cs, chh, self.bd, False,
+                                   chroma_shift=(sx, sy))
         else:
             umv = mv if ref >= 0 else mv1
             crefs = self.ref if ref >= 0 else self.ref1
             pcb = mc_predict_np(crefs[1], PAD, umv[0], umv[1], cxx, cyy,
-                                cs, cs, self.bd, False)
+                                cs, chh, self.bd, False,
+                                chroma_shift=(sx, sy))
             pcr = mc_predict_np(crefs[2], PAD, umv[0], umv[1], cxx, cyy,
-                                cs, cs, self.bd, False)
+                                cs, chh, self.bd, False,
+                                chroma_shift=(sx, sy))
         lv_y, rec_y = self._code_inter_tb(orig_y, pred_y, size, self.qp)
-        lv_cb, rec_cb = self._code_inter_tb(
-            orig[1][cyy:cyy + cs, cxx:cxx + cs], pcb, cs, qp_c)
-        lv_cr, rec_cr = self._code_inter_tb(
-            orig[2][cyy:cyy + cs, cxx:cxx + cs], pcr, cs, qp_c)
+        lv_cb = np.zeros((chh, cs), np.int32)
+        rec_cb = np.zeros((chh, cs), np.int32)
+        lv_cr = np.zeros((chh, cs), np.int32)
+        rec_cr = np.zeros((chh, cs), np.int32)
+        for half in range(chh // cs):
+            hsl = slice(half * cs, (half + 1) * cs)
+            lv_cb[hsl], rec_cb[hsl] = self._code_inter_tb(
+                orig[1][cyy + half * cs:cyy + (half + 1) * cs,
+                        cxx:cxx + cs], pcb[hsl], cs, qp_c)
+            lv_cr[hsl], rec_cr[hsl] = self._code_inter_tb(
+                orig[2][cyy + half * cs:cyy + (half + 1) * cs,
+                        cxx:cxx + cs], pcr[hsl], cs, qp_c)
         zero_resid = not (lv_y.any() or lv_cb.any() or lv_cr.any())
 
         if mi_idx >= 0:
@@ -313,13 +331,13 @@ class PFrameEncoder(IntraFrameEncoder):
         # store coefficients + recon
         ly, lx = y0 - ctu_y0, x0 - ctu_x0
         d.coeff_y[ly:ly + size, lx:lx + size] = lv_y.astype(np.int16)
-        d.coeff_cb[ly >> 1:(ly >> 1) + cs,
-                   lx >> 1:(lx >> 1) + cs] = lv_cb.astype(np.int16)
-        d.coeff_cr[ly >> 1:(ly >> 1) + cs,
-                   lx >> 1:(lx >> 1) + cs] = lv_cr.astype(np.int16)
+        d.coeff_cb[ly >> sy:(ly >> sy) + chh,
+                   lx >> sx:(lx >> sx) + cs] = lv_cb.astype(np.int16)
+        d.coeff_cr[ly >> sy:(ly >> sy) + chh,
+                   lx >> sx:(lx >> sx) + cs] = lv_cr.astype(np.int16)
         recon[0][y0:y0 + size, x0:x0 + size] = rec_y.astype(np.int16)
-        recon[1][cyy:cyy + cs, cxx:cxx + cs] = rec_cb.astype(np.int16)
-        recon[2][cyy:cyy + cs, cxx:cxx + cs] = rec_cr.astype(np.int16)
+        recon[1][cyy:cyy + chh, cxx:cxx + cs] = rec_cb.astype(np.int16)
+        recon[2][cyy:cyy + chh, cxx:cxx + cs] = rec_cr.astype(np.int16)
         # intra mode map: inter blocks act as DC for MPM purposes
         mode_map[y0 >> 2:(y0 + size) >> 2, x0 >> 2:(x0 + size) >> 2] = 1
         self.senc.publish_cu(x0, y0, log2, False, skip=int(mi_idx >= 0 and

@@ -141,6 +141,17 @@ class EncoderTop:
         if cfg.transform_skip:
             # 4x4 transform-skip trials run only in the native engine path
             self.pps.transform_skip_enabled_flag = 1
+        # high-throughput RExt tool set (reference TAppEncCfg
+        # ResidualRotation / SingleSignificanceMapContext /
+        # GolombRiceParameterAdaptation / AlignCABACBeforeBypass)
+        if cfg.residual_rotation and cfg.transform_skip:
+            self.sps.transform_skip_rotation_enabled_flag = 1
+        if cfg.single_sig_ctx and cfg.transform_skip:
+            self.sps.transform_skip_context_enabled_flag = 1
+        if cfg.rice_adaptation:
+            self.sps.persistent_rice_adaptation_enabled_flag = 1
+        if cfg.align_cabac_bypass:
+            self.sps.cabac_bypass_alignment_enabled_flag = 1
         # LCULevelRateControl only applies under RateControl=1 (reference
         # TAppEncCfg: the cfg files list it under a disabled RateControl
         # section; honouring it unconditionally enabled CTU-QP modulation
@@ -654,6 +665,11 @@ class EncoderTop:
                 if self.pps.tiles_enabled_flag else 0,
                 tile_rows=self.pps.num_tile_rows_minus1 + 1
                 if self.pps.tiles_enabled_flag else 0)
+            sp.ts_rotation = self.sps.transform_skip_rotation_enabled_flag
+            sp.ts_context = self.sps.transform_skip_context_enabled_flag
+            sp.persistent_rice = \
+                self.sps.persistent_rice_adaptation_enabled_flag
+            sp.bypass_align = self.sps.cabac_bypass_alignment_enabled_flag
             senc = SliceDataEncoder(sp)
             if sh.slice_temporal_mvp_enabled_flag:
                 from ..entropy.cabac import set_collocated
@@ -708,6 +724,7 @@ class EncoderTop:
                 ctu_size=self.sps.ctu_size,
                 max_tu_depth_intra=self.sps.max_transform_hierarchy_depth_intra,
                 max_tu_depth_inter=self.sps.max_transform_hierarchy_depth_inter,
+                chroma_format=self.sps.chroma_format_idc,
                 sign_hiding=self.pps.sign_data_hiding_enabled_flag,
                 amp=self.sps.amp_enabled_flag,
                 scaling_lists=self.sps.scaling_list_enabled_flag,
@@ -759,6 +776,11 @@ class EncoderTop:
                     else:
                         sp.wp_cw[j] = 1 << sh.wp_chroma_log2_denom
                         sp.wp_co[j] = 0
+            sp.ts_rotation = self.sps.transform_skip_rotation_enabled_flag
+            sp.ts_context = self.sps.transform_skip_context_enabled_flag
+            sp.persistent_rice = \
+                self.sps.persistent_rice_adaptation_enabled_flag
+            sp.bypass_align = self.sps.cabac_bypass_alignment_enabled_flag
             senc = SliceDataEncoder(sp)
             if sh.slice_temporal_mvp_enabled_flag:
                 from ..entropy.cabac import set_collocated

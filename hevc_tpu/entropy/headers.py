@@ -170,10 +170,35 @@ def write_sps(sps: SPS) -> bytes:
     bw.flag(sps.long_term_ref_pics_present_flag)
     bw.flag(sps.sps_temporal_mvp_enabled_flag)
     bw.flag(sps.strong_intra_smoothing_enabled_flag)
+    _sps_rext_on = (sps.transform_skip_rotation_enabled_flag
+                    or sps.transform_skip_context_enabled_flag
+                    or sps.implicit_rdpcm_enabled_flag
+                    or sps.explicit_rdpcm_enabled_flag
+                    or sps.persistent_rice_adaptation_enabled_flag
+                    or sps.cabac_bypass_alignment_enabled_flag)
     bw.flag(sps.vui_parameters_present_flag)
     if sps.vui_parameters_present_flag:
         write_vui(bw, sps)
-    bw.flag(0)                                  # sps_extension_present_flag
+    if _sps_rext_on:
+        # sps_range_extension (spec 7.3.2.2.2; mirrors the parse in
+        # decoder/headers.py)
+        bw.flag(1)                              # sps_extension_present
+        bw.flag(1)                              # sps_range_extension_flag
+        bw.flag(0)                              # multilayer
+        bw.flag(0)                              # 3d
+        bw.flag(0)                              # scc
+        bw.u(0, 4)                              # sps_extension_4bits
+        bw.flag(sps.transform_skip_rotation_enabled_flag)
+        bw.flag(sps.transform_skip_context_enabled_flag)
+        bw.flag(sps.implicit_rdpcm_enabled_flag)
+        bw.flag(sps.explicit_rdpcm_enabled_flag)
+        bw.flag(sps.extended_precision_processing_flag)
+        bw.flag(sps.intra_smoothing_disabled_flag)
+        bw.flag(sps.high_precision_offsets_enabled_flag)
+        bw.flag(sps.persistent_rice_adaptation_enabled_flag)
+        bw.flag(sps.cabac_bypass_alignment_enabled_flag)
+    else:
+        bw.flag(0)                              # sps_extension_present_flag
     bw.byte_align()
     return bw.bytes()
 

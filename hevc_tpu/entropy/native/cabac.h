@@ -92,6 +92,10 @@ class CabacEncoder {
     for (int i = n - 1; i >= 0; --i) encode_bypass((pattern >> i) & 1);
   }
 
+  // RExt CABAC bypass alignment (reference TEncBinCABAC::align): snap
+  // the range to 256 so subsequent bypass bins map 1:1 onto bits
+  void align() { range_ = 256; }
+
   void encode_terminate(int bin) {
     range_ -= 2;
     if (bin) { low_ += range_; flush(); }

@@ -388,7 +388,12 @@ bool CtuEngine::ts_trial(const int32_t* resi, int qp, bool intra,
                          int c_idx, int32_t* lev, int32_t* rres, int* nz) {
   int32_t coefs[16], levs[16], deqs[16], rress[16];
   int tshift = 15 - bd_ - 2;
-  for (int i = 0; i < 16; ++i) coefs[i] = resi[i] << tshift;
+  // RExt transform_skip_rotation: intra 4x4 TS residuals are coded
+  // rotated 180 degrees (reference TComTrQuant / TComTU
+  // isNonTransformedResidualRotated); the decoder rotates back
+  bool rot = sp_.ts_rotation && intra;
+  for (int i = 0; i < 16; ++i)
+    coefs[i] = resi[rot ? 15 - i : i] << tshift;
   int nzs = dsp::quant(coefs, 4, qp, bd_, intra, levs, smat);
   nzs = rdoq_run(levs, coefs, 4, qp, nzs, c_idx, scan_idx, lam_sq, smat);
   if (!nzs) return false;
@@ -397,7 +402,7 @@ bool CtuEngine::ts_trial(const int32_t* resi, int qp, bool intra,
   int bdshift = 20 - bd_;
   int rnd = 1 << (bdshift - 1);
   for (int i = 0; i < 16; ++i)
-    rress[i] = ((deqs[i] << 7) + rnd) >> bdshift;
+    rress[rot ? 15 - i : i] = ((deqs[i] << 7) + rnd) >> bdshift;
   double d0 = 0, b0 = 0, d1 = 0, b1 = 0;
   for (int i = 0; i < 16; ++i) {
     double e0 = (double)resi[i] - rres[i], e1 = (double)resi[i] - rress[i];

@@ -1022,12 +1022,22 @@ void SliceEncoder::code_inter_cu(int x0, int y0, int log2, bool skip) {
         if (plane[(py + yy) * pw + px + xx]) return 1;
     return 0;
   };
-  int rcs = (sp_.chroma_format == 3) ? 0 : 1;
+  // chroma planes are (ctu >> csy) rows x (ctu >> csx) cols (4:2:2 is
+  // full height); the root-cbf scan must cover the whole chroma block
+  int rcsx = (sp_.chroma_format == 3) ? 0 : 1;
+  int rcsy = (sp_.chroma_format == 1) ? 1 : 0;
+  auto any_nz_rect = [&](const int16_t* plane, int pw, int px, int py,
+                         int nw, int nh) {
+    for (int yy = 0; yy < nh; ++yy)
+      for (int xx = 0; xx < nw; ++xx)
+        if (plane[(py + yy) * pw + px + xx]) return 1;
+    return 0;
+  };
   int has_resid = any_nz(cur_->coeff_y, sp_.ctu_size, lx, ly, n)
-      || any_nz(cur_->coeff_cb, sp_.ctu_size >> rcs, lx >> rcs, ly >> rcs,
-                n >> rcs)
-      || any_nz(cur_->coeff_cr, sp_.ctu_size >> rcs, lx >> rcs, ly >> rcs,
-                n >> rcs);
+      || any_nz_rect(cur_->coeff_cb, sp_.ctu_size >> rcsx, lx >> rcsx,
+                     ly >> rcsy, n >> rcsx, n >> rcsy)
+      || any_nz_rect(cur_->coeff_cr, sp_.ctu_size >> rcsx, lx >> rcsx,
+                     ly >> rcsy, n >> rcsx, n >> rcsy);
   if (!merge_f) {
     cabac_.encode_bin(ctx_.qt_root_cbf[0], has_resid);
   }
@@ -1100,8 +1110,9 @@ void SliceEncoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
   if (explicit_split)
     cabac_.encode_bin(ctx_.trans_subdiv[5 - log2], split ? 1 : 0);
 
-  auto any_nz = [&](const int16_t* plane, int pw, int px, int py, int n) {
-    for (int yy = 0; yy < n; ++yy)
+  auto any_nz = [&](const int16_t* plane, int pw, int px, int py, int n,
+                    int nh) {
+    for (int yy = 0; yy < nh; ++yy)
       for (int xx = 0; xx < n; ++xx)
         if (plane[(py + yy) * pw + px + xx]) return 1;
     return 0;
@@ -1113,23 +1124,27 @@ void SliceEncoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
   if (log2 > 2 || cs == 0) {
     // 4:2:2 chroma planes are full height (no vertical subsampling):
     // each luma TB carries two square sub-TBs stacked vertically, each
-    // with its own cbf (spec 7.3.8.8; mirrors the decoder path above)
+    // with its own cbf (spec 7.3.8.8; mirrors the decoder path above).
+    // When the second flag is NOT coded (split node above 8x8) the
+    // first flag covers the node's WHOLE chroma subtree.
     int cpx = (x0 - ctu_x0_) >> cs;
     int cpy = c422 ? (y0 - ctu_y0_) : ((y0 - ctu_y0_) >> cs);
     int cn = 1 << (log2 - cs);
+    bool two_flags = c422 && (!split || log2 == 3);
+    int span1 = (c422 && !two_flags) ? 2 * cn : cn;
     if (depth == 0 || par_cb) {
-      cbf_cb = any_nz(cur_->coeff_cb, c_stride, cpx, cpy, cn);
+      cbf_cb = any_nz(cur_->coeff_cb, c_stride, cpx, cpy, cn, span1);
       cabac_.encode_bin(ctx_.cbf_chroma[depth], cbf_cb);
-      if (c422 && (!split || log2 == 3)) {
-        cbf_cb2 = any_nz(cur_->coeff_cb, c_stride, cpx, cpy + cn, cn);
+      if (two_flags) {
+        cbf_cb2 = any_nz(cur_->coeff_cb, c_stride, cpx, cpy + cn, cn, cn);
         cabac_.encode_bin(ctx_.cbf_chroma[depth], cbf_cb2);
       }
     }
     if (depth == 0 || par_cr) {
-      cbf_cr = any_nz(cur_->coeff_cr, c_stride, cpx, cpy, cn);
+      cbf_cr = any_nz(cur_->coeff_cr, c_stride, cpx, cpy, cn, span1);
       cabac_.encode_bin(ctx_.cbf_chroma[depth], cbf_cr);
-      if (c422 && (!split || log2 == 3)) {
-        cbf_cr2 = any_nz(cur_->coeff_cr, c_stride, cpx, cpy + cn, cn);
+      if (two_flags) {
+        cbf_cr2 = any_nz(cur_->coeff_cr, c_stride, cpx, cpy + cn, cn, cn);
         cabac_.encode_bin(ctx_.cbf_chroma[depth], cbf_cr2);
       }
     }
@@ -1153,7 +1168,7 @@ void SliceEncoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
   // inferred 1, spec 7.3.8.8)
   if (g_bin_trace) fprintf(g_bin_trace, "# TULEAF %d %d log2=%d cb=%d cr=%d\n", x0, y0, log2, cbf_cb, cbf_cr);
   int n = 1 << log2;
-  int cbf_y = any_nz(cur_->coeff_y, sp_.ctu_size, x0 - ctu_x0_, y0 - ctu_y0_, n);
+  int cbf_y = any_nz(cur_->coeff_y, sp_.ctu_size, x0 - ctu_x0_, y0 - ctu_y0_, n, n);
   if (is_intra || depth != 0 || cbf_cb || cbf_cr || cbf_cb2 || cbf_cr2)
     cabac_.encode_bin(ctx_.cbf_luma[depth == 0 ? 1 : 0], cbf_y);
   else
@@ -1335,16 +1350,28 @@ void SliceEncoder::residual(int x0, int y0, int log2, int c_idx) {
     if (c1 == 0) ctx_set++;
     c1 = 1;
     int first_gt1 = -1;
+    int gt1v[16] = {0};
     int num_c1 = std::min(num, 8);
     for (int k = 0; k < num_c1; ++k) {
       int gt1 = std::abs(coeffs[k].val) > 1;
+      gt1v[k] = gt1;
       cabac_.encode_bin(ctx_.one[(luma ? 0 : 16) + 4 * ctx_set + c1], gt1);
       if (gt1) { c1 = 0; if (first_gt1 < 0) first_gt1 = k; }
       else if (c1 < 3 && c1 > 0) c1++;
     }
+    int gt2 = 0;
     if (first_gt1 >= 0) {
-      int gt2 = std::abs(coeffs[first_gt1].val) > 2;
+      gt2 = std::abs(coeffs[first_gt1].val) > 2;
       cabac_.encode_bin(ctx_.abs_[(luma ? 0 : 4) + ctx_set], gt2);
+    }
+    // RExt CABAC bypass alignment: snap the range to 256 before the
+    // CG's bypass run when escape data is present (mirror of the
+    // decoder / reference escapeDataPresentInGroup)
+    if (sp_.bypass_align) {
+      bool escape = num > 8 || gt2 != 0;
+      for (int k = 0; k < num_c1 && !escape; ++k)
+        if (gt1v[k] && k != first_gt1) escape = true;
+      if (escape) cabac_.align();
     }
 
     // signs (with optional sign-data hiding)
@@ -1358,9 +1385,15 @@ void SliceEncoder::residual(int x0, int y0, int log2, int c_idx) {
       cabac_.encode_bypass(coeffs[k].val < 0 ? 1 : 0);
     }
 
-    // remaining levels
+    // remaining levels; persistent Golomb-Rice adaptation (RExt) mirrors
+    // the decoder: per-class statistic seeds the CG's rice parameter,
+    // the first escape value updates it, in-CG increment uncapped
     if (g_bin_trace) fprintf(g_bin_trace, "# sb %d remaining\n", i);
-    int first_coeff2 = 1, rice = 0;
+    int stat_idx = (luma ? 2 : 0) + (ts ? 1 : 0);
+    int first_coeff2 = 1;
+    int rice = sp_.persistent_rice ? (int)(ctx_.rice_stat[stat_idx] >> 2)
+                                   : 0;
+    bool update_stat = sp_.persistent_rice != 0;
     for (int k = 0; k < num; ++k) {
       int av = std::abs(coeffs[k].val);
       int base = (k < 8) ? (2 + first_coeff2) : 1;
@@ -1379,7 +1412,17 @@ void SliceEncoder::residual(int x0, int y0, int log2, int c_idx) {
           cabac_.encode_bypass_bins((1u << ones) - 2, ones);
           cabac_.encode_bypass_bins(val, len);
         }
-        if (av > (3 << rice)) rice = std::min(rice + 1, 4);
+        if (av > (3 << rice))
+          rice = sp_.persistent_rice ? rice + 1 : std::min(rice + 1, 4);
+        if (update_stat) {
+          int init_rice = (int)(ctx_.rice_stat[stat_idx] >> 2);
+          if (rem >= (3 << init_rice))
+            ctx_.rice_stat[stat_idx]++;
+          else if (2 * rem < (1 << init_rice) &&
+                   ctx_.rice_stat[stat_idx] > 0)
+            ctx_.rice_stat[stat_idx]--;
+          update_stat = false;
+        }
       }
       if (av >= 2) first_coeff2 = 0;
     }

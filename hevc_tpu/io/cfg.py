@@ -522,9 +522,9 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
     confirm(cfg.chroma_format not in (420, 422, 444),
             f"InputChromaFormat {cfg.chroma_format} unsupported "
             "(420, 422 and 444 implemented)")
-    confirm(cfg.chroma_format in (422, 444) and cfg.intra_period != 1,
-            "4:2:2/4:4:4 encoding is all-intra only (IntraPeriod 1; "
-            "DECODING 4:2:2/4:4:4 inter streams is supported)")
+    confirm(cfg.chroma_format == 444 and cfg.intra_period != 1,
+            "4:4:4 encoding is all-intra only (IntraPeriod 1; DECODING "
+            "4:4:4 inter streams is supported)")
     confirm(cfg.internal_bit_depth not in (8, 10, 12, 14),
             f"InternalBitDepth {cfg.internal_bit_depth} unsupported "
             "(8, 10, 12 and 14 implemented; 16 needs the int32 sample "
@@ -594,10 +594,9 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
     tool_hint(cfg.high_prec_wp, "HighPrecisionPredictionWeighting")
     tool_hint(cfg.implicit_rdpcm, "ImplicitResidualDPCM")
     tool_hint(cfg.explicit_rdpcm, "ExplicitResidualDPCM")
-    tool_hint(cfg.residual_rotation, "ResidualRotation")
-    tool_hint(cfg.rice_adaptation, "GolombRiceParameterAdaptation")
-    tool_hint(cfg.align_cabac_bypass, "AlignCABACBeforeBypass")
-    tool_hint(cfg.single_sig_ctx, "SingleSignificanceMapContext")
+    # ResidualRotation / SingleSignificanceMapContext /
+    # GolombRiceParameterAdaptation / AlignCABACBeforeBypass are honoured
+    # on the encode side (the high-throughput RExt tool set)
     confirm(cfg.intra_ref_smoothing != 1,
             "IntraReferenceSmoothing must stay enabled")
     confirm(cfg.sao_lcu_boundary != 0, "SAOLcuBoundary unsupported")

@@ -29,7 +29,7 @@ def test_ctc_cfgs_validate(name):
     ["--SliceMode=3"],
     ["--SliceMode=1", "--WaveFrontSynchro=1"],
     ["--MaxCUWidth=32", "--MaxCUHeight=32"],
-    ["--InternalBitDepth=14"],
+    ["--InternalBitDepth=16"],
     ["--ScalingList=3"],
     ["--ScalingList=2", "--ScalingListFile= "],
     ["--MaxCuDQPDepth=1"],
@@ -51,7 +51,11 @@ def test_rext_tool_hints_warn_not_reject():
         ["-c", "/root/reference/cfg/encoder_intra_high_throughput_rext.cfg"]
         + BASE)
     validate(cfg, warn=warns.append)
-    assert len(warns) >= 5  # RDPCM/rotation/CCP/... accepted as unused
+    # rotation / single-sig-ctx / rice adaptation / bypass alignment are
+    # honoured on the encode side now; CrossComponentPrediction remains
+    # accepted-as-unused with a warning
+    assert len(warns) >= 1
+    assert any("CrossComponent" in w for w in warns)
 
 
 def test_444_inter_encode_rejected():

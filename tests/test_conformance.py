@@ -255,6 +255,32 @@ def _mk_clip_422(path, w, h, n, bd=8, seed=9):
                 f.write((p.astype(np.int64) * sc).astype(dt).tobytes())
 
 
+def test_rext_422_inter_conformance(tmp_path):
+    """4:2:2 INTER encode (LDP, previous-frame references): non-square
+    chroma MC (eighth-pel horizontal / quarter-pel vertical), two-sub-TB
+    chroma residuals on inter CUs, 4:2:2 root-cbf coverage. HM decoder
+    hash OK + byte-identical; our decoder agrees."""
+    w, h, frames = 64, 64, 3
+    clip = tmp_path / "in422.yuv"
+    _mk_clip_422(clip, w, h, frames)
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-q", "32", "--IntraPeriod=-1",
+          "--InputChromaFormat=422", "--ChromaFormatIDC=422",
+          "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+    assert out.stdout.count("P-SLICE") == frames - 1
+    assert rec.read_bytes() == dec.read_bytes()
+    from hevc_tpu.cli.decode import main as dmain
+    own = tmp_path / "own.yuv"
+    assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+    assert own.read_bytes() == dec.read_bytes()
+
+
 @pytest.mark.parametrize("qp,extra", [
     (32, []),
     (45, []),
@@ -384,6 +410,50 @@ def test_14bit_conformance(tmp_path, cfg, label):
     own2 = tmp_path / "own2.yuv"
     assert dmain(["-b", str(hmbs), "-o", str(own2)]) == 0
     assert own2.read_bytes() == hmd.read_bytes()
+
+
+@pytest.mark.parametrize("extra,frames", [
+    (["--IntraPeriod=1"], 2),
+    (["--IntraPeriod=-1", "-q", "37"], 4),
+])
+def test_high_throughput_rext_encode(tmp_path, extra, frames):
+    """Encode-side high-throughput RExt tool set (reference
+    cfg/encoder_intra_high_throughput_rext.cfg): residual rotation of
+    intra 4x4 TS TBs, single significance-map context for TS, persistent
+    Golomb-Rice adaptation mirrored writer<->parser, and CABAC bypass
+    alignment (range snap to 256 before escape-CG bypass runs). The SPS
+    signals the sps_range_extension flags and the HM decoder verifies
+    hash + byte-identical recon; our decoder agrees."""
+    w, h = 416, 240
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-q", "30", "--TransformSkip=1",
+          "--ResidualRotation=1", "--SingleSignificanceMapContext=1",
+          "--GolombRiceParameterAdaptation=1", "--AlignCABACBeforeBypass=1",
+          *extra, "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+    assert rec.read_bytes() == dec.read_bytes()
+    from hevc_tpu.cli.decode import main as dmain
+    own = tmp_path / "own.yuv"
+    assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+    assert own.read_bytes() == dec.read_bytes()
+    from hevc_tpu.entropy.nal import split_annexb, nal_to_rbsp
+    from hevc_tpu.decoder import headers as dh
+    for u in split_annexb(bs.read_bytes()):
+        t, _tid, r = nal_to_rbsp(bytes(u))
+        if t == 33:
+            sps = dh.parse_sps(bytes(r))
+            assert sps.transform_skip_rotation_enabled_flag
+            assert sps.transform_skip_context_enabled_flag
+            assert sps.persistent_rice_adaptation_enabled_flag
+            assert sps.cabac_bypass_alignment_enabled_flag
+            break
 
 
 def test_syntax_element_bit_statistics(tmp_path):
