@@ -92,30 +92,36 @@ class CtuReconstructor:
                                       self.cr_off)
 
     def _resid(self, coeffs, size, c_idx, ts, is_dst=False, intra=False,
-               rdpcm=0):
+               rdpcm=0, bypass=False):
         """Final residual of one TB: dequant, inverse (or skipped)
         transform, then the range-extension residual modifications —
         180-degree rotation of 4x4 intra TS residuals
         (transform_skip_rotation, reference TComTU
         isNonTransformedResidualRotated) and RDPCM accumulation along
         the prediction direction (reference TComTrQuant::invRdpcmNxN;
-        rdpcm: 0 off, 1 horizontal, 2 vertical)."""
-        qp = self.qp if c_idx == 0 else (
-            self.qp_cb if c_idx == 1 else self.qp_cr)
-        sm = None
-        if self.sps.scaling_list_enabled_flag:
-            # pps data overrides sps data overrides the spec defaults
-            # (spec 7.4.3.3; reference TComSlice::setScalingList)
-            sld = getattr(self.sps, "_scaling_data", None)
-            if sld is not None:
-                sm = sld.matrix(size, c_idx, intra)
-            else:
-                sm = tables.default_scaling_matrix(size, intra)
-        deq = dequantize_np(coeffs.astype(np.int32), size, qp, self.bd,
-                            scaling=sm)
-        r = (inverse_ts_np(deq, self.bd) if ts else
-             inverse_transform_np(deq, size, self.bd, is_dst=is_dst))
-        if ts:
+        rdpcm: 0 off, 1 horizontal, 2 vertical). bypass: lossless
+        cu_transquant_bypass CU — the coded levels ARE the residual
+        (spec 8.6.4.1)."""
+        bypass = bypass or getattr(self, "_cu_bypass", False)
+        if bypass:
+            r = coeffs.astype(np.int32)
+        else:
+            qp = self.qp if c_idx == 0 else (
+                self.qp_cb if c_idx == 1 else self.qp_cr)
+            sm = None
+            if self.sps.scaling_list_enabled_flag:
+                # pps data overrides sps data overrides the spec defaults
+                # (spec 7.4.3.3; reference TComSlice::setScalingList)
+                sld = getattr(self.sps, "_scaling_data", None)
+                if sld is not None:
+                    sm = sld.matrix(size, c_idx, intra)
+                else:
+                    sm = tables.default_scaling_matrix(size, intra)
+            deq = dequantize_np(coeffs.astype(np.int32), size, qp, self.bd,
+                                scaling=sm)
+            r = (inverse_ts_np(deq, self.bd) if ts else
+                 inverse_transform_np(deq, size, self.bd, is_dst=is_dst))
+        if ts or bypass:
             if (intra and size == 4 and
                     self.sps.transform_skip_rotation_enabled_flag):
                 r = r[::-1, ::-1]
@@ -134,21 +140,27 @@ class CtuReconstructor:
 
     def _intra_tb(self, recon, x0, y0, size, mode, c_idx, coeffs, is_dst,
                   luma_pos=None, ts=False, rdpcm=0, ccp_alpha=0,
-                  luma_resi=None):
+                  luma_resi=None, bypass=False):
         plane = recon[c_idx]
         f = build_ref_vector(plane, x0, y0, size, self.avail,
                              self.bd, luma_pos=luma_pos)
         strong = (c_idx == 0 and self.sps.strong_intra_smoothing_enabled_flag
                   and strong_smoothing_decision(f, size, self.bd))
         ff = filter_ref_samples(f, size, self.bd, strong_smoothing=strong)
-        # smoothing also applies to chroma in 4:4:4 (spec 8.4.4.2.3)
+        # smoothing also applies to chroma in 4:4:4 (spec 8.4.4.2.3);
+        # the hor/ver/DC boundary filters are disabled for lossless CUs
+        # when implicit RDPCM is enabled (reference
+        # TComPrediction.cpp:481 enableEdgeFilters)
         smooth = c_idx == 0 or self.sps.chroma_format_idc == 3
+        edge = not (self.sps.implicit_rdpcm_enabled_flag
+                    and getattr(self, "_cu_bypass", False))
         pred = intra_np.predict_mode(f, ff, mode, size, self.bd,
-                                     is_luma=(c_idx == 0), smooth=smooth)
+                                     is_luma=(c_idx == 0), smooth=smooth,
+                                     edge_filters=edge)
         r = None
         if coeffs.any():
             r = self._resid(coeffs, size, c_idx, ts, is_dst=is_dst,
-                            intra=True, rdpcm=rdpcm)
+                            intra=True, rdpcm=rdpcm, bypass=bypass)
         if ccp_alpha and luma_resi is not None:
             ccp = self._ccp_term(ccp_alpha, luma_resi)
             r = ccp if r is None else r + ccp
@@ -159,10 +171,12 @@ class CtuReconstructor:
         return r
 
     def _add_resid(self, recon, pred, x0, y0, size, c_idx, coeffs,
-                   ts=False, rdpcm=0, ccp_alpha=0, luma_resi=None):
+                   ts=False, rdpcm=0, ccp_alpha=0, luma_resi=None,
+                   bypass=False):
         r = None
         if coeffs.any():
-            r = self._resid(coeffs, size, c_idx, ts, rdpcm=rdpcm)
+            r = self._resid(coeffs, size, c_idx, ts, rdpcm=rdpcm,
+                            bypass=bypass)
         if ccp_alpha and luma_resi is not None:
             ccp = self._ccp_term(ccp_alpha, luma_resi)
             r = ccp if r is None else r + ccp
@@ -188,15 +202,22 @@ class CtuReconstructor:
                 q = int(qp4[ly >> 2, lx >> 2])
                 if q != self.qp:
                     self.set_qp(q)
+            # cu_transquant_bypass (lossless CU): residual passthrough,
+            # flagged on bit 0x40 of the parser's rext map
+            rx = getattr(d, "rext", None)
+            self._cu_bypass = bool(rx is not None
+                                   and rx[ly >> 2, lx >> 2] & 0x40)
             if d.pred_mode[ly >> 2, lx >> 2] == 1:
                 self._recon_intra_cu(d, recon, ctu_x0, ctu_y0, x0, y0, log2)
             else:
                 self._recon_inter_cu(d, recon, ctu_x0, ctu_y0, x0, y0, log2)
 
     def _irdpcm(self, mode, ts):
-        """Implicit RDPCM direction for an intra TS TB (spec RExt:
-        horizontal/vertical prediction accumulates the residual)."""
-        if not (ts and self.sps.implicit_rdpcm_enabled_flag):
+        """Implicit RDPCM direction for an intra TS (or lossless
+        transquant-bypass) TB (spec RExt: horizontal/vertical prediction
+        accumulates the residual)."""
+        if not ((ts or getattr(self, "_cu_bypass", False))
+                and self.sps.implicit_rdpcm_enabled_flag):
             return 0
         return 1 if mode == 10 else (2 if mode == 26 else 0)
 
@@ -428,7 +449,8 @@ class CtuReconstructor:
             r_y = self._add_resid(
                 recon, py, tx, ty, tsize, 0,
                 d.coeff_y[tly:tly + tsize, tlx:tlx + tsize], ts=ts_y,
-                rdpcm=self._erdpcm(d, tlx, tly, 0) if ts_y else 0)
+                rdpcm=self._erdpcm(d, tlx, tly, 0)
+                if (ts_y or self._cu_bypass) else 0)
             if csx == 0:
                 # 4:4:4: full-size chroma TB per luma leaf
                 cyy, cxx = ty - y0, tx - x0
@@ -439,7 +461,8 @@ class CtuReconstructor:
                     tx, ty, tsize, 1,
                     d.coeff_cb[tly:tly + tsize, tlx:tlx + tsize],
                     ts=ts_cb,
-                    rdpcm=self._erdpcm(d, tlx, tly, 1) if ts_cb else 0,
+                    rdpcm=self._erdpcm(d, tlx, tly, 1)
+                    if (ts_cb or self._cu_bypass) else 0,
                     ccp_alpha=self._ccp_of(d, tlx, tly, 1),
                     luma_resi=r_y)
                 self._add_resid(
@@ -447,7 +470,8 @@ class CtuReconstructor:
                     tx, ty, tsize, 2,
                     d.coeff_cr[tly:tly + tsize, tlx:tlx + tsize],
                     ts=ts_cr,
-                    rdpcm=self._erdpcm(d, tlx, tly, 2) if ts_cr else 0,
+                    rdpcm=self._erdpcm(d, tlx, tly, 2)
+                    if (ts_cr or self._cu_bypass) else 0,
                     ccp_alpha=self._ccp_of(d, tlx, tly, 2),
                     luma_resi=r_y)
             elif self.sps.chroma_format_idc == 2:
@@ -467,31 +491,43 @@ class CtuReconstructor:
                     hy = by + half * csz        # luma == chroma row
                     hly = hy - ctu_y0
                     cyy, cxx = hy - y0, (bx - x0) >> 1
+                    ts_cb4 = csz == 4 and self._ts_of(d, blx, hly, 0x20)
+                    ts_cr4 = csz == 4 and self._ts_of(d, blx, hly, 0x40)
                     self._add_resid(
                         recon, pred_cb[cyy:cyy + csz, cxx:cxx + csz],
                         bx >> 1, hy, csz, 1,
                         d.coeff_cb[hly:hly + csz, blx >> 1:(blx >> 1) + csz],
-                        ts=(csz == 4 and self._ts_of(d, blx, hly, 0x20)))
+                        ts=ts_cb4,
+                        rdpcm=self._erdpcm(d, blx, hly, 1)
+                        if (ts_cb4 or self._cu_bypass) else 0)
                     self._add_resid(
                         recon, pred_cr[cyy:cyy + csz, cxx:cxx + csz],
                         bx >> 1, hy, csz, 2,
                         d.coeff_cr[hly:hly + csz, blx >> 1:(blx >> 1) + csz],
-                        ts=(csz == 4 and self._ts_of(d, blx, hly, 0x40)))
+                        ts=ts_cr4,
+                        rdpcm=self._erdpcm(d, blx, hly, 2)
+                        if (ts_cr4 or self._cu_bypass) else 0)
             elif tlog2 > 2:
                 csz = tsize >> 1
                 cyy, cxx = (ty - y0) >> 1, (tx - x0) >> 1
+                ts_cb2 = csz == 4 and self._ts_of(d, tlx, tly, 0x20)
+                ts_cr2 = csz == 4 and self._ts_of(d, tlx, tly, 0x40)
                 self._add_resid(
                     recon, pred_cb[cyy:cyy + csz, cxx:cxx + csz],
                     tx >> 1, ty >> 1, csz, 1,
                     d.coeff_cb[tly >> 1:(tly >> 1) + csz,
                                tlx >> 1:(tlx >> 1) + csz],
-                    ts=(csz == 4 and self._ts_of(d, tlx, tly, 0x20)))
+                    ts=ts_cb2,
+                    rdpcm=self._erdpcm(d, tlx, tly, 1)
+                    if (ts_cb2 or self._cu_bypass) else 0)
                 self._add_resid(
                     recon, pred_cr[cyy:cyy + csz, cxx:cxx + csz],
                     tx >> 1, ty >> 1, csz, 2,
                     d.coeff_cr[tly >> 1:(tly >> 1) + csz,
                                tlx >> 1:(tlx >> 1) + csz],
-                    ts=(csz == 4 and self._ts_of(d, tlx, tly, 0x40)))
+                    ts=ts_cr2,
+                    rdpcm=self._erdpcm(d, tlx, tly, 2)
+                    if (ts_cr2 or self._cu_bypass) else 0)
             elif blk == 3:
                 # 8x8 TU split into 4x4 lumas: the single 4x4 chroma TB
                 # rides the last child, placed at the parent origin
@@ -499,15 +535,21 @@ class CtuReconstructor:
                 bx, by = tx - (1 << tlog2), ty - (1 << tlog2)
                 blx, bly = bx - ctu_x0, by - ctu_y0
                 cyy, cxx = (by - y0) >> 1, (bx - x0) >> 1
+                ts_cb3 = self._ts_of(d, blx, bly, 0x20)
+                ts_cr3 = self._ts_of(d, blx, bly, 0x40)
                 self._add_resid(
                     recon, pred_cb[cyy:cyy + 4, cxx:cxx + 4],
                     bx >> 1, by >> 1, 4, 1,
                     d.coeff_cb[bly >> 1:(bly >> 1) + 4,
                                blx >> 1:(blx >> 1) + 4],
-                    ts=self._ts_of(d, blx, bly, 0x20))
+                    ts=ts_cb3,
+                    rdpcm=self._erdpcm(d, blx, bly, 1)
+                    if (ts_cb3 or self._cu_bypass) else 0)
                 self._add_resid(
                     recon, pred_cr[cyy:cyy + 4, cxx:cxx + 4],
                     bx >> 1, by >> 1, 4, 2,
                     d.coeff_cr[bly >> 1:(bly >> 1) + 4,
                                blx >> 1:(blx >> 1) + 4],
-                    ts=self._ts_of(d, blx, bly, 0x40))
+                    ts=ts_cr3,
+                    rdpcm=self._erdpcm(d, blx, bly, 2)
+                    if (ts_cr3 or self._cu_bypass) else 0)

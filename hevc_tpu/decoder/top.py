@@ -271,6 +271,7 @@ class DecoderTop:
         sp.ccp = pps.cross_component_prediction_enabled_flag
         sp.ts_max_log2 = (2 + pps.log2_max_transform_skip_block_size_minus2
                           if pps.transform_skip_enabled_flag else 2)
+        sp.tq_bypass = pps.transquant_bypass_enabled_flag
         if sh.dependent_slice_segment_flag and self._pic.get("sdec"):
             # dependent segment: the open decoder continues with its
             # CABAC contexts / neighbour maps / dQP chain intact
@@ -430,6 +431,23 @@ class DecoderTop:
         if sps.sps_temporal_mvp_enabled_flag:
             self.dpb_motion[sh.poc] = cabac.motion_field(
                 decisions, sps, pic["ref_l0"], pic["ref_l1"], sh.poc)
+        # cu_transquant_bypass samples are NOT modified by the in-loop
+        # filters (spec 8.7.2.5.4 nDp/nDq = 0 and 8.7.3 SAO skip):
+        # snapshot them and restore after deblock + SAO
+        byp_saved = None
+        if pps.transquant_bypass_enabled_flag:
+            h4, w4 = -(-h // 4), -(-w // 4)
+            n4 = sps.ctu_size // 4
+            byp4 = np.zeros((h4, w4), bool)
+            for k, (bcx, bcy) in enumerate(order):
+                rx = getattr(decisions[bcy * ctus_w + bcx], "rext", None)
+                if rx is not None:
+                    y0b, x0b = bcy * n4, bcx * n4
+                    byp4[y0b:y0b + n4, x0b:x0b + n4] |= \
+                        (rx[:h4 - y0b, :w4 - x0b] & 0x40) != 0
+            if byp4.any():
+                mask_y = np.repeat(np.repeat(byp4, 4, 0), 4, 1)[:h, :w]
+                byp_saved = (mask_y, [p.copy() for p in recon])
         if not sh.slice_deblocking_filter_disabled_flag:
             from ..ops import deblock
             dmaps = deblock.build_maps(decisions, sps,
@@ -460,6 +478,13 @@ class DecoderTop:
                 from ..ops import sao as saolib
                 recon = saolib.apply_sao(recon, [d.sao for d in decisions],
                                          sps, sps.bit_depth_luma)
+        if byp_saved is not None:
+            mask_y, saved = byp_saved
+            recon[0][mask_y] = saved[0][mask_y]
+            sx, sy = sps.chroma_shift_x, sps.chroma_shift_y
+            cmask = mask_y[::1 << sy, ::1 << sx]
+            for ci in (1, 2):
+                recon[ci][cmask] = saved[ci][cmask]
         if self.collect_stats:
             self._collect(sh, decisions, pic.get("bytes", 0))
         self._last_decoded = recon

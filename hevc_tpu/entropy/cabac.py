@@ -51,7 +51,8 @@ class SliceParamsC(ctypes.Structure):
         ("bypass_align", ctypes.c_int32),
         ("ccp", ctypes.c_int32),
         ("ts_max_log2", ctypes.c_int32),
-        ("dqp_depth", ctypes.c_int32)]
+        ("dqp_depth", ctypes.c_int32),
+        ("tq_bypass", ctypes.c_int32)]
 
 
 def _build() -> None:

@@ -2284,6 +2284,20 @@ void SliceDecoder::publish_motion_rect(int x0, int y0, int w, int h,
 void SliceDecoder::parse_cu(int x0, int y0, int log2) {
   int depth = sp_.max_cb_log2 - log2;
   fill(cur_->cu_depth, x0, y0, log2, depth);
+  // cu_transquant_bypass_flag (spec 7.3.8.5, first element of the CU;
+  // reference TDecSbac::parseCUTransquantBypassFlag). The flag rides
+  // bit 0x40 of the rext map for the reconstruction stage.
+  if (sp_.tq_bypass) {
+    stat(ST_OTHER);
+    if (cabac_.decode_bin(ctx_.tq_bypass[0]) && cur_->rext) {
+      int bw4 = sp_.ctu_size / 4;
+      int b = 1 << (log2 - 2);
+      int bx = (x0 - ctu_x0_) >> 2, by = (y0 - ctu_y0_) >> 2;
+      for (int yy = 0; yy < b; ++yy)
+        for (int xx = 0; xx < b; ++xx)
+          cur_->rext[(by + yy) * bw4 + bx + xx] |= 0x40;
+    }
+  }
   // publish depth to picture maps
   int b = 1 << (log2 - 2);
   for (int yy = 0; yy < b; ++yy)
@@ -2579,8 +2593,13 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
   const auto& scan = g_scans.t[log2 - 2][scan_idx];
 
   int ts_max = sp_.ts_max_log2 ? sp_.ts_max_log2 : 2;
+  // cu_transquant_bypass CU (lossless): no transform_skip_flag, no sign
+  // hiding, residual passes through untouched (spec 7.3.8.11 / 8.6.4.1)
+  bool tqb = sp_.tq_bypass && cur_->rext &&
+      (cur_->rext[((y0 - ctu_y0_) >> 2) * bw4 + ((x0 - ctu_x0_) >> 2)]
+       & 0x40);
   bool ts = false;
-  if (sp_.transform_skip_enabled && log2 <= ts_max) {
+  if (sp_.transform_skip_enabled && log2 <= ts_max && !tqb) {
     stat(ST_TS_FLAG);
     if (cabac_.decode_bin(ctx_.transform_skip[luma ? 0 : 1])) {
       ts = true;
@@ -2592,8 +2611,8 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
   // on intra TS TBs with horizontal/vertical prediction (derived). Both
   // disable sign-data hiding for the TB (reference TDecSbac
   // parseCoeffNxN beValid handling).
-  bool no_sbh = false;
-  if (ts && sp_.explicit_rdpcm && !blk_intra) {
+  bool no_sbh = tqb;
+  if ((ts || tqb) && sp_.explicit_rdpcm && !blk_intra) {
     int ch = luma ? 0 : 1;
     if (cabac_.decode_bin(ctx_.explicit_rdpcm_flag[ch])) {
       int dir = cabac_.decode_bin(ctx_.explicit_rdpcm_dir[ch]);
@@ -2605,7 +2624,7 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
       }
     }
   }
-  if (ts && sp_.implicit_rdpcm && blk_intra &&
+  if ((ts || tqb) && sp_.implicit_rdpcm && blk_intra &&
       (pred_mode == 10 || pred_mode == 26))
     no_sbh = true;
 
@@ -2673,7 +2692,7 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
       int sig;
       if (k > 0 || !infer_dc) {
         int xc = r % n, yc = r / n;
-        int sctx = (sp_.ts_context && ts)
+        int sctx = (sp_.ts_context && (ts || tqb))
                        ? (luma ? 27 : 15)
                        : sig_ctx_inc(log2, scan_idx, xc, yc, right, below,
                                      luma);
@@ -2742,7 +2761,7 @@ void SliceDecoder::residual(int x0, int y0, int log2, int c_idx) {
     // parameter comes from the per-class statistic, the statistic is
     // updated by the FIRST escape value of the CG, and the in-CG rice
     // increment is uncapped (reference parseCoeffNxN adaptation path)
-    int stat_idx = (luma ? 2 : 0) + (ts ? 1 : 0);
+    int stat_idx = (luma ? 2 : 0) + ((ts || tqb) ? 1 : 0);
     int first_coeff2 = 1;
     int rice = sp_.persistent_rice ? (int)(ctx_.rice_stat[stat_idx] >> 2)
                                    : 0;

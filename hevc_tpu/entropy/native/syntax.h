@@ -78,6 +78,8 @@ struct SliceParams {
   int32_t dqp_depth;       // PPS diff_cu_qp_delta_depth: quantization
                            // groups of size ctu >> dqp_depth (spec 7.4.3.3,
                            // reference TComPPS::getMaxCuDQPDepth)
+  int32_t tq_bypass;       // PPS transquant_bypass_enabled_flag (lossless
+                           // CUs; cu_transquant_bypass_flag per CU)
 };
 
 // Context model set: one instance per slice (later: per WPP row state).

@@ -18,7 +18,7 @@ def _filter_flag(mode, size, is_luma):
 
 
 def predict_mode(f_unfilt, f_filt, mode, size, bit_depth=8, is_luma=True,
-                 smooth=None):
+                 smooth=None, edge_filters=True):
     """smooth: whether reference smoothing may apply (spec 8.4.4.2.3:
     cIdx == 0 or ChromaArrayType == 3); defaults to is_luma. Edge/DC
     boundary filters (8.4.4.2.5/6) remain luma-only regardless."""
@@ -82,7 +82,7 @@ def predict_mode(f_unfilt, f_filt, mode, size, bit_depth=8, is_luma=True,
                     r1)
     if not vertical:
         pred = pred.T
-    if is_luma and n < 32:
+    if is_luma and n < 32 and edge_filters:
         if mode == 26:
             pred[:, 0] = np.clip(utop[0] + ((uleft[:n] - ucorner) >> 1),
                                  0, maxval)

@@ -131,6 +131,46 @@ def test_hm_dependent_slice_segments_decode(tmp_path, extra, label):
         (tmp_path / "hmdec.yuv").read_bytes()
 
 
+@pytest.mark.skipif(not os.path.exists(ENC),
+                    reason="HM oracle encoder not built")
+@pytest.mark.parametrize("extra,label", [
+    (["--CUTransquantBypassFlagForce=1"], "lossless"),
+    (["--CUTransquantBypassFlagForce=0"], "mixed"),
+])
+def test_hm_lossless_stream_decodes(tmp_path, extra, label):
+    """cu_transquant_bypass (lossless CUs, spec 8.6.4.1): the coded
+    levels ARE the residual, transform_skip_flag/sign hiding are
+    suppressed, and the in-loop filters leave bypass samples untouched
+    (spec 8.7.2.5.4 / 8.7.3). Byte-identical to the HM decoder."""
+    data, hm_rec = _hm_encode(
+        tmp_path, "encoder_lowdelay_main.cfg",
+        ["--TransquantBypassEnableFlag=1", "--SEIDecodedPictureHash=1",
+         *extra])
+    ours, dec = _decode_ours(data)
+    assert ours == hm_rec
+    assert all(s == "OK" for s in dec.hash_status)
+
+
+@pytest.mark.skipif(not os.path.exists(ENC),
+                    reason="HM oracle encoder not built")
+def test_hm_lossless_rext_tools_decode(tmp_path):
+    """Lossless + the full RExt tool set (implicit/explicit RDPCM with
+    the sample-adaptive-prediction edge-filter disable, residual
+    rotation, single sig ctx, persistent Rice) at 10-bit must decode
+    byte-identically (reference TComPrediction.cpp:481
+    enableEdgeFilters, TComTrQuant::invRdpcmNxN bypass path)."""
+    data, hm_rec = _hm_encode(
+        tmp_path, "encoder_lowdelay_main_rext.cfg",
+        ["--TransquantBypassEnableFlag=1", "--CUTransquantBypassFlagForce=1",
+         "--SEIDecodedPictureHash=1", "--TransformSkip=1",
+         "--ResidualRotation=1", "--ImplicitResidualDPCM=1",
+         "--ExplicitResidualDPCM=1", "--SingleSignificanceMapContext=1",
+         "--GolombRiceParameterAdaptation=1", "--InternalBitDepth=10"])
+    ours, dec = _decode_ours(data, bit_depth=10)
+    assert ours == hm_rec
+    assert all(s == "OK" for s in dec.hash_status)
+
+
 def _write_hm_scaling_file(path, seed=3):
     """HM-format scaling list file with non-default values (reference
     TComScalingList::outputScalingLists layout)."""
