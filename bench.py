@@ -78,15 +78,22 @@ def measure_ours(cfg_path, clip, w, h, frames, qp, warmup):
     enc = EncoderTop(cfg)
     t_start = None
     done = 0
+    planes = rd.read()
+    enc.prefetch_frame(planes)
     for i in range(frames):
-        planes = rd.read()
+        nxt = rd.read() if i + 1 < frames else None
         if i == warmup:
             timers.reset()
             timers.enabled = True
             t_start = time.time()
+        if nxt is not None:
+            # one-frame lookahead (same as the CLI): the next frame's
+            # device work runs under this frame's host work
+            enc.prefetch_frame(nxt)
         enc.encode_frame(planes)
         if t_start is not None:
             done += 1
+        planes = nxt
     enc.flush()
     elapsed = time.time() - t_start if t_start else 1e9
     timers.enabled = False

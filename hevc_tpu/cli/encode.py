@@ -82,7 +82,7 @@ def main(argv=None) -> int:
     with open(cfg.bitstream_file, "wb") as out:
         planes = rd.read() if n > 0 else None
         if planes is not None and not cfg.field_coding:
-            enc.prefetch_intra_screen(planes)
+            enc.prefetch_frame(planes)
         i = 0
         while planes is not None and i < n:
             nxt = rd.read() if i + 1 < n else None
@@ -93,9 +93,10 @@ def main(argv=None) -> int:
                 out.write(enc.encode_frame([pl[second::2] for pl in planes]))
             else:
                 if nxt is not None:
-                    # one-frame lookahead: the next frame's device intra
-                    # prescreen runs under this frame's host work
-                    enc.prefetch_intra_screen(nxt)
+                    # one-frame lookahead: the next frame's device work
+                    # (intra prescreen / integer ME against the final
+                    # references) runs under this frame's host work
+                    enc.prefetch_frame(nxt)
                 out.write(enc.encode_frame(planes))
             report()
             planes = nxt

@@ -71,7 +71,8 @@ class NativeFrameEncoder:
                  search_range: int = 24, cu_depth_target: int = 1,
                  me_provider=None, ref_dev=None, ref1_dev=None,
                  intra_screen=None, lam: Optional[float] = None,
-                 mesh=None, mesh_axis: Optional[str] = None):
+                 mesh=None, mesh_axis: Optional[str] = None,
+                 me_prefetch=None, ref_pocs=None, ref1_pocs=None):
         """ref_planes / ref1_planes: a single [Y, Cb, Cr] plane list or a
         list of them — one entry per active reference of the list
         (reference TEncSearch::predInterSearch per-refIdx loop,
@@ -115,6 +116,13 @@ class NativeFrameEncoder:
         # optional callable(size, range, lam_fp) -> (gx, gy) or None:
         # precomputed (mesh-sharded lookahead) integer-ME grids (ref 0)
         self.me_provider = me_provider
+        # optional zero-arg resolver -> {ref cvs_poc: (gx, gy, gx2, gy2)}
+        # covering BOTH lists: EncoderTop's one-frame ME lookahead — the
+        # search was dispatched during the previous frame's encode and
+        # has already computed under that frame's host work
+        self.me_prefetch = me_prefetch
+        self.ref_pocs = ref_pocs
+        self.ref1_pocs = ref1_pocs
         # optional zero-arg resolver for an already-dispatched device
         # intra prescreen (EncoderTop's one-frame lookahead hides the
         # device round trip behind the previous frame's host work)
@@ -140,20 +148,37 @@ class NativeFrameEncoder:
             depth = self.sps.bit_depth_luma
             timers_cm = timers.section("me_device")
             timers_cm.__enter__()
-            # one upload of the source plane serves every ref's search.
-            # Under a mesh the device path runs on any backend (the CPU
-            # mesh of tests / the driver dry run included).
-            orig_dev = None
-            if jax.default_backend() != "cpu" or self.mesh is not None:
-                dt = np.uint8 if depth <= 8 else np.int16
-                orig_dev = jax.device_put(
-                    np.ascontiguousarray(orig[0].astype(dt)))
             me_x, me_y = [], []
             # the 16-grid (deeper inter quadtree) is on by default and
             # rides the same device dispatch as the CU-grid search
             want16 = (_os.environ.get("HEVC_TPU_CU16", "1") != "0"
                       and size > 16)
             n0, n1 = len(self.ref), len(self.ref1) if self.is_b else 0
+            prefetched = self.me_prefetch is not None and want16
+            if prefetched:
+                # the one-frame lookahead already dispatched this frame's
+                # whole search (both lists, both grid sizes) during the
+                # PREVIOUS frame's encode; resolving here only waits out
+                # whatever device time was not hidden under host work
+                pre = self.me_prefetch()
+                me_x = [pre[p][0] for p in self.ref_pocs]
+                me_y = [pre[p][1] for p in self.ref_pocs]
+                me16_x = [pre[p][2] for p in self.ref_pocs]
+                me16_y = [pre[p][3] for p in self.ref_pocs]
+                if any(g is None for g in me16_x):
+                    me16_x = me16_y = None
+                if self.is_b:
+                    me1_x = [pre[p][0] for p in self.ref1_pocs]
+                    me1_y = [pre[p][1] for p in self.ref1_pocs]
+            # one upload of the source plane serves every ref's search.
+            # Under a mesh the device path runs on any backend (the CPU
+            # mesh of tests / the driver dry run included).
+            orig_dev = None
+            if not prefetched and (jax.default_backend() != "cpu"
+                                   or self.mesh is not None):
+                dt = np.uint8 if depth <= 8 else np.int16
+                orig_dev = jax.device_put(
+                    np.ascontiguousarray(orig[0].astype(dt)))
             all_dev = (orig_dev is not None and self.me_provider is None
                        and _os.environ.get("HEVC_TPU_ME_MULTI", "1") != "0"
                        and len(self.ref_dev) >= n0
@@ -204,7 +229,7 @@ class NativeFrameEncoder:
                 if self.is_b:
                     me1_x = [out[i][0] for i in l1s]
                     me1_y = [out[i][1] for i in l1s]
-            else:
+            elif not prefetched:
                 for r, ref in enumerate(self.ref):
                     pre = (self.me_provider(size, self.search_range,
                                             self.lam_fp)
@@ -229,7 +254,8 @@ class NativeFrameEncoder:
                         me16_y.append(gy)
                     if any(g is None for g in me16_x):
                         me16_x = me16_y = None
-            if self.is_b and self.ref1 is not None and not all_dev:
+            if (self.is_b and self.ref1 is not None and not all_dev
+                    and not prefetched):
                 # list-1 integer search (B slices; reference
                 # predInterSearch list-1 loop)
                 me1_x, me1_y = [], []

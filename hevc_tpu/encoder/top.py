@@ -10,6 +10,7 @@ and hash-SEI assembly :1593-1692). Supports three GOP shapes:
 """
 from __future__ import annotations
 
+import math
 import os
 from collections import deque
 from typing import Dict, List, Optional, Tuple
@@ -299,6 +300,14 @@ class EncoderTop:
         # link is paid once (the reference re-ships the search window per
         # CTU, TEncOpenCL.cpp:271)
         self._dev_refs: Dict[int, object] = {}
+        # one-frame ME lookahead (prefetch_frame): the NEXT frame's
+        # integer search against every already-final reference is
+        # dispatched before the CURRENT frame's encode, so the device
+        # computes it under this frame's host work; the last reference
+        # (the current frame's recon) dispatches as soon as SAO finishes.
+        # Keyed by display POC — two entries can be alive at once (the
+        # frame about to be consumed and the freshly prefetched one).
+        self._me_pending: Dict[int, dict] = {}
 
     def _dev_ref(self, poc: int, planes):
         ref = self._dev_refs.get(poc)
@@ -308,7 +317,12 @@ class EncoderTop:
             from ..ops.interp import pad_plane
             from .native_frame import PAD
             y = planes[0]
-            if jax.default_backend() == "cpu" and self.mesh is None:
+            if (jax.default_backend() == "cpu" and self.mesh is None
+                    and os.environ.get("HEVC_TPU_ME_PREFETCH_CPU",
+                                       "0") != "1"):
+                # CPU fallback path searches host-side — device copies
+                # would be pure overhead (tests opt in via the env knob
+                # to exercise the full async prefetch pipeline)
                 return None
             dt = np.uint8 if self.sps.bit_depth_luma <= 8 else np.int16
             padded = np.ascontiguousarray(
@@ -335,6 +349,161 @@ class EncoderTop:
         self._intra_screen_q.append(screen_frame_async(
             np.ascontiguousarray(planes[0], np.int16),
             self.cfg.internal_bit_depth, _math.sqrt(lam)))
+
+    def prefetch_frame(self, planes: List[np.ndarray]) -> None:
+        """One-frame lookahead: dispatch the NEXT frame's device work
+        (intra prescreen or integer motion search) so it computes under
+        the CURRENT frame's host work. Call with frame N+1's planes just
+        before encode_frame(frame N). Always safe — a frame whose
+        prediction structure cannot be prefetched simply takes the
+        synchronous path."""
+        self.prefetch_intra_screen(planes)
+        self._prefetch_me(planes)
+
+    def _next_frame_plan(self):
+        """Predict the NEXT submitted frame's coding parameters (cvs_poc,
+        slice type, QP, λ, reference POCs) from the deterministic
+        low-delay GOP structure — the same selection _encode_streaming
+        will make once the current frame is coded. Returns None when the
+        prediction is not deterministic (reordered GOPs, rate control) or
+        the next frame is intra."""
+        cfg = self.cfg
+        if self.reordered or self.rc is not None:
+            return None
+        npoc = self.poc + 1
+        cur_is_intra = (self.poc == 0 or
+                        (cfg.intra_period > 0 and
+                         self.poc % max(cfg.intra_period, 1) == 0))
+        if cfg.intra_period > 0 and npoc % max(cfg.intra_period, 1) == 0:
+            return None
+        last_idr = self.poc if cur_is_intra else self.last_idr_poc
+        gop_poc = npoc - last_idr
+        cur_cvs = 0 if cur_is_intra else self.poc - self.last_idr_poc
+        entries = cfg.gop_entries
+        is_b = False
+        if entries:
+            entry = entries[(gop_poc - 1) % len(entries)]
+            qp_off, qf = entry.qp_offset, entry.qp_factor
+            is_b = entry.slice_type == "B"
+        else:
+            entry = None
+            qp_off = (3, 2, 3, 1)[(gop_poc - 1) % 4]
+            qf = (0.4624, 0.4624, 0.4624, 0.578)[(gop_poc - 1) % 4]
+        slice_qp = int(np.clip(cfg.qp + qp_off, 0, 51))
+        # future DPB = (cleared at a current-frame IDR) + current frame
+        future = set() if cur_is_intra else set(self.dpb)
+        future.add(cur_cvs)
+        if entry is not None and entry.reference_pics:
+            avail = [d for d in entry.reference_pics
+                     if (gop_poc + d) in future]
+            if not avail:
+                avail = [-1]
+            avail.sort(reverse=True)
+            nact = max(1, min(entry.num_ref_pics_active or 1, len(avail)))
+            ref_pocs = [gop_poc + d for d in avail[:nact]]
+        else:
+            ref_pocs = [gop_poc - 1]
+        pic_lam = hm_pic_lambda(slice_qp, self.gop_size or 1, gop_poc,
+                                qf, False)
+        return {"display_poc": npoc, "cvs_poc": gop_poc,
+                "cur_cvs": cur_cvs, "is_b": is_b, "qf": qf,
+                "slice_qp": slice_qp, "lam": pic_lam,
+                "ref_pocs": ref_pocs}
+
+    def _prefetch_me(self, planes: List[np.ndarray]) -> None:
+        """Dispatch the next frame's integer ME for every reference that
+        is ALREADY final. The current frame's own recon (usually ref 0)
+        dispatches later, as soon as its SAO completes inside
+        _encode_au — by the time the next frame's CU engine needs the MV
+        grids the device has computed them under host work."""
+        import os as _osm
+        cfg = self.cfg
+        if (cfg.intra_period == 1 or self.mesh is not None
+                or self.me_provider is not None
+                or _osm.environ.get("HEVC_TPU_ME_PREFETCH", "1") == "0"
+                or _osm.environ.get("HEVC_TPU_ME_MULTI", "1") == "0"
+                or _osm.environ.get("HEVC_TPU_NATIVE_RECON", "1") == "0"
+                or self.sps.chroma_format_idc != 1
+                or self.sps.scaling_list_data is not None):
+            return
+        import jax
+        if (jax.default_backend() == "cpu" and _osm.environ.get(
+                "HEVC_TPU_ME_PREFETCH_CPU", "0") != "1"):
+            return
+        plan = self._next_frame_plan()
+        if plan is None:
+            return
+        from ..ops import me_mxu
+        from .native_frame import PAD
+        depth = self.sps.bit_depth_luma
+        size = self.sps.ctu_size >> 1
+        want16 = (_osm.environ.get("HEVC_TPU_CU16", "1") != "0"
+                  and size > 16)
+        if not want16:
+            return  # the sync single-grid path stays as-is
+        r = cfg.search_range
+        lam_fp = int(65536.0 * math.sqrt(plan["lam"]))
+        dt = np.uint8 if depth <= 8 else np.int16
+        orig_dev = jax.device_put(np.ascontiguousarray(
+            np.asarray(planes[0], np.int16).astype(dt)))
+        ready = [p for p in plan["ref_pocs"]
+                 if p != plan["cur_cvs"] and p in self.dpb]
+        parts = []
+        if ready:
+            devs = [self._dev_ref(p, self.dpb[p]) for p in ready]
+            if any(d is None for d in devs):
+                return
+            parts.append((ready, me_mxu.me_grids_multi2_async(
+                orig_dev, devs, size, 16, r, lam_fp, pad=PAD,
+                depth=depth)))
+        self._me_pending[plan["display_poc"]] = {
+            "params": (size, r, lam_fp, depth),
+            "orig_dev": orig_dev, "ref_pocs": plan["ref_pocs"],
+            "parts": parts}
+
+    def _me_pending_late_dispatch(self, cvs_poc: int) -> None:
+        """Called as soon as the current frame's recon is final (post-SAO)
+        and uploaded: dispatch any pending next-frame search that was
+        waiting for this reference."""
+        from ..ops import me_mxu
+        from .native_frame import PAD
+        for mp in self._me_pending.values():
+            if cvs_poc not in mp["ref_pocs"]:
+                continue
+            covered = {p for pocs, _ in mp["parts"] for p in pocs}
+            missing = [p for p in mp["ref_pocs"]
+                       if p not in covered and p in self._dev_refs]
+            if not missing:
+                continue
+            size, r, lam_fp, depth = mp["params"]
+            mp["parts"].append((missing, me_mxu.me_grids_multi2_async(
+                mp["orig_dev"], [self._dev_refs[p] for p in missing],
+                size, 16, r, lam_fp, pad=PAD, depth=depth)))
+
+    def _me_pending_take(self, display_poc, ref_l0, ref_l1, lam_fp,
+                         size, r, depth):
+        """Return a zero-arg resolver of {poc: (gx, gy, gx2, gy2)} when a
+        prefetched search covers this frame's exact reference lists and
+        search parameters; None otherwise. Consumes the pending entry."""
+        for stale in [p for p in self._me_pending if p < display_poc]:
+            del self._me_pending[stale]
+        mp = self._me_pending.pop(display_poc, None)
+        if mp is None or mp["params"] != (size, r, lam_fp, depth):
+            return None
+        need = {p for p, _ in ref_l0} | \
+               ({p for p, _ in ref_l1} if ref_l1 else set())
+        covered = {p for pocs, _ in mp["parts"] for p in pocs}
+        if not need <= covered:
+            return None
+        parts = mp["parts"]
+
+        def resolve():
+            out = {}
+            for pocs, collect in parts:
+                for poc, grids in zip(pocs, collect()):
+                    out[poc] = grids
+            return out
+        return resolve
 
     def _idr_scope_seis(self) -> List[bytes]:
         """IRAP-scoped informative SEIs from the cfg surface (reference
@@ -787,6 +956,11 @@ class EncoderTop:
                 set_collocated(senc, self.dpb_motion[col_poc], True)
             if use_native:
                 from .native_frame import NativeFrameEncoder
+                me_pre = self._me_pending_take(
+                    display_poc, ref_l0, ref_l1 if is_b else None,
+                    int(65536.0 * math.sqrt(pic_lam)),
+                    self.sps.ctu_size >> 1, cfg.search_range,
+                    self.sps.bit_depth_luma)
                 fe = NativeFrameEncoder(
                     self.sps, slice_qp, senc, sp, qp_factor=qf, is_b=is_b,
                     lam=pic_lam,
@@ -797,6 +971,9 @@ class EncoderTop:
                         (lambda size, r, lam:
                          self.me_provider(display_poc, size, r, lam))
                         if self.me_provider else None),
+                    me_prefetch=me_pre,
+                    ref_pocs=[p for p, _ in ref_l0],
+                    ref1_pocs=[p for p, _ in ref_l1] if is_b else None,
                     ref_dev=[self._dev_ref(p, pl) for p, pl in ref_l0],
                     ref1_dev=[self._dev_ref(p, pl) for p, pl in ref_l1]
                     if is_b else None,
@@ -1187,6 +1364,10 @@ class EncoderTop:
         # work instead of stalling the next frame's motion search
         if self.cfg.intra_period != 1:
             self._dev_ref(cvs_poc, recon)
+            # the prefetched next-frame search was waiting for exactly
+            # this recon — dispatch it now so it computes under the
+            # remaining host work (entropy/hash/IO + next-frame setup)
+            self._me_pending_late_dispatch(cvs_poc)
         # bounded DPB: evict pictures no future RPS can reference
         # (reference TComSlice::applyReferencePictureSet bumping)
         keep = self.gop_size + self._max_ref_delta

@@ -322,6 +322,22 @@ def me_grids_multi2(orig_dev, ref_devs, size: int, size2: int, r: int,
     16-grid rides the same launch as the 32-grid instead of a second
     round trip). Returns [(gx, gy, gx2, gy2)] per reference; any grid
     whose dimension is empty is (None, None)."""
+    return me_grids_multi2_async(orig_dev, ref_devs, size, size2, r,
+                                 lam_fp, pad=pad, depth=depth,
+                                 axis_name=axis_name)()
+
+
+def me_grids_multi2_async(orig_dev, ref_devs, size: int, size2: int,
+                          r: int, lam_fp: int, *, pad: int,
+                          depth: int = 8, axis_name=None):
+    """Dispatch the two-grid multi-reference search and return a zero-arg
+    collector. JAX dispatch is asynchronous, so between dispatch and
+    collect the device computes under whatever host work runs — the
+    encoder's one-frame lookahead (EncoderTop.prefetch_frame) uses this
+    to hide the whole integer search under the previous frame's CU
+    engine/entropy (the reference serializes GPU ME against the CPU
+    passes per CTU, TEncOpenCL.cpp:271; here the frame granularity makes
+    cross-frame overlap legal whenever the references are final)."""
     h, w = orig_dev.shape[:2]
     r2 = min(r, 16)
     ny = (h - size) // size + 1 if h >= size else 0
@@ -330,14 +346,16 @@ def me_grids_multi2(orig_dev, ref_devs, size: int, size2: int, r: int,
     nx2 = (w - size2) // size2 + 1 if w >= size2 else 0
     nref = len(ref_devs)
     if ny2 == 0 or nx2 == 0:
-        out = me_grids_multi(orig_dev, ref_devs, size, r, lam_fp, pad=pad,
-                             depth=depth, axis_name=axis_name)
-        return [(gx, gy, None, None) for gx, gy in out]
+        out = [(gx, gy, None, None) for gx, gy in
+               me_grids_multi(orig_dev, ref_devs, size, r, lam_fp,
+                              pad=pad, depth=depth, axis_name=axis_name)]
+        return lambda: out
     if ny == 0 or nx == 0:
         # picture smaller than the large grid: only the small grid runs
-        out = me_grids_multi(orig_dev, ref_devs, size2, r2, lam_fp,
-                             pad=pad, depth=depth, axis_name=axis_name)
-        return [(None, None, gx, gy) for gx, gy in out]
+        out = [(None, None, gx, gy) for gx, gy in
+               me_grids_multi(orig_dev, ref_devs, size2, r2, lam_fp,
+                              pad=pad, depth=depth, axis_name=axis_name)]
+        return lambda: out
     npad = 1
     while npad < nref:
         npad *= 2
@@ -349,15 +367,18 @@ def me_grids_multi2(orig_dev, ref_devs, size: int, size2: int, r: int,
         jnp.asarray(bits0_table(r2)), jnp.int32(lam_q8_of(lam_fp)),
         size=size, size2=size2, r=r, r2=r2, ny=ny, nx=nx, ny2=ny2,
         nx2=nx2, pad=pad, depth=depth, axis_name=axis_name)
-    i1, i2 = np.asarray(i1), np.asarray(i2)
-    out = []
-    for k in range(nref):
-        gy = (i1[k] // nyx - r).astype(np.int32).reshape(ny, nx)
-        gx = (i1[k] % nyx - r).astype(np.int32).reshape(ny, nx)
-        gy2 = (i2[k] // nyx2 - r2).astype(np.int32).reshape(ny2, nx2)
-        gx2 = (i2[k] % nyx2 - r2).astype(np.int32).reshape(ny2, nx2)
-        out.append((gx, gy, gx2, gy2))
-    return out
+
+    def collect():
+        a1, a2 = np.asarray(i1), np.asarray(i2)
+        out = []
+        for k in range(nref):
+            gy = (a1[k] // nyx - r).astype(np.int32).reshape(ny, nx)
+            gx = (a1[k] % nyx - r).astype(np.int32).reshape(ny, nx)
+            gy2 = (a2[k] // nyx2 - r2).astype(np.int32).reshape(ny2, nx2)
+            gx2 = (a2[k] % nyx2 - r2).astype(np.int32).reshape(ny2, nx2)
+            out.append((gx, gy, gx2, gy2))
+        return out
+    return collect
 
 
 def me_grids_multi(orig_dev, ref_devs, size: int, r: int, lam_fp: int, *,
