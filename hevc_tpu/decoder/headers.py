@@ -383,7 +383,6 @@ def parse_pps(rbsp: bytes) -> PPS:
     pps.pps_slice_chroma_qp_offsets_present_flag = br.flag()
     pps.weighted_pred_flag = br.flag()
     pps.weighted_bipred_flag = br.flag()
-    assert not pps.weighted_bipred_flag, "bi-pred WP not supported"
     pps.transquant_bypass_enabled_flag = br.flag()
     pps.tiles_enabled_flag = br.flag()
     pps.entropy_coding_sync_enabled_flag = br.flag()

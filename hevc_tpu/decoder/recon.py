@@ -167,7 +167,7 @@ class CtuReconstructor:
         if r is not None:
             pred = pred + r
         plane[y0:y0 + size, x0:x0 + size] = np.clip(
-            pred, 0, (1 << self.bd) - 1).astype(np.int16)
+            pred, 0, (1 << self.bd) - 1)
         return r
 
     def _add_resid(self, recon, pred, x0, y0, size, c_idx, coeffs,
@@ -183,7 +183,7 @@ class CtuReconstructor:
         if r is not None:
             pred = pred + r
         recon[c_idx][y0:y0 + size, x0:x0 + size] = np.clip(
-            pred, 0, (1 << self.bd) - 1).astype(np.int16)
+            pred, 0, (1 << self.bd) - 1)
         return r
 
     def recon_ctu(self, d, cx: int, cy: int, recon: List[np.ndarray],
@@ -380,6 +380,31 @@ class CtuReconstructor:
         cx, cy = px >> csx, py >> csy
         if r0 >= 0 and r1 >= 0:  # bi-prediction (spec 8.5.3.3.3)
             f0, f1 = self.refs_l0[r0], self.refs_l1[r1]
+            if self.wp_tables is not None:
+                # explicit weighted bi-pred (pps weighted_bipred_flag,
+                # spec 8.5.3.3.4.3): refs without signalled weights take
+                # the defaults w = 1 << denom, o = 0 (which reduce to the
+                # default bi rounding) — reference addWeightBi
+                from ..ops.interp import mc_predict_bi_wp_np
+                ld, cd = self.wp_denoms
+                lw0, cw0 = self._wp_of(0, r0)
+                lw1, cw1 = self._wp_of(1, r1)
+                lw0 = lw0 or (1 << ld, 0)
+                lw1 = lw1 or (1 << ld, 0)
+                cw0 = cw0 or [(1 << cd, 0), (1 << cd, 0)]
+                cw1 = cw1 or [(1 << cd, 0), (1 << cd, 0)]
+                py_ = mc_predict_bi_wp_np(
+                    f0[0], f1[0], PAD, mv, mv1, px, py, pw, ph,
+                    lw0[0], lw0[1], lw1[0], lw1[1], ld, self.bd, True)
+                pcb = mc_predict_bi_wp_np(
+                    f0[1], f1[1], PAD, mv, mv1, cx, cy, cw, chh,
+                    cw0[0][0], cw0[0][1], cw1[0][0], cw1[0][1], cd,
+                    self.bd, False, chroma_shift=(csx, csy))
+                pcr = mc_predict_bi_wp_np(
+                    f0[2], f1[2], PAD, mv, mv1, cx, cy, cw, chh,
+                    cw0[1][0], cw0[1][1], cw1[1][0], cw1[1][1], cd,
+                    self.bd, False, chroma_shift=(csx, csy))
+                return py_, pcb, pcr
             py_ = mc_predict_bi_np(f0[0], f1[0], PAD, mv, mv1,
                                    px, py, pw, ph, self.bd, True)
             pcb = mc_predict_bi_np(f0[1], f1[1], PAD, mv, mv1, cx,

@@ -202,9 +202,11 @@ class DecoderTop:
         sps = self.sps
         w, h = sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples
         sx, sy = sps.chroma_shift_x, sps.chroma_shift_y
-        recon = [np.zeros((h, w), np.int16),
-                 np.zeros((h >> sy, w >> sx), np.int16),
-                 np.zeros((h >> sy, w >> sx), np.int16)]
+        # sample dtype: int16 through 14-bit, int32 for 16-bit video
+        pdt = np.int16 if sps.bit_depth_luma <= 14 else np.int32
+        recon = [np.zeros((h, w), pdt),
+                 np.zeros((h >> sy, w >> sx), pdt),
+                 np.zeros((h >> sy, w >> sx), pdt)]
         ctus_w = sps.pic_width_in_ctus
         ctus_h = sps.pic_height_in_ctus
         self._pic = {

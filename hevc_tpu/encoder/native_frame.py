@@ -52,7 +52,9 @@ def batched_me_grid(orig_y: np.ndarray, ref_padded_y: np.ndarray, size: int,
     import jax
 
     from ..ops import me_mxu
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" or depth > 14:
+        # 16-bit samples exceed the int16 device layout (high-bit-depth
+        # parity path, not a throughput path) — use the exact numpy twin
         return me_mxu.me_grid_ssd_np(orig_y, ref_padded_y, size, R,
                                      lam_fp, pad=PAD, depth=depth)
     dt = np.uint8 if depth <= 8 else np.int16
@@ -106,7 +108,9 @@ class NativeFrameEncoder:
                 return None
             if len(refs) and isinstance(refs[0], np.ndarray):
                 refs = [refs]
-            return [[np.ascontiguousarray(pad_plane(p, PAD)) for p in r]
+            pdt = np.int16 if sps.bit_depth_luma <= 14 else np.int32
+            return [[np.ascontiguousarray(
+                pad_plane(np.asarray(p, pdt), PAD)) for p in r]
                     for r in refs]
 
         self.ref = norm(ref_planes)
@@ -137,10 +141,13 @@ class NativeFrameEncoder:
         ctu = sps.ctu_size
         cfmt = sps.chroma_format_idc
         csx = 0 if cfmt == 3 else 1
-        orig = [np.ascontiguousarray(p, np.int16) for p in orig]
-        recon = [np.zeros((h, w), np.int16),
-                 np.zeros((h >> csx, w >> csx), np.int16),
-                 np.zeros((h >> csx, w >> csx), np.int16)]
+        # sample dtype: int16 through 14-bit internal depth, int32 for
+        # 16-bit (high-bit-depth build; reference TypeDef.h:698)
+        pdt = np.int16 if sps.bit_depth_luma <= 14 else np.int32
+        orig = [np.ascontiguousarray(p, pdt) for p in orig]
+        recon = [np.zeros((h, w), pdt),
+                 np.zeros((h >> csx, w >> csx), pdt),
+                 np.zeros((h >> csx, w >> csx), pdt)]
         from ..utils.timing import timers
         me_x = me_y = me16_x = me16_y = me1_x = me1_y = None
         if self.is_inter:
@@ -174,8 +181,9 @@ class NativeFrameEncoder:
             # Under a mesh the device path runs on any backend (the CPU
             # mesh of tests / the driver dry run included).
             orig_dev = None
-            if not prefetched and (jax.default_backend() != "cpu"
-                                   or self.mesh is not None):
+            if (not prefetched and depth <= 14
+                    and (jax.default_backend() != "cpu"
+                         or self.mesh is not None)):
                 dt = np.uint8 if depth <= 8 else np.int16
                 orig_dev = jax.device_put(
                     np.ascontiguousarray(orig[0].astype(dt)))
@@ -270,8 +278,11 @@ class NativeFrameEncoder:
                     me1_y.append(gy)
             timers_cm.__exit__(None, None, None)
         intra_hints = None
-        if (self.sp.slice_type == 2 and _os.environ.get(
+        if (self.sp.slice_type == 2 and sps.bit_depth_luma <= 14
+                and _os.environ.get(
                 "HEVC_TPU_INTRA_SCREEN", "1") != "0"):
+            # (16-bit samples exceed the device prescreen's int16 layout;
+            # the engine then tries all 35 modes — parity path)
             # device 35-mode prescreen: per-block candidate mode lists
             # for the whole frame in batched launches
             with timers.section("intra_device"):

@@ -324,6 +324,8 @@ class EncoderTop:
                 # would be pure overhead (tests opt in via the env knob
                 # to exercise the full async prefetch pipeline)
                 return None
+            if self.sps.bit_depth_luma > 14:
+                return None  # 16-bit: host ME path (no int16 device refs)
             dt = np.uint8 if self.sps.bit_depth_luma <= 8 else np.int16
             padded = np.ascontiguousarray(
                 pad_plane(np.asarray(y, np.int16), PAD).astype(dt))
@@ -341,6 +343,7 @@ class EncoderTop:
         import math as _math
         import os as _osm
         if (self.cfg.intra_period != 1
+                or self.cfg.internal_bit_depth > 14
                 or _osm.environ.get("HEVC_TPU_INTRA_SCREEN", "1") == "0"
                 or _osm.environ.get("HEVC_TPU_NATIVE_RECON", "1") == "0"):
             return
@@ -419,6 +422,7 @@ class EncoderTop:
         import os as _osm
         cfg = self.cfg
         if (cfg.intra_period == 1 or self.mesh is not None
+                or cfg.internal_bit_depth > 14
                 or self.me_provider is not None
                 or _osm.environ.get("HEVC_TPU_ME_PREFETCH", "1") == "0"
                 or _osm.environ.get("HEVC_TPU_ME_MULTI", "1") == "0"
@@ -839,7 +843,7 @@ class EncoderTop:
             sp.persistent_rice = \
                 self.sps.persistent_rice_adaptation_enabled_flag
             sp.bypass_align = self.sps.cabac_bypass_alignment_enabled_flag
-            senc = SliceDataEncoder(sp)
+            senc = SliceDataEncoder(sp, self.sps.bit_depth_luma > 14)
             if sh.slice_temporal_mvp_enabled_flag:
                 from ..entropy.cabac import set_collocated
                 set_collocated(senc, self.dpb_motion[l0_poc], True)
@@ -950,7 +954,7 @@ class EncoderTop:
             sp.persistent_rice = \
                 self.sps.persistent_rice_adaptation_enabled_flag
             sp.bypass_align = self.sps.cabac_bypass_alignment_enabled_flag
-            senc = SliceDataEncoder(sp)
+            senc = SliceDataEncoder(sp, self.sps.bit_depth_luma > 14)
             if sh.slice_temporal_mvp_enabled_flag:
                 from ..entropy.cabac import set_collocated
                 set_collocated(senc, self.dpb_motion[col_poc], True)
@@ -1019,7 +1023,7 @@ class EncoderTop:
                     else:
                         spi = SliceParamsC.from_buffer_copy(sp)
                         spi.slice_start_ctu = start_rs
-                        senc_i = SliceDataEncoder(spi)
+                        senc_i = SliceDataEncoder(spi, self.sps.bit_depth_luma > 14)
                         if sh.slice_temporal_mvp_enabled_flag:
                             from ..entropy.cabac import set_collocated
                             set_collocated(senc_i,

@@ -18,7 +18,11 @@ _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
 # `make tsan` for the threaded-wavefront race check)
 _LIB_PATH = os.environ.get(
     "HEVC_TPU_LIB", os.path.join(_NATIVE_DIR, "libhevc_entropy.so"))
-_lib = None
+# pel32=True loads the high-bit-depth build (samples as int32, 16-bit
+# video) — the reference's dual-build scheme (make all_highbitdepth,
+# TypeDef.h:698 typedef Int Pel)
+_HBD_PATH = os.path.join(_NATIVE_DIR, "libhevc_entropy_hbd.so")
+_libs: dict = {}
 
 
 class SliceParamsC(ctypes.Structure):
@@ -55,21 +59,29 @@ class SliceParamsC(ctypes.Structure):
         ("tq_bypass", ctypes.c_int32)]
 
 
-def _build() -> None:
-    subprocess.run(["make", "-s"], cwd=_NATIVE_DIR, check=True)
+def _build(target: str = "") -> None:
+    cmd = ["make", "-s"] + ([target] if target else [])
+    subprocess.run(cmd, cwd=_NATIVE_DIR, check=True)
 
 
-def get_lib() -> ctypes.CDLL:
-    global _lib
-    if _lib is not None:
-        return _lib
+def get_lib(pel32: bool = False) -> ctypes.CDLL:
+    cached = _libs.get(pel32)
+    if cached is not None:
+        return cached
+    path = _HBD_PATH if pel32 else _LIB_PATH
     srcs = [os.path.join(_NATIVE_DIR, f) for f in os.listdir(_NATIVE_DIR)
             if f.endswith((".cpp", ".h"))]
-    if (not os.path.exists(_LIB_PATH)
-            or any(os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
+    if (not os.path.exists(path)
+            or any(os.path.getmtime(s) > os.path.getmtime(path)
                    for s in srcs)):
-        _build()
-    lib = ctypes.CDLL(_LIB_PATH)
+        _build("hbd" if pel32 else "")
+    lib = ctypes.CDLL(path)
+    lib.hevc_pel_bits.restype = ctypes.c_int
+    assert lib.hevc_pel_bits() == (32 if pel32 else 16), path
+    # sample-plane (pel) argument types for this build
+    c_pel = ctypes.c_int32 if pel32 else ctypes.c_int16
+    pel_np = np.ctypeslib.ndpointer(np.int32 if pel32 else np.int16,
+                                    flags="C_CONTIGUOUS")
     lib.hevc_enc_create.restype = ctypes.c_void_p
     lib.hevc_enc_create.argtypes = [ctypes.POINTER(SliceParamsC)]
     lib.hevc_enc_destroy.argtypes = [ctypes.c_void_p]
@@ -127,14 +139,14 @@ def get_lib() -> ctypes.CDLL:
     lib.hevc_enc_end_flag.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.hevc_enc_segment_cut.restype = ctypes.c_long
     lib.hevc_enc_segment_cut.argtypes = [ctypes.c_void_p]
-    i16null = ctypes.POINTER(ctypes.c_int16)
-    pp16 = ctypes.POINTER(ctypes.POINTER(ctypes.c_int16))
+    pelnull = ctypes.POINTER(c_pel)
+    pppel = ctypes.POINTER(ctypes.POINTER(c_pel))
     pp32 = ctypes.POINTER(ctypes.POINTER(ctypes.c_int32))
     lib.hevc_engine_create.restype = ctypes.c_void_p
     lib.hevc_engine_create.argtypes = (
         [ctypes.POINTER(SliceParamsC), ctypes.POINTER(EngineParamsC),
-         ctypes.c_void_p] + [i16null] * 6
-        + [pp16, ctypes.c_int, pp16, ctypes.c_int]
+         ctypes.c_void_p] + [pelnull] * 6
+        + [pppel, ctypes.c_int, pppel, ctypes.c_int]
         + [pp32, pp32, ctypes.c_int, ctypes.c_int]
         + [pp32, pp32, ctypes.c_int, ctypes.c_int]
         + [pp32, pp32])
@@ -177,12 +189,12 @@ def get_lib() -> ctypes.CDLL:
         + stacked)
     lib.hevc_enc_frame_order_segments.restype = ctypes.c_long
     lib.hevc_sao_estimate.argtypes = (
-        [i16p] * 6 + [ctypes.c_int] * 4 + [ctypes.c_double,
+        [pel_np] * 6 + [ctypes.c_int] * 4 + [ctypes.c_double,
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int])
     lib.hevc_sao_apply.argtypes = (
-        [i16p] * 6 + [np.ctypeslib.ndpointer(np.int32,
+        [pel_np] * 6 + [np.ctypeslib.ndpointer(np.int32,
                                              flags="C_CONTIGUOUS")]
         + [ctypes.c_int] * 5)
     lib.hevc_dec_create.restype = ctypes.c_void_p
@@ -199,7 +211,7 @@ def get_lib() -> ctypes.CDLL:
         u8p, i8p, i16p, i16p, i16p, i16p,
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         u8p, i8p, i8p]
-    _lib = lib
+    _libs[pel32] = lib
     return lib
 
 
@@ -297,8 +309,11 @@ class EngineParamsC(ctypes.Structure):
 
 
 class SliceDataEncoder:
-    def __init__(self, params: SliceParamsC):
-        self._lib = get_lib()
+    def __init__(self, params: SliceParamsC, pel32: bool = False):
+        # pel32: use the high-bit-depth build (16-bit video) so the
+        # native CU engine created on top of this handle shares one
+        # library instance
+        self._lib = get_lib(pel32)
         self._h = self._lib.hevc_enc_create(ctypes.byref(params))
 
     def begin_slice(self) -> None:
@@ -451,10 +466,14 @@ class SliceDataDecoder:
             self._h = None
 
 
-def _i16ptr(arr):
+def _pelptr(arr):
+    """Sample-plane pointer: the array dtype (int16 default / int32
+    high-bit-depth) selects the pointer type, which ctypes checks against
+    the loaded build's signature."""
     if arr is None:
         return None
-    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+    ct = ctypes.c_int32 if arr.dtype == np.int32 else ctypes.c_int16
+    return arr.ctypes.data_as(ctypes.POINTER(ct))
 
 
 def _i32ptr(arr):
@@ -484,13 +503,14 @@ def _as_grid_list(g, n):
     return (lst + [None] * n)[:n]
 
 
-def _plane_ptr_array(ref_list):
-    """Flattened (int16*)[nref*3] ctypes array for the engine."""
+def _plane_ptr_array(ref_list, pel32=False):
+    """Flattened (pel_t*)[nref*3] ctypes array for the engine."""
     n = len(ref_list)
-    arr = (ctypes.POINTER(ctypes.c_int16) * max(1, n * 3))()
+    ct = ctypes.c_int32 if pel32 else ctypes.c_int16
+    arr = (ctypes.POINTER(ct) * max(1, n * 3))()
     for r, planes in enumerate(ref_list):
         for c in range(3):
-            arr[r * 3 + c] = _i16ptr(planes[c])
+            arr[r * 3 + c] = _pelptr(planes[c])
     return arr
 
 
@@ -513,7 +533,8 @@ class NativeCtuEngine:
                  senc: SliceDataEncoder, orig, recon, ref0=None, ref1=None,
                  me_mvx=None, me_mvy=None, me16_mvx=None, me16_mvy=None,
                  me1_mvx=None, me1_mvy=None):
-        self._lib = get_lib()
+        pel32 = orig[0].dtype == np.int32
+        self._lib = get_lib(pel32)
         r0 = _as_ref_list(ref0)
         r1 = _as_ref_list(ref1)
         me_mvx = _as_grid_list(me_mvx, max(1, len(r0)))
@@ -529,16 +550,16 @@ class NativeCtuEngine:
         me_ny, me_nx = first.shape if first is not None else (0, 0)
         first16 = next((g for g in me16_mvx if g is not None), None)
         me16_ny, me16_nx = first16.shape if first16 is not None else (0, 0)
-        r0p = _plane_ptr_array(r0)
-        r1p = _plane_ptr_array(r1)
+        r0p = _plane_ptr_array(r0, pel32)
+        r1p = _plane_ptr_array(r1, pel32)
         gxp, gyp = _grid_ptr_array(me_mvx), _grid_ptr_array(me_mvy)
         g16xp, g16yp = _grid_ptr_array(me16_mvx), _grid_ptr_array(me16_mvy)
         g1xp, g1yp = _grid_ptr_array(me1_mvx), _grid_ptr_array(me1_mvy)
         self._keep += [r0p, r1p, gxp, gyp, g16xp, g16yp, g1xp, g1yp]
         self._h = self._lib.hevc_engine_create(
             ctypes.byref(params), ctypes.byref(ep), senc._h,
-            _i16ptr(orig[0]), _i16ptr(orig[1]), _i16ptr(orig[2]),
-            _i16ptr(recon[0]), _i16ptr(recon[1]), _i16ptr(recon[2]),
+            _pelptr(orig[0]), _pelptr(orig[1]), _pelptr(orig[2]),
+            _pelptr(recon[0]), _pelptr(recon[1]), _pelptr(recon[2]),
             r0p, len(r0), r1p, len(r1),
             gxp, gyp, me_nx, me_ny, g16xp, g16yp, me16_nx, me16_ny,
             g1xp, g1yp)
@@ -585,14 +606,15 @@ def sao_estimate_native(orig, deblocked, sps, bit_depth, lam,
     """C++ SAO parameter estimation (engine.cpp hevc_sao_estimate);
     returns the per-CTU param list in CtuData.sao layout. slice_ids:
     per-CTU raster int32 slice indices (merge never crosses them)."""
-    lib = get_lib()
+    lib = get_lib(bit_depth > 14)
     w = sps.pic_width_in_luma_samples
     h = sps.pic_height_in_luma_samples
     ctu = sps.ctu_size
     nctu = (-(-w // ctu)) * (-(-h // ctu))
     out = np.zeros((nctu, 20), np.int32)
-    o = [np.ascontiguousarray(p, np.int16) for p in orig]
-    dbl = [np.ascontiguousarray(p, np.int16) for p in deblocked]
+    dt = np.int32 if bit_depth > 14 else np.int16
+    o = [np.ascontiguousarray(p, dt) for p in orig]
+    dbl = [np.ascontiguousarray(p, dt) for p in deblocked]
     tc = getattr(sps, "_tile_cols", 0)
     tr = getattr(sps, "_tile_rows", 0)
     sid = None
@@ -691,10 +713,11 @@ def entropy_encode_frame(senc: SliceDataEncoder, ctus_w: int, ctus_h: int,
 def sao_apply_native(deblocked, sao_params, sps, bit_depth):
     """C++ SAO application (engine.cpp hevc_sao_apply); byte-exact twin of
     hevc_tpu.ops.sao.apply_sao."""
-    lib = get_lib()
+    lib = get_lib(bit_depth > 14)
     w = sps.pic_width_in_luma_samples
     h = sps.pic_height_in_luma_samples
-    dbl = [np.ascontiguousarray(p, np.int16) for p in deblocked]
+    dt = np.int32 if bit_depth > 14 else np.int16
+    dbl = [np.ascontiguousarray(p, dt) for p in deblocked]
     out = [np.empty_like(p) for p in dbl]
     prm = np.ascontiguousarray(np.stack([np.asarray(p, np.int32)
                                          for p in sao_params]))
@@ -710,7 +733,7 @@ COL_NONE = -(2 ** 31)   # INT32_MIN sentinel for "list unused / intra"
 def set_collocated(handle_obj, mf, is_encoder: bool) -> None:
     """Attach a collocated picture's motion field (dict with mvx0/mvy0/
     refpoc0/mvx1/mvy1/refpoc1 arrays + poc) for TMVP derivation."""
-    lib = get_lib()
+    lib = handle_obj._lib
     fn = lib.hevc_enc_set_col if is_encoder else lib.hevc_dec_set_col
     rows, stride = mf["mvx0"].shape
     handle_obj._colkeep = mf   # keep arrays alive

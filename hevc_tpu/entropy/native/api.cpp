@@ -5,6 +5,7 @@
 #include <thread>
 #include <vector>
 
+#include "dsp.h"
 #include "syntax.h"
 
 using namespace hevctpu;
@@ -25,6 +26,11 @@ void hevc_set_trace(const char* path) {
 void hevc_trace_note(const char* s) {
   if (hevctpu::g_bin_trace) fprintf(hevctpu::g_bin_trace, "# %s\n", s);
 }
+
+// sample-type width of this build (16 = default, 32 = -DHEVC_PEL32 high-
+// bit-depth build); the Python loader asserts it matches the dtype it
+// will pass (reference dual-build: make all vs make all_highbitdepth)
+int hevc_pel_bits() { return (int)sizeof(hevctpu::pel_t) * 8; }
 
 
 // ---- slice-data encoder ----------------------------------------------------
@@ -199,11 +205,11 @@ extern "C" {
 // pointer arrays ([nref0] each an [me_ny * me_nx] int32 grid, or null).
 void* hevc_engine_create(const SliceParams* sp, const EngineParams* ep,
                          void* senc,
-                         const int16_t* oy, const int16_t* ocb,
-                         const int16_t* ocr, int16_t* ry, int16_t* rcb,
-                         int16_t* rcr,
-                         const int16_t* const* ref0, int nref0,
-                         const int16_t* const* ref1, int nref1,
+                         const pel_t* oy, const pel_t* ocb,
+                         const pel_t* ocr, pel_t* ry, pel_t* rcb,
+                         pel_t* rcr,
+                         const pel_t* const* ref0, int nref0,
+                         const pel_t* const* ref1, int nref1,
                          const int32_t* const* me_mvx,
                          const int32_t* const* me_mvy, int me_nx, int me_ny,
                          const int32_t* const* me16_mvx,
@@ -211,8 +217,8 @@ void* hevc_engine_create(const SliceParams* sp, const EngineParams* ep,
                          int me16_ny,
                          const int32_t* const* me1_mvx,
                          const int32_t* const* me1_mvy) {
-  const int16_t* orig[3] = {oy, ocb, ocr};
-  int16_t* recon[3] = {ry, rcb, rcr};
+  const pel_t* orig[3] = {oy, ocb, ocr};
+  pel_t* recon[3] = {ry, rcb, rcr};
   return new CtuEngine(*sp, *ep, (SliceEncoder*)senc, orig, recon, ref0,
                        nref0, ref1, nref1, me_mvx, me_mvy, me_nx, me_ny,
                        me16_mvx, me16_mvy, me16_nx, me16_ny, me1_mvx,

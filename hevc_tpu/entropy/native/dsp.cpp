@@ -2,6 +2,7 @@
 #include "dsp.h"
 
 #include <algorithm>
+#include <limits>
 #include <cstring>
 
 namespace hevctpu {
@@ -162,8 +163,11 @@ void inv_xform(const int32_t* coef, int n, int bd, bool dst, int32_t* out) {
       for (int c = 0; c < n; ++c)
         acc += tmp[i * n + c] * t[c * n + j];
       int64_t v = (acc + r2) >> s2;
-      out[i * n + j] =
-          (int32_t)std::min<int64_t>(32767, std::max<int64_t>(-32768, v));
+      // second-stage clip = Pel-type protection, not normative (reference
+      // TComTrQuant.cpp:966): +-32767 for int16 samples, no-op at pel32
+      out[i * n + j] = (int32_t)std::min<int64_t>(
+          std::numeric_limits<pel_t>::max(),
+          std::max<int64_t>(std::numeric_limits<pel_t>::min(), v));
     }
 }
 
@@ -256,11 +260,11 @@ int64_t had8(const int32_t d[64]) {
 // NOTE: the Hadamard here is the standard fast transform, which matches the
 // matrix product H d H of intra_frame.satd_many up to a row/col permutation
 // (sum of |.| is permutation-invariant).
-int64_t satd(const int16_t* org, int so, const int32_t* pred, int sp, int n) {
+int64_t satd(const pel_t* org, int so, const int32_t* pred, int sp, int n) {
   return satd_rect(org, so, pred, sp, n, n);
 }
 
-int64_t satd_rect(const int16_t* org, int so, const int32_t* pred, int sp,
+int64_t satd_rect(const pel_t* org, int so, const int32_t* pred, int sp,
                   int w, int h) {
   int t = (w >= 8 && h >= 8) ? 8 : 4;
   int64_t total = 0;
@@ -277,7 +281,7 @@ int64_t satd_rect(const int16_t* org, int so, const int32_t* pred, int sp,
   return total;
 }
 
-void mc_block(const int16_t* ref, int rw, int pad, int x, int y, int w,
+void mc_block(const pel_t* ref, int rw, int pad, int x, int y, int w,
               int h, int fx, int fy, int bd, bool is_luma, bool raw14,
               int32_t* out) {
   int nt = is_luma ? 8 : 4;
@@ -306,7 +310,7 @@ void mc_block(const int16_t* ref, int rw, int pad, int x, int y, int w,
     for (int yy = 0; yy < h; ++yy)
       for (int xx = 0; xx < w; ++xx) {
         int64_t acc = 0;
-        const int16_t* r = ref + (py + yy) * rw + px - off + xx;
+        const pel_t* r = ref + (py + yy) * rw + px - off + xx;
         for (int k = 0; k < nt; ++k) acc += (int64_t)fh[k] * r[k];
         tmp[yy * w + xx] = acc >> shift1;
       }
@@ -314,7 +318,7 @@ void mc_block(const int16_t* ref, int rw, int pad, int x, int y, int w,
     for (int yy = 0; yy < h; ++yy)
       for (int xx = 0; xx < w; ++xx) {
         int64_t acc = 0;
-        const int16_t* r = ref + (py - off + yy) * rw + px + xx;
+        const pel_t* r = ref + (py - off + yy) * rw + px + xx;
         for (int k = 0; k < nt; ++k) acc += (int64_t)fv[k] * r[k * rw];
         tmp[yy * w + xx] = acc >> shift1;
       }
@@ -323,7 +327,7 @@ void mc_block(const int16_t* ref, int rw, int pad, int x, int y, int w,
     for (int yy = 0; yy < h + nt - 1; ++yy)
       for (int xx = 0; xx < w; ++xx) {
         int64_t acc = 0;
-        const int16_t* r = ref + (py - off + yy) * rw + px - off + xx;
+        const pel_t* r = ref + (py - off + yy) * rw + px - off + xx;
         for (int k = 0; k < nt; ++k) acc += (int64_t)fh[k] * r[k];
         mid[yy * w + xx] = acc >> shift1;
       }
@@ -344,7 +348,7 @@ void mc_block(const int16_t* ref, int rw, int pad, int x, int y, int w,
   }
 }
 
-void mc_predict(const int16_t* ref, int rw, int pad, int mvx, int mvy,
+void mc_predict(const pel_t* ref, int rw, int pad, int mvx, int mvy,
                 int x0, int y0, int w, int h, int bd, bool is_luma,
                 int32_t* out) {
   int ix, fx, iy, fy;
@@ -357,7 +361,7 @@ void mc_predict(const int16_t* ref, int rw, int pad, int mvx, int mvy,
            out);
 }
 
-void mc_predict_wp(const int16_t* ref, int rw, int pad, int mvx, int mvy,
+void mc_predict_wp(const pel_t* ref, int rw, int pad, int mvx, int mvy,
                    int x0, int y0, int w, int h, int bd, bool is_luma,
                    int wgt, int off, int denom, int32_t* out) {
   int ix, fx, iy, fy;
@@ -383,11 +387,11 @@ void mc_predict_wp(const int16_t* ref, int rw, int pad, int mvx, int mvy,
   }
 }
 
-void mc_predict_bi(const int16_t* r0, const int16_t* r1, int rw, int pad,
+void mc_predict_bi(const pel_t* r0, const pel_t* r1, int rw, int pad,
                    int mv0x, int mv0y, int mv1x, int mv1y, int x0, int y0,
                    int w, int h, int bd, bool is_luma, int32_t* out) {
   int32_t a[64 * 64], b[64 * 64];
-  auto raw = [&](const int16_t* r, int mvx, int mvy, int32_t* o) {
+  auto raw = [&](const pel_t* r, int mvx, int mvy, int32_t* o) {
     int ix, fx, iy, fy;
     if (is_luma) {
       ix = mvx >> 2; fx = mvx & 3; iy = mvy >> 2; fy = mvy & 3;

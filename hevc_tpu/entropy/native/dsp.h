@@ -12,6 +12,20 @@
 #include <cstdint>
 
 namespace hevctpu {
+
+// Sample (pel) type. The default build stores samples in int16 (internal
+// bit depths up to 14, signed headroom included); compiling with
+// -DHEVC_PEL32 widens every sample plane to int32 for 16-bit video — the
+// same dual-build scheme as the reference's high-bit-depth target
+// (TypeDef.h:698 `typedef Int Pel` under RExt__HIGH_BIT_DEPTH_SUPPORT,
+// built by `make all_highbitdepth`). All intermediate arithmetic below is
+// already int64-safe for 16-bit inputs, so only the plane storage changes.
+#if defined(HEVC_PEL32)
+using pel_t = int32_t;
+#else
+using pel_t = int16_t;
+#endif
+
 namespace dsp {
 
 // n-point HEVC core transform matrix (row-major n*n), derived from the 33
@@ -37,27 +51,27 @@ const int32_t* default_scaling_matrix(int n, bool intra);
 
 // Hadamard SATD between orig (int16, stride so) and pred (int32, stride n):
 // 8x8 tiles for n>=8, 4x4 for n==4 (reference TComRdCost::xCalcHADs8x8).
-int64_t satd(const int16_t* org, int so, const int32_t* pred, int sp, int n);
-int64_t satd_rect(const int16_t* org, int so, const int32_t* pred, int sp,
+int64_t satd(const pel_t* org, int so, const int32_t* pred, int sp, int n);
+int64_t satd_rect(const pel_t* org, int so, const int32_t* pred, int sp,
                   int w, int h);
 
 // Motion compensation on a padded reference plane (int16, width rw, the
 // unpadded origin at (pad, pad)). mv in luma quarter-pel; for chroma
 // (is_luma=false) it acts at eighth-pel on chroma coordinates.
 // raw14: return the 14-bit intermediate (for bi averaging).
-void mc_block(const int16_t* ref, int rw, int pad, int x, int y, int w,
+void mc_block(const pel_t* ref, int rw, int pad, int x, int y, int w,
               int h, int fx, int fy, int bd, bool is_luma, bool raw14,
               int32_t* out);
-void mc_predict(const int16_t* ref, int rw, int pad, int mvx, int mvy,
+void mc_predict(const pel_t* ref, int rw, int pad, int mvx, int mvy,
                 int x0, int y0, int w, int h, int bd, bool is_luma,
                 int32_t* out);
 // explicit weighted uni-prediction (spec 8.5.3.3.4.3): applies
 // ((raw14 * wgt + round) >> log2Wd) + off on the 14-bit intermediate,
 // log2Wd = denom + 14 - bd
-void mc_predict_wp(const int16_t* ref, int rw, int pad, int mvx, int mvy,
+void mc_predict_wp(const pel_t* ref, int rw, int pad, int mvx, int mvy,
                    int x0, int y0, int w, int h, int bd, bool is_luma,
                    int wgt, int off, int denom, int32_t* out);
-void mc_predict_bi(const int16_t* r0, const int16_t* r1, int rw, int pad,
+void mc_predict_bi(const pel_t* r0, const pel_t* r1, int rw, int pad,
                    int mv0x, int mv0y, int mv1x, int mv1y, int x0, int y0,
                    int w, int h, int bd, bool is_luma, int32_t* out);
 

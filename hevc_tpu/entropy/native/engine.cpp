@@ -303,7 +303,7 @@ static MotionInfo clip_mi(const SliceParams& sp, const MotionInfo& mi,
 }
 
 // uni-prediction honouring explicit weighted prediction on list 0
-static void mc_uni(const SliceParams& sp, const int16_t* ref, int rw,
+static void mc_uni(const SliceParams& sp, const pel_t* ref, int rw,
                    int pad, int mvx, int mvy, int x0, int y0, int w, int h,
                    int bd, bool is_luma, int list, int comp, int32_t* out) {
   if (sp.wp_on && list == 0) {
@@ -318,9 +318,9 @@ static void mc_uni(const SliceParams& sp, const int16_t* ref, int rw,
 }
 
 CtuEngine::CtuEngine(const SliceParams& sp, const EngineParams& ep,
-                     SliceEncoder* senc, const int16_t* orig[3],
-                     int16_t* recon[3], const int16_t* const* ref0,
-                     int nref0, const int16_t* const* ref1, int nref1,
+                     SliceEncoder* senc, const pel_t* orig[3],
+                     pel_t* recon[3], const pel_t* const* ref0,
+                     int nref0, const pel_t* const* ref1, int nref1,
                      const int32_t* const* me_mvx,
                      const int32_t* const* me_mvy, int me_nx, int me_ny,
                      const int32_t* const* me16_mvx,
@@ -341,7 +341,7 @@ CtuEngine::CtuEngine(const SliceParams& sp, const EngineParams& ep,
     recon_[i] = recon[i];
   }
   for (int l = 0; l < 2; ++l) {
-    const int16_t* const* src = l == 0 ? ref0 : ref1;
+    const pel_t* const* src = l == 0 ? ref0 : ref1;
     for (int r = 0; r < nref_[l]; ++r)
       for (int c = 0; c < 3; ++c) refs_[l][r][c] = src[r * 3 + c];
   }
@@ -530,7 +530,7 @@ void CtuEngine::publish_rect(int x0, int y0, int w, int h,
 }
 
 // Mirror of hevc_tpu/core/refsamples.py build_ref_vector (spec 8.4.4.2.1-2).
-void CtuEngine::build_refs(const int16_t* plane, int pw, int ph, int stride,
+void CtuEngine::build_refs(const pel_t* plane, int pw, int ph, int stride,
                            int x0, int y0, int n, int lx0, int ly0, int sxy,
                            int32_t* f) {
   const PicMaps& m = senc_->maps();
@@ -696,7 +696,7 @@ int64_t CtuEngine::intra_screen_cost(int x0, int y0, int log2) {
   int modes_try[38];
   int nm = intra_try_list(x0, y0, log2, cand, modes_try);
   int32_t pred[32 * 32];
-  const int16_t* oy = orig_[0] + y0 * w_ + x0;
+  const pel_t* oy = orig_[0] + y0 * w_ + x0;
   int64_t best = 0;
   for (int mi = 0; mi < nm; ++mi) {
     int mode = modes_try[mi];
@@ -762,7 +762,7 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
   int best_mode = 0;
   int64_t best_cost = 0;
   int32_t pred[32 * 32], best_pred[32 * 32];
-  const int16_t* oy = orig_[0] + y0 * w_ + x0;
+  const pel_t* oy = orig_[0] + y0 * w_ + x0;
   for (int mi = 0; mi < nm; ++mi) {
     int mode = modes_try[mi];
     const int32_t* fsel = dsp::intra_filter_flag(mode, n, true) ? ff : f;
@@ -790,8 +790,8 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
                y0, 1 << csx_, fcr);
     dsp::intra_filter_refs(fcb, cs0, bd_, false, ffcb);
     dsp::intra_filter_refs(fcr, cs0, bd_, false, ffcr);
-    const int16_t* ocb = orig_[1] + (y0 >> csx_) * cw0 + (x0 >> csx_);
-    const int16_t* ocr = orig_[2] + (y0 >> csx_) * cw0 + (x0 >> csx_);
+    const pel_t* ocb = orig_[1] + (y0 >> csx_) * cw0 + (x0 >> csx_);
+    const pel_t* ocr = orig_[2] + (y0 >> csx_) * cw0 + (x0 >> csx_);
     int64_t cbest = -1;
     int cands5[5] = {0, 26, 10, 1, best_mode};
     for (int i = 0; i < 5; ++i) {
@@ -861,7 +861,7 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
         dsp::intra_filter_flag(mode, tz, c == 0 || csx_ == 0) ? ff2 : f2;
     int32_t predt[32 * 32];
     dsp::intra_predict(fsel, f2, mode, tz, bd_, c == 0, predt);
-    const int16_t* o = orig_[c] + py * stride + px;
+    const pel_t* o = orig_[c] + py * stride + px;
     for (int i = 0; i < tz; ++i)
       for (int j = 0; j < tz; ++j)
         resi[i * tz + j] = (int32_t)o[i * stride + j] - predt[i * tz + j];
@@ -912,7 +912,7 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
       for (int j = 0; j < tz; ++j) {
         cpl[(ly0 + i) * cstride + lx0 + j] = (int16_t)lev[i * tz + j];
         int32_t v = predt[i * tz + j] + rres[i * tz + j];
-        int16_t rv = (int16_t)std::min(maxv, std::max(0, v));
+        pel_t rv = (pel_t)std::min(maxv, std::max(0, v));
         recon_[c][(py + i) * stride + px + j] = rv;
         double e = (double)o[i * stride + j] - rv;
         *sse += e * e;
@@ -928,7 +928,8 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
   // keeps the RD winner. td_map records the leaf depth per 4x4. ----
   uint8_t td_map[64] = {0};
   struct Snap {
-    std::vector<int16_t> ry, rcb, rcr, cy, ccb, ccr;
+    std::vector<pel_t> ry, rcb, rcr;        // recon snapshots (samples)
+    std::vector<int16_t> cy, ccb, ccr;      // coeff snapshots
   };
   auto take = [&](int tx, int ty, int tn, Snap& s) {
     int tc = tn >> csx_;
@@ -941,16 +942,16 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     s.ccr.resize(tc * tc);
     for (int i = 0; i < tn; ++i) {
       std::memcpy(&s.ry[i * tn], recon_[0] + (ty + i) * w_ + tx,
-                  sizeof(int16_t) * tn);
+                  sizeof(pel_t) * tn);
       std::memcpy(&s.cy[i * tn],
                   d.coeff_y + (ty - ctu_y0 + i) * ctu_ + (tx - ctu_x0),
                   sizeof(int16_t) * tn);
     }
     for (int i = 0; i < tc; ++i) {
       std::memcpy(&s.rcb[i * tc], recon_[1] + (py + i) * cw + px,
-                  sizeof(int16_t) * tc);
+                  sizeof(pel_t) * tc);
       std::memcpy(&s.rcr[i * tc], recon_[2] + (py + i) * cw + px,
-                  sizeof(int16_t) * tc);
+                  sizeof(pel_t) * tc);
       std::memcpy(&s.ccb[i * tc],
                   d.coeff_cb + (((ty - ctu_y0) >> csx_) + i) * cctu +
                       ((tx - ctu_x0) >> csx_),
@@ -966,15 +967,15 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     int px = tx >> csx_, py = ty >> csx_;
     for (int i = 0; i < tn; ++i) {
       std::memcpy(recon_[0] + (ty + i) * w_ + tx, &s.ry[i * tn],
-                  sizeof(int16_t) * tn);
+                  sizeof(pel_t) * tn);
       std::memcpy(d.coeff_y + (ty - ctu_y0 + i) * ctu_ + (tx - ctu_x0),
                   &s.cy[i * tn], sizeof(int16_t) * tn);
     }
     for (int i = 0; i < tc; ++i) {
       std::memcpy(recon_[1] + (py + i) * cw + px, &s.rcb[i * tc],
-                  sizeof(int16_t) * tc);
+                  sizeof(pel_t) * tc);
       std::memcpy(recon_[2] + (py + i) * cw + px, &s.rcr[i * tc],
-                  sizeof(int16_t) * tc);
+                  sizeof(pel_t) * tc);
       std::memcpy(d.coeff_cb + (((ty - ctu_y0) >> csx_) + i) * cctu +
                       ((tx - ctu_x0) >> csx_),
                   &s.ccb[i * tc], sizeof(int16_t) * tc);
@@ -1046,17 +1047,17 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
       int lx = x0 - ctu_x0, ly = y0 - ctu_y0;
       for (int i = 0; i < n; ++i)
         for (int j = 0; j < n; ++j) {
-          int16_t v = orig_[0][(y0 + i) * w_ + x0 + j];
+          pel_t v = orig_[0][(y0 + i) * w_ + x0 + j];
           recon_[0][(y0 + i) * w_ + x0 + j] = v;
-          d.coeff_y[(ly + i) * ctu_ + lx + j] = v;
+          d.coeff_y[(ly + i) * ctu_ + lx + j] = (int16_t)v;
         }
       for (int c = 1; c <= 2; ++c) {
         int16_t* cp = c == 1 ? d.coeff_cb : d.coeff_cr;
         for (int i = 0; i < cs; ++i)
           for (int j = 0; j < cs; ++j) {
-            int16_t v = orig_[c][((y0 >> csx_) + i) * cw + (x0 >> csx_) + j];
+            pel_t v = orig_[c][((y0 >> csx_) + i) * cw + (x0 >> csx_) + j];
             recon_[c][((y0 >> csx_) + i) * cw + (x0 >> csx_) + j] = v;
-            cp[((ly >> csx_) + i) * cctu + (lx >> csx_) + j] = v;
+            cp[((ly >> csx_) + i) * cctu + (lx >> csx_) + j] = (int16_t)v;
           }
       }
       int stride4 = (w_ + 3) >> 2;
@@ -1091,7 +1092,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
   int pad = ep_.pad;
   int rw = w_ + 2 * pad;
   int rwc = w_ / 2 + 2 * pad;
-  const int16_t* oy = orig_[0] + y0 * w_ + x0;
+  const pel_t* oy = orig_[0] + y0 * w_ + x0;
   int size_full = ctu_ >> ep_.cu_depth_target;
   if (!me_mvx_[0] || size_full != 32) return false;
 
@@ -1188,9 +1189,9 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
   double cwgt = std::pow(2.0, (qp_y_ - qp_c_) / 3.0);
   double sse_coded = 0, bits_coded = 0;
   int nz_total = 0;
-  auto code_tb64 = [&](const int16_t* o, int ostride, const int32_t* p,
+  auto code_tb64 = [&](const pel_t* o, int ostride, const int32_t* p,
                        int pstride, int sz, int qp, int c_idx,
-                       int16_t* lv_out, int lv_stride, int16_t* rec,
+                       int16_t* lv_out, int lv_stride, pel_t* rec,
                        int rstride) {
     double dw = c_idx ? cwgt : 1.0;
     double lam_c = c_idx ? lam / cwgt : lam;
@@ -1216,7 +1217,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
       for (int j = 0; j < sz; ++j) {
         lv_out[i * lv_stride + j] = (int16_t)lev[i * sz + j];
         int32_t v = p[i * pstride + j] + rres[i * sz + j];
-        int16_t rv = (int16_t)std::min(maxv, std::max(0, v));
+        pel_t rv = (pel_t)std::min(maxv, std::max(0, v));
         rec[i * rstride + j] = rv;
         double e = (double)o[i * ostride + j] - rv;
         sse_coded += e * e * dw;
@@ -1285,7 +1286,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
         std::memset(d.coeff_y + (y0 - ctu_y0 + i) * ctu_ + (x0 - ctu_x0),
                     0, sizeof(int16_t) * n);
         for (int j = 0; j < n; ++j)
-          recon_[0][(y0 + i) * w_ + x0 + j] = (int16_t)std::min(
+          recon_[0][(y0 + i) * w_ + x0 + j] = (pel_t)std::min(
               maxv, std::max(0, best_pred[i * n + j]));
       }
       for (int i = 0; i < 32; ++i) {
@@ -1295,9 +1296,9 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
                     (x0 - ctu_x0) / 2, 0, sizeof(int16_t) * 32);
         for (int j = 0; j < 32; ++j) {
           recon_[1][((y0 >> 1) + i) * cw + (x0 >> 1) + j] =
-              (int16_t)std::min(maxv, std::max(0, pcb64[i * 32 + j]));
+              (pel_t)std::min(maxv, std::max(0, pcb64[i * 32 + j]));
           recon_[2][((y0 >> 1) + i) * cw + (x0 >> 1) + j] =
-              (int16_t)std::min(maxv, std::max(0, pcr64[i * 32 + j]));
+              (pel_t)std::min(maxv, std::max(0, pcr64[i * 32 + j]));
         }
       }
     }
@@ -1336,7 +1337,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   int bw4 = ctu_ / 4;
   int bx = (x0 - ctu_x0) >> 2, by = (y0 - ctu_y0) >> 2;
   int nb = n >> 2;
-  const int16_t* oy = orig_[0] + y0 * w_ + x0;
+  const pel_t* oy = orig_[0] + y0 * w_ + x0;
   int pad = ep_.pad;
   int rw = w_ + 2 * pad;      // padded luma stride
   int rwc = w_ / 2 + 2 * pad; // padded chroma stride
@@ -1411,7 +1412,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
         sse += e * e;
       }
     for (int c = 0; c < 2; ++c) {
-      const int16_t* o = orig_[c + 1] + ccy * cwp + ccx;
+      const pel_t* o = orig_[c + 1] + ccy * cwp + ccx;
       for (int i = 0; i < csz; ++i)
         for (int j = 0; j < csz; ++j) {
           double e = (double)o[i * cwp + j] -
@@ -1649,13 +1650,13 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
             for (int j = 0; j < n; ++j)
               tgt[i * n + j] =
                   2 * (int32_t)oy[i * w_ + j] - pother[i * n + j];
-          const int16_t* refp = rp(l, l ? best_r1 : best_r, 0);
+          const pel_t* refp = rp(l, l ? best_r1 : best_r, 0);
           int lox = -pad - x0, hix = w_ + pad - n - x0;
           int loy = -pad - y0, hiy = h_ + pad - n - y0;
           auto sad_at = [&](int jx, int jy) -> int64_t {
             if (jx < lox || jx > hix || jy < loy || jy > hiy)
               return INT64_MAX;
-            const int16_t* rr =
+            const pel_t* rr =
                 refp + (size_t)(pad + y0 + jy) * rw + pad + x0 + jx;
             int64_t s = 0;
             for (int i = 0; i < n; ++i)
@@ -2035,7 +2036,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
 
   int32_t resi[32 * 32], coef[32 * 32], lev_y[32 * 32], lev_cb[16 * 16],
       lev_cr[16 * 16], deq[32 * 32], rres[32 * 32];
-  int16_t rec_y[32 * 32], rec_cb[16 * 16], rec_cr[16 * 16];
+  pel_t rec_y[32 * 32], rec_cb[16 * 16], rec_cr[16 * 16];
   int maxv = (1 << bd_) - 1;
   double lam_sq = sqrt_lam_ * sqrt_lam_;
   // chroma distortion weight / RDOQ lambda split (reference
@@ -2047,9 +2048,9 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   // nz and accumulates pixel SSE (chroma weighted) + CABAC-counter exact
   // bits (tb_rate_bits on the tracked context states). ts_slot/ts_bit:
   // where to record a winning 4x4 transform-skip trial (null = n/a)
-  auto code_tb = [&](const int16_t* o, int ostride, const int32_t* p,
+  auto code_tb = [&](const pel_t* o, int ostride, const int32_t* p,
                      int pstride, int sz, int qp, int c_idx, int32_t* lv,
-                     int lstride, int16_t* rec, int rstride, double* sse,
+                     int lstride, pel_t* rec, int rstride, double* sse,
                      double* bits, uint8_t* ts_slot = nullptr,
                      uint8_t ts_bit = 0) -> int {
     double dw = c_idx ? cwgt : 1.0;
@@ -2083,7 +2084,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       for (int j = 0; j < sz; ++j) {
         lv[i * lstride + j] = lev_tmp_[i * sz + j];
         int32_t v = p[i * pstride + j] + rres[i * sz + j];
-        int16_t rv = (int16_t)std::min(maxv, std::max(0, v));
+        pel_t rv = (pel_t)std::min(maxv, std::max(0, v));
         rec[i * rstride + j] = rv;
         double e = (double)o[i * ostride + j] - rv;
         *sse += e * e * dw;
@@ -2131,7 +2132,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     // only trial the split when the whole-CU coding is coefficient-heavy
     // (the split pays off via shorter scans / localized cbfs); at 8x8
     // a TU split would take chroma below 4x4 — not trialled
-    int16_t rec0_y[32 * 32], rec0_cb[16 * 16], rec0_cr[16 * 16];
+    pel_t rec0_y[32 * 32], rec0_cb[16 * 16], rec0_cr[16 * 16];
     int32_t lv0_y[32 * 32], lv0_cb[16 * 16], lv0_cr[16 * 16];
     std::memcpy(rec0_y, rec_y, sizeof(rec_y));
     std::memcpy(rec0_cb, rec_cb, sizeof(rec_cb));
@@ -2188,13 +2189,13 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       std::memset(ts_loc, 0, sizeof(ts_loc));
       for (int i = 0; i < n; ++i)
         for (int j = 0; j < n; ++j)
-          rec_y[i * n + j] = (int16_t)std::min(
+          rec_y[i * n + j] = (pel_t)std::min(
               maxv, std::max(0, m_sk_py[i * n + j]));
       for (int i = 0; i < cs; ++i)
         for (int j = 0; j < cs; ++j) {
-          rec_cb[i * cs + j] = (int16_t)std::min(
+          rec_cb[i * cs + j] = (pel_t)std::min(
               maxv, std::max(0, m_sk_pcb[i * cs + j]));
-          rec_cr[i * cs + j] = (int16_t)std::min(
+          rec_cr[i * cs + j] = (pel_t)std::min(
               maxv, std::max(0, m_sk_pcr[i * cs + j]));
         }
     }
@@ -2237,7 +2238,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     int32_t it_resi[32 * 32], it_coef[32 * 32], it_deq[32 * 32],
         it_rres[32 * 32], it_lev[32 * 32];
     // one trial TB: returns weighted SSE contribution, accumulates bits
-    auto trial_tb = [&](const int16_t* o, int ostride, const int32_t* p,
+    auto trial_tb = [&](const pel_t* o, int ostride, const int32_t* p,
                         int sz, int qp, int c_idx, int mode) {
       double dw = c_idx ? cwgt : 1.0;
       double lam_c = c_idx ? lam_sq / cwgt : lam_sq;
@@ -2295,12 +2296,12 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   }
   for (int i = 0; i < n; ++i)
     std::memcpy(recon_[0] + (y0 + i) * w_ + x0, rec_y + i * n,
-                sizeof(int16_t) * n);
+                sizeof(pel_t) * n);
   for (int i = 0; i < cs; ++i) {
     std::memcpy(recon_[1] + (cyy + i) * cw + cxx, rec_cb + i * cs,
-                sizeof(int16_t) * cs);
+                sizeof(pel_t) * cs);
     std::memcpy(recon_[2] + (cyy + i) * cw + cxx, rec_cr + i * cs,
-                sizeof(int16_t) * cs);
+                sizeof(pel_t) * cs);
   }
   bool zero_resid = nz_total == 0;
 
@@ -2399,6 +2400,8 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
 // One pass per CTU component accumulates E/N for all 4 EO classes and the
 // 32 bands simultaneously; offset selection mirrors the numpy best_offset.
 // ===========================================================================
+using hevctpu::pel_t;
+
 namespace {
 
 const int kEdgeIdxMap[5] = {1, 2, 0, 3, 4};
@@ -2412,7 +2415,7 @@ struct CompStats {
   int64_t N[4][5] = {{0}}, Nb[32] = {0};
 };
 
-void gather_stats(const int16_t* org, const int16_t* deb, int stride, int pw,
+void gather_stats(const pel_t* org, const pel_t* deb, int stride, int pw,
                   int ph, int x0, int y0, int x1, int y1, int shift,
                   CompStats* st) {
   for (int y = y0; y < y1; ++y)
@@ -2546,8 +2549,8 @@ int tile_id_of(const SliceParams& sp, int ctu_x, int ctu_y);
 }
 
 extern "C" void hevc_sao_estimate(
-    const int16_t* oy, const int16_t* ocb, const int16_t* ocr,
-    const int16_t* dy, const int16_t* dcb, const int16_t* dcr, int w, int h,
+    const pel_t* oy, const pel_t* ocb, const pel_t* ocr,
+    const pel_t* dy, const pel_t* dcb, const pel_t* dcr, int w, int h,
     int ctu, int bd, double lam, int32_t* out /* nctu * 20 */,
     int tile_cols, int tile_rows,
     const int32_t* slice_id /* per-CTU, raster; null = one slice */,
@@ -2672,19 +2675,19 @@ extern "C" void hevc_sao_estimate(
 // deblocked plane, writes the output plane; per-CTU params in CtuData.sao
 // layout.
 extern "C" void hevc_sao_apply(
-    const int16_t* dy, const int16_t* dcb, const int16_t* dcr, int16_t* oy,
-    int16_t* ocb, int16_t* ocr, const int32_t* params, int w, int h,
+    const pel_t* dy, const pel_t* dcb, const pel_t* dcr, pel_t* oy,
+    pel_t* ocb, pel_t* ocr, const int32_t* params, int w, int h,
     int ctu, int bd, int cfmt) {
   int csx = cfmt == 3 ? 0 : 1;
   int cw = w >> csx, ch = h >> csx;
   int ctus_w = (w + ctu - 1) / ctu, ctus_h = (h + ctu - 1) / ctu;
   int shift = bd - 5;
   int maxv = (1 << bd) - 1;
-  const int16_t* deb[3] = {dy, dcb, dcr};
-  int16_t* out[3] = {oy, ocb, ocr};
-  std::memcpy(oy, dy, sizeof(int16_t) * (size_t)w * h);
-  std::memcpy(ocb, dcb, sizeof(int16_t) * (size_t)cw * ch);
-  std::memcpy(ocr, dcr, sizeof(int16_t) * (size_t)cw * ch);
+  const pel_t* deb[3] = {dy, dcb, dcr};
+  pel_t* out[3] = {oy, ocb, ocr};
+  std::memcpy(oy, dy, sizeof(pel_t) * (size_t)w * h);
+  std::memcpy(ocb, dcb, sizeof(pel_t) * (size_t)cw * ch);
+  std::memcpy(ocr, dcr, sizeof(pel_t) * (size_t)cw * ch);
   for (int cy = 0; cy < ctus_h; ++cy)
     for (int cx = 0; cx < ctus_w; ++cx) {
       const int32_t* prm = params + ((size_t)cy * ctus_w + cx) * 20;
@@ -2698,8 +2701,8 @@ extern "C" void hevc_sao_apply(
         int x1 = std::min((cx + 1) * ctu / scale, pw);
         int y1 = std::min((cy + 1) * ctu / scale, ph);
         const int32_t* off = prm + 8 + 4 * ci;
-        const int16_t* src = deb[ci];
-        int16_t* dst = out[ci];
+        const pel_t* src = deb[ci];
+        pel_t* dst = out[ci];
         if (t == 2) {  // edge
           int k = ci == 0 ? prm[2] : prm[3];
           int dy0 = kEoDy0[k], dx0 = kEoDx0[k];
@@ -2716,7 +2719,7 @@ extern "C" void hevc_sao_apply(
               if (!cat) continue;
               int v = p + off[cat - 1];
               dst[y * stride + x] =
-                  (int16_t)std::min(maxv, std::max(0, v));
+                  (pel_t)std::min(maxv, std::max(0, v));
             }
         } else {  // band
           int pos = prm[4 + ci];
@@ -2727,7 +2730,7 @@ extern "C" void hevc_sao_apply(
               int p = src[y * stride + x];
               int v = p + lut[(p >> shift) & 31];
               dst[y * stride + x] =
-                  (int16_t)std::min(maxv, std::max(0, v));
+                  (pel_t)std::min(maxv, std::max(0, v));
             }
         }
       }

@@ -16,6 +16,7 @@
 #include <memory>
 #include <vector>
 
+#include "dsp.h"
 #include "syntax.h"
 
 namespace hevctpu {
@@ -47,9 +48,9 @@ class CtuEngine {
   // TEncSearch.cpp:3027). me_mvx/me_mvy: per-list-0-ref integer-MV grids
   // from the device search (me_mvx[r] is an [me_ny * me_nx] grid).
   CtuEngine(const SliceParams& sp, const EngineParams& ep,
-            SliceEncoder* senc, const int16_t* orig[3], int16_t* recon[3],
-            const int16_t* const* ref0, int nref0,
-            const int16_t* const* ref1, int nref1,
+            SliceEncoder* senc, const pel_t* orig[3], pel_t* recon[3],
+            const pel_t* const* ref0, int nref0,
+            const pel_t* const* ref1, int nref1,
             const int32_t* const* me_mvx, const int32_t* const* me_mvy,
             int me_nx, int me_ny,
             const int32_t* const* me16_mvx = nullptr,
@@ -106,7 +107,7 @@ class CtuEngine {
   bool inter_cu64_try(int x0, int y0, const MutCtuData& d, int ctu_x0,
                       int ctu_y0);
   // availability-aware combined reference vector on a working recon plane
-  void build_refs(const int16_t* plane, int pw, int ph, int stride, int x0,
+  void build_refs(const pel_t* plane, int pw, int ph, int stride, int x0,
                   int y0, int n, int lx0, int ly0, int sxy, int32_t* f);
   void mpm(int x0, int y0, int cand[3]) const;
   int mode_bits(int mode, const int cand[3]) const;
@@ -119,13 +120,13 @@ class CtuEngine {
   SliceParams sp_;
   EngineParams ep_;
   SliceEncoder* senc_;
-  const int16_t* orig_[3];
-  int16_t* recon_[3];
+  const pel_t* orig_[3];
+  pel_t* recon_[3];
   int nref_[2] = {0, 0};
-  const int16_t* refs_[2][16][3] = {};
+  const pel_t* refs_[2][16][3] = {};
   // reference plane for (list, ref_idx, comp); out-of-range refs clamp to
   // 0 so stale map values can never read wild pointers
-  const int16_t* rp(int l, int r, int c) const {
+  const pel_t* rp(int l, int r, int c) const {
     return refs_[l][(r >= 0 && r < nref_[l]) ? r : 0][c];
   }
   // truncated-unary ref_idx bin count (spec 9.3.3.2, cMax = nref-1)

@@ -525,10 +525,12 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
     confirm(cfg.chroma_format == 444 and cfg.intra_period != 1,
             "4:4:4 encoding is all-intra only (IntraPeriod 1; DECODING "
             "4:4:4 inter streams is supported)")
-    confirm(cfg.internal_bit_depth not in (8, 10, 12, 14),
+    confirm(cfg.internal_bit_depth not in (8, 10, 12, 14, 16),
             f"InternalBitDepth {cfg.internal_bit_depth} unsupported "
-            "(8, 10, 12 and 14 implemented; 16 needs the int32 sample "
-            "path)")
+            "(8, 10, 12, 14 and 16 implemented)")
+    confirm(cfg.internal_bit_depth > 14 and bool(cfg.pcm),
+            "PCM stores samples in the 16-bit coefficient maps; "
+            "InternalBitDepth 16 + PCM is not supported")
     confirm(cfg.qp < 0 or cfg.qp > 51, "QP out of [0, 51]")
     confirm(cfg.search_range < 1 or cfg.search_range > 64,
             "SearchRange out of [1, 64]")

@@ -31,14 +31,18 @@ def frame_bytes(width: int, height: int, fmt: ChromaFormat,
     return sum(h * w for h, w in plane_shapes(width, height, fmt)) * per_sample
 
 
-def _scale_planes(planes: List[np.ndarray], delta: int) -> List[np.ndarray]:
-    """Shift file bit depth to internal bit depth (TVideoIOYuv::scalePlane)."""
+def _scale_planes(planes: List[np.ndarray], delta: int,
+                  out_depth: int = 14) -> List[np.ndarray]:
+    """Shift file bit depth to internal bit depth (TVideoIOYuv::scalePlane).
+    out_depth picks the sample dtype: int16 through 14-bit, int32 for
+    16-bit video (high-bit-depth build; reference TypeDef.h:698)."""
+    dt = np.int16 if out_depth <= 14 else np.int32
     if delta == 0:
-        return [p.astype(np.int16) for p in planes]
+        return [p.astype(dt) for p in planes]
     if delta > 0:
-        return [(p.astype(np.int32) << delta).astype(np.int16) for p in planes]
+        return [(p.astype(np.int32) << delta).astype(dt) for p in planes]
     rnd = 1 << (-delta - 1)
-    return [((p.astype(np.int32) + rnd) >> -delta).astype(np.int16)
+    return [((p.astype(np.int32) + rnd) >> -delta).astype(dt)
             for p in planes]
 
 
@@ -73,7 +77,9 @@ class YuvReader:
         for h, w in plane_shapes(self.width, self.height, self.fmt):
             planes.append(data[off:off + h * w].reshape(h, w))
             off += h * w
-        return _scale_planes(planes, self.internal_bit_depth - self.file_bit_depth)
+        return _scale_planes(planes,
+                             self.internal_bit_depth - self.file_bit_depth,
+                             self.internal_bit_depth)
 
     def close(self) -> None:
         self._fh.close()
@@ -89,7 +95,7 @@ class YuvWriter:
 
     def write(self, planes: List[np.ndarray]) -> None:
         delta = self.file_bit_depth - self.internal_bit_depth
-        out = _scale_planes(planes, delta)
+        out = _scale_planes(planes, delta, self.file_bit_depth)
         maxval = (1 << self.file_bit_depth) - 1
         for p in out:
             p = np.clip(p, 0, maxval)

@@ -155,6 +155,27 @@ def mc_predict_bi_np(padded0, padded1, pad, mv0, mv1, x0, y0, w, h,
     return np.clip(v, 0, (1 << bit_depth) - 1).astype(np.int32)
 
 
+def mc_predict_bi_wp_np(padded0, padded1, pad, mv0, mv1, x0, y0, w, h,
+                        w0, o0, w1, o1, denom, bit_depth=8, is_luma=True,
+                        chroma_shift=1):
+    """Explicit weighted bi-prediction on the 14-bit intermediates
+    (spec 8.5.3.3.4.3 bi-predictive case; reference
+    TComWeightPrediction::addWeightBi — rounding (o0+o1+1) << log2Wd,
+    shift log2Wd + 1, offsets scaled by the WpOffsetBdShift)."""
+    def raw(padded, mv):
+        ix, fx, iy, fy = _mv_split(mv[0], mv[1], is_luma, chroma_shift)
+        return mc_block_np(padded, pad, x0 + ix, y0 + iy, w, h, fx, fy,
+                           bit_depth, is_luma, raw14=True)
+    hr = max(2, 14 - bit_depth)
+    log2wd = denom + hr
+    o0 <<= bit_depth - 8
+    o1 <<= bit_depth - 8
+    v = (raw(padded0, mv0).astype(np.int64) * w0
+         + raw(padded1, mv1).astype(np.int64) * w1
+         + ((o0 + o1 + 1) << log2wd)) >> (log2wd + 1)
+    return np.clip(v, 0, (1 << bit_depth) - 1).astype(np.int32)
+
+
 def pad_plane(plane: np.ndarray, pad: int) -> np.ndarray:
     """Edge-extend a reference plane (reference TComPicYuv margin extension)."""
     return np.pad(plane, pad, mode="edge")

@@ -98,7 +98,8 @@ def apply_sao(deblocked: List[np.ndarray], sao_params: List[np.ndarray],
                 for k in range(4):
                     offs[(pos + k) & 31] = off[k]
                 reg = reg + offs[band]
-            out[ci][y0:y1, x0:x1] = np.clip(reg, 0, maxv).astype(np.int16)
+            out[ci][y0:y1, x0:x1] = np.clip(reg, 0, maxv).astype(
+                out[ci].dtype)
     return out
 
 

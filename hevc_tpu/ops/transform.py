@@ -79,6 +79,11 @@ def inverse_transform(coeffs: jnp.ndarray, *, size: int, bit_depth: int = 8,
         tmp, t, (((tmp.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     out = _rshift_round(out, shift2)
+    if bit_depth > 14:
+        # high-bit-depth: the reference's second-stage clip is Pel-type
+        # protection, not normative (TComTrQuant.cpp:966 "Clipping here
+        # is not in the standard") — Pel is Int in the HBD build
+        return out
     return jnp.clip(out, -32768, 32767)
 
 
@@ -104,6 +109,8 @@ def inverse_transform_np(coeffs: np.ndarray, size: int, bit_depth: int = 8,
     tmp = (t.T @ coeffs.astype(np.int64) + 64) >> 7
     tmp = np.clip(tmp, -32768, 32767)
     out = (tmp @ t + (1 << (shift2 - 1))) >> shift2
+    if bit_depth > 14:
+        return out.astype(np.int32)  # HBD: Pel-protection clip is a no-op
     return np.clip(out, -32768, 32767).astype(np.int32)
 
 

@@ -412,6 +412,65 @@ def test_14bit_conformance(tmp_path, cfg, label):
     assert own2.read_bytes() == hmd.read_bytes()
 
 
+@pytest.mark.skipif(not os.path.exists(HBD_ORACLE),
+                    reason="high-bit-depth HM oracle not built "
+                           "(tools/build_hbd_oracle.sh)")
+@pytest.mark.parametrize("cfg,label", [
+    ("encoder_intra_main_rext.cfg", "intra"),
+    ("encoder_lowdelay_main_rext.cfg", "ldb"),
+    ("encoder_randomaccess_main_rext.cfg", "ra"),
+])
+def test_16bit_conformance(tmp_path, cfg, label):
+    """16-bit internal depth: samples live in the int32 pel path
+    (libhevc_entropy_hbd.so, -DHEVC_PEL32 — the analog of the reference
+    high-bit-depth build's `typedef Int Pel`, TypeDef.h:698). Content
+    deliberately exceeds 2^15 so any residual int16 treatment of samples
+    wraps, and the inverse-transform output keeps values beyond +-32767
+    (the reference's second-stage clip is Pel-type protection, quote
+    \"Clipping here is not in the standard\", TComTrQuant.cpp:966).
+    Verified: HM oracle hash OK + byte-identical recon; our decoder
+    agrees and reads HM's own 16-bit streams byte-identically."""
+    w, h, frames = 128, 80, 3
+    clip = tmp_path / "in16.yuv"
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_test_yuv import make_frame
+    with open(clip, "wb") as fh:
+        for t in range(frames):
+            for p in make_frame(w, h, t):
+                fh.write((np.asarray(p, np.uint16) << 8).tobytes())
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-c", f"/root/reference/cfg/{cfg}", "-i", str(clip),
+          "-wdt", str(w), "-hgt", str(h), "-f", str(frames), "-fr", "30",
+          "-q", "32", "--InputBitDepth=16", "--InternalBitDepth=16",
+          "--Profile=main-RExt", "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([HBD_ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+    assert rec.read_bytes() == dec.read_bytes()
+    from hevc_tpu.cli.decode import main as dmain
+    own = tmp_path / "own.yuv"
+    assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+    assert own.read_bytes() == dec.read_bytes()
+    # general 16-bit HM streams decode byte-identically
+    hm_enc = "/tmp/hm_oracle_hbd/bin/TAppEncoderStatic"
+    hmbs = tmp_path / "hm.bin"
+    subprocess.run(
+        [hm_enc, "-c", f"/root/reference/cfg/{cfg}", "-i", str(clip),
+         "-wdt", str(w), "-hgt", str(h), "-f", str(frames), "-fr", "30",
+         "-q", "32", "--InputBitDepth=16", "--InternalBitDepth=16",
+         "--SEIDecodedPictureHash=1", "-b", str(hmbs),
+         "-o", str(tmp_path / "hr.yuv")], capture_output=True)
+    hmd = tmp_path / "hmd.yuv"
+    assert subprocess.run([HBD_ORACLE, "-b", str(hmbs), "-o", str(hmd)],
+                          capture_output=True).returncode == 0
+    own2 = tmp_path / "own2.yuv"
+    assert dmain(["-b", str(hmbs), "-o", str(own2)]) == 0
+    assert own2.read_bytes() == hmd.read_bytes()
+
+
 @pytest.mark.parametrize("extra,frames", [
     (["--IntraPeriod=1"], 2),
     (["--IntraPeriod=-1", "-q", "37"], 4),

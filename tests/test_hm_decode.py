@@ -85,6 +85,65 @@ def test_hm_tool_variants(tmp_path, extra, label):
         assert dec.hash_status and all(s == "OK" for s in dec.hash_status)
 
 
+def test_hm_weighted_bipred_stream_decodes(tmp_path):
+    """Explicit weighted bi-prediction (pps weighted_bipred_flag,
+    spec 8.5.3.3.4.3; reference TComWeightPrediction::addWeightBi and
+    WeightPredAnalysis over both lists). A fading clip makes HM's WP
+    analysis signal real per-ref luma+chroma weights in B slices; our
+    decoder must apply the weighted bi (and weighted uni-in-B) sample
+    prediction byte-identically."""
+    clip = tmp_path / "fade.yuv"
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_test_yuv import make_frame
+    with open(clip, "wb") as fh:
+        for t in range(6):
+            for p in make_frame(128, 96, 0):
+                q = (np.asarray(p, np.int32) * (10 - t) // 10)
+                fh.write(q.astype(np.uint8).tobytes())
+    bs, rec = tmp_path / "o.bin", tmp_path / "r.yuv"
+    out = subprocess.run(
+        [ENC, "-c", f"{CFG}/encoder_lowdelay_main.cfg", "-i", str(clip),
+         "-wdt", "128", "-hgt", "96", "-f", "6", "-fr", "30", "-q", "30",
+         "--WeightedPredB=1", "-b", str(bs), "-o", str(rec)],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stdout[-1000:]
+    data = bs.read_bytes()
+    ours, _ = _decode_ours(data)
+    assert ours == rec.read_bytes()
+    # the stream must really carry explicit weights (not defaults only)
+    from hevc_tpu.decoder.headers import (parse_pps, parse_slice_header,
+                                          parse_sps)
+    from hevc_tpu.entropy.nal import split_annexb
+    sps = pps = None
+    explicit = 0
+    for nal in split_annexb(data):
+        nal_type = (nal[0] >> 1) & 0x3F
+        raw = nal[2:]
+        rbsp = bytearray()
+        i = 0
+        while i < len(raw):
+            if (i + 2 < len(raw) and raw[i] == 0 and raw[i + 1] == 0
+                    and raw[i + 2] == 3):
+                rbsp += raw[i:i + 2]
+                i += 3
+            else:
+                rbsp.append(raw[i])
+                i += 1
+        rbsp = bytes(rbsp)
+        if nal_type == 33:
+            sps = parse_sps(rbsp)
+        elif nal_type == 34:
+            pps = parse_pps(rbsp)
+        elif nal_type < 32:
+            sh, _off = parse_slice_header(rbsp, nal_type, sps, pps)
+            for lx_tab in (getattr(sh, "wp_tables", None) or []):
+                for lw, cw in lx_tab:
+                    explicit += (lw is not None) + (cw is not None)
+    assert pps.weighted_bipred_flag == 1
+    assert explicit > 0, "WP analysis signalled no explicit weights"
+
+
 @pytest.mark.skipif(not os.path.exists(ENC),
                     reason="HM oracle encoder not built")
 @pytest.mark.parametrize("extra,label", [
