@@ -570,6 +570,12 @@ class EncoderTop:
             out.append(sei.write_chroma_sampling_filter_hint_sei(
                 ver_idc=cfg.sei_chroma_filter_ver,
                 hor_idc=cfg.sei_chroma_filter_hor))
+        if cfg.sei_tmcts and (cfg.tile_cols_minus1 or cfg.tile_rows_minus1):
+            # temporal MCTS (reference TEncGOP.cpp:412, gated on tiles;
+            # SEIEncoder initSEITempMotionConstrainedTileSets builds one
+            # tile set per tile)
+            out.append(sei.write_tmcts_sei(
+                (cfg.tile_cols_minus1 + 1) * (cfg.tile_rows_minus1 + 1)))
         if cfg.sei_sop_description and cfg.gop_entries:
             entries = []
             for i, ge in enumerate(self.cfg.gop_entries[:self.gop_size]):

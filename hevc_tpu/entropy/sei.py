@@ -275,6 +275,7 @@ MASTERING_DISPLAY_COLOUR_VOLUME = 137
 SEGM_RECT_FRAME_PACKING = 138
 CHROMA_SAMPLING_FILTER_HINT = 140
 KNEE_FUNCTION_INFO = 141
+TEMP_MOTION_CONSTRAINED_TILE_SETS = 139
 
 SEI_NAMES = {
     0: "buffering_period", 1: "pic_timing", 2: "pan_scan_rect",
@@ -564,6 +565,27 @@ def write_chroma_sampling_filter_hint_sei(ver_idc=2, hor_idc=2,
     p.flag(ver_filtering_process)
     _payload_align(p)
     return _sei_rbsp(CHROMA_SAMPLING_FILTER_HINT, p)
+
+
+def write_tmcts_sei(num_tiles: int) -> bytes:
+    """temporal_motion_constrained_tile_sets SEI (spec D.2.29; reference
+    SEIwrite.cpp:542 xWriteSEITempMotionConstrainedTileSets, with HM's
+    initSEITempMotionConstrainedTileSets shape: one tile set per tile,
+    one rect per set, match/display/tier-level flags all zero)."""
+    p = BitWriter()
+    p.flag(0)                        # mc_all_tiles_exact_sample_value_match
+    p.flag(0)                        # each_tile_one_tile_set_flag
+    p.flag(0)                        # limited_tile_set_display_flag
+    p.ue(num_tiles - 1)              # num_sets_in_message_minus1
+    for i in range(num_tiles):
+        p.ue(i)                      # mcts_id
+        p.ue(0)                      # num_tile_rects_in_set_minus1
+        p.ue(i)                      # top_left_tile_index
+        p.ue(i)                      # bottom_right_tile_index
+        p.flag(0)                    # exact_sample_value_match_flag
+        p.flag(0)                    # mcts_tier_level_idc_present_flag
+    _payload_align(p)
+    return _sei_rbsp(TEMP_MOTION_CONSTRAINED_TILE_SETS, p)
 
 
 def write_scalable_nesting_sei(nested_sei_rbsps) -> bytes:

@@ -113,6 +113,7 @@ _OPTION_TABLE = {
     "SEIDisplayOrientation": ("sei_display_orientation", int),
     "SEITemporalLevel0Index": ("sei_temporal_level0_index", int),
     "SEIGradualDecodingRefreshInfo": ("sei_gdr_info", int),
+    "SEITempMotionConstrainedTileSets": ("sei_tmcts", int),
     "SEINoDisplay": ("sei_no_display", int),
     "SEISOPDescription": ("sei_sop_description", int),
     "SEITimeCodeEnabled": ("sei_time_code", int),
@@ -299,6 +300,7 @@ class EncoderConfig:
     sei_display_orientation: int = 0
     sei_temporal_level0_index: int = 0
     sei_gdr_info: int = 0
+    sei_tmcts: int = 0
     sei_no_display: int = 0
     sei_sop_description: int = 0
     sei_time_code: int = 0

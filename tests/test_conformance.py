@@ -620,6 +620,8 @@ def test_extended_sei_payloads(tmp_path):
           "--SEITimeCodeEnabled=1", "--SEITimeCodeNumClockTs=1",
           "--SEISegmentedRectFramePacking=1",
           "--SEIGradualDecodingRefreshInfo=1",
+          "--SEITempMotionConstrainedTileSets=1",
+          "--NumTileColumnsMinus1=1", "--TileUniformSpacing=1",
           "-b", str(bs), "-o", str(rec)])
     out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
                          capture_output=True, text=True)
@@ -639,7 +641,8 @@ def test_extended_sei_payloads(tmp_path):
                 "knee_function_info", "chroma_resampling_filter_hint",
                 "temporal_sub_layer_zero_index", "time_code",
                 "segmented_rect_frame_packing_arrangement",
-                "region_refresh_info", "decoded_picture_hash"}
+                "region_refresh_info", "decoded_picture_hash",
+                "temporal_motion_constrained_tile_sets"}
     assert expected <= types, types
 
 
