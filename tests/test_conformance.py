@@ -605,8 +605,9 @@ def test_extended_sei_payloads(tmp_path):
     index, region refresh, time code — reference TAppEncCfg.cpp:948-1060
     and SEIwrite.cpp payload writers) emits well-formed messages: the
     stream stays HM-decodable with hash OK and every requested payload
-    type appears."""
-    w, h, frames = 128, 80, 3
+    type appears. (512 wide: two tile columns need the spec A.1 minimum
+    tile width of 256 luma samples each for the MCTS message.)"""
+    w, h, frames = 512, 80, 3
     clip = tmp_path / "in.yuv"
     _mk_clip(clip, w, h, frames)
     bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
