@@ -32,6 +32,13 @@ void hevc_trace_note(const char* s) {
 // will pass (reference dual-build: make all vs make all_highbitdepth)
 int hevc_pel_bits() { return (int)sizeof(hevctpu::pel_t) * 8; }
 
+// engine phase profiler readback (HEVC_TPU_ENGINE_PROF=1): thread-CPU ns
+// per phase — 0 screen, 1 luma modes, 2 chroma modes, 3 TB coding
+extern "C++" { namespace hevctpu { struct EngineProf { std::atomic<long long> ns[12]; bool on; }; extern EngineProf g_eprof; } }
+void hevc_engine_prof(long long* out) {
+  for (int i = 0; i < 12; ++i) out[i] = hevctpu::g_eprof.ns[i].load();
+}
+
 
 // ---- slice-data encoder ----------------------------------------------------
 void* hevc_enc_create(const SliceParams* sp) { return new SliceEncoder(*sp); }

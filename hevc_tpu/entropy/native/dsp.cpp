@@ -122,53 +122,75 @@ void fwd_xform(const int32_t* resi, int n, int bd, bool dst, int32_t* out) {
   const int32_t* t = dst ? kDst4 : dct_matrix(n);
   int log2n = ilog2(n);
   int s1 = log2n + bd - 9, s2 = log2n + 6;
-  int64_t r1 = 1ll << (s1 - 1), r2 = 1ll << (s2 - 1);
-  // tmp = (resi @ T^T + r1) >> s1  (horizontal stage first)
-  int64_t tmp[32 * 32];
-  for (int i = 0; i < n; ++i)
+  int32_t r1 = 1 << (s1 - 1), r2 = 1 << (s2 - 1);
+  // int32 accumulation is exact: stage 1 |sum| <= 32 * 90 * 65535 < 2^31
+  // even at 16-bit depth; stage-1 outputs are <= 90 << 9 after the s1
+  // shift, so stage 2 |sum| <= 32 * 90 * 46080 < 2^31 — every dot
+  // product below stays in SIMD int32 lanes.
+  int32_t tmp[32 * 32];
+  // stage 1 stored TRANSPOSED (tmp[k][i] = resi_row_i . t_row_k) so that
+  // stage 2 reads stride-1 rows from both operands
+  for (int i = 0; i < n; ++i) {
+    const int32_t* rr = resi + i * n;
     for (int k = 0; k < n; ++k) {
-      int64_t acc = 0;
-      for (int j = 0; j < n; ++j)
-        acc += (int64_t)resi[i * n + j] * t[k * n + j];
-      tmp[i * n + k] = (acc + r1) >> s1;
+      const int32_t* tk = t + k * n;
+      int32_t acc = 0;
+      for (int j = 0; j < n; ++j) acc += rr[j] * tk[j];
+      tmp[k * n + i] = (acc + r1) >> s1;
     }
-  // out = (T @ tmp + r2) >> s2
-  for (int k = 0; k < n; ++k)
+  }
+  // out[k][c] = t_row_k . tmp_row_c (both stride-1)
+  for (int k = 0; k < n; ++k) {
+    const int32_t* tk = t + k * n;
     for (int c = 0; c < n; ++c) {
-      int64_t acc = 0;
-      for (int i = 0; i < n; ++i)
-        acc += (int64_t)t[k * n + i] * tmp[i * n + c];
-      out[k * n + c] = (int32_t)((acc + r2) >> s2);
+      const int32_t* tc = tmp + c * n;
+      int32_t acc = 0;
+      for (int i = 0; i < n; ++i) acc += tk[i] * tc[i];
+      out[k * n + c] = (acc + r2) >> s2;
     }
+  }
 }
 
 void inv_xform(const int32_t* coef, int n, int bd, bool dst, int32_t* out) {
   const int32_t* t = dst ? kDst4 : dct_matrix(n);
   int s2 = 20 - bd;
-  int64_t r2 = 1ll << (s2 - 1);
-  int64_t tmp[32 * 32];
-  // tmp = clip16((T^T @ coef + 64) >> 7)
-  for (int i = 0; i < n; ++i)
-    for (int c = 0; c < n; ++c) {
-      int64_t acc = 0;
-      for (int k = 0; k < n; ++k)
-        acc += (int64_t)t[k * n + i] * coef[k * n + c];
-      int64_t v = (acc + 64) >> 7;
-      tmp[i * n + c] = std::min<int64_t>(32767, std::max<int64_t>(-32768, v));
+  int32_t r2 = 1 << (s2 - 1);
+  // int32 accumulation exact (coeffs clip to 16 bits, stage-1 output
+  // clips to 16 bits): |sum| <= 32 * 90 * 32768 < 2^31
+  int32_t tmp[32 * 32];
+  // tmp[i][c] = clip16((sum_k t[k][i] * coef[k][c] + 64) >> 7), built as
+  // rank-1 updates over k so both streams are stride-1
+  for (int i = 0; i < n * n; ++i) tmp[i] = 64;
+  for (int k = 0; k < n; ++k) {
+    const int32_t* tk = t + k * n;
+    const int32_t* ck = coef + k * n;
+    for (int i = 0; i < n; ++i) {
+      const int32_t tv = tk[i];
+      int32_t* ti = tmp + i * n;
+      for (int c = 0; c < n; ++c) ti[c] += tv * ck[c];
     }
-  // out = clip16((tmp @ T + r2) >> s2)
-  for (int i = 0; i < n; ++i)
+  }
+  for (int i = 0; i < n * n; ++i)
+    tmp[i] = std::min(32767, std::max(-32768, tmp[i] >> 7));
+  // out = clip_pel((tmp @ T + r2) >> s2), rank-1 updates over c
+  for (int i = 0; i < n; ++i) {
+    int32_t acc32[32];
+    for (int j = 0; j < n; ++j) acc32[j] = r2;
+    const int32_t* ti = tmp + i * n;
+    for (int c = 0; c < n; ++c) {
+      const int32_t tv = ti[c];
+      const int32_t* tc = t + c * n;
+      for (int j = 0; j < n; ++j) acc32[j] += tv * tc[j];
+    }
     for (int j = 0; j < n; ++j) {
-      int64_t acc = 0;
-      for (int c = 0; c < n; ++c)
-        acc += tmp[i * n + c] * t[c * n + j];
-      int64_t v = (acc + r2) >> s2;
+      int64_t v = acc32[j] >> s2;
       // second-stage clip = Pel-type protection, not normative (reference
       // TComTrQuant.cpp:966): +-32767 for int16 samples, no-op at pel32
       out[i * n + j] = (int32_t)std::min<int64_t>(
           std::numeric_limits<pel_t>::max(),
           std::max<int64_t>(std::numeric_limits<pel_t>::min(), v));
     }
+  }
 }
 
 int quant(const int32_t* coef, int n, int qp, int bd, bool intra,

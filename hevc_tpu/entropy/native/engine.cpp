@@ -13,6 +13,49 @@
 
 #include "dsp.h"
 
+// ---------------------------------------------------------------------------
+// Lightweight engine phase profiler (HEVC_TPU_ENGINE_PROF=1): thread-CPU
+// nanoseconds accumulated per phase, read back via hevc_engine_prof()
+// (the analog of the reference's ENC_DEC_TRACE/TComCodingStatistics
+// timing hooks). Near-zero overhead when the env var is unset.
+#include <atomic>
+#include <ctime>
+
+namespace hevctpu {
+struct EngineProf {
+  std::atomic<long long> ns[12];
+  bool on;
+  EngineProf() : on(false) {
+    for (auto& a : ns) a.store(0);
+    const char* e = getenv("HEVC_TPU_ENGINE_PROF");
+    on = e && *e == '1';
+  }
+};
+EngineProf g_eprof;
+struct ProfScope {
+  int slot;
+  long long t0;
+  explicit ProfScope(int s) : slot(s), t0(0) {
+    if (g_eprof.on) {
+      timespec t;
+      clock_gettime(CLOCK_THREAD_CPUTIME_ID, &t);
+      t0 = t.tv_sec * 1000000000ll + t.tv_nsec;
+    }
+  }
+  ~ProfScope() {
+    if (g_eprof.on) {
+      timespec t;
+      clock_gettime(CLOCK_THREAD_CPUTIME_ID, &t);
+      g_eprof.ns[slot] += t.tv_sec * 1000000000ll + t.tv_nsec - t0;
+    }
+  }
+};
+// phase slots (outer 0-3 are disjoint; 4-6 nest inside 3):
+// 0 intra_screen_cost, 1 luma mode trials, 2 chroma mode decision,
+// 3 TB coding (xform+quant+recon+rate), 4 fwd xform+quant, 5 rdoq,
+// 6 rate, 7 pred+refs, 8 dequant+inv, 9 TS trial
+}  // namespace hevctpu
+
 namespace hevctpu {
 
 namespace {
@@ -686,6 +729,7 @@ int CtuEngine::intra_try_list(int x0, int y0, int log2, const int cand[3],
 }
 
 int64_t CtuEngine::intra_screen_cost(int x0, int y0, int log2) {
+  ProfScope _ps(0);
   int n = 1 << log2;
   int32_t f[4 * 32 + 1], ff[4 * 32 + 1];
   build_refs(recon_[0], w_, h_, w_, x0, y0, n, x0, y0, 1, f);
@@ -763,16 +807,19 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
   int64_t best_cost = 0;
   int32_t pred[32 * 32], best_pred[32 * 32];
   const pel_t* oy = orig_[0] + y0 * w_ + x0;
-  for (int mi = 0; mi < nm; ++mi) {
-    int mode = modes_try[mi];
-    const int32_t* fsel = dsp::intra_filter_flag(mode, n, true) ? ff : f;
-    dsp::intra_predict(fsel, f, mode, n, bd_, true, pred);
-    int64_t cost = dsp::satd(oy, w_, pred, n, n) +
-                   lam_bits(mode_bits(mode, cand));
-    if (mi == 0 || cost < best_cost) {
-      best_cost = cost;
-      best_mode = mode;
-      std::memcpy(best_pred, pred, sizeof(int32_t) * n * n);
+  {
+    ProfScope _pm(1);
+    for (int mi = 0; mi < nm; ++mi) {
+      int mode = modes_try[mi];
+      const int32_t* fsel = dsp::intra_filter_flag(mode, n, true) ? ff : f;
+      dsp::intra_predict(fsel, f, mode, n, bd_, true, pred);
+      int64_t cost = dsp::satd(oy, w_, pred, n, n) +
+                     lam_bits(mode_bits(mode, cand));
+      if (mi == 0 || cost < best_cost) {
+        best_cost = cost;
+        best_mode = mode;
+        std::memcpy(best_pred, pred, sizeof(int32_t) * n * n);
+      }
     }
   }
 
@@ -782,6 +829,7 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
   int cw0 = w_ >> csx_, ch0 = h_ >> csx_;
   int cmode_best = best_mode;
   {
+    ProfScope _pc(2);
     int32_t fcb[4 * 32 + 1], ffcb[4 * 32 + 1];
     int32_t fcr[4 * 32 + 1], ffcr[4 * 32 + 1];
     build_refs(recon_[1], cw0, ch0, cw0, x0 >> csx_, y0 >> csx_, cs0, x0,
@@ -844,12 +892,14 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
   // predicting from the live recon; returns nz, accumulates sse/bits
   auto code_tb_i = [&](int c, int tx, int ty, int tn, int mode,
                        double* sse, double* bits) -> int {
+    ProfScope _pt(3);
     int stride = c == 0 ? w_ : cw;
     int ph = c == 0 ? h_ : ch;
     int px = c == 0 ? tx : tx >> csx_;
     int py = c == 0 ? ty : ty >> csx_;
     int tz = c == 0 ? tn : tn >> csx_;
     int qp = c == 0 ? qp_y_ : qp_c_;
+    ProfScope* _pp = new ProfScope(7);
     build_refs(recon_[c], c == 0 ? w_ : cw, ph, stride, px, py, tz, tx, ty,
                c == 0 ? 1 : 1 << csx_, f2);
     bool strong2 = c == 0 && ep_.strong_smoothing &&
@@ -865,25 +915,35 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     for (int i = 0; i < tz; ++i)
       for (int j = 0; j < tz; ++j)
         resi[i * tz + j] = (int32_t)o[i * stride + j] - predt[i * tz + j];
+    delete _pp;
     bool dstt = (c == 0 && tz == 4);
     const int32_t* smat_t =
         sp_.scaling_lists ? dsp::default_scaling_matrix(tz, true) : nullptr;
-    dsp::fwd_xform(resi, tz, bd_, dstt, coef);
-    int nz = dsp::quant(coef, tz, qp, bd_, true, lev, smat_t);
-    nz = rdoq_run(lev, coef, tz, qp, nz, c,
-                  engine_scan_idx(ilog2(tz), c, true, mode, csx_ == 0),
-                  lam_sq, smat_t);
+    int nz;
+    {
+      ProfScope _px(4);
+      dsp::fwd_xform(resi, tz, bd_, dstt, coef);
+      nz = dsp::quant(coef, tz, qp, bd_, true, lev, smat_t);
+    }
+    {
+      ProfScope _pq(5);
+      nz = rdoq_run(lev, coef, tz, qp, nz, c,
+                    engine_scan_idx(ilog2(tz), c, true, mode, csx_ == 0),
+                    lam_sq, smat_t);
+    }
     if (nz && sp_.sign_hiding)
       sbh_enforce(lev, coef, tz, qp, bd_,
                   engine_scan_idx(ilog2(tz), c, true, mode, csx_ == 0),
                   smat_t);
     if (nz) {
+      ProfScope _pi(8);
       dsp::dequant(lev, tz, qp, bd_, deq, smat_t);
       dsp::inv_xform(deq, tz, bd_, dstt, rres);
     } else {
       std::memset(rres, 0, sizeof(int32_t) * tz * tz);
     }
     if (sp_.transform_skip_enabled && tz == 4) {
+      ProfScope _ps2(9);
       int slot = (((ty - y0) >> 2) & 7) * 8 + (((tx - x0) >> 2) & 7);
       uint8_t bit = c == 0 ? TS_Y : (c == 1 ? TS_CB : TS_CR);
       ts_loc[slot] &= (uint8_t)~bit;
@@ -891,7 +951,7 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
                    engine_scan_idx(2, c, true, mode, csx_ == 0), c, lev,
                    rres, &nz))
         ts_loc[slot] |= bit;
-    }
+    }  // (_ps2 ends with the enclosing if-block scope)
     // context-exact TB rate (cbf bin + CABAC-counter residual bits) — the
     // same pricing the inter path uses; a static per-level model
     // undercounts the sig-map cost of scattered small coefficients and
@@ -899,24 +959,28 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     *bits += ctx_rate(c == 0 ? est_ctx_.cbf_luma[1]
                              : est_ctx_.cbf_chroma[0],
                       nz != 0);
-    if (nz)
+    if (nz) {
+      ProfScope _pr(6);
       *bits += tb_rate_bits(est_ctx_, lev, tz, ilog2(tz), c,
                             engine_scan_idx(ilog2(tz), c, true, mode,
                                             csx_ == 0),
                             sp_.sign_hiding);
+    }
     int16_t* cpl = c == 0 ? d.coeff_y : (c == 1 ? d.coeff_cb : d.coeff_cr);
     int cstride = c == 0 ? ctu_ : cctu;
     int lx0 = c == 0 ? tx - ctu_x0 : (tx - ctu_x0) >> csx_;
     int ly0 = c == 0 ? ty - ctu_y0 : (ty - ctu_y0) >> csx_;
+    int64_t isse = 0;
     for (int i = 0; i < tz; ++i)
       for (int j = 0; j < tz; ++j) {
         cpl[(ly0 + i) * cstride + lx0 + j] = (int16_t)lev[i * tz + j];
         int32_t v = predt[i * tz + j] + rres[i * tz + j];
         pel_t rv = (pel_t)std::min(maxv, std::max(0, v));
         recon_[c][(py + i) * stride + px + j] = rv;
-        double e = (double)o[i * stride + j] - rv;
-        *sse += e * e;
+        int64_t e = (int64_t)o[i * stride + j] - rv;
+        isse += e * e;
       }
+    *sse += (double)isse;
     return nz;
   };
 
@@ -1213,15 +1277,17 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
     }
     bits_coded += ctx_rate(c_idx == 0 ? est_ctx_.cbf_luma[0]
                                       : est_ctx_.cbf_chroma[1], nz != 0);
+    int64_t isse = 0;
     for (int i = 0; i < sz; ++i)
       for (int j = 0; j < sz; ++j) {
         lv_out[i * lv_stride + j] = (int16_t)lev[i * sz + j];
         int32_t v = p[i * pstride + j] + rres[i * sz + j];
         pel_t rv = (pel_t)std::min(maxv, std::max(0, v));
         rec[i * rstride + j] = rv;
-        double e = (double)o[i * ostride + j] - rv;
-        sse_coded += e * e * dw;
+        int64_t e = (int64_t)o[i * ostride + j] - rv;
+        isse += e * e;
       }
+    sse_coded += (double)isse * dw;
     if (nz)
       bits_coded += tb_rate_bits(est_ctx_, lev, sz, ilog2(sz), c_idx, 0,
                                  sp_.sign_hiding);
@@ -1264,12 +1330,13 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
   // no-residual candidate, at depth 0): bare merge prediction vs the
   // coded CU by exact J
   if (best_idx >= 0 && nz_total > 0) {
-    double sse_skip = 0;
+    int64_t isse_skip = 0;
     for (int i = 0; i < n; ++i)
       for (int j = 0; j < n; ++j) {
-        double e = (double)oy[i * w_ + j] - best_pred[i * n + j];
-        sse_skip += e * e;
+        int64_t e = (int64_t)oy[i * w_ + j] - best_pred[i * n + j];
+        isse_skip += e * e;
       }
+    double sse_skip = (double)isse_skip;
     for (int i = 0; i < 32; ++i)
       for (int j = 0; j < 32; ++j) {
         double eb = (double)orig_[1][((y0 >> 1) + i) * cw + (x0 >> 1) + j]
@@ -1404,21 +1471,24 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     }
     // exact skip J of this candidate
     int maxv_sk = (1 << bd_) - 1;
-    double sse = 0;
+    int64_t isse_y = 0;
     for (int i = 0; i < n; ++i)
       for (int j = 0; j < n; ++j) {
-        double e = (double)oy[i * w_ + j] -
-                   std::min(maxv_sk, std::max(0, pred[i * n + j]));
-        sse += e * e;
+        int64_t e = (int64_t)oy[i * w_ + j] -
+                    std::min(maxv_sk, std::max(0, pred[i * n + j]));
+        isse_y += e * e;
       }
+    double sse = (double)isse_y;
     for (int c = 0; c < 2; ++c) {
       const pel_t* o = orig_[c + 1] + ccy * cwp + ccx;
+      int64_t isse_c = 0;
       for (int i = 0; i < csz; ++i)
         for (int j = 0; j < csz; ++j) {
-          double e = (double)o[i * cwp + j] -
-                     std::min(maxv_sk, std::max(0, skc[c][i * csz + j]));
-          sse += e * e * sk_cwgt;
+          int64_t e = (int64_t)o[i * cwp + j] -
+                      std::min(maxv_sk, std::max(0, skc[c][i * csz + j]));
+          isse_c += e * e;
         }
+      sse += (double)isse_c * sk_cwgt;
     }
     double j = sse + sk_lam * (idx + 2);
     if (m_sk_idx < 0 || j < m_sk_j) {
@@ -2080,15 +2150,17 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     // cbf bin (context-exact) — luma ctx by depth-in-CU, chroma likewise
     *bits += ctx_rate(c_idx == 0 ? est_ctx_.cbf_luma[1]
                                  : est_ctx_.cbf_chroma[0], nz != 0);
+    int64_t isse = 0;
     for (int i = 0; i < sz; ++i)
       for (int j = 0; j < sz; ++j) {
         lv[i * lstride + j] = lev_tmp_[i * sz + j];
         int32_t v = p[i * pstride + j] + rres[i * sz + j];
         pel_t rv = (pel_t)std::min(maxv, std::max(0, v));
         rec[i * rstride + j] = rv;
-        double e = (double)o[i * ostride + j] - rv;
-        *sse += e * e * dw;
+        int64_t e = (int64_t)o[i * ostride + j] - rv;
+        isse += e * e;
       }
+    *sse += (double)isse * dw;
     if (nz)
       *bits += tb_rate_bits(est_ctx_, lv, lstride, ilog2(sz), c_idx, 0,
                             sp_.sign_hiding);
@@ -2268,14 +2340,15 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       if (nz)
         ibits += tb_rate_bits(est_ctx_, it_lev, sz, ilog2(sz), c_idx,
                               scan, sp_.sign_hiding);
-      double sse = 0;
+      int64_t isse_t = 0;
       for (int i = 0; i < sz; ++i)
         for (int j = 0; j < sz; ++j) {
           int32_t v = p[i * sz + j] + it_rres[i * sz + j];
-          double e = (double)o[i * ostride + j] -
-                     std::min(maxv, std::max(0, v));
-          sse += e * e * dw;
+          int64_t e = (int64_t)o[i * ostride + j] -
+                      std::min(maxv, std::max(0, v));
+          isse_t += e * e;
         }
+      double sse = (double)isse_t * dw;
       return sse;
     };
     j_intra += trial_tb(oy, w_, iscr_pred, n, qp_y_, 0, iscr_mode);
