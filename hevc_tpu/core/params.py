@@ -321,6 +321,16 @@ class HrdParameters:
     dpb_output_delay_length_minus1: int = 23
     bit_rate_value_minus1: int = 0
     cpb_size_value_minus1: int = 0
+    # sub-picture (decoding-unit) level HRD (spec E.2.2/E.2.3; reference
+    # TComSPS::setHrdParameters useSubCpbParams branch, TComSlice.cpp:1662)
+    sub_pic: int = 0
+    tick_divisor_minus2: int = 98
+    du_cpb_removal_delay_length_minus1: int = 7
+    sub_pic_cpb_params_in_pic_timing_sei_flag: int = 1
+    dpb_output_delay_du_length_minus1: int = 12
+    cpb_size_du_scale: int = 3
+    bit_rate_du_value_minus1: int = 0
+    cpb_size_du_value_minus1: int = 0
 
 
 @dataclasses.dataclass

@@ -71,7 +71,13 @@ class DecoderTop:
                 self._finalize_picture()
                 self.pps = dh.parse_pps(rbsp)
             elif nal_type == 39 or nal_type == 40:
-                self._finalize_picture()
+                # a PREFIX SEI between slice segments belongs to the
+                # CURRENT access unit (decoding_unit_info SEIs under DU
+                # HRD, reference TEncGOP::xWriteDuSEIMessages inserts
+                # them before each DU's first VCL NAL) — only finalize
+                # when the in-progress picture is already complete
+                if nal_type == 40 or self._pic_complete():
+                    self._finalize_picture()
                 digests, hash_type = self._parse_hash_sei(rbsp)
                 if digests and self._last_decoded is not None:
                     ok = self._check_hash(self._last_decoded, digests,
@@ -407,6 +413,15 @@ class DecoderTop:
         pic["slices"].append((sh, start, n_done))
         pic["bytes"] = pic.get("bytes", 0) + len(slice_data)
         pic["ref_l0"], pic["ref_l1"] = ref_pocs_l0[:nl0], ref_pocs_l1[:nl1]
+
+    def _pic_complete(self) -> bool:
+        """True when no picture is in progress or every CTU of the
+        current picture has been covered by a decoded slice."""
+        pic = self._pic
+        if pic is None:
+            return True
+        covered = sum(n for (_s, _a, n) in pic["slices"])
+        return covered == len(pic["decisions"])
 
     def _finalize_picture(self) -> None:
         """Deblock + SAO + DPB/output bookkeeping once every slice of the

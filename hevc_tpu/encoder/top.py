@@ -193,7 +193,8 @@ class EncoderTop:
             self.pps.entropy_coding_sync_enabled_flag = 1
         if cfg.weighted_pred_p:
             self.pps.weighted_pred_flag = 1
-        if cfg.sei_buffering_period or cfg.sei_pic_timing:
+        if (cfg.sei_buffering_period or cfg.sei_pic_timing
+                or cfg.sei_decoding_unit_info):
             # HRD (annex E.2.2 / C: reference TEncTop xSetHrdParameters):
             # NAL HRD with one CPB sized for ~1s at the target or a
             # nominal rate; buffering-period SEI at each IRAP and CPB
@@ -205,6 +206,16 @@ class EncoderTop:
                 0, rate // (1 << (6 + hrd.bit_rate_scale)) - 1)
             hrd.cpb_size_value_minus1 = max(
                 0, rate // (1 << (4 + hrd.cpb_size_scale)) - 1)
+            # decoding-unit (sub-picture) CPB operation when the AU is
+            # split into slice DUs (reference TEncTop.cpp:686-690:
+            # useSubCpbParams = SliceMode > 0 || SliceSegmentMode > 0)
+            if ((cfg.sei_pic_timing or cfg.sei_decoding_unit_info)
+                    and (cfg.slice_mode > 0
+                         or cfg.slice_segment_mode > 0)):
+                hrd.sub_pic = 1
+                hrd.bit_rate_du_value_minus1 = hrd.bit_rate_value_minus1
+                hrd.cpb_size_du_value_minus1 = max(
+                    0, rate // (1 << (4 + hrd.cpb_size_du_scale)) - 1)
             self.sps.hrd = hrd
             self.sps.vui_parameters_present_flag = 1
             self.sps.vui_timing_info_present_flag = 1
@@ -508,6 +519,70 @@ class EncoderTop:
                     out[poc] = grids
             return out
         return resolve
+
+    def _du_timing(self, leading_nals, slice_nals):
+        """Per-decoding-unit NAL counts and CPB removal delays (reference
+        TEncGOP::xCreatePictureTimingSEI DU parameters + xUpdateDuData /
+        xUpdateTimingSEI): DU i is slice segment i; the delay between
+        consecutive DU removals is proportional to the bits still to
+        arrive at the target bitrate, measured in sub-picture clock
+        ticks (tick divisor per the SPS HRD). Returns
+        (du_data [(num_nalus_in_du, delay_minus1)], delays)."""
+        cfg = self.cfg
+        hrd = self.sps.hrd
+        ndu = len(slice_nals)
+        factor = hrd.tick_divisor_minus2 + 2
+        # leading section: everything before the first slice, plus the
+        # pic_timing itself (~15 bytes) and DU 0's info SEI (~5 bytes;
+        # same estimate the reference uses, TEncGOP.cpp:684-688)
+        lead_bytes = sum(len(x) for x in leading_nals) + 15
+        lead_count = len(leading_nals) + 1
+        if cfg.sei_decoding_unit_info:
+            lead_bytes += 5
+            lead_count += 1
+        accum_bits, accum_nals = [], []
+        b, c = lead_bytes, lead_count
+        for i, sn in enumerate(slice_nals):
+            b += len(sn)
+            c += 1
+            if cfg.sei_decoding_unit_info and i > 0:
+                b += 5
+                c += 1
+            if i == ndu - 1 and getattr(cfg, "hash_sei_type", 1):
+                b += 20      # trailing hash SEI estimate
+                c += 1
+            accum_bits.append(b * 8)
+            accum_nals.append(c)
+        nn = [accum_nals[0]] + [accum_nals[i] - accum_nals[i - 1]
+                                for i in range(1, ndu)]
+        delays = [0] * ndu
+        if ndu > 1:
+            rate = (cfg.target_bitrate or 1000) * 1000
+            ticks = (self.sps.vui_time_scale //
+                     max(1, self.sps.vui_num_units_in_tick))
+            max_diff = factor - 1
+            raw = [((accum_bits[ndu - 1] - accum_bits[i]) * ticks
+                    * factor) // rate for i in range(ndu - 1)]
+            tmp = sum(1 for v in raw if v > max_diff)
+            prev = accum = 0
+            for i in range(ndu - 2, -1, -1):
+                v = raw[i]
+                flag = 0
+                if v > max_diff:
+                    if prev >= max_diff - tmp:
+                        v = prev + 1
+                        flag = 1
+                    else:
+                        v = max_diff - tmp + 1
+                d = v - prev - 1
+                if d < 0:
+                    d = 0
+                elif tmp > 0 and flag:
+                    tmp -= 1
+                delays[i] = d
+                accum += d + 1
+                prev = accum
+        return list(zip(nn, delays)), delays
 
     def _idr_scope_seis(self) -> List[bytes]:
         """IRAP-scoped informative SEIs from the cfg surface (reference
@@ -1312,6 +1387,12 @@ class EncoderTop:
                 int(NalUnitType.PREFIX_SEI_NUT)))
             firsts.append(False)
             self._au_count_since_bp = 0
+        snals = [nal.rbsp_to_nal(rb, sh.nal_unit_type)
+                 for rb in slice_rbsps]
+        du_data = du_delays = None
+        if (hrd is not None and getattr(hrd, "sub_pic", 0)
+                and (cfg.sei_pic_timing or cfg.sei_decoding_unit_info)):
+            du_data, du_delays = self._du_timing(nals, snals)
         if self.sps.vui_frame_field_info_present_flag or (
                 hrd is not None and cfg.sei_pic_timing):
             # pic_struct 1 = top field, 2 = bottom field (Table D.2);
@@ -1325,7 +1406,7 @@ class EncoderTop:
                     cpb_removal_delay=self._au_count_since_bp,
                     dpb_output_delay=self.gop_size +
                     (display_poc - cvs_poc if self.reordered else 0),
-                    frame_field_info=ffi),
+                    frame_field_info=ffi, du_data=du_data),
                 int(NalUnitType.PREFIX_SEI_NUT)))
             firsts.append(False)
         self._au_count_since_bp += 1
@@ -1333,8 +1414,25 @@ class EncoderTop:
             nals.append(nal.rbsp_to_nal(
                 rb, int(NalUnitType.PREFIX_SEI_NUT)))
             firsts.append(False)
-        for si, rb in enumerate(slice_rbsps):
-            nals.append(nal.rbsp_to_nal(rb, sh.nal_unit_type))
+        du_info_on = (du_delays is not None
+                      and cfg.sei_decoding_unit_info)
+        if du_info_on:
+            # DU 0's decoding_unit_info rides with the leading SEIs;
+            # each later DU's SEI precedes its slice NAL (reference
+            # TEncGOP::xWriteDuSEIMessages)
+            nals.append(nal.rbsp_to_nal(
+                sei.write_decoding_unit_info_sei(0, du_delays[0] + 1,
+                                                 hrd),
+                int(NalUnitType.PREFIX_SEI_NUT)))
+            firsts.append(False)
+        for si, sn in enumerate(snals):
+            if du_info_on and si > 0:
+                nals.append(nal.rbsp_to_nal(
+                    sei.write_decoding_unit_info_sei(
+                        si, du_delays[si] + 1, hrd),
+                    int(NalUnitType.PREFIX_SEI_NUT)))
+                firsts.append(False)
+            nals.append(sn)
             firsts.append(not first_au and si == 0)
         # decoded-picture-hash SEI; type per SEIDecodedPictureHash
         # (reference TComPicYuvMD5 calcMD5/CRC/checksum, TEncGOP.cpp:1661)
@@ -1395,13 +1493,17 @@ class EncoderTop:
 
 
 def _psnr(orig, recon, bd):
+    from ..entropy.cabac import get_lib
+    lib = get_lib(bd > 14)
+    dt = np.int16 if bd <= 14 else np.int32
     out = []
     peak = (1 << bd) - 1
     for o, r in zip(orig, recon):
-        # SSE via float64 BLAS dot: numpy's integer dot is a slow
-        # non-BLAS loop (~200 ms/frame at 1080p); float64 is exact here
-        # (|d| < 2^16, so the 2^53-exact sum bound holds to ~8K video)
-        d = (np.asarray(o, np.float64) - np.asarray(r, np.float64)).ravel()
-        mse = float(np.dot(d, d)) / d.size
+        # exact int64 SSE in the native lib (vectorized; the float64
+        # BLAS-dot route costs ~200 ms/frame at 1080p on slow hosts)
+        a = np.ascontiguousarray(o, dt)
+        b = np.ascontiguousarray(r, dt)
+        sse = lib.hevc_plane_sse(a.ravel(), b.ravel(), a.size)
+        mse = sse / a.size
         out.append(99.99 if mse == 0 else 10 * np.log10(peak * peak / mse))
     return out

@@ -82,6 +82,8 @@ def get_lib(pel32: bool = False) -> ctypes.CDLL:
     c_pel = ctypes.c_int32 if pel32 else ctypes.c_int16
     pel_np = np.ctypeslib.ndpointer(np.int32 if pel32 else np.int16,
                                     flags="C_CONTIGUOUS")
+    lib.hevc_plane_sse.restype = ctypes.c_longlong
+    lib.hevc_plane_sse.argtypes = [pel_np, pel_np, ctypes.c_long]
     lib.hevc_enc_create.restype = ctypes.c_void_p
     lib.hevc_enc_create.argtypes = [ctypes.POINTER(SliceParamsC)]
     lib.hevc_enc_destroy.argtypes = [ctypes.c_void_p]

@@ -230,11 +230,21 @@ def write_vui(bw: BitWriter, sps: SPS) -> None:
 def write_hrd_parameters(bw: BitWriter, hrd) -> None:
     """hrd_parameters (spec E.2.2; reference TEncCavlc::codeHrdParameters)
     — one sub-layer, NAL HRD only, fixed pic rate."""
+    sub = getattr(hrd, "sub_pic", 0)
     bw.flag(1)                       # nal_hrd_parameters_present_flag
     bw.flag(0)                       # vcl_hrd_parameters_present_flag
-    bw.flag(0)                       # sub_pic_hrd_params_present_flag
+    bw.flag(1 if sub else 0)         # sub_pic_hrd_params_present_flag
+    if sub:
+        # decoding-unit level CPB operation (reference setHrdParameters
+        # sub-pic branch: tick divisor 100, 8-bit DU removal delays)
+        bw.u(hrd.tick_divisor_minus2, 8)
+        bw.u(hrd.du_cpb_removal_delay_length_minus1, 5)
+        bw.flag(hrd.sub_pic_cpb_params_in_pic_timing_sei_flag)
+        bw.u(hrd.dpb_output_delay_du_length_minus1, 5)
     bw.u(hrd.bit_rate_scale, 4)
     bw.u(hrd.cpb_size_scale, 4)
+    if sub:
+        bw.u(hrd.cpb_size_du_scale, 4)
     bw.u(hrd.initial_cpb_removal_delay_length_minus1, 5)
     bw.u(hrd.au_cpb_removal_delay_length_minus1, 5)
     bw.u(hrd.dpb_output_delay_length_minus1, 5)
@@ -244,6 +254,9 @@ def write_hrd_parameters(bw: BitWriter, hrd) -> None:
     bw.ue(0)                         # cpb_cnt_minus1
     bw.ue(hrd.bit_rate_value_minus1)
     bw.ue(hrd.cpb_size_value_minus1)
+    if sub:                          # spec E.2.3 sub_layer_hrd_parameters
+        bw.ue(hrd.cpb_size_du_value_minus1)
+        bw.ue(hrd.bit_rate_du_value_minus1)
     bw.flag(0)                       # cbr_flag
 
 

@@ -32,6 +32,18 @@ void hevc_trace_note(const char* s) {
 // will pass (reference dual-build: make all vs make all_highbitdepth)
 int hevc_pel_bits() { return (int)sizeof(hevctpu::pel_t) * 8; }
 
+// exact integer SSE between two sample planes (PSNR support: the
+// float64 BLAS-dot path costs ~200 ms/frame at 1080p on slow hosts;
+// this int64 accumulation vectorizes with the host ISA)
+long long hevc_plane_sse(const pel_t* a, const pel_t* b, long n) {
+  long long s = 0;
+  for (long i = 0; i < n; ++i) {
+    int d = (int)a[i] - (int)b[i];
+    s += (long long)d * d;
+  }
+  return s;
+}
+
 // engine phase profiler readback (HEVC_TPU_ENGINE_PROF=1): thread-CPU ns
 // per phase — 0 screen, 1 luma modes, 2 chroma modes, 3 TB coding
 extern "C++" { namespace hevctpu { struct EngineProf { std::atomic<long long> ns[12]; bool on; }; extern EngineProf g_eprof; } }

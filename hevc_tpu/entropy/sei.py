@@ -215,7 +215,8 @@ def write_pic_timing_sei(pic_struct: int, source_scan_type: int = 0,
                          duplicate_flag: int = 0, hrd=None,
                          cpb_removal_delay: int = 0,
                          dpb_output_delay: int = 0,
-                         frame_field_info: bool = True) -> bytes:
+                         frame_field_info: bool = True,
+                         du_data=None) -> bytes:
     """pic_timing SEI (spec D.2.3; reference
     SEIEncoder::initSEIPictureTiming): frame-field info and, when HRD
     parameters are active, the CPB removal / DPB output delays.
@@ -232,6 +233,23 @@ def write_pic_timing_sei(pic_struct: int, source_scan_type: int = 0,
         n = hrd.au_cpb_removal_delay_length_minus1 + 1
         p.u(min(max(1, cpb_removal_delay) - 1, (1 << n) - 1), n)
         p.u(dpb_output_delay, hrd.dpb_output_delay_length_minus1 + 1)
+        if getattr(hrd, "sub_pic", 0):
+            # decoding-unit timing (spec D.2.3 sub-pic branch; reference
+            # TEncGOP::xCreatePictureTimingSEI DU parameters + the
+            # removal-delay math in xUpdateTimingSEI). du_data is a list
+            # of (num_nalus_in_du, du_cpb_removal_delay_minus1).
+            factor = hrd.tick_divisor_minus2 + 2
+            p.u(factor * dpb_output_delay,
+                hrd.dpb_output_delay_du_length_minus1 + 1)
+            if hrd.sub_pic_cpb_params_in_pic_timing_sei_flag:
+                dd = du_data or [(1, 0)]
+                p.ue(len(dd) - 1)    # num_decoding_units_minus1
+                p.flag(0)            # du_common_cpb_removal_delay_flag
+                ln = hrd.du_cpb_removal_delay_length_minus1 + 1
+                for i, (nn, delay) in enumerate(dd):
+                    p.ue(nn - 1)     # num_nalus_in_du_minus1
+                    if i < len(dd) - 1:
+                        p.u(delay, ln)
     _payload_align(p)
     return _sei_rbsp(PIC_TIMING, p)
 
@@ -246,15 +264,39 @@ def write_buffering_period_sei(hrd, initial_cpb_removal_delay: int,
     SEIEncoder::initSEIBufferingPeriod): NAL HRD, one CPB."""
     p = BitWriter()
     p.ue(sps_id)                     # bp_seq_parameter_set_id
-    p.flag(0)                        # irap_cpb_params_present_flag
+    sub = getattr(hrd, "sub_pic", 0)
+    if not sub:
+        p.flag(0)                    # irap_cpb_params_present_flag
     p.flag(0)                        # concatenation_flag
     n = hrd.au_cpb_removal_delay_length_minus1 + 1
     p.u(0, n)                        # au_cpb_removal_delay_delta_minus1
     m = hrd.initial_cpb_removal_delay_length_minus1 + 1
     p.u(initial_cpb_removal_delay, m)
     p.u(initial_cpb_removal_offset, m)
+    if sub:
+        # alternative delays required under sub-pic HRD (spec D.3.2,
+        # reference xWriteSEIBufferingPeriod SubPic||rap branch)
+        p.u(initial_cpb_removal_delay, m)
+        p.u(initial_cpb_removal_offset, m)
     _payload_align(p)
     return _sei_rbsp(BUFFERING_PERIOD, p)
+
+
+DECODING_UNIT_INFO = 130
+
+
+def write_decoding_unit_info_sei(du_idx: int, spt_delay: int, hrd) -> bytes:
+    """decoding_unit_info SEI (spec D.2.22; reference
+    SEIwrite.cpp xWriteSEIDecodingUnitInfo + TEncGOP DU creation:
+    du_spt_cpb_removal_delay = du_cpb_removal_delay_minus1[i] + 1,
+    dpb_output_du_delay not present)."""
+    p = BitWriter()
+    p.ue(du_idx)
+    if hrd.sub_pic_cpb_params_in_pic_timing_sei_flag:
+        p.u(spt_delay, hrd.du_cpb_removal_delay_length_minus1 + 1)
+    p.flag(0)                        # dpb_output_du_delay_present_flag
+    _payload_align(p)
+    return _sei_rbsp(DECODING_UNIT_INFO, p)
 
 
 # ---------------------------------------------------------------------------

@@ -85,6 +85,7 @@ _OPTION_TABLE = {
     "DecodingRefreshType": ("decoding_refresh_type", int),
     "SEIDecodedPictureHash": ("hash_sei_type", int),
     "SEIBufferingPeriod": ("sei_buffering_period", int),
+    "SEIDecodingUnitInfo": ("sei_decoding_unit_info", int),
     "SEIPictureTiming": ("sei_pic_timing", int),
     # extended SEI payload surface (reference TAppEncCfg.cpp:948-1060)
     "SEIToneMappingInfo": ("sei_tone_mapping", int),
@@ -301,6 +302,7 @@ class EncoderConfig:
     sei_temporal_level0_index: int = 0
     sei_gdr_info: int = 0
     sei_tmcts: int = 0
+    sei_decoding_unit_info: int = 0
     sei_no_display: int = 0
     sei_sop_description: int = 0
     sei_time_code: int = 0

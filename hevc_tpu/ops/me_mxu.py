@@ -310,7 +310,11 @@ def _me_idx_multi2_jit(orig, refs_stacked, bits0, bits0b, lam_q8, *, size,
         i2 = me_idx_frame(orig, refp, bits0b, lam_q8, size=size2, r=r2,
                           ny=ny2, nx=nx2, pad=pad, depth=depth,
                           shard=shard)
-        return i1, i2
+        # ONE output array per dispatch: both grids' argmin indices ride
+        # a single device->host transfer (each readback is a tunnel
+        # round trip on remote-attached chips)
+        return jnp.concatenate([i1.reshape(-1).astype(jnp.int32),
+                                i2.reshape(-1).astype(jnp.int32)])
     return lax.map(one, refs_stacked)
 
 
@@ -362,14 +366,16 @@ def me_grids_multi2_async(orig_dev, ref_devs, size: int, size2: int,
     padded = list(ref_devs) + [ref_devs[-1]] * (npad - nref)
     stacked = jnp.stack(padded)
     nyx, nyx2 = 2 * r + 1, 2 * r2 + 1
-    i1, i2 = _me_idx_multi2_jit(
+    packed = _me_idx_multi2_jit(
         orig_dev, stacked, jnp.asarray(bits0_table(r)),
         jnp.asarray(bits0_table(r2)), jnp.int32(lam_q8_of(lam_fp)),
         size=size, size2=size2, r=r, r2=r2, ny=ny, nx=nx, ny2=ny2,
         nx2=nx2, pad=pad, depth=depth, axis_name=axis_name)
+    n1 = ny * nx
 
     def collect():
-        a1, a2 = np.asarray(i1), np.asarray(i2)
+        a = np.asarray(packed)       # one transfer for both grids
+        a1, a2 = a[:, :n1], a[:, n1:]
         out = []
         for k in range(nref):
             gy = (a1[k] // nyx - r).astype(np.int32).reshape(ny, nx)

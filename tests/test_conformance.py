@@ -598,6 +598,53 @@ def test_weighted_prediction_analysis_conformance(tmp_path):
     assert wp_slices >= 3, "weights did not fire on fading content"
 
 
+def test_decoding_unit_hrd(tmp_path):
+    """Decoding-unit (sub-picture) HRD: SliceMode splits the AU into DUs,
+    the SPS VUI signals sub_pic_hrd_params (tick divisor 100, 8-bit DU
+    removal delays — reference TComSPS::setHrdParameters sub-pic branch,
+    TEncTop.cpp:686 useSubCpbParams), pic_timing carries per-DU NAL
+    counts and removal delays, and one decoding_unit_info SEI precedes
+    each DU (reference TEncGOP xCreatePictureTimingSEI + xUpdateDuData +
+    xWriteDuSEIMessages). The HM decoder must still verify every hash
+    with byte-identical recon (it parses the sub-pic HRD syntax in the
+    SPS), and our decoder must treat mid-AU prefix SEIs as part of the
+    current access unit."""
+    w, h, frames = 416, 240, 3
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-c", "/root/reference/cfg/encoder_lowdelay_P_main.cfg",
+          "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-q", "32", "--SliceMode=1", "--SliceArgument=7",
+          "--SEIBufferingPeriod=1", "--SEIPictureTiming=1",
+          "--SEIDecodingUnitInfo=1", "--TargetBitrate=1000",
+          "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames
+    assert rec.read_bytes() == dec.read_bytes()
+    from hevc_tpu.cli.decode import main as dmain
+    own = tmp_path / "own.yuv"
+    assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+    assert own.read_bytes() == dec.read_bytes()
+    # one DU info SEI per slice DU, pic timing in every AU
+    from hevc_tpu.entropy.nal import nal_to_rbsp, split_annexb
+    from hevc_tpu.entropy.sei import SEI_NAMES, parse_sei_messages
+    counts = {}
+    for unit in split_annexb(bs.read_bytes()):
+        t, _tid, rbsp = nal_to_rbsp(bytes(unit))
+        if t in (39, 40):
+            for (pt, _b) in parse_sei_messages(bytes(rbsp)):
+                nm = SEI_NAMES.get(pt, pt)
+                counts[nm] = counts.get(nm, 0) + 1
+    ctus_per_pic = -(-w // 64) * -(-h // 64)
+    slices_per_pic = -(-ctus_per_pic // 7)
+    assert counts.get("decoding_unit_info") == frames * slices_per_pic
+    assert counts.get("pic_timing") == frames
+
+
 def test_extended_sei_payloads(tmp_path):
     """The extended SEI surface (tone mapping, frame packing, segmented
     rect frame packing, display orientation, mastering display colour
