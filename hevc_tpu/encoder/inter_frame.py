@@ -124,9 +124,11 @@ class PFrameEncoder(IntraFrameEncoder):
     def encode_frame(self, orig: List[np.ndarray]):
         w, h, ctu = self.w, self.h, self.ctu
         sx, sy = self.sps.chroma_shift_x, self.sps.chroma_shift_y
-        recon = [np.zeros((h, w), np.int16),
-                 np.zeros((h >> sy, w >> sx), np.int16),
-                 np.zeros((h >> sy, w >> sx), np.int16)]
+        # sample dtype: int16 through 14-bit internal depth, int32 at 16
+        pdt = self._pdt  # noqa: F841 (kept for local readers)
+        recon = [np.zeros((h, w), pdt),
+                 np.zeros((h >> sy, w >> sx), pdt),
+                 np.zeros((h >> sy, w >> sx), pdt)]
         mode_map = np.full(((h + 3) >> 2, (w + 3) >> 2), 1, np.uint8)
         self._me = self._batched_me(orig)
         ctus_w = -(-w // ctu)
@@ -335,9 +337,9 @@ class PFrameEncoder(IntraFrameEncoder):
                    lx >> sx:(lx >> sx) + cs] = lv_cb.astype(np.int16)
         d.coeff_cr[ly >> sy:(ly >> sy) + chh,
                    lx >> sx:(lx >> sx) + cs] = lv_cr.astype(np.int16)
-        recon[0][y0:y0 + size, x0:x0 + size] = rec_y.astype(np.int16)
-        recon[1][cyy:cyy + chh, cxx:cxx + cs] = rec_cb.astype(np.int16)
-        recon[2][cyy:cyy + chh, cxx:cxx + cs] = rec_cr.astype(np.int16)
+        recon[0][y0:y0 + size, x0:x0 + size] = rec_y.astype(self._pdt)
+        recon[1][cyy:cyy + chh, cxx:cxx + cs] = rec_cb.astype(self._pdt)
+        recon[2][cyy:cyy + chh, cxx:cxx + cs] = rec_cr.astype(self._pdt)
         # intra mode map: inter blocks act as DC for MPM purposes
         mode_map[y0 >> 2:(y0 + size) >> 2, x0 >> 2:(x0 + size) >> 2] = 1
         self.senc.publish_cu(x0, y0, log2, False, skip=int(mi_idx >= 0 and

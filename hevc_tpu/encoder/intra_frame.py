@@ -88,6 +88,8 @@ class IntraFrameEncoder:
         self.sps = sps
         self.qp = qp
         self.bd = sps.bit_depth_luma
+        # sample dtype: int16 through 14-bit internal depth, int32 at 16
+        self._pdt = np.int16 if self.bd <= 14 else np.int32
         self.w = sps.pic_width_in_luma_samples
         self.h = sps.pic_height_in_luma_samples
         self.ctu = sps.ctu_size
@@ -154,9 +156,11 @@ class IntraFrameEncoder:
         walk; recon planes grow as TBs complete (availability-correct)."""
         w, h, ctu = self.w, self.h, self.ctu
         sx, sy = self.sps.chroma_shift_x, self.sps.chroma_shift_y
-        recon = [np.zeros((h, w), np.int16),
-                 np.zeros((h >> sy, w >> sx), np.int16),
-                 np.zeros((h >> sy, w >> sx), np.int16)]
+        # sample dtype: int16 through 14-bit internal depth, int32 at 16
+        pdt = self._pdt  # noqa: F841 (kept for local readers)
+        recon = [np.zeros((h, w), pdt),
+                 np.zeros((h >> sy, w >> sx), pdt),
+                 np.zeros((h >> sy, w >> sx), pdt)]
         mode_map = np.full((h + 3 >> 2, (w + 3) >> 2), 1, np.uint8)
         ctus_w = -(-w // ctu)
         ctus_h = -(-h // ctu)
@@ -217,7 +221,7 @@ class IntraFrameEncoder:
                 is_dst)
             d.coeff_y[ty - ctu_y0:ty - ctu_y0 + tsize,
                       tx - ctu_x0:tx - ctu_x0 + tsize] = levels.astype(np.int16)
-            recon[0][ty:ty + tsize, tx:tx + tsize] = rec.astype(np.int16)
+            recon[0][ty:ty + tsize, tx:tx + tsize] = rec.astype(self._pdt)
 
             # chroma TBs at this TU: half-size in 4:2:0, full-size in
             # 4:4:4 (where smoothing applies to chroma too, spec 8.4.4.2.3,
@@ -254,7 +258,7 @@ class IntraFrameEncoder:
                             cxx - (ctu_x0 >> 1) + csize] = \
                             lv.astype(np.int16)
                         plane[hy:hy + csize, cxx:cxx + csize] = \
-                            recc.astype(np.int16)
+                            recc.astype(self._pdt)
                 continue
             csize = tsize >> cs
             cxx, cyy = tx >> cs, ty >> cs
@@ -274,4 +278,5 @@ class IntraFrameEncoder:
                 tgt[cyy - (ctu_y0 >> cs):cyy - (ctu_y0 >> cs) + csize,
                     cxx - (ctu_x0 >> cs):cxx - (ctu_x0 >> cs) + csize] = \
                     lv.astype(np.int16)
-                plane[cyy:cyy + csize, cxx:cxx + csize] = recc.astype(np.int16)
+                plane[cyy:cyy + csize, cxx:cxx + csize] = \
+                    recc.astype(self._pdt)

@@ -419,6 +419,7 @@ def test_14bit_conformance(tmp_path, cfg, label):
     ("encoder_intra_main_rext.cfg", "intra"),
     ("encoder_lowdelay_main_rext.cfg", "ldb"),
     ("encoder_randomaccess_main_rext.cfg", "ra"),
+    ("encoder_intra_main_rext.cfg", "intra422"),
 ])
 def test_16bit_conformance(tmp_path, cfg, label):
     """16-bit internal depth: samples live in the int32 pel path
@@ -431,20 +432,26 @@ def test_16bit_conformance(tmp_path, cfg, label):
     Verified: HM oracle hash OK + byte-identical recon; our decoder
     agrees and reads HM's own 16-bit streams byte-identically."""
     w, h, frames = 128, 80, 3
+    fmt422 = label.endswith("422")
     clip = tmp_path / "in16.yuv"
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                     "tools"))
     from make_test_yuv import make_frame
     with open(clip, "wb") as fh:
         for t in range(frames):
-            for p in make_frame(w, h, t):
-                fh.write((np.asarray(p, np.uint16) << 8).tobytes())
+            y, u, v = (np.asarray(p) for p in make_frame(w, h, t))
+            if fmt422:  # chroma subsampled horizontally only
+                u = np.repeat(u, 2, axis=0)[:h, :]
+                v = np.repeat(v, 2, axis=0)[:h, :]
+            for p in (y, u, v):
+                fh.write((p.astype(np.uint16) << 8).tobytes())
     bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
     from hevc_tpu.cli.encode import main
     main(["-c", f"/root/reference/cfg/{cfg}", "-i", str(clip),
           "-wdt", str(w), "-hgt", str(h), "-f", str(frames), "-fr", "30",
-          "-q", "32", "--InputBitDepth=16", "--InternalBitDepth=16",
-          "--Profile=main-RExt", "-b", str(bs), "-o", str(rec)])
+          "-q", "32", "--InputBitDepth=16", "--InternalBitDepth=16"]
+         + (["--InputChromaFormat=422"] if fmt422 else [])
+         + ["--Profile=main-RExt", "-b", str(bs), "-o", str(rec)])
     out = subprocess.run([HBD_ORACLE, "-b", str(bs), "-o", str(dec)],
                          capture_output=True, text=True)
     assert out.returncode == 0, out.stderr[-2000:]
@@ -460,9 +467,10 @@ def test_16bit_conformance(tmp_path, cfg, label):
     subprocess.run(
         [hm_enc, "-c", f"/root/reference/cfg/{cfg}", "-i", str(clip),
          "-wdt", str(w), "-hgt", str(h), "-f", str(frames), "-fr", "30",
-         "-q", "32", "--InputBitDepth=16", "--InternalBitDepth=16",
-         "--SEIDecodedPictureHash=1", "-b", str(hmbs),
-         "-o", str(tmp_path / "hr.yuv")], capture_output=True)
+         "-q", "32", "--InputBitDepth=16", "--InternalBitDepth=16"]
+        + (["--InputChromaFormat=422"] if fmt422 else [])
+        + ["--SEIDecodedPictureHash=1", "-b", str(hmbs),
+           "-o", str(tmp_path / "hr.yuv")], capture_output=True)
     hmd = tmp_path / "hmd.yuv"
     assert subprocess.run([HBD_ORACLE, "-b", str(hmbs), "-o", str(hmd)],
                           capture_output=True).returncode == 0
