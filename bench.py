@@ -117,7 +117,17 @@ def measure_hm(cfg_path, clip, w, h, frames, qp, bd, warmup=1):
             return None
         ets = [float(m) for m in re.findall(r"\[ET\s+([0-9.]+)\s*\]",
                                             out.stdout)]
+        tot = re.search(r"Total Time:\s+([0-9.]+)\s+sec", out.stdout)
     steady = ets[warmup:] if len(ets) > warmup else ets
+    # HM prints [ET] in whole seconds: for fast configs (<~2 s/frame) the
+    # samples quantize to 0/1 and a per-frame mean is meaningless (8 intra
+    # frames at 0.46 s print as seven 0s and one 1 -> a bogus "7.0 fps").
+    # Use the encoder's own Total Time when the per-frame samples are too
+    # coarse to trust (steady mean under 5 s/frame).
+    if steady and sum(steady) >= 5.0 * len(steady):
+        return len(steady) / sum(steady)
+    if tot and float(tot.group(1)) > 0:
+        return len(ets) / float(tot.group(1))
     if not steady or sum(steady) == 0:
         return None
     return len(steady) / sum(steady)
