@@ -76,6 +76,10 @@ def measure_ours(cfg_path, clip, w, h, frames, qp, warmup):
     rd = YuvReader(clip, w, h, file_bit_depth=cfg.input_bit_depth,
                    internal_bit_depth=cfg.internal_bit_depth)
     enc = EncoderTop(cfg)
+    # pre-load every ME program variant (one per padded ref count) so
+    # the one-time device program-load stalls cannot land inside the
+    # steady-state measurement window
+    enc.warm_device_programs()
     t_start = None
     done = 0
     planes = rd.read()

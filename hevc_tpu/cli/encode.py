@@ -53,6 +53,7 @@ def main(argv=None) -> int:
         # (reference TAppEncTop / TVideoIOYuv field path)
         cfg.height //= 2
     enc = EncoderTop(cfg)
+    enc.warm_device_programs()
     n = cfg.frames_to_encode or rd.num_frames
     t0 = time.time()
     printed = 0

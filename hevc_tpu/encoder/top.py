@@ -345,6 +345,89 @@ class EncoderTop:
         return ref
 
     # ------------------------------------------------------------------
+    def warm_device_programs(self) -> None:
+        """Pre-dispatch every device program variant the sequence will
+        use so their one-time costs land here, not mid-sequence. The ME
+        dispatch is shape-specialized on the padded reference count
+        (1/2/4/...); on remote-attached devices the FIRST execution of
+        each variant pays a program-load stall through the tunnel
+        (measured ~40 s at 1080p — compilation itself hits the
+        persistent cache in <1 s). Low-delay reference lists grow one
+        picture per frame from the IDR, so without warming, those
+        stalls hit frames 2..5 of the steady-state encode. Mirrors the
+        reference compiling its OpenCL kernels at init rather than at
+        first use (TEncTop.cpp:1116 xInitOpenCL)."""
+        import os as _osm
+        cfg = self.cfg
+        if (cfg.internal_bit_depth > 14 or self.me_provider is not None
+                or _osm.environ.get("HEVC_TPU_WARM", "1") == "0"
+                or _osm.environ.get("HEVC_TPU_NATIVE_RECON", "1") == "0"):
+            return
+        import jax
+        if jax.default_backend() == "cpu" and self.mesh is None:
+            return
+        depth = self.sps.bit_depth_luma
+        h, w = cfg.height, cfg.width
+        if (_osm.environ.get("HEVC_TPU_INTRA_SCREEN", "1") != "0"
+                and _osm.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0"):
+            # every sequence codes I slices (at least the IDR), and each
+            # I slice runs the device 35-mode prescreen — warm its
+            # programs too, or the first IDR pays the load stalls
+            from ..ops.intra_screen import screen_frame_async
+            mid = np.full((h, w), 1 << (depth - 1), np.int16)
+            screen_frame_async(mid, depth, 1.0)()
+        if cfg.intra_period == 1:
+            return
+        if (_osm.environ.get("HEVC_TPU_ME_MULTI", "1") == "0"
+                or self.sps.chroma_format_idc != 1
+                or self.sps.scaling_list_data is not None):
+            return
+        from contextlib import nullcontext
+
+        from ..ops import me_mxu
+        from ..ops.interp import pad_plane
+        from .native_frame import PAD
+        size = self.sps.ctu_size >> 1
+        want16 = (_osm.environ.get("HEVC_TPU_CU16", "1") != "0"
+                  and size > 16)
+        r = cfg.search_range
+        dt = np.uint8 if depth <= 8 else np.int16
+        orig = jax.device_put(np.zeros((h, w), dt))
+        refp = jax.device_put(np.ascontiguousarray(
+            pad_plane(np.zeros((h, w), np.int16), PAD).astype(dt)))
+        # padded-ref-count variants this GOP structure will reach: B
+        # slices stack both lists' unique pictures along the ref axis
+        nmax = 1
+        for e in (cfg.gop_entries or []):
+            n = max(1, e.num_ref_pics_active or 1)
+            nmax = max(nmax, min(8, 2 * n if e.slice_type == "B" else n))
+        if not cfg.gop_entries:
+            nmax = 4  # default low-delay ladder
+        ctx = self.mesh if self.mesh is not None else nullcontext()
+        npad = 1
+        with ctx:
+            while True:
+                refs = [refp] * npad
+                if want16:
+                    me_mxu.me_grids_multi2(
+                        orig, refs, size, 16, r, self.qp_lam_fp, pad=PAD,
+                        depth=depth, axis_name=self.mesh_axis)
+                else:
+                    me_mxu.me_grids_multi(
+                        orig, refs, size, r, self.qp_lam_fp, pad=PAD,
+                        depth=depth, axis_name=self.mesh_axis)
+                if npad >= nmax:
+                    break
+                npad *= 2
+
+    @property
+    def qp_lam_fp(self) -> int:
+        """Any representative fixed-point sqrt(lambda) — the ME programs
+        trace lambda as a runtime operand, so the value never changes
+        the compiled program (only shapes do)."""
+        lam = 0.57 * (2.0 ** ((self.cfg.qp - 12) / 3.0))
+        return int(65536.0 * math.sqrt(lam))
+
     def prefetch_intra_screen(self, planes: List[np.ndarray]) -> None:
         """Dispatch the device intra prescreen for the NEXT frame (all-
         intra sequences). The dispatch is asynchronous; by the time the

@@ -23,7 +23,7 @@
 
 namespace hevctpu {
 struct EngineProf {
-  std::atomic<long long> ns[12];
+  std::atomic<long long> ns[16];
   bool on;
   EngineProf() : on(false) {
     for (auto& a : ns) a.store(0);
@@ -53,7 +53,32 @@ struct ProfScope {
 // phase slots (outer 0-3 are disjoint; 4-6 nest inside 3):
 // 0 intra_screen_cost, 1 luma mode trials, 2 chroma mode decision,
 // 3 TB coding (xform+quant+recon+rate), 4 fwd xform+quant, 5 rdoq,
-// 6 rate, 7 pred+refs, 8 dequant+inv, 9 TS trial
+// 6 rate, 7 pred+refs, 8 dequant+inv, 9 TS trial,
+// 10 whole-CTU envelope, 11 shadow-context replay,
+// inter CU stages: 12 merge/skip eval, 13 AMVP+frac+bi refine,
+// 14 intra screen + rect/AMP, 15 residual coding
+struct PhaseSwitcher {
+  int slot;
+  long long t0;
+  explicit PhaseSwitcher(int s) : slot(s), t0(now()) {}
+  static long long now() {
+    if (!g_eprof.on) return 0;
+    timespec t;
+    clock_gettime(CLOCK_THREAD_CPUTIME_ID, &t);
+    return t.tv_sec * 1000000000ll + t.tv_nsec;
+  }
+  void to(int s) {
+    if (g_eprof.on) {
+      long long t = now();
+      g_eprof.ns[slot] += t - t0;
+      t0 = t;
+    }
+    slot = s;
+  }
+  ~PhaseSwitcher() {
+    if (g_eprof.on) g_eprof.ns[slot] += now() - t0;
+  }
+};
 }  // namespace hevctpu
 
 namespace hevctpu {
@@ -634,6 +659,7 @@ thread_local int CtuEngine::qp_c_ = 0;
 thread_local double CtuEngine::sqrt_lam_ = 0.0;
 
 void CtuEngine::encode_ctu(int cx, int cy, const MutCtuData& d) {
+  ProfScope _pw(10);  // whole-CTU envelope (profiler bookkeeping only)
   if (est_enc_ && sequential_)
     est_ctx_ = est_enc_->contexts();  // true states at this CTU
   // per-CTU quantization state (always set: thread-local, and a worker
@@ -683,6 +709,7 @@ void CtuEngine::encode_ctu(int cx, int cy, const MutCtuData& d) {
                 inter_cu64_try(ctu_x0, ctu_y0, d, ctu_x0, ctu_y0);
   if (!done64) rec.walk(ctu_x0, ctu_y0, ilog2(ctu_), 0, ep_.cu_depth_target);
   if (est_enc_ && sequential_) {
+    ProfScope _pe(11);
     // replay the committed CTU through the shadow coder so est_ctx_
     // tracks the real pass (SAO params are not final yet — only the SAO
     // contexts drift, which no estimate reads)
@@ -1072,13 +1099,16 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
       int hn2 = tn >> 1;
       double costB = lam_sq * 8.0;  // split flag + extra cbf signalling
       int nzB = 0;
-      for (int k = 0; k < 4; ++k) {
+      // exact early exit: children cost >= 0, so once the running split
+      // cost passes the whole-TB cost the split cannot win — skip the
+      // remaining children (their recon state is discarded below anyway)
+      for (int k = 0; k < 4 && costB < costA; ++k) {
         double cc = 0;
         nzB += code_r(tx + (k & 1) * hn2, ty + (k >> 1) * hn2, hn2,
                       td + 1, &cc);
         costB += cc;
       }
-      if (hn2 == 4 && csx_ == 1) {
+      if (costB < costA && hn2 == 4 && csx_ == 1) {
         // the four 4x4 luma leaves share this node's 4x4 chroma pair
         // (spec 7.3.8.8 blkIdx == 3 rule)
         double sseC = 0, bitsC = 0;
@@ -1410,6 +1440,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   int rwc = w_ / 2 + 2 * pad; // padded chroma stride
 
   int32_t pred[32 * 32];
+  PhaseSwitcher _ph(12);
 
   // ---- merge candidates ----
   // Besides the SATD-ranked coded-merge pick, every candidate is scored
@@ -1501,6 +1532,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     }
   }
 
+  _ph.to(13);
   // ---- AMVP: per-refIdx TPU integer MV + fractional refinement
   // (reference TEncSearch::predInterSearch's per-refIdx loop,
   // TEncSearch.cpp:3027; ref_idx signalling bits included in the cost) ----
@@ -1801,6 +1833,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     }
   }
 
+  _ph.to(14);
   // ---- intra screen ----
   int32_t f[4 * 32 + 1], ff[4 * 32 + 1];
   build_refs(recon_[0], w_, h_, w_, x0, y0, n, x0, y0, 1, f);
@@ -2085,6 +2118,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     pred_y = i_pred;
   }
 
+  _ph.to(15);
   // ---- residual (TU == CU unless the RQT split wins) ----
   if (!part_sel) {
     MotionInfo csel = clip_mi(sp_, sel, x0, y0);
