@@ -1253,7 +1253,6 @@ class EncoderTop:
         # in-loop deblocking
         if not self.pps.pps_deblocking_filter_disabled_flag:
             from ..ops import deblock
-            dmaps = deblock.build_maps(decisions, self.sps, ref_pocs)
             qmap = None
             if self.pps.cu_qp_delta_enabled_flag and ctu_qps is not None:
                 from ..entropy.cabac import tile_scan_order
@@ -1281,8 +1280,16 @@ class EncoderTop:
                 qmap = qpmap.build_qp_map(get_d, order, pred, fin,
                                           self.sps.ctu_size, cfgw, cfgh)
             with timers.section("deblock"):
-                deblock.deblock_frame(recon, dmaps, slice_qp, self.sps,
-                                      qp_map=qmap)
+                if os.environ.get("HEVC_TPU_NATIVE_DEBLOCK", "1") != "0":
+                    from ..entropy.cabac import deblock_frame_native
+                    recon = deblock_frame_native(
+                        recon, decisions, self.sps, slice_qp, ref_pocs,
+                        qp_map=qmap)
+                else:
+                    dmaps = deblock.build_maps(decisions, self.sps,
+                                               ref_pocs)
+                    deblock.deblock_frame(recon, dmaps, slice_qp,
+                                          self.sps, qp_map=qmap)
 
         # SAO: estimate on deblocked, attach params, apply after coding
         if sao_on:
@@ -1436,6 +1443,14 @@ class EncoderTop:
                 recon = saolib.apply_sao(recon,
                                          [d.sao for d in decisions],
                                          self.sps, self.sps.bit_depth_luma)
+
+        # the recon is final here: upload it and dispatch any pending
+        # next-frame search against it NOW, so the device computes under
+        # the whole NAL/SEI/hash/stats host tail below (for IDR frames the
+        # DPB reset below re-uploads — intra frames have no pending search)
+        if self.cfg.intra_period != 1 and not idr:
+            self._dev_ref(cvs_poc, recon)
+            self._me_pending_late_dispatch(cvs_poc)
 
         nals, firsts = [], []
         first_au = not self.stats

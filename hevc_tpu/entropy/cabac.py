@@ -199,6 +199,14 @@ def get_lib(pel32: bool = False) -> ctypes.CDLL:
         [pel_np] * 6 + [np.ctypeslib.ndpointer(np.int32,
                                              flags="C_CONTIGUOUS")]
         + [ctypes.c_int] * 5)
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.hevc_deblock_frame.argtypes = (
+        [pel_np] * 3 + [ctypes.c_int] * 7    # planes, w/h/bd/cfmt/qp/offs
+        + [ctypes.c_void_p]                  # qp_map (int32 or NULL)
+        + [ctypes.c_int] * 8                 # qp offs, geometry, tu depths
+        + [i32p, ctypes.c_int, i32p, ctypes.c_int]   # ref poc lists
+        + [u8p, u8p, u8p, u8p, i16p, i8p, i16p, i16p,
+           i8p, i16p, i16p])                 # stacked decision maps
     lib.hevc_dec_create.restype = ctypes.c_void_p
     lib.hevc_dec_create.argtypes = [ctypes.POINTER(SliceParamsC),
                                     ctypes.c_char_p, ctypes.c_long]
@@ -681,10 +689,21 @@ class FrameDecisions:
     def _args(self):
         return [getattr(self, f) for f in _MAP_FIELDS]
 
+    def full_map(self, field: str, ctus_w: int, h4: int, w4: int):
+        """One per-CTU map as a whole-picture (h4, w4) array (4x4 units),
+        CTU tiles placed at their raster positions and edges cropped."""
+        a = getattr(self, field)
+        nctu, n4, _ = a.shape
+        ctus_h = -(-nctu // ctus_w)
+        if nctu != ctus_h * ctus_w:   # defensive: ragged decision list
+            pad = np.zeros((ctus_h * ctus_w - nctu, n4, n4), a.dtype)
+            a = np.concatenate([a, pad])
+        return (a.reshape(ctus_h, ctus_w, n4, n4)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(ctus_h * n4, ctus_w * n4)[:h4, :w4])
+
     def view(self, i: int):
-        class _V:
-            pass
-        v = _V()
+        v = _MapsView()
         for f in _MAP_FIELDS:
             setattr(v, f, getattr(self, f)[i])
         return v
@@ -697,6 +716,10 @@ class FrameDecisions:
 
     def __getitem__(self, i):
         return self.view(i)
+
+
+class _MapsView:
+    __slots__ = _MAP_FIELDS
 
 
 def engine_encode_frame(engine: "NativeCtuEngine", ctus_w: int, ctus_h: int,
@@ -729,6 +752,52 @@ def sao_apply_native(deblocked, sao_params, sps, bit_depth):
     return out
 
 
+def deblock_frame_native(recon, decisions, sps, qp, ref_pocs=((), ()),
+                         beta_off=0, tc_off=0, qp_map=None,
+                         cb_qp_offset=0, cr_qp_offset=0):
+    """C++ deblocking (deblock.cpp hevc_deblock_frame); exact twin of
+    ops/deblock.py build_maps + deblock_frame. Returns the filtered
+    planes (in place when the inputs are already contiguous pel arrays).
+    `decisions` is a FrameDecisions or a list of per-CTU map views."""
+    bd = sps.bit_depth_luma
+    lib = get_lib(bd > 14)
+    dt = np.int32 if bd > 14 else np.int16
+    planes = [np.ascontiguousarray(p, dt) for p in recon]
+    w = sps.pic_width_in_luma_samples
+    h = sps.pic_height_in_luma_samples
+
+    def fld(name, want):
+        if hasattr(decisions, name) and not isinstance(decisions, list):
+            a = getattr(decisions, name)
+        else:
+            a = np.stack([getattr(d, name) for d in decisions])
+        return np.ascontiguousarray(a, want)
+
+    cu_depth = fld("cu_depth", np.uint8)
+    nctu = cu_depth.shape[0]
+    qm = None
+    qm_ptr = None
+    if qp_map is not None:
+        qm = np.ascontiguousarray(qp_map, np.int32)
+        qm_ptr = qm.ctypes.data_as(ctypes.c_void_p)
+    r0 = np.ascontiguousarray(list(ref_pocs[0]) or [0], np.int32)
+    r1 = np.ascontiguousarray(list(ref_pocs[1]) or [0], np.int32)
+    lib.hevc_deblock_frame(
+        planes[0], planes[1], planes[2], w, h, bd,
+        sps.chroma_format_idc, qp, beta_off, tc_off, qm_ptr,
+        cb_qp_offset, cr_qp_offset, sps.pic_width_in_ctus, nctu,
+        sps.ctu_size, sps.log2_min_luma_coding_block_size_minus3 + 3,
+        sps.max_transform_hierarchy_depth_intra,
+        sps.max_transform_hierarchy_depth_inter,
+        r0, len(ref_pocs[0]), r1, len(ref_pocs[1]),
+        cu_depth, fld("nxn_flag", np.uint8), fld("tu_depth", np.uint8),
+        fld("pred_mode", np.uint8), fld("coeff_y", np.int16),
+        fld("ref_idx", np.int8), fld("mv_x", np.int16),
+        fld("mv_y", np.int16), fld("ref_idx1", np.int8),
+        fld("mv_x1", np.int16), fld("mv_y1", np.int16))
+    return planes
+
+
 COL_NONE = -(2 ** 31)   # INT32_MIN sentinel for "list unused / intra"
 
 
@@ -749,32 +818,36 @@ def motion_field(decisions, sps, ref_pocs_l0, ref_pocs_l1, poc):
     (TComMotionInfo compression; we store full 4x4 granularity and read at
     the 16x16-snapped position, which is equivalent)."""
     ctu = sps.ctu_size
-    n4 = ctu // 4
     w4 = (sps.pic_width_in_luma_samples + 3) // 4
     h4 = (sps.pic_height_in_luma_samples + 3) // 4
     ctus_w = -(-sps.pic_width_in_luma_samples // ctu)
-    mvx = [np.zeros((h4, w4), np.int16) for _ in range(2)]
-    mvy = [np.zeros((h4, w4), np.int16) for _ in range(2)]
-    rp = [np.full((h4, w4), COL_NONE, np.int32) for _ in range(2)]
-    for i, d in enumerate(decisions):
-        cy, cx = divmod(i, ctus_w)
-        y0, x0 = cy * n4, cx * n4
-        ys = min(n4, h4 - y0)
-        xs = min(n4, w4 - x0)
-        if ys <= 0 or xs <= 0:
-            continue
-        inter = d.pred_mode[:ys, :xs] == 0
-        for l, (ridx, mx, my, pocs) in enumerate(
-                ((d.ref_idx, d.mv_x, d.mv_y, ref_pocs_l0),
-                 (d.ref_idx1, d.mv_x1, d.mv_y1, ref_pocs_l1))):
-            use = inter & (ridx[:ys, :xs] >= 0)
-            mvx[l][y0:y0 + ys, x0:x0 + xs][use] = mx[:ys, :xs][use]
-            mvy[l][y0:y0 + ys, x0:x0 + xs][use] = my[:ys, :xs][use]
-            if len(pocs):
-                pl = np.asarray(pocs, np.int32)
-                idxs = np.clip(ridx[:ys, :xs].astype(np.int32), 0,
-                               len(pl) - 1)
-                rp[l][y0:y0 + ys, x0:x0 + xs][use] = pl[idxs][use]
+
+    if hasattr(decisions, "full_map"):     # encoder: stacked FrameDecisions
+        def full(field):
+            return decisions.full_map(field, ctus_w, h4, w4)
+    else:                                  # decoder: list of per-CTU views
+        def full(field):
+            a = np.stack([getattr(d, field) for d in decisions])
+            nctu, n4, _ = a.shape
+            ctus_h = -(-nctu // ctus_w)
+            return (a.reshape(ctus_h, ctus_w, n4, n4)
+                     .transpose(0, 2, 1, 3)
+                     .reshape(ctus_h * n4, ctus_w * n4)[:h4, :w4])
+    inter = full("pred_mode") == 0
+    mvx, mvy, rp = [], [], []
+    for l, (fr, fx, fy, pocs) in enumerate(
+            (("ref_idx", "mv_x", "mv_y", ref_pocs_l0),
+             ("ref_idx1", "mv_x1", "mv_y1", ref_pocs_l1))):
+        ridx = full(fr)
+        use = inter & (ridx >= 0)
+        mvx.append(np.where(use, full(fx), np.int16(0)))
+        mvy.append(np.where(use, full(fy), np.int16(0)))
+        r = np.full((h4, w4), COL_NONE, np.int32)
+        if len(pocs):
+            pl = np.asarray(pocs, np.int32)
+            idxs = np.clip(ridx.astype(np.int32), 0, len(pl) - 1)
+            np.copyto(r, pl[idxs], where=use)
+        rp.append(r)
     return {"mvx0": mvx[0], "mvy0": mvy[0], "refpoc0": rp[0],
             "mvx1": mvx[1], "mvy1": mvy[1], "refpoc1": rp[1], "poc": poc}
 

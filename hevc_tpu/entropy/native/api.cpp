@@ -46,9 +46,9 @@ long long hevc_plane_sse(const pel_t* a, const pel_t* b, long n) {
 
 // engine phase profiler readback (HEVC_TPU_ENGINE_PROF=1): thread-CPU ns
 // per phase — 0 screen, 1 luma modes, 2 chroma modes, 3 TB coding
-extern "C++" { namespace hevctpu { struct EngineProf { std::atomic<long long> ns[16]; bool on; }; extern EngineProf g_eprof; } }
+extern "C++" { namespace hevctpu { struct EngineProf { std::atomic<long long> ns[20]; bool on; }; extern EngineProf g_eprof; } }
 void hevc_engine_prof(long long* out) {
-  for (int i = 0; i < 16; ++i) out[i] = hevctpu::g_eprof.ns[i].load();
+  for (int i = 0; i < 20; ++i) out[i] = hevctpu::g_eprof.ns[i].load();
 }
 
 

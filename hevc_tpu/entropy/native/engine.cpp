@@ -23,7 +23,7 @@
 
 namespace hevctpu {
 struct EngineProf {
-  std::atomic<long long> ns[16];
+  std::atomic<long long> ns[20];
   bool on;
   EngineProf() : on(false) {
     for (auto& a : ns) a.store(0);
@@ -441,6 +441,30 @@ CtuEngine::CtuEngine(const SliceParams& sp, const EngineParams& ep,
 // xITransformSkip): quantize the shifted residual directly and keep the
 // skip candidate when SSE + lambda*bits (+1 flag bin) beats the transform
 // path already in lev/rres. Overwrites lev/rres/nz on a win.
+// Exact all-zero-quant predetection: a worst-case |coef| bound from the
+// residual SAD (DCT matrix entries <= 90, two-stage shifts s1+s2) against
+// the smallest magnitude that survives either the plain quantizer
+// (offset 85/256 < 1/2) or RDOQ's half-offset candidate levels — when it
+// holds, transform + quant + RDOQ provably return all zeros, so the
+// whole pipeline (incl. the 32x32 matmuls and the context-exact RDOQ
+// scan) can be skipped without changing one bit of output. Plays the
+// role of HM's early-CU/skip heuristics (TEncCu m_useEarlyCU) but is a
+// proof, not a heuristic. Valid only without scaling matrices (callers
+// gate on smat == nullptr; default matrices can scale coefficients up).
+static bool quant_all_zero(const int32_t* resi, int nsz, int qp, int bd) {
+  long long sad = 0;
+  for (int i = 0; i < nsz * nsz; ++i) sad += std::abs(resi[i]);
+  if (sad == 0) return true;
+  int qpp = qp + 6 * (bd - 8);
+  int log2n = ilog2(nsz);
+  int tshift = 15 - bd - log2n;
+  int qbits = 14 + qpp / 6 + tshift;
+  int s1 = log2n + bd - 9, s2 = log2n + 6;
+  long long bound = ((8100ll * sad) >> (s1 + s2)) + 2;
+  static const int32_t kQ[6] = {26214, 23302, 20560, 18396, 16384, 14564};
+  return bound * kQ[qpp % 6] < (1ll << (qbits - 1));
+}
+
 int CtuEngine::rdoq_run(int32_t* lev, const int32_t* coef, int n, int qp,
                         int nz, int c_idx, int scan_idx, double lam,
                         const int32_t* smat) {
@@ -1181,6 +1205,7 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
 // quadrant MVs, against the summed per-quadrant screens.
 bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
                                int ctu_x0, int ctu_y0) {
+  PhaseSwitcher _ph(16);  // 16 = cu64 screen, 17 = cu64 residual commit
   int n = ctu_;
   int log2 = ilog2(ctu_);
   int pad = ep_.pad;
@@ -1270,6 +1295,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
     std::memcpy(best_pred, pred, sizeof(int32_t) * n * n);
   }
   if (best >= split_cost) return false;
+  _ph.to(17);
 
   // ---- commit 64x64 CU: residual as four 32x32 luma TBs (implicit RQT
   // split, spec 7.3.8.8) + per-quadrant 16x16 chroma TBs ----
@@ -1294,16 +1320,29 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
         resi[i * sz + j] = (int32_t)o[i * ostride + j] - p[i * pstride + j];
     const int32_t* smat_p =
         sp_.scaling_lists ? dsp::default_scaling_matrix(sz, false) : nullptr;
-    dsp::fwd_xform(resi, sz, bd_, false, coef);
-    int nz = dsp::quant(coef, sz, qp, bd_, false, lev, smat_p);
-    nz = rdoq_run(lev, coef, sz, qp, nz, c_idx, 0, lam_c, smat_p);
-    if (nz && sp_.sign_hiding)
-      sbh_enforce(lev, coef, sz, qp, bd_, 0, smat_p);
-    if (nz) {
-      dsp::dequant(lev, sz, qp, bd_, deq, smat_p);
-      dsp::inv_xform(deq, sz, bd_, false, rres);
-    } else {
+    int nz;
+    if (!smat_p && quant_all_zero(resi, sz, qp, bd_)) {
+      nz = 0;
+      std::memset(lev, 0, sizeof(int32_t) * sz * sz);
       std::memset(rres, 0, sizeof(int32_t) * sz * sz);
+    } else {
+      {
+        ProfScope _p19(19);
+        dsp::fwd_xform(resi, sz, bd_, false, coef);
+        nz = dsp::quant(coef, sz, qp, bd_, false, lev, smat_p);
+      }
+      {
+        ProfScope _p18(18);
+        nz = rdoq_run(lev, coef, sz, qp, nz, c_idx, 0, lam_c, smat_p);
+      }
+      if (nz && sp_.sign_hiding)
+        sbh_enforce(lev, coef, sz, qp, bd_, 0, smat_p);
+      if (nz) {
+        dsp::dequant(lev, sz, qp, bd_, deq, smat_p);
+        dsp::inv_xform(deq, sz, bd_, false, rres);
+      } else {
+        std::memset(rres, 0, sizeof(int32_t) * sz * sz);
+      }
     }
     bits_coded += ctx_rate(c_idx == 0 ? est_ctx_.cbf_luma[0]
                                       : est_ctx_.cbf_chroma[1], nz != 0);
@@ -2164,16 +2203,23 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
         resi[i * sz + j] = (int32_t)o[i * ostride + j] - p[i * pstride + j];
     const int32_t* smat_p =
         sp_.scaling_lists ? dsp::default_scaling_matrix(sz, false) : nullptr;
-    dsp::fwd_xform(resi, sz, bd_, false, coef);
-    int nz = dsp::quant(coef, sz, qp, bd_, false, lev_tmp_, smat_p);
-    nz = rdoq_run(lev_tmp_, coef, sz, qp, nz, c_idx, 0, lam_c, smat_p);
-    if (nz && sp_.sign_hiding)
-      sbh_enforce(lev_tmp_, coef, sz, qp, bd_, 0, smat_p);
-    if (nz) {
-      dsp::dequant(lev_tmp_, sz, qp, bd_, deq, smat_p);
-      dsp::inv_xform(deq, sz, bd_, false, rres);
-    } else {
+    int nz;
+    if (!smat_p && quant_all_zero(resi, sz, qp, bd_)) {
+      nz = 0;
+      std::memset(lev_tmp_, 0, sizeof(int32_t) * sz * sz);
       std::memset(rres, 0, sizeof(int32_t) * sz * sz);
+    } else {
+      dsp::fwd_xform(resi, sz, bd_, false, coef);
+      nz = dsp::quant(coef, sz, qp, bd_, false, lev_tmp_, smat_p);
+      nz = rdoq_run(lev_tmp_, coef, sz, qp, nz, c_idx, 0, lam_c, smat_p);
+      if (nz && sp_.sign_hiding)
+        sbh_enforce(lev_tmp_, coef, sz, qp, bd_, 0, smat_p);
+      if (nz) {
+        dsp::dequant(lev_tmp_, sz, qp, bd_, deq, smat_p);
+        dsp::inv_xform(deq, sz, bd_, false, rres);
+      } else {
+        std::memset(rres, 0, sizeof(int32_t) * sz * sz);
+      }
     }
     if (ts_slot && sp_.transform_skip_enabled && sz == 4) {
       *ts_slot &= (uint8_t)~ts_bit;

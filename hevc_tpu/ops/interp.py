@@ -177,5 +177,17 @@ def mc_predict_bi_wp_np(padded0, padded1, pad, mv0, mv1, x0, y0, w, h,
 
 
 def pad_plane(plane: np.ndarray, pad: int) -> np.ndarray:
-    """Edge-extend a reference plane (reference TComPicYuv margin extension)."""
-    return np.pad(plane, pad, mode="edge")
+    """Edge-extend a reference plane (reference TComPicYuv margin extension).
+
+    Hand-rolled instead of np.pad(mode="edge"): np.pad's generic path
+    costs ~10 ms per 1080p plane; row-slice broadcasting is ~4x faster
+    and this runs per reference upload on the hot frame loop."""
+    h, w = plane.shape
+    out = np.empty((h + 2 * pad, w + 2 * pad), plane.dtype)
+    inner = out[pad:pad + h, pad:pad + w]
+    inner[:] = plane
+    out[pad:pad + h, :pad] = plane[:, :1]
+    out[pad:pad + h, pad + w:] = plane[:, -1:]
+    out[:pad] = out[pad]
+    out[pad + h:] = out[pad + h - 1]
+    return out
