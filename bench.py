@@ -90,6 +90,8 @@ def measure_ours(cfg_path, clip, w, h, frames, qp, warmup):
             timers.reset()
             timers.enabled = True
             t_start = time.time()
+            from hevc_tpu.entropy.cabac import engine_frame_stats
+            efs0 = engine_frame_stats()
         if nxt is not None:
             # one-frame lookahead (same as the CLI): the next frame's
             # device work runs under this frame's host work
@@ -103,10 +105,19 @@ def measure_ours(cfg_path, clip, w, h, frames, qp, warmup):
     timers.enabled = False
     bits = sum(s["bits"] for s in enc.stats)
     psnr = sum(s["psnr"][0] for s in enc.stats) / max(1, len(enc.stats))
+    stages = timers.summary()
+    if t_start is not None:
+        # engine wall vs process-CPU over the measured window: wall >>
+        # cpu flags scheduler starvation / wavefront coordination rather
+        # than real compute (see cabac.engine_frame_stats)
+        from hevc_tpu.entropy.cabac import engine_frame_stats
+        efs1 = engine_frame_stats()
+        stages["engine_cpu"] = round(
+            efs1["engine_cpu_s"] - efs0["engine_cpu_s"], 4)
     return {"fps": round(done / max(elapsed, 1e-9), 4),
             "frames_measured": done,
             "total_bits": bits, "mean_y_psnr": round(psnr, 3),
-            "stage_seconds": timers.summary()}
+            "stage_seconds": stages}
 
 
 def measure_hm(cfg_path, clip, w, h, frames, qp, bd, warmup=1):

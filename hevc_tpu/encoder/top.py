@@ -169,8 +169,10 @@ class EncoderTop:
             self.pps.diff_cu_qp_delta_depth = 0
             assert cfg.max_cu_dqp_depth == 0, \
                 "only CTU-size quantization groups supported"
-        if ((cfg.internal_chroma_format == 1 or
-             (cfg.internal_chroma_format == 3 and cfg.intra_period == 1))
+        if (cfg.sign_hide
+                and (cfg.internal_chroma_format == 1 or
+                     (cfg.internal_chroma_format == 3
+                      and cfg.intra_period == 1))
                 and self.sps.scaling_list_data is None
                 and os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0"):
             # the native engine enforces the parity constraint (4:2:0
@@ -1003,6 +1005,8 @@ class EncoderTop:
                 tile_rows=self.pps.num_tile_rows_minus1 + 1
                 if self.pps.tiles_enabled_flag else 0)
             sp.ts_rotation = self.sps.transform_skip_rotation_enabled_flag
+            sp.rdoq_off = 0 if cfg.rdoq else 1
+            sp.rdoq_ts_off = 0 if cfg.rdoq_ts else 1
             sp.ts_context = self.sps.transform_skip_context_enabled_flag
             sp.persistent_rice = \
                 self.sps.persistent_rice_adaptation_enabled_flag
@@ -1114,6 +1118,8 @@ class EncoderTop:
                         sp.wp_cw[j] = 1 << sh.wp_chroma_log2_denom
                         sp.wp_co[j] = 0
             sp.ts_rotation = self.sps.transform_skip_rotation_enabled_flag
+            sp.rdoq_off = 0 if cfg.rdoq else 1
+            sp.rdoq_ts_off = 0 if cfg.rdoq_ts else 1
             sp.ts_context = self.sps.transform_skip_context_enabled_flag
             sp.persistent_rice = \
                 self.sps.persistent_rice_adaptation_enabled_flag

@@ -56,7 +56,10 @@ class SliceParamsC(ctypes.Structure):
         ("ccp", ctypes.c_int32),
         ("ts_max_log2", ctypes.c_int32),
         ("dqp_depth", ctypes.c_int32),
-        ("tq_bypass", ctypes.c_int32)]
+        ("tq_bypass", ctypes.c_int32),
+        # encoder-side search controls (zero-init == HM defaults on)
+        ("rdoq_off", ctypes.c_int32),
+        ("rdoq_ts_off", ctypes.c_int32)]
 
 
 def _build(target: str = "") -> None:
@@ -84,6 +87,8 @@ def get_lib(pel32: bool = False) -> ctypes.CDLL:
                                     flags="C_CONTIGUOUS")
     lib.hevc_plane_sse.restype = ctypes.c_longlong
     lib.hevc_plane_sse.argtypes = [pel_np, pel_np, ctypes.c_long]
+    lib.hevc_engine_frame_stats.argtypes = [
+        ctypes.POINTER(ctypes.c_longlong)]
     lib.hevc_enc_create.restype = ctypes.c_void_p
     lib.hevc_enc_create.argtypes = [ctypes.POINTER(SliceParamsC)]
     lib.hevc_enc_destroy.argtypes = [ctypes.c_void_p]
@@ -720,6 +725,16 @@ class FrameDecisions:
 
 class _MapsView:
     __slots__ = _MAP_FIELDS
+
+
+def engine_frame_stats(pel32: bool = False) -> dict:
+    """Cumulative engine frame-drive telemetry: wall vs process-CPU
+    seconds across every hevc_engine_frame call so far. A wall >> cpu
+    ratio means the engine thread was starved (shared-host scheduling,
+    wavefront coordination), not computing."""
+    buf = (ctypes.c_longlong * 2)()
+    get_lib(pel32).hevc_engine_frame_stats(buf)
+    return {"engine_wall_s": buf[0] / 1e9, "engine_cpu_s": buf[1] / 1e9}
 
 
 def engine_encode_frame(engine: "NativeCtuEngine", ctus_w: int, ctus_h: int,

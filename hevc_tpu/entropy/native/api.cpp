@@ -51,6 +51,34 @@ void hevc_engine_prof(long long* out) {
   for (int i = 0; i < 20; ++i) out[i] = hevctpu::g_eprof.ns[i].load();
 }
 
+// Always-on frame-drive telemetry: wall vs process-CPU ns accumulated per
+// hevc_engine_frame[_order] call (two clock_gettime pairs per frame —
+// negligible). Lets the benchmark artifact separate real engine compute
+// from scheduler starvation / wavefront coordination on shared hosts.
+namespace {
+std::atomic<long long> g_frame_wall_ns{0}, g_frame_cpu_ns{0};
+struct FrameClock {
+  timespec w0, c0;
+  FrameClock() {
+    clock_gettime(CLOCK_MONOTONIC, &w0);
+    clock_gettime(CLOCK_PROCESS_CPUTIME_ID, &c0);
+  }
+  ~FrameClock() {
+    timespec w1, c1;
+    clock_gettime(CLOCK_MONOTONIC, &w1);
+    clock_gettime(CLOCK_PROCESS_CPUTIME_ID, &c1);
+    g_frame_wall_ns += (w1.tv_sec - w0.tv_sec) * 1000000000ll +
+                       (w1.tv_nsec - w0.tv_nsec);
+    g_frame_cpu_ns += (c1.tv_sec - c0.tv_sec) * 1000000000ll +
+                      (c1.tv_nsec - c0.tv_nsec);
+  }
+};
+}  // namespace
+void hevc_engine_frame_stats(long long* wall_cpu_ns) {
+  wall_cpu_ns[0] = g_frame_wall_ns.load();
+  wall_cpu_ns[1] = g_frame_cpu_ns.load();
+}
+
 
 // ---- slice-data encoder ----------------------------------------------------
 void* hevc_enc_create(const SliceParams* sp) { return new SliceEncoder(*sp); }
@@ -339,12 +367,22 @@ struct StackedMaps {
 extern "C" void hevc_engine_frame(void* eng, int ctus_w, int ctus_h,
                                   int ctu_size, int cfmt, STACKED_ARGS) {
   STACKED_INIT(ctu_size, cfmt);
+  FrameClock _fc;
   int nthreads = 0;
-  if (const char* e = getenv("HEVC_TPU_THREADS")) nthreads = atoi(e);
+  bool explicit_threads = false;
+  if (const char* e = getenv("HEVC_TPU_THREADS")) {
+    nthreads = atoi(e);
+    explicit_threads = nthreads > 0;
+  }
   if (nthreads <= 0)
     nthreads = (int)std::thread::hardware_concurrency();
   nthreads = std::max(1, std::min(nthreads, ctus_h));
-  if (nthreads == 1 || ctus_h == 1) {
+  // Auto mode only: small frames don't amortize thread spawn + wavefront
+  // coordination (a 416x240 frame is 4 CTU rows — the lag-2 ramp leaves
+  // ~2x usable parallelism at best), and the sequential path's exact
+  // shadow-context RD estimates are worth more there. An explicit
+  // HEVC_TPU_THREADS is always honoured (tests and tuning rely on it).
+  if (nthreads == 1 || ctus_h == 1 || (!explicit_threads && ctus_h < 6)) {
     ((CtuEngine*)eng)->set_sequential(true);
     for (int cy = 0; cy < ctus_h; ++cy)
       for (int cx = 0; cx < ctus_w; ++cx)
@@ -362,12 +400,23 @@ extern "C" void hevc_engine_frame(void* eng, int ctus_w, int ctus_h,
       for (int cx = 0; cx < ctus_w; ++cx) {
         if (cy > 0) {
           int need = std::min(cx + 2, ctus_w);
-          while (done[cy - 1].load(std::memory_order_acquire) < need)
-            std::this_thread::yield();
+          // bounded spin, then futex sleep (atomic::wait) — yield-spin
+          // burns a vCPU and degrades badly on oversubscribed hosts
+          int spins = 0;
+          for (;;) {
+            int got = done[cy - 1].load(std::memory_order_acquire);
+            if (got >= need) break;
+            if (++spins < 64) {
+              std::this_thread::yield();
+            } else {
+              done[cy - 1].wait(got, std::memory_order_acquire);
+            }
+          }
         }
         ((CtuEngine*)eng)->encode_ctu(cx, cy,
                                       sm.at((size_t)cy * ctus_w + cx));
         done[cy].store(cx + 1, std::memory_order_release);
+        done[cy].notify_all();
       }
     }
   };
@@ -382,6 +431,7 @@ extern "C" void hevc_engine_frame_order(void* eng, int nctu, const int32_t* cxs,
                              const int32_t* cys, int ctus_w, int ctu_size,
                              int cfmt, STACKED_ARGS) {
   STACKED_INIT(ctu_size, cfmt);
+  FrameClock _fc;
   ((CtuEngine*)eng)->set_sequential(true);
   for (int i = 0; i < nctu; ++i)
     ((CtuEngine*)eng)->encode_ctu(cxs[i], cys[i],

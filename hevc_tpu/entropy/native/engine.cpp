@@ -20,8 +20,23 @@
 // timing hooks). Near-zero overhead when the env var is unset.
 #include <atomic>
 #include <ctime>
+#if defined(__x86_64__)
+#include <x86intrin.h>
+#endif
 
 namespace hevctpu {
+// Tick source: raw TSC (~20 cycles, no syscall) so enabling the profiler
+// does not itself dominate the measured phases — phase values are CPU
+// ticks, meaningful as relative shares. clock_gettime fallback elsewhere.
+static inline long long prof_ticks() {
+#if defined(__x86_64__)
+  return (long long)__rdtsc();
+#else
+  timespec t;
+  clock_gettime(CLOCK_THREAD_CPUTIME_ID, &t);
+  return t.tv_sec * 1000000000ll + t.tv_nsec;
+#endif
+}
 struct EngineProf {
   std::atomic<long long> ns[20];
   bool on;
@@ -36,18 +51,10 @@ struct ProfScope {
   int slot;
   long long t0;
   explicit ProfScope(int s) : slot(s), t0(0) {
-    if (g_eprof.on) {
-      timespec t;
-      clock_gettime(CLOCK_THREAD_CPUTIME_ID, &t);
-      t0 = t.tv_sec * 1000000000ll + t.tv_nsec;
-    }
+    if (g_eprof.on) t0 = prof_ticks();
   }
   ~ProfScope() {
-    if (g_eprof.on) {
-      timespec t;
-      clock_gettime(CLOCK_THREAD_CPUTIME_ID, &t);
-      g_eprof.ns[slot] += t.tv_sec * 1000000000ll + t.tv_nsec - t0;
-    }
+    if (g_eprof.on) g_eprof.ns[slot] += prof_ticks() - t0;
   }
 };
 // phase slots (outer 0-3 are disjoint; 4-6 nest inside 3):
@@ -63,9 +70,7 @@ struct PhaseSwitcher {
   explicit PhaseSwitcher(int s) : slot(s), t0(now()) {}
   static long long now() {
     if (!g_eprof.on) return 0;
-    timespec t;
-    clock_gettime(CLOCK_THREAD_CPUTIME_ID, &t);
-    return t.tv_sec * 1000000000ll + t.tv_nsec;
+    return prof_ticks();
   }
   void to(int s) {
     if (g_eprof.on) {
@@ -401,6 +406,10 @@ CtuEngine::CtuEngine(const SliceParams& sp, const EngineParams& ep,
   const char* rq = getenv("HEVC_TPU_RDOQ");
   rdoq_exact_ = !(rq && strcmp(rq, "lite") == 0);
   if (rdoq_exact_) est_enc_.reset(new SliceEncoder(sp));
+  // TU-split trial gate margin (device screen costs; code_r). "off" or
+  // 0 disables the gate (exact-RQT parity mode); default 0.95.
+  if (const char* g = getenv("HEVC_TPU_TUSPLIT_GATE"))
+    tusplit_margin_ = strcmp(g, "off") == 0 ? 0.0 : atof(g);
 
   nref_[0] = std::min(nref0, 16);
   nref_[1] = std::min(nref1, 16);
@@ -468,6 +477,7 @@ static bool quant_all_zero(const int32_t* resi, int nsz, int qp, int bd) {
 int CtuEngine::rdoq_run(int32_t* lev, const int32_t* coef, int n, int qp,
                         int nz, int c_idx, int scan_idx, double lam,
                         const int32_t* smat) {
+  if (sp_.rdoq_off) return nz;  // cfg RDOQ=0: keep plain quant levels
   if (rdoq_exact_)
     return rdoq_quant(est_ctx_, coef, lev, ilog2(n), c_idx, scan_idx, qp,
                       bd_, lam, smat);
@@ -487,7 +497,8 @@ bool CtuEngine::ts_trial(const int32_t* resi, int qp, bool intra,
   for (int i = 0; i < 16; ++i)
     coefs[i] = resi[rot ? 15 - i : i] << tshift;
   int nzs = dsp::quant(coefs, 4, qp, bd_, intra, levs, smat);
-  nzs = rdoq_run(levs, coefs, 4, qp, nzs, c_idx, scan_idx, lam_sq, smat);
+  if (!sp_.rdoq_ts_off)  // cfg RDOQTS=0 (reference TAppEncCfg.cpp:815)
+    nzs = rdoq_run(levs, coefs, 4, qp, nzs, c_idx, scan_idx, lam_sq, smat);
   if (!nzs) return false;
   if (sp_.sign_hiding) sbh_enforce(levs, coefs, 4, qp, bd_, scan_idx, smat);
   dsp::dequant(levs, 4, qp, bd_, deqs, smat);
@@ -750,7 +761,9 @@ void CtuEngine::encode_ctu(int cx, int cy, const MutCtuData& d) {
 void CtuEngine::set_intra_hints(int log2, const uint8_t* cands, int k,
                                 const int64_t* costs, int ny, int nx) {
   if (log2 < 2 || log2 > 6) return;
-  ih_[log2] = IntraHints{cands, costs, k, ny, nx};
+  // k == 0: costs-only hints (the 4x4 grid feeds the TU-split gate);
+  // never treat the empty candidate pointer as a mode list
+  ih_[log2] = IntraHints{k > 0 ? cands : nullptr, costs, k, ny, nx};
 }
 
 // Candidate mode list for the recon-reference SATD loops: the device
@@ -982,10 +995,12 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
                     engine_scan_idx(ilog2(tz), c, true, mode, csx_ == 0),
                     lam_sq, smat_t);
     }
-    if (nz && sp_.sign_hiding)
+    if (nz && sp_.sign_hiding) {
+      ProfScope _p12(12);
       sbh_enforce(lev, coef, tz, qp, bd_,
                   engine_scan_idx(ilog2(tz), c, true, mode, csx_ == 0),
                   smat_t);
+    }
     if (nz) {
       ProfScope _pi(8);
       dsp::dequant(lev, tz, qp, bd_, deq, smat_t);
@@ -1017,6 +1032,7 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
                                             csx_ == 0),
                             sp_.sign_hiding);
     }
+    ProfScope _p16(16);
     int16_t* cpl = c == 0 ? d.coeff_y : (c == 1 ? d.coeff_cb : d.coeff_cr);
     int cstride = c == 0 ? ctu_ : cctu;
     int lx0 = c == 0 ? tx - ctu_x0 : (tx - ctu_x0) >> csx_;
@@ -1047,6 +1063,7 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     std::vector<int16_t> cy, ccb, ccr;      // coeff snapshots
   };
   auto take = [&](int tx, int ty, int tn, Snap& s) {
+    ProfScope _p17(17);
     int tc = tn >> csx_;
     int px = tx >> csx_, py = ty >> csx_;
     s.ry.resize(tn * tn);
@@ -1078,6 +1095,7 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     }
   };
   auto put = [&](int tx, int ty, int tn, const Snap& s) {
+    ProfScope _p17(17);
     int tc = tn >> csx_;
     int px = tx >> csx_, py = ty >> csx_;
     for (int i = 0; i < tn; ++i) {
@@ -1104,6 +1122,36 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     bool owns_chroma = tn > 4 || csx_ == 0;
     bool can_split = tn > 4 && td < sp_.max_tu_depth_intra &&
                      (tn >> 1) >= (1 << sp_.min_tb_log2);
+    // ---- device-cost TU-split gate: the prescreen's per-block best
+    // SATD+mode-bits (original references) bound what a finer level can
+    // plausibly achieve. Children's original references sit INSIDE the
+    // parent, so their screen costs are systematically optimistic —
+    // when even the flattered children sum fails to undercut the whole
+    // block's screen cost by the margin, the exact split trial cannot
+    // win and is skipped (98% of trials lose at QP32; measured via
+    // HEVC_TPU_TUSPLIT_DUMP). HEVC_TPU_TUSPLIT_GATE=off restores the
+    // exhaustive trial (reference TEncSearch::xRecurIntraCodingLumaQT
+    // trials whole and split unconditionally, TEncSearch.cpp:1244).
+    if (can_split && tusplit_margin_ > 0) {
+      int l2 = ilog2(tn);
+      const IntraHints& hw = ih_[l2];
+      const IntraHints& hc = ih_[l2 - 1];
+      if (hw.costs && hc.costs && (tx & (tn - 1)) == 0 &&
+          (ty & (tn - 1)) == 0) {
+        int bx2 = tx >> l2, by2 = ty >> l2;
+        int cx2 = tx >> (l2 - 1), cy2 = ty >> (l2 - 1);
+        if (by2 < hw.ny && bx2 < hw.nx && cy2 + 1 < hc.ny &&
+            cx2 + 1 < hc.nx) {
+          int64_t whole = hw.costs[by2 * hw.nx + bx2];
+          int64_t ch = hc.costs[cy2 * hc.nx + cx2] +
+                       hc.costs[cy2 * hc.nx + cx2 + 1] +
+                       hc.costs[(cy2 + 1) * hc.nx + cx2] +
+                       hc.costs[(cy2 + 1) * hc.nx + cx2 + 1];
+          if ((double)ch >= (double)whole * tusplit_margin_)
+            can_split = false;
+        }
+      }
+    }
     Snap pre;
     if (can_split) take(tx, ty, tn, pre);
     double sseA = 0, bitsA = 1.0;
@@ -1113,6 +1161,23 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
       nzA += code_tb_i(2, tx, ty, tn, cmode_best, &sseA, &bitsA);
     }
     double costA = sseA + lam_sq * bitsA;
+    if (g_eprof.on) {  // split-trial statistics (slot 18=trials 19=wins)
+      g_eprof.ns[18] += can_split && nzA > 0;
+    }
+    static const bool dump_trials = getenv("HEVC_TPU_TUSPLIT_DUMP") != nullptr;
+    double qmax = 0;
+    if (can_split && nzA > 0 && dump_trials) {
+      // per-quadrant SSE of the whole-TB recon (feature candidates)
+      int hh = tn >> 1;
+      double qsse[4] = {0, 0, 0, 0};
+      for (int i = 0; i < tn; ++i)
+        for (int j = 0; j < tn; ++j) {
+          double e = (double)orig_[0][(ty + i) * w_ + tx + j] -
+                     recon_[0][(ty + i) * w_ + tx + j];
+          qsse[(i >= hh) * 2 + (j >= hh)] += e * e;
+        }
+      for (double q : qsse) qmax = std::max(qmax, q);
+    }
     if (can_split && nzA > 0) {
       Snap resA;
       take(tx, ty, tn, resA);
@@ -1140,7 +1205,14 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
         nzB += code_tb_i(2, tx, ty, tn, cmode_best, &sseC, &bitsC);
         costB += sseC + lam_sq * bitsC;
       }
+      if (dump_trials)
+        fprintf(stderr,
+                "TUSPLIT tn=%d td=%d nzA=%d sseA=%.0f bitsA=%.1f "
+                "costA=%.0f costB=%.0f qmax=%.0f lam=%.2f win=%d\n",
+                tn, td, nzA, sseA, bitsA, costA, costB, qmax, lam_sq,
+                costB < costA);
       if (costB < costA) {
+        if (g_eprof.on) g_eprof.ns[19] += 1;
         *cost = costB;
         return nzB;
       }

@@ -71,6 +71,7 @@ class CtuEngine {
                int c_idx, int scan_idx, double lam, const int32_t* smat);
   ContextSet est_ctx_;   // context states for bit estimation
   bool rdoq_exact_ = true;
+  double tusplit_margin_ = 0.95;  // device-cost TU-split gate (0 = off)
   // Shadow entropy coder: replays each committed CTU so est_ctx_ always
   // holds the TRUE CABAC states the real coding pass will have at the
   // next CTU (the reference refreshes its RDOQ estBits tables from its

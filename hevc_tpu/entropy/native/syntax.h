@@ -80,6 +80,10 @@ struct SliceParams {
                            // reference TComPPS::getMaxCuDQPDepth)
   int32_t tq_bypass;       // PPS transquant_bypass_enabled_flag (lossless
                            // CUs; cu_transquant_bypass_flag per CU)
+  // encoder-side search controls (no bitstream syntax; zero-init keeps the
+  // HM defaults RDOQ=1 / RDOQTS=1, reference TAppEncCfg.cpp:814-815)
+  int32_t rdoq_off;        // 1 disables rate-distortion optimized quant
+  int32_t rdoq_ts_off;     // 1 disables RDOQ on transform-skip TUs
 };
 
 // Context model set: one instance per slice (later: per WPP row state).

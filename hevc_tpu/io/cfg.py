@@ -345,7 +345,7 @@ class EncoderConfig:
     tmvp: int = 1
     tile_cols_minus1: int = 0
     tile_rows_minus1: int = 0
-    sign_hide: int = 0
+    sign_hide: int = 1
     rate_control: int = 0
     target_bitrate: int = 0
     scaling_list: int = 0

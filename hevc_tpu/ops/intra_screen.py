@@ -44,7 +44,9 @@ from jax import lax
 from .intra import predict_all_modes
 from .satd import satd_batch
 
-K_OF_LOG2 = {2: 8, 3: 8, 4: 3, 5: 3}
+# k = 0: costs only (the 4x4 grid exists for the engine's TU-split gate;
+# 4x4 blocks never take a standalone mode decision — no NxN intra PUs)
+K_OF_LOG2 = {2: 0, 3: 8, 4: 3, 5: 3}
 _CHUNK = 16384  # blocks per dispatch (bounds the [B, 35, N, N] buffer)
 
 
@@ -92,7 +94,9 @@ def _mode_bits_est(mode: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("size", "bit_depth", "k"))
 def _screen_chunk(p16, fi, bi, lam_tab, *, size, bit_depth, k):
-    """One chunk's top-k candidate modes (uint8 [B, k]). p16: padded
+    """One chunk's top-k candidate modes (uint8 [B, k]) and per-block
+    best cost (int32 [B]); k == 0 returns costs only (4x4 blocks feed
+    the engine's TU-split gate but never a mode decision). p16: padded
     int16 plane; fi [B, 4n+1] / bi [B, n*n]: flat gather indices."""
     n = size
     b = fi.shape[0]
@@ -110,8 +114,11 @@ def _screen_chunk(p16, fi, bi, lam_tab, *, size, bit_depth, k):
     satd = satd_batch(preds, blocks, size=n)                 # [B, 35]
     # int32 throughout (SATD of a 32x32 12-bit block is < 2^27)
     cost = satd + lam_tab[None, :]
+    best = jnp.min(cost, axis=1).astype(jnp.int32)
+    if k == 0:
+        return best
     _, idx = lax.top_k(-cost, k)
-    return idx.astype(jnp.uint8)
+    return idx.astype(jnp.uint8), best
 
 
 @jax.jit
@@ -151,13 +158,17 @@ def _frame_plan(w: int, h: int, log2s: tuple):
 
 
 def screen_frame_async(orig_y: np.ndarray, bit_depth: int, sqrt_lam: float,
-                       log2s=(3, 4, 5)):
+                       log2s=(2, 3, 4, 5)):
     """Dispatch the prescreen and return a zero-arg resolver.
 
     The dispatches run asynchronously on the device; only the resolver
     blocks (on the packed readbacks). Callers with a frame of host work
     between dispatch and use (EncoderTop's prefetch path) hide the whole
-    device round trip behind it."""
+    device round trip behind it.
+
+    Returns {log2: (cands uint8 [ny, nx, k], costs int64 [ny, nx])};
+    costs are the best original-reference SATD+mode-bits per block, the
+    engine's TU/CU split-gate signal (engine.cpp code_r gate)."""
     h, w = orig_y.shape
     mid = 1 << (bit_depth - 1)
     p = np.empty((h + 1, w + 1), np.int16)
@@ -171,38 +182,56 @@ def screen_frame_async(orig_y: np.ndarray, bit_depth: int, sqrt_lam: float,
     pending = []                       # dispatch everything, block once
     for (log2, n, ny, nx, k, b, chunks) in plan:
         for (s, e, fi, bi) in chunks:
-            pending.append((log2, s, e, _screen_chunk(
-                p_dev, fi, bi, lam_tab, size=n, bit_depth=bit_depth, k=k)))
-    # one packed device vector -> ONE host transfer, started immediately
-    # (the tunnel charges a round trip per array read back)
-    packed = _concat_flat([c for (_, _, _, c) in pending])
-    try:
-        packed.copy_to_host_async()
-    except AttributeError:
-        pass
+            r = _screen_chunk(p_dev, fi, bi, lam_tab, size=n,
+                              bit_depth=bit_depth, k=k)
+            idx, cost = (None, r) if k == 0 else r
+            pending.append((log2, s, e, idx, cost))
+    # two packed device vectors (candidate modes / block costs) -> two
+    # host transfers, both started immediately (the tunnel charges a
+    # round trip per array read back)
+    packed_idx = _concat_flat([i for (_, _, _, i, _) in pending
+                               if i is not None])
+    packed_cost = _concat_flat([c for (_, _, _, _, c) in pending])
+    for a in (packed_idx, packed_cost):
+        try:
+            a.copy_to_host_async()
+        except AttributeError:
+            pass
 
     def resolve():
-        flat = np.asarray(packed)
+        flat_i = np.asarray(packed_idx)
+        flat_c = np.asarray(packed_cost)
         out = {}
-        off = 0
-        views = []
-        for (l2, s, e, c) in pending:
+        iviews, cviews = [], []
+        offi = offc = 0
+        for (l2, s, e, i, c) in pending:
+            if i is not None:
+                sz = int(np.prod(i.shape))
+                iviews.append((l2, s, e, flat_i[offi:offi + sz]
+                               .reshape(i.shape)))
+                offi += sz
             sz = int(np.prod(c.shape))
-            views.append((l2, s, e, flat[off:off + sz].reshape(c.shape)))
-            off += sz
+            cviews.append((l2, s, e, flat_c[offc:offc + sz]
+                           .reshape(c.shape)))
+            offc += sz
         for (log2, n, ny, nx, k, b, chunks) in plan:
             cands = np.empty((b, k), np.uint8)
-            for (l2, s, e, arr) in views:
+            for (l2, s, e, arr) in iviews:
                 if l2 == log2:
                     cands[s:e] = arr[:e - s]
-            out[log2] = (cands.reshape(ny, nx, k), None)
+            costs = np.empty(b, np.int64)
+            for (l2, s, e, arr) in cviews:
+                if l2 == log2:
+                    costs[s:e] = arr[:e - s]
+            out[log2] = (cands.reshape(ny, nx, k),
+                         costs.reshape(ny, nx))
         return out
 
     return resolve
 
 
 def screen_frame(orig_y: np.ndarray, bit_depth: int, sqrt_lam: float,
-                 log2s=(3, 4, 5)):
+                 log2s=(2, 3, 4, 5)):
     """Device intra prescreen for every aligned block of sizes 1<<log2s.
 
     Returns {log2: (cands uint8 [ny, nx, k], None)} for
