@@ -561,6 +561,61 @@ class EncoderTop:
             "orig_dev": orig_dev, "ref_pocs": plan["ref_pocs"],
             "parts": parts}
 
+    def _me_pending_early_dispatch(self, cvs_poc: int,
+                                   recon_y: np.ndarray) -> None:
+        """Dispatch a pending next-frame search whose ONLY missing
+        reference is this frame, against the pre-loop-filter luma the
+        engine just produced. See the call site in _encode_au for the
+        overlap/quality rationale. HEVC_TPU_ME_PREFILTER_REF=0 falls
+        back to the post-SAO dispatch (filtered reference, less
+        overlap)."""
+        if os.environ.get("HEVC_TPU_ME_PREFILTER_REF", "1") == "0":
+            return
+        if not self._me_pending:
+            return
+        import jax
+        if (jax.default_backend() == "cpu" and os.environ.get(
+                "HEVC_TPU_ME_PREFETCH_CPU", "0") != "1"):
+            return
+        if self.sps.bit_depth_luma > 14:
+            return
+        from ..ops import me_mxu
+        from ..ops.interp import pad_plane
+        from .native_frame import PAD
+        ref_dev = None
+        for mp in self._me_pending.values():
+            if cvs_poc not in mp["ref_pocs"]:
+                continue
+            covered = {p for pocs, _ in mp["parts"] for p in pocs}
+            missing = [p for p in mp["ref_pocs"] if p not in covered]
+            if missing != [cvs_poc]:
+                continue  # other refs still outstanding: post-SAO path
+            if ref_dev is None:
+                dt = np.uint8 if self.sps.bit_depth_luma <= 8 else np.int16
+                ref_dev = jax.device_put(np.ascontiguousarray(pad_plane(
+                    np.asarray(recon_y, np.int16), PAD).astype(dt)))
+            size, r, lam_fp, depth = mp["params"]
+            mp["parts"].append(([cvs_poc], me_mxu.me_grids_multi2_async(
+                mp["orig_dev"], [ref_dev], size, 16, r, lam_fp, pad=PAD,
+                depth=depth)))
+            # every reference is now dispatched: resolve on a worker
+            # thread so the device->host readback's round trip rides
+            # under this frame's loop-filter/entropy tail (np.asarray on
+            # a device array releases the GIL while it waits)
+            import threading
+            parts = mp["parts"]
+            box = {}
+
+            def _bg_resolve(parts=parts, box=box):
+                out = {}
+                for pocs, collect in parts:
+                    for poc, grids in zip(pocs, collect()):
+                        out[poc] = grids
+                box["out"] = out
+            th = threading.Thread(target=_bg_resolve, daemon=True)
+            th.start()
+            mp["resolved"] = (th, box)
+
     def _me_pending_late_dispatch(self, cvs_poc: int) -> None:
         """Called as soon as the current frame's recon is final (post-SAO)
         and uploaded: dispatch any pending next-frame search that was
@@ -596,6 +651,13 @@ class EncoderTop:
         if not need <= covered:
             return None
         parts = mp["parts"]
+        if "resolved" in mp:
+            th, box = mp["resolved"]
+
+            def resolve():
+                th.join()
+                return box["out"]
+            return resolve
 
         def resolve():
             out = {}
@@ -1255,6 +1317,19 @@ class EncoderTop:
             decisions, recon = fe.encode_frame(planes, slices=slice_objs)
         else:
             decisions, recon = fe.encode_frame(planes)
+
+        # Dispatch the pending next-frame integer search against THIS
+        # frame's pre-loop-filter luma as soon as the engine hands it
+        # over: the search gains deblock+SAO+entropy of host overlap (a
+        # full tunnel round trip when the device is remote-attached).
+        # Only the integer-MV *choice* sees the unfiltered samples; the
+        # engine's fractional refine and MC always use the final DPB
+        # reference, so conformance is untouched and the MV quality
+        # delta is the few samples deblock/SAO move. (The reference
+        # searches filtered refs — TEncGOP calls GPU ME after the loop
+        # filters — at the cost of serializing against them.)
+        if self.cfg.intra_period != 1 and not idr:
+            self._me_pending_early_dispatch(cvs_poc, recon[0])
 
         # in-loop deblocking
         if not self.pps.pps_deblocking_filter_disabled_flag:

@@ -371,6 +371,13 @@ def me_grids_multi2_async(orig_dev, ref_devs, size: int, size2: int,
         jnp.asarray(bits0_table(r2)), jnp.int32(lam_q8_of(lam_fp)),
         size=size, size2=size2, r=r, r2=r2, ny=ny, nx=nx, ny2=ny2,
         nx2=nx2, pad=pad, depth=depth, axis_name=axis_name)
+    try:
+        # start the device->host copy as soon as the search finishes so
+        # collect() finds the indices already host-side instead of paying
+        # a full tunnel round trip at resolve time
+        packed.copy_to_host_async()
+    except AttributeError:
+        pass
     n1 = ny * nx
 
     def collect():
