@@ -247,35 +247,66 @@ int64_t had4(const int32_t d[16]) {
   return s;
 }
 
+// 8-lane int32 SIMD Hadamard: GCC vector extensions, lowered to the
+// best ISA -march=native provides. One vector per row; the butterfly
+// stage is elementwise across row-vectors, the second stage runs after
+// an in-register 8x8 transpose. Values stay within int32: |input| <
+// 2^16 gains at most 64x through H(.)H, and the 64-term |.| sum tops
+// out below 2^29.
+typedef int32_t v8si __attribute__((vector_size(32)));
+
+static inline void had8_stage(v8si r[8]) {
+  v8si a0 = r[0] + r[4], a1 = r[1] + r[5], a2 = r[2] + r[6],
+       a3 = r[3] + r[7];
+  v8si b0 = r[0] - r[4], b1 = r[1] - r[5], b2 = r[2] - r[6],
+       b3 = r[3] - r[7];
+  v8si c0 = a0 + a2, c1 = a1 + a3, c2 = a0 - a2, c3 = a1 - a3;
+  v8si e0 = b0 + b2, e1 = b1 + b3, e2 = b0 - b2, e3 = b1 - b3;
+  r[0] = c0 + c1; r[1] = c0 - c1; r[2] = c2 + c3; r[3] = c2 - c3;
+  r[4] = e0 + e1; r[5] = e0 - e1; r[6] = e2 + e3; r[7] = e2 - e3;
+}
+
+static inline void transpose8(v8si r[8]) {
+  v8si a0 = __builtin_shufflevector(r[0], r[1], 0, 8, 1, 9, 4, 12, 5, 13);
+  v8si a1 = __builtin_shufflevector(r[0], r[1], 2, 10, 3, 11, 6, 14, 7, 15);
+  v8si a2 = __builtin_shufflevector(r[2], r[3], 0, 8, 1, 9, 4, 12, 5, 13);
+  v8si a3 = __builtin_shufflevector(r[2], r[3], 2, 10, 3, 11, 6, 14, 7, 15);
+  v8si a4 = __builtin_shufflevector(r[4], r[5], 0, 8, 1, 9, 4, 12, 5, 13);
+  v8si a5 = __builtin_shufflevector(r[4], r[5], 2, 10, 3, 11, 6, 14, 7, 15);
+  v8si a6 = __builtin_shufflevector(r[6], r[7], 0, 8, 1, 9, 4, 12, 5, 13);
+  v8si a7 = __builtin_shufflevector(r[6], r[7], 2, 10, 3, 11, 6, 14, 7, 15);
+  v8si b0 = __builtin_shufflevector(a0, a2, 0, 1, 8, 9, 4, 5, 12, 13);
+  v8si b1 = __builtin_shufflevector(a0, a2, 2, 3, 10, 11, 6, 7, 14, 15);
+  v8si b2 = __builtin_shufflevector(a1, a3, 0, 1, 8, 9, 4, 5, 12, 13);
+  v8si b3 = __builtin_shufflevector(a1, a3, 2, 3, 10, 11, 6, 7, 14, 15);
+  v8si b4 = __builtin_shufflevector(a4, a6, 0, 1, 8, 9, 4, 5, 12, 13);
+  v8si b5 = __builtin_shufflevector(a4, a6, 2, 3, 10, 11, 6, 7, 14, 15);
+  v8si b6 = __builtin_shufflevector(a5, a7, 0, 1, 8, 9, 4, 5, 12, 13);
+  v8si b7 = __builtin_shufflevector(a5, a7, 2, 3, 10, 11, 6, 7, 14, 15);
+  r[0] = __builtin_shufflevector(b0, b4, 0, 1, 2, 3, 8, 9, 10, 11);
+  r[4] = __builtin_shufflevector(b0, b4, 4, 5, 6, 7, 12, 13, 14, 15);
+  r[1] = __builtin_shufflevector(b1, b5, 0, 1, 2, 3, 8, 9, 10, 11);
+  r[5] = __builtin_shufflevector(b1, b5, 4, 5, 6, 7, 12, 13, 14, 15);
+  r[2] = __builtin_shufflevector(b2, b6, 0, 1, 2, 3, 8, 9, 10, 11);
+  r[6] = __builtin_shufflevector(b2, b6, 4, 5, 6, 7, 12, 13, 14, 15);
+  r[3] = __builtin_shufflevector(b3, b7, 0, 1, 2, 3, 8, 9, 10, 11);
+  r[7] = __builtin_shufflevector(b3, b7, 4, 5, 6, 7, 12, 13, 14, 15);
+}
+
 int64_t had8(const int32_t d[64]) {
-  int32_t m[64];
+  v8si r[8];
+  std::memcpy(r, d, sizeof(r));
+  had8_stage(r);        // columns (elementwise across row-vectors)
+  transpose8(r);
+  had8_stage(r);        // rows (same stage on the transposed block)
+  v8si s = r[0] - r[0];
   for (int i = 0; i < 8; ++i) {
-    const int32_t* r = d + i * 8;
-    int32_t a0 = r[0] + r[4], a1 = r[1] + r[5], a2 = r[2] + r[6],
-            a3 = r[3] + r[7];
-    int32_t b0 = r[0] - r[4], b1 = r[1] - r[5], b2 = r[2] - r[6],
-            b3 = r[3] - r[7];
-    int32_t c0 = a0 + a2, c1 = a1 + a3, c2 = a0 - a2, c3 = a1 - a3;
-    int32_t e0 = b0 + b2, e1 = b1 + b3, e2 = b0 - b2, e3 = b1 - b3;
-    int32_t* o = m + i * 8;
-    o[0] = c0 + c1; o[1] = c0 - c1; o[2] = c2 + c3; o[3] = c2 - c3;
-    o[4] = e0 + e1; o[5] = e0 - e1; o[6] = e2 + e3; o[7] = e2 - e3;
+    v8si m = r[i] >> 31;            // arithmetic: -1 where negative
+    s += (r[i] ^ m) - m;            // |r[i]|
   }
-  int64_t s = 0;
-  for (int j = 0; j < 8; ++j) {
-    int32_t r[8];
-    for (int i = 0; i < 8; ++i) r[i] = m[i * 8 + j];
-    int32_t a0 = r[0] + r[4], a1 = r[1] + r[5], a2 = r[2] + r[6],
-            a3 = r[3] + r[7];
-    int32_t b0 = r[0] - r[4], b1 = r[1] - r[5], b2 = r[2] - r[6],
-            b3 = r[3] - r[7];
-    int32_t c0 = a0 + a2, c1 = a1 + a3, c2 = a0 - a2, c3 = a1 - a3;
-    int32_t e0 = b0 + b2, e1 = b1 + b3, e2 = b0 - b2, e3 = b1 - b3;
-    s += std::abs(c0 + c1) + std::abs(c0 - c1) + std::abs(c2 + c3) +
-         std::abs(c2 - c3) + std::abs(e0 + e1) + std::abs(e0 - e1) +
-         std::abs(e2 + e3) + std::abs(e2 - e3);
-  }
-  return s;
+  int64_t t = 0;
+  for (int j = 0; j < 8; ++j) t += s[j];
+  return t;
 }
 }  // namespace
 
@@ -327,45 +358,52 @@ void mc_block(const pel_t* ref, int rw, int pad, int x, int y, int w,
       }
     return;
   }
-  int64_t tmp[(64 + 8) * 64];
+  // int32 accumulation throughout (HM's own path: Short samples, Int
+  // sums — TComInterpolationFilter::filter). Worst case |sample| < 2^16
+  // (hbd build), sum|taps| <= 112 (half-pel luma): horizontal sums
+  // < 2^23; after >>shift1 (>= 4 whenever bd > 12) the mid values stay
+  // < 2^19, so the vertical pass tops out below 2^26. int32 halves the
+  // SIMD element width vs the previous int64 accumulators and lets GCC
+  // vectorize both tap loops.
+  int32_t tmp[(64 + 8) * 64];
   if (fy == 0) {
     for (int yy = 0; yy < h; ++yy)
       for (int xx = 0; xx < w; ++xx) {
-        int64_t acc = 0;
+        int32_t acc = 0;
         const pel_t* r = ref + (py + yy) * rw + px - off + xx;
-        for (int k = 0; k < nt; ++k) acc += (int64_t)fh[k] * r[k];
+        for (int k = 0; k < nt; ++k) acc += fh[k] * (int32_t)r[k];
         tmp[yy * w + xx] = acc >> shift1;
       }
   } else if (fx == 0) {
     for (int yy = 0; yy < h; ++yy)
       for (int xx = 0; xx < w; ++xx) {
-        int64_t acc = 0;
+        int32_t acc = 0;
         const pel_t* r = ref + (py - off + yy) * rw + px + xx;
-        for (int k = 0; k < nt; ++k) acc += (int64_t)fv[k] * r[k * rw];
+        for (int k = 0; k < nt; ++k) acc += fv[k] * (int32_t)r[k * rw];
         tmp[yy * w + xx] = acc >> shift1;
       }
   } else {
-    int64_t mid[(64 + 8) * 64];
+    int32_t mid[(64 + 8) * 64];
     for (int yy = 0; yy < h + nt - 1; ++yy)
       for (int xx = 0; xx < w; ++xx) {
-        int64_t acc = 0;
+        int32_t acc = 0;
         const pel_t* r = ref + (py - off + yy) * rw + px - off + xx;
-        for (int k = 0; k < nt; ++k) acc += (int64_t)fh[k] * r[k];
+        for (int k = 0; k < nt; ++k) acc += fh[k] * (int32_t)r[k];
         mid[yy * w + xx] = acc >> shift1;
       }
     for (int yy = 0; yy < h; ++yy)
       for (int xx = 0; xx < w; ++xx) {
-        int64_t acc = 0;
+        int32_t acc = 0;
         for (int k = 0; k < nt; ++k) acc += fv[k] * mid[(yy + k) * w + xx];
         tmp[yy * w + xx] = acc >> 6;
       }
   }
   for (int i = 0; i < w * h; ++i) {
     if (raw14) {
-      out[i] = (int32_t)tmp[i];
+      out[i] = tmp[i];
     } else {
-      int64_t v = (tmp[i] + off_u) >> shift_u;
-      out[i] = (int32_t)std::min<int64_t>(maxv, std::max<int64_t>(0, v));
+      int32_t v = (tmp[i] + off_u) >> shift_u;
+      out[i] = std::min(maxv, std::max(0, v));
     }
   }
 }
