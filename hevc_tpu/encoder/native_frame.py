@@ -74,7 +74,8 @@ class NativeFrameEncoder:
                  me_provider=None, ref_dev=None, ref1_dev=None,
                  intra_screen=None, lam: Optional[float] = None,
                  mesh=None, mesh_axis: Optional[str] = None,
-                 me_prefetch=None, ref_pocs=None, ref1_pocs=None):
+                 me_prefetch=None, ref_pocs=None, ref1_pocs=None,
+                 refs_padded: bool = False):
         """ref_planes / ref1_planes: a single [Y, Cb, Cr] plane list or a
         list of them — one entry per active reference of the list
         (reference TEncSearch::predInterSearch per-refIdx loop,
@@ -108,6 +109,8 @@ class NativeFrameEncoder:
                 return None
             if len(refs) and isinstance(refs[0], np.ndarray):
                 refs = [refs]
+            if refs_padded:  # caller passed EncoderTop._padded_ref output
+                return refs
             pdt = np.int16 if sps.bit_depth_luma <= 14 else np.int32
             return [[np.ascontiguousarray(
                 pad_plane(np.asarray(p, pdt), PAD)) for p in r]

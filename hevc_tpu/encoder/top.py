@@ -313,6 +313,11 @@ class EncoderTop:
         # link is paid once (the reference re-ships the search window per
         # CTU, TEncOpenCL.cpp:271)
         self._dev_refs: Dict[int, object] = {}
+        # host-side padded reference planes, one entry per DPB picture
+        # (NativeFrameEncoder's MC reads PAD-padded planes; padding a
+        # 1080p picture costs ~10 ms and each reference used to be
+        # re-padded by every frame that lists it)
+        self._padded_refs: Dict[int, list] = {}
         # one-frame ME lookahead (prefetch_frame): the NEXT frame's
         # integer search against every already-final reference is
         # dispatched before the CURRENT frame's encode, so the device
@@ -340,11 +345,27 @@ class EncoderTop:
             if self.sps.bit_depth_luma > 14:
                 return None  # 16-bit: host ME path (no int16 device refs)
             dt = np.uint8 if self.sps.bit_depth_luma <= 8 else np.int16
-            padded = np.ascontiguousarray(
-                pad_plane(np.asarray(y, np.int16), PAD).astype(dt))
-            ref = jax.device_put(padded)
+            host = self._padded_refs.get(poc)
+            py = (host[0] if host is not None
+                  else pad_plane(np.asarray(y, np.int16), PAD))
+            ref = jax.device_put(np.ascontiguousarray(py.astype(dt)))
             self._dev_refs[poc] = ref
         return ref
+
+    def _padded_ref(self, poc: int, planes) -> list:
+        """PAD-padded host copies of a DPB picture's planes, computed
+        once per picture (NativeFrameEncoder's MC reads padded planes;
+        every frame that references the picture reuses this cache).
+        Evicted with the DPB."""
+        cached = self._padded_refs.get(poc)
+        if cached is None:
+            from ..ops.interp import pad_plane
+            from .native_frame import PAD
+            pdt = np.int16 if self.sps.bit_depth_luma <= 14 else np.int32
+            cached = [np.ascontiguousarray(
+                pad_plane(np.asarray(p, pdt), PAD)) for p in planes]
+            self._padded_refs[poc] = cached
+        return cached
 
     # ------------------------------------------------------------------
     def warm_device_programs(self) -> None:
@@ -1200,8 +1221,11 @@ class EncoderTop:
                 fe = NativeFrameEncoder(
                     self.sps, slice_qp, senc, sp, qp_factor=qf, is_b=is_b,
                     lam=pic_lam,
-                    ref_planes=[pl for _, pl in ref_l0],
-                    ref1_planes=[pl for _, pl in ref_l1] if is_b else None,
+                    ref_planes=[self._padded_ref(p, pl)
+                                for p, pl in ref_l0],
+                    ref1_planes=[self._padded_ref(p, pl)
+                                 for p, pl in ref_l1] if is_b else None,
+                    refs_padded=True,
                     search_range=cfg.search_range,
                     me_provider=(
                         (lambda size, r, lam:
@@ -1641,6 +1665,7 @@ class EncoderTop:
             self.dpb.clear()
             self.dpb_motion.clear()
             self._dev_refs.clear()
+            self._padded_refs.clear()
         if self.sps.sps_temporal_mvp_enabled_flag:
             from ..entropy.cabac import motion_field
             self.dpb_motion[cvs_poc] = motion_field(
@@ -1663,6 +1688,7 @@ class EncoderTop:
             del self.dpb[q]
             self.dpb_motion.pop(q, None)
             self._dev_refs.pop(q, None)
+            self._padded_refs.pop(q, None)
         self.dpb_recon = recon
         self.recon = recon
         self.out_queue.append((display_poc, recon))

@@ -708,9 +708,17 @@ class FrameDecisions:
                  .reshape(ctus_h * n4, ctus_w * n4)[:h4, :w4])
 
     def view(self, i: int):
-        v = _MapsView()
-        for f in _MAP_FIELDS:
-            setattr(v, f, getattr(self, f)[i])
+        # deblock maps + qpmap + SAO walk the decisions once each; cache
+        # the per-CTU views (28 attribute copies per construction)
+        cache = getattr(self, "_views", None)
+        if cache is None:
+            cache = self._views = [None] * self.nctu
+        v = cache[i]
+        if v is None:
+            v = _MapsView()
+            for f in _MAP_FIELDS:
+                setattr(v, f, getattr(self, f)[i])
+            cache[i] = v
         return v
 
     def __len__(self):
