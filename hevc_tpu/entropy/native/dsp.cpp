@@ -334,6 +334,29 @@ int64_t satd_rect(const pel_t* org, int so, const int32_t* pred, int sp,
   return total;
 }
 
+int64_t satd_bounded(const pel_t* org, int so, const int32_t* pred, int sp,
+                     int n, int64_t bound) {
+  // SATD with early exit: candidate screens keep a running best cost;
+  // once the partial sum passes `bound` the candidate has already lost,
+  // so any value >= bound may be returned (most screen candidates lose,
+  // typically within the first rows). Exact (== satd) whenever the true
+  // value is below the bound.
+  if (n < 8) return satd_rect(org, so, pred, sp, n, n);
+  int64_t total = 0;
+  int32_t d[64];
+  for (int by = 0; by < n; by += 8) {
+    for (int bx = 0; bx < n; bx += 8) {
+      for (int y = 0; y < 8; ++y)
+        for (int x = 0; x < 8; ++x)
+          d[y * 8 + x] = (int32_t)org[(by + y) * so + bx + x] -
+                         pred[(by + y) * sp + bx + x];
+      total += (had8(d) + 2) >> 2;
+    }
+    if (total >= bound) return total;
+  }
+  return total;
+}
+
 void mc_block(const pel_t* ref, int rw, int pad, int x, int y, int w,
               int h, int fx, int fy, int bd, bool is_luma, bool raw14,
               int32_t* out) {

@@ -52,6 +52,10 @@ const int32_t* default_scaling_matrix(int n, bool intra);
 // Hadamard SATD between orig (int16, stride so) and pred (int32, stride n):
 // 8x8 tiles for n>=8, 4x4 for n==4 (reference TComRdCost::xCalcHADs8x8).
 int64_t satd(const pel_t* org, int so, const int32_t* pred, int sp, int n);
+// SATD with early exit once the partial sum reaches `bound` (exact when
+// the true value is below the bound; see dsp.cpp)
+int64_t satd_bounded(const pel_t* org, int so, const int32_t* pred, int sp,
+                     int n, int64_t bound);
 int64_t satd_rect(const pel_t* org, int so, const int32_t* pred, int sp,
                   int w, int h);
 

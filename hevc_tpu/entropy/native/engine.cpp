@@ -810,8 +810,9 @@ int64_t CtuEngine::intra_screen_cost(int x0, int y0, int log2) {
     int mode = modes_try[mi];
     const int32_t* fsel = dsp::intra_filter_flag(mode, n, true) ? ff : f;
     dsp::intra_predict(fsel, f, mode, n, bd_, true, pred);
-    int64_t c = dsp::satd(oy, w_, pred, n, n) +
-                lam_bits(mode_bits(mode, cand));
+    int64_t lb = lam_bits(mode_bits(mode, cand));
+    int64_t c = dsp::satd_bounded(oy, w_, pred, n, n,
+                                  mi == 0 ? INT64_MAX : best - lb) + lb;
     if (mi == 0 || c < best) best = c;
   }
   return best;
@@ -877,8 +878,10 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
       int mode = modes_try[mi];
       const int32_t* fsel = dsp::intra_filter_flag(mode, n, true) ? ff : f;
       dsp::intra_predict(fsel, f, mode, n, bd_, true, pred);
-      int64_t cost = dsp::satd(oy, w_, pred, n, n) +
-                     lam_bits(mode_bits(mode, cand));
+      int64_t lb = lam_bits(mode_bits(mode, cand));
+      int64_t cost = dsp::satd_bounded(
+                         oy, w_, pred, n, n,
+                         mi == 0 ? INT64_MAX : best_cost - lb) + lb;
       if (mi == 0 || cost < best_cost) {
         best_cost = cost;
         best_mode = mode;
@@ -1334,7 +1337,9 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
       mc_uni(sp_, rp(l, mi.ref[l], 0), rw, pad, cmi.mvx[l],
              cmi.mvy[l], x0, y0, n, n, bd_, true, l, 0, pred);
     }
-    int64_t c = dsp::satd(oy, w_, pred, n, n) + lam_bits(idx + 1);
+    int64_t lb = lam_bits(idx + 1);
+    int64_t c = dsp::satd_bounded(oy, w_, pred, n, n,
+                                  best < 0 ? INT64_MAX : best - lb) + lb;
     if (best < 0 || c < best) {
       best = c;
       best_idx = idx;
@@ -1355,8 +1360,10 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
   int bits0 = mv_bits(dmx - amvp[0]) + mv_bits(dmy - amvp[1]);
   int bits1 = mv_bits(dmx - amvp[2]) + mv_bits(dmy - amvp[3]);
   int mvp_f = bits0 <= bits1 ? 0 : 1;
-  int64_t c_amvp = dsp::satd(oy, w_, pred, n, n) +
-                   lam_bits(std::min(bits0, bits1) + 3);
+  int64_t lb_amvp = lam_bits(std::min(bits0, bits1) + 3);
+  int64_t c_amvp = dsp::satd_bounded(oy, w_, pred, n, n,
+                                     best < 0 ? INT64_MAX : best - lb_amvp)
+                   + lb_amvp;
   if (best < 0 || c_amvp < best) {
     best = c_amvp;
     best_idx = -1;
@@ -1685,18 +1692,18 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     if (!me_lookup(x0, y0, n, r, &rmx, &rmy)) continue;
     has_me = true;
     // half- then quarter-pel 9-point SATD refinement (xPatternSearchFracDIF)
-    auto cost_of = [&](int mx, int my) -> int64_t {
+    auto cost_of = [&](int mx, int my, int64_t bound) -> int64_t {
       mc_uni(sp_, rp(0, r, 0), rw, pad, mx, my, x0, y0, n, n, bd_, true, 0,
              0, pred);
-      return dsp::satd(oy, w_, pred, n, n);
+      return dsp::satd_bounded(oy, w_, pred, n, n, bound);
     };
-    int64_t best_c = cost_of(rmx, rmy);
+    int64_t best_c = cost_of(rmx, rmy, INT64_MAX);
     for (int step = 2; step >= 1; --step) {
       int cx0 = rmx, cy0 = rmy;
       for (int dy = -step; dy <= step; dy += step)
         for (int dx = -step; dx <= step; dx += step) {
           if (dx == 0 && dy == 0) continue;
-          int64_t c = cost_of(cx0 + dx, cy0 + dy);
+          int64_t c = cost_of(cx0 + dx, cy0 + dy, best_c);
           if (c < best_c) {
             best_c = c;
             rmx = cx0 + dx;
@@ -1753,18 +1760,18 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     for (int r = 0; r < nref_[1]; ++r) {
       int rmx, rmy;
       if (!me1_lookup(x0, y0, n, r, &rmx, &rmy)) continue;
-      auto cost_of1 = [&](int mx, int my) -> int64_t {
+      auto cost_of1 = [&](int mx, int my, int64_t bound) -> int64_t {
         mc_uni(sp_, rp(1, r, 0), rw, pad, mx, my, x0, y0, n, n, bd_, true,
                1, 0, pred);
-        return dsp::satd(oy, w_, pred, n, n);
+        return dsp::satd_bounded(oy, w_, pred, n, n, bound);
       };
-      int64_t best_c = cost_of1(rmx, rmy);
+      int64_t best_c = cost_of1(rmx, rmy, INT64_MAX);
       for (int step = 2; step >= 1; --step) {
         int cx0 = rmx, cy0 = rmy;
         for (int dy = -step; dy <= step; dy += step)
           for (int dx = -step; dx <= step; dx += step) {
             if (dx == 0 && dy == 0) continue;
-            int64_t c = cost_of1(cx0 + dx, cy0 + dy);
+            int64_t c = cost_of1(cx0 + dx, cy0 + dy, best_c);
             if (c < best_c) { best_c = c; rmx = cx0 + dx; rmy = cy0 + dy; }
           }
       }
@@ -2643,27 +2650,48 @@ struct CompStats {
 void gather_stats(const pel_t* org, const pel_t* deb, int stride, int pw,
                   int ph, int x0, int y0, int x1, int y1, int shift,
                   CompStats* st) {
-  for (int y = y0; y < y1; ++y)
+  // Exact restructure of the naive per-pixel version: one band pass,
+  // then one pass per EO class with the picture-border exclusion hoisted
+  // into the loop ranges (the old code ran 8 bounds compares and a
+  // branchy histogram per pixel per class — this is the SAO estimator's
+  // entire cost). Category 0 accumulates into a discarded slot so the
+  // inner loop is branch-free.
+  for (int y = y0; y < y1; ++y) {
+    const pel_t* dr = deb + (size_t)y * stride;
+    const pel_t* orow = org + (size_t)y * stride;
     for (int x = x0; x < x1; ++x) {
-      int p = deb[y * stride + x];
-      int64_t diff = (int64_t)org[y * stride + x] - p;
-      for (int k = 0; k < 4; ++k) {
-        int ny0 = y + kEoDy0[k], nx0 = x + kEoDx0[k];
-        int ny1 = y + kEoDy1[k], nx1 = x + kEoDx1[k];
-        if (nx0 < 0 || nx1 < 0 || ny0 < 0 || ny1 < 0 || nx0 >= pw ||
-            nx1 >= pw || ny0 >= ph || ny1 >= ph)
-          continue;  // category 0 at picture borders
-        int cat = kEdgeIdxMap[2 + sgn(p - deb[ny0 * stride + nx0]) +
-                              sgn(p - deb[ny1 * stride + nx1])];
-        if (cat) {
-          st->E[k][cat] += diff;
-          st->N[k][cat] += 1;
-        }
-      }
-      int b = p >> shift;
-      st->Eb[b & 31] += diff;
-      st->Nb[b & 31] += 1;
+      int32_t diff = (int32_t)orow[x] - dr[x];
+      int b = (dr[x] >> shift) & 31;
+      st->Eb[b] += diff;
+      st->Nb[b] += 1;
     }
+  }
+  for (int k = 0; k < 4; ++k) {
+    int dx0 = kEoDx0[k], dy0 = kEoDy0[k];
+    int dx1 = kEoDx1[k], dy1 = kEoDy1[k];
+    int yy0 = std::max(y0, std::max(-dy0, -dy1));
+    int yy1 = std::min(y1, std::min(ph - dy0, ph - dy1));
+    int xx0 = std::max(x0, std::max(-dx0, -dx1));
+    int xx1 = std::min(x1, std::min(pw - dx0, pw - dx1));
+    int o0 = dy0 * stride + dx0, o1 = dy1 * stride + dx1;
+    int64_t E[5] = {0};
+    int32_t N[5] = {0};
+    for (int y = yy0; y < yy1; ++y) {
+      const pel_t* dr = deb + (size_t)y * stride;
+      const pel_t* orow = org + (size_t)y * stride;
+      for (int x = xx0; x < xx1; ++x) {
+        int p = dr[x];
+        int cat = kEdgeIdxMap[2 + sgn(p - dr[x + o0]) +
+                              sgn(p - dr[x + o1])];
+        E[cat] += (int32_t)orow[x] - p;
+        N[cat] += 1;
+      }
+    }
+    for (int c = 1; c <= 4; ++c) {
+      st->E[k][c] += E[c];
+      st->N[k][c] += N[c];
+    }
+  }
 }
 
 // numpy best_offset: o = clip(round(E/N)); try {o, o-1, o+1, 0}
