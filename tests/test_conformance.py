@@ -1237,3 +1237,42 @@ def test_hrd_buffering_period_conformance(tmp_path):
     from hevc_tpu.cli.decode import main as dec_main
     assert dec_main(["-b", str(bs), "-o", str(tmp_path / "o2.yuv")]) == 0
     assert (tmp_path / "o2.yuv").read_bytes() == dec.read_bytes()
+
+
+@pytest.mark.parametrize("flags,label", [
+    (["--RDOQ=0", "--RDOQTS=0"], "rdoq_off"),
+    (["--SignHideFlag=0"], "sbh_off"),
+])
+def test_quant_tool_flags_conformance(tmp_path, flags, label):
+    """RDOQ=0 / RDOQTS=0 / SignHideFlag=0 reach the engine (reference
+    TAppEncCfg.cpp:814-815,884 defaults true): the streams they produce
+    must differ from the defaults-on stream AND stay HM-conformant.
+    SignHideFlag=0 must clear the PPS sign_data_hiding flag."""
+    w, h, frames = 128, 80, 3
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    from hevc_tpu.cli.encode import main
+    base, bs = tmp_path / "base.bin", tmp_path / "o.bin"
+    rec, dec = tmp_path / "r.yuv", tmp_path / "d.yuv"
+    common = ["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+              str(frames), "-q", "30", "--IntraPeriod=-1", "-o", "/dev/null"]
+    main(common + ["-b", str(base)])
+    common[-1:] = [str(rec)]
+    main(common + ["-o", str(rec), "-b", str(bs)] + flags)
+    assert bs.read_bytes() != base.read_bytes(), \
+        f"{label} produced the defaults-on stream (flag not plumbed)"
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames
+    assert rec.read_bytes() == dec.read_bytes()
+    if label == "sbh_off":
+        from hevc_tpu.decoder.headers import parse_pps
+        from hevc_tpu.entropy.nal import split_annexb, nal_to_rbsp
+        for nal in split_annexb(bs.read_bytes()):
+            nal_type, _tid, rbsp = nal_to_rbsp(nal)
+            if nal_type == 34:  # PPS_NUT
+                assert parse_pps(rbsp).sign_data_hiding_enabled_flag == 0
+                break
+        else:
+            pytest.fail("no PPS in stream")
