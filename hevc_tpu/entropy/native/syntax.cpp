@@ -125,6 +125,28 @@ struct ScanTables {
 };
 const ScanTables g_scans;
 
+// Inverse subblock maps: (ys * sb_w + xs) -> scan-order subblock index,
+// per (log2, scan). RDOQ's coded-subblock-flag neighbour lookups use
+// these for O(1) access (spec 7.3.8.11 coded_sub_block_flag context).
+struct SbInvTables {
+  std::vector<uint8_t> t[4][3];
+  SbInvTables() {
+    for (int lg = 2; lg <= 5; ++lg)
+      for (int s = 0; s < 3; ++s) {
+        int n = 1 << lg;
+        int sbw = std::max(1, n >> 2);
+        auto& v = t[lg - 2][s];
+        v.resize((size_t)sbw * sbw);
+        const auto& scan = g_scans.t[lg - 2][s];
+        for (int i = 0; i < sbw * sbw; ++i) {
+          int r = scan[i * 16 < n * n ? i * 16 : 0];
+          v[((r / n) >> 2) * sbw + ((r % n) >> 2)] = (uint8_t)i;
+        }
+      }
+  }
+};
+const SbInvTables g_sbinv;
+
 const uint8_t kCtxMap4x4[16] = {0,1,4,5,2,3,4,5,6,6,8,8,7,7,8,8};
 const uint8_t kGroupIdx[32] = {0,1,2,3,4,4,5,5,6,6,6,6,7,7,7,7,
                                8,8,8,8,8,8,8,8,9,9,9,9,9,9,9,9};
@@ -1509,31 +1531,46 @@ int rdoq_quant(const ContextSet& cs, const int32_t* coef, int32_t* lev,
   // reference RDOQ's lLevelDouble path)
   int maxlev[1024];
   int last_scan = -1;
-  for (int i = 0; i < nn; ++i) {
-    int r = scan[i];
-    int64_t c = std::abs((int64_t)coef[r]);
-    int64_t sc = smat ? (qscale * 16) / std::max(1, (int)smat[r]) : qscale;
-    int64_t l = (c * sc + (1ll << (qbits - 1))) >> qbits;
-    maxlev[i] = (int)std::min<int64_t>(32767, l);
-    if (maxlev[i]) last_scan = i;
+  if (!smat) {
+    // uniform scale: the smallest |coef| that quantizes to a nonzero
+    // level is a constant, so the last candidate position falls out of
+    // a compare-only backward scan; the multiply-quant then runs only
+    // over the live prefix (most TBs are sparse)
+    int64_t cmin = ((1ll << (qbits - 1)) + qscale - 1) / qscale;
+    for (int i = nn - 1; i >= 0; --i)
+      if (std::abs((int64_t)coef[scan[i]]) >= cmin) { last_scan = i; break; }
+    if (last_scan < 0) return 0;
+    for (int i = 0; i <= last_scan; ++i) {
+      int64_t c = std::abs((int64_t)coef[scan[i]]);
+      maxlev[i] = (int)std::min<int64_t>(
+          32767, (c * qscale + (1ll << (qbits - 1))) >> qbits);
+    }
+  } else {
+    for (int i = 0; i < nn; ++i) {
+      int r = scan[i];
+      int64_t c = std::abs((int64_t)coef[r]);
+      int64_t sc = (qscale * 16) / std::max(1, (int)smat[r]);
+      int64_t l = (c * sc + (1ll << (qbits - 1))) >> qbits;
+      maxlev[i] = (int)std::min<int64_t>(32767, l);
+      if (maxlev[i]) last_scan = i;
+    }
+    if (last_scan < 0) return 0;
   }
-  if (last_scan < 0) return 0;
 
   const int last_sb = last_scan >> 4;
   const int sb_w = n >> 2;
-  const int nsb = 1 << (2 * (log2 - 2));
   uint8_t csbf[64] = {0};
   auto sb_xy = [&](int sb) {
     int r = scan[sb * 16];
     return std::make_pair((r % n) >> 2, (r / n) >> 2);
   };
+  // O(1) coded-subblock-flag lookup via the static (xs, ys) -> scan
+  // index inverse (the old linear scan re-derived every subblock's
+  // coordinates per query — quadratic in subblock count per TB)
+  const uint8_t* sbinv = g_sbinv.t[log2 - 2][scan_idx].data();
   auto csbf_at = [&](int xs, int ys) -> int {
     if (xs >= sb_w || ys >= sb_w || xs < 0 || ys < 0) return 0;
-    for (int i = 0; i < nsb; ++i) {
-      auto p = sb_xy(i);
-      if (p.first == xs && p.second == ys) return csbf[i];
-    }
-    return 0;
+    return csbf[sbinv[ys * sb_w + xs]];
   };
 
   double cost_coeff[1024], cost_sig[1024], cost_zero[1024];
