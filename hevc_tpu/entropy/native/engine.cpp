@@ -2675,7 +2675,62 @@ void gather_stats(const pel_t* org, const pel_t* deb, int stride, int pw,
     int xx1 = std::min(x1, std::min(pw - dx0, pw - dx1));
     int o0 = dy0 * stride + dx0, o1 = dy1 * stride + dx1;
     int64_t E[5] = {0};
-    int32_t N[5] = {0};
+    int64_t N[5] = {0};
+#if defined(__x86_64__) && !defined(HEVC_PEL32)
+    // 16-lane category classification with per-category masked vector
+    // accumulators (int32 lanes: <= 64 rows x 4 vectors of |diff| <
+    // 2^16 stays under 2^24). GCC vector compares yield -1 for true, so
+    // s carries -(sgn0 + sgn1) and the category match values negate.
+    typedef int16_t v16hi __attribute__((vector_size(32)));
+    typedef int32_t v8si __attribute__((vector_size(32)));
+    v8si accE[5] = {}, accN[5] = {};
+    for (int y = yy0; y < yy1; ++y) {
+      const pel_t* dr = deb + (size_t)y * stride;
+      const pel_t* orow = org + (size_t)y * stride;
+      int x = xx0;
+      for (; x + 16 <= xx1; x += 16) {
+        v16hi p, n0, n1, o;
+        __builtin_memcpy(&p, dr + x, 32);
+        __builtin_memcpy(&n0, dr + x + o0, 32);
+        __builtin_memcpy(&n1, dr + x + o1, 32);
+        __builtin_memcpy(&o, orow + x, 32);
+        v16hi s = (p > n0) - (p < n0) + (p > n1) - (p < n1);
+        v16hi d = o - p;
+        for (int c = 1; c <= 4; ++c) {
+          short sv = (short)((c == 1) ? 2 : (c == 2) ? 1
+                             : (c == 3) ? -1 : -2);
+          v16hi m = (s == sv);
+          v16hi dm = d & m;
+          v8si lo = __builtin_convertvector(
+              __builtin_shufflevector(dm, dm, 0, 1, 2, 3, 4, 5, 6, 7),
+              v8si);
+          v8si hi = __builtin_convertvector(
+              __builtin_shufflevector(dm, dm, 8, 9, 10, 11, 12, 13, 14,
+                                      15), v8si);
+          accE[c] += lo + hi;
+          v8si mlo = __builtin_convertvector(
+              __builtin_shufflevector(m, m, 0, 1, 2, 3, 4, 5, 6, 7),
+              v8si);
+          v8si mhi = __builtin_convertvector(
+              __builtin_shufflevector(m, m, 8, 9, 10, 11, 12, 13, 14, 15),
+              v8si);
+          accN[c] -= mlo + mhi;
+        }
+      }
+      for (; x < xx1; ++x) {
+        int p = dr[x];
+        int cat = kEdgeIdxMap[2 + sgn(p - dr[x + o0]) +
+                              sgn(p - dr[x + o1])];
+        E[cat] += (int32_t)orow[x] - p;
+        N[cat] += 1;
+      }
+    }
+    for (int c = 1; c <= 4; ++c)
+      for (int j = 0; j < 8; ++j) {
+        E[c] += accE[c][j];
+        N[c] += accN[c][j];
+      }
+#else
     for (int y = yy0; y < yy1; ++y) {
       const pel_t* dr = deb + (size_t)y * stride;
       const pel_t* orow = org + (size_t)y * stride;
@@ -2687,6 +2742,7 @@ void gather_stats(const pel_t* org, const pel_t* deb, int stride, int pw,
         N[cat] += 1;
       }
     }
+#endif
     for (int c = 1; c <= 4; ++c) {
       st->E[k][c] += E[c];
       st->N[k][c] += N[c];
