@@ -410,6 +410,14 @@ CtuEngine::CtuEngine(const SliceParams& sp, const EngineParams& ep,
   // 0 disables the gate (exact-RQT parity mode); default 0.95.
   if (const char* g = getenv("HEVC_TPU_TUSPLIT_GATE"))
     tusplit_margin_ = strcmp(g, "off") == 0 ? 0.0 : atof(g);
+  // Intra CU-split decisive band (device screen costs; intra_cu_decide).
+  // Unlike the TU gate, BOTH sides of the comparison come from the same
+  // original-reference prescreen so the optimism bias largely cancels;
+  // outside the band the decision is taken from device costs alone and
+  // the recon-reference SATD screens are skipped. "off" or 0 = always
+  // run the exact screens (parity mode).
+  if (const char* g = getenv("HEVC_TPU_CUSPLIT_GATE"))
+    cusplit_band_ = strcmp(g, "off") == 0 ? 0.0 : atof(g);
 
   nref_[0] = std::min(nref0, 16);
   nref_[1] = std::min(nref1, 16);
@@ -485,6 +493,24 @@ int CtuEngine::rdoq_run(int32_t* lev, const int32_t* coef, int n, int qp,
   return 0;
 }
 
+// Quantize transform coefficients to levels, RDOQ-optimized when enabled.
+// Exact RDOQ derives its own candidate levels from the raw coefficients,
+// so the plain dsp::quant pass is skipped outright on that (default) path
+// — it was computed only to be discarded (reference xRateDistOptQuant is
+// likewise the quantizer itself, not a post-pass: TComTrQuant.cpp:1126
+// routes m_useRDOQ to it INSTEAD of xQuant's plain path).
+int CtuEngine::quant_levels(const int32_t* coef, int n, int qp, bool intra,
+                            int32_t* lev, const int32_t* smat, int c_idx,
+                            int scan_idx, double lam, bool rdoq_enabled) {
+  if (rdoq_enabled && !sp_.rdoq_off && rdoq_exact_)
+    return rdoq_quant(est_ctx_, coef, lev, ilog2(n), c_idx, scan_idx, qp,
+                      bd_, lam, smat);
+  int nz = dsp::quant(coef, n, qp, bd_, intra, lev, smat);
+  if (rdoq_enabled && !sp_.rdoq_off && nz)
+    return rdoq_adjust(lev, coef, n, qp, bd_, lam, smat);
+  return nz;
+}
+
 bool CtuEngine::ts_trial(const int32_t* resi, int qp, bool intra,
                          double lam_sq, const int32_t* smat, int scan_idx,
                          int c_idx, int32_t* lev, int32_t* rres, int* nz) {
@@ -496,9 +522,9 @@ bool CtuEngine::ts_trial(const int32_t* resi, int qp, bool intra,
   bool rot = sp_.ts_rotation && intra;
   for (int i = 0; i < 16; ++i)
     coefs[i] = resi[rot ? 15 - i : i] << tshift;
-  int nzs = dsp::quant(coefs, 4, qp, bd_, intra, levs, smat);
-  if (!sp_.rdoq_ts_off)  // cfg RDOQTS=0 (reference TAppEncCfg.cpp:815)
-    nzs = rdoq_run(levs, coefs, 4, qp, nzs, c_idx, scan_idx, lam_sq, smat);
+  // cfg RDOQTS=0 keeps plain quant (reference TAppEncCfg.cpp:815)
+  int nzs = quant_levels(coefs, 4, qp, intra, levs, smat, c_idx, scan_idx,
+                         lam_sq, !sp_.rdoq_ts_off);
   if (!nzs) return false;
   if (sp_.sign_hiding) sbh_enforce(levs, coefs, 4, qp, bd_, scan_idx, smat);
   dsp::dequant(levs, 4, qp, bd_, deqs, smat);
@@ -829,23 +855,60 @@ void CtuEngine::intra_cu_decide(int x0, int y0, int log2,
   if (log2 > sp_.min_cb_log2 &&
       x0 + (1 << log2) <= w_ && y0 + (1 << log2) <= h_) {
     int h = 1 << (log2 - 1);
-    int64_t whole = whole_hint >= 0 ? whole_hint
-                                    : intra_screen_cost(x0, y0, log2);
-    int64_t split = lam_bits(8);  // split flag + extra part/mode signalling
-    for (int i = 0; i < 4 && split < whole; ++i)
-      split += intra_screen_cost(x0 + (i & 1) * h, y0 + (i >> 1) * h,
-                                 log2 - 1);
-    if (split < whole) {
+    // ---- device-cost CU-split gate (same one-sided reasoning as the
+    // TU-split gate at code_r): the quadrants' original references sit
+    // INSIDE the parent, so the prescreen flatters the children — their
+    // true recon-reference cost can only be higher. When even the
+    // flattered quadrant sum fails to undercut the whole block's
+    // prescreen cost by the margin, the split cannot win and the
+    // recon-SATD screens are skipped outright. A potential split is
+    // never taken on device costs alone (the bias points the wrong way
+    // for that); it is always verified with the exact screens.
+    bool want_split = false, decided = false;
+    const IntraHints& hw = ih_[log2];
+    const IntraHints& hc = ih_[log2 - 1];
+    if (cusplit_band_ > 0 && hw.costs && hc.costs &&
+        (x0 & ((1 << log2) - 1)) == 0 && (y0 & ((1 << log2) - 1)) == 0) {
+      int bx2 = x0 >> log2, by2 = y0 >> log2;
+      int cx2 = x0 >> (log2 - 1), cy2 = y0 >> (log2 - 1);
+      if (by2 < hw.ny && bx2 < hw.nx && cy2 + 1 < hc.ny &&
+          cx2 + 1 < hc.nx) {
+        double whole_d = (double)hw.costs[by2 * hw.nx + bx2];
+        double ch_d = (double)(hc.costs[cy2 * hc.nx + cx2] +
+                               hc.costs[cy2 * hc.nx + cx2 + 1] +
+                               hc.costs[(cy2 + 1) * hc.nx + cx2] +
+                               hc.costs[(cy2 + 1) * hc.nx + cx2 + 1] +
+                               lam_bits(8));
+        if (ch_d >= whole_d * (1.0 - cusplit_band_))
+          decided = true;  // split cannot win: code the block whole
+      }
+    }
+    int64_t qscreen[4] = {-1, -1, -1, -1};
+    if (!decided) {
+      int64_t whole = whole_hint >= 0 ? whole_hint
+                                      : intra_screen_cost(x0, y0, log2);
+      int64_t split = lam_bits(8);  // split flag + extra signalling
+      for (int i = 0; i < 4 && split < whole; ++i) {
+        qscreen[i] = intra_screen_cost(x0 + (i & 1) * h,
+                                       y0 + (i >> 1) * h, log2 - 1);
+        split += qscreen[i];
+      }
+      want_split = split < whole;
+    }
+    if (want_split) {
       int depth = (int)(uint8_t)(ilog2(ctu_) - log2) + 1;
       int nb = (1 << log2) >> 2;
       int bx = (x0 - ctu_x0) >> 2, by = (y0 - ctu_y0) >> 2;
       for (int yy = 0; yy < nb; ++yy)
         for (int xx = 0; xx < nb; ++xx)
           d.cu_depth[(by + yy) * bw4 + bx + xx] = (uint8_t)depth;
-      intra_cu_decide(x0, y0, log2 - 1, d, ctu_x0, ctu_y0);
-      intra_cu_decide(x0 + h, y0, log2 - 1, d, ctu_x0, ctu_y0);
-      intra_cu_decide(x0, y0 + h, log2 - 1, d, ctu_x0, ctu_y0);
-      intra_cu_decide(x0 + h, y0 + h, log2 - 1, d, ctu_x0, ctu_y0);
+      // quadrant screens already computed above (band path) seed the
+      // children's whole-block costs, halving the screen count
+      intra_cu_decide(x0, y0, log2 - 1, d, ctu_x0, ctu_y0, qscreen[0]);
+      intra_cu_decide(x0 + h, y0, log2 - 1, d, ctu_x0, ctu_y0, qscreen[1]);
+      intra_cu_decide(x0, y0 + h, log2 - 1, d, ctu_x0, ctu_y0, qscreen[2]);
+      intra_cu_decide(x0 + h, y0 + h, log2 - 1, d, ctu_x0, ctu_y0,
+                      qscreen[3]);
       return;
     }
   }
@@ -990,13 +1053,13 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     {
       ProfScope _px(4);
       dsp::fwd_xform(resi, tz, bd_, dstt, coef);
-      nz = dsp::quant(coef, tz, qp, bd_, true, lev, smat_t);
     }
     {
       ProfScope _pq(5);
-      nz = rdoq_run(lev, coef, tz, qp, nz, c,
-                    engine_scan_idx(ilog2(tz), c, true, mode, csx_ == 0),
-                    lam_sq, smat_t);
+      nz = quant_levels(coef, tz, qp, true, lev, smat_t, c,
+                        engine_scan_idx(ilog2(tz), c, true, mode,
+                                        csx_ == 0),
+                        lam_sq, true);
     }
     if (nz && sp_.sign_hiding) {
       ProfScope _p12(12);
@@ -1408,11 +1471,11 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
       {
         ProfScope _p19(19);
         dsp::fwd_xform(resi, sz, bd_, false, coef);
-        nz = dsp::quant(coef, sz, qp, bd_, false, lev, smat_p);
       }
       {
         ProfScope _p18(18);
-        nz = rdoq_run(lev, coef, sz, qp, nz, c_idx, 0, lam_c, smat_p);
+        nz = quant_levels(coef, sz, qp, false, lev, smat_p, c_idx, 0,
+                          lam_c, true);
       }
       if (nz && sp_.sign_hiding)
         sbh_enforce(lev, coef, sz, qp, bd_, 0, smat_p);
@@ -2289,8 +2352,8 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       std::memset(rres, 0, sizeof(int32_t) * sz * sz);
     } else {
       dsp::fwd_xform(resi, sz, bd_, false, coef);
-      nz = dsp::quant(coef, sz, qp, bd_, false, lev_tmp_, smat_p);
-      nz = rdoq_run(lev_tmp_, coef, sz, qp, nz, c_idx, 0, lam_c, smat_p);
+      nz = quant_levels(coef, sz, qp, false, lev_tmp_, smat_p, c_idx, 0,
+                        lam_c, true);
       if (nz && sp_.sign_hiding)
         sbh_enforce(lev_tmp_, coef, sz, qp, bd_, 0, smat_p);
       if (nz) {
@@ -2481,10 +2544,9 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
                                   ? dsp::default_scaling_matrix(sz, true)
                                   : nullptr;
       dsp::fwd_xform(it_resi, sz, bd_, false, it_coef);
-      int nz = dsp::quant(it_coef, sz, qp, bd_, true, it_lev, smat_t);
       int scan = engine_scan_idx(ilog2(sz), c_idx, true, mode, csx_ == 0);
-      nz = rdoq_run(it_lev, it_coef, sz, qp, nz, c_idx, scan, lam_c,
-                    smat_t);
+      int nz = quant_levels(it_coef, sz, qp, true, it_lev, smat_t, c_idx,
+                            scan, lam_c, true);
       if (nz && sp_.sign_hiding)
         sbh_enforce(it_lev, it_coef, sz, qp, bd_, scan, smat_t);
       if (nz) {

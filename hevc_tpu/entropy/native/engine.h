@@ -69,9 +69,15 @@ class CtuEngine {
   // calibrated heuristic (HEVC_TPU_RDOQ=lite)
   int rdoq_run(int32_t* lev, const int32_t* coef, int n, int qp, int nz,
                int c_idx, int scan_idx, double lam, const int32_t* smat);
+  // coefficients -> levels; exact RDOQ quantizes directly (no plain
+  // dsp::quant pre-pass), other modes run plain quant (+rdoq_adjust)
+  int quant_levels(const int32_t* coef, int n, int qp, bool intra,
+                   int32_t* lev, const int32_t* smat, int c_idx,
+                   int scan_idx, double lam, bool rdoq_enabled);
   ContextSet est_ctx_;   // context states for bit estimation
   bool rdoq_exact_ = true;
   double tusplit_margin_ = 0.95;  // device-cost TU-split gate (0 = off)
+  double cusplit_band_ = 0.05;    // intra CU-split gate margin (0 = off)
   // Shadow entropy coder: replays each committed CTU so est_ctx_ always
   // holds the TRUE CABAC states the real coding pass will have at the
   // next CTU (the reference refreshes its RDOQ estBits tables from its
