@@ -958,6 +958,10 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
   int cs0 = n >> csx_;
   int cw0 = w_ >> csx_, ch0 = h_ >> csx_;
   int cmode_best = best_mode;
+  // winning chroma predictions, reused by the CU-level TB coding below
+  // (the decision loop and code_tb_i would otherwise predict the same
+  // mode from the same recon references twice)
+  int32_t best_pred_cb[32 * 32], best_pred_cr[32 * 32];
   {
     ProfScope _pc(2);
     int32_t fcb[4 * 32 + 1], ffcb[4 * 32 + 1];
@@ -975,7 +979,7 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     for (int i = 0; i < 5; ++i) {
       int cm = cands5[i];
       if (i < 4 && cm == best_mode) cm = 34;  // substitution (7.4.9.6)
-      int32_t pc[32 * 32];
+      int32_t pcb[32 * 32], pcr[32 * 32];
       // 4:4:4 chroma references are mode-filtered like luma (8.4.4.2.3)
       const int32_t* fb = (csx_ == 0 &&
                            dsp::intra_filter_flag(cm, cs0, true))
@@ -983,12 +987,17 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
       const int32_t* fr = (csx_ == 0 &&
                            dsp::intra_filter_flag(cm, cs0, true))
                               ? ffcr : fcr;
-      dsp::intra_predict(fb, fcb, cm, cs0, bd_, false, pc);
-      int64_t c = dsp::satd(ocb, cw0, pc, cs0, cs0);
-      dsp::intra_predict(fr, fcr, cm, cs0, bd_, false, pc);
-      c += dsp::satd(ocr, cw0, pc, cs0, cs0);
+      dsp::intra_predict(fb, fcb, cm, cs0, bd_, false, pcb);
+      int64_t c = dsp::satd(ocb, cw0, pcb, cs0, cs0);
+      dsp::intra_predict(fr, fcr, cm, cs0, bd_, false, pcr);
+      c += dsp::satd(ocr, cw0, pcr, cs0, cs0);
       c += lam_bits(i == 4 ? 1 : 3);
-      if (cbest < 0 || c < cbest) { cbest = c; cmode_best = cm; }
+      if (cbest < 0 || c < cbest) {
+        cbest = c;
+        cmode_best = cm;
+        std::memcpy(best_pred_cb, pcb, sizeof(int32_t) * cs0 * cs0);
+        std::memcpy(best_pred_cr, pcr, sizeof(int32_t) * cs0 * cs0);
+      }
     }
   }
   for (int yy = 0; yy < nb; ++yy)
@@ -1030,17 +1039,30 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     int tz = c == 0 ? tn : tn >> csx_;
     int qp = c == 0 ? qp_y_ : qp_c_;
     ProfScope* _pp = new ProfScope(7);
-    build_refs(recon_[c], c == 0 ? w_ : cw, ph, stride, px, py, tz, tx, ty,
-               c == 0 ? 1 : 1 << csx_, f2);
-    bool strong2 = c == 0 && ep_.strong_smoothing &&
-                   dsp::intra_strong_smoothing(f2, tz, bd_);
-    dsp::intra_filter_refs(f2, tz, bd_, strong2, ff2);
-    // reference-sample filtering applies to luma and, in 4:4:4, to
-    // chroma as well (spec 8.4.4.2.3 cIdx==0 || ChromaArrayType==3)
-    const int32_t* fsel =
-        dsp::intra_filter_flag(mode, tz, c == 0 || csx_ == 0) ? ff2 : f2;
+    // CU-level TB of the decided mode: the mode-trial loops above
+    // already predicted exactly this block from the same (unmodified)
+    // recon references — reuse instead of rebuild+repredict
+    const int32_t* pre = nullptr;
+    if (tx == x0 && ty == y0 && tn == n) {
+      if (c == 0 && mode == best_mode) pre = best_pred;
+      else if (c == 1 && mode == cmode_best) pre = best_pred_cb;
+      else if (c == 2 && mode == cmode_best) pre = best_pred_cr;
+    }
     int32_t predt[32 * 32];
-    dsp::intra_predict(fsel, f2, mode, tz, bd_, c == 0, predt);
+    if (pre) {
+      std::memcpy(predt, pre, sizeof(int32_t) * tz * tz);
+    } else {
+      build_refs(recon_[c], c == 0 ? w_ : cw, ph, stride, px, py, tz, tx,
+                 ty, c == 0 ? 1 : 1 << csx_, f2);
+      bool strong2 = c == 0 && ep_.strong_smoothing &&
+                     dsp::intra_strong_smoothing(f2, tz, bd_);
+      dsp::intra_filter_refs(f2, tz, bd_, strong2, ff2);
+      // reference-sample filtering applies to luma and, in 4:4:4, to
+      // chroma as well (spec 8.4.4.2.3 cIdx==0 || ChromaArrayType==3)
+      const int32_t* fsel =
+          dsp::intra_filter_flag(mode, tz, c == 0 || csx_ == 0) ? ff2 : f2;
+      dsp::intra_predict(fsel, f2, mode, tz, bd_, c == 0, predt);
+    }
     const pel_t* o = orig_[c] + py * stride + px;
     for (int i = 0; i < tz; ++i)
       for (int j = 0; j < tz; ++j)
@@ -2022,19 +2044,35 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   dsp::intra_filter_refs(f, n, bd_, strong, ff);
   int cand3[3];
   mpm(x0, y0, cand3);
-  int64_t icost = 0;
+  int64_t icost = -1;
   int iscr_mode = 0;
   int32_t iscr_pred[32 * 32];
-  for (int mode = 0; mode < 35; ++mode) {
+  // coarse-to-fine sweep: planar/DC/MPMs + every-4th angular, then a
+  // +-2 refinement around the best angular — intra inside an inter
+  // slice is a screening comparison, not the final mode decision, and
+  // the angular SATD surface is smooth enough that the subset ranks it
+  // (reference estIntraPredLumaQT keeps only numModesForFullRD=3..8 of
+  // the 35 for full RD for the same reason, TEncSearch.cpp:2184)
+  bool idone[35] = {false};
+  auto try_mode = [&](int mode) {
+    if (mode < 0 || mode > 34 || idone[mode]) return;
+    idone[mode] = true;
     const int32_t* fsel = dsp::intra_filter_flag(mode, n, true) ? ff : f;
     dsp::intra_predict(fsel, f, mode, n, bd_, true, pred);
     int64_t c = dsp::satd(oy, w_, pred, n, n) +
                 lam_bits(mode_bits(mode, cand3));
-    if (mode == 0 || c < icost) {
+    if (icost < 0 || c < icost) {
       icost = c;
       iscr_mode = mode;
       std::memcpy(iscr_pred, pred, sizeof(int32_t) * n * n);
     }
+  };
+  static const int kCoarse[] = {0, 1, 2, 6, 10, 14, 18, 22, 26, 30, 34};
+  for (int m : kCoarse) try_mode(m);
+  for (int i = 0; i < 3; ++i) try_mode(cand3[i]);
+  if (iscr_mode >= 2) {
+    int base = iscr_mode;
+    for (int dm = -2; dm <= 2; ++dm) try_mode(base + dm);
   }
   // intra in inter slices carries a large real bit cost (no skip path,
   // mode + tree signalling) that the SATD screen does not see; bias like
