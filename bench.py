@@ -138,7 +138,15 @@ def measure_hm(cfg_path, clip, w, h, frames, qp, bd, warmup=1):
                 "-hgt", str(h), "-f", str(frames), "-fr", "30",
                 "-q", str(qp), "-b", os.path.join(tmp, "hm.bin")]
         t0 = time.time()
-        out = subprocess.run(args, capture_output=True, text=True)
+        try:
+            # bounded: a pathologically slow anchor (loaded host, heavy
+            # RA hierarchy) falls back to the recorded constant instead
+            # of stalling the whole suite
+            out = subprocess.run(args, capture_output=True, text=True,
+                                 timeout=float(os.environ.get(
+                                     "HEVC_TPU_HM_TIMEOUT", "1800")))
+        except subprocess.TimeoutExpired:
+            return None
         wall = time.time() - t0
         if out.returncode != 0:
             return None

@@ -349,6 +349,11 @@ class SliceHeader:
     wp_chroma_flag: int = 0
     wp_chroma_log2_denom: int = 6
     wp_chroma: tuple = ((64, 0), (64, 0))   # (w, o) for Cb, Cr
+    # per-list-0-ref explicit weight sets (pred_weight_table, spec
+    # 7.3.6.3): entry r = None (default weighting) or (luma, chroma)
+    # with luma = (w, o) or None, chroma = ((wcb, ocb), (wcr, ocr)) or
+    # None. Empty tuple -> legacy single-set fields above drive ref 0.
+    wp_l0: tuple = ()
     slice_type: SliceType = SliceType.I
     nal_unit_type: int = 19  # IDR_W_RADL
     poc: int = 0

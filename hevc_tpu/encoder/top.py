@@ -1131,18 +1131,27 @@ class EncoderTop:
                     denom, tables = analyse_wp(
                         cur_acdc, ref_acdcs, planes, ref_recs,
                         self.sps.bit_depth_luma, len(ref_l0))
-                    if tables and tables[0] is not None:
-                        (wy, oy_), (wcb, ocb), (wcr, ocr) = tables[0]
+                    # per-ref explicit sets (reference xCheckWPEnable
+                    # keeps each reference's own fit); identity
+                    # components stay unsignalled per ref
+                    wp_sets = []
+                    for t in (tables or []):
+                        if t is None:
+                            wp_sets.append(None)
+                            continue
+                        (wy, oy_), (wcb, ocb), (wcr, ocr) = t
+                        luma = ((wy, oy_)
+                                if (wy, oy_) != (1 << denom, 0) else None)
+                        chroma = (((wcb, ocb), (wcr, ocr))
+                                  if ((wcb, ocb) != (1 << denom, 0)
+                                      or (wcr, ocr) != (1 << denom, 0))
+                                  else None)
+                        wp_sets.append((luma, chroma)
+                                       if (luma or chroma) else None)
+                    if any(wp_sets):
                         sh.wp_log2_denom = denom
                         sh.wp_chroma_log2_denom = denom
-                        if (wy, oy_) != (1 << denom, 0):
-                            sh.wp_luma_flag = 1
-                            sh.wp_weight = wy
-                            sh.wp_offset = oy_
-                        if ((wcb, ocb) != (1 << denom, 0)
-                                or (wcr, ocr) != (1 << denom, 0)):
-                            sh.wp_chroma_flag = 1
-                            sh.wp_chroma = ((wcb, ocb), (wcr, ocr))
+                        sh.wp_l0 = tuple(wp_sets)
             sp = make_slice_params(
                 cfg.width, cfg.height, slice_qp, slice_type=int(stype),
                 ctu_size=self.sps.ctu_size,
@@ -1186,20 +1195,28 @@ class EncoderTop:
             sh.slice_temporal_mvp_enabled_flag = 1 if use_tmvp else 0
             sh.collocated_from_l0_flag = col_from_l0
             sp.col_from_l0 = col_from_l0
-            if sh.wp_luma_flag or sh.wp_chroma_flag:
+            wp_l0 = sh.wp_l0
+            if not wp_l0 and (sh.wp_luma_flag or sh.wp_chroma_flag):
+                wp_l0 = ((
+                    (sh.wp_weight, sh.wp_offset) if sh.wp_luma_flag
+                    else None,
+                    sh.wp_chroma if sh.wp_chroma_flag else None),)
+            if any(wp_l0):
                 sp.wp_on = 1
                 sp.wp_denom = sh.wp_log2_denom
-                sp.wp_w = sh.wp_weight if sh.wp_luma_flag \
-                    else (1 << sh.wp_log2_denom)
-                sp.wp_o = sh.wp_offset if sh.wp_luma_flag else 0
                 sp.wp_cdenom = sh.wp_chroma_log2_denom
-                for j in range(2):
-                    if sh.wp_chroma_flag:
-                        sp.wp_cw[j] = sh.wp_chroma[j][0]
-                        sp.wp_co[j] = sh.wp_chroma[j][1]
-                    else:
-                        sp.wp_cw[j] = 1 << sh.wp_chroma_log2_denom
-                        sp.wp_co[j] = 0
+                for r in range(16):
+                    t = wp_l0[r] if r < len(wp_l0) else None
+                    luma = t[0] if t else None
+                    chroma = t[1] if t else None
+                    sp.wp_w[r] = (luma[0] if luma
+                                  else 1 << sh.wp_log2_denom)
+                    sp.wp_o[r] = luma[1] if luma else 0
+                    for j in range(2):
+                        cwj, coj = (chroma[j] if chroma else
+                                    (1 << sh.wp_chroma_log2_denom, 0))
+                        sp.wp_cw[2 * r + j] = cwj
+                        sp.wp_co[2 * r + j] = coj
             sp.ts_rotation = self.sps.transform_skip_rotation_enabled_flag
             sp.rdoq_off = 0 if cfg.rdoq else 1
             sp.rdoq_ts_off = 0 if cfg.rdoq_ts else 1

@@ -37,9 +37,10 @@ class SliceParamsC(ctypes.Structure):
         (n, ctypes.c_int32) for n in ("sao_luma", "sao_chroma", "bit_depth",
                                       "cur_poc", "wpp", "tile_cols",
                                       "tile_rows", "amp", "scaling_lists",
-                                      "wp_on", "wp_denom",
-                                      "wp_w", "wp_o", "wp_cdenom")] + [
-        ("wp_cw", ctypes.c_int32 * 2), ("wp_co", ctypes.c_int32 * 2),
+                                      "wp_on", "wp_denom")] + [
+        ("wp_w", ctypes.c_int32 * 16), ("wp_o", ctypes.c_int32 * 16),
+        ("wp_cdenom", ctypes.c_int32),
+        ("wp_cw", ctypes.c_int32 * 32), ("wp_co", ctypes.c_int32 * 32),
         ("cu_dqp", ctypes.c_int32),
         ("ctu_qps", ctypes.POINTER(ctypes.c_int8)),
         ("pcm", ctypes.c_int32),

@@ -379,24 +379,33 @@ def write_slice_header(sh: SliceHeader, sps: SPS, pps: PPS) -> bytes:
                 bw.ue(sh.collocated_ref_idx)
         if (pps.weighted_pred_flag and sh.slice_type == SliceType.P):
             # pred_weight_table (spec 7.3.6.3; reference TEncCavlc
-            # xCodePredWeightTable): explicit luma + chroma weights on
-            # list-0 ref 0, default weighting on further references
+            # xCodePredWeightTable): per-list-0-ref explicit luma +
+            # chroma weight sets (sh.wp_l0; legacy single-set fields
+            # drive ref 0 when it is empty)
             bw.ue(sh.wp_log2_denom)             # luma_log2_weight_denom
             cden = sh.wp_chroma_log2_denom
             if sps.chroma_format_idc != 0:
                 bw.se(cden - sh.wp_log2_denom)  # delta_chroma_log2_denom
-            for r in range(sh.num_ref_idx_active[0]):
-                bw.flag(sh.wp_luma_flag if r == 0 else 0)
+            n0 = sh.num_ref_idx_active[0]
+            sets = [sh.wp_l0[r] if r < len(sh.wp_l0) else None
+                    for r in range(n0)]
+            if not sh.wp_l0 and (sh.wp_luma_flag or sh.wp_chroma_flag):
+                sets[0] = (
+                    (sh.wp_weight, sh.wp_offset) if sh.wp_luma_flag
+                    else None,
+                    sh.wp_chroma if sh.wp_chroma_flag else None)
+            for r in range(n0):
+                bw.flag(1 if (sets[r] and sets[r][0]) else 0)
             if sps.chroma_format_idc != 0:
-                for r in range(sh.num_ref_idx_active[0]):
-                    bw.flag(sh.wp_chroma_flag if r == 0 else 0)
-            for r in range(sh.num_ref_idx_active[0]):
-                if r == 0 and sh.wp_luma_flag:
-                    bw.se(sh.wp_weight - (1 << sh.wp_log2_denom))
-                    bw.se(sh.wp_offset)
-                if (sps.chroma_format_idc != 0 and r == 0
-                        and sh.wp_chroma_flag):
-                    for (cw, co) in sh.wp_chroma:
+                for r in range(n0):
+                    bw.flag(1 if (sets[r] and sets[r][1]) else 0)
+            for r in range(n0):
+                if sets[r] and sets[r][0]:
+                    w, o = sets[r][0]
+                    bw.se(w - (1 << sh.wp_log2_denom))
+                    bw.se(o)
+                if sps.chroma_format_idc != 0 and sets[r] and sets[r][1]:
+                    for (cw, co) in sets[r][1]:
                         bw.se(cw - (1 << cden))
                         # delta_chroma_offset vs the DC-preserving
                         # prediction (spec 7.4.7.3)

@@ -376,15 +376,23 @@ static MotionInfo clip_mi(const SliceParams& sp, const MotionInfo& mi,
 }
 
 // uni-prediction honouring explicit weighted prediction on list 0
+// (per-reference weight sets; `ridx` is the list-0 refIdx)
 static void mc_uni(const SliceParams& sp, const pel_t* ref, int rw,
                    int pad, int mvx, int mvy, int x0, int y0, int w, int h,
-                   int bd, bool is_luma, int list, int comp, int32_t* out) {
+                   int bd, bool is_luma, int list, int ridx, int comp,
+                   int32_t* out) {
   if (sp.wp_on && list == 0) {
-    int wgt = is_luma ? sp.wp_w : sp.wp_cw[comp - 1];
-    int off = is_luma ? sp.wp_o : sp.wp_co[comp - 1];
+    int r = std::min(std::max(ridx, 0), 15);
+    int wgt = is_luma ? sp.wp_w[r] : sp.wp_cw[2 * r + comp - 1];
+    int off = is_luma ? sp.wp_o[r] : sp.wp_co[2 * r + comp - 1];
     int den = is_luma ? sp.wp_denom : sp.wp_cdenom;
-    dsp::mc_predict_wp(ref, rw, pad, mvx, mvy, x0, y0, w, h, bd, is_luma,
-                       wgt, off, den, out);
+    if (wgt == (1 << den) && off == 0) {
+      dsp::mc_predict(ref, rw, pad, mvx, mvy, x0, y0, w, h, bd, is_luma,
+                      out);
+    } else {
+      dsp::mc_predict_wp(ref, rw, pad, mvx, mvy, x0, y0, w, h, bd,
+                         is_luma, wgt, off, den, out);
+    }
   } else {
     dsp::mc_predict(ref, rw, pad, mvx, mvy, x0, y0, w, h, bd, is_luma, out);
   }
@@ -1394,7 +1402,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
   for (int i = 0; i < 4; ++i) {
     int qx = x0 + (i & 1) * 32, qy = y0 + (i >> 1) * 32;
     mc_uni(sp_, rp(0, 0, 0), rw, pad, mvs[i][0], mvs[i][1], qx, qy, 32, 32,
-           bd_, true, 0, 0, pred);
+           bd_, true, 0, 0, 0, pred);
     split_cost += dsp::satd(orig_[0] + qy * w_ + qx, w_, pred, 32, 32);
   }
 
@@ -1420,7 +1428,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
     else {
       int l = mi.ref[0] >= 0 ? 0 : 1;
       mc_uni(sp_, rp(l, mi.ref[l], 0), rw, pad, cmi.mvx[l],
-             cmi.mvy[l], x0, y0, n, n, bd_, true, l, 0, pred);
+             cmi.mvy[l], x0, y0, n, n, bd_, true, l, mi.ref[l], 0, pred);
     }
     int64_t lb = lam_bits(idx + 1);
     int64_t c = dsp::satd_bounded(oy, w_, pred, n, n,
@@ -1440,7 +1448,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
   };
   int dmx = med4(mvs[0][0], mvs[1][0], mvs[2][0], mvs[3][0]);
   int dmy = med4(mvs[0][1], mvs[1][1], mvs[2][1], mvs[3][1]);
-  mc_uni(sp_, rp(0, 0, 0), rw, pad, dmx, dmy, x0, y0, n, n, bd_, true, 0, 0,
+  mc_uni(sp_, rp(0, 0, 0), rw, pad, dmx, dmy, x0, y0, n, n, bd_, true, 0, 0, 0,
          pred);
   int bits0 = mv_bits(dmx - amvp[0]) + mv_bits(dmy - amvp[1]);
   int bits1 = mv_bits(dmx - amvp[2]) + mv_bits(dmy - amvp[3]);
@@ -1547,7 +1555,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
                          pc);
     else
       mc_uni(sp_, rp(l, sel.ref[l], ci), rwc, pad, csel.mvx[l],
-             csel.mvy[l], x0 >> 1, y0 >> 1, 32, 32, bd_, false, l, ci, pc);
+             csel.mvy[l], x0 >> 1, y0 >> 1, 32, 32, bd_, false, l, sel.ref[l], ci, pc);
     int16_t* lv_plane = ci == 1 ? d.coeff_cb : d.coeff_cr;
     for (int q = 0; q < 4; ++q) {
       int qx = (q & 1) * 16, qy = (q >> 1) * 16;
@@ -1690,11 +1698,11 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     } else {
       int l = mi.ref[0] >= 0 ? 0 : 1;
       mc_uni(sp_, rp(l, mi.ref[l], 0), rw, pad, cmi.mvx[l], cmi.mvy[l], x0,
-             y0, n, n, bd_, true, l, 0, pred);
+             y0, n, n, bd_, true, l, mi.ref[l], 0, pred);
       mc_uni(sp_, rp(l, mi.ref[l], 1), rwc, pad, cmi.mvx[l], cmi.mvy[l],
-             ccx, ccy, csz, csz, bd_, false, l, 1, skc[0]);
+             ccx, ccy, csz, csz, bd_, false, l, mi.ref[l], 1, skc[0]);
       mc_uni(sp_, rp(l, mi.ref[l], 2), rwc, pad, cmi.mvx[l], cmi.mvy[l],
-             ccx, ccy, csz, csz, bd_, false, l, 2, skc[1]);
+             ccx, ccy, csz, csz, bd_, false, l, mi.ref[l], 2, skc[1]);
     }
     int64_t cost = dsp::satd(oy, w_, pred, n, n) + lam_bits(idx + 1);
     if (m_idx < 0 || cost < m_cost) {
@@ -1757,7 +1765,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       int rmx, rmy;
       if (!me_lookup(x0, y0, n, r, &rmx, &rmy)) continue;
       mc_uni(sp_, rp(0, r, 0), rw, pad, rmx, rmy, x0, y0, n, n, bd_, true,
-             0, 0, pred);
+             0, r, 0, pred);
       int64_t c = dsp::satd(oy, w_, pred, n, n) +
                   lam_bits(ref_bits(r, nref_[0]));
       int pos = n_cand++;
@@ -1778,7 +1786,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     has_me = true;
     // half- then quarter-pel 9-point SATD refinement (xPatternSearchFracDIF)
     auto cost_of = [&](int mx, int my, int64_t bound) -> int64_t {
-      mc_uni(sp_, rp(0, r, 0), rw, pad, mx, my, x0, y0, n, n, bd_, true, 0,
+      mc_uni(sp_, rp(0, r, 0), rw, pad, mx, my, x0, y0, n, n, bd_, true, 0, r,
              0, pred);
       return dsp::satd_bounded(oy, w_, pred, n, n, bound);
     };
@@ -1802,7 +1810,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     int bits1 = mv_bits(rmx - ramvp[2]) + mv_bits(rmy - ramvp[3]);
     int pf = bits0 <= bits1 ? 0 : 1;
     mc_uni(sp_, rp(0, r, 0), rw, pad, rmx, rmy, x0, y0, n, n, bd_, true,
-           0, 0, pred);
+           0, r, 0, pred);
     int64_t c = dsp::satd(oy, w_, pred, n, n) +
                 lam_bits(std::min(bits0, bits1) + 3 +
                          ref_bits(r, nref_[0]));
@@ -1824,7 +1832,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     mvp_f = 0;
     mvd_x = -amvp[0];
     mvd_y = -amvp[1];
-    mc_uni(sp_, rp(0, 0, 0), rw, pad, 0, 0, x0, y0, n, n, bd_, true, 0, 0,
+    mc_uni(sp_, rp(0, 0, 0), rw, pad, 0, 0, x0, y0, n, n, bd_, true, 0, 0, 0,
            i_pred);
     cost_inter = dsp::satd(oy, w_, i_pred, n, n) + lam_bits(8);
   }
@@ -1847,7 +1855,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       if (!me1_lookup(x0, y0, n, r, &rmx, &rmy)) continue;
       auto cost_of1 = [&](int mx, int my, int64_t bound) -> int64_t {
         mc_uni(sp_, rp(1, r, 0), rw, pad, mx, my, x0, y0, n, n, bd_, true,
-               1, 0, pred);
+               1, r, 0, pred);
         return dsp::satd_bounded(oy, w_, pred, n, n, bound);
       };
       int64_t best_c = cost_of1(rmx, rmy, INT64_MAX);
@@ -1866,7 +1874,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       int b1 = mv_bits(rmx - ramvp[2]) + mv_bits(rmy - ramvp[3]);
       int pf = b0 <= b1 ? 0 : 1;
       mc_uni(sp_, rp(1, r, 0), rw, pad, rmx, rmy, x0, y0, n, n, bd_, true,
-             1, 0, pred);
+             1, r, 0, pred);
       int64_t c = dsp::satd(oy, w_, pred, n, n) +
                   lam_bits(std::min(b0, b1) + 3 + ref_bits(r, nref_[1]));
       if (c < cost_l1) {
@@ -1947,10 +1955,10 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
         auto research = [&](int l) {
           if (l == 0)
             mc_uni(sp_, rp(1, best_r1, 0), rw, pad, bm1x, bm1y, x0, y0, n,
-                   n, bd_, true, 1, 0, pother);
+                   n, bd_, true, 1, best_r1, 0, pother);
           else
             mc_uni(sp_, rp(0, best_r, 0), rw, pad, bm0x, bm0y, x0, y0, n,
-                   n, bd_, true, 0, 0, pother);
+                   n, bd_, true, 0, best_r, 0, pother);
           for (int i = 0; i < n; ++i)
             for (int j = 0; j < n; ++j)
               tgt[i * n + j] =
@@ -2103,14 +2111,14 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
         for (int dy = -4; dy <= 4; dy += 4)
           for (int dx = -4; dx <= 4; dx += 4) {
             mc_uni(sp_, rp(0, 0, 0), rw, pad, qmx + dx, qmy + dy, qx, qy,
-                   hn, hn, bd_, true, 0, 0, pred);
+                   hn, hn, bd_, true, 0, 0, 0, pred);
             int64_t c =
                 dsp::satd(orig_[0] + qy * w_ + qx, w_, pred, hn, hn);
             if (qc < 0 || c < qc) qc = c;
           }
       } else {
         mc_uni(sp_, rp(0, 0, 0), rw, pad, qmx, qmy, qx, qy, hn, hn, bd_,
-               true, 0, 0, pred);
+               true, 0, 0, 0, pred);
         qc = dsp::satd(orig_[0] + qy * w_ + qx, w_, pred, hn, hn);
       }
       cost_split += qc;
@@ -2163,7 +2171,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
           else {
             int l = mi.ref[0] >= 0 ? 0 : 1;
             mc_uni(sp_, rp(l, mi.ref[l], 0), rw, pad, cmi.mvx[l],
-                   cmi.mvy[l], px, py, pw, ph, bd_, true, l, 0, pred);
+                   cmi.mvy[l], px, py, pw, ph, bd_, true, l, mi.ref[l], 0, pred);
           }
           int64_t c = dsp::satd_rect(orig_[0] + py * w_ + px, w_, pred, pw,
                                      pw, ph) +
@@ -2182,7 +2190,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
           senc_->maps().amvp_candidates(px, py, pw, ph, 0, best_r, pamvp,
                                         x0, y0, n, part, pu);
           mc_uni(sp_, rp(0, best_r, 0), rw, pad, mv_x, mv_y, px, py, pw,
-                 ph, bd_, true, 0, 0, pred);
+                 ph, bd_, true, 0, best_r, 0, pred);
           int b0 = mv_bits(mv_x - pamvp[0]) + mv_bits(mv_y - pamvp[1]);
           int b1 = mv_bits(mv_x - pamvp[2]) + mv_bits(mv_y - pamvp[3]);
           int pf = b0 <= b1 ? 0 : 1;
@@ -2281,7 +2289,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     else {
       int l = mi.ref[0] >= 0 ? 0 : 1;
       mc_uni(sp_, rp(l, mi.ref[l], comp), prw, pad, mi.mvx[l], mi.mvy[l],
-             px, py, pw, ph, bd_, comp == 0, l, comp, putmp);
+             px, py, pw, ph, bd_, comp == 0, l, mi.ref[l], comp, putmp);
     }
     for (int i = 0; i < ph; ++i)
       std::memcpy(dst + i * dstride, putmp + i * pw,
@@ -2351,9 +2359,9 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     } else {
       int l = sel.ref[0] >= 0 ? 0 : 1;
       mc_uni(sp_, rp(l, sel.ref[l], 1), rwc, pad, csel.mvx[l], csel.mvy[l],
-             cxx, cyy, cs, cs, bd_, false, l, 1, pcb);
+             cxx, cyy, cs, cs, bd_, false, l, sel.ref[l], 1, pcb);
       mc_uni(sp_, rp(l, sel.ref[l], 2), rwc, pad, csel.mvx[l], csel.mvy[l],
-             cxx, cyy, cs, cs, bd_, false, l, 2, pcr);
+             cxx, cyy, cs, cs, bd_, false, l, sel.ref[l], 2, pcr);
     }
   }
 

@@ -47,12 +47,16 @@ struct SliceParams {
   int32_t tile_rows;
   int32_t amp;             // SPS amp_enabled_flag (part_mode binarization)
   int32_t scaling_lists;   // SPS scaling_list_enabled (default matrices)
-  // explicit weighted prediction (P, list 0 ref 0): spec 8.5.3.3.4.3
+  // explicit weighted prediction (P slices, per list-0 reference):
+  // spec 8.5.3.3.4.3 / 7.3.6.3 pred_weight_table (reference
+  // WeightPredAnalysis per-ref fits). Unweighted refs carry the
+  // identity set (w = 1<<denom, o = 0) — numerically identical to the
+  // unweighted interpolation rounding for power-of-two weights.
   int32_t wp_on;
   int32_t wp_denom;        // luma_log2_weight_denom
-  int32_t wp_w, wp_o;      // luma weight / offset
+  int32_t wp_w[16], wp_o[16];      // per-ref luma weight / offset
   int32_t wp_cdenom;       // chroma log2 weight denom
-  int32_t wp_cw[2], wp_co[2];
+  int32_t wp_cw[32], wp_co[32];    // per-ref chroma, [ref*2 + comp-1]
   int32_t cu_dqp;          // PPS cu_qp_delta_enabled (CTU-size quant groups)
   const int8_t* ctu_qps;   // per-CTU target QP, raster (encoder; may be null)
   int32_t pcm;             // SPS pcm_enabled (8x8 I_PCM CUs, sample depth

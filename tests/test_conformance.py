@@ -606,6 +606,56 @@ def test_weighted_prediction_analysis_conformance(tmp_path):
     assert wp_slices >= 3, "weights did not fire on fading content"
 
 
+def test_weighted_prediction_per_ref_conformance(tmp_path):
+    """Per-reference explicit weight sets (reference WeightPredAnalysis
+    fits each list-0 reference separately; TEncCavlc
+    xCodePredWeightTable signals one set per ref): on a continuous fade
+    each reference's temporal distance needs a different gain, so late
+    P slices must carry DISTINCT luma weights across their active refs,
+    and the stream must be HM-conformant."""
+    w, h, frames = 128, 80, 8
+    clip = tmp_path / "fade.yuv"
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_test_yuv import make_frame
+    with open(clip, "wb") as fh:
+        for t in range(frames):
+            g = 1.0 - 0.09 * t
+            for p in make_frame(w, h, 0):
+                arr = np.clip(np.asarray(p, np.float64) * g, 0, 255)
+                fh.write(arr.astype(np.uint8).tobytes())
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-c", "/root/reference/cfg/encoder_lowdelay_P_main.cfg",
+          "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-fr", "30", "-q", "32", "--WeightedPredP=1",
+          "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames
+    assert rec.read_bytes() == dec.read_bytes()
+    from hevc_tpu.entropy.nal import split_annexb, nal_to_rbsp
+    from hevc_tpu.decoder import headers as dh
+    sps = pps = None
+    multi_ref_wp = 0
+    for unit in split_annexb(bs.read_bytes()):
+        t, _tid, rbsp = nal_to_rbsp(bytes(unit))
+        if t == 33:
+            sps = dh.parse_sps(bytes(rbsp))
+        elif t == 34:
+            pps = dh.parse_pps(bytes(rbsp))
+        elif t <= 21:
+            sh, _off = dh.parse_slice_header(bytes(rbsp), t, sps, pps)
+            if int(sh.slice_type) == 2 or not sh.wp_tables[0]:
+                continue
+            lws = [lw for (lw, _cw) in sh.wp_tables[0] if lw is not None]
+            if len(lws) >= 2 and len({lw[0] for lw in lws}) >= 2:
+                multi_ref_wp += 1
+    assert multi_ref_wp >= 2, \
+        "per-ref weight sets did not diverge on a continuous fade"
+
+
 def test_decoding_unit_hrd(tmp_path):
     """Decoding-unit (sub-picture) HRD: SliceMode splits the AU into DUs,
     the SPS VUI signals sub_pic_hrd_params (tick divisor 100, 8-bit DU
