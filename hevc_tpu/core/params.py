@@ -354,6 +354,8 @@ class SliceHeader:
     # with luma = (w, o) or None, chroma = ((wcb, ocb), (wcr, ocr)) or
     # None. Empty tuple -> legacy single-set fields above drive ref 0.
     wp_l0: tuple = ()
+    # list-1 explicit weight sets (B slices, PPS weighted_bipred_flag)
+    wp_l1: tuple = ()
     slice_type: SliceType = SliceType.I
     nal_unit_type: int = 19  # IDR_W_RADL
     poc: int = 0

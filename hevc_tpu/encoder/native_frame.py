@@ -52,12 +52,10 @@ def batched_me_grid(orig_y: np.ndarray, ref_padded_y: np.ndarray, size: int,
     import jax
 
     from ..ops import me_mxu
-    if jax.default_backend() == "cpu" or depth > 14:
-        # 16-bit samples exceed the int16 device layout (high-bit-depth
-        # parity path, not a throughput path) — use the exact numpy twin
+    if jax.default_backend() == "cpu":
         return me_mxu.me_grid_ssd_np(orig_y, ref_padded_y, size, R,
                                      lam_fp, pad=PAD, depth=depth)
-    dt = np.uint8 if depth <= 8 else np.int16
+    dt = me_mxu.me_dtype(depth)
     ref = ref_dev if ref_dev is not None else \
         np.ascontiguousarray(ref_padded_y.astype(dt))
     src = orig_dev if orig_dev is not None else \
@@ -184,10 +182,11 @@ class NativeFrameEncoder:
             # Under a mesh the device path runs on any backend (the CPU
             # mesh of tests / the driver dry run included).
             orig_dev = None
-            if (not prefetched and depth <= 14
+            if (not prefetched
                     and (jax.default_backend() != "cpu"
                          or self.mesh is not None)):
-                dt = np.uint8 if depth <= 8 else np.int16
+                from ..ops.me_mxu import me_dtype
+                dt = me_dtype(depth)
                 orig_dev = jax.device_put(
                     np.ascontiguousarray(orig[0].astype(dt)))
             all_dev = (orig_dev is not None and self.me_provider is None

@@ -195,6 +195,8 @@ class EncoderTop:
             self.pps.entropy_coding_sync_enabled_flag = 1
         if cfg.weighted_pred_p:
             self.pps.weighted_pred_flag = 1
+        if getattr(cfg, "weighted_pred_b", 0):
+            self.pps.weighted_bipred_flag = 1
         if (cfg.sei_buffering_period or cfg.sei_pic_timing
                 or cfg.sei_decoding_unit_info):
             # HRD (annex E.2.2 / C: reference TEncTop xSetHrdParameters):
@@ -342,12 +344,12 @@ class EncoderTop:
                 # would be pure overhead (tests opt in via the env knob
                 # to exercise the full async prefetch pipeline)
                 return None
-            if self.sps.bit_depth_luma > 14:
-                return None  # 16-bit: host ME path (no int16 device refs)
-            dt = np.uint8 if self.sps.bit_depth_luma <= 8 else np.int16
+            from ..ops.me_mxu import me_dtype
+            dt = me_dtype(self.sps.bit_depth_luma)
+            pdt = np.int16 if self.sps.bit_depth_luma <= 14 else np.int32
             host = self._padded_refs.get(poc)
             py = (host[0] if host is not None
-                  else pad_plane(np.asarray(y, np.int16), PAD))
+                  else pad_plane(np.asarray(y, pdt), PAD))
             ref = jax.device_put(np.ascontiguousarray(py.astype(dt)))
             self._dev_refs[poc] = ref
         return ref
@@ -382,7 +384,7 @@ class EncoderTop:
         first use (TEncTop.cpp:1116 xInitOpenCL)."""
         import os as _osm
         cfg = self.cfg
-        if (cfg.internal_bit_depth > 14 or self.me_provider is not None
+        if (self.me_provider is not None
                 or _osm.environ.get("HEVC_TPU_WARM", "1") == "0"
                 or _osm.environ.get("HEVC_TPU_NATIVE_RECON", "1") == "0"):
             return
@@ -391,11 +393,14 @@ class EncoderTop:
             return
         depth = self.sps.bit_depth_luma
         h, w = cfg.height, cfg.width
-        if (_osm.environ.get("HEVC_TPU_INTRA_SCREEN", "1") != "0"
+        if (depth <= 14
+                and _osm.environ.get("HEVC_TPU_INTRA_SCREEN", "1") != "0"
                 and _osm.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0"):
             # every sequence codes I slices (at least the IDR), and each
             # I slice runs the device 35-mode prescreen — warm its
-            # programs too, or the first IDR pays the load stalls
+            # programs too, or the first IDR pays the load stalls (the
+            # prescreen itself stays <= 14-bit: 16-bit SATD overflows
+            # its int32 accumulators, so 16-bit trials all 35 modes)
             from ..ops.intra_screen import screen_frame_async
             mid = np.full((h, w), 1 << (depth - 1), np.int16)
             screen_frame_async(mid, depth, 1.0)()
@@ -414,10 +419,10 @@ class EncoderTop:
         want16 = (_osm.environ.get("HEVC_TPU_CU16", "1") != "0"
                   and size > 16)
         r = cfg.search_range
-        dt = np.uint8 if depth <= 8 else np.int16
+        dt = me_mxu.me_dtype(depth)
         orig = jax.device_put(np.zeros((h, w), dt))
         refp = jax.device_put(np.ascontiguousarray(
-            pad_plane(np.zeros((h, w), np.int16), PAD).astype(dt)))
+            pad_plane(np.zeros((h, w), dt), PAD)))
         # padded-ref-count variants this GOP structure will reach: B
         # slices stack both lists' unique pictures along the ref axis
         nmax = 1
@@ -539,7 +544,6 @@ class EncoderTop:
         import os as _osm
         cfg = self.cfg
         if (cfg.intra_period == 1 or self.mesh is not None
-                or cfg.internal_bit_depth > 14
                 or self.me_provider is not None
                 or _osm.environ.get("HEVC_TPU_ME_PREFETCH", "1") == "0"
                 or _osm.environ.get("HEVC_TPU_ME_MULTI", "1") == "0"
@@ -564,9 +568,9 @@ class EncoderTop:
             return  # the sync single-grid path stays as-is
         r = cfg.search_range
         lam_fp = int(65536.0 * math.sqrt(plan["lam"]))
-        dt = np.uint8 if depth <= 8 else np.int16
+        dt = me_mxu.me_dtype(depth)
         orig_dev = jax.device_put(np.ascontiguousarray(
-            np.asarray(planes[0], np.int16).astype(dt)))
+            np.asarray(planes[0], dt)))
         ready = [p for p in plan["ref_pocs"]
                  if p != plan["cur_cvs"] and p in self.dpb]
         parts = []
@@ -598,8 +602,6 @@ class EncoderTop:
         if (jax.default_backend() == "cpu" and os.environ.get(
                 "HEVC_TPU_ME_PREFETCH_CPU", "0") != "1"):
             return
-        if self.sps.bit_depth_luma > 14:
-            return
         from ..ops import me_mxu
         from ..ops.interp import pad_plane
         from .native_frame import PAD
@@ -612,9 +614,9 @@ class EncoderTop:
             if missing != [cvs_poc]:
                 continue  # other refs still outstanding: post-SAO path
             if ref_dev is None:
-                dt = np.uint8 if self.sps.bit_depth_luma <= 8 else np.int16
+                dt = me_mxu.me_dtype(self.sps.bit_depth_luma)
                 ref_dev = jax.device_put(np.ascontiguousarray(pad_plane(
-                    np.asarray(recon_y, np.int16), PAD).astype(dt)))
+                    np.asarray(recon_y, dt), PAD)))
             size, r, lam_fp, depth = mp["params"]
             mp["parts"].append(([cvs_poc], me_mxu.me_grids_multi2_async(
                 mp["orig_dev"], [ref_dev], size, 16, r, lam_fp, pad=PAD,
@@ -1027,7 +1029,7 @@ class EncoderTop:
         cfg = self.cfg
         is_intra = stype == SliceType.I
         is_b = stype == SliceType.B
-        if self.pps.weighted_pred_flag:
+        if self.pps.weighted_pred_flag or self.pps.weighted_bipred_flag:
             # whole-picture AC/DC of the ORIGINAL (reference
             # xCalcACDCParamSlice stores these on the slice for later
             # pictures' weight fits)
@@ -1109,36 +1111,41 @@ class EncoderTop:
             ref_pocs = ((), ())
         else:
             l0_poc, l0_planes = ref_l0[0]
-            if (self.pps.weighted_pred_flag and not is_b):
+            wp_active = ((self.pps.weighted_pred_flag and not is_b)
+                         or (self.pps.weighted_bipred_flag and is_b))
+            if wp_active:
                 # WeightPredAnalysis (reference WeightPredAnalysis.cpp:
                 # whole-picture AC/DC fit per reference and component,
-                # iterative denom reduction, SAD-gated selection). The
-                # native engine applies one explicit weight set (list 0
-                # ref 0, luma + chroma); weights the analysis derives
-                # for other references are not signalled — those refs
-                # keep default weighting, and the active ref count is no
-                # longer restricted.
+                # iterative denom reduction, SAD-gated selection). P
+                # slices analyse list 0; B slices (weighted_bipred_flag)
+                # analyse both lists; identity components per ref stay
+                # unsignalled.
                 from .wp_analysis import analyse_wp, calc_acdc
                 cur_acdc = self._wp_acdc.get(cvs_poc) or calc_acdc(planes)
-                ref_acdcs, ref_recs = [], []
-                for (rp, rplanes) in ref_l0:
-                    ra = self._wp_acdc.get(rp)
-                    if ra is None:
-                        break
-                    ref_acdcs.append(ra)
-                    ref_recs.append(rplanes)
-                if len(ref_acdcs) == len(ref_l0):
+
+                lists = [ref_l0] + ([ref_l1] if (is_b and ref_l1) else [])
+                ref_acdcs, ref_recs, counts = [], [], []
+                ok = True
+                for refs in lists:
+                    counts.append(len(refs))
+                    for (rp, rplanes) in refs:
+                        ra = self._wp_acdc.get(rp)
+                        if ra is None:
+                            ok = False
+                            break
+                        ref_acdcs.append(ra)
+                        ref_recs.append(rplanes)
+                if ok:
+                    # one joint fit over the concatenated lists so both
+                    # share the signalled denom (the pred_weight_table
+                    # carries a single luma/chroma denom pair)
                     denom, tables = analyse_wp(
                         cur_acdc, ref_acdcs, planes, ref_recs,
-                        self.sps.bit_depth_luma, len(ref_l0))
-                    # per-ref explicit sets (reference xCheckWPEnable
-                    # keeps each reference's own fit); identity
-                    # components stay unsignalled per ref
-                    wp_sets = []
-                    for t in (tables or []):
+                        self.sps.bit_depth_luma, counts[0])
+
+                    def wp_set(t):
                         if t is None:
-                            wp_sets.append(None)
-                            continue
+                            return None
                         (wy, oy_), (wcb, ocb), (wcr, ocr) = t
                         luma = ((wy, oy_)
                                 if (wy, oy_) != (1 << denom, 0) else None)
@@ -1146,12 +1153,18 @@ class EncoderTop:
                                   if ((wcb, ocb) != (1 << denom, 0)
                                       or (wcr, ocr) != (1 << denom, 0))
                                   else None)
-                        wp_sets.append((luma, chroma)
-                                       if (luma or chroma) else None)
-                    if any(wp_sets):
+                        return (luma, chroma) if (luma or chroma) else None
+
+                    sets = tuple(wp_set(t) for t in (tables or []))
+                    s0 = sets[:counts[0]]
+                    s1 = sets[counts[0]:] if len(counts) > 1 else ()
+                    if any(s0) or any(s1):
                         sh.wp_log2_denom = denom
                         sh.wp_chroma_log2_denom = denom
-                        sh.wp_l0 = tuple(wp_sets)
+                        if any(s0):
+                            sh.wp_l0 = s0
+                        if any(s1):
+                            sh.wp_l1 = s1
             sp = make_slice_params(
                 cfg.width, cfg.height, slice_qp, slice_type=int(stype),
                 ctu_size=self.sps.ctu_size,
@@ -1201,22 +1214,27 @@ class EncoderTop:
                     (sh.wp_weight, sh.wp_offset) if sh.wp_luma_flag
                     else None,
                     sh.wp_chroma if sh.wp_chroma_flag else None),)
-            if any(wp_l0):
+            wp_l1 = getattr(sh, "wp_l1", ())
+            if any(wp_l0) or any(wp_l1):
                 sp.wp_on = 1
                 sp.wp_denom = sh.wp_log2_denom
                 sp.wp_cdenom = sh.wp_chroma_log2_denom
-                for r in range(16):
-                    t = wp_l0[r] if r < len(wp_l0) else None
-                    luma = t[0] if t else None
-                    chroma = t[1] if t else None
-                    sp.wp_w[r] = (luma[0] if luma
-                                  else 1 << sh.wp_log2_denom)
-                    sp.wp_o[r] = luma[1] if luma else 0
-                    for j in range(2):
-                        cwj, coj = (chroma[j] if chroma else
-                                    (1 << sh.wp_chroma_log2_denom, 0))
-                        sp.wp_cw[2 * r + j] = cwj
-                        sp.wp_co[2 * r + j] = coj
+                for (tab, ws, os_, cws, cos) in (
+                        (wp_l0, sp.wp_w, sp.wp_o, sp.wp_cw, sp.wp_co),
+                        (wp_l1, sp.wp_w1, sp.wp_o1, sp.wp_cw1,
+                         sp.wp_co1)):
+                    for r in range(16):
+                        t = tab[r] if r < len(tab) else None
+                        luma = t[0] if t else None
+                        chroma = t[1] if t else None
+                        ws[r] = (luma[0] if luma
+                                 else 1 << sh.wp_log2_denom)
+                        os_[r] = luma[1] if luma else 0
+                        for j in range(2):
+                            cwj, coj = (chroma[j] if chroma else
+                                        (1 << sh.wp_chroma_log2_denom, 0))
+                            cws[2 * r + j] = cwj
+                            cos[2 * r + j] = coj
             sp.ts_rotation = self.sps.transform_skip_rotation_enabled_flag
             sp.rdoq_off = 0 if cfg.rdoq else 1
             sp.rdoq_ts_off = 0 if cfg.rdoq_ts else 1

@@ -41,6 +41,8 @@ class SliceParamsC(ctypes.Structure):
         ("wp_w", ctypes.c_int32 * 16), ("wp_o", ctypes.c_int32 * 16),
         ("wp_cdenom", ctypes.c_int32),
         ("wp_cw", ctypes.c_int32 * 32), ("wp_co", ctypes.c_int32 * 32),
+        ("wp_w1", ctypes.c_int32 * 16), ("wp_o1", ctypes.c_int32 * 16),
+        ("wp_cw1", ctypes.c_int32 * 32), ("wp_co1", ctypes.c_int32 * 32),
         ("cu_dqp", ctypes.c_int32),
         ("ctu_qps", ctypes.POINTER(ctypes.c_int8)),
         ("pcm", ctypes.c_int32),

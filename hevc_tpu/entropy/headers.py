@@ -377,40 +377,55 @@ def write_slice_header(sh: SliceHeader, sps: SPS, pps: PPS) -> bytes:
             lidx = 0 if sh.collocated_from_l0_flag else 1
             if sh.num_ref_idx_active[lidx] > 1:
                 bw.ue(sh.collocated_ref_idx)
-        if (pps.weighted_pred_flag and sh.slice_type == SliceType.P):
+        if ((pps.weighted_pred_flag and sh.slice_type == SliceType.P)
+                or (pps.weighted_bipred_flag
+                    and sh.slice_type == SliceType.B)):
             # pred_weight_table (spec 7.3.6.3; reference TEncCavlc
-            # xCodePredWeightTable): per-list-0-ref explicit luma +
-            # chroma weight sets (sh.wp_l0; legacy single-set fields
-            # drive ref 0 when it is empty)
+            # xCodePredWeightTable): per-ref explicit luma + chroma
+            # weight sets for list 0 (sh.wp_l0; legacy single-set
+            # fields drive ref 0 when it is empty) and, for B slices,
+            # list 1 (sh.wp_l1)
             bw.ue(sh.wp_log2_denom)             # luma_log2_weight_denom
             cden = sh.wp_chroma_log2_denom
             if sps.chroma_format_idc != 0:
                 bw.se(cden - sh.wp_log2_denom)  # delta_chroma_log2_denom
-            n0 = sh.num_ref_idx_active[0]
-            sets = [sh.wp_l0[r] if r < len(sh.wp_l0) else None
-                    for r in range(n0)]
-            if not sh.wp_l0 and (sh.wp_luma_flag or sh.wp_chroma_flag):
-                sets[0] = (
-                    (sh.wp_weight, sh.wp_offset) if sh.wp_luma_flag
-                    else None,
-                    sh.wp_chroma if sh.wp_chroma_flag else None)
-            for r in range(n0):
-                bw.flag(1 if (sets[r] and sets[r][0]) else 0)
-            if sps.chroma_format_idc != 0:
-                for r in range(n0):
-                    bw.flag(1 if (sets[r] and sets[r][1]) else 0)
-            for r in range(n0):
-                if sets[r] and sets[r][0]:
-                    w, o = sets[r][0]
-                    bw.se(w - (1 << sh.wp_log2_denom))
-                    bw.se(o)
-                if sps.chroma_format_idc != 0 and sets[r] and sets[r][1]:
-                    for (cw, co) in sets[r][1]:
-                        bw.se(cw - (1 << cden))
-                        # delta_chroma_offset vs the DC-preserving
-                        # prediction (spec 7.4.7.3)
-                        pred = 128 - ((128 * cw) >> cden)
-                        bw.se(co - pred)
+
+            def wp_sets_of(lx):
+                n = sh.num_ref_idx_active[lx]
+                tab = sh.wp_l0 if lx == 0 else getattr(sh, "wp_l1", ())
+                sets = [tab[r] if r < len(tab) else None for r in range(n)]
+                if (lx == 0 and not sh.wp_l0
+                        and (sh.wp_luma_flag or sh.wp_chroma_flag)):
+                    sets[0] = (
+                        (sh.wp_weight, sh.wp_offset) if sh.wp_luma_flag
+                        else None,
+                        sh.wp_chroma if sh.wp_chroma_flag else None)
+                return n, sets
+
+            def write_list(lx):
+                n, sets = wp_sets_of(lx)
+                for r in range(n):
+                    bw.flag(1 if (sets[r] and sets[r][0]) else 0)
+                if sps.chroma_format_idc != 0:
+                    for r in range(n):
+                        bw.flag(1 if (sets[r] and sets[r][1]) else 0)
+                for r in range(n):
+                    if sets[r] and sets[r][0]:
+                        w, o = sets[r][0]
+                        bw.se(w - (1 << sh.wp_log2_denom))
+                        bw.se(o)
+                    if (sps.chroma_format_idc != 0 and sets[r]
+                            and sets[r][1]):
+                        for (cw, co) in sets[r][1]:
+                            bw.se(cw - (1 << cden))
+                            # delta_chroma_offset vs the DC-preserving
+                            # prediction (spec 7.4.7.3)
+                            pred = 128 - ((128 * cw) >> cden)
+                            bw.se(co - pred)
+
+            write_list(0)
+            if sh.slice_type == SliceType.B:
+                write_list(1)
         bw.ue(sh.five_minus_max_num_merge_cand)
     bw.se(sh.slice_qp - 26 - pps.init_qp_minus26)
     if pps.pps_slice_chroma_qp_offsets_present_flag:

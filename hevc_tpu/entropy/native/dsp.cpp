@@ -509,6 +509,39 @@ void mc_predict_bi(const pel_t* r0, const pel_t* r1, int rw, int pad,
   }
 }
 
+void mc_predict_bi_wp(const pel_t* r0, const pel_t* r1, int rw, int pad,
+                      int mv0x, int mv0y, int mv1x, int mv1y, int x0,
+                      int y0, int w, int h, int bd, bool is_luma,
+                      int w0, int o0, int w1, int o1, int denom,
+                      int32_t* out) {
+  int32_t a[64 * 64], b[64 * 64];
+  auto raw = [&](const pel_t* r, int mvx, int mvy, int32_t* o) {
+    int ix, fx, iy, fy;
+    if (is_luma) {
+      ix = mvx >> 2; fx = mvx & 3; iy = mvy >> 2; fy = mvy & 3;
+    } else {
+      ix = mvx >> 3; fx = mvx & 7; iy = mvy >> 3; fy = mvy & 7;
+    }
+    mc_block(r, rw, pad, x0 + ix, y0 + iy, w, h, fx, fy, bd, is_luma, true,
+             o);
+  };
+  raw(r0, mv0x, mv0y, a);
+  raw(r1, mv1x, mv1y, b);
+  // spec 8.5.3.3.4.3: log2Wd = denom + shift1; explicit bi combine is
+  // (p0*w0 + p1*w1 + ((o0+o1+1) << log2Wd)) >> (log2Wd + 1). Offsets
+  // scale by the WpOffsetBdShift (bd - 8) like the uni path.
+  int log2wd = denom + std::max(2, 14 - bd);
+  o0 <<= bd - 8;
+  o1 <<= bd - 8;
+  int64_t rnd = ((int64_t)(o0 + o1 + 1)) << log2wd;
+  int maxv = (1 << bd) - 1;
+  for (int i = 0; i < w * h; ++i) {
+    int64_t v = ((int64_t)a[i] * w0 + (int64_t)b[i] * w1 + rnd)
+                >> (log2wd + 1);
+    out[i] = (int32_t)std::min<int64_t>(maxv, std::max<int64_t>(0, v));
+  }
+}
+
 bool intra_filter_flag(int mode, int n, bool smooth_like_luma) {
   if (!smooth_like_luma || n == 4 || mode == 1) return false;
   int min_dist =

@@ -78,6 +78,14 @@ void mc_predict_wp(const pel_t* ref, int rw, int pad, int mvx, int mvy,
 void mc_predict_bi(const pel_t* r0, const pel_t* r1, int rw, int pad,
                    int mv0x, int mv0y, int mv1x, int mv1y, int x0, int y0,
                    int w, int h, int bd, bool is_luma, int32_t* out);
+// explicit weighted bi-prediction (spec 8.5.3.3.4.3 explicit case;
+// reference TComWeightPrediction::addWeightBi):
+// (raw0*w0 + raw1*w1 + ((o0+o1+1) << log2Wd)) >> (log2Wd + 1)
+void mc_predict_bi_wp(const pel_t* r0, const pel_t* r1, int rw, int pad,
+                      int mv0x, int mv0y, int mv1x, int mv1y, int x0,
+                      int y0, int w, int h, int bd, bool is_luma,
+                      int w0, int o0, int w1, int o1, int denom,
+                      int32_t* out);
 
 // Intra prediction from the combined reference vector f[4n+1]
 // (f[0..2n-1] = p[-1][2n-1-i .. 0] bottom-up, f[2n] = corner,

@@ -375,16 +375,20 @@ static MotionInfo clip_mi(const SliceParams& sp, const MotionInfo& mi,
   return out;
 }
 
-// uni-prediction honouring explicit weighted prediction on list 0
-// (per-reference weight sets; `ridx` is the list-0 refIdx)
+// uni-prediction honouring explicit weighted prediction (per-reference
+// weight sets on both lists; `ridx` is the refIdx within `list`)
 static void mc_uni(const SliceParams& sp, const pel_t* ref, int rw,
                    int pad, int mvx, int mvy, int x0, int y0, int w, int h,
                    int bd, bool is_luma, int list, int ridx, int comp,
                    int32_t* out) {
-  if (sp.wp_on && list == 0) {
+  if (sp.wp_on) {
     int r = std::min(std::max(ridx, 0), 15);
-    int wgt = is_luma ? sp.wp_w[r] : sp.wp_cw[2 * r + comp - 1];
-    int off = is_luma ? sp.wp_o[r] : sp.wp_co[2 * r + comp - 1];
+    const int32_t* lw = list == 0 ? sp.wp_w : sp.wp_w1;
+    const int32_t* lo = list == 0 ? sp.wp_o : sp.wp_o1;
+    const int32_t* cw = list == 0 ? sp.wp_cw : sp.wp_cw1;
+    const int32_t* co = list == 0 ? sp.wp_co : sp.wp_co1;
+    int wgt = is_luma ? lw[r] : cw[2 * r + comp - 1];
+    int off = is_luma ? lo[r] : co[2 * r + comp - 1];
     int den = is_luma ? sp.wp_denom : sp.wp_cdenom;
     if (wgt == (1 << den) && off == 0) {
       dsp::mc_predict(ref, rw, pad, mvx, mvy, x0, y0, w, h, bd, is_luma,
@@ -396,6 +400,32 @@ static void mc_uni(const SliceParams& sp, const pel_t* ref, int rw,
   } else {
     dsp::mc_predict(ref, rw, pad, mvx, mvy, x0, y0, w, h, bd, is_luma, out);
   }
+}
+
+// bi-prediction honouring explicit weighted prediction (spec 8.5.3.3.4.3
+// explicit bi case; identity sets on both refs short-circuit to the
+// default average — numerically identical for power-of-two weights).
+static void mc_bi(const SliceParams& sp, const pel_t* p0, const pel_t* p1,
+                  int rw, int pad, int mv0x, int mv0y, int mv1x, int mv1y,
+                  int x0, int y0, int w, int h, int bd, bool is_luma,
+                  int r0, int r1, int comp, int32_t* out) {
+  if (sp.wp_on) {
+    int a = std::min(std::max(r0, 0), 15);
+    int b = std::min(std::max(r1, 0), 15);
+    int den = is_luma ? sp.wp_denom : sp.wp_cdenom;
+    int w0 = is_luma ? sp.wp_w[a] : sp.wp_cw[2 * a + comp - 1];
+    int o0 = is_luma ? sp.wp_o[a] : sp.wp_co[2 * a + comp - 1];
+    int w1 = is_luma ? sp.wp_w1[b] : sp.wp_cw1[2 * b + comp - 1];
+    int o1 = is_luma ? sp.wp_o1[b] : sp.wp_co1[2 * b + comp - 1];
+    if (!(w0 == (1 << den) && o0 == 0 && w1 == (1 << den) && o1 == 0)) {
+      dsp::mc_predict_bi_wp(p0, p1, rw, pad, mv0x, mv0y, mv1x, mv1y, x0,
+                            y0, w, h, bd, is_luma, w0, o0, w1, o1, den,
+                            out);
+      return;
+    }
+  }
+  dsp::mc_predict_bi(p0, p1, rw, pad, mv0x, mv0y, mv1x, mv1y, x0, y0, w, h,
+                     bd, is_luma, out);
 }
 
 CtuEngine::CtuEngine(const SliceParams& sp, const EngineParams& ep,
@@ -1422,9 +1452,9 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
     const MotionInfo& mi = cands[idx];
     MotionInfo cmi = clip_mi(sp_, mi, x0, y0);
     if (mi.ref[0] >= 0 && mi.ref[1] >= 0)
-      dsp::mc_predict_bi(rp(0, mi.ref[0], 0), rp(1, mi.ref[1], 0), rw, pad,
-                         cmi.mvx[0], cmi.mvy[0], cmi.mvx[1], cmi.mvy[1],
-                         x0, y0, n, n, bd_, true, pred);
+      mc_bi(sp_, rp(0, mi.ref[0], 0), rp(1, mi.ref[1], 0), rw, pad,
+            cmi.mvx[0], cmi.mvy[0], cmi.mvx[1], cmi.mvy[1],
+            x0, y0, n, n, bd_, true, mi.ref[0], mi.ref[1], 0, pred);
     else {
       int l = mi.ref[0] >= 0 ? 0 : 1;
       mc_uni(sp_, rp(l, mi.ref[l], 0), rw, pad, cmi.mvx[l],
@@ -1549,10 +1579,10 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
     int l = sel.ref[0] >= 0 ? 0 : 1;
     MotionInfo csel = clip_mi(sp_, sel, x0, y0);
     if (sel.ref[0] >= 0 && sel.ref[1] >= 0)
-      dsp::mc_predict_bi(rp(0, sel.ref[0], ci), rp(1, sel.ref[1], ci), rwc,
-                         pad, csel.mvx[0], csel.mvy[0], csel.mvx[1],
-                         csel.mvy[1], x0 >> 1, y0 >> 1, 32, 32, bd_, false,
-                         pc);
+      mc_bi(sp_, rp(0, sel.ref[0], ci), rp(1, sel.ref[1], ci), rwc,
+            pad, csel.mvx[0], csel.mvy[0], csel.mvx[1],
+            csel.mvy[1], x0 >> 1, y0 >> 1, 32, 32, bd_, false,
+            sel.ref[0], sel.ref[1], ci, pc);
     else
       mc_uni(sp_, rp(l, sel.ref[l], ci), rwc, pad, csel.mvx[l],
              csel.mvy[l], x0 >> 1, y0 >> 1, 32, 32, bd_, false, l, sel.ref[l], ci, pc);
@@ -1684,17 +1714,17 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     const MotionInfo& mi = cands[idx];
     MotionInfo cmi = clip_mi(sp_, mi, x0, y0);
     if (mi.ref[0] >= 0 && mi.ref[1] >= 0) {
-      dsp::mc_predict_bi(rp(0, mi.ref[0], 0), rp(1, mi.ref[1], 0), rw, pad,
-                         cmi.mvx[0], cmi.mvy[0], cmi.mvx[1], cmi.mvy[1],
-                         x0, y0, n, n, bd_, true, pred);
-      dsp::mc_predict_bi(rp(0, mi.ref[0], 1), rp(1, mi.ref[1], 1), rwc,
-                         pad, cmi.mvx[0], cmi.mvy[0], cmi.mvx[1],
-                         cmi.mvy[1], ccx, ccy, csz, csz, bd_, false,
-                         skc[0]);
-      dsp::mc_predict_bi(rp(0, mi.ref[0], 2), rp(1, mi.ref[1], 2), rwc,
-                         pad, cmi.mvx[0], cmi.mvy[0], cmi.mvx[1],
-                         cmi.mvy[1], ccx, ccy, csz, csz, bd_, false,
-                         skc[1]);
+      mc_bi(sp_, rp(0, mi.ref[0], 0), rp(1, mi.ref[1], 0), rw, pad,
+            cmi.mvx[0], cmi.mvy[0], cmi.mvx[1], cmi.mvy[1],
+            x0, y0, n, n, bd_, true, mi.ref[0], mi.ref[1], 0, pred);
+      mc_bi(sp_, rp(0, mi.ref[0], 1), rp(1, mi.ref[1], 1), rwc,
+            pad, cmi.mvx[0], cmi.mvy[0], cmi.mvx[1],
+            cmi.mvy[1], ccx, ccy, csz, csz, bd_, false,
+            mi.ref[0], mi.ref[1], 1, skc[0]);
+      mc_bi(sp_, rp(0, mi.ref[0], 2), rp(1, mi.ref[1], 2), rwc,
+            pad, cmi.mvx[0], cmi.mvy[0], cmi.mvx[1],
+            cmi.mvy[1], ccx, ccy, csz, csz, bd_, false,
+            mi.ref[0], mi.ref[1], 2, skc[1]);
     } else {
       int l = mi.ref[0] >= 0 ? 0 : 1;
       mc_uni(sp_, rp(l, mi.ref[l], 0), rw, pad, cmi.mvx[l], cmi.mvy[l], x0,
@@ -1898,9 +1928,9 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       bm0x = mv_x; bm0y = mv_y; bm1x = mv1_x; bm1y = mv1_y;
       auto bi_cost = [&](int m0x, int m0y, int m1x, int m1y,
                          int32_t* out) -> int64_t {
-        dsp::mc_predict_bi(rp(0, best_r, 0), rp(1, best_r1, 0), rw, pad,
-                           m0x, m0y, m1x, m1y, x0, y0, n, n, bd_, true,
-                           out);
+        mc_bi(sp_, rp(0, best_r, 0), rp(1, best_r1, 0), rw, pad,
+              m0x, m0y, m1x, m1y, x0, y0, n, n, bd_, true,
+              best_r, best_r1, 0, out);
         int b0 =
             std::min(mv_bits(m0x - amvp[0]) + mv_bits(m0y - amvp[1]),
                      mv_bits(m0x - amvp[2]) + mv_bits(m0y - amvp[3]));
@@ -2165,9 +2195,10 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
           const MotionInfo& mi = cands[idx];
           MotionInfo cmi = clip_mi(sp_, mi, x0, y0);
           if (mi.ref[0] >= 0 && mi.ref[1] >= 0)
-            dsp::mc_predict_bi(rp(0, mi.ref[0], 0), rp(1, mi.ref[1], 0),
-                               rw, pad, cmi.mvx[0], cmi.mvy[0], cmi.mvx[1],
-                               cmi.mvy[1], px, py, pw, ph, bd_, true, pred);
+            mc_bi(sp_, rp(0, mi.ref[0], 0), rp(1, mi.ref[1], 0),
+                  rw, pad, cmi.mvx[0], cmi.mvy[0], cmi.mvx[1],
+                  cmi.mvy[1], px, py, pw, ph, bd_, true,
+                  mi.ref[0], mi.ref[1], 0, pred);
           else {
             int l = mi.ref[0] >= 0 ? 0 : 1;
             mc_uni(sp_, rp(l, mi.ref[l], 0), rw, pad, cmi.mvx[l],
@@ -2283,9 +2314,10 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     int prw = comp == 0 ? rw : rwc;
     MotionInfo mi = clip_mi(sp_, mi0, x0, y0);  // clip at the CU origin
     if (mi.ref[0] >= 0 && mi.ref[1] >= 0)
-      dsp::mc_predict_bi(rp(0, mi.ref[0], comp), rp(1, mi.ref[1], comp),
-                         prw, pad, mi.mvx[0], mi.mvy[0], mi.mvx[1],
-                         mi.mvy[1], px, py, pw, ph, bd_, comp == 0, putmp);
+      mc_bi(sp_, rp(0, mi.ref[0], comp), rp(1, mi.ref[1], comp),
+            prw, pad, mi.mvx[0], mi.mvy[0], mi.mvx[1],
+            mi.mvy[1], px, py, pw, ph, bd_, comp == 0,
+            mi.ref[0], mi.ref[1], comp, putmp);
     else {
       int l = mi.ref[0] >= 0 ? 0 : 1;
       mc_uni(sp_, rp(l, mi.ref[l], comp), prw, pad, mi.mvx[l], mi.mvy[l],
@@ -2350,12 +2382,14 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   if (!part_sel) {
     MotionInfo csel = clip_mi(sp_, sel, x0, y0);
     if (sel.ref[0] >= 0 && sel.ref[1] >= 0) {
-      dsp::mc_predict_bi(rp(0, sel.ref[0], 1), rp(1, sel.ref[1], 1), rwc,
-                         pad, csel.mvx[0], csel.mvy[0], csel.mvx[1],
-                         csel.mvy[1], cxx, cyy, cs, cs, bd_, false, pcb);
-      dsp::mc_predict_bi(rp(0, sel.ref[0], 2), rp(1, sel.ref[1], 2), rwc,
-                         pad, csel.mvx[0], csel.mvy[0], csel.mvx[1],
-                         csel.mvy[1], cxx, cyy, cs, cs, bd_, false, pcr);
+      mc_bi(sp_, rp(0, sel.ref[0], 1), rp(1, sel.ref[1], 1), rwc,
+            pad, csel.mvx[0], csel.mvy[0], csel.mvx[1],
+            csel.mvy[1], cxx, cyy, cs, cs, bd_, false,
+            sel.ref[0], sel.ref[1], 1, pcb);
+      mc_bi(sp_, rp(0, sel.ref[0], 2), rp(1, sel.ref[1], 2), rwc,
+            pad, csel.mvx[0], csel.mvy[0], csel.mvx[1],
+            csel.mvy[1], cxx, cyy, cs, cs, bd_, false,
+            sel.ref[0], sel.ref[1], 2, pcr);
     } else {
       int l = sel.ref[0] >= 0 ? 0 : 1;
       mc_uni(sp_, rp(l, sel.ref[l], 1), rwc, pad, csel.mvx[l], csel.mvy[l],

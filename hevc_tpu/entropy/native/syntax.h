@@ -57,6 +57,10 @@ struct SliceParams {
   int32_t wp_w[16], wp_o[16];      // per-ref luma weight / offset
   int32_t wp_cdenom;       // chroma log2 weight denom
   int32_t wp_cw[32], wp_co[32];    // per-ref chroma, [ref*2 + comp-1]
+  // list-1 explicit weights (B slices, PPS weighted_bipred_flag). Only
+  // read when wp_on; identity sets for unweighted refs, like list 0.
+  int32_t wp_w1[16], wp_o1[16];
+  int32_t wp_cw1[32], wp_co1[32];
   int32_t cu_dqp;          // PPS cu_qp_delta_enabled (CTU-size quant groups)
   const int8_t* ctu_qps;   // per-CTU target QP, raster (encoder; may be null)
   int32_t pcm;             // SPS pcm_enabled (8x8 I_PCM CUs, sample depth

@@ -165,6 +165,7 @@ _OPTION_TABLE = {
     "LoopFilterTcOffset_div2": ("deblock_tc_offset", int),
     "WaveFrontSynchro": ("wpp", int),
     "WeightedPredP": ("weighted_pred_p", int),
+    "WeightedPredB": ("weighted_pred_b", int),
     "TMVPMode": ("tmvp", int),
     "NumTileColumnsMinus1": ("tile_cols_minus1", int),
     "NumTileRowsMinus1": ("tile_rows_minus1", int),
@@ -342,6 +343,7 @@ class EncoderConfig:
     deblock_tc_offset: int = 0
     wpp: int = 0
     weighted_pred_p: int = 0
+    weighted_pred_b: int = 0
     tmvp: int = 1
     tile_cols_minus1: int = 0
     tile_rows_minus1: int = 0

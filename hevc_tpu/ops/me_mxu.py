@@ -179,6 +179,15 @@ def _ssd_table_deep(roi, orig, *, size, r, ny, nx, depth, shard=None):
     return shard(ssd) if shard is not None else ssd
 
 
+def me_dtype(depth: int):
+    """Device transport dtype for ME planes: uint8 keeps the 8-bit path
+    int8-conv ready, int16 carries 9..14-bit samples, int32 the 16-bit
+    high-bit-depth build (reference TypeDef.h:698 typedef Int Pel)."""
+    import numpy as _np
+    return _np.uint8 if depth <= 8 else (
+        _np.int16 if depth <= 14 else _np.int32)
+
+
 def _med3(a, b, c):
     return jnp.maximum(jnp.minimum(jnp.maximum(a, b), c),
                        jnp.minimum(a, b))

@@ -656,6 +656,58 @@ def test_weighted_prediction_per_ref_conformance(tmp_path):
         "per-ref weight sets did not diverge on a continuous fade"
 
 
+def test_weighted_bipred_conformance(tmp_path):
+    """Explicit weighted BI-prediction (PPS weighted_bipred_flag;
+    reference WeightPredAnalysis both-list fits + TComWeightPrediction::
+    addWeightBi): on a continuous fade a random-access B slice's list-0
+    (past, brighter) and list-1 (future, darker) references need
+    opposite-sign gains, so both lists must carry explicit weight sets
+    and the weighted bi combine must reconstruct HM-identically."""
+    w, h, frames = 128, 80, 9
+    clip = tmp_path / "fade.yuv"
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_test_yuv import make_frame
+    with open(clip, "wb") as fh:
+        for t in range(frames):
+            g = 1.0 - 0.08 * t
+            for p in make_frame(w, h, 0):
+                arr = np.clip(np.asarray(p, np.float64) * g, 0, 255)
+                fh.write(arr.astype(np.uint8).tobytes())
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-c", "/root/reference/cfg/encoder_randomaccess_main.cfg",
+          "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-fr", "30", "-q", "32", "--WeightedPredB=1",
+          "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames
+    assert rec.read_bytes() == dec.read_bytes()
+    # at least one B slice must signal explicit weights on BOTH lists
+    from hevc_tpu.entropy.nal import split_annexb, nal_to_rbsp
+    from hevc_tpu.decoder import headers as dh
+    sps = pps = None
+    both_lists = 0
+    for unit in split_annexb(bs.read_bytes()):
+        t, _tid, rbsp = nal_to_rbsp(bytes(unit))
+        if t == 33:
+            sps = dh.parse_sps(bytes(rbsp))
+        elif t == 34:
+            pps = dh.parse_pps(bytes(rbsp))
+        elif t <= 21:
+            sh, _off = dh.parse_slice_header(bytes(rbsp), t, sps, pps)
+            if int(sh.slice_type) != 0 or not sh.wp_tables:
+                continue
+            has = [any(lw is not None or cw is not None
+                       for (lw, cw) in tab) for tab in sh.wp_tables]
+            if len(has) == 2 and has[0] and has[1]:
+                both_lists += 1
+    assert both_lists >= 1, \
+        "no B slice signalled explicit weights on both lists"
+
+
 def test_decoding_unit_hrd(tmp_path):
     """Decoding-unit (sub-picture) HRD: SliceMode splits the AU into DUs,
     the SPS VUI signals sub_pic_hrd_params (tick divisor 100, 8-bit DU

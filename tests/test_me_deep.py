@@ -22,7 +22,7 @@ def _clip(depth, h, w, seed):
     return cur, ref
 
 
-@pytest.mark.parametrize("depth", [10, 12])
+@pytest.mark.parametrize("depth", [10, 12, 16])
 def test_deep_ssd_table_exact(depth):
     """_ssd_table_deep == direct int64 SSD for every (block, dy, dx)."""
     rng = np.random.default_rng(depth)
@@ -52,14 +52,15 @@ def test_deep_ssd_table_exact(depth):
                     assert got[by * nx + bx, dy, dx] == exp, (by, bx, dy, dx)
 
 
-@pytest.mark.parametrize("depth", [10, 12])
+@pytest.mark.parametrize("depth", [10, 12, 16])
 def test_deep_xla_matches_numpy_twin(depth):
     cur, ref = _clip(depth, 96, 128, seed=depth)
-    refp = pad_plane(ref.astype(np.int16), PAD)
+    dt = me_mxu.me_dtype(depth)
+    refp = pad_plane(ref.astype(dt), PAD)
     size, r, lam = 32, 8, 900_000
     gx, gy = me_mxu.me_grid_ssd(
-        np.ascontiguousarray(cur.astype(np.int16)),
-        np.ascontiguousarray(refp.astype(np.int16)),
+        np.ascontiguousarray(cur.astype(dt)),
+        np.ascontiguousarray(refp.astype(dt)),
         size, r, lam, pad=PAD, depth=depth)
     ex, ey = me_mxu.me_grid_ssd_np(cur, refp, size, r, lam, pad=PAD,
                                    depth=depth)
