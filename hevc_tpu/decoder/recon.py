@@ -246,15 +246,21 @@ class CtuReconstructor:
     def _recon_intra_cu(self, d, recon, ctu_x0, ctu_y0, x0, y0, log2):
         lx, ly = x0 - ctu_x0, y0 - ctu_y0
         if d.tu_depth[ly >> 2, lx >> 2] & 0x80:
-            # I_PCM: the raw samples ride the coeff planes (spec 8.4.1)
+            # I_PCM: the raw samples ride the coeff planes (spec 8.4.1).
+            # The int16 maps wrap samples above 2^15 (16-bit depth);
+            # masking to the sample width recovers the unsigned value.
             n = 1 << log2
-            recon[0][y0:y0 + n, x0:x0 + n] = d.coeff_y[ly:ly + n, lx:lx + n]
+            m = (1 << self.bd) - 1
+            recon[0][y0:y0 + n, x0:x0 + n] = \
+                d.coeff_y[ly:ly + n, lx:lx + n].astype(np.int32) & m
             sx, sy = self.csx, self.csy
             cw, chh = n >> sx, n >> sy
             recon[1][y0 >> sy:(y0 >> sy) + chh, x0 >> sx:(x0 >> sx) + cw] = \
-                d.coeff_cb[ly >> sy:(ly >> sy) + chh, lx >> sx:(lx >> sx) + cw]
+                d.coeff_cb[ly >> sy:(ly >> sy) + chh,
+                           lx >> sx:(lx >> sx) + cw].astype(np.int32) & m
             recon[2][y0 >> sy:(y0 >> sy) + chh, x0 >> sx:(x0 >> sx) + cw] = \
-                d.coeff_cr[ly >> sy:(ly >> sy) + chh, lx >> sx:(lx >> sx) + cw]
+                d.coeff_cr[ly >> sy:(ly >> sy) + chh,
+                           lx >> sx:(lx >> sx) + cw].astype(np.int32) & m
             return
         nxn = bool(d.nxn_flag[ly >> 2, lx >> 2])
         cmode = int(d.chroma_mode[ly >> 2, lx >> 2])

@@ -534,9 +534,6 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
     confirm(cfg.internal_bit_depth not in (8, 10, 12, 14, 16),
             f"InternalBitDepth {cfg.internal_bit_depth} unsupported "
             "(8, 10, 12, 14 and 16 implemented)")
-    confirm(cfg.internal_bit_depth > 14 and bool(cfg.pcm),
-            "PCM stores samples in the 16-bit coefficient maps; "
-            "InternalBitDepth 16 + PCM is not supported")
     confirm(cfg.qp < 0 or cfg.qp > 51, "QP out of [0, 51]")
     confirm(cfg.search_range < 1 or cfg.search_range > 64,
             "SearchRange out of [1, 64]")

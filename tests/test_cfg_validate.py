@@ -30,7 +30,6 @@ def test_ctc_cfgs_validate(name):
     ["--SliceMode=1", "--WaveFrontSynchro=1"],
     ["--MaxCUWidth=32", "--MaxCUHeight=32"],
     ["--InternalBitDepth=15"],
-    ["--InternalBitDepth=16", "--PCMEnabledFlag=1"],
     ["--ScalingList=3"],
     ["--ScalingList=2", "--ScalingListFile= "],
     ["--MaxCuDQPDepth=1"],

@@ -1194,6 +1194,40 @@ def test_pcm_conformance(tmp_path):
         assert own.read_bytes() == dec.read_bytes()
 
 
+def test_pcm_16bit_conformance(tmp_path):
+    """I_PCM at InternalBitDepth 16 (high-bit-depth build): raw 16-bit
+    samples wrap in the int16 coefficient maps that carry them, so both
+    the pcm_sample writer and the decoder's recon must mask to the
+    sample width. 16-bit noise at low QP makes the PCM trial win."""
+    if not os.path.exists(HBD_ORACLE):
+        pytest.skip("HBD oracle not built")
+    import numpy as np
+    w, h, frames = 128, 64, 2
+    clip = tmp_path / "in.yuv"
+    rng = np.random.default_rng(11)
+    with open(clip, "wb") as fp:
+        for _ in range(frames):
+            # full-range 16-bit noise, most samples above 2^15
+            for shape in ((h, w), (h // 2, w // 2), (h // 2, w // 2)):
+                fp.write(rng.integers(0, 1 << 16, shape,
+                                      dtype=np.uint16).tobytes())
+    from hevc_tpu.cli.decode import main as dmain
+    from hevc_tpu.cli.encode import main
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-q", "12", "--PCMEnabledFlag=1",
+          "--InputBitDepth=16", "--InternalBitDepth=16",
+          "--Profile=main-RExt", "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([HBD_ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+    assert rec.read_bytes() == dec.read_bytes()
+    own = tmp_path / "own.yuv"
+    assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+    assert own.read_bytes() == dec.read_bytes()
+
+
 def test_multislice_conformance(tmp_path):
     """SliceMode 1 (fixed CTUs per slice, reference TEncSlice slice
     modes): multi-slice pictures with mid-row boundaries must decode
