@@ -1401,6 +1401,28 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
 // Reference TEncCu::xCompressCU depth-0 trial, reduced to a SATD screen:
 // merge candidates at 64x64 plus one AMVP candidate derived from the
 // quadrant MVs, against the summed per-quadrant screens.
+// Split-screen quadrant cost: min SATD over the 3x3 HALF-pel
+// neighbourhood of the device integer MV. The recursive path refines
+// each sub-CU to quarter-pel (cost_of), so screening the split with the
+// bare integer-MV SATD systematically overstates its cost and biases
+// the quadtree toward large CUs (reference xCompressCU trials both
+// sides at equal refinement, TEncCu.cpp:357-620).
+int64_t CtuEngine::quad_screen_satd(int qx, int qy, int hn, int qmx,
+                                    int qmy, int32_t* pred) {
+  int pad = ep_.pad;
+  int rw = w_ + 2 * pad;
+  int64_t best = -1;
+  for (int dy = -2; dy <= 2; dy += 2)
+    for (int dx = -2; dx <= 2; dx += 2) {
+      mc_uni(sp_, rp(0, 0, 0), rw, pad, qmx + dx, qmy + dy, qx, qy, hn,
+             hn, bd_, true, 0, 0, 0, pred);
+      int64_t c = dsp::satd_bounded(orig_[0] + qy * w_ + qx, w_, pred,
+                                    hn, hn, best < 0 ? INT64_MAX : best);
+      if (best < 0 || c < best) best = c;
+    }
+  return best;
+}
+
 bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
                                int ctu_x0, int ctu_y0) {
   PhaseSwitcher _ph(16);  // 16 = cu64 screen, 17 = cu64 residual commit
@@ -1412,6 +1434,14 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
   const pel_t* oy = orig_[0] + y0 * w_ + x0;
   int size_full = ctu_ >> ep_.cu_depth_target;
   if (!me_mvx_[0] || size_full != 32) return false;
+  {
+    static int no64 = -1;
+    if (no64 < 0) {
+      const char* e = getenv("HEVC_TPU_NO_CU64");
+      no64 = (e && *e && strcmp(e, "0") != 0) ? 1 : 0;
+    }
+    if (no64) return false;
+  }
 
   static thread_local std::vector<int32_t> predbuf, bestbuf;
   predbuf.resize(n * n);
@@ -1427,13 +1457,13 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
     mvs[i][0] = me_mvx_[0][mi] << 2;
     mvs[i][1] = me_mvy_[0][mi] << 2;
   }
-  // screen cost of the split path: per-quadrant SATD at own MV + overhead
+  // screen cost of the split path: per-quadrant half-pel-refined SATD
+  // at its own device MV + overhead (quad_screen_satd — matches the
+  // refinement the recursive path will apply)
   int64_t split_cost = lam_bits(4 * 6);
   for (int i = 0; i < 4; ++i) {
     int qx = x0 + (i & 1) * 32, qy = y0 + (i >> 1) * 32;
-    mc_uni(sp_, rp(0, 0, 0), rw, pad, mvs[i][0], mvs[i][1], qx, qy, 32, 32,
-           bd_, true, 0, 0, 0, pred);
-    split_cost += dsp::satd(orig_[0] + qy * w_ + qx, w_, pred, 32, 32);
+    split_cost += quad_screen_satd(qx, qy, 32, mvs[i][0], mvs[i][1], pred);
   }
 
   // 64x64 candidates: merge list + median-MV AMVP
@@ -2128,7 +2158,11 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   int64_t cost_split = INT64_MAX;
   if (log2 >= 4 && me16_mvx_[0] && x0 + n <= w_ && y0 + n <= h_) {
     int hn = n >> 1;
-    cost_split = lam_bits(log2 == 5 ? 96 : 72);
+    {
+      const char* sb = getenv("HEVC_TPU_SPLIT_BITS");
+      double b = sb ? atof(sb) : (log2 == 5 ? 96 : 72);
+      cost_split = lam_bits(b);
+    }
     for (int i = 0; i < 4; ++i) {
       int qx = x0 + (i & 1) * hn, qy = y0 + (i >> 1) * hn;
       int qmx, qmy;
@@ -2147,9 +2181,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
             if (qc < 0 || c < qc) qc = c;
           }
       } else {
-        mc_uni(sp_, rp(0, 0, 0), rw, pad, qmx, qmy, qx, qy, hn, hn, bd_,
-               true, 0, 0, 0, pred);
-        qc = dsp::satd(orig_[0] + qy * w_ + qx, w_, pred, hn, hn);
+        qc = quad_screen_satd(qx, qy, hn, qmx, qmy, pred);
       }
       cost_split += qc;
     }
@@ -2266,11 +2298,17 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       best_rect = cost_rect[k];
       best_rect_part = k + 2;
     }
-  int64_t best =
+  // The SATD intra screen never COMMITS a CU on its own: intra only
+  // enters the exact-RD trial below against the committed inter J
+  // (reference TEncCu compares xCheckRDCostIntra at FULL RD; a biased
+  // SATD comparison mis-picks intra on noise-like content whose intra
+  // rate the screen cannot see). The screen cost still competes here
+  // only when NO inter candidate exists at all.
+  int64_t best_inter =
       std::min(std::min(m_cost < 0 ? INT64_MAX : m_cost, cost_inter),
-               std::min(std::min(cost_intra, cost_split),
-                        std::min(best_rect,
-                                 std::min(cost_l1, cost_bi))));
+               std::min(best_rect, std::min(cost_l1, cost_bi)));
+  int64_t best = std::min(best_inter, cost_split);
+  bool intra_only = best >= INT64_MAX / 4;  // no inter option at all
   if (getenv("HEVC_TPU_DBG_BI"))
     fprintf(stderr,
             "CU %d %d n=%d merge=%lld inter=%lld l1=%lld bi=%lld "
@@ -2278,7 +2316,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
             x0, y0, n, (long long)m_cost, (long long)cost_inter,
             (long long)cost_l1, (long long)cost_bi, (long long)cost_intra,
             (long long)cost_split, (long long)best_rect);
-  if (best == cost_split) {
+  if (!intra_only && best == cost_split) {
     int bw44 = ctu_ / 4;
     int hn = n >> 1;
     for (int yy = 0; yy < nb; ++yy)
@@ -2290,7 +2328,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
                       ctu_x0, ctu_y0);
     return;
   }
-  if (best == cost_intra) {
+  if (intra_only) {
     encode_cu_intra(x0, y0, log2, d, ctu_x0, ctu_y0);
     return;
   }

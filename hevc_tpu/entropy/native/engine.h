@@ -113,6 +113,8 @@ class CtuEngine {
                 int32_t* rres, int* nz);
   bool inter_cu64_try(int x0, int y0, const MutCtuData& d, int ctu_x0,
                       int ctu_y0);
+  int64_t quad_screen_satd(int qx, int qy, int hn, int qmx, int qmy,
+                           int32_t* pred);
   // availability-aware combined reference vector on a working recon plane
   void build_refs(const pel_t* plane, int pw, int ph, int stride, int x0,
                   int y0, int n, int lx0, int ly0, int sxy, int32_t* f);
