@@ -253,6 +253,8 @@ class CtuReconstructor:
             m = (1 << self.bd) - 1
             recon[0][y0:y0 + n, x0:x0 + n] = \
                 d.coeff_y[ly:ly + n, lx:lx + n].astype(np.int32) & m
+            if self.sps.chroma_format_idc == 0:
+                return  # monochrome: luma samples only
             sx, sy = self.csx, self.csy
             cw, chh = n >> sx, n >> sy
             recon[1][y0 >> sy:(y0 >> sy) + chh, x0 >> sx:(x0 >> sx) + cw] = \
@@ -275,6 +277,8 @@ class CtuReconstructor:
             r_y = self._intra_tb(recon, tx, ty, tsize, mode, 0, coeffs,
                                  is_dst=(tlog2 == 2), ts=ts_y,
                                  rdpcm=self._irdpcm(mode, ts_y))
+            if self.sps.chroma_format_idc == 0:
+                continue  # monochrome: no chroma TBs
             if self.sps.chroma_format_idc == 3:
                 # 4:4:4: full-size chroma TB per luma TU leaf (per-part
                 # chroma mode map covers NxN partitions)
@@ -384,6 +388,38 @@ class CtuReconstructor:
         csx, csy = self.csx, self.csy
         cw, chh = pw >> csx, ph >> csy
         cx, cy = px >> csx, py >> csy
+        if self.sps.chroma_format_idc == 0:
+            # monochrome: luma MC only (no chroma planes exist)
+            z = np.zeros((chh, cw), np.int32)
+            if r0 >= 0 and r1 >= 0:
+                f0, f1 = self.refs_l0[r0], self.refs_l1[r1]
+                if self.wp_tables is not None:
+                    from ..ops.interp import mc_predict_bi_wp_np
+                    ld, _cd = self.wp_denoms
+                    lw0, _ = self._wp_of(0, r0)
+                    lw1, _ = self._wp_of(1, r1)
+                    lw0 = lw0 or (1 << ld, 0)
+                    lw1 = lw1 or (1 << ld, 0)
+                    py_ = mc_predict_bi_wp_np(
+                        f0[0], f1[0], PAD, mv, mv1, px, py, pw, ph,
+                        lw0[0], lw0[1], lw1[0], lw1[1], ld, self.bd, True)
+                else:
+                    py_ = mc_predict_bi_np(f0[0], f1[0], PAD, mv, mv1,
+                                           px, py, pw, ph, self.bd, True)
+            else:
+                umv = mv if r0 >= 0 else mv1
+                lx0 = 0 if r0 >= 0 else 1
+                ridx = r0 if r0 >= 0 else r1
+                f = self.refs_l0[ridx] if lx0 == 0 else self.refs_l1[ridx]
+                lw, _ = self._wp_of(lx0, ridx)
+                if lw is not None:
+                    py_ = mc_predict_wp_np(f[0], PAD, umv[0], umv[1], px,
+                                           py, pw, ph, self.bd, True,
+                                           lw[0], lw[1], self.wp_denoms[0])
+                else:
+                    py_ = mc_predict_np(f[0], PAD, umv[0], umv[1], px, py,
+                                        pw, ph, self.bd, True)
+            return py_, z, z
         if r0 >= 0 and r1 >= 0:  # bi-prediction (spec 8.5.3.3.3)
             f0, f1 = self.refs_l0[r0], self.refs_l1[r1]
             if self.wp_tables is not None:
@@ -505,6 +541,8 @@ class CtuReconstructor:
                     if (ts_cr or self._cu_bypass) else 0,
                     ccp_alpha=self._ccp_of(d, tlx, tly, 2),
                     luma_resi=r_y)
+            elif self.sps.chroma_format_idc == 0:
+                continue  # monochrome: no chroma residual
             elif self.sps.chroma_format_idc == 2:
                 # 4:2:2: two square chroma sub-TBs per luma TB (or per
                 # blk-3 parent), stacked vertically in the full-height

@@ -80,8 +80,10 @@ class DecoderTop:
                     self._finalize_picture()
                 digests, hash_type = self._parse_hash_sei(rbsp)
                 if digests and self._last_decoded is not None:
-                    ok = self._check_hash(self._last_decoded, digests,
-                                          hash_type)
+                    dec = self._last_decoded
+                    if self.sps and self.sps.chroma_format_idc == 0:
+                        dec = dec[:1]  # hash covers the luma plane only
+                    ok = self._check_hash(dec, digests, hash_type)
                     self.hash_status.append("OK" if ok else "ERROR")
                 from ..entropy.sei import parse_sei_messages, PIC_TIMING
                 for (ptype, body) in parse_sei_messages(rbsp):
@@ -138,8 +140,12 @@ class DecoderTop:
         limit = 0 if all_pics else (
             self.sps.sps_max_num_reorder_pics if self.sps else 0)
         self.out_buf.sort(key=lambda t: (t[0], t[1]))
+        mono = self.sps is not None and self.sps.chroma_format_idc == 0
         while len(self.out_buf) > limit:
-            yield self.out_buf.pop(0)[2]
+            planes = self.out_buf.pop(0)[2]
+            # monochrome output carries the luma plane only (the DPB
+            # keeps placeholder chroma arrays internally)
+            yield planes[:1] if mono else planes
 
     # ------------------------------------------------------------------
     def _parse_hash_sei(self, rbsp: bytes):

@@ -290,7 +290,10 @@ class PFrameEncoder(IntraFrameEncoder):
         cxx, cyy = x0 >> sx, y0 >> sy
         cs = size >> sx                 # square chroma TB size
         chh = size >> sy                # chroma block height (2*cs at 422)
-        if ref >= 0 and ref1 >= 0:
+        mono = self.sps.chroma_format_idc == 0
+        if mono:  # monochrome: no chroma prediction/residual
+            pcb = pcr = None
+        elif ref >= 0 and ref1 >= 0:
             pcb = mc_predict_bi_np(self.ref[1], self.ref1[1], PAD, mv, mv1,
                                    cxx, cyy, cs, chh, self.bd, False,
                                    chroma_shift=(sx, sy))
@@ -311,7 +314,7 @@ class PFrameEncoder(IntraFrameEncoder):
         rec_cb = np.zeros((chh, cs), np.int32)
         lv_cr = np.zeros((chh, cs), np.int32)
         rec_cr = np.zeros((chh, cs), np.int32)
-        for half in range(chh // cs):
+        for half in range(0 if mono else chh // cs):
             hsl = slice(half * cs, (half + 1) * cs)
             lv_cb[hsl], rec_cb[hsl] = self._code_inter_tb(
                 orig[1][cyy + half * cs:cyy + (half + 1) * cs,

@@ -229,6 +229,8 @@ class IntraFrameEncoder:
             # codes TWO square sub-TBs stacked vertically per luma TB with
             # the Table 8-3 remapped direction (reference TComTU sub-TU
             # iteration, g_chroma422IntraAngleMappingTable)
+            if self.cfmt == 0:
+                continue  # monochrome: no chroma TBs
             cs = self.cs
             if cs == 1:
                 assert tlog2 > 2, "4x4 luma TUs need blk3 chroma handling"

@@ -860,6 +860,16 @@ class EncoderTop:
     def encode_frame(self, planes: List[np.ndarray]) -> bytes:
         """Submit one frame in display order; returns the Annex-B bytes of
         every access unit that became encodable (possibly empty for RA)."""
+        if self.sps.chroma_format_idc == 0 and len(planes) == 1:
+            # monochrome input: carry constant placeholder chroma planes
+            # through the pipeline (coding, hash and output are
+            # luma-only; the placeholders keep plane-triple plumbing
+            # uniform)
+            h2 = self.cfg.height >> self.sps.chroma_shift_y
+            w2 = self.cfg.width >> self.sps.chroma_shift_x
+            mid = np.full((h2, w2), 1 << (self.sps.bit_depth_chroma - 1),
+                          planes[0].dtype)
+            planes = [planes[0], mid, mid.copy()]
         if not self.reordered:
             return self._encode_streaming(planes)
         self.in_buf[self.in_count] = planes
@@ -872,11 +882,14 @@ class EncoderTop:
         return self._drain_ra(flush=True)
 
     def pop_recons(self) -> List[Tuple[int, List[np.ndarray]]]:
-        """Finished pictures in display order."""
+        """Finished pictures in display order (monochrome pictures carry
+        the luma plane only, like the decoder's output)."""
         out = []
         self.out_queue.sort(key=lambda t: t[0])
+        mono = self.sps.chroma_format_idc == 0
         while self.out_queue and self.out_queue[0][0] == self.next_out:
-            out.append(self.out_queue.pop(0))
+            n, pl = self.out_queue.pop(0)
+            out.append((n, pl[:1] if mono else pl))
             self.next_out += 1
         return out
 
@@ -1053,7 +1066,8 @@ class EncoderTop:
             nal_unit_type=int(NalUnitType.IDR_W_RADL if idr
                               else NalUnitType.TRAIL_R),
             poc=cvs_poc, slice_qp=slice_qp,
-            slice_sao_luma_flag=sao_on, slice_sao_chroma_flag=sao_on,
+            slice_sao_luma_flag=sao_on,
+            slice_sao_chroma_flag=(sao_on if cfmt != 0 else 0),
             short_term_ref_pic_set_sps_flag=1 if use_sps_rps else 0,
             rps_sps_idx=rps_sps_idx, rps=rps,
             num_ref_idx_active=[n_l0, n_l1])
@@ -1078,7 +1092,8 @@ class EncoderTop:
                 max_tu_depth_inter=self.sps.max_transform_hierarchy_depth_inter,
                 chroma_format=self.sps.chroma_format_idc,
                 sign_hiding=self.pps.sign_data_hiding_enabled_flag,
-                sao_luma=sao_on, sao_chroma=sao_on,
+                sao_luma=sao_on,
+                sao_chroma=(sao_on if cfmt != 0 else 0),
                 bit_depth=self.sps.bit_depth_luma,
                 scaling_lists=self.sps.scaling_list_enabled_flag,
                 transform_skip=self.pps.transform_skip_enabled_flag,
@@ -1180,7 +1195,8 @@ class EncoderTop:
                 num_ref_l0=n_l0, num_ref_l1=n_l1,
                 ref_poc_l0=[p for p, _ in ref_l0],
                 ref_poc_l1=[p for p, _ in ref_l1] if is_b else [],
-                sao_luma=sao_on, sao_chroma=sao_on,
+                sao_luma=sao_on,
+                sao_chroma=(sao_on if cfmt != 0 else 0),
                 bit_depth=self.sps.bit_depth_luma, cur_poc=cvs_poc,
                 wpp=self.pps.entropy_coding_sync_enabled_flag,
                 tile_cols=self.pps.num_tile_columns_minus1 + 1
@@ -1675,12 +1691,15 @@ class EncoderTop:
         # decoded-picture-hash SEI; type per SEIDecodedPictureHash
         # (reference TComPicYuvMD5 calcMD5/CRC/checksum, TEncGOP.cpp:1661)
         ht = getattr(cfg, "hash_sei_type", 1)
+        hash_planes = (recon[:1] if self.sps.chroma_format_idc == 0
+                       else recon)  # mono hash covers luma only
         if ht == 2:
-            digest = sei.picture_crc(recon, self.sps.bit_depth_luma)
+            digest = sei.picture_crc(hash_planes, self.sps.bit_depth_luma)
         elif ht == 3:
-            digest = sei.picture_checksum(recon, self.sps.bit_depth_luma)
+            digest = sei.picture_checksum(hash_planes,
+                                          self.sps.bit_depth_luma)
         else:
-            digest = sei.picture_md5(recon, self.sps.bit_depth_luma)
+            digest = sei.picture_md5(hash_planes, self.sps.bit_depth_luma)
         if ht:
             nals.append(nal.rbsp_to_nal(
                 sei.write_picture_hash_sei(digest, {1: 0, 2: 1,
@@ -1690,7 +1709,13 @@ class EncoderTop:
 
         bits = sum(len(x) for x in nals) * 8
         with timers.section("hash_psnr"):
-            psnr = _psnr(planes, recon, self.sps.bit_depth_luma)
+            if self.sps.chroma_format_idc == 0:
+                # monochrome: luma PSNR only (chroma reported as 0 like
+                # the reference's zero-MSE guard output)
+                psnr = _psnr(planes[:1], recon[:1],
+                             self.sps.bit_depth_luma) + [0.0, 0.0]
+            else:
+                psnr = _psnr(planes, recon, self.sps.bit_depth_luma)
         self.stats.append({"poc": display_poc, "bits": bits, "psnr": psnr,
                            "md5": digest[0].hex(), "qp": slice_qp,
                            "type": stype.name})

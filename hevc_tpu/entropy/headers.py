@@ -356,7 +356,8 @@ def write_slice_header(sh: SliceHeader, sps: SPS, pps: PPS) -> bytes:
             bw.flag(sh.slice_temporal_mvp_enabled_flag)
     if sps.sample_adaptive_offset_enabled_flag:
         bw.flag(sh.slice_sao_luma_flag)
-        bw.flag(sh.slice_sao_chroma_flag)
+        if sps.chroma_format_idc != 0:  # ChromaArrayType != 0 (7.3.6.1)
+            bw.flag(sh.slice_sao_chroma_flag)
     if sh.slice_type != SliceType.I:
         default_active = [pps.num_ref_idx_l0_default_active_minus1 + 1,
                           pps.num_ref_idx_l1_default_active_minus1 + 1]

@@ -888,7 +888,7 @@ void SliceEncoder::code_intra_cu(int x0, int y0, int log2) {
               (uint32_t)cur_->coeff_y[(ly + i) * sp_.ctu_size + lx + j],
               sp_.bit_depth);
       int cctu = sp_.ctu_size >> 1;
-      for (int c = 0; c < 2; ++c) {
+      for (int c = 0; sp_.chroma_format != 0 && c < 2; ++c) {
         const int16_t* cp = c == 0 ? cur_->coeff_cb : cur_->coeff_cr;
         for (int i = 0; i < cn; ++i)
           for (int j = 0; j < cn; ++j)
@@ -901,12 +901,13 @@ void SliceEncoder::code_intra_cu(int x0, int y0, int log2) {
     }
   }
   code_intra_luma_modes(x0, y0, log2, nxn);
-  // 4:4:4 NxN: one intra_chroma_pred_mode per partition (spec 7.3.8.5)
+  // 4:4:4 NxN: one intra_chroma_pred_mode per partition (spec 7.3.8.5);
+  // monochrome (ChromaArrayType 0) codes no chroma mode at all
   if (sp_.chroma_format == 3 && nxn) {
     int half = 1 << (log2 - 1);
     for (int i = 0; i < 4; ++i)
       code_intra_chroma_mode(x0 + (i & 1) * half, y0 + (i >> 1) * half);
-  } else {
+  } else if (sp_.chroma_format != 0) {
     code_intra_chroma_mode(x0, y0);
   }
   transform_tree(x0, y0, x0, y0, log2, 0, 0, nxn, 1, 1, true);
@@ -1056,10 +1057,12 @@ void SliceEncoder::code_inter_cu(int x0, int y0, int log2, bool skip) {
     return 0;
   };
   int has_resid = any_nz(cur_->coeff_y, sp_.ctu_size, lx, ly, n)
-      || any_nz_rect(cur_->coeff_cb, sp_.ctu_size >> rcsx, lx >> rcsx,
-                     ly >> rcsy, n >> rcsx, n >> rcsy)
-      || any_nz_rect(cur_->coeff_cr, sp_.ctu_size >> rcsx, lx >> rcsx,
-                     ly >> rcsy, n >> rcsx, n >> rcsy);
+      || (sp_.chroma_format != 0
+          && (any_nz_rect(cur_->coeff_cb, sp_.ctu_size >> rcsx, lx >> rcsx,
+                          ly >> rcsy, n >> rcsx, n >> rcsy)
+              || any_nz_rect(cur_->coeff_cr, sp_.ctu_size >> rcsx,
+                             lx >> rcsx, ly >> rcsy, n >> rcsx,
+                             n >> rcsy)));
   if (!merge_f) {
     cabac_.encode_bin(ctx_.qt_root_cbf[0], has_resid);
   }
@@ -1141,9 +1144,11 @@ void SliceEncoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
   };
   int cs = (sp_.chroma_format == 3) ? 0 : 1;  // chroma coord shift (x)
   bool c422 = sp_.chroma_format == 2;
+  bool mono = sp_.chroma_format == 0;  // ChromaArrayType 0: no chroma
+                                       // cbf/residual syntax (7.3.8.8)
   int c_stride = sp_.ctu_size >> cs;
   int cbf_cb = 0, cbf_cr = 0, cbf_cb2 = 0, cbf_cr2 = 0;
-  if (log2 > 2 || cs == 0) {
+  if (!mono && (log2 > 2 || cs == 0)) {
     // 4:2:2 chroma planes are full height (no vertical subsampling):
     // each luma TB carries two square sub-TBs stacked vertically, each
     // with its own cbf (spec 7.3.8.8; mirrors the decoder path above).
@@ -1170,7 +1175,7 @@ void SliceEncoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
         cabac_.encode_bin(ctx_.cbf_chroma[depth], cbf_cr2);
       }
     }
-  } else {
+  } else if (!mono) {
     cbf_cb = par_cb;
     cbf_cr = par_cr;
     cbf_cb2 = par_cb2;
@@ -1220,7 +1225,8 @@ void SliceEncoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
   }
 
   if (cbf_y) residual(x0, y0, log2, 0);
-  if (log2 > 2 || cs == 0) {
+  if (mono) {
+  } else if (log2 > 2 || cs == 0) {
     if (cbf_cb) residual(x0, y0, log2 - cs, 1);
     if (c422 && cbf_cb2) residual(x0, y0 + (1 << (log2 - 1)), log2 - 1, 1);
     if (cbf_cr) residual(x0, y0, log2 - cs, 2);
@@ -2387,7 +2393,7 @@ void SliceDecoder::parse_intra_cu(int x0, int y0, int log2) {
           cur_->coeff_y[(ly + i) * sp_.ctu_size + lx + j] =
               (int16_t)cabac_.read_raw(sp_.bit_depth);
       int cctu = sp_.ctu_size >> csx;
-      for (int c = 0; c < 2; ++c) {
+      for (int c = 0; sp_.chroma_format != 0 && c < 2; ++c) {
         int16_t* cp = c == 0 ? cur_->coeff_cb : cur_->coeff_cr;
         for (int i = 0; i < cny; ++i)
           for (int j = 0; j < cnx; ++j)
@@ -2440,8 +2446,10 @@ void SliceDecoder::parse_intra_cu(int x0, int y0, int log2) {
         maps_.luma_mode[((py >> 2) + yy) * maps_.stride + (px >> 2) + xx] =
             mode[i];
   }
-  // chroma mode (4:4:4 NxN: one per partition, spec 7.3.8.5)
-  int cparts = (sp_.chroma_format == 3 && nxn) ? 4 : 1;
+  // chroma mode (4:4:4 NxN: one per partition, spec 7.3.8.5);
+  // monochrome streams carry no intra_chroma_pred_mode
+  int cparts = sp_.chroma_format == 0 ? 0
+               : ((sp_.chroma_format == 3 && nxn) ? 4 : 1);
   stat(ST_INTRA_CHROMA);
   for (int i = 0; i < cparts; ++i) {
     int cmode;
@@ -2493,8 +2501,9 @@ void SliceDecoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
   // not split, or at log2TrafoSize == 3 where children cannot carry
   // chroma; reference TComTU two-sub-TU iteration).
   bool c422 = sp_.chroma_format == 2;
+  bool mono = sp_.chroma_format == 0;
   int cbf_cb = 0, cbf_cr = 0, cbf_cb2 = 0, cbf_cr2 = 0;
-  if (log2 > 2 || cs == 0) {
+  if (!mono && (log2 > 2 || cs == 0)) {
     if (depth == 0 || par_cb) {
       if (g_bin_trace) fprintf(g_bin_trace, "# cbfCb d=%d\n", depth);
       cbf_cb = cabac_.decode_bin(ctx_.cbf_chroma[depth]);
@@ -2507,7 +2516,7 @@ void SliceDecoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
       if (c422 && (!split || log2 == 3))
         cbf_cr2 = cabac_.decode_bin(ctx_.cbf_chroma[depth]);
     }
-  } else {
+  } else if (!mono) {
     cbf_cb = par_cb;
     cbf_cr = par_cr;
     cbf_cb2 = par_cb2;
@@ -2585,7 +2594,8 @@ void SliceDecoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
           (int8_t)alpha;
     return alpha;
   };
-  if (log2 > 2 || cs == 0) {
+  if (mono) {
+  } else if (log2 > 2 || cs == 0) {
     parse_ccp(1);
     if (cbf_cb) residual(x0, y0, log2 - cs, 1);
     if (c422 && cbf_cb2) residual(x0, y0 + (1 << (log2 - 1)), log2 - 1, 1);

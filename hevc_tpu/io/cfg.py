@@ -525,9 +525,9 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
     confirm(cfg.width % 8 or cfg.height % 8,
             "picture dimensions must be multiples of 8")
     confirm(cfg.ctu_size != 64, "only MaxCUWidth/Height 64 supported")
-    confirm(cfg.chroma_format not in (420, 422, 444),
+    confirm(cfg.chroma_format not in (400, 420, 422, 444),
             f"InputChromaFormat {cfg.chroma_format} unsupported "
-            "(420, 422 and 444 implemented)")
+            "(400, 420, 422 and 444 implemented)")
     confirm(cfg.chroma_format == 444 and cfg.intra_period != 1,
             "4:4:4 encoding is all-intra only (IntraPeriod 1; DECODING "
             "4:4:4 inter streams is supported)")

@@ -1194,6 +1194,76 @@ def test_pcm_conformance(tmp_path):
         assert own.read_bytes() == dec.read_bytes()
 
 
+def _mono_clip(path, w, h, n):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_test_yuv import make_frame
+    with open(path, "wb") as fh:
+        for t in range(n):
+            fh.write(np.asarray(make_frame(w, h, t)[0],
+                                np.uint8).tobytes())
+
+
+def test_monochrome_encode_conformance(tmp_path):
+    """4:0:0 (monochrome) encode: ChromaArrayType 0 drops every chroma
+    syntax element (no intra_chroma_pred_mode, no cbf_cb/cr, no chroma
+    residual/SAO/PCM samples — spec 7.3.6.1/7.3.8.5-8.8; reference
+    TComChromaFormat MONOCHROME profiles). Intra and low-delay P
+    streams must verify in the HM decoder with byte-identical luma."""
+    w, h = 128, 64
+    clip = tmp_path / "m.yuv"
+    _mono_clip(clip, w, h, 4)
+    from hevc_tpu.cli.decode import main as dmain
+    from hevc_tpu.cli.encode import main
+    for args, frames in (
+            (["-q", "32"], 3),
+            (["-c", "/root/reference/cfg/encoder_lowdelay_P_main.cfg",
+              "-fr", "30", "-q", "32", "--Profile=main-RExt"], 4)):
+        bs, rec, dec = (tmp_path / "o.bin", tmp_path / "r.yuv",
+                        tmp_path / "d.yuv")
+        main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h),
+              "-f", str(frames), "--InputChromaFormat=400"]
+             + args + ["-b", str(bs), "-o", str(rec)])
+        out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                             capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+        assert rec.read_bytes() == dec.read_bytes()
+        assert rec.stat().st_size == w * h * frames  # luma-only output
+        own = tmp_path / "own.yuv"
+        assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+        assert own.read_bytes() == dec.read_bytes()
+
+
+def test_monochrome_hm_decode(tmp_path):
+    """General HM 4:0:0 streams (intra, low-delay B, random access)
+    decode byte-identically with per-picture hash OK."""
+    hm_enc = "/tmp/hm_oracle/bin/TAppEncoderStatic"
+    if not os.path.exists(hm_enc):
+        pytest.skip("HM oracle encoder not built")
+    w, h, frames = 128, 64, 6
+    clip = tmp_path / "m.yuv"
+    _mono_clip(clip, w, h, frames)
+    from hevc_tpu.cli.decode import main as dmain
+    for cfg in ("encoder_intra_main_rext.cfg",
+                "encoder_lowdelay_main_rext.cfg",
+                "encoder_randomaccess_main_rext.cfg"):
+        bs = tmp_path / "hm.bin"
+        subprocess.run(
+            [hm_enc, "-c", f"/root/reference/cfg/{cfg}", "-i", str(clip),
+             "-wdt", str(w), "-hgt", str(h), "-f", str(frames), "-fr",
+             "30", "-q", "32", "--InputChromaFormat=400",
+             "--ChromaFormatIDC=400", "--SEIDecodedPictureHash=1",
+             "-b", str(bs), "-o", str(tmp_path / "hr.yuv")],
+            capture_output=True, check=True)
+        dec, own = tmp_path / "d.yuv", tmp_path / "own.yuv"
+        out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                             capture_output=True, text=True)
+        assert out.stdout.count("(OK)") == frames, (cfg, out.stdout[-800:])
+        assert dmain(["-b", str(bs), "-o", str(own)]) == 0, cfg
+        assert own.read_bytes() == dec.read_bytes(), cfg
+
+
 def test_pcm_16bit_conformance(tmp_path):
     """I_PCM at InternalBitDepth 16 (high-bit-depth build): raw 16-bit
     samples wrap in the int16 coefficient maps that carry them, so both
