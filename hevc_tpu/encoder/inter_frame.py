@@ -285,7 +285,11 @@ class PFrameEncoder(IntraFrameEncoder):
 
         # residual for the whole CU (TU == CU); 4:2:2 codes the chroma
         # of a luma TB as two square sub-TBs stacked vertically
-        qp_c = tables.chroma_qp(self.qp, self.sps.chroma_format_idc)
+        off = getattr(self, "cqp_off", (0, 0))
+        qp_cb = tables.chroma_qp(self.qp, self.sps.chroma_format_idc,
+                                 off[0])
+        qp_cr = tables.chroma_qp(self.qp, self.sps.chroma_format_idc,
+                                 off[1])
         sx, sy = self.sps.chroma_shift_x, self.sps.chroma_shift_y
         cxx, cyy = x0 >> sx, y0 >> sy
         cs = size >> sx                 # square chroma TB size
@@ -318,10 +322,10 @@ class PFrameEncoder(IntraFrameEncoder):
             hsl = slice(half * cs, (half + 1) * cs)
             lv_cb[hsl], rec_cb[hsl] = self._code_inter_tb(
                 orig[1][cyy + half * cs:cyy + (half + 1) * cs,
-                        cxx:cxx + cs], pcb[hsl], cs, qp_c)
+                        cxx:cxx + cs], pcb[hsl], cs, qp_cb)
             lv_cr[hsl], rec_cr[hsl] = self._code_inter_tb(
                 orig[2][cyy + half * cs:cyy + (half + 1) * cs,
-                        cxx:cxx + cs], pcr[hsl], cs, qp_c)
+                        cxx:cxx + cs], pcr[hsl], cs, qp_cr)
         zero_resid = not (lv_y.any() or lv_cb.any() or lv_cr.any())
 
         if mi_idx >= 0:

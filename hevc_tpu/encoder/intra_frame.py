@@ -139,7 +139,8 @@ class IntraFrameEncoder:
         resi = orig_tb.astype(np.int32) - pred.astype(np.int32)
         coeff = forward_transform_np(resi, size, self.bd, is_dst=is_dst)
         qp = self.qp if is_luma else tables.chroma_qp(
-            self.qp, self.sps.chroma_format_idc)
+            self.qp, self.sps.chroma_format_idc,
+            getattr(self, "cqp_off", (0, 0))[max(0, c_idx - 1)])
         sm = self._scaling_of(size, c_idx)
         levels = quantize_np(coeff, size, qp, self.bd, is_intra=True,
                              scaling=sm)

@@ -193,6 +193,9 @@ class EncoderTop:
             self.sps._tile_rows = self.tiles[1] + 1
         elif cfg.wpp:
             self.pps.entropy_coding_sync_enabled_flag = 1
+        if cfg.cb_qp_offset or cfg.cr_qp_offset:
+            self.pps.pps_cb_qp_offset = cfg.cb_qp_offset
+            self.pps.pps_cr_qp_offset = cfg.cr_qp_offset
         if cfg.weighted_pred_p:
             self.pps.weighted_pred_flag = 1
         if getattr(cfg, "weighted_pred_b", 0):
@@ -1070,6 +1073,7 @@ class EncoderTop:
             slice_sao_chroma_flag=(sao_on if cfmt != 0 else 0),
             short_term_ref_pic_set_sps_flag=1 if use_sps_rps else 0,
             rps_sps_idx=rps_sps_idx, rps=rps,
+            five_minus_max_num_merge_cand=5 - cfg.max_merge_cand,
             num_ref_idx_active=[n_l0, n_l1])
 
         ctu_qps = None
@@ -1107,6 +1111,8 @@ class EncoderTop:
             sp.ts_rotation = self.sps.transform_skip_rotation_enabled_flag
             sp.rdoq_off = 0 if cfg.rdoq else 1
             sp.rdoq_ts_off = 0 if cfg.rdoq_ts else 1
+            sp.cqp_off[0] = self.pps.pps_cb_qp_offset
+            sp.cqp_off[1] = self.pps.pps_cr_qp_offset
             sp.ts_context = self.sps.transform_skip_context_enabled_flag
             sp.persistent_rice = \
                 self.sps.persistent_rice_adaptation_enabled_flag
@@ -1123,6 +1129,8 @@ class EncoderTop:
                                         intra_screen=scr, lam=pic_lam)
             else:
                 fe = IntraFrameEncoder(self.sps, slice_qp, lam=pic_lam)
+                fe.cqp_off = (self.pps.pps_cb_qp_offset,
+                              self.pps.pps_cr_qp_offset)
             ref_pocs = ((), ())
         else:
             l0_poc, l0_planes = ref_l0[0]
@@ -1193,6 +1201,7 @@ class EncoderTop:
                 cu_dqp=self.pps.cu_qp_delta_enabled_flag, ctu_qps=ctu_qps,
                 pcm=self.sps.pcm_enabled_flag,
                 num_ref_l0=n_l0, num_ref_l1=n_l1,
+                max_merge_cand=cfg.max_merge_cand,
                 ref_poc_l0=[p for p, _ in ref_l0],
                 ref_poc_l1=[p for p, _ in ref_l1] if is_b else [],
                 sao_luma=sao_on,
@@ -1254,6 +1263,8 @@ class EncoderTop:
             sp.ts_rotation = self.sps.transform_skip_rotation_enabled_flag
             sp.rdoq_off = 0 if cfg.rdoq else 1
             sp.rdoq_ts_off = 0 if cfg.rdoq_ts else 1
+            sp.cqp_off[0] = self.pps.pps_cb_qp_offset
+            sp.cqp_off[1] = self.pps.pps_cr_qp_offset
             sp.ts_context = self.sps.transform_skip_context_enabled_flag
             sp.persistent_rice = \
                 self.sps.persistent_rice_adaptation_enabled_flag
@@ -1297,6 +1308,8 @@ class EncoderTop:
                                    ref1_planes=ref_l1[0][1] if is_b
                                    else None)
                 fe.senc = senc
+                fe.cqp_off = (self.pps.pps_cb_qp_offset,
+                              self.pps.pps_cr_qp_offset)
             ref_pocs = ([p for p, _ in ref_l0],
                         [p for p, _ in ref_l1] if is_b else [])
 
@@ -1440,12 +1453,16 @@ class EncoderTop:
                     from ..entropy.cabac import deblock_frame_native
                     recon = deblock_frame_native(
                         recon, decisions, self.sps, slice_qp, ref_pocs,
-                        qp_map=qmap)
+                        qp_map=qmap,
+                        cb_qp_offset=self.pps.pps_cb_qp_offset,
+                        cr_qp_offset=self.pps.pps_cr_qp_offset)
                 else:
                     dmaps = deblock.build_maps(decisions, self.sps,
                                                ref_pocs)
-                    deblock.deblock_frame(recon, dmaps, slice_qp,
-                                          self.sps, qp_map=qmap)
+                    deblock.deblock_frame(
+                        recon, dmaps, slice_qp, self.sps, qp_map=qmap,
+                        cb_qp_offset=self.pps.pps_cb_qp_offset,
+                        cr_qp_offset=self.pps.pps_cr_qp_offset)
 
         # SAO: estimate on deblocked, attach params, apply after coding
         if sao_on:

@@ -60,6 +60,7 @@ class SliceParamsC(ctypes.Structure):
         ("ts_max_log2", ctypes.c_int32),
         ("dqp_depth", ctypes.c_int32),
         ("tq_bypass", ctypes.c_int32),
+        ("cqp_off", ctypes.c_int32 * 2),
         # encoder-side search controls (zero-init == HM defaults on)
         ("rdoq_off", ctypes.c_int32),
         ("rdoq_ts_off", ctypes.c_int32)]

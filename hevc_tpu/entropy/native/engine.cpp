@@ -38,7 +38,7 @@ static inline long long prof_ticks() {
 #endif
 }
 struct EngineProf {
-  std::atomic<long long> ns[20];
+  std::atomic<long long> ns[22];
   bool on;
   EngineProf() : on(false) {
     for (auto& a : ns) a.store(0);
@@ -456,6 +456,8 @@ CtuEngine::CtuEngine(const SliceParams& sp, const EngineParams& ep,
   // run the exact screens (parity mode).
   if (const char* g = getenv("HEVC_TPU_CUSPLIT_GATE"))
     cusplit_band_ = strcmp(g, "off") == 0 ? 0.0 : atof(g);
+  if (const char* g = getenv("HEVC_TPU_CUSPLIT_DEC"))
+    cusplit_dec_ = atof(g);
 
   nref_[0] = std::min(nref0, 16);
   nref_[1] = std::min(nref1, 16);
@@ -486,7 +488,8 @@ CtuEngine::CtuEngine(const SliceParams& sp, const EngineParams& ep,
   bd_ = sp.bit_depth;
   csx_ = sp.chroma_format == 3 ? 0 : 1;
   qp_y_ = sp.qp;
-  qp_c_ = chroma_qp_of(sp.qp);
+  qp_c_[0] = chroma_qp_of(sp.qp + sp.cqp_off[0]);
+  qp_c_[1] = chroma_qp_of(sp.qp + sp.cqp_off[1]);
   sqrt_lam_ = ep.sqrt_lam;
   mode_map_.assign((size_t)((h_ + 3) >> 2) * ((w_ + 3) >> 2), 1);
 }
@@ -754,7 +757,7 @@ void CtuEngine::build_refs(const pel_t* plane, int pw, int ph, int stride,
 }
 
 thread_local int CtuEngine::qp_y_ = 0;
-thread_local int CtuEngine::qp_c_ = 0;
+thread_local int CtuEngine::qp_c_[2] = {0, 0};
 thread_local double CtuEngine::sqrt_lam_ = 0.0;
 
 void CtuEngine::encode_ctu(int cx, int cy, const MutCtuData& d) {
@@ -773,7 +776,8 @@ void CtuEngine::encode_ctu(int cx, int cy, const MutCtuData& d) {
     qp_y_ = sp_.qp;
     sqrt_lam_ = ep_.sqrt_lam;
   }
-  qp_c_ = chroma_qp_of(qp_y_);
+  qp_c_[0] = chroma_qp_of(qp_y_ + sp_.cqp_off[0]);
+  qp_c_[1] = chroma_qp_of(qp_y_ + sp_.cqp_off[1]);
   int bw4 = ctu_ / 4;
   std::memset(d.cu_depth, ep_.cu_depth_target, (size_t)bw4 * bw4);
   int ctu_x0 = cx * ctu_, ctu_y0 = cy * ctu_;
@@ -860,7 +864,9 @@ int64_t CtuEngine::intra_screen_cost(int x0, int y0, int log2) {
   ProfScope _ps(0);
   int n = 1 << log2;
   int32_t f[4 * 32 + 1], ff[4 * 32 + 1];
-  build_refs(recon_[0], w_, h_, w_, x0, y0, n, x0, y0, 1, f);
+  static const bool oref = getenv("HEVC_TPU_SCREEN_OREF") != nullptr;
+  build_refs(oref ? orig_[0] : recon_[0], w_, h_, w_, x0, y0, n, x0, y0,
+             1, f);
   bool strong = ep_.strong_smoothing && dsp::intra_strong_smoothing(f, n, bd_);
   dsp::intra_filter_refs(f, n, bd_, strong, ff);
   int cand[3];
@@ -917,8 +923,20 @@ void CtuEngine::intra_cu_decide(int x0, int y0, int log2,
                                hc.costs[(cy2 + 1) * hc.nx + cx2] +
                                hc.costs[(cy2 + 1) * hc.nx + cx2 + 1] +
                                lam_bits(8));
-        if (ch_d >= whole_d * (1.0 - cusplit_band_))
+        if (ch_d >= whole_d * (1.0 - cusplit_band_)) {
           decided = true;  // split cannot win: code the block whole
+        } else if (ch_d < whole_d * (1.0 - cusplit_dec_)) {
+          // children DECISIVELY cheaper on the same original-reference
+          // prescreen: more than the reference-flattering bias could
+          // explain — take the split without the recon screens (the
+          // recon-reference quadrant screens under-split here: the
+          // later quadrants' neighbours are not coded yet, so their
+          // screens see padded references where the real coding walk
+          // sees fresh recon — reference xCompressCU codes quadrant k
+          // before trialling quadrant k+1)
+          decided = true;
+          want_split = true;
+        }
       }
     }
     int64_t qscreen[4] = {-1, -1, -1, -1};
@@ -973,6 +991,13 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
   int64_t best_cost = 0;
   int32_t pred[32 * 32], best_pred[32 * 32];
   const pel_t* oy = orig_[0] + y0 * w_ + x0;
+  // top-K SATD shortlist for the full-RD mode decision below
+  // (reference TEncSearch::estIntraPredLumaQT numModesForFullRD:
+  // 8 candidates at 4x4/8x8, 3 at 16..64, TEncSearch.cpp:2184)
+  const int kRd = log2 <= 3 ? 4 : 3;
+  int top_modes[8];
+  int64_t top_costs[8];
+  int ntop = 0;
   {
     ProfScope _pm(1);
     for (int mi = 0; mi < nm; ++mi) {
@@ -980,15 +1005,88 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
       const int32_t* fsel = dsp::intra_filter_flag(mode, n, true) ? ff : f;
       dsp::intra_predict(fsel, f, mode, n, bd_, true, pred);
       int64_t lb = lam_bits(mode_bits(mode, cand));
-      int64_t cost = dsp::satd_bounded(
-                         oy, w_, pred, n, n,
-                         mi == 0 ? INT64_MAX : best_cost - lb) + lb;
+      int64_t bound = ntop < kRd ? INT64_MAX : top_costs[ntop - 1] - lb;
+      int64_t cost = dsp::satd_bounded(oy, w_, pred, n, n, bound) + lb;
+      if (ntop < kRd || cost < top_costs[ntop - 1]) {
+        int at = ntop < kRd ? ntop : kRd - 1;
+        while (at > 0 && cost < top_costs[at - 1]) {
+          top_costs[at] = top_costs[at - 1];
+          top_modes[at] = top_modes[at - 1];
+          --at;
+        }
+        top_costs[at] = cost;
+        top_modes[at] = mode;
+        if (ntop < kRd) ++ntop;
+      }
       if (mi == 0 || cost < best_cost) {
         best_cost = cost;
         best_mode = mode;
         std::memcpy(best_pred, pred, sizeof(int32_t) * n * n);
       }
     }
+  }
+  // ---- exact-RD luma mode decision over the shortlist (the SATD
+  // ranking misorders modes whose residuals differ in coded rate more
+  // than in Hadamard magnitude — HM settles these with full residual
+  // RD per candidate). Trial = TU == CU luma TB: quant/RDOQ levels,
+  // CABAC-counter rate, reconstruction SSE; no state is committed.
+  // prune: only modes whose SATD sits within 10% of the winner can
+  // plausibly flip at exact RD (HM's own candidate list is similarly
+  // narrow in practice); most CUs keep 1 candidate and skip the trial
+  while (ntop > 1 &&
+         top_costs[ntop - 1] > top_costs[0] + (top_costs[0] >> 3))
+    --ntop;
+  if (ntop > 1 && !getenv("HEVC_TPU_NO_MODE_RD")) {
+    ProfScope _pmrd(18);
+    double lam_rd = sqrt_lam_ * sqrt_lam_;
+    const int32_t* smat_t =
+        sp_.scaling_lists ? dsp::default_scaling_matrix(n, true) : nullptr;
+    int32_t t_resi[32 * 32], t_coef[32 * 32], t_lev[32 * 32],
+        t_deq[32 * 32], t_rres[32 * 32];
+    double jbest = -1;
+    int jmode = best_mode;
+    for (int k = 0; k < ntop; ++k) {
+      int mode = top_modes[k];
+      const int32_t* fsel = dsp::intra_filter_flag(mode, n, true) ? ff : f;
+      dsp::intra_predict(fsel, f, mode, n, bd_, true, pred);
+      for (int i = 0; i < n; ++i)
+        for (int j = 0; j < n; ++j)
+          t_resi[i * n + j] =
+              (int32_t)oy[i * w_ + j] - pred[i * n + j];
+      bool dstt = n == 4;
+      dsp::fwd_xform(t_resi, n, bd_, dstt, t_coef);
+      int scan = engine_scan_idx(log2, 0, true, mode, csx_ == 0);
+      int nz = quant_levels(t_coef, n, qp_y_, true, t_lev, smat_t, 0,
+                            scan, lam_rd, true);
+      if (nz && sp_.sign_hiding)
+        sbh_enforce(t_lev, t_coef, n, qp_y_, bd_, scan, smat_t);
+      double bits = mode_bits(mode, cand);
+      bits += ctx_rate(est_ctx_.cbf_luma[1], nz != 0);
+      if (nz) {
+        dsp::dequant(t_lev, n, qp_y_, bd_, t_deq, smat_t);
+        dsp::inv_xform(t_deq, n, bd_, dstt, t_rres);
+        bits += tb_rate_bits(est_ctx_, t_lev, n, log2, 0, scan,
+                             sp_.sign_hiding);
+      } else {
+        std::memset(t_rres, 0, sizeof(int32_t) * n * n);
+      }
+      int maxv_t = (1 << bd_) - 1;
+      int64_t isse = 0;
+      for (int i = 0; i < n; ++i)
+        for (int j = 0; j < n; ++j) {
+          int32_t v = pred[i * n + j] + t_rres[i * n + j];
+          int64_t e = (int64_t)oy[i * w_ + j] -
+                      std::min(maxv_t, std::max(0, v));
+          isse += e * e;
+        }
+      double jm = (double)isse + lam_rd * bits;
+      if (jbest < 0 || jm < jbest) {
+        jbest = jm;
+        jmode = mode;
+        std::memcpy(best_pred, pred, sizeof(int32_t) * n * n);
+      }
+    }
+    best_mode = jmode;
   }
 
   // chroma mode decision over the candidate list (spec 8.4.3: planar,
@@ -1000,8 +1098,9 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
   // (the decision loop and code_tb_i would otherwise predict the same
   // mode from the same recon references twice)
   int32_t best_pred_cb[32 * 32], best_pred_cr[32 * 32];
-  {
+  auto decide_chroma = [&](int dm) -> int {
     ProfScope _pc(2);
+    int winner = dm;
     int32_t fcb[4 * 32 + 1], ffcb[4 * 32 + 1];
     int32_t fcr[4 * 32 + 1], ffcr[4 * 32 + 1];
     build_refs(recon_[1], cw0, ch0, cw0, x0 >> csx_, y0 >> csx_, cs0, x0,
@@ -1013,10 +1112,10 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     const pel_t* ocb = orig_[1] + (y0 >> csx_) * cw0 + (x0 >> csx_);
     const pel_t* ocr = orig_[2] + (y0 >> csx_) * cw0 + (x0 >> csx_);
     int64_t cbest = -1;
-    int cands5[5] = {0, 26, 10, 1, best_mode};
+    int cands5[5] = {0, 26, 10, 1, dm};
     for (int i = 0; i < 5; ++i) {
       int cm = cands5[i];
-      if (i < 4 && cm == best_mode) cm = 34;  // substitution (7.4.9.6)
+      if (i < 4 && cm == dm) cm = 34;  // substitution (7.4.9.6)
       int32_t pcb[32 * 32], pcr[32 * 32];
       // 4:4:4 chroma references are mode-filtered like luma (8.4.4.2.3)
       const int32_t* fb = (csx_ == 0 &&
@@ -1032,12 +1131,14 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
       c += lam_bits(i == 4 ? 1 : 3);
       if (cbest < 0 || c < cbest) {
         cbest = c;
-        cmode_best = cm;
+        winner = cm;
         std::memcpy(best_pred_cb, pcb, sizeof(int32_t) * cs0 * cs0);
         std::memcpy(best_pred_cr, pcr, sizeof(int32_t) * cs0 * cs0);
       }
     }
-  }
+    return winner;
+  };
+  cmode_best = decide_chroma(best_mode);
   for (int yy = 0; yy < nb; ++yy)
     for (int xx = 0; xx < nb; ++xx) {
       d.luma_mode[(by + yy) * bw4 + bx + xx] = (uint8_t)best_mode;
@@ -1075,7 +1176,7 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     int px = c == 0 ? tx : tx >> csx_;
     int py = c == 0 ? ty : ty >> csx_;
     int tz = c == 0 ? tn : tn >> csx_;
-    int qp = c == 0 ? qp_y_ : qp_c_;
+    int qp = c == 0 ? qp_y_ : qp_c_[c - 1];
     ProfScope* _pp = new ProfScope(7);
     // CU-level TB of the decided mode: the mode-trial loops above
     // already predicted exactly this block from the same (unmodified)
@@ -1352,8 +1453,132 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     *cost = costA;
     return nzA;
   };
+  Snap pre_cu;
+  bool try_nxn = log2 == 3 && log2 == sp_.min_cb_log2 && csx_ == 1 &&
+                 sp_.min_tb_log2 <= 2 && x0 + n <= w_ && y0 + n <= h_ &&
+                 !getenv("HEVC_TPU_NO_NXN");
+  if (try_nxn) take(x0, y0, n, pre_cu);
   double cost0 = 0;
   code_r(x0, y0, n, 0, &cost0);
+  // ---- NxN intra trial at the minimum CB size (reference TEncCu::
+  // xCheckRDCostIntra SIZE_NxN, TEncCu.cpp:614/xCompressCU): four 4x4
+  // prediction units each with their OWN mode on their own DST-VII TB —
+  // the fine-grained prediction HM leans on for low-QP detail. The
+  // trial codes the four PUs sequentially from the live recon (each
+  // PU's references include the previously coded PUs), exact-RD picks
+  // each PU's mode from its SATD top-4, and the whole partition is
+  // kept only when its exact J beats the committed 2Nx2N coding. ----
+  // flat blocks cannot repay 4 mode signallings: only trial NxN when
+  // the committed 2Nx2N J exceeds the extra-signalling floor
+  if (try_nxn && cost0 > lam_sq * 24.0) {
+    ProfScope _pnxn(20);
+    // committed 2Nx2N state (to restore if NxN loses)
+    Snap s2n;
+    take(x0, y0, n, s2n);
+    uint8_t ts2n[64], td2n[64];
+    std::memcpy(ts2n, ts_loc, sizeof(ts2n));
+    std::memcpy(td2n, td_map, sizeof(td2n));
+    int stride4 = (w_ + 3) >> 2;
+    uint8_t save_mm[2][2];
+    for (int yy = 0; yy < 2; ++yy)
+      for (int xx = 0; xx < 2; ++xx)
+        save_mm[yy][xx] =
+            mode_map_[((y0 >> 2) + yy) * stride4 + (x0 >> 2) + xx];
+    // roll back to the pre-CU state and code the NxN candidate
+    put(x0, y0, n, pre_cu);
+    double costN = lam_sq * 1.0;  // part_mode context-bin estimate
+    int pu_modes[4] = {1, 1, 1, 1};
+    int32_t f4[4 * 32 + 1], ff4[4 * 32 + 1], pred4[16];
+    for (int k = 0; k < 4; ++k) {
+      int px = x0 + (k & 1) * 4, py = y0 + (k >> 1) * 4;
+      build_refs(recon_[0], w_, h_, w_, px, py, 4, px, py, 1, f4);
+      dsp::intra_filter_refs(f4, 4, bd_, false, ff4);
+      int candp[3];
+      mpm(px, py, candp);
+      const pel_t* op = orig_[0] + py * w_ + px;
+      // SATD rank (coarse-to-fine list), top-4 kept for exact-RD
+      int candl[38];
+      int ncl = intra_try_list(px, py, 2, candp, candl);
+      int tmodes[4];
+      int64_t tcosts[4];
+      int nt = 0;
+      for (int ci = 0; ci < ncl; ++ci) {
+        int mode = candl[ci];
+        const int32_t* fsel =
+            dsp::intra_filter_flag(mode, 4, true) ? ff4 : f4;
+        dsp::intra_predict(fsel, f4, mode, 4, bd_, true, pred4);
+        int64_t c = dsp::satd(op, w_, pred4, 4, 4) +
+                    lam_bits(mode_bits(mode, candp));
+        if (nt < 4 || c < tcosts[nt - 1]) {  // insert into top-4
+          int at = nt < 4 ? nt : 3;
+          while (at > 0 && c < tcosts[at - 1]) {
+            tcosts[at] = tcosts[at - 1];
+            tmodes[at] = tmodes[at - 1];
+            --at;
+          }
+          tcosts[at] = c;
+          tmodes[at] = mode;
+          if (nt < 4) ++nt;
+        }
+      }
+      // exact-RD pick: code each candidate TB, keep the best state
+      Snap spu, sbest;
+      take(px, py, 4, spu);
+      double jb = -1;
+      uint8_t ts_best = 0;
+      int slot = (((py - y0) >> 2) & 7) * 8 + (((px - x0) >> 2) & 7);
+      for (int t = 0; t < nt; ++t) {
+        double sse = 0, bits = (double)mode_bits(tmodes[t], candp);
+        code_tb_i(0, px, py, 4, tmodes[t], &sse, &bits);
+        double j = sse + lam_sq * bits;
+        if (jb < 0 || j < jb) {
+          jb = j;
+          pu_modes[k] = tmodes[t];
+          take(px, py, 4, sbest);
+          ts_best = ts_loc[slot];
+        }
+        if (t + 1 < nt) put(px, py, 4, spu);
+      }
+      put(px, py, 4, sbest);
+      ts_loc[slot] = ts_best;
+      costN += jb;
+      // expose this PU's mode to the next PU's MPM derivation
+      mode_map_[(py >> 2) * stride4 + (px >> 2)] = (uint8_t)pu_modes[k];
+      d.luma_mode[((py - ctu_y0) >> 2) * bw4 + ((px - ctu_x0) >> 2)] =
+          (uint8_t)pu_modes[k];
+    }
+    // chroma pair at the CU (blk-3 rule); DM follows PU0's mode
+    int cmodeN = decide_chroma(pu_modes[0]);
+    {
+      double sseC = 0, bitsC = 1.0;  // chroma mode signalling estimate
+      code_tb_i(1, x0, y0, n, cmodeN, &sseC, &bitsC);
+      code_tb_i(2, x0, y0, n, cmodeN, &sseC, &bitsC);
+      costN += sseC + lam_sq * bitsC;
+    }
+    if (costN < cost0) {
+      cost0 = costN;
+      cmode_best = cmodeN;
+      for (int yy = 0; yy < 2; ++yy)
+        for (int xx = 0; xx < 2; ++xx) {
+          d.nxn_flag[(by + yy) * bw4 + bx + xx] = 1;
+          d.chroma_mode[(by + yy) * bw4 + bx + xx] = (uint8_t)cmodeN;
+          // forced TU split (spec 7.3.8.8 IntraSplitFlag): leaves at
+          // depth 1 in the CU-local td_map the merge below reads
+          td_map[(yy & 7) * 8 + (xx & 7)] = 1;
+        }
+    } else {
+      // restore the committed 2Nx2N coding and every map the trial wrote
+      put(x0, y0, n, s2n);
+      std::memcpy(ts_loc, ts2n, sizeof(ts2n));
+      std::memcpy(td_map, td2n, sizeof(td2n));
+      for (int yy = 0; yy < 2; ++yy)
+        for (int xx = 0; xx < 2; ++xx) {
+          mode_map_[((y0 >> 2) + yy) * stride4 + (x0 >> 2) + xx] =
+              save_mm[yy][xx];
+          d.luma_mode[(by + yy) * bw4 + bx + xx] = (uint8_t)best_mode;
+        }
+    }
+  }
   // I_PCM trial (reference TEncCu::xCheckIntraPCM): raw 8x8 samples cost
   // a fixed 96*bd bits at zero distortion — take it when the coded CU is
   // costlier (noise-like content at low QP).
@@ -1382,6 +1607,9 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
           d.tu_depth[(by + yy) * bw4 + bx + xx] = 0;
           d.luma_mode[(by + yy) * bw4 + bx + xx] = 1;   // DC (I_PCM dir)
           d.chroma_mode[(by + yy) * bw4 + bx + xx] = 1;
+          // pcm_flag is only coded for 2Nx2N CUs (7.3.8.5): a PCM win
+          // over an NxN trial must clear the partition choice
+          d.nxn_flag[(by + yy) * bw4 + bx + xx] = 0;
           mode_map_[((y0 >> 2) + yy) * stride4 + (x0 >> 2) + xx] = 1;
         }
       d.tu_depth[by * bw4 + bx] = PCM_FLAG;
@@ -1538,15 +1766,16 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
       rres[32 * 32];
   int maxv = (1 << bd_) - 1;
   double lam = sqrt_lam_ * sqrt_lam_;
-  double cwgt = std::pow(2.0, (qp_y_ - qp_c_) / 3.0);
+  double cwgt2[2] = {std::pow(2.0, (qp_y_ - qp_c_[0]) / 3.0),
+                     std::pow(2.0, (qp_y_ - qp_c_[1]) / 3.0)};
   double sse_coded = 0, bits_coded = 0;
   int nz_total = 0;
   auto code_tb64 = [&](const pel_t* o, int ostride, const int32_t* p,
                        int pstride, int sz, int qp, int c_idx,
                        int16_t* lv_out, int lv_stride, pel_t* rec,
                        int rstride) {
-    double dw = c_idx ? cwgt : 1.0;
-    double lam_c = c_idx ? lam / cwgt : lam;
+    double dw = c_idx ? cwgt2[c_idx - 1] : 1.0;
+    double lam_c = c_idx ? lam / dw : lam;
     for (int i = 0; i < sz; ++i)
       for (int j = 0; j < sz; ++j)
         resi[i * sz + j] = (int32_t)o[i * ostride + j] - p[i * pstride + j];
@@ -1621,7 +1850,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
       int qx = (q & 1) * 16, qy = (q >> 1) * 16;
       nz_total += code_tb64(
           orig_[ci] + ((y0 >> 1) + qy) * cw + (x0 >> 1) + qx, cw,
-          pc + qy * 32 + qx, 32, 16, qp_c_, ci,
+          pc + qy * 32 + qx, 32, 16, qp_c_[ci - 1], ci,
           lv_plane + ((y0 - ctu_y0) / 2 + qy) * cctu +
               (x0 - ctu_x0) / 2 + qx, cctu,
           recon_[ci] + ((y0 >> 1) + qy) * cw + (x0 >> 1) + qx, cw);
@@ -1644,7 +1873,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
                     - pcb64[i * 32 + j];
         double er = (double)orig_[2][((y0 >> 1) + i) * cw + (x0 >> 1) + j]
                     - pcr64[i * 32 + j];
-        sse_skip += (eb * eb + er * er) * cwgt;
+        sse_skip += eb * eb * cwgt2[0] + er * er * cwgt2[1];
       }
     if (sse_skip < sse_coded + lam * (bits_coded +
                                       ctx_rate(est_ctx_.qt_root_cbf[0],
@@ -1728,7 +1957,8 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   int32_t m_pred[32 * 32];
   int csz = n >> 1, ccx = x0 >> 1, ccy = y0 >> 1;
   int cwp = w_ >> 1;
-  double sk_cwgt = std::pow(2.0, (qp_y_ - chroma_qp_of(qp_y_)) / 3.0);
+  double sk_cwgt = std::pow(
+      2.0, (qp_y_ - chroma_qp_of(qp_y_ + sp_.cqp_off[0])) / 3.0);
   double sk_lam = sqrt_lam_ * sqrt_lam_;
   double m_sk_j = -1.0;
   int m_sk_idx = -1;
@@ -2445,7 +2675,8 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   // chroma distortion weight / RDOQ lambda split (reference
   // TEncSlice::setUpLambda: chroma SSE is weighted by 2^((qpY-qpC)/3) in
   // mode decisions and RDOQ runs at lambda / weight)
-  double cwgt = std::pow(2.0, (qp_y_ - qp_c_) / 3.0);
+  double cwgt2[2] = {std::pow(2.0, (qp_y_ - qp_c_[0]) / 3.0),
+                     std::pow(2.0, (qp_y_ - qp_c_[1]) / 3.0)};
   uint8_t ts_loc[64] = {0};  // per-4x4 TS flags, CU-local (see intra path)
   // codes one TB: levels into lv (stride lstride), recon into rec; returns
   // nz and accumulates pixel SSE (chroma weighted) + CABAC-counter exact
@@ -2456,8 +2687,8 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
                      int lstride, pel_t* rec, int rstride, double* sse,
                      double* bits, uint8_t* ts_slot = nullptr,
                      uint8_t ts_bit = 0) -> int {
-    double dw = c_idx ? cwgt : 1.0;
-    double lam_c = c_idx ? lam_sq / cwgt : lam_sq;
+    double dw = c_idx ? cwgt2[c_idx - 1] : 1.0;
+    double lam_c = c_idx ? lam_sq / dw : lam_sq;
     for (int i = 0; i < sz; ++i)
       for (int j = 0; j < sz; ++j)
         resi[i * sz + j] = (int32_t)o[i * ostride + j] - p[i * pstride + j];
@@ -2523,12 +2754,12 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
                        &ts_loc[(ly >> 2) * 8 + (lx >> 2)], TS_Y);
         uint8_t* slot = &ts_loc[((lcy * 2) >> 2) * 8 + ((lcx * 2) >> 2)];
         nzs += code_tb(orig_[1] + (cyy + lcy) * cw + cxx + lcx, cw,
-                       pcb + lcy * cs + lcx, cs, tc, qp_c_, 1,
+                       pcb + lcy * cs + lcx, cs, tc, qp_c_[0], 1,
                        lev_cb + lcy * cs + lcx, cs,
                        rec_cb + lcy * cs + lcx, cs, &sse, &bits, slot,
                        TS_CB);
         nzs += code_tb(orig_[2] + (cyy + lcy) * cw + cxx + lcx, cw,
-                       pcr + lcy * cs + lcx, cs, tc, qp_c_, 2,
+                       pcr + lcy * cs + lcx, cs, tc, qp_c_[1], 2,
                        lev_cr + lcy * cs + lcx, cs,
                        rec_cr + lcy * cs + lcx, cs, &sse, &bits, slot,
                        TS_CR);
@@ -2652,8 +2883,8 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     // one trial TB: returns weighted SSE contribution, accumulates bits
     auto trial_tb = [&](const pel_t* o, int ostride, const int32_t* p,
                         int sz, int qp, int c_idx, int mode) {
-      double dw = c_idx ? cwgt : 1.0;
-      double lam_c = c_idx ? lam_sq / cwgt : lam_sq;
+      double dw = c_idx ? cwgt2[c_idx - 1] : 1.0;
+      double lam_c = c_idx ? lam_sq / dw : lam_sq;
       for (int i = 0; i < sz; ++i)
         for (int j = 0; j < sz; ++j)
           it_resi[i * sz + j] =
@@ -2697,7 +2928,8 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       build_refs(recon_[c], cw, h_ >> 1, cw, cxx, cyy, cs, x0, y0, 2, fc);
       dsp::intra_filter_refs(fc, cs, bd_, false, ffc);
       dsp::intra_predict(fc, fc, iscr_mode, cs, bd_, false, predc);
-      j_intra += trial_tb(orig_[c] + cyy * cw + cxx, cw, predc, cs, qp_c_,
+      j_intra += trial_tb(orig_[c] + cyy * cw + cxx, cw, predc, cs,
+                          qp_c_[c - 1],
                           c, iscr_mode);
     }
     j_intra += lam_sq * ibits;

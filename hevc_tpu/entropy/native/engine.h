@@ -78,6 +78,7 @@ class CtuEngine {
   bool rdoq_exact_ = true;
   double tusplit_margin_ = 0.95;  // device-cost TU-split gate (0 = off)
   double cusplit_band_ = 0.05;    // intra CU-split gate margin (0 = off)
+  double cusplit_dec_ = 0.20;     // decisive-split device margin
   // Shadow entropy coder: replays each committed CTU so est_ctx_ always
   // holds the TRUE CABAC states the real coding pass will have at the
   // next CTU (the reference refreshes its RDOQ estBits tables from its
@@ -163,7 +164,7 @@ class CtuEngine {
   // Per-CTU quantization state. One engine is shared by the wavefront
   // worker threads, so these are thread-local; encode_ctu() sets them
   // unconditionally on entry (cu_dqp makes them vary per CTU).
-  static thread_local int qp_y_, qp_c_;
+  static thread_local int qp_y_, qp_c_[2];
   static thread_local double sqrt_lam_;
   int32_t lev_tmp_[32 * 32];
   std::vector<uint8_t> mode_map_;  // per-4x4 intra mode, inter blocks -> DC

@@ -486,7 +486,9 @@ int PicMaps::merge_candidates(int x0, int y0, int w, int h,
     for (int i = 0; i < n; ++i)
       if (out[i].ref[0] >= 0 && out[i].ref[1] >= 0) out[i].ref[1] = -1;
   }
-  return n;
+  // the list is truncated at MaxNumMergeCand (spec 8.5.3.2.1
+  // numMergeCand; the spatial step alone can gather more)
+  return std::min(n, sp.max_merge_cand);
 }
 
 // spec 8.5.3.2.6/8.5.3.2.7: AMVP spatial candidates with POC scaling.

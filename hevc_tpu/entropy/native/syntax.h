@@ -88,6 +88,8 @@ struct SliceParams {
                            // reference TComPPS::getMaxCuDQPDepth)
   int32_t tq_bypass;       // PPS transquant_bypass_enabled_flag (lossless
                            // CUs; cu_transquant_bypass_flag per CU)
+  int32_t cqp_off[2];      // pps_cb/cr_qp_offset (+ slice offsets folded
+                           // in by the caller; spec 8.6.1 qPiCb/qPiCr)
   // encoder-side search controls (no bitstream syntax; zero-init keeps the
   // HM defaults RDOQ=1 / RDOQTS=1, reference TAppEncCfg.cpp:814-815)
   int32_t rdoq_off;        // 1 disables rate-distortion optimized quant

@@ -626,9 +626,11 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
     confirm(tiles_on and not cfg.tile_uniform,
             "only uniform tile spacing supported (TileUniformSpacing=1; "
             "the explicit width/height arrays are not implemented)")
-    confirm(cfg.max_merge_cand != 5, "MaxNumMergeCand must be 5")
-    confirm(cfg.cb_qp_offset != 0 or cfg.cr_qp_offset != 0,
-            "chroma QP offsets unsupported (must be 0)")
+    confirm(not (1 <= cfg.max_merge_cand <= 5),
+            "MaxNumMergeCand out of [1, 5]")
+    confirm(not (-12 <= cfg.cb_qp_offset <= 12)
+            or not (-12 <= cfg.cr_qp_offset <= 12),
+            "chroma QP offsets out of [-12, 12]")
     confirm(cfg.tier.lower() not in ("main", ""), "only Main tier")
     confirm(bool(cfg.rate_control) and cfg.target_bitrate <= 0,
             "RateControl=1 requires a positive TargetBitrate")

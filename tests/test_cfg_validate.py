@@ -33,8 +33,8 @@ def test_ctc_cfgs_validate(name):
     ["--ScalingList=3"],
     ["--ScalingList=2", "--ScalingListFile= "],
     ["--MaxCuDQPDepth=1"],
-    ["--MaxNumMergeCand=3"],
-    ["--CbQpOffset=1"],
+    ["--MaxNumMergeCand=0"],
+    ["--CbQpOffset=13"],
     ["--SearchRange=128"],
     ["--CUTransquantBypassFlagForce=1"],
 ])

@@ -1235,6 +1235,52 @@ def test_monochrome_encode_conformance(tmp_path):
         assert own.read_bytes() == dec.read_bytes()
 
 
+@pytest.mark.parametrize("mmc", [2, 3])
+def test_max_num_merge_cand_conformance(tmp_path, mmc):
+    """MaxNumMergeCand below 5 (slice five_minus_max_num_merge_cand;
+    spec 8.5.3.2.1 truncates the merge list at MaxNumMergeCand, so the
+    spatial step alone can overshoot): P and B merge/skip decisions must
+    stay within the shortened list and decode HM-identically."""
+    w, h, frames = 192, 96, 5
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    from hevc_tpu.cli.encode import main
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    main(["-c", "/root/reference/cfg/encoder_randomaccess_main.cfg",
+          "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-fr", "30", "-q", "32",
+          f"--MaxNumMergeCand={mmc}", "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames
+    assert rec.read_bytes() == dec.read_bytes()
+
+
+def test_chroma_qp_offsets_conformance(tmp_path):
+    """pps_cb/cr_qp_offset (spec 8.6.1 qPiCb/qPiCr): per-component
+    chroma QP (quant, RDOQ lambda split, chroma SSE weights) and the
+    deblocking edge QP must all honour the PPS offsets — across intra,
+    low-delay-P (native engine) and the 4:4:4 Python path."""
+    w, h, frames = 192, 96, 4
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    from hevc_tpu.cli.encode import main
+    for extra in (["-q", "32", "--CbQpOffset=2", "--CrQpOffset=-2"],
+                  ["-c", "/root/reference/cfg/encoder_lowdelay_P_main.cfg",
+                   "-fr", "30", "-q", "32", "--CbQpOffset=1",
+                   "--CrQpOffset=3"]):
+        bs, rec, dec = (tmp_path / "o.bin", tmp_path / "r.yuv",
+                        tmp_path / "d.yuv")
+        main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+              str(frames)] + extra + ["-b", str(bs), "-o", str(rec)])
+        out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                             capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert out.stdout.count("(OK)") == frames
+        assert rec.read_bytes() == dec.read_bytes()
+
+
 def test_monochrome_hm_decode(tmp_path):
     """General HM 4:0:0 streams (intra, low-delay B, random access)
     decode byte-identically with per-picture hash OK."""
