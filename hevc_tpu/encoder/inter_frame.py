@@ -68,6 +68,10 @@ class PFrameEncoder(IntraFrameEncoder):
 
     def _code_inter_tb(self, orig_tb, pred, size, qp):
         resi = orig_tb.astype(np.int32) - pred.astype(np.int32)
+        if getattr(self, "lossless", False):
+            # cu_transquant_bypass (spec 8.6.4.1 bypass branch): the
+            # residual IS the coefficient array; recon is exact
+            return resi.copy(), orig_tb.astype(np.int32)
         coeff = forward_transform_np(resi, size, self.bd)
         levels = quantize_np(coeff, size, qp, self.bd, is_intra=False)
         if not levels.any():

@@ -137,6 +137,9 @@ class IntraFrameEncoder:
     def _code_tb(self, orig_tb, pred, size, is_luma, is_dst, c_idx=0):
         """residual -> (levels, recon_tb)"""
         resi = orig_tb.astype(np.int32) - pred.astype(np.int32)
+        if getattr(self, "lossless", False):
+            # cu_transquant_bypass: residual passes straight through
+            return resi.copy(), orig_tb.astype(np.int32)
         coeff = forward_transform_np(resi, size, self.bd, is_dst=is_dst)
         qp = self.qp if is_luma else tables.chroma_qp(
             self.qp, self.sps.chroma_format_idc,

@@ -193,6 +193,8 @@ class EncoderTop:
             self.sps._tile_rows = self.tiles[1] + 1
         elif cfg.wpp:
             self.pps.entropy_coding_sync_enabled_flag = 1
+        if cfg.tq_bypass_force:
+            self.pps.transquant_bypass_enabled_flag = 1
         if cfg.cb_qp_offset or cfg.cr_qp_offset:
             self.pps.pps_cb_qp_offset = cfg.cb_qp_offset
             self.pps.pps_cr_qp_offset = cfg.cr_qp_offset
@@ -1057,9 +1059,15 @@ class EncoderTop:
         # multiplier + I-slice GOP scale, TEncSlice.cpp:335-371)
         pic_lam = hm_pic_lambda(slice_qp, self.gop_size or 1, cvs_poc,
                                 qf, is_intra)
-        sao_on = 1 if cfg.sao else 0
+        # force-all lossless: every sample is bypass-coded, so loop
+        # filters cannot change anything (reference TComLoopFilter
+        # bPartP/QNoFilter + SAO offsetBlock lossless skip) — SAO off
+        # saves its signalling
+        lossless = bool(getattr(cfg, "tq_bypass_force", 0))
+        sao_on = 1 if (cfg.sao and not lossless) else 0
         cfmt = self.sps.chroma_format_idc
-        use_native = ((cfmt == 1 or (cfmt == 3 and is_intra)) and
+        use_native = (not lossless
+                      and (cfmt == 1 or (cfmt == 3 and is_intra)) and
                       self.sps.scaling_list_data is None and
                       os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0")
         n_l0 = 0 if is_intra else len(ref_l0)
@@ -1113,6 +1121,7 @@ class EncoderTop:
             sp.rdoq_ts_off = 0 if cfg.rdoq_ts else 1
             sp.cqp_off[0] = self.pps.pps_cb_qp_offset
             sp.cqp_off[1] = self.pps.pps_cr_qp_offset
+            sp.tq_bypass = self.pps.transquant_bypass_enabled_flag
             sp.ts_context = self.sps.transform_skip_context_enabled_flag
             sp.persistent_rice = \
                 self.sps.persistent_rice_adaptation_enabled_flag
@@ -1131,6 +1140,7 @@ class EncoderTop:
                 fe = IntraFrameEncoder(self.sps, slice_qp, lam=pic_lam)
                 fe.cqp_off = (self.pps.pps_cb_qp_offset,
                               self.pps.pps_cr_qp_offset)
+                fe.lossless = lossless
             ref_pocs = ((), ())
         else:
             l0_poc, l0_planes = ref_l0[0]
@@ -1265,6 +1275,7 @@ class EncoderTop:
             sp.rdoq_ts_off = 0 if cfg.rdoq_ts else 1
             sp.cqp_off[0] = self.pps.pps_cb_qp_offset
             sp.cqp_off[1] = self.pps.pps_cr_qp_offset
+            sp.tq_bypass = self.pps.transquant_bypass_enabled_flag
             sp.ts_context = self.sps.transform_skip_context_enabled_flag
             sp.persistent_rice = \
                 self.sps.persistent_rice_adaptation_enabled_flag
@@ -1310,6 +1321,7 @@ class EncoderTop:
                 fe.senc = senc
                 fe.cqp_off = (self.pps.pps_cb_qp_offset,
                               self.pps.pps_cr_qp_offset)
+                fe.lossless = lossless
             ref_pocs = ([p for p, _ in ref_l0],
                         [p for p, _ in ref_l1] if is_b else [])
 
@@ -1420,7 +1432,8 @@ class EncoderTop:
             self._me_pending_early_dispatch(cvs_poc, recon[0])
 
         # in-loop deblocking
-        if not self.pps.pps_deblocking_filter_disabled_flag:
+        if (not self.pps.pps_deblocking_filter_disabled_flag
+                and not lossless):
             from ..ops import deblock
             qmap = None
             if self.pps.cu_qp_delta_enabled_flag and ctu_qps is not None:

@@ -841,7 +841,10 @@ void SliceEncoder::cu_tree(int x0, int y0, int log2, int depth) {
 void SliceEncoder::code_cu(int x0, int y0, int log2) {
   if (g_bin_trace) fprintf(g_bin_trace, "# CU %d %d log2=%d\n", x0, y0, log2);
   int bw4 = sp_.ctu_size / 4;
-  // (cu_transquant_bypass not coded: PPS flag off)
+  // cu_transquant_bypass_flag (spec 7.3.8.5). The encoder's only
+  // bypass mode is force-all (CUTransquantBypassFlagForce): every CU
+  // codes 1 (reference TEncCu setting getCUTransquantBypassFlagForce).
+  if (sp_.tq_bypass) cabac_.encode_bin(ctx_.tq_bypass[0], 1);
   if (sp_.slice_type != 2) {
     int skip = map_at(cur_->skip_flag, bw4, x0 - ctu_x0_, y0 - ctu_y0_);
     int ctxi = 0;
@@ -1275,10 +1278,13 @@ void SliceEncoder::residual(int x0, int y0, int log2, int c_idx) {
   const auto& scan = g_scans.t[log2 - 2][scan_idx];
 
   // transform_skip_flag (spec 7.3.8.11, first element of residual_coding;
-  // reference TEncSbac::codeTransformSkipFlags, 2 contexts luma/chroma)
+  // reference TEncSbac::codeTransformSkipFlags, 2 contexts luma/chroma).
+  // cu_transquant_bypass blocks (force-all lossless mode) carry no
+  // transform_skip_flag and never hide signs (spec 7.3.8.11/7.4.9.11).
+  bool tqb = sp_.tq_bypass != 0;
   bool ts = false;
-  bool no_sbh = false;  // RDPCM TBs would disable SBH (RExt; not emitted)
-  if (sp_.transform_skip_enabled && log2 == 2) {
+  bool no_sbh = tqb;
+  if (sp_.transform_skip_enabled && log2 == 2 && !tqb) {
     ts = (map_at(cur_->tu_depth, bw4, x0 - ctu_x0_, y0 - ctu_y0_) &
           ts_bit_of(c_idx)) != 0;
     cabac_.encode_bin(ctx_.transform_skip[luma ? 0 : 1], ts ? 1 : 0);
@@ -1362,7 +1368,7 @@ void SliceEncoder::residual(int x0, int y0, int log2, int c_idx) {
       int sig = v != 0;
       if (k > 0 || !infer_dc) {
         int xc = r % n, yc = r / n;
-        int sctx = (sp_.ts_context && ts)
+        int sctx = (sp_.ts_context && (ts || tqb))
                        ? (luma ? 27 : 15)
                        : sig_ctx_inc(log2, scan_idx, xc, yc, right, below,
                                      luma);
@@ -1419,7 +1425,7 @@ void SliceEncoder::residual(int x0, int y0, int log2, int c_idx) {
     // the decoder: per-class statistic seeds the CG's rice parameter,
     // the first escape value updates it, in-CG increment uncapped
     if (g_bin_trace) fprintf(g_bin_trace, "# sb %d remaining\n", i);
-    int stat_idx = (luma ? 2 : 0) + (ts ? 1 : 0);
+    int stat_idx = (luma ? 2 : 0) + ((ts || tqb) ? 1 : 0);
     int first_coeff2 = 1;
     int rice = sp_.persistent_rice ? (int)(ctx_.rice_stat[stat_idx] >> 2)
                                    : 0;

@@ -590,10 +590,19 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
             "MaxCuDQPDepth != 0 unsupported (CTU-size quant groups only)")
     confirm(cfg.delta_qp_rd != 0, "DeltaQpRD unsupported")
     confirm(cfg.max_delta_qp != 0, "MaxDeltaQP unsupported")
-    confirm(cfg.tq_bypass_force != 0,
-            "CUTransquantBypassFlagForce unsupported (every CU would "
-            "have to bypass transform/quant)")
-    tool_hint(cfg.tq_bypass_enable, "TransquantBypassEnableFlag")
+    confirm(cfg.tq_bypass_force and not cfg.tq_bypass_enable,
+            "CUTransquantBypassFlagForce requires "
+            "TransquantBypassEnableFlag")
+    confirm(cfg.tq_bypass_force and cfg.internal_bit_depth > 15,
+            "lossless coding needs residuals within int16 "
+            "(InternalBitDepth <= 15)")
+    confirm(cfg.tq_bypass_force
+            and (cfg.implicit_rdpcm or cfg.explicit_rdpcm
+                 or cfg.residual_rotation),
+            "lossless encode does not emit RDPCM/rotation RExt tools")
+    confirm(cfg.tq_bypass_enable and not cfg.tq_bypass_force,
+            "TransquantBypassEnableFlag without the force flag "
+            "unsupported (per-CU bypass RD search not implemented)")
     tool_hint(cfg.cross_comp_pred, "CrossComponentPrediction")
     confirm(cfg.extended_precision != 0, "ExtendedPrecision unsupported")
     tool_hint(cfg.high_prec_wp, "HighPrecisionPredictionWeighting")

@@ -36,7 +36,7 @@ def test_ctc_cfgs_validate(name):
     ["--MaxNumMergeCand=0"],
     ["--CbQpOffset=13"],
     ["--SearchRange=128"],
-    ["--CUTransquantBypassFlagForce=1"],
+    ["--CUTransquantBypassFlagForce=1"],  # without EnableFlag
 ])
 def test_unsupported_values_rejected(extra):
     cfg = parse_cli(["-c", "/root/reference/cfg/encoder_intra_main.cfg"]

@@ -1257,6 +1257,41 @@ def test_max_num_merge_cand_conformance(tmp_path, mmc):
     assert rec.read_bytes() == dec.read_bytes()
 
 
+def test_lossless_encode_conformance(tmp_path):
+    """Force-all lossless coding (TransquantBypassEnableFlag +
+    CUTransquantBypassFlagForce; spec 8.6.4.1 bypass branch): every CU
+    codes cu_transquant_bypass_flag=1, residuals pass straight through
+    as coefficients, no transform_skip_flag/SBH, loop filters leave
+    bypass samples. The recon must equal the SOURCE byte-exactly and
+    the HM decoder must agree."""
+    w, h, frames = 192, 96, 3
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    from hevc_tpu.cli.decode import main as dmain
+    from hevc_tpu.cli.encode import main
+    for extra in (["-q", "32"],
+                  ["-c", "/root/reference/cfg/encoder_lowdelay_P_main.cfg",
+                   "-fr", "30", "-q", "32"]):
+        bs, rec, dec = (tmp_path / "o.bin", tmp_path / "r.yuv",
+                        tmp_path / "d.yuv")
+        # flags AFTER -c: the CTC cfg files explicitly zero them and
+        # layering is later-wins (program_options_lite semantics)
+        main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+              str(frames)] + extra
+             + ["--TransquantBypassEnableFlag=1",
+                "--CUTransquantBypassFlagForce=1",
+                "-b", str(bs), "-o", str(rec)])
+        assert rec.read_bytes() == clip.read_bytes()  # truly lossless
+        out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                             capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert out.stdout.count("(OK)") == frames
+        assert rec.read_bytes() == dec.read_bytes()
+        own = tmp_path / "own.yuv"
+        assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+        assert own.read_bytes() == dec.read_bytes()
+
+
 def test_chroma_qp_offsets_conformance(tmp_path):
     """pps_cb/cr_qp_offset (spec 8.6.1 qPiCb/qPiCr): per-component
     chroma QP (quant, RDOQ lambda split, chroma SSE weights) and the
