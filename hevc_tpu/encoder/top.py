@@ -165,10 +165,13 @@ class EncoderTop:
             # CTU-granularity quantization groups (cu_qp_delta); driven by
             # the variance preanalysis (AdaptiveQP) and/or CTU-level rate
             # control (reference TEncPic/TEncPreanalyzer, TEncRateCtrl)
+            # quantization groups of size ctu >> MaxCuDQPDepth
+            # (cu_qp_delta); driven by the variance preanalysis
+            # (AdaptiveQP) and/or CTU-level rate control (reference
+            # TEncPic/TEncPreanalyzer, TEncRateCtrl, TComPPS
+            # setMaxCuDQPDepth)
             self.pps.cu_qp_delta_enabled_flag = 1
-            self.pps.diff_cu_qp_delta_depth = 0
-            assert cfg.max_cu_dqp_depth == 0, \
-                "only CTU-size quantization groups supported"
+            self.pps.diff_cu_qp_delta_depth = cfg.max_cu_dqp_depth
         if (cfg.sign_hide
                 and (cfg.internal_chroma_format == 1 or
                      (cfg.internal_chroma_format == 3
@@ -1086,15 +1089,25 @@ class EncoderTop:
 
         ctu_qps = None
         if self.pps.cu_qp_delta_enabled_flag:
+            # target QP map at quantization-group granularity
+            # (ctu >> diff_cu_qp_delta_depth; per-CTU when depth 0)
+            dqd = self.pps.diff_cu_qp_delta_depth
+            qg = self.sps.ctu_size >> dqd
             if cfg.lcu_rate_control and self.rc is not None:
                 from .rate_ctrl import lcu_qps
                 refl = None if is_intra else ref_l0[0][1][0]
-                ctu_qps = lcu_qps(planes[0], refl, self.sps.ctu_size,
-                                  slice_qp).reshape(-1)
+                m = lcu_qps(planes[0], refl, self.sps.ctu_size, slice_qp)
+                if dqd:
+                    # rate control allocates per CTU; replicate to QGs
+                    qgs_h = -(-cfg.height // qg)
+                    qgs_w = -(-cfg.width // qg)
+                    m = np.repeat(np.repeat(m, 1 << dqd, 0), 1 << dqd,
+                                  1)[:qgs_h, :qgs_w]
+                ctu_qps = m.reshape(-1)
             else:
                 from ..ops.qpmap import adaptive_qp_offsets
                 ctu_qps = adaptive_qp_offsets(
-                    planes[0], self.sps.ctu_size, slice_qp,
+                    planes[0], qg, slice_qp,
                     cfg.qp_adaptation_range).reshape(-1)
         if is_intra:
             sp = make_slice_params(
@@ -1117,6 +1130,7 @@ class EncoderTop:
                 tile_rows=self.pps.num_tile_rows_minus1 + 1
                 if self.pps.tiles_enabled_flag else 0)
             sp.ts_rotation = self.sps.transform_skip_rotation_enabled_flag
+            sp.dqp_depth = self.pps.diff_cu_qp_delta_depth
             sp.rdoq_off = 0 if cfg.rdoq else 1
             sp.rdoq_ts_off = 0 if cfg.rdoq_ts else 1
             sp.cqp_off[0] = self.pps.pps_cb_qp_offset
@@ -1271,6 +1285,7 @@ class EncoderTop:
                             cws[2 * r + j] = cwj
                             cos[2 * r + j] = coj
             sp.ts_rotation = self.sps.transform_skip_rotation_enabled_flag
+            sp.dqp_depth = self.pps.diff_cu_qp_delta_depth
             sp.rdoq_off = 0 if cfg.rdoq else 1
             sp.rdoq_ts_off = 0 if cfg.rdoq_ts else 1
             sp.cqp_off[0] = self.pps.pps_cb_qp_offset
@@ -1450,17 +1465,28 @@ class EncoderTop:
                 ctus_h = self.sps.pic_height_in_ctus
                 get_d = (decisions.view if hasattr(decisions, "view")
                          else lambda i: decisions[i])
-                has = [qpmap.ctu_has_cbf(get_d(cy * ctus_w + cx))
-                       for (cx, cy) in order]
-                pred, fin = qpmap.qp_chain(
-                    ctu_qps, has, slice_qp, order, ctus_w, ctus_h,
-                    wpp=self.pps.entropy_coding_sync_enabled_flag,
-                    tile_cols=self.pps.num_tile_columns_minus1 + 1
-                    if self.pps.tiles_enabled_flag else 0,
-                    tile_rows=self.pps.num_tile_rows_minus1 + 1
-                    if self.pps.tiles_enabled_flag else 0)
-                qmap = qpmap.build_qp_map(get_d, order, pred, fin,
-                                          self.sps.ctu_size, cfgw, cfgh)
+                tcols = (self.pps.num_tile_columns_minus1 + 1
+                         if self.pps.tiles_enabled_flag else 0)
+                trows = (self.pps.num_tile_rows_minus1 + 1
+                         if self.pps.tiles_enabled_flag else 0)
+                if self.pps.diff_cu_qp_delta_depth:
+                    qmap = qpmap.qg_qp_map(
+                        get_d, order, ctu_qps, slice_qp,
+                        self.sps.ctu_size,
+                        self.pps.diff_cu_qp_delta_depth, cfgw, cfgh,
+                        wpp=self.pps.entropy_coding_sync_enabled_flag,
+                        tile_cols=tcols, tile_rows=trows,
+                        chroma_format=self.sps.chroma_format_idc)
+                else:
+                    has = [qpmap.ctu_has_cbf(get_d(cy * ctus_w + cx))
+                           for (cx, cy) in order]
+                    pred, fin = qpmap.qp_chain(
+                        ctu_qps, has, slice_qp, order, ctus_w, ctus_h,
+                        wpp=self.pps.entropy_coding_sync_enabled_flag,
+                        tile_cols=tcols, tile_rows=trows)
+                    qmap = qpmap.build_qp_map(get_d, order, pred, fin,
+                                              self.sps.ctu_size, cfgw,
+                                              cfgh)
             with timers.section("deblock"):
                 if os.environ.get("HEVC_TPU_NATIVE_DEBLOCK", "1") != "0":
                     from ..entropy.cabac import deblock_frame_native

@@ -760,6 +760,22 @@ thread_local int CtuEngine::qp_y_ = 0;
 thread_local int CtuEngine::qp_c_[2] = {0, 0};
 thread_local double CtuEngine::sqrt_lam_ = 0.0;
 
+// Sub-CTU quantization groups (PPS diff_cu_qp_delta_depth > 0): every
+// CU trial/commit quantizes with its own QG's target QP so the levels
+// the syntax layer signals dequantize to the engine's recon exactly.
+// CUs larger than the QG are their own group (target sampled at the CU
+// origin), CUs smaller share their covering QG's value — both are the
+// same floor-indexed map read. Reference TEncCu::xCompressCU setQPforQG.
+void CtuEngine::set_cu_qp(int x0, int y0) {
+  if (!(sp_.cu_dqp && sp_.ctu_qps && sp_.dqp_depth > 0)) return;
+  int qg = ctu_ >> sp_.dqp_depth;
+  int qgs_w = (w_ + qg - 1) / qg;
+  qp_y_ = sp_.ctu_qps[(size_t)(y0 / qg) * qgs_w + (x0 / qg)];
+  sqrt_lam_ = ep_.sqrt_lam * std::pow(2.0, (qp_y_ - sp_.qp) / 6.0);
+  qp_c_[0] = chroma_qp_of(qp_y_ + sp_.cqp_off[0]);
+  qp_c_[1] = chroma_qp_of(qp_y_ + sp_.cqp_off[1]);
+}
+
 void CtuEngine::encode_ctu(int cx, int cy, const MutCtuData& d) {
   ProfScope _pw(10);  // whole-CTU envelope (profiler bookkeeping only)
   if (est_enc_ && sequential_)
@@ -767,10 +783,13 @@ void CtuEngine::encode_ctu(int cx, int cy, const MutCtuData& d) {
   // per-CTU quantization state (always set: thread-local, and a worker
   // thread may be seeing this engine for the first time)
   if (sp_.cu_dqp && sp_.ctu_qps) {
-    int ctus_w = (w_ + ctu_ - 1) / ctu_;
-    qp_y_ = sp_.ctu_qps[(size_t)cy * ctus_w + cx];
-    // rate-distortion lambda tracks the CTU QP (reference TEncRateCtrl
+    // target QP map is per quantization group (ctu >> dqp_depth); at
+    // dqp_depth 0 this is exactly the per-CTU raster. Rate-distortion
+    // lambda tracks the local QP (reference TEncRateCtrl
     // getLCUInitialLambda shape): sqrt(lambda) scales by 2^(dQP/6)
+    int qg = ctu_ >> sp_.dqp_depth;
+    int qgs_w = (w_ + qg - 1) / qg;
+    qp_y_ = sp_.ctu_qps[(size_t)(cy * ctu_ / qg) * qgs_w + cx * ctu_ / qg];
     sqrt_lam_ = ep_.sqrt_lam * std::pow(2.0, (qp_y_ - sp_.qp) / 6.0);
   } else {
     qp_y_ = sp_.qp;
@@ -895,6 +914,7 @@ int64_t CtuEngine::intra_screen_cost(int x0, int y0, int log2) {
 void CtuEngine::intra_cu_decide(int x0, int y0, int log2,
                                 const MutCtuData& d, int ctu_x0,
                                 int ctu_y0, int64_t whole_hint) {
+  set_cu_qp(x0, y0);
   int bw4 = ctu_ / 4;
   if (log2 > sp_.min_cb_log2 &&
       x0 + (1 << log2) <= w_ && y0 + (1 << log2) <= h_) {
@@ -973,6 +993,7 @@ void CtuEngine::intra_cu_decide(int x0, int y0, int log2,
 
 void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
                                 int ctu_x0, int ctu_y0) {
+  set_cu_qp(x0, y0);
   int n = 1 << log2;
   int bw4 = ctu_ / 4;
   int bx = (x0 - ctu_x0) >> 2, by = (y0 - ctu_y0) >> 2;
@@ -1930,6 +1951,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
 
 void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
                                 int ctu_x0, int ctu_y0) {
+  set_cu_qp(x0, y0);
   int n = 1 << log2;
   int bw4 = ctu_ / 4;
   int bx = (x0 - ctu_x0) >> 2, by = (y0 - ctu_y0) >> 2;

@@ -90,6 +90,9 @@ class CtuEngine {
   void set_sequential(bool s) { sequential_ = s; }
  private:
   bool sequential_ = false;
+  // per-CU quantization state under sub-CTU quantization groups
+  // (diff_cu_qp_delta_depth > 0): samples the per-QG target map
+  void set_cu_qp(int x0, int y0);
   void encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
                        int ctu_x0, int ctu_y0);
   // SATD+lambda*bits screen of the best intra mode at (x0,y0,log2) from the

@@ -767,17 +767,21 @@ void SliceEncoder::encode_ctu(int cx, int cy, const CtuData& d,
     }
   }
   if (sp_.cu_dqp) {
-    dqp_pred_ = dqp_first_ ? sp_.qp : dqp_carried_;
+    // CTU-start quantization state (decoder mirror): qPY_PREV carries
+    // across CTUs, resetting at slice/tile/WPP-row starts; the per-4x4
+    // QP plane seeds to it so QG-origin neighbour reads are defined
+    last_qp_ = dqp_first_ ? sp_.qp : dqp_carried_;
     dqp_first_ = false;
-    dqp_target_ = sp_.ctu_qps
-        ? sp_.ctu_qps[(size_t)cy * ctus_w_pic + cx] : sp_.qp;
+    qp4_.assign((size_t)bw4 * bw4, (int8_t)last_qp_);
+    qg_ref_ = last_qp_;
+    dqp_target_ = last_qp_;
     dqp_coded_ = false;
+    ctu_qp_pred.push_back((int8_t)last_qp_);
   }
   if (sp_.sao_luma || sp_.sao_chroma) code_sao(cx, cy);
   cu_tree(ctu_x0_, ctu_y0_, sp_.max_cb_log2, 0);
   if (sp_.cu_dqp) {
-    dqp_carried_ = dqp_coded_ ? dqp_target_ : dqp_pred_;
-    ctu_qp_pred.push_back((int8_t)dqp_pred_);
+    dqp_carried_ = last_qp_;
     ctu_qp_final.push_back((int8_t)dqp_carried_);
   }
   if (sp_.wpp && cx == 1) {
@@ -827,7 +831,13 @@ void SliceEncoder::cu_tree(int x0, int y0, int log2, int depth) {
   } else {
     split = false;
   }
+  // Quantization-group boundaries exactly as the decoder derives them
+  // (spec 7.3.8.4 IsCuQpDeltaCoded resets; reference TEncCu::xEncodeCU /
+  // TDecCu::xDecodeCU): a new QG starts at a split node of exactly QG
+  // size, or at a leaf CU of >= QG size.
+  int qg_log2 = sp_.max_cb_log2 - sp_.dqp_depth;
   if (split) {
+    if (sp_.cu_dqp && log2 == qg_log2) qg_start(x0, y0);
     int h = size >> 1;
     cu_tree(x0, y0, log2 - 1, depth + 1);
     cu_tree(x0 + h, y0, log2 - 1, depth + 1);
@@ -835,7 +845,41 @@ void SliceEncoder::cu_tree(int x0, int y0, int log2, int depth) {
     cu_tree(x0 + h, y0 + h, log2 - 1, depth + 1);
     return;
   }
+  if (sp_.cu_dqp && log2 >= qg_log2) qg_start(x0, y0);
   code_cu(x0, y0, log2);
+  if (sp_.cu_dqp) {
+    // CU finish (decoder xFinishDecodeCU mirror): the CU's decoded QP
+    // is the signalled target once a delta was coded in this QG, else
+    // the QG prediction; qPY_PREV advances to it
+    int q = dqp_coded_ ? dqp_target_ : qg_ref_;
+    int bw4 = sp_.ctu_size / 4;
+    int n = 1 << (log2 - 2);
+    int qx = (x0 - ctu_x0_) >> 2, qy = (y0 - ctu_y0_) >> 2;
+    for (int yy = 0; yy < n; ++yy)
+      std::fill(&qp4_[(size_t)(qy + yy) * bw4 + qx],
+                &qp4_[(size_t)(qy + yy) * bw4 + qx + n], (int8_t)q);
+    last_qp_ = q;
+  }
+}
+
+void SliceEncoder::qg_start(int x0, int y0) {
+  // New quantization group: reset the coded flag, derive qPY_PRED from
+  // the left/above 4x4 neighbours of the QG origin within this CTB
+  // (spec 8.6.1; reference TComDataCU::getRefQP), and fetch the QG's
+  // intended QP from the per-QG target map.
+  dqp_coded_ = false;
+  int bw4 = sp_.ctu_size / 4;
+  int qx = (x0 - ctu_x0_) >> 2, qy = (y0 - ctu_y0_) >> 2;
+  int l = qx > 0 ? qp4_[(size_t)qy * bw4 + qx - 1] : last_qp_;
+  int a = qy > 0 ? qp4_[(size_t)(qy - 1) * bw4 + qx] : last_qp_;
+  qg_ref_ = (l + a + 1) >> 1;
+  if (sp_.ctu_qps) {
+    int qg = sp_.ctu_size >> sp_.dqp_depth;
+    int qgs_w = (sp_.pic_w + qg - 1) / qg;
+    dqp_target_ = sp_.ctu_qps[(size_t)(y0 / qg) * qgs_w + (x0 / qg)];
+  } else {
+    dqp_target_ = sp_.qp;
+  }
 }
 
 void SliceEncoder::code_cu(int x0, int y0, int log2) {
@@ -1211,7 +1255,7 @@ void SliceEncoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
   // prefix cMax 5 with ctx 0 then 1, EG0 suffix, bypass sign)
   if (sp_.cu_dqp && !dqp_coded_ &&
       (cbf_y || cbf_cb || cbf_cr || cbf_cb2 || cbf_cr2)) {
-    int delta = dqp_target_ - dqp_pred_;
+    int delta = dqp_target_ - qg_ref_;
     int a = delta < 0 ? -delta : delta;
     int pre = a < 5 ? a : 5;
     for (int b = 0; b < pre; ++b) cabac_.encode_bin(ctx_.dqp[b ? 1 : 0], 1);

@@ -61,8 +61,11 @@ struct SliceParams {
   // read when wp_on; identity sets for unweighted refs, like list 0.
   int32_t wp_w1[16], wp_o1[16];
   int32_t wp_cw1[32], wp_co1[32];
-  int32_t cu_dqp;          // PPS cu_qp_delta_enabled (CTU-size quant groups)
-  const int8_t* ctu_qps;   // per-CTU target QP, raster (encoder; may be null)
+  int32_t cu_dqp;          // PPS cu_qp_delta_enabled
+  const int8_t* ctu_qps;   // per-quantization-group target QP, raster over
+                           // the ceil(pic/qg_size) grid with qg_size =
+                           // ctu >> dqp_depth (encoder; may be null; equals
+                           // a per-CTU map when dqp_depth == 0)
   int32_t pcm;             // SPS pcm_enabled (8x8 I_PCM CUs, sample depth
                            // = bit_depth, loop filter on)
   int32_t cabac_init;      // slice cabac_init_flag (spec 9.3.2.2: swaps
@@ -382,9 +385,17 @@ class SliceEncoder {
   BitWriter bw_;
   CabacEncoder cabac_;
   const CtuData* cur_ = nullptr;
-  // cu_qp_delta state (spec 8.6.1 qPY_PRED chain at CTU granularity)
-  int dqp_target_ = 0, dqp_pred_ = 0, dqp_carried_ = 0;
+  // cu_qp_delta state (spec 8.6.1 qPY_PRED chain over quantization
+  // groups of size ctu >> dqp_depth; the exact mirror of the decoder's
+  // model: last_qp_ is qPY_PREV, qg_ref_ the left/above-averaged
+  // prediction of the current QG, qp4_ the per-4x4 luma QP of the
+  // current CTU; dqp_target_ is the QG's intended QP from the per-QG
+  // map, signalled at the first TU with any cbf)
+  int dqp_target_ = 0, dqp_carried_ = 0;
+  int last_qp_ = 0, qg_ref_ = 0;
+  std::vector<int8_t> qp4_;
   bool dqp_coded_ = false, dqp_first_ = true;
+  void qg_start(int x0, int y0);
  public:
   std::vector<int8_t> ctu_qp_pred, ctu_qp_final;  // per-CTU, encode order
  private:

@@ -586,8 +586,10 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
             "ScalingList=2 requires ScalingListFile")
     confirm(cfg.scaling_list == 2 and cfg.intra_period != 1,
             "explicit scaling lists (ScalingList=2) are all-intra only")
-    confirm(cfg.max_cu_dqp_depth != 0,
-            "MaxCuDQPDepth != 0 unsupported (CTU-size quant groups only)")
+    # reference TAppEncCfg.cpp:1695 xConfirmPara(MaxCuDQPDepth > depth-1)
+    confirm(cfg.max_cu_dqp_depth < 0 or cfg.max_cu_dqp_depth
+            > cfg.max_part_depth - 1,
+            "MaxCuDQPDepth exceeds maximum coding unit depth")
     confirm(cfg.delta_qp_rd != 0, "DeltaQpRD unsupported")
     confirm(cfg.max_delta_qp != 0, "MaxDeltaQP unsupported")
     confirm(cfg.tq_bypass_force and not cfg.tq_bypass_enable,

@@ -120,6 +120,83 @@ def build_qp_map(get_d, order: List[Tuple[int, int]], pred: np.ndarray,
     return qmap
 
 
+def qg_qp_map(get_d, order: List[Tuple[int, int]], qg_qps: np.ndarray,
+              slice_qp: int, ctu_size: int, dqp_depth: int,
+              pic_w: int, pic_h: int, wpp: int = 0, tile_cols: int = 0,
+              tile_rows: int = 0, chroma_format: int = 1) -> np.ndarray:
+    """Per-4x4 luma QP map under sub-CTU quantization groups
+    (diff_cu_qp_delta_depth > 0) — the Python twin of the native slice
+    codec's qPY chain (qg_start + CU-finish semantics, spec 8.6.1 +
+    7.3.8.4 IsCuQpDeltaCoded resets; reference TDecCu::xFinishDecodeCU),
+    needed by the deblock filter before entropy coding runs. qg_qps is
+    the flat per-QG target map the slice codec signals from."""
+    from ..encoder.quadtree import cu_leaves
+    qg = ctu_size >> dqp_depth
+    qgs_w = (pic_w + qg - 1) // qg
+    ctus_w = (pic_w + ctu_size - 1) // ctu_size
+    ctus_h = (pic_h + ctu_size - 1) // ctu_size
+    log2 = ctu_size.bit_length() - 1
+    csx = 1 if chroma_format in (1, 2) else 0
+    csy = 1 if chroma_format == 1 else 0
+    qg_qps = np.asarray(qg_qps).reshape(-1)
+    qmap = np.zeros(((pic_h + 3) // 4, (pic_w + 3) // 4), np.int32)
+    last = slice_qp
+    prev_tile = -1
+    for k, (cx, cy) in enumerate(order):
+        first = k == 0
+        if wpp and cx == 0:
+            first = True
+        if tile_cols > 1 or tile_rows > 1:
+            tid = _tile_id(cx, cy, ctus_w, ctus_h, tile_cols, tile_rows)
+            if tid != prev_tile:
+                first = True
+                prev_tile = tid
+        if first:
+            last = slice_qp
+        d = get_d(cy * ctus_w + cx)
+        x0, y0 = cx * ctu_size, cy * ctu_size
+        # seed the CTU area with qPY_PREV (the decoder's qp4_ init) so
+        # QG-origin neighbour reads are always defined
+        qmap[y0 >> 2:(y0 + ctu_size) >> 2,
+             x0 >> 2:(x0 + ctu_size) >> 2] = last
+        cur_qg = None
+        seen = False
+        qg_ref = last
+        target = last
+        for (ux, uy, ulog2) in cu_leaves(d.cu_depth, x0, y0, pic_w,
+                                         pic_h, ctu_log2=log2):
+            qo = (ux & ~(qg - 1), uy & ~(qg - 1))
+            if qo != cur_qg:
+                # new quantization group: left/above 4x4 neighbours of
+                # the QG origin within this CTB, else qPY_PREV
+                cur_qg = qo
+                seen = False
+                qx, qy = (qo[0] - x0) >> 2, (qo[1] - y0) >> 2
+                lft = qmap[(y0 >> 2) + qy, (x0 >> 2) + qx - 1] \
+                    if qx > 0 else last
+                abv = qmap[(y0 >> 2) + qy - 1, (x0 >> 2) + qx] \
+                    if qy > 0 else last
+                qg_ref = (int(lft) + int(abv) + 1) >> 1
+                target = int(qg_qps[(qo[1] // qg) * qgs_w + qo[0] // qg])
+            n = 1 << ulog2
+            lx, ly = ux - x0, uy - y0
+            if d.tu_depth[ly >> 2, lx >> 2] & 0x80:
+                has = False  # I_PCM carries no cbf
+            else:
+                has = bool(d.coeff_y[ly:ly + n, lx:lx + n].any())
+                if not has and chroma_format != 0:
+                    has = bool(
+                        d.coeff_cb[ly >> csy:(ly + n) >> csy,
+                                   lx >> csx:(lx + n) >> csx].any() or
+                        d.coeff_cr[ly >> csy:(ly + n) >> csy,
+                                   lx >> csx:(lx + n) >> csx].any())
+            seen = seen or has
+            q = target if seen else qg_ref
+            qmap[uy >> 2:(uy + n) >> 2, ux >> 2:(ux + n) >> 2] = q
+            last = q
+    return qmap
+
+
 def adaptive_qp_offsets(luma: np.ndarray, ctu_size: int, slice_qp: int,
                         qp_range: int = 6) -> np.ndarray:
     """Variance-driven per-CTU QP (reference TEncPreanalyzer::xPreanalyze

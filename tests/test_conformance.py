@@ -1103,6 +1103,59 @@ def test_adaptive_qp_conformance(tmp_path):
         assert own.read_bytes() == dec.read_bytes()
 
 
+def test_sub_ctu_quant_group_encode_conformance(tmp_path):
+    """Sub-CTU quantization groups (--MaxCuDQPDepth=1..3, PPS
+    diff_cu_qp_delta_depth): the variance preanalysis assigns a target
+    QP per QG, the engine quantizes each CU with its group's QP, and the
+    slice codec signals cu_qp_delta per QG with the spec 8.6.1 qPY_PRED
+    left/above derivation (reference TComPPS::setMaxCuDQPDepth,
+    TEncCu per-QG setQP, TEncSbac::codeDeltaQP). Covers intra, inter and
+    WPP (qPY_PREV row resets), and asserts real intra-CTU QP variation
+    via the decoded per-4x4 QP maps."""
+    import numpy as np
+    w, h, frames = 192, 128, 3
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    from hevc_tpu.cli.encode import main
+    from hevc_tpu.cli.decode import main as dmain
+    import hevc_tpu.entropy.cabac as cab
+    for depth, cfg, extra in (
+            (1, "encoder_intra_main.cfg", []),
+            (2, "encoder_lowdelay_P_main.cfg", []),
+            (2, "encoder_lowdelay_P_main.cfg", ["--WaveFrontSynchro=1"]),
+            (3, "encoder_lowdelay_P_main.cfg", [])):
+        bs, rec, dec = (tmp_path / "o.bin", tmp_path / "r.yuv",
+                        tmp_path / "d.yuv")
+        main(["-c", f"/root/reference/cfg/{cfg}",
+              "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+              str(frames), "-q", "34", "--AdaptiveQP=1",
+              f"--MaxCuDQPDepth={depth}"] + extra +
+             ["-b", str(bs), "-o", str(rec)])
+        out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                             capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+        assert rec.read_bytes() == dec.read_bytes()
+        own = tmp_path / "own.yuv"
+        assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+        assert own.read_bytes() == dec.read_bytes()
+        # the test must not be vacuous: at least one CTU carries more
+        # than one QP inside it (true sub-CTU quantization groups)
+        tiles = []
+        orig = cab.fetch_ctu_qp4
+        cab.fetch_ctu_qp4 = lambda s, c: (
+            lambda t: (tiles.append(t.copy()) if t is not None else None,
+                       t)[1])(orig(s, c))
+        try:
+            from hevc_tpu.decoder.top import DecoderTop
+            for _ in DecoderTop().decode_stream(bs.read_bytes()):
+                pass
+        finally:
+            cab.fetch_ctu_qp4 = orig
+        assert any(len(np.unique(t)) > 1 for t in tiles), \
+            f"no intra-CTU QP variation at depth {depth}"
+
+
 def test_lcu_rate_control_conformance(tmp_path):
     """CTU-level rate control (--LCULevelRateControl=1): per-CTU QP from
     the complexity-weighted bit allocation (reference TEncRCPic::
