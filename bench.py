@@ -82,24 +82,48 @@ def measure_ours(cfg_path, clip, w, h, frames, qp, warmup):
     enc.warm_device_programs()
     t_start = None
     done = 0
-    planes = rd.read()
-    enc.prefetch_frame(planes)
+    # lookahead pipeline (same as the CLI): upcoming frames' device work
+    # (intra prescreen / integer ME) dispatches ahead and computes under
+    # host work. All-intra frames are fully independent on the device,
+    # so a deeper queue keeps the device pipeline saturated; inter stays
+    # at one frame (ME needs the previous frame's final references).
+    from collections import deque
+    deep = cfg.intra_period == 1  # all-intra: device-independent frames
+    look = 3 if deep else 1
+    buf = deque()
+    nread = 0
+
+    def pull():
+        nonlocal nread
+        if nread < frames:
+            p = rd.read()
+            nread += 1
+            if p is not None:
+                if deep:
+                    enc.prefetch_frame(p)
+                buf.append(p)
+
+    for _ in range(1 + look):
+        pull()
     for i in range(frames):
-        nxt = rd.read() if i + 1 < frames else None
+        if not buf:
+            break
         if i == warmup:
             timers.reset()
             timers.enabled = True
             t_start = time.time()
             from hevc_tpu.entropy.cabac import engine_frame_stats
             efs0 = engine_frame_stats()
-        if nxt is not None:
-            # one-frame lookahead (same as the CLI): the next frame's
-            # device work runs under this frame's host work
-            enc.prefetch_frame(nxt)
+        planes = buf.popleft()
+        pull()
+        if not deep and buf:
+            # inter: the ME prefetch plans exactly ONE submission ahead
+            # (it must pair the next frame's planes with the next frame's
+            # reference plan), so prefetch the immediate next frame only
+            enc.prefetch_frame(buf[0])
         enc.encode_frame(planes)
         if t_start is not None:
             done += 1
-        planes = nxt
     enc.flush()
     elapsed = time.time() - t_start if t_start else 1e9
     timers.enabled = False

@@ -81,26 +81,47 @@ def main(argv=None) -> int:
                     wr.write(planes_out)
 
     with open(cfg.bitstream_file, "wb") as out:
-        planes = rd.read() if n > 0 else None
-        if planes is not None and not cfg.field_coding:
-            enc.prefetch_frame(planes)
+        # lookahead pipeline: upcoming frames' device work (intra
+        # prescreen / integer ME against the final references) is
+        # dispatched ahead and computes under the current frame's host
+        # work. All-intra frames are device-independent, so a deeper
+        # queue keeps the device pipeline saturated; inter stays at one
+        # frame (ME needs the previous frame's final references).
+        from collections import deque
+        deep = cfg.intra_period == 1 and not cfg.field_coding
+        look = 3 if deep else 1
+        buf = deque()
+        nread = 0
+
+        def pull():
+            nonlocal nread
+            if nread < n:
+                p = rd.read()
+                nread += 1
+                if p is not None:
+                    if deep:
+                        enc.prefetch_frame(p)
+                    buf.append(p)
+
+        for _ in range(1 + look):
+            pull()
         i = 0
-        while planes is not None and i < n:
-            nxt = rd.read() if i + 1 < n else None
+        while buf and i < n:
+            planes = buf.popleft()
+            pull()
+            if not deep and not cfg.field_coding and buf:
+                # inter: the ME prefetch plans exactly ONE submission
+                # ahead (next frame's planes paired with next frame's
+                # reference plan) — prefetch the immediate next only
+                enc.prefetch_frame(buf[0])
             if cfg.field_coding:
                 first, second = (0, 1) if cfg.top_field_first else (1, 0)
                 out.write(enc.encode_frame([pl[first::2] for pl in planes]))
                 report()
                 out.write(enc.encode_frame([pl[second::2] for pl in planes]))
             else:
-                if nxt is not None:
-                    # one-frame lookahead: the next frame's device work
-                    # (intra prescreen / integer ME against the final
-                    # references) runs under this frame's host work
-                    enc.prefetch_frame(nxt)
                 out.write(enc.encode_frame(planes))
             report()
-            planes = nxt
             i += 1
         out.write(enc.flush())
         report()
