@@ -280,13 +280,12 @@ class NativeFrameEncoder:
                     me1_y.append(gy)
             timers_cm.__exit__(None, None, None)
         intra_hints = None
-        if (self.sp.slice_type == 2 and sps.bit_depth_luma <= 14
-                and _os.environ.get(
+        if (self.sp.slice_type == 2 and _os.environ.get(
                 "HEVC_TPU_INTRA_SCREEN", "1") != "0"):
-            # (16-bit samples exceed the device prescreen's int16 layout;
-            # the engine then tries all 35 modes — parity path)
             # device 35-mode prescreen: per-block candidate mode lists
-            # for the whole frame in batched launches
+            # for the whole frame in batched launches (all depths
+            # through 16 — the screen carries int32 planes above 14
+            # and its SATD accumulation stays within int32)
             with timers.section("intra_device"):
                 if self.intra_screen is not None:
                     intra_hints = self.intra_screen()

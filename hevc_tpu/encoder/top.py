@@ -401,16 +401,17 @@ class EncoderTop:
             return
         depth = self.sps.bit_depth_luma
         h, w = cfg.height, cfg.width
-        if (depth <= 14
-                and _osm.environ.get("HEVC_TPU_INTRA_SCREEN", "1") != "0"
+        if (_osm.environ.get("HEVC_TPU_INTRA_SCREEN", "1") != "0"
                 and _osm.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0"):
             # every sequence codes I slices (at least the IDR), and each
             # I slice runs the device 35-mode prescreen — warm its
-            # programs too, or the first IDR pays the load stalls (the
-            # prescreen itself stays <= 14-bit: 16-bit SATD overflows
-            # its int32 accumulators, so 16-bit trials all 35 modes)
+            # programs too, or the first IDR pays the load stalls. The
+            # int32 SATD accumulation is safe at every depth through 16:
+            # a 32x32 block's summed |Hadamard| is < 2^31 even with
+            # full-range 16-bit differences
             from ..ops.intra_screen import screen_frame_async
-            mid = np.full((h, w), 1 << (depth - 1), np.int16)
+            pdt = np.int16 if depth <= 14 else np.int32
+            mid = np.full((h, w), 1 << (depth - 1), pdt)
             screen_frame_async(mid, depth, 1.0)()
         if cfg.intra_period == 1:
             return
@@ -473,14 +474,14 @@ class EncoderTop:
         import math as _math
         import os as _osm
         if (self.cfg.intra_period != 1
-                or self.cfg.internal_bit_depth > 14
                 or _osm.environ.get("HEVC_TPU_INTRA_SCREEN", "1") == "0"
                 or _osm.environ.get("HEVC_TPU_NATIVE_RECON", "1") == "0"):
             return
         from ..ops.intra_screen import screen_frame_async
         lam = 0.57 * (2.0 ** ((self.cfg.qp - 12) / 3.0))
+        pdt = np.int16 if self.cfg.internal_bit_depth <= 14 else np.int32
         self._intra_screen_q.append(screen_frame_async(
-            np.ascontiguousarray(planes[0], np.int16),
+            np.ascontiguousarray(planes[0], pdt),
             self.cfg.internal_bit_depth, _math.sqrt(lam)))
 
     def prefetch_frame(self, planes: List[np.ndarray]) -> None:

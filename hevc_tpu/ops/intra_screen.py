@@ -171,7 +171,11 @@ def screen_frame_async(orig_y: np.ndarray, bit_depth: int, sqrt_lam: float,
     engine's TU/CU split-gate signal (engine.cpp code_r gate)."""
     h, w = orig_y.shape
     mid = 1 << (bit_depth - 1)
-    p = np.empty((h + 1, w + 1), np.int16)
+    # 16-bit samples exceed int16 (the engine's HBD build carries them
+    # as int32); the SATD math itself is int32-safe at every depth
+    # (|8x8 Hadamard coeff| <= 2^16 * 64, summed over 64 coeffs < 2^31)
+    pdt = np.int16 if bit_depth <= 14 else np.int32
+    p = np.empty((h + 1, w + 1), pdt)
     p[1:, 1:] = orig_y
     p[0, :] = mid
     p[:, 0] = mid
