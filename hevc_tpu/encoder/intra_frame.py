@@ -114,8 +114,13 @@ class IntraFrameEncoder:
         return f, ff
 
     def _predict(self, f, ff, mode, size, is_luma):
-        fsel = ff if _filter_flag(mode, size, is_luma) else f
-        return intra_np.predict_mode(f, ff, mode, size, self.bd, is_luma)
+        # the hor/ver/DC boundary filters are disabled for lossless CUs
+        # when implicit RDPCM is enabled (reference TComPrediction.cpp:481
+        # enableEdgeFilters; mirrored by decoder/recon.py _intra_tb)
+        edge = not (getattr(self, "lossless", False)
+                    and self.sps.implicit_rdpcm_enabled_flag)
+        return intra_np.predict_mode(f, ff, mode, size, self.bd, is_luma,
+                                     edge_filters=edge)
 
     def _mode_bits(self, mode, mpms):
         if mode == mpms[0]:
@@ -134,12 +139,29 @@ class IntraFrameEncoder:
             return sld.matrix(size, c_idx, True)
         return tables.default_scaling_matrix(size, True)
 
-    def _code_tb(self, orig_tb, pred, size, is_luma, is_dst, c_idx=0):
-        """residual -> (levels, recon_tb)"""
+    def _code_tb(self, orig_tb, pred, size, is_luma, is_dst, c_idx=0,
+                 mode=None):
+        """residual -> (levels, recon_tb). mode: the TB's intra
+        prediction mode (implicit RDPCM direction under lossless)."""
         resi = orig_tb.astype(np.int32) - pred.astype(np.int32)
         if getattr(self, "lossless", False):
-            # cu_transquant_bypass: residual passes straight through
-            return resi.copy(), orig_tb.astype(np.int32)
+            # cu_transquant_bypass: residual passes straight through,
+            # modified by the RExt lossless tools in the inverse order
+            # the decoder applies them (recon._resid: rotation, then
+            # RDPCM accumulation)
+            lv = resi.copy()
+            if (self.sps.implicit_rdpcm_enabled_flag
+                    and mode in (10, 26)):
+                # implicit residual DPCM along the prediction direction
+                # (reference TComTrQuant bypass RDPCM branch)
+                if mode == 10:
+                    lv[:, 1:] = resi[:, 1:] - resi[:, :-1]
+                else:
+                    lv[1:, :] = resi[1:, :] - resi[:-1, :]
+            if (size == 4
+                    and self.sps.transform_skip_rotation_enabled_flag):
+                lv = lv[::-1, ::-1]
+            return lv, orig_tb.astype(np.int32)
         coeff = forward_transform_np(resi, size, self.bd, is_dst=is_dst)
         qp = self.qp if is_luma else tables.chroma_qp(
             self.qp, self.sps.chroma_format_idc,
@@ -222,7 +244,7 @@ class IntraFrameEncoder:
             is_dst = tlog2 == 2
             levels, rec = self._code_tb(
                 orig[0][ty:ty + tsize, tx:tx + tsize], pred, tsize, True,
-                is_dst)
+                is_dst, mode=mode)
             d.coeff_y[ty - ctu_y0:ty - ctu_y0 + tsize,
                       tx - ctu_x0:tx - ctu_x0 + tsize] = levels.astype(np.int16)
             recon[0][ty:ty + tsize, tx:tx + tsize] = rec.astype(self._pdt)
@@ -257,7 +279,8 @@ class IntraFrameEncoder:
                             is_luma=False, smooth=False)
                         lv, recc = self._code_tb(
                             orig[ci][hy:hy + csize, cxx:cxx + csize],
-                            predc, csize, False, False, c_idx=ci)
+                            predc, csize, False, False, c_idx=ci,
+                            mode=cmode)
                         tgt = d.coeff_cb if ci == 1 else d.coeff_cr
                         tgt[hy - ctu_y0:hy - ctu_y0 + csize,
                             cxx - (ctu_x0 >> 1):
@@ -279,7 +302,7 @@ class IntraFrameEncoder:
                     is_luma=False, smooth=(cs == 0))
                 lv, recc = self._code_tb(
                     orig[ci][cyy:cyy + csize, cxx:cxx + csize], predc,
-                    csize, False, False, c_idx=ci)
+                    csize, False, False, c_idx=ci, mode=mode)
                 tgt = d.coeff_cb if ci == 1 else d.coeff_cr
                 tgt[cyy - (ctu_y0 >> cs):cyy - (ctu_y0 >> cs) + csize,
                     cxx - (ctu_x0 >> cs):cxx - (ctu_x0 >> cs) + csize] = \

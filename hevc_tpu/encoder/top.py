@@ -145,8 +145,20 @@ class EncoderTop:
         # high-throughput RExt tool set (reference TAppEncCfg
         # ResidualRotation / SingleSignificanceMapContext /
         # GolombRiceParameterAdaptation / AlignCABACBeforeBypass)
-        if cfg.residual_rotation and cfg.transform_skip:
+        if cfg.residual_rotation and (cfg.transform_skip
+                                      or cfg.tq_bypass_force):
+            # rotation applies to 4x4 intra TS TBs and (lossless mode)
+            # 4x4 intra transquant-bypass TBs (reference TComTU
+            # isNonTransformedResidualRotated)
             self.sps.transform_skip_rotation_enabled_flag = 1
+        if cfg.implicit_rdpcm and cfg.tq_bypass_force:
+            # implicit residual DPCM of the passthrough residual on
+            # intra horizontal/vertical lossless TBs (reference
+            # TComTrQuant::xT + invRdpcmNxN bypass branch; spec RExt).
+            # The encode-side diff lives in IntraFrameEncoder._code_tb;
+            # it also disables the intra edge/DC boundary filters for
+            # lossless CUs (TComPrediction.cpp:481 enableEdgeFilters)
+            self.sps.implicit_rdpcm_enabled_flag = 1
         if cfg.single_sig_ctx and cfg.transform_skip:
             self.sps.transform_skip_context_enabled_flag = 1
         if cfg.rice_adaptation:

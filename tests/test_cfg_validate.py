@@ -32,7 +32,7 @@ def test_ctc_cfgs_validate(name):
     ["--InternalBitDepth=15"],
     ["--ScalingList=3"],
     ["--ScalingList=2", "--ScalingListFile= "],
-    ["--MaxCuDQPDepth=1"],
+    ["--MaxCuDQPDepth=4"],  # exceeds MaxPartitionDepth - 1
     ["--MaxNumMergeCand=0"],
     ["--CbQpOffset=13"],
     ["--SearchRange=128"],

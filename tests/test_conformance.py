@@ -1345,6 +1345,46 @@ def test_lossless_encode_conformance(tmp_path):
         assert own.read_bytes() == dec.read_bytes()
 
 
+def test_lossless_rdpcm_rotation_encode_conformance(tmp_path):
+    """Lossless encode with the RExt tools the main_rext CTC cfgs turn
+    on: implicit residual DPCM (intra horizontal/vertical TBs transmit
+    the along-direction difference of the passthrough residual, and the
+    intra edge/DC boundary filters are disabled for lossless CUs —
+    reference TComTrQuant bypass RDPCM branch, TComPrediction.cpp:481)
+    and 180-degree rotation of 4x4 bypass TBs. The tools must reduce
+    the payload (non-vacuity) and both decoders must agree."""
+    w, h, frames = 192, 96, 3
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    from hevc_tpu.cli.decode import main as dmain
+    from hevc_tpu.cli.encode import main
+    cfg = "/root/reference/cfg/encoder_intra_main_rext.cfg"
+    sizes = {}
+    for tag, extra in (
+            ("plain", ["--ImplicitResidualDPCM=0", "--ResidualRotation=0",
+                       "--ExplicitResidualDPCM=0"]),
+            ("tools", [])):
+        bs, rec, dec = (tmp_path / f"{tag}.bin", tmp_path / f"{tag}.r.yuv",
+                        tmp_path / f"{tag}.d.yuv")
+        # flags AFTER -c (later-wins layering); the cfg itself enables
+        # ImplicitResidualDPCM/ResidualRotation for the "tools" run
+        main(["-c", cfg, "-i", str(clip), "-wdt", str(w), "-hgt", str(h),
+              "-f", str(frames), "-q", "27",
+              "--TransquantBypassEnableFlag=1",
+              "--CUTransquantBypassFlagForce=1"] + extra
+             + ["-b", str(bs), "-o", str(rec)])
+        out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                             capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+        assert rec.read_bytes() == dec.read_bytes()
+        own = tmp_path / "own.yuv"
+        assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+        assert own.read_bytes() == dec.read_bytes()
+        sizes[tag] = bs.stat().st_size
+    assert sizes["tools"] < sizes["plain"], sizes
+
+
 def test_chroma_qp_offsets_conformance(tmp_path):
     """pps_cb/cr_qp_offset (spec 8.6.1 qPiCb/qPiCr): per-component
     chroma QP (quant, RDOQ lambda split, chroma SSE weights) and the
