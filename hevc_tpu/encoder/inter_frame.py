@@ -67,19 +67,35 @@ class PFrameEncoder(IntraFrameEncoder):
         return py, pcb, pcr
 
     def _code_inter_tb(self, orig_tb, pred, size, qp):
+        """-> (levels, recon, rdpcm) with rdpcm the explicit residual
+        DPCM choice for lossless TBs (0 off, 1 horizontal, 2 vertical;
+        signalled per TB by the slice writer — reference TEncSearch
+        RDPCM trial / TComTrQuant bypass branch)."""
         resi = orig_tb.astype(np.int32) - pred.astype(np.int32)
         if getattr(self, "lossless", False):
             # cu_transquant_bypass (spec 8.6.4.1 bypass branch): the
             # residual IS the coefficient array; recon is exact
-            return resi.copy(), orig_tb.astype(np.int32)
+            lv, rdpcm = resi, 0
+            if self.sps.explicit_rdpcm_enabled_flag:
+                hor = resi.copy()
+                hor[:, 1:] -= resi[:, :-1]
+                ver = resi.copy()
+                ver[1:, :] -= resi[:-1, :]
+                # level-magnitude proxy for the coded cost; ties keep
+                # the cheaper-to-signal plain coding
+                cands = [(int(np.abs(resi).sum()), 0, resi),
+                         (int(np.abs(hor).sum()), 1, hor),
+                         (int(np.abs(ver).sum()), 2, ver)]
+                _, rdpcm, lv = min(cands, key=lambda t: (t[0], t[1]))
+            return lv.copy(), orig_tb.astype(np.int32), rdpcm
         coeff = forward_transform_np(resi, size, self.bd)
         levels = quantize_np(coeff, size, qp, self.bd, is_intra=False)
         if not levels.any():
-            return levels, pred.astype(np.int32)
+            return levels, pred.astype(np.int32), 0
         deq = dequantize_np(levels, size, qp, self.bd)
         r = inverse_transform_np(deq, size, self.bd)
         return levels, np.clip(pred.astype(np.int32) + r, 0,
-                               (1 << self.bd) - 1)
+                               (1 << self.bd) - 1), 0
 
     # -- frame encode -------------------------------------------------------
     def _batched_me(self, orig):
@@ -317,19 +333,31 @@ class PFrameEncoder(IntraFrameEncoder):
             pcr = mc_predict_np(crefs[2], PAD, umv[0], umv[1], cxx, cyy,
                                 cs, chh, self.bd, False,
                                 chroma_shift=(sx, sy))
-        lv_y, rec_y = self._code_inter_tb(orig_y, pred_y, size, self.qp)
+        ly, lx = y0 - ctu_y0, x0 - ctu_x0
+        lv_y, rec_y, rd_y = self._code_inter_tb(orig_y, pred_y, size,
+                                                self.qp)
+        if rd_y:
+            d.rext[ly >> 2, lx >> 2] |= 1 | ((rd_y - 1) << 1)
         lv_cb = np.zeros((chh, cs), np.int32)
         rec_cb = np.zeros((chh, cs), np.int32)
         lv_cr = np.zeros((chh, cs), np.int32)
         rec_cr = np.zeros((chh, cs), np.int32)
         for half in range(0 if mono else chh // cs):
             hsl = slice(half * cs, (half + 1) * cs)
-            lv_cb[hsl], rec_cb[hsl] = self._code_inter_tb(
+            # chroma sub-TB origin in LUMA coordinates (4:2:2 codes two
+            # stacked square sub-TBs per luma TB; the slice codec's rext
+            # bits live at the sub-TB origin, decoder mirror)
+            ry = (ly + half * (size >> 1)) >> 2
+            lv_cb[hsl], rec_cb[hsl], rd_cb = self._code_inter_tb(
                 orig[1][cyy + half * cs:cyy + (half + 1) * cs,
                         cxx:cxx + cs], pcb[hsl], cs, qp_cb)
-            lv_cr[hsl], rec_cr[hsl] = self._code_inter_tb(
+            if rd_cb:
+                d.rext[ry, lx >> 2] |= (1 | ((rd_cb - 1) << 1)) << 2
+            lv_cr[hsl], rec_cr[hsl], rd_cr = self._code_inter_tb(
                 orig[2][cyy + half * cs:cyy + (half + 1) * cs,
                         cxx:cxx + cs], pcr[hsl], cs, qp_cr)
+            if rd_cr:
+                d.rext[ry, lx >> 2] |= (1 | ((rd_cr - 1) << 1)) << 4
         zero_resid = not (lv_y.any() or lv_cb.any() or lv_cr.any())
 
         if mi_idx >= 0:

@@ -159,6 +159,13 @@ class EncoderTop:
             # it also disables the intra edge/DC boundary filters for
             # lossless CUs (TComPrediction.cpp:481 enableEdgeFilters)
             self.sps.implicit_rdpcm_enabled_flag = 1
+        if cfg.explicit_rdpcm and cfg.tq_bypass_force:
+            # explicit (inter) residual DPCM on lossless TBs: the slice
+            # writer signals flag+direction per inter bypass TB from the
+            # frame encoder's per-TB decision (min sum-of-levels over
+            # {off, horizontal, vertical}; reference TEncSearch RDPCM
+            # trial, TComTrQuant bypass branch)
+            self.sps.explicit_rdpcm_enabled_flag = 1
         if cfg.single_sig_ctx and cfg.transform_skip:
             self.sps.transform_skip_context_enabled_flag = 1
         if cfg.rice_adaptation:
@@ -1143,6 +1150,8 @@ class EncoderTop:
                 tile_rows=self.pps.num_tile_rows_minus1 + 1
                 if self.pps.tiles_enabled_flag else 0)
             sp.ts_rotation = self.sps.transform_skip_rotation_enabled_flag
+            sp.implicit_rdpcm = self.sps.implicit_rdpcm_enabled_flag
+            sp.explicit_rdpcm = self.sps.explicit_rdpcm_enabled_flag
             sp.dqp_depth = self.pps.diff_cu_qp_delta_depth
             sp.rdoq_off = 0 if cfg.rdoq else 1
             sp.rdoq_ts_off = 0 if cfg.rdoq_ts else 1
@@ -1298,6 +1307,8 @@ class EncoderTop:
                             cws[2 * r + j] = cwj
                             cos[2 * r + j] = coj
             sp.ts_rotation = self.sps.transform_skip_rotation_enabled_flag
+            sp.implicit_rdpcm = self.sps.implicit_rdpcm_enabled_flag
+            sp.explicit_rdpcm = self.sps.explicit_rdpcm_enabled_flag
             sp.dqp_depth = self.pps.diff_cu_qp_delta_depth
             sp.rdoq_off = 0 if cfg.rdoq else 1
             sp.rdoq_ts_off = 0 if cfg.rdoq_ts else 1

@@ -118,7 +118,7 @@ def get_lib(pel32: bool = False) -> ctypes.CDLL:
         u8p, u8p, u8p, u8p, u8p, i8p, i16p, i16p, i16p, i16p,
         u8p, i8p, i16p, i16p, i16p, i16p,
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-        ctypes.c_int]
+        u8p, ctypes.c_int]
     lib.hevc_enc_publish_cu.argtypes = [
         ctypes.c_void_p] + [ctypes.c_int] * 11
     lib.hevc_enc_merge_cands.restype = ctypes.c_int
@@ -366,6 +366,7 @@ class SliceDataEncoder:
             np.ascontiguousarray(d.mv_x1),
             np.ascontiguousarray(d.mv_y1),
             np.ascontiguousarray(d.sao),
+            np.ascontiguousarray(d.rext),
             int(end_of_slice))  # -1 defers the end_of_slice_segment_flag
 
     def byte_pos(self) -> int:

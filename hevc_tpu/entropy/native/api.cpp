@@ -98,13 +98,13 @@ void hevc_enc_ctu(void* h, int ctu_x, int ctu_y,
                   const uint8_t* mvp_flag1, const int8_t* ref_idx1,
                   const int16_t* mvd_x1, const int16_t* mvd_y1,
                   const int16_t* mv_x1, const int16_t* mv_y1,
-                  const int32_t* sao,
+                  const int32_t* sao, const uint8_t* rext,
                   int end_of_slice) {
   CtuData d{cu_depth, nxn_flag, luma_mode, chroma_mode, tu_depth,
             coeff_y, coeff_cb, coeff_cr, pred_mode, skip_flag, merge_flag,
             merge_idx, mvp_flag, ref_idx, mvd_x, mvd_y, mv_x, mv_y,
             mvp_flag1, ref_idx1, mvd_x1, mvd_y1, mv_x1, mv_y1, sao,
-            nullptr, nullptr, nullptr};
+            rext, nullptr, nullptr};
   ((SliceEncoder*)h)->encode_ctu(ctu_x, ctu_y, d, end_of_slice);
 }
 

@@ -1333,6 +1333,23 @@ void SliceEncoder::residual(int x0, int y0, int log2, int c_idx) {
           ts_bit_of(c_idx)) != 0;
     cabac_.encode_bin(ctx_.transform_skip[luma ? 0 : 1], ts ? 1 : 0);
   }
+  // explicit RDPCM on inter TS/bypass TBs (range extensions; decoder
+  // mirror at SliceDecoder::residual): flag + direction from the rext
+  // decision bits at the TB origin (0x01/0x02 Y, 0x04/0x08 Cb,
+  // 0x10/0x20 Cr; dir bit 1 = vertical)
+  if ((ts || tqb) && sp_.explicit_rdpcm && !blk_intra) {
+    int ch = luma ? 0 : 1;
+    int shift = luma ? 0 : (c_idx == 1 ? 2 : 4);
+    int bits = cur_->rext
+        ? (map_at(cur_->rext, bw4, x0 - ctu_x0_, y0 - ctu_y0_) >> shift)
+        : 0;
+    int on = bits & 1;
+    cabac_.encode_bin(ctx_.explicit_rdpcm_flag[ch], on);
+    if (on) {
+      cabac_.encode_bin(ctx_.explicit_rdpcm_dir[ch], (bits >> 1) & 1);
+      no_sbh = true;
+    }
+  }
 
   // last significant position
   int last_pos = -1;

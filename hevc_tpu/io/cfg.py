@@ -598,21 +598,24 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
     confirm(cfg.tq_bypass_force and cfg.internal_bit_depth > 15,
             "lossless coding needs residuals within int16 "
             "(InternalBitDepth <= 15)")
-    # implicit RDPCM is honoured under lossless (CUTransquantBypassFlag
-    # Force); on the transform-skip path the encoder does not use the
-    # tool (the SPS flag stays 0 — conformant without it, warn below).
-    # Explicit (inter) RDPCM is never emitted: its per-TB flag parses
-    # unconditionally once signalled, which the slice writer does not
-    # produce — so the SPS flag stays 0 there too (warn below).
+    # implicit (intra) and explicit (inter) RDPCM are honoured under
+    # lossless (CUTransquantBypassFlagForce); on the transform-skip path
+    # the encoder does not use them (the SPS flags stay 0 — conformant
+    # without the tools, warned below).
     tool_hint(cfg.implicit_rdpcm and not cfg.tq_bypass_force,
               "ImplicitResidualDPCM")
+    confirm((cfg.implicit_rdpcm or cfg.explicit_rdpcm)
+            and cfg.tq_bypass_force and cfg.internal_bit_depth > 14,
+            "lossless RDPCM needs residual differences within int16 "
+            "(InternalBitDepth <= 14)")
     confirm(cfg.tq_bypass_enable and not cfg.tq_bypass_force,
             "TransquantBypassEnableFlag without the force flag "
             "unsupported (per-CU bypass RD search not implemented)")
     tool_hint(cfg.cross_comp_pred, "CrossComponentPrediction")
     confirm(cfg.extended_precision != 0, "ExtendedPrecision unsupported")
     tool_hint(cfg.high_prec_wp, "HighPrecisionPredictionWeighting")
-    tool_hint(cfg.explicit_rdpcm, "ExplicitResidualDPCM")
+    tool_hint(cfg.explicit_rdpcm and not cfg.tq_bypass_force,
+              "ExplicitResidualDPCM")
     # ResidualRotation / SingleSignificanceMapContext /
     # GolombRiceParameterAdaptation / AlignCABACBeforeBypass are honoured
     # on the encode side (the high-throughput RExt tool set)

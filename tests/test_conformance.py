@@ -1385,6 +1385,40 @@ def test_lossless_rdpcm_rotation_encode_conformance(tmp_path):
     assert sizes["tools"] < sizes["plain"], sizes
 
 
+def test_lossless_explicit_rdpcm_encode_conformance(tmp_path):
+    """Explicit (inter) residual DPCM under lossless: each inter bypass
+    TB picks {off, horizontal, vertical} by level magnitude and the
+    slice writer signals explicit_rdpcm_flag/dir (reference TEncSearch
+    RDPCM trial, TDecSbac parseExplicitRdpcmMode). Must shrink the
+    payload and decode identically in HM and our decoder."""
+    w, h, frames = 192, 96, 3
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    from hevc_tpu.cli.decode import main as dmain
+    from hevc_tpu.cli.encode import main
+    cfg = "/root/reference/cfg/encoder_lowdelay_main_rext.cfg"
+    sizes = {}
+    for tag, extra in (("off", ["--ExplicitResidualDPCM=0"]),
+                       ("on", [])):
+        bs, rec, dec = (tmp_path / f"{tag}.bin", tmp_path / f"{tag}.r.yuv",
+                        tmp_path / f"{tag}.d.yuv")
+        main(["-c", cfg, "-i", str(clip), "-wdt", str(w), "-hgt", str(h),
+              "-f", str(frames), "-q", "27",
+              "--TransquantBypassEnableFlag=1",
+              "--CUTransquantBypassFlagForce=1"] + extra
+             + ["-b", str(bs), "-o", str(rec)])
+        out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                             capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+        assert rec.read_bytes() == dec.read_bytes()
+        own = tmp_path / "own.yuv"
+        assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+        assert own.read_bytes() == dec.read_bytes()
+        sizes[tag] = bs.stat().st_size
+    assert sizes["on"] < sizes["off"], sizes
+
+
 def test_chroma_qp_offsets_conformance(tmp_path):
     """pps_cb/cr_qp_offset (spec 8.6.1 qPiCb/qPiCr): per-component
     chroma QP (quant, RDOQ lambda split, chroma SSE weights) and the
