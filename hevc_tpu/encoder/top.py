@@ -1714,13 +1714,16 @@ class EncoderTop:
                     rb, int(NalUnitType.PREFIX_SEI_NUT)))
                 firsts.append(False)
         hrd = getattr(self.sps, "hrd", None)
+        nested_seis = []  # copies for the scalable-nesting wrapper
         if hrd is not None and idr and cfg.sei_buffering_period:
             # 1-second nominal initial CPB removal delay in 90 kHz units
+            bp_rbsp = sei.write_buffering_period_sei(hrd, 90000)
             nals.append(nal.rbsp_to_nal(
-                sei.write_buffering_period_sei(hrd, 90000),
-                int(NalUnitType.PREFIX_SEI_NUT)))
+                bp_rbsp, int(NalUnitType.PREFIX_SEI_NUT)))
             firsts.append(False)
             self._au_count_since_bp = 0
+            if cfg.sei_scalable_nesting:
+                nested_seis.append(bp_rbsp)
         snals = [nal.rbsp_to_nal(rb, sh.nal_unit_type)
                  for rb in slice_rbsps]
         du_data = du_delays = None
@@ -1733,14 +1736,27 @@ class EncoderTop:
             # parity follows the display order and TopFieldFirst
             top = (display_poc % 2 == 0) == bool(self.cfg.top_field_first)
             ffi = bool(self.sps.vui_frame_field_info_present_flag)
+            pt_rbsp = sei.write_pic_timing_sei(
+                (1 if top else 2) if ffi else 0, source_scan_type=0,
+                hrd=hrd if cfg.sei_pic_timing else None,
+                cpb_removal_delay=self._au_count_since_bp,
+                dpb_output_delay=self.gop_size +
+                (display_poc - cvs_poc if self.reordered else 0),
+                frame_field_info=ffi, du_data=du_data)
             nals.append(nal.rbsp_to_nal(
-                sei.write_pic_timing_sei(
-                    (1 if top else 2) if ffi else 0, source_scan_type=0,
-                    hrd=hrd if cfg.sei_pic_timing else None,
-                    cpb_removal_delay=self._au_count_since_bp,
-                    dpb_output_delay=self.gop_size +
-                    (display_poc - cvs_poc if self.reordered else 0),
-                    frame_field_info=ffi, du_data=du_data),
+                pt_rbsp, int(NalUnitType.PREFIX_SEI_NUT)))
+            firsts.append(False)
+            if (cfg.sei_scalable_nesting and cfg.sei_pic_timing
+                    and hrd is not None):
+                nested_seis.append(pt_rbsp)
+        if nested_seis:
+            # scalable-nesting copy of the HRD bookkeeping SEIs for the
+            # temporal sub-bitstream (reference TEncGOP
+            # xCreateScalableNestingSEI + SEIEncoder
+            # initSEIScalableNesting layer-0 form)
+            nals.append(nal.rbsp_to_nal(
+                sei.write_scalable_nesting_sei(nested_seis,
+                                               bitstream_subset=True),
                 int(NalUnitType.PREFIX_SEI_NUT)))
             firsts.append(False)
         self._au_count_since_bp += 1

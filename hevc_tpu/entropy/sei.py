@@ -630,15 +630,26 @@ def write_tmcts_sei(num_tiles: int) -> bytes:
     return _sei_rbsp(TEMP_MOTION_CONSTRAINED_TILE_SETS, p)
 
 
-def write_scalable_nesting_sei(nested_sei_rbsps) -> bytes:
+def write_scalable_nesting_sei(nested_sei_rbsps,
+                               bitstream_subset: bool = False) -> bytes:
     """scalable_nesting SEI (spec D.2.23; reference SEIwrite.cpp:504):
-    the default all-layers form wrapping already-coded SEI payloads
-    (each given as the raw payload stream of one SEI message, i.e. a
-    full sei_message() without the NAL wrapper)."""
+    wraps already-coded SEI payloads (each given as the raw payload
+    stream of one SEI message, i.e. a full sei_message() without the
+    NAL wrapper). bitstream_subset selects the reference encoder's
+    layer-0 form used for nested buffering-period/pic-timing messages
+    (SEIEncoder::initSEIScalableNesting: bitstream_subset_flag 1,
+    all_layers 0, no_op_max_temporal_id_plus1 7, one layer id 0);
+    the default is the all-layers form."""
     p = BitWriter()
-    p.flag(0)                        # bitstream_subset_flag
+    p.flag(1 if bitstream_subset else 0)  # bitstream_subset_flag
     p.flag(0)                        # nesting_op_flag
-    p.flag(1)                        # all_layers_flag
+    if bitstream_subset:
+        p.flag(0)                    # all_layers_flag
+        p.u(7, 3)                    # nesting_no_op_max_temporal_id_plus1
+        p.ue(0)                      # nesting_num_layers_minus1
+        p.u(0, 6)                    # nesting_layer_id[0]
+    else:
+        p.flag(1)                    # all_layers_flag
     while p.bit_count % 8:
         p.flag(0)                    # nesting_zero_bit
     for rbsp in nested_sei_rbsps:

@@ -117,6 +117,7 @@ _OPTION_TABLE = {
     "SEITempMotionConstrainedTileSets": ("sei_tmcts", int),
     "SEINoDisplay": ("sei_no_display", int),
     "SEISOPDescription": ("sei_sop_description", int),
+    "SEIScalableNesting": ("sei_scalable_nesting", int),
     "SEITimeCodeEnabled": ("sei_time_code", int),
     "SEITimeCodeNumClockTs": ("sei_time_code_num_ts", int),
     "SEIMasteringDisplayColourVolume": ("sei_mastering_display", int),
@@ -306,6 +307,7 @@ class EncoderConfig:
     sei_decoding_unit_info: int = 0
     sei_no_display: int = 0
     sei_sop_description: int = 0
+    sei_scalable_nesting: int = 0
     sei_time_code: int = 0
     sei_time_code_num_ts: int = 0
     sei_mastering_display: int = 0

@@ -1653,6 +1653,36 @@ def test_hrd_buffering_period_conformance(tmp_path):
     assert (tmp_path / "o2.yuv").read_bytes() == dec.read_bytes()
 
 
+def test_scalable_nesting_sei_conformance(tmp_path):
+    """--SEIScalableNesting=1: the HRD bookkeeping SEIs (buffering
+    period at IRAPs, pic timing per AU) are additionally wrapped in a
+    scalable-nesting SEI for the temporal sub-bitstream (spec D.2.23;
+    reference TEncGOP::xCreateScalableNestingSEI + SEIEncoder::
+    initSEIScalableNesting layer-0 form). Both decoders must still
+    verify the stream and the nesting payload (type 133) must appear."""
+    w, h, frames = 128, 80, 4
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-q", "32", "--IntraPeriod=-1",
+          "--SEIBufferingPeriod=1", "--SEIPictureTiming=1",
+          "--SEIScalableNesting=1", "-b", str(bs), "-o", str(rec)])
+    from hevc_tpu.entropy.nal import split_annexb
+    types = [nalu[2] for nalu in split_annexb(bs.read_bytes())
+             if (nalu[0] >> 1) & 0x3F == 39]
+    assert 133 in types, types
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames
+    assert rec.read_bytes() == dec.read_bytes()
+    from hevc_tpu.cli.decode import main as dec_main
+    assert dec_main(["-b", str(bs), "-o", str(tmp_path / "o2.yuv")]) == 0
+    assert (tmp_path / "o2.yuv").read_bytes() == dec.read_bytes()
+
+
 @pytest.mark.parametrize("flags,label", [
     (["--RDOQ=0", "--RDOQTS=0"], "rdoq_off"),
     (["--SignHideFlag=0"], "sbh_off"),
