@@ -159,6 +159,16 @@ class EncoderTop:
             # it also disables the intra edge/DC boundary filters for
             # lossless CUs (TComPrediction.cpp:481 enableEdgeFilters)
             self.sps.implicit_rdpcm_enabled_flag = 1
+        if (cfg.cross_comp_pred and cfg.internal_chroma_format == 3
+                and cfg.intra_period == 1
+                and os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0"):
+            # cross-component prediction (4:4:4, spec 8.6.6): the native
+            # intra engine predicts each chroma TB's residual from the
+            # TU's reconstructed luma residual with a least-squares
+            # alpha (reference TEncSearch::
+            # xCalcCrossComponentPredictionAlpha); PPS range extension
+            # carries the enable flag
+            self.pps.cross_component_prediction_enabled_flag = 1
         if cfg.explicit_rdpcm and cfg.tq_bypass_force:
             # explicit (inter) residual DPCM on lossless TBs: the slice
             # writer signals flag+direction per inter bypass TB from the
@@ -1153,6 +1163,7 @@ class EncoderTop:
             sp.implicit_rdpcm = self.sps.implicit_rdpcm_enabled_flag
             sp.explicit_rdpcm = self.sps.explicit_rdpcm_enabled_flag
             sp.dqp_depth = self.pps.diff_cu_qp_delta_depth
+            sp.ccp = self.pps.cross_component_prediction_enabled_flag
             sp.rdoq_off = 0 if cfg.rdoq else 1
             sp.rdoq_ts_off = 0 if cfg.rdoq_ts else 1
             sp.cqp_off[0] = self.pps.pps_cb_qp_offset
@@ -1310,6 +1321,7 @@ class EncoderTop:
             sp.implicit_rdpcm = self.sps.implicit_rdpcm_enabled_flag
             sp.explicit_rdpcm = self.sps.explicit_rdpcm_enabled_flag
             sp.dqp_depth = self.pps.diff_cu_qp_delta_depth
+            sp.ccp = self.pps.cross_component_prediction_enabled_flag
             sp.rdoq_off = 0 if cfg.rdoq else 1
             sp.rdoq_ts_off = 0 if cfg.rdoq_ts else 1
             sp.cqp_off[0] = self.pps.pps_cb_qp_offset

@@ -302,7 +302,21 @@ def write_pps(pps: PPS) -> bytes:
     bw.flag(pps.lists_modification_present_flag)
     bw.ue(pps.log2_parallel_merge_level_minus2)
     bw.flag(pps.slice_segment_header_extension_present_flag)
-    bw.flag(0)                                  # pps_extension_present_flag
+    if pps.cross_component_prediction_enabled_flag:
+        # pps_range_extension (spec 7.3.3.3.1; mirrors the parse in
+        # decoder/headers.py)
+        bw.flag(1)                              # pps_extension_present_flag
+        bw.flag(1)                              # pps_range_extension_flag
+        bw.flag(0); bw.flag(0); bw.flag(0)      # multilayer / 3d / scc
+        bw.u(0, 4)                              # pps_extension_4bits
+        if pps.transform_skip_enabled_flag:
+            bw.ue(pps.log2_max_transform_skip_block_size_minus2)
+        bw.flag(1)             # cross_component_prediction_enabled_flag
+        bw.flag(0)             # chroma_qp_offset_list_enabled_flag
+        bw.ue(0)               # log2_sao_offset_scale_luma
+        bw.ue(0)               # log2_sao_offset_scale_chroma
+    else:
+        bw.flag(0)                              # pps_extension_present_flag
     bw.byte_align()
     return bw.bytes()
 

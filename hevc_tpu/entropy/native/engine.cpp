@@ -1186,6 +1186,16 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
   // per-4x4 transform-skip flags (TS_Y/TS_CB/TS_CR at the TB origin,
   // CU-local coords); merged into d.tu_depth at the end
   uint8_t ts_loc[64] = {0};
+  // cross-component prediction (4:4:4 + DM chroma; spec 8.6.6,
+  // reference TEncSearch::xCalcCrossComponentPredictionAlpha +
+  // TComTrQuant::crossComponentPrediction): each chroma TB may predict
+  // from the RECONSTRUCTED luma residual of its TU with a signalled
+  // alpha. ccp_lres holds the current TU's luma recon residual.
+  bool ccp_on = sp_.ccp && csx_ == 0 && d.ccp_cb && d.ccp_cr;
+  bool ccp_dm = cmode_best == best_mode;
+  int32_t ccp_lres[32 * 32];
+  int ccp_lnz = 0;
+  int32_t ccp_term[32 * 32];
 
   // code one intra TB (luma c=0 or chroma c=1/2) at (tx,ty) size tn,
   // predicting from the live recon; returns nz, accumulates sse/bits
@@ -1228,6 +1238,37 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
       for (int j = 0; j < tz; ++j)
         resi[i * tz + j] = (int32_t)o[i * stride + j] - predt[i * tz + j];
     delete _pp;
+    // cross-component prediction of this chroma TB from the TU's luma
+    // recon residual: HM's least-squares alpha, quantized to
+    // {0,+-1,+-2,+-4,+-8} (TEncSearch.cpp:1874), subtracted before the
+    // transform; the decoder adds (alpha*resiL)>>3 back (recon._resid)
+    int ccp_alpha = 0;
+    if (ccp_on && c != 0) {
+      if (ccp_lnz && ccp_dm) {
+        long long ssxy = 0, ssxx = 0;
+        for (int i = 0; i < tz * tz; ++i) {
+          ssxy += (long long)ccp_lres[i] * resi[i];
+          ssxx += (long long)ccp_lres[i] * ccp_lres[i];
+        }
+        if (ssxx != 0) {
+          int ia = (int)((double)ssxy / (double)ssxx * 16.0);
+          ia = std::min(16, std::max(-16, ia));
+          static const int kAq[17] = {0, 1, 1, 2, 2, 2, 4, 4, 4, 4,
+                                      4, 4, 8, 8, 8, 8, 8};
+          ccp_alpha = ia < 0 ? -kAq[-ia] : kAq[ia];
+        }
+        // alpha signalling rate (flag bin; +4 bins when nonzero)
+        *bits += ccp_alpha ? 5.0 : 1.0;
+      }
+      (c == 1 ? d.ccp_cb : d.ccp_cr)[((ty - ctu_y0) >> 2) * bw4 +
+                                     ((tx - ctu_x0) >> 2)] =
+          (int8_t)ccp_alpha;
+      if (ccp_alpha)
+        for (int i = 0; i < tz * tz; ++i) {
+          ccp_term[i] = (ccp_alpha * ccp_lres[i]) >> 3;
+          resi[i] -= ccp_term[i];
+        }
+    }
     bool dstt = (c == 0 && tz == 4);
     const int32_t* smat_t =
         sp_.scaling_lists ? dsp::default_scaling_matrix(tz, true) : nullptr;
@@ -1281,6 +1322,14 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
                             sp_.sign_hiding);
     }
     ProfScope _p16(16);
+    if (ccp_on && c == 0) {
+      // stash this TU's luma recon residual for the chroma TBs
+      ccp_lnz = nz;
+      if (nz)
+        std::memcpy(ccp_lres, rres, sizeof(int32_t) * tz * tz);
+      else
+        std::memset(ccp_lres, 0, sizeof(int32_t) * tz * tz);
+    }
     int16_t* cpl = c == 0 ? d.coeff_y : (c == 1 ? d.coeff_cb : d.coeff_cr);
     int cstride = c == 0 ? ctu_ : cctu;
     int lx0 = c == 0 ? tx - ctu_x0 : (tx - ctu_x0) >> csx_;
@@ -1289,7 +1338,8 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     for (int i = 0; i < tz; ++i)
       for (int j = 0; j < tz; ++j) {
         cpl[(ly0 + i) * cstride + lx0 + j] = (int16_t)lev[i * tz + j];
-        int32_t v = predt[i * tz + j] + rres[i * tz + j];
+        int32_t v = predt[i * tz + j] + rres[i * tz + j] +
+                    (ccp_alpha ? ccp_term[i * tz + j] : 0);
         pel_t rv = (pel_t)std::min(maxv, std::max(0, v));
         recon_[c][(py + i) * stride + px + j] = rv;
         int64_t e = (int64_t)o[i * stride + j] - rv;
@@ -1309,11 +1359,22 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
   struct Snap {
     std::vector<pel_t> ry, rcb, rcr;        // recon snapshots (samples)
     std::vector<int16_t> cy, ccb, ccr;      // coeff snapshots
+    std::vector<int8_t> acb, acr;           // CCP alpha map snapshots
   };
   auto take = [&](int tx, int ty, int tn, Snap& s) {
     ProfScope _p17(17);
     int tc = tn >> csx_;
     int px = tx >> csx_, py = ty >> csx_;
+    if (ccp_on) {
+      int n4 = tn >> 2;
+      s.acb.resize(n4 * n4);
+      s.acr.resize(n4 * n4);
+      int gx = (tx - ctu_x0) >> 2, gy = (ty - ctu_y0) >> 2;
+      for (int i = 0; i < n4; ++i) {
+        std::memcpy(&s.acb[i * n4], d.ccp_cb + (gy + i) * bw4 + gx, n4);
+        std::memcpy(&s.acr[i * n4], d.ccp_cr + (gy + i) * bw4 + gx, n4);
+      }
+    }
     s.ry.resize(tn * tn);
     s.cy.resize(tn * tn);
     s.rcb.resize(tc * tc);
@@ -1346,6 +1407,14 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     ProfScope _p17(17);
     int tc = tn >> csx_;
     int px = tx >> csx_, py = ty >> csx_;
+    if (ccp_on && !s.acb.empty()) {
+      int n4 = tn >> 2;
+      int gx = (tx - ctu_x0) >> 2, gy = (ty - ctu_y0) >> 2;
+      for (int i = 0; i < n4; ++i) {
+        std::memcpy(d.ccp_cb + (gy + i) * bw4 + gx, &s.acb[i * n4], n4);
+        std::memcpy(d.ccp_cr + (gy + i) * bw4 + gx, &s.acr[i * n4], n4);
+      }
+    }
     for (int i = 0; i < tn; ++i) {
       std::memcpy(recon_[0] + (ty + i) * w_ + tx, &s.ry[i * tn],
                   sizeof(pel_t) * tn);

@@ -1276,8 +1276,10 @@ void SliceEncoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
   if (cbf_y) residual(x0, y0, log2, 0);
   if (mono) {
   } else if (log2 > 2 || cs == 0) {
+    if (sp_.ccp && cbf_y && cs == 0) code_ccp(x0, y0, 1, is_intra);
     if (cbf_cb) residual(x0, y0, log2 - cs, 1);
     if (c422 && cbf_cb2) residual(x0, y0 + (1 << (log2 - 1)), log2 - 1, 1);
+    if (sp_.ccp && cbf_y && cs == 0) code_ccp(x0, y0, 2, is_intra);
     if (cbf_cr) residual(x0, y0, log2 - cs, 2);
     if (c422 && cbf_cr2) residual(x0, y0 + (1 << (log2 - 1)), log2 - 1, 2);
   } else if (blk_idx == 3) {
@@ -1286,6 +1288,37 @@ void SliceEncoder::transform_tree(int x0, int y0, int xb, int yb, int log2,
     if (par_cr) residual(xb, yb, 2, 2);
     if (c422 && par_cr2) residual(xb, yb + 4, 2, 2);
   }
+}
+
+void SliceEncoder::code_ccp(int x0, int y0, int comp, int is_intra) {
+  // cross-component prediction alpha (spec 7.3.8.12; exact mirror of
+  // SliceDecoder::parse_ccp / reference TEncSbac::
+  // codeCrossComponentPrediction): coded when the luma TB has
+  // coefficients and the CU is inter or intra with DM chroma
+  int bw4 = sp_.ctu_size / 4;
+  if (is_intra) {
+    int lm = map_at(cur_->luma_mode, bw4, x0 - ctu_x0_, y0 - ctu_y0_);
+    int cm = map_at(cur_->chroma_mode, bw4, x0 - ctu_x0_, y0 - ctu_y0_);
+    if (lm != cm) return;  // not DM chroma: no alpha coded
+  }
+  int alpha = 0;
+  const int8_t* m = comp == 1 ? cur_->ccp_cb : cur_->ccp_cr;
+  if (m)
+    alpha = m[((y0 - ctu_y0_) >> 2) * bw4 + ((x0 - ctu_x0_) >> 2)];
+  ContextModel* pc = ctx_.ccp + (comp == 2 ? 5 : 0);
+  if (!alpha) {
+    cabac_.encode_bin(pc[0], 0);  // log2_res_scale_abs_plus1 == 0
+    return;
+  }
+  cabac_.encode_bin(pc[0], 1);
+  int a = alpha < 0 ? -alpha : alpha;
+  int sym = a == 1 ? 0 : (a == 2 ? 1 : (a == 4 ? 2 : 3));
+  cabac_.encode_bin(pc[1], sym ? 1 : 0);
+  if (sym) {
+    cabac_.encode_bin(pc[2], sym > 1 ? 1 : 0);
+    if (sym > 1) cabac_.encode_bin(pc[3], sym > 2 ? 1 : 0);
+  }
+  cabac_.encode_bin(pc[4], alpha < 0 ? 1 : 0);  // res_scale_sign_flag
 }
 
 void SliceEncoder::residual(int x0, int y0, int log2, int c_idx) {

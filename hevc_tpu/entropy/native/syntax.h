@@ -396,6 +396,7 @@ class SliceEncoder {
   std::vector<int8_t> qp4_;
   bool dqp_coded_ = false, dqp_first_ = true;
   void qg_start(int x0, int y0);
+  void code_ccp(int x0, int y0, int comp, int is_intra);
  public:
   std::vector<int8_t> ctu_qp_pred, ctu_qp_final;  // per-CTU, encode order
  private:

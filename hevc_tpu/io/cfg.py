@@ -613,7 +613,10 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
     confirm(cfg.tq_bypass_enable and not cfg.tq_bypass_force,
             "TransquantBypassEnableFlag without the force flag "
             "unsupported (per-CU bypass RD search not implemented)")
-    tool_hint(cfg.cross_comp_pred, "CrossComponentPrediction")
+    tool_hint(cfg.cross_comp_pred
+              and not (cfg.internal_chroma_format == 3
+                       and cfg.intra_period == 1),
+              "CrossComponentPrediction")
     confirm(cfg.extended_precision != 0, "ExtendedPrecision unsupported")
     tool_hint(cfg.high_prec_wp, "HighPrecisionPredictionWeighting")
     tool_hint(cfg.explicit_rdpcm and not cfg.tq_bypass_force,

@@ -1345,6 +1345,51 @@ def test_lossless_encode_conformance(tmp_path):
         assert own.read_bytes() == dec.read_bytes()
 
 
+def test_ccp_encode_conformance(tmp_path):
+    """Cross-component prediction ENCODE (4:4:4 intra, spec 8.6.6 /
+    7.3.8.12): each chroma TB may predict its residual from the TU's
+    reconstructed luma residual with a least-squares alpha quantized to
+    {0,+-1,+-2,+-4,+-8} (reference TEncSearch::
+    xCalcCrossComponentPredictionAlpha, TComTrQuant::
+    crossComponentPrediction). On luma-correlated chroma the tool must
+    cut the payload, and both decoders must agree byte-exactly."""
+    w, h, frames = 192, 96, 3
+    clip = tmp_path / "in.yuv"
+    rng = np.random.default_rng(9)
+    yy, xx = np.mgrid[0:h, 0:w]
+    with open(clip, "wb") as f:
+        for i in range(frames):
+            y = ((np.sin(xx / 7 + i) + np.cos(yy / 5)) * 50 + 128
+                 + rng.integers(-20, 20, (h, w))).clip(0, 255)
+            u = (y * 0.7 + rng.integers(-10, 10, (h, w)) + 30).clip(0, 255)
+            v = (255 - y * 0.6 + rng.integers(-10, 10, (h, w))).clip(0, 255)
+            for p in (y, u, v):
+                f.write(p.astype(np.uint8).tobytes())
+    from hevc_tpu.cli.decode import main as dmain
+    from hevc_tpu.cli.encode import main
+    sizes = {}
+    for tag, extra in (("off", ["--CrossComponentPrediction=0"]),
+                       ("on", [])):
+        bs, rec, dec = (tmp_path / f"{tag}.bin", tmp_path / f"{tag}.r.yuv",
+                        tmp_path / f"{tag}.d.yuv")
+        main(["-c",
+              "/root/reference/cfg/encoder_intra_high_throughput_rext.cfg",
+              "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+              str(frames), "-q", "30", "--InputChromaFormat=444",
+              "--InternalBitDepth=8"] + extra
+             + ["-b", str(bs), "-o", str(rec)])
+        out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                             capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+        assert rec.read_bytes() == dec.read_bytes()
+        own = tmp_path / "own.yuv"
+        assert dmain(["-b", str(bs), "-o", str(own)]) == 0
+        assert own.read_bytes() == dec.read_bytes()
+        sizes[tag] = bs.stat().st_size
+    assert sizes["on"] < sizes["off"], sizes
+
+
 def test_lossless_rdpcm_rotation_encode_conformance(tmp_path):
     """Lossless encode with the RExt tools the main_rext CTC cfgs turn
     on: implicit residual DPCM (intra horizontal/vertical TBs transmit
