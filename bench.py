@@ -2,14 +2,26 @@
 """Benchmark: the five BASELINE.json configs + per-stage time split.
 
 Prints ONE JSON line (the north-star metric: 1080p lowdelay-P encode fps
-vs the HM-16.4 single-thread anchor) on stdout. The full per-config
-table — fps, HM anchor fps, bitrate, PSNR, and the device/host stage
-split — is written to BENCH_ALL.json (and pretty-printed on stderr).
+vs the HM-16.4 single-thread anchor) on stdout — *immediately after the
+headline config is measured*, before the rest of the suite, so a driver
+timeout can never leave the round without a parsable number. The full
+per-config table — fps, HM anchor fps, bitrate, PSNR, and the
+device/host stage split — is flushed to BENCH_ALL.json incrementally.
 
-Baseline provenance: the reference HM-16.4 encoder (built via
-tools/build_reference_oracle.sh) is re-measured live on short runs when
-the oracle binary exists; otherwise recorded constants from BASELINE.md
-(this host class) are used.
+Baseline provenance (three anchor tiers, most→least trusted):
+  live      — HM-16.4 oracle re-measured in this run (only when the
+              global wall budget allows; sanity-gated to within 2x of
+              the recorded host-class value)
+  cached    — HM_ANCHORS.json, live measurements from an earlier run on
+              this host class (checked in; dims must match)
+  recorded  — constants from BASELINE.md for this host class
+The published ratio (vs_baseline) is the CONSERVATIVE one: our fps
+divided by the FASTEST accepted anchor. Per-tier ratios are reported
+alongside in BENCH_ALL.json.
+
+The whole suite runs under a global wall budget
+(HEVC_TPU_BENCH_BUDGET, default 540 s): once spent, remaining configs
+are skipped (recorded as such) rather than timing out the driver.
 
 Steady-state excludes warmup frames (one-time device kernel compilation
 / persistent-cache population is not a per-frame cost).
@@ -30,6 +42,14 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 HM_ENC = "/tmp/hm_oracle/bin/TAppEncoderStatic"
 CFGDIR = "/root/reference/cfg"
+
+T0 = time.time()
+BUDGET = float(os.environ.get("HEVC_TPU_BENCH_BUDGET", "540"))
+
+
+def remaining() -> float:
+    return BUDGET - (time.time() - T0)
+
 
 # name, cfg, W, H, frames, QP, bit depth, our warmup, HM frames, HM warmup
 # warmup must cover every reference-count shape the GOP structure will
@@ -63,6 +83,20 @@ HM_FALLBACK = {"intra_main": 2.17, "lowdelay_P_main": 0.141,
 
 W, H, FRAMES, QP = 1920, 1080, 10, 32
 WARMUP = 5
+
+
+def load_cached_anchors():
+    path = os.path.join(REPO, "HM_ANCHORS.json")
+    if not os.path.exists(path):
+        return {}
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+CACHED = load_cached_anchors()
 
 
 def measure_ours(cfg_path, clip, w, h, frames, qp, warmup):
@@ -144,7 +178,8 @@ def measure_ours(cfg_path, clip, w, h, frames, qp, warmup):
             "stage_seconds": stages}
 
 
-def measure_hm(cfg_path, clip, w, h, frames, qp, bd, warmup=1):
+def measure_hm(cfg_path, clip, w, h, frames, qp, bd, warmup=1,
+               timeout=None):
     """HM steady-state fps in WALL-CLOCK terms.
 
     HM's [ET] per-POC entries and its Total Time are clock() CPU seconds
@@ -157,6 +192,10 @@ def measure_hm(cfg_path, clip, w, h, frames, qp, bd, warmup=1):
     vs_hm ratio are wall-clock."""
     if not os.path.exists(HM_ENC):
         return None
+    if timeout is None:
+        timeout = float(os.environ.get("HEVC_TPU_HM_TIMEOUT", "1800"))
+    if timeout <= 0:
+        return None
     with tempfile.TemporaryDirectory() as tmp:
         args = [HM_ENC, "-c", cfg_path, "-i", clip, "-wdt", str(w),
                 "-hgt", str(h), "-f", str(frames), "-fr", "30",
@@ -164,11 +203,10 @@ def measure_hm(cfg_path, clip, w, h, frames, qp, bd, warmup=1):
         t0 = time.time()
         try:
             # bounded: a pathologically slow anchor (loaded host, heavy
-            # RA hierarchy) falls back to the recorded constant instead
-            # of stalling the whole suite
+            # RA hierarchy) falls back to the cached/recorded constant
+            # instead of stalling the whole suite
             out = subprocess.run(args, capture_output=True, text=True,
-                                 timeout=float(os.environ.get(
-                                     "HEVC_TPU_HM_TIMEOUT", "1800")))
+                                 timeout=timeout)
         except subprocess.TimeoutExpired:
             return None
         wall = time.time() - t0
@@ -197,22 +235,49 @@ def measure_hm(cfg_path, clip, w, h, frames, qp, bd, warmup=1):
     return wall_factor * len(steady) / sum(steady)
 
 
-def hm_anchor(name, cfg_path, clip, w, h, frames, qp, bd, warmup):
-    """Live-measured HM steady-state fps, sanity-checked against the
-    recorded anchor for this host class: a live sample that deviates
-    >4x from the recorded value means the measurement did not reach
-    steady state (or the host was loaded) — prefer the recorded one
-    and say so rather than publishing an implausible ratio."""
-    live = measure_hm(cfg_path, clip, w, h, frames, qp, bd, warmup)
+def hm_anchor(name, cfg_path, clip, w, h, frames, qp, bd, warmup,
+              dims, allow_live=True):
+    """Anchor fps + provenance + per-tier table.
+
+    Tiers: live (this run, budget permitting), cached (HM_ANCHORS.json
+    from an earlier run on this host class, dims-matched), recorded
+    (BASELINE.md constant). A live sample deviating >2x from the
+    recorded host-class value means the measurement did not reach
+    steady state (or the host was loaded) — it is rejected rather than
+    published. The returned anchor is the CONSERVATIVE (fastest) of the
+    accepted tiers, so vs_baseline can only be understated."""
     rec = HM_FALLBACK.get(name)
-    if live is None:
-        return rec, "recorded"
-    if rec and not (rec / 4.0 <= live <= rec * 4.0):
-        return rec, f"recorded (live {live:.4f} implausible vs {rec})"
-    return live, "live"
+    tiers = {}
+    if rec:
+        tiers["recorded"] = rec
+    ca = CACHED.get(name)
+    if isinstance(ca, dict) and ca.get("dims") == dims and ca.get("fps"):
+        cached = float(ca["fps"])
+        if rec is None or (rec / 2.0 <= cached <= rec * 2.0):
+            tiers["cached"] = cached
+    live = None
+    if allow_live:
+        # leave headroom for the rest of the suite: never let one HM run
+        # eat more than half the remaining budget
+        t_cap = min(remaining() * 0.5,
+                    float(os.environ.get("HEVC_TPU_HM_TIMEOUT", "1800")))
+        if t_cap > 10:
+            live = measure_hm(cfg_path, clip, w, h, frames, qp, bd,
+                              warmup, timeout=t_cap)
+    if live is not None:
+        if rec and not (rec / 2.0 <= live <= rec * 2.0):
+            tiers["live_rejected"] = round(live, 5)
+        else:
+            tiers["live"] = live
+    if not tiers:
+        return None, "none", {}
+    # conservative: fastest accepted anchor
+    usable = {k: v for k, v in tiers.items() if k != "live_rejected"}
+    prov = max(usable, key=usable.get)
+    return usable[prov], prov, tiers
 
 
-def _device_alive(timeout_s: float = 600.0) -> bool:
+def _device_alive(timeout_s: float = 120.0) -> bool:
     """Probe the accelerator with a trivial op under a watchdog — a dead
     device tunnel hangs forever inside libtpu, so probe in a subprocess
     we can kill."""
@@ -226,41 +291,45 @@ def _device_alive(timeout_s: float = 600.0) -> bool:
         return False
 
 
+def _attach_anchor(r, name, cfg_path, clip, w, h, frames, qp, bd, warmup,
+                   allow_live):
+    dims = f"{w}x{h}x{frames}@qp{qp}"
+    base, prov, tiers = hm_anchor(name, cfg_path, clip, w, h, frames, qp,
+                                  bd, warmup, dims, allow_live=allow_live)
+    if base:
+        r["hm_fps"] = round(base, 4)
+        r["hm_anchor"] = prov
+        r["vs_hm"] = round(r["fps"] / base, 2)
+        for tier, fps in tiers.items():
+            if tier != "live_rejected" and fps:
+                r[f"vs_hm_{tier}"] = round(r["fps"] / fps, 2)
+            else:
+                r["hm_live_rejected_fps"] = fps
+    return r
+
+
+def _flush(results):
+    with open(os.path.join(REPO, "BENCH_ALL.json"), "w") as fh:
+        json.dump(results, fh, indent=1)
+
+
 def main():
     from make_test_yuv import write_clip
-    results = {}
+    global W, H, FRAMES
+    results = {"budget_s": BUDGET}
     if os.environ.get("JAX_PLATFORMS", "") != "cpu" and not _device_alive():
         # device tunnel dead: record the fact and measure on CPU with a
         # reduced headline so the benchmark still completes
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ["HEVC_TPU_PLATFORM"] = "cpu"
         results["device_unavailable"] = True
-        global W, H, FRAMES
         W, H, FRAMES = 416, 240, 4
     with tempfile.TemporaryDirectory() as tmp:
-        # ---- the five BASELINE.json configs ----
-        for (name, cfgf, w, h, frames, qp, bd, warm, hm_frames,
-             hm_warm) in CONFIGS:
-            clip = os.path.join(tmp, f"{name}.yuv")
-            write_clip(clip, w, h, frames, bd)
-            cfg_path = os.path.join(CFGDIR, cfgf)
-            buf = io.StringIO()
-            try:
-                with contextlib.redirect_stdout(buf):
-                    r = measure_ours(cfg_path, clip, w, h, frames, qp, warm)
-                    base, prov = hm_anchor(name, cfg_path, clip, w, h,
-                                           hm_frames, qp, bd, hm_warm)
-                r["hm_fps"] = round(base, 4)
-                r["hm_anchor"] = prov
-                r["vs_hm"] = round(r["fps"] / base, 2)
-                r["dims"] = f"{w}x{h}x{frames}@qp{qp}"
-                results[name] = r
-            except Exception as e:  # record, don't abort the suite
-                results[name] = {"error": f"{type(e).__name__}: {e}"}
-
-        # ---- north-star: 1080p lowdelay-P ----
-        # (on device fallback W/H were reduced above: anchor against HM at
-        # the SAME dims so the ratio always compares like with like)
+        # ---- north-star FIRST: 1080p lowdelay-P ----
+        # The one-line stdout artifact is printed as soon as this config
+        # lands so a driver kill mid-suite still leaves the number.
+        # (on device fallback W/H were reduced above: anchor against HM
+        # at the SAME dims so the ratio always compares like with like)
         hl_anchor_name = ("headline_1080p_ldp" if (W, H) == (1920, 1080)
                           else "headline_416x240_ldp")
         clip = os.path.join(tmp, "hl.yuv")
@@ -270,12 +339,10 @@ def main():
         try:
             with contextlib.redirect_stdout(buf):
                 r = measure_ours(cfg_path, clip, W, H, FRAMES, QP, WARMUP)
-                base, prov = hm_anchor(hl_anchor_name, cfg_path, clip, W, H,
-                                       8, QP, 8, 4)
-            r["hm_fps"] = round(base, 4)
-            r["hm_anchor"] = prov
-            r["vs_hm"] = round(r["fps"] / base, 2)
-            r["dims"] = f"{W}x{H}x{FRAMES}@qp{QP}"
+                # never live-measure the 1080p anchor inline (it alone is
+                # ~10+ min of HM time): cached/recorded tiers only
+                _attach_anchor(r, hl_anchor_name, cfg_path, clip, W, H, 8,
+                               QP, 8, 4, allow_live=False)
         except Exception as e:
             r = {"error": f"{type(e).__name__}: {e}", "fps": 0.0,
                  "hm_fps": HM_FALLBACK[hl_anchor_name]}
@@ -283,23 +350,51 @@ def main():
         if results.get("device_unavailable"):
             r["device_unavailable"] = True
         results["headline_1080p_ldp"] = r
+        _flush(results)
+        line = {
+            "metric": "lowdelayP_encode_fps_1080p",
+            "value": r.get("fps", 0.0),
+            "unit": "frames/sec",
+            "vs_baseline": round(r.get("fps", 0.0) /
+                                 r.get("hm_fps",
+                                       HM_FALLBACK[hl_anchor_name]), 4),
+        }
+        if r.get("device_unavailable"):
+            # CPU-fallback run at reduced dims: say so in the one-line
+            # JSON so the number can never be read as a 1080p TPU result
+            line["device_unavailable"] = True
+            line["dims"] = r["dims"]
+        print(json.dumps(line), flush=True)
 
-    with open(os.path.join(REPO, "BENCH_ALL.json"), "w") as fh:
-        json.dump(results, fh, indent=1)
+        # ---- the five BASELINE.json configs (budget-gated) ----
+        for (name, cfgf, w, h, frames, qp, bd, warm, hm_frames,
+             hm_warm) in CONFIGS:
+            if remaining() < 60:
+                results[name] = {"skipped": "budget"}
+                _flush(results)
+                continue
+            clip = os.path.join(tmp, f"{name}.yuv")
+            write_clip(clip, w, h, frames, bd)
+            cfg_path = os.path.join(CFGDIR, cfgf)
+            buf = io.StringIO()
+            try:
+                with contextlib.redirect_stdout(buf):
+                    r = measure_ours(cfg_path, clip, w, h, frames, qp, warm)
+                    # live HM only while the wall budget allows it; the
+                    # cached tier (HM_ANCHORS.json) is the usual source
+                    allow_live = (remaining() > 120 and
+                                  f"{name}" not in CACHED)
+                    _attach_anchor(r, name, cfg_path, clip, w, h,
+                                   hm_frames, qp, bd, hm_warm, allow_live)
+                r["dims"] = f"{w}x{h}x{frames}@qp{qp}"
+                results[name] = r
+            except Exception as e:  # record, don't abort the suite
+                results[name] = {"error": f"{type(e).__name__}: {e}"}
+            _flush(results)
+
+    results["wall_s"] = round(time.time() - T0, 1)
+    _flush(results)
     print(json.dumps(results, indent=1), file=sys.stderr)
-    hl = results["headline_1080p_ldp"]
-    line = {
-        "metric": "lowdelayP_encode_fps_1080p",
-        "value": hl["fps"],
-        "unit": "frames/sec",
-        "vs_baseline": round(hl["fps"] / hl["hm_fps"], 4),
-    }
-    if hl.get("device_unavailable"):
-        # CPU-fallback run at reduced dims: say so in the one-line JSON
-        # so the number can never be read as a 1080p TPU result
-        line["device_unavailable"] = True
-        line["dims"] = hl["dims"]
-    print(json.dumps(line))
 
 
 if __name__ == "__main__":
