@@ -159,6 +159,68 @@ class ShortTermRPS:
         return sum(1 for d in self.delta_pocs if d > 0)
 
 
+def crop_conformance_window(planes, sps):
+    """Crop decoded/reconstructed planes to the SPS conformance window
+    (spec 7.4.3.2.1 + Table 6-1 SubWidthC/SubHeightC; reference
+    TVideoIOYuv::write confLeft..confBottom). Returns views (no copy);
+    a no-op when no window is signalled."""
+    if not getattr(sps, "conformance_window_flag", 0):
+        return planes
+    ux = 2 if sps.chroma_format_idc in (1, 2) else 1
+    uy = 2 if sps.chroma_format_idc == 1 else 1
+    lx = sps.conf_win_left_offset * ux
+    rx = sps.conf_win_right_offset * ux
+    ty = sps.conf_win_top_offset * uy
+    by = sps.conf_win_bottom_offset * uy
+    out = []
+    for i, p in enumerate(planes):
+        sx = sps.chroma_shift_x if i else 0
+        sy = sps.chroma_shift_y if i else 0
+        h, w = p.shape
+        out.append(p[ty >> sy: h - (by >> sy), lx >> sx: w - (rx >> sx)])
+    return out
+
+
+@dataclasses.dataclass
+class VuiExt:
+    """The optional VUI field groups (annex E.2.1) beyond the flat
+    timing/field-sequence subset on SPS (parity: reference TComVUI /
+    TEncCavlc::codeVUI and TAppEncCfg's VUI option block)."""
+    aspect_ratio_info_present_flag: int = 0
+    aspect_ratio_idc: int = 0
+    sar_width: int = 0
+    sar_height: int = 0
+    overscan_info_present_flag: int = 0
+    overscan_appropriate_flag: int = 0
+    video_signal_type_present_flag: int = 0
+    video_format: int = 5
+    video_full_range_flag: int = 0
+    colour_description_present_flag: int = 0
+    colour_primaries: int = 2
+    transfer_characteristics: int = 2
+    matrix_coeffs: int = 2
+    chroma_loc_info_present_flag: int = 0
+    chroma_sample_loc_type_top_field: int = 0
+    chroma_sample_loc_type_bottom_field: int = 0
+    neutral_chroma_indication_flag: int = 0
+    default_display_window_flag: int = 0
+    def_disp_win_left_offset: int = 0
+    def_disp_win_right_offset: int = 0
+    def_disp_win_top_offset: int = 0
+    def_disp_win_bottom_offset: int = 0
+    poc_proportional_to_timing_flag: int = 0
+    num_ticks_poc_diff_one_minus1: int = 0
+    bitstream_restriction_flag: int = 0
+    tiles_fixed_structure_flag: int = 0
+    motion_vectors_over_pic_boundaries_flag: int = 1
+    restricted_ref_pic_lists_flag: int = 0
+    min_spatial_segmentation_idc: int = 0
+    max_bytes_per_pic_denom: int = 2
+    max_bits_per_min_cu_denom: int = 1
+    log2_max_mv_length_horizontal: int = 15
+    log2_max_mv_length_vertical: int = 15
+
+
 @dataclasses.dataclass
 class SPS:
     sps_video_parameter_set_id: int = 0
@@ -202,12 +264,14 @@ class SPS:
     sps_temporal_mvp_enabled_flag: int = 0
     strong_intra_smoothing_enabled_flag: int = 1
     vui_parameters_present_flag: int = 0
-    # VUI (annex E.2.1); only the subset the encoder emits
+    # VUI (annex E.2.1); the always-used subset stays flat, the rest in
+    # vui_ext (a VuiExt, or None for an all-defaults VUI)
     vui_field_seq_flag: int = 0
     vui_frame_field_info_present_flag: int = 0
     vui_timing_info_present_flag: int = 0
     vui_num_units_in_tick: int = 1
     vui_time_scale: int = 30
+    vui_ext: object = None
 
     # Derived geometry helpers -------------------------------------------------
     @property

@@ -20,13 +20,19 @@ from .geometry import AvailabilityMap
 
 def build_ref_vector(plane: np.ndarray, x0: int, y0: int, size: int,
                      avail: AvailabilityMap, bit_depth: int,
-                     luma_pos=None) -> np.ndarray:
+                     luma_pos=None, cip_mask=None) -> np.ndarray:
     """Reference vector for the TU at (x0, y0) of `size` on `plane`.
 
     `plane` is the working reconstruction at this component's resolution.
     Availability is decided in LUMA coordinates: for chroma planes pass
     `luma_pos = (luma_x0, luma_y0, scale_x, scale_y)` (spec 6.4.1 operates
     on luma locations; chroma availability mirrors the collocated luma).
+
+    `cip_mask`: constrained intra prediction (PPS
+    constrained_intra_pred_flag; spec 8.4.4.2.2, reference TComPattern
+    fillReferenceSamples constrained branch) — a bool array at 4x4 LUMA
+    granularity, True where the block was intra-coded; inter neighbour
+    samples are treated unavailable and substituted.
     """
     n = size
     n2 = 2 * n
@@ -42,19 +48,24 @@ def build_ref_vector(plane: np.ndarray, x0: int, y0: int, size: int,
     chunk_y = max(1, 4 // sy)   # availability granularity in component rows
     chunk_x = max(1, 4 // sx)
 
+    def usable(lx: int, ly: int) -> bool:
+        if not avail.is_available(lx, ly, lx0, ly0):
+            return False
+        return cip_mask is None or bool(cip_mask[ly >> 2, lx >> 2])
+
     # ---- left column (incl. below-left): f[2N-1-y] = p[-1][y] ----
     if x0 > 0:
         ylim = min(2 * n, h - y0)
         col = plane[y0:y0 + ylim, x0 - 1].astype(np.int32)
         ok = np.zeros(ylim, dtype=bool)
         for yc in range(0, ylim, chunk_y):
-            if avail.is_available(lx0 - 1, ly0 + yc * sy, lx0, ly0):
+            if usable(lx0 - 1, ly0 + yc * sy):
                 ok[yc:yc + chunk_y] = True
         dst = np.arange(ylim)
         f[n2 - 1 - dst] = col
         have[n2 - 1 - dst] = ok
     # ---- corner ----
-    if x0 > 0 and y0 > 0 and avail.is_available(lx0 - 1, ly0 - 1, lx0, ly0):
+    if x0 > 0 and y0 > 0 and usable(lx0 - 1, ly0 - 1):
         f[n2] = plane[y0 - 1, x0 - 1]
         have[n2] = True
     # ---- top row (incl. above-right): f[2N+1+x] = p[x][-1] ----
@@ -63,7 +74,7 @@ def build_ref_vector(plane: np.ndarray, x0: int, y0: int, size: int,
         row = plane[y0 - 1, x0:x0 + xlim].astype(np.int32)
         ok = np.zeros(xlim, dtype=bool)
         for xc in range(0, xlim, chunk_x):
-            if avail.is_available(lx0 + xc * sx, ly0 - 1, lx0, ly0):
+            if usable(lx0 + xc * sx, ly0 - 1):
                 ok[xc:xc + chunk_x] = True
         f[n2 + 1:n2 + 1 + xlim] = row
         have[n2 + 1:n2 + 1 + xlim] = ok

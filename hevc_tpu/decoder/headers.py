@@ -286,41 +286,61 @@ def parse_sps(rbsp: bytes) -> SPS:
 
 def _parse_vui(br: BitReader, sps: SPS) -> None:
     """Full vui_parameters parse (spec E.2.1 — every field consumed so
-    HRD-carrying streams decode; values we don't act on are skipped)."""
-    if br.flag():                    # aspect_ratio_info_present
-        idc = br.u(8)
-        if idc == 255:               # EXTENDED_SAR
-            br.u(16)
-            br.u(16)
-    if br.flag():                    # overscan_info_present
-        br.flag()
-    if br.flag():                    # video_signal_type_present
-        br.u(3)                      # video_format
-        br.flag()                    # video_full_range_flag
-        if br.flag():                # colour_description_present
-            br.u(8)
-            br.u(8)
-            br.u(8)
-    if br.flag():                    # chroma_loc_info_present
-        br.ue()
-        br.ue()
-    br.flag()                        # neutral_chroma_indication_flag
+    HRD-carrying streams decode; the optional groups land in
+    sps.vui_ext, mirroring entropy/headers.py write_vui)."""
+    from ..core.params import VuiExt
+    v = sps.vui_ext = VuiExt()
+    v.aspect_ratio_info_present_flag = br.flag()
+    if v.aspect_ratio_info_present_flag:
+        v.aspect_ratio_idc = br.u(8)
+        if v.aspect_ratio_idc == 255:  # EXTENDED_SAR
+            v.sar_width = br.u(16)
+            v.sar_height = br.u(16)
+    v.overscan_info_present_flag = br.flag()
+    if v.overscan_info_present_flag:
+        v.overscan_appropriate_flag = br.flag()
+    v.video_signal_type_present_flag = br.flag()
+    if v.video_signal_type_present_flag:
+        v.video_format = br.u(3)
+        v.video_full_range_flag = br.flag()
+        v.colour_description_present_flag = br.flag()
+        if v.colour_description_present_flag:
+            v.colour_primaries = br.u(8)
+            v.transfer_characteristics = br.u(8)
+            v.matrix_coeffs = br.u(8)
+    v.chroma_loc_info_present_flag = br.flag()
+    if v.chroma_loc_info_present_flag:
+        v.chroma_sample_loc_type_top_field = br.ue()
+        v.chroma_sample_loc_type_bottom_field = br.ue()
+    v.neutral_chroma_indication_flag = br.flag()
     sps.vui_field_seq_flag = br.flag()
     sps.vui_frame_field_info_present_flag = br.flag()
-    if br.flag():                    # default_display_window_flag
-        br.ue(); br.ue(); br.ue(); br.ue()
+    v.default_display_window_flag = br.flag()
+    if v.default_display_window_flag:
+        v.def_disp_win_left_offset = br.ue()
+        v.def_disp_win_right_offset = br.ue()
+        v.def_disp_win_top_offset = br.ue()
+        v.def_disp_win_bottom_offset = br.ue()
     sps.vui_timing_info_present_flag = br.flag()
     if sps.vui_timing_info_present_flag:
         sps.vui_num_units_in_tick = br.u(32)
         sps.vui_time_scale = br.u(32)
-        if br.flag():                # vui_poc_proportional_to_timing
-            br.ue()                  # vui_num_ticks_poc_diff_one_minus1
+        v.poc_proportional_to_timing_flag = br.flag()
+        if v.poc_proportional_to_timing_flag:
+            v.num_ticks_poc_diff_one_minus1 = br.ue()
         if br.flag():                # vui_hrd_parameters_present
             _parse_hrd(br, sps.sps_max_sub_layers_minus1
                        if hasattr(sps, "sps_max_sub_layers_minus1") else 0)
-    if br.flag():                    # bitstream_restriction_flag
-        br.flag(); br.flag(); br.flag()
-        br.ue(); br.ue(); br.ue(); br.ue(); br.ue()
+    v.bitstream_restriction_flag = br.flag()
+    if v.bitstream_restriction_flag:
+        v.tiles_fixed_structure_flag = br.flag()
+        v.motion_vectors_over_pic_boundaries_flag = br.flag()
+        v.restricted_ref_pic_lists_flag = br.flag()
+        v.min_spatial_segmentation_idc = br.ue()
+        v.max_bytes_per_pic_denom = br.ue()
+        v.max_bits_per_min_cu_denom = br.ue()
+        v.log2_max_mv_length_horizontal = br.ue()
+        v.log2_max_mv_length_vertical = br.ue()
 
 
 def _parse_hrd(br: BitReader, max_sub_layers_minus1: int = 0) -> None:

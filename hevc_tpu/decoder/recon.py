@@ -48,7 +48,8 @@ class CtuReconstructor:
     def __init__(self, sps: SPS, slice_qp: int,
                  refs_l0=None, refs_l1=None, wp=None, wp_tables=None,
                  wp_denoms=(6, 6), slice_start_ctu: int = 0,
-                 cb_qp_offset: int = 0, cr_qp_offset: int = 0):
+                 cb_qp_offset: int = 0, cr_qp_offset: int = 0,
+                 cip_map=None):
         """refs_l0/refs_l1: per-list padded reference pictures (each a
         [Y,Cb,Cr] plane list), indexed by ref_idx (spec 8.5.3.1).
         wp: legacy (log2_denom, weight, offset) explicit luma weighting
@@ -81,6 +82,11 @@ class CtuReconstructor:
         self.wp_denoms = wp_denoms
         self.csx = sps.chroma_shift_x
         self.csy = sps.chroma_shift_y
+        # constrained intra prediction (PPS constrained_intra_pred_flag):
+        # picture-level bool map at 4x4 luma granularity, True where the
+        # block decoded intra — inter neighbour samples substitute
+        # (spec 8.4.4.2.2; reference TComPattern fillReferenceSamples)
+        self.cip_map = cip_map
 
     def set_qp(self, qp: int) -> None:
         """Per-CTU QP for cu_qp_delta streams (the signalled group QP —
@@ -143,7 +149,8 @@ class CtuReconstructor:
                   luma_resi=None, bypass=False):
         plane = recon[c_idx]
         f = build_ref_vector(plane, x0, y0, size, self.avail,
-                             self.bd, luma_pos=luma_pos)
+                             self.bd, luma_pos=luma_pos,
+                             cip_mask=self.cip_map)
         strong = (c_idx == 0 and self.sps.strong_intra_smoothing_enabled_flag
                   and strong_smoothing_decision(f, size, self.bd))
         ff = filter_ref_samples(f, size, self.bd, strong_smoothing=strong)
@@ -193,6 +200,15 @@ class CtuReconstructor:
         own QpY, spec 8.6.1)."""
         ctu_x0, ctu_y0 = cx * self.ctu, cy * self.ctu
         min_cb = self.sps.log2_min_luma_coding_block_size_minus3 + 3
+        if self.cip_map is not None:
+            # record this CTU's intra/inter map before reconstructing:
+            # z-scan availability already excludes not-yet-decoded blocks
+            b4 = self.ctu >> 2
+            my0, mx0 = ctu_y0 >> 2, ctu_x0 >> 2
+            mh = min(b4, self.cip_map.shape[0] - my0)
+            mw = min(b4, self.cip_map.shape[1] - mx0)
+            self.cip_map[my0:my0 + mh, mx0:mx0 + mw] = \
+                (d.pred_mode[:mh, :mw] == 1)
         for (x0, y0, log2) in cu_leaves(d.cu_depth, ctu_x0, ctu_y0,
                                         self.w, self.h,
                                         ctu_log2=tables.log2(self.ctu),

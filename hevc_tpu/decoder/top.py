@@ -17,7 +17,7 @@ from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from ..core.params import PPS, SPS, VPS
+from ..core.params import PPS, SPS, VPS, crop_conformance_window
 from ..core.types import SliceType
 from ..entropy import cabac
 from ..entropy.nal import nal_to_rbsp, split_annexb
@@ -143,6 +143,11 @@ class DecoderTop:
         mono = self.sps is not None and self.sps.chroma_format_idc == 0
         while len(self.out_buf) > limit:
             planes = self.out_buf.pop(0)[2]
+            # output cropping to the SPS conformance window (reference
+            # TAppDecTop xWriteOutput / TVideoIOYuv::write conf offsets);
+            # the DPB and picture hashes stay full-size
+            if self.sps is not None:
+                planes = crop_conformance_window(planes, self.sps)
             # monochrome output carries the luma plane only (the DPB
             # keeps placeholder chroma arrays internally)
             yield planes[:1] if mono else planes
@@ -286,6 +291,8 @@ class DecoderTop:
         sp.ts_max_log2 = (2 + pps.log2_max_transform_skip_block_size_minus2
                           if pps.transform_skip_enabled_flag else 2)
         sp.tq_bypass = pps.transquant_bypass_enabled_flag
+        sp.cip = pps.constrained_intra_pred_flag
+        sp.log2_par_merge = pps.log2_parallel_merge_level_minus2 + 2
         if sh.dependent_slice_segment_flag and self._pic.get("sdec"):
             # dependent segment: the open decoder continues with its
             # CABAC contexts / neighbour maps / dQP chain intact
@@ -360,6 +367,13 @@ class DecoderTop:
         wp = ((sh.wp_log2_denom, sh.wp_weight, sh.wp_offset)
               if (wp_tables is None and getattr(sh, "wp_luma_flag", 0))
               else None)
+        cip_map = None
+        if pps.constrained_intra_pred_flag:
+            # picture-lifetime intra/inter map (4x4 luma granularity) so
+            # constrained intra prediction sees blocks from every slice
+            # segment of the picture decoded so far
+            cip_map = self._pic.setdefault(
+                "cip_map", np.zeros(((h + 3) >> 2, (w + 3) >> 2), bool))
         rc = CtuReconstructor(
             sps, sh.slice_qp, refs_l0, refs_l1, wp=wp,
             wp_tables=wp_tables,
@@ -371,7 +385,8 @@ class DecoderTop:
             cb_qp_offset=pps.pps_cb_qp_offset
             + getattr(sh, "slice_cb_qp_offset", 0),
             cr_qp_offset=pps.pps_cr_qp_offset
-            + getattr(sh, "slice_cr_qp_offset", 0))
+            + getattr(sh, "slice_cr_qp_offset", 0),
+            cip_map=cip_map)
         ctus_w = sps.pic_width_in_ctus
         from ..entropy.cabac import tile_scan_order
         order = tile_scan_order(

@@ -10,6 +10,7 @@ and hash-SEI assembly :1593-1692). Supports three GOP shapes:
 """
 from __future__ import annotations
 
+import dataclasses
 import math
 import os
 from collections import deque
@@ -17,7 +18,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..core.params import PPS, SPS, VPS, ShortTermRPS, SliceHeader
+from ..core.params import (PPS, SPS, VPS, ShortTermRPS, SliceHeader,
+                            crop_conformance_window)
 from ..core.types import NalUnitType, SliceType
 from ..entropy import headers, nal, sei
 from ..entropy.cabac import SliceDataEncoder, make_slice_params
@@ -86,6 +88,26 @@ class EncoderTop:
         # multi-chip path; hevc_tpu.parallel.encode_clip wraps this)
         self.mesh = mesh
         self.mesh_axis = mesh_axis
+        # conformance window (reference TAppEncCfg "ConformanceMode" /
+        # "ConfWin*" + TVideoIOYuv edge padding; spec 7.4.3.2.1): mode 1
+        # pads the coded dimensions up to the min-CU multiple, mode 2
+        # pads by the user HorizontalPad/VerticalPad, mode 3 signals the
+        # given window. Input frames are edge-replicated to the coded
+        # size in encode_frame; decoders crop the window at output.
+        self.source_width, self.source_height = cfg.width, cfg.height
+        pad_w = pad_h = 0
+        cwm = cfg.conformance_window_mode
+        if cwm == 1:
+            pad_w = (-cfg.width) % 8
+            pad_h = (-cfg.height) % 8
+        elif cwm == 2:
+            pad_w = cfg.horizontal_pad
+            pad_h = cfg.vertical_pad
+        if pad_w or pad_h:
+            cfg = dataclasses.replace(cfg, width=cfg.width + pad_w,
+                                      height=cfg.height + pad_h)
+        self._conf_pad = (pad_w, pad_h)
+        self.cfg = cfg
         self.sps = SPS(
             pic_width_in_luma_samples=cfg.width,
             pic_height_in_luma_samples=cfg.height,
@@ -102,6 +124,22 @@ class EncoderTop:
             amp_enabled_flag=1 if cfg.amp else 0,
             scaling_list_enabled_flag=1 if cfg.scaling_list else 0,
         )
+        if cwm:
+            # SPS conformance window (spec 7.4.3.2.1: offsets in chroma
+            # units — winUnitX/Y per chroma_format_idc Table 6-1)
+            ux = 2 if cfg.internal_chroma_format in (1, 2) else 1
+            uy = 2 if cfg.internal_chroma_format == 1 else 1
+            if cwm == 3:
+                offs = (cfg.conf_win_left, cfg.conf_win_right,
+                        cfg.conf_win_top, cfg.conf_win_bottom)
+            else:
+                offs = (0, pad_w // ux, 0, pad_h // uy)
+            if any(offs):
+                self.sps.conformance_window_flag = 1
+                (self.sps.conf_win_left_offset,
+                 self.sps.conf_win_right_offset,
+                 self.sps.conf_win_top_offset,
+                 self.sps.conf_win_bottom_offset) = offs
         if cfg.scaling_list == 2:
             # explicit (file-read) scaling lists (reference
             # TComScalingList::xParseScalingList, TAppEncCfg
@@ -227,6 +265,18 @@ class EncoderTop:
             self.pps.entropy_coding_sync_enabled_flag = 1
         if cfg.tq_bypass_force:
             self.pps.transquant_bypass_enabled_flag = 1
+        if getattr(cfg, "constrained_intra_pred", 0):
+            # constrained intra prediction (reference TAppEncCfg
+            # "ConstrainedIntraPred"; spec 8.4.4.2.2 substitution of
+            # inter-coded neighbour samples — honoured in the native
+            # engine's reference-sample fetch and both decoders)
+            self.pps.constrained_intra_pred_flag = 1
+        if getattr(cfg, "log2_parallel_merge_level", 2) > 2:
+            # merge estimation regions (reference TAppEncCfg
+            # "Log2ParallelMergeLevel"; spec 6.4.2 + singleMCLFlag) —
+            # the shared PicMaps derivation applies it on both sides
+            self.pps.log2_parallel_merge_level_minus2 = \
+                cfg.log2_parallel_merge_level - 2
         if cfg.cb_qp_offset or cfg.cr_qp_offset:
             self.pps.pps_cb_qp_offset = cfg.cb_qp_offset
             self.pps.pps_cr_qp_offset = cfg.cr_qp_offset
@@ -281,6 +331,45 @@ class EncoderTop:
                 self.sps.vui_frame_field_info_present_flag = 1
                 self.sps.ptl.general_progressive_source_flag = 0
                 self.sps.ptl.general_interlaced_source_flag = 1
+        if cfg.vui:
+            # optional VUI groups (annex E.2.1; reference TAppEncCfg's
+            # VUI option block -> TEncTop xInitSPS -> TEncCavlc codeVUI)
+            from ..core.params import VuiExt
+            v = self.sps.vui_ext = VuiExt()
+            v.aspect_ratio_info_present_flag = cfg.vui_aspect_ratio_present
+            v.aspect_ratio_idc = cfg.vui_aspect_ratio_idc
+            v.sar_width = cfg.vui_sar_width
+            v.sar_height = cfg.vui_sar_height
+            v.overscan_info_present_flag = cfg.vui_overscan_present
+            v.overscan_appropriate_flag = cfg.vui_overscan_appropriate
+            v.video_signal_type_present_flag = cfg.vui_video_signal_present
+            v.video_format = cfg.vui_video_format
+            v.video_full_range_flag = cfg.vui_video_full_range
+            v.colour_description_present_flag = cfg.vui_colour_desc_present
+            v.colour_primaries = cfg.vui_colour_primaries
+            v.transfer_characteristics = cfg.vui_transfer_characteristics
+            v.matrix_coeffs = cfg.vui_matrix_coefficients
+            v.chroma_loc_info_present_flag = cfg.vui_chroma_loc_present
+            v.chroma_sample_loc_type_top_field = cfg.vui_chroma_loc_top
+            v.chroma_sample_loc_type_bottom_field = cfg.vui_chroma_loc_bottom
+            v.neutral_chroma_indication_flag = cfg.vui_neutral_chroma
+            v.default_display_window_flag = cfg.vui_def_disp_window
+            v.def_disp_win_left_offset = cfg.vui_def_disp_left
+            v.def_disp_win_right_offset = cfg.vui_def_disp_right
+            v.def_disp_win_top_offset = cfg.vui_def_disp_top
+            v.def_disp_win_bottom_offset = cfg.vui_def_disp_bottom
+            v.poc_proportional_to_timing_flag = cfg.vui_poc_proportional
+            v.num_ticks_poc_diff_one_minus1 = cfg.vui_num_ticks_poc_diff
+            v.bitstream_restriction_flag = cfg.vui_bitstream_restriction
+            v.tiles_fixed_structure_flag = cfg.vui_tiles_fixed_structure
+            v.motion_vectors_over_pic_boundaries_flag = \
+                cfg.vui_mv_over_pic_boundaries
+            v.max_bytes_per_pic_denom = cfg.vui_max_bytes_per_pic_denom
+            v.max_bits_per_min_cu_denom = cfg.vui_max_bits_per_min_cu_denom
+            v.log2_max_mv_length_horizontal = cfg.vui_log2_max_mv_hor
+            v.log2_max_mv_length_vertical = cfg.vui_log2_max_mv_ver
+            if cfg.vui_frame_field_info:
+                self.sps.vui_frame_field_info_present_flag = 1
         if cfg.tmvp:
             self.sps.sps_temporal_mvp_enabled_flag = 1
         self.dpb_motion = {}   # cvs_poc -> per-4x4 motion field (TMVP)
@@ -520,6 +609,7 @@ class EncoderTop:
         before encode_frame(frame N). Always safe — a frame whose
         prediction structure cannot be prefetched simply takes the
         synchronous path."""
+        planes = self._pad_to_coded(planes)
         self.prefetch_intra_screen(planes)
         self._prefetch_me(planes)
 
@@ -895,9 +985,26 @@ class EncoderTop:
         # single-layer stream, the message is never emitted.
         return out
 
+    def _pad_to_coded(self, planes):
+        """Edge-replicate source-sized planes up to the coded dimensions
+        (conformance-window padding; reference TVideoIOYuv::read pad
+        path). No-op when the frame is already coded-size."""
+        pw, ph = self._conf_pad
+        if (not (pw or ph)) or planes[0].shape == (self.cfg.height,
+                                                   self.cfg.width):
+            return planes
+        out = []
+        for i, p in enumerate(planes):
+            sx = self.sps.chroma_shift_x if i else 0
+            sy = self.sps.chroma_shift_y if i else 0
+            out.append(np.pad(p, ((0, ph >> sy), (0, pw >> sx)),
+                              mode="edge"))
+        return out
+
     def encode_frame(self, planes: List[np.ndarray]) -> bytes:
         """Submit one frame in display order; returns the Annex-B bytes of
         every access unit that became encodable (possibly empty for RA)."""
+        planes = self._pad_to_coded(planes)
         if self.sps.chroma_format_idc == 0 and len(planes) == 1:
             # monochrome input: carry constant placeholder chroma planes
             # through the pipeline (coding, hash and output are
@@ -921,12 +1028,16 @@ class EncoderTop:
 
     def pop_recons(self) -> List[Tuple[int, List[np.ndarray]]]:
         """Finished pictures in display order (monochrome pictures carry
-        the luma plane only, like the decoder's output)."""
+        the luma plane only, like the decoder's output). Pictures are
+        cropped to the conformance window (reference TVideoIOYuv::write
+        confLeft..confBottom), matching the reference decoder's recon
+        output files."""
         out = []
         self.out_queue.sort(key=lambda t: t[0])
         mono = self.sps.chroma_format_idc == 0
         while self.out_queue and self.out_queue[0][0] == self.next_out:
             n, pl = self.out_queue.pop(0)
+            pl = crop_conformance_window(pl, self.sps)
             out.append((n, pl[:1] if mono else pl))
             self.next_out += 1
         return out
@@ -1166,6 +1277,9 @@ class EncoderTop:
             sp.ccp = self.pps.cross_component_prediction_enabled_flag
             sp.rdoq_off = 0 if cfg.rdoq else 1
             sp.rdoq_ts_off = 0 if cfg.rdoq_ts else 1
+            sp.cip = self.pps.constrained_intra_pred_flag
+            sp.log2_par_merge = (
+                self.pps.log2_parallel_merge_level_minus2 + 2)
             sp.cqp_off[0] = self.pps.pps_cb_qp_offset
             sp.cqp_off[1] = self.pps.pps_cr_qp_offset
             sp.tq_bypass = self.pps.transquant_bypass_enabled_flag
@@ -1324,6 +1438,9 @@ class EncoderTop:
             sp.ccp = self.pps.cross_component_prediction_enabled_flag
             sp.rdoq_off = 0 if cfg.rdoq else 1
             sp.rdoq_ts_off = 0 if cfg.rdoq_ts else 1
+            sp.cip = self.pps.constrained_intra_pred_flag
+            sp.log2_par_merge = (
+                self.pps.log2_parallel_merge_level_minus2 + 2)
             sp.cqp_off[0] = self.pps.pps_cb_qp_offset
             sp.cqp_off[1] = self.pps.pps_cr_qp_offset
             sp.tq_bypass = self.pps.transquant_bypass_enabled_flag

@@ -63,7 +63,11 @@ class SliceParamsC(ctypes.Structure):
         ("cqp_off", ctypes.c_int32 * 2),
         # encoder-side search controls (zero-init == HM defaults on)
         ("rdoq_off", ctypes.c_int32),
-        ("rdoq_ts_off", ctypes.c_int32)]
+        ("rdoq_ts_off", ctypes.c_int32),
+        # PPS constrained_intra_pred_flag (spec 8.4.4.2.2 substitution)
+        ("cip", ctypes.c_int32),
+        # PPS Log2ParallelMergeLevel (absolute; 0 or 2 = off)
+        ("log2_par_merge", ctypes.c_int32)]
 
 
 def _build(target: str = "") -> None:

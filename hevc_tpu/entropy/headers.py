@@ -205,26 +205,65 @@ def write_sps(sps: SPS) -> bytes:
 
 def write_vui(bw: BitWriter, sps: SPS) -> None:
     """vui_parameters (spec E.2.1; reference TEncCavlc::codeVUI): the
-    subset we emit — field sequence / frame-field info for interlaced
-    streams and the timing info block."""
-    bw.flag(0)                       # aspect_ratio_info_present_flag
-    bw.flag(0)                       # overscan_info_present_flag
-    bw.flag(0)                       # video_signal_type_present_flag
-    bw.flag(0)                       # chroma_loc_info_present_flag
-    bw.flag(0)                       # neutral_chroma_indication_flag
+    flat SPS subset (field sequence / frame-field info / timing) plus
+    every optional group carried by sps.vui_ext (aspect ratio, overscan,
+    video signal type + colour description, chroma location, default
+    display window, bitstream restriction — reference TAppEncCfg's VUI
+    option block)."""
+    from ..core.params import VuiExt
+    v = sps.vui_ext or VuiExt()
+    bw.flag(v.aspect_ratio_info_present_flag)
+    if v.aspect_ratio_info_present_flag:
+        bw.u(v.aspect_ratio_idc, 8)
+        if v.aspect_ratio_idc == 255:        # EXTENDED_SAR
+            bw.u(v.sar_width, 16)
+            bw.u(v.sar_height, 16)
+    bw.flag(v.overscan_info_present_flag)
+    if v.overscan_info_present_flag:
+        bw.flag(v.overscan_appropriate_flag)
+    bw.flag(v.video_signal_type_present_flag)
+    if v.video_signal_type_present_flag:
+        bw.u(v.video_format, 3)
+        bw.flag(v.video_full_range_flag)
+        bw.flag(v.colour_description_present_flag)
+        if v.colour_description_present_flag:
+            bw.u(v.colour_primaries, 8)
+            bw.u(v.transfer_characteristics, 8)
+            bw.u(v.matrix_coeffs, 8)
+    bw.flag(v.chroma_loc_info_present_flag)
+    if v.chroma_loc_info_present_flag:
+        bw.ue(v.chroma_sample_loc_type_top_field)
+        bw.ue(v.chroma_sample_loc_type_bottom_field)
+    bw.flag(v.neutral_chroma_indication_flag)
     bw.flag(sps.vui_field_seq_flag)
     bw.flag(sps.vui_frame_field_info_present_flag)
-    bw.flag(0)                       # default_display_window_flag
+    bw.flag(v.default_display_window_flag)
+    if v.default_display_window_flag:
+        bw.ue(v.def_disp_win_left_offset)
+        bw.ue(v.def_disp_win_right_offset)
+        bw.ue(v.def_disp_win_top_offset)
+        bw.ue(v.def_disp_win_bottom_offset)
     bw.flag(sps.vui_timing_info_present_flag)
     if sps.vui_timing_info_present_flag:
         bw.u(sps.vui_num_units_in_tick, 32)
         bw.u(sps.vui_time_scale, 32)
-        bw.flag(0)                   # vui_poc_proportional_to_timing_flag
+        bw.flag(v.poc_proportional_to_timing_flag)
+        if v.poc_proportional_to_timing_flag:
+            bw.ue(v.num_ticks_poc_diff_one_minus1)
         hrd = getattr(sps, "hrd", None)
         bw.flag(1 if hrd else 0)     # vui_hrd_parameters_present_flag
         if hrd:
             write_hrd_parameters(bw, hrd)
-    bw.flag(0)                       # bitstream_restriction_flag
+    bw.flag(v.bitstream_restriction_flag)
+    if v.bitstream_restriction_flag:
+        bw.flag(v.tiles_fixed_structure_flag)
+        bw.flag(v.motion_vectors_over_pic_boundaries_flag)
+        bw.flag(v.restricted_ref_pic_lists_flag)
+        bw.ue(v.min_spatial_segmentation_idc)
+        bw.ue(v.max_bytes_per_pic_denom)
+        bw.ue(v.max_bits_per_min_cu_denom)
+        bw.ue(v.log2_max_mv_length_horizontal)
+        bw.ue(v.log2_max_mv_length_vertical)
 
 
 def write_hrd_parameters(bw: BitWriter, hrd) -> None:

@@ -683,6 +683,25 @@ void CtuEngine::publish(int x0, int y0, int log2, bool is_intra, int skip,
     }
 }
 
+// Restore a region to PicMaps::init state (pred_mode 1 = "intra", refs
+// -1, zero MVs) — used to roll back trial publications between partition
+// trials of the same CU so no later derivation (constrained intra
+// prediction in particular) sees a stale trial state.
+void CtuEngine::unpublish_rect(int x0, int y0, int w, int h) {
+  PicMaps& m = senc_->maps();
+  for (int yy = 0; yy < (h >> 2); ++yy)
+    for (int xx = 0; xx < (w >> 2); ++xx) {
+      size_t pi = (size_t)((y0 >> 2) + yy) * m.stride + (x0 >> 2) + xx;
+      m.pred_mode[pi] = 1;
+      m.skip_flag[pi] = 0;
+      for (int l = 0; l < 2; ++l) {
+        m.mv_x[l][pi] = 0;
+        m.mv_y[l][pi] = 0;
+        m.ref_idx[l][pi] = -1;
+      }
+    }
+}
+
 void CtuEngine::publish_rect(int x0, int y0, int w, int h,
                              const MotionInfo& mi, int skip) {
   PicMaps& m = senc_->maps();
@@ -704,6 +723,14 @@ void CtuEngine::build_refs(const pel_t* plane, int pw, int ph, int stride,
                            int x0, int y0, int n, int lx0, int ly0, int sxy,
                            int32_t* f) {
   const PicMaps& m = senc_->maps();
+  // constrained intra prediction (spec 8.4.4.2.2; reference TComPattern
+  // fillReferenceSamples constrained branch): inter-coded neighbour
+  // samples are treated as unavailable and substituted
+  const bool cip = sp_.cip != 0;
+  auto avail = [&](int x, int y) {
+    if (!m.available(x, y, lx0, ly0)) return false;
+    return !cip || m.pred_mode[m.idx(x, y)] != 0;
+  };
   int n2 = 2 * n;
   int nn = 4 * n + 1;
   bool have[4 * 32 + 1];
@@ -713,7 +740,7 @@ void CtuEngine::build_refs(const pel_t* plane, int pw, int ph, int stride,
   if (x0 > 0) {
     int ylim = std::min(n2, ph - y0);
     for (int yc = 0; yc < ylim; yc += chunk) {
-      bool ok = m.available(lx0 - 1, ly0 + yc * sxy, lx0, ly0);
+      bool ok = avail(lx0 - 1, ly0 + yc * sxy);
       for (int i = yc; i < std::min(yc + chunk, ylim); ++i) {
         f[n2 - 1 - i] = plane[(y0 + i) * stride + x0 - 1];
         have[n2 - 1 - i] = ok;
@@ -723,14 +750,14 @@ void CtuEngine::build_refs(const pel_t* plane, int pw, int ph, int stride,
     for (int i = 0; i < ylim; ++i)
       f[n2 - 1 - i] = plane[(y0 + i) * stride + x0 - 1];
   }
-  if (x0 > 0 && y0 > 0 && m.available(lx0 - 1, ly0 - 1, lx0, ly0)) {
+  if (x0 > 0 && y0 > 0 && avail(lx0 - 1, ly0 - 1)) {
     f[n2] = plane[(y0 - 1) * stride + x0 - 1];
     have[n2] = true;
   }
   if (y0 > 0) {
     int xlim = std::min(n2, pw - x0);
     for (int xc = 0; xc < xlim; xc += chunk) {
-      bool ok = m.available(lx0 + xc * sxy, ly0 - 1, lx0, ly0);
+      bool ok = avail(lx0 + xc * sxy, ly0 - 1);
       for (int i = xc; i < std::min(xc + chunk, xlim); ++i) {
         f[n2 + 1 + i] = plane[(y0 - 1) * stride + x0 + i];
         have[n2 + 1 + i] = ok;
@@ -2606,9 +2633,13 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
         }
       }
       if (ok) cost_rect[part - 2] = total;
-      // reset the region's published state (final commit re-publishes)
-      MotionInfo blank;
-      publish_rect(x0, y0, n, n, blank, 0);
+      // reset the region to the PicMaps INIT state (pred_mode = 1/intra,
+      // refs -1; the final commit re-publishes): a plain inter blank
+      // would leave the CU's own region marked inter-coded, which under
+      // constrained intra prediction (sp.cip) makes a later intra
+      // winner's TB refs substitute its OWN earlier TBs (spec 8.4.4.2.2
+      // reads the neighbour's pred mode)
+      unpublish_rect(x0, y0, n, n);
       (void)saved_region;
     }
   }

@@ -126,6 +126,7 @@ class CtuEngine {
   int mode_bits(int mode, const int cand[3]) const;
   void publish(int x0, int y0, int log2, bool is_intra, int skip, int mvx,
                int mvy, int ref, int mvx1, int mvy1, int ref1);
+  void unpublish_rect(int x0, int y0, int w, int h);
   void publish_rect(int x0, int y0, int w, int h, const MotionInfo& mi,
                     int skip);
   int64_t lam_bits(double bits) const;

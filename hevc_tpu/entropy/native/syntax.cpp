@@ -399,7 +399,23 @@ int PicMaps::merge_candidates(int x0, int y0, int w, int h,
   pu_rect(part, pu, cn > 0 ? cn : 1, &ox_, &oy_, &pw_, &ph_);
   int cx0 = x0 - ox_;
   int cy0 = y0 - oy_;
+  // parallel merge estimation (PPS Log2ParallelMergeLevel > 2):
+  // 8.5.3.2.3 singleMCLFlag — 8x8 CUs derive ONE merge list for the
+  // whole CU regardless of partitioning (all PUs share it)
+  const int plevel = sp.log2_par_merge > 2 ? sp.log2_par_merge : 0;
+  if (plevel) {
+    int cb = part == 0 ? w : cn;
+    if (cb == 8 && part != 0) {
+      x0 = cx0; y0 = cy0; w = h = 8; part = 0; pu = 0; cn = 0;
+    }
+  }
   auto mat = [&](int x, int y, MotionInfo* mi) {
+    // spec 6.4.2 merge-estimation-region rule: a neighbour inside the
+    // same (1 << plevel)-aligned region as the current PB is not
+    // available for merge derivation
+    if (plevel && (x >> plevel) == (x0 >> plevel) &&
+        (y >> plevel) == (y0 >> plevel))
+      return false;
     return motion_at_pu(x, y, x0, y0, cx0, cy0, cn, part, pu, mi);
   };
   // second-PU exclusions (spec 8.5.3.2.3): A1 for Nx2N PU1, B1 for

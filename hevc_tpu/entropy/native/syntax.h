@@ -97,6 +97,14 @@ struct SliceParams {
   // HM defaults RDOQ=1 / RDOQTS=1, reference TAppEncCfg.cpp:814-815)
   int32_t rdoq_off;        // 1 disables rate-distortion optimized quant
   int32_t rdoq_ts_off;     // 1 disables RDOQ on transform-skip TUs
+  int32_t cip;             // PPS constrained_intra_pred_flag: intra
+                           // reference samples from inter-coded
+                           // neighbours are substituted (spec 8.4.4.2.2;
+                           // reference TComPattern fillReferenceSamples
+                           // constrained branch)
+  int32_t log2_par_merge;  // PPS Log2ParallelMergeLevel (absolute; <= 2
+                           // or 0 = off): merge estimation regions,
+                           // spec 6.4.2 + 8.5.3.2.3 singleMCLFlag
 };
 
 // Context model set: one instance per slice (later: per WPP row state).

@@ -187,6 +187,19 @@ _OPTION_TABLE = {
     "PCMEnabledFlag": ("pcm", int),
     "TemporalSubsampleRatio": ("temporal_subsample", int),
     "ConformanceWindowMode": ("conformance_window_mode", int),
+    "ConformanceMode": ("conformance_window_mode", int),
+    "HorizontalPad": ("horizontal_pad", int),
+    "VerticalPad": ("vertical_pad", int),
+    # explicit conformance window (mode 3); ConfLeft etc. are the
+    # reference's deprecated spellings of ConfWin* (TAppEncCfg.cpp)
+    "ConfWinLeft": ("conf_win_left", int),
+    "ConfWinRight": ("conf_win_right", int),
+    "ConfWinTop": ("conf_win_top", int),
+    "ConfWinBottom": ("conf_win_bottom", int),
+    "ConfLeft": ("conf_win_left", int),
+    "ConfRight": ("conf_win_right", int),
+    "ConfTop": ("conf_win_top", int),
+    "ConfBottom": ("conf_win_bottom", int),
     # Reference GPU keys → TPU switch (parity TAppEncCfg.cpp:1049-1051).
     "OpenCL": ("use_tpu", int),
     "UseTPU": ("use_tpu", int),
@@ -234,6 +247,41 @@ _OPTION_TABLE = {
     "RowHeightArray": ("tile_row_heights", str),
     "TileColumnWidthArray": ("tile_col_widths", str),
     "TileRowHeightArray": ("tile_row_heights", str),
+    # VUI option block (reference TAppEncCfg VUI section; annex E.2.1)
+    "AspectRatioInfoPresent": ("vui_aspect_ratio_present", int),
+    "AspectRatioIdc": ("vui_aspect_ratio_idc", int),
+    "SarWidth": ("vui_sar_width", int),
+    "SarHeight": ("vui_sar_height", int),
+    "OverscanInfoPresent": ("vui_overscan_present", int),
+    "OverscanAppropriate": ("vui_overscan_appropriate", int),
+    "VideoSignalTypePresent": ("vui_video_signal_present", int),
+    "VideoFormat": ("vui_video_format", int),
+    "VideoFullRange": ("vui_video_full_range", int),
+    "ColourDescriptionPresent": ("vui_colour_desc_present", int),
+    "ColourPrimaries": ("vui_colour_primaries", int),
+    "TransferCharacteristics": ("vui_transfer_characteristics", int),
+    "MatrixCoefficients": ("vui_matrix_coefficients", int),
+    "ChromaLocInfoPresent": ("vui_chroma_loc_present", int),
+    "ChromaSampleLocTypeTopField": ("vui_chroma_loc_top", int),
+    "ChromaSampleLocTypeBottomField": ("vui_chroma_loc_bottom", int),
+    "NeutralChromaIndication": ("vui_neutral_chroma", int),
+    "DefaultDisplayWindowFlag": ("vui_def_disp_window", int),
+    "DefDispWinLeftOffset": ("vui_def_disp_left", int),
+    "DefDispWinRightOffset": ("vui_def_disp_right", int),
+    "DefDispWinTopOffset": ("vui_def_disp_top", int),
+    "DefDispWinBottomOffset": ("vui_def_disp_bottom", int),
+    "FrameFieldInfoPresentFlag": ("vui_frame_field_info", int),
+    "PocProportionalToTimingFlag": ("vui_poc_proportional", int),
+    "NumTicksPocDiffOneMinus1": ("vui_num_ticks_poc_diff", int),
+    "BitstreamRestriction": ("vui_bitstream_restriction", int),
+    "TilesFixedStructure": ("vui_tiles_fixed_structure", int),
+    "MotionVectorsOverPicBoundaries": ("vui_mv_over_pic_boundaries", int),
+    "MaxBytesPerPicDenom": ("vui_max_bytes_per_pic_denom", int),
+    "MaxBitsPerMinCuDenom": ("vui_max_bits_per_min_cu_denom", int),
+    "Log2MaxMvLengthHorizontal": ("vui_log2_max_mv_hor", int),
+    "Log2MaxMvLengthVertical": ("vui_log2_max_mv_ver", int),
+    "ConstrainedIntraPred": ("constrained_intra_pred", int),
+    "Log2ParallelMergeLevel": ("log2_parallel_merge_level", int),
     "InitialQP": ("rc_initial_qp", int),
     "RCForceIntraQP": ("rc_force_intra_qp", int),
     "RCLCUSeparateModel": ("rc_lcu_separate", int),
@@ -364,6 +412,12 @@ class EncoderConfig:
     pcm: int = 0
     temporal_subsample: int = 1
     conformance_window_mode: int = 0
+    horizontal_pad: int = 0
+    vertical_pad: int = 0
+    conf_win_left: int = 0
+    conf_win_right: int = 0
+    conf_win_top: int = 0
+    conf_win_bottom: int = 0
     use_tpu: int = 1
     tpu_device: int = 0
     _ignored_kernel_path: str = ""
@@ -405,6 +459,41 @@ class EncoderConfig:
     tile_uniform: int = 1
     tile_col_widths: str = ""
     tile_row_heights: str = ""
+    # VUI option block (defaults mirror reference TAppEncCfg)
+    vui_aspect_ratio_present: int = 0
+    vui_aspect_ratio_idc: int = 0
+    vui_sar_width: int = 0
+    vui_sar_height: int = 0
+    vui_overscan_present: int = 0
+    vui_overscan_appropriate: int = 0
+    vui_video_signal_present: int = 0
+    vui_video_format: int = 5
+    vui_video_full_range: int = 0
+    vui_colour_desc_present: int = 0
+    vui_colour_primaries: int = 2
+    vui_transfer_characteristics: int = 2
+    vui_matrix_coefficients: int = 2
+    vui_chroma_loc_present: int = 0
+    vui_chroma_loc_top: int = 0
+    vui_chroma_loc_bottom: int = 0
+    vui_neutral_chroma: int = 0
+    vui_def_disp_window: int = 0
+    vui_def_disp_left: int = 0
+    vui_def_disp_right: int = 0
+    vui_def_disp_top: int = 0
+    vui_def_disp_bottom: int = 0
+    vui_frame_field_info: int = 0
+    vui_poc_proportional: int = 0
+    vui_num_ticks_poc_diff: int = 0
+    vui_bitstream_restriction: int = 0
+    vui_tiles_fixed_structure: int = 0
+    vui_mv_over_pic_boundaries: int = 1
+    vui_max_bytes_per_pic_denom: int = 2
+    vui_max_bits_per_min_cu_denom: int = 1
+    vui_log2_max_mv_hor: int = 15
+    vui_log2_max_mv_ver: int = 15
+    constrained_intra_pred: int = 0
+    log2_parallel_merge_level: int = 2
     rc_initial_qp: int = 0
     rc_force_intra_qp: int = 0
     rc_lcu_separate: int = 1
@@ -524,8 +613,21 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
 
     confirm(cfg.width <= 0 or cfg.height <= 0,
             "SourceWidth/SourceHeight must be positive")
-    confirm(cfg.width % 8 or cfg.height % 8,
-            "picture dimensions must be multiples of 8")
+    # ConformanceMode 1 auto-pads to the min-CU multiple; mode 2 pads by
+    # HorizontalPad/VerticalPad (reference TAppEncCfg conformance modes)
+    cw = cfg.width + (cfg.horizontal_pad
+                      if cfg.conformance_window_mode == 2 else 0)
+    ch = cfg.height + (cfg.vertical_pad
+                       if cfg.conformance_window_mode == 2 else 0)
+    confirm((cw % 8 or ch % 8) and cfg.conformance_window_mode != 1,
+            "picture dimensions must be multiples of 8 (or use "
+            "ConformanceMode 1/2 padding)")
+    confirm(cfg.conformance_window_mode not in (0, 1, 2, 3),
+            "ConformanceMode out of [0, 3]")
+    confirm(cfg.conformance_window_mode == 3
+            and (min(cfg.conf_win_left, cfg.conf_win_right,
+                     cfg.conf_win_top, cfg.conf_win_bottom) < 0),
+            "conformance window offsets must be non-negative")
     confirm(cfg.ctu_size != 64, "only MaxCUWidth/Height 64 supported")
     confirm(cfg.chroma_format not in (400, 420, 422, 444),
             f"InputChromaFormat {cfg.chroma_format} unsupported "
@@ -650,6 +752,15 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
             "the explicit width/height arrays are not implemented)")
     confirm(not (1 <= cfg.max_merge_cand <= 5),
             "MaxNumMergeCand out of [1, 5]")
+    # reference TAppEncCfg xConfirmPara: 2 <= Log2ParallelMergeLevel <=
+    # CtbLog2SizeY (CTU 64 -> 6)
+    confirm(not (2 <= cfg.log2_parallel_merge_level <= 6),
+            "Log2ParallelMergeLevel out of [2, 6]")
+    confirm(bool(cfg.constrained_intra_pred) and cfg.intra_period != 1
+            and (cfg.internal_chroma_format != 1 or bool(cfg.tq_bypass_force)
+                 or cfg.scaling_list == 2),
+            "ConstrainedIntraPred inter coding requires the native engine "
+            "path (4:2:0, no explicit scaling lists, not lossless)")
     confirm(not (-12 <= cfg.cb_qp_offset <= 12)
             or not (-12 <= cfg.cr_qp_offset <= 12),
             "chroma QP offsets out of [-12, 12]")

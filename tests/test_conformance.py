@@ -63,6 +63,47 @@ def test_lowdelay_p_conformance(tmp_path, intra_period, frames):
         assert out.stdout.count("P-SLICE") == frames - 1
 
 
+@pytest.mark.parametrize("extra,label", [
+    (["--ConstrainedIntraPred=1"], "cip"),
+    (["--Log2ParallelMergeLevel=4"], "parmrg"),
+])
+def test_cip_parmrg_encode_conformance(tmp_path, extra, label):
+    """Encode-side constrained intra prediction (spec 8.4.4.2.2 —
+    reference TComPattern fillReferenceSamples constrained branch,
+    TAppEncCfg "ConstrainedIntraPred") and parallel merge estimation
+    regions (spec 6.4.2 — TAppEncCfg "Log2ParallelMergeLevel"): a
+    scene-change clip forces intra CUs into P slices; the unmodified HM
+    decoder must reproduce every picture hash, so the encoder's
+    reference-sample substitution / merge-region derivation must match
+    its own signalled PPS flags."""
+    w, h, frames = 128, 80, 6
+    clip = tmp_path / "scene.yuv"
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_test_yuv import make_frame
+    with open(clip, "wb") as fh:
+        for t in range(frames):
+            src = t if t < 2 else t + 37
+            for p in make_frame(w, h, src):
+                fh.write(np.asarray(p, np.uint8).tobytes())
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h),
+          "-f", str(frames), "-q", "34", "--IntraPeriod=-1", "-b", str(bs),
+          "-o", str(rec)] + extra)
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+    assert rec.read_bytes() == dec.read_bytes()
+    # our own decoder agrees too
+    from hevc_tpu.decoder.top import DecoderTop
+    got = b"".join(
+        np.ascontiguousarray(p.astype(np.uint8)).tobytes()
+        for pic in DecoderTop().decode_stream(bs.read_bytes()) for p in pic)
+    assert got == rec.read_bytes()
+
+
 def test_multiref_lowdelay_p_conformance(tmp_path):
     """Four active references per the reference LDP CTC cfg (GOP rows
     -1 -5 -9 -13 etc., NumRefIdxActive 4 — TEncSearch per-refIdx loop):

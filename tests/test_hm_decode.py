@@ -75,6 +75,7 @@ def test_hm_stream_decodes_byte_identical(tmp_path, cfg, extra, bd):
     (["--SliceMode=1", "--SliceArgument=2"], "multislice"),
     (["--SEIDecodedPictureHash=2"], "crc"),
     (["--SEIDecodedPictureHash=3"], "checksum"),
+    (["--Log2ParallelMergeLevel=4"], "parmrg"),
 ])
 def test_hm_tool_variants(tmp_path, extra, label):
     data, hm_rec = _hm_encode(tmp_path, "encoder_lowdelay_P_main.cfg",
@@ -83,6 +84,50 @@ def test_hm_tool_variants(tmp_path, extra, label):
     assert ours == hm_rec
     if label in ("crc", "checksum"):
         assert dec.hash_status and all(s == "OK" for s in dec.hash_status)
+
+
+def _scene_change_clip(path, w, h, frames, cut=2):
+    """Clip with an abrupt scene change at `cut` so the P slices after
+    it code intra CUs next to inter CUs — the case constrained intra
+    prediction actually constrains."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_test_yuv import make_frame
+    with open(path, "wb") as fh:
+        for t in range(frames):
+            src = t if t < cut else t + 37  # unrelated content after cut
+            for p in make_frame(w, h, src):
+                fh.write(np.asarray(p, np.uint8).tobytes())
+
+
+def test_hm_cip_stream_decodes_byte_identical(tmp_path):
+    """Constrained intra prediction (PPS constrained_intra_pred_flag,
+    spec 8.4.4.2.2; reference TComPattern::fillReferenceSamples
+    constrained branch + TAppEncCfg "ConstrainedIntraPred"): an HM
+    --ConstrainedIntraPred=1 stream with intra CUs inside P slices must
+    reconstruct byte-identically — inter-coded neighbour samples are
+    substituted, not referenced."""
+    clip = tmp_path / "scene.yuv"
+    _scene_change_clip(clip, 128, 80, 6)
+    bs, rec = tmp_path / "o.bin", tmp_path / "r.yuv"
+    out = subprocess.run(
+        [ENC, "-c", f"{CFG}/encoder_lowdelay_P_main.cfg", "-i", str(clip),
+         "-wdt", "128", "-hgt", "80", "-f", "6", "-fr", "30", "-q", "34",
+         "--ConstrainedIntraPred=1", "-b", str(bs), "-o", str(rec)],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stdout[-1000:]
+    data = bs.read_bytes()
+    ours, _ = _decode_ours(data)
+    assert ours == rec.read_bytes()
+    # the stream must really carry the flag
+    from hevc_tpu.decoder.headers import parse_pps
+    from hevc_tpu.entropy.nal import nal_to_rbsp, split_annexb
+    cip = 0
+    for nal in split_annexb(data):
+        ntype, _tid, rbsp = nal_to_rbsp(nal)
+        if ntype == 34:  # PPS
+            cip = parse_pps(rbsp).constrained_intra_pred_flag
+    assert cip == 1
 
 
 def test_hm_weighted_bipred_stream_decodes(tmp_path):
