@@ -460,7 +460,6 @@ class EncoderTop:
         if ref is None:
             import jax
 
-            from ..ops.interp import pad_plane
             from .native_frame import PAD
             y = planes[0]
             if (jax.default_backend() == "cpu" and self.mesh is None
@@ -470,13 +469,11 @@ class EncoderTop:
                 # would be pure overhead (tests opt in via the env knob
                 # to exercise the full async prefetch pipeline)
                 return None
-            from ..ops.me_mxu import me_dtype
-            dt = me_dtype(self.sps.bit_depth_luma)
-            pdt = np.int16 if self.sps.bit_depth_luma <= 14 else np.int32
-            host = self._padded_refs.get(poc)
-            py = (host[0] if host is not None
-                  else pad_plane(np.asarray(y, pdt), PAD))
-            ref = jax.device_put(np.ascontiguousarray(py.astype(dt)))
+            from ..ops import me_mxu
+            dt = me_mxu.me_dtype(self.sps.bit_depth_luma)
+            ref = me_mxu.pad_ref_device(
+                jax.device_put(np.ascontiguousarray(np.asarray(y, dt))),
+                PAD)
             self._dev_refs[poc] = ref
         return ref
 
@@ -487,11 +484,11 @@ class EncoderTop:
         Evicted with the DPB."""
         cached = self._padded_refs.get(poc)
         if cached is None:
-            from ..ops.interp import pad_plane
+            from ..entropy.cabac import pad_plane_native
             from .native_frame import PAD
             pdt = np.int16 if self.sps.bit_depth_luma <= 14 else np.int32
-            cached = [np.ascontiguousarray(
-                pad_plane(np.asarray(p, pdt), PAD)) for p in planes]
+            cached = [pad_plane_native(np.asarray(p, pdt), PAD)
+                      for p in planes]
             self._padded_refs[poc] = cached
         return cached
 
@@ -540,7 +537,6 @@ class EncoderTop:
         from contextlib import nullcontext
 
         from ..ops import me_mxu
-        from ..ops.interp import pad_plane
         from .native_frame import PAD
         size = self.sps.ctu_size >> 1
         want16 = (_osm.environ.get("HEVC_TPU_CU16", "1") != "0"
@@ -548,8 +544,8 @@ class EncoderTop:
         r = cfg.search_range
         dt = me_mxu.me_dtype(depth)
         orig = jax.device_put(np.zeros((h, w), dt))
-        refp = jax.device_put(np.ascontiguousarray(
-            pad_plane(np.zeros((h, w), dt), PAD)))
+        # warm the device-side edge pad too (the product upload path)
+        refp = me_mxu.pad_ref_device(orig, PAD)
         # padded-ref-count variants this GOP structure will reach: B
         # slices stack both lists' unique pictures along the ref axis
         nmax = 1
@@ -731,7 +727,6 @@ class EncoderTop:
                 "HEVC_TPU_ME_PREFETCH_CPU", "0") != "1"):
             return
         from ..ops import me_mxu
-        from ..ops.interp import pad_plane
         from .native_frame import PAD
         ref_dev = None
         for mp in self._me_pending.values():
@@ -743,8 +738,8 @@ class EncoderTop:
                 continue  # other refs still outstanding: post-SAO path
             if ref_dev is None:
                 dt = me_mxu.me_dtype(self.sps.bit_depth_luma)
-                ref_dev = jax.device_put(np.ascontiguousarray(pad_plane(
-                    np.asarray(recon_y, dt), PAD)))
+                ref_dev = me_mxu.pad_ref_device(jax.device_put(
+                    np.ascontiguousarray(np.asarray(recon_y, dt))), PAD)
             size, r, lam_fp, depth = mp["params"]
             mp["parts"].append(([cvs_poc], me_mxu.me_grids_multi2_async(
                 mp["orig_dev"], [ref_dev], size, 16, r, lam_fp, pad=PAD,
@@ -1802,7 +1797,9 @@ class EncoderTop:
                 from ..entropy.cabac import sao_apply_native
                 with timers.section("sao"):
                     recon = sao_apply_native(
-                        recon, [d.sao for d in decisions], self.sps,
+                        recon, decisions.sao
+                        if isinstance(decisions, FrameDecisions)
+                        else [d.sao for d in decisions], self.sps,
                         self.sps.bit_depth_luma)
             else:
                 recon = saolib.apply_sao(recon,

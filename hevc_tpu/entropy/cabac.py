@@ -95,6 +95,8 @@ def get_lib(pel32: bool = False) -> ctypes.CDLL:
                                     flags="C_CONTIGUOUS")
     lib.hevc_plane_sse.restype = ctypes.c_longlong
     lib.hevc_plane_sse.argtypes = [pel_np, pel_np, ctypes.c_long]
+    lib.hevc_pad_plane.argtypes = [pel_np, ctypes.c_int, ctypes.c_int,
+                                   ctypes.c_int, pel_np]
     lib.hevc_engine_frame_stats.argtypes = [
         ctypes.POINTER(ctypes.c_longlong)]
     lib.hevc_enc_create.restype = ctypes.c_void_p
@@ -767,6 +769,21 @@ def entropy_encode_frame(senc: SliceDataEncoder, ctus_w: int, ctus_h: int,
         senc._h, ctus_w, ctus_h, fd.ctu_size, fd.chroma_format, *fd._args())
 
 
+def pad_plane_native(plane: np.ndarray, pad: int) -> np.ndarray:
+    """C++ edge-extension of a reference plane (api.cpp hevc_pad_plane);
+    exact twin of ops/interp.pad_plane for the pel dtype of the matching
+    native build. Falls through to the numpy pad for other dtypes."""
+    pel32 = plane.dtype == np.int32
+    if plane.dtype not in (np.int16, np.int32):
+        from ..ops.interp import pad_plane
+        return pad_plane(plane, pad)
+    lib = get_lib(pel32)
+    h, w = plane.shape
+    out = np.empty((h + 2 * pad, w + 2 * pad), plane.dtype)
+    lib.hevc_pad_plane(np.ascontiguousarray(plane), h, w, pad, out)
+    return out
+
+
 def sao_apply_native(deblocked, sao_params, sps, bit_depth):
     """C++ SAO application (engine.cpp hevc_sao_apply); byte-exact twin of
     hevc_tpu.ops.sao.apply_sao."""
@@ -776,8 +793,10 @@ def sao_apply_native(deblocked, sao_params, sps, bit_depth):
     dt = np.int32 if bit_depth > 14 else np.int16
     dbl = [np.ascontiguousarray(p, dt) for p in deblocked]
     out = [np.empty_like(p) for p in dbl]
-    prm = np.ascontiguousarray(np.stack([np.asarray(p, np.int32)
-                                         for p in sao_params]))
+    prm = (np.ascontiguousarray(sao_params, np.int32)
+           if isinstance(sao_params, np.ndarray)
+           else np.ascontiguousarray(np.stack([np.asarray(p, np.int32)
+                                               for p in sao_params])))
     lib.hevc_sao_apply(dbl[0], dbl[1], dbl[2], out[0], out[1], out[2],
                        prm, w, h, sps.ctu_size, bit_depth,
                        sps.chroma_format_idc)

@@ -44,11 +44,34 @@ long long hevc_plane_sse(const pel_t* a, const pel_t* b, long n) {
   return s;
 }
 
+// Edge-replicated reference-plane padding (reference TComPicYuv margin
+// extension, TComPicYuv.cpp extendPicBorder). memcpy-based rows: the
+// numpy broadcast pad this replaces cost ~12 ms per 1080p plane on
+// single-vCPU hosts; this runs at copy bandwidth (~1 ms).
+void hevc_pad_plane(const pel_t* src, int h, int w, int pad, pel_t* dst) {
+  const int W = w + 2 * pad;
+  for (int i = 0; i < h; ++i) {
+    pel_t* row = dst + (long)(pad + i) * W;
+    std::memcpy(row + pad, src + (long)i * w, sizeof(pel_t) * w);
+    const pel_t l = row[pad], r = row[pad + w - 1];
+    for (int j = 0; j < pad; ++j) {
+      row[j] = l;
+      row[pad + w + j] = r;
+    }
+  }
+  const pel_t* top = dst + (long)pad * W;
+  const pel_t* bot = dst + (long)(pad + h - 1) * W;
+  for (int i = 0; i < pad; ++i) {
+    std::memcpy(dst + (long)i * W, top, sizeof(pel_t) * W);
+    std::memcpy(dst + (long)(pad + h + i) * W, bot, sizeof(pel_t) * W);
+  }
+}
+
 // engine phase profiler readback (HEVC_TPU_ENGINE_PROF=1): thread-CPU ns
 // per phase — 0 screen, 1 luma modes, 2 chroma modes, 3 TB coding
-extern "C++" { namespace hevctpu { struct EngineProf { std::atomic<long long> ns[20]; bool on; }; extern EngineProf g_eprof; } }
+extern "C++" { namespace hevctpu { struct EngineProf { std::atomic<long long> ns[22]; bool on; }; extern EngineProf g_eprof; } }
 void hevc_engine_prof(long long* out) {
-  for (int i = 0; i < 20; ++i) out[i] = hevctpu::g_eprof.ns[i].load();
+  for (int i = 0; i < 22; ++i) out[i] = hevctpu::g_eprof.ns[i].load();
 }
 
 // Always-on frame-drive telemetry: wall vs process-CPU ns accumulated per

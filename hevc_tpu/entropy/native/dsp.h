@@ -87,6 +87,21 @@ void mc_predict_bi_wp(const pel_t* r0, const pel_t* r1, int rw, int pad,
                       int w0, int o0, int w1, int o1, int denom,
                       int32_t* out);
 
+// Fused TB writeback: store quantized levels as int16, reconstruct
+// rec = clip(pred + res (+ ccp)), and return the exact int64 SSE vs the
+// original — split into per-row single-type loops so each vectorizes on
+// the host ISA (the fused scalar form was ~50% of engine wall at 1080p).
+// `ccp` (cross-component prediction term, stride tz) may be null.
+int64_t tb_writeback(const int32_t* lev, int tz, int16_t* lv_out,
+                     int lv_stride, const int32_t* pred, int pstride,
+                     const int32_t* res, const int32_t* ccp,
+                     const pel_t* org, int ostride, pel_t* rec,
+                     int rstride, int maxv);
+// Exact int64 SSE between an original (pel) block and an int32 predicted
+// block already clipped to pel range — the no-residual SKIP trial cost.
+int64_t sse_pred(const pel_t* org, int ostride, const int32_t* pred,
+                 int pstride, int w, int h);
+
 // Intra prediction from the combined reference vector f[4n+1]
 // (f[0..2n-1] = p[-1][2n-1-i .. 0] bottom-up, f[2n] = corner,
 // f[2n+1..4n] = p[0..2n-1][-1]); spec 8.4.4.2.4-6.

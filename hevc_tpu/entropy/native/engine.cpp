@@ -1361,18 +1361,10 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     int cstride = c == 0 ? ctu_ : cctu;
     int lx0 = c == 0 ? tx - ctu_x0 : (tx - ctu_x0) >> csx_;
     int ly0 = c == 0 ? ty - ctu_y0 : (ty - ctu_y0) >> csx_;
-    int64_t isse = 0;
-    for (int i = 0; i < tz; ++i)
-      for (int j = 0; j < tz; ++j) {
-        cpl[(ly0 + i) * cstride + lx0 + j] = (int16_t)lev[i * tz + j];
-        int32_t v = predt[i * tz + j] + rres[i * tz + j] +
-                    (ccp_alpha ? ccp_term[i * tz + j] : 0);
-        pel_t rv = (pel_t)std::min(maxv, std::max(0, v));
-        recon_[c][(py + i) * stride + px + j] = rv;
-        int64_t e = (int64_t)o[i * stride + j] - rv;
-        isse += e * e;
-      }
-    *sse += (double)isse;
+    *sse += (double)dsp::tb_writeback(
+        lev, tz, cpl + ly0 * cstride + lx0, cstride, predt, tz, rres,
+        ccp_alpha ? ccp_term : nullptr, o, stride,
+        recon_[c] + py * stride + px, stride, maxv);
     return nz;
   };
 
@@ -1916,6 +1908,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
       if (nz && sp_.sign_hiding)
         sbh_enforce(lev, coef, sz, qp, bd_, 0, smat_p);
       if (nz) {
+        ProfScope _p8(8);
         dsp::dequant(lev, sz, qp, bd_, deq, smat_p);
         dsp::inv_xform(deq, sz, bd_, false, rres);
       } else {
@@ -1924,20 +1917,19 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
     }
     bits_coded += ctx_rate(c_idx == 0 ? est_ctx_.cbf_luma[0]
                                       : est_ctx_.cbf_chroma[1], nz != 0);
-    int64_t isse = 0;
-    for (int i = 0; i < sz; ++i)
-      for (int j = 0; j < sz; ++j) {
-        lv_out[i * lv_stride + j] = (int16_t)lev[i * sz + j];
-        int32_t v = p[i * pstride + j] + rres[i * sz + j];
-        pel_t rv = (pel_t)std::min(maxv, std::max(0, v));
-        rec[i * rstride + j] = rv;
-        int64_t e = (int64_t)o[i * ostride + j] - rv;
-        isse += e * e;
-      }
+    int64_t isse;
+    {
+      ProfScope _p20(20);
+      isse = dsp::tb_writeback(lev, sz, lv_out, lv_stride, p, pstride,
+                               rres, nullptr, o, ostride, rec, rstride,
+                               maxv);
+    }
     sse_coded += (double)isse * dw;
-    if (nz)
+    if (nz) {
+      ProfScope _p21(21);
       bits_coded += tb_rate_bits(est_ctx_, lev, sz, ilog2(sz), c_idx, 0,
                                  sp_.sign_hiding);
+    }
     return nz;
   };
   for (int q = 0; q < 4; ++q) {
@@ -1954,14 +1946,18 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
     int32_t* pc = ci == 1 ? pcb64 : pcr64;
     int l = sel.ref[0] >= 0 ? 0 : 1;
     MotionInfo csel = clip_mi(sp_, sel, x0, y0);
-    if (sel.ref[0] >= 0 && sel.ref[1] >= 0)
-      mc_bi(sp_, rp(0, sel.ref[0], ci), rp(1, sel.ref[1], ci), rwc,
-            pad, csel.mvx[0], csel.mvy[0], csel.mvx[1],
-            csel.mvy[1], x0 >> 1, y0 >> 1, 32, 32, bd_, false,
-            sel.ref[0], sel.ref[1], ci, pc);
-    else
-      mc_uni(sp_, rp(l, sel.ref[l], ci), rwc, pad, csel.mvx[l],
-             csel.mvy[l], x0 >> 1, y0 >> 1, 32, 32, bd_, false, l, sel.ref[l], ci, pc);
+    {
+      ProfScope _p7(7);
+      if (sel.ref[0] >= 0 && sel.ref[1] >= 0)
+        mc_bi(sp_, rp(0, sel.ref[0], ci), rp(1, sel.ref[1], ci), rwc,
+              pad, csel.mvx[0], csel.mvy[0], csel.mvx[1],
+              csel.mvy[1], x0 >> 1, y0 >> 1, 32, 32, bd_, false,
+              sel.ref[0], sel.ref[1], ci, pc);
+      else
+        mc_uni(sp_, rp(l, sel.ref[l], ci), rwc, pad, csel.mvx[l],
+               csel.mvy[l], x0 >> 1, y0 >> 1, 32, 32, bd_, false, l,
+               sel.ref[l], ci, pc);
+    }
     int16_t* lv_plane = ci == 1 ? d.coeff_cb : d.coeff_cr;
     for (int q = 0; q < 4; ++q) {
       int qx = (q & 1) * 16, qy = (q >> 1) * 16;
@@ -1977,21 +1973,15 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
   // no-residual candidate, at depth 0): bare merge prediction vs the
   // coded CU by exact J
   if (best_idx >= 0 && nz_total > 0) {
-    int64_t isse_skip = 0;
-    for (int i = 0; i < n; ++i)
-      for (int j = 0; j < n; ++j) {
-        int64_t e = (int64_t)oy[i * w_ + j] - best_pred[i * n + j];
-        isse_skip += e * e;
-      }
-    double sse_skip = (double)isse_skip;
-    for (int i = 0; i < 32; ++i)
-      for (int j = 0; j < 32; ++j) {
-        double eb = (double)orig_[1][((y0 >> 1) + i) * cw + (x0 >> 1) + j]
-                    - pcb64[i * 32 + j];
-        double er = (double)orig_[2][((y0 >> 1) + i) * cw + (x0 >> 1) + j]
-                    - pcr64[i * 32 + j];
-        sse_skip += eb * eb * cwgt2[0] + er * er * cwgt2[1];
-      }
+    ProfScope _p20(20);
+    int64_t isse_skip = dsp::sse_pred(oy, w_, best_pred, n, n, n);
+    const pel_t* ocb = orig_[1] + (y0 >> 1) * cw + (x0 >> 1);
+    const pel_t* ocr = orig_[2] + (y0 >> 1) * cw + (x0 >> 1);
+    double sse_skip = (double)isse_skip +
+                      (double)dsp::sse_pred(ocb, cw, pcb64, 32, 32, 32) *
+                          cwgt2[0] +
+                      (double)dsp::sse_pred(ocr, cw, pcr64, 32, 32, 32) *
+                          cwgt2[1];
     if (sse_skip < sse_coded + lam * (bits_coded +
                                       ctx_rate(est_ctx_.qt_root_cbf[0],
                                                1))) {

@@ -179,6 +179,20 @@ def _ssd_table_deep(roi, orig, *, size, r, ny, nx, depth, shard=None):
     return shard(ssd) if shard is not None else ssd
 
 
+@functools.partial(jax.jit, static_argnames=("pad",))
+def _pad_edge_dev(plane, pad: int):
+    return jnp.pad(plane, pad, mode="edge")
+
+
+def pad_ref_device(plane_dev, pad: int):
+    """Edge-extend an (unpadded) reference plane ON DEVICE. Uploading the
+    raw plane and padding device-side ships 2.2x fewer bytes through the
+    host link than uploading a host-padded copy, and removes the host pad
+    pass entirely (the reference re-packs + ships the padded window per
+    CTU on the host, TEncOpenCL.cpp:271-280)."""
+    return _pad_edge_dev(plane_dev, pad)
+
+
 def me_dtype(depth: int):
     """Device transport dtype for ME planes: uint8 keeps the 8-bit path
     int8-conv ready, int16 carries 9..14-bit samples, int32 the 16-bit
