@@ -74,6 +74,13 @@ CONFIGS = [
     ("intra_high_throughput_rext", "encoder_intra_high_throughput_rext.cfg",
      416, 240, 6, 32, 8, 1, 6, 1),
 ]
+# expected wall cost of each config on this host class (warm compiles +
+# program loads through the device tunnel dominate) — a config only
+# STARTS if that much budget is left, since a started config cannot be
+# interrupted (the round-3 driver artifact timed out exactly this way)
+CONFIG_COST_S = {"intra_main": 70, "lowdelay_P_main": 100,
+                 "randomaccess_main": 140, "randomaccess_main10": 220,
+                 "intra_high_throughput_rext": 100}
 # recorded HM anchors (fps) for this host class when the oracle is absent
 HM_FALLBACK = {"intra_main": 2.17, "lowdelay_P_main": 0.141,
                "randomaccess_main": 0.10, "randomaccess_main10": 0.08,
@@ -379,7 +386,7 @@ def main():
                 results[name] = {"skipped": "device_unavailable"}
                 _flush(results)
                 continue
-            if remaining() < 60:
+            if remaining() < CONFIG_COST_S.get(name, 120):
                 results[name] = {"skipped": "budget"}
                 _flush(results)
                 continue

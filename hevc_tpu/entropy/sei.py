@@ -22,10 +22,12 @@ def picture_md5(planes: List[np.ndarray], bit_depth: int = 8) -> List[bytes]:
     digests = []
     for p in planes:
         m = hashlib.md5()
+        # numpy arrays expose the buffer protocol: hashing the array
+        # directly avoids a full tobytes copy per plane on the hot loop
         if bit_depth <= 8:
-            m.update(np.ascontiguousarray(p.astype(np.uint8)).tobytes())
+            m.update(np.ascontiguousarray(p.astype(np.uint8)))
         else:
-            m.update(np.ascontiguousarray(p.astype("<u2")).tobytes())
+            m.update(np.ascontiguousarray(p.astype("<u2")))
         digests.append(m.digest())
     return digests
 

@@ -390,8 +390,8 @@ def me_grids_multi2_async(orig_dev, ref_devs, size: int, size2: int,
     stacked = jnp.stack(padded)
     nyx, nyx2 = 2 * r + 1, 2 * r2 + 1
     packed = _me_idx_multi2_jit(
-        orig_dev, stacked, jnp.asarray(bits0_table(r)),
-        jnp.asarray(bits0_table(r2)), jnp.int32(lam_q8_of(lam_fp)),
+        orig_dev, stacked, _bits0_dev(r),
+        _bits0_dev(r2), jnp.int32(lam_q8_of(lam_fp)),
         size=size, size2=size2, r=r, r2=r2, ny=ny, nx=nx, ny2=ny2,
         nx2=nx2, pad=pad, depth=depth, axis_name=axis_name)
     try:
@@ -436,7 +436,7 @@ def me_grids_multi(orig_dev, ref_devs, size: int, r: int, lam_fp: int, *,
     stacked = jnp.stack(padded)
     nyx = 2 * r + 1
     idx = np.asarray(_me_idx_multi_jit(
-        orig_dev, stacked, jnp.asarray(bits0_table(r)),
+        orig_dev, stacked, _bits0_dev(r),
         jnp.int32(lam_q8_of(lam_fp)), size=size, r=r, ny=ny, nx=nx,
         pad=pad, depth=depth, axis_name=axis_name))
     out = []
@@ -454,6 +454,14 @@ def bits0_table(r: int) -> np.ndarray:
     return b[:, None] + b[None, :]
 
 
+@functools.lru_cache(maxsize=None)
+def _bits0_dev(r: int):
+    """Device-resident zero-predictor MV-bits table. Uploaded once per
+    process: re-shipping it on every dispatch cost a host-link round
+    trip per frame (the table is a pure function of the search range)."""
+    return jax.device_put(bits0_table(r))
+
+
 def me_grid_ssd(orig_y, ref_padded_y, size: int, r: int, lam_fp: int, *,
                 pad: int, depth: int = 8):
     """(gx, gy) int32 MV grids for the aligned block grid — the device
@@ -465,7 +473,7 @@ def me_grid_ssd(orig_y, ref_padded_y, size: int, r: int, lam_fp: int, *,
         return None, None
     nyx = 2 * r + 1
     idx = np.asarray(_me_idx_frame_jit(
-        jnp.asarray(orig_y), ref_padded_y, jnp.asarray(bits0_table(r)),
+        jnp.asarray(orig_y), ref_padded_y, _bits0_dev(r),
         jnp.int32(lam_q8_of(lam_fp)), size=size, r=r, ny=ny, nx=nx,
         pad=pad, depth=depth))
     gy = (idx // nyx - r).astype(np.int32).reshape(ny, nx)
