@@ -46,6 +46,10 @@ class DecoderTop:
         # per-syntax-element bit totals (reference TComCodingStatistics)
         from ..entropy.cabac import SYNTAX_STAT_NAMES
         self.syntax_bits = np.zeros(len(SYNTAX_STAT_NAMES), np.uint64)
+        # total TBs decoded with a residual-DPCM on-flag (explicit flag
+        # bits 0x01/0x04/0x10 of the parser's per-4x4 rext map) — lets
+        # tests assert the RDPCM coding tools were actually exercised
+        self.rdpcm_tb_count = 0
         self.dpb: Dict[int, List[np.ndarray]] = {}    # poc -> recon planes
         self.dpb_lt: Dict[int, bool] = {}             # poc -> is long-term
         self.dpb_motion: Dict[int, dict] = {}         # poc -> motion field
@@ -472,6 +476,13 @@ class DecoderTop:
         # cu_transquant_bypass samples are NOT modified by the in-loop
         # filters (spec 8.7.2.5.4 nDp/nDq = 0 and 8.7.3 SAO skip):
         # snapshot them and restore after deblock + SAO
+        if sps.explicit_rdpcm_enabled_flag or \
+                sps.implicit_rdpcm_enabled_flag:
+            for dd in decisions:
+                rx = getattr(dd, "rext", None)
+                if rx is not None:
+                    self.rdpcm_tb_count += int(
+                        np.count_nonzero(rx & 0x15))
         byp_saved = None
         if pps.transquant_bypass_enabled_flag:
             h4, w4 = -(-h // 4), -(-w // 4)

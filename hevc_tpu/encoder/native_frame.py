@@ -299,7 +299,10 @@ class NativeFrameEncoder:
             is_b=1 if self.is_b else 0, sqrt_lam=self.sqrt_lam)
         from ..entropy.cabac import (FrameDecisions, engine_encode_frame,
                                      engine_encode_frame_order,
-                                     tile_scan_order)
+                                     scaling_blob, tile_scan_order)
+        sblob = (scaling_blob(sps.scaling_list_data)
+                 if (sps.scaling_list_enabled_flag
+                     and sps.scaling_list_data is not None) else None)
         ctus_w, ctus_h = -(-w // ctu), -(-h // ctu)
         fd = FrameDecisions(ctus_w * ctus_h, ctu, cfmt)
         if slices is not None:
@@ -315,6 +318,8 @@ class NativeFrameEncoder:
                         me_x, me_y, me16_x, me16_y, me1_x, me1_y)
                     if intra_hints:
                         eng.set_intra_hints(intra_hints)
+                    if sblob is not None:
+                        eng.set_scaling(sblob)
                     engine_encode_frame_order(eng, ctus, ctus_w, fd)
             return fd, recon
         eng = NativeCtuEngine(self.sp, ep, self.senc, orig, recon,
@@ -322,6 +327,8 @@ class NativeFrameEncoder:
                               me_x, me_y, me16_x, me16_y, me1_x, me1_y)
         if intra_hints:
             eng.set_intra_hints(intra_hints)
+        if sblob is not None:
+            eng.set_scaling(sblob)
         with timers.section("engine_host"):
             if self.sp.tile_cols > 1 or self.sp.tile_rows > 1:
                 order = tile_scan_order(w, h, ctu, self.sp.tile_cols,

@@ -207,12 +207,15 @@ class EncoderTop:
             # xCalcCrossComponentPredictionAlpha); PPS range extension
             # carries the enable flag
             self.pps.cross_component_prediction_enabled_flag = 1
-        if cfg.explicit_rdpcm and cfg.tq_bypass_force:
-            # explicit (inter) residual DPCM on lossless TBs: the slice
+        if cfg.explicit_rdpcm and (cfg.tq_bypass_force
+                                   or cfg.transform_skip):
+            # explicit (inter) residual DPCM: on lossless TBs the slice
             # writer signals flag+direction per inter bypass TB from the
             # frame encoder's per-TB decision (min sum-of-levels over
-            # {off, horizontal, vertical}; reference TEncSearch RDPCM
-            # trial, TComTrQuant bypass branch)
+            # {off, horizontal, vertical}); on LOSSY transform-skip TBs
+            # the native engine trials quantized sequential DPCM in both
+            # directions against plain TS (reference TEncSearch RDPCM
+            # trial, TComTrQuant::applyForwardRDPCM, TComTrQuant.cpp:1749)
             self.sps.explicit_rdpcm_enabled_flag = 1
         if cfg.single_sig_ctx and cfg.transform_skip:
             self.sps.transform_skip_context_enabled_flag = 1
@@ -243,15 +246,16 @@ class EncoderTop:
                 and (cfg.internal_chroma_format == 1 or
                      (cfg.internal_chroma_format == 3
                       and cfg.intra_period == 1))
-                and self.sps.scaling_list_data is None
                 and os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0"):
             # the native engine enforces the parity constraint (4:2:0
             # everywhere; 4:4:4 when every picture takes the native
-            # intra path); the Python fallback (explicit scaling lists)
-            # does not produce SBH-parity-adjusted levels
+            # intra path), including under explicit scaling matrices
+            # (sbh_enforce re-quantizes with the installed table)
             self.pps.sign_data_hiding_enabled_flag = 1
-        if cfg.slice_segment_mode in (1, 2):
-            # dependent slice segments (reference TAppEncCfg.cpp:852)
+        if cfg.slice_segment_mode in (1, 2, 3):
+            # dependent slice segments (reference TAppEncCfg.cpp:852);
+            # mode 3 = tile-aligned segments (FIXED_NUMBER_OF_TILES,
+            # TEncSlice::xDetermineStartAndBoundingCtuTsAddr)
             self.pps.dependent_slice_segments_enabled_flag = 1
         self.tiles = (max(cfg.tile_cols_minus1, 0),
                       max(cfg.tile_rows_minus1, 0))
@@ -531,8 +535,7 @@ class EncoderTop:
         if cfg.intra_period == 1:
             return
         if (_osm.environ.get("HEVC_TPU_ME_MULTI", "1") == "0"
-                or self.sps.chroma_format_idc != 1
-                or self.sps.scaling_list_data is not None):
+                or self.sps.chroma_format_idc != 1):
             return
         from contextlib import nullcontext
 
@@ -672,8 +675,7 @@ class EncoderTop:
                 or _osm.environ.get("HEVC_TPU_ME_PREFETCH", "1") == "0"
                 or _osm.environ.get("HEVC_TPU_ME_MULTI", "1") == "0"
                 or _osm.environ.get("HEVC_TPU_NATIVE_RECON", "1") == "0"
-                or self.sps.chroma_format_idc != 1
-                or self.sps.scaling_list_data is not None):
+                or self.sps.chroma_format_idc != 1):
             return
         import jax
         if (jax.default_backend() == "cpu" and _osm.environ.get(
@@ -1207,7 +1209,6 @@ class EncoderTop:
         cfmt = self.sps.chroma_format_idc
         use_native = (not lossless
                       and (cfmt == 1 or (cfmt == 3 and is_intra)) and
-                      self.sps.scaling_list_data is None and
                       os.environ.get("HEVC_TPU_NATIVE_RECON", "1") != "0")
         n_l0 = 0 if is_intra else len(ref_l0)
         n_l1 = len(ref_l1) if is_b and ref_l1 else 0
@@ -1715,6 +1716,73 @@ class EncoderTop:
                     slice_rbsps.append(
                         headers.write_slice_header(sh_i, self.sps,
                                                    self.pps) + data_i)
+        if (slice_rbsps is None and cfg.slice_segment_mode == 3
+                and self.pps.tiles_enabled_flag
+                and use_native and isinstance(decisions, FrameDecisions)):
+            # tile-aligned dependent slice segments (reference
+            # TEncSlice::xDetermineStartAndBoundingCtuTsAddr,
+            # FIXED_NUMBER_OF_TILES, TEncSlice.cpp:1205): every segment
+            # carries SliceSegmentArgument whole tiles; its last CTU
+            # codes end_of_slice_segment_flag=1 + flush (native
+            # frame_order_tileseg), so the cut payloads are directly
+            # the dependent segments' slice data
+            import dataclasses as _dc
+            from ..entropy.cabac import (_encoder_substreams,
+                                         entropy_encode_frame_order_tilesegs)
+            tc = self.pps.num_tile_columns_minus1 + 1
+            tr = self.pps.num_tile_rows_minus1 + 1
+            # uniform tile grid geometry (spec 6.5.1, same derivation as
+            # tile_scan_order): CTU counts + first raster address per tile
+            xs = [i * ctus_w // tc for i in range(tc)] + [ctus_w]
+            ys = [i * ctus_h // tr for i in range(tr)] + [ctus_h]
+            tile_addr = [ys[r] * ctus_w + xs[c]
+                         for r in range(tr) for c in range(tc)]
+            tile_ctus = [(ys[r + 1] - ys[r]) * (xs[c + 1] - xs[c])
+                         for r in range(tr) for c in range(tc)]
+            seg_arg = max(1, cfg.slice_segment_argument)
+            ntiles = tc * tr
+            seg_tiles = [list(range(i, min(i + seg_arg, ntiles)))
+                         for i in range(0, ntiles, seg_arg)]
+            cum = np.cumsum(tile_ctus).tolist()
+            bounds = [cum[g[-1]] for g in seg_tiles]
+            with timers.section("entropy"):
+                order = tile_scan_order(cfg.width, cfg.height,
+                                        self.sps.ctu_size, tc, tr)
+                marks = entropy_encode_frame_order_tilesegs(
+                    senc, order, ctus_w, decisions, bounds)
+                seg_data = senc.get_bytes()
+                sizes = _encoder_substreams(senc)
+            slice_rbsps = []
+            bpos = 0
+            for i, tiles_i in enumerate(seg_tiles):
+                end_b = marks[i] if marks[i] >= 0 else len(seg_data)
+                payload = seg_data[bpos:end_b]
+                bpos = end_b
+                sh_i = _dc.replace(
+                    sh,
+                    first_slice_segment_in_pic_flag=1 if i == 0 else 0,
+                    dependent_slice_segment_flag=0 if i == 0 else 1,
+                    slice_segment_address=tile_addr[tiles_i[0]],
+                    entry_point_offsets=[])
+                if len(tiles_i) > 1:
+                    # interior tile boundaries within this segment need
+                    # entry points (spec 7.4.7.1); escaped sizes depend on
+                    # the header length, so iterate to the fixed point
+                    for _ in range(5):
+                        hdr = headers.write_slice_header(sh_i, self.sps,
+                                                         self.pps)
+                        bnds, acc = [len(hdr)], len(hdr)
+                        for t in tiles_i[:-1]:
+                            acc += sizes[t]
+                            bnds.append(acc)
+                        esc = nal.escaped_sizes(hdr + payload, bnds)
+                        offs = esc[:-1] if len(esc) > 1 else []
+                        if offs == sh_i.entry_point_offsets:
+                            break
+                        sh_i.entry_point_offsets = offs
+                slice_rbsps.append(
+                    headers.write_slice_header(sh_i, self.sps, self.pps)
+                    + payload)
         if (slice_rbsps is None and cfg.slice_segment_mode in (1, 2)
                 and use_native and isinstance(decisions, FrameDecisions)):
             # dependent slice segments: one entropy pass over the slice,

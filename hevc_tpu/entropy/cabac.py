@@ -188,6 +188,7 @@ def get_lib(pel32: bool = False) -> ctypes.CDLL:
     lib.hevc_enc_frame.argtypes = [ctypes.c_void_p] + [ctypes.c_int] * 4 \
         + stacked
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.hevc_engine_set_scaling.argtypes = [ctypes.c_void_p, i32p]
     lib.hevc_engine_frame_order.argtypes = (
         [ctypes.c_void_p, ctypes.c_int, i32p, i32p]
         + [ctypes.c_int] * 3 + stacked)
@@ -198,6 +199,11 @@ def get_lib(pel32: bool = False) -> ctypes.CDLL:
         [ctypes.c_void_p, ctypes.c_int, i32p, i32p]
         + [ctypes.c_int] * 3 + [ctypes.c_long] + stacked)
     lib.hevc_enc_frame_order_budget.restype = ctypes.c_long
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.hevc_enc_frame_order_tileseg.argtypes = (
+        [ctypes.c_void_p, ctypes.c_int, i32p, i32p]
+        + [ctypes.c_int] * 4 + [i32p, i64p] + stacked)
+    lib.hevc_enc_frame_order_tileseg.restype = ctypes.c_long
     lib.hevc_enc_frame_order_segments.argtypes = (
         [ctypes.c_void_p, ctypes.c_int, i32p, i32p]
         + [ctypes.c_int] * 4 + [ctypes.c_long,
@@ -427,6 +433,27 @@ class SliceDataEncoder:
             self._h = None
 
 
+def scaling_blob(sld) -> np.ndarray:
+    """Pack a ScalingListData into the native engine's explicit-scaling
+    table: sizes {4,8,16,32} x lists [intra Y, Cb, Cr, inter Y, Cb, Cr]
+    x n*n full-resolution raster coefficients (upsampled, DC applied) —
+    8160 int32, mirroring CtuEngine::scaling_matrix's layout. Entries
+    the file leaves unset fall back to the spec defaults, exactly as
+    the Python recon resolves them."""
+    from ..core import tables
+    parts = []
+    for size in (4, 8, 16, 32):
+        for intra in (True, False):
+            for c in range(3):
+                m = sld.matrix(size, c, intra)
+                if m is None:
+                    m = tables.default_scaling_matrix(size, intra)
+                if m is None:
+                    m = np.full((size, size), 16, np.int32)
+                parts.append(np.asarray(m, np.int32).reshape(-1))
+    return np.ascontiguousarray(np.concatenate(parts), np.int32)
+
+
 def _encoder_substreams(senc):
     out = np.zeros(1024, np.int32)
     n = senc._lib.hevc_enc_substreams(senc._h, out, 1024)
@@ -591,6 +618,15 @@ class NativeCtuEngine:
             g1xp, g1yp)
         self._ctu = params.ctu_size
         self._cfmt = params.chroma_format
+
+    def set_scaling(self, blob: np.ndarray) -> None:
+        """Install explicit (file-read) scaling matrices — the packed
+        {4,8,16,32} x 6-list full-resolution table built by
+        scaling_blob() (reference TComScalingList / TAppEncCfg
+        "ScalingList"=2, TComSlice.cpp:2066)."""
+        blob = np.ascontiguousarray(blob, np.int32)
+        self._keep.append(blob)
+        self._lib.hevc_engine_set_scaling(self._h, blob)
 
     def set_intra_hints(self, hints) -> None:
         """hints: {log2: (cands uint8 [ny, nx, k], costs int64 [ny, nx]
@@ -955,6 +991,23 @@ def entropy_encode_frame_order_segments(senc, order, ctus_w, fd,
         fd.chroma_format, seg_mode, seg_arg, seg_ctus, seg_marks,
         *fd._args()))
     return [int(x) for x in seg_ctus[:n]], [int(x) for x in seg_marks[:n]]
+
+
+def entropy_encode_frame_order_tilesegs(senc, order, ctus_w, fd, bounds):
+    """SliceSegmentMode 3 (tile-aligned dependent segments): encode
+    `order` (tile scan) as one slice cut at the cumulative CTU counts in
+    `bounds` — each a tile-group end (reference
+    TEncSlice::xDetermineStartAndBoundingCtuTsAddr,
+    FIXED_NUMBER_OF_TILES). Returns byte_marks (payload offset where
+    each segment ends; -1 marks the final segment)."""
+    cxs = np.ascontiguousarray([c[0] for c in order], np.int32)
+    cys = np.ascontiguousarray([c[1] for c in order], np.int32)
+    ba = np.ascontiguousarray(bounds, np.int32)
+    marks = np.zeros(len(bounds) + 1, np.int64)
+    n = int(senc._lib.hevc_enc_frame_order_tileseg(
+        senc._h, len(order), cxs, cys, ctus_w, fd.ctu_size,
+        fd.chroma_format, len(ba), ba, marks, *fd._args()))
+    return [int(x) for x in marks[:n]]
 
 
 def entropy_encode_frame_order_budget(senc, order, ctus_w, fd,

@@ -300,6 +300,12 @@ void hevc_engine_destroy(void* h) { delete (CtuEngine*)h; }
 // device intra prescreen (top-k candidate modes + screen costs) for
 // blocks of size 1<<log2; buffers owned by the caller, alive for the
 // engine lifetime
+// explicit (file-read) scaling matrices: packed {4,8,16,32} x 6 lists
+// x n*n full-resolution table, 8160 int32 (see CtuEngine::set_scaling)
+void hevc_engine_set_scaling(void* h, const int32_t* blob) {
+  ((CtuEngine*)h)->set_scaling(blob);
+}
+
 void hevc_engine_set_intra_hints(void* h, int log2, const uint8_t* cands,
                                  int k, const int64_t* costs, int ny,
                                  int nx) {
@@ -544,6 +550,44 @@ extern "C" long hevc_enc_frame_order_segments(
       ++nseg;
       seg_start_bytes = (long)e->bytes().size();
       in_seg = 0;
+    }
+  }
+  return nseg;
+}
+
+// SliceSegmentMode 3 (reference TEncSlice
+// xDetermineStartAndBoundingCtuTsAddr FIXED_NUMBER_OF_TILES): encode
+// `order` (tile scan) as one slice cut into dependent segments at the
+// cumulative CTU counts in `bounds` (each a tile-group end). Every
+// segment's last CTU codes end_of_slice_segment_flag=1 + flush; the
+// next tile then starts a fresh CABAC engine without re-closing the
+// already-flushed substream (reset_tile_state). Returns the marks like
+// hevc_enc_frame_order_segments.
+extern "C" long hevc_enc_frame_order_tileseg(
+    void* senc, int nctu, const int32_t* cxs, const int32_t* cys,
+    int ctus_w, int ctu_size, int cfmt, int nbounds, const int32_t* bounds,
+    int64_t* seg_marks, STACKED_ARGS) {
+  STACKED_INIT(ctu_size, cfmt);
+  SliceEncoder* e = (SliceEncoder*)senc;
+  long nseg = 0;
+  int bi = 0;
+  for (int i = 0; i < nctu; ++i) {
+    MutCtuData md = sm.at((size_t)cys[i] * ctus_w + cxs[i]);
+    CtuData d{md.cu_depth, md.nxn_flag, md.luma_mode, md.chroma_mode,
+              md.tu_depth, md.coeff_y, md.coeff_cb, md.coeff_cr,
+              md.pred_mode, md.skip_flag, md.merge_flag, md.merge_idx,
+              md.mvp_flag, md.ref_idx, md.mvd_x, md.mvd_y, md.mv_x,
+              md.mv_y, md.mvp_flag1, md.ref_idx1, md.mvd_x1, md.mvd_y1,
+              md.mv_x1, md.mv_y1, md.sao, md.rext, md.ccp_cb, md.ccp_cr};
+    e->encode_ctu(cxs[i], cys[i], d, -1);
+    int last = i == nctu - 1;
+    int end = last || (bi < nbounds && i + 1 == bounds[bi]);
+    e->write_end_flag(end);
+    if (end) {
+      seg_marks[nseg] = last ? -1 : (int64_t)e->segment_cut();
+      if (!last) e->reset_tile_state();
+      ++nseg;
+      ++bi;
     }
   }
   return nseg;

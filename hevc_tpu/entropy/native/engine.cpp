@@ -552,9 +552,59 @@ int CtuEngine::quant_levels(const int32_t* coef, int n, int qp, bool intra,
   return nz;
 }
 
+// Lossy explicit residual DPCM on one inter 4x4 transform-skip TB
+// (reference TComTrQuant::applyForwardRDPCM, TComTrQuant.cpp:1749, and
+// rdpcmNxN's direction selection): each sample codes the quantized
+// difference to the RECONSTRUCTED neighbour along the direction; the
+// decoder accumulates the dequantized, inverse-TS-scaled samples along
+// it (invRdpcmNxN — both our decoders' cumsum). dir: 0 hor, 1 ver.
+static void rdpcm_fwd_ts(const int32_t* resi, int qp, int bd, int dir,
+                         const int32_t* smat, int32_t* lev, int32_t* rres,
+                         double* sse_out, double* bits_out, int* nz_out) {
+  static const int32_t kQS[6] = {26214, 23302, 20560, 18396, 16384, 14564};
+  static const int32_t kIQS[6] = {40, 45, 51, 57, 64, 72};
+  int qpp = qp + 6 * (bd - 8);
+  int tshift = 15 - bd - 2;
+  int qbits = 14 + qpp / 6 + tshift;
+  int64_t scale = kQS[qpp % 6];
+  int64_t offset = (int64_t)85 << (qbits - 9);  // inter rounding
+  int64_t ls = (int64_t)kIQS[qpp % 6] << (qpp / 6);
+  int dqshift = bd - 3;  // dequant bd_shift at n = 4
+  int64_t dqr = 1ll << (dqshift - 1);
+  int bdshift = 20 - bd;  // inverse-TS residual scale
+  int32_t rnd = 1 << (bdshift - 1);
+  double sse = 0, bits = 0;
+  int nz = 0;
+  for (int i = 0; i < 4; ++i)
+    for (int j = 0; j < 4; ++j) {
+      int idx = i * 4 + j;
+      int32_t prev =
+          dir ? (i ? rres[idx - 4] : 0) : (j ? rres[idx - 1] : 0);
+      int64_t c = ((int64_t)resi[idx] - prev) << tshift;
+      int64_t sc = smat ? (scale * 16) / smat[idx] : scale;
+      int64_t l = ((c < 0 ? -c : c) * sc + offset) >> qbits;
+      if (l > 32767) l = 32767;
+      int32_t lv = (int32_t)(c < 0 ? -l : l);
+      lev[idx] = lv;
+      nz += lv != 0;
+      int64_t mi = smat ? smat[idx] : 16;
+      int64_t dq = ((int64_t)lv * mi * ls + dqr) >> dqshift;
+      dq = std::min<int64_t>(32767, std::max<int64_t>(-32768, dq));
+      int32_t rs = (int32_t)(((dq << 7) + rnd) >> bdshift);
+      rres[idx] = prev + rs;
+      double e = (double)resi[idx] - rres[idx];
+      sse += e * e;
+      if (lv) bits += rd_rate_bits(std::abs(lv));
+    }
+  *sse_out = sse;
+  *bits_out = bits;
+  *nz_out = nz;
+}
+
 bool CtuEngine::ts_trial(const int32_t* resi, int qp, bool intra,
                          double lam_sq, const int32_t* smat, int scan_idx,
-                         int c_idx, int32_t* lev, int32_t* rres, int* nz) {
+                         int c_idx, int32_t* lev, int32_t* rres, int* nz,
+                         uint8_t* rext_slot, int rext_shift) {
   int32_t coefs[16], levs[16], deqs[16], rress[16];
   int tshift = 15 - bd_ - 2;
   // RExt transform_skip_rotation: intra 4x4 TS residuals are coded
@@ -581,7 +631,36 @@ bool CtuEngine::ts_trial(const int32_t* resi, int qp, bool intra,
     if (lev[i]) b0 += rd_rate_bits(std::abs(lev[i]));
     if (levs[i]) b1 += rd_rate_bits(std::abs(levs[i]));
   }
-  if (d1 + lam_sq * (b1 + 1.0) >= d0 + lam_sq * b0) return false;
+  // with explicit RDPCM enabled every inter TS TB also codes the
+  // rdpcm flag (+dir when on); trial both directions against plain TS
+  bool erd = !intra && sp_.explicit_rdpcm && rext_slot;
+  if (erd) *rext_slot &= (uint8_t)~(3 << rext_shift);
+  double j0 = d0 + lam_sq * b0;
+  double jbest = d1 + lam_sq * (b1 + 1.0 + (erd ? 1.0 : 0.0));
+  int best_dir = -1;  // -1 = plain transform-skip
+  int32_t rlev[2][16], rrec[2][16];
+  int rnzs[2] = {0, 0};
+  if (erd) {
+    for (int dir = 0; dir < 2; ++dir) {
+      double rd, rb;
+      rdpcm_fwd_ts(resi, qp, bd_, dir, smat, rlev[dir], rrec[dir], &rd,
+                   &rb, &rnzs[dir]);
+      if (!rnzs[dir]) continue;  // all-zero: cbf 0, no TS signalled
+      double j = rd + lam_sq * (rb + 3.0);  // ts + rdpcm flag + dir
+      if (j < jbest) {
+        jbest = j;
+        best_dir = dir;
+      }
+    }
+  }
+  if (jbest >= j0) return false;
+  if (best_dir >= 0) {
+    std::memcpy(lev, rlev[best_dir], sizeof(rlev[0]));
+    std::memcpy(rres, rrec[best_dir], sizeof(rrec[0]));
+    *nz = rnzs[best_dir];
+    *rext_slot |= (uint8_t)((1 | (best_dir << 1)) << rext_shift);
+    return true;
+  }
   std::memcpy(lev, levs, sizeof(levs));
   std::memcpy(rres, rress, sizeof(rress));
   *nz = nzs;
@@ -880,6 +959,11 @@ void CtuEngine::set_intra_hints(int log2, const uint8_t* cands, int k,
   ih_[log2] = IntraHints{k > 0 ? cands : nullptr, costs, k, ny, nx};
 }
 
+void CtuEngine::set_scaling(const int32_t* blob) {
+  custom_scaling_.assign(blob, blob + 8160);
+  sp_.scaling_lists = 1;
+}
+
 // Candidate mode list for the recon-reference SATD loops: the device
 // prescreen's top-k for this block plus the 3 MPMs (deduplicated), or
 // all 35 when no hints cover the block (reference estIntraPredLumaQT's
@@ -1088,7 +1172,7 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     ProfScope _pmrd(18);
     double lam_rd = sqrt_lam_ * sqrt_lam_;
     const int32_t* smat_t =
-        sp_.scaling_lists ? dsp::default_scaling_matrix(n, true) : nullptr;
+        scaling_matrix(n, 0, true);
     int32_t t_resi[32 * 32], t_coef[32 * 32], t_lev[32 * 32],
         t_deq[32 * 32], t_rres[32 * 32];
     double jbest = -1;
@@ -1298,7 +1382,7 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     }
     bool dstt = (c == 0 && tz == 4);
     const int32_t* smat_t =
-        sp_.scaling_lists ? dsp::default_scaling_matrix(tz, true) : nullptr;
+        scaling_matrix(tz, c, true);
     int nz;
     {
       ProfScope _px(4);
@@ -1889,7 +1973,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
       for (int j = 0; j < sz; ++j)
         resi[i * sz + j] = (int32_t)o[i * ostride + j] - p[i * pstride + j];
     const int32_t* smat_p =
-        sp_.scaling_lists ? dsp::default_scaling_matrix(sz, false) : nullptr;
+        scaling_matrix(sz, c_idx, false);
     int nz;
     if (!smat_p && quant_all_zero(resi, sz, qp, bd_)) {
       nz = 0;
@@ -2790,6 +2874,9 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   double cwgt2[2] = {std::pow(2.0, (qp_y_ - qp_c_[0]) / 3.0),
                      std::pow(2.0, (qp_y_ - qp_c_[1]) / 3.0)};
   uint8_t ts_loc[64] = {0};  // per-4x4 TS flags, CU-local (see intra path)
+  // per-4x4 explicit-RDPCM decision bits, CU-local (syntax map layout:
+  // 0x01/0x02 Y on/dir, 0x04/0x08 Cb, 0x10/0x20 Cr)
+  uint8_t rext_loc[64] = {0};
   // codes one TB: levels into lv (stride lstride), recon into rec; returns
   // nz and accumulates pixel SSE (chroma weighted) + CABAC-counter exact
   // bits (tb_rate_bits on the tracked context states). ts_slot/ts_bit:
@@ -2798,14 +2885,14 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
                      int pstride, int sz, int qp, int c_idx, int32_t* lv,
                      int lstride, pel_t* rec, int rstride, double* sse,
                      double* bits, uint8_t* ts_slot = nullptr,
-                     uint8_t ts_bit = 0) -> int {
+                     uint8_t ts_bit = 0, uint8_t* rx_slot = nullptr) -> int {
     double dw = c_idx ? cwgt2[c_idx - 1] : 1.0;
     double lam_c = c_idx ? lam_sq / dw : lam_sq;
     for (int i = 0; i < sz; ++i)
       for (int j = 0; j < sz; ++j)
         resi[i * sz + j] = (int32_t)o[i * ostride + j] - p[i * pstride + j];
     const int32_t* smat_p =
-        sp_.scaling_lists ? dsp::default_scaling_matrix(sz, false) : nullptr;
+        scaling_matrix(sz, c_idx, false);
     int nz;
     if (!smat_p && quant_all_zero(resi, sz, qp, bd_)) {
       nz = 0;
@@ -2827,7 +2914,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     if (ts_slot && sp_.transform_skip_enabled && sz == 4) {
       *ts_slot &= (uint8_t)~ts_bit;
       if (ts_trial(resi, qp, false, lam_c, smat_p, 0, c_idx, lev_tmp_,
-                   rres, &nz))
+                   rres, &nz, rx_slot, c_idx * 2))
         *ts_slot |= ts_bit;
     }
     // cbf bin (context-exact) — luma ctx by depth-in-CU, chroma likewise
@@ -2863,18 +2950,20 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
         nzs += code_tb(oy + ly * w_ + lx, w_, pred_y + ly * n + lx, n, tn,
                        qp_y_, 0, lev_y + ly * n + lx, n,
                        rec_y + ly * n + lx, n, &sse, &bits,
-                       &ts_loc[(ly >> 2) * 8 + (lx >> 2)], TS_Y);
+                       &ts_loc[(ly >> 2) * 8 + (lx >> 2)], TS_Y,
+                       &rext_loc[(ly >> 2) * 8 + (lx >> 2)]);
         uint8_t* slot = &ts_loc[((lcy * 2) >> 2) * 8 + ((lcx * 2) >> 2)];
+        uint8_t* rxs = &rext_loc[((lcy * 2) >> 2) * 8 + ((lcx * 2) >> 2)];
         nzs += code_tb(orig_[1] + (cyy + lcy) * cw + cxx + lcx, cw,
                        pcb + lcy * cs + lcx, cs, tc, qp_c_[0], 1,
                        lev_cb + lcy * cs + lcx, cs,
                        rec_cb + lcy * cs + lcx, cs, &sse, &bits, slot,
-                       TS_CB);
+                       TS_CB, rxs);
         nzs += code_tb(orig_[2] + (cyy + lcy) * cw + cxx + lcx, cw,
                        pcr + lcy * cs + lcx, cs, tc, qp_c_[1], 2,
                        lev_cr + lcy * cs + lcx, cs,
                        rec_cr + lcy * cs + lcx, cs, &sse, &bits, slot,
-                       TS_CR);
+                       TS_CR, rxs);
       }
     *cost = sse + lam_sq * bits;
     return nzs;
@@ -2895,8 +2984,9 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     std::memcpy(lv0_y, lev_y, sizeof(lev_y));
     std::memcpy(lv0_cb, lev_cb, sizeof(lev_cb));
     std::memcpy(lv0_cr, lev_cr, sizeof(lev_cr));
-    uint8_t ts_snap[64];
+    uint8_t ts_snap[64], rx_snap[64];
     std::memcpy(ts_snap, ts_loc, sizeof(ts_loc));
+    std::memcpy(rx_snap, rext_loc, sizeof(rext_loc));
     int nz1 = code_all(1, &cost1);
     if (nz1 && cost1 < cost0) {
       tu_depth_sel = 1;
@@ -2909,6 +2999,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       std::memcpy(lev_cb, lv0_cb, sizeof(lev_cb));
       std::memcpy(lev_cr, lv0_cr, sizeof(lev_cr));
       std::memcpy(ts_loc, ts_snap, sizeof(ts_loc));
+      std::memcpy(rext_loc, rx_snap, sizeof(rext_loc));
     }
   }
   // Explicit SKIP trial (reference TEncCu::xCheckRDCostMerge2Nx2N codes
@@ -2942,6 +3033,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       std::memset(lev_cb, 0, sizeof(lev_cb));
       std::memset(lev_cr, 0, sizeof(lev_cr));
       std::memset(ts_loc, 0, sizeof(ts_loc));
+      std::memset(rext_loc, 0, sizeof(rext_loc));
       for (int i = 0; i < n; ++i)
         for (int j = 0; j < n; ++j)
           rec_y[i * n + j] = (pel_t)std::min(
@@ -3001,9 +3093,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
         for (int j = 0; j < sz; ++j)
           it_resi[i * sz + j] =
               (int32_t)o[i * ostride + j] - p[i * sz + j];
-      const int32_t* smat_t = sp_.scaling_lists
-                                  ? dsp::default_scaling_matrix(sz, true)
-                                  : nullptr;
+      const int32_t* smat_t = scaling_matrix(sz, c_idx, true);
       dsp::fwd_xform(it_resi, sz, bd_, false, it_coef);
       int scan = engine_scan_idx(ilog2(sz), c_idx, true, mode, csx_ == 0);
       int nz = quant_levels(it_coef, sz, qp, true, it_lev, smat_t, c_idx,
@@ -3090,6 +3180,10 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
               (tu_depth_sel |
                ts_loc[((((py - y0) >> 2) + yy) & 7) * 8 +
                       ((((px - x0) >> 2) + xx) & 7)]));
+          if (d.rext)
+            d.rext[li] = (uint8_t)(zero_resid ? 0 :
+                rext_loc[((((py - y0) >> 2) + yy) & 7) * 8 +
+                         ((((px - x0) >> 2) + xx) & 7)]);
         }
       publish_rect(px, py, pw, ph, ch.mi, 0);
     }
@@ -3118,6 +3212,9 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       }
       d.tu_depth[li] = (uint8_t)(zero_resid ? 0 :
           (tu_depth_sel | ts_loc[(yy & 7) * 8 + (xx & 7)]));
+      if (d.rext)
+        d.rext[li] = (uint8_t)(zero_resid ? 0 :
+            rext_loc[(yy & 7) * 8 + (xx & 7)]);
     }
   }
   for (int i = 0; i < n; ++i)

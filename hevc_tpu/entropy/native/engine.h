@@ -63,8 +63,27 @@ class CtuEngine {
   // must stay alive for the engine lifetime; caller owns them)
   void set_intra_hints(int log2, const uint8_t* cands, int k,
                        const int64_t* costs, int ny, int nx);
+  // install explicit (file-read) scaling matrices (reference
+  // TComScalingList / TAppEncCfg "ScalingList"=2): blob is the packed
+  // full-resolution table — sizes {4,8,16,32} x 6 lists
+  // (intra Y/Cb/Cr, inter Y/Cb/Cr) x n*n raster coefficients, DC
+  // already substituted, 8160 int32 total. Copied.
+  void set_scaling(const int32_t* blob);
 
  private:
+  // dequant matrix for a TB: explicit table when installed, else the
+  // spec defaults (Table 7-5/7-6), else null (flat)
+  const int32_t* scaling_matrix(int n, int c_idx, bool intra) const {
+    if (!sp_.scaling_lists) return nullptr;
+    if (custom_scaling_.empty())
+      return dsp::default_scaling_matrix(n, intra);
+    static const int off[4] = {0, 96, 480, 2016};  // cumulative 6*n*n
+    int lg = 2;
+    while ((1 << lg) < n) ++lg;
+    return custom_scaling_.data() + off[lg - 2] +
+           ((intra ? 0 : 3) + c_idx) * n * n;
+  }
+  std::vector<int32_t> custom_scaling_;
   // RDOQ dispatch: context-exact rdoq_quant (default) or the legacy
   // calibrated heuristic (HEVC_TPU_RDOQ=lite)
   int rdoq_run(int32_t* lev, const int32_t* coef, int n, int qp, int nz,
@@ -114,7 +133,8 @@ class CtuEngine {
   // returns false to fall through to the per-32x32 path
   bool ts_trial(const int32_t* resi, int qp, bool intra, double lam_sq,
                 const int32_t* smat, int scan_idx, int c_idx, int32_t* lev,
-                int32_t* rres, int* nz);
+                int32_t* rres, int* nz, uint8_t* rext_slot = nullptr,
+                int rext_shift = 0);
   bool inter_cu64_try(int x0, int y0, const MutCtuData& d, int ctu_x0,
                       int ctu_y0);
   int64_t quad_screen_satd(int qx, int qy, int hn, int qmx, int qmy,

@@ -360,6 +360,10 @@ class SliceEncoder {
     cabac_.start();
     return bw_.bytes.size();
   }
+  // SliceSegmentMode 3 (tile-aligned dependent segments): after a
+  // segment_cut at a tile boundary the NEXT tile must not re-close the
+  // previous one — forget the tile so encode_ctu only re-inits contexts
+  void reset_tile_state() { cur_tile_ = -1; }
   PicMaps& maps() { return maps_; }
   // slice-init context states (RD bit estimation; the engine snapshots
   // these for rdoq_quant / counter-based mode costs)

@@ -649,10 +649,11 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
             and 1 in (cfg.sei_chroma_filter_hor, cfg.sei_chroma_filter_ver),
             "SEIChromaSampling filter type 1 (user-defined coefficients) "
             "unsupported")
-    confirm(cfg.slice_segment_mode not in (0, 1, 2),
+    confirm(cfg.slice_segment_mode not in (0, 1, 2, 3),
             f"SliceSegmentMode {cfg.slice_segment_mode} unsupported "
-            "(0 off, 1 = max CTUs, 2 = max bytes per dependent segment)")
-    confirm(cfg.slice_segment_mode in (1, 2) and
+            "(0 off, 1 = max CTUs, 2 = max bytes, 3 = tiles per "
+            "dependent segment)")
+    confirm(cfg.slice_segment_mode in (1, 2, 3) and
             cfg.slice_segment_argument < 1,
             "SliceSegmentMode requires SliceSegmentArgument >= 1")
     confirm(cfg.slice_segment_mode in (1, 2) and
@@ -661,7 +662,12 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
              or bool(cfg.adaptive_qp)),
             "SliceSegmentMode with SliceMode/WPP/tiles/AdaptiveQP "
             "unsupported")
-    confirm(cfg.slice_segment_mode in (1, 2)
+    confirm(cfg.slice_segment_mode == 3 and
+            (cfg.slice_mode != 0 or bool(cfg.wpp)
+             or (cfg.tile_cols_minus1 <= 0 and cfg.tile_rows_minus1 <= 0)),
+            "SliceSegmentMode 3 (tile-aligned segments) requires tiles "
+            "and no SliceMode/WPP")
+    confirm(cfg.slice_segment_mode in (1, 2, 3)
             and cfg.chroma_format != 420,
             "SliceSegmentMode requires 4:2:0 (native entropy path)")
     confirm(cfg.slice_mode == 3 and

@@ -296,6 +296,66 @@ def _mk_clip_422(path, w, h, n, bd=8, seed=9):
                 f.write((p.astype(np.int64) * sc).astype(dt).tobytes())
 
 
+def test_lossy_explicit_rdpcm_encode(tmp_path):
+    """Lossy explicit residual DPCM: with TransformSkip +
+    ExplicitResidualDPCM the native engine trials quantized sequential
+    DPCM in both directions on inter 4x4 transform-skip TBs against
+    plain TS (reference TComTrQuant::applyForwardRDPCM,
+    TComTrQuant.cpp:1749, and rdpcmNxN). The coded stream must carry
+    nonzero explicit_rdpcm flags AND decode bit-exact on the HM decoder
+    and our own. Content: chroma residual is a sharp step per row,
+    identical across rows — vertical DPCM codes it in one row of
+    diffs, which neither the DCT nor plain TS can match."""
+    w, h, frames = 176, 144, 3
+    rng = np.random.default_rng(7)
+    ybase = np.repeat(np.repeat(
+        rng.integers(30, 225, (h // 4, w // 4)), 4, 0), 4, 1)
+    cw2, ch2 = w // 2, h // 2
+    strip = np.zeros(cw2, np.int32)
+    edges = np.sort(rng.integers(0, cw2, 20))
+    val, prev = 0, 0
+    for e in edges:
+        strip[prev:e] = val
+        val = int(rng.integers(-45, 45))
+        prev = e
+    clip = tmp_path / "in.yuv"
+    with open(clip, "wb") as f:
+        for fi in range(frames):
+            yfr = ybase.astype(np.int32).copy()
+            if fi:
+                # scattered fresh-noise 8x8 blocks force 8x8 CUs, whose
+                # chroma TBs are the 4x4 transform-skip candidates
+                for by in range(0, h, 8):
+                    for bx in range(0, w, 8):
+                        if (bx // 8 + by // 8 + fi) % 2 == 0:
+                            yfr[by:by + 8, bx:bx + 8] += \
+                                rng.integers(-35, 35, (8, 8))
+            f.write(np.clip(yfr, 0, 255).astype(np.uint8).tobytes())
+            cfr = np.clip(128 + (strip[None, :] if fi else 0), 0,
+                          255).astype(np.uint8)
+            cfr = np.broadcast_to(cfr, (ch2, cw2))
+            f.write(cfr.tobytes())
+            f.write(cfr.tobytes())
+    bs, rec, dec = tmp_path / "o.bin", tmp_path / "r.yuv", tmp_path / "d.yuv"
+    from hevc_tpu.cli.encode import main
+    main(["-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-q", "27", "--IntraPeriod=-1", "--TransformSkip=1",
+          "--MaxCUSize=16", "--ExplicitResidualDPCM=1",
+          "-b", str(bs), "-o", str(rec)])
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o", str(dec)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.count("(OK)") == frames, out.stdout[-1500:]
+    assert rec.read_bytes() == dec.read_bytes()
+    from hevc_tpu.decoder.top import DecoderTop
+    dtop = DecoderTop()
+    planes = [p for fr in dtop.decode_stream(bs.read_bytes()) for p in fr]
+    assert b"".join(p.astype(np.uint8).tobytes()
+                    for p in planes) == dec.read_bytes()
+    # the tool must actually be exercised, not just signalled off
+    assert dtop.rdpcm_tb_count > 0
+
+
 def test_rext_422_inter_conformance(tmp_path):
     """4:2:2 INTER encode (LDP, previous-frame references): non-square
     chroma MC (eighth-pel horizontal / quarter-pel vertical), two-sub-TB
@@ -365,6 +425,12 @@ def test_rext_422_conformance(tmp_path, qp, extra):
     (["--UniformSpacingIdc=1", "--NumTileColumnsMinus1=1",
       "--NumTileRowsMinus1=1", "--SliceMode=3", "--SliceArgument=2"],
      "two-tiles-per-slice"),
+    (["--UniformSpacingIdc=1", "--NumTileColumnsMinus1=1",
+      "--NumTileRowsMinus1=1", "--SliceSegmentMode=3",
+      "--SliceSegmentArgument=1"], "seg-tiles"),
+    (["--UniformSpacingIdc=1", "--NumTileColumnsMinus1=1",
+      "--NumTileRowsMinus1=1", "--SliceSegmentMode=3",
+      "--SliceSegmentArgument=2"], "seg-two-tiles"),
 ])
 def test_dependent_segments_and_slicemode3_encode(tmp_path, extra, label):
     """Dependent slice segments (SliceSegmentMode 1/2: CABAC contexts
