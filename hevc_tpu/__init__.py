@@ -41,8 +41,21 @@ if _plat:
     except Exception:
         pass
 
-_cache_dir = _os.path.expanduser("~/.cache/hevc_tpu_jax")
-_os.makedirs(_cache_dir, exist_ok=True)
+# The cache lives INSIDE the repo (checked in) so a fresh container's
+# first benchmark run still hits warm compiles — the multi-minute 1080p
+# device compiles otherwise recur whenever $HOME is wiped. Falls back to
+# ~/.cache when the package is installed somewhere read-only.
+_repo_cache = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    ".jax_cache")
+_cache_dir = _os.environ.get("HEVC_TPU_CACHE_DIR", _repo_cache)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    if not _os.access(_cache_dir, _os.W_OK):
+        raise OSError("read-only")
+except OSError:
+    _cache_dir = _os.path.expanduser("~/.cache/hevc_tpu_jax")
+    _os.makedirs(_cache_dir, exist_ok=True)
 _jax.config.update("jax_compilation_cache_dir", _cache_dir)
 # Strip traceback source locations from lowerings: they differ with the
 # Python call stack, which made persistent-cache keys unstable across

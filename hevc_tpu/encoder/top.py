@@ -1283,6 +1283,13 @@ class EncoderTop:
             sp.persistent_rice = \
                 self.sps.persistent_rice_adaptation_enabled_flag
             sp.bypass_align = self.sps.cabac_bypass_alignment_enabled_flag
+            # reference-GPU-mode ME reproduction (cfg GPUModeME): the
+            # engine computes per-CTU 593-partition full-search tables
+            # at the 2Nx2N predictor and serves sub-PU lookups from
+            # them (reference TEncSearch.cpp:3743-3770; semantics in
+            # ops/me_gpu_mode.py)
+            sp.gpu_mode_me = int(getattr(cfg, "gpu_mode_me", 0) or 0)
+            sp.gpu_sr = cfg.search_range
             senc = SliceDataEncoder(sp, self.sps.bit_depth_luma > 14)
             if sh.slice_temporal_mvp_enabled_flag:
                 from ..entropy.cabac import set_collocated
@@ -1444,6 +1451,13 @@ class EncoderTop:
             sp.persistent_rice = \
                 self.sps.persistent_rice_adaptation_enabled_flag
             sp.bypass_align = self.sps.cabac_bypass_alignment_enabled_flag
+            # reference-GPU-mode ME reproduction (cfg GPUModeME): the
+            # engine computes per-CTU 593-partition full-search tables
+            # at the 2Nx2N predictor and serves sub-PU lookups from
+            # them (reference TEncSearch.cpp:3743-3770; semantics in
+            # ops/me_gpu_mode.py)
+            sp.gpu_mode_me = int(getattr(cfg, "gpu_mode_me", 0) or 0)
+            sp.gpu_sr = cfg.search_range
             senc = SliceDataEncoder(sp, self.sps.bit_depth_luma > 14)
             if sh.slice_temporal_mvp_enabled_flag:
                 from ..entropy.cabac import set_collocated
@@ -1814,6 +1828,16 @@ class EncoderTop:
                     + seg_data[bpos:end_b])
                 bpos, addr = end_b, addr + cnt
         data = b""
+        if slice_rbsps is None and cfg.slice_segment_mode in (1, 2, 3):
+            # configured segmentation needs the native entropy path;
+            # cfg.validate() rejects the static conflicts (lossless), so
+            # reaching here means a debug override (HEVC_TPU_NATIVE_RECON=0)
+            # — say so instead of silently emitting one slice
+            import warnings
+            warnings.warn(
+                f"SliceSegmentMode {cfg.slice_segment_mode} configured but "
+                "the native recon path is disabled; emitting a single "
+                "slice segment", RuntimeWarning)
         if slice_rbsps is None:
             with timers.section("entropy"):
                 if isinstance(decisions, FrameDecisions):

@@ -67,7 +67,10 @@ class SliceParamsC(ctypes.Structure):
         # PPS constrained_intra_pred_flag (spec 8.4.4.2.2 substitution)
         ("cip", ctypes.c_int32),
         # PPS Log2ParallelMergeLevel (absolute; 0 or 2 = off)
-        ("log2_par_merge", ctypes.c_int32)]
+        ("log2_par_merge", ctypes.c_int32),
+        # reference-GPU-mode ME reproduction (cfg GPUModeME) + its range
+        ("gpu_mode_me", ctypes.c_int32),
+        ("gpu_sr", ctypes.c_int32)]
 
 
 def _build(target: str = "") -> None:

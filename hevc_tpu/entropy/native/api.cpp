@@ -312,6 +312,14 @@ void hevc_engine_set_intra_hints(void* h, int log2, const uint8_t* cands,
   ((CtuEngine*)h)->set_intra_hints(log2, cands, k, costs, ny, nx);
 }
 
+// reference-GPU-mode ME table readback (this thread's last computed CTU;
+// test introspection — tests/test_me_gpu_mode.py compares against the
+// Python scalar model of TEncOpenCL/cl-sad semantics)
+void hevc_engine_gpu_tables(int list, int ref, int16_t* mvx, int16_t* mvy,
+                            uint32_t* sad) {
+  CtuEngine::gpu_tables(list, ref, mvx, mvy, sad);
+}
+
 void hevc_engine_ctu(void* h, int cx, int cy, uint8_t* cu_depth,
                      uint8_t* nxn_flag, uint8_t* luma_mode,
                      uint8_t* chroma_mode, uint8_t* tu_depth,

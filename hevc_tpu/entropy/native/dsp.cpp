@@ -19,9 +19,6 @@ const int32_t kDctCoef[33] = {
 const int32_t kDst4[16] = {29, 55, 74, 84,  74, 74, 0, -74,
                            84, -29, -74, 55, 55, -84, 74, -29};
 
-const int32_t kQuantScales[6] = {26214, 23302, 20560, 18396, 16384, 14564};
-const int32_t kInvQuantScales[6] = {40, 45, 51, 57, 64, 72};
-
 // spec 8.4.4.2.3 filtering thresholds per log2 size (index 2..5)
 const int kIntraFilterThresh[6] = {0, 0, 10, 7, 1, 0};
 
@@ -100,6 +97,9 @@ struct ScalingTables {
 const ScalingTables g_scaling;
 
 }  // namespace
+
+const int32_t kQuantScales[6] = {26214, 23302, 20560, 18396, 16384, 14564};
+const int32_t kInvQuantScales[6] = {40, 45, 51, 57, 64, 72};
 
 const int32_t* default_scaling_matrix(int n, bool intra) {
   if (n < 8) return nullptr;  // 4x4 default is flat

@@ -38,6 +38,12 @@ void fwd_xform(const int32_t* resi, int n, int bd, bool dst, int32_t* out);
 // coeff[n*n] -> residual[n*n] (vertical stage first, 16-bit clamps).
 void inv_xform(const int32_t* coef, int n, int bd, bool dst, int32_t* out);
 
+// Quantizer scale tables (spec 8.6.3 levScale / HM TComRom g_quantScales,
+// g_invQuantScales), indexed by qp % 6. Single authority for every user
+// (dsp quant/dequant, the engine's RDPCM and zero-quant screens).
+extern const int32_t kQuantScales[6];
+extern const int32_t kInvQuantScales[6];
+
 // forward quant (HM rounding 171/256 intra, 85/256 inter); returns count of
 // nonzero levels. qp is the slice QP at 8-bit scale; QpBdOffset is applied
 // inside (spec 8.6.1). `m` is the scaling matrix (n*n, 16 = flat) or null.

@@ -9,6 +9,7 @@
 #include <cstring>
 #include <cstdlib>
 #include <functional>
+#include <limits>
 #include <vector>
 
 #include "dsp.h"
@@ -89,8 +90,6 @@ struct PhaseSwitcher {
 namespace hevctpu {
 
 namespace {
-
-const int32_t kInvQuantScales420[6] = {40, 45, 51, 57, 64, 72};
 
 const int32_t kChromaQp420[58] = {
     0,  1,  2,  3,  4,  5,  6,  7,  8,  9,  10, 11, 12, 13, 14, 15, 16, 17,
@@ -208,7 +207,7 @@ int rdoq_adjust(int32_t* lev, const int32_t* coef, int n, int qp, int bd,
   double dscale = tshift >= 0 ? 1.0 / (double)(1ll << (2 * tshift))
                               : (double)(1ll << (-2 * tshift));
   int bd_shift = bd + log2n - 5;
-  int64_t iqs = (int64_t)kInvQuantScales420[qp % 6] << (qp / 6);
+  int64_t iqs = (int64_t)dsp::kInvQuantScales[qp % 6] << (qp / 6);
   int64_t r = 1ll << (bd_shift - 1);
   auto deq = [&](int64_t l, int i) {
     int64_t mi = smat ? smat[i] : 16;
@@ -297,7 +296,7 @@ void sbh_enforce(int32_t* lev, const int32_t* coef, int n, int qp, int bd,
   int log2n = 0;
   while ((1 << log2n) < n) ++log2n;
   int bd_shift = bd + log2n - 5;
-  int64_t iqs = (int64_t)kInvQuantScales420[qp % 6] << (qp / 6);
+  int64_t iqs = (int64_t)dsp::kInvQuantScales[qp % 6] << (qp / 6);
   int64_t rr = 1ll << (bd_shift - 1);
   auto deq = [&](int64_t l, int i) {
     int64_t mi = smat ? smat[i] : 16;
@@ -519,8 +518,8 @@ static bool quant_all_zero(const int32_t* resi, int nsz, int qp, int bd) {
   int qbits = 14 + qpp / 6 + tshift;
   int s1 = log2n + bd - 9, s2 = log2n + 6;
   long long bound = ((8100ll * sad) >> (s1 + s2)) + 2;
-  static const int32_t kQ[6] = {26214, 23302, 20560, 18396, 16384, 14564};
-  return bound * kQ[qpp % 6] < (1ll << (qbits - 1));
+  
+  return bound * dsp::kQuantScales[qpp % 6] < (1ll << (qbits - 1));
 }
 
 int CtuEngine::rdoq_run(int32_t* lev, const int32_t* coef, int n, int qp,
@@ -561,14 +560,14 @@ int CtuEngine::quant_levels(const int32_t* coef, int n, int qp, bool intra,
 static void rdpcm_fwd_ts(const int32_t* resi, int qp, int bd, int dir,
                          const int32_t* smat, int32_t* lev, int32_t* rres,
                          double* sse_out, double* bits_out, int* nz_out) {
-  static const int32_t kQS[6] = {26214, 23302, 20560, 18396, 16384, 14564};
-  static const int32_t kIQS[6] = {40, 45, 51, 57, 64, 72};
+  
+  
   int qpp = qp + 6 * (bd - 8);
   int tshift = 15 - bd - 2;
   int qbits = 14 + qpp / 6 + tshift;
-  int64_t scale = kQS[qpp % 6];
+  int64_t scale = dsp::kQuantScales[qpp % 6];
   int64_t offset = (int64_t)85 << (qbits - 9);  // inter rounding
-  int64_t ls = (int64_t)kIQS[qpp % 6] << (qpp / 6);
+  int64_t ls = (int64_t)dsp::kInvQuantScales[qpp % 6] << (qpp / 6);
   int dqshift = bd - 3;  // dequant bd_shift at n = 4
   int64_t dqr = 1ll << (dqshift - 1);
   int bdshift = 20 - bd;  // inverse-TS residual scale
@@ -616,13 +615,22 @@ bool CtuEngine::ts_trial(const int32_t* resi, int qp, bool intra,
   // cfg RDOQTS=0 keeps plain quant (reference TAppEncCfg.cpp:815)
   int nzs = quant_levels(coefs, 4, qp, intra, levs, smat, c_idx, scan_idx,
                          lam_sq, !sp_.rdoq_ts_off);
-  if (!nzs) return false;
-  if (sp_.sign_hiding) sbh_enforce(levs, coefs, 4, qp, bd_, scan_idx, smat);
-  dsp::dequant(levs, 4, qp, bd_, deqs, smat);
+  // with explicit RDPCM enabled every inter TS TB also codes the
+  // rdpcm flag (+dir when on); trial both directions against plain TS.
+  // HM trials RDPCM independently of the plain-TS outcome
+  // (TComTrQuant::rdpcmNxN), so an all-zero plain-TS quantization only
+  // removes the plain-TS candidate, not the RDPCM directions.
+  bool erd = !intra && sp_.explicit_rdpcm && rext_slot;
+  if (!nzs && !erd) return false;
+  if (nzs) {
+    if (sp_.sign_hiding)
+      sbh_enforce(levs, coefs, 4, qp, bd_, scan_idx, smat);
+    dsp::dequant(levs, 4, qp, bd_, deqs, smat);
+  }
   int bdshift = 20 - bd_;
   int rnd = 1 << (bdshift - 1);
   for (int i = 0; i < 16; ++i)
-    rress[rot ? 15 - i : i] = ((deqs[i] << 7) + rnd) >> bdshift;
+    rress[rot ? 15 - i : i] = nzs ? ((deqs[i] << 7) + rnd) >> bdshift : 0;
   double d0 = 0, b0 = 0, d1 = 0, b1 = 0;
   for (int i = 0; i < 16; ++i) {
     double e0 = (double)resi[i] - rres[i], e1 = (double)resi[i] - rress[i];
@@ -631,12 +639,12 @@ bool CtuEngine::ts_trial(const int32_t* resi, int qp, bool intra,
     if (lev[i]) b0 += rd_rate_bits(std::abs(lev[i]));
     if (levs[i]) b1 += rd_rate_bits(std::abs(levs[i]));
   }
-  // with explicit RDPCM enabled every inter TS TB also codes the
-  // rdpcm flag (+dir when on); trial both directions against plain TS
-  bool erd = !intra && sp_.explicit_rdpcm && rext_slot;
   if (erd) *rext_slot &= (uint8_t)~(3 << rext_shift);
   double j0 = d0 + lam_sq * b0;
-  double jbest = d1 + lam_sq * (b1 + 1.0 + (erd ? 1.0 : 0.0));
+  // plain transform-skip is a candidate only when it quantizes nonzero
+  // (cbf 0 would mean "uncoded", which the incumbent j0 already covers)
+  double jbest = nzs ? d1 + lam_sq * (b1 + 1.0 + (erd ? 1.0 : 0.0))
+                     : std::numeric_limits<double>::infinity();
   int best_dir = -1;  // -1 = plain transform-skip
   int32_t rlev[2][16], rrec[2][16];
   int rnzs[2] = {0, 0};
@@ -667,6 +675,231 @@ bool CtuEngine::ts_trial(const int32_t* resi, int qp, bool intra,
   return true;
 }
 
+// ---------------------------------------------------------------------
+// Reference-GPU-mode ME reproduction (cfg GPUModeME).
+//
+// The OpenCL fork computes, once per 64x64 CTU at the 2Nx2N PU, a flat
+// NUM_CTU_PARTS=593 table of full-search SADs/argmin MVs for EVERY
+// partition geometry of the CTU, and serves all later sub-PU integer
+// searches of that CTU from the table (reference
+// TEncSearch::xMotionEstimation TEncSearch.cpp:3743-3770; host loop
+// TEncOpenCL::calcMotionVectors :240-362; device reduction cl/sad.cl
+// calcSAD_AMP :141-367; cost/argmin compareSAD :370-408). The flat
+// layout and cost semantics here are byte-identical to the Python model
+// in hevc_tpu/ops/me_gpu_mode.py (cross-checked by
+// tests/test_me_gpu_mode.py); the geometry -> index map replaces
+// TComDataCU::getIndexBlock's 1,099-case switch (TComDataCU.cpp:3379)
+// with a computed table.
+// ---------------------------------------------------------------------
+namespace gpumode {
+
+struct Part { int16_t x, y, w, h; };
+
+static const std::vector<Part>& partitions() {
+  static const std::vector<Part> parts = [] {
+    std::vector<Part> p;
+    auto full = [&](int w, int h) {
+      for (int y = 0; y < 64; y += h)
+        for (int x = 0; x < 64; x += w)
+          p.push_back({(int16_t)x, (int16_t)y, (int16_t)w, (int16_t)h});
+    };
+    auto amp_of = [&](int cw, int ch) {
+      int qh = ch / 4, qw = cw / 4;
+      std::vector<std::pair<int, int>> cus;
+      for (int y = 0; y < 64; y += ch)
+        for (int x = 0; x < 64; x += cw) cus.push_back({x, y});
+      auto cls = [&](int ox, int oy, int w, int h) {
+        for (auto& c : cus)
+          p.push_back({(int16_t)(c.first + ox), (int16_t)(c.second + oy),
+                       (int16_t)w, (int16_t)h});
+      };
+      cls(0, 0, cw, qh);      cls(0, 3 * qh, cw, qh);
+      cls(0, 0, cw, 3 * qh);  cls(0, qh, cw, 3 * qh);
+      cls(0, 0, qw, ch);      cls(3 * qw, 0, qw, ch);
+      cls(0, 0, 3 * qw, ch);  cls(qw, 0, 3 * qw, ch);
+    };
+    full(8, 4); full(4, 8); amp_of(16, 16);
+    full(8, 8); full(16, 8); full(8, 16); amp_of(32, 32);
+    full(16, 16); full(32, 16); full(16, 32); amp_of(64, 64);
+    full(32, 32); full(64, 32); full(32, 64); full(64, 64);
+    return p;
+  }();
+  return parts;
+}
+
+// dense geometry -> flat index map over /4 coordinates (-1 = absent)
+static int part_index(int x, int y, int w, int h) {
+  static const auto map = [] {
+    auto m = new int16_t[16 * 16 * 17 * 17];
+    std::fill(m, m + 16 * 16 * 17 * 17, (int16_t)-1);
+    const auto& ps = partitions();
+    for (size_t i = 0; i < ps.size(); ++i) {
+      const Part& p = ps[i];
+      m[(((p.x / 4) * 16 + p.y / 4) * 17 + p.w / 4) * 17 + p.h / 4] =
+          (int16_t)i;
+    }
+    return m;
+  }();
+  if (x < 0 || y < 0 || (x | y | w | h) & 3 || x > 60 || y > 60 ||
+      w > 64 || h > 64 || w < 4 || h < 4)
+    return -1;
+  return map[(((x / 4) * 16 + y / 4) * 17 + w / 4) * 17 + h / 4];
+}
+
+// per-partition 4x4-cell index lists (the reduction tree as sums)
+static const std::vector<std::vector<uint16_t>>& cell_lists() {
+  static const std::vector<std::vector<uint16_t>> lists = [] {
+    std::vector<std::vector<uint16_t>> l;
+    for (const Part& p : partitions()) {
+      std::vector<uint16_t> c;
+      for (int cy = p.y / 4; cy < (p.y + p.h) / 4; ++cy)
+        for (int cx = p.x / 4; cx < (p.x + p.w) / 4; ++cx)
+          c.push_back((uint16_t)(cy * 16 + cx));
+      l.push_back(std::move(c));
+    }
+    return l;
+  }();
+  return lists;
+}
+
+}  // namespace gpumode
+
+thread_local int CtuEngine::gpu_tab_x_ = -1;
+thread_local int CtuEngine::gpu_tab_y_ = -1;
+thread_local int16_t CtuEngine::gpu_mv_[2][16][593][2];
+thread_local uint32_t CtuEngine::gpu_sad_[2][16][593];
+
+void CtuEngine::gpu_tables(int list, int ref, int16_t* mvx, int16_t* mvy,
+                           uint32_t* sad) {
+  for (int i = 0; i < 593; ++i) {
+    mvx[i] = gpu_mv_[list][ref][i][0];
+    mvy[i] = gpu_mv_[list][ref][i][1];
+    sad[i] = gpu_sad_[list][ref][i];
+  }
+}
+
+void CtuEngine::gpu_mode_compute(int x0, int y0) {
+  gpu_tab_x_ = x0;
+  gpu_tab_y_ = y0;
+  const auto& parts = gpumode::partitions();
+  const auto& cells = gpumode::cell_lists();
+  size_t np = parts.size();
+  int sr = sp_.gpu_sr > 0 ? std::min(sp_.gpu_sr, 64) : 64;
+  // TEncOpenCL::setLambda: floor(65536 * sqrt(lambda))
+  int64_t lam_fp = (int64_t)(65536.0 * sqrt_lam_);
+  int pad = ep_.pad, rw = w_ + 2 * pad;
+  const pel_t* oy = orig_[0] + (size_t)y0 * w_ + x0;
+  int n = 2 * sr + 1;
+  static thread_local std::vector<int32_t> predb;
+  static thread_local std::vector<uint32_t> csad, psad, bestc;
+  static thread_local std::vector<int16_t> bxv, byv;
+  predb.resize(64 * 64);
+  csad.resize(256);
+  psad.resize(np);
+  int nlist = (ep_.is_b && nref_[1] > 0) ? 2 : 1;
+  for (int l = 0; l < nlist; ++l) {
+    for (int r = 0; r < nref_[l]; ++r) {
+      // predictor = min-SAD AMVP candidate (TEncSearch::
+      // xEstimateMvPredAMVP :3427 via xGetTemplateCost; the mvp-idx
+      // rate is equal for both candidates, so SAD decides, first wins)
+      int16_t am[4];
+      senc_->maps().amvp_candidates(x0, y0, 64, 64, l, r, am);
+      int px = am[0], py = am[1];
+      {
+        int64_t best = -1;
+        for (int i = 0; i < 2; ++i) {
+          mc_uni(sp_, rp(l, r, 0), rw, pad, am[2 * i], am[2 * i + 1],
+                 x0, y0, 64, 64, bd_, true, l, r, 0, predb.data());
+          int64_t s = 0;
+          for (int yy = 0; yy < 64; ++yy)
+            for (int xx = 0; xx < 64; ++xx)
+              s += std::abs((int32_t)oy[yy * w_ + xx] -
+                            predb[yy * 64 + xx]);
+          if (best < 0 || s < best) {
+            best = s;
+            px = am[2 * i];
+            py = am[2 * i + 1];
+          }
+        }
+      }
+      // window LT corner: TEncSearch::xSetSearchRange's clipped LT
+      // (TComDataCU::clipMv margins); the scan covers LT + [0, 2sr]^2
+      // regardless of the RB clip (TEncOpenCL.cpp:312 loop bounds)
+      auto clipx = [&](int v) {
+        int hi = (w_ + 8 - x0 - 1) << 2, lo = (-64 - 8 - x0 + 1) << 2;
+        return std::min(hi, std::max(lo, v));
+      };
+      auto clipy = [&](int v) {
+        int hi = (h_ + 8 - y0 - 1) << 2, lo = (-64 - 8 - y0 + 1) << 2;
+        return std::min(hi, std::max(lo, v));
+      };
+      int ltx = clipx(clipx(px) - (sr << 2)) >> 2;
+      int lty = clipy(clipy(py) - (sr << 2)) >> 2;
+      bestc.assign(np, 0xffffffffu);
+      bxv.assign(np, 0);
+      byv.assign(np, 0);
+      uint32_t* bsad = gpu_sad_[l][r];
+      const pel_t* refp = rp(l, r, 0);
+      for (int dy = 0; dy < n; ++dy) {
+        int mvy = lty + dy;
+        uint32_t bity = (uint32_t)mv_bits(mvy << 2);
+        const pel_t* rrow =
+            refp + (size_t)(pad + y0 + mvy) * rw + pad + x0 + ltx;
+        for (int dx = 0; dx < n; ++dx) {
+          const pel_t* rr = rrow + dx;
+          for (int cy2 = 0; cy2 < 16; ++cy2)
+            for (int cx2 = 0; cx2 < 16; ++cx2) {
+              const pel_t* o = oy + (size_t)(cy2 * 4) * w_ + cx2 * 4;
+              const pel_t* rc = rr + (size_t)(cy2 * 4) * rw + cx2 * 4;
+              uint32_t s = 0;
+              for (int i = 0; i < 4; ++i)
+                for (int j = 0; j < 4; ++j)
+                  s += (uint32_t)std::abs((int32_t)o[i * w_ + j] -
+                                          (int32_t)rc[i * rw + j]);
+              csad[cy2 * 16 + cx2] = s;
+            }
+          for (size_t p = 0; p < np; ++p) {
+            uint32_t s = 0;
+            for (uint16_t c : cells[p]) s += csad[c];
+            psad[p] = s;
+          }
+          uint32_t rate = (uint32_t)(
+              (lam_fp * (bity + (uint32_t)mv_bits((ltx + dx) << 2))) /
+              65536);
+          int mvx = ltx + dx;
+          for (size_t p = 0; p < np; ++p) {
+            uint32_t c = psad[p] + rate;
+            if (c < bestc[p]) {   // strict <: first minimum in (dy, dx)
+              bestc[p] = c;
+              bsad[p] = psad[p];
+              bxv[p] = (int16_t)mvx;
+              byv[p] = (int16_t)mvy;
+            }
+          }
+        }
+      }
+      for (size_t p = 0; p < np; ++p) {
+        gpu_mv_[l][r][p][0] = bxv[p];
+        gpu_mv_[l][r][p][1] = byv[p];
+      }
+    }
+  }
+}
+
+bool CtuEngine::gpu_lookup(int l, int r, int x0, int y0, int w, int h,
+                           int* mvx, int* mvy) const {
+  if (gpu_tab_x_ < 0 || ctu_ != 64) return false;
+  int relx = x0 - gpu_tab_x_, rely = y0 - gpu_tab_y_;
+  if (relx < 0 || rely < 0 || relx + w > 64 || rely + h > 64)
+    return false;
+  if (r < 0 || r >= nref_[l]) return false;
+  int idx = gpumode::part_index(relx, rely, w, h);
+  if (idx < 0) return false;
+  *mvx = gpu_mv_[l][r][idx][0] << 2;
+  *mvy = gpu_mv_[l][r][idx][1] << 2;
+  return true;
+}
+
 int CtuEngine::chroma_qp_of(int qp) const {
   if (csx_ == 0) return std::min(51, std::max(0, qp));
   return kChromaQp420[std::min(57, std::max(0, qp))];
@@ -674,6 +907,8 @@ int CtuEngine::chroma_qp_of(int qp) const {
 
 bool CtuEngine::me1_lookup(int x0, int y0, int n, int r, int* mvx,
                            int* mvy) const {
+  if (sp_.gpu_mode_me && gpu_lookup(1, r, x0, y0, n, n, mvx, mvy))
+    return true;
   if (x0 % n || y0 % n || x0 + n > w_ || y0 + n > h_) return false;
   if (r < 0 || r >= 16 || n != 32 || !me1_mvx_[r]) return false;
   int mi = (y0 / 32) * me_nx_ + (x0 / 32);
@@ -684,6 +919,8 @@ bool CtuEngine::me1_lookup(int x0, int y0, int n, int r, int* mvx,
 
 bool CtuEngine::me_lookup(int x0, int y0, int n, int r, int* mvx,
                           int* mvy) const {
+  if (sp_.gpu_mode_me && gpu_lookup(0, r, x0, y0, n, n, mvx, mvy))
+    return true;
   if (x0 % n || y0 % n || x0 + n > w_ || y0 + n > h_) return false;
   if (r < 0 || r >= 16) return false;
   if (n == 32 && me_mvx_[r]) {
@@ -906,6 +1143,14 @@ void CtuEngine::encode_ctu(int cx, int cy, const MutCtuData& d) {
   int bw4 = ctu_ / 4;
   std::memset(d.cu_depth, ep_.cu_depth_target, (size_t)bw4 * bw4);
   int ctu_x0 = cx * ctu_, ctu_y0 = cy * ctu_;
+  // reference-GPU-mode tables: computed once per full CTU before any
+  // CU decision (the reference computes them at the 64x64 2Nx2N PU —
+  // the first search of the CTU; boundary CTUs never compute and fall
+  // back, matching the reference's getWidth(0)==64 guard)
+  gpu_tab_x_ = -1;
+  if (sp_.gpu_mode_me && sp_.slice_type != 2 && ctu_ == 64 &&
+      ctu_x0 + ctu_ <= w_ && ctu_y0 + ctu_ <= h_)
+    gpu_mode_compute(ctu_x0, ctu_y0);
   int min_cb = sp_.min_cb_log2;
   // z-order CU walk with implicit boundary splits (quadtree.py cu_leaves)
   struct Rec {
@@ -1854,7 +2099,8 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
   int rwc = w_ / 2 + 2 * pad;
   const pel_t* oy = orig_[0] + y0 * w_ + x0;
   int size_full = ctu_ >> ep_.cu_depth_target;
-  if (!me_mvx_[0] || size_full != 32) return false;
+  bool gpu_tab = sp_.gpu_mode_me && gpu_tab_x_ == x0 && gpu_tab_y_ == y0;
+  if ((!me_mvx_[0] && !gpu_tab) || size_full != 32) return false;
   {
     static int no64 = -1;
     if (no64 < 0) {
@@ -1870,13 +2116,15 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
   int32_t* pred = predbuf.data();
   int32_t* best_pred = bestbuf.data();
 
-  // quadrant integer MVs from the device search (ref 0 screens the split)
+  // quadrant integer MVs from the device search (ref 0 screens the
+  // split); under GPUModeME they come from the CTU table's 32x32
+  // entries instead (me_lookup consults the table first)
   int mvs[4][2];
   for (int i = 0; i < 4; ++i) {
     int qx = x0 + (i & 1) * 32, qy = y0 + (i >> 1) * 32;
-    int mi = (qy / 32) * me_nx_ + (qx / 32);
-    mvs[i][0] = me_mvx_[0][mi] << 2;
-    mvs[i][1] = me_mvy_[0][mi] << 2;
+    if (!me_lookup(qx, qy, 32, 0, &mvs[i][0], &mvs[i][1])) {
+      mvs[i][0] = mvs[i][1] = 0;
+    }
   }
   // screen cost of the split path: per-quadrant half-pel-refined SATD
   // at its own device MV + overhead (quad_screen_satd — matches the
@@ -1921,7 +2169,9 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
       std::memcpy(best_pred, pred, sizeof(int32_t) * n * n);
     }
   }
-  // median-of-quadrants AMVP candidate
+  // median-of-quadrants AMVP candidate (GPUModeME: the table's own
+  // 64x64 2Nx2N argmin — the MV the reference's lookup serves to the
+  // depth-0 2Nx2N PU)
   auto med4 = [](int a, int b, int c, int dd) {
     int v[4] = {a, b, c, dd};
     std::sort(v, v + 4);
@@ -1929,6 +2179,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
   };
   int dmx = med4(mvs[0][0], mvs[1][0], mvs[2][0], mvs[3][0]);
   int dmy = med4(mvs[0][1], mvs[1][1], mvs[2][1], mvs[3][1]);
+  if (gpu_tab) gpu_lookup(0, 0, x0, y0, 64, 64, &dmx, &dmy);
   mc_uni(sp_, rp(0, 0, 0), rw, pad, dmx, dmy, x0, y0, n, n, bd_, true, 0, 0, 0,
          pred);
   int bits0 = mv_bits(dmx - amvp[0]) + mv_bits(dmy - amvp[1]);

@@ -179,6 +179,28 @@ class CtuEngine {
   // integer-pel device-search MV of list-0 ref r for an aligned block
   bool me_lookup(int x0, int y0, int n, int r, int* mvx, int* mvy) const;
   bool me1_lookup(int x0, int y0, int n, int r, int* mvx, int* mvy) const;
+
+ public:
+  // ---- reference-GPU-mode ME reproduction (cfg GPUModeME) ----
+  // Computes, once per full 64x64 CTU, the flat 593-partition
+  // full-search MV/SAD tables the OpenCL fork computes at the 2Nx2N
+  // AMVP predictor, then serves every sub-PU integer MV from them
+  // (reference TEncSearch.cpp:3743-3770, TEncOpenCL.cpp:240-362,
+  // cl/sad.cl calcSAD_AMP/compareSAD; semantics modelled + documented
+  // in hevc_tpu/ops/me_gpu_mode.py). Boundary CTUs (no 64x64 2Nx2N PU
+  // — the reference's compute guard never fires there either) fall
+  // back to the device-grid lookups.
+  void gpu_mode_compute(int ctu_x0, int ctu_y0);
+  // read back the current thread's tables (test introspection)
+  static void gpu_tables(int list, int ref, int16_t* mvx, int16_t* mvy,
+                         uint32_t* sad);
+
+ private:
+  bool gpu_lookup(int l, int r, int x0, int y0, int w, int h, int* mvx,
+                  int* mvy) const;
+  static thread_local int gpu_tab_x_, gpu_tab_y_;  // tables' CTU (-1 none)
+  static thread_local int16_t gpu_mv_[2][16][593][2];
+  static thread_local uint32_t gpu_sad_[2][16][593];
   // chroma QP: the 4:2:0 mapping table, or Min(qp, 51) otherwise
   // (spec 8.6.1 ChromaArrayType rule)
   int chroma_qp_of(int qp) const;

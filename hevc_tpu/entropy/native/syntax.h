@@ -105,6 +105,11 @@ struct SliceParams {
   int32_t log2_par_merge;  // PPS Log2ParallelMergeLevel (absolute; <= 2
                            // or 0 = off): merge estimation regions,
                            // spec 6.4.2 + 8.5.3.2.3 singleMCLFlag
+  // encoder-side: reference-GPU-mode ME reproduction (cfg GPUModeME —
+  // the MCV-Univalle fork's OpenCL search semantics; no bitstream
+  // syntax). gpu_sr = SearchRange for the per-CTU full-search window.
+  int32_t gpu_mode_me;
+  int32_t gpu_sr;
 };
 
 // Context model set: one instance per slice (later: per WPP row state).

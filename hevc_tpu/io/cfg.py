@@ -205,6 +205,13 @@ _OPTION_TABLE = {
     "UseTPU": ("use_tpu", int),
     "OpenCLDevice": ("tpu_device", int),
     "KernelOpenCL": ("_ignored_kernel_path", str),
+    # reference-GPU-mode ME reproduction (SURVEY §7 "documented third
+    # point"): per-CTU 593-partition full-search tables computed once at
+    # the 64x64 2Nx2N predictor and reused by every sub-PU — the
+    # MCV-Univalle fork's OpenCL search semantics
+    # (TEncSearch.cpp:3743-3770, cl/sad.cl; see ops/me_gpu_mode.py)
+    "GPUModeME": ("gpu_mode_me", int),
+    "ReferenceGPUMode": ("gpu_mode_me", int),
     # validated surface (rejected by validate() outside supported values)
     "SliceMode": ("slice_mode", int),
     "SliceArgument": ("slice_argument", int),
@@ -420,6 +427,8 @@ class EncoderConfig:
     conf_win_bottom: int = 0
     use_tpu: int = 1
     tpu_device: int = 0
+    # reference-GPU-mode ME reproduction (GPUModeME / ReferenceGPUMode)
+    gpu_mode_me: int = 0
     _ignored_kernel_path: str = ""
     slice_mode: int = 0
     slice_argument: int = 0
@@ -662,11 +671,22 @@ def validate(cfg: EncoderConfig, warn=None) -> None:
              or bool(cfg.adaptive_qp)),
             "SliceSegmentMode with SliceMode/WPP/tiles/AdaptiveQP "
             "unsupported")
+    confirm(cfg.slice_segment_mode in (1, 2) and bool(cfg.tq_bypass_force),
+            "SliceSegmentMode with lossless coding "
+            "(CUTransquantBypassFlagForce) unsupported: the lossless "
+            "recon path bypasses the native segment entropy coder and "
+            "would silently emit a single-slice stream")
     confirm(cfg.slice_segment_mode == 3 and
             (cfg.slice_mode != 0 or bool(cfg.wpp)
-             or (cfg.tile_cols_minus1 <= 0 and cfg.tile_rows_minus1 <= 0)),
+             or (cfg.tile_cols_minus1 <= 0 and cfg.tile_rows_minus1 <= 0)
+             or bool(cfg.adaptive_qp)),
             "SliceSegmentMode 3 (tile-aligned segments) requires tiles "
-            "and no SliceMode/WPP")
+            "and no SliceMode/WPP/AdaptiveQP")
+    confirm(cfg.slice_segment_mode == 3 and bool(cfg.tq_bypass_force),
+            "SliceSegmentMode 3 with lossless coding "
+            "(CUTransquantBypassFlagForce) unsupported: the lossless "
+            "recon path bypasses the native tile-segment entropy coder "
+            "and would silently emit a single-slice stream")
     confirm(cfg.slice_segment_mode in (1, 2, 3)
             and cfg.chroma_format != 420,
             "SliceSegmentMode requires 4:2:0 (native entropy path)")
