@@ -27,9 +27,19 @@ from ..ops.interp import pad_plane
 PAD = 80
 
 
+def wp_apply_np(plane: np.ndarray, wpv, depth: int) -> np.ndarray:
+    """Host twin of me_mxu.wp_apply: the integer-pel weighted-prediction
+    transform of a reference plane (w, o, denom)."""
+    w, o, d = int(wpv[0]), int(wpv[1]), int(wpv[2])
+    s = plane.astype(np.int64)
+    v = ((s * w + ((1 << (d - 1)) if d > 0 else 0)) >> d) \
+        + (o << max(depth - 8, 0))
+    return np.clip(v, 0, (1 << depth) - 1).astype(plane.dtype)
+
+
 def batched_me_grid(orig_y: np.ndarray, ref_padded_y: np.ndarray, size: int,
                     search_range: int, lam_fp: int, ref_dev=None,
-                    orig_dev=None, depth: int = None):
+                    orig_dev=None, depth: int = None, wpv=None):
     """Frame-batched integer full search for every aligned size x size
     block; returns (mv_x, mv_y) int32 grids [ny, nx].
 
@@ -53,6 +63,8 @@ def batched_me_grid(orig_y: np.ndarray, ref_padded_y: np.ndarray, size: int,
 
     from ..ops import me_mxu
     if jax.default_backend() == "cpu":
+        if wpv is not None:
+            ref_padded_y = wp_apply_np(ref_padded_y, wpv, depth)
         return me_mxu.me_grid_ssd_np(orig_y, ref_padded_y, size, R,
                                      lam_fp, pad=PAD, depth=depth)
     dt = me_mxu.me_dtype(depth)
@@ -60,6 +72,11 @@ def batched_me_grid(orig_y: np.ndarray, ref_padded_y: np.ndarray, size: int,
         np.ascontiguousarray(ref_padded_y.astype(dt))
     src = orig_dev if orig_dev is not None else \
         np.ascontiguousarray(orig_y.astype(dt))
+    if wpv is not None:
+        import jax.numpy as jnp
+        ref = me_mxu.wp_apply(jnp.asarray(ref),
+                              jnp.asarray(np.asarray(wpv, np.int32)),
+                              depth)
     return me_mxu.me_grid_ssd(src, ref, size, R, lam_fp, pad=PAD,
                               depth=depth)
 
@@ -73,7 +90,7 @@ class NativeFrameEncoder:
                  intra_screen=None, lam: Optional[float] = None,
                  mesh=None, mesh_axis: Optional[str] = None,
                  me_prefetch=None, ref_pocs=None, ref1_pocs=None,
-                 refs_padded: bool = False):
+                 refs_padded: bool = False, wp0=None, wp1=None):
         """ref_planes / ref1_planes: a single [Y, Cb, Cr] plane list or a
         list of them — one entry per active reference of the list
         (reference TEncSearch::predInterSearch per-refIdx loop,
@@ -127,6 +144,11 @@ class NativeFrameEncoder:
         # has already computed under that frame's host work
         self.me_prefetch = me_prefetch
         self.ref_pocs = ref_pocs
+        # per-ref luma weighted-prediction triples (w, o, denom) or None
+        # per entry: the integer search then measures weighted distortion
+        # (reference TComRdCostWeightPrediction weighted SAD/SSE)
+        self.wp0 = wp0
+        self.wp1 = wp1
         self.ref1_pocs = ref1_pocs
         # optional zero-arg resolver for an already-dispatched device
         # intra prescreen (EncoderTop's one-frame lookahead hides the
@@ -208,11 +230,15 @@ class NativeFrameEncoder:
                 from contextlib import nullcontext
 
                 from ..ops import me_mxu
-                uniq, slot = [], {}
-                for d in self.ref_dev[:n0] + self.ref1_dev[:n1]:
+                uniq, slot, uniq_wp = [], {}, []
+                wps = ((list(self.wp0 or []) + [None] * n0)[:n0]
+                       + (list(self.wp1 or []) + [None] * n1)[:n1])
+                for d, t in zip(self.ref_dev[:n0] + self.ref1_dev[:n1],
+                                wps):
                     if id(d) not in slot:
                         slot[id(d)] = len(uniq)
                         uniq.append(d)
+                        uniq_wp.append(t)
                 l0s = [slot[id(d)] for d in self.ref_dev[:n0]]
                 l1s = [slot[id(d)] for d in self.ref1_dev[:n1]]
                 ctx = self.mesh if self.mesh is not None else nullcontext()
@@ -221,7 +247,7 @@ class NativeFrameEncoder:
                         out = me_mxu.me_grids_multi2(
                             orig_dev, uniq, size, 16, self.search_range,
                             self.lam_fp, pad=PAD, depth=depth,
-                            axis_name=self.mesh_axis)
+                            axis_name=self.mesh_axis, wp=uniq_wp)
                     else:
                         out = [(gx, gy, None, None) for gx, gy in
                                me_mxu.me_grids_multi(
@@ -245,10 +271,12 @@ class NativeFrameEncoder:
                                             self.lam_fp)
                            if r == 0 and self.me_provider else None)
                     dev = self.ref_dev[r] if r < len(self.ref_dev) else None
+                    wpv = (self.wp0[r] if self.wp0 and r < len(self.wp0)
+                           else None)
                     gx, gy = pre if pre is not None else batched_me_grid(
                         orig[0], ref[0], size, self.search_range,
                         self.lam_fp, ref_dev=dev, orig_dev=orig_dev,
-                        depth=depth)
+                        depth=depth, wpv=wpv)
                     me_x.append(gx)
                     me_y.append(gy)
                 if want16:
@@ -256,10 +284,13 @@ class NativeFrameEncoder:
                     for r, ref in enumerate(self.ref):
                         dev = (self.ref_dev[r]
                                if r < len(self.ref_dev) else None)
+                        wpv = (self.wp0[r]
+                               if self.wp0 and r < len(self.wp0) else None)
                         gx, gy = batched_me_grid(
                             orig[0], ref[0], 16,
                             min(self.search_range, 16), self.lam_fp,
-                            ref_dev=dev, orig_dev=orig_dev, depth=depth)
+                            ref_dev=dev, orig_dev=orig_dev, depth=depth,
+                            wpv=wpv)
                         me16_x.append(gx)
                         me16_y.append(gy)
                     if any(g is None for g in me16_x):
@@ -272,10 +303,12 @@ class NativeFrameEncoder:
                 for r, ref in enumerate(self.ref1):
                     dev = self.ref1_dev[r] if r < len(self.ref1_dev) \
                         else None
+                    wpv = (self.wp1[r] if self.wp1 and r < len(self.wp1)
+                           else None)
                     gx, gy = batched_me_grid(
                         orig[0], ref[0], size, self.search_range,
                         self.lam_fp, ref_dev=dev, orig_dev=orig_dev,
-                        depth=depth)
+                        depth=depth, wpv=wpv)
                     me1_x.append(gx)
                     me1_y.append(gy)
             timers_cm.__exit__(None, None, None)

@@ -1464,11 +1464,32 @@ class EncoderTop:
                 set_collocated(senc, self.dpb_motion[col_poc], True)
             if use_native:
                 from .native_frame import NativeFrameEncoder
+                # luma WP triples per list-0/1 reference from the slice
+                # header's analysed weight sets: the integer search runs
+                # on the weighted reference (weighted distortion,
+                # reference TComRdCostWeightPrediction)
+                denom = sh.wp_log2_denom
+
+                def _wp_triples(sets, n):
+                    out = [None] * n
+                    for i, t in enumerate(sets or ()):
+                        if i < n and t is not None and t[0] is not None:
+                            out[i] = (t[0][0], t[0][1], denom)
+                    return out if any(out) else None
+                wp0 = _wp_triples(sh.wp_l0, len(ref_l0))
+                wp1 = (_wp_triples(sh.wp_l1, len(ref_l1))
+                       if is_b else None)
+                if os.environ.get("HEVC_TPU_ME_WP", "1") == "0":
+                    wp0 = wp1 = None  # unweighted search (A/B testing)
                 me_pre = self._me_pending_take(
                     display_poc, ref_l0, ref_l1 if is_b else None,
                     int(65536.0 * math.sqrt(pic_lam)),
                     self.sps.ctu_size >> 1, cfg.search_range,
                     self.sps.bit_depth_luma)
+                if me_pre is not None and (wp0 or wp1):
+                    # the prefetched search ran unweighted; a faded
+                    # frame re-searches with weights applied
+                    me_pre = None
                 fe = NativeFrameEncoder(
                     self.sps, slice_qp, senc, sp, qp_factor=qf, is_b=is_b,
                     lam=pic_lam,
@@ -1488,7 +1509,8 @@ class EncoderTop:
                     ref_dev=[self._dev_ref(p, pl) for p, pl in ref_l0],
                     ref1_dev=[self._dev_ref(p, pl) for p, pl in ref_l1]
                     if is_b else None,
-                    mesh=self.mesh, mesh_axis=self.mesh_axis)
+                    mesh=self.mesh, mesh_axis=self.mesh_axis,
+                    wp0=wp0, wp1=wp1)
             else:
                 # pure-Python reference path: single reference per list
                 fe = PFrameEncoder(self.sps, slice_qp, l0_planes,

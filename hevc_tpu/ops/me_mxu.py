@@ -259,12 +259,32 @@ def _lam_shift(depth: int) -> int:
     return 2 * (min(depth, 10) - 8) if depth > 8 else 0
 
 
+def wp_apply(plane, wpv, depth: int):
+    """Weighted-prediction transform of an integer reference plane:
+    clip(((s * w + (1 << (d - 1))) >> d) + (o << (depth - 8))), the
+    integer-pel specialization of spec 8.5.3.3.4.3 (the << hr / >> hr
+    pair of the 14-bit intermediate cancels exactly for full-pel
+    samples). Searching on the weighted plane makes the SSD metric the
+    weighted distortion — reference TComRdCostWeightPrediction's
+    weighted SAD/SSE applied to the integer full search. wpv = int32
+    [w, o, d] (d = luma_log2_weight_denom)."""
+    w, o, d = wpv[0], wpv[1], wpv[2]
+    s = plane.astype(jnp.int32)
+    rnd = jnp.where(d > 0, (1 << jnp.maximum(d - 1, 0)), 0)
+    v = ((s * w + rnd) >> d) + (o << max(depth - 8, 0))
+    return jnp.clip(v, 0, (1 << depth) - 1).astype(plane.dtype)
+
+
 def me_idx_frame(orig, ref_padded, bits0, lam_q8, *, size, r, ny, nx,
-                 pad, depth=8, shard=None):
+                 pad, depth=8, shard=None, wpv=None):
     """One frame's two-pass SSD argmin indices (traceable; used directly
     and under vmap/shard by hevc_tpu.parallel). `shard`, when given, is a
     sharding-constraint function applied to the per-block tensors
-    (spatial block-axis parallelism over a mesh)."""
+    (spatial block-axis parallelism over a mesh). `wpv`, when given, is
+    the [w, o, denom] weighted-prediction operand applied to the
+    reference plane before the search (fade-aware integer ME)."""
+    if wpv is not None:
+        ref_padded = wp_apply(ref_padded, wpv, depth)
     roi = ref_padded[pad - r:pad - r + (ny - 1) * size + 2 * r + size,
                      pad - r:pad - r + (nx - 1) * size + 2 * r + size]
     if depth > 8:
@@ -315,19 +335,22 @@ def _shard_fn(axis_name):
 
 @functools.partial(jax.jit, static_argnames=("size", "size2", "r", "r2",
                                              "ny", "nx", "ny2", "nx2",
-                                             "pad", "depth", "axis_name"))
+                                             "pad", "depth", "axis_name",
+                                             "use_wp"))
 def _me_idx_multi2_jit(orig, refs_stacked, bits0, bits0b, lam_q8, *, size,
                        size2, r, r2, ny, nx, ny2, nx2, pad, depth=8,
-                       axis_name=None):
+                       axis_name=None, use_wp=False, wpvs=None):
     """Two block sizes (CU32 + CU16 grids) for every reference in ONE
     compiled dispatch; lax.map runs the references sequentially so the
     per-reference working set (areas/corr/cost tables) is live once.
     axis_name: mesh axis for block-parallel sharding constraints (the
     multi-chip path runs this IDENTICAL program — same grids, same
-    stream — with the block tensors split across chips)."""
+    stream — with the block tensors split across chips). use_wp: apply
+    the per-ref [w, o, denom] weighted-prediction operands (wpvs
+    [nref, 3]) to each reference before searching."""
     shard = _shard_fn(axis_name)
 
-    def one(refp):
+    def one_of(refp):
         i1 = me_idx_frame(orig, refp, bits0, lam_q8, size=size, r=r,
                           ny=ny, nx=nx, pad=pad, depth=depth, shard=shard)
         i2 = me_idx_frame(orig, refp, bits0b, lam_q8, size=size2, r=r2,
@@ -338,25 +361,47 @@ def _me_idx_multi2_jit(orig, refs_stacked, bits0, bits0b, lam_q8, *, size,
         # round trip on remote-attached chips)
         return jnp.concatenate([i1.reshape(-1).astype(jnp.int32),
                                 i2.reshape(-1).astype(jnp.int32)])
-    return lax.map(one, refs_stacked)
+    if not use_wp:
+        # unchanged trace (and therefore unchanged persistent-cache key)
+        # for the common unweighted path
+        return lax.map(one_of, refs_stacked)
+
+    def one_wp(arg):
+        refp, wpv = arg
+        return one_of(wp_apply(refp, wpv, depth))
+    return lax.map(one_wp, (refs_stacked, wpvs))
 
 
 def me_grids_multi2(orig_dev, ref_devs, size: int, size2: int, r: int,
                     lam_fp: int, *, pad: int, depth: int = 8,
-                    axis_name=None):
+                    axis_name=None, wp=None):
     """MV grids at the CU-grid size AND its half size for several
     references in one device dispatch (the deeper inter quadtree's
     16-grid rides the same launch as the 32-grid instead of a second
     round trip). Returns [(gx, gy, gx2, gy2)] per reference; any grid
-    whose dimension is empty is (None, None)."""
+    whose dimension is empty is (None, None). wp: per-ref (w, o, denom)
+    luma weighted-prediction triples (or None entries) — the search
+    then runs against the weighted reference (weighted distortion,
+    reference TComRdCostWeightPrediction)."""
     return me_grids_multi2_async(orig_dev, ref_devs, size, size2, r,
                                  lam_fp, pad=pad, depth=depth,
-                                 axis_name=axis_name)()
+                                 axis_name=axis_name, wp=wp)()
+
+
+def wp_operand(wp, nref: int, npad: int):
+    """[npad, 3] int32 operand from per-ref (w, o, denom) triples; None
+    entries become the identity transform (w = 1, o = 0, d = 0)."""
+    v = np.tile(np.array([1, 0, 0], np.int32), (npad, 1))
+    for i in range(min(nref, npad)):
+        t = wp[i] if wp is not None and i < len(wp) else None
+        if t is not None:
+            v[i] = (int(t[0]), int(t[1]), int(t[2]))
+    return v
 
 
 def me_grids_multi2_async(orig_dev, ref_devs, size: int, size2: int,
                           r: int, lam_fp: int, *, pad: int,
-                          depth: int = 8, axis_name=None):
+                          depth: int = 8, axis_name=None, wp=None):
     """Dispatch the two-grid multi-reference search and return a zero-arg
     collector. JAX dispatch is asynchronous, so between dispatch and
     collect the device computes under whatever host work runs — the
@@ -389,11 +434,15 @@ def me_grids_multi2_async(orig_dev, ref_devs, size: int, size2: int,
     padded = list(ref_devs) + [ref_devs[-1]] * (npad - nref)
     stacked = jnp.stack(padded)
     nyx, nyx2 = 2 * r + 1, 2 * r2 + 1
+    use_wp = wp is not None and any(t is not None for t in wp)
     packed = _me_idx_multi2_jit(
         orig_dev, stacked, _bits0_dev(r),
         _bits0_dev(r2), jnp.int32(lam_q8_of(lam_fp)),
         size=size, size2=size2, r=r, r2=r2, ny=ny, nx=nx, ny2=ny2,
-        nx2=nx2, pad=pad, depth=depth, axis_name=axis_name)
+        nx2=nx2, pad=pad, depth=depth, axis_name=axis_name,
+        use_wp=use_wp,
+        wpvs=(jnp.asarray(wp_operand(wp, nref, npad))
+              if use_wp else None))
     try:
         # start the device->host copy as soon as the search finishes so
         # collect() finds the indices already host-side instead of paying
