@@ -173,6 +173,7 @@ class NativeFrameEncoder:
                  np.zeros((h >> csx, w >> csx), pdt)]
         from ..utils.timing import timers
         me_x = me_y = me16_x = me16_y = me1_x = me1_y = None
+        rf_tables = []  # device fractional-refine tables
         if self.is_inter:
             size = ctu >> self.cu_depth_target
             depth = self.sps.bit_depth_luma
@@ -200,6 +201,19 @@ class NativeFrameEncoder:
                 if self.is_b:
                     me1_x = [pre[p][0] for p in self.ref1_pocs]
                     me1_y = [pre[p][1] for p in self.ref1_pocs]
+                for ri, p in enumerate(self.ref_pocs):
+                    ext = pre[p][4] if len(pre[p]) > 4 else None
+                    if ext:
+                        rf_tables.append((0, ri, ext["off32"],
+                                          ext["half32"]))
+                        rf_tables.append((1, ri, ext["off16"],
+                                          ext["half16"]))
+                if self.is_b:
+                    for ri, p in enumerate(self.ref1_pocs):
+                        ext = pre[p][4] if len(pre[p]) > 4 else None
+                        if ext:
+                            rf_tables.append((2, ri, ext["off32"],
+                                              ext["half32"]))
             # one upload of the source plane serves every ref's search.
             # Under a mesh the device path runs on any backend (the CPU
             # mesh of tests / the driver dry run included).
@@ -242,12 +256,15 @@ class NativeFrameEncoder:
                 l0s = [slot[id(d)] for d in self.ref_dev[:n0]]
                 l1s = [slot[id(d)] for d in self.ref1_dev[:n1]]
                 ctx = self.mesh if self.mesh is not None else nullcontext()
+                want_rf = (self.mesh is None and _os.environ.get(
+                    "HEVC_TPU_ME_REFINE", "1") != "0")
                 with ctx:
                     if want16:
                         out = me_mxu.me_grids_multi2(
                             orig_dev, uniq, size, 16, self.search_range,
                             self.lam_fp, pad=PAD, depth=depth,
-                            axis_name=self.mesh_axis, wp=uniq_wp)
+                            axis_name=self.mesh_axis, wp=uniq_wp,
+                            refine=want_rf)
                     else:
                         out = [(gx, gy, None, None) for gx, gy in
                                me_mxu.me_grids_multi(
@@ -265,6 +282,18 @@ class NativeFrameEncoder:
                 if self.is_b:
                     me1_x = [out[i][0] for i in l1s]
                     me1_y = [out[i][1] for i in l1s]
+                for ri, i in enumerate(l0s):
+                    ext = out[i][4] if len(out[i]) > 4 else None
+                    if ext:
+                        rf_tables.append((0, ri, ext["off32"],
+                                          ext["half32"]))
+                        rf_tables.append((1, ri, ext["off16"],
+                                          ext["half16"]))
+                for ri, i in enumerate(l1s):
+                    ext = out[i][4] if len(out[i]) > 4 else None
+                    if ext:
+                        rf_tables.append((2, ri, ext["off32"],
+                                          ext["half32"]))
             elif not prefetched:
                 for r, ref in enumerate(self.ref):
                     pre = (self.me_provider(size, self.search_range,
@@ -349,6 +378,8 @@ class NativeFrameEncoder:
                         sp_i, ep, senc_i, orig, recon, self.ref,
                         self.ref1 if self.is_b else self.ref,
                         me_x, me_y, me16_x, me16_y, me1_x, me1_y)
+                    for lvl, ri, off, half in rf_tables:
+                        eng.set_refine(lvl, ri, off, half)
                     if intra_hints:
                         eng.set_intra_hints(intra_hints)
                     if sblob is not None:
@@ -358,6 +389,8 @@ class NativeFrameEncoder:
         eng = NativeCtuEngine(self.sp, ep, self.senc, orig, recon,
                               self.ref, self.ref1 if self.is_b else self.ref,
                               me_x, me_y, me16_x, me16_y, me1_x, me1_y)
+        for lvl, ri, off, half in rf_tables:
+            eng.set_refine(lvl, ri, off, half)
         if intra_hints:
             eng.set_intra_hints(intra_hints)
         if sblob is not None:

@@ -50,6 +50,12 @@ def _gop_depth(poc: int, gop_size: int) -> int:
     return depth
 
 
+
+def _rf() -> bool:
+    """Device fractional-refine tables ride the prefetch ME dispatch
+    unless disabled (HEVC_TPU_ME_REFINE=0)."""
+    return os.environ.get("HEVC_TPU_ME_REFINE", "1") != "0"
+
 def hm_pic_lambda(qp: float, gop_size: int, gop_poc: int, qp_factor: float,
                   is_intra: bool) -> float:
     """Picture-level RD lambda exactly as the reference computes it
@@ -559,13 +565,19 @@ class EncoderTop:
             nmax = 4  # default low-delay ladder
         ctx = self.mesh if self.mesh is not None else nullcontext()
         npad = 1
+        # warm the SAME program variants the encode will dispatch: the
+        # runtime requests fractional-refine tables (single-chip), so
+        # warming the plain variant alone leaves the refine programs to
+        # compile INSIDE the steady-state window (measured ~8 s each
+        # through the tunnel)
+        rf = self.mesh is None and _rf()
         with ctx:
             while True:
                 refs = [refp] * npad
                 if want16:
                     me_mxu.me_grids_multi2(
                         orig, refs, size, 16, r, self.qp_lam_fp, pad=PAD,
-                        depth=depth, axis_name=self.mesh_axis)
+                        depth=depth, axis_name=self.mesh_axis, refine=rf)
                 else:
                     me_mxu.me_grids_multi(
                         orig, refs, size, r, self.qp_lam_fp, pad=PAD,
@@ -706,7 +718,7 @@ class EncoderTop:
                 return
             parts.append((ready, me_mxu.me_grids_multi2_async(
                 orig_dev, devs, size, 16, r, lam_fp, pad=PAD,
-                depth=depth)))
+                depth=depth, refine=_rf())))
         self._me_pending[plan["display_poc"]] = {
             "params": (size, r, lam_fp, depth),
             "orig_dev": orig_dev, "ref_pocs": plan["ref_pocs"],
@@ -745,7 +757,7 @@ class EncoderTop:
             size, r, lam_fp, depth = mp["params"]
             mp["parts"].append(([cvs_poc], me_mxu.me_grids_multi2_async(
                 mp["orig_dev"], [ref_dev], size, 16, r, lam_fp, pad=PAD,
-                depth=depth)))
+                depth=depth, refine=_rf())))
             # every reference is now dispatched: resolve on a worker
             # thread so the device->host readback's round trip rides
             # under this frame's loop-filter/entropy tail (np.asarray on
@@ -781,7 +793,7 @@ class EncoderTop:
             size, r, lam_fp, depth = mp["params"]
             mp["parts"].append((missing, me_mxu.me_grids_multi2_async(
                 mp["orig_dev"], [self._dev_refs[p] for p in missing],
-                size, 16, r, lam_fp, pad=PAD, depth=depth)))
+                size, 16, r, lam_fp, pad=PAD, depth=depth, refine=_rf())))
 
     def _me_pending_take(self, display_poc, ref_l0, ref_l1, lam_fp,
                          size, r, depth):

@@ -192,6 +192,9 @@ def get_lib(pel32: bool = False) -> ctypes.CDLL:
         + stacked
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     lib.hevc_engine_set_scaling.argtypes = [ctypes.c_void_p, i32p]
+    lib.hevc_engine_set_refine.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
     lib.hevc_engine_frame_order.argtypes = (
         [ctypes.c_void_p, ctypes.c_int, i32p, i32p]
         + [ctypes.c_int] * 3 + stacked)
@@ -621,6 +624,19 @@ class NativeCtuEngine:
             g1xp, g1yp)
         self._ctu = params.ctu_size
         self._cfmt = params.chroma_format
+
+    def set_refine(self, level: int, ref: int, off: np.ndarray,
+                   half_min: np.ndarray) -> None:
+        """Install a device fractional-refine table (ops/me_mxu refine
+        outputs): packed quarter offsets + 3x3-half screen minima for
+        one (level, ref) — level 0/1/2 = list-0 32-grid / list-0
+        16-grid / list-1 32-grid."""
+        off = np.ascontiguousarray(off, np.int32)
+        half_min = np.ascontiguousarray(half_min, np.int32)
+        self._keep += [off, half_min]
+        self._lib.hevc_engine_set_refine(
+            self._h, int(level), int(ref), _i32ptr(off),
+            _i32ptr(half_min))
 
     def set_scaling(self, blob: np.ndarray) -> None:
         """Install explicit (file-read) scaling matrices — the packed

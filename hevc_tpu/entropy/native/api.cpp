@@ -312,6 +312,13 @@ void hevc_engine_set_intra_hints(void* h, int log2, const uint8_t* cands,
   ((CtuEngine*)h)->set_intra_hints(log2, cands, k, costs, ny, nx);
 }
 
+// device fractional-refine tables (level 0/1/2 = l0-32/l0-16/l1-32;
+// see CtuEngine::set_refine)
+void hevc_engine_set_refine(void* h, int level, int ref,
+                            const int32_t* off, const int32_t* half_min) {
+  ((CtuEngine*)h)->set_refine(level, ref, off, half_min);
+}
+
 // reference-GPU-mode ME table readback (this thread's last computed CTU;
 // test introspection — tests/test_me_gpu_mode.py compares against the
 // Python scalar model of TEncOpenCL/cl-sad semantics)

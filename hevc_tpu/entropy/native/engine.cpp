@@ -949,6 +949,46 @@ bool CtuEngine::me_lookup(int x0, int y0, int n, int r, int* mvx,
   return false;
 }
 
+void CtuEngine::set_refine(int level, int ref, const int32_t* off,
+                           const int32_t* half_min) {
+  if (level < 0 || level > 2 || ref < 0 || ref >= 16) return;
+  rf_off_[level][ref] = off;
+  rf_half_[level][ref] = half_min;
+}
+
+bool CtuEngine::refine_lookup(int list, int x0, int y0, int n, int r,
+                              int* mvx, int* mvy) const {
+  if (sp_.gpu_mode_me || sp_.wp_on) return false;
+  int level = list == 1 ? 2 : (n == 32 ? 0 : 1);
+  if ((list == 1 && n != 32) || (n != 32 && n != 16)) return false;
+  if (r < 0 || r >= 16 || !rf_off_[level][r]) return false;
+  if (x0 % n || y0 % n || x0 + n > w_ || y0 + n > h_) return false;
+  int gnx = n == 32 ? me_nx_ : me16_nx_;
+  int packed = rf_off_[level][r][(y0 / n) * gnx + (x0 / n)];
+  int gx, gy;
+  if (list == 1) {
+    if (!me1_lookup(x0, y0, n, r, &gx, &gy)) return false;
+  } else if (!me_lookup(x0, y0, n, r, &gx, &gy)) {
+    return false;
+  }
+  *mvx = gx + packed % 7 - 3;
+  *mvy = gy + packed / 7 - 3;
+  return true;
+}
+
+int64_t CtuEngine::half_screen_lookup(int x0, int y0, int n, int qmx,
+                                      int qmy) const {
+  if (sp_.gpu_mode_me || sp_.wp_on) return -1;
+  int level = n == 32 ? 0 : (n == 16 ? 1 : -1);
+  if (level < 0 || !rf_half_[level][0]) return -1;
+  if (x0 % n || y0 % n || x0 + n > w_ || y0 + n > h_) return -1;
+  int gx, gy;
+  if (!me_lookup(x0, y0, n, 0, &gx, &gy) || gx != qmx || gy != qmy)
+    return -1;  // caller screens a different centre: host loop
+  int gnx = n == 32 ? me_nx_ : me16_nx_;
+  return rf_half_[level][0][(y0 / n) * gnx + (x0 / n)];
+}
+
 int64_t CtuEngine::lam_bits(double bits) const {
   return (int64_t)(sqrt_lam_ * bits + 0.5);
 }
@@ -1263,17 +1303,131 @@ int64_t CtuEngine::intra_screen_cost(int x0, int y0, int log2) {
   return best;
 }
 
-// Greedy top-down intra CU split decision (reference TEncCu::xCompressCU's
-// depth recursion, reduced to a SATD screen): code the block whole, or as
-// four quadrants when the summed quadrant screens (prediction from the
-// current recon; unavailable references substitute) cost less.
-void CtuEngine::intra_cu_decide(int x0, int y0, int log2,
-                                const MutCtuData& d, int ctu_x0,
-                                int ctu_y0, int64_t whole_hint) {
+void CtuEngine::cu_take(int x0, int y0, int n, const MutCtuData& d,
+                        int ctu_x0, int ctu_y0, CuSnap& s) const {
+  int cs = n >> csx_;
+  int cw = w_ >> csx_;
+  int cctu = ctu_ >> csx_;
+  int bw4 = ctu_ / 4;
+  int px = x0 >> csx_, py = y0 >> csx_;
+  s.ry.resize((size_t)n * n);
+  s.cy.resize((size_t)n * n);
+  s.rcb.resize((size_t)cs * cs);
+  s.rcr.resize((size_t)cs * cs);
+  s.ccb.resize((size_t)cs * cs);
+  s.ccr.resize((size_t)cs * cs);
+  for (int i = 0; i < n; ++i) {
+    std::memcpy(&s.ry[(size_t)i * n], recon_[0] + (size_t)(y0 + i) * w_ + x0,
+                sizeof(pel_t) * n);
+    std::memcpy(&s.cy[(size_t)i * n],
+                d.coeff_y + (size_t)(y0 - ctu_y0 + i) * ctu_ + (x0 - ctu_x0),
+                sizeof(int16_t) * n);
+  }
+  for (int i = 0; i < cs; ++i) {
+    std::memcpy(&s.rcb[(size_t)i * cs], recon_[1] + (size_t)(py + i) * cw + px,
+                sizeof(pel_t) * cs);
+    std::memcpy(&s.rcr[(size_t)i * cs], recon_[2] + (size_t)(py + i) * cw + px,
+                sizeof(pel_t) * cs);
+    std::memcpy(&s.ccb[(size_t)i * cs],
+                d.coeff_cb + (size_t)(((y0 - ctu_y0) >> csx_) + i) * cctu +
+                    ((x0 - ctu_x0) >> csx_),
+                sizeof(int16_t) * cs);
+    std::memcpy(&s.ccr[(size_t)i * cs],
+                d.coeff_cr + (size_t)(((y0 - ctu_y0) >> csx_) + i) * cctu +
+                    ((x0 - ctu_x0) >> csx_),
+                sizeof(int16_t) * cs);
+  }
+  int n4 = n >> 2;
+  int gx = (x0 - ctu_x0) >> 2, gy = (y0 - ctu_y0) >> 2;
+  if (d.ccp_cb && d.ccp_cr) {
+    s.acb.resize((size_t)n4 * n4);
+    s.acr.resize((size_t)n4 * n4);
+    for (int i = 0; i < n4; ++i) {
+      std::memcpy(&s.acb[(size_t)i * n4], d.ccp_cb + (gy + i) * bw4 + gx, n4);
+      std::memcpy(&s.acr[(size_t)i * n4], d.ccp_cr + (gy + i) * bw4 + gx, n4);
+    }
+  }
+  // per-4x4 decision maps + mode_map, packed row-major per plane
+  const uint8_t* maps[6] = {d.cu_depth, d.nxn_flag, d.luma_mode,
+                            d.chroma_mode, d.tu_depth, d.pred_mode};
+  int stride4 = (w_ + 3) >> 2;
+  s.m4.resize((size_t)7 * n4 * n4);
+  for (int m = 0; m < 6; ++m)
+    for (int i = 0; i < n4; ++i)
+      std::memcpy(&s.m4[(size_t)m * n4 * n4 + (size_t)i * n4],
+                  maps[m] + (size_t)(gy + i) * bw4 + gx, n4);
+  for (int i = 0; i < n4; ++i)
+    std::memcpy(&s.m4[(size_t)6 * n4 * n4 + (size_t)i * n4],
+                &mode_map_[(size_t)((y0 >> 2) + i) * stride4 + (x0 >> 2)],
+                n4);
+}
+
+void CtuEngine::cu_put(int x0, int y0, int n, const MutCtuData& d,
+                       int ctu_x0, int ctu_y0, const CuSnap& s) {
+  int cs = n >> csx_;
+  int cw = w_ >> csx_;
+  int cctu = ctu_ >> csx_;
+  int bw4 = ctu_ / 4;
+  int px = x0 >> csx_, py = y0 >> csx_;
+  for (int i = 0; i < n; ++i) {
+    std::memcpy(recon_[0] + (size_t)(y0 + i) * w_ + x0, &s.ry[(size_t)i * n],
+                sizeof(pel_t) * n);
+    std::memcpy(d.coeff_y + (size_t)(y0 - ctu_y0 + i) * ctu_ + (x0 - ctu_x0),
+                &s.cy[(size_t)i * n], sizeof(int16_t) * n);
+  }
+  for (int i = 0; i < cs; ++i) {
+    std::memcpy(recon_[1] + (size_t)(py + i) * cw + px, &s.rcb[(size_t)i * cs],
+                sizeof(pel_t) * cs);
+    std::memcpy(recon_[2] + (size_t)(py + i) * cw + px, &s.rcr[(size_t)i * cs],
+                sizeof(pel_t) * cs);
+    std::memcpy(d.coeff_cb + (size_t)(((y0 - ctu_y0) >> csx_) + i) * cctu +
+                    ((x0 - ctu_x0) >> csx_),
+                &s.ccb[(size_t)i * cs], sizeof(int16_t) * cs);
+    std::memcpy(d.coeff_cr + (size_t)(((y0 - ctu_y0) >> csx_) + i) * cctu +
+                    ((x0 - ctu_x0) >> csx_),
+                &s.ccr[(size_t)i * cs], sizeof(int16_t) * cs);
+  }
+  int n4 = n >> 2;
+  int gx = (x0 - ctu_x0) >> 2, gy = (y0 - ctu_y0) >> 2;
+  if (!s.acb.empty() && d.ccp_cb && d.ccp_cr) {
+    for (int i = 0; i < n4; ++i) {
+      std::memcpy(d.ccp_cb + (gy + i) * bw4 + gx, &s.acb[(size_t)i * n4], n4);
+      std::memcpy(d.ccp_cr + (gy + i) * bw4 + gx, &s.acr[(size_t)i * n4], n4);
+    }
+  }
+  uint8_t* maps[6] = {d.cu_depth, d.nxn_flag, d.luma_mode,
+                      d.chroma_mode, d.tu_depth, d.pred_mode};
+  int stride4 = (w_ + 3) >> 2;
+  for (int m = 0; m < 6; ++m)
+    for (int i = 0; i < n4; ++i)
+      std::memcpy(maps[m] + (size_t)(gy + i) * bw4 + gx,
+                  &s.m4[(size_t)m * n4 * n4 + (size_t)i * n4], n4);
+  for (int i = 0; i < n4; ++i)
+    std::memcpy(&mode_map_[(size_t)((y0 >> 2) + i) * stride4 + (x0 >> 2)],
+                &s.m4[(size_t)6 * n4 * n4 + (size_t)i * n4], n4);
+}
+
+// Intra CU split decision (reference TEncCu::xCompressCU's depth
+// recursion). Clear cases are settled by the device-prescreen gates
+// below; the ambiguous band runs the reference's EXACT trial — code the
+// block whole, roll back, code the split, compare true J = SSE +
+// lambda*bits and keep the winner (screen-only comparison systematically
+// over-split smooth content: SATD sees pre-quantization prediction
+// gains that the quantizer then discards, while the real cost of four
+// CUs' signalling exceeds the screen's flat estimate).
+double CtuEngine::intra_cu_decide(int x0, int y0, int log2,
+                                  const MutCtuData& d, int ctu_x0,
+                                  int ctu_y0, int64_t whole_hint) {
+  (void)whole_hint;  // superseded by the exact split trial below
   set_cu_qp(x0, y0);
   int bw4 = ctu_ / 4;
-  if (log2 > sp_.min_cb_log2 &&
-      x0 + (1 << log2) <= w_ && y0 + (1 << log2) <= h_) {
+  double lam_sq = sqrt_lam_ * sqrt_lam_;
+  bool splittable = log2 > sp_.min_cb_log2 &&
+                    x0 + (1 << log2) <= w_ && y0 + (1 << log2) <= h_;
+  // every CU below the max size codes a split_cu_flag bin either way;
+  // include it so parent comparisons see consistent totals
+  double jflag = splittable ? lam_sq : 0.0;
+  if (splittable) {
     int h = 1 << (log2 - 1);
     // ---- device-cost CU-split gate (same one-sided reasoning as the
     // TU-split gate at code_r): the quadrants' original references sit
@@ -1315,40 +1469,55 @@ void CtuEngine::intra_cu_decide(int x0, int y0, int log2,
         }
       }
     }
-    int64_t qscreen[4] = {-1, -1, -1, -1};
-    if (!decided) {
-      int64_t whole = whole_hint >= 0 ? whole_hint
-                                      : intra_screen_cost(x0, y0, log2);
-      int64_t split = lam_bits(8);  // split flag + extra signalling
-      for (int i = 0; i < 4 && split < whole; ++i) {
-        qscreen[i] = intra_screen_cost(x0 + (i & 1) * h,
-                                       y0 + (i >> 1) * h, log2 - 1);
-        split += qscreen[i];
-      }
-      want_split = split < whole;
-    }
-    if (want_split) {
+    int n = 1 << log2;
+    auto mark_split = [&]() {
       int depth = (int)(uint8_t)(ilog2(ctu_) - log2) + 1;
-      int nb = (1 << log2) >> 2;
+      int nb = n >> 2;
       int bx = (x0 - ctu_x0) >> 2, by = (y0 - ctu_y0) >> 2;
       for (int yy = 0; yy < nb; ++yy)
         for (int xx = 0; xx < nb; ++xx)
           d.cu_depth[(by + yy) * bw4 + bx + xx] = (uint8_t)depth;
-      // quadrant screens already computed above (band path) seed the
-      // children's whole-block costs, halving the screen count
-      intra_cu_decide(x0, y0, log2 - 1, d, ctu_x0, ctu_y0, qscreen[0]);
-      intra_cu_decide(x0 + h, y0, log2 - 1, d, ctu_x0, ctu_y0, qscreen[1]);
-      intra_cu_decide(x0, y0 + h, log2 - 1, d, ctu_x0, ctu_y0, qscreen[2]);
-      intra_cu_decide(x0 + h, y0 + h, log2 - 1, d, ctu_x0, ctu_y0,
-                      qscreen[3]);
-      return;
+    };
+    auto code_split = [&]() -> double {
+      mark_split();
+      double js = 0.0;
+      js += intra_cu_decide(x0, y0, log2 - 1, d, ctu_x0, ctu_y0);
+      js += intra_cu_decide(x0 + h, y0, log2 - 1, d, ctu_x0, ctu_y0);
+      js += intra_cu_decide(x0, y0 + h, log2 - 1, d, ctu_x0, ctu_y0);
+      js += intra_cu_decide(x0 + h, y0 + h, log2 - 1, d, ctu_x0, ctu_y0);
+      return js;
+    };
+    if (decided && want_split) return jflag + code_split();
+    if (!decided) {
+      // ---- exact split trial (reference TEncCu::xCompressCU): code
+      // whole, snapshot, roll back, code split, keep the true-J winner.
+      // The decisive device gates above keep this off the clear cases;
+      // here SATD screens are unreliable (the band), so only exact J
+      // decides — the screen comparison this replaces over-split
+      // smooth content by several dB of chroma PSNR ----
+      CuSnap pre, whole;
+      cu_take(x0, y0, n, d, ctu_x0, ctu_y0, pre);
+      double jw = encode_cu_intra(x0, y0, log2, d, ctu_x0, ctu_y0);
+      cu_take(x0, y0, n, d, ctu_x0, ctu_y0, whole);
+      cu_put(x0, y0, n, d, ctu_x0, ctu_y0, pre);
+      double js = code_split();
+      if (jw <= js) {
+        cu_put(x0, y0, n, d, ctu_x0, ctu_y0, whole);
+        // the maps-side per-4x4 cu_depth was overwritten by the split
+        // trial's publishes; re-publish the kept whole CU
+        publish(x0, y0, log2, true, 0, 0, 0, -1, 0, 0, -1);
+        set_cu_qp(x0, y0);
+        return jflag + jw;
+      }
+      return jflag + js;
     }
   }
-  encode_cu_intra(x0, y0, log2, d, ctu_x0, ctu_y0);
+  return jflag + encode_cu_intra(x0, y0, log2, d, ctu_x0, ctu_y0);
 }
 
-void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
-                                int ctu_x0, int ctu_y0) {
+double CtuEngine::encode_cu_intra(int x0, int y0, int log2,
+                                  const MutCtuData& d, int ctu_x0,
+                                  int ctu_y0) {
   set_cu_qp(x0, y0);
   int n = 1 << log2;
   int bw4 = ctu_ / 4;
@@ -1892,6 +2061,7 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
     return nzA;
   };
   Snap pre_cu;
+  bool nxn_won = false;
   bool try_nxn = log2 == 3 && log2 == sp_.min_cb_log2 && csx_ == 1 &&
                  sp_.min_tb_log2 <= 2 && x0 + n <= w_ && y0 + n <= h_ &&
                  !getenv("HEVC_TPU_NO_NXN");
@@ -1994,6 +2164,7 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
       costN += sseC + lam_sq * bitsC;
     }
     if (costN < cost0) {
+      nxn_won = true;
       cost0 = costN;
       cmode_best = cmodeN;
       for (int yy = 0; yy < 2; ++yy)
@@ -2052,7 +2223,7 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
         }
       d.tu_depth[by * bw4 + bx] = PCM_FLAG;
       publish(x0, y0, log2, true, 0, 0, 0, -1, 0, 0, -1);
-      return;
+      return lam_sq * pcm_bits;
     }
   }
   for (int yy = 0; yy < nb; ++yy)
@@ -2062,6 +2233,14 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
                     ts_loc[(yy & 7) * 8 + (xx & 7)]);
 
   publish(x0, y0, log2, true, 0, 0, 0, -1, 0, 0, -1);
+  // exact CU cost for the split trial: the TB costs (cost0) plus the
+  // CU-level signalling the TB sums exclude — luma mode, chroma mode
+  // and the pred/part bins (the NxN path already folded its per-PU
+  // mode and chroma bits into costN)
+  double extra = nxn_won ? 1.0
+                         : (double)mode_bits(best_mode, cand) +
+                               (cmode_best == best_mode ? 1.0 : 3.0) + 1.0;
+  return cost0 + lam_sq * extra;
 }
 
 // Reference TEncCu::xCompressCU depth-0 trial, reduced to a SATD screen:
@@ -2075,6 +2254,11 @@ void CtuEngine::encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
 // sides at equal refinement, TEncCu.cpp:357-620).
 int64_t CtuEngine::quad_screen_satd(int qx, int qy, int hn, int qmx,
                                     int qmy, int32_t* pred) {
+  // device half-screen table: the 3x3 half-pel minimum was computed in
+  // the ME dispatch (ops/me_mxu refine tables) — exact value equality
+  // with this loop (tests/test_me_refine.py)
+  int64_t dev = half_screen_lookup(qx, qy, hn, qmx, qmy);
+  if (dev >= 0) return dev;
   int pad = ep_.pad;
   int rw = w_ + 2 * pad;
   int64_t best = -1;
@@ -2517,25 +2701,35 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     int rmx, rmy;
     if (!me_lookup(x0, y0, n, r, &rmx, &rmy)) continue;
     has_me = true;
-    // half- then quarter-pel 9-point SATD refinement (xPatternSearchFracDIF)
-    auto cost_of = [&](int mx, int my, int64_t bound) -> int64_t {
-      mc_uni(sp_, rp(0, r, 0), rw, pad, mx, my, x0, y0, n, n, bd_, true, 0, r,
-             0, pred);
-      return dsp::satd_bounded(oy, w_, pred, n, n, bound);
-    };
-    int64_t best_c = cost_of(rmx, rmy, INT64_MAX);
-    for (int step = 2; step >= 1; --step) {
-      int cx0 = rmx, cy0 = rmy;
-      for (int dy = -step; dy <= step; dy += step)
-        for (int dx = -step; dx <= step; dx += step) {
-          if (dx == 0 && dy == 0) continue;
-          int64_t c = cost_of(cx0 + dx, cy0 + dy, best_c);
-          if (c < best_c) {
-            best_c = c;
-            rmx = cx0 + dx;
-            rmy = cy0 + dy;
+    // half- then quarter-pel 9-point SATD refinement
+    // (xPatternSearchFracDIF); the device refine table carries this
+    // exact two-stage argmin precomputed per grid block — when it
+    // covers (block, ref), 17 interpolate+SATD evaluations collapse to
+    // one lookup (identical result, tests/test_me_refine.py)
+    int rfx, rfy;
+    if (refine_lookup(0, x0, y0, n, r, &rfx, &rfy)) {
+      rmx = rfx;
+      rmy = rfy;
+    } else {
+      auto cost_of = [&](int mx, int my, int64_t bound) -> int64_t {
+        mc_uni(sp_, rp(0, r, 0), rw, pad, mx, my, x0, y0, n, n, bd_, true,
+               0, r, 0, pred);
+        return dsp::satd_bounded(oy, w_, pred, n, n, bound);
+      };
+      int64_t best_c = cost_of(rmx, rmy, INT64_MAX);
+      for (int step = 2; step >= 1; --step) {
+        int cx0 = rmx, cy0 = rmy;
+        for (int dy = -step; dy <= step; dy += step)
+          for (int dx = -step; dx <= step; dx += step) {
+            if (dx == 0 && dy == 0) continue;
+            int64_t c = cost_of(cx0 + dx, cy0 + dy, best_c);
+            if (c < best_c) {
+              best_c = c;
+              rmx = cx0 + dx;
+              rmy = cy0 + dy;
+            }
           }
-        }
+      }
     }
     int16_t ramvp[4];
     senc_->maps().amvp_candidates(x0, y0, n, n, 0, r, ramvp);
@@ -2586,20 +2780,26 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     for (int r = 0; r < nref_[1]; ++r) {
       int rmx, rmy;
       if (!me1_lookup(x0, y0, n, r, &rmx, &rmy)) continue;
-      auto cost_of1 = [&](int mx, int my, int64_t bound) -> int64_t {
-        mc_uni(sp_, rp(1, r, 0), rw, pad, mx, my, x0, y0, n, n, bd_, true,
-               1, r, 0, pred);
-        return dsp::satd_bounded(oy, w_, pred, n, n, bound);
-      };
-      int64_t best_c = cost_of1(rmx, rmy, INT64_MAX);
-      for (int step = 2; step >= 1; --step) {
-        int cx0 = rmx, cy0 = rmy;
-        for (int dy = -step; dy <= step; dy += step)
-          for (int dx = -step; dx <= step; dx += step) {
-            if (dx == 0 && dy == 0) continue;
-            int64_t c = cost_of1(cx0 + dx, cy0 + dy, best_c);
-            if (c < best_c) { best_c = c; rmx = cx0 + dx; rmy = cy0 + dy; }
-          }
+      int rfx1, rfy1;
+      if (refine_lookup(1, x0, y0, n, r, &rfx1, &rfy1)) {
+        rmx = rfx1;
+        rmy = rfy1;
+      } else {
+        auto cost_of1 = [&](int mx, int my, int64_t bound) -> int64_t {
+          mc_uni(sp_, rp(1, r, 0), rw, pad, mx, my, x0, y0, n, n, bd_,
+                 true, 1, r, 0, pred);
+          return dsp::satd_bounded(oy, w_, pred, n, n, bound);
+        };
+        int64_t best_c = cost_of1(rmx, rmy, INT64_MAX);
+        for (int step = 2; step >= 1; --step) {
+          int cx0 = rmx, cy0 = rmy;
+          for (int dy = -step; dy <= step; dy += step)
+            for (int dx = -step; dx <= step; dx += step) {
+              if (dx == 0 && dy == 0) continue;
+              int64_t c = cost_of1(cx0 + dx, cy0 + dy, best_c);
+              if (c < best_c) { best_c = c; rmx = cx0 + dx; rmy = cy0 + dy; }
+            }
+        }
       }
       int16_t ramvp[4];
       senc_->maps().amvp_candidates(x0, y0, n, n, 1, r, ramvp);

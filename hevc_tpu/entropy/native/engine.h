@@ -97,7 +97,13 @@ class CtuEngine {
   bool rdoq_exact_ = true;
   double tusplit_margin_ = 0.95;  // device-cost TU-split gate (0 = off)
   double cusplit_band_ = 0.05;    // intra CU-split gate margin (0 = off)
-  double cusplit_dec_ = 0.20;     // decisive-split device margin
+  // decisive-split device margin. Defaults OFF (1.0): prescreen SATD
+  // margins measure pre-quantization prediction gains, which the
+  // quantizer discards on smooth content — the exact split trial both
+  // codes better (-8.6%% bits on the synthetic intra clip, +3 dB chroma
+  // on natural content) and runs faster than committing to a split
+  // early. HEVC_TPU_CUSPLIT_DEC restores a decisive margin for tuning.
+  double cusplit_dec_ = 1.0;
   // Shadow entropy coder: replays each committed CTU so est_ctx_ always
   // holds the TRUE CABAC states the real coding pass will have at the
   // next CTU (the reference refreshes its RDOQ estBits tables from its
@@ -112,8 +118,24 @@ class CtuEngine {
   // per-CU quantization state under sub-CTU quantization groups
   // (diff_cu_qp_delta_depth > 0): samples the per-QG target map
   void set_cu_qp(int x0, int y0);
-  void encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
-                       int ctu_x0, int ctu_y0);
+  // codes + commits one intra CU; returns its exact RD cost J =
+  // pixel SSE (chroma weighted) + lambda * bits (TB rate + mode
+  // signalling) — the quantity the CU-split trial compares
+  double encode_cu_intra(int x0, int y0, int log2, const MutCtuData& d,
+                         int ctu_x0, int ctu_y0);
+  // CU-region snapshot for the exact split trial (recon, coefficient
+  // and per-4x4 decision maps, mode_map); maps-side cu_depth is
+  // restored by re-publishing the winner
+  struct CuSnap {
+    std::vector<pel_t> ry, rcb, rcr;
+    std::vector<int16_t> cy, ccb, ccr;
+    std::vector<int8_t> acb, acr;
+    std::vector<uint8_t> m4;   // packed per-4x4 decision maps + mode_map
+  };
+  void cu_take(int x0, int y0, int n, const MutCtuData& d, int ctu_x0,
+               int ctu_y0, CuSnap& s) const;
+  void cu_put(int x0, int y0, int n, const MutCtuData& d, int ctu_x0,
+              int ctu_y0, const CuSnap& s);
   // SATD+lambda*bits screen of the best intra mode at (x0,y0,log2) from the
   // current recon state, without committing anything
   int64_t intra_screen_cost(int x0, int y0, int log2);
@@ -124,8 +146,8 @@ class CtuEngine {
   // whole_hint (>= 0): this block's screen cost already computed by the
   // parent's quadrant loop — the recon state is unchanged since, so it
   // is reused instead of recomputed.
-  void intra_cu_decide(int x0, int y0, int log2, const MutCtuData& d,
-                       int ctu_x0, int ctu_y0, int64_t whole_hint = -1);
+  double intra_cu_decide(int x0, int y0, int log2, const MutCtuData& d,
+                         int ctu_x0, int ctu_y0, int64_t whole_hint = -1);
   void encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
                        int ctu_x0, int ctu_y0);
   // 64x64 inter decision: code the whole CTU as one CU (merge/skip or a
@@ -179,6 +201,28 @@ class CtuEngine {
   // integer-pel device-search MV of list-0 ref r for an aligned block
   bool me_lookup(int x0, int y0, int n, int r, int* mvx, int* mvy) const;
   bool me1_lookup(int x0, int y0, int n, int r, int* mvx, int* mvy) const;
+
+ public:
+  // Device fractional-refine tables (ops/me_mxu _satd_box /
+  // _refine_from_box): per grid block, the packed quarter-pel offset
+  // (qy+3)*7+(qx+3) of the host's exact half->quarter refinement around
+  // the integer MV, and the 3x3 half-pel SATD screen minimum. level:
+  // 0 = list-0 32-grid, 1 = list-0 16-grid, 2 = list-1 32-grid.
+  // Pointers owned by the caller, alive for the engine lifetime.
+  void set_refine(int level, int ref, const int32_t* off,
+                  const int32_t* half_min);
+
+ private:
+  // refined quarter-pel MV for an aligned block (device table); falls
+  // back to false when no table covers (x0, y0, n, list, r)
+  bool refine_lookup(int list, int x0, int y0, int n, int r, int* mvx,
+                     int* mvy) const;
+  // 3x3-half screen minimum for the block whose integer grid MV is
+  // (qmx, qmy) quarter-pel; -1 when unavailable
+  int64_t half_screen_lookup(int x0, int y0, int n, int qmx,
+                             int qmy) const;
+  const int32_t* rf_off_[3][16] = {};
+  const int32_t* rf_half_[3][16] = {};
 
  public:
   // ---- reference-GPU-mode ME reproduction (cfg GPUModeME) ----

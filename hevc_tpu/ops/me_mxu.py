@@ -252,6 +252,194 @@ def _argmin_two_pass(ssd, bits0, lam_q8, *, r, ny, nx):
     return jnp.where(c_g + (c_loc >> 3) < c_loc, idx_g, idx_loc)
 
 
+# ---------------------------------------------------------------------
+# Device fractional refinement + half-pel screen tables.
+#
+# The engine's hottest host loops interpolate and SATD-score small
+# neighbourhoods around the device integer MVs: the half->quarter
+# 9+8-point refinement per (CU, ref) (engine.cpp cost_of, reference
+# TEncSearch::xPatternSearchFracDIF :4294) and the 3x3 half-pel screen
+# minimum per quadrant (engine.cpp quad_screen_satd). Both read only
+# (original pixels, final reference pixels, integer grid MV) — host
+# state free — so the device computes them for EVERY grid block and
+# reference in the same dispatch as the integer search:
+#   * 16 sub-pel phase planes of the padded reference (the exact
+#     mc_block interpolation, reference TComInterpolationFilter 8-tap),
+#   * the 7x7 quarter-pel SATD box around each block's integer MV
+#     (exact dsp::satd semantics: per-8x8-tile |H d Ht| with (s+2)>>2),
+#   * a replay of the host's two-stage strict-< argmin (half step in
+#     (dy,dx) order, then quarter around the half winner) and the 3x3
+#     half minimum.
+# The host then refines with ONE MC instead of 17 and screens splits by
+# table lookup — bit-identical decisions (tests/test_me_refine.py).
+# ---------------------------------------------------------------------
+
+_LUMA_TAPS = np.array([
+    [0, 0, 0, 64, 0, 0, 0, 0],
+    [-1, 4, -10, 58, 17, -5, 1, 0],
+    [-1, 4, -11, 40, 40, -11, 4, -1],
+    [0, 1, -5, 17, 58, -10, 4, -1]], np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _h8():
+    h = np.array([[1]], np.int32)
+    while h.shape[0] < 8:
+        h = np.block([[h, h], [h, -h]])
+    return h
+
+
+def _build_phases(refp, depth: int):
+    """[16, Hp-7, Wp-7] int32 planes of CLIPPED prediction samples, one
+    per (fy, fx) phase (index fy*4+fx); plane (y', x') is the predicted
+    sample at padded coordinate (y'+3, x'+3). Exact twin of dsp
+    mc_block's three filter branches."""
+    hr = max(2, 14 - depth)
+    s1 = 6 - hr
+    su = hr
+    off_u = 1 << (su - 1)
+    maxv = (1 << depth) - 1
+    p0 = refp.astype(jnp.int32)
+    hp, wp = p0.shape
+    w2, h2 = wp - 7, hp - 7
+
+    def hfilt(fx):
+        acc = _LUMA_TAPS[fx][0] * p0[:, 0:w2]
+        for k in range(1, 8):
+            t = int(_LUMA_TAPS[fx][k])
+            if t:
+                acc = acc + t * p0[:, k:k + w2]
+        return acc >> s1
+
+    def vfilt(x, fy):
+        acc = _LUMA_TAPS[fy][0] * x[0:h2]
+        for k in range(1, 8):
+            t = int(_LUMA_TAPS[fy][k])
+            if t:
+                acc = acc + t * x[k:k + h2]
+        return acc
+
+    def finish(v):
+        return jnp.clip((v + off_u) >> su, 0, maxv)
+
+    hs = {fx: hfilt(fx) for fx in (1, 2, 3)}
+    planes = []
+    for fy in range(4):
+        for fx in range(4):
+            if fy == 0 and fx == 0:
+                planes.append(p0[3:3 + h2, 3:3 + w2])
+            elif fy == 0:
+                planes.append(finish(hs[fx][3:3 + h2]))
+            elif fx == 0:
+                planes.append(finish(vfilt(p0[:, 3:3 + w2], fy) >> s1))
+            else:
+                planes.append(finish(vfilt(hs[fx], fy) >> 6))
+    return jnp.stack(planes)
+
+
+# host refine orders (engine.cpp cost_of loops: dy outer, dx inner,
+# strict <; step 2 = half-pel around the integer centre, step 1 =
+# quarter-pel around the half winner)
+_HALF_SEQ = [(dy, dx) for dy in (-2, 0, 2) for dx in (-2, 0, 2)
+             if (dy, dx) != (0, 0)]
+_QUART_SEQ = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+              if (dy, dx) != (0, 0)]
+_HALF_BOX = [(dy + 3) * 7 + (dx + 3) for dy in (-2, 0, 2)
+             for dx in (-2, 0, 2)]
+
+
+def _satd_of_tiles(ob, tiles, size):
+    """Exact dsp::satd of [n, size, size] prediction tiles against the
+    per-block originals ob: per-8x8-tile |H d Ht| with (s+2)>>2 (4x4
+    variant below 8), summed over tiles; int32 throughout (exact for
+    depths through 16)."""
+    t = 8 if size >= 8 else 4
+    nt = size // t
+    h8 = jnp.asarray(_h8() if t == 8 else
+                     np.array([[1, 1, 1, 1], [1, -1, 1, -1],
+                               [1, 1, -1, -1], [1, -1, -1, 1]], np.int32))
+    n = ob.shape[0]
+    d = (ob - tiles).reshape(n, nt, t, nt, t).transpose(0, 1, 3, 2, 4)
+    m = jnp.einsum("ab,nstbc,dc->nstad", h8, d, h8,
+                   preferred_element_type=jnp.int32)
+    s = jnp.abs(m).sum(axis=(3, 4), dtype=jnp.int32)
+    per = (s + (2 if t == 8 else 1)) >> (2 if t == 8 else 1)
+    return per.sum(axis=(1, 2)).astype(jnp.int32)
+
+
+def _refine_direct(orig, phases, gidx, *, size, r, ny, nx, pad):
+    """(packed quarter offset [n], 3x3-half min [n]) per grid block —
+    the host's exact 9+8-candidate refinement evaluated directly.
+
+    Prediction tiles come from vmapped dynamic slices of the phase
+    planes (XLA lowers these to a gather of contiguous [size, size]
+    slabs — element-granular gathers here ran ~25x slower on TPU). The
+    half stage's phase is static per offset (2D slices of one plane);
+    the quarter stage's phase depends on each block's half winner, so
+    its slices index the stacked [16, H2, W2] phase tensor."""
+    nyx = 2 * r + 1
+    n = ny * nx
+    mvy = (gidx // nyx - r).astype(jnp.int32)
+    mvx = (gidx % nyx - r).astype(jnp.int32)
+    BX = jnp.tile(jnp.arange(nx, dtype=jnp.int32) * size, (ny,))
+    BY = jnp.repeat(jnp.arange(ny, dtype=jnp.int32) * size, nx)
+    ob = (orig[:ny * size, :nx * size].astype(jnp.int32)
+          .reshape(ny, size, nx, size).transpose(0, 2, 1, 3)
+          .reshape(n, size, size))
+    base_r = pad + BY + mvy - 3       # plane coords of offset (-3, -3)
+    base_c = pad + BX + mvx - 3
+
+    def slice2(plane, r0, c0):
+        def one(rr, cc):
+            return lax.dynamic_slice(plane, (rr, cc), (size, size))
+        return jax.vmap(one)(r0, c0)
+
+    # ---- half stage: 9 fixed offsets (phase static per offset);
+    # integer shift = offset >> 2 (arithmetic), phase = offset & 3 ----
+    hvals = {}
+    for dy in (-2, 0, 2):
+        for dx in (-2, 0, 2):
+            plane = phases[(dy & 3) * 4 + (dx & 3)]
+            tiles = slice2(plane, base_r + 3 + (dy >> 2),
+                           base_c + 3 + (dx >> 2))
+            hvals[(dy, dx)] = _satd_of_tiles(ob, tiles, size)
+    bc = hvals[(0, 0)]
+    cy = jnp.zeros((n,), jnp.int32)
+    cx = jnp.zeros((n,), jnp.int32)
+    for dy, dx in _HALF_SEQ:
+        c = hvals[(dy, dx)]
+        take = c < bc
+        bc = jnp.where(take, c, bc)
+        cy = jnp.where(take, dy, cy)
+        cx = jnp.where(take, dx, cx)
+    half_min = hvals[(0, 0)]
+    for k, v in hvals.items():
+        if k != (0, 0):
+            half_min = jnp.minimum(half_min, v)
+
+    # ---- quarter stage: 8 offsets around the per-block half winner;
+    # phase now varies per block -> slice the stacked phase tensor ----
+    def slice3(pidx, r0, c0):
+        def one(p, rr, cc):
+            return lax.dynamic_slice(phases, (p, rr, cc),
+                                     (1, size, size))[0]
+        return jax.vmap(one)(pidx, r0, c0)
+
+    by, bx = cy, cx
+    for dy, dx in _QUART_SEQ:
+        qy = cy + dy
+        qx = cx + dx
+        pidx = (qy & 3) * 4 + (qx & 3)
+        tiles = slice3(pidx, base_r + 3 + (qy >> 2),
+                       base_c + 3 + (qx >> 2))
+        c = _satd_of_tiles(ob, tiles, size)
+        take = c < bc
+        bc = jnp.where(take, c, bc)
+        by = jnp.where(take, qy, by)
+        bx = jnp.where(take, qx, bx)
+    return (by + 3) * 7 + (bx + 3), half_min
+
+
 def _lam_shift(depth: int) -> int:
     """Rate-term scale: our SSD at effective depth ds = min(depth, 10) is
     2^(2*(ds-8)) times the 8-bit-equivalent distortion HM's lambda is
@@ -336,10 +524,11 @@ def _shard_fn(axis_name):
 @functools.partial(jax.jit, static_argnames=("size", "size2", "r", "r2",
                                              "ny", "nx", "ny2", "nx2",
                                              "pad", "depth", "axis_name",
-                                             "use_wp"))
+                                             "use_wp", "refine"))
 def _me_idx_multi2_jit(orig, refs_stacked, bits0, bits0b, lam_q8, *, size,
                        size2, r, r2, ny, nx, ny2, nx2, pad, depth=8,
-                       axis_name=None, use_wp=False, wpvs=None):
+                       axis_name=None, use_wp=False, wpvs=None,
+                       refine=False):
     """Two block sizes (CU32 + CU16 grids) for every reference in ONE
     compiled dispatch; lax.map runs the references sequentially so the
     per-reference working set (areas/corr/cost tables) is live once.
@@ -359,8 +548,18 @@ def _me_idx_multi2_jit(orig, refs_stacked, bits0, bits0b, lam_q8, *, size,
         # ONE output array per dispatch: both grids' argmin indices ride
         # a single device->host transfer (each readback is a tunnel
         # round trip on remote-attached chips)
-        return jnp.concatenate([i1.reshape(-1).astype(jnp.int32),
-                                i2.reshape(-1).astype(jnp.int32)])
+        parts = [i1.reshape(-1).astype(jnp.int32),
+                 i2.reshape(-1).astype(jnp.int32)]
+        if refine:
+            # fractional refine + half-screen tables for both grids
+            # (see the block comment above _build_phases)
+            phases = _build_phases(refp, depth)
+            o1, h1 = _refine_direct(orig, phases, parts[0], size=size,
+                                    r=r, ny=ny, nx=nx, pad=pad)
+            o2, h2 = _refine_direct(orig, phases, parts[1], size=size2,
+                                    r=r2, ny=ny2, nx=nx2, pad=pad)
+            parts += [o1, h1, o2, h2]
+        return jnp.concatenate(parts)
     if not use_wp:
         # unchanged trace (and therefore unchanged persistent-cache key)
         # for the common unweighted path
@@ -374,7 +573,7 @@ def _me_idx_multi2_jit(orig, refs_stacked, bits0, bits0b, lam_q8, *, size,
 
 def me_grids_multi2(orig_dev, ref_devs, size: int, size2: int, r: int,
                     lam_fp: int, *, pad: int, depth: int = 8,
-                    axis_name=None, wp=None):
+                    axis_name=None, wp=None, refine: bool = False):
     """MV grids at the CU-grid size AND its half size for several
     references in one device dispatch (the deeper inter quadtree's
     16-grid rides the same launch as the 32-grid instead of a second
@@ -385,7 +584,8 @@ def me_grids_multi2(orig_dev, ref_devs, size: int, size2: int, r: int,
     reference TComRdCostWeightPrediction)."""
     return me_grids_multi2_async(orig_dev, ref_devs, size, size2, r,
                                  lam_fp, pad=pad, depth=depth,
-                                 axis_name=axis_name, wp=wp)()
+                                 axis_name=axis_name, wp=wp,
+                                 refine=refine)()
 
 
 def wp_operand(wp, nref: int, npad: int):
@@ -401,7 +601,8 @@ def wp_operand(wp, nref: int, npad: int):
 
 def me_grids_multi2_async(orig_dev, ref_devs, size: int, size2: int,
                           r: int, lam_fp: int, *, pad: int,
-                          depth: int = 8, axis_name=None, wp=None):
+                          depth: int = 8, axis_name=None, wp=None,
+                          refine: bool = False):
     """Dispatch the two-grid multi-reference search and return a zero-arg
     collector. JAX dispatch is asynchronous, so between dispatch and
     collect the device computes under whatever host work runs — the
@@ -435,6 +636,8 @@ def me_grids_multi2_async(orig_dev, ref_devs, size: int, size2: int,
     stacked = jnp.stack(padded)
     nyx, nyx2 = 2 * r + 1, 2 * r2 + 1
     use_wp = wp is not None and any(t is not None for t in wp)
+    if use_wp:
+        refine = False  # host WP-aware MC differs from plane weighting
     packed = _me_idx_multi2_jit(
         orig_dev, stacked, _bits0_dev(r),
         _bits0_dev(r2), jnp.int32(lam_q8_of(lam_fp)),
@@ -442,7 +645,7 @@ def me_grids_multi2_async(orig_dev, ref_devs, size: int, size2: int,
         nx2=nx2, pad=pad, depth=depth, axis_name=axis_name,
         use_wp=use_wp,
         wpvs=(jnp.asarray(wp_operand(wp, nref, npad))
-              if use_wp else None))
+              if use_wp else None), refine=refine)
     try:
         # start the device->host copy as soon as the search finishes so
         # collect() finds the indices already host-side instead of paying
@@ -451,17 +654,35 @@ def me_grids_multi2_async(orig_dev, ref_devs, size: int, size2: int,
     except AttributeError:
         pass
     n1 = ny * nx
+    n2 = ny2 * nx2
 
     def collect():
         a = np.asarray(packed)       # one transfer for both grids
-        a1, a2 = a[:, :n1], a[:, n1:]
+        a1, a2 = a[:, :n1], a[:, n1:n1 + n2]
         out = []
         for k in range(nref):
             gy = (a1[k] // nyx - r).astype(np.int32).reshape(ny, nx)
             gx = (a1[k] % nyx - r).astype(np.int32).reshape(ny, nx)
             gy2 = (a2[k] // nyx2 - r2).astype(np.int32).reshape(ny2, nx2)
             gx2 = (a2[k] % nyx2 - r2).astype(np.int32).reshape(ny2, nx2)
-            out.append((gx, gy, gx2, gy2))
+            if refine:
+                # packed quarter-refine offsets + 3x3-half screen minima
+                # for both grids (see _refine_from_box)
+                o = n1 + n2
+                ext = {
+                    "off32": np.ascontiguousarray(
+                        a[k, o:o + n1]).reshape(ny, nx),
+                    "half32": np.ascontiguousarray(
+                        a[k, o + n1:o + 2 * n1]).reshape(ny, nx),
+                    "off16": np.ascontiguousarray(
+                        a[k, o + 2 * n1:o + 2 * n1 + n2]).reshape(ny2,
+                                                                  nx2),
+                    "half16": np.ascontiguousarray(
+                        a[k, o + 2 * n1 + n2:]).reshape(ny2, nx2),
+                }
+                out.append((gx, gy, gx2, gy2, ext))
+            else:
+                out.append((gx, gy, gx2, gy2))
         return out
     return collect
 
