@@ -129,14 +129,22 @@ def intra_complexity(luma) -> float:
 
 
 def lcu_qps(luma, ref_luma, ctu_size: int, pic_qp: int,
-            clip_range: int = 2):
+            clip_range: int = 2, wpp: bool = False):
     """CTU-level QP allocation (reference TEncRCPic::getLCUTargetBpp /
     getLCUEstLambda, redesigned feed-forward so the wavefront engine can
     run all CTUs in parallel): the picture's bit budget is spread over
     CTUs proportionally to prediction-error complexity (SATD-like SAD vs
     the reference picture, or variance for intra); lambda per CTU scales
     with the inverse share, QP = pic_qp + 3*log2(w_avg/w_ctu) clipped to
-    +-clip_range (the reference clips LCU QP the same way)."""
+    +-clip_range (the reference clips LCU QP the same way).
+
+    wpp: WPP-aware row allocation (reference TEncRateCtrl.cpp:761-884
+    balances the remaining bits across CTU rows under
+    WaveFrontSynchro). The wavefront couples each row to its upper
+    neighbour, so row budgets are smoothed over a 3-row window before
+    per-CTU scaling — rows then carry budgets proportional to their
+    neighbourhood's complexity instead of oscillating per row, the
+    feed-forward analogue of HM's running per-row balancing."""
     import numpy as np
     h, w = luma.shape
     cw = (w + ctu_size - 1) // ctu_size
@@ -152,6 +160,13 @@ def lcu_qps(luma, ref_luma, ctu_size: int, pic_qp: int,
                 wgt[cy, cx] = np.abs(o - r).mean() + 0.1
             else:
                 wgt[cy, cx] = o.var() ** 0.5 + 0.1
+    if wpp and ch > 1:
+        row_w = wgt.mean(axis=1, keepdims=True)
+        sm = row_w.copy()
+        sm[1:-1] = (row_w[:-2] + 2.0 * row_w[1:-1] + row_w[2:]) / 4.0
+        sm[0] = (2.0 * row_w[0] + row_w[1]) / 3.0
+        sm[-1] = (2.0 * row_w[-1] + row_w[-2]) / 3.0
+        wgt = wgt * (sm / np.maximum(row_w, 1e-9))
     avg = wgt.mean()
     dqp = np.round(3.0 * np.log2(wgt / avg))
     dqp = np.clip(dqp, -clip_range, clip_range)

@@ -1245,7 +1245,9 @@ class EncoderTop:
             if cfg.lcu_rate_control and self.rc is not None:
                 from .rate_ctrl import lcu_qps
                 refl = None if is_intra else ref_l0[0][1][0]
-                m = lcu_qps(planes[0], refl, self.sps.ctu_size, slice_qp)
+                m = lcu_qps(planes[0], refl, self.sps.ctu_size, slice_qp,
+                            wpp=bool(
+                                self.pps.entropy_coding_sync_enabled_flag))
                 if dqd:
                     # rate control allocates per CTU; replicate to QGs
                     qgs_h = -(-cfg.height // qg)

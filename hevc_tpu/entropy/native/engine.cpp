@@ -1348,18 +1348,59 @@ void CtuEngine::cu_take(int x0, int y0, int n, const MutCtuData& d,
     }
   }
   // per-4x4 decision maps + mode_map, packed row-major per plane
-  const uint8_t* maps[6] = {d.cu_depth, d.nxn_flag, d.luma_mode,
-                            d.chroma_mode, d.tu_depth, d.pred_mode};
+  const uint8_t* maps[12] = {d.cu_depth, d.nxn_flag, d.luma_mode,
+                             d.chroma_mode, d.tu_depth, d.pred_mode,
+                             d.skip_flag, d.merge_flag, d.merge_idx,
+                             d.mvp_flag, d.mvp_flag1, d.rext};
+  int nm4 = d.rext ? 12 : 11;
   int stride4 = (w_ + 3) >> 2;
-  s.m4.resize((size_t)7 * n4 * n4);
-  for (int m = 0; m < 6; ++m)
+  s.m4.resize((size_t)(nm4 + 1) * n4 * n4);
+  for (int m = 0; m < nm4; ++m)
     for (int i = 0; i < n4; ++i)
       std::memcpy(&s.m4[(size_t)m * n4 * n4 + (size_t)i * n4],
                   maps[m] + (size_t)(gy + i) * bw4 + gx, n4);
   for (int i = 0; i < n4; ++i)
-    std::memcpy(&s.m4[(size_t)6 * n4 * n4 + (size_t)i * n4],
+    std::memcpy(&s.m4[(size_t)nm4 * n4 * n4 + (size_t)i * n4],
                 &mode_map_[(size_t)((y0 >> 2) + i) * stride4 + (x0 >> 2)],
                 n4);
+  const int8_t* maps8[2] = {d.ref_idx, d.ref_idx1};
+  s.m8.resize((size_t)2 * n4 * n4);
+  for (int m = 0; m < 2; ++m)
+    for (int i = 0; i < n4; ++i)
+      std::memcpy(&s.m8[(size_t)m * n4 * n4 + (size_t)i * n4],
+                  maps8[m] + (size_t)(gy + i) * bw4 + gx, n4);
+  const int16_t* maps16[8] = {d.mvd_x, d.mvd_y, d.mv_x, d.mv_y,
+                              d.mvd_x1, d.mvd_y1, d.mv_x1, d.mv_y1};
+  s.m16.resize((size_t)8 * n4 * n4);
+  for (int m = 0; m < 8; ++m)
+    for (int i = 0; i < n4; ++i)
+      std::memcpy(&s.m16[(size_t)m * n4 * n4 + (size_t)i * n4],
+                  maps16[m] + (size_t)(gy + i) * bw4 + gx,
+                  sizeof(int16_t) * n4);
+  // published PicMaps region (merge/AMVP derivation state of later CUs)
+  PicMaps& pm = senc_->maps();
+  int mx0 = x0 >> 2, my0 = y0 >> 2;
+  const uint8_t* pmu[4] = {pm.cu_depth.data(), pm.pred_mode.data(),
+                           pm.skip_flag.data(), pm.nxn_flag.data()};
+  s.pm4.resize((size_t)4 * n4 * n4);
+  for (int m = 0; m < 4; ++m)
+    for (int i = 0; i < n4; ++i)
+      std::memcpy(&s.pm4[(size_t)m * n4 * n4 + (size_t)i * n4],
+                  pmu[m] + (size_t)(my0 + i) * pm.stride + mx0, n4);
+  s.pm8.resize((size_t)2 * n4 * n4);
+  for (int m = 0; m < 2; ++m)
+    for (int i = 0; i < n4; ++i)
+      std::memcpy(&s.pm8[(size_t)m * n4 * n4 + (size_t)i * n4],
+                  pm.ref_idx[m].data() + (size_t)(my0 + i) * pm.stride +
+                      mx0, n4);
+  const int16_t* pmm[4] = {pm.mv_x[0].data(), pm.mv_y[0].data(),
+                           pm.mv_x[1].data(), pm.mv_y[1].data()};
+  s.pm16.resize((size_t)4 * n4 * n4);
+  for (int m = 0; m < 4; ++m)
+    for (int i = 0; i < n4; ++i)
+      std::memcpy(&s.pm16[(size_t)m * n4 * n4 + (size_t)i * n4],
+                  pmm[m] + (size_t)(my0 + i) * pm.stride + mx0,
+                  sizeof(int16_t) * n4);
 }
 
 void CtuEngine::cu_put(int x0, int y0, int n, const MutCtuData& d,
@@ -1395,16 +1436,51 @@ void CtuEngine::cu_put(int x0, int y0, int n, const MutCtuData& d,
       std::memcpy(d.ccp_cr + (gy + i) * bw4 + gx, &s.acr[(size_t)i * n4], n4);
     }
   }
-  uint8_t* maps[6] = {d.cu_depth, d.nxn_flag, d.luma_mode,
-                      d.chroma_mode, d.tu_depth, d.pred_mode};
+  uint8_t* maps[12] = {d.cu_depth, d.nxn_flag, d.luma_mode,
+                       d.chroma_mode, d.tu_depth, d.pred_mode,
+                       d.skip_flag, d.merge_flag, d.merge_idx,
+                       d.mvp_flag, d.mvp_flag1, d.rext};
+  int nm4 = d.rext ? 12 : 11;
   int stride4 = (w_ + 3) >> 2;
-  for (int m = 0; m < 6; ++m)
+  for (int m = 0; m < nm4; ++m)
     for (int i = 0; i < n4; ++i)
       std::memcpy(maps[m] + (size_t)(gy + i) * bw4 + gx,
                   &s.m4[(size_t)m * n4 * n4 + (size_t)i * n4], n4);
   for (int i = 0; i < n4; ++i)
     std::memcpy(&mode_map_[(size_t)((y0 >> 2) + i) * stride4 + (x0 >> 2)],
-                &s.m4[(size_t)6 * n4 * n4 + (size_t)i * n4], n4);
+                &s.m4[(size_t)nm4 * n4 * n4 + (size_t)i * n4], n4);
+  int8_t* maps8[2] = {d.ref_idx, d.ref_idx1};
+  for (int m = 0; m < 2; ++m)
+    for (int i = 0; i < n4; ++i)
+      std::memcpy(maps8[m] + (size_t)(gy + i) * bw4 + gx,
+                  &s.m8[(size_t)m * n4 * n4 + (size_t)i * n4], n4);
+  int16_t* maps16[8] = {d.mvd_x, d.mvd_y, d.mv_x, d.mv_y,
+                        d.mvd_x1, d.mvd_y1, d.mv_x1, d.mv_y1};
+  for (int m = 0; m < 8; ++m)
+    for (int i = 0; i < n4; ++i)
+      std::memcpy(maps16[m] + (size_t)(gy + i) * bw4 + gx,
+                  &s.m16[(size_t)m * n4 * n4 + (size_t)i * n4],
+                  sizeof(int16_t) * n4);
+  PicMaps& pm = senc_->maps();
+  int mx0 = x0 >> 2, my0 = y0 >> 2;
+  uint8_t* pmu[4] = {pm.cu_depth.data(), pm.pred_mode.data(),
+                     pm.skip_flag.data(), pm.nxn_flag.data()};
+  for (int m = 0; m < 4; ++m)
+    for (int i = 0; i < n4; ++i)
+      std::memcpy(pmu[m] + (size_t)(my0 + i) * pm.stride + mx0,
+                  &s.pm4[(size_t)m * n4 * n4 + (size_t)i * n4], n4);
+  for (int m = 0; m < 2; ++m)
+    for (int i = 0; i < n4; ++i)
+      std::memcpy(pm.ref_idx[m].data() + (size_t)(my0 + i) * pm.stride +
+                      mx0,
+                  &s.pm8[(size_t)m * n4 * n4 + (size_t)i * n4], n4);
+  int16_t* pmm[4] = {pm.mv_x[0].data(), pm.mv_y[0].data(),
+                     pm.mv_x[1].data(), pm.mv_y[1].data()};
+  for (int m = 0; m < 4; ++m)
+    for (int i = 0; i < n4; ++i)
+      std::memcpy(pmm[m] + (size_t)(my0 + i) * pm.stride + mx0,
+                  &s.pm16[(size_t)m * n4 * n4 + (size_t)i * n4],
+                  sizeof(int16_t) * n4);
 }
 
 // Intra CU split decision (reference TEncCu::xCompressCU's depth
@@ -1502,10 +1578,9 @@ double CtuEngine::intra_cu_decide(int x0, int y0, int log2,
       cu_put(x0, y0, n, d, ctu_x0, ctu_y0, pre);
       double js = code_split();
       if (jw <= js) {
+        // cu_put restores the published PicMaps region too, so the
+        // split trial's publishes vanish with it
         cu_put(x0, y0, n, d, ctu_x0, ctu_y0, whole);
-        // the maps-side per-4x4 cu_depth was overwritten by the split
-        // trial's publishes; re-publish the kept whole CU
-        publish(x0, y0, log2, true, 0, 0, 0, -1, 0, 0, -1);
         set_cu_qp(x0, y0);
         return jflag + jw;
       }
@@ -2554,7 +2629,7 @@ bool CtuEngine::inter_cu64_try(int x0, int y0, const MutCtuData& d,
   return true;
 }
 
-void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
+double CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
                                 int ctu_x0, int ctu_y0) {
   set_cu_qp(x0, y0);
   int n = 1 << log2;
@@ -3193,21 +3268,47 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
             x0, y0, n, (long long)m_cost, (long long)cost_inter,
             (long long)cost_l1, (long long)cost_bi, (long long)cost_intra,
             (long long)cost_split, (long long)best_rect);
-  if (!intra_only && best == cost_split) {
+  // ---- exact CU-split trial (reference TEncCu::xCompressCU depth
+  // recursion): the SATD screen's pre-quantization view over-splits
+  // smooth content (same failure the intra path had), so whenever the
+  // screen says the split is competitive, the split subtree is CODED,
+  // snapshotted and rolled back — the tail then compares its true J
+  // against the committed whole-CU J and keeps the winner. Clearly
+  // losing splits (screen far above the best whole candidate) skip the
+  // trial outright. ----
+  double split_js = -1.0;
+  CuSnap split_state;
+  double lam_sq_early = sqrt_lam_ * sqrt_lam_;
+  if (!intra_only && cost_split != INT64_MAX &&
+      (double)cost_split <
+          (double)best_inter * 1.25 + lam_sq_early * 64.0) {
+    CuSnap pre_split;
+    cu_take(x0, y0, n, d, ctu_x0, ctu_y0, pre_split);
     int bw44 = ctu_ / 4;
     int hn = n >> 1;
     for (int yy = 0; yy < nb; ++yy)
       for (int xx = 0; xx < nb; ++xx)
         d.cu_depth[(by + yy) * bw44 + bx + xx] =
             (uint8_t)(ilog2(ctu_) - log2 + 1);
+    split_js = lam_sq_early * 1.0;  // split_cu_flag
     for (int i = 0; i < 4; ++i)
-      encode_cu_inter(x0 + (i & 1) * hn, y0 + (i >> 1) * hn, log2 - 1, d,
-                      ctu_x0, ctu_y0);
-    return;
+      split_js += encode_cu_inter(x0 + (i & 1) * hn, y0 + (i >> 1) * hn,
+                                  log2 - 1, d, ctu_x0, ctu_y0);
+    cu_take(x0, y0, n, d, ctu_x0, ctu_y0, split_state);
+    cu_put(x0, y0, n, d, ctu_x0, ctu_y0, pre_split);
+    set_cu_qp(x0, y0);
   }
+  // the committed whole-CU path below ends by comparing against the
+  // trialled split (finish_j)
+  auto finish_j = [&](double jw) -> double {
+    if (split_js >= 0.0 && split_js <= jw) {
+      cu_put(x0, y0, n, d, ctu_x0, ctu_y0, split_state);
+      return split_js;
+    }
+    return jw;
+  };
   if (intra_only) {
-    encode_cu_intra(x0, y0, log2, d, ctu_x0, ctu_y0);
-    return;
+    return encode_cu_intra(x0, y0, log2, d, ctu_x0, ctu_y0);
   }
 
   int part_sel = 0;
@@ -3507,10 +3608,10 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   // CABAC-counter rate; if its J beats the committed inter J, the CU is
   // re-encoded intra (encode_cu_intra then redoes the full mode/RQT
   // search, which can only improve on the trial's J). ----
-  if (!getenv("HEVC_TPU_NO_INTRA_TRIAL") &&
-      cost_intra < INT64_MAX / 4) {
-    // inter signalling bits not yet in j_inter (cu_skip/merge/mvd/ref)
-    double sig_inter = 2.0;
+  // inter signalling bits not yet in j_inter (cu_skip/merge/mvd/ref) —
+  // used by the intra trial below AND by the CU's returned exact J
+  double sig_inter = 2.0;
+  {
     if (part_sel) {
       sig_inter = 10.0;
       for (int pu = 0; pu < 2; ++pu) {
@@ -3531,6 +3632,9 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
       sig_inter = 5.0 + mv_bits(mvd_x) + mv_bits(mvd_y) +
                   ref_bits(best_r, nref_[0]);
     }
+  }
+  if (!getenv("HEVC_TPU_NO_INTRA_TRIAL") &&
+      cost_intra < INT64_MAX / 4) {
     double j_intra = 0;
     double ibits = 6.0 + mode_bits(iscr_mode, cand3);
     int32_t it_resi[32 * 32], it_coef[32 * 32], it_deq[32 * 32],
@@ -3587,8 +3691,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     }
     j_intra += lam_sq * ibits;
     if (j_intra < j_inter + lam_sq * sig_inter) {
-      encode_cu_intra(x0, y0, log2, d, ctu_x0, ctu_y0);
-      return;
+      return finish_j(encode_cu_intra(x0, y0, log2, d, ctu_x0, ctu_y0));
     }
   }
   for (int i = 0; i < n; ++i)
@@ -3694,6 +3797,7 @@ void CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
         m.cu_depth[(size_t)((y0 >> 2) + yy) * m.stride + (x0 >> 2) + xx] =
             (uint8_t)(m.sp.max_cb_log2 - log2);
   }
+  return finish_j(j_inter + lam_sq * sig_inter);
 }
 
 }  // namespace hevctpu

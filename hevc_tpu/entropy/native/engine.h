@@ -130,7 +130,12 @@ class CtuEngine {
     std::vector<pel_t> ry, rcb, rcr;
     std::vector<int16_t> cy, ccb, ccr;
     std::vector<int8_t> acb, acr;
-    std::vector<uint8_t> m4;   // packed per-4x4 decision maps + mode_map
+    std::vector<uint8_t> m4;   // packed per-4x4 u8 decision maps + mode_map
+    std::vector<int8_t> m8;    // packed per-4x4 i8 maps (ref idx)
+    std::vector<int16_t> m16;  // packed per-4x4 i16 maps (mv/mvd)
+    std::vector<uint8_t> pm4;  // published PicMaps u8 region
+    std::vector<int8_t> pm8;   // published PicMaps i8 region
+    std::vector<int16_t> pm16; // published PicMaps i16 region
   };
   void cu_take(int x0, int y0, int n, const MutCtuData& d, int ctu_x0,
                int ctu_y0, CuSnap& s) const;
@@ -148,8 +153,10 @@ class CtuEngine {
   // is reused instead of recomputed.
   double intra_cu_decide(int x0, int y0, int log2, const MutCtuData& d,
                          int ctu_x0, int ctu_y0, int64_t whole_hint = -1);
-  void encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
-                       int ctu_x0, int ctu_y0);
+  // codes + commits one inter CU (or its exact-trial split); returns
+  // the committed subtree's exact J (SSE + lambda * bits)
+  double encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
+                         int ctu_x0, int ctu_y0);
   // 64x64 inter decision: code the whole CTU as one CU (merge/skip or a
   // derived-MV AMVP) when its screen cost beats the four-quadrant sum;
   // returns false to fall through to the per-32x32 path

@@ -386,7 +386,10 @@ def _refine_direct(orig, phases, gidx, *, size, r, ny, nx, pad):
     ob = (orig[:ny * size, :nx * size].astype(jnp.int32)
           .reshape(ny, size, nx, size).transpose(0, 2, 1, 3)
           .reshape(n, size, size))
-    base_r = pad + BY + mvy - 3       # plane coords of offset (-3, -3)
+    # phase-plane coordinates: plane (y', x') is padded (y'+3, x'+3), so
+    # the tile for quarter offset o starts at plane row
+    # pad + BY + mvy + (o >> 2) - 3
+    base_r = pad + BY + mvy - 3
     base_c = pad + BX + mvx - 3
 
     def slice2(plane, r0, c0):
@@ -400,8 +403,8 @@ def _refine_direct(orig, phases, gidx, *, size, r, ny, nx, pad):
     for dy in (-2, 0, 2):
         for dx in (-2, 0, 2):
             plane = phases[(dy & 3) * 4 + (dx & 3)]
-            tiles = slice2(plane, base_r + 3 + (dy >> 2),
-                           base_c + 3 + (dx >> 2))
+            tiles = slice2(plane, base_r + (dy >> 2),
+                           base_c + (dx >> 2))
             hvals[(dy, dx)] = _satd_of_tiles(ob, tiles, size)
     bc = hvals[(0, 0)]
     cy = jnp.zeros((n,), jnp.int32)
@@ -430,8 +433,7 @@ def _refine_direct(orig, phases, gidx, *, size, r, ny, nx, pad):
         qy = cy + dy
         qx = cx + dx
         pidx = (qy & 3) * 4 + (qx & 3)
-        tiles = slice3(pidx, base_r + 3 + (qy >> 2),
-                       base_c + 3 + (qx >> 2))
+        tiles = slice3(pidx, base_r + (qy >> 2), base_c + (qx >> 2))
         c = _satd_of_tiles(ob, tiles, size)
         take = c < bc
         bc = jnp.where(take, c, bc)

@@ -53,3 +53,33 @@ def test_rate_control_stream_conformant(tmp_path):
                          capture_output=True, text=True)
     assert out.returncode == 0
     assert out.stdout.count("(OK)") == n
+
+
+@pytest.mark.skipif(not os.path.exists(ORACLE),
+                    reason="HM oracle decoder not built")
+def test_wpp_ctu_rate_control_hits_target(tmp_path):
+    """WPP-aware CTU-level rate control (reference TEncRateCtrl.cpp:
+    761-884 per-row allocation under WaveFrontSynchro): with WPP +
+    LCULevelRateControl the achieved rate must hit the target within
+    +-5% over the steady window and the stream stays conformant."""
+    from hevc_tpu.encoder.top import EncoderTop
+    from hevc_tpu.io.cfg import EncoderConfig
+    w, h, n, kbps = 256, 192, 20, 800
+    cfg = EncoderConfig(width=w, height=h, qp=32, intra_period=-1,
+                        frames_to_encode=n, rate_control=1,
+                        lcu_rate_control=1,
+                        target_bitrate=kbps, frame_rate=30, wpp=1)
+    enc = EncoderTop(cfg)
+    chunks = [enc.encode_frame(f) for f in _frames(n, w, h)]
+    # whole-sequence accuracy: the sequence budget pays the IDR burst
+    # back across the remaining frames (reference TEncRCSeq bit
+    # bookkeeping), so the target is judged on the total
+    total_kbps = sum(len(c) for c in chunks) * 8 * 30 / n / 1000
+    assert 0.95 * kbps < total_kbps < 1.05 * kbps, total_kbps
+    bs = tmp_path / "o.bin"
+    bs.write_bytes(b"".join(chunks))
+    out = subprocess.run([ORACLE, "-b", str(bs), "-o",
+                          str(tmp_path / "d.yuv")],
+                         capture_output=True, text=True)
+    assert out.returncode == 0
+    assert out.stdout.count("(OK)") == n
