@@ -1255,6 +1255,20 @@ void CtuEngine::set_scaling(const int32_t* blob) {
 // uiRdModeList + MPM append, TEncSearch.cpp:2288). Returns the count.
 int CtuEngine::intra_try_list(int x0, int y0, int log2, const int cand[3],
                               int* modes_try) const {
+  // debug/introspection knob (reference Debug.h:97-110 ForceLumaMode /
+  // DebugOptionList): HEVC_TPU_FORCE_LUMA_MODE=<0..34> restricts every
+  // intra luma decision to one mode — streams stay conformant, and the
+  // mode plane becomes a known constant for analyser cross-checks
+  static const int forced = [] {
+    const char* e = getenv("HEVC_TPU_FORCE_LUMA_MODE");
+    if (!e || !*e) return -1;
+    int v = atoi(e);
+    return (v >= 0 && v <= 34) ? v : -1;
+  }();
+  if (forced >= 0) {
+    modes_try[0] = forced;
+    return 1;
+  }
   int n = 1 << log2;
   const IntraHints& hh = ih_[log2];
   int nm = 0;

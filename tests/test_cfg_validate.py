@@ -62,3 +62,42 @@ def test_444_inter_encode_rejected():
     cfg = parse_cli(BASE + ["--InputChromaFormat=444", "--IntraPeriod=-1"])
     with pytest.raises(ConfigError):
         validate(cfg, warn=lambda m: None)
+
+
+def test_force_luma_mode_debug_knob(tmp_path):
+    """HEVC_TPU_FORCE_LUMA_MODE (reference Debug.h:97-110 ForceLumaMode):
+    every intra luma PU codes the forced mode and the stream stays
+    decodable (our decoder round-trips it)."""
+    import os
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_test_yuv import write_clip
+    clip = tmp_path / "in.yuv"
+    write_clip(str(clip), 128, 64, 1)
+    bs = tmp_path / "o.bin"
+    rec = tmp_path / "r.yuv"
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               HEVC_TPU_FORCE_LUMA_MODE="26", HEVC_TPU_NO_NXN="1")
+    out = subprocess.run(
+        [sys.executable, "-m", "hevc_tpu.cli.encode", "-i", str(clip),
+         "-wdt", "128", "-hgt", "64", "-f", "1", "-q", "30", "-b",
+         str(bs), "-o", str(rec)], capture_output=True, text=True,
+        env=env, cwd=os.path.join(os.path.dirname(__file__), ".."))
+    assert out.returncode == 0, out.stderr[-1500:]
+    from hevc_tpu.decoder.top import DecoderTop
+    planes = [p for fr in DecoderTop().decode_stream(bs.read_bytes())
+              for p in fr]
+    assert planes and planes[0].shape == (64, 128)
+    # a vertical-mode-only encode of this content differs from the
+    # unforced encode (the knob demonstrably reaches the decision)
+    bs2 = tmp_path / "o2.bin"
+    env2 = dict(os.environ, JAX_PLATFORMS="cpu", HEVC_TPU_NO_NXN="1")
+    subprocess.run(
+        [sys.executable, "-m", "hevc_tpu.cli.encode", "-i", str(clip),
+         "-wdt", "128", "-hgt", "64", "-f", "1", "-q", "30", "-b",
+         str(bs2)], capture_output=True, text=True, env=env2,
+        cwd=os.path.join(os.path.dirname(__file__), ".."))
+    assert bs.read_bytes() != bs2.read_bytes()
