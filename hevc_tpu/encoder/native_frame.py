@@ -256,8 +256,9 @@ class NativeFrameEncoder:
                 l0s = [slot[id(d)] for d in self.ref_dev[:n0]]
                 l1s = [slot[id(d)] for d in self.ref1_dev[:n1]]
                 ctx = self.mesh if self.mesh is not None else nullcontext()
+                # default OFF — see hevc_tpu/encoder/top.py _rf()
                 want_rf = (self.mesh is None and _os.environ.get(
-                    "HEVC_TPU_ME_REFINE", "1") != "0")
+                    "HEVC_TPU_ME_REFINE", "0") == "1")
                 with ctx:
                     if want16:
                         out = me_mxu.me_grids_multi2(

@@ -52,9 +52,16 @@ def _gop_depth(poc: int, gop_size: int) -> int:
 
 
 def _rf() -> bool:
-    """Device fractional-refine tables ride the prefetch ME dispatch
-    unless disabled (HEVC_TPU_ME_REFINE=0)."""
-    return os.environ.get("HEVC_TPU_ME_REFINE", "1") != "0"
+    """Device fractional-refine tables (HEVC_TPU_ME_REFINE=1). Default
+    OFF: the tables are exact and bit-identical to the host loops
+    (tests/test_me_refine.py), but on the remote-attached chip the
+    slice-gather formulation costs ~250 ms/ref/frame of device time at
+    1080p — more than the ~10 ms of host interpolation it replaces, and
+    too much for the prefetch pipeline to hide (measured: headline fps
+    dropped 3.7 -> 1.1 with them on). A Pallas scalar-prefetch DMA
+    kernel is the known fix (per-block tiles via dynamic BlockSpec
+    index maps instead of XLA gathers)."""
+    return os.environ.get("HEVC_TPU_ME_REFINE", "0") == "1"
 
 def hm_pic_lambda(qp: float, gop_size: int, gop_poc: int, qp_factor: float,
                   is_intra: bool) -> float:

@@ -1578,6 +1578,24 @@ double CtuEngine::intra_cu_decide(int x0, int y0, int log2,
       return js;
     };
     if (decided && want_split) return jflag + code_split();
+    // HEVC_TPU_FAST_SPLIT=1: speed mode — settle the ambiguous band by
+    // the prescreen comparison instead of the exact trial (the round-4
+    // behaviour: ~2.5x faster intra, at the measured RD cost the exact
+    // trial removed; see tests/test_rd_quality_gate.py thresholds)
+    static const bool fast_split = [] {
+      const char* e = getenv("HEVC_TPU_FAST_SPLIT");
+      return e && *e == '1';
+    }();
+    if (!decided && fast_split) {
+      int64_t whole = whole_hint >= 0 ? whole_hint
+                                      : intra_screen_cost(x0, y0, log2);
+      int64_t split = lam_bits(8);
+      for (int i = 0; i < 4 && split < whole; ++i)
+        split += intra_screen_cost(x0 + (i & 1) * h, y0 + (i >> 1) * h,
+                                   log2 - 1);
+      if (split < whole) return jflag + code_split();
+      return jflag + encode_cu_intra(x0, y0, log2, d, ctu_x0, ctu_y0);
+    }
     if (!decided) {
       // ---- exact split trial (reference TEncCu::xCompressCU): code
       // whole, snapshot, roll back, code split, keep the true-J winner.
@@ -3293,7 +3311,25 @@ double CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
   double split_js = -1.0;
   CuSnap split_state;
   double lam_sq_early = sqrt_lam_ * sqrt_lam_;
-  if (!intra_only && cost_split != INT64_MAX &&
+  static const bool fast_split_i = [] {
+    const char* e = getenv("HEVC_TPU_FAST_SPLIT");
+    return e && *e == '1';
+  }();
+  if (fast_split_i && !intra_only && best == cost_split) {
+    // speed mode: commit the screen's split choice without the trial
+    int bw44 = ctu_ / 4;
+    int hn = n >> 1;
+    for (int yy = 0; yy < nb; ++yy)
+      for (int xx = 0; xx < nb; ++xx)
+        d.cu_depth[(by + yy) * bw44 + bx + xx] =
+            (uint8_t)(ilog2(ctu_) - log2 + 1);
+    double js = sqrt_lam_ * sqrt_lam_;
+    for (int i = 0; i < 4; ++i)
+      js += encode_cu_inter(x0 + (i & 1) * hn, y0 + (i >> 1) * hn,
+                            log2 - 1, d, ctu_x0, ctu_y0);
+    return js;
+  }
+  if (!fast_split_i && !intra_only && cost_split != INT64_MAX &&
       (double)cost_split <
           (double)best_inter * 1.25 + lam_sq_early * 64.0) {
     CuSnap pre_split;
