@@ -78,9 +78,12 @@ CONFIGS = [
 # program loads through the device tunnel dominate) — a config only
 # STARTS if that much budget is left, since a started config cannot be
 # interrupted (the round-3 driver artifact timed out exactly this way)
-CONFIG_COST_S = {"intra_main": 70, "lowdelay_P_main": 100,
-                 "randomaccess_main": 140, "randomaccess_main10": 220,
-                 "intra_high_throughput_rext": 100}
+# re-measured round 5 on the warm checked-in cache (whole suite 356 s):
+# per-config wall incl. program loads; main10's old 220 s estimate was
+# skipping it even when the suite had 250 s to spare
+CONFIG_COST_S = {"intra_main": 45, "lowdelay_P_main": 60,
+                 "randomaccess_main": 80, "randomaccess_main10": 120,
+                 "intra_high_throughput_rext": 60}
 # recorded HM anchors (fps) for this host class when the oracle is absent
 # randomaccess anchors measured live round 5 (17-frame 832x480 run, CPU
 # seconds from HM's per-POC [ET] lines): HM's hierarchical-B search runs
