@@ -1872,3 +1872,39 @@ def test_quant_tool_flags_conformance(tmp_path, flags, label):
                 break
         else:
             pytest.fail("no PPS in stream")
+
+
+def test_field_gop_structure_matches_hm(tmp_path):
+    """Per-field GOP adaptation (reference TEncGOP field path /
+    TAppEncCfg m_isField): HM applies the frame GOP ladder PER FIELD —
+    height halved, frame count doubled, the complementary field added
+    to the reference list (TAppEncCfg.cpp:1822 numRefs=2), with NO GOP
+    entry remapping. Our field coding must produce the same per-field
+    (slice type, QP) ladder the frame GOP prescribes. (HM-16.4's own
+    binary asserts out (rc -6) on this very config after emitting the
+    first fields, so the ladder here is cross-checked against the cfg's
+    GOP entries rather than a full HM run; the fields it did emit
+    before aborting carry exactly this ladder.)"""
+    w, h, frames = 192, 128, 4
+    clip = tmp_path / "in.yuv"
+    _mk_clip(clip, w, h, frames)
+    from hevc_tpu.cli.encode import main
+    from hevc_tpu.decoder.top import DecoderTop
+    from hevc_tpu.io.cfg import parse_cli
+    bs = tmp_path / "o.bin"
+    main(["-c", "/root/reference/cfg/encoder_lowdelay_P_main.cfg",
+          "-i", str(clip), "-wdt", str(w), "-hgt", str(h), "-f",
+          str(frames), "-q", "32", "--FieldCoding=1", "-b", str(bs)])
+    dec = DecoderTop(collect_stats=True)
+    list(dec.decode_stream(bs.read_bytes()))
+    got = [(s["poc"], s["type"][0], s["qp"]) for s in dec.stats]
+    cfg = parse_cli(["-c",
+                     "/root/reference/cfg/encoder_lowdelay_P_main.cfg",
+                     "-i", str(clip), "-wdt", str(w), "-hgt", str(h),
+                     "-f", str(frames), "-q", "32", "--FieldCoding=1"])
+    entries = cfg.gop_entries
+    want = [(0, "I", 32)]
+    for i in range(1, 2 * frames):   # fields, GOP ladder per field
+        e = entries[(i - 1) % len(entries)]
+        want.append((i, "P", 32 + e.qp_offset))
+    assert got == want, (got, want)
