@@ -3330,6 +3330,10 @@ double CtuEngine::encode_cu_inter(int x0, int y0, int log2, const MutCtuData& d,
     return js;
   }
   if (!fast_split_i && !intra_only && cost_split != INT64_MAX &&
+      // a split carries >= 3 extra CU signallings (~40+ bins): when the
+      // whole CU's screen is already below that floor (skip-dominated
+      // static content) the trial cannot win and is skipped outright
+      best_inter > lam_bits(40) &&
       (double)cost_split <
           (double)best_inter * 1.25 + lam_sq_early * 64.0) {
     CuSnap pre_split;
